@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector/spatial surface.
+  *
+  * All of these implement `doGenCode` so they stay inside whole-stage
+  * codegen (the reference's expressions are CodegenFallback — reference:
+  * expression/InRange.scala:32 — which would break codegen spans; we emit
+  * a static kernel call instead).
+  */
+
+/** `cosine_similarity(array<float>, array<float>) -> double` */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.cosineF($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `dot_product(array<float>, array<float>) -> double` */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.dotF($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `l2_distance(array<float>, array<float>) -> double` */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.l2F(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.l2F($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `hyperplane_sketch(array<float>) -> long` — 64-bit random-hyperplane
+  * LSH signature for cosine-similarity bucketing. Deterministic in
+  * (seed, planes). */
+case class HyperplaneSketch(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sketch"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.hyperplaneSketch(a.asInstanceOf[ArrayData], planes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorKernels.hyperplaneSketch($a, $planes, ${seed}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `zorder(int, int, ...) -> long` — Morton code of quantized cell
+  * ordinates (graft.spatial.ZValue). Children must already be
+  * non-negative ints (use ZValue.quantize / the zorder() helper in
+  * GraftFunctions to build them from doubles). */
+case class ZOrder(children: Seq[Expression], bits: Int) extends Expression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "zorder"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val coords = new Array[Int](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      coords(i) = v.asInstanceOf[Int]
+      i += 1
+    }
+    graft.spatial.ZValue.interleave(coords, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zcoords")
+    val anyNull = ctx.freshName("zAnyNull")
+    val fill = evals.zipWithIndex.map { case (e, i) =>
+      s"""
+         |${e.code}
+         |if (${e.isNull}) { $anyNull = true; } else { $arr[$i] = ${e.value}; }
+       """.stripMargin
+    }.mkString("\n")
+    ev.copy(code =
+      code"""
+         |int[] $arr = new int[${children.length}];
+         |boolean $anyNull = false;
+         |$fill
+         |boolean ${ev.isNull} = $anyNull;
+         |long ${ev.value} = ${ev.isNull} ? -1L :
+         |  graft.spatial.ZValue.interleave($arr, $bits);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}

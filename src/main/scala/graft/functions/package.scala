@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnShim.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.functions._
+
+/** Column-level spatial / vector / text function surface.
+  *
+  * Design rule (SURVEY.md §7.1): compose `org.apache.spark.sql.functions`
+  * wherever the semantics allow — those are codegen'd and pushdown-friendly —
+  * and drop to the native expressions in [[graft.functions.expressions]]
+  * only where built-ins can't express the op (vector kernels, z-order).
+  *
+  * The reference exposes the same semantics as expression nodes
+  * (reference: expression/InRange.scala:31-46, InCircleRange.scala:32-50)
+  * evaluated via CodegenFallback; here box/circle predicates compile to
+  * plain comparison conjunctions so Catalyst pushes them into the scan.
+  */
+package object functions {
+
+  /** Euclidean distance between two n-D points given as coordinate columns. */
+  def pointDistance(a: Seq[Column], b: Seq[Column]): Column = {
+    require(a.nonEmpty && a.length == b.length, "coordinate arity mismatch")
+    sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.reduce(_ + _))
+  }
+
+  def pointDistance(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    pointDistance(Seq(ax, ay), Seq(bx, by))
+
+  /** Box-range predicate: point in [low, high] on every dimension,
+    * boundaries inclusive (semantics of reference expression/InRange.scala:31-46;
+    * the conjunctive-filter equivalence is documented by the reference itself
+    * at DataSet.scala:50-55). Pure comparisons — pushes down to parquet. */
+  def inBox(keys: Seq[Column], low: Seq[Double], high: Seq[Double]): Column = {
+    require(keys.length == low.length && keys.length == high.length)
+    keys.indices.map(i => keys(i) >= low(i) && keys(i) <= high(i)).reduce(_ && _)
+  }
+
+  /** Circle-range predicate: dist(point, center) <= r, boundary inclusive
+    * (semantics of reference expression/InCircleRange.scala:32-50). The
+    * bounding-box conjuncts are redundant with the distance test but ARE
+    * pushdown-able, so the parquet scan prunes before the sqrt runs. */
+  def inCircle(keys: Seq[Column], center: Seq[Double], r: Double): Column = {
+    require(keys.length == center.length)
+    val bbox = inBox(keys, center.map(_ - r), center.map(_ + r))
+    val dist = pointDistance(keys, center.map(lit))
+    bbox && dist <= r
+  }
+
+  // ---- vector surface (native expressions, codegen'd) ----
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  def l2Distance(a: Column, b: Column): Column =
+    toCol(L2Distance(toExpr(a), toExpr(b)))
+
+  def hyperplaneSketch(v: Column, planes: Int = 16, seed: Long = 42L): Column =
+    toCol(HyperplaneSketch(toExpr(v), planes, seed))
+
+  // ---- z-order (native expression over quantized cells) ----
+
+  /** Morton code of pre-quantized non-negative int cell ordinates. */
+  def zorderCells(cells: Seq[Column], bits: Int = 21): Column =
+    toCol(ZOrder(cells.map(toExpr), bits))
+
+  /** Quantize a double column into [0, 2^bits-1] over known bounds
+    * (clamping outside values), matching graft.spatial.ZValue.quantize. */
+  def quantize(v: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val cells = (1 << bits) - 1
+    if (hi <= lo) lit(0)
+    else least(greatest(floor((v - lit(lo)) / lit(hi - lo) * lit(cells)), lit(0)),
+               lit(cells)).cast("int")
+  }
+
+  /** Z-order of n double coordinate columns over per-dim bounds. */
+  def zorder(keys: Seq[Column], lows: Seq[Double], highs: Seq[Double],
+             bits: Int = 18): Column = {
+    require(keys.length == lows.length && keys.length == highs.length)
+    require(keys.length * bits <= 62, "zorder overflow")
+    zorderCells(keys.indices.map(i => quantize(keys(i), lows(i), highs(i), bits)), bits)
+  }
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions._
+
+/** Spatial query verbs as Dataset extension methods.
+  *
+  * The reference attaches these verbs by subclassing `Dataset`
+  * (reference: DataSet.scala:37-241 — `range`, `circleRange`, `knn`,
+  * `distanceJoin`, `knnJoin`); on Spark 4.x the idiomatic carrier is an
+  * implicit ops class, so every verb returns a plain `DataFrame` whose
+  * logical plan is built from stock operators (filters, top-k, equi-joins)
+  * that Catalyst can optimize — no custom planner code on this path.
+  *
+  * Scale notes (100 TB discipline):
+  *  - `range` / `circleRange` compile to pushdown-able conjunctions.
+  *  - `knn` compiles to TakeOrderedAndProject (no global sort).
+  *  - `distanceJoin` is a grid equi-join: one shuffle per side on cell id,
+  *    3^d-way replication of the right side only, AQE-skew-join friendly —
+  *    the DataFrame-native analogue of the reference's SJMR grid join
+  *    (reference: execution/join/DJSpark.scala:36-117).
+  *  - `knnJoin` (exact) = bounded-radius grid candidates + windowed top-k
+  *    + exact fallback for starved rows — the two-phase bound-then-refine
+  *    shape of the reference's RKJSpark (reference: RKJSpark.scala:37-145)
+  *    with sampling capped on the driver like RangePartitioner.sketch.
+  */
+object SpatialOps {
+
+  private val CELL = "__graft_cell"
+  private val DIST = "__graft_dist"
+
+  implicit class DatasetSpatialOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** Rows whose point lies in the box [low, high] (inclusive). */
+    def boxRange(keys: Seq[String], low: Seq[Double], high: Seq[Double]): DataFrame =
+      ds.toDF.filter(inBox(keys.map(col), low, high))
+
+    /** Rows within distance r of center (inclusive). */
+    def circleRange(keys: Seq[String], center: Seq[Double], r: Double): DataFrame =
+      ds.toDF.filter(inCircle(keys.map(col), center, r))
+
+    /** k nearest rows to a query point; ties broken by `tieBreak` columns
+      * so results are deterministic (the reference leaves ties arbitrary).
+      * Plans as TakeOrderedAndProject: per-partition top-k, then a k-row
+      * merge on the driver — no global sort, safe at any scale. */
+    def knn(keys: Seq[String], center: Seq[Double], k: Int,
+            tieBreak: Seq[String] = Nil): DataFrame = {
+      val out = ds.toDF
+      out.withColumn(DIST, pointDistance(keys.map(col), center.map(lit)))
+        .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
+        .limit(k)
+        .drop(DIST)
+    }
+
+    /** Distance join, grid algorithm: left rows hash to their own cell
+      * (side length r), right rows replicate to the 3^d neighborhood, the
+      * pair space shrinks to an equi-join on cell id plus a residual exact
+      * distance filter. Each qualifying pair appears exactly once because
+      * the left row's cell is unique. */
+    def distanceJoin(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
+                     r: Double): DataFrame = {
+      require(lKeys.length == rKeys.length && lKeys.nonEmpty)
+      require(r > 0, "distance join radius must be positive")
+      val l = ds.toDF
+      val rt = right.toDF
+      require(l.columns.intersect(rt.columns).isEmpty,
+        s"distanceJoin requires disjoint column names, shared: " +
+          l.columns.intersect(rt.columns).mkString(","))
+      val dims = lKeys.length
+
+      // All internal columns get side-distinct names so every reference
+      // below is unqualified — immune to Spark's ambiguous-self-join trap
+      // when the same Dataset object appears in several join trees.
+      val lCells = lKeys.zipWithIndex.map { case (k, i) =>
+        floor(col(k) / r).cast("long").as(s"${CELL}_l$i")
+      }
+      val lTagged = l.select(l.columns.map(col) ++ lCells: _*)
+
+      // right side: one row per neighboring cell offset (3^dims combos)
+      val offsets: Seq[Seq[Int]] = Seq.fill(dims)(Seq(-1, 0, 1))
+        .foldLeft(Seq(Seq.empty[Int]))((acc, cs) => for (a <- acc; c <- cs) yield a :+ c)
+      val offArr = array(offsets.map(o => array(o.map(lit): _*)): _*)
+      val rCells = rKeys.zipWithIndex.map { case (k, i) =>
+        (floor(col(k) / r).cast("long") +
+          element_at(col("__graft_off"), i + 1)).as(s"${CELL}_r$i")
+      }
+      val rTagged = rt.withColumn("__graft_off", explode(offArr))
+        .select(rt.columns.map(col) ++ rCells: _*)
+
+      val cellCond = (0 until dims)
+        .map(i => col(s"${CELL}_l$i") === col(s"${CELL}_r$i")).reduce(_ && _)
+      val distCond = pointDistance(lKeys.map(col), rKeys.map(col)) <= r
+
+      lTagged.join(rTagged, cellCond && distCond, "inner")
+        .select((l.columns ++ rt.columns).map(col): _*)
+    }
+
+    /** Distance join, naive θ-join (oracle/baseline): Catalyst plans a
+      * broadcast-nested-loop when one side is small. */
+    def distanceJoinNaive(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
+                          r: Double): DataFrame = {
+      val l = ds.toDF
+      val rt = right.toDF
+      require(l.columns.intersect(rt.columns).isEmpty, "need disjoint column names")
+      l.crossJoin(rt).filter(pointDistance(lKeys.map(col), rKeys.map(col)) <= r)
+    }
+
+    /** kNN join, windowed baseline: for every left row, its k nearest right
+      * rows, ties broken by `tieBreak` right-side columns. Exact but
+      * shuffles the full pair space — the oracle path
+      * (reference baseline analogue: execution/join/CKJSpark.scala:33-59). */
+    def knnJoinNaive(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
+                     k: Int, leftId: String, tieBreak: Seq[String]): DataFrame = {
+      val l = ds.toDF
+      val rt = right.toDF
+      require(l.columns.intersect(rt.columns).isEmpty, "need disjoint column names")
+      val joined = l.crossJoin(rt)
+        .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
+      val w = Window.partitionBy(col(leftId))
+        .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
+      joined.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") <= k)
+        .drop(DIST, "__graft_rn")
+    }
+
+    /** kNN join, bounded-radius grid + exact fallback.
+      *
+      * Phase 1 estimates a radius theta from a driver-capped sample such
+      * that most left rows find >= k right rows within theta (the bound
+      * role of the reference's per-cell theta, RKJSpark.scala:105-110).
+      * Phase 2 runs the grid distance join at theta and keeps each left
+      * row's k nearest candidates. Phase 3 re-runs the exact windowed join
+      * for the (few) starved left rows, so the result is exact regardless
+      * of the estimate.
+      */
+    def knnJoin(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
+                k: Int, leftId: String, tieBreak: Seq[String],
+                sampleCap: Int = 2000, quantile: Double = 0.95,
+                safety: Double = 2.0): DataFrame = {
+      val l = ds.toDF
+      val rt = right.toDF
+
+      val theta = estimateKnnRadius(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
+
+      val cand = distanceJoin(rt, lKeys, rKeys, theta)
+        .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
+      val w = Window.partitionBy(col(leftId))
+        .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
+      val ranked = cand.withColumn("__graft_rn", row_number().over(w))
+      val kept = ranked.filter(col("__graft_rn") <= k)
+
+      // left rows with < k candidates within theta -> exact fallback
+      val starved = l.join(
+        kept.groupBy(col(leftId)).agg(count(lit(1)).as("__graft_n"))
+          .filter(col("__graft_n") >= k).select(col(leftId)),
+        Seq(leftId), "left_anti")
+
+      val fallback = starved.knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak)
+      val satisfied = kept.drop(DIST, "__graft_rn", "__graft_n")
+      satisfied.unionByName(fallback)
+    }
+  }
+
+  /** Estimate the kNN-join radius from bounded samples of both sides.
+    * Sample sizes are capped (like RangePartitioner's sketch), so the
+    * driver work is O(cap²) regardless of table size. */
+  private[operators] def estimateKnnRadius(
+      l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
+      k: Int, cap: Int, quantile: Double, safety: Double): Double = {
+    val lPts = samplePoints(l, lKeys, cap)
+    val rPts = samplePoints(r, rKeys, cap)
+    require(rPts.nonEmpty, "kNN join: right side is empty")
+    // If we only see a fraction f of the right side, the kth NN in the
+    // sample overestimates the true kth NN distance, so the bound stays safe.
+    val dists = lPts.map { p =>
+      val ds = rPts.map(q => graft.spatial.Dist.pointToPoint(p, q)).sorted
+      ds(math.min(k, ds.length) - 1)
+    }.sorted
+    val idx = math.min(dists.length - 1, (quantile * dists.length).toInt)
+    math.max(dists(idx) * safety, 1e-9)
+  }
+
+  private def samplePoints(df: DataFrame, keys: Seq[String], cap: Int): Array[Array[Double]] = {
+    val projected = df.select(keys.map(c => col(c).cast("double")): _*).na.drop("any")
+    // deterministic, bounded: take the first `cap` rows of a seeded sample
+    // union'd with a plain head, so tiny tables still yield rows
+    val rows = projected.sample(withReplacement = false, 0.1, 42).limit(cap).collect()
+    val base = if (rows.length >= math.min(cap, 100)) rows
+               else projected.limit(cap).collect()
+    base.map(row => Array.tabulate(keys.length)(row.getDouble))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+
+/** The relational query surface.
+  *
+  * The reference inherits all non-spatial operators wholesale from Spark
+  * SQL (reference: SimbaSessionState.scala:70-73 — stock planner plus
+  * extra strategies; SimbaOptimizer.scala:32-37 — stock batches), so
+  * "parity" here means exercising the stock engine end-to-end: scans,
+  * aggregation, broadcast/semi joins, windows, rollup, set ops.
+  *
+  * Every query is deterministic (explicit ORDER BY incl. tie-breaks) and
+  * keeps double aggregation order-independent via Tables.dsum, so results
+  * hash-match the DuckDB oracle bit-for-bit.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: pricing summary over lineitem. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Star join: revenue per nation. `nation` is broadcast — at 100 TB the
+    * fact side streams, only the 25-row dim ships to executors. */
+  def revenueByNation(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+
+  /** Top-5 orders per market segment (window + row_number). */
+  def topOrdersPerSegment(s: SparkSession, d: String): DataFrame = {
+    val joined = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    joined
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  /** EXISTS via left-semi join: order priorities with a heavy lineitem. */
+  def orderPriorityExists(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d).filter(col("l_quantity") > 30),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** ROLLUP over segment: per-segment + grand-total rows. */
+  def segmentRollup(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .rollup(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+
+  /** Tumbling-hour aggregation over the events stream table (batch view;
+    * the streaming variant lives in graft.streaming). Hour emitted as
+    * epoch millis so the oracle compares exactly across engines. */
+  def eventsHourly(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour_ms"), col("event_type"))
+
+  /** Set algebra: BUILDING customers who never placed a >300k order. */
+  def setOpsExcept(s: SparkSession, d: String): DataFrame = {
+    val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bigSpenders = orders(s, d).filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    building.except(bigSpenders).orderBy(col("c_custkey"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_top_orders_per_segment" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+        | SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        | FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rnk <= 5 ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q4_order_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 30)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_segment_rollup" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY ROLLUP(c_mktsegment)
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q6_events_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q7_set_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY c_custkey""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (pricingSummary _),
+    "q2_revenue_by_nation" -> (revenueByNation _),
+    "q3_top_orders_per_segment" -> (topOrdersPerSegment _),
+    "q4_order_priority_exists" -> (orderPriorityExists _),
+    "q5_segment_rollup" -> (segmentRollup _),
+    "q6_events_hourly" -> (eventsHourly _),
+    "q7_set_except" -> (setOpsExcept _)
+  )
+}

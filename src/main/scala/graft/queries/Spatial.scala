@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.SpatialOps._
+
+/** The spatial query surface (SURVEY.md §2.1 operators #1-5), each
+  * declared through the SpatialOps verbs and checked against a DuckDB
+  * oracle expressing the documented brute-force equivalence (the
+  * reference documents the box-range/conjunctive-filter equivalence at
+  * DataSet.scala:50-55; circle = distance filter; kNN = sort+limit;
+  * joins = cross-join + filter/window).
+  *
+  * Coordinates follow FIXTURES.md: customer (cx, cy) =
+  * (c_acctbal, c_custkey % 1000); supplier (sx, sy) likewise.
+  */
+object Spatial {
+
+  // Shared literals — chosen against the seeded data distribution:
+  // cx in [-994, 9997], cy in [0, 999].
+  private val boxLow = Seq(2000.0, 100.0)
+  private val boxHigh = Seq(4000.0, 300.0)
+  private val center = Seq(5000.0, 500.0)
+  private val circleR = 500.0
+  private val knnK = 10
+  private val joinR = 100.0
+  private val knnJoinK = 3
+
+  def boxRange(s: SparkSession, d: String): DataFrame =
+    customerPts(s, d)
+      .boxRange(Seq("cx", "cy"), boxLow, boxHigh)
+      .orderBy(col("c_custkey"))
+
+  def circleRange(s: SparkSession, d: String): DataFrame =
+    customerPts(s, d)
+      .circleRange(Seq("cx", "cy"), center, circleR)
+      .orderBy(col("c_custkey"))
+
+  def knn(s: SparkSession, d: String): DataFrame =
+    customerPts(s, d)
+      .knn(Seq("cx", "cy"), center, knnK, tieBreak = Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  /** Grid distance join (one equi-join shuffle, no cross product). */
+  def distanceJoin(s: SparkSession, d: String): DataFrame =
+    customerPts(s, d)
+      .distanceJoin(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"), joinR)
+      .select(col("c_custkey"), col("s_suppkey"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+
+  /** Exact kNN join (bounded-radius grid + fallback). */
+  def knnJoin(s: SparkSession, d: String): DataFrame =
+    customerPts(s, d)
+      .knnJoin(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
+        knnJoinK, leftId = "c_custkey", tieBreak = Seq("s_suppkey"))
+      .select(col("c_custkey"), col("s_suppkey"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+
+  private val custPtsSql =
+    "SELECT c_custkey, c_acctbal AS cx, CAST(c_custkey % 1000 AS DOUBLE) AS cy FROM customer"
+  private val suppPtsSql =
+    "SELECT s_suppkey, s_acctbal AS sx, CAST(s_suppkey % 1000 AS DOUBLE) AS sy FROM supplier"
+
+  val oracles: Map[String, String] = Map(
+    "sp_box_range" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_circle_range" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE sqrt((cx - 5000.0)*(cx - 5000.0) + (cy - 500.0)*(cy - 500.0)) <= 500.0
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_knn" ->
+      s"""SELECT * FROM (
+         |  SELECT * FROM ($custPtsSql) c
+         |  ORDER BY sqrt((cx - 5000.0)*(cx - 5000.0) + (cy - 500.0)*(cy - 500.0)) ASC,
+         |           c_custkey ASC
+         |  LIMIT 10) t
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_distance_join" ->
+      s"""SELECT c_custkey, s_suppkey FROM ($custPtsSql) c, ($suppPtsSql) s
+         |WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
+         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "sp_knn_join" ->
+      s"""SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c_custkey, s_suppkey,
+         |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+         |      ORDER BY sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) ASC,
+         |               s_suppkey ASC) AS rn
+         |  FROM ($custPtsSql) c CROSS JOIN ($suppPtsSql) s) t
+         |WHERE rn <= 3 ORDER BY c_custkey, s_suppkey""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp_box_range" -> (boxRange _),
+    "sp_circle_range" -> (circleRange _),
+    "sp_knn" -> (knn _),
+    "sp_distance_join" -> (distanceJoin _),
+    "sp_knn_join" -> (knnJoin _)
+  )
+}

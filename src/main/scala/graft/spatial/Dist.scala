@@ -1,0 +1,114 @@
+package graft.spatial
+
+/** Distance kernels shared by all shapes (reference: spatial/Dist.scala:26-33
+  * plus the per-shape minDist implementations, e.g. spatial/Point.scala:52-58,
+  * spatial/MBR.scala:36-122, spatial/LineSegment.scala:107-118).
+  *
+  * All kernels are Euclidean, branch-light, and allocation-free on the hot
+  * path so they can be called per-row from Catalyst expressions and from
+  * per-partition join loops.
+  */
+object Dist {
+
+  def pointToPoint(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length, s"dim mismatch: ${a.length} vs ${b.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i) - b(i)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Distance from a point to the nearest face of a box (0 inside). */
+  def pointToMBR(p: Array[Double], b: MBR): Double = {
+    require(p.length == b.dimensions)
+    var acc = 0.0
+    var i = 0
+    while (i < p.length) {
+      val lo = b.low.coord(i)
+      val hi = b.high.coord(i)
+      val d = if (p(i) < lo) lo - p(i) else if (p(i) > hi) p(i) - hi else 0.0
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  def pointToCircle(p: Array[Double], c: Circle): Double =
+    math.max(0.0, pointToPoint(p, c.center.coord) - c.radius)
+
+  /** Min distance between two boxes (0 if they overlap). */
+  def mbrToMBR(a: MBR, b: MBR): Double = {
+    require(a.dimensions == b.dimensions)
+    var acc = 0.0
+    var i = 0
+    while (i < a.dimensions) {
+      val d =
+        if (a.high.coord(i) < b.low.coord(i)) b.low.coord(i) - a.high.coord(i)
+        else if (b.high.coord(i) < a.low.coord(i)) a.low.coord(i) - b.high.coord(i)
+        else 0.0
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Max distance from a point to a box — the "furthest corner" bound used
+    * for kNN pruning (reference: spatial/Dist.scala:26-33). */
+  def furthest(p: Point, b: MBR): Double = b.maxDist(p)
+
+  /** Point-to-segment projection distance
+    * (reference: spatial/LineSegment.scala:107-118). */
+  def pointToSegment(p: Point, s: LineSegment): Double = {
+    val px = p.coord(0); val py = p.coord(1)
+    val ax = s.start.coord(0); val ay = s.start.coord(1)
+    val bx = s.end.coord(0); val by = s.end.coord(1)
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0.0) return math.hypot(px - ax, py - ay)
+    val t = math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+    math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+  }
+
+  def segmentToSegment(a: LineSegment, b: LineSegment): Double =
+    if (a.intersects(b)) 0.0
+    else Seq(
+      pointToSegment(a.start, b), pointToSegment(a.end, b),
+      pointToSegment(b.start, a), pointToSegment(b.end, a)).min
+
+  def segmentToMBR(s: LineSegment, b: MBR): Double = {
+    if (s.intersects(b)) return 0.0
+    val corners = Array(
+      Point(b.low.coord(0), b.low.coord(1)),
+      Point(b.high.coord(0), b.low.coord(1)),
+      Point(b.high.coord(0), b.high.coord(1)),
+      Point(b.low.coord(0), b.high.coord(1)))
+    var best = Double.MaxValue
+    var i = 0
+    while (i < 4) {
+      val edge = LineSegment(corners(i), corners((i + 1) % 4))
+      val d = segmentToSegment(s, edge)
+      if (d < best) best = d
+      i += 1
+    }
+    best
+  }
+
+  /** Sign of the cross product (b-a) × (c-a): >0 counter-clockwise,
+    * <0 clockwise, 0 collinear. */
+  def orientation(a: Point, b: Point, c: Point): Double = {
+    val v = (b.coord(0) - a.coord(0)) * (c.coord(1) - a.coord(1)) -
+            (b.coord(1) - a.coord(1)) * (c.coord(0) - a.coord(0))
+    if (v > 0) 1.0 else if (v < 0) -1.0 else 0.0
+  }
+
+  /** Whether collinear point p lies within segment [a, b]'s bounding box. */
+  def onSegment(a: Point, b: Point, p: Point): Boolean =
+    math.min(a.coord(0), b.coord(0)) <= p.coord(0) &&
+    p.coord(0) <= math.max(a.coord(0), b.coord(0)) &&
+    math.min(a.coord(1), b.coord(1)) <= p.coord(1) &&
+    p.coord(1) <= math.max(a.coord(1), b.coord(1))
+}

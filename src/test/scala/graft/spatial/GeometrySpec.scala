@@ -1,0 +1,172 @@
+package graft.spatial
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Geometry kernel tests — mirrors the reference's unit coverage
+  * (reference tests: spatial/PointSuite.scala, MBRSuite, CircleSuite,
+  * LineSegmentSuite, DistSuite, ZValueSuite) plus seeded property-style
+  * symmetry/triangle checks the reference lacks. */
+class GeometrySpec extends AnyFunSuite {
+
+  private def rng = new scala.util.Random(42)
+  private def randPoint(r: scala.util.Random): Point =
+    Point(r.nextDouble() * 2000 - 1000, r.nextDouble() * 2000 - 1000)
+  private def randMBR(r: scala.util.Random): MBR = {
+    val a = randPoint(r); val b = randPoint(r)
+    MBR(Point(math.min(a.coord(0), b.coord(0)), math.min(a.coord(1), b.coord(1))),
+        Point(math.max(a.coord(0), b.coord(0)), math.max(a.coord(1), b.coord(1))))
+  }
+
+  test("point-point distance basics") {
+    assert(Point(0, 0).minDist(Point(3, 4)) === 5.0)
+    assert(Point(1, 2, 3).minDist(Point(1, 2, 3)) === 0.0)
+    assert(Point(0, 0).intersects(Point(0, 0)))
+    assert(!Point(0, 0).intersects(Point(0, 1)))
+  }
+
+  test("point dominance, shift, equality") {
+    assert(Point(1, 2) <= Point(1, 3))
+    assert(!(Point(2, 2) <= Point(1, 3)))
+    assert(Point(1, 1).shift(2.5) === Point(3.5, 3.5))
+    assert(Point(1, 2) === Point(1, 2))
+    assert(Point(1, 2).hashCode === Point(1, 2).hashCode)
+  }
+
+  test("MBR contains / intersects, boundaries inclusive") {
+    val box = MBR(Point(0, 0), Point(10, 10))
+    assert(box.contains(Point(0, 0)))
+    assert(box.contains(Point(10, 10)))
+    assert(box.contains(Point(5, 5)))
+    assert(!box.contains(Point(10.0001, 5)))
+    assert(box.intersects(MBR(Point(10, 10), Point(20, 20)))) // corner touch
+    assert(!box.intersects(MBR(Point(10.1, 10.1), Point(20, 20))))
+  }
+
+  test("point-MBR minDist: zero inside, face distance outside") {
+    val box = MBR(Point(0, 0), Point(10, 10))
+    assert(box.minDist(Point(5, 5)) === 0.0)
+    assert(box.minDist(Point(13, 14)) === 5.0) // dx=3, dy=4
+    assert(box.minDist(Point(-3, 5)) === 3.0)
+  }
+
+  test("MBR maxDist reaches the far corner") {
+    val box = MBR(Point(0, 0), Point(10, 10))
+    assert(box.maxDist(Point(0, 0)) === math.sqrt(200))
+  }
+
+  test("circle intersects point/MBR/circle, boundary inclusive") {
+    val c = Circle(Point(0, 0), 5)
+    assert(c.intersects(Point(3, 4)))
+    assert(c.intersects(Point(5, 0)))
+    assert(!c.intersects(Point(5.0001, 0)))
+    assert(c.intersects(MBR(Point(3, 3), Point(9, 9)))) // corner at sqrt(18) < 5
+    assert(!c.intersects(MBR(Point(4, 4), Point(9, 9)))) // corner at sqrt(32) > 5
+    assert(c.intersects(Circle(Point(8, 0), 3)))
+    assert(!c.intersects(Circle(Point(8.01, 0), 3)))
+  }
+
+  test("MBR calcRatio selectivity") {
+    val box = MBR(Point(0, 0), Point(10, 10))
+    assert(box.calcRatio(MBR(Point(0, 0), Point(5, 10))) === 0.5)
+    assert(box.calcRatio(MBR(Point(20, 20), Point(30, 30))) === 0.0)
+    assert(box.calcRatio(MBR(Point(-5, -5), Point(15, 15))) === 1.0)
+  }
+
+  test("segment intersection: crossing, touching, parallel, collinear") {
+    val a = LineSegment(Point(0, 0), Point(10, 10))
+    assert(a.intersects(LineSegment(Point(0, 10), Point(10, 0))))
+    assert(a.intersects(LineSegment(Point(5, 5), Point(20, 5)))) // endpoint on a
+    assert(!a.intersects(LineSegment(Point(0, 1), Point(10, 11)))) // parallel
+    assert(a.intersects(LineSegment(Point(2, 2), Point(8, 8)))) // collinear overlap
+  }
+
+  test("point-segment distance") {
+    val s = LineSegment(Point(0, 0), Point(10, 0))
+    assert(Dist.pointToSegment(Point(5, 3), s) === 3.0)
+    assert(Dist.pointToSegment(Point(-3, 4), s) === 5.0) // beyond start
+    assert(Dist.pointToSegment(Point(5, 0), s) === 0.0)
+  }
+
+  test("segment-MBR intersection") {
+    val box = MBR(Point(0, 0), Point(10, 10))
+    assert(LineSegment(Point(-5, 5), Point(15, 5)).intersects(box)) // through
+    assert(LineSegment(Point(2, 2), Point(3, 3)).intersects(box))   // inside
+    assert(!LineSegment(Point(-5, -5), Point(-1, -1)).intersects(box))
+  }
+
+  test("z-value round trip (seeded sweep)") {
+    val r = rng
+    (1 to 500).foreach { _ =>
+      val x = r.nextInt(1 << 21); val y = r.nextInt(1 << 21)
+      val z = ZValue(x, y)
+      val Array(x2, y2) = ZValue.deinterleave(z, 2, 21)
+      assert(x2 === x && y2 === y)
+    }
+    val c3 = Array(7, 11, 13)
+    assert(ZValue.deinterleave(ZValue.interleave(c3, 20), 3, 20).toSeq === c3.toSeq)
+  }
+
+  test("z-value axis monotonicity") {
+    assert(ZValue(0, 0) < ZValue(1, 0))
+    assert(ZValue(0, 0) < ZValue(0, 1))
+    assert(ZValue(3, 5) < ZValue(3, 6))
+  }
+
+  test("quantize clamps and is monotone") {
+    assert(ZValue.quantize(-5.0, 0.0, 10.0, 8) === 0)
+    assert(ZValue.quantize(15.0, 0.0, 10.0, 8) === 255)
+    val r = rng
+    (1 to 200).foreach { _ =>
+      val a = r.nextDouble() * 10; val b = r.nextDouble() * 10
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      assert(ZValue.quantize(lo, 0.0, 10.0, 8) <= ZValue.quantize(hi, 0.0, 10.0, 8))
+    }
+  }
+
+  test("property: minDist symmetry across shape kinds") {
+    val r = rng
+    (1 to 300).foreach { _ =>
+      val a = randPoint(r); val b = randPoint(r); val m = randMBR(r)
+      assert(math.abs(a.minDist(b) - b.minDist(a)) < 1e-9)
+      assert(math.abs(a.minDist(m) - m.minDist(a)) < 1e-9)
+      val c = Circle(randPoint(r), r.nextDouble() * 100)
+      assert(math.abs(c.minDist(a) - a.minDist(c)) < 1e-9)
+    }
+  }
+
+  test("property: intersects symmetry for MBRs") {
+    val r = rng
+    (1 to 300).foreach { _ =>
+      val a = randMBR(r); val b = randMBR(r)
+      assert(a.intersects(b) === b.intersects(a))
+    }
+  }
+
+  test("property: triangle inequality for points") {
+    val r = rng
+    (1 to 300).foreach { _ =>
+      val a = randPoint(r); val b = randPoint(r); val c = randPoint(r)
+      assert(a.minDist(c) <= a.minDist(b) + b.minDist(c) + 1e-9)
+    }
+  }
+
+  test("property: MBR union contains both inputs' corners") {
+    val r = rng
+    (1 to 300).foreach { _ =>
+      val a = randMBR(r); val b = randMBR(r)
+      val u = a.union(b)
+      assert(u.contains(a.low) && u.contains(a.high))
+      assert(u.contains(b.low) && u.contains(b.high))
+    }
+  }
+
+  test("property: point-MBR minDist <= point-corner distance, maxDist >= corners") {
+    val r = rng
+    (1 to 300).foreach { _ =>
+      val p = randPoint(r); val m = randMBR(r)
+      assert(m.minDist(p) <= p.minDist(m.low) + 1e-9)
+      assert(m.maxDist(p) >= p.minDist(m.high) - 1e-9)
+      assert(Dist.furthest(p, m) === m.maxDist(p))
+    }
+  }
+}
