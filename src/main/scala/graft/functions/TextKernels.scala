@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row text kernels backing the dedup / text-analysis expressions.
+  * Called both from interpreted `eval` and from generated code.
+  *
+  * All hashes are splitmix64-style mixes — deterministic across JVMs and
+  * runs (no System.identityHashCode / currentTimeMillis anywhere; the
+  * reference seeds samplers with wall-clock time, flagged in SURVEY.md
+  * §7.2 as a rebuild fix).
+  */
+object TextKernels {
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Whitespace tokenizer (matches `\s+` split of trimmed text). */
+  def tokenize(s: String): Array[String] = {
+    val t = s.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  private def tokenHashes(s: String): Array[Long] = {
+    val toks = tokenize(s)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      var h = 0x9E3779B97F4A7C15L
+      val tok = toks(i)
+      var j = 0
+      while (j < tok.length) { h = mix64(h ^ tok.charAt(j).toLong); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Hashes of all n-token shingles (n-grams over the token stream). A
+    * document shorter than n tokens yields its single whole-text shingle. */
+  def shingleHashes(s: String, n: Int): Array[Long] = {
+    val th = tokenHashes(s)
+    if (th.isEmpty) return Array.empty
+    if (th.length < n) {
+      var h = 0x51_7C_C1_B7_27_22_0A_95L
+      var i = 0
+      while (i < th.length) { h = mix64(h ^ th(i)); i += 1 }
+      return Array(h)
+    }
+    val out = new Array[Long](th.length - n + 1)
+    var i = 0
+    while (i + n <= th.length) {
+      var h = 0x51_7C_C1_B7_27_22_0A_95L
+      var j = i
+      while (j < i + n) { h = mix64(h ^ th(j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature over n-token shingles: numHashes independent
+    * permutations simulated by per-slot remixing (standard one-pass
+    * minwise scheme). Empty text -> all Long.MaxValue. */
+  def minHashSig(s: String, shingle: Int, numHashes: Int, seed: Long): Array[Long] = {
+    val sh = shingleHashes(s, shingle)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var k = 0
+      while (k < numHashes) {
+        val v = mix64(sh(i) ^ (seed + k * 0xC2B2AE3D27D4EB4FL))
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over unigram token hashes: per-bit majority vote. */
+  def simHash64(s: String): Long = {
+    val th = tokenHashes(s)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /** Exact Jaccard similarity of the two documents' n-shingle SETS. */
+  def shingleJaccard(a: String, b: String, n: Int): Double = {
+    val sa = distinctSorted(shingleHashes(a, n))
+    val sb = distinctSorted(shingleHashes(b, n))
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + sb.length - inter).toDouble
+  }
+
+  private def distinctSorted(xs: Array[Long]): Array[Long] = {
+    if (xs.length <= 1) return xs
+    val c = xs.clone()
+    java.util.Arrays.sort(c)
+    var w = 1
+    var i = 1
+    while (i < c.length) {
+      if (c(i) != c(w - 1)) { c(w) = c(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(c, w)
+  }
+
+  /** 64-bit content fingerprint: polynomial rolling hash over the
+    * whitespace-normalized, lower-cased character stream. */
+  def fingerprint64(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    var pendingSpace = false // separator is emitted lazily so leading and
+    var started = false      // trailing whitespace never affect the hash
+    while (i < s.length) {
+      val c0 = s.charAt(i)
+      if (Character.isWhitespace(c0)) {
+        if (started) pendingSpace = true
+      } else {
+        if (pendingSpace) { h = (h ^ ' '.toLong) * 0x100000001B3L; pendingSpace = false }
+        h = (h ^ Character.toLowerCase(c0).toLong) * 0x100000001B3L
+        started = true
+      }
+      i += 1
+    }
+    h
+  }
+
+  // Minimal per-language function-word profiles for the id heuristic.
+  private val profiles: Array[(String, Array[String])] = Array(
+    "en" -> Array("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Array("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr" -> Array("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Array("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
+  private val profileSets: Array[(String, java.util.HashSet[String])] =
+    profiles.map { case (l, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      (l, s)
+    }
+
+  /** Heuristic language id: CJK codepoint share first, else the
+    * function-word profile with the most token hits ('und' => unknown
+    * ties resolve to profile order, 'en' first). */
+  def langId(s: String): String = {
+    var cjk = 0
+    var letters = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val block = Character.UnicodeScript.of(c)
+        if (block == Character.UnicodeScript.HAN ||
+            block == Character.UnicodeScript.HIRAGANA ||
+            block == Character.UnicodeScript.KATAKANA ||
+            block == Character.UnicodeScript.HANGUL) cjk += 1
+      }
+      i += 1
+    }
+    if (letters > 0 && cjk * 2 > letters) return "zh"
+    val toks = tokenize(s.toLowerCase)
+    var best = "und"
+    var bestHits = 0
+    var p = 0
+    while (p < profileSets.length) {
+      val (lang, set) = profileSets(p)
+      var hits = 0
+      var t = 0
+      while (t < toks.length) { if (set.contains(toks(t))) hits += 1; t += 1 }
+      if (hits > bestHits) { best = lang; bestHits = hits }
+      p += 1
+    }
+    best
+  }
+
+  // UTF8String entry points used by generated code.
+  def shingleJaccardU(a: UTF8String, b: UTF8String, n: Int): Double =
+    shingleJaccard(a.toString, b.toString, n)
+  def simHash64U(s: UTF8String): Long = simHash64(s.toString)
+  def fingerprint64U(s: UTF8String): Long = fingerprint64(s.toString)
+  def langIdU(s: UTF8String): UTF8String = UTF8String.fromString(langId(s.toString))
+  def minHashSigU(s: UTF8String, shingle: Int, numHashes: Int, seed: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      minHashSig(s.toString, shingle, numHashes, seed))
+}

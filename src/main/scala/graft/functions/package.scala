@@ -61,6 +61,48 @@ package object functions {
   def hyperplaneSketch(v: Column, planes: Int = 16, seed: Long = 42L): Column =
     toCol(HyperplaneSketch(toExpr(v), planes, seed))
 
+  // ---- text surface (native expressions, codegen'd) ----
+
+  def minhashSignature(text: Column, shingle: Int = 3, numHashes: Int = 64,
+                       seed: Long = 42L): Column =
+    toCol(MinHashSignature(toExpr(text), shingle, numHashes, seed))
+
+  def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
+
+  def shingleJaccard(a: Column, b: Column, n: Int = 3): Column =
+    toCol(ShingleJaccard(toExpr(a), toExpr(b), n))
+
+  def fingerprint64(text: Column): Column = toCol(Fingerprint64(toExpr(text)))
+
+  def langId(text: Column): Column = toCol(LangId(toExpr(text)))
+
+  /** Whitespace tokens of trimmed text (matches TextKernels.tokenize and
+    * DuckDB's regexp_split_to_array(trim(x), '\s+')). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Stopword list shared by the quality-score surface and its oracle. */
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column = {
+    val tk = tokens(text)
+    size(filter(tk, t => t.isin(stop: _*))).cast("double") / size(tk)
+  }
+
+  def distinctTokenRatio(text: Column): Column = {
+    val tk = tokens(text)
+    size(array_distinct(tk)).cast("double") / size(tk)
+  }
+
+  /** Composite quality score in [0,1]: length saturation, lexical
+    * diversity, non-stopword share. Pure double arithmetic in a fixed
+    * shape so engines agree bit-for-bit. */
+  def qualityScore(text: Column, stop: Seq[String] = defaultStopwords): Column =
+    lit(0.3) * least(lit(1.0), tokenCount(text).cast("double") / lit(100.0)) +
+      lit(0.4) * distinctTokenRatio(text) +
+      lit(0.3) * (lit(1.0) - stopwordRatio(text, stop))
+
   // ---- z-order (native expression over quantized cells) ----
 
   /** Morton code of pre-quantized non-negative int cell ordinates. */

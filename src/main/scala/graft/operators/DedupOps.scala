@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions._
+
+/** Deduplication operators for large-scale corpus curation — the
+  * LLM-data-pipeline extension surface (BASELINE.json north star), built
+  * on the same blocking-join machinery as the spatial operators: every
+  * near-dup algorithm is "deterministic blocking key -> equi-join ->
+  * exact verify", so the only shuffles are hash-partitioned equi-joins
+  * that AQE can re-plan, and nothing ever materializes the full pair
+  * space.
+  *
+  * Scale notes (100 TB):
+  *  - exactDedup is one hash shuffle on a 64-bit digest, not on the text.
+  *  - minHash/simHash pairs shuffle (id, signature) tuples; candidate
+  *    sets are banded, verified exactly, then deduped — the classic
+  *    MinHash-LSH layout.
+  *  - Skewed buckets (boilerplate docs) are the known hazard; AQE skew
+  *    join handles moderate skew, and bucket-size capping can be layered
+  *    on later rounds.
+  */
+object DedupOps {
+
+  implicit class DatasetDedupOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** Exact dedup: keep, per distinct value of `textCol`, the row with
+      * the smallest `idCol`. Grouping key is xxhash64(text) + text
+      * equality, so the shuffle key is 8 bytes regardless of doc size. */
+    def exactDedup(textCol: String, idCol: String): DataFrame = {
+      val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+        .orderBy(col(idCol).asc)
+      ds.toDF
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1)
+        .drop("__graft_rn")
+    }
+
+    /** MinHash-LSH near-dup candidate pairs, exactly verified.
+      *
+      * tokens -> n-shingles -> `numHashes`-slot minhash signature ->
+      * `bands` bands of rows hashed to bucket keys -> equi-join on
+      * (band, bucket) -> distinct (id1 < id2) pairs -> exact shingle
+      * Jaccard filter at `threshold`.
+      *
+      * Returns (id1, id2, jaccard). Approximate in recall (standard LSH
+      * guarantee), exact in precision (false candidates are filtered by
+      * the verify step).
+      */
+    def minHashPairs(idCol: String, textCol: String, shingle: Int = 3,
+                     numHashes: Int = 64, bands: Int = 16,
+                     threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      require(numHashes % bands == 0, "bands must divide numHashes")
+      val rows = numHashes / bands
+      val doc = ds.toDF.select(col(idCol), col(textCol))
+        .withColumn("__sig", minhashSignature(col(textCol), shingle, numHashes, seed))
+      // band b's bucket key = hash of its signature slice (statically
+      // unrolled: band count is a plan-time constant)
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("__sig"), b * rows + 1, rows)).as("bucket"))
+      }
+      val banded = doc
+        .select(col(idCol), col(textCol), explode(array(bandStructs: _*)).as("__b"))
+        .select(col(idCol), col(textCol),
+          col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
+
+      val l = banded.select(col(idCol).as("id1"), col(textCol).as("__t1"),
+        col("__band"), col("__bucket"))
+      val r = banded.select(col(idCol).as("id2"), col(textCol).as("__t2"),
+        col("__band"), col("__bucket"))
+      l.join(r, Seq("__band", "__bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("__t1"), col("__t2"))
+        .distinct()
+        .withColumn("jaccard", shingleJaccard(col("__t1"), col("__t2"), shingle))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    }
+
+    /** SimHash near-dup pairs: 64-bit signature, banded into `blocks`
+      * exact-match blocks (a pair within `maxHamming` bit flips must agree
+      * on at least one block when maxHamming < blocks), verified by exact
+      * Hamming distance. Returns (id1, id2, hamming). */
+    def simHashPairs(idCol: String, textCol: String, blocks: Int = 4,
+                     maxHamming: Int = 3): DataFrame = {
+      require(64 % blocks == 0, "blocks must divide 64")
+      require(maxHamming < blocks,
+        "pigeonhole: need maxHamming < blocks for full candidate recall")
+      val width = 64 / blocks
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      val doc = ds.toDF.select(col(idCol), simhash64(col(textCol)).as("__sim"))
+      val blockStructs = (0 until blocks).map { b =>
+        struct(lit(b).as("blk"),
+          shiftrightunsigned(col("__sim"), b * width).bitwiseAND(lit(mask)).as("key"))
+      }
+      val banded = doc
+        .select(col(idCol), col("__sim"), explode(array(blockStructs: _*)).as("__b"))
+        .select(col(idCol), col("__sim"),
+          col("__b.blk").as("__blk"), col("__b.key").as("__key"))
+      val l = banded.select(col(idCol).as("id1"), col("__sim").as("__s1"),
+        col("__blk"), col("__key"))
+      val r = banded.select(col(idCol).as("id2"), col("__sim").as("__s2"),
+        col("__blk"), col("__key"))
+      l.join(r, Seq("__blk", "__key"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("__s1"), col("__s2"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("__s1").bitwiseXOR(col("__s2"))).cast("int"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id1"), col("id2"), col("hamming"))
+    }
+
+    /** Blocked exact n-gram Jaccard pairs: candidate pairs share the
+      * blocking columns (e.g. language + length bucket); each candidate is
+      * scored with exact shingle Jaccard. Deterministic and exhaustive
+      * within blocks — the non-probabilistic cousin of minHashPairs. */
+    def ngramJaccardPairs(idCol: String, textCol: String, blockBy: Seq[Column],
+                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      val withBlock = ds.toDF.withColumn("__block", xxhash64(blockBy: _*))
+        .select(col(idCol), col(textCol), col("__block"))
+      val l = withBlock.select(col(idCol).as("id1"), col(textCol).as("__t1"), col("__block"))
+      val r = withBlock.select(col(idCol).as("id2"), col(textCol).as("__t2"), col("__block"))
+      l.join(r, Seq("__block"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("jaccard", shingleJaccard(col("__t1"), col("__t2"), n))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    }
+  }
+}

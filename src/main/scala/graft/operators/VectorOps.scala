@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — the
+  * n-dimensional analogue of the spatial kNN surface, sharing its
+  * top-k / blocking-join shapes.
+  *
+  * Brute-force top-k plans as TakeOrderedAndProject (per-partition heap,
+  * k-row driver merge); the LSH variants block with the random-hyperplane
+  * sketch expression and verify candidates exactly, so precision is exact
+  * and only recall is probabilistic.
+  */
+object VectorOps {
+
+  implicit class DatasetVectorOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** Exact top-k by cosine similarity against one query vector.
+      * Scans everything once; no shuffle beyond the top-k merge. */
+    def cosineTopK(vecCol: String, idCol: String, query: Array[Float],
+                   k: Int): DataFrame =
+      ds.toDF
+        .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
+        .orderBy(col("cos").desc, col(idCol).asc)
+        .limit(k)
+
+    /** Approximate top-k: candidates must share >= 1 sketch band with the
+      * query (`bandBits`-bit blocks of the hyperplane sketch), then exact
+      * cosine ranks them. `planes`/`bandBits` trade recall for scan cost:
+      * at scale the band match is an equi-filter a bucketed layout can
+      * serve without a full scan. */
+    def cosineTopKLsh(vecCol: String, idCol: String, query: Array[Float],
+                      k: Int, planes: Int = 16, bandBits: Int = 4,
+                      seed: Long = 42L): DataFrame = {
+      require(planes % bandBits == 0)
+      val bands = planes / bandBits
+      val mask = (1L << bandBits) - 1
+      val qSketch = graft.functions.VectorKernels.hyperplaneSketch(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(query), planes, seed)
+      val sk = hyperplaneSketch(col(vecCol), planes, seed)
+      val bandMatch = (0 until bands).map { b =>
+        shiftright(sk, b * bandBits).bitwiseAND(lit(mask)) ===
+          lit((qSketch >>> (b * bandBits)) & mask)
+      }.reduce(_ || _)
+      ds.toDF
+        .filter(bandMatch)
+        .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
+        .orderBy(col("cos").desc, col(idCol).asc)
+        .limit(k)
+    }
+
+    /** Exact all-pairs similarity join (cosine >= threshold) against
+      * `right`. Cross product + codegen'd kernel filter; correct at any
+      * threshold, quadratic by nature — the oracle/baseline path. Spark
+      * broadcasts the smaller side (BroadcastNestedLoopJoin). */
+    def similarityJoinExact(right: Dataset[_], lVec: String, rVec: String,
+                            lId: String, rId: String,
+                            threshold: Double): DataFrame = {
+      val l = ds.toDF.select(col(lId), col(lVec))
+      val r = right.toDF.select(col(rId).as("__rid"), col(rVec).as("__rvec"))
+      l.crossJoin(r)
+        .withColumn("cos", cosineSimilarity(col(lVec), col("__rvec")))
+        .filter(col("cos") >= threshold)
+        .select(col(lId), col("__rid").as(rId), col("cos"))
+    }
+
+    /** LSH-blocked near-duplicate pairs within this dataset:
+      * sketch-band equi-join -> exact cosine verify at `threshold`.
+      * Linear-ish in data size for high thresholds (near-dup regime). */
+    def embeddingNearDupPairs(vecCol: String, idCol: String,
+                              threshold: Double = 0.9, planes: Int = 16,
+                              bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+      require(planes % bandBits == 0)
+      val bands = planes / bandBits
+      val mask = (1L << bandBits) - 1
+      val doc = ds.toDF.select(col(idCol), col(vecCol))
+        .withColumn("__sk", hyperplaneSketch(col(vecCol), planes, seed))
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("__sk"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+      }
+      val banded = doc
+        .select(col(idCol), col(vecCol), explode(array(bandStructs: _*)).as("__b"))
+        .select(col(idCol), col(vecCol),
+          col("__b.band").as("__band"), col("__b.key").as("__key"))
+      val l = banded.select(col(idCol).as("id1"), col(vecCol).as("__v1"),
+        col("__band"), col("__key"))
+      val r = banded.select(col(idCol).as("id2"), col(vecCol).as("__v2"),
+        col("__band"), col("__key"))
+      l.join(r, Seq("__band", "__key"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("__v1"), col("__v2"))
+        .distinct()
+        .withColumn("cos", cosineSimilarity(col("__v1"), col("__v2")))
+        .filter(col("cos") >= threshold)
+        .select(col("id1"), col("id2"), col("cos"))
+    }
+  }
+}

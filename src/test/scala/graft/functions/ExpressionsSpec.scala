@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.spatial.ZValue
+
+/** Codegen-path checks: every native expression evaluated through a
+  * DataFrame (whole-stage codegen) must equal its kernel called directly
+  * (interpreted path). */
+class ExpressionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val vecs: Seq[(Long, Array[Float], Array[Float])] = Seq(
+    (1L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+    (2L, Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+    (3L, Array(0.5f, -1f, 2f), Array(-0.5f, 1f, -2f)),
+    (4L, Array(0f, 0f, 0f), Array(1f, 1f, 1f)))
+
+  test("cosine/dot/l2 through codegen match direct kernel math") {
+    val df = vecs.toDF("id", "a", "b")
+      .select($"id", cosineSimilarity($"a", $"b").as("cos"),
+        dotProduct($"a", $"b").as("dot"), l2Distance($"a", $"b").as("l2"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(rows(0)._2 === 0.0 && rows(0)._3 === 0.0)
+    assert(math.abs(rows(1)._2 - 1.0) < 1e-15 && rows(1)._3 === 14.0 && rows(1)._4 === 0.0)
+    assert(math.abs(rows(2)._2 + 1.0) < 1e-15)
+    assert(rows(3)._2 === 0.0) // zero norm -> 0 by convention
+  }
+
+  test("null inputs propagate as null") {
+    val df = Seq((1L, Some(Array(1f, 2f)), None: Option[Array[Float]]))
+      .toDF("id", "a", "b")
+      .select(cosineSimilarity($"a", $"b").as("cos"))
+    assert(df.collect().head.isNullAt(0))
+  }
+
+  test("zorder expression equals ZValue.interleave") {
+    val df = Seq((3, 5), (0, 0), (1023, 511)).toDF("x", "y")
+      .select(zorderCells(Seq($"x", $"y"), bits = 10).as("z"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val want = Seq((3, 5), (0, 0), (1023, 511))
+      .map { case (x, y) => ZValue.interleave(Array(x, y), 10) }
+    assert(got === want)
+  }
+
+  test("text expressions through codegen match kernels") {
+    val texts = Seq("alpha beta gamma delta", "the quick brown fox", "")
+    val df = texts.toDF("t").select(
+      simhash64($"t").as("sh"),
+      fingerprint64($"t").as("fp"),
+      langId($"t").as("lang"),
+      minhashSignature($"t", 3, 16, 7L).as("sig"))
+    val rows = df.collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(rows(i).getLong(0) === TextKernels.simHash64(t))
+      assert(rows(i).getLong(1) === TextKernels.fingerprint64(t))
+      assert(rows(i).getString(2) === TextKernels.langId(t))
+      assert(rows(i).getSeq[Long](3).toSeq === TextKernels.minHashSig(t, 3, 16, 7L).toSeq)
+    }
+  }
+
+  test("hyperplane sketch: deterministic, similar vectors share more bits") {
+    val a = Array.fill(32)(1.0f)
+    val b = a.clone(); b(0) = 0.9f // nearly identical
+    val c = Array.fill(32)(-1.0f)  // opposite
+    val df = Seq(("a", a), ("b", b), ("c", c)).toDF("k", "v")
+      .select($"k", hyperplaneSketch($"v", 64, 42L).as("sk"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(m("a") ^ m("b")) <
+           java.lang.Long.bitCount(m("a") ^ m("c")))
+    assert(m("a") === VectorKernels.hyperplaneSketch(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(a), 64, 42L))
+  }
+
+  test("quality score components stay in [0,1]") {
+    val df = Seq("the the the the", "alpha beta gamma delta epsilon").toDF("t")
+      .select(qualityScore($"t").as("q"), stopwordRatio($"t").as("s"),
+        distinctTokenRatio($"t").as("d"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.functions.TextKernels
+import graft.operators.DedupOps._
+
+class DedupOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf())
+
+  test("exactDedup keeps exactly one row per distinct text, min id") {
+    val df = Seq(
+      (10L, "alpha beta"), (3L, "alpha beta"), (7L, "gamma"),
+      (1L, "delta"), (2L, "delta"), (5L, "delta")
+    ).toDF("doc_id", "text")
+    val out = df.exactDedup("text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((3L, "alpha beta"), (7L, "gamma"), (1L, "delta")))
+  }
+
+  test("minHashPairs: exact precision, full recall on planted near-dups") {
+    val got = docs.minHashPairs("doc_id", "text", shingle = 3,
+      numHashes = 64, bands = 16, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision is exact by construction: re-check each returned pair
+    val textOf = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (a, b, j) =>
+      val exact = TextKernels.shingleJaccard(textOf(a), textOf(b), 3)
+      assert(j === exact && j >= 0.8, s"pair ($a,$b)")
+    }
+    // recall vs brute force (tiny corpus, all-pairs is cheap in-test)
+    val ids = textOf.keys.toSeq.sorted
+    val brute = for {
+      i <- ids.indices; jdx <- (i + 1) until ids.length
+      if TextKernels.shingleJaccard(textOf(ids(i)), textOf(ids(jdx)), 3) >= 0.8
+    } yield (ids(i), ids(jdx))
+    assert(got.map(t => (t._1, t._2)).toSet === brute.toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("simHashPairs: pigeonhole blocking gives full recall within maxHamming") {
+    val got = docs.simHashPairs("doc_id", "text", blocks = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sims = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> TextKernels.simHash64(r.getString(1)))
+    val brute = (for {
+      i <- sims.indices; j <- (i + 1) until sims.length
+      h = java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2)
+      if h <= 3
+    } yield {
+      val (a, b) = if (sims(i)._1 < sims(j)._1) (sims(i)._1, sims(j)._1)
+                   else (sims(j)._1, sims(i)._1)
+      (a, b, h)
+    }).toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
+  test("ngramJaccardPairs: exhaustive within blocks, exact scores") {
+    val got = docs.ngramJaccardPairs("doc_id", "text",
+      blockBy = Seq(col("lang")), n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byLang = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._2)
+    val brute = byLang.values.flatMap { rows =>
+      val sorted = rows.sortBy(_._1)
+      for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        if TextKernels.shingleJaccard(sorted(i)._3, sorted(j)._3, 3) >= 0.8
+      } yield (sorted(i)._1, sorted(j)._1)
+    }.toSet
+    assert(got === brute)
+  }
+
+  test("dedup rate: minhash collapses the planted near-dup clusters") {
+    val pairs = docs.minHashPairs("doc_id", "text", threshold = 0.8)
+    val survivors = docs.join(pairs.select(col("id2").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val n = docs.count()
+    val kept = survivors.count()
+    assert(kept < n, "near-dup removal must drop documents")
+    assert(kept >= n - pairs.count(), "can only drop flagged docs")
+  }
+}

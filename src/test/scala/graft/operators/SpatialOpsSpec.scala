@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.operators.SpatialOps._
+
+/** Oracle equivalence for every spatial verb: each optimized plan must
+  * return exactly the rows of its brute-force counterpart (the oracle
+  * discipline from SURVEY.md §5). */
+class SpatialOpsSpec extends SparkSpec {
+
+  private lazy val cust = Tables.customerPts(spark, sf())
+  private lazy val supp = Tables.supplierPts(spark, sf())
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("c_custkey"), col("s_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("boxRange equals conjunctive filter oracle") {
+    val got = cust.boxRange(Seq("cx", "cy"), Seq(0.0, 100.0), Seq(5000.0, 600.0))
+    val want = cust.filter(col("cx") >= 0 && col("cx") <= 5000 &&
+      col("cy") >= 100 && col("cy") <= 600)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("circleRange equals distance filter oracle") {
+    val got = cust.circleRange(Seq("cx", "cy"), Seq(5000.0, 500.0), 800.0)
+    val d = sqrt(pow(col("cx") - 5000, 2) + pow(col("cy") - 500, 2))
+    val want = cust.filter(d <= 800.0)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("knn equals sort+limit oracle, deterministic under ties") {
+    val got = cust.knn(Seq("cx", "cy"), Seq(5000.0, 500.0), 7, Seq("c_custkey"))
+    val d = sqrt(pow(col("cx") - 5000, 2) + pow(col("cy") - 500, 2))
+    val want = cust.orderBy(d.asc, col("c_custkey").asc).limit(7)
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq ===
+      want.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("grid distanceJoin equals naive theta-join at several radii") {
+    Seq(50.0, 100.0, 400.0).foreach { r =>
+      val fast = pairSet(cust.distanceJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"), r))
+      val slow = pairSet(cust.distanceJoinNaive(supp, Seq("cx", "cy"), Seq("sx", "sy"), r))
+      assert(fast === slow, s"radius $r")
+    }
+  }
+
+  test("grid distanceJoin emits each qualifying pair exactly once") {
+    val out = cust.distanceJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"), 100.0)
+    assert(out.count() === out.distinct().count())
+  }
+
+  test("knnJoin equals windowed oracle (exactness incl. fallback)") {
+    val fast = pairSet(cust.knnJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey")))
+    val slow = pairSet(cust.knnJoinNaive(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey")))
+    assert(fast === slow)
+    // every left row gets exactly k matches (right side has >= k rows)
+    assert(fast.groupBy(_._1).forall(_._2.size == 3))
+  }
+
+  test("knnJoin exact even when sampling radius is forced tiny") {
+    // a degenerate theta estimate must not lose correctness — the
+    // starved-row fallback re-runs those rows exactly
+    val fast = pairSet(cust.limit(40).knnJoin(supp,
+      Seq("cx", "cy"), Seq("sx", "sy"), k = 2, leftId = "c_custkey",
+      tieBreak = Seq("s_suppkey"), sampleCap = 5, quantile = 0.0, safety = 1e-6))
+    val slow = pairSet(cust.limit(40).knnJoinNaive(supp,
+      Seq("cx", "cy"), Seq("sx", "sy"), k = 2, leftId = "c_custkey",
+      tieBreak = Seq("s_suppkey")))
+    assert(fast === slow)
+  }
+
+  test("n-dimensional: 3-D distance join via grid equals naive") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => (i.toLong, i * 1.0, (i % 7) * 2.0, (i % 5) * 3.0))
+      .toDF("aid", "ax", "ay", "az")
+    val b = (1 to 40).map(i => (i.toLong, i * 1.5, (i % 6) * 2.0, (i % 4) * 3.0))
+      .toDF("bid", "bx", "by", "bz")
+    val fast = a.distanceJoin(b, Seq("ax", "ay", "az"), Seq("bx", "by", "bz"), 5.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slow = a.distanceJoinNaive(b, Seq("ax", "ay", "az"), Seq("bx", "by", "bz"), 5.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === slow && fast.nonEmpty)
+  }
+}

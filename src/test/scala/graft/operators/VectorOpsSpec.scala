@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.operators.VectorOps._
+
+class VectorOpsSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf())
+
+  private def cosScala(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0) 0.0 else dot / den
+  }
+
+  private lazy val all: Array[(Long, Array[Float])] =
+    emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  test("cosineTopK matches scala brute force bit-for-bit") {
+    val q = all.find(_._1 == 1L).get._2
+    val got = emb.cosineTopK("embedding", "vec_id", q, 5)
+      .select("vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = all.map { case (id, v) => (id, cosScala(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("similarityJoinExact returns exactly the above-threshold pairs") {
+    val right = emb.select(col("vec_id").as("vec_id2"),
+      col("embedding").as("embedding2"))
+    val got = emb.similarityJoinExact(right, "embedding", "embedding2",
+      "vec_id", "vec_id2", 0.3)
+      .filter(col("vec_id") < col("vec_id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      if cosScala(all(i)._2, all(j)._2) >= 0.3
+    } yield (math.min(all(i)._1, all(j)._1), math.max(all(i)._1, all(j)._1))).toSet
+    assert(got === want)
+  }
+
+  test("embeddingNearDupPairs: exact precision, candidates subset of exact join") {
+    val got = emb.embeddingNearDupPairs("embedding", "vec_id",
+      threshold = 0.25, planes = 16, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = all.toMap
+    got.foreach { case (a, b, c) =>
+      assert(c === cosScala(byId(a), byId(b)))
+      assert(c >= 0.25 && a < b)
+    }
+  }
+
+  test("cosineTopKLsh returns a subset of the scan ranked identically") {
+    val q = all.find(_._1 == 0L).get._2
+    val got = emb.cosineTopKLsh("embedding", "vec_id", q, 5)
+      .select("vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    // scores must be exact and sorted desc
+    got.foreach { case (id, c) => assert(c === cosScala(byIdOf(id), q)) }
+    assert(got.map(-_._2).toSeq === got.map(-_._2).sorted.toSeq)
+    // the query vector itself always shares all bands with itself
+    assert(got.head._1 === 0L && got.head._2 === 1.0)
+  }
+
+  private def byIdOf(id: Long): Array[Float] = all.find(_._1 == id).get._2
+}
