@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.Spatial.queries ++
-    graft.queries.Pipeline.queries
+    graft.queries.Pipeline.queries ++
+    graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
     graft.queries.Spatial.oracles ++
-    graft.queries.Pipeline.oracles
+    graft.queries.Pipeline.oracles ++
+    graft.queries.Advanced.oracles
 }

@@ -1,0 +1,238 @@
+package graft.index
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{inBox, inCircle, pointDistance, zorder}
+import graft.spatial.{MBR, Point, ZValue}
+
+/** Two-level index subsystem, Spark-native rebuild of the reference's
+  * IndexManager + IndexedRelation scheme (reference: IndexManager.scala:41-319,
+  * index/RTreeIndexedRelation.scala:30-98, index/IndexedRelationScan.scala:16-252).
+  *
+  * The reference holds a driver-side global structure (partition MBRs)
+  * over persisted per-partition local indexes. Here the same two levels
+  * map onto Spark primitives:
+  *
+  *  - **global level** = per-partition statistics (MBR + z-range + count)
+  *    collected with one distributed aggregation — the analogue of
+  *    `global_rtree` over partition MBRs, used for driver-side pruning
+  *    decisions and kNN radius estimation.
+  *  - **local level** = the data itself, range-partitioned and sorted by
+  *    a Morton (z-order) key and cached MEMORY_AND_DISK. Sorted+cached
+  *    columnar batches give min/max batch pruning on the z key (the
+  *    in-memory analogue of the local R-tree probe), and a persisted
+  *    index is parquet whose row-group stats serve the same role on disk
+  *    (`PushedFilters` on the z key).
+  *
+  * Queries rewrite to `z BETWEEN zlo AND zhi AND <exact predicate>`:
+  * correct because the Morton code is monotone per dimension, so a box's
+  * z-interval is [z(low), z(high)] (loose covering, exact filter re-applied
+  * — the same widen-then-refilter the reference does for `<`/`<=` probes,
+  * SimbaSessionState.scala:86-93,147-150).
+  */
+object IndexManager {
+
+  sealed trait IndexKind
+  /** n-D spatial clustering (reference RTreeType equivalent). */
+  case object ZOrderKind extends IndexKind
+  /** 1-D range clustering (reference TreeMapType/TreapType equivalent). */
+  case object RangeKind extends IndexKind
+  /** hash bucketing (reference HashMapType equivalent). */
+  case object HashKind extends IndexKind
+
+  /** Global-level entry: everything the driver knows about partition p. */
+  final case class PartitionStat(mbr: MBR, count: Long, zMin: Long, zMax: Long)
+
+  final val ZCol = "__graft_zidx"
+
+  private val registry = TrieMap[(String, String), IndexedTable]()
+
+  /** Build (or return) a spatial z-order index over `keyCols`. */
+  def indexTable(spark: SparkSession, df: DataFrame, name: String,
+                 keyCols: Seq[String], numPartitions: Int = 32,
+                 bits: Int = 15): IndexedTable =
+    registry.getOrElseUpdate((System.identityHashCode(spark).toString, name), {
+      build(spark, df, name, keyCols, numPartitions, bits)
+    })
+
+  def hasIndex(spark: SparkSession, name: String): Boolean =
+    registry.contains((System.identityHashCode(spark).toString, name))
+
+  def dropIndex(spark: SparkSession, name: String): Unit =
+    registry.remove((System.identityHashCode(spark).toString, name)).foreach(_.data.unpersist())
+
+  def clearIndex(spark: SparkSession): Unit = {
+    registry.keys.filter(_._1 == System.identityHashCode(spark).toString)
+      .foreach(k => registry.remove(k).foreach(_.data.unpersist()))
+  }
+
+  /** All index names registered for this session. */
+  def showIndexes(spark: SparkSession): Seq[String] =
+    registry.keys.filter(_._1 == System.identityHashCode(spark).toString).map(_._2).toSeq.sorted
+
+  private def build(spark: SparkSession, df: DataFrame, name: String,
+                    keyCols: Seq[String], numPartitions: Int, bits: Int): IndexedTable = {
+    require(keyCols.nonEmpty && keyCols.length * bits <= 62)
+    // pass 1: exact global bounds (tiny distributed agg; the reference
+    // samples + collects instead, STRPartitioner.scala:88-97)
+    val aggs = keyCols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    val lows = keyCols.indices.map(i => b.getDouble(2 * i)).toArray
+    val highs = keyCols.indices.map(i => b.getDouble(2 * i + 1)).toArray
+
+    // cluster: range-partition + sort by the Morton key, cache
+    val z = zorder(keyCols.map(col), lows.toSeq, highs.toSeq, bits)
+    val clustered = df.withColumn(ZCol, z)
+      .repartitionByRange(numPartitions, col(ZCol))
+      .sortWithinPartitions(ZCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // pass 2: global level — per-partition stats (numPartitions rows to driver)
+    val statAggs = keyCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))) ++
+      Seq(count(lit(1)), min(col(ZCol)), max(col(ZCol)))
+    val statRows = clustered.groupBy(spark_partition_id().as("__pid"))
+      .agg(statAggs.head, statAggs.tail: _*)
+      .collect()
+    val stats = statRows.map { r =>
+      val lo = keyCols.indices.map(i => r.getDouble(1 + 2 * i)).toArray
+      val hi = keyCols.indices.map(i => r.getDouble(2 + 2 * i)).toArray
+      val base = 1 + 2 * keyCols.length
+      r.getInt(0) -> PartitionStat(MBR(Point(lo), Point(hi)),
+        r.getLong(base), r.getLong(base + 1), r.getLong(base + 2))
+    }.toMap
+
+    new IndexedTable(name, clustered, keyCols, lows, highs, bits, stats)
+  }
+
+  /** Persist an index as sorted parquet + JSON metadata; `load` restores
+    * it with pruning served by parquet row-group stats on the z key
+    * (the reference serializes raw RDDs via saveAsObjectFile instead,
+    * IndexManager.scala:122-176). */
+  def persistIndex(idx: IndexedTable, path: String): Unit = {
+    idx.data.write.mode("overwrite").parquet(s"$path/data")
+    val meta = ujsonish(idx)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/meta.json"), meta)
+  }
+
+  def loadIndex(spark: SparkSession, name: String, path: String): IndexedTable = {
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json"))
+    val (keyCols, lows, highs, bits) = parseMeta(meta)
+    val data = spark.read.parquet(s"$path/data")
+    // disk path: no cached stats; partition pruning comes from parquet
+    // row-group min/max on ZCol via pushed filters
+    val idx = new IndexedTable(name, data, keyCols, lows, highs, bits, Map.empty)
+    registry.putIfAbsent((System.identityHashCode(spark).toString, name), idx)
+    idx
+  }
+
+  // minimal hand-rolled JSON (no extra deps)
+  private def ujsonish(idx: IndexedTable): String = {
+    val cols = idx.keyCols.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val lo = idx.lows.mkString("[", ",", "]")
+    val hi = idx.highs.mkString("[", ",", "]")
+    s"""{"keyCols": $cols, "lows": $lo, "highs": $hi, "bits": ${idx.bits}}"""
+  }
+
+  private def parseMeta(s: String): (Seq[String], Array[Double], Array[Double], Int) = {
+    def arr(key: String): Array[String] = {
+      val m = (s"""\"$key\":\\s*\\[(.*?)\\]""").r.findFirstMatchIn(s).get.group(1)
+      if (m.trim.isEmpty) Array.empty else m.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    val bits = """"bits":\s*(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+    (arr("keyCols").toSeq, arr("lows").map(_.toDouble), arr("highs").map(_.toDouble), bits)
+  }
+}
+
+/** A built index: clustered+cached data plus the driver-held global level. */
+final class IndexedTable(
+    val name: String,
+    private[index] val data: DataFrame,
+    val keyCols: Seq[String],
+    val lows: Array[Double],
+    val highs: Array[Double],
+    val bits: Int,
+    val stats: Map[Int, IndexManager.PartitionStat]) extends Serializable {
+
+  import IndexManager.ZCol
+
+  private def zOf(p: Array[Double]): Long =
+    ZValue.interleave(
+      p.indices.map(i => ZValue.quantize(p(i), lows(i), highs(i), bits)).toArray, bits)
+
+  /** Covering z-interval of a box — monotonicity of the Morton code per
+    * dimension puts the box's min/max z at its low/high corners. */
+  private def zRange(lo: Array[Double], hi: Array[Double]): (Long, Long) =
+    (zOf(lo), zOf(hi))
+
+  private def output: Seq[Column] =
+    data.columns.filterNot(_ == ZCol).map(col).toSeq
+
+  /** Indexed box range: z-interval pre-filter (batch/row-group pruning)
+    * + exact predicate (the widen-then-refilter discipline). */
+  def boxRange(lo: Array[Double], hi: Array[Double]): DataFrame = {
+    val (zlo, zhi) = zRange(lo, hi)
+    data.filter(col(ZCol) >= zlo && col(ZCol) <= zhi)
+      .filter(inBox(keyCols.map(col), lo.toSeq, hi.toSeq))
+      .select(output: _*)
+  }
+
+  def circleRange(center: Array[Double], r: Double): DataFrame = {
+    val (zlo, zhi) = zRange(center.map(_ - r), center.map(_ + r))
+    data.filter(col(ZCol) >= zlo && col(ZCol) <= zhi)
+      .filter(inCircle(keyCols.map(col), center.toSeq, r))
+      .select(output: _*)
+  }
+
+  /** Indexed kNN: estimate a starting radius from the global level
+    * (density of partitions nearest to the query — the role of the
+    * reference's global-index kNN phase, IndexedRelationScan.scala:122-146),
+    * then expand until >= k rows fall inside; finish with exact top-k on
+    * the pruned candidates. Falls back to a full top-k scan when stats
+    * are absent (disk-loaded index). */
+  def knn(center: Array[Double], k: Int, tieBreak: Seq[String]): DataFrame = {
+    val q = Point(center)
+    val ordered = (df: DataFrame) => df
+      .withColumn("__d", pointDistance(keyCols.map(col), center.toSeq.map(lit)))
+      .orderBy((col("__d").asc +: tieBreak.map(col(_).asc)): _*)
+      .limit(k)
+      .drop("__d")
+
+    if (stats.isEmpty) return ordered(data).select(output: _*)
+
+    // initial radius: walk partitions by minDist until counts cover k,
+    // bound by the furthest corner of the last partition taken
+    val byDist = stats.values.toArray.sortBy(_.mbr.minDist(q))
+    var covered = 0L
+    var r = 0.0
+    var i = 0
+    while (i < byDist.length && covered < k) {
+      covered += byDist(i).count
+      r = math.max(r, graft.spatial.Dist.furthest(q, byDist(i).mbr))
+      i += 1
+    }
+    if (covered < k) return ordered(data).select(output: _*) // fewer than k rows total
+
+    var candidates = circleRange(center, r)
+    var n = candidates.count()
+    while (n < k) { // theoretical safety net; r already covers k by construction
+      r *= 2
+      candidates = circleRange(center, r)
+      n = candidates.count()
+    }
+    ordered(candidates)
+  }
+
+  /** Partitions whose MBR intersects the query box — exposes the
+    * global-level pruning decision for tests/metrics. */
+  def prunedPartitionCount(lo: Array[Double], hi: Array[Double]): (Int, Int) = {
+    val box = MBR(Point(lo), Point(hi))
+    val hit = stats.values.count(_.mbr.intersects(box))
+    (hit, stats.size)
+  }
+}

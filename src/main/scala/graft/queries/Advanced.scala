@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.index.IndexManager
+import graft.multimodal.Multimodal
+import graft.operators.VectorOps._
+import graft.streaming.StreamingOps
+
+/** Index-backed, streaming, and multimodal queries.
+  *
+  * The indexed spatial queries reuse the *same DuckDB oracles* as their
+  * unindexed twins (Spatial.oracles) — index-on/index-off result equality
+  * is exactly the reference's correctness contract for IndexedRelationScan.
+  */
+object Advanced {
+
+  private def custIndex(s: SparkSession, d: String) =
+    IndexManager.indexTable(s, customerPts(s, d), s"customer_pts:$d",
+      Seq("cx", "cy"), numPartitions = 16)
+
+  def boxRangeIndexed(s: SparkSession, d: String): DataFrame =
+    custIndex(s, d).boxRange(Array(2000.0, 100.0), Array(4000.0, 300.0))
+      .orderBy(col("c_custkey"))
+
+  def circleRangeIndexed(s: SparkSession, d: String): DataFrame =
+    custIndex(s, d).circleRange(Array(5000.0, 500.0), 500.0)
+      .orderBy(col("c_custkey"))
+
+  def knnIndexed(s: SparkSession, d: String): DataFrame =
+    custIndex(s, d).knn(Array(5000.0, 500.0), 10, tieBreak = Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  def eventsHourlyStream(s: SparkSession, d: String): DataFrame =
+    StreamingOps.hourlyEventStatsBatchEquivalent(s, d)
+      .orderBy(col("hour_ms"), col("event_type"))
+
+  def mediaFeaturesTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.syntheticMediaTable(s, d).as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media, dim = 32).toDF()
+    val q = feats.filter(col("media_id") === 0)
+      .select(col("features")).head().getSeq[Float](0).toArray
+    feats.cosineTopK("features", "media_id", q, 10)
+      .select(col("media_id"), col("kind"), col("cos"))
+      .orderBy(col("media_id"))
+  }
+
+  def mediaFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.syntheticMediaTable(s, d))
+      .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_len"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val oracles: Map[String, String] = Map(
+    "sp_box_range_indexed" -> Spatial.oracles("sp_box_range"),
+    "sp_circle_range_indexed" -> Spatial.oracles("sp_circle_range"),
+    "sp_knn_indexed" -> Spatial.oracles("sp_knn"),
+    "q8_events_hourly_stream" -> Relational.oracles("q6_events_hourly")
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp_box_range_indexed" -> (boxRangeIndexed _),
+    "sp_circle_range_indexed" -> (circleRangeIndexed _),
+    "sp_knn_indexed" -> (knnIndexed _),
+    "q8_events_hourly_stream" -> (eventsHourlyStream _),
+    "mm_features_topk" -> (mediaFeaturesTopK _),
+    "mm_frame_sample" -> (mediaFrameSample _)
+  )
+}

@@ -1,0 +1,71 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.operators.SpatialOps._
+
+class IndexManagerSpec extends SparkSpec {
+
+  private lazy val cust = Tables.customerPts(spark, sf())
+
+  private def freshIndex(name: String): IndexedTable =
+    IndexManager.indexTable(spark, cust, name, Seq("cx", "cy"), numPartitions = 8)
+
+  test("indexed boxRange equals unindexed filter") {
+    val idx = freshIndex("t_box")
+    val got = idx.boxRange(Array(0.0, 100.0), Array(5000.0, 600.0))
+    val want = cust.boxRange(Seq("cx", "cy"), Seq(0.0, 100.0), Seq(5000.0, 600.0))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("indexed circleRange equals unindexed") {
+    val idx = freshIndex("t_circle")
+    val got = idx.circleRange(Array(5000.0, 500.0), 800.0)
+    val want = cust.circleRange(Seq("cx", "cy"), Seq(5000.0, 500.0), 800.0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("indexed knn equals top-k oracle, including k > partition coverage") {
+    val idx = freshIndex("t_knn")
+    Seq(1, 5, 25).foreach { k =>
+      val got = idx.knn(Array(5000.0, 500.0), k, Seq("c_custkey"))
+        .select("c_custkey").collect().map(_.getLong(0)).sorted
+      val want = cust.knn(Seq("cx", "cy"), Seq(5000.0, 500.0), k, Seq("c_custkey"))
+        .select("c_custkey").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === want.toSeq, s"k=$k")
+    }
+  }
+
+  test("global level prunes partitions for selective boxes") {
+    val idx = freshIndex("t_prune")
+    val (hit, total) = idx.prunedPartitionCount(Array(2000.0, 100.0), Array(2200.0, 150.0))
+    assert(total === 8)
+    assert(hit < total, s"selective box should prune some of $total partitions (hit=$hit)")
+  }
+
+  test("registry: has/show/drop lifecycle") {
+    freshIndex("t_life")
+    assert(IndexManager.hasIndex(spark, "t_life"))
+    assert(IndexManager.showIndexes(spark).contains("t_life"))
+    IndexManager.dropIndex(spark, "t_life")
+    assert(!IndexManager.hasIndex(spark, "t_life"))
+  }
+
+  test("persist + load: disk index answers identically with pushed z filters") {
+    val idx = freshIndex("t_disk")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    IndexManager.persistIndex(idx, path)
+    IndexManager.dropIndex(spark, "t_disk")
+    val loaded = IndexManager.loadIndex(spark, "t_disk_loaded", path)
+    val got = loaded.boxRange(Array(0.0, 100.0), Array(5000.0, 600.0))
+    val want = cust.boxRange(Seq("cx", "cy"), Seq(0.0, 100.0), Seq(5000.0, 600.0))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the z-interval must reach the parquet scan as a pushed filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains(IndexManager.ZCol),
+      s"expected pushed z-range filters in:\n$plan")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.streaming.StreamingOps._
+
+class StreamingOpsSpec extends SparkSpec {
+
+  test("streaming hourly stats equal the batch aggregation") {
+    val got = StreamingOps.hourlyEventStatsBatchEquivalent(spark, sf())
+    val want = graft.queries.Relational.eventsHourly(spark, sf())
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("sessionize groups events by gap per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, tMs: Long, uid: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(tMs), uid, "click", v)
+    val input = MemoryStream[Event]
+    input.addData(
+      ev(1, 1000, 1, 1.0), ev(2, 2000, 1, 2.0),    // session A (gap <= 5s)
+      ev(3, 60000, 1, 3.0),                          // session B
+      ev(4, 1500, 2, 4.0))                           // user 2, one session
+    val q = sessionize(input.toDS(), gapMs = 5000)
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess").as[UserSession].collect()
+      .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events, s.total_value)).toSet
+    assert(out === Set(
+      (1L, 1000L, 2000L, 2, 3.0),
+      (1L, 60000L, 60000L, 1, 3.0),
+      (2L, 1500L, 1500L, 1, 4.0)))
+  }
+
+  test("stateless library expressions compose over streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "the quick brown fox"), (2L, "der hund ist nicht da und"))
+    val out = input.toDS().toDF("id", "text")
+      .withColumn("lang", graft.functions.langId(col("text")))
+      .withColumn("n_tokens", graft.functions.tokenCount(col("text")))
+      .writeStream.outputMode("append").format("memory").queryName("txt").start()
+    out.processAllAvailable(); out.stop()
+    val rows = spark.table("txt").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(rows === Set((1L, "en", 4L), (2L, "de", 6L)))
+  }
+}
