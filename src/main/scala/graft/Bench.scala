@@ -1,23 +1,114 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.index.IndexManager
+import graft.operators.SpatialOps._
+import graft.operators.DedupOps._
+import graft.operators.VectorOps._
+
+/** Benchmark main (driver contract): runs the headline queries of
+  * BASELINE.md's plan (B1-B6 + pipeline ops) on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Naive/optimized pairs are both measured so the
+  * optimized plans' advantage is visible in the same run.
+  */
 object Bench {
+
+  private def headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // B1-B3: selections (pushdown-able filters, top-k)
+    "b1_box_range" -> ((s: SparkSession, d: String) =>
+      customerPts(s, d).boxRange(Seq("cx", "cy"), Seq(2000.0, 100.0), Seq(4000.0, 300.0))),
+    "b2_circle_range" -> ((s: SparkSession, d: String) =>
+      customerPts(s, d).circleRange(Seq("cx", "cy"), Seq(5000.0, 500.0), 500.0)),
+    "b3_knn" -> ((s: SparkSession, d: String) =>
+      customerPts(s, d).knn(Seq("cx", "cy"), Seq(5000.0, 500.0), 10, Seq("c_custkey"))),
+    // B4: distance join — naive cross vs grid equi-join
+    "b4_distance_join_naive" -> ((s: SparkSession, d: String) =>
+      customerPts(s, d).distanceJoinNaive(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"), 100.0)),
+    "b4_distance_join_grid" -> ((s: SparkSession, d: String) =>
+      customerPts(s, d).distanceJoin(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"), 100.0)),
+    // B5: kNN join — windowed cross vs bounded-radius grid
+    "b5_knn_join_naive" -> ((s: SparkSession, d: String) =>
+      customerPts(s, d).knnJoinNaive(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
+        3, "c_custkey", Seq("s_suppkey"))),
+    "b5_knn_join_grid" -> ((s: SparkSession, d: String) =>
+      customerPts(s, d).knnJoin(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
+        3, "c_custkey", Seq("s_suppkey"))),
+    // B6: embedding similarity — exact pair join vs LSH-blocked; brute top-k
+    "b6_sim_join_exact" -> ((s: SparkSession, d: String) => {
+      val r = embeddings(s, d).select(col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
+      embeddings(s, d).similarityJoinExact(r, "embedding", "embedding2", "vec_id", "vec_id2", 0.3)
+    }),
+    "b6_sim_join_lsh" -> ((s: SparkSession, d: String) =>
+      embeddings(s, d).embeddingNearDupPairs("embedding", "vec_id", 0.3, 16, 4)),
+    "b6_ann_topk" -> ((s: SparkSession, d: String) => {
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      embeddings(s, d).cosineTopK("embedding", "vec_id", q, 10)
+    }),
+    // pipeline ops
+    "b7_minhash_dedup" -> ((s: SparkSession, d: String) =>
+      documents(s, d).minHashPairs("doc_id", "text", 3, 64, 16, 0.8)),
+    "b8_text_stats" -> ((s: SparkSession, d: String) =>
+      documents(s, d).select(col("doc_id"),
+        graft.functions.tokenCount(col("text")).as("n"),
+        graft.functions.qualityScore(col("text")).as("q"),
+        graft.functions.simhash64(col("text")).as("sh"))),
+    // relational anchor
+    "b9_q1_agg" -> ((s: SparkSession, d: String) =>
+      graft.queries.Relational.pricingSummary(s, d))
+  )
+
+  /** Indexed-path timings: build once (reported), then query. */
+  private def indexedPhase(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    val idx = IndexManager.indexTable(spark, customerPts(spark, sfDir),
+      s"bench:$sfDir", Seq("cx", "cy"), numPartitions = 32)
+    idx.boxRange(Array(0.0, 0.0), Array(1.0, 1.0)).count() // force build + cache
+    val build = (System.nanoTime() - t0) / 1e9
+    def time(f: => Long): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    Seq(
+      "b10_index_build" -> build,
+      "b1i_box_range_indexed" -> time(
+        idx.boxRange(Array(2000.0, 100.0), Array(4000.0, 300.0)).count()),
+      "b2i_circle_range_indexed" -> time(
+        idx.circleRange(Array(5000.0, 500.0), 500.0).count()),
+      "b3i_knn_indexed" -> time(
+        idx.knn(Array(5000.0, 500.0), 10, Seq("c_custkey")).count()))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JVM/codegen warmup on a small query (not reported)
+    try customerPts(spark, sfDir).boxRange(Seq("cx", "cy"), Seq(0.0, 0.0), Seq(1.0, 1.0)).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    headline.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    try indexedPhase(spark, sfDir).foreach { case (k, v) => results(k) = v }
+    catch { case e: Throwable => System.err.println(s"[bench] indexed phase failed: $e") }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.SpatialOps._
+import graft.operators.VectorOps._
+
+/** Plan-hygiene diagnostic: prints formatted physical plans of the key
+  * operators so pushdown / broadcast / whole-stage-codegen placement can
+  * be audited (the SURVEY.md §7 "explain and iterate" loop). Not part of
+  * the driver contract. */
+object ExplainPlans {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def show(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n=================== $name ===================")
+      df.explain("formatted")
+    }
+
+    show("box_range (expect PushedFilters on cx/cy)") {
+      customerPts(spark, d).boxRange(Seq("cx", "cy"), Seq(2000.0, 100.0), Seq(4000.0, 300.0))
+    }
+    show("circle_range (expect pushed bbox conjuncts)") {
+      customerPts(spark, d).circleRange(Seq("cx", "cy"), Seq(5000.0, 500.0), 500.0)
+    }
+    show("knn (expect TakeOrderedAndProject)") {
+      customerPts(spark, d).knn(Seq("cx", "cy"), Seq(5000.0, 500.0), 10, Seq("c_custkey"))
+    }
+    show("distance_join_grid (expect equi-join on cells, broadcast small side)") {
+      customerPts(spark, d).distanceJoin(supplierPts(spark, d), Seq("cx", "cy"), Seq("sx", "sy"), 100.0)
+    }
+    show("ann_topk (expect codegen'd cosine + TakeOrderedAndProject)") {
+      val q = embeddings(spark, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      embeddings(spark, d).cosineTopK("embedding", "vec_id", q, 10)
+    }
+    spark.stop()
+  }
+}
