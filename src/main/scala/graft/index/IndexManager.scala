@@ -51,23 +51,48 @@ object IndexManager {
 
   private val registry = TrieMap[(String, String), IndexedTable]()
 
+  // (source analyzed plan, replacement analyzed plan) pairs consumed by
+  // graft.plans.IndexSubstitution — the useIndexedData analogue.
+  private val planSubs =
+    TrieMap[(String, String), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                               org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
+
+  def planSubstitutions: Seq[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    planSubs.values.toSeq
+
   /** Build (or return) a spatial z-order index over `keyCols`. */
   def indexTable(spark: SparkSession, df: DataFrame, name: String,
                  keyCols: Seq[String], numPartitions: Int = 32,
                  bits: Int = 15): IndexedTable =
     registry.getOrElseUpdate((System.identityHashCode(spark).toString, name), {
-      build(spark, df, name, keyCols, numPartitions, bits)
+      val idx = build(spark, df, name, keyCols, numPartitions, bits)
+      // both sides OPTIMIZED: the substitution rule runs at the end of
+      // optimization, so candidate subtrees are constant-folded etc. —
+      // an analyzed source would never sameResult-match them; and the
+      // replacement must already carry the InMemoryRelation (cache
+      // substitution happens before optimization, so a plan inlined
+      // during optimization would otherwise never pick up the cache)
+      planSubs.put((System.identityHashCode(spark).toString, name),
+        (df.queryExecution.optimizedPlan,
+         idx.data.select(df.columns.map(col): _*).queryExecution.optimizedPlan))
+      idx
     })
 
   def hasIndex(spark: SparkSession, name: String): Boolean =
     registry.contains((System.identityHashCode(spark).toString, name))
 
-  def dropIndex(spark: SparkSession, name: String): Unit =
+  def dropIndex(spark: SparkSession, name: String): Unit = {
     registry.remove((System.identityHashCode(spark).toString, name)).foreach(_.data.unpersist())
+    planSubs.remove((System.identityHashCode(spark).toString, name))
+  }
 
   def clearIndex(spark: SparkSession): Unit = {
     registry.keys.filter(_._1 == System.identityHashCode(spark).toString)
-      .foreach(k => registry.remove(k).foreach(_.data.unpersist()))
+      .foreach { k =>
+        registry.remove(k).foreach(_.data.unpersist())
+        planSubs.remove(k)
+      }
   }
 
   /** All index names registered for this session. */

@@ -162,6 +162,117 @@ object SpatialOps {
       val satisfied = kept.drop(DIST, "__graft_rn", "__graft_n")
       satisfied.unionByName(fallback)
     }
+
+    /** Approximate kNN join on Morton curves (see [[SpatialOps.zknnJoinImpl]]). */
+    def zknnJoin(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
+                 k: Int, leftId: String, rightId: String, tieBreak: Seq[String],
+                 shifts: Int = 2, bits: Int = 18, numPartitions: Int = 32,
+                 seed: Long = 42L): DataFrame =
+      zknnJoinImpl(ds.toDF, right.toDF, lKeys, rKeys, k, leftId, rightId,
+        tieBreak, shifts, bits, numPartitions, seed)
+  }
+
+  /** Approximate kNN join via space-filling curves, the zKNN algorithm
+    * (reference: execution/join/ZKJSpark.scala:36-170): both sides are
+    * mapped to Morton codes under `shifts` random shift vectors; within
+    * each shift, candidates for a left row are the k preceding and k
+    * following right rows in z-order (range partition + per-partition
+    * sliding window — no cross product anywhere); the union of candidates
+    * over all shifts is exactly re-ranked by true distance.
+    *
+    * Approximate in recall like the reference (partition boundaries and
+    * curve discontinuities can miss true neighbors; more shifts -> higher
+    * recall); every returned distance/ordering is exact.
+    */
+  def zknnJoinImpl(l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
+                   k: Int, leftId: String, rightId: String, tieBreak: Seq[String],
+                   shifts: Int, bits: Int, numPartitions: Int, seed: Long): DataFrame = {
+    require(l.columns.intersect(r.columns).isEmpty, "need disjoint column names")
+    val dims = lKeys.length
+    val spark = l.sparkSession
+    import spark.implicits._
+
+    // common bounds across both sides (exact two tiny aggs)
+    def bounds(df: DataFrame, keys: Seq[String]): (Array[Double], Array[Double]) = {
+      val aggs = keys.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      (keys.indices.map(i => row.getDouble(2 * i)).toArray,
+       keys.indices.map(i => row.getDouble(2 * i + 1)).toArray)
+    }
+    val (llo, lhi) = bounds(l, lKeys)
+    val (rlo, rhi) = bounds(r, rKeys)
+    val lo = llo.zip(rlo).map(t => math.min(t._1, t._2))
+    val hi = lhi.zip(rhi).map(t => math.max(t._1, t._2))
+    val span = lo.indices.map(i => hi(i) - lo(i)).toArray
+
+    val rng = new scala.util.Random(seed)
+    val shiftVecs: Seq[Array[Double]] =
+      Array.fill(dims)(0.0) +: Seq.fill(math.max(0, shifts - 1))(
+        Array.tabulate(dims)(i => rng.nextDouble() * span(i)))
+
+    val candidateBatches = shiftVecs.map { sv =>
+      // fixed quantization grid [lo, hi + span] for every shift — shifting
+      // the points but NOT the grid is what moves the curve discontinuities
+      def zcol(keys: Seq[String]): Column =
+        zorder(keys.indices.map(i => col(keys(i)) + lit(sv(i))),
+          lo.indices.map(i => lo(i)), lo.indices.map(i => hi(i) + span(i)), bits)
+      val lz = l.select(lit(0).as("__side"), col(leftId).cast("long").as("__id"),
+        zcol(lKeys).as("__z"))
+      val rz = r.select(lit(1).as("__side"), col(rightId).cast("long").as("__id"),
+        zcol(rKeys).as("__z"))
+      val merged = lz.unionByName(rz)
+        .repartitionByRange(numPartitions, col("__z"))
+        .sortWithinPartitions(col("__z"))
+      merged.select("__side", "__id").as[(Int, Long)].mapPartitions { it =>
+        // one ordered pass: each LEFT pairs with the k nearest RIGHTs
+        // before and after it in z-order within the partition
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val lastRights = new java.util.ArrayDeque[Long](k)
+        // lefts still owed `following` rights
+        val pending = scala.collection.mutable.Queue.empty[(Long, Array[Int])]
+        it.foreach { case (side, id) =>
+          if (side == 0) {
+            val itr = lastRights.iterator()
+            while (itr.hasNext) out += ((id, itr.next()))
+            pending.enqueue((id, Array(k)))
+          } else {
+            pending.foreach { case (lid, rem) =>
+              if (rem(0) > 0) { out += ((lid, id)); rem(0) -= 1 }
+            }
+            while (pending.nonEmpty && pending.head._2(0) == 0) pending.dequeue()
+            if (lastRights.size == k) lastRights.pollFirst()
+            lastRights.addLast(id)
+          }
+        }
+        out.iterator
+      }.toDF("__lid", "__rid")
+    }
+
+    val candidates = candidateBatches.reduce(_ unionByName _).distinct()
+
+    // exact re-rank: join coordinates back, true distance, top-k per left
+    val joined = candidates
+      .join(l, col("__lid") === col(leftId).cast("long"))
+      .join(r, col("__rid") === col(rightId).cast("long"))
+      .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
+    // left rows that found < k curve candidates (sparse right side /
+    // partition edges) fall back to the exact windowed join, so the
+    // "k rows per left" contract holds even when the curve misses;
+    // they must come ONLY from the fallback or they'd be double-counted
+    val satisfiedIds = joined.groupBy(col("__lid")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k).select(col("__lid"))
+
+    val w = Window.partitionBy(col("__lid"))
+      .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
+    val ranked = joined.join(satisfiedIds, Seq("__lid"), "left_semi")
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop(DIST, "__graft_rn", "__lid", "__rid")
+    val starved = l.join(satisfiedIds,
+      col(leftId).cast("long") === col("__lid"), "left_anti")
+    val fallback = new DatasetSpatialOps(starved)
+      .knnJoinNaive(r, lKeys, rKeys, k, leftId, tieBreak)
+    ranked.unionByName(fallback)
   }
 
   /** Estimate the kNN-join radius from bounded samples of both sides.

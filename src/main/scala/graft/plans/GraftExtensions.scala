@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.index.IndexManager
+
+/** Transparent index substitution: any logical subtree that computes the
+  * same result as a registered index's source is rewritten to read the
+  * index's clustered+cached data instead (original columns projected
+  * back under the original expression ids, so parent operators are
+  * untouched).
+  *
+  * This is the optimizer-rule rebuild of the reference's pre-optimization
+  * `useIndexedData` rewrite (reference: execution/QueryExecution.scala:30-33,
+  * IndexManager.scala:311-318), which itself mirrors Spark's
+  * CacheManager.useCachedData. Because the rule runs as a late optimizer
+  * batch (the only injection point available on a live session), filter
+  * pushdown has already reshaped `Filter(src)` into
+  * `Project(pl, Filter(cond, relation))`; the rule therefore matches both
+  * the direct shape and this pushed-down shape, remapping the pushed
+  * condition onto the index's output columns so it still lands directly
+  * above the in-memory scan (PhysicalOperation collapses the
+  * Project/Filter chain there, keeping batch min/max pruning).
+  */
+object IndexSubstitution extends Rule[LogicalPlan] {
+
+  /** child-attr exprId -> output column name, for attrs the project list
+    * passes through unchanged or aliases directly. */
+  private def passThroughNames(pl: Seq[NamedExpression]): Map[ExprId, String] =
+    pl.collect {
+      case a: AttributeReference => a.exprId -> a.name
+      case al @ Alias(c: AttributeReference, _) => c.exprId -> al.name
+    }.toMap
+
+  /** Re-project `repl` to `orig`'s names under `orig`'s expression ids. */
+  private def aliased(orig: Seq[Attribute], repl: LogicalPlan): LogicalPlan = {
+    val byName = repl.output.map(a => a.name -> a).toMap
+    Project(orig.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), repl)
+  }
+
+  private def covers(p: LogicalPlan, repl: LogicalPlan): Boolean =
+    p.output.map(_.name).toSet.subsetOf(repl.output.map(_.name).toSet)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val subs = IndexManager.planSubstitutions
+    if (subs.isEmpty) plan
+    else plan.transformUp {
+      case p if subs.exists(s => s._1.sameResult(p) && covers(p, s._2)) =>
+        aliased(p.output, subs.find(s => s._1.sameResult(p) && covers(p, s._2)).get._2)
+
+      case p @ Project(pl, Filter(cond, child)) =>
+        val names = passThroughNames(pl)
+        subs.find { case (src, repl) =>
+          src.sameResult(Project(pl, child)) &&
+            pl.map(_.name).toSet.subsetOf(repl.output.map(_.name).toSet) &&
+            cond.references.forall(a => names.get(a.exprId)
+              .exists(n => repl.output.exists(_.name == n)))
+        } match {
+          case Some((_, repl)) =>
+            val byName = repl.output.map(a => a.name -> a).toMap
+            val remapped = cond.transform {
+              case a: AttributeReference => byName(names(a.exprId))
+            }
+            aliased(p.output, Filter(remapped, repl))
+          case None => p
+        }
+    }
+  }
+}
+
+/** Session extensions: inject the index-substitution rule and register
+  * the library's scalar functions for SQL use.
+  *
+  * ```
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * ```
+  * Sessions created without extensions (e.g. the driver harness) can get
+  * the SQL functions via [[GraftExtensions.registerFunctions]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => IndexSubstitution)
+  }
+}
+
+object GraftExtensions {
+
+  /** Install the optimizer rule + SQL functions on an ALREADY-RUNNING
+    * session (builder-time `withExtensions` is impossible once a session
+    * exists — e.g. under a shared harness session). Uses the
+    * experimental-methods injection point, the sanctioned runtime
+    * equivalent of injectOptimizerRule. Idempotent. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(IndexSubstitution)) {
+      spark.experimental.extraOptimizations = cur :+ IndexSubstitution
+    }
+    registerFunctions(spark)
+  }
+
+  /** Name -> builder for every SQL-exposed scalar function. */
+  val sqlFunctions: Map[String, Seq[Expression] => Expression] = Map(
+    "graft_cosine_similarity" -> (es => graft.functions.CosineSimilarity(es(0), es(1))),
+    "graft_dot_product" -> (es => graft.functions.DotProduct(es(0), es(1))),
+    "graft_l2_distance" -> (es => graft.functions.L2Distance(es(0), es(1))),
+    "graft_simhash64" -> (es => graft.functions.SimHash64(es(0))),
+    "graft_fingerprint64" -> (es => graft.functions.Fingerprint64(es(0))),
+    "graft_lang_id" -> (es => graft.functions.LangId(es(0))))
+
+  /** Register the SQL functions on an existing session (temp-function
+    * registry — works without session extensions). */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

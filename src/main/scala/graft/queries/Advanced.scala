@@ -48,6 +48,28 @@ object Advanced {
       .orderBy(col("media_id"))
   }
 
+  /** Approximate zKNN join (rows-only: approximate by design). */
+  def zknnJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SpatialOps._
+    customerPts(s, d)
+      .zknnJoin(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
+        k = 3, leftId = "c_custkey", rightId = "s_suppkey",
+        tieBreak = Seq("s_suppkey"), shifts = 2)
+      .select(col("c_custkey"), col("s_suppkey"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  /** Library scalar functions through the SQL surface (temp-function
+    * registry): engine-specific hashes -> rows-only check. */
+  def sqlFunctionsQ(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.registerFunctions(s)
+    documents(s, d).createOrReplaceTempView("graft_documents")
+    s.sql(
+      """SELECT doc_id, graft_lang_id(text) AS lang_guess,
+        | graft_simhash64(text) AS sh, graft_fingerprint64(text) AS fp
+        |FROM graft_documents ORDER BY doc_id""".stripMargin)
+  }
+
   def mediaFrameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.syntheticMediaTable(s, d))
       .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_len"))
@@ -65,6 +87,8 @@ object Advanced {
     "sp_circle_range_indexed" -> (circleRangeIndexed _),
     "sp_knn_indexed" -> (knnIndexed _),
     "q8_events_hourly_stream" -> (eventsHourlyStream _),
+    "sp_zknn_join" -> (zknnJoinQ _),
+    "q15_sql_functions" -> (sqlFunctionsQ _),
     "mm_features_topk" -> (mediaFeaturesTopK _),
     "mm_frame_sample" -> (mediaFrameSample _)
   )

@@ -90,7 +90,95 @@ object Relational {
     building.except(bigSpenders).orderBy(col("c_custkey"))
   }
 
+  /** SQL-mode entry: the identical statement runs through spark.sql over
+    * temp views and through DuckDB — exercising the parse->analyze->
+    * optimize->execute path end to end (the reference routes SQL through
+    * the stock parser the same way, SURVEY.md §3.3). */
+  private val sqlModeStmt =
+    """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 1000.0
+      |GROUP BY c_mktsegment, o_orderstatus
+      |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
+
+  def sqlMode(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(sqlModeStmt)
+  }
+
+  /** CUBE over two dimensions (grouping-sets family). */
+  def cubeStatus(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** INTERSECT: customers present in two order-value bands. */
+  def intersectBands(s: SparkSession, d: String): DataFrame = {
+    val low = orders(s, d).filter(col("o_totalprice") < 50000.0)
+      .select(col("o_custkey"))
+    val high = orders(s, d).filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey"))
+    low.intersect(high).orderBy(col("o_custkey"))
+  }
+
+  /** String functions over part names + LIKE filter. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_type").like("%DIUM%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  /** Date extraction + aggregation by year/month. */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("yr"), col("mo"))
+
+  /** Exact + approximate distinct counting (approx column checked for
+    * sanity in tests; the oracle checks the exact column only would
+    * mismatch, so approx stays out of compared output). */
+  def distinctCounts(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+
   val oracles: Map[String, String] = Map(
+    "q9_sql_mode" -> sqlModeStmt,
+    "q10_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q11_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice < 50000.0
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+        |ORDER BY o_custkey""".stripMargin,
+    "q12_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 8) AS name8,
+        | concat_ws('/', p_brand, p_type) AS brand_type,
+        | length(p_name) AS name_len
+        |FROM part WHERE p_type LIKE '%DIUM%' ORDER BY p_partkey""".stripMargin,
+    "q13_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q14_distinct_counts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
@@ -144,6 +232,12 @@ object Relational {
     "q4_order_priority_exists" -> (orderPriorityExists _),
     "q5_segment_rollup" -> (segmentRollup _),
     "q6_events_hourly" -> (eventsHourly _),
-    "q7_set_except" -> (setOpsExcept _)
+    "q7_set_except" -> (setOpsExcept _),
+    "q9_sql_mode" -> (sqlMode _),
+    "q10_cube" -> (cubeStatus _),
+    "q11_intersect" -> (intersectBands _),
+    "q12_string_funcs" -> (stringFuncs _),
+    "q13_date_funcs" -> (dateFuncs _),
+    "q14_distinct_counts" -> (distinctCounts _)
   )
 }

@@ -78,6 +78,19 @@ class SpatialOpsSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("zknnJoin: exact distances, high recall vs exact kNN join") {
+    val approx = pairSet(cust.zknnJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      k = 3, leftId = "c_custkey", rightId = "s_suppkey",
+      tieBreak = Seq("s_suppkey"), shifts = 3))
+    val exact = pairSet(cust.knnJoinNaive(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey")))
+    // approximate in recall, but every left row must still get k rows
+    assert(approx.groupBy(_._1).forall(_._2.size == 3))
+    assert(approx.map(_._1) === exact.map(_._1), "every left key covered")
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"zKNN recall too low: $recall")
+  }
+
   test("n-dimensional: 3-D distance join via grid equals naive") {
     import spark.implicits._
     val a = (1 to 60).map(i => (i.toLong, i * 1.0, (i % 7) * 2.0, (i % 5) * 3.0))

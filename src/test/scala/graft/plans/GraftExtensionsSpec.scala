@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.index.IndexManager
+
+/** Extension-point coverage: the injected optimizer rule must silently
+  * reroute matching plans to the clustered/cached index data, and the SQL
+  * function registry must expose the scalar surface. Installed at runtime
+  * via GraftExtensions.install (the shared test JVM already has a session,
+  * so builder-time withExtensions can't apply). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = graft.SparkSpec.session
+    GraftExtensions.install(s)
+    s
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("index substitution rule reroutes matching plans to the cached index") {
+    val src = Tables.customerPts(spark, dir)
+    IndexManager.indexTable(spark, src, "ext_sub", Seq("cx", "cy"), numPartitions = 4)
+
+    // a *fresh* equivalent plan (not the indexed object) gets substituted
+    val q = Tables.customerPts(spark, dir)
+      .filter(col("cx") >= 2000 && col("cx") <= 4000)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"expected cached index scan in plan:\n$plan")
+
+    // and still returns exactly the un-indexed result
+    val want = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal").as("cx"),
+        (col("c_custkey") % 1000).cast("double").as("cy"))
+      .filter(col("cx") >= 2000 && col("cx") <= 4000)
+    assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty)
+    assert(q.count() > 0)
+    IndexManager.dropIndex(spark, "ext_sub")
+  }
+
+  test("dropping the index stops substitution") {
+    val src = Tables.customerPts(spark, dir)
+    IndexManager.indexTable(spark, src, "ext_drop", Seq("cx", "cy"), numPartitions = 4)
+    IndexManager.dropIndex(spark, "ext_drop")
+    val q = Tables.customerPts(spark, dir).filter(col("cx") >= 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"))
+  }
+
+  test("SQL function registry exposes the scalar surface") {
+    GraftExtensions.registerFunctions(spark)
+    val row = spark.sql(
+      "SELECT graft_lang_id('the cat is on the mat') AS l, " +
+        "graft_simhash64('alpha beta') AS s, " +
+        "graft_cosine_similarity(array(cast(1.0 as float), cast(0.0 as float)), " +
+        " array(cast(1.0 as float), cast(0.0 as float))) AS c").head()
+    assert(row.getString(0) === "en")
+    assert(row.getLong(1) === graft.functions.TextKernels.simHash64("alpha beta"))
+    assert(row.getDouble(2) === 1.0)
+  }
+}
