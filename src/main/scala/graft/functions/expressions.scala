@@ -132,3 +132,31 @@ case class ZOrder(children: Seq[Expression], bits: Int) extends Expression {
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
+
+/** `point_in_polygon(x: double, y: double)` against a literal 2-D polygon
+  * ring — boundary-inclusive even-odd test. The vertex ring rides along
+  * as a referenced object so the per-row kernel call stays inside
+  * whole-stage codegen (the reference evaluates polygon predicates via
+  * JTS under CodegenFallback instead — reference: spatial/Polygon.scala,
+  * expression/InRange.scala:32). */
+case class PointInPolygon(left: Expression, right: Expression, verts: Array[Double])
+    extends BinaryExpression {
+  require(verts.length >= 6 && verts.length % 2 == 0, "need a flat 2-D vertex ring")
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "point_in_polygon"
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    graft.spatial.Dist.pointInPolygon(
+      x.asInstanceOf[Double], y.asInstanceOf[Double], verts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polyVerts", verts, "double[]")
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.spatial.Dist.pointInPolygon($x, $y, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -47,6 +47,17 @@ package object functions {
     bbox && dist <= r
   }
 
+  /** Polygon containment predicate, boundary inclusive. The polygon's
+    * bounding-box conjuncts are redundant with the exact test but ARE
+    * pushdown-able, so the parquet scan prunes first (same discipline as
+    * [[inCircle]]). */
+  def inPolygon(x: Column, y: Column, poly: graft.spatial.Polygon): Column = {
+    val b = poly.mbr
+    inBox(Seq(x, y), Seq(b.low.coord(0), b.low.coord(1)),
+      Seq(b.high.coord(0), b.high.coord(1))) &&
+      toCol(PointInPolygon(toExpr(x), toExpr(y), poly.flat))
+  }
+
   // ---- vector surface (native expressions, codegen'd) ----
 
   def cosineSimilarity(a: Column, b: Column): Column =

@@ -83,21 +83,60 @@ object IndexManager {
     registry.contains((System.identityHashCode(spark).toString, name))
 
   def dropIndex(spark: SparkSession, name: String): Unit = {
-    registry.remove((System.identityHashCode(spark).toString, name)).foreach(_.data.unpersist())
-    planSubs.remove((System.identityHashCode(spark).toString, name))
+    val key = (System.identityHashCode(spark).toString, name)
+    registry.remove(key).foreach(_.data.unpersist())
+    rangeRegistry.remove(key).foreach(_.data.unpersist())
+    hashRegistry.remove(key).foreach(_.data.unpersist())
+    planSubs.remove(key)
   }
 
-  def clearIndex(spark: SparkSession): Unit = {
-    registry.keys.filter(_._1 == System.identityHashCode(spark).toString)
-      .foreach { k =>
-        registry.remove(k).foreach(_.data.unpersist())
-        planSubs.remove(k)
-      }
-  }
+  def clearIndex(spark: SparkSession): Unit =
+    (registry.keys ++ rangeRegistry.keys ++ hashRegistry.keys)
+      .filter(_._1 == System.identityHashCode(spark).toString)
+      .foreach(k => dropIndex(spark, k._2))
 
   /** All index names registered for this session. */
   def showIndexes(spark: SparkSession): Seq[String] =
-    registry.keys.filter(_._1 == System.identityHashCode(spark).toString).map(_._2).toSeq.sorted
+    (registry.keys ++ rangeRegistry.keys ++ hashRegistry.keys)
+      .filter(_._1 == System.identityHashCode(spark).toString).map(_._2).toSeq.distinct.sorted
+
+  private val rangeRegistry = TrieMap[(String, String), RangeIndexedTable]()
+  private val hashRegistry = TrieMap[(String, String), HashIndexedTable]()
+
+  /** Build (or return) a 1-D range index: range-partitioned, sorted,
+    * cached — the reference's TreeMap/Treap indexed relations collapse to
+    * this one clustering (reference: TreeMapIndexedRelation.scala:30-72,
+    * TreapIndexedRelation.scala:30-71 — local sorted structure + driver
+    * `range_bounds`). Partition pruning comes from cached-batch min/max
+    * stats on the sorted key; the driver-held per-partition bounds serve
+    * the global-level role for planning/tests. */
+  def rangeIndexTable(spark: SparkSession, df: DataFrame, name: String,
+                      keyCol: String, numPartitions: Int = 32): RangeIndexedTable =
+    rangeRegistry.getOrElseUpdate((System.identityHashCode(spark).toString, name), {
+      val clustered = df
+        .repartitionByRange(numPartitions, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val stats = clustered
+        .groupBy(spark_partition_id().as("__pid"))
+        .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"), count(lit(1)))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toMap
+      new RangeIndexedTable(name, clustered, keyCol, stats)
+    })
+
+  /** Build (or return) a hash index: hash-clustered on the key, cached
+    * (reference HashMapIndexedRelation analogue,
+    * HashMapIndexedRelation.scala:28-65). Equality lookups touch one
+    * partition's cached batches. */
+  def hashIndexTable(spark: SparkSession, df: DataFrame, name: String,
+                     keyCol: String, numPartitions: Int = 32): HashIndexedTable =
+    hashRegistry.getOrElseUpdate((System.identityHashCode(spark).toString, name), {
+      val clustered = df.repartition(numPartitions, col(keyCol))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      new HashIndexedTable(name, clustered, keyCol)
+    })
 
   private def build(spark: SparkSession, df: DataFrame, name: String,
                     keyCols: Seq[String], numPartitions: Int, bits: Int): IndexedTable = {
@@ -260,4 +299,42 @@ final class IndexedTable(
     val hit = stats.values.count(_.mbr.intersects(box))
     (hit, stats.size)
   }
+}
+
+/** A 1-D range index: sorted+cached data plus driver-held partition
+  * bounds (the reference's `range_bounds` global level). */
+final class RangeIndexedTable(
+    val name: String,
+    private[index] val data: DataFrame,
+    val keyCol: String,
+    /** partition id -> (min, max, count) of the key. */
+    val bounds: Map[Int, (Double, Double, Long)]) extends Serializable {
+
+  import org.apache.spark.sql.functions.col
+
+  /** key in [lo, hi] (inclusive): sorted cached batches prune by min/max. */
+  def range(lo: Double, hi: Double): DataFrame =
+    data.filter(col(keyCol) >= lo && col(keyCol) <= hi)
+
+  def lessThan(hi: Double): DataFrame = data.filter(col(keyCol) < hi)
+
+  /** Partitions whose bounds intersect [lo, hi] — the global-level
+    * pruning decision, exposed for tests/metrics. */
+  def prunedPartitionCount(lo: Double, hi: Double): (Int, Int) =
+    (bounds.values.count { case (mn, mx, _) => mn <= hi && mx >= lo }, bounds.size)
+}
+
+/** A hash index: hash-clustered cached data; equality lookups.
+  * (reference: HashMapIndexedRelation.scala:28-65). */
+final class HashIndexedTable(
+    val name: String,
+    private[index] val data: DataFrame,
+    val keyCol: String) extends Serializable {
+
+  import org.apache.spark.sql.functions.{col, lit}
+
+  def lookup(value: Any): DataFrame = data.filter(col(keyCol) === lit(value))
+
+  def lookupIn(values: Seq[Any]): DataFrame =
+    data.filter(col(keyCol).isin(values: _*))
 }

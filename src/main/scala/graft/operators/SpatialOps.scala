@@ -42,6 +42,12 @@ object SpatialOps {
     def circleRange(keys: Seq[String], center: Seq[Double], r: Double): DataFrame =
       ds.toDF.filter(inCircle(keys.map(col), center, r))
 
+    /** Rows whose 2-D point lies inside the polygon (boundary inclusive). */
+    def polygonRange(keys: Seq[String], poly: graft.spatial.Polygon): DataFrame = {
+      require(keys.length == 2, "polygonRange is 2-D only")
+      ds.toDF.filter(inPolygon(col(keys(0)), col(keys(1)), poly))
+    }
+
     /** k nearest rows to a query point; ties broken by `tieBreak` columns
       * so results are deterministic (the reference leaves ties arbitrary).
       * Plans as TakeOrderedAndProject: per-partition top-k, then a k-row

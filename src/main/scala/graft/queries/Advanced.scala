@@ -37,6 +37,27 @@ object Advanced {
     StreamingOps.hourlyEventStatsBatchEquivalent(s, d)
       .orderBy(col("hour_ms"), col("event_type"))
 
+  /** Stateful streaming sessionization (flatMapGroupsWithState) over the
+    * events file stream; 4-hour inactivity gap ~ the median inter-event
+    * gap of the generated data, so users split into many sessions. */
+  def sessionsStream(s: SparkSession, d: String): DataFrame =
+    StreamingOps.sessionizeBatchEquivalent(s, d, gapMs = 14400000L).toDF()
+      .orderBy(col("user_id"), col("start_ms"))
+
+  /** 1-D range index over order totals (TreeMap/Treap-analogue path). */
+  def rangeIndexQ(s: SparkSession, d: String): DataFrame =
+    IndexManager.rangeIndexTable(s, orders(s, d), s"orders_price:$d", "o_totalprice")
+      .range(50000.0, 60000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** Hash index over market segment (HashMap-analogue path). */
+  def hashIndexQ(s: SparkSession, d: String): DataFrame =
+    IndexManager.hashIndexTable(s, customer(s, d), s"cust_seg:$d", "c_mktsegment")
+      .lookup("BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
   def mediaFeaturesTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.syntheticMediaTable(s, d).as[Multimodal.MediaRow]
@@ -79,7 +100,35 @@ object Advanced {
     "sp_box_range_indexed" -> Spatial.oracles("sp_box_range"),
     "sp_circle_range_indexed" -> Spatial.oracles("sp_circle_range"),
     "sp_knn_indexed" -> Spatial.oracles("sp_knn"),
-    "q8_events_hourly_stream" -> Relational.oracles("q6_events_hourly")
+    "q8_events_hourly_stream" -> Relational.oracles("q6_events_hourly"),
+    // gaps-and-islands twin of the stateful sessionization: same
+    // (time, event_id) ordering, same DECIMAL(18,6) value rounding
+    "st_sessions" ->
+      """SELECT user_id, start_ms, end_ms, n_events, total_value FROM (
+        |  SELECT user_id, MIN(t) AS start_ms, MAX(t) AS end_ms,
+        |    CAST(COUNT(*) AS INT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |  FROM (
+        |    SELECT user_id, t, value,
+        |      SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |    FROM (
+        |      SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t, value,
+        |        CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+        |               - LAG(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (
+        |                   PARTITION BY user_id
+        |                   ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) > 14400000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM events) f) s
+        |  GROUP BY user_id, sid) t
+        |ORDER BY user_id, start_ms""".stripMargin,
+    "sp_range_index" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 60000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "sp_hash_index" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -87,6 +136,9 @@ object Advanced {
     "sp_circle_range_indexed" -> (circleRangeIndexed _),
     "sp_knn_indexed" -> (knnIndexed _),
     "q8_events_hourly_stream" -> (eventsHourlyStream _),
+    "st_sessions" -> (sessionsStream _),
+    "sp_range_index" -> (rangeIndexQ _),
+    "sp_hash_index" -> (hashIndexQ _),
     "sp_zknn_join" -> (zknnJoinQ _),
     "q15_sql_functions" -> (sqlFunctionsQ _),
     "mm_features_topk" -> (mediaFeaturesTopK _),

@@ -38,6 +38,19 @@ object Spatial {
       .circleRange(Seq("cx", "cy"), center, circleR)
       .orderBy(col("c_custkey"))
 
+  // Diamond |(x-5000)/2000.37| + |(y-500)/300.13| <= 1 — a convex polygon
+  // whose containment is also expressible as one SQL inequality, giving
+  // the general ray-casting kernel an exact relational oracle. Fractional
+  // half-axes keep data points off the boundary's float-error band.
+  private val diamond = graft.spatial.Polygon(
+    (5000.0 - 2000.37, 500.0), (5000.0, 500.0 - 300.13),
+    (5000.0 + 2000.37, 500.0), (5000.0, 500.0 + 300.13))
+
+  def polygonRange(s: SparkSession, d: String): DataFrame =
+    customerPts(s, d)
+      .polygonRange(Seq("cx", "cy"), diamond)
+      .orderBy(col("c_custkey"))
+
   def knn(s: SparkSession, d: String): DataFrame =
     customerPts(s, d)
       .knn(Seq("cx", "cy"), center, knnK, tieBreak = Seq("c_custkey"))
@@ -72,6 +85,10 @@ object Spatial {
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE sqrt((cx - 5000.0)*(cx - 5000.0) + (cy - 500.0)*(cy - 500.0)) <= 500.0
          |ORDER BY c_custkey""".stripMargin,
+    "sp_polygon_range" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
+         |ORDER BY c_custkey""".stripMargin,
     "sp_knn" ->
       s"""SELECT * FROM (
          |  SELECT * FROM ($custPtsSql) c
@@ -96,6 +113,7 @@ object Spatial {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp_box_range" -> (boxRange _),
     "sp_circle_range" -> (circleRange _),
+    "sp_polygon_range" -> (polygonRange _),
     "sp_knn" -> (knn _),
     "sp_distance_join" -> (distanceJoin _),
     "sp_knn_join" -> (knnJoin _)

@@ -111,4 +111,35 @@ object Dist {
     p.coord(0) <= math.max(a.coord(0), b.coord(0)) &&
     math.min(a.coord(1), b.coord(1)) <= p.coord(1) &&
     p.coord(1) <= math.max(a.coord(1), b.coord(1))
+
+  /** Boundary-inclusive even-odd point-in-polygon over the flattened
+    * vertex ring [x0,y0,x1,y1,...]. Allocation-free — this is the kernel
+    * behind the codegen'd PointInPolygon expression, so it runs per row
+    * inside whole-stage codegen. */
+  def pointInPolygon(x: Double, y: Double, verts: Array[Double]): Boolean = {
+    val n = verts.length / 2
+    // boundary pass: on any edge counts as inside
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = verts(2 * i); val yi = verts(2 * i + 1)
+      val xj = verts(2 * j); val yj = verts(2 * j + 1)
+      val cross = (xj - xi) * (y - yi) - (yj - yi) * (x - xi)
+      if (cross == 0.0 &&
+          math.min(xi, xj) <= x && x <= math.max(xi, xj) &&
+          math.min(yi, yj) <= y && y <= math.max(yi, yj)) return true
+      j = i; i += 1
+    }
+    // even-odd crossing count
+    var inside = false
+    i = 0; j = n - 1
+    while (i < n) {
+      val xi = verts(2 * i); val yi = verts(2 * i + 1)
+      val xj = verts(2 * j); val yj = verts(2 * j + 1)
+      if ((yi > y) != (yj > y) && x < (xj - xi) * (y - yi) / (yj - yi) + xi)
+        inside = !inside
+      j = i; i += 1
+    }
+    inside
+  }
 }

@@ -35,6 +35,7 @@ final case class Point(coord: Array[Double]) extends Shape {
     case b: MBR          => Dist.pointToMBR(coord, b)
     case c: Circle       => Dist.pointToCircle(coord, c)
     case s: LineSegment  => Dist.pointToSegment(this, s)
+    case g: Polygon      => g.minDist(this)
   }
 
   override def intersects(other: Shape): Boolean = other match {
@@ -42,6 +43,7 @@ final case class Point(coord: Array[Double]) extends Shape {
     case b: MBR         => b.contains(this)
     case c: Circle      => Dist.pointToPoint(coord, c.center.coord) <= c.radius
     case s: LineSegment => Dist.pointToSegment(this, s) == 0.0
+    case g: Polygon     => g.contains(this)
   }
 
   def sameAs(p: Point): Boolean =
@@ -103,6 +105,7 @@ final case class MBR(low: Point, high: Point) extends Shape {
     case b: MBR         => intersects(b)
     case c: Circle      => Dist.pointToMBR(c.center.coord, this) <= c.radius
     case s: LineSegment => s.intersects(this)
+    case g: Polygon     => g.intersects(this)
   }
 
   override def minDist(other: Shape): Double = other match {
@@ -110,6 +113,7 @@ final case class MBR(low: Point, high: Point) extends Shape {
     case b: MBR         => Dist.mbrToMBR(this, b)
     case c: Circle      => math.max(0.0, Dist.pointToMBR(c.center.coord, this) - c.radius)
     case s: LineSegment => Dist.segmentToMBR(s, this)
+    case g: Polygon     => g.minDist(this)
   }
 
   /** Max distance from a point to any corner of this box
@@ -198,6 +202,7 @@ final case class Circle(center: Point, radius: Double) extends Shape {
     case c: Circle      =>
       math.max(0.0, Dist.pointToPoint(center.coord, c.center.coord) - radius - c.radius)
     case s: LineSegment => math.max(0.0, Dist.pointToSegment(center, s) - radius)
+    case g: Polygon     => math.max(0.0, g.minDist(center) - radius)
   }
 
   override def intersects(other: Shape): Boolean = minDist(other) <= 0.0
@@ -250,6 +255,7 @@ final case class LineSegment(start: Point, end: Point) extends Shape {
     case b: MBR         => intersects(b)
     case c: Circle      => Dist.pointToSegment(c.center, this) <= c.radius
     case s: LineSegment => intersects(s)
+    case g: Polygon     => g.intersects(this)
   }
 
   override def minDist(other: Shape): Double = other match {
@@ -257,5 +263,62 @@ final case class LineSegment(start: Point, end: Point) extends Shape {
     case b: MBR         => Dist.segmentToMBR(this, b)
     case c: Circle      => math.max(0.0, Dist.pointToSegment(c.center, this) - c.radius)
     case s: LineSegment => Dist.segmentToSegment(this, s)
+    case g: Polygon     => g.minDist(this)
   }
+}
+
+/** A 2-D simple polygon given as its vertex ring (closing edge implied).
+  * The reference wraps JTS for this (reference: spatial/Polygon.scala:32-38,
+  * JTS 1.14 via build.sbt:31); JTS isn't available offline, so the 2-D
+  * kernels are implemented directly: boundary-inclusive even-odd ray
+  * casting for containment, edge sweeps for distance/intersection.
+  * Flat-array kernel variant in [[Dist.pointInPolygon]] backs the
+  * codegen'd Catalyst expression. */
+final case class Polygon(vertices: Array[Point]) extends Shape {
+  require(vertices.length >= 3, "polygon needs >= 3 vertices")
+  require(vertices.forall(_.dimensions == 2), "Polygon is 2-D only")
+
+  override def dimensions: Int = 2
+  override lazy val mbr: MBR = MBR.ofPoints(vertices)
+
+  /** Vertex ring flattened to [x0,y0,x1,y1,...] for the column kernel. */
+  def flat: Array[Double] = vertices.flatMap(_.coord)
+
+  def edges: IndexedSeq[LineSegment] = vertices.indices.map { i =>
+    LineSegment(vertices(i), vertices((i + 1) % vertices.length))
+  }
+
+  /** Boundary-inclusive containment. */
+  def contains(p: Point): Boolean = Dist.pointInPolygon(p.coord(0), p.coord(1), flat)
+
+  def minDist(p: Point): Double =
+    if (contains(p)) 0.0 else edges.map(e => Dist.pointToSegment(p, e)).min
+
+  override def minDist(other: Shape): Double = other match {
+    case p: Point       => minDist(p)
+    case b: MBR         => if (intersects(b)) 0.0 else edges.map(e => Dist.segmentToMBR(e, b)).min
+    case c: Circle      => math.max(0.0, minDist(c.center) - c.radius)
+    case s: LineSegment =>
+      if (intersects(s)) 0.0 else edges.map(e => Dist.segmentToSegment(e, s)).min
+    case g: Polygon     =>
+      if (intersects(g)) 0.0
+      else (for (a <- edges; b <- g.edges) yield Dist.segmentToSegment(a, b)).min
+  }
+
+  override def intersects(other: Shape): Boolean = other match {
+    case p: Point       => contains(p)
+    case b: MBR         =>
+      mbr.intersects(b) && (vertices.exists(b.contains) ||
+        contains(b.low) || edges.exists(_.intersects(b)))
+    case c: Circle      => minDist(c.center) <= c.radius
+    case s: LineSegment => contains(s.start) || edges.exists(_.intersects(s))
+    case g: Polygon     =>
+      contains(g.vertices(0)) || g.contains(vertices(0)) ||
+        edges.exists(a => g.edges.exists(a.intersects))
+  }
+}
+
+object Polygon {
+  def apply(xy: (Double, Double)*): Polygon =
+    Polygon(xy.map { case (x, y) => Point(x, y) }.toArray)
 }

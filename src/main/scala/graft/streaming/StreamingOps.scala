@@ -62,7 +62,7 @@ object StreamingOps {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
-  final case class SessionState(start: Long, end: Long, n: Int, total: Double)
+  final case class SessionState(start: Long, end: Long, n: Int, total: java.math.BigDecimal)
   final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,
                                n_events: Int, total_value: Double)
 
@@ -70,7 +70,13 @@ object StreamingOps {
     * no event arrives within `gapMs` (via processing-time timeout in
     * continuous mode; in this synchronous form sessions also flush on
     * stream end). The custom-state analogue of the reference's missing
-    * spatio-temporal layer. */
+    * spatio-temporal layer.
+    *
+    * Determinism discipline: events sort by (time, event_id) within the
+    * group and totals accumulate in DECIMAL(18,6) (the per-value rounding
+    * of Spark's double->decimal cast), so the result is exactly
+    * reproducible and hash-comparable with a SQL gaps-and-islands oracle
+    * using the same decimal cast. */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -79,18 +85,52 @@ object StreamingOps {
         case (uid: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
           // batch-synchronous sessionization: fold sorted events into
           // gap-separated sessions; emit all (stream end flushes)
-          val times = rows.map(e => (e.ts.getTime, e.value)).toArray.sortBy(_._1)
+          val times = rows.map(e => (e.ts.getTime, e.event_id, e.value)).toArray
+            .sortBy(t => (t._1, t._2))
           val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-          times.foreach { case (t, v) =>
+          times.foreach { case (t, _, v) =>
+            val dv = java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
             sessions.lastOption match {
               case Some(s) if t - s.end <= gapMs =>
-                sessions(sessions.length - 1) = SessionState(s.start, t, s.n + 1, s.total + v)
+                sessions(sessions.length - 1) = SessionState(s.start, t, s.n + 1, s.total.add(dv))
               case _ =>
-                sessions += SessionState(t, t, 1, v)
+                sessions += SessionState(t, t, 1, dv)
             }
           }
           state.remove()
-          sessions.iterator.map(s => UserSession(uid, s.start, s.end, s.n, s.total))
+          sessions.iterator.map(s =>
+            UserSession(uid, s.start, s.end, s.n, s.total.doubleValue))
       }
+  }
+
+  /** Run gap sessionization over the events parquet as a genuine
+    * file-source stream (same staging trick as
+    * [[hourlyEventStatsBatchEquivalent]]) and return the final sessions —
+    * stateful flatMapGroupsWithState through a real streaming query,
+    * checkable against a SQL gaps-and-islands oracle. */
+  def sessionizeBatchEquivalent(spark: SparkSession, dir: String,
+                                gapMs: Long): Dataset[UserSession] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = java.nio.file.Files.createTempDirectory("graft_sess_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val evs = spark.readStream
+      .schema(batchSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val sinkName = s"graft_sess_${System.nanoTime()}"
+    val q = sessionize(evs, gapMs)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName).as[UserSession]
   }
 }

@@ -54,6 +54,38 @@ class IndexManagerSpec extends SparkSpec {
     assert(!IndexManager.hasIndex(spark, "t_life"))
   }
 
+  test("range index: range/lessThan equal plain filters, bounds prune") {
+    val orders = Tables.orders(spark, sf())
+    val idx = IndexManager.rangeIndexTable(spark, orders, "t_range",
+      "o_totalprice", numPartitions = 8)
+    val got = idx.range(50000.0, 100000.0)
+    val want = orders.filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 100000.0)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val lt = idx.lessThan(10000.0)
+    val wantLt = orders.filter(col("o_totalprice") < 10000.0)
+    assert(lt.exceptAll(wantLt).isEmpty && wantLt.exceptAll(lt).isEmpty)
+    // global level: a narrow range must not touch every partition
+    val (hit, total) = idx.prunedPartitionCount(50000.0, 52000.0)
+    assert(total === 8 && hit < total, s"hit=$hit of $total")
+    IndexManager.dropIndex(spark, "t_range")
+    assert(!IndexManager.showIndexes(spark).contains("t_range"))
+  }
+
+  test("hash index: lookup and lookupIn equal plain filters") {
+    val customer = Tables.customer(spark, sf())
+    val idx = IndexManager.hashIndexTable(spark, customer, "t_hash",
+      "c_mktsegment", numPartitions = 8)
+    val got = idx.lookup("BUILDING")
+    val want = customer.filter(col("c_mktsegment") === "BUILDING")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val got2 = idx.lookupIn(Seq("BUILDING", "MACHINERY"))
+    val want2 = customer.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+    IndexManager.dropIndex(spark, "t_hash")
+  }
+
   test("persist + load: disk index answers identically with pushed z filters") {
     val idx = freshIndex("t_disk")
     val path = java.nio.file.Files.createTempDirectory("graft_idx").toString

@@ -78,6 +78,19 @@ class SpatialOpsSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("polygonRange: ray-casting kernel equals half-plane filter, codegen path") {
+    val diamond = graft.spatial.Polygon(
+      (2000.0, 75.0), (5000.0, 5.0), (8000.0, 75.0), (5000.0, 145.0))
+    val got = cust.polygonRange(Seq("cx", "cy"), diamond)
+    val want = cust.toDF.filter(
+      abs((col("cx") - 5000.0) / 3000.0) + abs((col("cy") - 75.0) / 70.0) <= 1.0)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the predicate must run inside whole-stage codegen, not as a fallback
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("point_in_polygon"), plan)
+  }
+
   test("zknnJoin: exact distances, high recall vs exact kNN join") {
     val approx = pairSet(cust.zknnJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"),
       k = 3, leftId = "c_custkey", rightId = "s_suppkey",

@@ -169,4 +169,54 @@ class GeometrySpec extends AnyFunSuite {
       assert(Dist.furthest(p, m) === m.maxDist(p))
     }
   }
+
+  test("polygon contains: convex, concave, boundary inclusive") {
+    val square = Polygon((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    assert(square.contains(Point(5, 5)))
+    assert(square.contains(Point(0, 0)))     // vertex
+    assert(square.contains(Point(5, 0)))     // edge
+    assert(square.contains(Point(10, 10)))
+    assert(!square.contains(Point(10.0001, 5)))
+    assert(!square.contains(Point(-0.0001, 5)))
+
+    // concave "L": the notch (6..10)x(6..10) is outside
+    val ell = Polygon((0.0, 0.0), (10.0, 0.0), (10.0, 6.0), (6.0, 6.0),
+      (6.0, 10.0), (0.0, 10.0))
+    assert(ell.contains(Point(3, 3)))
+    assert(ell.contains(Point(3, 9)))
+    assert(ell.contains(Point(9, 3)))
+    assert(!ell.contains(Point(9, 9)))       // the notch
+    assert(ell.contains(Point(6, 6)))        // reflex vertex
+  }
+
+  test("polygon minDist and intersects across shape kinds") {
+    val square = Polygon((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    assert(square.minDist(Point(5, 5)) === 0.0)
+    assert(square.minDist(Point(13, 5)) === 3.0)
+    assert(square.minDist(Point(13, 14)) === 5.0) // corner distance
+    // symmetric dispatch through the Shape ADT
+    assert(Point(13, 5).minDist(square) === 3.0)
+    assert(square.intersects(MBR(Point(9, 9), Point(12, 12))))
+    assert(!square.intersects(MBR(Point(10.5, 0), Point(12, 12))))
+    assert(MBR(Point(4, 4), Point(6, 6)).intersects(square)) // box inside polygon
+    assert(square.intersects(Circle(Point(12, 5), 2.5)))
+    assert(!square.intersects(Circle(Point(12, 5), 1.5)))
+    assert(square.intersects(LineSegment(Point(-1, -1), Point(11, 11))))
+    assert(!square.intersects(LineSegment(Point(11, 0), Point(11, 11))))
+    val far = Polygon((20.0, 0.0), (30.0, 0.0), (25.0, 10.0))
+    assert(square.minDist(far) === 10.0)
+    assert(!square.intersects(far))
+    assert(square.intersects(Polygon((5.0, 5.0), (15.0, 5.0), (15.0, 15.0))))
+  }
+
+  test("property: flat-array kernel agrees with the diamond half-plane form") {
+    val r = rng
+    val diamond = Polygon((-2.0, 0.0), (0.0, -1.0), (2.0, 0.0), (0.0, 1.0))
+    (1 to 1000).foreach { _ =>
+      val x = r.nextDouble() * 6 - 3
+      val y = r.nextDouble() * 4 - 2
+      val want = math.abs(x / 2.0) + math.abs(y) <= 1.0
+      assert(Dist.pointInPolygon(x, y, diamond.flat) === want, s"($x,$y)")
+    }
+  }
 }

@@ -37,6 +37,28 @@ class StreamingOpsSpec extends SparkSpec {
       (2L, 1500L, 1500L, 1, 4.0)))
   }
 
+  test("file-stream sessionization equals SQL gaps-and-islands") {
+    val got = StreamingOps.sessionizeBatchEquivalent(spark, sf(), gapMs = 14400000L).toDF()
+    Tables.events(spark, sf()).createOrReplaceTempView("ev_sess")
+    val want = spark.sql(
+      """SELECT user_id, MIN(t) AS start_ms, MAX(t) AS end_ms,
+        |  CAST(COUNT(*) AS INT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT user_id, t, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (
+        |    SELECT user_id, event_id, unix_millis(ts) AS t, value,
+        |      CASE WHEN unix_millis(ts) - LAG(unix_millis(ts)) OVER (
+        |             PARTITION BY user_id ORDER BY unix_millis(ts), event_id) > 14400000
+        |           THEN 1 ELSE 0 END AS is_new
+        |    FROM ev_sess) f) s
+        |GROUP BY user_id, sid""".stripMargin)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("stateless library expressions compose over streams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
