@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped configuration surface, the rebuild of the reference's
+  * `simba.*` knob namespace (reference: SimbaConf.scala:111-155 — join
+  * algorithm selection, partition counts, sample rates, zKNN shifts).
+  * Values live in the session's runtime conf, so `spark.conf.set(...)`
+  * reconfigures the library without code changes, per session.
+  */
+object GraftConf {
+
+  val JoinPartitions     = "spark.graft.join.partitions"
+  val DistanceJoinAlgo   = "spark.graft.join.distanceJoin"   // auto | grid | broadcast | naive
+  val KnnJoinAlgo        = "spark.graft.join.knnJoin"        // grid | zorder | naive
+  val BroadcastThreshold = "spark.graft.join.broadcastThreshold" // row estimate
+  val SampleCap          = "spark.graft.knn.sampleCap"
+  val KnnQuantile        = "spark.graft.knn.radiusQuantile"
+  val KnnSafety          = "spark.graft.knn.radiusSafety"
+  val ZknnShifts         = "spark.graft.zknn.shifts"
+  val ZknnBits           = "spark.graft.zknn.bits"
+  val IndexPartitions    = "spark.graft.index.partitions"
+  val IndexBits          = "spark.graft.index.bits"
+
+  private def get(s: SparkSession, key: String, dflt: String): String =
+    s.conf.getOption(key).getOrElse(dflt)
+
+  def joinPartitions(s: SparkSession): Int = get(s, JoinPartitions, "32").toInt
+  def distanceJoinAlgo(s: SparkSession): String = get(s, DistanceJoinAlgo, "auto")
+  def knnJoinAlgo(s: SparkSession): String = get(s, KnnJoinAlgo, "grid")
+  def broadcastThreshold(s: SparkSession): Long = get(s, BroadcastThreshold, "1000000").toLong
+  def sampleCap(s: SparkSession): Int = get(s, SampleCap, "2000").toInt
+  def knnQuantile(s: SparkSession): Double = get(s, KnnQuantile, "0.95").toDouble
+  def knnSafety(s: SparkSession): Double = get(s, KnnSafety, "2.0").toDouble
+  def zknnShifts(s: SparkSession): Int = get(s, ZknnShifts, "2").toInt
+  def zknnBits(s: SparkSession): Int = get(s, ZknnBits, "18").toInt
+  def indexPartitions(s: SparkSession): Int = get(s, IndexPartitions, "32").toInt
+  def indexBits(s: SparkSession): Int = get(s, IndexBits, "15").toInt
+}

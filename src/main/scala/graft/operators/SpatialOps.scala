@@ -67,7 +67,7 @@ object SpatialOps {
       * distance filter. Each qualifying pair appears exactly once because
       * the left row's cell is unique. */
     def distanceJoin(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
-                     r: Double): DataFrame = {
+                     r: Double, broadcastRight: Boolean = false): DataFrame = {
       require(lKeys.length == rKeys.length && lKeys.nonEmpty)
       require(r > 0, "distance join radius must be positive")
       val l = ds.toDF
@@ -100,8 +100,35 @@ object SpatialOps {
         .map(i => col(s"${CELL}_l$i") === col(s"${CELL}_r$i")).reduce(_ && _)
       val distCond = pointDistance(lKeys.map(col), rKeys.map(col)) <= r
 
-      lTagged.join(rTagged, cellCond && distCond, "inner")
+      // broadcastRight = the reference's RDJSpark shape (replicate the
+      // small side to every holder of the big side instead of shuffling
+      // the big side; reference: execution/join/RDJSpark.scala:36-90) —
+      // here a broadcast-hash join on cell id, so the big side never moves
+      val probe = if (broadcastRight) broadcast(rTagged) else rTagged
+      lTagged.join(probe, cellCond && distCond, "inner")
         .select((l.columns ++ rt.columns).map(col): _*)
+    }
+
+    /** Distance join with the algorithm chosen by session conf
+      * (`spark.graft.join.distanceJoin` = auto | grid | broadcast | naive
+      * — the reference selects its join algorithm the same way,
+      * SimbaConf.scala:113, SimbaSessionState.scala:193-207). `auto`
+      * broadcasts when the right side's optimizer row estimate is under
+      * `spark.graft.join.broadcastThreshold`. */
+    def distanceJoinAuto(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
+                         r: Double): DataFrame = {
+      val s = ds.sparkSession
+      graft.GraftConf.distanceJoinAlgo(s) match {
+        case "grid"      => distanceJoin(right, lKeys, rKeys, r)
+        case "broadcast" => distanceJoin(right, lKeys, rKeys, r, broadcastRight = true)
+        case "naive"     => distanceJoinNaive(right, lKeys, rKeys, r)
+        case _ =>
+          val est = right.queryExecution.optimizedPlan.stats.rowCount
+            .map(_.toLong)
+            .getOrElse(right.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / 64)
+          distanceJoin(right, lKeys, rKeys, r,
+            broadcastRight = est <= graft.GraftConf.broadcastThreshold(s))
+      }
     }
 
     /** Distance join, naive θ-join (oracle/baseline): Catalyst plans a
@@ -168,6 +195,22 @@ object SpatialOps {
       val satisfied = kept.drop(DIST, "__graft_rn", "__graft_n")
       satisfied.unionByName(fallback)
     }
+
+    /** kNN join with the algorithm chosen by session conf
+      * (`spark.graft.join.knnJoin` = grid | zorder | naive; the reference's
+      * `simba.join.knnJoin` dispatch, SimbaSessionState.scala:193-207). */
+    def knnJoinAuto(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
+                    k: Int, leftId: String, rightId: String,
+                    tieBreak: Seq[String]): DataFrame =
+      graft.GraftConf.knnJoinAlgo(ds.sparkSession) match {
+        case "zorder" =>
+          val s = ds.sparkSession
+          zknnJoin(right, lKeys, rKeys, k, leftId, rightId, tieBreak,
+            shifts = graft.GraftConf.zknnShifts(s), bits = graft.GraftConf.zknnBits(s),
+            numPartitions = graft.GraftConf.joinPartitions(s))
+        case "naive" => knnJoinNaive(right, lKeys, rKeys, k, leftId, tieBreak)
+        case _       => knnJoin(right, lKeys, rKeys, k, leftId, tieBreak)
+      }
 
     /** Approximate kNN join on Morton curves (see [[SpatialOps.zknnJoinImpl]]). */
     def zknnJoin(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],

@@ -108,7 +108,16 @@ object GraftExtensions {
     "graft_l2_distance" -> (es => graft.functions.L2Distance(es(0), es(1))),
     "graft_simhash64" -> (es => graft.functions.SimHash64(es(0))),
     "graft_fingerprint64" -> (es => graft.functions.Fingerprint64(es(0))),
-    "graft_lang_id" -> (es => graft.functions.LangId(es(0))))
+    "graft_lang_id" -> (es => graft.functions.LangId(es(0))),
+    // graft_point_in_polygon(x, y, array(x0,y0,x1,y1,...)) — the ring must
+    // be a foldable literal; it is evaluated once at plan time
+    "graft_point_in_polygon" -> (es => {
+      require(es(2).foldable, "polygon ring must be a literal array")
+      val verts = es(2).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray()
+      graft.functions.PointInPolygon(es(0), es(1), verts)
+    }))
 
   /** Register the SQL functions on an existing session (temp-function
     * registry — works without session extensions). */

@@ -63,6 +63,15 @@ object Spatial {
       .select(col("c_custkey"), col("s_suppkey"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
 
+  /** Distance join, conf-selected algorithm (auto -> broadcast here: the
+    * supplier side is small, so the grid equi-join's right side ships to
+    * executors and the customer side never shuffles). */
+  def distanceJoinBc(s: SparkSession, d: String): DataFrame =
+    customerPts(s, d)
+      .distanceJoinAuto(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"), joinR)
+      .select(col("c_custkey"), col("s_suppkey"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+
   /** Exact kNN join (bounded-radius grid + fallback). */
   def knnJoin(s: SparkSession, d: String): DataFrame =
     customerPts(s, d)
@@ -100,6 +109,10 @@ object Spatial {
       s"""SELECT c_custkey, s_suppkey FROM ($custPtsSql) c, ($suppPtsSql) s
          |WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
          |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "sp_distance_join_bc" ->
+      s"""SELECT c_custkey, s_suppkey FROM ($custPtsSql) c, ($suppPtsSql) s
+         |WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
+         |ORDER BY c_custkey, s_suppkey""".stripMargin,
     "sp_knn_join" ->
       s"""SELECT c_custkey, s_suppkey FROM (
          |  SELECT c_custkey, s_suppkey,
@@ -116,6 +129,7 @@ object Spatial {
     "sp_polygon_range" -> (polygonRange _),
     "sp_knn" -> (knn _),
     "sp_distance_join" -> (distanceJoin _),
+    "sp_distance_join_bc" -> (distanceJoinBc _),
     "sp_knn_join" -> (knnJoin _)
   )
 }

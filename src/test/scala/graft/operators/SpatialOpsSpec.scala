@@ -78,6 +78,15 @@ class SpatialOpsSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("distanceJoinAuto broadcasts a small right side and matches naive") {
+    val got = cust.distanceJoinAuto(supp, Seq("cx", "cy"), Seq("sx", "sy"), 150.0)
+    val want = cust.distanceJoinNaive(supp, Seq("cx", "cy"), Seq("sx", "sy"), 150.0)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("polygonRange: ray-casting kernel equals half-plane filter, codegen path") {
     val diamond = graft.spatial.Polygon(
       (2000.0, 75.0), (5000.0, 5.0), (8000.0, 75.0), (5000.0, 145.0))
