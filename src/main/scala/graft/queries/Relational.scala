@@ -153,7 +153,73 @@ object Relational {
         countDistinct(col("l_suppkey")).as("n_supps"))
       .orderBy(col("l_returnflag"))
 
+  /** LEFT OUTER join preserving order-less customers (null-extension). */
+  def outerJoinCounts(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+      .orderBy(col("c_custkey"))
+
+  /** Scalar subquery: orders above their segment's average price. */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM orders)
+        |  AND o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** HAVING: nations with more than 40 customers. */
+  def havingClause(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 40)
+      .orderBy(col("c_nationkey"))
+
+  /** UNION ALL with a discriminator column. */
+  def unionAll(s: SparkSession, d: String): DataFrame = {
+    val hi = orders(s, d).filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), lit("high").as("band"))
+    val lo = orders(s, d).filter(col("o_totalprice") < 1000.0)
+      .select(col("o_orderkey"), lit("low").as("band"))
+    hi.unionAll(lo).orderBy(col("o_orderkey"), col("band"))
+  }
+
+  /** NOT EXISTS via left-anti join: customers with no orders at all. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
   val oracles: Map[String, String] = Map(
+    "q16_outer_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        | COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q17_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM orders)
+        |  AND o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q18_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n FROM customer
+        |GROUP BY c_nationkey HAVING COUNT(*) > 40 ORDER BY c_nationkey""".stripMargin,
+    "q19_union_all" ->
+      """SELECT o_orderkey, 'high' AS band FROM orders WHERE o_totalprice > 400000.0
+        |UNION ALL
+        |SELECT o_orderkey, 'low' AS band FROM orders WHERE o_totalprice < 1000.0
+        |ORDER BY o_orderkey, band""".stripMargin,
+    "q20_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q9_sql_mode" -> sqlModeStmt,
     "q10_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
@@ -238,6 +304,11 @@ object Relational {
     "q11_intersect" -> (intersectBands _),
     "q12_string_funcs" -> (stringFuncs _),
     "q13_date_funcs" -> (dateFuncs _),
-    "q14_distinct_counts" -> (distinctCounts _)
+    "q14_distinct_counts" -> (distinctCounts _),
+    "q16_outer_join" -> (outerJoinCounts _),
+    "q17_scalar_subquery" -> (scalarSubquery _),
+    "q18_having" -> (havingClause _),
+    "q19_union_all" -> (unionAll _),
+    "q20_anti_join" -> (antiJoin _)
   )
 }
