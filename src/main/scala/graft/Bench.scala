@@ -29,6 +29,15 @@ object Bench {
       customerPts(s, d).distanceJoinNaive(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"), 100.0)),
     "b4_distance_join_grid" -> ((s: SparkSession, d: String) =>
       customerPts(s, d).distanceJoin(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"), 100.0)),
+    // B4L: distance join with BOTH sides large (15k x 15k at sf0.1 —
+    // the naive cross product is 225M pairs; the grid join's pair space
+    // is only the ~3x3-cell neighborhoods). This is the 100 TB shape.
+    "b4l_distance_join_self_naive" -> ((s: SparkSession, d: String) =>
+      customerPts(s, d).distanceJoinNaive(renamedCust(s, d), Seq("cx", "cy"),
+        Seq("c2x", "c2y"), 50.0)),
+    "b4l_distance_join_self_grid" -> ((s: SparkSession, d: String) =>
+      customerPts(s, d).distanceJoin(renamedCust(s, d), Seq("cx", "cy"),
+        Seq("c2x", "c2y"), 50.0)),
     // B5: kNN join — windowed cross vs bounded-radius grid
     "b5_knn_join_naive" -> ((s: SparkSession, d: String) =>
       customerPts(s, d).knnJoinNaive(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
@@ -36,6 +45,9 @@ object Bench {
     "b5_knn_join_grid" -> ((s: SparkSession, d: String) =>
       customerPts(s, d).knnJoin(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
         3, "c_custkey", Seq("s_suppkey"))),
+    "b5_knn_join_zorder" -> ((s: SparkSession, d: String) =>
+      customerPts(s, d).zknnJoin(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
+        3, "c_custkey", "s_suppkey", Seq("s_suppkey"))),
     // B6: embedding similarity — exact pair join vs LSH-blocked; brute top-k
     "b6_sim_join_exact" -> ((s: SparkSession, d: String) => {
       val r = embeddings(s, d).select(col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
@@ -60,6 +72,10 @@ object Bench {
     "b9_q1_agg" -> ((s: SparkSession, d: String) =>
       graft.queries.Relational.pricingSummary(s, d))
   )
+
+  private def renamedCust(s: SparkSession, d: String): DataFrame =
+    customerPts(s, d).select(col("c_custkey").as("c2_custkey"),
+      col("cx").as("c2x"), col("cy").as("c2y"))
 
   /** Indexed-path timings: build once (reported), then query. */
   private def indexedPhase(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
