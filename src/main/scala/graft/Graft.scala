@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.index.{HashIndexedTable, IndexManager, IndexedTable, RangeIndexedTable}
+
+/** Session facade — the migration surface for users of the reference
+  * engine's `SimbaSession` index DDL (reference: SimbaSession.scala:40-89:
+  * `indexTable`, `showIndex`, `persistIndex`, `loadIndex`,
+  * `dropIndexTableByName`, `clearIndex`, `hasIndex`). The reference
+  * subclasses SparkSession to attach these; on Spark 4 they live on a
+  * facade keyed by the session (SURVEY.md §1.4, §7.2 hard-part #3).
+  *
+  * Spatial/vector/text verbs come from the implicit ops imports:
+  * {{{
+  *   import graft.operators.SpatialOps._
+  *   Graft.install(spark)                  // optimizer rule + SQL functions
+  *   val idx = Graft.indexTable(spark, df, "pts", Seq("x", "y"))
+  *   df.range(Array("x","y"), Array(0,0), Array(10,10))
+  * }}}
+  */
+object Graft {
+
+  /** Install the index-substitution optimizer rule and `graft_*` SQL
+    * functions on a live session. Idempotent. */
+  def install(spark: SparkSession): Unit = plans.GraftExtensions.install(spark)
+
+  def indexTable(spark: SparkSession, df: DataFrame, name: String,
+                 keyCols: Seq[String]): IndexedTable =
+    IndexManager.indexTable(spark, df, name, keyCols,
+      GraftConf.indexPartitions(spark), GraftConf.indexBits(spark))
+
+  def rangeIndexTable(spark: SparkSession, df: DataFrame, name: String,
+                      keyCol: String): RangeIndexedTable =
+    IndexManager.rangeIndexTable(spark, df, name, keyCol, GraftConf.indexPartitions(spark))
+
+  def hashIndexTable(spark: SparkSession, df: DataFrame, name: String,
+                     keyCol: String): HashIndexedTable =
+    IndexManager.hashIndexTable(spark, df, name, keyCol, GraftConf.indexPartitions(spark))
+
+  def showIndex(spark: SparkSession): Seq[String] = IndexManager.showIndexes(spark)
+  def hasIndex(spark: SparkSession, name: String): Boolean = IndexManager.hasIndex(spark, name)
+  def dropIndexTableByName(spark: SparkSession, name: String): Unit =
+    IndexManager.dropIndex(spark, name)
+  def clearIndex(spark: SparkSession): Unit = IndexManager.clearIndex(spark)
+  def persistIndex(idx: IndexedTable, path: String): Unit = IndexManager.persistIndex(idx, path)
+  def loadIndex(spark: SparkSession, name: String, path: String): IndexedTable =
+    IndexManager.loadIndex(spark, name, path)
+}

@@ -38,6 +38,22 @@ object SpatialOps {
     def boxRange(keys: Seq[String], low: Seq[Double], high: Seq[Double]): DataFrame =
       ds.toDF.filter(inBox(keys.map(col), low, high))
 
+    // Array-typed aliases matching the reference verb signatures verbatim
+    // (reference: DataSet.scala:56-78 `range`, :84-96 `knn`, :105-126
+    // `circleRange`, :131-170 joins) so reference call sites port 1:1.
+    def range(keys: Array[String], point1: Array[Double], point2: Array[Double]): DataFrame =
+      boxRange(keys.toSeq, point1.toSeq, point2.toSeq)
+    def circleRange(keys: Array[String], center: Array[Double], r: Double): DataFrame =
+      circleRange(keys.toSeq, center.toSeq, r)
+    def knn(keys: Array[String], center: Array[Double], k: Int): DataFrame =
+      knn(keys.toSeq, center.toSeq, k)
+    def distanceJoin(right: Dataset[_], leftKeys: Array[String],
+                     rightKeys: Array[String], r: Double): DataFrame =
+      distanceJoin(right, leftKeys.toSeq, rightKeys.toSeq, r)
+    def knnJoin(right: Dataset[_], leftKeys: Array[String], rightKeys: Array[String],
+                k: Int, leftId: String): DataFrame =
+      knnJoin(right, leftKeys.toSeq, rightKeys.toSeq, k, leftId, Nil)
+
     /** Rows within distance r of center (inclusive). */
     def circleRange(keys: Seq[String], center: Seq[Double], r: Double): DataFrame =
       ds.toDF.filter(inCircle(keys.map(col), center, r))

@@ -78,6 +78,19 @@ class SpatialOpsSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("reference-parity Array verbs and Graft facade delegate correctly") {
+    val viaArray = cust.range(Array("cx", "cy"), Array(2000.0, 0.0), Array(4000.0, 200.0))
+    val viaSeq = cust.boxRange(Seq("cx", "cy"), Seq(2000.0, 0.0), Seq(4000.0, 200.0))
+    assert(viaArray.exceptAll(viaSeq).isEmpty && viaSeq.exceptAll(viaArray).isEmpty)
+    val k = cust.knn(Array("cx", "cy"), Array(5000.0, 75.0), 5)
+    assert(k.count() === 5)
+    graft.Graft.indexTable(spark, cust, "t_facade", Seq("cx", "cy"))
+    assert(graft.Graft.hasIndex(spark, "t_facade"))
+    assert(graft.Graft.showIndex(spark).contains("t_facade"))
+    graft.Graft.dropIndexTableByName(spark, "t_facade")
+    assert(!graft.Graft.hasIndex(spark, "t_facade"))
+  }
+
   test("distanceJoinAuto broadcasts a small right side and matches naive") {
     val got = cust.distanceJoinAuto(supp, Seq("cx", "cy"), Seq("sx", "sy"), 150.0)
     val want = cust.distanceJoinNaive(supp, Seq("cx", "cy"), Seq("sx", "sy"), 150.0)
