@@ -282,14 +282,10 @@ final class IndexedTable(
     }
     if (covered < k) return ordered(data).select(output: _*) // fewer than k rows total
 
-    var candidates = circleRange(center, r)
-    var n = candidates.count()
-    while (n < k) { // theoretical safety net; r already covers k by construction
-      r *= 2
-      candidates = circleRange(center, r)
-      n = candidates.count()
-    }
-    ordered(candidates)
+    // r = max furthest-corner over the partitions walked, and those
+    // partitions alone hold >= k rows, so the circle is guaranteed to
+    // contain >= k rows — no count-and-expand round trips needed
+    ordered(circleRange(center, r))
   }
 
   /** Partitions whose MBR intersects the query box — exposes the
