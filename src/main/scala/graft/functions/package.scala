@@ -96,6 +96,15 @@ package object functions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish token pattern: letter runs, digit runs, single non-space
+    * punctuation — the word-boundary pre-split BPE vocabularies use.
+    * ASCII classes only so Java and RE2-based engines agree. */
+  val bpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+  /** Sub-word-ish token count over [[bpeTokenPattern]]. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0))).cast("long")
+
   def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column = {
     val tk = tokens(text)
     size(filter(tk, t => t.isin(stop: _*))).cast("double") / size(tk)

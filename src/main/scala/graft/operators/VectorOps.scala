@@ -52,6 +52,43 @@ object VectorOps {
         .limit(k)
     }
 
+    /** Approximate top-k, IVF-style: a coarse quantizer of `nlist`
+      * deterministically-sampled centroid vectors partitions the
+      * collection into cells (argmax-cosine assignment, all codegen'd
+      * column arithmetic); a query exactly re-ranks only the `nprobe`
+      * cells whose centroids are nearest to it. At scale, writing the
+      * data partitioned by `__cell` turns the probe into partition
+      * pruning — the classic IVF index layout on Spark primitives. */
+    def cosineTopKIvf(vecCol: String, idCol: String, query: Array[Float],
+                      k: Int, nlist: Int = 16, nprobe: Int = 4,
+                      seed: Long = 42L): DataFrame = {
+      require(nlist >= 1 && nprobe >= 1)
+      val df = ds.toDF
+      // nlist rows to the driver — bounded like RangePartitioner's sketch
+      val centroids = df
+        .select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol), lit(seed)))
+        .limit(nlist)
+        .collect()
+        .map(_.getSeq[Float](1).toArray)
+      val cosToCentroids = array(centroids.map(c =>
+        cosineSimilarity(col(vecCol), lit(c))): _*)
+      val withCos = df.withColumn("__graft_cos", cosToCentroids)
+        .withColumn("__cell",
+          array_position(col("__graft_cos"), array_max(col("__graft_cos"))))
+      val qCos = centroids.map(c => graft.functions.VectorKernels.cosineF(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(query),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(c)))
+      val probes = qCos.zipWithIndex.sortBy(-_._1).take(nprobe)
+        .map(_._2 + 1L) // array_position is 1-based
+      withCos
+        .filter(col("__cell").isin(probes: _*))
+        .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
+        .orderBy(col("cos").desc, col(idCol).asc)
+        .limit(k)
+        .drop("__graft_cos", "__cell")
+    }
+
     /** Exact all-pairs similarity join (cosine >= threshold) against
       * `right`. Cross product + codegen'd kernel filter; correct at any
       * threshold, quadratic by nature — the oracle/baseline path. Spark

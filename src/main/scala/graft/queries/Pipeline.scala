@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.functions.{cosineSimilarity, fingerprint64, langId, qualityScore, stopwordRatio, distinctTokenRatio, tokenCount}
+import graft.functions.{bpeTokenCount, cosineSimilarity, fingerprint64, langId, qualityScore, stopwordRatio, distinctTokenRatio, tokenCount}
 import graft.operators.DedupOps._
 import graft.operators.VectorOps._
 
@@ -62,6 +62,14 @@ object Pipeline {
       qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Whitespace vs BPE-ish token counts side by side. */
+  def tokenCountsQ(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_ws_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
   def langIdQ(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
       col("doc_id"), col("lang"),
@@ -85,6 +93,13 @@ object Pipeline {
     embeddings(s, d)
       .cosineTopKLsh("embedding", "vec_id", queryVec(s, d), 10,
         planes = 16, bandBits = 4)
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("vec_id"))
+
+  def annIvfTopKQ(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .cosineTopKIvf("embedding", "vec_id", queryVec(s, d), 10,
+        nlist = 16, nprobe = 4)
       .select(col("vec_id"), col("cos"))
       .orderBy(col("vec_id"))
 
@@ -133,6 +148,11 @@ object Pipeline {
         |        t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
         |     / len(regexp_split_to_array(trim(text), '\s+'))) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_token_counts" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ann_brute_topk" ->
       s"""SELECT vec_id, cos FROM (
          |  WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -156,9 +176,11 @@ object Pipeline {
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_emb_near_dup" -> (embNearDupQ _),
     "tx_stats" -> (textStatsQ _),
+    "tx_token_counts" -> (tokenCountsQ _),
     "tx_langid_fingerprint" -> (langIdQ _),
     "ann_brute_topk" -> (annBruteTopKQ _),
     "ann_lsh_topk" -> (annLshTopKQ _),
+    "ann_ivf_topk" -> (annIvfTopKQ _),
     "emb_sim_join" -> (simJoinExactQ _)
   )
 }

@@ -75,5 +75,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.head._1 === 0L && got.head._2 === 1.0)
   }
 
+  test("cosineTopKIvf: exact scores, self in top-1, decent recall at nprobe=8") {
+    val q = all.find(_._1 == 0L).get._2
+    val got = emb.cosineTopKIvf("embedding", "vec_id", q, 10, nlist = 16, nprobe = 8)
+      .select("vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, c) => assert(c === cosScala(byIdOf(id), q)) }
+    assert(got.head._1 === 0L && got.head._2 === 1.0)
+    val want = all.map { case (id, v) => (id, cosScala(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val recall = got.map(_._1).count(want).toDouble / want.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   private def byIdOf(id: Long): Array[Float] = all.find(_._1 == id).get._2
 }
