@@ -44,6 +44,10 @@ object Advanced {
     StreamingOps.sessionizeBatchEquivalent(s, d, gapMs = 14400000L).toDF()
       .orderBy(col("user_id"), col("start_ms"))
 
+  /** Streaming exact dedup (dropDuplicates state over a file stream). */
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    StreamingOps.streamDedupCounts(s, d).orderBy(col("lang"))
+
   /** 1-D range index over order totals (TreeMap/Treap-analogue path). */
   def rangeIndexQ(s: SparkSession, d: String): DataFrame =
     IndexManager.rangeIndexTable(s, orders(s, d), s"orders_price:$d", "o_totalprice")
@@ -122,6 +126,12 @@ object Advanced {
         |      FROM events) f) s
         |  GROUP BY user_id, sid) t
         |ORDER BY user_id, start_ms""".stripMargin,
+    // duplicates never span langs (within-lang duplication by
+    // construction), so per-lang distinct-text counts are exactly the
+    // post-dedup per-lang row counts whichever duplicate survives
+    "st_stream_dedup" ->
+      """SELECT lang, COUNT(DISTINCT text) AS n_unique FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "sp_range_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 60000.0
@@ -137,6 +147,7 @@ object Advanced {
     "sp_knn_indexed" -> (knnIndexed _),
     "q8_events_hourly_stream" -> (eventsHourlyStream _),
     "st_sessions" -> (sessionsStream _),
+    "st_stream_dedup" -> (streamDedup _),
     "sp_range_index" -> (rangeIndexQ _),
     "sp_hash_index" -> (hashIndexQ _),
     "sp_zknn_join" -> (zknnJoinQ _),

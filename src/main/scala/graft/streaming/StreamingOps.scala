@@ -60,6 +60,32 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Streaming exact dedup: `dropDuplicates` on the text column over the
+    * documents file stream (state = seen keys), reduced to a per-lang
+    * count so the output is deterministic regardless of which duplicate
+    * row survives micro-batch ordering. */
+  def streamDedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val staged = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val sinkName = s"graft_dedup_${System.nanoTime()}"
+    val q = spark.readStream
+      .schema(batchSchema)
+      .parquet(staged.toString)
+      .dropDuplicates("text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, total: java.math.BigDecimal)

@@ -59,6 +59,19 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("spatial predicates compose over streams (stateless filters)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Double)]
+    input.addData((1L, 1.0, 1.0), (2L, 5.0, 5.0), (3L, 20.0, 20.0))
+    import graft.operators.SpatialOps._
+    val out = input.toDS().toDF("id", "x", "y")
+      .boxRange(Seq("x", "y"), Seq(0.0, 0.0), Seq(10.0, 10.0))
+      .writeStream.outputMode("append").format("memory").queryName("spst").start()
+    out.processAllAvailable(); out.stop()
+    assert(spark.table("spst").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("stateless library expressions compose over streams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
