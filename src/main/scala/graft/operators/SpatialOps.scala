@@ -342,30 +342,60 @@ object SpatialOps {
 
   /** Estimate the kNN-join radius from bounded samples of both sides.
     * Sample sizes are capped (like RangePartitioner's sketch), so the
-    * driver work is O(cap²) regardless of table size. */
+    * driver work is O(cap²) regardless of table size.
+    *
+    * Seeing only a fraction f of the right side inflates the sampled
+    * kth-NN distance by ~f^(-1/d) (kth-NN distance scales with local
+    * density^(-1/d)), which once cost a 50x candidate blow-up at a 10%
+    * sample; the density correction multiplies it back down. The
+    * estimate only affects performance — the exact fallback in knnJoin
+    * guarantees correctness whatever theta comes out. */
   private[operators] def estimateKnnRadius(
       l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
       k: Int, cap: Int, quantile: Double, safety: Double): Double = {
     val lPts = samplePoints(l, lKeys, cap)
-    val rPts = samplePoints(r, rKeys, cap)
+    val (rPts, rFrac) = samplePointsWithFraction(r, rKeys, cap)
     require(rPts.nonEmpty, "kNN join: right side is empty")
-    // If we only see a fraction f of the right side, the kth NN in the
-    // sample overestimates the true kth NN distance, so the bound stays safe.
     val dists = lPts.map { p =>
       val ds = rPts.map(q => graft.spatial.Dist.pointToPoint(p, q)).sorted
       ds(math.min(k, ds.length) - 1)
     }.sorted
     val idx = math.min(dists.length - 1, (quantile * dists.length).toInt)
-    math.max(dists(idx) * safety, 1e-9)
+    val densityCorrection = math.pow(rFrac, 1.0 / lKeys.length)
+    math.max(dists(idx) * densityCorrection * safety, 1e-9)
   }
 
+  private def toPts(rows: Array[org.apache.spark.sql.Row], dims: Int): Array[Array[Double]] =
+    rows.map(row => Array.tabulate(dims)(row.getDouble))
+
+  /** Deterministic bounded sample (no fraction bookkeeping — used for the
+    * side whose sampling doesn't bias the density estimate). One
+    * `limit(cap+1)` probe takes small tables whole; larger tables get a
+    * seeded sample capped at `cap`. */
   private def samplePoints(df: DataFrame, keys: Seq[String], cap: Int): Array[Array[Double]] = {
     val projected = df.select(keys.map(c => col(c).cast("double")): _*).na.drop("any")
-    // deterministic, bounded: take the first `cap` rows of a seeded sample
-    // union'd with a plain head, so tiny tables still yield rows
-    val rows = projected.sample(withReplacement = false, 0.1, 42).limit(cap).collect()
-    val base = if (rows.length >= math.min(cap, 100)) rows
-               else projected.limit(cap).collect()
-    base.map(row => Array.tabulate(keys.length)(row.getDouble))
+    val head = projected.limit(cap + 1).collect()
+    if (head.length <= cap) toPts(head, keys.length)
+    else {
+      val sampled = projected.sample(withReplacement = false, 0.1, 42).limit(cap).collect()
+      toPts(if (sampled.nonEmpty) sampled else head.take(cap), keys.length)
+    }
+  }
+
+  /** Deterministic bounded sample plus the fraction of the table it
+    * represents. Tables at or under the cap are taken whole — detected
+    * with a single `limit(cap+1)` probe, no count job — giving exact
+    * local densities (fraction 1); only genuinely larger tables pay one
+    * count() to size the sampling fraction. */
+  private def samplePointsWithFraction(df: DataFrame, keys: Seq[String],
+                                       cap: Int): (Array[Array[Double]], Double) = {
+    val projected = df.select(keys.map(c => col(c).cast("double")): _*).na.drop("any")
+    val head = projected.limit(cap + 1).collect()
+    if (head.length <= cap) return (toPts(head, keys.length), 1.0)
+    val total = projected.count()
+    val frac = math.min(1.0, cap.toDouble * 1.2 / total)
+    val sampled = projected.sample(withReplacement = false, frac, 42).limit(cap).collect()
+    val rows = if (sampled.nonEmpty) sampled else head.take(cap)
+    (toPts(rows, keys.length), rows.length.toDouble / total)
   }
 }
