@@ -275,27 +275,43 @@ object SpatialOps {
       Array.fill(dims)(0.0) +: Seq.fill(math.max(0, shifts - 1))(
         Array.tabulate(dims)(i => rng.nextDouble() * span(i)))
 
-    val candidateBatches = shiftVecs.map { sv =>
-      // fixed quantization grid [lo, hi + span] for every shift — shifting
-      // the points but NOT the grid is what moves the curve discontinuities
-      def zcol(keys: Seq[String]): Column =
-        zorder(keys.indices.map(i => col(keys(i)) + lit(sv(i))),
-          lo.indices.map(i => lo(i)), lo.indices.map(i => hi(i) + span(i)), bits)
-      val lz = l.select(lit(0).as("__side"), col(leftId).cast("long").as("__id"),
-        zcol(lKeys).as("__z"))
-      val rz = r.select(lit(1).as("__side"), col(rightId).cast("long").as("__id"),
-        zcol(rKeys).as("__z"))
-      val merged = lz.unionByName(rz)
-        .repartitionByRange(numPartitions, col("__z"))
-        .sortWithinPartitions(col("__z"))
-      merged.select("__side", "__id").as[(Int, Long)].mapPartitions { it =>
-        // one ordered pass: each LEFT pairs with the k nearest RIGHTs
-        // before and after it in z-order within the partition
+    // ALL shifts ride one shuffle: each row explodes to (shift, z) pairs
+    // and range-partitions on (shift, z), so adding shifts adds rows, not
+    // extra shuffle pipelines. The quantization grid [lo, hi + span] is
+    // fixed for every shift — shifting the points but NOT the grid is
+    // what moves the curve discontinuities between shifts.
+    def zcols(keys: Seq[String]): Column = array(shiftVecs.zipWithIndex.map {
+      case (sv, si) =>
+        struct(lit(si).as("s"),
+          zorder(keys.indices.map(i => col(keys(i)) + lit(sv(i))),
+            lo.indices.map(i => lo(i)), lo.indices.map(i => hi(i) + span(i)),
+            bits).as("z"))
+    }: _*)
+    val lz = l.select(lit(0).as("__side"), col(leftId).cast("long").as("__id"),
+      explode(zcols(lKeys)).as("__sz"))
+    val rz = r.select(lit(1).as("__side"), col(rightId).cast("long").as("__id"),
+      explode(zcols(rKeys)).as("__sz"))
+    val merged = lz.unionByName(rz)
+      .select(col("__side"), col("__id"),
+        col("__sz.s").as("__s"), col("__sz.z").as("__z"))
+      .repartitionByRange(numPartitions, col("__s"), col("__z"))
+      .sortWithinPartitions(col("__s"), col("__z"))
+    val candidates = merged.select("__side", "__id", "__s")
+      .as[(Int, Long, Int)].mapPartitions { it =>
+        // one ordered pass per shift run: each LEFT pairs with the k
+        // nearest RIGHTs before and after it in z-order; state resets at
+        // shift boundaries (a partition may span the end of one shift's
+        // range and the start of the next)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        val lastRights = new java.util.ArrayDeque[Long](k)
-        // lefts still owed `following` rights
-        val pending = scala.collection.mutable.Queue.empty[(Long, Array[Int])]
-        it.foreach { case (side, id) =>
+        var lastRights = new java.util.ArrayDeque[Long](k)
+        var pending = scala.collection.mutable.Queue.empty[(Long, Array[Int])]
+        var curShift = -1
+        it.foreach { case (side, id, s) =>
+          if (s != curShift) {
+            curShift = s
+            lastRights = new java.util.ArrayDeque[Long](k)
+            pending = scala.collection.mutable.Queue.empty[(Long, Array[Int])]
+          }
           if (side == 0) {
             val itr = lastRights.iterator()
             while (itr.hasNext) out += ((id, itr.next()))
@@ -310,10 +326,7 @@ object SpatialOps {
           }
         }
         out.iterator
-      }.toDF("__lid", "__rid")
-    }
-
-    val candidates = candidateBatches.reduce(_ unionByName _).distinct()
+      }.toDF("__lid", "__rid").distinct()
 
     // exact re-rank: join coordinates back, true distance, top-k per left
     val joined = candidates
