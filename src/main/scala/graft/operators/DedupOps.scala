@@ -63,19 +63,23 @@ object DedupOps {
         struct(lit(b).as("band"),
           xxhash64(slice(col("__sig"), b * rows + 1, rows)).as("bucket"))
       }
+      // candidate generation touches ONLY (id, band, bucket) — the texts
+      // never ride the banded join or the pair dedup (at corpus scale
+      // that would shuffle every document once per band); they join back
+      // onto the surviving candidate pairs for the exact verify
       val banded = doc
-        .select(col(idCol), col(textCol), explode(array(bandStructs: _*)).as("__b"))
-        .select(col(idCol), col(textCol),
+        .select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+        .select(col(idCol),
           col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
-
-      val l = banded.select(col(idCol).as("id1"), col(textCol).as("__t1"),
-        col("__band"), col("__bucket"))
-      val r = banded.select(col(idCol).as("id2"), col(textCol).as("__t2"),
-        col("__band"), col("__bucket"))
-      l.join(r, Seq("__band", "__bucket"))
+      val l = banded.select(col(idCol).as("id1"), col("__band"), col("__bucket"))
+      val r = banded.select(col(idCol).as("id2"), col("__band"), col("__bucket"))
+      val pairs = l.join(r, Seq("__band", "__bucket"))
         .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), col("__t1"), col("__t2"))
+        .select(col("id1"), col("id2"))
         .distinct()
+      val t1 = ds.toDF.select(col(idCol).as("id1"), col(textCol).as("__t1"))
+      val t2 = ds.toDF.select(col(idCol).as("id2"), col(textCol).as("__t2"))
+      pairs.join(t1, Seq("id1")).join(t2, Seq("id2"))
         .withColumn("jaccard", shingleJaccard(col("__t1"), col("__t2"), shingle))
         .filter(col("jaccard") >= threshold)
         .select(col("id1"), col("id2"), col("jaccard"))

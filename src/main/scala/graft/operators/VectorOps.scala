@@ -119,18 +119,21 @@ object VectorOps {
         struct(lit(b).as("band"),
           shiftrightunsigned(col("__sk"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
       }
+      // candidates touch only (id, band, key); vectors join back onto the
+      // deduped pairs for the exact verify (never ride the banded join)
       val banded = doc
-        .select(col(idCol), col(vecCol), explode(array(bandStructs: _*)).as("__b"))
-        .select(col(idCol), col(vecCol),
+        .select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+        .select(col(idCol),
           col("__b.band").as("__band"), col("__b.key").as("__key"))
-      val l = banded.select(col(idCol).as("id1"), col(vecCol).as("__v1"),
-        col("__band"), col("__key"))
-      val r = banded.select(col(idCol).as("id2"), col(vecCol).as("__v2"),
-        col("__band"), col("__key"))
-      l.join(r, Seq("__band", "__key"))
+      val l = banded.select(col(idCol).as("id1"), col("__band"), col("__key"))
+      val r = banded.select(col(idCol).as("id2"), col("__band"), col("__key"))
+      val pairs = l.join(r, Seq("__band", "__key"))
         .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), col("__v1"), col("__v2"))
+        .select(col("id1"), col("id2"))
         .distinct()
+      val v1 = ds.toDF.select(col(idCol).as("id1"), col(vecCol).as("__v1"))
+      val v2 = ds.toDF.select(col(idCol).as("id2"), col(vecCol).as("__v2"))
+      pairs.join(v1, Seq("id1")).join(v2, Seq("id2"))
         .withColumn("cos", cosineSimilarity(col("__v1"), col("__v2")))
         .filter(col("cos") >= threshold)
         .select(col("id1"), col("id2"), col("cos"))
