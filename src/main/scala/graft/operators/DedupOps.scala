@@ -28,15 +28,16 @@ object DedupOps {
   implicit class DatasetDedupOps[T](private val ds: Dataset[T]) extends AnyVal {
 
     /** Exact dedup: keep, per distinct value of `textCol`, the row with
-      * the smallest `idCol`. Grouping key is xxhash64(text) + text
-      * equality, so the shuffle key is 8 bytes regardless of doc size. */
+      * the smallest `idCol`. A `min_by` aggregation, not a window: the
+      * partial-aggregate (map-side combine) collapses duplicates before
+      * the shuffle, so at most one row per distinct text per mapper moves
+      * — a window would shuffle every row. */
     def exactDedup(textCol: String, idCol: String): DataFrame = {
-      val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
-        .orderBy(col(idCol).asc)
-      ds.toDF
-        .withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") === 1)
-        .drop("__graft_rn")
+      val df = ds.toDF
+      val all = struct(df.columns.map(col): _*)
+      df.groupBy(xxhash64(col(textCol)), col(textCol))
+        .agg(min_by(all, col(idCol)).as("__row"))
+        .select(df.columns.map(c => col(s"__row.$c").as(c)): _*)
     }
 
     /** MinHash-LSH near-dup candidate pairs, exactly verified.

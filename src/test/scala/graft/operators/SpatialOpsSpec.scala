@@ -78,6 +78,25 @@ class SpatialOpsSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("knnJoinAuto dispatches on spark.graft.join.knnJoin") {
+    val base = pairSet(cust.knnJoinNaive(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      3, "c_custkey", Seq("s_suppkey")))
+    try {
+      spark.conf.set(graft.GraftConf.KnnJoinAlgo, "naive")
+      val viaNaive = pairSet(cust.knnJoinAuto(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+        3, "c_custkey", "s_suppkey", Seq("s_suppkey")))
+      assert(viaNaive === base)
+      spark.conf.set(graft.GraftConf.KnnJoinAlgo, "grid")
+      val viaGrid = pairSet(cust.knnJoinAuto(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+        3, "c_custkey", "s_suppkey", Seq("s_suppkey")))
+      assert(viaGrid === base)
+      spark.conf.set(graft.GraftConf.KnnJoinAlgo, "zorder")
+      val viaZ = cust.knnJoinAuto(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+        3, "c_custkey", "s_suppkey", Seq("s_suppkey"))
+      assert(viaZ.count() === base.size) // approximate: k rows per left
+    } finally spark.conf.unset(graft.GraftConf.KnnJoinAlgo)
+  }
+
   test("reference-parity Array verbs and Graft facade delegate correctly") {
     val viaArray = cust.range(Array("cx", "cy"), Array(2000.0, 0.0), Array(4000.0, 200.0))
     val viaSeq = cust.boxRange(Seq("cx", "cy"), Seq(2000.0, 0.0), Seq(4000.0, 200.0))
