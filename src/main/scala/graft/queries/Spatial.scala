@@ -80,6 +80,19 @@ object Spatial {
       .select(col("c_custkey"), col("s_suppkey"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
 
+  /** Spatio-temporal selection: spatial box + time window over the
+    * events stream table — the layer the reference lists as "developing"
+    * and never shipped (reference README.md:22-24; SURVEY.md §2.5). Pure
+    * composition: both predicates are pushdown-able conjuncts. */
+  def spatioTemporal(s: SparkSession, d: String): DataFrame =
+    eventsPts(s, d)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .boxRange(Seq("ex", "ey"), Seq(100.0, 40.0), Seq(300.0, 110.0))
+      .select(col("event_id"), col("ex"), col("ey"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .orderBy(col("event_id"))
+
   private val custPtsSql =
     "SELECT c_custkey, c_acctbal AS cx, CAST(c_custkey % 1000 AS DOUBLE) AS cy FROM customer"
   private val suppPtsSql =
@@ -98,6 +111,16 @@ object Spatial {
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
          |ORDER BY c_custkey""".stripMargin,
+    "sp_spatiotemporal" ->
+      """SELECT event_id, value AS ex,
+        | CAST(user_id % 1000 AS DOUBLE) AS ey,
+        | epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND value >= 100.0 AND value <= 300.0
+        |  AND (user_id % 1000) >= 40 AND (user_id % 1000) <= 110
+        |ORDER BY event_id""".stripMargin,
     "sp_knn" ->
       s"""SELECT * FROM (
          |  SELECT * FROM ($custPtsSql) c
@@ -127,6 +150,7 @@ object Spatial {
     "sp_box_range" -> (boxRange _),
     "sp_circle_range" -> (circleRange _),
     "sp_polygon_range" -> (polygonRange _),
+    "sp_spatiotemporal" -> (spatioTemporal _),
     "sp_knn" -> (knn _),
     "sp_distance_join" -> (distanceJoin _),
     "sp_distance_join_bc" -> (distanceJoinBc _),
