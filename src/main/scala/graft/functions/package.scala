@@ -47,6 +47,22 @@ package object functions {
     bbox && dist <= r
   }
 
+  /** Distance from point (x, y) to the segment [a, b]: clamp the
+    * projection parameter to [0,1], measure to the projected point.
+    * Pure column arithmetic in a fixed shape, so a SQL oracle using the
+    * identical formula matches bit-for-bit (kernel twin:
+    * graft.spatial.Dist.pointToSegment). */
+  def distanceToSegment(x: Column, y: Column,
+                        ax: Double, ay: Double, bx: Double, by: Double): Column = {
+    val len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+    require(len2 > 0, "degenerate segment")
+    val t = least(greatest(((x - lit(ax)) * lit(bx - ax) + (y - lit(ay)) * lit(by - ay))
+      / lit(len2), lit(0.0)), lit(1.0))
+    val px = lit(ax) + t * lit(bx - ax)
+    val py = lit(ay) + t * lit(by - ay)
+    sqrt((x - px) * (x - px) + (y - py) * (y - py))
+  }
+
   /** Polygon containment predicate, boundary inclusive. The polygon's
     * bounding-box conjuncts are redundant with the exact test but ARE
     * pushdown-able, so the parquet scan prunes first (same discipline as

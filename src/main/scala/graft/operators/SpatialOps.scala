@@ -58,6 +58,20 @@ object SpatialOps {
     def circleRange(keys: Seq[String], center: Seq[Double], r: Double): DataFrame =
       ds.toDF.filter(inCircle(keys.map(col), center, r))
 
+    /** Rows within distance r of the 2-D segment [a, b] (inclusive). The
+      * segment's r-inflated bounding box rides along as pushdown-able
+      * conjuncts (same discipline as circleRange). */
+    def segmentRange(keys: Seq[String], a: (Double, Double), b: (Double, Double),
+                     r: Double): DataFrame = {
+      require(keys.length == 2, "segmentRange is 2-D only")
+      val (x, y) = (col(keys(0)), col(keys(1)))
+      val bbox = inBox(Seq(x, y),
+        Seq(math.min(a._1, b._1) - r, math.min(a._2, b._2) - r),
+        Seq(math.max(a._1, b._1) + r, math.max(a._2, b._2) + r))
+      ds.toDF.filter(bbox &&
+        distanceToSegment(x, y, a._1, a._2, b._1, b._2) <= r)
+    }
+
     /** Rows whose 2-D point lies inside the polygon (boundary inclusive). */
     def polygonRange(keys: Seq[String], poly: graft.spatial.Polygon): DataFrame = {
       require(keys.length == 2, "polygonRange is 2-D only")

@@ -80,6 +80,13 @@ object Spatial {
       .select(col("c_custkey"), col("s_suppkey"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
 
+  /** Segment-distance range: customers within 150 of the diagonal
+    * segment (2000,100)->(8000,900). */
+  def segmentRangeQ(s: SparkSession, d: String): DataFrame =
+    customerPts(s, d)
+      .segmentRange(Seq("cx", "cy"), (2000.0, 100.0), (8000.0, 900.0), 150.0)
+      .orderBy(col("c_custkey"))
+
   /** Spatio-temporal selection: spatial box + time window over the
     * events stream table — the layer the reference lists as "developing"
     * and never shipped (reference README.md:22-24; SURVEY.md §2.5). Pure
@@ -110,6 +117,20 @@ object Spatial {
     "sp_polygon_range" ->
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
+         |ORDER BY c_custkey""".stripMargin,
+    // identical clamp-project-measure formula as distanceToSegment, same
+    // operation order, so doubles agree bit-for-bit
+    "sp_segment_range" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE sqrt(
+         |  (cx - (2000.0 + least(greatest(((cx - 2000.0) * 6000.0 + (cy - 100.0) * 800.0)
+         |      / 36640000.0, 0.0), 1.0) * 6000.0))
+         |  * (cx - (2000.0 + least(greatest(((cx - 2000.0) * 6000.0 + (cy - 100.0) * 800.0)
+         |      / 36640000.0, 0.0), 1.0) * 6000.0))
+         |  + (cy - (100.0 + least(greatest(((cx - 2000.0) * 6000.0 + (cy - 100.0) * 800.0)
+         |      / 36640000.0, 0.0), 1.0) * 800.0))
+         |  * (cy - (100.0 + least(greatest(((cx - 2000.0) * 6000.0 + (cy - 100.0) * 800.0)
+         |      / 36640000.0, 0.0), 1.0) * 800.0))) <= 150.0
          |ORDER BY c_custkey""".stripMargin,
     "sp_spatiotemporal" ->
       """SELECT event_id, value AS ex,
@@ -150,6 +171,7 @@ object Spatial {
     "sp_box_range" -> (boxRange _),
     "sp_circle_range" -> (circleRange _),
     "sp_polygon_range" -> (polygonRange _),
+    "sp_segment_range" -> (segmentRangeQ _),
     "sp_spatiotemporal" -> (spatioTemporal _),
     "sp_knn" -> (knn _),
     "sp_distance_join" -> (distanceJoin _),

@@ -145,6 +145,32 @@ class SpatialOpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"zKNN recall too low: $recall")
   }
 
+  test("segmentRange equals kernel brute force") {
+    val got = cust.segmentRange(Seq("cx", "cy"), (0.0, 0.0), (9000.0, 150.0), 200.0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val seg = graft.spatial.LineSegment(
+      graft.spatial.Point(0.0, 0.0), graft.spatial.Point(9000.0, 150.0))
+    val want = cust.toDF.collect().filter { r =>
+      val p = graft.spatial.Point(r.getDouble(1), r.getDouble(2))
+      graft.spatial.Dist.pointToSegment(p, seg) <= 200.0
+    }.map(_.getLong(0)).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("distance join stays correct under extreme cell skew") {
+    import spark.implicits._
+    // every right row lands in the same grid cell
+    val l = (1 to 300).map(i => (i.toLong, i * 1.0, (i % 10) * 1.0))
+      .toDF("lid", "lx", "ly")
+    val r = (1 to 200).map(j => (j.toLong, 42.0 + (j % 3) * 0.001, 7.0))
+      .toDF("rid", "rx", "ry")
+    val got = l.distanceJoin(r, Seq("lx", "ly"), Seq("rx", "ry"), 5.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = l.distanceJoinNaive(r, Seq("lx", "ly"), Seq("rx", "ry"), 5.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("n-dimensional: 3-D distance join via grid equals naive") {
     import spark.implicits._
     val a = (1 to 60).map(i => (i.toLong, i * 1.0, (i % 7) * 2.0, (i % 5) * 3.0))
