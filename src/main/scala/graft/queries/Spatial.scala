@@ -80,6 +80,23 @@ object Spatial {
       .select(col("c_custkey"), col("s_suppkey"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
 
+  /** Per-segment bounding box of customer points via the typed
+    * Aggregator UDAF (map-side-combining min/max buffer). */
+  def boundsBySegment(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BoundsAggregator
+    val bounds = udaf(BoundsAggregator)
+    customer(s, d)
+      .select(col("c_mktsegment"),
+        col("c_acctbal").as("cx"),
+        (col("c_custkey") % 1000).cast("double").as("cy"))
+      .groupBy(col("c_mktsegment"))
+      .agg(bounds(col("cx"), col("cy")).as("box"))
+      .select(col("c_mktsegment"),
+        col("box.xmin").as("xmin"), col("box.ymin").as("ymin"),
+        col("box.xmax").as("xmax"), col("box.ymax").as("ymax"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Segment-distance range: customers within 150 of the diagonal
     * segment (2000,100)->(8000,900). */
   def segmentRangeQ(s: SparkSession, d: String): DataFrame =
@@ -118,6 +135,11 @@ object Spatial {
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
          |ORDER BY c_custkey""".stripMargin,
+    "sp_bounds_agg" ->
+      """SELECT c_mktsegment,
+        | min(c_acctbal) AS xmin, min(CAST(c_custkey % 1000 AS DOUBLE)) AS ymin,
+        | max(c_acctbal) AS xmax, max(CAST(c_custkey % 1000 AS DOUBLE)) AS ymax
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // identical clamp-project-measure formula as distanceToSegment, same
     // operation order, so doubles agree bit-for-bit
     "sp_segment_range" ->
@@ -172,6 +194,7 @@ object Spatial {
     "sp_circle_range" -> (circleRange _),
     "sp_polygon_range" -> (polygonRange _),
     "sp_segment_range" -> (segmentRangeQ _),
+    "sp_bounds_agg" -> (boundsBySegment _),
     "sp_spatiotemporal" -> (spatioTemporal _),
     "sp_knn" -> (knn _),
     "sp_distance_join" -> (distanceJoin _),
