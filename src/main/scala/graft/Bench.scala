@@ -48,6 +48,9 @@ object Bench {
     "b5_knn_join_zorder" -> ((s: SparkSession, d: String) =>
       customerPts(s, d).zknnJoin(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
         3, "c_custkey", "s_suppkey", Seq("s_suppkey"))),
+    "b5_knn_join_pivot" -> ((s: SparkSession, d: String) =>
+      customerPts(s, d).knnJoinPivot(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
+        3, "c_custkey", Seq("s_suppkey"))),
     // B6: embedding similarity — exact pair join vs LSH-blocked; brute top-k
     "b6_sim_join_exact" -> ((s: SparkSession, d: String) => {
       val r = embeddings(s, d).select(col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))

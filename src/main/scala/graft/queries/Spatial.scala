@@ -117,6 +117,15 @@ object Spatial {
         unix_millis(col("ts")).as("ts_ms"))
       .orderBy(col("event_id"))
 
+  /** Exact kNN join, pivot (Voronoi) algorithm — same oracle as the grid
+    * form, different physical shape. */
+  def knnJoinPivotQ(s: SparkSession, d: String): DataFrame =
+    customerPts(s, d)
+      .knnJoinPivot(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
+        knnJoinK, leftId = "c_custkey", tieBreak = Seq("s_suppkey"))
+      .select(col("c_custkey"), col("s_suppkey"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+
   private val custPtsSql =
     "SELECT c_custkey, c_acctbal AS cx, CAST(c_custkey % 1000 AS DOUBLE) AS cy FROM customer"
   private val suppPtsSql =
@@ -179,6 +188,14 @@ object Spatial {
       s"""SELECT c_custkey, s_suppkey FROM ($custPtsSql) c, ($suppPtsSql) s
          |WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
          |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "sp_knn_join_pivot" ->
+      s"""SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c_custkey, s_suppkey,
+         |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+         |      ORDER BY sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) ASC,
+         |               s_suppkey ASC) AS rn
+         |  FROM ($custPtsSql) c CROSS JOIN ($suppPtsSql) s) t
+         |WHERE rn <= 3 ORDER BY c_custkey, s_suppkey""".stripMargin,
     "sp_knn_join" ->
       s"""SELECT c_custkey, s_suppkey FROM (
          |  SELECT c_custkey, s_suppkey,
@@ -199,6 +216,7 @@ object Spatial {
     "sp_knn" -> (knn _),
     "sp_distance_join" -> (distanceJoin _),
     "sp_distance_join_bc" -> (distanceJoinBc _),
-    "sp_knn_join" -> (knnJoin _)
+    "sp_knn_join" -> (knnJoin _),
+    "sp_knn_join_pivot" -> (knnJoinPivotQ _)
   )
 }

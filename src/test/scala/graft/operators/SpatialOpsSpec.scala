@@ -132,6 +132,14 @@ class SpatialOpsSpec extends SparkSpec {
     assert(plan.contains("point_in_polygon"), plan)
   }
 
+  test("knnJoinPivot (Voronoi) equals naive kNN join exactly") {
+    val got = pairSet(cust.knnJoinPivot(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey"), numPivots = 8))
+    val want = pairSet(cust.knnJoinNaive(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey")))
+    assert(got === want)
+  }
+
   test("zknnJoin: exact distances, high recall vs exact kNN join") {
     val approx = pairSet(cust.zknnJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"),
       k = 3, leftId = "c_custkey", rightId = "s_suppkey",
