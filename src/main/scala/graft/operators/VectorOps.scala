@@ -89,6 +89,95 @@ object VectorOps {
         .drop("__graft_cos", "__cell")
     }
 
+    /** Exact vector kNN join by L2 distance: for every left row, its k
+      * nearest right vectors — the pivot (Voronoi) algorithm over
+      * embedding space (same shape as SpatialOps.knnJoinPivot; L2 obeys
+      * the triangle inequality, which the pruning bound needs — for
+      * angular similarity, L2 over unit-normalized vectors is monotone
+      * with cosine). Sub-quadratic: candidates are only (left cell,
+      * admitted rights) pairs, never the cross product, and the exact
+      * fallback keeps the result correct whatever theta the sample
+      * produced. */
+    def knnJoinVec(right: Dataset[_], lVec: String, rVec: String,
+                   lId: String, k: Int, tieBreak: Seq[String],
+                   numPivots: Int = 16, sampleCap: Int = 500,
+                   quantile: Double = 0.95, safety: Double = 2.0): DataFrame = {
+      val l = ds.toDF
+      val rt = right.toDF
+      require(l.columns.intersect(rt.columns).isEmpty, "need disjoint column names")
+
+      def collectVecs(df: DataFrame, c: String, cap: Int): Array[Array[Float]] =
+        df.select(col(c)).limit(cap).collect().map(_.getSeq[Float](0).toArray)
+
+      def l2(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) {
+          val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+        }
+        math.sqrt(acc)
+      }
+
+      // theta from driver-capped samples (cap^2 * dim kernel ops)
+      val lS = collectVecs(l, lVec, sampleCap)
+      val rS = collectVecs(rt, rVec, sampleCap)
+      require(rS.nonEmpty, "vector kNN join: right side is empty")
+      val kth = lS.map { a =>
+        val ds0 = rS.map(b => l2(a, b)).sorted
+        ds0(math.min(k, ds0.length) - 1)
+      }.sorted
+      val theta = math.max(
+        kth(math.min(kth.length - 1, (quantile * kth.length).toInt)) * safety, 1e-9)
+
+      val pivots = collectVecs(rt, rVec, numPivots)
+      val lDists = array(pivots.map(p => l2Distance(col(lVec), lit(p))): _*)
+      val lAug = l
+        .withColumn("__graft_pd", lDists)
+        .withColumn("__graft_cell",
+          array_position(col("__graft_pd"), array_min(col("__graft_pd"))).cast("int"))
+        .withColumn("__graft_dl", element_at(col("__graft_pd"), col("__graft_cell")))
+        .drop("__graft_pd")
+      val maxDl = lAug.groupBy(col("__graft_cell"))
+        .agg(max(col("__graft_dl")).as("__m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+      val admitStructs = pivots.indices.flatMap { i =>
+        maxDl.get(i + 1).map { _ =>
+          struct(lit(i + 1).as("cell"), l2Distance(col(rVec), lit(pivots(i))).as("dr"))
+        }
+      }
+      val admitted = rt
+        .withColumn("__graft_rc", explode(array(admitStructs: _*)))
+        .withColumn("__graft_rcell", col("__graft_rc.cell"))
+        .withColumn("__graft_dr", col("__graft_rc.dr"))
+        .drop("__graft_rc")
+        .filter(pivots.indices.flatMap { i =>
+          maxDl.get(i + 1).map { bound =>
+            col("__graft_rcell") === (i + 1) && col("__graft_dr") <= bound + theta
+          }
+        }.reduce(_ || _))
+
+      val cand = lAug.join(admitted, col("__graft_cell") === col("__graft_rcell"))
+        .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
+        .filter(col("__graft_d") <= theta)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(lId))
+        .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
+      val kept = cand.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") <= k)
+      val outCols = (l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2")
+      val satisfiedIds = kept.groupBy(col(lId)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= k).select(col(lId))
+      val satisfied = kept.join(satisfiedIds, Seq(lId), "left_semi")
+        .select(outCols: _*)
+      // exact fallback: windowed cross join for the starved lefts only
+      val starved = l.join(satisfiedIds, Seq(lId), "left_anti")
+      val fb = starved.crossJoin(rt)
+        .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
+      val fbKept = fb.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") <= k)
+        .select(outCols: _*)
+      satisfied.unionByName(fbKept)
+    }
+
     /** Exact all-pairs similarity join (cosine >= threshold) against
       * `right`. Cross product + codegen'd kernel filter; correct at any
       * threshold, quadratic by nature — the oracle/baseline path. Spark

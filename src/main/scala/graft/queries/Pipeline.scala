@@ -103,6 +103,18 @@ object Pipeline {
       .select(col("vec_id"), col("cos"))
       .orderBy(col("vec_id"))
 
+  /** Exact vector kNN join (pivot algorithm): 3 nearest embeddings per
+    * embedding by L2. */
+  def embKnnJoinQ(s: SparkSession, d: String): DataFrame = {
+    val left = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val right = embeddings(s, d).select(
+      col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
+    left.knnJoinVec(right, "embedding", "embedding2", "vec_id", k = 3,
+        tieBreak = Seq("vec_id2"))
+      .select(col("vec_id"), col("vec_id2"), col("l2"))
+      .orderBy(col("vec_id"), col("vec_id2"))
+  }
+
   def simJoinExactQ(s: SparkSession, d: String): DataFrame = {
     val left = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val right = embeddings(s, d).select(
@@ -160,6 +172,20 @@ object Pipeline {
          |  FROM embeddings, q
          |  ORDER BY cos DESC, vec_id ASC LIMIT 10) t
          |ORDER BY vec_id""".stripMargin,
+    // same sequential (f64(a)-f64(b))^2 accumulation as VectorKernels.l2F
+    "emb_knn_join" ->
+      """SELECT vec_id, vec_id2, l2 FROM (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS vec_id2,
+        |    sqrt(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))) AS l2,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY sqrt(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))) ASC,
+        |        b.vec_id ASC) AS rn
+        |  FROM embeddings a CROSS JOIN embeddings b) t
+        |WHERE rn <= 3 ORDER BY vec_id, vec_id2""".stripMargin,
     "emb_sim_join" ->
       s"""SELECT vec_id, vec_id2, cos FROM (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS vec_id2,
@@ -181,6 +207,7 @@ object Pipeline {
     "ann_brute_topk" -> (annBruteTopKQ _),
     "ann_lsh_topk" -> (annLshTopKQ _),
     "ann_ivf_topk" -> (annIvfTopKQ _),
-    "emb_sim_join" -> (simJoinExactQ _)
+    "emb_sim_join" -> (simJoinExactQ _),
+    "emb_knn_join" -> (embKnnJoinQ _)
   )
 }

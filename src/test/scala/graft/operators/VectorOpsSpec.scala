@@ -89,5 +89,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("knnJoinVec (pivot over embedding space) equals brute-force kNN join") {
+    import org.apache.spark.sql.expressions.Window
+    val left = emb.select(col("vec_id"), col("embedding"))
+    val right = emb.select(col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
+    val got = left.knnJoinVec(right, "embedding", "embedding2", "vec_id",
+        k = 3, tieBreak = Seq("vec_id2"), numPivots = 8, sampleCap = 200)
+      .select("vec_id", "vec_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__d").asc, col("vec_id2").asc)
+    val want = left.crossJoin(right)
+      .withColumn("__d", graft.functions.l2Distance(col("embedding"), col("embedding2")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
+      .select("vec_id", "vec_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   private def byIdOf(id: Long): Array[Float] = all.find(_._1 == id).get._2
 }
