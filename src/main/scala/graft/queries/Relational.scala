@@ -197,7 +197,44 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
+  /** Array functions: per-order sorted line numbers, flattened to a
+    * string so the compared output stays scalar-typed. */
+  def arrayAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("l_linenumber").cast("long")))).as("lines"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("l_orderkey"))
+
+  /** Window frame: running revenue per customer over order dates. */
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("running",
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("running"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q21_array_agg" ->
+      """SELECT l_orderkey,
+        | array_to_string(list_sort(list(CAST(l_linenumber AS BIGINT))), ',') AS lines,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 5
+        |ORDER BY l_orderkey""".stripMargin,
+    "q22_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM orders QUALIFY o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q16_outer_join" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
         | COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total
@@ -309,6 +346,8 @@ object Relational {
     "q17_scalar_subquery" -> (scalarSubquery _),
     "q18_having" -> (havingClause _),
     "q19_union_all" -> (unionAll _),
-    "q20_anti_join" -> (antiJoin _)
+    "q20_anti_join" -> (antiJoin _),
+    "q21_array_agg" -> (arrayAgg _),
+    "q22_running_total" -> (runningTotal _)
   )
 }
