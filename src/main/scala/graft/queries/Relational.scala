@@ -221,7 +221,25 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Exact interpolated percentiles per order status (rounded to cents:
+    * interpolation ordering differs across engines in the last float
+    * bits, and 2-decimal rounding absorbs it). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   val oracles: Map[String, String] = Map(
+    "q23_percentiles" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q21_array_agg" ->
       """SELECT l_orderkey,
         | array_to_string(list_sort(list(CAST(l_linenumber AS BIGINT))), ',') AS lines,
@@ -348,6 +366,7 @@ object Relational {
     "q19_union_all" -> (unionAll _),
     "q20_anti_join" -> (antiJoin _),
     "q21_array_agg" -> (arrayAgg _),
-    "q22_running_total" -> (runningTotal _)
+    "q22_running_total" -> (runningTotal _),
+    "q23_percentiles" -> (percentiles _)
   )
 }
