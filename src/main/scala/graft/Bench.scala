@@ -58,6 +58,23 @@ object Bench {
     }),
     "b6_sim_join_lsh" -> ((s: SparkSession, d: String) =>
       embeddings(s, d).embeddingNearDupPairs("embedding", "vec_id", 0.3, 16, 4)),
+    // B6V: exact vector kNN join (d=64) — naive cross-window vs pivot cells
+    "b6v_knn_join_vec_naive" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val left = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val right = embeddings(s, d).select(
+        col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("__d").asc, col("vec_id2").asc)
+      left.crossJoin(right)
+        .withColumn("__d", graft.functions.l2Distance(col("embedding"), col("embedding2")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
+    }),
+    "b6v_knn_join_vec_pivot" -> ((s: SparkSession, d: String) => {
+      val left = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val right = embeddings(s, d).select(
+        col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
+      left.knnJoinVec(right, "embedding", "embedding2", "vec_id", 3, Seq("vec_id2"))
+    }),
     "b6_ann_topk" -> ((s: SparkSession, d: String) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray

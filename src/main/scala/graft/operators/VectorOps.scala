@@ -121,12 +121,31 @@ object VectorOps {
       val lS = collectVecs(l, lVec, sampleCap)
       val rS = collectVecs(rt, rVec, sampleCap)
       require(rS.nonEmpty, "vector kNN join: right side is empty")
-      val kth = lS.map { a =>
-        val ds0 = rS.map(b => l2(a, b)).sorted
-        ds0(math.min(k, ds0.length) - 1)
+      val sampleDists = lS.map(a => rS.map(b => l2(a, b)))
+      val kth = sampleDists.map { ds0 =>
+        val s = ds0.sorted
+        s(math.min(k, s.length) - 1)
       }.sorted
       val theta = math.max(
         kth(math.min(kth.length - 1, (quantile * kth.length).toInt)) * safety, 1e-9)
+
+      // cost gate against the curse of dimensionality: when distances
+      // concentrate (isotropic high-d data), theta admits most of the
+      // right side and pivot pruning cannot beat the plain cross-window
+      // plan — detect that from the sample and take the cheaper plan
+      val admitFrac =
+        if (sampleDists.isEmpty) 1.0
+        else sampleDists.iterator.map(ds0 => ds0.count(_ <= theta)).sum.toDouble /
+          (sampleDists.length.toLong * rS.length)
+      if (admitFrac > 0.25) {
+        val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col(lId))
+          .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
+        return l.crossJoin(rt)
+          .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
+          .withColumn("__graft_rn", row_number().over(w0))
+          .filter(col("__graft_rn") <= k)
+          .select((l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"): _*)
+      }
 
       val pivots = collectVecs(rt, rVec, numPivots)
       val lDists = array(pivots.map(p => l2Distance(col(lVec), lit(p))): _*)

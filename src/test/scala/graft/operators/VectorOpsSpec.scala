@@ -107,5 +107,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("knnJoinVec takes the pivot path on clustered data and stays exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 8 tight, well-separated clusters: kth-NN distances are tiny next to
+    // inter-cluster distances, so the admit-fraction gate picks pivots
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextDouble() * 100f))
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat))
+    }
+    val left = rows.toDF("vid", "vec")
+    val right = rows.map { case (id, v) => (id, v) }.toDF("vid2", "vec2")
+    val got = left.knnJoinVec(right, "vec", "vec2", "vid", k = 3,
+        tieBreak = Seq("vid2"), numPivots = 8, sampleCap = 200)
+      .select("vid", "vid2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("vid")).orderBy(col("__d").asc, col("vid2").asc)
+    val want = left.crossJoin(right)
+      .withColumn("__d", graft.functions.l2Distance(col("vec"), col("vec2")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
+      .select("vid", "vid2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   private def byIdOf(id: Long): Array[Float] = all.find(_._1 == id).get._2
 }
