@@ -233,7 +233,48 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** TPC-H Q3 shape (shipping priority): 3-way join, filtered both
+    * sides, grouped revenue, top-10 by revenue. */
+  def shippingPriority(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** TPC-H Q5 shape: 5-way join through region, revenue per nation. */
+  def localSupplierVolume(s: SparkSession, d: String): DataFrame =
+    region(s, d).filter(col("r_name") === "ASIA")
+      .join(broadcast(nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .join(customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+
   val oracles: Map[String, String] = Map(
+    "q24_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q25_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n
+        |FROM region, nation, customer, orders, lineitem
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND l_orderkey = o_orderkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q23_percentiles" ->
       """SELECT o_orderstatus,
         | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
@@ -367,6 +408,8 @@ object Relational {
     "q20_anti_join" -> (antiJoin _),
     "q21_array_agg" -> (arrayAgg _),
     "q22_running_total" -> (runningTotal _),
-    "q23_percentiles" -> (percentiles _)
+    "q23_percentiles" -> (percentiles _),
+    "q24_shipping_priority" -> (shippingPriority _),
+    "q25_local_supplier_volume" -> (localSupplierVolume _)
   )
 }
