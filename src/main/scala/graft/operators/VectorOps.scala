@@ -16,6 +16,30 @@ import graft.functions._
   */
 object VectorOps {
 
+  /** Query a disk IVF layout written by
+    * [[DatasetVectorOps.writeIvf]]: probe the nprobe cells whose
+    * centroids are nearest the query — `__graft_cell` is a partition
+    * directory, so non-probed cells are never read (PartitionFilters) —
+    * then exact cosine top-k inside the probed cells. */
+  def readIvfTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                  vecCol: String, idCol: String, query: Array[Float],
+                  k: Int, nprobe: Int = 4): DataFrame = {
+    val raw = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/centroids.json"))
+    val centroids = raw.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(_.trim.toFloat))
+    val qA = new org.apache.spark.sql.catalyst.util.GenericArrayData(query)
+    val qCos = centroids.map(c => graft.functions.VectorKernels.cosineF(
+      qA, new org.apache.spark.sql.catalyst.util.GenericArrayData(c)))
+    val probes = qCos.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2 + 1)
+    spark.read.parquet(s"$path/data")
+      .filter(col("__graft_cell").isin(probes: _*))
+      .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__graft_cell")
+  }
+
   implicit class DatasetVectorOps[T](private val ds: Dataset[T]) extends AnyVal {
 
     /** Exact top-k by cosine similarity against one query vector.
@@ -87,6 +111,29 @@ object VectorOps {
         .orderBy(col("cos").desc, col(idCol).asc)
         .limit(k)
         .drop("__graft_cos", "__cell")
+    }
+
+    /** Persist this dataset as an IVF index layout: rows written as
+      * parquet PARTITIONED BY their coarse-quantizer cell, centroids in
+      * JSON metadata alongside. [[VectorOps.readIvfTopK]] then probes
+      * only the nprobe nearest cell directories — partition pruning at
+      * the filesystem level, the classic IVF index as a disk layout
+      * (scan proof: PartitionFilters on __graft_cell, see spec). */
+    def writeIvf(path: String, vecCol: String, idCol: String,
+                 nlist: Int = 16, seed: Long = 42L): Unit = {
+      val df = ds.toDF
+      val centroids = df.select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol), lit(seed)))
+        .limit(nlist).collect().map(_.getSeq[Float](1).toArray)
+      val cosArr = array(centroids.map(c => cosineSimilarity(col(vecCol), lit(c))): _*)
+      df.withColumn("__graft_cos", cosArr)
+        .withColumn("__graft_cell",
+          array_position(col("__graft_cos"), array_max(col("__graft_cos"))).cast("int"))
+        .drop("__graft_cos")
+        .write.mode("overwrite").partitionBy("__graft_cell").parquet(s"$path/data")
+      val meta = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/centroids.json"), meta)
     }
 
     /** Exact vector kNN join by L2 distance: for every left row, its k

@@ -115,6 +115,18 @@ object Pipeline {
       .orderBy(col("vec_id"), col("vec_id2"))
   }
 
+  /** ANN over the IVF DISK layout: write partitioned-by-cell parquet,
+    * probe only the nearest cell directories (rows-only: approximate by
+    * probing; scores exact, pruning spec-proven). */
+  def annIvfDiskQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorOps
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+    embeddings(s, d).writeIvf(path, "embedding", "vec_id", nlist = 16)
+    VectorOps.readIvfTopK(s, path, "embedding", "vec_id", queryVec(s, d), 10, nprobe = 4)
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("vec_id"))
+  }
+
   def simJoinExactQ(s: SparkSession, d: String): DataFrame = {
     val left = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val right = embeddings(s, d).select(
@@ -207,6 +219,7 @@ object Pipeline {
     "ann_brute_topk" -> (annBruteTopKQ _),
     "ann_lsh_topk" -> (annLshTopKQ _),
     "ann_ivf_topk" -> (annIvfTopKQ _),
+    "ann_ivf_disk_topk" -> (annIvfDiskQ _),
     "emb_sim_join" -> (simJoinExactQ _),
     "emb_knn_join" -> (embKnnJoinQ _)
   )

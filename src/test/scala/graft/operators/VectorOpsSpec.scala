@@ -131,5 +131,18 @@ class VectorOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("IVF disk layout: probed scan prunes partitions, scores exact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    emb.writeIvf(path, "embedding", "vec_id", nlist = 8)
+    val q = all.find(_._1 == 0L).get._2
+    val got = VectorOps.readIvfTopK(spark, path, "embedding", "vec_id", q, 5, nprobe = 4)
+    val rows = got.select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty && rows.head._1 === 0L && rows.head._2 === 1.0)
+    rows.foreach { case (id, c) => assert(c === cosScala(byIdOf(id), q)) }
+    // the probe must reach the scan as directory-level partition pruning
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__graft_cell"), plan)
+  }
+
   private def byIdOf(id: Long): Array[Float] = all.find(_._1 == id).get._2
 }
