@@ -75,6 +75,28 @@ object Multimodal {
     }
   }
 
+  /** Resize for `image` rows: halve width/height and decimate the
+    * payload to a quarter of its bytes (every 4th byte — the stub for a
+    * real resampling kernel; metadata and payload stay consistent, which
+    * is the contract downstream stages depend on). Iterator-based
+    * per-partition transform like [[extractFeatures]]. */
+  def resizeHalf(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.kind != "image") m
+        else {
+          // ==== STUB BOUNDARY ==== real impl: decode -> resample -> encode
+          val out = new Array[Byte]((m.bytes.length + 3) / 4)
+          var i = 0
+          while (i < out.length) { out(i) = m.bytes(i * 4); i += 1 }
+          MediaRow(m.media_id, m.kind, out,
+            math.max(1, m.width / 2), math.max(1, m.height / 2))
+        }
+      }
+    }
+  }
+
   /** Frame sampling for `video` rows: split the payload into fixed-size
     * chunk "frames" and take every `stride`-th (stub for real frame
     * extraction; exercises the explode/one-to-many shape). */

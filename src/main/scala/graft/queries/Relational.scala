@@ -187,7 +187,7 @@ object Relational {
       .select(col("o_orderkey"), lit("high").as("band"))
     val lo = orders(s, d).filter(col("o_totalprice") < 1000.0)
       .select(col("o_orderkey"), lit("low").as("band"))
-    hi.unionAll(lo).orderBy(col("o_orderkey"), col("band"))
+    hi.union(lo).orderBy(col("o_orderkey"), col("band"))
   }
 
   /** NOT EXISTS via left-anti join: customers with no orders at all. */

@@ -49,6 +49,23 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getAs[Long]("media_id") === 0L) // self is most similar
   }
 
+  test("resizeHalf: images shrink consistently, other kinds untouched") {
+    import spark.implicits._
+    val before = media.as[MediaRow].collect().map(m => m.media_id -> m).toMap
+    val after = resizeHalf(media.as[MediaRow]).collect()
+    after.foreach { m =>
+      val b = before(m.media_id)
+      if (b.kind == "image") {
+        assert(m.width === math.max(1, b.width / 2))
+        assert(m.height === math.max(1, b.height / 2))
+        assert(m.bytes.length === (b.bytes.length + 3) / 4)
+      } else {
+        assert(m.width === b.width && m.bytes.length === b.bytes.length)
+      }
+    }
+    assert(after.exists(_.kind == "image"))
+  }
+
   test("sampleFrames: video rows only, stride honored, frames bounded") {
     val frames = sampleFrames(media, frameBytes = 50, stride = 2)
     val rows = frames.collect()
