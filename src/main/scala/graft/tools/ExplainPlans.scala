@@ -42,6 +42,18 @@ object ExplainPlans {
         .select(col("embedding")).head().getSeq[Float](0).toArray
       embeddings(spark, d).cosineTopK("embedding", "vec_id", q, 10)
     }
+    show("polygon_range (expect pushed bbox conjuncts + codegen'd point_in_polygon)") {
+      customerPts(spark, d).polygonRange(Seq("cx", "cy"),
+        graft.spatial.Polygon((3000.0, 200.0), (5000.0, 100.0), (7000.0, 500.0), (5000.0, 800.0)))
+    }
+    show("distance_join_broadcast (expect BroadcastHashJoin on cells, no big-side shuffle)") {
+      customerPts(spark, d).distanceJoin(supplierPts(spark, d),
+        Seq("cx", "cy"), Seq("sx", "sy"), 100.0, broadcastRight = true)
+    }
+    show("knn_join_pivot (expect cell equi-join + window, no cross product)") {
+      customerPts(spark, d).knnJoinPivot(supplierPts(spark, d),
+        Seq("cx", "cy"), Seq("sx", "sy"), 3, "c_custkey", Seq("s_suppkey"))
+    }
     spark.stop()
   }
 }

@@ -59,6 +59,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("watermark drops late data and finalizes windows exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, hourFrac: Double, v: Double) =
+      Event(id, new java.sql.Timestamp((hourFrac * 3600 * 1000).toLong), 1L, "click", v)
+    val input = MemoryStream[Event]
+    val q = hourlyEventStats(input.toDS().toDF(), watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("wm").start()
+    try {
+      // batch 1: events at 00:10 and 03:10 -> watermark advances to 02:10,
+      // so window [00:00, 01:00) finalizes with exactly one event
+      input.addData(ev(1, 0.17, 1.0), ev(2, 3.17, 2.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 00:20 (behind the watermark -> dropped)
+      // and one at 05:10 -> [03:00, 04:00) finalizes WITHOUT the late row
+      input.addData(ev(3, 0.33, 100.0), ev(4, 5.17, 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wm").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    // hour 0 window: count 1, total 1.0 — the late 100.0 never lands
+    assert(rows.contains((0L, 1L, 1.0)), s"got $rows")
+    assert(rows.contains((3L * 3600000, 1L, 2.0)), s"got $rows")
+    assert(!rows.exists(_._3 == 101.0), s"late row was not dropped: $rows")
+  }
+
   test("spatial predicates compose over streams (stateless filters)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
