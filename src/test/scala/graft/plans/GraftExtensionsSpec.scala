@@ -43,6 +43,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     IndexManager.dropIndex(spark, "ext_sub")
   }
 
+  test("substitution handles pass-through column filters and mixed conjuncts") {
+    val src = Tables.customerPts(spark, dir)
+    IndexManager.indexTable(spark, src, "ext_pass", Seq("cx", "cy"), numPartitions = 4)
+    // filter on the UN-aliased key column (c_custkey) + an aliased one (cx)
+    val q = Tables.customerPts(spark, dir)
+      .filter(col("c_custkey") > 50 && col("cx") < 9000)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"expected cached index scan in plan:\n$plan")
+    val want = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal").as("cx"),
+        (col("c_custkey") % 1000).cast("double").as("cy"))
+      .filter(col("c_custkey") > 50 && col("cx") < 9000)
+    assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty && q.count() > 0)
+    IndexManager.dropIndex(spark, "ext_pass")
+  }
+
+  test("no substitution when the filter needs a column the index lacks") {
+    val src = Tables.customerPts(spark, dir)
+    IndexManager.indexTable(spark, src, "ext_miss", Seq("cx", "cy"), numPartitions = 4)
+    // c_mktsegment is not among the indexed projection's columns
+    val q = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal").as("cx"), col("c_mktsegment"))
+      .filter(col("c_mktsegment") === "BUILDING")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"))
+    assert(q.count() > 0)
+    IndexManager.dropIndex(spark, "ext_miss")
+  }
+
   test("dropping the index stops substitution") {
     val src = Tables.customerPts(spark, dir)
     IndexManager.indexTable(spark, src, "ext_drop", Seq("cx", "cy"), numPartitions = 4)

@@ -98,6 +98,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.table("spst").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, tMs: Long) =
+      Event(id, new java.sql.Timestamp(tMs), 1L, "click", 1.0)
+    val input = MemoryStream[Event]
+    val q = input.toDS().toDF()
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append").format("memory").queryName("wmdd").start()
+    try {
+      input.addData(ev(1, 1000), ev(1, 2000), ev(2, 3000)) // dup of 1 within window
+      q.processAllAvailable()
+      input.addData(ev(3, 61000)) // advances watermark to 51s -> id-1 state evicted
+      q.processAllAvailable()
+      input.addData(ev(1, 70000)) // id 1 again, state long gone -> re-admitted
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("wmdd").collect().map(_.getLong(0))
+    // in-window duplicate suppressed; the far-later duplicate re-admitted
+    // (state for id 1 was evicted once the watermark passed) — that
+    // re-admission is exactly the bounded-state contract
+    assert(ids.count(_ == 1L) === 2, s"got ${ids.toSeq}")
+    assert(ids.count(_ == 2L) === 1 && ids.count(_ == 3L) === 1)
+  }
+
   test("stateless library expressions compose over streams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
