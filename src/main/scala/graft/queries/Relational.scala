@@ -257,7 +257,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("n_name"))
 
+  /** PIVOT: order counts per priority, one column per status. */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+
   val oracles: Map[String, String] = Map(
+    "q26_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q24_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -410,6 +425,7 @@ object Relational {
     "q22_running_total" -> (runningTotal _),
     "q23_percentiles" -> (percentiles _),
     "q24_shipping_priority" -> (shippingPriority _),
-    "q25_local_supplier_volume" -> (localSupplierVolume _)
+    "q25_local_supplier_volume" -> (localSupplierVolume _),
+    "q26_pivot" -> (pivotStatus _)
   )
 }
