@@ -152,12 +152,20 @@ object SpatialOps {
         case "grid"      => distanceJoin(right, lKeys, rKeys, r)
         case "broadcast" => distanceJoin(right, lKeys, rKeys, r, broadcastRight = true)
         case "naive"     => distanceJoinNaive(right, lKeys, rKeys, r)
+        case other if other != "auto" => throw new IllegalArgumentException(
+          s"${graft.GraftConf.DistanceJoinAlgo}=$other; expected auto|grid|broadcast|naive")
         case _ =>
-          val est = right.queryExecution.optimizedPlan.stats.rowCount
-            .map(_.toLong)
-            .getOrElse(right.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / 64)
+          // BigInt arithmetic throughout: stats estimates of joined plans
+          // can exceed Long range, and a .toLong wrap-around would
+          // broadcast a huge side. The 3^d explosion of the broadcast
+          // side scales the decision with dimensionality (2-D behaves
+          // like a plain est <= threshold check).
+          val est: BigInt = right.queryExecution.optimizedPlan.stats.rowCount
+            .getOrElse(right.queryExecution.optimizedPlan.stats.sizeInBytes / 64)
+          val fanout = BigInt(lKeys.indices.foldLeft(1L)((a, _) => a * 3))
           distanceJoin(right, lKeys, rKeys, r,
-            broadcastRight = est <= graft.GraftConf.broadcastThreshold(s))
+            broadcastRight =
+              est * fanout <= BigInt(graft.GraftConf.broadcastThreshold(s)) * 9)
       }
     }
 
@@ -276,6 +284,9 @@ object SpatialOps {
       val maxDl = lAug.groupBy(col("__graft_cell"))
         .agg(max(col("__graft_dl")).as("__m"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // empty left -> no cells; the naive plan IS the correct empty
+      // result (and avoids reducing an empty admit-condition list)
+      if (maxDl.isEmpty) return knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak)
 
       // 4: right rows fan out only to admitting cells
       val admitStructs = pivots.indices.flatMap { i =>
@@ -315,8 +326,10 @@ object SpatialOps {
     }
 
     /** kNN join with the algorithm chosen by session conf
-      * (`spark.graft.join.knnJoin` = grid | zorder | naive; the reference's
-      * `simba.join.knnJoin` dispatch, SimbaSessionState.scala:193-207). */
+      * (`spark.graft.join.knnJoin` = grid | zorder | pivot | naive; the
+      * reference's `simba.join.knnJoin` dispatch,
+      * SimbaSessionState.scala:193-207). Unknown values error rather than
+      * silently running a different algorithm. */
     def knnJoinAuto(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
                     k: Int, leftId: String, rightId: String,
                     tieBreak: Seq[String]): DataFrame =
@@ -328,7 +341,9 @@ object SpatialOps {
             numPartitions = graft.GraftConf.joinPartitions(s))
         case "naive" => knnJoinNaive(right, lKeys, rKeys, k, leftId, tieBreak)
         case "pivot" => knnJoinPivot(right, lKeys, rKeys, k, leftId, tieBreak)
-        case _       => knnJoin(right, lKeys, rKeys, k, leftId, tieBreak)
+        case "grid"  => knnJoin(right, lKeys, rKeys, k, leftId, tieBreak)
+        case other => throw new IllegalArgumentException(
+          s"${graft.GraftConf.KnnJoinAlgo}=$other; expected grid|zorder|pivot|naive")
       }
 
     /** Approximate kNN join on Morton curves (see [[SpatialOps.zknnJoinImpl]]). */
@@ -356,19 +371,31 @@ object SpatialOps {
                    k: Int, leftId: String, rightId: String, tieBreak: Seq[String],
                    shifts: Int, bits: Int, numPartitions: Int, seed: Long): DataFrame = {
     require(l.columns.intersect(r.columns).isEmpty, "need disjoint column names")
+    // ids ride through the curve pass as longs; a fractional id type would
+    // silently collide distinct ids under the cast — reject it up front
+    Seq(l.schema(leftId).dataType, r.schema(rightId).dataType).foreach { dt =>
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"zknnJoin requires integral id columns, got $dt")
+    }
     val dims = lKeys.length
     val spark = l.sparkSession
     import spark.implicits._
 
-    // common bounds across both sides (exact two tiny aggs)
-    def bounds(df: DataFrame, keys: Seq[String]): (Array[Double], Array[Double]) = {
+    // common bounds across both sides (exact two tiny aggs); a null min
+    // means that side is empty -> the naive plan IS the correct empty
+    // result (right-empty also short-circuits: no neighbors exist)
+    def bounds(df: DataFrame, keys: Seq[String]): Option[(Array[Double], Array[Double])] = {
       val aggs = keys.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
-      (keys.indices.map(i => row.getDouble(2 * i)).toArray,
-       keys.indices.map(i => row.getDouble(2 * i + 1)).toArray)
+      if (row.isNullAt(0)) None
+      else Some((keys.indices.map(i => row.getDouble(2 * i)).toArray,
+        keys.indices.map(i => row.getDouble(2 * i + 1)).toArray))
     }
-    val (llo, lhi) = bounds(l, lKeys)
-    val (rlo, rhi) = bounds(r, rKeys)
+    val (lBounds, rBounds) = (bounds(l, lKeys), bounds(r, rKeys))
+    if (lBounds.isEmpty || rBounds.isEmpty)
+      return new DatasetSpatialOps(l).knnJoinNaive(r, lKeys, rKeys, k, leftId, tieBreak)
+    val (llo, lhi) = lBounds.get
+    val (rlo, rhi) = rBounds.get
     val lo = llo.zip(rlo).map(t => math.min(t._1, t._2))
     val hi = lhi.zip(rhi).map(t => math.max(t._1, t._2))
     val span = lo.indices.map(i => hi(i) - lo(i)).toArray
@@ -472,6 +499,8 @@ object SpatialOps {
     val lPts = samplePoints(l, lKeys, cap)
     val (rPts, rFrac) = samplePointsWithFraction(r, rKeys, cap)
     require(rPts.nonEmpty, "kNN join: right side is empty")
+    // empty left: any radius yields the correct empty result downstream
+    if (lPts.isEmpty) return 1e-9
     val dists = lPts.map { p =>
       val ds = rPts.map(q => graft.spatial.Dist.pointToPoint(p, q)).sorted
       ds(math.min(k, ds.length) - 1)

@@ -26,6 +26,8 @@ object VectorOps {
                   k: Int, nprobe: Int = 4): DataFrame = {
     val raw = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$path/centroids.json"))
+    require(raw.startsWith("[[") && raw.endsWith("]]"),
+      s"readIvfTopK: no centroids at $path/centroids.json")
     val centroids = raw.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .map(_.split(",").map(_.trim.toFloat))
     val qA = new org.apache.spark.sql.catalyst.util.GenericArrayData(query)
@@ -125,6 +127,8 @@ object VectorOps {
       val centroids = df.select(col(idCol), col(vecCol))
         .orderBy(xxhash64(col(idCol), lit(seed)))
         .limit(nlist).collect().map(_.getSeq[Float](1).toArray)
+      require(centroids.nonEmpty,
+        "writeIvf: dataset is empty — no centroids to quantize against")
       val cosArr = array(centroids.map(c => cosineSimilarity(col(vecCol), lit(c))): _*)
       df.withColumn("__graft_cos", cosArr)
         .withColumn("__graft_cell",
@@ -153,8 +157,21 @@ object VectorOps {
       val rt = right.toDF
       require(l.columns.intersect(rt.columns).isEmpty, "need disjoint column names")
 
-      def collectVecs(df: DataFrame, c: String, cap: Int): Array[Array[Float]] =
-        df.select(col(c)).limit(cap).collect().map(_.getSeq[Float](0).toArray)
+      // bounded AND unbiased: small tables are taken whole (limit probe),
+      // larger ones get a seeded random sample — a first-N slice of data
+      // written clustered-by-topic would skew theta, pivots, and the
+      // admit-fraction gate all at once
+      def collectVecs(df: DataFrame, c: String, cap: Int): Array[Array[Float]] = {
+        val head = df.select(col(c)).limit(cap + 1).collect()
+        val rows =
+          if (head.length <= cap) head
+          else {
+            val sampled = df.select(col(c))
+              .sample(withReplacement = false, 0.1, 42).limit(cap).collect()
+            if (sampled.nonEmpty) sampled else head.take(cap)
+          }
+        rows.map(_.getSeq[Float](0).toArray)
+      }
 
       def l2(a: Array[Float], b: Array[Float]): Double = {
         var acc = 0.0; var i = 0
@@ -168,6 +185,19 @@ object VectorOps {
       val lS = collectVecs(l, lVec, sampleCap)
       val rS = collectVecs(rt, rVec, sampleCap)
       require(rS.nonEmpty, "vector kNN join: right side is empty")
+
+      def naivePlan: DataFrame = {
+        val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col(lId))
+          .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
+        l.crossJoin(rt)
+          .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
+          .withColumn("__graft_rn", row_number().over(w0))
+          .filter(col("__graft_rn") <= k)
+          .select((l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"): _*)
+      }
+      // empty left: the naive plan IS the correct empty result
+      if (lS.isEmpty) return naivePlan
+
       val sampleDists = lS.map(a => rS.map(b => l2(a, b)))
       val kth = sampleDists.map { ds0 =>
         val s = ds0.sorted
@@ -184,15 +214,7 @@ object VectorOps {
         if (sampleDists.isEmpty) 1.0
         else sampleDists.iterator.map(ds0 => ds0.count(_ <= theta)).sum.toDouble /
           (sampleDists.length.toLong * rS.length)
-      if (admitFrac > 0.25) {
-        val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col(lId))
-          .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
-        return l.crossJoin(rt)
-          .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
-          .withColumn("__graft_rn", row_number().over(w0))
-          .filter(col("__graft_rn") <= k)
-          .select((l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"): _*)
-      }
+      if (admitFrac > 0.25) return naivePlan
 
       val pivots = collectVecs(rt, rVec, numPivots)
       val lDists = array(pivots.map(p => l2Distance(col(lVec), lit(p))): _*)
@@ -205,6 +227,7 @@ object VectorOps {
       val maxDl = lAug.groupBy(col("__graft_cell"))
         .agg(max(col("__graft_dl")).as("__m"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      if (maxDl.isEmpty) return naivePlan // left empty after all
 
       val admitStructs = pivots.indices.flatMap { i =>
         maxDl.get(i + 1).map { _ =>

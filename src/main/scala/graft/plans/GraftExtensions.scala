@@ -47,26 +47,32 @@ object IndexSubstitution extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val subs = IndexManager.planSubstitutions
     if (subs.isEmpty) plan
-    else plan.transformUp {
-      case p if subs.exists(s => s._1.sameResult(p) && covers(p, s._2)) =>
-        aliased(p.output, subs.find(s => s._1.sameResult(p) && covers(p, s._2)).get._2)
-
-      case p @ Project(pl, Filter(cond, child)) =>
-        val names = passThroughNames(pl)
-        subs.find { case (src, repl) =>
-          src.sameResult(Project(pl, child)) &&
-            pl.map(_.name).toSet.subsetOf(repl.output.map(_.name).toSet) &&
-            cond.references.forall(a => names.get(a.exprId)
-              .exists(n => repl.output.exists(_.name == n)))
-        } match {
-          case Some((_, repl)) =>
-            val byName = repl.output.map(a => a.name -> a).toMap
-            val remapped = cond.transform {
-              case a: AttributeReference => byName(names(a.exprId))
+    else plan.transformUp { case p =>
+      // single scan over the registered substitutions per node (sameResult
+      // canonicalizes whole subtrees — doing it twice per match doubled
+      // the dominant cost of this rule)
+      subs.find(s => s._1.sameResult(p) && covers(p, s._2)) match {
+        case Some((_, repl)) => aliased(p.output, repl)
+        case None => p match {
+          case pr @ Project(pl, Filter(cond, child)) =>
+            val names = passThroughNames(pl)
+            subs.find { case (src, repl) =>
+              src.sameResult(Project(pl, child)) &&
+                pl.map(_.name).toSet.subsetOf(repl.output.map(_.name).toSet) &&
+                cond.references.forall(a => names.get(a.exprId)
+                  .exists(n => repl.output.exists(_.name == n)))
+            } match {
+              case Some((_, repl)) =>
+                val byName = repl.output.map(a => a.name -> a).toMap
+                val remapped = cond.transform {
+                  case a: AttributeReference => byName(names(a.exprId))
+                }
+                aliased(pr.output, Filter(remapped, repl))
+              case None => p
             }
-            aliased(p.output, Filter(remapped, repl))
-          case None => p
+          case _ => p
         }
+      }
     }
   }
 }
@@ -101,17 +107,32 @@ object GraftExtensions {
     registerFunctions(spark)
   }
 
+  /** Wrap a builder with arity validation so a wrong argument count is an
+    * AnalysisException-style error, not an IndexOutOfBoundsException. */
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == n, s"$name expects $n arguments, got ${es.length}")
+      b(es)
+    }
+
   /** Name -> builder for every SQL-exposed scalar function. */
   val sqlFunctions: Map[String, Seq[Expression] => Expression] = Map(
-    "graft_cosine_similarity" -> (es => graft.functions.CosineSimilarity(es(0), es(1))),
-    "graft_dot_product" -> (es => graft.functions.DotProduct(es(0), es(1))),
-    "graft_l2_distance" -> (es => graft.functions.L2Distance(es(0), es(1))),
-    "graft_simhash64" -> (es => graft.functions.SimHash64(es(0))),
-    "graft_fingerprint64" -> (es => graft.functions.Fingerprint64(es(0))),
-    "graft_lang_id" -> (es => graft.functions.LangId(es(0))),
+    "graft_cosine_similarity" -> arity("graft_cosine_similarity", 2)(es =>
+      graft.functions.CosineSimilarity(es(0), es(1))),
+    "graft_dot_product" -> arity("graft_dot_product", 2)(es =>
+      graft.functions.DotProduct(es(0), es(1))),
+    "graft_l2_distance" -> arity("graft_l2_distance", 2)(es =>
+      graft.functions.L2Distance(es(0), es(1))),
+    "graft_simhash64" -> arity("graft_simhash64", 1)(es =>
+      graft.functions.SimHash64(es(0))),
+    "graft_fingerprint64" -> arity("graft_fingerprint64", 1)(es =>
+      graft.functions.Fingerprint64(es(0))),
+    "graft_lang_id" -> arity("graft_lang_id", 1)(es =>
+      graft.functions.LangId(es(0))),
     // graft_point_in_polygon(x, y, array(x0,y0,x1,y1,...)) — the ring must
     // be a foldable literal; it is evaluated once at plan time
-    "graft_point_in_polygon" -> (es => {
+    "graft_point_in_polygon" -> arity("graft_point_in_polygon", 3)(es => {
       require(es(2).foldable, "polygon ring must be a literal array")
       val verts = es(2).eval(null)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

@@ -38,9 +38,11 @@ object StreamingOps {
     // the file stream source wants a directory; stage the single parquet
     // file into a temp dir (test-scale convenience, not a scale path)
     val staged = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    staged.toFile.deleteOnExit()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
+    staged.resolve("events.parquet").toFile.deleteOnExit()
     val raw = spark.readStream
       .schema(batchSchema)
       .parquet(staged.toString)
@@ -67,9 +69,11 @@ object StreamingOps {
   def streamDedupCounts(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
     val staged = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    staged.toFile.deleteOnExit()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       staged.resolve("documents.parquet"))
+    staged.resolve("documents.parquet").toFile.deleteOnExit()
     val sinkName = s"graft_dedup_${System.nanoTime()}"
     val q = spark.readStream
       .schema(batchSchema)
@@ -140,9 +144,11 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val staged = java.nio.file.Files.createTempDirectory("graft_sess_src")
+    staged.toFile.deleteOnExit()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
+    staged.resolve("events.parquet").toFile.deleteOnExit()
     val evs = spark.readStream
       .schema(batchSchema)
       .parquet(staged.toString)

@@ -132,6 +132,25 @@ class SpatialOpsSpec extends SparkSpec {
     assert(plan.contains("point_in_polygon"), plan)
   }
 
+  test("all kNN-join variants return empty (not crash) on an empty left side") {
+    val none = cust.toDF.filter(lit(false))
+    assert(none.knnJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      3, "c_custkey", Seq("s_suppkey")).count() === 0)
+    assert(none.knnJoinPivot(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      3, "c_custkey", Seq("s_suppkey")).count() === 0)
+    assert(none.zknnJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      3, "c_custkey", "s_suppkey", Seq("s_suppkey")).count() === 0)
+  }
+
+  test("zknnJoin rejects fractional id columns instead of truncating") {
+    val badIds = cust.toDF.withColumn("c_custkey", col("c_custkey") + 0.5)
+    val e = intercept[IllegalArgumentException] {
+      badIds.zknnJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+        3, "c_custkey", "s_suppkey", Seq("s_suppkey"))
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("knnJoinPivot (Voronoi) equals naive kNN join exactly") {
     val got = pairSet(cust.knnJoinPivot(supp, Seq("cx", "cy"), Seq("sx", "sy"),
       k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey"), numPivots = 8))

@@ -131,6 +131,13 @@ class VectorOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("knnJoinVec returns empty (not crash) on an empty left side") {
+    val none = emb.select(col("vec_id"), col("embedding")).filter(lit(false))
+    val right = emb.select(col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
+    assert(none.knnJoinVec(right, "embedding", "embedding2", "vec_id",
+      k = 3, tieBreak = Seq("vec_id2")).count() === 0)
+  }
+
   test("IVF disk layout: probed scan prunes partitions, scores exact") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     emb.writeIvf(path, "embedding", "vec_id", nlist = 8)
