@@ -270,59 +270,15 @@ object SpatialOps {
       def distTo(keys: Seq[String], p: Array[Double]): Column =
         pointDistance(keys.map(col), p.toSeq.map(lit))
 
-      // 2: nearest pivot per left row (argmin via array_position on min)
-      val lDists = array(pivots.map(p => distTo(lKeys, p)): _*)
-      val lAug = l
-        .withColumn("__graft_pd", lDists)
-        .withColumn("__graft_cell",
-          array_position(col("__graft_pd"), array_min(col("__graft_pd"))).cast("int"))
-        .withColumn("__graft_dl",
-          element_at(col("__graft_pd"), col("__graft_cell")))
-        .drop("__graft_pd")
-
-      // 3: per-cell radius bound (numPivots rows to the driver)
-      val maxDl = lAug.groupBy(col("__graft_cell"))
-        .agg(max(col("__graft_dl")).as("__m"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      // empty left -> no cells; the naive plan IS the correct empty
-      // result (and avoids reducing an empty admit-condition list)
-      if (maxDl.isEmpty) return knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak)
-
-      // 4: right rows fan out only to admitting cells
-      val admitStructs = pivots.indices.flatMap { i =>
-        maxDl.get(i + 1).map { bound => // cells are 1-based via array_position
-          struct(lit(i + 1).as("cell"), distTo(rKeys, pivots(i)).as("dr"))
-        }
-      }
-      val rCells = rt
-        .withColumn("__graft_rc", explode(array(admitStructs: _*)))
-        .withColumn("__graft_rcell", col("__graft_rc.cell"))
-        .withColumn("__graft_dr", col("__graft_rc.dr"))
-        .drop("__graft_rc")
-      val admitted = rCells.filter(
-        pivots.indices.flatMap { i =>
-          maxDl.get(i + 1).map { bound =>
-            col("__graft_rcell") === (i + 1) && col("__graft_dr") <= bound + theta
-          }
-        }.reduce(_ || _))
-
-      // 5: cell equi-join + exact distance + top-k + exact fallback
-      val cand = lAug.join(admitted, col("__graft_cell") === col("__graft_rcell"))
-        .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
-        .filter(col(DIST) <= theta)
-      val w = Window.partitionBy(col(leftId))
-        .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
-      val kept = cand.withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") <= k)
-      val outCols = (l.columns ++ rt.columns).map(col)
-      val satisfiedIds = kept.groupBy(col(leftId)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= k).select(col(leftId))
-      val satisfied = kept.join(satisfiedIds, Seq(leftId), "left_semi")
-        .select(outCols: _*)
-      val starved = l.join(satisfiedIds, Seq(leftId), "left_anti")
-      val fallback = starved.knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak)
-        .select(outCols: _*)
-      satisfied.unionByName(fallback)
+      pivotCellKnn(l, rt,
+        lDistToPivot = i => distTo(lKeys, pivots(i)),
+        rDistToPivot = i => distTo(rKeys, pivots(i)),
+        numPivots = pivots.length, theta = theta,
+        exactDist = pointDistance(lKeys.map(col), rKeys.map(col)),
+        lId = leftId, k = k, tieBreak = tieBreak,
+        outCols = (l.columns ++ rt.columns).map(col),
+        fallback = starved =>
+          new DatasetSpatialOps(starved).knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak))
     }
 
     /** kNN join with the algorithm chosen by session conf
@@ -508,6 +464,70 @@ object SpatialOps {
     val idx = math.min(dists.length - 1, (quantile * dists.length).toInt)
     val densityCorrection = math.pow(rFrac, 1.0 / lKeys.length)
     math.max(dists(idx) * densityCorrection * safety, 1e-9)
+  }
+
+  /** Shared core of the pivot (Voronoi) kNN joins — spatial
+    * [[DatasetSpatialOps.knnJoinPivot]] and vector
+    * `VectorOps.knnJoinVec` plug in their distance expressions:
+    * argmin cell assignment over a plan-time pivot array, per-cell
+    * triangle-inequality bounds (numPivots rows to the driver),
+    * selective right replication into admitting cells, cell equi-join +
+    * exact distance <= theta + windowed top-k, and an exact fallback for
+    * starved lefts (correct for any theta). `fallback` must return the
+    * FINAL output schema (`outCols`-shaped). */
+  private[operators] def pivotCellKnn(
+      l: DataFrame, rt: DataFrame,
+      lDistToPivot: Int => Column, rDistToPivot: Int => Column,
+      numPivots: Int, theta: Double, exactDist: Column,
+      lId: String, k: Int, tieBreak: Seq[String],
+      outCols: Seq[Column], fallback: DataFrame => DataFrame): DataFrame = {
+    val lDists = array((0 until numPivots).map(lDistToPivot): _*)
+    val lAug = l
+      .withColumn("__graft_pd", lDists)
+      .withColumn("__graft_cell",
+        array_position(col("__graft_pd"), array_min(col("__graft_pd"))).cast("int"))
+      .withColumn("__graft_dl", element_at(col("__graft_pd"), col("__graft_cell")))
+      .drop("__graft_pd")
+
+    // per-cell radius bound (numPivots rows to the driver)
+    val maxDl = lAug.groupBy(col("__graft_cell"))
+      .agg(max(col("__graft_dl")).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // empty left -> no cells; the fallback IS the correct empty result
+    // (and avoids reducing an empty admit-condition list)
+    if (maxDl.isEmpty) return fallback(l)
+
+    // right rows fan out only to admitting cells (1-based cell ids from
+    // array_position)
+    val admitStructs = (0 until numPivots).flatMap { i =>
+      maxDl.get(i + 1).map { _ =>
+        struct(lit(i + 1).as("cell"), rDistToPivot(i).as("dr"))
+      }
+    }
+    val admitted = rt
+      .withColumn("__graft_rc", explode(array(admitStructs: _*)))
+      .withColumn("__graft_rcell", col("__graft_rc.cell"))
+      .withColumn("__graft_dr", col("__graft_rc.dr"))
+      .drop("__graft_rc")
+      .filter((0 until numPivots).flatMap { i =>
+        maxDl.get(i + 1).map { bound =>
+          col("__graft_rcell") === (i + 1) && col("__graft_dr") <= bound + theta
+        }
+      }.reduce(_ || _))
+
+    val cand = lAug.join(admitted, col("__graft_cell") === col("__graft_rcell"))
+      .withColumn("__graft_d", exactDist)
+      .filter(col("__graft_d") <= theta)
+    val w = Window.partitionBy(col(lId))
+      .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
+    val kept = cand.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+    val satisfiedIds = kept.groupBy(col(lId)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k).select(col(lId))
+    val satisfied = kept.join(satisfiedIds, Seq(lId), "left_semi")
+      .select(outCols: _*)
+    val starved = l.join(satisfiedIds, Seq(lId), "left_anti")
+    satisfied.unionByName(fallback(starved))
   }
 
   private def toPts(rows: Array[org.apache.spark.sql.Row], dims: Int): Array[Array[Double]] =

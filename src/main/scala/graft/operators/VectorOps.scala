@@ -186,17 +186,17 @@ object VectorOps {
       val rS = collectVecs(rt, rVec, sampleCap)
       require(rS.nonEmpty, "vector kNN join: right side is empty")
 
-      def naivePlan: DataFrame = {
+      def naivePlan(left: DataFrame): DataFrame = {
         val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col(lId))
           .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
-        l.crossJoin(rt)
+        left.crossJoin(rt)
           .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
           .withColumn("__graft_rn", row_number().over(w0))
           .filter(col("__graft_rn") <= k)
           .select((l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"): _*)
       }
       // empty left: the naive plan IS the correct empty result
-      if (lS.isEmpty) return naivePlan
+      if (lS.isEmpty) return naivePlan(l)
 
       val sampleDists = lS.map(a => rS.map(b => l2(a, b)))
       val kth = sampleDists.map { ds0 =>
@@ -214,57 +214,19 @@ object VectorOps {
         if (sampleDists.isEmpty) 1.0
         else sampleDists.iterator.map(ds0 => ds0.count(_ <= theta)).sum.toDouble /
           (sampleDists.length.toLong * rS.length)
-      if (admitFrac > 0.25) return naivePlan
+      if (admitFrac > 0.25) return naivePlan(l)
 
       val pivots = collectVecs(rt, rVec, numPivots)
-      val lDists = array(pivots.map(p => l2Distance(col(lVec), lit(p))): _*)
-      val lAug = l
-        .withColumn("__graft_pd", lDists)
-        .withColumn("__graft_cell",
-          array_position(col("__graft_pd"), array_min(col("__graft_pd"))).cast("int"))
-        .withColumn("__graft_dl", element_at(col("__graft_pd"), col("__graft_cell")))
-        .drop("__graft_pd")
-      val maxDl = lAug.groupBy(col("__graft_cell"))
-        .agg(max(col("__graft_dl")).as("__m"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      if (maxDl.isEmpty) return naivePlan // left empty after all
-
-      val admitStructs = pivots.indices.flatMap { i =>
-        maxDl.get(i + 1).map { _ =>
-          struct(lit(i + 1).as("cell"), l2Distance(col(rVec), lit(pivots(i))).as("dr"))
-        }
-      }
-      val admitted = rt
-        .withColumn("__graft_rc", explode(array(admitStructs: _*)))
-        .withColumn("__graft_rcell", col("__graft_rc.cell"))
-        .withColumn("__graft_dr", col("__graft_rc.dr"))
-        .drop("__graft_rc")
-        .filter(pivots.indices.flatMap { i =>
-          maxDl.get(i + 1).map { bound =>
-            col("__graft_rcell") === (i + 1) && col("__graft_dr") <= bound + theta
-          }
-        }.reduce(_ || _))
-
-      val cand = lAug.join(admitted, col("__graft_cell") === col("__graft_rcell"))
-        .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
-        .filter(col("__graft_d") <= theta)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(lId))
-        .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
-      val kept = cand.withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") <= k)
-      val outCols = (l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2")
-      val satisfiedIds = kept.groupBy(col(lId)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= k).select(col(lId))
-      val satisfied = kept.join(satisfiedIds, Seq(lId), "left_semi")
-        .select(outCols: _*)
-      // exact fallback: windowed cross join for the starved lefts only
-      val starved = l.join(satisfiedIds, Seq(lId), "left_anti")
-      val fb = starved.crossJoin(rt)
-        .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
-      val fbKept = fb.withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") <= k)
-        .select(outCols: _*)
-      satisfied.unionByName(fbKept)
+      // same machinery as the spatial Voronoi join — only the distance
+      // expressions differ (keeps the two variants in lockstep)
+      SpatialOps.pivotCellKnn(l, rt,
+        lDistToPivot = i => l2Distance(col(lVec), lit(pivots(i))),
+        rDistToPivot = i => l2Distance(col(rVec), lit(pivots(i))),
+        numPivots = pivots.length, theta = theta,
+        exactDist = l2Distance(col(lVec), col(rVec)),
+        lId = lId, k = k, tieBreak = tieBreak,
+        outCols = (l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"),
+        fallback = naivePlan)
     }
 
     /** Exact all-pairs similarity join (cosine >= threshold) against
