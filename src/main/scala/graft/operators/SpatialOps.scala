@@ -182,7 +182,11 @@ object SpatialOps {
     /** kNN join, windowed baseline: for every left row, its k nearest right
       * rows, ties broken by `tieBreak` right-side columns. Exact but
       * shuffles the full pair space — the oracle path
-      * (reference baseline analogue: execution/join/CKJSpark.scala:33-59). */
+      * (reference baseline analogue: execution/join/CKJSpark.scala:33-59).
+      *
+      * Contract for ALL kNN-join variants: `leftId` must uniquely
+      * identify left rows — the per-left top-k is a window partitioned by
+      * it, so duplicate ids would merge distinct rows' neighbor lists. */
     def knnJoinNaive(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
                      k: Int, leftId: String, tieBreak: Seq[String]): DataFrame = {
       val l = ds.toDF
