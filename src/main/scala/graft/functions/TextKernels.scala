@@ -168,7 +168,9 @@ object TextKernels {
     * function-word profile with the most token hits ('und' => unknown
     * ties resolve to profile order, 'en' first). */
   def langId(s: String): String = {
-    var cjk = 0
+    var han = 0
+    var kana = 0
+    var hangul = 0
     var letters = 0
     var i = 0
     while (i < s.length) {
@@ -176,14 +178,19 @@ object TextKernels {
       if (Character.isLetter(c)) {
         letters += 1
         val block = Character.UnicodeScript.of(c)
-        if (block == Character.UnicodeScript.HAN ||
-            block == Character.UnicodeScript.HIRAGANA ||
-            block == Character.UnicodeScript.KATAKANA ||
-            block == Character.UnicodeScript.HANGUL) cjk += 1
+        if (block == Character.UnicodeScript.HAN) han += 1
+        else if (block == Character.UnicodeScript.HIRAGANA ||
+                 block == Character.UnicodeScript.KATAKANA) kana += 1
+        else if (block == Character.UnicodeScript.HANGUL) hangul += 1
       }
       i += 1
     }
-    if (letters > 0 && cjk * 2 > letters) return "zh"
+    val cjk = han + kana + hangul
+    if (letters > 0 && cjk * 2 > letters) {
+      // script decides the language: any kana means Japanese (Japanese
+      // prose mixes Han + kana), Hangul means Korean, pure Han is Chinese
+      return if (kana > 0) "ja" else if (hangul > 0) "ko" else "zh"
+    }
     val toks = tokenize(s.toLowerCase)
     var best = "und"
     var bestHits = 0

@@ -12,9 +12,18 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VectorKernels {
 
+  @inline private def sameDim(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    // a silent min() here would score a vector as identical to its own
+    // prefix — a schema mix-up (mismatched embedding models) must be loud
+    require(n == b.numElements(),
+      s"vector dimension mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
   /** Cosine similarity of two float vectors; 0.0 when either norm is 0. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDim(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -28,7 +37,7 @@ object VectorKernels {
   }
 
   def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDim(a, b)
     var dot = 0.0
     var i = 0
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -36,7 +45,7 @@ object VectorKernels {
   }
 
   def l2F(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDim(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -103,9 +103,13 @@ package object functions {
 
   def langId(text: Column): Column = toCol(LangId(toExpr(text)))
 
-  /** Whitespace tokens of trimmed text (matches TextKernels.tokenize and
-    * DuckDB's regexp_split_to_array(trim(x), '\s+')). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens of trimmed text. Empty tokens are filtered out so
+    * blank/empty text yields ZERO tokens (split alone returns [""] there,
+    * which silently gave empty documents a near-perfect quality score);
+    * matches TextKernels.tokenize and the DuckDB oracle twin
+    * `list_filter(regexp_split_to_array(trim(x), '\s+'), t -> t != '')`. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** Stopword list shared by the quality-score surface and its oracle. */
   val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -123,12 +127,15 @@ package object functions {
 
   def stopwordRatio(text: Column, stop: Seq[String] = defaultStopwords): Column = {
     val tk = tokens(text)
-    size(filter(tk, t => t.isin(stop: _*))).cast("double") / size(tk)
+    // zero-token text ratios define as 0.0 (ANSI mode errors on x/0)
+    when(size(tk) === 0, lit(0.0))
+      .otherwise(size(filter(tk, t => t.isin(stop: _*))).cast("double") / size(tk))
   }
 
   def distinctTokenRatio(text: Column): Column = {
     val tk = tokens(text)
-    size(array_distinct(tk)).cast("double") / size(tk)
+    when(size(tk) === 0, lit(0.0))
+      .otherwise(size(array_distinct(tk)).cast("double") / size(tk))
   }
 
   /** Composite quality score in [0,1]: length saturation, lexical
@@ -148,6 +155,7 @@ package object functions {
   /** Quantize a double column into [0, 2^bits-1] over known bounds
     * (clamping outside values), matching graft.spatial.ZValue.quantize. */
   def quantize(v: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 30, s"quantize bits must be in [1, 30], got $bits")
     val cells = (1 << bits) - 1
     if (hi <= lo) lit(0)
     else least(greatest(floor((v - lit(lo)) / lit(hi - lo) * lit(cells)), lit(0)),

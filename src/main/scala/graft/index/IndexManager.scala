@@ -57,9 +57,14 @@ object IndexManager {
     TrieMap[(String, String), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                                org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
 
-  def planSubstitutions: Seq[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
-    planSubs.values.toSeq
+  /** Substitution pairs registered by THIS session only — a cross-session
+    * leak would let one session's queries silently read another's cache. */
+  def planSubstitutions(spark: SparkSession)
+      : Seq[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    planSubs.iterator
+      .filter(_._1._1 == System.identityHashCode(spark).toString)
+      .map(_._2).toSeq
 
   /** Build (or return) a spatial z-order index over `keyCols`. */
   def indexTable(spark: SparkSession, df: DataFrame, name: String,
@@ -121,7 +126,9 @@ object IndexManager {
         .groupBy(spark_partition_id().as("__pid"))
         .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"), count(lit(1)))
         .collect()
-        .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .flatMap(r => // an all-null-key partition has no usable bounds
+          if (r.isNullAt(1)) None
+          else Some(r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))))
         .toMap
       new RangeIndexedTable(name, clustered, keyCol, stats)
     })
@@ -146,6 +153,8 @@ object IndexManager {
     val aggs = keyCols.flatMap(c =>
       Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c")))
     val b = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!b.isNullAt(0),
+      s"cannot index '$name': table is empty or key column is all null")
     val lows = keyCols.indices.map(i => b.getDouble(2 * i)).toArray
     val highs = keyCols.indices.map(i => b.getDouble(2 * i + 1)).toArray
 
@@ -180,12 +189,15 @@ object IndexManager {
     * IndexManager.scala:122-176). */
   def persistIndex(idx: IndexedTable, path: String): Unit = {
     idx.data.write.mode("overwrite").parquet(s"$path/data")
-    val meta = ujsonish(idx)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/meta.json"), meta)
+    // metadata through the Spark writer too, so persistence works on any
+    // hadoop filesystem (hdfs://, s3a://), not just local paths
+    val spark = idx.data.sparkSession
+    import spark.implicits._
+    Seq(ujsonish(idx)).toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
   }
 
   def loadIndex(spark: SparkSession, name: String, path: String): IndexedTable = {
-    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json"))
+    val meta = spark.read.textFile(s"$path/meta").head()
     val (keyCols, lows, highs, bits) = parseMeta(meta)
     val data = spark.read.parquet(s"$path/data")
     // disk path: no cached stats; partition pruning comes from parquet
@@ -262,10 +274,10 @@ final class IndexedTable(
   def knn(center: Array[Double], k: Int, tieBreak: Seq[String]): DataFrame = {
     val q = Point(center)
     val ordered = (df: DataFrame) => df
-      .withColumn("__d", pointDistance(keyCols.map(col), center.toSeq.map(lit)))
-      .orderBy((col("__d").asc +: tieBreak.map(col(_).asc)): _*)
+      .withColumn("__graft_knn_d", pointDistance(keyCols.map(col), center.toSeq.map(lit)))
+      .orderBy((col("__graft_knn_d").asc +: tieBreak.map(col(_).asc)): _*)
       .limit(k)
-      .drop("__d")
+      .drop("__graft_knn_d")
 
     if (stats.isEmpty) return ordered(data).select(output: _*)
 

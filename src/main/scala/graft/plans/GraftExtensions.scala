@@ -45,7 +45,9 @@ object IndexSubstitution extends Rule[LogicalPlan] {
     p.output.map(_.name).toSet.subsetOf(repl.output.map(_.name).toSet)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val subs = IndexManager.planSubstitutions
+    val subs = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(IndexManager.planSubstitutions)
+      .getOrElse(Seq.empty)
     if (subs.isEmpty) plan
     else plan.transformUp { case p =>
       // single scan over the registered substitutions per node (sameResult

@@ -156,25 +156,25 @@ object Pipeline {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "tx_stats" ->
       """SELECT doc_id,
-        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        | CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        | len(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '')) AS n_tokens,
+        | CAST(len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != ''),
         |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
-        |   / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
-        | CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
-        |   / len(regexp_split_to_array(trim(text), '\s+')) AS distinct_ratio,
+        |   / len(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '')) AS stop_ratio,
+        | CAST(len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != ''))) AS DOUBLE)
+        |   / len(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '')) AS distinct_ratio,
         | 0.3 * least(CAST(1.0 AS DOUBLE),
-        |        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '')) AS DOUBLE)
         |          / CAST(100.0 AS DOUBLE))
-        | + 0.4 * (CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
-        |   / len(regexp_split_to_array(trim(text), '\s+')))
+        | + 0.4 * (CAST(len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != ''))) AS DOUBLE)
+        |   / len(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '')))
         | + 0.3 * (CAST(1.0 AS DOUBLE)
-        |   - CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   - CAST(len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != ''),
         |        t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
-        |     / len(regexp_split_to_array(trim(text), '\s+'))) AS quality
+        |     / len(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != ''))) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "tx_token_counts" ->
       """SELECT doc_id,
-        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        | len(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '')) AS n_ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ann_brute_topk" ->

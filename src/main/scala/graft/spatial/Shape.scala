@@ -48,8 +48,12 @@ final case class Point(coord: Array[Double]) extends Shape {
 
   def sameAs(p: Point): Boolean =
     dimensions == p.dimensions && {
+      // NaN-reflexive (matches Arrays.hashCode) so equals/hashCode stay
+      // contract-consistent even for degenerate coordinates
       var i = 0
-      while (i < coord.length && coord(i) == p.coord(i)) i += 1
+      while (i < coord.length &&
+        (coord(i) == p.coord(i) || (coord(i) != coord(i) && p.coord(i) != p.coord(i))))
+        i += 1
       i == coord.length
     }
 
@@ -284,7 +288,7 @@ final case class Polygon(vertices: Array[Point]) extends Shape {
   /** Vertex ring flattened to [x0,y0,x1,y1,...] for the column kernel. */
   def flat: Array[Double] = vertices.flatMap(_.coord)
 
-  def edges: IndexedSeq[LineSegment] = vertices.indices.map { i =>
+  lazy val edges: IndexedSeq[LineSegment] = vertices.indices.map { i =>
     LineSegment(vertices(i), vertices((i + 1) % vertices.length))
   }
 
@@ -302,7 +306,8 @@ final case class Polygon(vertices: Array[Point]) extends Shape {
       if (intersects(s)) 0.0 else edges.map(e => Dist.segmentToSegment(e, s)).min
     case g: Polygon     =>
       if (intersects(g)) 0.0
-      else (for (a <- edges; b <- g.edges) yield Dist.segmentToSegment(a, b)).min
+      else edges.iterator.map(a =>
+        g.edges.iterator.map(b => Dist.segmentToSegment(a, b)).min).min
   }
 
   override def intersects(other: Shape): Boolean = other match {

@@ -50,6 +50,9 @@ object ZValue {
     * outside the range clamp to the boundary cells, so a z-curve built
     * from sampled bounds stays total. */
   def quantize(v: Double, lo: Double, hi: Double, bits: Int): Int = {
+    // Int cell arithmetic: bits > 30 would overflow `1 << bits` silently
+    // and collapse the curve to cell 0 (interleave alone allows up to 62)
+    require(bits >= 1 && bits <= 30, s"quantize bits must be in [1, 30], got $bits")
     val cells = (1 << bits) - 1
     if (hi <= lo) return 0
     val t = (v - lo) / (hi - lo)

@@ -29,6 +29,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows(3)._2 === 0.0) // zero norm -> 0 by convention
   }
 
+  test("vector kernels reject dimension mismatches loudly") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = new GenericArrayData(Array(1.0f, 2.0f))
+    val b = new GenericArrayData(Array(1.0f, 2.0f, 3.0f))
+    val e = intercept[IllegalArgumentException](VectorKernels.l2F(a, b))
+    assert(e.getMessage.contains("dimension mismatch"))
+    intercept[IllegalArgumentException](VectorKernels.cosineF(a, b))
+    intercept[IllegalArgumentException](VectorKernels.dotF(a, b))
+  }
+
+  test("empty/blank text yields zero tokens and a low quality score") {
+    import spark.implicits._
+    val rows = Seq("", "   ", "real text here").toDF("text")
+      .select(graft.functions.tokenCount(col("text")).as("n"),
+        graft.functions.qualityScore(col("text")).as("q"))
+      .collect()
+    assert(rows(0).getLong(0) === 0L && rows(1).getLong(0) === 0L)
+    assert(rows(2).getLong(0) === 3L)
+  }
+
   test("null inputs propagate as null") {
     val df = Seq((1L, Some(Array(1f, 2f)), None: Option[Array[Float]]))
       .toDF("id", "a", "b")

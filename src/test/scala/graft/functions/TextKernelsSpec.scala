@@ -62,6 +62,9 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(TextKernels.langId("le chat est dans la maison et les chiens") === "fr")
     assert(TextKernels.langId("el perro es un animal y la casa es una") === "es")
     assert(TextKernels.langId("你好世界这是中文") === "zh")
+    assert(TextKernels.langId("こんにちは せかい です") === "ja")
+    assert(TextKernels.langId("日本語のテキストです") === "ja") // Han + kana mix
+    assert(TextKernels.langId("안녕하세요 세계 입니다") === "ko")
     assert(TextKernels.langId("qwerty zxcvb 12345") === "und")
   }
 }
