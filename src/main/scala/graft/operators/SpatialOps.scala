@@ -227,14 +227,17 @@ object SpatialOps {
       val ranked = cand.withColumn("__graft_rn", row_number().over(w))
       val kept = ranked.filter(col("__graft_rn") <= k)
 
-      // left rows with < k candidates within theta -> exact fallback
-      val starved = l.join(
-        kept.groupBy(col(leftId)).agg(count(lit(1)).as("__graft_n"))
-          .filter(col("__graft_n") >= k).select(col(leftId)),
-        Seq(leftId), "left_anti")
+      // Starved lefts (< k candidates within theta) take the exact
+      // fallback for ALL of their k rows, so their partial candidates in
+      // `kept` must be excluded or they'd appear twice in the union —
+      // same guard as pivotCellKnn / zknnJoinImpl.
+      val satisfiedIds = kept.groupBy(col(leftId)).agg(count(lit(1)).as("__graft_n"))
+        .filter(col("__graft_n") >= k).select(col(leftId))
+      val satisfied = kept.join(satisfiedIds, Seq(leftId), "left_semi")
+        .drop(DIST, "__graft_rn")
+      val starved = l.join(satisfiedIds, Seq(leftId), "left_anti")
 
       val fallback = starved.knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak)
-      val satisfied = kept.drop(DIST, "__graft_rn", "__graft_n")
       satisfied.unionByName(fallback)
     }
 
@@ -292,19 +295,26 @@ object SpatialOps {
       * silently running a different algorithm. */
     def knnJoinAuto(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
                     k: Int, leftId: String, rightId: String,
-                    tieBreak: Seq[String]): DataFrame =
-      graft.GraftConf.knnJoinAlgo(ds.sparkSession) match {
+                    tieBreak: Seq[String]): DataFrame = {
+      val s = ds.sparkSession
+      graft.GraftConf.knnJoinAlgo(s) match {
         case "zorder" =>
-          val s = ds.sparkSession
           zknnJoin(right, lKeys, rKeys, k, leftId, rightId, tieBreak,
             shifts = graft.GraftConf.zknnShifts(s), bits = graft.GraftConf.zknnBits(s),
             numPartitions = graft.GraftConf.joinPartitions(s))
         case "naive" => knnJoinNaive(right, lKeys, rKeys, k, leftId, tieBreak)
-        case "pivot" => knnJoinPivot(right, lKeys, rKeys, k, leftId, tieBreak)
-        case "grid"  => knnJoin(right, lKeys, rKeys, k, leftId, tieBreak)
+        case "pivot" => knnJoinPivot(right, lKeys, rKeys, k, leftId, tieBreak,
+          sampleCap = graft.GraftConf.sampleCap(s),
+          quantile = graft.GraftConf.knnQuantile(s),
+          safety = graft.GraftConf.knnSafety(s))
+        case "grid"  => knnJoin(right, lKeys, rKeys, k, leftId, tieBreak,
+          sampleCap = graft.GraftConf.sampleCap(s),
+          quantile = graft.GraftConf.knnQuantile(s),
+          safety = graft.GraftConf.knnSafety(s))
         case other => throw new IllegalArgumentException(
           s"${graft.GraftConf.KnnJoinAlgo}=$other; expected grid|zorder|pivot|naive")
       }
+    }
 
     /** Approximate kNN join on Morton curves (see [[SpatialOps.zknnJoinImpl]]). */
     def zknnJoin(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],

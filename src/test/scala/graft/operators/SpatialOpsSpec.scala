@@ -78,6 +78,53 @@ class SpatialOpsSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("knnJoin: partially starved lefts are not double-counted") {
+    import spark.implicits._
+    // Every left has exactly ONE right within the (forced-small) theta
+    // and its 2nd-nearest far outside it, so with k=2 every left is
+    // starved WITH a partial candidate row. Those partial rows must be
+    // excluded from the grid phase's output (the fallback re-emits them),
+    // or each close pair appears twice.
+    val l = (1 to 50).map(i => (i.toLong, i * 100.0, 0.0)).toDF("lid", "lx", "ly")
+    val r = (1 to 50).flatMap { i =>
+      Seq((i.toLong * 2, i * 100.0, 1.0),      // 1 unit away: inside theta
+          (i.toLong * 2 + 1, i * 100.0, 50.0)) // 50 units away: outside
+    }.toDF("rid", "rx", "ry")
+    // 2nd-NN distance is ~50 for every sampled left -> quantile 0.5 gives
+    // ~50; safety 0.05 forces theta ~2.5: admits the near right only.
+    val got = l.knnJoin(r, Seq("lx", "ly"), Seq("rx", "ry"), k = 2,
+      leftId = "lid", tieBreak = Seq("rid"), quantile = 0.5, safety = 0.05)
+    val want = l.knnJoinNaive(r, Seq("lx", "ly"), Seq("rx", "ry"), k = 2,
+      leftId = "lid", tieBreak = Seq("rid"))
+    assert(got.count() === want.count()) // duplicates would inflate this
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() === 100)
+  }
+
+  test("spark.graft.knn.* conf knobs are honored by knnJoinAuto") {
+    import spark.implicits._
+    val l = (1 to 50).map(i => (i.toLong, i * 100.0, 0.0)).toDF("lid", "lx", "ly")
+    val r = (1 to 50).flatMap { i =>
+      Seq((i.toLong * 2, i * 100.0, 1.0), (i.toLong * 2 + 1, i * 100.0, 50.0))
+    }.toDF("rid", "rx", "ry")
+    try {
+      spark.conf.set(graft.GraftConf.SampleCap, "500")
+      spark.conf.set(graft.GraftConf.KnnQuantile, "0.5")
+      spark.conf.set(graft.GraftConf.KnnSafety, "0.05")
+      val tuned = l.knnJoinAuto(r, Seq("lx", "ly"), Seq("rx", "ry"),
+        2, "lid", "rid", Seq("rid"))
+      // theta = 2nd-NN(50) * quantile-pick * safety(0.05) = 2.5, baked into
+      // the candidate filter as a literal — proves the knobs were read
+      assert(tuned.queryExecution.optimizedPlan.toString.contains("2.5"),
+        "expected conf-driven theta 2.5 in the plan")
+      assert(tuned.count() === 100) // exactness preserved (fallback)
+    } finally {
+      spark.conf.unset(graft.GraftConf.SampleCap)
+      spark.conf.unset(graft.GraftConf.KnnQuantile)
+      spark.conf.unset(graft.GraftConf.KnnSafety)
+    }
+  }
+
   test("knnJoinAuto dispatches on spark.graft.join.knnJoin") {
     val base = pairSet(cust.knnJoinNaive(supp, Seq("cx", "cy"), Seq("sx", "sy"),
       3, "c_custkey", Seq("s_suppkey")))
