@@ -84,6 +84,34 @@ object Advanced {
       .orderBy(col("c_custkey"), col("s_suppkey"))
   }
 
+  /** Hard zKNN contract check: per left row the approximate join must
+    * return exactly k rows, all-distinct rights, whose max exact distance
+    * dominates the exact kth-NN distance (any k distinct rights do).
+    * Deterministic whatever the curve recall is, so DuckDB can oracle the
+    * shape contract even though the neighbor sets are probabilistic
+    * (reference semantics: ZKJSpark.scala:36-170). */
+  def zknnCheckQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SpatialOps._
+    import graft.functions.pointDistance
+    val dcol = pointDistance(Seq("cx", "cy").map(col), Seq("sx", "sy").map(col))
+    val z = customerPts(s, d)
+      .zknnJoin(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
+        k = 3, leftId = "c_custkey", rightId = "s_suppkey",
+        tieBreak = Seq("s_suppkey"), shifts = 2)
+      .groupBy(col("c_custkey")).agg(
+        count(lit(1)).cast("int").as("n_rows"),
+        countDistinct(col("s_suppkey")).cast("int").as("n_distinct"),
+        max(dcol).as("__zmax"))
+    val exact = customerPts(s, d)
+      .knnJoinNaive(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
+        k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey"))
+      .groupBy(col("c_custkey")).agg(max(dcol).as("__emax"))
+    z.join(exact, Seq("c_custkey"))
+      .select(col("c_custkey"), col("n_rows"), col("n_distinct"),
+        (col("__zmax") >= col("__emax")).as("covers_exact_kth"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Library scalar functions through the SQL surface (temp-function
     * registry): engine-specific hashes -> rows-only check. */
   def sqlFunctionsQ(s: SparkSession, d: String): DataFrame = {
@@ -95,9 +123,13 @@ object Advanced {
         |FROM graft_documents ORDER BY doc_id""".stripMargin)
   }
 
+  /** Frame content rides as hex text so DuckDB can hash-check the exact
+    * bytes (substring over the hex of the blob = 2 chars per byte). */
   def mediaFrameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.syntheticMediaTable(s, d))
-      .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_len"))
+      .select(col("media_id"), col("frame_idx"),
+        upper(hex(col("frame"))).as("frame_hex"),
+        length(col("frame")).cast("int").as("frame_len"))
       .orderBy(col("media_id"), col("frame_idx"))
 
   val oracles: Map[String, String] = Map(
@@ -138,7 +170,29 @@ object Advanced {
         |ORDER BY o_orderkey""".stripMargin,
     "sp_hash_index" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    // pure byte slicing: media = video docs (doc_id % 3 = 2), bytes =
+    // UTF-8 text, frames = 64-byte chunks, every 2nd; content compared
+    // via hex (2 hex chars per byte -> substring at *128)
+    "mm_frame_sample" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, upper(hex(encode(text))) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT media_id, u.frame_idx AS frame_idx,
+        |  substring(hx, u.frame_idx * 128 + 1, 128) AS frame_hex,
+        |  CAST(least(64, nb - u.frame_idx * 64) AS INT) AS frame_len
+        |FROM media,
+        |  UNNEST(generate_series(0,
+        |    greatest(CAST(ceil(nb / 64.0) AS INT) - 1, 0), 2)) AS u(frame_idx)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // the zKNN contract is fully determined even though the neighbor SETS
+    // are approximate: k rows per left, distinct, max distance >= exact kth
+    "sp_zknn_check" ->
+      """SELECT c_custkey, CAST(3 AS INT) AS n_rows, CAST(3 AS INT) AS n_distinct,
+        |  TRUE AS covers_exact_kth
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -151,6 +205,7 @@ object Advanced {
     "sp_range_index" -> (rangeIndexQ _),
     "sp_hash_index" -> (hashIndexQ _),
     "sp_zknn_join" -> (zknnJoinQ _),
+    "sp_zknn_check" -> (zknnCheckQ _),
     "q15_sql_functions" -> (sqlFunctionsQ _),
     "mm_features_topk" -> (mediaFeaturesTopK _),
     "mm_frame_sample" -> (mediaFrameSample _)

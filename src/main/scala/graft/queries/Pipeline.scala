@@ -204,7 +204,34 @@ object Pipeline {
          |    ${cosSql("a.embedding", "b.embedding")} AS cos
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id < b.vec_id) t
-         |WHERE cos >= 0.3 ORDER BY vec_id, vec_id2""".stripMargin
+         |WHERE cos >= 0.3 ORDER BY vec_id, vec_id2""".stripMargin,
+    // Jaccard over token-3-gram STRING sets == the kernel's Jaccard over
+    // hashed shingle sets (hash-injective modulo negligible collisions);
+    // docs under 3 tokens contribute their whole token stream as the one
+    // shingle, exactly like TextKernels.shingleHashes. Blocking key
+    // xxhash64(lang) == equality on lang. The division is an exact
+    // integer ratio in both engines -> bit-identical doubles.
+    "dd_ngram_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(
+        |      CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+        |           WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |           ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+        |      END) AS s
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '') AS ts
+        |        FROM documents)
+        |)
+        |SELECT id1, id2, jaccard FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN CAST(1.0 AS DOUBLE)
+        |         WHEN len(a.s) = 0 OR len(b.s) = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    END AS jaccard
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
