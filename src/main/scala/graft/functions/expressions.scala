@@ -133,6 +133,74 @@ case class ZOrder(children: Seq[Expression], bits: Int) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** `shape_intersects(shape, shape) -> boolean` over struct-encoded
+  * mixed-geometry columns (graft.spatial.ShapeCodec) — the rebuild of the
+  * reference's `InRange`/`InCircleRange` working "for any Shape, not just
+  * points" (reference: expression/InRange.scala:31-46), with `doGenCode`
+  * instead of the reference's CodegenFallback. */
+case class ShapeIntersects(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shape_intersects"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case s: StructType => s.length == 2
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects struct<tag:int, coords:array<double>> inputs, " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.spatial.ShapeCodec.intersectsRows(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.spatial.ShapeCodec.intersectsRows($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `shape_min_dist(shape, shape) -> double` — minimum Euclidean distance
+  * between two struct-encoded shapes (0 when they intersect); the shape
+  * contract of reference spatial/Shape.scala:28-36 as a column function. */
+case class ShapeMinDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shape_min_dist"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case s: StructType => s.length == 2
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects struct<tag:int, coords:array<double>> inputs, " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.spatial.ShapeCodec.minDistRows(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.spatial.ShapeCodec.minDistRows($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `point_in_polygon(x: double, y: double)` against a literal 2-D polygon
   * ring — boundary-inclusive even-odd test. The vertex ring rides along
   * as a referenced object so the per-row kernel call stays inside

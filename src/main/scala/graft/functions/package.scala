@@ -74,6 +74,51 @@ package object functions {
       toCol(PointInPolygon(toExpr(x), toExpr(y), poly.flat))
   }
 
+  // ---- mixed-geometry Shape columns (struct<tag:int, coords:array<double>>) ----
+  // The struct-encoded rebuild of the reference's single-ShapeType-column
+  // API form (reference: ShapeType.scala:27-41, DataSet.scala:229-236);
+  // constructors are pure column arithmetic, predicates are the codegen'd
+  // ShapeIntersects/ShapeMinDist expressions.
+
+  private def shapeStruct(tag: Int, coords: Seq[Column]): Column =
+    struct(lit(tag).as("tag"),
+      array(coords.map(_.cast("double")): _*).as("coords"))
+
+  /** Point shape from n coordinate columns. */
+  def stPoint(coords: Column*): Column =
+    shapeStruct(graft.spatial.ShapeCodec.TagPoint, coords)
+
+  /** Axis-aligned box shape from per-dimension low/high columns. */
+  def stBox(low: Seq[Column], high: Seq[Column]): Column = {
+    require(low.nonEmpty && low.length == high.length, "box corner arity mismatch")
+    shapeStruct(graft.spatial.ShapeCodec.TagMBR, low ++ high)
+  }
+
+  /** Ball shape from center columns + radius column. */
+  def stCircle(center: Seq[Column], radius: Column): Column = {
+    require(center.nonEmpty)
+    shapeStruct(graft.spatial.ShapeCodec.TagCircle, center :+ radius)
+  }
+
+  /** 2-D segment shape. */
+  def stSegment(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    shapeStruct(graft.spatial.ShapeCodec.TagSegment, Seq(ax, ay, bx, by))
+
+  /** Literal shape of any geometry (query constants). */
+  def stShape(s: graft.spatial.Shape): Column = {
+    val (tag, coords) = graft.spatial.ShapeCodec.encode(s)
+    shapeStruct(tag, coords.toSeq.map(lit))
+  }
+
+  /** Whether two shape columns intersect (boundary inclusive). */
+  def stIntersects(a: Column, b: Column): Column =
+    toCol(ShapeIntersects(toExpr(a), toExpr(b)))
+
+  /** Minimum Euclidean distance between two shape columns (0 if they
+    * intersect). */
+  def stDistance(a: Column, b: Column): Column =
+    toCol(ShapeMinDist(toExpr(a), toExpr(b)))
+
   // ---- vector surface (native expressions, codegen'd) ----
 
   def cosineSimilarity(a: Column, b: Column): Column =

@@ -78,6 +78,26 @@ object SpatialOps {
       ds.toDF.filter(inPolygon(col(keys(0)), col(keys(1)), poly))
     }
 
+    /** Rows whose mixed-geometry shape column intersects the query shape —
+      * the reference's `range` "for any Shape, not just points"
+      * (reference: expression/InRange.scala:31-46, DataSet.scala:56-78)
+      * over a struct-encoded shape column. At 100 TB, store the shape's
+      * bbox as plain sibling columns too and add them as pushdown-able
+      * conjuncts; the struct predicate itself runs codegen'd post-scan. */
+    def shapeRange(shapeCol: String, query: graft.spatial.Shape): DataFrame =
+      ds.toDF.filter(stIntersects(col(shapeCol), stShape(query)))
+
+    /** k rows whose shapes are nearest the query shape (minDist order,
+      * ties broken by `tieBreak`). Plans as TakeOrderedAndProject. */
+    def shapeKnn(shapeCol: String, query: graft.spatial.Shape, k: Int,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+      val out = ds.toDF
+      out.withColumn(DIST, stDistance(col(shapeCol), stShape(query)))
+        .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
+        .limit(k)
+        .drop(DIST)
+    }
+
     /** k nearest rows to a query point; ties broken by `tieBreak` columns
       * so results are deterministic (the reference leaves ties arbitrary).
       * Plans as TakeOrderedAndProject: per-partition top-k, then a k-row

@@ -117,6 +117,29 @@ object Spatial {
         unix_millis(col("ts")).as("ts_ms"))
       .orderBy(col("event_id"))
 
+  /** Mixed-geometry Shape column range query: customers carry a point, a
+    * box, or a circle depending on key (struct-encoded tagged union), and
+    * the query keeps rows whose shape intersects a query box — the
+    * reference's ShapeType-column API form (reference: ShapeType.scala:27-41,
+    * DataSet.scala:56-78). The oracle re-derives each geometry's
+    * box-intersection predicate from the same raw columns, CASE'd on tag. */
+  def shapeColumnRange(s: SparkSession, d: String): DataFrame = {
+    import graft.functions._
+    import graft.operators.SpatialOps._
+    val c = customerPts(s, d)
+    val shape = when(col("c_custkey") % 3 === 0, stPoint(col("cx"), col("cy")))
+      .when(col("c_custkey") % 3 === 1,
+        stBox(Seq(col("cx") - 50.0, col("cy") - 20.0),
+              Seq(col("cx") + 50.0, col("cy") + 20.0)))
+      .otherwise(stCircle(Seq(col("cx"), col("cy")),
+        lit(30.0) + (col("c_custkey") % 50).cast("double")))
+    c.withColumn("shape", shape)
+      .shapeRange("shape", graft.spatial.MBR(
+        graft.spatial.Point(boxLow: _*), graft.spatial.Point(boxHigh: _*)))
+      .select(col("c_custkey"), col("shape.tag").as("shape_tag"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Exact kNN join, pivot (Voronoi) algorithm — same oracle as the grid
     * form, different physical shape. */
   def knnJoinPivotQ(s: SparkSession, d: String): DataFrame =
@@ -203,7 +226,26 @@ object Spatial {
          |      ORDER BY sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) ASC,
          |               s_suppkey ASC) AS rn
          |  FROM ($custPtsSql) c CROSS JOIN ($suppPtsSql) s) t
-         |WHERE rn <= 3 ORDER BY c_custkey, s_suppkey""".stripMargin
+         |WHERE rn <= 3 ORDER BY c_custkey, s_suppkey""".stripMargin,
+    // tag 0 = point-in-box, 1 = box-overlap, 2 = circle: dist(center,
+    // box) <= r with the same clamp-square-sum-sqrt shape as
+    // Dist.pointToMBR, so doubles agree bit-for-bit
+    "sp_shape_column_range" ->
+      s"""SELECT c_custkey, CAST(c_custkey % 3 AS INT) AS shape_tag
+         |FROM ($custPtsSql) c
+         |WHERE CASE CAST(c_custkey % 3 AS INT)
+         |  WHEN 0 THEN cx >= 2000.0 AND cx <= 4000.0
+         |          AND cy >= 100.0 AND cy <= 300.0
+         |  WHEN 1 THEN cx - 50.0 <= 4000.0 AND cx + 50.0 >= 2000.0
+         |          AND cy - 20.0 <= 300.0 AND cy + 20.0 >= 100.0
+         |  ELSE sqrt(
+         |    greatest(2000.0 - cx, cx - 4000.0, 0.0)
+         |      * greatest(2000.0 - cx, cx - 4000.0, 0.0)
+         |    + greatest(100.0 - cy, cy - 300.0, 0.0)
+         |      * greatest(100.0 - cy, cy - 300.0, 0.0))
+         |    <= 30.0 + CAST(c_custkey % 50 AS DOUBLE)
+         |END
+         |ORDER BY c_custkey""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -217,6 +259,7 @@ object Spatial {
     "sp_distance_join" -> (distanceJoin _),
     "sp_distance_join_bc" -> (distanceJoinBc _),
     "sp_knn_join" -> (knnJoin _),
-    "sp_knn_join_pivot" -> (knnJoinPivotQ _)
+    "sp_knn_join_pivot" -> (knnJoinPivotQ _),
+    "sp_shape_column_range" -> (shapeColumnRange _)
   )
 }

@@ -321,6 +321,15 @@ final case class Polygon(vertices: Array[Point]) extends Shape {
       contains(g.vertices(0)) || g.contains(vertices(0)) ||
         edges.exists(a => g.edges.exists(a.intersects))
   }
+
+  // Array fields break case-class equality (same fix as Point).
+  override def equals(o: Any): Boolean = o match {
+    case p: Polygon => vertices.length == p.vertices.length &&
+      vertices.indices.forall(i => vertices(i) == p.vertices(i))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    vertices.foldLeft(17)((h, v) => h * 31 + v.hashCode())
 }
 
 object Polygon {

@@ -1,0 +1,74 @@
+package graft.spatial
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** Mixed-geometry Shape <-> struct column codec.
+  *
+  * The reference stores heterogeneous geometry columns as a
+  * `UserDefinedType[Shape]` over Kryo-serialized bytes with a hand-rolled
+  * tag byte (reference: ShapeType.scala:27-41,
+  * util/KryoShapeSerializer.scala:33-123 — tag 0=Point, 1=MBR, 2=Circle,
+  * 3=Polygon, 4=LineSegment). UDTs are private API on Spark 4, so the
+  * rebuild encodes the same tagged union as a PLAIN STRUCT column
+  * `struct<tag: int, coords: array<double>>` (SURVEY.md §1.4): fully
+  * Tungsten-native, parquet-storable, and readable by any engine — the
+  * oracle can re-derive the geometry from the struct fields in SQL.
+  *
+  * Layouts (dimensionality is implied by the tag + length):
+  *  - Point:   [x1..xd]
+  *  - MBR:     [low1..lowd, high1..highd]
+  *  - Circle:  [c1..cd, radius]
+  *  - Polygon: [x0,y0, x1,y1, ...]   (2-D vertex ring)
+  *  - Segment: [ax,ay, bx,by]        (2-D)
+  */
+object ShapeCodec {
+
+  val TagPoint = 0
+  val TagMBR = 1
+  val TagCircle = 2
+  val TagPolygon = 3
+  val TagSegment = 4
+
+  /** The struct type of an encoded shape column. */
+  val sqlType: StructType = StructType(Seq(
+    StructField("tag", IntegerType, nullable = false),
+    StructField("coords", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  def encode(s: Shape): (Int, Array[Double]) = s match {
+    case Point(c)          => (TagPoint, c)
+    case MBR(lo, hi)       => (TagMBR, lo.coord ++ hi.coord)
+    case Circle(c, r)      => (TagCircle, c.coord :+ r)
+    case p: Polygon        => (TagPolygon, p.flat)
+    case LineSegment(a, b) => (TagSegment, a.coord ++ b.coord)
+  }
+
+  def decode(tag: Int, coords: Array[Double]): Shape = tag match {
+    case TagPoint => Point(coords)
+    case TagMBR =>
+      val d = coords.length / 2
+      MBR(Point(coords.take(d)), Point(coords.drop(d)))
+    case TagCircle => Circle(Point(coords.init), coords.last)
+    case TagPolygon =>
+      Polygon(Array.tabulate(coords.length / 2)(i =>
+        Point(coords(2 * i), coords(2 * i + 1))))
+    case TagSegment =>
+      LineSegment(Point(coords(0), coords(1)), Point(coords(2), coords(3)))
+    case other => throw new IllegalArgumentException(s"unknown shape tag: $other")
+  }
+
+  /** Decode from a struct value. Row-at-a-time object construction is the
+    * same cost class as the reference's per-row Kryo deserialization; the
+    * shapes are small and short-lived (scalar-replaceable). */
+  def fromRow(r: InternalRow): Shape =
+    decode(r.getInt(0), r.getArray(1).toDoubleArray())
+
+  // Static kernels called from generated code (whole-stage codegen keeps
+  // the call inside the produced loop).
+  def intersectsRows(a: InternalRow, b: InternalRow): Boolean =
+    fromRow(a).intersects(fromRow(b))
+
+  def minDistRows(a: InternalRow, b: InternalRow): Double =
+    fromRow(a).minDist(fromRow(b))
+}

@@ -1,0 +1,151 @@
+package graft.spatial
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions._
+import graft.operators.SpatialOps._
+
+/** Mixed-geometry Shape columns: codec round-trip, the struct-encoded
+  * range/kNN verbs against brute-force ADT oracles, codegen integration,
+  * and the SQL-function surface. */
+class ShapeColumnSpec extends SparkSpec {
+
+  private val allShapes: Seq[Shape] = Seq(
+    Point(1.0, 2.0),
+    Point(1.0, 2.0, 3.0),
+    MBR(Point(0.0, 0.0), Point(2.0, 3.0)),
+    MBR(Point(0.0, 0.0, 0.0), Point(1.0, 1.0, 1.0)),
+    Circle(Point(5.0, 5.0), 2.5),
+    LineSegment(Point(0.0, 0.0), Point(4.0, 3.0)),
+    Polygon((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)))
+
+  test("codec round-trips every geometry kind") {
+    allShapes.foreach { s =>
+      val (tag, coords) = ShapeCodec.encode(s)
+      val back = ShapeCodec.decode(tag, coords)
+      assert(back === s, s"round-trip failed for $s")
+      // intersects/minDist semantics survive the round trip (pairwise
+      // kernels require matching dimensionality)
+      allShapes.filter(_.dimensions == s.dimensions).foreach { o =>
+        assert(back.intersects(o) === s.intersects(o))
+        assert(back.minDist(o) === s.minDist(o))
+      }
+    }
+  }
+
+  test("codec rejects unknown tags") {
+    val e = intercept[IllegalArgumentException] {
+      ShapeCodec.decode(9, Array(1.0, 2.0))
+    }
+    assert(e.getMessage.contains("unknown shape tag"))
+  }
+
+  // A deterministic mixed-shape table: i % 3 picks the geometry kind.
+  private def mixedDf = {
+    import spark.implicits._
+    (1 to 300).map { i =>
+      (i.toLong, (i % 17) * 3.0, (i % 13) * 4.0, 1.0 + (i % 5))
+    }.toDF("id", "x", "y", "r")
+      .withColumn("shape",
+        when(col("id") % 3 === 0, stPoint(col("x"), col("y")))
+          .when(col("id") % 3 === 1,
+            stBox(Seq(col("x") - col("r"), col("y") - col("r")),
+                  Seq(col("x") + col("r"), col("y") + col("r"))))
+          .otherwise(stCircle(Seq(col("x"), col("y")), col("r"))))
+  }
+
+  private def shapeOf(id: Long, x: Double, y: Double, r: Double): Shape =
+    (id % 3) match {
+      case 0 => Point(x, y)
+      case 1 => MBR(Point(x - r, y - r), Point(x + r, y + r))
+      case _ => Circle(Point(x, y), r)
+    }
+
+  test("shapeRange over a mixed column equals the ADT brute force") {
+    val query = MBR(Point(10.0, 8.0), Point(30.0, 28.0))
+    val got = mixedDf.shapeRange("shape", query)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = mixedDf.select("id", "x", "y", "r").collect().filter { row =>
+      shapeOf(row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+        .intersects(query)
+    }.map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < 300, s"degenerate selection: ${got.size}")
+  }
+
+  test("shapeRange works with segment and polygon query shapes too") {
+    Seq[Shape](
+      LineSegment(Point(0.0, 0.0), Point(48.0, 48.0)),
+      Polygon((5.0, 5.0), (40.0, 5.0), (40.0, 40.0))).foreach { query =>
+      val got = mixedDf.shapeRange("shape", query)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = mixedDf.select("id", "x", "y", "r").collect().filter { row =>
+        shapeOf(row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+          .intersects(query)
+      }.map(_.getLong(0)).toSet
+      assert(got === want, s"query=$query")
+      assert(got.nonEmpty, s"degenerate selection for $query")
+    }
+  }
+
+  test("stDistance equals ADT minDist row by row") {
+    val query = Circle(Point(20.0, 20.0), 3.0)
+    val got = mixedDf
+      .select(col("id"), stDistance(col("shape"), stShape(query)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    mixedDf.select("id", "x", "y", "r").collect().foreach { row =>
+      val want = shapeOf(row.getLong(0), row.getDouble(1), row.getDouble(2),
+        row.getDouble(3)).minDist(query)
+      assert(got(row.getLong(0)) === want, s"id=${row.getLong(0)}")
+    }
+  }
+
+  test("shapeKnn equals brute-force minDist ordering") {
+    val query = Point(22.0, 18.0)
+    val got = mixedDf.shapeKnn("shape", query, 7, tieBreak = Seq("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val want = mixedDf.select("id", "x", "y", "r").collect().map { row =>
+      (row.getLong(0),
+        shapeOf(row.getLong(0), row.getDouble(1), row.getDouble(2),
+          row.getDouble(3)).minDist(query))
+    }.sortBy { case (id, d) => (d, id) }.take(7).map(_._1).toSeq
+    assert(got === want)
+  }
+
+  test("shape structs persist to parquet; predicate runs inside codegen") {
+    // parquet round-trip both proves the struct encoding is storable and
+    // gives the filter a real scan to sit on (local relations are folded
+    // at plan time, so no physical filter would exist to inspect)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shape_pq").toString
+    mixedDf.write.mode("overwrite").parquet(dir)
+    val query = MBR(Point(10.0, 8.0), Point(30.0, 28.0))
+    val q = spark.read.parquet(dir).shapeRange("shape", query)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("shape_intersects"), plan)
+    // "*(n) Filter" = the filter runs inside whole-stage codegen stage n
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(plan).isDefined, plan)
+    val want = mixedDf.shapeRange("shape", query)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(q.select("id").collect().map(_.getLong(0)).toSet === want)
+  }
+
+  test("graft_st_intersects / graft_st_distance are SQL-callable") {
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    mixedDf.createOrReplaceTempView("shapes_t")
+    val n = spark.sql(
+      """SELECT count(*) FROM shapes_t
+        |WHERE graft_st_intersects(shape,
+        |  named_struct('tag', 1, 'coords', array(10.0D, 8.0D, 30.0D, 28.0D)))""".stripMargin)
+      .head().getLong(0)
+    val want = mixedDf.shapeRange("shape",
+      MBR(Point(10.0, 8.0), Point(30.0, 28.0))).count()
+    assert(n === want)
+    val d = spark.sql(
+      """SELECT graft_st_distance(
+        |  named_struct('tag', 0, 'coords', array(0.0D, 0.0D)),
+        |  named_struct('tag', 2, 'coords', array(3.0D, 4.0D, 1.0D)))""".stripMargin)
+      .head().getDouble(0)
+    assert(d === 4.0) // |(0,0)-(3,4)| - r = 5 - 1
+  }
+}
