@@ -223,13 +223,19 @@ object SpatialOps {
 
     /** kNN join, bounded-radius grid + exact fallback.
       *
-      * Phase 1 estimates a radius theta from a driver-capped sample such
-      * that most left rows find >= k right rows within theta (the bound
-      * role of the reference's per-cell theta, RKJSpark.scala:105-110).
-      * Phase 2 runs the grid distance join at theta and keeps each left
-      * row's k nearest candidates. Phase 3 re-runs the exact windowed join
-      * for the (few) starved left rows, so the result is exact regardless
-      * of the estimate.
+      * Phase 1 estimates radii from a driver-capped sample: a global
+      * theta (the grid's cell side) such that most left rows find >= k
+      * right rows within it, plus a PER-CELL theta — the reference's
+      * RKJSpark derives its bound per left partition exactly like this
+      * (reference: RKJSpark.scala:105-110) — so dense regions filter
+      * candidates at their own much smaller radius instead of the global
+      * quantile's. Phase 2 runs the grid equi-join at the global cell
+      * side but keeps only pairs within the left cell's theta, then
+      * windows to each left row's k nearest. Phase 3 re-runs the exact
+      * windowed join for the starved left rows, so the result is exact
+      * regardless of both estimates. Skew behavior: a dense cell's
+      * candidate set scales with its own density * theta_cell^d (bounded
+      * by the sampled kth-NN distances there), not density * theta^d.
       */
     def knnJoin(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
                 k: Int, leftId: String, tieBreak: Seq[String],
@@ -238,9 +244,10 @@ object SpatialOps {
       val l = ds.toDF
       val rt = right.toDF
 
-      val theta = estimateKnnRadius(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
+      val (theta, cellThetas) =
+        estimateKnnRadii(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
 
-      val cand = distanceJoin(rt, lKeys, rKeys, theta)
+      val cand = gridCandidates(l, rt, lKeys, rKeys, theta, cellThetas)
         .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
       val w = Window.partitionBy(col(leftId))
         .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
