@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{types, Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -505,6 +505,104 @@ object SpatialOps {
     val idx = math.min(dists.length - 1, (quantile * dists.length).toInt)
     val densityCorrection = math.pow(rFrac, 1.0 / lKeys.length)
     math.max(dists(idx) * densityCorrection * safety, 1e-9)
+  }
+
+  /** Per-cell refinement of [[estimateKnnRadius]]: returns the global
+    * theta (the grid's cell side — the cross-sample quantile of corrected
+    * kth-NN radii) plus a theta per observed grid cell, so a dense cell
+    * filters candidates at its own much smaller radius — the reference's
+    * RKJSpark derives its bound per left partition exactly like this
+    * (reference: RKJSpark.scala:105-110). Per-cell thetas are capped at
+    * the global theta so the 3^d neighbor replication of the grid still
+    * covers every cell's filter ball; cells the sample never saw fall
+    * back to the global theta in [[gridCandidates]]. Driver memory is
+    * bounded by the sample cap (<= cap cells). Like the global estimate,
+    * this only affects performance — the exact fallback in `knnJoin`
+    * restores any left row whose true kth neighbor lies beyond its
+    * cell's theta. */
+  private[operators] def estimateKnnRadii(
+      l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
+      k: Int, cap: Int, quantile: Double, safety: Double
+  ): (Double, Map[Seq[Long], Double]) = {
+    val lPts = samplePoints(l, lKeys, cap)
+    val (rPts, rFrac) = samplePointsWithFraction(r, rKeys, cap)
+    require(rPts.nonEmpty, "kNN join: right side is empty")
+    // empty left: any radius yields the correct empty result downstream
+    if (lPts.isEmpty) return (1e-9, Map.empty)
+    val densityCorrection = math.pow(rFrac, 1.0 / lKeys.length)
+    // corrected + safety'd radius per sampled left point, so both the
+    // global and the per-cell quantiles read from the same scale
+    val radii: Array[Double] = lPts.map { p =>
+      val ds = rPts.map(q => graft.spatial.Dist.pointToPoint(p, q)).sorted
+      math.max(ds(math.min(k, ds.length) - 1) * densityCorrection * safety, 1e-9)
+    }
+    def quantileOf(sorted: Array[Double]): Double =
+      sorted(math.min(sorted.length - 1, (quantile * sorted.length).toInt))
+    val theta = quantileOf(radii.sorted)
+    val cellThetas: Map[Seq[Long], Double] = lPts.zip(radii)
+      .groupBy { case (p, _) => p.toSeq.map(x => math.floor(x / theta).toLong) }
+      .map { case (cell, pts) =>
+        cell -> math.min(quantileOf(pts.map(_._2).sorted), theta)
+      }
+    (theta, cellThetas)
+  }
+
+  /** Candidate pairs for the grid kNN join: equi-join on cell id at cell
+    * side `theta` (left rows keep their own cell, right rows replicate to
+    * the 3^d neighborhood — same shape as `distanceJoin`), filtered to
+    * pairs within the LEFT CELL's theta rather than the global one. The
+    * per-cell thetas ride in on a broadcast left-outer join against a
+    * tiny (<= sampleCap rows) cell→theta table; unseen cells fall back to
+    * the global theta. Because every per-cell theta <= theta, the 3^d
+    * neighborhood still contains every point of every cell's filter
+    * ball, so the candidate set is exactly {pairs within cellTheta(left)}
+    * — a left row with >= k candidates here provably has its true k
+    * nearest among them. Output columns: left ++ right, no internals. */
+  private[operators] def gridCandidates(
+      l: DataFrame, rt: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
+      theta: Double, cellThetas: Map[Seq[Long], Double]): DataFrame = {
+    require(l.columns.intersect(rt.columns).isEmpty,
+      s"knnJoin requires disjoint column names, shared: " +
+        l.columns.intersect(rt.columns).mkString(","))
+    val dims = lKeys.length
+    val lCells = lKeys.zipWithIndex.map { case (k, i) =>
+      floor(col(k) / theta).cast("long").as(s"${CELL}_l$i")
+    }
+    val lTagged = l.select(l.columns.map(col) ++ lCells: _*)
+
+    val spark = l.sparkSession
+    val cellCols = (0 until dims).map(i => s"${CELL}_l$i")
+    val withTheta =
+      if (cellThetas.isEmpty) lTagged.withColumn("__graft_ctheta", lit(theta))
+      else {
+        val schema = types.StructType(
+          cellCols.map(c => types.StructField(c, types.LongType, nullable = false)) :+
+            types.StructField("__graft_ctheta", types.DoubleType, nullable = false))
+        val rows = cellThetas.toSeq.map { case (cell, th) =>
+          org.apache.spark.sql.Row.fromSeq(cell :+ th)
+        }
+        val ctDf = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+        lTagged.join(broadcast(ctDf), cellCols, "left")
+          .withColumn("__graft_ctheta", coalesce(col("__graft_ctheta"), lit(theta)))
+      }
+
+    val offsets: Seq[Seq[Int]] = Seq.fill(dims)(Seq(-1, 0, 1))
+      .foldLeft(Seq(Seq.empty[Int]))((acc, cs) => for (a <- acc; c <- cs) yield a :+ c)
+    val offArr = array(offsets.map(o => array(o.map(lit): _*)): _*)
+    val rCells = rKeys.zipWithIndex.map { case (k, i) =>
+      (floor(col(k) / theta).cast("long") +
+        element_at(col("__graft_off"), i + 1)).as(s"${CELL}_r$i")
+    }
+    val rTagged = rt.withColumn("__graft_off", explode(offArr))
+      .select(rt.columns.map(col) ++ rCells: _*)
+
+    val cellCond = (0 until dims)
+      .map(i => col(s"${CELL}_l$i") === col(s"${CELL}_r$i")).reduce(_ && _)
+    val distCond = pointDistance(lKeys.map(col), rKeys.map(col)) <= col("__graft_ctheta")
+
+    withTheta.join(rTagged, cellCond && distCond, "inner")
+      .select((l.columns ++ rt.columns).map(col): _*)
   }
 
   /** Shared core of the pivot (Voronoi) kNN joins — spatial

@@ -245,6 +245,39 @@ class SpatialOpsSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("knnJoin exact under density skew; per-cell theta prunes candidates") {
+    import spark.implicits._
+    // dense cluster (400 rows in a 2x2 box) + sparse ring far away: the
+    // global 0.95-quantile theta is sized by the sparse rows, so a
+    // single global filter would admit huge candidate sets inside the
+    // cluster — exactly the skew the per-cell theta exists to bound.
+    val l = ((1 to 400).map(i => (i.toLong, (i % 20) * 0.1, (i / 20) * 0.1)) ++
+      (1 to 40).map(i => (400L + i, 100.0 + i * 25.0, 100.0 + (i % 7) * 25.0)))
+      .toDF("lid", "lx", "ly")
+    val r = ((1 to 400).map(j => (j.toLong, (j % 20) * 0.1 + 0.05, (j / 20) * 0.1 + 0.05)) ++
+      (1 to 40).map(j => (400L + j, 110.0 + j * 25.0, 90.0 + (j % 5) * 25.0)))
+      .toDF("rid", "rx", "ry")
+    val got = l.knnJoin(r, Seq("lx", "ly"), Seq("rx", "ry"), k = 3,
+      leftId = "lid", tieBreak = Seq("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = l.knnJoinNaive(r, Seq("lx", "ly"), Seq("rx", "ry"), k = 3,
+      leftId = "lid", tieBreak = Seq("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+
+    // the per-cell thetas must make the candidate pass strictly cheaper
+    // than one global theta on this distribution
+    val (theta, cellThetas) = SpatialOps.estimateKnnRadii(
+      l, r, Seq("lx", "ly"), Seq("rx", "ry"), k = 3,
+      cap = 2000, quantile = 0.95, safety = 2.0)
+    assert(cellThetas.values.exists(_ < theta), "dense cells should get a tighter theta")
+    val perCell = SpatialOps.gridCandidates(
+      l, r, Seq("lx", "ly"), Seq("rx", "ry"), theta, cellThetas).count()
+    val global = SpatialOps.gridCandidates(
+      l, r, Seq("lx", "ly"), Seq("rx", "ry"), theta, Map.empty).count()
+    assert(perCell < global, s"per-cell candidates $perCell !< global $global")
+  }
+
   test("n-dimensional: 3-D distance join via grid equals naive") {
     import spark.implicits._
     val a = (1 to 60).map(i => (i.toLong, i * 1.0, (i % 7) * 2.0, (i % 5) * 3.0))
