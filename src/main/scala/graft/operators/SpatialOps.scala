@@ -428,17 +428,21 @@ object SpatialOps {
         // one ordered pass per shift run: each LEFT pairs with the k
         // nearest RIGHTs before and after it in z-order; state resets at
         // shift boundaries (a partition may span the end of one shift's
-        // range and the start of the next)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        // range and the start of the next). Emission is LAZY (flatMap
+        // over the sorted input): per-element output is bounded by the
+        // sliding state (k trailing rights / the pending-left queue), so
+        // partition memory scales with the window, never with the
+        // partition's row or candidate count.
         var lastRights = new java.util.ArrayDeque[Long](k)
         var pending = scala.collection.mutable.Queue.empty[(Long, Array[Int])]
         var curShift = -1
-        it.foreach { case (side, id, s) =>
+        it.flatMap { case (side, id, s) =>
           if (s != curShift) {
             curShift = s
             lastRights = new java.util.ArrayDeque[Long](k)
             pending = scala.collection.mutable.Queue.empty[(Long, Array[Int])]
           }
+          val out = Seq.newBuilder[(Long, Long)]
           if (side == 0) {
             val itr = lastRights.iterator()
             while (itr.hasNext) out += ((id, itr.next()))
@@ -451,8 +455,8 @@ object SpatialOps {
             if (lastRights.size == k) lastRights.pollFirst()
             lastRights.addLast(id)
           }
+          out.result()
         }
-        out.iterator
       }.toDF("__lid", "__rid").distinct()
 
     // exact re-rank: join coordinates back, true distance, top-k per left
