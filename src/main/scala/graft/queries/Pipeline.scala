@@ -39,10 +39,20 @@ object Pipeline {
       .simHashPairs("doc_id", "text", blocks = 4, maxHamming = 3)
       .orderBy(col("id1"), col("id2"))
 
+  /** Blocking key: (lang, bit-length of n_chars) — a geometric length
+    * bucket computed in exact integer arithmetic so Spark and DuckDB
+    * agree bit-for-bit (no float log at bucket boundaries). Near-dups at
+    * threshold 0.8 have near-equal sizes, so same-bucket is the declared
+    * candidate semantics (standard blocking tradeoff: pairs straddling a
+    * power-of-2 size boundary are not candidates). Blocking by lang
+    * alone is O(n²) in the dominant language — the full cross product on
+    * a monolingual corpus. */
   def ngramJaccardPairsQ(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .ngramJaccardPairs("doc_id", "text",
-        blockBy = Seq(col("lang")), n = 3, threshold = 0.8)
+        blockBy = Seq(col("lang"),
+          length(conv(col("n_chars").cast("string"), 10, 2))),
+        n = 3, threshold = 0.8)
       .orderBy(col("id1"), col("id2"))
 
   def embNearDupQ(s: SparkSession, d: String): DataFrame =
@@ -213,13 +223,13 @@ object Pipeline {
     // integer ratio in both engines -> bit-identical doubles.
     "dd_ngram_jaccard_pairs" ->
       """WITH sh AS (
-        |  SELECT doc_id, lang,
+        |  SELECT doc_id, lang, length(printf('%b', n_chars)) AS lbucket,
         |    list_distinct(
         |      CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
         |           WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
         |           ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
         |      END) AS s
-        |  FROM (SELECT doc_id, lang,
+        |  FROM (SELECT doc_id, lang, n_chars,
         |          list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '') AS ts
         |        FROM documents)
         |)
@@ -230,7 +240,8 @@ object Pipeline {
         |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |    END AS jaccard
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin
   )
 

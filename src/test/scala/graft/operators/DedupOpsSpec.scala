@@ -79,6 +79,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("ngram blocking by (lang, length-bucket) is sub-quadratic and exact in-block") {
+    val bucket = length(conv(col("n_chars").cast("string"), 10, 2))
+    val got = docs.ngramJaccardPairs("doc_id", "text",
+      blockBy = Seq(col("lang"), bucket), n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force within the same (lang, bit-length) blocks
+    val rows = docs.select(col("doc_id"), col("lang"), bucket.as("b"), col("text"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2)), r.getString(3)))
+    val brute = rows.groupBy(_._2).values.flatMap { blk =>
+      val sorted = blk.sortBy(_._1)
+      for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        if TextKernels.shingleJaccard(sorted(i)._3, sorted(j)._3, 3) >= 0.8
+      } yield (sorted(i)._1, sorted(j)._1)
+    }.toSet
+    assert(got === brute)
+    // certify the candidate space shrank vs lang-only blocking: sum of
+    // C(block,2) with the length bucket must be well under lang-only's
+    def candPairs(groups: Iterable[Int]): Long =
+      groups.map(c => c.toLong * (c - 1) / 2).sum
+    val withBucket = candPairs(rows.groupBy(_._2).values.map(_.length))
+    val langOnly = candPairs(rows.groupBy(_._2._1).values.map(_.length))
+    assert(withBucket < langOnly / 2,
+      s"blocked candidates $withBucket not sub-quadratic vs lang-only $langOnly")
+  }
+
   test("dedup rate: minhash collapses the planted near-dup clusters") {
     val pairs = docs.minHashPairs("doc_id", "text", threshold = 0.8)
     val survivors = docs.join(pairs.select(col("id2").as("doc_id")),
