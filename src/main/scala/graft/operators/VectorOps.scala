@@ -24,10 +24,12 @@ object VectorOps {
   def readIvfTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                   vecCol: String, idCol: String, query: Array[Float],
                   k: Int, nprobe: Int = 4): DataFrame = {
-    val raw = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$path/centroids.json"))
+    // metadata rides Spark's text reader so the layout works on any
+    // hadoop filesystem (hdfs://, s3a://), not just local paths — same
+    // discipline as IndexManager.persistIndex/loadIndex
+    val raw = spark.read.textFile(s"$path/centroids").head()
     require(raw.startsWith("[[") && raw.endsWith("]]"),
-      s"readIvfTopK: no centroids at $path/centroids.json")
+      s"readIvfTopK: no centroids at $path/centroids")
     val centroids = raw.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .map(_.split(",").map(_.trim.toFloat))
     val qA = new org.apache.spark.sql.catalyst.util.GenericArrayData(query)
@@ -136,8 +138,11 @@ object VectorOps {
         .drop("__graft_cos")
         .write.mode("overwrite").partitionBy("__graft_cell").parquet(s"$path/data")
       val meta = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$path/centroids.json"), meta)
+      // metadata through the Spark writer too (any hadoop fs, not just
+      // local) — same discipline as IndexManager.persistIndex
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq(meta).toDS().coalesce(1).write.mode("overwrite").text(s"$path/centroids")
     }
 
     /** Exact vector kNN join by L2 distance: for every left row, its k

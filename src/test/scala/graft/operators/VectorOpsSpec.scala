@@ -139,7 +139,10 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   test("IVF disk layout: probed scan prunes partitions, scores exact") {
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    // explicit file:// URI: the whole layout (data + centroid metadata)
+    // must round-trip through hadoop-filesystem IO, never java.nio —
+    // the same code path an hdfs:// or s3a:// deployment would take
+    val path = "file://" + java.nio.file.Files.createTempDirectory("graft_ivf").toString
     emb.writeIvf(path, "embedding", "vec_id", nlist = 8)
     val q = all.find(_._1 == 0L).get._2
     val got = VectorOps.readIvfTopK(spark, path, "embedding", "vec_id", q, 5, nprobe = 4)
