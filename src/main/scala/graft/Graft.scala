@@ -46,4 +46,20 @@ object Graft {
   def persistIndex(idx: IndexedTable, path: String): Unit = IndexManager.persistIndex(idx, path)
   def loadIndex(spark: SparkSession, name: String, path: String): IndexedTable =
     IndexManager.loadIndex(spark, name, path)
+  def persistIndex(idx: RangeIndexedTable, path: String): Unit =
+    IndexManager.persistRangeIndex(idx, path)
+  def loadRangeIndex(spark: SparkSession, name: String, path: String): RangeIndexedTable =
+    IndexManager.loadRangeIndex(spark, name, path)
+  def persistIndex(idx: HashIndexedTable, path: String): Unit =
+    IndexManager.persistHashIndex(idx, path)
+  def loadHashIndex(spark: SparkSession, name: String, path: String): HashIndexedTable =
+    IndexManager.loadHashIndex(spark, name, path)
+
+  /** Index cache storage level for subsequently built/loaded indexes —
+    * the reference's `setStorageLevel` (reference: IndexManager.scala:179-187). */
+  def setIndexStorageLevel(spark: SparkSession, level: String): Unit = {
+    // validate eagerly so a typo fails here, not at the next index build
+    org.apache.spark.storage.StorageLevel.fromString(level)
+    spark.conf.set(GraftConf.IndexStorageLevel, level)
+  }
 }

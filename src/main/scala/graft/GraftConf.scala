@@ -21,6 +21,10 @@ object GraftConf {
   val ZknnBits           = "spark.graft.zknn.bits"
   val IndexPartitions    = "spark.graft.index.partitions"
   val IndexBits          = "spark.graft.index.bits"
+  // any StorageLevel name (MEMORY_AND_DISK, MEMORY_ONLY, DISK_ONLY, ...)
+  // — the reference's simba.index.storageLevel / setStorageLevel
+  // (reference: IndexManager.scala:179-187, SimbaConf.scala:126-130)
+  val IndexStorageLevel  = "spark.graft.index.storageLevel"
 
   private def get(s: SparkSession, key: String, dflt: String): String =
     s.conf.getOption(key).getOrElse(dflt)
@@ -36,4 +40,7 @@ object GraftConf {
   def zknnBits(s: SparkSession): Int = get(s, ZknnBits, "18").toInt
   def indexPartitions(s: SparkSession): Int = get(s, IndexPartitions, "32").toInt
   def indexBits(s: SparkSession): Int = get(s, IndexBits, "15").toInt
+  def indexStorageLevel(s: SparkSession): org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      get(s, IndexStorageLevel, "MEMORY_AND_DISK"))
 }

@@ -4,7 +4,6 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{inBox, inCircle, pointDistance, zorder}
 import graft.spatial.{MBR, Point, ZValue}
@@ -57,20 +56,49 @@ object IndexManager {
     TrieMap[(String, String), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                                org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
 
+  /** Stable per-session registry key: a process-unique UUID assigned on
+    * first sight of each session object. Unlike `System.identityHashCode`
+    * (which can recur after a collected session, handing one session's
+    * cached index to another), UUIDs never collide; the weak map lets a
+    * dropped session be collected while `evictStopped` reclaims its
+    * registry entries. (Spark's own `sessionUUID` would be ideal but is
+    * `private[sql]`.) */
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private def skey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
+  /** Drop entries owned by stopped sessions: their cached plans can never
+    * be used again, and keeping them would pin the cached DataFrames (and
+    * their executor memory) for the life of the JVM. Runs at every
+    * build/load — registries are small (one entry per index). */
+  private def evictStopped(): Unit = {
+    def stopped(df: DataFrame): Boolean = df.sparkSession match {
+      case c: org.apache.spark.sql.classic.SparkSession => c.sparkContext.isStopped
+      case _ => false
+    }
+    registry.filterInPlace((_, v) => !stopped(v.data))
+    rangeRegistry.filterInPlace((_, v) => !stopped(v.data))
+    hashRegistry.filterInPlace((_, v) => !stopped(v.data))
+    planSubs.filterInPlace((k, _) => registry.contains(k))
+  }
+
   /** Substitution pairs registered by THIS session only — a cross-session
     * leak would let one session's queries silently read another's cache. */
   def planSubstitutions(spark: SparkSession)
       : Seq[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
     planSubs.iterator
-      .filter(_._1._1 == System.identityHashCode(spark).toString)
+      .filter(_._1._1 == skey(spark))
       .map(_._2).toSeq
 
   /** Build (or return) a spatial z-order index over `keyCols`. */
   def indexTable(spark: SparkSession, df: DataFrame, name: String,
                  keyCols: Seq[String], numPartitions: Int = 32,
-                 bits: Int = 15): IndexedTable =
-    registry.getOrElseUpdate((System.identityHashCode(spark).toString, name), {
+                 bits: Int = 15): IndexedTable = {
+    evictStopped()
+    registry.getOrElseUpdate((skey(spark), name), {
       val idx = build(spark, df, name, keyCols, numPartitions, bits)
       // both sides OPTIMIZED: the substitution rule runs at the end of
       // optimization, so candidate subtrees are constant-folded etc. —
@@ -78,17 +106,18 @@ object IndexManager {
       // replacement must already carry the InMemoryRelation (cache
       // substitution happens before optimization, so a plan inlined
       // during optimization would otherwise never pick up the cache)
-      planSubs.put((System.identityHashCode(spark).toString, name),
+      planSubs.put((skey(spark), name),
         (df.queryExecution.optimizedPlan,
          idx.data.select(df.columns.map(col): _*).queryExecution.optimizedPlan))
       idx
     })
+  }
 
   def hasIndex(spark: SparkSession, name: String): Boolean =
-    registry.contains((System.identityHashCode(spark).toString, name))
+    registry.contains((skey(spark), name))
 
   def dropIndex(spark: SparkSession, name: String): Unit = {
-    val key = (System.identityHashCode(spark).toString, name)
+    val key = (skey(spark), name)
     registry.remove(key).foreach(_.data.unpersist())
     rangeRegistry.remove(key).foreach(_.data.unpersist())
     hashRegistry.remove(key).foreach(_.data.unpersist())
@@ -97,13 +126,13 @@ object IndexManager {
 
   def clearIndex(spark: SparkSession): Unit =
     (registry.keys ++ rangeRegistry.keys ++ hashRegistry.keys)
-      .filter(_._1 == System.identityHashCode(spark).toString)
+      .filter(_._1 == skey(spark))
       .foreach(k => dropIndex(spark, k._2))
 
   /** All index names registered for this session. */
   def showIndexes(spark: SparkSession): Seq[String] =
     (registry.keys ++ rangeRegistry.keys ++ hashRegistry.keys)
-      .filter(_._1 == System.identityHashCode(spark).toString).map(_._2).toSeq.distinct.sorted
+      .filter(_._1 == skey(spark)).map(_._2).toSeq.distinct.sorted
 
   private val rangeRegistry = TrieMap[(String, String), RangeIndexedTable]()
   private val hashRegistry = TrieMap[(String, String), HashIndexedTable]()
@@ -116,34 +145,41 @@ object IndexManager {
     * stats on the sorted key; the driver-held per-partition bounds serve
     * the global-level role for planning/tests. */
   def rangeIndexTable(spark: SparkSession, df: DataFrame, name: String,
-                      keyCol: String, numPartitions: Int = 32): RangeIndexedTable =
-    rangeRegistry.getOrElseUpdate((System.identityHashCode(spark).toString, name), {
+                      keyCol: String, numPartitions: Int = 32): RangeIndexedTable = {
+    evictStopped()
+    rangeRegistry.getOrElseUpdate((skey(spark), name), {
       val clustered = df
         .repartitionByRange(numPartitions, col(keyCol))
         .sortWithinPartitions(keyCol)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val stats = clustered
-        .groupBy(spark_partition_id().as("__pid"))
-        .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"), count(lit(1)))
-        .collect()
-        .flatMap(r => // an all-null-key partition has no usable bounds
-          if (r.isNullAt(1)) None
-          else Some(r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))))
-        .toMap
-      new RangeIndexedTable(name, clustered, keyCol, stats)
+        .persist(graft.GraftConf.indexStorageLevel(spark))
+      new RangeIndexedTable(name, clustered, keyCol, rangeBounds(clustered, keyCol))
     })
+  }
+
+  private def rangeBounds(clustered: DataFrame,
+                          keyCol: String): Map[Int, (Double, Double, Long)] =
+    clustered
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"), count(lit(1)))
+      .collect()
+      .flatMap(r => // an all-null-key partition has no usable bounds
+        if (r.isNullAt(1)) None
+        else Some(r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
 
   /** Build (or return) a hash index: hash-clustered on the key, cached
     * (reference HashMapIndexedRelation analogue,
     * HashMapIndexedRelation.scala:28-65). Equality lookups touch one
     * partition's cached batches. */
   def hashIndexTable(spark: SparkSession, df: DataFrame, name: String,
-                     keyCol: String, numPartitions: Int = 32): HashIndexedTable =
-    hashRegistry.getOrElseUpdate((System.identityHashCode(spark).toString, name), {
+                     keyCol: String, numPartitions: Int = 32): HashIndexedTable = {
+    evictStopped()
+    hashRegistry.getOrElseUpdate((skey(spark), name), {
       val clustered = df.repartition(numPartitions, col(keyCol))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(graft.GraftConf.indexStorageLevel(spark))
       new HashIndexedTable(name, clustered, keyCol)
     })
+  }
 
   private def build(spark: SparkSession, df: DataFrame, name: String,
                     keyCols: Seq[String], numPartitions: Int, bits: Int): IndexedTable = {
@@ -163,24 +199,31 @@ object IndexManager {
     val clustered = df.withColumn(ZCol, z)
       .repartitionByRange(numPartitions, col(ZCol))
       .sortWithinPartitions(ZCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(graft.GraftConf.indexStorageLevel(spark))
 
-    // pass 2: global level — per-partition stats (numPartitions rows to driver)
+    new IndexedTable(name, clustered, keyCols, lows, highs, bits,
+      partitionStats(clustered, keyCols))
+  }
+
+  /** Global level — per-partition stats (numPartitions rows to driver).
+    * Computed from whatever partitioning the data actually has, so it is
+    * equally valid for a freshly built clustering and a parquet-loaded
+    * one (where partitions are the read splits). */
+  private def partitionStats(clustered: DataFrame,
+                             keyCols: Seq[String]): Map[Int, PartitionStat] = {
     val statAggs = keyCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))) ++
       Seq(count(lit(1)), min(col(ZCol)), max(col(ZCol)))
     val statRows = clustered.groupBy(spark_partition_id().as("__pid"))
       .agg(statAggs.head, statAggs.tail: _*)
       .collect()
-    val stats = statRows.map { r =>
+    statRows.map { r =>
       val lo = keyCols.indices.map(i => r.getDouble(1 + 2 * i)).toArray
       val hi = keyCols.indices.map(i => r.getDouble(2 + 2 * i)).toArray
       val base = 1 + 2 * keyCols.length
       r.getInt(0) -> PartitionStat(MBR(Point(lo), Point(hi)),
         r.getLong(base), r.getLong(base + 1), r.getLong(base + 2))
     }.toMap
-
-    new IndexedTable(name, clustered, keyCols, lows, highs, bits, stats)
   }
 
   /** Persist an index as sorted parquet + JSON metadata; `load` restores
@@ -197,15 +240,71 @@ object IndexManager {
   }
 
   def loadIndex(spark: SparkSession, name: String, path: String): IndexedTable = {
+    evictStopped()
     val meta = spark.read.textFile(s"$path/meta").head()
     val (keyCols, lows, highs, bits) = parseMeta(meta)
     val data = spark.read.parquet(s"$path/data")
-    // disk path: no cached stats; partition pruning comes from parquet
-    // row-group min/max on ZCol via pushed filters
-    val idx = new IndexedTable(name, data, keyCols, lows, highs, bits, Map.empty)
-    registry.putIfAbsent((System.identityHashCode(spark).toString, name), idx)
+      .persist(graft.GraftConf.indexStorageLevel(spark))
+    // the global level is recomputed from the loaded layout (one tiny
+    // agg over the read splits, which inherit the sorted files), so a
+    // loaded index serves `knn` with stats-driven radius pruning instead
+    // of silently degrading to a full top-k scan — parity with the
+    // reference, which rebuilds its global index on load
+    // (reference: IndexManager.scala:122-176)
+    val idx = new IndexedTable(name, data, keyCols, lows, highs, bits,
+      partitionStats(data, keyCols))
+    registry.putIfAbsent((skey(spark), name), idx)
     idx
   }
+
+  /** Persist/load parity for the 1-D range index: sorted parquet whose
+    * row-group stats serve key-range pruning on disk; partition bounds
+    * are recomputed on load. */
+  def persistRangeIndex(idx: RangeIndexedTable, path: String): Unit = {
+    idx.data.write.mode("overwrite").parquet(s"$path/data")
+    val spark = idx.data.sparkSession
+    import spark.implicits._
+    Seq(s"""{"kind": "range", "keyCol": "${idx.keyCol}"}""")
+      .toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+  }
+
+  def loadRangeIndex(spark: SparkSession, name: String, path: String): RangeIndexedTable = {
+    evictStopped()
+    val meta = spark.read.textFile(s"$path/meta").head()
+    val keyCol = strField(meta, "keyCol")
+    val data = spark.read.parquet(s"$path/data")
+      .persist(graft.GraftConf.indexStorageLevel(spark))
+    val idx = new RangeIndexedTable(name, data, keyCol, rangeBounds(data, keyCol))
+    rangeRegistry.putIfAbsent((skey(spark), name), idx)
+    idx
+  }
+
+  /** Persist/load parity for the hash index: the clustered layout lands
+    * one hash bucket per file, so an equality lookup on the loaded data
+    * prunes to the files whose row-group stats admit the key. */
+  def persistHashIndex(idx: HashIndexedTable, path: String): Unit = {
+    idx.data.write.mode("overwrite").parquet(s"$path/data")
+    val spark = idx.data.sparkSession
+    import spark.implicits._
+    Seq(s"""{"kind": "hash", "keyCol": "${idx.keyCol}"}""")
+      .toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+  }
+
+  def loadHashIndex(spark: SparkSession, name: String, path: String): HashIndexedTable = {
+    evictStopped()
+    val meta = spark.read.textFile(s"$path/meta").head()
+    val keyCol = strField(meta, "keyCol")
+    val data = spark.read.parquet(s"$path/data")
+      .persist(graft.GraftConf.indexStorageLevel(spark))
+    val idx = new HashIndexedTable(name, data, keyCol)
+    hashRegistry.putIfAbsent((skey(spark), name), idx)
+    idx
+  }
+
+  private def strField(json: String, key: String): String =
+    (s"""\"$key\":\\s*\"(.*?)\"""").r.findFirstMatchIn(json).getOrElse(
+      throw new IllegalArgumentException(s"index meta missing '$key': $json")
+    ).group(1)
 
   // minimal hand-rolled JSON (no extra deps)
   private def ujsonish(idx: IndexedTable): String = {
@@ -269,8 +368,9 @@ final class IndexedTable(
     * (density of partitions nearest to the query — the role of the
     * reference's global-index kNN phase, IndexedRelationScan.scala:122-146),
     * then expand until >= k rows fall inside; finish with exact top-k on
-    * the pruned candidates. Falls back to a full top-k scan when stats
-    * are absent (disk-loaded index). */
+    * the pruned candidates. Falls back to a full top-k scan only when
+    * stats are absent (loaded indexes recompute theirs, so in practice:
+    * never — kept as a safety net). */
   def knn(center: Array[Double], k: Int, tieBreak: Seq[String]): DataFrame = {
     val q = Point(center)
     val ordered = (df: DataFrame) => df

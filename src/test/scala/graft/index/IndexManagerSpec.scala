@@ -99,5 +99,91 @@ class IndexManagerSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains(IndexManager.ZCol),
       s"expected pushed z-range filters in:\n$plan")
+    IndexManager.dropIndex(spark, "t_disk_loaded")
+  }
+
+  test("loaded z-index recomputes stats: knn takes the pruned path, stays exact") {
+    val idx = freshIndex("t_disk_knn")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_knn").toString
+    IndexManager.persistIndex(idx, path)
+    IndexManager.dropIndex(spark, "t_disk_knn")
+    val loaded = IndexManager.loadIndex(spark, "t_disk_knn2", path)
+    // the global level must come back — an empty stats map would silently
+    // degrade knn to a full top-k scan
+    assert(loaded.stats.nonEmpty, "loaded index must recompute partition stats")
+    assert(loaded.stats.values.map(_.count).sum === cust.count())
+    val got = loaded.knn(Array(5000.0, 500.0), 9, Seq("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted
+    val want = cust.knn(Seq("cx", "cy"), Seq(5000.0, 500.0), 9, Seq("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    IndexManager.dropIndex(spark, "t_disk_knn2")
+  }
+
+  test("range index round-trips through disk with recomputed bounds") {
+    val orders = Tables.orders(spark, sf())
+    val idx = IndexManager.rangeIndexTable(spark, orders, "t_range_disk",
+      "o_totalprice", numPartitions = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_rng").toString
+    IndexManager.persistRangeIndex(idx, path)
+    IndexManager.dropIndex(spark, "t_range_disk")
+    val loaded = IndexManager.loadRangeIndex(spark, "t_range_disk2", path)
+    assert(loaded.bounds.nonEmpty, "loaded range index must recompute bounds")
+    val got = loaded.range(50000.0, 100000.0)
+    val want = orders.filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 100000.0)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // sorted files put disjoint key ranges per file: a narrow probe must
+    // still prune at the recomputed global level
+    val (hit, total) = loaded.prunedPartitionCount(50000.0, 52000.0)
+    assert(hit < total, s"hit=$hit of $total")
+    IndexManager.dropIndex(spark, "t_range_disk2")
+  }
+
+  test("hash index round-trips through disk") {
+    val customer = Tables.customer(spark, sf())
+    val idx = IndexManager.hashIndexTable(spark, customer, "t_hash_disk",
+      "c_mktsegment", numPartitions = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_hash").toString
+    IndexManager.persistHashIndex(idx, path)
+    IndexManager.dropIndex(spark, "t_hash_disk")
+    val loaded = IndexManager.loadHashIndex(spark, "t_hash_disk2", path)
+    val got = loaded.lookup("BUILDING")
+    val want = customer.filter(col("c_mktsegment") === "BUILDING")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    IndexManager.dropIndex(spark, "t_hash_disk2")
+  }
+
+  test("two sessions: same index name, no cross-talk") {
+    val other = spark.newSession()
+    val name = "t_iso"
+    freshIndex(name)
+    assert(IndexManager.hasIndex(spark, name))
+    assert(!IndexManager.hasIndex(other, name),
+      "an index built in one session must be invisible to another")
+    // same name, different table, in the second session
+    val supp = Tables.supplierPts(other, sf())
+    IndexManager.indexTable(other, supp, name, Seq("sx", "sy"), numPartitions = 4)
+    val mine = IndexManager.indexTable(spark, cust, name, Seq("cx", "cy"), numPartitions = 8)
+    assert(mine.keyCols === Seq("cx", "cy"),
+      "session A must keep its own entry after B registered the same name")
+    assert(IndexManager.indexTable(other, supp, name, Seq("sx", "sy")).keyCols
+      === Seq("sx", "sy"))
+    IndexManager.dropIndex(spark, name)
+    IndexManager.dropIndex(other, name)
+  }
+
+  test("index storage level follows spark.graft.index.storageLevel") {
+    import org.apache.spark.storage.StorageLevel
+    val other = spark.newSession()
+    graft.Graft.setIndexStorageLevel(other, "DISK_ONLY")
+    val idx = IndexManager.indexTable(other, Tables.customerPts(other, sf()),
+      "t_disk_only", Seq("cx", "cy"), numPartitions = 4)
+    assert(idx.data.storageLevel === StorageLevel.DISK_ONLY)
+    intercept[IllegalArgumentException] {
+      graft.Graft.setIndexStorageLevel(other, "NOT_A_LEVEL")
+    }
+    IndexManager.dropIndex(other, "t_disk_only")
   }
 }
