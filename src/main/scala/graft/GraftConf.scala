@@ -25,6 +25,14 @@ object GraftConf {
   // — the reference's simba.index.storageLevel / setStorageLevel
   // (reference: IndexManager.scala:179-187, SimbaConf.scala:126-130)
   val IndexStorageLevel  = "spark.graft.index.storageLevel"
+  // skip the z-interval pre-filter when the query box covers more than
+  // this fraction of the indexed extent (the pre-filter prunes nothing
+  // there and costs a per-row comparison) — the reference's
+  // simba.index.selectivityEnable/Threshold (SimbaConf.scala:132-146,
+  // IndexedRelationScan.scala:172-180). Enabled by default here: the
+  // exact predicate is always applied, so skipping is semantics-free.
+  val IndexSelectivityEnable    = "spark.graft.index.selectivityEnable"
+  val IndexSelectivityThreshold = "spark.graft.index.selectivityThreshold"
 
   private def get(s: SparkSession, key: String, dflt: String): String =
     s.conf.getOption(key).getOrElse(dflt)
@@ -43,4 +51,8 @@ object GraftConf {
   def indexStorageLevel(s: SparkSession): org.apache.spark.storage.StorageLevel =
     org.apache.spark.storage.StorageLevel.fromString(
       get(s, IndexStorageLevel, "MEMORY_AND_DISK"))
+  def indexSelectivityEnable(s: SparkSession): Boolean =
+    get(s, IndexSelectivityEnable, "true").toBoolean
+  def indexSelectivityThreshold(s: SparkSession): Double =
+    get(s, IndexSelectivityThreshold, "0.8").toDouble
 }

@@ -348,21 +348,36 @@ final class IndexedTable(
   private def output: Seq[Column] =
     data.columns.filterNot(_ == ZCol).map(col).toSeq
 
-  /** Indexed box range: z-interval pre-filter (batch/row-group pruning)
-    * + exact predicate (the widen-then-refilter discipline). */
-  def boxRange(lo: Array[Double], hi: Array[Double]): DataFrame = {
-    val (zlo, zhi) = zRange(lo, hi)
-    data.filter(col(ZCol) >= zlo && col(ZCol) <= zhi)
-      .filter(inBox(keyCols.map(col), lo.toSeq, hi.toSeq))
-      .select(output: _*)
+  /** The z-interval pre-filter for the bbox [lo, hi] — or no filter at
+    * all when the box covers most of the indexed extent: a near-full
+    * z-interval prunes no batches and costs a comparison per row, so
+    * past the selectivity threshold a plain scan is the better plan
+    * (reference: IndexedRelationScan.scala:172-180, gated by
+    * SimbaConf.scala:132-146). Semantics-free either way — the caller
+    * always re-applies the exact predicate. */
+  private def zPreFilter(lo: Array[Double], hi: Array[Double]): DataFrame = {
+    val spark = data.sparkSession
+    val covered = MBR(Point(lows), Point(highs))
+      .calcRatio(MBR(Point(lo), Point(hi)))
+    if (graft.GraftConf.indexSelectivityEnable(spark) &&
+        covered >= graft.GraftConf.indexSelectivityThreshold(spark)) data
+    else {
+      val (zlo, zhi) = zRange(lo, hi)
+      data.filter(col(ZCol) >= zlo && col(ZCol) <= zhi)
+    }
   }
 
-  def circleRange(center: Array[Double], r: Double): DataFrame = {
-    val (zlo, zhi) = zRange(center.map(_ - r), center.map(_ + r))
-    data.filter(col(ZCol) >= zlo && col(ZCol) <= zhi)
+  /** Indexed box range: z-interval pre-filter (batch/row-group pruning)
+    * + exact predicate (the widen-then-refilter discipline). */
+  def boxRange(lo: Array[Double], hi: Array[Double]): DataFrame =
+    zPreFilter(lo, hi)
+      .filter(inBox(keyCols.map(col), lo.toSeq, hi.toSeq))
+      .select(output: _*)
+
+  def circleRange(center: Array[Double], r: Double): DataFrame =
+    zPreFilter(center.map(_ - r), center.map(_ + r))
       .filter(inCircle(keyCols.map(col), center.toSeq, r))
       .select(output: _*)
-  }
 
   /** Indexed kNN: estimate a starting radius from the global level
     * (density of partitions nearest to the query — the role of the

@@ -13,37 +13,48 @@ class IndexManagerSpec extends SparkSpec {
   private def freshIndex(name: String): IndexedTable =
     IndexManager.indexTable(spark, cust, name, Seq("cx", "cy"), numPartitions = 8)
 
+  /** Build, use, and ALWAYS drop — a leaked entry would leave a plan
+    * substitution alive for other suites querying the same source. */
+  private def withIndex(name: String)(body: IndexedTable => Unit): Unit = {
+    val idx = freshIndex(name)
+    try body(idx) finally IndexManager.dropIndex(spark, name)
+  }
+
   test("indexed boxRange equals unindexed filter") {
-    val idx = freshIndex("t_box")
-    val got = idx.boxRange(Array(0.0, 100.0), Array(5000.0, 600.0))
-    val want = cust.boxRange(Seq("cx", "cy"), Seq(0.0, 100.0), Seq(5000.0, 600.0))
-    assert(got.count() > 0)
-    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    withIndex("t_box") { idx =>
+      val got = idx.boxRange(Array(0.0, 100.0), Array(5000.0, 600.0))
+      val want = cust.boxRange(Seq("cx", "cy"), Seq(0.0, 100.0), Seq(5000.0, 600.0))
+      assert(got.count() > 0)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
   }
 
   test("indexed circleRange equals unindexed") {
-    val idx = freshIndex("t_circle")
-    val got = idx.circleRange(Array(5000.0, 500.0), 800.0)
-    val want = cust.circleRange(Seq("cx", "cy"), Seq(5000.0, 500.0), 800.0)
-    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    withIndex("t_circle") { idx =>
+      val got = idx.circleRange(Array(5000.0, 500.0), 800.0)
+      val want = cust.circleRange(Seq("cx", "cy"), Seq(5000.0, 500.0), 800.0)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
   }
 
   test("indexed knn equals top-k oracle, including k > partition coverage") {
-    val idx = freshIndex("t_knn")
-    Seq(1, 5, 25).foreach { k =>
-      val got = idx.knn(Array(5000.0, 500.0), k, Seq("c_custkey"))
-        .select("c_custkey").collect().map(_.getLong(0)).sorted
-      val want = cust.knn(Seq("cx", "cy"), Seq(5000.0, 500.0), k, Seq("c_custkey"))
-        .select("c_custkey").collect().map(_.getLong(0)).sorted
-      assert(got.toSeq === want.toSeq, s"k=$k")
+    withIndex("t_knn") { idx =>
+      Seq(1, 5, 25).foreach { k =>
+        val got = idx.knn(Array(5000.0, 500.0), k, Seq("c_custkey"))
+          .select("c_custkey").collect().map(_.getLong(0)).sorted
+        val want = cust.knn(Seq("cx", "cy"), Seq(5000.0, 500.0), k, Seq("c_custkey"))
+          .select("c_custkey").collect().map(_.getLong(0)).sorted
+        assert(got.toSeq === want.toSeq, s"k=$k")
+      }
     }
   }
 
   test("global level prunes partitions for selective boxes") {
-    val idx = freshIndex("t_prune")
-    val (hit, total) = idx.prunedPartitionCount(Array(2000.0, 100.0), Array(2200.0, 150.0))
-    assert(total === 8)
-    assert(hit < total, s"selective box should prune some of $total partitions (hit=$hit)")
+    withIndex("t_prune") { idx =>
+      val (hit, total) = idx.prunedPartitionCount(Array(2000.0, 100.0), Array(2200.0, 150.0))
+      assert(total === 8)
+      assert(hit < total, s"selective box should prune some of $total partitions (hit=$hit)")
+    }
   }
 
   test("registry: has/show/drop lifecycle") {
@@ -153,6 +164,36 @@ class IndexManagerSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     IndexManager.dropIndex(spark, "t_hash_disk2")
+  }
+
+  test("selectivity fallback: near-full-extent box skips the z pre-filter") {
+    val idx = freshIndex("t_select")
+    // the z column is part of the index's schema, so look for an actual
+    // Filter CONDITION referencing it, not the name anywhere in the plan
+    def hasZFilter(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.exists(_.name == IndexManager.ZCol) => f
+      }.nonEmpty
+    try {
+      // a box covering (essentially) the whole extent: plain scan + exact
+      // predicate, no z-interval comparison per row
+      val wide = idx.boxRange(Array(-1e7, -1e7), Array(1e7, 1e7))
+      assert(!hasZFilter(wide), "near-full box must plan a plain scan")
+      assert(wide.count() === cust.count())
+
+      // a selective box keeps the z-interval pre-filter
+      val narrow = idx.boxRange(Array(2000.0, 100.0), Array(2200.0, 150.0))
+      assert(hasZFilter(narrow), "selective box must keep the z pre-filter")
+      val want = cust.boxRange(Seq("cx", "cy"), Seq(2000.0, 100.0), Seq(2200.0, 150.0))
+      assert(narrow.exceptAll(want).isEmpty && want.exceptAll(narrow).isEmpty)
+
+      // the knob disables the fallback entirely (reference parity:
+      // simba.index.selectivityEnable defaults false there)
+      spark.conf.set(graft.GraftConf.IndexSelectivityEnable, "false")
+      try assert(hasZFilter(idx.boxRange(Array(-1e7, -1e7), Array(1e7, 1e7))))
+      finally spark.conf.unset(graft.GraftConf.IndexSelectivityEnable)
+    } finally IndexManager.dropIndex(spark, "t_select")
   }
 
   test("two sessions: same index name, no cross-talk") {
