@@ -20,8 +20,9 @@ import graft.functions._
   *    sets are banded, verified exactly, then deduped — the classic
   *    MinHash-LSH layout.
   *  - Skewed buckets (boilerplate docs) are the known hazard; AQE skew
-  *    join handles moderate skew, and bucket-size capping can be layered
-  *    on later rounds.
+  *    join handles moderate skew, and minHashPairs caps bucket sizes
+  *    (with an audit query for what the cap dropped) so a templated
+  *    corpus can't detonate the bucket self-join.
   */
 object DedupOps {
 
@@ -50,30 +51,35 @@ object DedupOps {
       * Returns (id1, id2, jaccard). Approximate in recall (standard LSH
       * guarantee), exact in precision (false candidates are filtered by
       * the verify step).
-      */
+      *
+      * `maxBucket` caps candidate generation per (band, bucket): a
+      * boilerplate bucket of B identical-signature docs would emit
+      * B²/2 pairs from a single bucket — the classic self-join
+      * detonation on templated corpora. Buckets over the cap are
+      * EXCLUDED from candidate generation (a deliberate recall cut on
+      * boilerplate clusters, which exactDedup and the other bands still
+      * partially cover; set 0 to disable). The cut is auditable, not
+      * silent: [[minHashOversizedBuckets]] lists exactly the dropped
+      * buckets and their sizes. */
     def minHashPairs(idCol: String, textCol: String, shingle: Int = 3,
                      numHashes: Int = 64, bands: Int = 16,
-                     threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+                     threshold: Double = 0.5, seed: Long = 42L,
+                     maxBucket: Int = 1000): DataFrame = {
       require(numHashes % bands == 0, "bands must divide numHashes")
-      val rows = numHashes / bands
-      val doc = ds.toDF.select(col(idCol), col(textCol))
-        .withColumn("__sig", minhashSignature(col(textCol), shingle, numHashes, seed))
-      // band b's bucket key = hash of its signature slice (statically
-      // unrolled: band count is a plan-time constant)
-      val bandStructs = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("__sig"), b * rows + 1, rows)).as("bucket"))
-      }
-      // candidate generation touches ONLY (id, band, bucket) — the texts
-      // never ride the banded join or the pair dedup (at corpus scale
-      // that would shuffle every document once per band); they join back
-      // onto the surviving candidate pairs for the exact verify
-      val banded = doc
-        .select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
-        .select(col(idCol),
-          col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
-      val l = banded.select(col(idCol).as("id1"), col("__band"), col("__bucket"))
-      val r = banded.select(col(idCol).as("id2"), col("__band"), col("__bucket"))
+      val banded = bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
+      // cap: drop over-populated buckets before the self-join — one
+      // extra (band, bucket) count agg, map-side combinable, vs a
+      // quadratic bucket join
+      val kept =
+        if (maxBucket <= 0) banded
+        else banded.join(
+          banded.groupBy(col("__band"), col("__bucket"))
+            .agg(count(lit(1)).as("__bsz"))
+            .filter(col("__bsz") <= maxBucket)
+            .select(col("__band"), col("__bucket")),
+          Seq("__band", "__bucket"), "left_semi")
+      val l = kept.select(col(idCol).as("id1"), col("__band"), col("__bucket"))
+      val r = kept.select(col(idCol).as("id2"), col("__band"), col("__bucket"))
       val pairs = l.join(r, Seq("__band", "__bucket"))
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"))
@@ -84,6 +90,38 @@ object DedupOps {
         .withColumn("jaccard", shingleJaccard(col("__t1"), col("__t2"), shingle))
         .filter(col("jaccard") >= threshold)
         .select(col("id1"), col("id2"), col("jaccard"))
+    }
+
+    /** Audit surface for [[minHashPairs]]'s bucket cap: the (band,
+      * bucket, size) rows EXCLUDED from candidate generation at
+      * `maxBucket` — run it alongside a capped dedup to quantify the
+      * recall cut instead of guessing. */
+    def minHashOversizedBuckets(idCol: String, textCol: String,
+                                shingle: Int = 3, numHashes: Int = 64,
+                                bands: Int = 16, seed: Long = 42L,
+                                maxBucket: Int = 1000): DataFrame =
+      bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
+        .groupBy(col("__band").as("band"), col("__bucket").as("bucket"))
+        .agg(count(lit(1)).as("size"))
+        .filter(col("size") > maxBucket)
+
+    /** Shared candidate layout: one (id, band, bucket) row per doc per
+      * band. Texts never ride this — at corpus scale they'd shuffle once
+      * per band; they join back for the exact verify. Band b's bucket
+      * key = hash of its signature slice (statically unrolled: band
+      * count is a plan-time constant). */
+    private def bandedBuckets(idCol: String, textCol: String, shingle: Int,
+                              numHashes: Int, bands: Int, seed: Long): DataFrame = {
+      val rows = numHashes / bands
+      val doc = ds.toDF.select(col(idCol), col(textCol))
+        .withColumn("__sig", minhashSignature(col(textCol), shingle, numHashes, seed))
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("__sig"), b * rows + 1, rows)).as("bucket"))
+      }
+      doc.select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+        .select(col(idCol),
+          col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
     }
 
     /** SimHash near-dup pairs: 64-bit signature, banded into `blocks`

@@ -105,6 +105,38 @@ class DedupOpsSpec extends SparkSpec {
       s"blocked candidates $withBucket not sub-quadratic vs lang-only $langOnly")
   }
 
+  test("minhash bucket cap bounds pair generation on a boilerplate cluster") {
+    // 60 identical docs (one giant bucket in every band) + 2 genuine
+    // near-dups that must survive the cap
+    val boiler = (1 to 60).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val base = "completely different text about distributed query engines " +
+      "reading columnar parquet files with predicate pushdown partition " +
+      "pruning adaptive execution and whole stage code generation"
+    val nearDup = Seq((1001L, base), (1002L, base + "!"))
+    val df = (boiler ++ nearDup).toDF("doc_id", "text")
+
+    val capped = df.minHashPairs("doc_id", "text", shingle = 3, numHashes = 64,
+      bands = 16, threshold = 0.8, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate cluster's C(60,2)=1770 pairs are cut...
+    assert(!capped.exists { case (a, b) => a <= 60 && b <= 60 },
+      s"capped run must not emit boilerplate pairs, got ${capped.size}")
+    // ...while the small-bucket near-dup still comes through
+    assert(capped.contains((1001L, 1002L)))
+
+    // audit surface: the dropped buckets are enumerable, not silent
+    val dropped = df.minHashOversizedBuckets("doc_id", "text", shingle = 3,
+      numHashes = 64, bands = 16, maxBucket = 10)
+    assert(dropped.count() === 16, "all 16 bands hold one oversized bucket")
+    assert(dropped.agg(max(col("size"))).head().getLong(0) === 60L)
+
+    // uncapped (maxBucket=0) still generates the full cluster
+    val uncapped = df.minHashPairs("doc_id", "text", shingle = 3, numHashes = 64,
+      bands = 16, threshold = 0.8, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) => a <= 60 && b <= 60 } === 60 * 59 / 2)
+  }
+
   test("dedup rate: minhash collapses the planted near-dup clusters") {
     val pairs = docs.minHashPairs("doc_id", "text", threshold = 0.8)
     val survivors = docs.join(pairs.select(col("id2").as("doc_id")),
