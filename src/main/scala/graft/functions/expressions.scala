@@ -133,6 +133,34 @@ case class ZOrder(children: Seq[Expression], bits: Int) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** Shared analysis-time validation for shape-struct inputs: the full
+  * field layout must match [[graft.spatial.ShapeCodec.sqlType]]
+  * (tag: int, coords: array<double>) — a field-count-only check would
+  * admit e.g. struct<a:string,b:string> and fail at runtime with a
+  * ClassCastException inside generated code instead of a clean
+  * AnalysisException. Field NAMES are not compared (aliases are legal);
+  * nullability of coords elements must be false like the codec's. */
+private[functions] object ShapeExprChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  private def shaped(dt: DataType): Boolean = dt match {
+    case s: StructType =>
+      s.length == 2 &&
+        s.fields(0).dataType == IntegerType &&
+        (s.fields(1).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        })
+    case _ => false
+  }
+
+  def check(name: String, left: Expression, right: Expression): TypeCheckResult =
+    if (shaped(left.dataType) && shaped(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects struct<tag:int, coords:array<double>> inputs, " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+}
+
 /** `shape_intersects(shape, shape) -> boolean` over struct-encoded
   * mixed-geometry columns (graft.spatial.ShapeCodec) — the rebuild of the
   * reference's `InRange`/`InCircleRange` working "for any Shape, not just
@@ -144,16 +172,8 @@ case class ShapeIntersects(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "shape_intersects"
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case s: StructType => s.length == 2
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects struct<tag:int, coords:array<double>> inputs, " +
-        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ShapeExprChecks.check(prettyName, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     graft.spatial.ShapeCodec.intersectsRows(
@@ -177,16 +197,8 @@ case class ShapeMinDist(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "shape_min_dist"
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case s: StructType => s.length == 2
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects struct<tag:int, coords:array<double>> inputs, " +
-        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ShapeExprChecks.check(prettyName, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     graft.spatial.ShapeCodec.minDistRows(

@@ -83,7 +83,13 @@ object SpatialOps {
       * (reference: expression/InRange.scala:31-46, DataSet.scala:56-78)
       * over a struct-encoded shape column. At 100 TB, store the shape's
       * bbox as plain sibling columns too and add them as pushdown-able
-      * conjuncts; the struct predicate itself runs codegen'd post-scan. */
+      * conjuncts; the struct predicate itself runs codegen'd post-scan.
+      *
+      * Contract (also for [[shapeKnn]]): every shape in the column must
+      * share the QUERY shape's dimensionality — the distance kernels
+      * require() it per row, so a mixed 2-D/3-D column fails mid-job by
+      * design rather than silently returning partial results (same
+      * documented-contract discipline as unique leftId on kNN joins). */
     def shapeRange(shapeCol: String, query: graft.spatial.Shape): DataFrame =
       ds.toDF.filter(stIntersects(col(shapeCol), stShape(query)))
 
@@ -110,6 +116,14 @@ object SpatialOps {
         .limit(k)
         .drop(DIST)
     }
+
+    /** Filter by a boolean predicate tree in which kNN membership is a
+      * first-class leaf — the reference's knn-inside-filter surface,
+      * evaluated by the same set algebra its FilterExec uses
+      * (reference: execution/FilterExec.scala:48-65). See
+      * [[graft.operators.SpatialPredicate]]. */
+    def spatialFilter(p: SpatialPredicate): DataFrame =
+      SpatialPredicate.compile(ds.toDF, p)
 
     /** Distance join, grid algorithm: left rows hash to their own cell
       * (side length r), right rows replicate to the 3^d neighborhood, the

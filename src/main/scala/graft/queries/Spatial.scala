@@ -140,6 +140,20 @@ object Spatial {
       .orderBy(col("c_custkey"))
   }
 
+  /** kNN membership composed under boolean connectives — the reference's
+    * `knn AND p` / `NOT knn` / `knn OR p` filter surface evaluated by set
+    * algebra (reference: execution/FilterExec.scala:48-65): customers of
+    * the 50 nearest the center with cy >= 200, together with far-out
+    * (cx >= 9900) customers NOT among those 50. */
+  def knnPredicateQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SpatialPredicate._
+    val near50 = inKnn(Seq("cx", "cy"), center, 50, tieBreak = Seq("c_custkey"))
+    customerPts(s, d)
+      .spatialFilter((near50 && cond(col("cy") >= 200.0)) ||
+        (!near50 && cond(col("cx") >= 9900.0)))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Exact kNN join, pivot (Voronoi) algorithm — same oracle as the grid
     * form, different physical shape. */
   def knnJoinPivotQ(s: SparkSession, d: String): DataFrame =
@@ -203,6 +217,19 @@ object Spatial {
          |           c_custkey ASC
          |  LIMIT 10) t
          |ORDER BY c_custkey""".stripMargin,
+    "sp_knn_predicate" ->
+      s"""WITH pts AS ($custPtsSql),
+         |knn50 AS (
+         |  SELECT * FROM pts
+         |  ORDER BY sqrt((cx - 5000.0)*(cx - 5000.0) + (cy - 500.0)*(cy - 500.0)) ASC,
+         |           c_custkey ASC
+         |  LIMIT 50)
+         |SELECT * FROM (
+         |  SELECT * FROM knn50 WHERE cy >= 200.0
+         |  UNION
+         |  SELECT * FROM pts
+         |  WHERE c_custkey NOT IN (SELECT c_custkey FROM knn50) AND cx >= 9900.0
+         |) t ORDER BY c_custkey""".stripMargin,
     "sp_distance_join" ->
       s"""SELECT c_custkey, s_suppkey FROM ($custPtsSql) c, ($suppPtsSql) s
          |WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
@@ -256,6 +283,7 @@ object Spatial {
     "sp_bounds_agg" -> (boundsBySegment _),
     "sp_spatiotemporal" -> (spatioTemporal _),
     "sp_knn" -> (knn _),
+    "sp_knn_predicate" -> (knnPredicateQ _),
     "sp_distance_join" -> (distanceJoin _),
     "sp_distance_join_bc" -> (distanceJoinBc _),
     "sp_knn_join" -> (knnJoin _),

@@ -113,10 +113,11 @@ class SpatialOpsSpec extends SparkSpec {
       spark.conf.set(graft.GraftConf.KnnSafety, "0.05")
       val tuned = l.knnJoinAuto(r, Seq("lx", "ly"), Seq("rx", "ry"),
         2, "lid", "rid", Seq("rid"))
-      // theta = 2nd-NN(50) * quantile-pick * safety(0.05) = 2.5, baked into
-      // the candidate filter as a literal — proves the knobs were read
-      assert(tuned.queryExecution.optimizedPlan.toString.contains("2.5"),
-        "expected conf-driven theta 2.5 in the plan")
+      // theta = 2nd-NN(50) * quantile-pick * safety(0.05) = 2.5, baked in
+      // as the grid-cell divisor `floor(<key> / theta)` — a fragment
+      // specific enough that an unrelated 2.5 literal can't green it
+      assert(tuned.queryExecution.optimizedPlan.toString.contains("/ 2.5)"),
+        "expected conf-driven theta 2.5 as the grid divisor in the plan")
       assert(tuned.count() === 100) // exactness preserved (fallback)
     } finally {
       spark.conf.unset(graft.GraftConf.SampleCap)
@@ -276,6 +277,39 @@ class SpatialOpsSpec extends SparkSpec {
     val global = SpatialOps.gridCandidates(
       l, r, Seq("lx", "ly"), Seq("rx", "ry"), theta, Map.empty).count()
     assert(perCell < global, s"per-cell candidates $perCell !< global $global")
+  }
+
+  test("spatialFilter: kNN set algebra equals hand-composed plans; pure trees fold") {
+    import graft.operators.SpatialPredicate._
+    val keys = Seq("cx", "cy")
+    val c = Seq(5000.0, 500.0)
+    val near = inKnn(keys, c, 20, tieBreak = Seq("c_custkey"))
+    val knn20 = cust.knn(keys, c, 20, Seq("c_custkey"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("c_custkey").collect().map(_.getLong(0)).toSet
+
+    // knn AND p == knn ∩ σ_p
+    assert(ids(cust.spatialFilter(near && cond(col("cy") >= 300.0))) ===
+      ids(knn20.filter(col("cy") >= 300.0)))
+    // NOT knn == full − knn
+    assert(ids(cust.spatialFilter(!near)) === ids(cust.toDF.exceptAll(knn20)))
+    // knn OR p == knn ∪ σ_p
+    assert(ids(cust.spatialFilter(near || cond(col("cx") >= 9000.0))) ===
+      ids(knn20) ++ ids(cust.filter(col("cx") >= 9000.0)))
+    // nested: (knn ∧ p) ∨ (¬knn ∧ q)
+    val got = ids(cust.spatialFilter(
+      (near && cond(col("cy") >= 300.0)) || (!near && cond(col("cx") >= 9000.0))))
+    val want = ids(knn20.filter(col("cy") >= 300.0)) ++
+      (ids(cust.filter(col("cx") >= 9000.0)) -- ids(knn20))
+    assert(got === want && got.nonEmpty)
+
+    // a kNN-free tree must fold to ONE plain Filter — no set ops planned
+    val pure = cust.spatialFilter(
+      (cond(col("cx") >= 0.0) && !cond(col("cy") < 100.0)) || cond(col("cx") > 9000.0))
+    val plan = pure.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Intersect") && !plan.contains("Except"))
+    assert(ids(pure) ===
+      ids(cust.filter((col("cx") >= 0.0 && !(col("cy") < 100.0)) || col("cx") > 9000.0)))
   }
 
   test("n-dimensional: 3-D distance join via grid equals naive") {

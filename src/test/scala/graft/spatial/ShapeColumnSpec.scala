@@ -130,6 +130,23 @@ class ShapeColumnSpec extends SparkSpec {
     assert(q.select("id").collect().map(_.getLong(0)).toSet === want)
   }
 
+  test("shape expressions reject wrong field types at analysis, not runtime") {
+    import spark.implicits._
+    // struct with the right ARITY but wrong field types: must be a clean
+    // analysis error, not a ClassCastException inside generated code
+    val bad = Seq(("a", "b")).toDF("x", "y")
+      .select(struct(col("x"), col("y")).as("s1"),
+        struct(col("x"), col("y")).as("s2"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(stIntersects(col("s1"), col("s2"))).collect()
+    }
+    assert(e.getMessage.contains("struct<tag:int, coords:array<double>>"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(stDistance(col("s1"), col("s2"))).collect()
+    }
+    assert(e2.getMessage.contains("struct<tag:int, coords:array<double>>"))
+  }
+
   test("graft_st_intersects / graft_st_distance are SQL-callable") {
     graft.plans.GraftExtensions.registerFunctions(spark)
     mixedDf.createOrReplaceTempView("shapes_t")
