@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -96,67 +98,135 @@ object StreamingOps {
   final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,
                                n_events: Int, total_value: Double)
 
-  /** Gap-based sessionization with explicit state: a session closes when
-    * no event arrives within `gapMs` (via processing-time timeout in
-    * continuous mode; in this synchronous form sessions also flush on
-    * stream end). The custom-state analogue of the reference's missing
-    * spatio-temporal layer.
+  /** Gap-based sessionization with explicit state, correct ACROSS
+    * micro-batches: the still-open session rides in `GroupState`, so a
+    * session spanning several batches is emitted once, whole — never
+    * split at batch boundaries. A session is emitted when a later event
+    * proves the gap (Append mode), or — with `idleTimeout = true` — when
+    * an idle user's processing-time timeout fires after `gapMs` with no
+    * new data (pending timers make the engine run no-data micro-batches;
+    * pair with a real trigger interval, and pass `idleTimeout = false`
+    * in synchronous processAllAvailable harnesses, which livelock on
+    * those batches). The custom-state analogue of the reference's
+    * missing spatio-temporal layer.
     *
-    * Determinism discipline: events sort by (time, event_id) within the
-    * group and totals accumulate in DECIMAL(18,6) (the per-value rounding
-    * of Spark's double->decimal cast), so the result is exactly
-    * reproducible and hash-comparable with a SQL gaps-and-islands oracle
-    * using the same decimal cast. */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+    * Ordering contract: events sort by (event time, event_id) WITHIN a
+    * batch; ACROSS batches a user's event times must not regress (there
+    * is no watermark buffer here to reorder late data — feed a
+    * time-ordered source, as the file-staged twin does, or use a native
+    * `session_window` aggregation when late data matters).
+    *
+    * Determinism discipline: totals accumulate in DECIMAL(18,6) (the
+    * per-value rounding of Spark's double->decimal cast), so the result
+    * is exactly reproducible and hash-comparable with a SQL
+    * gaps-and-islands oracle using the same decimal cast. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 idleTimeout: Boolean = true): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val conf = if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+               else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (uid: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // batch-synchronous sessionization: fold sorted events into
-          // gap-separated sessions; emit all (stream end flushes)
-          val times = rows.map(e => (e.ts.getTime, e.event_id, e.value)).toArray
-            .sortBy(t => (t._1, t._2))
-          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-          times.foreach { case (t, _, v) =>
-            val dv = java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
-            sessions.lastOption match {
-              case Some(s) if t - s.end <= gapMs =>
-                sessions(sessions.length - 1) = SessionState(s.start, t, s.n + 1, s.total.add(dv))
-              case _ =>
-                sessions += SessionState(t, t, 1, dv)
-            }
-          }
-          state.remove()
-          sessions.iterator.map(s =>
-            UserSession(uid, s.start, s.end, s.n, s.total.doubleValue))
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), conf)(sessionStep(gapMs, idleTimeout))
+  }
+
+  /** The per-group state transition of [[sessionize]], extracted so the
+    * timeout branch is unit-testable with `TestGroupState` (the engine
+    * path can't exercise it deterministically: pending processing-time
+    * timers make the engine run no-data micro-batches, which a
+    * synchronous `processAllAvailable` harness livelocks on — hence
+    * `idleTimeout = false` in every batch-equivalent twin, where a
+    * sentinel batch closes open sessions through the gap logic instead). */
+  private[streaming] def sessionStep(gapMs: Long, idleTimeout: Boolean)(
+      uid: Long, rows: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[UserSession] = {
+    def emit(s: SessionState): UserSession =
+      UserSession(uid, s.start, s.end, s.n, s.total.doubleValue)
+    if (state.hasTimedOut) {
+      // idle past the gap: close and flush the carried session
+      val flushed = state.getOption.map(emit)
+      state.remove()
+      flushed.iterator
+    } else {
+      // seed with the carried open session, fold this batch's sorted
+      // events into gap-separated sessions
+      val times = rows.map(e => (e.ts.getTime, e.event_id, e.value)).toArray
+        .sortBy(t => (t._1, t._2))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+      state.getOption.foreach(sessions += _)
+      times.foreach { case (t, _, v) =>
+        val dv = java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+        sessions.lastOption match {
+          case Some(s) if t - s.end <= gapMs =>
+            sessions(sessions.length - 1) = SessionState(s.start, t, s.n + 1, s.total.add(dv))
+          case _ =>
+            sessions += SessionState(t, t, 1, dv)
+        }
       }
+      if (sessions.isEmpty) Iterator.empty
+      else {
+        // all but the last are gap-proven closed; the last stays open in
+        // state until a later event (or the idle timeout) closes it
+        state.update(sessions.last)
+        if (idleTimeout) state.setTimeoutDuration(gapMs)
+        sessions.dropRight(1).iterator.map(emit)
+      }
+    }
   }
 
   /** Run gap sessionization over the events parquet as a genuine
-    * file-source stream (same staging trick as
-    * [[hourlyEventStatsBatchEquivalent]]) and return the final sessions —
-    * stateful flatMapGroupsWithState through a real streaming query,
-    * checkable against a SQL gaps-and-islands oracle. */
+    * MULTI-BATCH file-source stream: micro-batch 1 is the real events
+    * file, micro-batch 2 a sentinel file holding one far-future event per
+    * user (maxFilesPerTrigger=1 keeps them separate batches, staged
+    * modification times order them). The sentinel closes every
+    * still-open session through the ordinary gap logic — so this path
+    * exercises the cross-batch state carry for real — and the sentinel's
+    * own one-event sessions are filtered out of the result. Checkable
+    * against a SQL gaps-and-islands oracle over just the real events. */
   def sessionizeBatchEquivalent(spark: SparkSession, dir: String,
                                 gapMs: Long): Dataset[UserSession] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = s"$dir/events.parquet"
+    val batch = spark.read.parquet(src)
+    val batchSchema = batch.schema
     val staged = java.nio.file.Files.createTempDirectory("graft_sess_src")
     staged.toFile.deleteOnExit()
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"))
-    staged.resolve("events.parquet").toFile.deleteOnExit()
+      java.nio.file.Paths.get(src), staged.resolve("a_events.parquet"))
+    staged.resolve("a_events.parquet").toFile.deleteOnExit()
+    java.nio.file.Files.setLastModifiedTime(staged.resolve("a_events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+
+    // sentinel batch: ts (nanos) far beyond every real event + gap
+    val maxNs = batch.agg(max(col("ts"))).head().getLong(0)
+    val sentNs = maxNs + (gapMs + 60000L) * 1000000L
+    val sentinelTmp = java.nio.file.Files.createTempDirectory("graft_sess_sent")
+    sentinelTmp.toFile.deleteOnExit()
+    batch.select(col("user_id")).distinct()
+      .select(batchSchema.fieldNames.map {
+        case "event_id"   => lit(-1L).as("event_id")
+        case "ts"         => lit(sentNs).as("ts")
+        case "user_id"    => col("user_id")
+        case "event_type" => lit("__graft_end").as("event_type")
+        case other        => lit(0.0).as(other) // value
+      }: _*)
+      .coalesce(1).write.mode("overwrite").parquet(sentinelTmp.toString)
+    val part = java.nio.file.Files.list(sentinelTmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("sentinel parquet missing"))
+    java.nio.file.Files.copy(part, staged.resolve("z_sentinel.parquet"))
+    staged.resolve("z_sentinel.parquet").toFile.deleteOnExit()
+
     val evs = spark.readStream
       .schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
     val sinkName = s"graft_sess_${System.nanoTime()}"
-    val q = sessionize(evs, gapMs)
+    val q = sessionize(evs, gapMs, idleTimeout = false)
       .writeStream
       .outputMode(OutputMode.Append())
       .format("memory")
@@ -164,5 +234,6 @@ object StreamingOps {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(sinkName).as[UserSession]
+      .filter(col("start_ms") < lit(sentNs / 1000000L))
   }
 }

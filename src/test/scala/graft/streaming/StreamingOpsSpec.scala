@@ -16,25 +16,73 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
-  test("sessionize groups events by gap per user") {
+  test("sessionize carries open sessions across micro-batches, emits closed only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     def ev(id: Long, tMs: Long, uid: Long, v: Double) =
       Event(id, new java.sql.Timestamp(tMs), uid, "click", v)
     val input = MemoryStream[Event]
-    input.addData(
-      ev(1, 1000, 1, 1.0), ev(2, 2000, 1, 2.0),    // session A (gap <= 5s)
-      ev(3, 60000, 1, 3.0),                          // session B
-      ev(4, 1500, 2, 4.0))                           // user 2, one session
-    val q = sessionize(input.toDS(), gapMs = 5000)
+    // idleTimeout=false: processAllAvailable livelocks on the no-data
+    // micro-batches that pending processing-time timers cause; the
+    // timeout branch is unit-tested below with TestGroupState instead
+    val q = sessionize(input.toDS(), gapMs = 5000, idleTimeout = false)
       .writeStream.outputMode("append").format("memory").queryName("sess").start()
-    q.processAllAvailable(); q.stop()
-    val out = spark.table("sess").as[UserSession].collect()
-      .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events, s.total_value)).toSet
-    assert(out === Set(
-      (1L, 1000L, 2000L, 2, 3.0),
-      (1L, 60000L, 60000L, 1, 3.0),
-      (2L, 1500L, 1500L, 1, 4.0)))
+    def emitted(): Set[(Long, Long, Long, Int, Double)] =
+      spark.table("sess").as[UserSession].collect()
+        .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events, s.total_value)).toSet
+    try {
+      // batch 1: user 1 opens a session, user 2 opens a session
+      input.addData(ev(1, 1000, 1, 1.0), ev(2, 2000, 1, 2.0), ev(4, 1500, 2, 4.0))
+      q.processAllAvailable()
+      assert(emitted() === Set.empty, "open sessions must not be emitted")
+
+      // batch 2: within the gap — must EXTEND user 1's carried session,
+      // not start a new one (the cross-batch split bug)
+      input.addData(ev(3, 4000, 1, 3.0))
+      q.processAllAvailable()
+      assert(emitted() === Set.empty)
+
+      // batch 3: both users jump past the gap — the carried sessions
+      // close whole: user 1's spans all three batches as ONE session
+      input.addData(ev(5, 60000, 1, 5.0), ev(6, 60000, 2, 6.0))
+      q.processAllAvailable()
+      assert(emitted() === Set(
+        (1L, 1000L, 4000L, 3, 6.0),
+        (2L, 1500L, 1500L, 1, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionStep timeout branch flushes and clears the carried session") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val open = SessionState(1000L, 4000L, 3,
+      java.math.BigDecimal.valueOf(6.0).setScale(6))
+    val timedOut = TestGroupState.create[SessionState](
+      optionalState = org.apache.spark.api.java.Optional.of(open),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 100000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = StreamingOps.sessionStep(5000L, idleTimeout = true)(
+      7L, Iterator.empty, timedOut).toList
+    assert(out === List(UserSession(7L, 1000L, 4000L, 3, 6.0)))
+    assert(timedOut.isRemoved, "flushed state must be cleared")
+
+    // non-timeout step arms the idle timer and carries the open session
+    val fresh = TestGroupState.create[SessionState](
+      optionalState = org.apache.spark.api.java.Optional.empty[SessionState](),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 100000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    def ev(id: Long, tMs: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(tMs), 7L, "click", v)
+    val emitted = StreamingOps.sessionStep(5000L, idleTimeout = true)(
+      7L, Iterator(ev(1, 1000, 1.0), ev(2, 20000, 2.0)), fresh).toList
+    assert(emitted.map(s => (s.start_ms, s.end_ms, s.n_events)) === List((1000L, 1000L, 1)))
+    assert(fresh.get === SessionState(20000L, 20000L, 1,
+      java.math.BigDecimal.valueOf(2.0).setScale(6)))
+    assert(fresh.getTimeoutTimestampMs.isPresent,
+      "open session must arm the idle timeout")
   }
 
   test("file-stream sessionization equals SQL gaps-and-islands") {
