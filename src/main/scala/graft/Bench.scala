@@ -51,6 +51,17 @@ object Bench {
     "b5_knn_join_pivot" -> ((s: SparkSession, d: String) =>
       customerPts(s, d).knnJoinPivot(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
         3, "c_custkey", Seq("s_suppkey"))),
+    // B5S: kNN join under heavy density skew — 80% of both sides squeeze
+    // into a dense cluster, 20% scatter 1000x wider. The global-quantile
+    // radius is sized by the sparse region, so without the per-cell
+    // theta the dense cluster's candidate set detonates; this entry
+    // tracks that the grid join stays near its uniform-data cost.
+    "b5s_knn_join_skew_grid" -> ((s: SparkSession, d: String) =>
+      skewedPts(s, d, "l").knnJoin(skewedPts(s, d, "r"), Seq("lx", "ly"),
+        Seq("rx", "ry"), 3, "lid", Seq("rid"))),
+    "b5s_knn_join_skew_pivot" -> ((s: SparkSession, d: String) =>
+      skewedPts(s, d, "l").knnJoinPivot(skewedPts(s, d, "r"), Seq("lx", "ly"),
+        Seq("rx", "ry"), 3, "lid", Seq("rid"))),
     // B6: embedding similarity — exact pair join vs LSH-blocked; brute top-k
     "b6_sim_join_exact" -> ((s: SparkSession, d: String) => {
       val r = embeddings(s, d).select(col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
@@ -96,6 +107,17 @@ object Bench {
   private def renamedCust(s: SparkSession, d: String): DataFrame =
     customerPts(s, d).select(col("c_custkey").as("c2_custkey"),
       col("cx").as("c2x"), col("cy").as("c2y"))
+
+  /** Deterministic heavy-skew point set derived from customer: 4 of 5
+    * rows compress 100x into a dense cluster, the rest spread 10x wider
+    * — the adversarial distribution for radius-bounded kNN joins. */
+  private def skewedPts(s: SparkSession, d: String, p: String): DataFrame = {
+    val dense = col("c_custkey") % 5 < 4
+    customerPts(s, d).select(
+      col("c_custkey").as(s"${p}id"),
+      when(dense, col("cx") * 0.01).otherwise(col("cx") * 10.0).as(s"${p}x"),
+      when(dense, col("cy") * 0.01).otherwise(col("cy") * 10.0).as(s"${p}y"))
+  }
 
   /** Indexed-path timings: build once (reported), then query. */
   private def indexedPhase(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {

@@ -310,10 +310,19 @@ object SpatialOps {
       val rt = right.toDF
       require(l.columns.intersect(rt.columns).isEmpty, "need disjoint column names")
 
-      val theta = estimateKnnRadius(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
+      val (lPts, radii, theta) =
+        SpatialOps.sampleKnnRadii(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
       val pivots: Array[Array[Double]] =
         samplePoints(rt, rKeys, numPivots)
       require(pivots.nonEmpty, "pivot kNN join: right side is empty")
+
+      // per-pivot-cell theta from the same sample (1-based cell ids,
+      // argmin over the pivots) — without it a dense cell filters at the
+      // sparse-region-sized global quantile and admits almost everything
+      val nearestPivot = (p: Array[Double]) =>
+        pivots.indices.minBy(i => graft.spatial.Dist.pointToPoint(p, pivots(i))) + 1
+      val cellThetas =
+        SpatialOps.perCellQuantile(lPts.map(nearestPivot), radii, quantile, theta)
 
       def distTo(keys: Seq[String], p: Array[Double]): Column =
         pointDistance(keys.map(col), p.toSeq.map(lit))
@@ -326,7 +335,8 @@ object SpatialOps {
         lId = leftId, k = k, tieBreak = tieBreak,
         outCols = (l.columns ++ rt.columns).map(col),
         fallback = starved =>
-          new DatasetSpatialOps(starved).knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak))
+          new DatasetSpatialOps(starved).knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak),
+        cellThetas = cellThetas)
     }
 
     /** kNN join with the algorithm chosen by session conf
@@ -498,34 +508,7 @@ object SpatialOps {
     ranked.unionByName(fallback)
   }
 
-  /** Estimate the kNN-join radius from bounded samples of both sides.
-    * Sample sizes are capped (like RangePartitioner's sketch), so the
-    * driver work is O(cap²) regardless of table size.
-    *
-    * Seeing only a fraction f of the right side inflates the sampled
-    * kth-NN distance by ~f^(-1/d) (kth-NN distance scales with local
-    * density^(-1/d)), which once cost a 50x candidate blow-up at a 10%
-    * sample; the density correction multiplies it back down. The
-    * estimate only affects performance — the exact fallback in knnJoin
-    * guarantees correctness whatever theta comes out. */
-  private[operators] def estimateKnnRadius(
-      l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
-      k: Int, cap: Int, quantile: Double, safety: Double): Double = {
-    val lPts = samplePoints(l, lKeys, cap)
-    val (rPts, rFrac) = samplePointsWithFraction(r, rKeys, cap)
-    require(rPts.nonEmpty, "kNN join: right side is empty")
-    // empty left: any radius yields the correct empty result downstream
-    if (lPts.isEmpty) return 1e-9
-    val dists = lPts.map { p =>
-      val ds = rPts.map(q => graft.spatial.Dist.pointToPoint(p, q)).sorted
-      ds(math.min(k, ds.length) - 1)
-    }.sorted
-    val idx = math.min(dists.length - 1, (quantile * dists.length).toInt)
-    val densityCorrection = math.pow(rFrac, 1.0 / lKeys.length)
-    math.max(dists(idx) * densityCorrection * safety, 1e-9)
-  }
-
-  /** Per-cell refinement of [[estimateKnnRadius]]: returns the global
+  /** Per-cell refinement of the sampled kNN radius: returns the global
     * theta (the grid's cell side — the cross-sample quantile of corrected
     * kth-NN radii) plus a theta per observed grid cell, so a dense cell
     * filters candidates at its own much smaller radius — the reference's
@@ -538,31 +521,57 @@ object SpatialOps {
     * this only affects performance — the exact fallback in `knnJoin`
     * restores any left row whose true kth neighbor lies beyond its
     * cell's theta. */
-  private[operators] def estimateKnnRadii(
+  /** Bounded sample of the left side with each sampled point's
+    * density-corrected, safety'd kth-NN radius and the global quantile
+    * theta — the shared front half of [[estimateKnnRadii]] (grid cells)
+    * and `knnJoinPivot` (pivot cells), which group the same per-point
+    * radii by their own cell notion. Sample sizes are capped (like
+    * RangePartitioner's sketch), so driver work is O(cap²) regardless of
+    * table size. Seeing only a fraction f of the right side inflates the
+    * sampled kth-NN distance by ~f^(-1/d) (kth-NN distance scales with
+    * local density^(-1/d)), which once cost a 50x candidate blow-up at a
+    * 10% sample; the density correction multiplies it back down. The
+    * estimates only affect performance — the exact fallback in every
+    * kNN join guarantees correctness whatever comes out. Empty left →
+    * (empty, empty, 1e-9). */
+  private[operators] def sampleKnnRadii(
       l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
       k: Int, cap: Int, quantile: Double, safety: Double
-  ): (Double, Map[Seq[Long], Double]) = {
+  ): (Array[Array[Double]], Array[Double], Double) = {
     val lPts = samplePoints(l, lKeys, cap)
     val (rPts, rFrac) = samplePointsWithFraction(r, rKeys, cap)
     require(rPts.nonEmpty, "kNN join: right side is empty")
     // empty left: any radius yields the correct empty result downstream
-    if (lPts.isEmpty) return (1e-9, Map.empty)
+    if (lPts.isEmpty) return (Array.empty, Array.empty, 1e-9)
     val densityCorrection = math.pow(rFrac, 1.0 / lKeys.length)
-    // corrected + safety'd radius per sampled left point, so both the
-    // global and the per-cell quantiles read from the same scale
     val radii: Array[Double] = lPts.map { p =>
       val ds = rPts.map(q => graft.spatial.Dist.pointToPoint(p, q)).sorted
       math.max(ds(math.min(k, ds.length) - 1) * densityCorrection * safety, 1e-9)
     }
-    def quantileOf(sorted: Array[Double]): Double =
-      sorted(math.min(sorted.length - 1, (quantile * sorted.length).toInt))
-    val theta = quantileOf(radii.sorted)
-    val cellThetas: Map[Seq[Long], Double] = lPts.zip(radii)
-      .groupBy { case (p, _) => p.toSeq.map(x => math.floor(x / theta).toLong) }
-      .map { case (cell, pts) =>
-        cell -> math.min(quantileOf(pts.map(_._2).sorted), theta)
-      }
-    (theta, cellThetas)
+    (lPts, radii, quantileOf(radii.sorted, quantile))
+  }
+
+  private def quantileOf(sorted: Array[Double], quantile: Double): Double =
+    sorted(math.min(sorted.length - 1, (quantile * sorted.length).toInt))
+
+  /** Group per-point radii by an arbitrary cell assignment and take the
+    * cell-local quantile, capped at `cap` (the global theta) so grid
+    * coverage / triangle-inequality admission stays valid. */
+  private[operators] def perCellQuantile[C](
+      cells: Array[C], radii: Array[Double], quantile: Double,
+      cap: Double): Map[C, Double] =
+    cells.zip(radii).groupBy(_._1).map { case (c, rs) =>
+      c -> math.min(quantileOf(rs.map(_._2).sorted, quantile), cap)
+    }
+
+  private[operators] def estimateKnnRadii(
+      l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
+      k: Int, cap: Int, quantile: Double, safety: Double
+  ): (Double, Map[Seq[Long], Double]) = {
+    val (lPts, radii, theta) = sampleKnnRadii(l, r, lKeys, rKeys, k, cap, quantile, safety)
+    if (lPts.isEmpty) return (theta, Map.empty)
+    val gridCell = (p: Array[Double]) => p.toSeq.map(x => math.floor(x / theta).toLong)
+    (theta, perCellQuantile(lPts.map(gridCell), radii, quantile, theta))
   }
 
   /** Candidate pairs for the grid kNN join: equi-join on cell id at cell
@@ -629,21 +638,36 @@ object SpatialOps {
     * argmin cell assignment over a plan-time pivot array, per-cell
     * triangle-inequality bounds (numPivots rows to the driver),
     * selective right replication into admitting cells, cell equi-join +
-    * exact distance <= theta + windowed top-k, and an exact fallback for
+    * exact distance filter + windowed top-k, and an exact fallback for
     * starved lefts (correct for any theta). `fallback` must return the
-    * FINAL output schema (`outCols`-shaped). */
+    * FINAL output schema (`outCols`-shaped).
+    *
+    * `cellThetas` (1-based pivot cell id -> radius <= theta) filters
+    * each cell's candidates at the cell's OWN radius and shrinks its
+    * right-admission band to `maxDl_i + theta_i` — the same skew
+    * discipline as the grid join's per-cell theta: under heavy density
+    * skew the global quantile theta is sized by the sparse region, and a
+    * dense cell would otherwise admit nearly the whole right side.
+    * Unlisted cells fall back to the global theta. */
   private[operators] def pivotCellKnn(
       l: DataFrame, rt: DataFrame,
       lDistToPivot: Int => Column, rDistToPivot: Int => Column,
       numPivots: Int, theta: Double, exactDist: Column,
       lId: String, k: Int, tieBreak: Seq[String],
-      outCols: Seq[Column], fallback: DataFrame => DataFrame): DataFrame = {
+      outCols: Seq[Column], fallback: DataFrame => DataFrame,
+      cellThetas: Map[Int, Double] = Map.empty): DataFrame = {
+    def thetaOf(cell1Based: Int): Double = cellThetas.getOrElse(cell1Based, theta)
     val lDists = array((0 until numPivots).map(lDistToPivot): _*)
+    val cthetaExpr = (1 to numPivots).foldLeft(lit(theta)) { (acc, i) =>
+      if (cellThetas.contains(i)) when(col("__graft_cell") === i, lit(thetaOf(i))).otherwise(acc)
+      else acc
+    }
     val lAug = l
       .withColumn("__graft_pd", lDists)
       .withColumn("__graft_cell",
         array_position(col("__graft_pd"), array_min(col("__graft_pd"))).cast("int"))
       .withColumn("__graft_dl", element_at(col("__graft_pd"), col("__graft_cell")))
+      .withColumn("__graft_ctheta", cthetaExpr)
       .drop("__graft_pd")
 
     // per-cell radius bound (numPivots rows to the driver)
@@ -655,7 +679,7 @@ object SpatialOps {
     if (maxDl.isEmpty) return fallback(l)
 
     // right rows fan out only to admitting cells (1-based cell ids from
-    // array_position)
+    // array_position); each cell's admission band uses ITS radius
     val admitStructs = (0 until numPivots).flatMap { i =>
       maxDl.get(i + 1).map { _ =>
         struct(lit(i + 1).as("cell"), rDistToPivot(i).as("dr"))
@@ -668,13 +692,13 @@ object SpatialOps {
       .drop("__graft_rc")
       .filter((0 until numPivots).flatMap { i =>
         maxDl.get(i + 1).map { bound =>
-          col("__graft_rcell") === (i + 1) && col("__graft_dr") <= bound + theta
+          col("__graft_rcell") === (i + 1) && col("__graft_dr") <= bound + thetaOf(i + 1)
         }
       }.reduce(_ || _))
 
     val cand = lAug.join(admitted, col("__graft_cell") === col("__graft_rcell"))
       .withColumn("__graft_d", exactDist)
-      .filter(col("__graft_d") <= theta)
+      .filter(col("__graft_d") <= col("__graft_ctheta"))
     val w = Window.partitionBy(col(lId))
       .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
     val kept = cand.withColumn("__graft_rn", row_number().over(w))

@@ -204,12 +204,12 @@ object VectorOps {
       if (lS.isEmpty) return naivePlan(l)
 
       val sampleDists = lS.map(a => rS.map(b => l2(a, b)))
-      val kth = sampleDists.map { ds0 =>
+      val radii = sampleDists.map { ds0 =>
         val s = ds0.sorted
-        s(math.min(k, s.length) - 1)
-      }.sorted
-      val theta = math.max(
-        kth(math.min(kth.length - 1, (quantile * kth.length).toInt)) * safety, 1e-9)
+        math.max(s(math.min(k, s.length) - 1) * safety, 1e-9)
+      }
+      val kth = radii.sorted
+      val theta = kth(math.min(kth.length - 1, (quantile * kth.length).toInt))
 
       // cost gate against the curse of dimensionality: when distances
       // concentrate (isotropic high-d data), theta admits most of the
@@ -222,6 +222,13 @@ object VectorOps {
       if (admitFrac > 0.25) return naivePlan(l)
 
       val pivots = collectVecs(rt, rVec, numPivots)
+      // per-pivot-cell theta from the same sample — the skew discipline
+      // of the spatial joins: a dense cluster of embeddings (near-dup
+      // corpus) must filter at its own radius, not the global quantile's
+      val nearestPivot = (v: Array[Float]) =>
+        pivots.indices.minBy(i => l2(v, pivots(i))) + 1
+      val cellThetas =
+        SpatialOps.perCellQuantile(lS.map(nearestPivot), radii, quantile, theta)
       // same machinery as the spatial Voronoi join — only the distance
       // expressions differ (keeps the two variants in lockstep)
       SpatialOps.pivotCellKnn(l, rt,
@@ -231,7 +238,8 @@ object VectorOps {
         exactDist = l2Distance(col(lVec), col(rVec)),
         lId = lId, k = k, tieBreak = tieBreak,
         outCols = (l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"),
-        fallback = naivePlan)
+        fallback = naivePlan,
+        cellThetas = cellThetas)
     }
 
     /** Exact all-pairs similarity join (cosine >= threshold) against

@@ -258,13 +258,19 @@ class SpatialOpsSpec extends SparkSpec {
     val r = ((1 to 400).map(j => (j.toLong, (j % 20) * 0.1 + 0.05, (j / 20) * 0.1 + 0.05)) ++
       (1 to 40).map(j => (400L + j, 110.0 + j * 25.0, 90.0 + (j % 5) * 25.0)))
       .toDF("rid", "rx", "ry")
-    val got = l.knnJoin(r, Seq("lx", "ly"), Seq("rx", "ry"), k = 3,
-      leftId = "lid", tieBreak = Seq("rid"))
-      .select("lid", "rid").as[(Long, Long)].collect().toSet
     val want = l.knnJoinNaive(r, Seq("lx", "ly"), Seq("rx", "ry"), k = 3,
       leftId = "lid", tieBreak = Seq("rid"))
       .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val got = l.knnJoin(r, Seq("lx", "ly"), Seq("rx", "ry"), k = 3,
+      leftId = "lid", tieBreak = Seq("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(got === want && got.nonEmpty)
+    // the pivot algorithm must stay exact under the same skew (its
+    // per-pivot-cell thetas shrink dense cells' radii and admission)
+    val gotPivot = l.knnJoinPivot(r, Seq("lx", "ly"), Seq("rx", "ry"), k = 3,
+      leftId = "lid", tieBreak = Seq("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(gotPivot === want)
 
     // the per-cell thetas must make the candidate pass strictly cheaper
     // than one global theta on this distribution
@@ -272,11 +278,21 @@ class SpatialOpsSpec extends SparkSpec {
       l, r, Seq("lx", "ly"), Seq("rx", "ry"), k = 3,
       cap = 2000, quantile = 0.95, safety = 2.0)
     assert(cellThetas.values.exists(_ < theta), "dense cells should get a tighter theta")
-    val perCell = SpatialOps.gridCandidates(
-      l, r, Seq("lx", "ly"), Seq("rx", "ry"), theta, cellThetas).count()
+    val perCellCand = SpatialOps.gridCandidates(
+      l, r, Seq("lx", "ly"), Seq("rx", "ry"), theta, cellThetas)
+    val perCell = perCellCand.count()
     val global = SpatialOps.gridCandidates(
       l, r, Seq("lx", "ly"), Seq("rx", "ry"), theta, Map.empty).count()
     assert(perCell < global, s"per-cell candidates $perCell !< global $global")
+
+    // the price of the tighter radius is starvation (lefts with < k
+    // candidates, which take the exact fallback): the per-cell quantile
+    // must keep that fraction bounded, or the fallback re-detonates
+    val lefts = l.count()
+    val starved = lefts - perCellCand.groupBy("lid").count()
+      .filter(col("count") >= 3).count()
+    assert(starved.toDouble / lefts <= 0.20,
+      s"starved fraction ${starved.toDouble / lefts} exceeds 20% of $lefts lefts")
   }
 
   test("spatialFilter: kNN set algebra equals hand-composed plans; pure trees fold") {
