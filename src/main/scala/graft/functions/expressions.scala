@@ -159,6 +159,56 @@ private[functions] object ShapeExprChecks {
     else TypeCheckResult.TypeCheckFailure(
       s"$name expects struct<tag:int, coords:array<double>> inputs, " +
         s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  def checkOne(name: String, child: Expression): TypeCheckResult =
+    if (shaped(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects a struct<tag:int, coords:array<double>> input, " +
+        s"got ${child.dataType.simpleString}")
+}
+
+/** `shape_to_wkt(shape) -> string` — WKT text of a struct-encoded shape
+  * (the reference formats geometry through JTS's WKTWriter,
+  * reference: spatial/Polygon.scala:106-124; see [[graft.spatial.Wkt]]
+  * for the mapping, including the non-standard CIRCLE extension). */
+case class ShapeAsWkt(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shape_to_wkt"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ShapeExprChecks.checkOne(prettyName, child)
+
+  override def nullSafeEval(a: Any): Any =
+    graft.spatial.Wkt.formatRow(a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.spatial.Wkt.formatRow($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `wkt_to_shape(string) -> shape` — parse WKT into the struct encoding.
+  * Strict: malformed text throws with the offending string (JTS-style),
+  * no silent nulls. */
+case class WktToShape(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = graft.spatial.ShapeCodec.sqlType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "wkt_to_shape"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any): Any =
+    graft.spatial.Wkt.parseToRow(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.spatial.Wkt.parseToRow($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** `shape_intersects(shape, shape) -> boolean` over struct-encoded

@@ -119,6 +119,13 @@ package object functions {
   def stDistance(a: Column, b: Column): Column =
     toCol(ShapeMinDist(toExpr(a), toExpr(b)))
 
+  /** WKT text of a shape column (see [[graft.spatial.Wkt]] for the
+    * mapping and the non-standard CIRCLE extension). */
+  def stAsWkt(shape: Column): Column = toCol(ShapeAsWkt(toExpr(shape)))
+
+  /** Parse WKT text into a shape column (strict — malformed rows throw). */
+  def stFromWkt(text: Column): Column = toCol(WktToShape(toExpr(text)))
+
   // ---- vector surface (native expressions, codegen'd) ----
 
   def cosineSimilarity(a: Column, b: Column): Column =

@@ -136,6 +136,10 @@ object GraftExtensions {
       graft.functions.ShapeIntersects(es(0), es(1))),
     "graft_st_distance" -> arity("graft_st_distance", 2)(es =>
       graft.functions.ShapeMinDist(es(0), es(1))),
+    "graft_st_aswkt" -> arity("graft_st_aswkt", 1)(es =>
+      graft.functions.ShapeAsWkt(es(0))),
+    "graft_st_fromwkt" -> arity("graft_st_fromwkt", 1)(es =>
+      graft.functions.WktToShape(es(0))),
     // graft_point_in_polygon(x, y, array(x0,y0,x1,y1,...)) — the ring must
     // be a foldable literal; it is evaluated once at plan time
     "graft_point_in_polygon" -> arity("graft_point_in_polygon", 3)(es => {

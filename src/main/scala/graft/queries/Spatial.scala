@@ -154,6 +154,22 @@ object Spatial {
       .orderBy(col("c_custkey"))
   }
 
+  /** WKT text I/O round trip in the hot path: customer points format to
+    * WKT, parse back, and filter by box intersection — the result must
+    * equal the plain box-range oracle exactly, proving format/parse are
+    * lossless (reference interop surface: spatial/Polygon.scala:106-124
+    * via JTS WKTReader/Writer). */
+  def wktRoundTripQ(s: SparkSession, d: String): DataFrame = {
+    import graft.functions._
+    customerPts(s, d)
+      .withColumn("wkt", stAsWkt(stPoint(col("cx"), col("cy"))))
+      .filter(stIntersects(stFromWkt(col("wkt")),
+        stShape(graft.spatial.MBR(
+          graft.spatial.Point(boxLow: _*), graft.spatial.Point(boxHigh: _*)))))
+      .select(col("c_custkey"), col("cx"), col("cy"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Exact kNN join, pivot (Voronoi) algorithm — same oracle as the grid
     * form, different physical shape. */
   def knnJoinPivotQ(s: SparkSession, d: String): DataFrame =
@@ -216,6 +232,10 @@ object Spatial {
          |  ORDER BY sqrt((cx - 5000.0)*(cx - 5000.0) + (cy - 500.0)*(cy - 500.0)) ASC,
          |           c_custkey ASC
          |  LIMIT 10) t
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_wkt_roundtrip" ->
+      s"""SELECT c_custkey, cx, cy FROM ($custPtsSql) c
+         |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
          |ORDER BY c_custkey""".stripMargin,
     "sp_knn_predicate" ->
       s"""WITH pts AS ($custPtsSql),
@@ -284,6 +304,7 @@ object Spatial {
     "sp_spatiotemporal" -> (spatioTemporal _),
     "sp_knn" -> (knn _),
     "sp_knn_predicate" -> (knnPredicateQ _),
+    "sp_wkt_roundtrip" -> (wktRoundTripQ _),
     "sp_distance_join" -> (distanceJoin _),
     "sp_distance_join_bc" -> (distanceJoinBc _),
     "sp_knn_join" -> (knnJoin _),

@@ -1,0 +1,104 @@
+package graft.spatial
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WKT text I/O for the Shape ADT — the reference's interoperability
+  * surface (reference: spatial/Polygon.scala:106-124 routes polygons
+  * through JTS's WKTWriter/WKTReader); this rebuild hand-rolls the
+  * subset the ADT needs, zero dependencies, codegen-callable kernels.
+  *
+  * Mappings:
+  *  - `Point` (any dim)    <-> `POINT (x y[ z ...])`
+  *  - `LineSegment`        <-> `LINESTRING (ax ay, bx by)` (exactly two
+  *    vertices — the ADT carries segments, not polylines)
+  *  - `Polygon`            <-> `POLYGON ((x0 y0, ..., x0 y0))` (single
+  *    ring; closing vertex emitted on output, tolerated either way on
+  *    input)
+  *  - `MBR` (2-D)          --> its `POLYGON` ring (WKT has no box type,
+  *    so a formatted box PARSES BACK as the geometrically-equal
+  *    Polygon); n-D boxes have no WKT form -> error
+  *  - `Circle`             <-> `CIRCLE (cx cy r)` — NON-STANDARD: WKT
+  *    has no circle; emitted so every ADT kind has a text form, clearly
+  *    flagged as an extension (PostGIS has the same problem and uses
+  *    CURVEPOLYGON approximations instead)
+  *
+  * Numbers print via `Double.toString` (shortest round-trip
+  * representation), so `parse(format(s))` is numerically exact. Parse
+  * failures throw `IllegalArgumentException` with the offending text —
+  * strict like JTS, no silent nulls; pre-filter malformed rows upstream
+  * if a 100-TB ingest must survive them.
+  */
+object Wkt {
+
+  def format(s: Shape): String = s match {
+    case Point(c) => s"POINT (${c.mkString(" ")})"
+    case LineSegment(a, b) =>
+      s"LINESTRING (${a.coord.mkString(" ")}, ${b.coord.mkString(" ")})"
+    case p: Polygon =>
+      val ring = p.flat.grouped(2).map(_.mkString(" ")).toSeq
+      val closed = if (ring.head == ring.last) ring else ring :+ ring.head
+      s"POLYGON ((${closed.mkString(", ")}))"
+    case MBR(lo, hi) =>
+      require(lo.coord.length == 2,
+        s"only 2-D boxes have a WKT (polygon) form, got ${lo.coord.length}-D")
+      val (x1, y1, x2, y2) = (lo.coord(0), lo.coord(1), hi.coord(0), hi.coord(1))
+      s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
+    case Circle(c, r) => s"CIRCLE (${c.coord.mkString(" ")} $r)"
+  }
+
+  def parse(text: String): Shape = {
+    val t = text.trim
+    val open = t.indexOf('(')
+    require(open > 0, s"malformed WKT (no coordinate list): '$text'")
+    val kind = t.substring(0, open).trim.toUpperCase
+    val body = t.substring(open).trim
+    def fail(why: String): Nothing =
+      throw new IllegalArgumentException(s"malformed WKT ($why): '$text'")
+    // strip one balanced outer paren pair
+    def unwrap(s: String): String = {
+      if (!(s.startsWith("(") && s.endsWith(")"))) fail("unbalanced parens")
+      s.substring(1, s.length - 1).trim
+    }
+    def nums(s: String): Array[Double] =
+      s.trim.split("\\s+").map { tok =>
+        try tok.toDouble catch { case _: NumberFormatException => fail(s"bad number '$tok'") }
+      }
+    def vertices(s: String): Array[Array[Double]] = s.split(",").map(nums)
+
+    kind match {
+      case "POINT" =>
+        val c = nums(unwrap(body))
+        if (c.isEmpty) fail("empty point") else Point(c)
+      case "LINESTRING" =>
+        val vs = vertices(unwrap(body))
+        if (vs.length != 2) fail(s"segments need exactly 2 vertices, got ${vs.length}")
+        if (vs.exists(_.length != 2)) fail("segments are 2-D")
+        LineSegment(Point(vs(0)), Point(vs(1)))
+      case "POLYGON" =>
+        val inner = unwrap(unwrap(body)) // single ring: ((...))
+        if (inner.contains("(")) fail("multi-ring polygons are not supported")
+        val vs = vertices(inner)
+        if (vs.exists(_.length != 2)) fail("polygons are 2-D")
+        val ring = if (vs.length > 1 && vs.head.sameElements(vs.last)) vs.dropRight(1) else vs
+        if (ring.length < 3) fail(s"polygons need >= 3 distinct vertices, got ${ring.length}")
+        Polygon(ring.map(v => Point(v)))
+      case "CIRCLE" =>
+        val c = nums(unwrap(body))
+        if (c.length < 3) fail("circles are 'CIRCLE (cx cy r)'")
+        Circle(Point(c.init), c.last)
+      case other => fail(s"unsupported geometry '$other'")
+    }
+  }
+
+  // Static kernels called from generated code.
+  def formatRow(r: InternalRow): UTF8String =
+    UTF8String.fromString(format(ShapeCodec.fromRow(r)))
+
+  def parseToRow(s: UTF8String): InternalRow = {
+    val (tag, coords) = ShapeCodec.encode(parse(s.toString))
+    new GenericInternalRow(Array[Any](tag, new GenericArrayData(coords)))
+  }
+}

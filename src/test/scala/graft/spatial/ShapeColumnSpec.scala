@@ -147,6 +147,53 @@ class ShapeColumnSpec extends SparkSpec {
     assert(e2.getMessage.contains("struct<tag:int, coords:array<double>>"))
   }
 
+  test("WKT: every ADT kind formats and parses back losslessly") {
+    // Point / LineSegment / Polygon / Circle round-trip identically;
+    // MBR formats to its polygon ring and parses back geometrically equal
+    val roundTrippable = Seq(
+      Point(1.5, -2.25),
+      Point(1.0, 2.0, 3.5),
+      LineSegment(Point(0.0, 0.0), Point(4.0, 3.0)),
+      Polygon((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)),
+      Circle(Point(5.0, 5.0), 2.5))
+    roundTrippable.foreach { s =>
+      assert(Wkt.parse(Wkt.format(s)) === s, s"round trip of $s via '${Wkt.format(s)}'")
+    }
+    val box = MBR(Point(1.0, 2.0), Point(3.0, 4.0))
+    Wkt.parse(Wkt.format(box)) match {
+      case p: Polygon =>
+        assert(p.intersects(box) && box.contains(Point(2.0, 3.0)) === p.contains(Point(2.0, 3.0)))
+        assert(p.vertices.length === 4)
+      case other => fail(s"box should parse as its polygon ring, got $other")
+    }
+    // ring closure tolerated on input, emitted on output
+    assert(Wkt.parse("POLYGON ((0 0, 4 0, 4 4, 0 4))") ===
+      Wkt.parse("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    assert(Wkt.format(Polygon((0.0, 0.0), (4.0, 0.0), (4.0, 4.0))).endsWith("0.0 0.0))"))
+
+    // strict failures with the offending text
+    Seq("POINT ()", "LINESTRING (0 0)", "POLYGON ((0 0, 1 1))",
+      "TRIANGLE (0 0, 1 1, 2 0)", "POINT (a b)").foreach { bad =>
+      val e = intercept[IllegalArgumentException](Wkt.parse(bad))
+      assert(e.getMessage.contains(bad), s"message must cite input: ${e.getMessage}")
+    }
+  }
+
+  test("stAsWkt / stFromWkt round-trip as columns, SQL-callable") {
+    import spark.implicits._
+    val df = Seq((1L, 2.5, 3.5), (2L, -1.0, 0.0)).toDF("id", "x", "y")
+    val back = df.select(col("id"),
+      stFromWkt(stAsWkt(stPoint(col("x"), col("y")))).as("s"))
+      .select(col("id"), col("s.coords").as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(back(1L) === Seq(2.5, 3.5) && back(2L) === Seq(-1.0, 0.0))
+
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    val row = spark.sql(
+      "SELECT graft_st_aswkt(graft_st_fromwkt('POINT (1.5 2.5)')) AS w").head()
+    assert(row.getString(0) === "POINT (1.5 2.5)")
+  }
+
   test("graft_st_intersects / graft_st_distance are SQL-callable") {
     graft.plans.GraftExtensions.registerFunctions(spark)
     mixedDf.createOrReplaceTempView("shapes_t")
