@@ -44,6 +44,13 @@ object Advanced {
     StreamingOps.sessionizeBatchEquivalent(s, d, gapMs = 14400000L).toDF()
       .orderBy(col("user_id"), col("start_ms"))
 
+  /** The same sessionization on Spark's native `session_window` (engine-
+    * managed state + watermark finalization) — both sessionizers answer
+    * to the ONE gaps-and-islands oracle. */
+  def sessionsNativeStream(s: SparkSession, d: String): DataFrame =
+    StreamingOps.sessionizeNativeBatchEquivalent(s, d, gapMs = 14400000L)
+      .orderBy(col("user_id"), col("start_ms"))
+
   /** Streaming exact dedup (dropDuplicates state over a file stream). */
   def streamDedup(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamDedupCounts(s, d).orderBy(col("lang"))
@@ -132,14 +139,7 @@ object Advanced {
         length(col("frame")).cast("int").as("frame_len"))
       .orderBy(col("media_id"), col("frame_idx"))
 
-  val oracles: Map[String, String] = Map(
-    "sp_box_range_indexed" -> Spatial.oracles("sp_box_range"),
-    "sp_circle_range_indexed" -> Spatial.oracles("sp_circle_range"),
-    "sp_knn_indexed" -> Spatial.oracles("sp_knn"),
-    "q8_events_hourly_stream" -> Relational.oracles("q6_events_hourly"),
-    // gaps-and-islands twin of the stateful sessionization: same
-    // (time, event_id) ordering, same DECIMAL(18,6) value rounding
-    "st_sessions" ->
+  private val sessionsOracleSql =
       """SELECT user_id, start_ms, end_ms, n_events, total_value FROM (
         |  SELECT user_id, MIN(t) AS start_ms, MAX(t) AS end_ms,
         |    CAST(COUNT(*) AS INT) AS n_events,
@@ -157,7 +157,18 @@ object Advanced {
         |             THEN 1 ELSE 0 END AS is_new
         |      FROM events) f) s
         |  GROUP BY user_id, sid) t
-        |ORDER BY user_id, start_ms""".stripMargin,
+        |ORDER BY user_id, start_ms""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sp_box_range_indexed" -> Spatial.oracles("sp_box_range"),
+    "sp_circle_range_indexed" -> Spatial.oracles("sp_circle_range"),
+    "sp_knn_indexed" -> Spatial.oracles("sp_knn"),
+    "q8_events_hourly_stream" -> Relational.oracles("q6_events_hourly"),
+    // gaps-and-islands twin of BOTH sessionizers (custom-state and
+    // native session_window): same (time, event_id) ordering, same
+    // DECIMAL(18,6) value rounding
+    "st_sessions" -> sessionsOracleSql,
+    "st_sessions_native" -> sessionsOracleSql,
     // duplicates never span langs (within-lang duplication by
     // construction), so per-lang distinct-text counts are exactly the
     // post-dedup per-lang row counts whichever duplicate survives
@@ -201,6 +212,7 @@ object Advanced {
     "sp_knn_indexed" -> (knnIndexed _),
     "q8_events_hourly_stream" -> (eventsHourlyStream _),
     "st_sessions" -> (sessionsStream _),
+    "st_sessions_native" -> (sessionsNativeStream _),
     "st_stream_dedup" -> (streamDedup _),
     "sp_range_index" -> (rangeIndexQ _),
     "sp_hash_index" -> (hashIndexQ _),

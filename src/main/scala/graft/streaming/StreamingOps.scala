@@ -186,6 +186,67 @@ object StreamingOps {
   def sessionizeBatchEquivalent(spark: SparkSession, dir: String,
                                 gapMs: Long): Dataset[UserSession] = {
     import spark.implicits._
+    val (evs, sentNs) = stagedEventStreamWithSentinel(spark, dir, gapMs)
+    val sinkName = s"graft_sess_${System.nanoTime()}"
+    val q = sessionize(evs.as[Event], gapMs, idleTimeout = false)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName).as[UserSession]
+      .filter(col("start_ms") < lit(sentNs / 1000000L))
+  }
+
+  /** Gap sessionization on Spark's NATIVE `session_window` — the fully
+    * declarative path (state, merging, and watermark finalization all
+    * engine-managed; the recommended form at scale where late data needs
+    * watermark reordering). Same output contract as [[sessionize]]:
+    * `session_window.end` is last-event + gap, so `end_ms` subtracts the
+    * gap back; totals use the same DECIMAL(18,6) discipline. Emitted in
+    * Append mode once the watermark passes a session's close. */
+  def sessionizeNative(events: DataFrame, gapMs: Long,
+                       watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(count(lit(1)).cast("int").as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        (unix_millis(col("session_window.end")) - gapMs).as("end_ms"),
+        col("n_events"), col("total_value"))
+
+  /** [[sessionizeNative]] over the same staged two-batch file stream as
+    * [[sessionizeBatchEquivalent]]: the sentinel advances the watermark
+    * past every real session's close, finalizing them for Append; the
+    * sentinel's own session stays unfinalized in state (and is filtered
+    * anyway). Both sessionizers are checked against the ONE SQL
+    * gaps-and-islands oracle. */
+  def sessionizeNativeBatchEquivalent(spark: SparkSession, dir: String,
+                                      gapMs: Long): DataFrame = {
+    val (evs, sentNs) = stagedEventStreamWithSentinel(spark, dir, gapMs)
+    val sinkName = s"graft_sessn_${System.nanoTime()}"
+    val q = sessionizeNative(evs, gapMs)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName).filter(col("start_ms") < lit(sentNs / 1000000L))
+  }
+
+  /** Stage `dir`/events.parquet as a genuine MULTI-BATCH file stream:
+    * micro-batch 1 is the real events file, micro-batch 2 a sentinel
+    * file holding one far-future event per user (maxFilesPerTrigger=1
+    * keeps them separate batches; staged modification times order them).
+    * The sentinel closes every open session through ordinary gap logic
+    * (custom sessionizer) or advances the watermark (native one);
+    * sentinel sessions start at the returned nanos timestamp, so callers
+    * filter `start_ms < sentNs / 1e6`. */
+  private def stagedEventStreamWithSentinel(spark: SparkSession, dir: String,
+                                            gapMs: Long): (DataFrame, Long) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$dir/events.parquet"
     val batch = spark.read.parquet(src)
@@ -224,16 +285,6 @@ object StreamingOps {
       .parquet(staged.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Event]
-    val sinkName = s"graft_sess_${System.nanoTime()}"
-    val q = sessionize(evs, gapMs, idleTimeout = false)
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(sinkName).as[UserSession]
-      .filter(col("start_ms") < lit(sentNs / 1000000L))
+    (evs, sentNs)
   }
 }

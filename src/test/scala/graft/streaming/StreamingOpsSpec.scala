@@ -107,6 +107,13 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("native session_window stream equals the custom sessionizer and the SQL oracle") {
+    val native = StreamingOps.sessionizeNativeBatchEquivalent(spark, sf(), gapMs = 14400000L)
+    val custom = StreamingOps.sessionizeBatchEquivalent(spark, sf(), gapMs = 14400000L).toDF()
+    assert(native.count() > 0)
+    assert(native.exceptAll(custom).isEmpty && custom.exceptAll(native).isEmpty)
+  }
+
   test("watermark drops late data and finalizes windows exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
