@@ -215,6 +215,25 @@ class IndexManagerSpec extends SparkSpec {
     IndexManager.dropIndex(other, name)
   }
 
+  test("concurrent indexTable calls for one name yield a single registry entry") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val built = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val results = Await.result(Future.sequence((1 to 4).map(_ => Future {
+      val idx = freshIndex("t_conc")
+      built.add(System.identityHashCode(idx))
+      idx
+    })), 2.minutes)
+    try {
+      // getOrElseUpdate may race to BUILD twice, but every caller must
+      // get the one REGISTERED table (no divergent cached copies in use)
+      assert(results.map(System.identityHashCode).toSet.size === 1,
+        "all callers must share one IndexedTable instance")
+      assert(IndexManager.showIndexes(spark).count(_ == "t_conc") === 1)
+    } finally IndexManager.dropIndex(spark, "t_conc")
+  }
+
   test("index storage level follows spark.graft.index.storageLevel") {
     import org.apache.spark.storage.StorageLevel
     val other = spark.newSession()

@@ -328,6 +328,22 @@ class SpatialOpsSpec extends SparkSpec {
       ids(cust.filter((col("cx") >= 0.0 && !(col("cy") < 100.0)) || col("cx") > 9000.0)))
   }
 
+  test("n-dimensional: 3-D kNN join (grid + pivot) equals naive") {
+    import spark.implicits._
+    val a = (1 to 120).map(i => (i.toLong, (i % 11) * 1.7, (i % 7) * 2.3, (i % 5) * 3.1))
+      .toDF("aid", "ax", "ay", "az")
+    val b = (1 to 90).map(i => (i.toLong, (i % 13) * 1.5, (i % 6) * 2.9, (i % 4) * 3.7))
+      .toDF("bid", "bx", "by", "bz")
+    val keysA = Seq("ax", "ay", "az"); val keysB = Seq("bx", "by", "bz")
+    val want = a.knnJoinNaive(b, keysA, keysB, k = 4, "aid", Seq("bid"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    val grid = a.knnJoin(b, keysA, keysB, k = 4, "aid", Seq("bid"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    val pivot = a.knnJoinPivot(b, keysA, keysB, k = 4, "aid", Seq("bid"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(grid === want && pivot === want && want.nonEmpty)
+  }
+
   test("n-dimensional: 3-D distance join via grid equals naive") {
     import spark.implicits._
     val a = (1 to 60).map(i => (i.toLong, i * 1.0, (i % 7) * 2.0, (i % 5) * 3.0))
