@@ -580,55 +580,126 @@ object SpatialOps {
     * pairs within the LEFT CELL's theta rather than the global one. The
     * per-cell thetas ride in on a broadcast left-outer join against a
     * tiny (<= sampleCap rows) cell→theta table; unseen cells fall back to
-    * the global theta. Because every per-cell theta <= theta, the 3^d
-    * neighborhood still contains every point of every cell's filter
-    * ball, so the candidate set is exactly {pairs within cellTheta(left)}
-    * — a left row with >= k candidates here provably has its true k
-    * nearest among them. Output columns: left ++ right, no internals. */
+    * the global theta.
+    *
+    * Dense cells are additionally REFINED: a coarse cell whose theta_C is
+    * far below the global theta subdivides into rC^d subcells of side
+    * theta/rC (rC = floor(theta/theta_C), capped), and the equi-join key
+    * becomes (coarse cell, refined cell). This is the density adaptivity
+    * the reference gets from STR partitioning (reference:
+    * partitioner/STRPartitioner.scala:34-167): without it, a uniform
+    * grid sized by the skew-inflated global quantile collapses a dense
+    * cluster into ONE cell and the equi-join degenerates to that
+    * cluster's cross product. Rights targeting a refined cell (rC > 1)
+    * replicate to the 3^d refined neighborhood; rights targeting an
+    * unrefined cell keep exactly one copy whose refined id IS the
+    * target coarse cell (refined grid == coarse grid there), so uniform
+    * regions pay nothing over the pre-refinement plan.
+    *
+    * Correctness: theta/rC >= theta_C, so for any pair within the left
+    * cell's theta_C the per-dimension refined ids differ by at most 1 —
+    * the refined 3^d neighborhood still covers every cell's filter ball,
+    * and the coarse 3^d neighborhood covers it since theta_C <= theta.
+    * A left row with >= k candidates here provably has its true k
+    * nearest among them; starved lefts take the caller's exact fallback.
+    * Output columns: left ++ right, no internals. */
   private[operators] def gridCandidates(
       l: DataFrame, rt: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
-      theta: Double, cellThetas: Map[Seq[Long], Double]): DataFrame = {
+      theta: Double, cellThetas: Map[Seq[Long], Double],
+      maxRefine: Int = 64): DataFrame = {
     require(l.columns.intersect(rt.columns).isEmpty,
       s"knnJoin requires disjoint column names, shared: " +
         l.columns.intersect(rt.columns).mkString(","))
     val dims = lKeys.length
-    val lCells = lKeys.zipWithIndex.map { case (k, i) =>
-      floor(col(k) / theta).cast("long").as(s"${CELL}_l$i")
-    }
-    val lTagged = l.select(l.columns.map(col) ++ lCells: _*)
-
     val spark = l.sparkSession
-    val cellCols = (0 until dims).map(i => s"${CELL}_l$i")
-    val withTheta =
-      if (cellThetas.isEmpty) lTagged.withColumn("__graft_ctheta", lit(theta))
+
+    def refineOf(th: Double): Int =
+      math.max(1, math.min(maxRefine, math.floor(theta / th).toInt))
+    val anyRefined = cellThetas.values.exists(refineOf(_) > 1)
+
+    // tiny broadcast table: coarse cell -> (theta_C, rC); unseen cells
+    // behave as (theta, 1). Instantiated once per side with that side's
+    // column names so every reference below is unqualified — immune to
+    // Spark's ambiguous-self-join trap (same discipline as distanceJoin).
+    def ctDf(prefix: String, thetaCol: Option[String], rcCol: String): Option[DataFrame] =
+      if (cellThetas.isEmpty) None
       else {
-        val schema = types.StructType(
-          cellCols.map(c => types.StructField(c, types.LongType, nullable = false)) :+
-            types.StructField("__graft_ctheta", types.DoubleType, nullable = false))
+        val fields = (0 until dims).map(i =>
+          types.StructField(s"${CELL}_$prefix$i", types.LongType, nullable = false)) ++
+          thetaCol.map(c => types.StructField(c, types.DoubleType, nullable = false)) :+
+          types.StructField(rcCol, types.IntegerType, nullable = false)
         val rows = cellThetas.toSeq.map { case (cell, th) =>
-          org.apache.spark.sql.Row.fromSeq(cell :+ th)
+          org.apache.spark.sql.Row.fromSeq(
+            cell ++ thetaCol.map(_ => th).toSeq ++ Seq(refineOf(th)))
         }
-        val ctDf = spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), schema)
-        lTagged.join(broadcast(ctDf), cellCols, "left")
-          .withColumn("__graft_ctheta", coalesce(col("__graft_ctheta"), lit(theta)))
+        Some(spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), types.StructType(fields)))
       }
 
+    // left: own coarse cell, (theta_C, rC) via broadcast, refined ids
+    val lCellCols = (0 until dims).map(i => s"${CELL}_lc$i")
+    val lCells = lKeys.zipWithIndex.map { case (k, i) =>
+      floor(col(k) / theta).cast("long").as(s"${CELL}_lc$i")
+    }
+    val lTagged = l.select(l.columns.map(col) ++ lCells: _*)
+    val lWithTheta = ctDf("lc", Some("__graft_ctheta"), "__graft_lrc") match {
+      case None => lTagged
+        .withColumn("__graft_ctheta", lit(theta))
+        .withColumn("__graft_lrc", lit(1))
+      case Some(df) => lTagged.join(broadcast(df), lCellCols, "left")
+        .withColumn("__graft_ctheta", coalesce(col("__graft_ctheta"), lit(theta)))
+        .withColumn("__graft_lrc", coalesce(col("__graft_lrc"), lit(1)))
+    }
+    val lRefined = lKeys.zipWithIndex.foldLeft(lWithTheta) { case (df, (k, i)) =>
+      df.withColumn(s"${CELL}_lf$i",
+        floor(col(k) * col("__graft_lrc") / theta).cast("long"))
+    }
+
+    // right: replicate to the 3^d coarse neighborhood, pick up the
+    // TARGET cell's rC via broadcast, then the 3^d refined neighborhood
+    // (constant offset array; rows filtered to the zero offset where
+    // rC = 1, so uniform regions keep exactly one refined copy)
+    val rCellCols = (0 until dims).map(i => s"${CELL}_rc$i")
     val offsets: Seq[Seq[Int]] = Seq.fill(dims)(Seq(-1, 0, 1))
       .foldLeft(Seq(Seq.empty[Int]))((acc, cs) => for (a <- acc; c <- cs) yield a :+ c)
     val offArr = array(offsets.map(o => array(o.map(lit): _*)): _*)
-    val rCells = rKeys.zipWithIndex.map { case (k, i) =>
+    val rCoarse = rKeys.zipWithIndex.map { case (k, i) =>
       (floor(col(k) / theta).cast("long") +
-        element_at(col("__graft_off"), i + 1)).as(s"${CELL}_r$i")
+        element_at(col("__graft_off"), i + 1)).as(s"${CELL}_rc$i")
     }
     val rTagged = rt.withColumn("__graft_off", explode(offArr))
-      .select(rt.columns.map(col) ++ rCells: _*)
+      .select(rt.columns.map(col) ++ (rCoarse :+ col("__graft_off")): _*)
+    val rWithRc = ctDf("rc", None, "__graft_rrc") match {
+      case None => rTagged.withColumn("__graft_rrc", lit(1))
+      case Some(df) => rTagged.join(broadcast(df), rCellCols, "left")
+        .withColumn("__graft_rrc", coalesce(col("__graft_rrc"), lit(1)))
+    }
+    // refined offsets: a target cell with rC = 1 has refined grid ==
+    // coarse grid, so the ONLY consistent refined offset is the coarse
+    // offset itself (one copy, exactly the pre-refinement behavior); a
+    // refined target (rC > 1) needs the full 3^d refined neighborhood
+    // around the right's own fine cell
+    val rRefined0 =
+      if (!anyRefined) rWithRc.withColumn("__graft_roff", col("__graft_off"))
+      else rWithRc
+        .withColumn("__graft_roff", explode(offArr))
+        .filter(col("__graft_rrc") > 1 ||
+          (0 until dims).map(i => element_at(col("__graft_roff"), i + 1) ===
+            element_at(col("__graft_off"), i + 1)).reduce(_ && _))
+    val rRefined = rKeys.zipWithIndex.foldLeft(rRefined0) { case (df, (k, i)) =>
+      df.withColumn(s"${CELL}_rf$i",
+        floor(col(k) * col("__graft_rrc") / theta).cast("long") +
+          element_at(col("__graft_roff"), i + 1))
+    }
 
-    val cellCond = (0 until dims)
-      .map(i => col(s"${CELL}_l$i") === col(s"${CELL}_r$i")).reduce(_ && _)
-    val distCond = pointDistance(lKeys.map(col), rKeys.map(col)) <= col("__graft_ctheta")
+    val joinCond = ((0 until dims).map(i =>
+        col(s"${CELL}_lc$i") === col(s"${CELL}_rc$i")) ++
+      (0 until dims).map(i =>
+        col(s"${CELL}_lf$i") === col(s"${CELL}_rf$i"))).reduce(_ && _)
+    val distCond = pointDistance(lKeys.map(col), rKeys.map(col)) <=
+      col("__graft_ctheta")
 
-    withTheta.join(rTagged, cellCond && distCond, "inner")
+    lRefined.join(rRefined, joinCond && distCond, "inner")
       .select((l.columns ++ rt.columns).map(col): _*)
   }
 
