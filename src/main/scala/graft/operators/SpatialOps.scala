@@ -312,8 +312,11 @@ object SpatialOps {
 
       val (lPts, radii, theta) =
         SpatialOps.sampleKnnRadii(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
-      val pivots: Array[Array[Double]] =
-        samplePoints(rt, rKeys, numPivots)
+      // pivots: farthest-point selection from a larger sample pool, so
+      // sparse regions get nearby pivots even under heavy density skew
+      val pivots: Array[Array[Double]] = SpatialOps.farthestPointPivots[Array[Double]](
+        samplePoints(rt, rKeys, sampleCap).toIndexedSeq,
+        graft.spatial.Dist.pointToPoint, numPivots).toArray
       require(pivots.nonEmpty, "pivot kNN join: right side is empty")
 
       // per-pivot-cell theta from the same sample (1-based cell ids,
@@ -553,6 +556,47 @@ object SpatialOps {
 
   private def quantileOf(sorted: Array[Double], quantile: Double): Double =
     sorted(math.min(sorted.length - 1, (quantile * sorted.length).toInt))
+
+  /** Farthest-point (maximin) selection of `n` pivots from a candidate
+    * pool: start from the pool's centroid-nearest point, then greedily
+    * take the candidate farthest from the chosen set. Spreads pivots
+    * over the data's full extent, so under density skew sparse regions
+    * still get nearby pivots — uniformly-sampled pivots cluster in the
+    * dense region, whole sparse cells inherit a huge max-d(l, pivot)
+    * bound, and the triangle-inequality admission band admits nearly
+    * everything (the reference samples pivot SETS and scores them,
+    * VKJSpark.scala:50-67; maximin achieves the spread directly).
+    * Deterministic; O(pool * n) driver work on an already-capped pool. */
+  private[operators] def farthestPointPivots[T](
+      pool: IndexedSeq[T], dist: (T, T) => Double, n: Int): IndexedSeq[T] = {
+    if (pool.isEmpty || n <= 0) return IndexedSeq.empty
+    val minDist = Array.fill(pool.length)(Double.MaxValue)
+    // seed: the point minimizing total distance to the pool (a medoid —
+    // deterministic and central, so the first radius is small)
+    var seed = 0
+    var best = Double.MaxValue
+    var i = 0
+    while (i < pool.length) {
+      var s = 0.0; var j = 0
+      while (j < pool.length) { s += dist(pool(i), pool(j)); j += 1 }
+      if (s < best) { best = s; seed = i }
+      i += 1
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(seed)
+    while (chosen.length < math.min(n, pool.length)) {
+      val last = pool(chosen.last)
+      var far = -1; var farD = -1.0; var p = 0
+      while (p < pool.length) {
+        val d = dist(pool(p), last)
+        if (d < minDist(p)) minDist(p) = d
+        if (minDist(p) > farD && !chosen.contains(p)) { farD = minDist(p); far = p }
+        p += 1
+      }
+      if (far < 0) return chosen.map(pool).toIndexedSeq
+      chosen += far
+    }
+    chosen.map(pool).toIndexedSeq
+  }
 
   /** Group per-point radii by an arbitrary cell assignment and take the
     * cell-local quantile, capped at `cap` (the global theta) so grid

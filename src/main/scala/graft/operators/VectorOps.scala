@@ -221,7 +221,12 @@ object VectorOps {
           (sampleDists.length.toLong * rS.length)
       if (admitFrac > 0.25) return naivePlan(l)
 
-      val pivots = collectVecs(rt, rVec, numPivots)
+      // farthest-point pivots from the already-collected right sample:
+      // spread over the embedding space, so a dense near-dup cluster
+      // doesn't monopolize every pivot (same rationale as the spatial
+      // pivot join under density skew)
+      val pivots = SpatialOps.farthestPointPivots[Array[Float]](
+        rS.toIndexedSeq, l2, numPivots).toArray
       // per-pivot-cell theta from the same sample — the skew discipline
       // of the spatial joins: a dense cluster of embeddings (near-dup
       // corpus) must filter at its own radius, not the global quantile's
