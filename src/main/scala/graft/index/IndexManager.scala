@@ -390,6 +390,8 @@ final class IndexedTable(
     val q = Point(center)
     val ordered = (df: DataFrame) => df
       .withColumn("__graft_knn_d", pointDistance(keyCols.map(col), center.toSeq.map(lit)))
+      // null-key rows get a null distance, which asc ranks FIRST: exclude
+      .filter(col("__graft_knn_d").isNotNull)
       .orderBy((col("__graft_knn_d").asc +: tieBreak.map(col(_).asc)): _*)
       .limit(k)
       .drop("__graft_knn_d")

@@ -94,11 +94,14 @@ object SpatialOps {
       ds.toDF.filter(stIntersects(col(shapeCol), stShape(query)))
 
     /** k rows whose shapes are nearest the query shape (minDist order,
-      * ties broken by `tieBreak`). Plans as TakeOrderedAndProject. */
+      * ties broken by `tieBreak`). Plans as TakeOrderedAndProject.
+      * Null shapes are excluded — Spark ranks nulls FIRST under asc, so
+      * without the filter a null row would pose as the nearest. */
     def shapeKnn(shapeCol: String, query: graft.spatial.Shape, k: Int,
                  tieBreak: Seq[String] = Nil): DataFrame = {
       val out = ds.toDF
       out.withColumn(DIST, stDistance(col(shapeCol), stShape(query)))
+        .filter(col(DIST).isNotNull)
         .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
         .limit(k)
         .drop(DIST)
@@ -107,11 +110,15 @@ object SpatialOps {
     /** k nearest rows to a query point; ties broken by `tieBreak` columns
       * so results are deterministic (the reference leaves ties arbitrary).
       * Plans as TakeOrderedAndProject: per-partition top-k, then a k-row
-      * merge on the driver — no global sort, safe at any scale. */
+      * merge on the driver — no global sort, safe at any scale.
+      * Null-coordinate rows are excluded (their distance is null, and
+      * Spark ranks nulls FIRST under asc — without the filter they would
+      * pose as the nearest rows). */
     def knn(keys: Seq[String], center: Seq[Double], k: Int,
             tieBreak: Seq[String] = Nil): DataFrame = {
       val out = ds.toDF
       out.withColumn(DIST, pointDistance(keys.map(col), center.map(lit)))
+        .filter(col(DIST).isNotNull)
         .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
         .limit(k)
         .drop(DIST)
@@ -220,7 +227,11 @@ object SpatialOps {
       *
       * Contract for ALL kNN-join variants: `leftId` must uniquely
       * identify left rows — the per-left top-k is a window partitioned by
-      * it, so duplicate ids would merge distinct rows' neighbor lists. */
+      * it, so duplicate ids would merge distinct rows' neighbor lists.
+      * Null-coordinate rows (either side) are excluded via the null
+      * distance, matching the grid/pivot paths where a null cell simply
+      * never joins — without this, asc-nulls-first ranking would hand
+      * every left k null-distance "neighbors". */
     def knnJoinNaive(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
                      k: Int, leftId: String, tieBreak: Seq[String]): DataFrame = {
       val l = ds.toDF
@@ -228,6 +239,7 @@ object SpatialOps {
       require(l.columns.intersect(rt.columns).isEmpty, "need disjoint column names")
       val joined = l.crossJoin(rt)
         .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
+        .filter(col(DIST).isNotNull)
       val w = Window.partitionBy(col(leftId))
         .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
       joined.withColumn("__graft_rn", row_number().over(w))
@@ -391,10 +403,15 @@ object SpatialOps {
     * curve discontinuities can miss true neighbors; more shifts -> higher
     * recall); every returned distance/ordering is exact.
     */
-  def zknnJoinImpl(l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
+  def zknnJoinImpl(l0: DataFrame, r0: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
                    k: Int, leftId: String, rightId: String, tieBreak: Seq[String],
                    shifts: Int, bits: Int, numPartitions: Int, seed: Long): DataFrame = {
-    require(l.columns.intersect(r.columns).isEmpty, "need disjoint column names")
+    require(l0.columns.intersect(r0.columns).isEmpty, "need disjoint column names")
+    // null coordinates can't ride the curve (null z) and must not rank
+    // as null-distance "neighbors" in the exact re-rank — excluded up
+    // front, same semantics as every other kNN-join variant
+    val l = l0.filter(lKeys.map(col(_).isNotNull).reduce(_ && _))
+    val r = r0.filter(rKeys.map(col(_).isNotNull).reduce(_ && _))
     // ids ride through the curve pass as longs; a fractional id type would
     // silently collide distinct ids under the cast — reject it up front
     Seq(l.schema(leftId).dataType, r.schema(rightId).dataType).foreach { dt =>
@@ -777,10 +794,14 @@ object SpatialOps {
       if (cellThetas.contains(i)) when(col("__graft_cell") === i, lit(thetaOf(i))).otherwise(acc)
       else acc
     }
+    // null-keyed lefts get a null cell: dropped from the candidate pass
+    // here (a null cell would NPE the bound collection), landing in the
+    // starved set where the fallback applies its own null semantics
     val lAug = l
       .withColumn("__graft_pd", lDists)
       .withColumn("__graft_cell",
         array_position(col("__graft_pd"), array_min(col("__graft_pd"))).cast("int"))
+      .filter(col("__graft_cell").isNotNull)
       .withColumn("__graft_dl", element_at(col("__graft_pd"), col("__graft_cell")))
       .withColumn("__graft_ctheta", cthetaExpr)
       .drop("__graft_pd")

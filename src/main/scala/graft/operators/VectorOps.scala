@@ -196,6 +196,8 @@ object VectorOps {
           .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
         left.crossJoin(rt)
           .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
+          // null vectors -> null distance, which asc ranks FIRST: exclude
+          .filter(col("__graft_d").isNotNull)
           .withColumn("__graft_rn", row_number().over(w0))
           .filter(col("__graft_rn") <= k)
           .select((l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"): _*)

@@ -295,6 +295,35 @@ class SpatialOpsSpec extends SparkSpec {
       s"starved fraction ${starved.toDouble / lefts} exceeds 20% of $lefts lefts")
   }
 
+  test("null coordinates are excluded from kNN results, never ranked nearest") {
+    import spark.implicits._
+    // Spark sorts nulls FIRST under asc, so a null-coord row would rank
+    // as the "nearest" neighbor without explicit exclusion; and the grid
+    // path drops null cells silently — the two paths must agree: null
+    // keys simply don't participate (SQL predicate semantics).
+    val l = Seq((1L, Some(0.0), Some(0.0)), (2L, None: Option[Double], Some(1.0)))
+      .toDF("lid", "lx", "ly")
+    val r = Seq((10L, Some(1.0), Some(1.0)), (11L, None: Option[Double], Some(2.0)),
+      (12L, Some(3.0), Some(3.0)))
+      .toDF("rid", "rx", "ry")
+
+    val knn1 = l.knn(Seq("lx", "ly"), Seq(0.0, 0.0), 1, Seq("lid"))
+      .select("lid").collect().map(_.getLong(0)).toSeq
+    assert(knn1 === Seq(1L), s"null-coord row must not rank nearest, got $knn1")
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("lid", "rid").as[(Long, Long)].collect().toSet
+    val expected = Set((1L, 10L)) // only non-null rows participate
+    assert(pairs(l.knnJoinNaive(r, Seq("lx", "ly"), Seq("rx", "ry"), 1, "lid", Seq("rid")))
+      === expected, "naive")
+    assert(pairs(l.knnJoin(r, Seq("lx", "ly"), Seq("rx", "ry"), 1, "lid", Seq("rid")))
+      === expected, "grid")
+    assert(pairs(l.knnJoinPivot(r, Seq("lx", "ly"), Seq("rx", "ry"), 1, "lid", Seq("rid")))
+      === expected, "pivot")
+    assert(pairs(l.zknnJoin(r, Seq("lx", "ly"), Seq("rx", "ry"), 1,
+      leftId = "lid", rightId = "rid", tieBreak = Seq("rid"))) === expected, "zknn")
+  }
+
   test("spatialFilter: kNN set algebra equals hand-composed plans; pure trees fold") {
     import graft.operators.SpatialPredicate._
     val keys = Seq("cx", "cy")
