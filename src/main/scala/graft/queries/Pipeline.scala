@@ -61,6 +61,22 @@ object Pipeline {
         planes = 16, bandBits = 4)
       .orderBy(col("id1"), col("id2"))
 
+  /** The canonical curation chain end-to-end — exact dedup, then quality
+    * and length gates, emitting per-doc stats: the composition a training
+    * -data pipeline actually runs, fully oracled because every stage is
+    * deterministic and the quality/token kernels have exact SQL mirrors
+    * (hash-matched by tx_stats). One digest shuffle + codegen'd scalar
+    * gates — no extra shuffle beyond the dedup itself. */
+  def curationPipelineQ(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .exactDedup("text", "doc_id")
+      .filter(qualityScore(col("text")) >= 0.63 &&
+        tokenCount(col("text")).between(25, 5000))
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
   // ---- text analysis ----
 
   def textStatsQ(s: SparkSession, d: String): DataFrame =
@@ -157,7 +173,36 @@ object Pipeline {
 
   private val stopListSql = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
 
+  // SQL mirrors of the token/quality kernels — the exact expression
+  // shapes hash-proven by tx_stats, factored for reuse by the pipeline
+  // oracle (identical IEEE evaluation order is what makes >= filters on
+  // the double agree between engines)
+  private val ntokSql =
+    """len(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != ''))"""
+  private val stopRatioSql =
+    s"""CAST(len(list_filter(list_filter(regexp_split_to_array(trim(text), '\\s+'), q -> q != ''),
+       |      t -> t IN $stopListSql)) AS DOUBLE)
+       |   / $ntokSql""".stripMargin
+  private val distinctRatioSql =
+    s"""CAST(len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), q -> q != ''))) AS DOUBLE)
+       |   / $ntokSql""".stripMargin
+  private val qualitySql =
+    s"""0.3 * least(CAST(1.0 AS DOUBLE),
+       |        CAST($ntokSql AS DOUBLE)
+       |          / CAST(100.0 AS DOUBLE))
+       | + 0.4 * ($distinctRatioSql)
+       | + 0.3 * (CAST(1.0 AS DOUBLE)
+       |   - $stopRatioSql)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pp_curation_pipeline" ->
+      s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT doc_id, lang, $ntokSql AS n_tokens,
+         | $qualitySql AS quality
+         |FROM documents JOIN keep USING (doc_id)
+         |WHERE ($qualitySql) >= 0.63
+         |  AND $ntokSql BETWEEN 25 AND 5000
+         |ORDER BY doc_id""".stripMargin,
     "dd_exact_dedup" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
@@ -246,6 +291,7 @@ object Pipeline {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pp_curation_pipeline" -> (curationPipelineQ _),
     "dd_exact_dedup" -> (exactDedupQ _),
     "dd_minhash_pairs" -> (minHashPairsQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
