@@ -17,6 +17,8 @@ object GraftConf {
   val SampleCap          = "spark.graft.knn.sampleCap"
   val KnnQuantile        = "spark.graft.knn.radiusQuantile"
   val KnnSafety          = "spark.graft.knn.radiusSafety"
+  // dense-cell grid refinement cap for the grid kNN join (1 disables)
+  val KnnMaxRefine       = "spark.graft.knn.maxRefine"
   val ZknnShifts         = "spark.graft.zknn.shifts"
   val ZknnBits           = "spark.graft.zknn.bits"
   val IndexPartitions    = "spark.graft.index.partitions"
@@ -44,6 +46,7 @@ object GraftConf {
   def sampleCap(s: SparkSession): Int = get(s, SampleCap, "2000").toInt
   def knnQuantile(s: SparkSession): Double = get(s, KnnQuantile, "0.95").toDouble
   def knnSafety(s: SparkSession): Double = get(s, KnnSafety, "2.0").toDouble
+  def knnMaxRefine(s: SparkSession): Int = get(s, KnnMaxRefine, "64").toInt
   def zknnShifts(s: SparkSession): Int = get(s, ZknnShifts, "2").toInt
   def zknnBits(s: SparkSession): Int = get(s, ZknnBits, "18").toInt
   def indexPartitions(s: SparkSession): Int = get(s, IndexPartitions, "32").toInt

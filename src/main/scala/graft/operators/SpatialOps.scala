@@ -266,14 +266,14 @@ object SpatialOps {
     def knnJoin(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
                 k: Int, leftId: String, tieBreak: Seq[String],
                 sampleCap: Int = 2000, quantile: Double = 0.95,
-                safety: Double = 2.0): DataFrame = {
+                safety: Double = 2.0, maxRefine: Int = 64): DataFrame = {
       val l = ds.toDF
       val rt = right.toDF
 
       val (theta, cellThetas) =
         estimateKnnRadii(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
 
-      val cand = gridCandidates(l, rt, lKeys, rKeys, theta, cellThetas)
+      val cand = gridCandidates(l, rt, lKeys, rKeys, theta, cellThetas, maxRefine)
         .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
       val w = Window.partitionBy(col(leftId))
         .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
@@ -376,7 +376,8 @@ object SpatialOps {
         case "grid"  => knnJoin(right, lKeys, rKeys, k, leftId, tieBreak,
           sampleCap = graft.GraftConf.sampleCap(s),
           quantile = graft.GraftConf.knnQuantile(s),
-          safety = graft.GraftConf.knnSafety(s))
+          safety = graft.GraftConf.knnSafety(s),
+          maxRefine = graft.GraftConf.knnMaxRefine(s))
         case other => throw new IllegalArgumentException(
           s"${graft.GraftConf.KnnJoinAlgo}=$other; expected grid|zorder|pivot|naive")
       }
