@@ -295,6 +295,32 @@ class SpatialOpsSpec extends SparkSpec {
       s"starved fraction ${starved.toDouble / lefts} exceeds 20% of $lefts lefts")
   }
 
+  test("grid refinement stays exact with negative coordinates") {
+    import spark.implicits._
+    // dense cluster straddling the origin in negative space + sparse
+    // far-out points: refinement triggers (tight per-cell theta) and
+    // floor-based cell ids must stay consistent across the sign change
+    val l = ((1 to 300).map(i => (i.toLong, -10.0 + (i % 20) * 0.05, -5.0 + (i / 20) * 0.05)) ++
+      (1 to 30).map(i => (300L + i, -5000.0 + i * 300.0, 4000.0 - (i % 6) * 700.0)))
+      .toDF("lid", "lx", "ly")
+    val r = ((1 to 300).map(j => (j.toLong, -10.02 + (j % 20) * 0.05, -4.98 + (j / 20) * 0.05)) ++
+      (1 to 30).map(j => (300L + j, -4800.0 + j * 290.0, 3800.0 - (j % 5) * 680.0)))
+      .toDF("rid", "rx", "ry")
+    val want = l.knnJoinNaive(r, Seq("lx", "ly"), Seq("rx", "ry"), k = 3,
+      leftId = "lid", tieBreak = Seq("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val got = l.knnJoin(r, Seq("lx", "ly"), Seq("rx", "ry"), k = 3,
+      leftId = "lid", tieBreak = Seq("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+    // refinement must actually engage on this distribution
+    val (theta, cellThetas) = SpatialOps.estimateKnnRadii(
+      l, r, Seq("lx", "ly"), Seq("rx", "ry"), k = 3,
+      cap = 2000, quantile = 0.95, safety = 2.0)
+    assert(cellThetas.values.exists(_ < theta / 2),
+      "expected a dense cell tight enough to refine")
+  }
+
   test("null coordinates are excluded from kNN results, never ranked nearest") {
     import spark.implicits._
     // Spark sorts nulls FIRST under asc, so a null-coord row would rank
