@@ -584,19 +584,22 @@ object SpatialOps {
     * bound, and the triangle-inequality admission band admits nearly
     * everything (the reference samples pivot SETS and scores them,
     * VKJSpark.scala:50-67; maximin achieves the spread directly).
-    * Deterministic; O(pool * n) driver work on an already-capped pool. */
+    * Deterministic; O(pool * (n + 512)) driver work on an already-capped
+    * pool — the medoid seed scans a strided subset so a user-raised
+    * sample cap can't turn the seed quadratic. */
   private[operators] def farthestPointPivots[T](
       pool: IndexedSeq[T], dist: (T, T) => Double, n: Int): IndexedSeq[T] = {
     if (pool.isEmpty || n <= 0) return IndexedSeq.empty
     val minDist = Array.fill(pool.length)(Double.MaxValue)
-    // seed: the point minimizing total distance to the pool (a medoid —
-    // deterministic and central, so the first radius is small)
+    // seed: the point minimizing total distance to a strided subset (a
+    // medoid — deterministic and central, so the first radius is small)
+    val step = math.max(1, pool.length / 512)
     var seed = 0
     var best = Double.MaxValue
     var i = 0
     while (i < pool.length) {
       var s = 0.0; var j = 0
-      while (j < pool.length) { s += dist(pool(i), pool(j)); j += 1 }
+      while (j < pool.length) { s += dist(pool(i), pool(j)); j += step }
       if (s < best) { best = s; seed = i }
       i += 1
     }
