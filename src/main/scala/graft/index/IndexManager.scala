@@ -306,6 +306,57 @@ object IndexManager {
       throw new IllegalArgumentException(s"index meta missing '$key': $json")
     ).group(1)
 
+  /** Re-cache the named index (any kind, this session) at `level` —
+    * the reference's `setStorageLevel` (reference: IndexManager.scala:
+    * 179-187). Spark refuses to change a live cache's level, so the data
+    * is unpersisted and lazily re-persisted; the next action rebuilds
+    * the cache at the new level from the same clustered plan. */
+  def setStorageLevel(spark: SparkSession, name: String,
+                      level: org.apache.spark.storage.StorageLevel): Unit = {
+    val key = (skey(spark), name)
+    val datas = registry.get(key).map(_.data) ++
+      rangeRegistry.get(key).map(_.data) ++ hashRegistry.get(key).map(_.data)
+    require(datas.nonEmpty, s"no index named '$name' in this session")
+    datas.foreach { d => d.unpersist(); d.persist(level) }
+  }
+
+  /** Persist the named index of whatever kind is registered under it
+    * (z-order / range / hash dispatch on the registry). */
+  def persistIndexByName(spark: SparkSession, name: String, path: String): Unit = {
+    val key = (skey(spark), name)
+    registry.get(key).map(persistIndex(_, path))
+      .orElse(rangeRegistry.get(key).map(persistRangeIndex(_, path)))
+      .orElse(hashRegistry.get(key).map(persistHashIndex(_, path)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no index named '$name' in this session"))
+  }
+
+  /** Load an index persisted at `path`, dispatching on its metadata:
+    * z-order metadata carries `keyCols`, range/hash carry a `kind` tag. */
+  def loadIndexAuto(spark: SparkSession, name: String, path: String): Unit = {
+    val meta = spark.read.textFile(s"$path/meta").head()
+    if (meta.contains("\"keyCols\"")) loadIndex(spark, name, path)
+    else strField(meta, "kind") match {
+      case "range" => loadRangeIndex(spark, name, path)
+      case "hash"  => loadHashIndex(spark, name, path)
+      case other   => throw new IllegalArgumentException(
+        s"unknown persisted index kind '$other' at $path")
+    }
+  }
+
+  /** Drop every z-order index whose registered SOURCE plan is the same
+    * query as `df` — the reference's plan-matched `dropIndex`
+    * (reference: DataSet.scala:194-197; its IndexManager keys on
+    * `plan.sameResult` the same way). Returns the dropped names. */
+  def dropIndexesOfPlan(spark: SparkSession, df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.optimizedPlan
+    val mine = planSubs.iterator
+      .filter { case ((sid, _), (src, _)) => sid == skey(spark) && src.sameResult(plan) }
+      .map(_._1._2).toSeq
+    mine.foreach(dropIndex(spark, _))
+    mine
+  }
+
   // minimal hand-rolled JSON (no extra deps)
   private def ujsonish(idx: IndexedTable): String = {
     val cols = idx.keyCols.map(c => "\"" + c + "\"").mkString("[", ",", "]")
