@@ -62,4 +62,26 @@ object Graft {
     org.apache.spark.storage.StorageLevel.fromString(level)
     spark.conf.set(GraftConf.IndexStorageLevel, level)
   }
+
+  /** Index a registered table / temp view by NAME — the reference's
+    * session-level `indexTable` (reference: SimbaSession.scala:51-65). */
+  def indexTable(spark: SparkSession, tableName: String,
+                 indexType: graft.index.IndexType, indexName: String,
+                 column: Array[String]): Unit = {
+    import graft.index.IndexOps._
+    spark.table(tableName).index(indexType, indexName, column)
+  }
+
+  /** Persist the named index of whatever kind is registered under it —
+    * the reference's session-level `persistIndex`
+    * (reference: SimbaSession.scala:69-70). */
+  def persistIndex(spark: SparkSession, indexName: String, fileName: String): Unit =
+    IndexManager.persistIndexByName(spark, indexName, fileName)
+
+  /** Load a persisted index of any kind, dispatching on its metadata —
+    * the reference's session-level `loadIndex`
+    * (reference: SimbaSession.scala:72-73; `loadIndex` here returns the
+    * z-order table specifically, hence the distinct name). */
+  def loadAnyIndex(spark: SparkSession, indexName: String, fileName: String): Unit =
+    IndexManager.loadIndexAuto(spark, indexName, fileName)
 }

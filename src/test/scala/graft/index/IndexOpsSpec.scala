@@ -34,6 +34,21 @@ class IndexOpsSpec extends SparkSpec {
       .count(Set("v_rtree", "v_range", "v_hash", "v_treap")) === 0)
   }
 
+  test("session-level DDL by table name (Graft facade)") {
+    cust.createOrReplaceTempView("v_cust_pts")
+    graft.Graft.indexTable(spark, "v_cust_pts", RTreeType, "v_tbl_idx",
+      Array("cx", "cy"))
+    try {
+      assert(IndexManager.hasIndex(spark, "v_tbl_idx"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_tbl_idx").toString
+      graft.Graft.persistIndex(spark, "v_tbl_idx", dir)
+      IndexManager.dropIndex(spark, "v_tbl_idx")
+      graft.Graft.loadAnyIndex(spark, "v_tbl_idx2", dir)
+      assert(IndexManager.hasIndex(spark, "v_tbl_idx2"))
+    } finally Seq("v_tbl_idx", "v_tbl_idx2")
+      .foreach(IndexManager.dropIndex(spark, _))
+  }
+
   test("dropIndex() drops by plan match, not by name") {
     val other = Tables.supplierPts(spark, sf())
     cust.index(RTreeType, "v_mine", Array("cx", "cy"))
