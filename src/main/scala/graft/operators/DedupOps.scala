@@ -173,5 +173,54 @@ object DedupOps {
         .filter(col("jaccard") >= threshold)
         .select(col("id1"), col("id2"), col("jaccard"))
     }
+
+    /** Connected components over a near-dup pair list: every document of
+      * this dataset gets the MINIMUM id reachable through `pairs` as its
+      * `component` (unpaired docs are their own singleton component) —
+      * the clustering step a dedup pipeline runs after pair generation,
+      * so "keep one doc per component" is a single `min_by` away.
+      *
+      * Shape: iterative min-label propagation WITH pointer doubling —
+      * per round every node takes the min of its own label, its
+      * neighbors' labels (one equi-join), and its label's label (a
+      * self-join shortcut that halves label-chain depth, giving
+      * O(log n) rounds even on a pathological chain instead of
+      * O(diameter)), then one map-side-combinable min agg; lineage is
+      * cut by a local checkpoint each round (the standard
+      * iterative-DataFrame discipline — lineage would otherwise double
+      * per round). The loop stops as soon as a round changes nothing;
+      * `maxIters` bounds the worst case and hitting it throws rather
+      * than silently returning a half-converged clustering. */
+    def nearDupComponents(idCol: String, pairs: DataFrame,
+                          id1: String = "id1", id2: String = "id2",
+                          maxIters: Int = 25): DataFrame = {
+      val edges = pairs.select(col(id1).as("__src"), col(id2).as("__dst"))
+        .unionByName(pairs.select(col(id2).as("__src"), col(id1).as("__dst")))
+      var labels = ds.toDF.select(col(idCol).as("__id")).distinct()
+        .withColumn("__lbl", col("__id"))
+        .localCheckpoint()
+      var iter = 0
+      var converged = false
+      while (!converged) {
+        require(iter < maxIters,
+          s"nearDupComponents did not converge in $maxIters rounds — " +
+            "raise maxIters")
+        val viaNeighbors = edges
+          .join(labels.select(col("__id").as("__src"), col("__lbl")), Seq("__src"))
+          .select(col("__dst").as("__id"), col("__lbl"))
+        val viaPointer = labels.select(col("__id"), col("__lbl").as("__mid"))
+          .join(labels.select(col("__id").as("__mid"), col("__lbl")), Seq("__mid"))
+          .select(col("__id"), col("__lbl"))
+        val next = labels.unionByName(viaNeighbors).unionByName(viaPointer)
+          .groupBy(col("__id")).agg(min(col("__lbl")).as("__lbl"))
+          .localCheckpoint()
+        val changed = next.join(labels.withColumnRenamed("__lbl", "__old"), Seq("__id"))
+          .filter(col("__lbl") < col("__old")).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("__id").as(idCol), col("__lbl").as("component"))
+    }
   }
 }

@@ -61,6 +61,20 @@ object Pipeline {
         planes = 16, bandBits = 4)
       .orderBy(col("id1"), col("id2"))
 
+  /** Near-dup clustering: connected components over the deterministic
+    * n-gram pair list (min reachable id per doc; unpaired docs are
+    * singleton components) — the step after pair generation in a real
+    * dedup pipeline, so "keep one doc per cluster" is one `min_by`
+    * away. Deterministic edges -> recursive-CTE oracle. */
+  def componentsQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = docs.ngramJaccardPairs("doc_id", "text",
+      blockBy = Seq(col("lang"),
+        length(conv(col("n_chars").cast("string"), 10, 2))),
+      n = 3, threshold = 0.8)
+    docs.nearDupComponents("doc_id", pairs).orderBy(col("doc_id"))
+  }
+
   /** The canonical curation chain end-to-end — exact dedup, then quality
     * and length gates, emitting per-doc stats: the composition a training
     * -data pipeline actually runs, fully oracled because every stage is
@@ -194,6 +208,31 @@ object Pipeline {
        | + 0.3 * (CAST(1.0 AS DOUBLE)
        |   - $stopRatioSql)""".stripMargin
 
+  // n-gram pair SQL, shared by the pair query and the components oracle
+  private val ngramShingleCteSql =
+    """sh AS (
+      |  SELECT doc_id, lang, length(printf('%b', n_chars)) AS lbucket,
+      |    list_distinct(
+      |      CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+      |           WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+      |           ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+      |      END) AS s
+      |  FROM (SELECT doc_id, lang, n_chars,
+      |          list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '') AS ts
+      |        FROM documents)
+      |)""".stripMargin
+  private val ngramPairsSelectSql =
+    """SELECT id1, id2, jaccard FROM (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN CAST(1.0 AS DOUBLE)
+      |         WHEN len(a.s) = 0 OR len(b.s) = 0 THEN CAST(0.0 AS DOUBLE)
+      |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+      |    END AS jaccard
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id) t
+      |WHERE jaccard >= 0.8""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "pp_curation_pipeline" ->
       s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
@@ -267,27 +306,24 @@ object Pipeline {
     // xxhash64(lang) == equality on lang. The division is an exact
     // integer ratio in both engines -> bit-identical doubles.
     "dd_ngram_jaccard_pairs" ->
-      """WITH sh AS (
-        |  SELECT doc_id, lang, length(printf('%b', n_chars)) AS lbucket,
-        |    list_distinct(
-        |      CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
-        |           WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-        |           ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
-        |      END) AS s
-        |  FROM (SELECT doc_id, lang, n_chars,
-        |          list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '') AS ts
-        |        FROM documents)
-        |)
-        |SELECT id1, id2, jaccard FROM (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN CAST(1.0 AS DOUBLE)
-        |         WHEN len(a.s) = 0 OR len(b.s) = 0 THEN CAST(0.0 AS DOUBLE)
-        |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-        |    END AS jaccard
-        |  FROM sh a JOIN sh b
-        |    ON a.lang = b.lang AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id) t
-        |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin
+      s"""WITH $ngramShingleCteSql
+         |$ngramPairsSelectSql
+         |ORDER BY id1, id2""".stripMargin,
+    // connected components over the SAME deterministic pair list: every
+    // doc labeled with the min id reachable through near-dup edges — the
+    // recursive CTE terminates because (id, lbl) pairs are finite and
+    // UNION deduplicates
+    "dd_components" ->
+      s"""WITH RECURSIVE $ngramShingleCteSql,
+         |pairs AS ($ngramPairsSelectSql),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION ALL SELECT id2 AS src, id1 AS dst FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, MIN(lbl) AS component FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -296,6 +332,7 @@ object Pipeline {
     "dd_minhash_pairs" -> (minHashPairsQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
+    "dd_components" -> (componentsQ _),
     "dd_emb_near_dup" -> (embNearDupQ _),
     "tx_stats" -> (textStatsQ _),
     "tx_token_counts" -> (tokenCountsQ _),

@@ -137,6 +137,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(uncapped.count { case (a, b) => a <= 60 && b <= 60 } === 60 * 59 / 2)
   }
 
+  test("nearDupComponents: chains merge to min id, singletons stay themselves") {
+    val nodes = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3-4 (diameter 3), pair 6-8, singletons 5, 7, 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 6L)).toDF("id1", "id2")
+    val got = nodes.nearDupComponents("doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 6L, 9L -> 9L))
+    // "keep one per cluster" composes as a plain filter on the labels
+    val keep = nodes.nearDupComponents("doc_id", pairs)
+      .filter(col("doc_id") === col("component")).count()
+    assert(keep === 5) // components {1..4}, {6,8}, {5}, {7}, {9}
+
+    // the iteration cap throws instead of returning half-converged labels
+    val longChain = (1L to 40L).map(i => (i, "x")).toDF("doc_id", "text")
+    val chainPairs = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalArgumentException] {
+      longChain.nearDupComponents("doc_id", chainPairs, maxIters = 3).collect()
+    }
+    // and a sufficient cap converges the same chain
+    val full = longChain.nearDupComponents("doc_id", chainPairs)
+      .agg(countDistinct(col("component"))).head().getLong(0)
+    assert(full === 1L)
+  }
+
   test("dedup rate: minhash collapses the planted near-dup clusters") {
     val pairs = docs.minHashPairs("doc_id", "text", threshold = 0.8)
     val survivors = docs.join(pairs.select(col("id2").as("doc_id")),
