@@ -102,10 +102,16 @@ object TextKernels {
     out
   }
 
-  /** Exact Jaccard similarity of the two documents' n-shingle SETS. */
-  def shingleJaccard(a: String, b: String, n: Int): Double = {
-    val sa = distinctSorted(shingleHashes(a, n))
-    val sb = distinctSorted(shingleHashes(b, n))
+  /** Distinct, sorted n-shingle hash set of one document — the per-doc
+    * half of [[shingleJaccard]], exposed so blocked joins can compute it
+    * ONCE per document instead of re-tokenizing per candidate pair. */
+  def shingleSet(s: String, n: Int): Array[Long] =
+    distinctSorted(shingleHashes(s, n))
+
+  /** The per-pair half of [[shingleJaccard]]: Jaccard of two
+    * distinct-sorted hash arrays by merge intersection — bit-identical
+    * to `shingleJaccard(a, b, n)` when fed each side's [[shingleSet]]. */
+  def sortedJaccard(sa: Array[Long], sb: Array[Long]): Double = {
     if (sa.isEmpty && sb.isEmpty) return 1.0
     if (sa.isEmpty || sb.isEmpty) return 0.0
     var i = 0; var j = 0; var inter = 0
@@ -116,6 +122,10 @@ object TextKernels {
     }
     inter.toDouble / (sa.length + sb.length - inter).toDouble
   }
+
+  /** Exact Jaccard similarity of the two documents' n-shingle SETS. */
+  def shingleJaccard(a: String, b: String, n: Int): Double =
+    sortedJaccard(shingleSet(a, n), shingleSet(b, n))
 
   private def distinctSorted(xs: Array[Long]): Array[Long] = {
     if (xs.length <= 1) return xs
@@ -209,6 +219,24 @@ object TextKernels {
   // UTF8String entry points used by generated code.
   def shingleJaccardU(a: UTF8String, b: UTF8String, n: Int): Double =
     shingleJaccard(a.toString, b.toString, n)
+  def shingleSetU(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(shingleSet(s.toString, n))
+  /** Merge-intersection Jaccard directly over catalyst arrays — no
+    * copy out of the unsafe format. */
+  def sortedJaccardAD(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val (la, lb) = (a.numElements(), b.numElements())
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < la && j < lb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (la + lb - inter).toDouble
+  }
   def simHash64U(s: UTF8String): Long = simHash64(s.toString)
   def fingerprint64U(s: UTF8String): Long = fingerprint64(s.toString)
   def langIdU(s: UTF8String): UTF8String = UTF8String.fromString(langId(s.toString))

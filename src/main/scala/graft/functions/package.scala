@@ -151,6 +151,14 @@ package object functions {
   def shingleJaccard(a: Column, b: Column, n: Int = 3): Column =
     toCol(ShingleJaccard(toExpr(a), toExpr(b), n))
 
+  /** Per-doc distinct sorted shingle-hash set (pair with [[sortedJaccard]]). */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    toCol(ShingleSet(toExpr(text), n))
+
+  /** Merge-intersection Jaccard of two [[shingleSet]] arrays. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    toCol(SortedJaccard(toExpr(a), toExpr(b)))
+
   def fingerprint64(text: Column): Column = toCol(Fingerprint64(toExpr(text)))
 
   def langId(text: Column): Column = toCol(LangId(toExpr(text)))

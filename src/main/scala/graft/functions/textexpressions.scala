@@ -61,6 +61,48 @@ case class ShingleJaccard(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/** `shingle_set(text) -> array<long>` — the document's distinct, SORTED
+  * n-shingle hash set: the per-doc half of shingle Jaccard, so a blocked
+  * join can compute it once per document instead of re-tokenizing per
+  * candidate pair (see [[SortedJaccard]] for the per-pair half). */
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_set"
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.shingleSetU(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.shingleSetU($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `sorted_jaccard(a, b) -> double` over two distinct-sorted long
+  * arrays: merge intersection straight off the unsafe array format —
+  * bit-identical to `shingle_jaccard` on the original texts when fed
+  * each side's [[ShingleSet]]. */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedJaccardAD(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.sortedJaccardAD($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `fingerprint64(text) -> long` — whitespace/case-normalized rolling hash. */
 case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

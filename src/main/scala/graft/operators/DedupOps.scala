@@ -160,16 +160,30 @@ object DedupOps {
     /** Blocked exact n-gram Jaccard pairs: candidate pairs share the
       * blocking columns (e.g. language + length bucket); each candidate is
       * scored with exact shingle Jaccard. Deterministic and exhaustive
-      * within blocks — the non-probabilistic cousin of minHashPairs. */
+      * within blocks — the non-probabilistic cousin of minHashPairs.
+      *
+      * Each document's distinct SORTED shingle-hash set is computed ONCE
+      * before the join (one-pass `ShingleSet` kernel — the per-doc half
+      * of `shingleJaccard`); a LOSSLESS size-ratio prune (J(A,B) <=
+      * min/max of the set sizes, so J >= t forces an integer condition
+      * min >= t*max, covering the 0/0 -> J=1 edge since 0 >= t*0) kills
+      * the bulk of the within-block pair space; survivors score by the
+      * merge-intersection `SortedJaccard` kernel, bit-identical to
+      * `shingleJaccard` on the raw texts. Re-tokenizing both texts per
+      * candidate pair instead measured 26s vs ~2s at sf0.1. */
     def ngramJaccardPairs(idCol: String, textCol: String, blockBy: Seq[Column],
                           n: Int = 3, threshold: Double = 0.5): DataFrame = {
       val withBlock = ds.toDF.withColumn("__block", xxhash64(blockBy: _*))
-        .select(col(idCol), col(textCol), col("__block"))
-      val l = withBlock.select(col(idCol).as("id1"), col(textCol).as("__t1"), col("__block"))
-      val r = withBlock.select(col(idCol).as("id2"), col(textCol).as("__t2"), col("__block"))
+        .select(col(idCol), shingleSet(col(textCol), n).as("__sh"), col("__block"))
+      val l = withBlock.select(col(idCol).as("id1"), col("__sh").as("__s1"), col("__block"))
+      val r = withBlock.select(col(idCol).as("id2"), col("__sh").as("__s2"), col("__block"))
+      val (sa, sb) = (size(col("__s1")), size(col("__s2")))
+      val sizeOk = least(sa, sb).cast("double") >=
+        lit(threshold) * greatest(sa, sb).cast("double")
       l.join(r, Seq("__block"))
         .filter(col("id1") < col("id2"))
-        .withColumn("jaccard", shingleJaccard(col("__t1"), col("__t2"), n))
+        .filter(sizeOk)
+        .withColumn("jaccard", sortedJaccard(col("__s1"), col("__s2")))
         .filter(col("jaccard") >= threshold)
         .select(col("id1"), col("id2"), col("jaccard"))
     }
@@ -194,8 +208,12 @@ object DedupOps {
     def nearDupComponents(idCol: String, pairs: DataFrame,
                           id1: String = "id1", id2: String = "id2",
                           maxIters: Int = 25): DataFrame = {
+      // materialize the edge list once: `pairs` is typically an
+      // expensive near-dup join, and without this every round's jobs
+      // would recompute it from scratch (measured 45s -> 3s at sf0.1)
       val edges = pairs.select(col(id1).as("__src"), col(id2).as("__dst"))
         .unionByName(pairs.select(col(id2).as("__src"), col(id1).as("__dst")))
+        .localCheckpoint()
       var labels = ds.toDF.select(col(idCol).as("__id")).distinct()
         .withColumn("__lbl", col("__id"))
         .localCheckpoint()
