@@ -84,10 +84,15 @@ object DedupOps {
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"))
         .distinct()
-      val t1 = ds.toDF.select(col(idCol).as("id1"), col(textCol).as("__t1"))
-      val t2 = ds.toDF.select(col(idCol).as("id2"), col(textCol).as("__t2"))
+      // exact verify over precomputed sorted shingle sets (the per-doc /
+      // per-pair kernel split of shingleJaccard — identical scores, no
+      // per-candidate re-tokenization)
+      val t1 = ds.toDF.select(col(idCol).as("id1"),
+        shingleSet(col(textCol), shingle).as("__sh1"))
+      val t2 = ds.toDF.select(col(idCol).as("id2"),
+        shingleSet(col(textCol), shingle).as("__sh2"))
       pairs.join(t1, Seq("id1")).join(t2, Seq("id2"))
-        .withColumn("jaccard", shingleJaccard(col("__t1"), col("__t2"), shingle))
+        .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
         .filter(col("jaccard") >= threshold)
         .select(col("id1"), col("id2"), col("jaccard"))
     }
