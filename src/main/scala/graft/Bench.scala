@@ -93,7 +93,8 @@ object Bench {
     }),
     // pipeline ops
     "b7_minhash_dedup" -> ((s: SparkSession, d: String) =>
-      documents(s, d).minHashPairs("doc_id", "text", 3, 64, 16, 0.8)),
+      documents(s, d).minHashPairs("doc_id", "text", 3, 64, 16, 0.8,
+        maxBucket = 1000)),
     "b7c_near_dup_components" -> ((s: SparkSession, d: String) =>
       graft.queries.Pipeline.queries("dd_components")(s, d)),
     "b7p_curation_pipeline" -> ((s: SparkSession, d: String) =>

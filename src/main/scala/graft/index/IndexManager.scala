@@ -74,10 +74,12 @@ object IndexManager {
     * their executor memory) for the life of the JVM. Runs at every
     * build/load — registries are small (one entry per index). */
   private def evictStopped(): Unit = {
-    def stopped(df: DataFrame): Boolean = df.sparkSession match {
-      case c: org.apache.spark.sql.classic.SparkSession => c.sparkContext.isStopped
-      case _ => false
-    }
+    // sparkContext is public API on SparkSession (no classic downcast
+    // needed); a session kind whose sparkContext is unreachable (e.g.
+    // remote/connect) can't be classified — treat as live rather than
+    // evicting a working session's cache
+    def stopped(df: DataFrame): Boolean =
+      scala.util.Try(df.sparkSession.sparkContext.isStopped).getOrElse(false)
     registry.filterInPlace((_, v) => !stopped(v.data))
     rangeRegistry.filterInPlace((_, v) => !stopped(v.data))
     hashRegistry.filterInPlace((_, v) => !stopped(v.data))

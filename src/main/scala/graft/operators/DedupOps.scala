@@ -56,15 +56,16 @@ object DedupOps {
       * boilerplate bucket of B identical-signature docs would emit
       * B²/2 pairs from a single bucket — the classic self-join
       * detonation on templated corpora. Buckets over the cap are
-      * EXCLUDED from candidate generation (a deliberate recall cut on
+      * EXCLUDED from candidate generation — a deliberate recall cut on
       * boilerplate clusters, which exactDedup and the other bands still
-      * partially cover; set 0 to disable). The cut is auditable, not
-      * silent: [[minHashOversizedBuckets]] lists exactly the dropped
-      * buckets and their sizes. */
+      * partially cover — so capping is OPT-IN (default 0 = disabled):
+      * full recall unless the caller chooses the cut. When capping, the
+      * cut is auditable, not silent: [[minHashOversizedBuckets]] lists
+      * exactly the dropped buckets and their sizes. */
     def minHashPairs(idCol: String, textCol: String, shingle: Int = 3,
                      numHashes: Int = 64, bands: Int = 16,
                      threshold: Double = 0.5, seed: Long = 42L,
-                     maxBucket: Int = 1000): DataFrame = {
+                     maxBucket: Int = 0): DataFrame = {
       require(numHashes % bands == 0, "bands must divide numHashes")
       val banded = bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
       // cap: drop over-populated buckets before the self-join — one
@@ -104,11 +105,14 @@ object DedupOps {
     def minHashOversizedBuckets(idCol: String, textCol: String,
                                 shingle: Int = 3, numHashes: Int = 64,
                                 bands: Int = 16, seed: Long = 42L,
-                                maxBucket: Int = 1000): DataFrame =
+                                maxBucket: Int = 1000): DataFrame = {
+      require(maxBucket > 0,
+        "the oversized-bucket audit only makes sense with a positive cap")
       bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
         .groupBy(col("__band").as("band"), col("__bucket").as("bucket"))
         .agg(count(lit(1)).as("size"))
         .filter(col("size") > maxBucket)
+    }
 
     /** Shared candidate layout: one (id, band, bucket) row per doc per
       * band. Texts never ride this — at corpus scale they'd shuffle once
@@ -219,9 +223,9 @@ object DedupOps {
       val edges = pairs.select(col(id1).as("__src"), col(id2).as("__dst"))
         .unionByName(pairs.select(col(id2).as("__src"), col(id1).as("__dst")))
         .localCheckpoint()
-      var labels = ds.toDF.select(col(idCol).as("__id")).distinct()
-        .withColumn("__lbl", col("__id"))
+      val ownIds = ds.toDF.select(col(idCol).as("__id")).distinct()
         .localCheckpoint()
+      var labels = ownIds.withColumn("__lbl", col("__id"))
       var iter = 0
       var converged = false
       while (!converged) {
@@ -243,7 +247,12 @@ object DedupOps {
         converged = changed == 0
         iter += 1
       }
-      labels.select(col("__id").as(idCol), col("__lbl").as("component"))
+      // restrict to THIS dataset's ids: a pair list computed on a
+      // superset dataset may reference foreign ids — they participate in
+      // propagation above (a foreign node can bridge two of our docs)
+      // but must not appear as output rows
+      labels.join(ownIds, Seq("__id"), "left_semi")
+        .select(col("__id").as(idCol), col("__lbl").as("component"))
     }
   }
 }

@@ -26,10 +26,21 @@ object VectorOps {
                   k: Int, nprobe: Int = 4): DataFrame = {
     // metadata rides Spark's text reader so the layout works on any
     // hadoop filesystem (hdfs://, s3a://), not just local paths — same
-    // discipline as IndexManager.persistIndex/loadIndex
-    val raw = spark.read.textFile(s"$path/centroids").head()
+    // discipline as IndexManager.persistIndex/loadIndex. Indexes written
+    // before the text-directory layout carry a single centroids.json
+    // file with the same content — read it when the directory is absent.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val current = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val legacy = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = current.getFileSystem(hconf)
+    val metaPath =
+      if (fs.exists(current)) current
+      else if (fs.exists(legacy)) legacy
+      else throw new IllegalArgumentException(
+        s"readIvfTopK: no centroids at $current (nor legacy $legacy)")
+    val raw = spark.read.textFile(metaPath.toString).head()
     require(raw.startsWith("[[") && raw.endsWith("]]"),
-      s"readIvfTopK: no centroids at $path/centroids")
+      s"readIvfTopK: malformed centroids metadata at $metaPath")
     val centroids = raw.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .map(_.split(",").map(_.trim.toFloat))
     val qA = new org.apache.spark.sql.catalyst.util.GenericArrayData(query)

@@ -104,11 +104,12 @@ object StreamingOps {
     * split at batch boundaries. A session is emitted when a later event
     * proves the gap (Append mode), or — with `idleTimeout = true` — when
     * an idle user's processing-time timeout fires after `gapMs` with no
-    * new data (pending timers make the engine run no-data micro-batches;
-    * pair with a real trigger interval, and pass `idleTimeout = false`
-    * in synchronous processAllAvailable harnesses, which livelock on
-    * those batches). The custom-state analogue of the reference's
-    * missing spatio-temporal layer.
+    * new data. Idle timeout is OPT-IN (default false): its pending timers
+    * make the engine run no-data micro-batches, which synchronous
+    * `processAllAvailable` harnesses livelock on — continuous-mode
+    * callers with a real trigger interval opt in explicitly. The
+    * custom-state analogue of the reference's missing spatio-temporal
+    * layer.
     *
     * Ordering contract: events sort by (event time, event_id) WITHIN a
     * batch; ACROSS batches a user's event times must not regress (there
@@ -121,7 +122,7 @@ object StreamingOps {
     * is exactly reproducible and hash-comparable with a SQL
     * gaps-and-islands oracle using the same decimal cast. */
   def sessionize(events: Dataset[Event], gapMs: Long,
-                 idleTimeout: Boolean = true): Dataset[UserSession] = {
+                 idleTimeout: Boolean = false): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val conf = if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
                else GroupStateTimeout.NoTimeout()

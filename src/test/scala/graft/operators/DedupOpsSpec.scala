@@ -162,6 +162,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(full === 1L)
   }
 
+  test("nearDupComponents: superset pair lists label only this dataset's ids") {
+    val nodes = Seq((2L, "a"), (4L, "b"), (6L, "c")).toDF("doc_id", "text")
+    // pairs computed on a superset: 99 is foreign, and 1 is a foreign
+    // BRIDGE connecting our docs 2 and 4 (2-1, 1-4)
+    val pairs = Seq((1L, 2L), (1L, 4L), (99L, 6L)).toDF("id1", "id2")
+    val got = nodes.nearDupComponents("doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // only our three ids appear — no rows for 1 or 99
+    assert(got.keySet === Set(2L, 4L, 6L))
+    // the foreign bridge still merges 2 and 4 (min reachable id = 1)
+    assert(got(2L) === got(4L))
+  }
+
   test("dedup rate: minhash collapses the planted near-dup clusters") {
     val pairs = docs.minHashPairs("doc_id", "text", threshold = 0.8)
     val survivors = docs.join(pairs.select(col("id2").as("doc_id")),

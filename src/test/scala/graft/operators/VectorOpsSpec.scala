@@ -154,5 +154,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("__graft_cell"), plan)
   }
 
+  test("IVF read falls back to the legacy centroids.json metadata file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_legacy")
+    val path = "file://" + dir.toString
+    emb.writeIvf(path, "embedding", "vec_id", nlist = 8)
+    // rewrite the layout as the pre-text-directory format: one
+    // centroids.json file holding the same [[...],[...]] payload
+    val meta = spark.read.textFile(s"$path/centroids").head()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir.toString, "centroids"))
+    java.nio.file.Files.write(
+      dir.resolve("centroids.json"), meta.getBytes("UTF-8"))
+    val q = all.find(_._1 == 0L).get._2
+    val rows = VectorOps.readIvfTopK(spark, path, "embedding", "vec_id", q, 5, nprobe = 4)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty && rows.head._1 === 0L)
+    rows.foreach { case (id, c) => assert(c === cosScala(byIdOf(id), q)) }
+  }
+
   private def byIdOf(id: Long): Array[Float] = all.find(_._1 == id).get._2
 }
