@@ -198,8 +198,11 @@ object DedupOps {
     }
 
     /** Connected components over a near-dup pair list: every document of
-      * this dataset gets the MINIMUM id reachable through `pairs` as its
-      * `component` (unpaired docs are their own singleton component) —
+      * this dataset gets the minimum id OF THIS DATASET reachable through
+      * `pairs` as its `component` (unpaired docs are their own singleton
+      * component; ids that appear only in `pairs` — a pair list computed
+      * on a superset corpus — relay connectivity but are never emitted
+      * as labels or rows) —
       * the clustering step a dedup pipeline runs after pair generation,
       * so "keep one doc per component" is a single `min_by` away.
       *
@@ -217,6 +220,28 @@ object DedupOps {
     def nearDupComponents(idCol: String, pairs: DataFrame,
                           id1: String = "id1", id2: String = "id2",
                           maxIters: Int = 25): DataFrame = {
+      val labels = nearDupLabelTable(idCol, pairs, id1, id2, maxIters)
+      val ownIds = ds.toDF.select(col(idCol).as("__id")).distinct()
+      // restrict to THIS dataset's ids: a pair list computed on a
+      // superset dataset may reference foreign ids — they participate in
+      // propagation above (a foreign node can bridge two of our docs)
+      // but must not appear as output rows
+      labels.join(ownIds, Seq("__id"), "left_semi")
+        .select(col("__id").as(idCol), col("__lbl").as("component"))
+    }
+
+    /** The full converged label table, BEFORE the restriction to this
+      * dataset's own ids — exposed package-private so specs can assert
+      * the state bound: label rows only ever enter via `viaNeighbors`
+      * (an edge whose source is already labeled), so the table grows
+      * exactly BFS-from-ownIds and its size is bounded by
+      * |ownIds| + |foreign ids reachable from ownIds through `pairs`|.
+      * A foreign component of the pair list that never touches this
+      * dataset occupies NO state, no matter how large — an adversarial
+      * superset pair list cannot balloon the iteration. */
+    private[graft] def nearDupLabelTable(idCol: String, pairs: DataFrame,
+                                         id1: String = "id1", id2: String = "id2",
+                                         maxIters: Int = 25): DataFrame = {
       // materialize the edge list once: `pairs` is typically an
       // expensive near-dup join, and without this every round's jobs
       // would recompute it from scratch (measured 45s -> 3s at sf0.1)
@@ -241,18 +266,19 @@ object DedupOps {
         val next = labels.unionByName(viaNeighbors).unionByName(viaPointer)
           .groupBy(col("__id")).agg(min(col("__lbl")).as("__lbl"))
           .localCheckpoint()
-        val changed = next.join(labels.withColumnRenamed("__lbl", "__old"), Seq("__id"))
-          .filter(col("__lbl") < col("__old")).count()
+        // left-outer, not inner: a foreign bridge id (present in `pairs`
+        // but not in this dataset) first appears in `next` as a NEW row —
+        // an inner join against the old labels would drop it, report
+        // "nothing changed", and converge before the bridge propagates
+        // (e.g. pairs (1,2),(1,4) over a dataset {2,4,6} must merge 2,4)
+        val changed = next
+          .join(labels.withColumnRenamed("__lbl", "__old"), Seq("__id"), "left_outer")
+          .filter(col("__old").isNull || col("__lbl") < col("__old")).count()
         labels = next
         converged = changed == 0
         iter += 1
       }
-      // restrict to THIS dataset's ids: a pair list computed on a
-      // superset dataset may reference foreign ids — they participate in
-      // propagation above (a foreign node can bridge two of our docs)
-      // but must not appear as output rows
-      labels.join(ownIds, Seq("__id"), "left_semi")
-        .select(col("__id").as(idCol), col("__lbl").as("component"))
+      labels
     }
   }
 }

@@ -175,6 +175,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(2L) === got(4L))
   }
 
+  test("nearDupComponents: disjoint foreign components occupy no label state") {
+    val nodes = Seq((2L, "a"), (4L, "b"), (6L, "c")).toDF("doc_id", "text")
+    // a foreign bridge (1 connects 2 and 4), a foreign leaf off 6, and a
+    // large DISJOINT foreign component (ids 100..139) that never touches
+    // this dataset — an adversarial superset pair list
+    val foreignChain = (100L until 139L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (1L, 4L), (99L, 6L)) ++ foreignChain)
+      .toDF("id1", "id2")
+    val labelTable = nodes.nearDupLabelTable("doc_id", pairs)
+    // label state = ownIds {2,4,6} + reachable foreign ids {1,99} ONLY:
+    // the 40-node disjoint chain never enters the iteration
+    val ids = labelTable.select("__id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 4L, 6L, 99L),
+      s"label table must stay O(|ownIds| + touching edges), got $ids")
+    // and the output is still correct: the bridge merges 2 and 4 under
+    // the minimum OWN id reachable (labels initialize from this
+    // dataset's ids only, so a foreign bridge relays labels but never
+    // becomes one); no foreign rows emitted
+    val got = nodes.nearDupComponents("doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(2L -> 2L, 4L -> 2L, 6L -> 6L))
+  }
+
   test("dedup rate: minhash collapses the planted near-dup clusters") {
     val pairs = docs.minHashPairs("doc_id", "text", threshold = 0.8)
     val survivors = docs.join(pairs.select(col("id2").as("doc_id")),
