@@ -124,6 +124,34 @@ object Bench {
       when(dense, col("cy") * 0.01).otherwise(col("cy") * 10.0).as(s"${p}y"))
   }
 
+  /** Pure-CPU environment calibration: `cpus` tasks each run a fixed
+    * 2.5e8-iteration splitmix64 loop — no I/O, no shuffle, no allocation.
+    * Reported as `b0_calibration` so every bench artifact carries its own
+    * environment-noise denominator: on a quiet machine this is wall-clock
+    * constant (~1s reference in BASELINE.md), and host CPU steal inflates
+    * it by the same factor it inflates the long parallel stages — a run
+    * whose calibration is N x the reference must be read as contaminated
+    * rather than as a code regression (the round-4 lesson). */
+  private def calibration(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    val mix = spark.sparkContext.parallelize(0 until cpus, cpus).map { seed =>
+      var x = 0x9E3779B97F4A7C15L * (seed + 1)
+      var acc = 0L
+      var i = 0
+      while (i < 250000000) {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        acc ^= z ^ (z >>> 31)
+        i += 1
+      }
+      acc
+    }.reduce(_ ^ _)
+    if (mix == 42L) System.err.println("[bench] calibration fixpoint") // defeat DCE
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Indexed-path timings: build once (reported), then query. */
   private def indexedPhase(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     val t0 = System.nanoTime()
@@ -161,6 +189,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    try results("b0_calibration") = calibration(spark, cpus.toInt)
+    catch { case e: Throwable => System.err.println(s"[bench] calibration failed: $e") }
     headline.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
@@ -171,7 +201,9 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] indexed phase failed: $e") }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.sum
+    // calibration measures the environment, not the engine — report it
+    // per-query but keep the headline total comparable across rounds
+    val total = results.collect { case (k, v) if k != "b0_calibration" => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
