@@ -16,6 +16,15 @@ import graft.functions._
   */
 object VectorOps {
 
+  /** Centroid-sampling order: Knuth multiplicative hash of the id —
+    * deterministic, well-scrambled, and (deliberately) plain integer
+    * arithmetic so an external SQL engine can replicate the exact
+    * centroid choice: `((id + seed) * 2654435761) % 2^32`. That makes the
+    * whole IVF pipeline (centroids -> argmax cell -> probes -> top-k)
+    * independently recomputable by the DuckDB oracle. */
+  private[operators] def centroidOrder(idCol: String, seed: Long): org.apache.spark.sql.Column =
+    pmod((col(idCol).cast("long") + lit(seed)) * lit(2654435761L), lit(4294967296L))
+
   /** Query a disk IVF layout written by
     * [[DatasetVectorOps.writeIvf]]: probe the nprobe cells whose
     * centroids are nearest the query — `__graft_cell` is a partition
@@ -106,7 +115,7 @@ object VectorOps {
       // nlist rows to the driver — bounded like RangePartitioner's sketch
       val centroids = df
         .select(col(idCol), col(vecCol))
-        .orderBy(xxhash64(col(idCol), lit(seed)))
+        .orderBy(VectorOps.centroidOrder(idCol, seed), col(idCol))
         .limit(nlist)
         .collect()
         .map(_.getSeq[Float](1).toArray)
@@ -138,7 +147,7 @@ object VectorOps {
                  nlist: Int = 16, seed: Long = 42L): Unit = {
       val df = ds.toDF
       val centroids = df.select(col(idCol), col(vecCol))
-        .orderBy(xxhash64(col(idCol), lit(seed)))
+        .orderBy(VectorOps.centroidOrder(idCol, seed), col(idCol))
         .limit(nlist).collect().map(_.getSeq[Float](1).toArray)
       require(centroids.nonEmpty,
         "writeIvf: dataset is empty — no centroids to quantize against")

@@ -80,15 +80,39 @@ object Advanced {
       .orderBy(col("media_id"))
   }
 
-  /** Approximate zKNN join (rows-only: approximate by design). */
+  /** Approximate zKNN join, emitted as per-(left, rank) contract rows
+    * (VERDICT r5 item 2 — sp_zknn_check's contract folded into the
+    * operator's own query): the neighbor SETS are curve-dependent, but
+    * per left row the operator must return exactly k rows (ranks 1..k by
+    * exact distance — rank completeness makes under/over-production a
+    * hash failure), with k DISTINCT rights, whose max exact distance
+    * dominates the exact kth-NN distance (from the naive path that also
+    * oracles sp_knn_join). DuckDB predicts the whole table from
+    * `customer` alone. */
   def zknnJoinQ(s: SparkSession, d: String): DataFrame = {
     import graft.operators.SpatialOps._
-    customerPts(s, d)
+    import graft.functions.pointDistance
+    import org.apache.spark.sql.expressions.Window
+    val dcol = pointDistance(Seq("cx", "cy").map(col), Seq("sx", "sy").map(col))
+    val perLeft = Window.partitionBy(col("c_custkey"))
+    val z = customerPts(s, d)
       .zknnJoin(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
         k = 3, leftId = "c_custkey", rightId = "s_suppkey",
         tieBreak = Seq("s_suppkey"), shifts = 2)
-      .select(col("c_custkey"), col("s_suppkey"))
-      .orderBy(col("c_custkey"), col("s_suppkey"))
+      .select(col("c_custkey"), col("s_suppkey"), dcol.as("__zd"))
+      .withColumn("rank", row_number().over(
+        perLeft.orderBy(col("__zd").asc, col("s_suppkey").asc)))
+      .withColumn("__ndis", size(collect_set(col("s_suppkey")).over(perLeft)))
+      .withColumn("__zmax", max(col("__zd")).over(perLeft))
+    val exact = customerPts(s, d)
+      .knnJoinNaive(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
+        k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey"))
+      .groupBy(col("c_custkey")).agg(max(dcol).as("__emax"))
+    z.join(exact, Seq("c_custkey"))
+      .select(col("c_custkey"), col("rank"),
+        (col("__ndis") === 3).as("rights_distinct"),
+        (col("__zmax") >= col("__emax")).as("covers_exact_kth"))
+      .orderBy(col("c_custkey"), col("rank"))
   }
 
   /** Hard zKNN contract check: per left row the approximate join must
@@ -199,7 +223,13 @@ object Advanced {
         |    greatest(CAST(ceil(nb / 64.0) AS INT) - 1, 0), 2)) AS u(frame_idx)
         |ORDER BY media_id, frame_idx""".stripMargin,
     // the zKNN contract is fully determined even though the neighbor SETS
-    // are approximate: k rows per left, distinct, max distance >= exact kth
+    // are approximate: per left, ranks 1..k complete, k distinct rights,
+    // max exact distance >= exact kth — predicted from `customer` alone
+    "sp_zknn_join" ->
+      """SELECT c_custkey, CAST(u.r AS INT) AS rank,
+        |  TRUE AS rights_distinct, TRUE AS covers_exact_kth
+        |FROM customer, UNNEST([1, 2, 3]) AS u(r)
+        |ORDER BY c_custkey, rank""".stripMargin,
     "sp_zknn_check" ->
       """SELECT c_custkey, CAST(3 AS INT) AS n_rows, CAST(3 AS INT) AS n_distinct,
         |  TRUE AS covers_exact_kth

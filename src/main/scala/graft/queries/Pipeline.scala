@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -15,9 +15,14 @@ import graft.operators.VectorOps._
   * Oracle policy: deterministic/SQL-expressible ops carry a DuckDB oracle
   * (exact dedup, token stats, exact cosine ops — the cosine SQL mirrors
   * the kernel's sequential-double accumulation so doubles match
-  * bit-for-bit). Hash-based ops (MinHash/SimHash/LSH, fingerprint,
-  * lang-id) are engine-specific by construction -> rows-only check, with
-  * their exactness covered by ScalaTest oracles instead.
+  * bit-for-bit). The IVF ANN path was made FULLY SQL-recomputable by
+  * choosing a plain-integer-arithmetic centroid sampler (VectorOps
+  * .centroidOrder), so its oracle replays centroid choice, argmax cell
+  * assignment, probe selection, and the final top-k in DuckDB. Ops whose
+  * candidate generation is engine-hash-based (hyperplane LSH, MinHash/
+  * SimHash, fingerprint, lang-id) cannot be replayed row-for-row; where
+  * their CONTRACT is deterministic they carry a contract oracle instead
+  * (sp_zknn_check pattern), else rows-only + ScalaTest.
   */
 object Pipeline {
 
@@ -55,11 +60,32 @@ object Pipeline {
         n = 3, threshold = 0.8)
       .orderBy(col("id1"), col("id2"))
 
-  def embNearDupQ(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
+  /** Embedding near-dup, emitted as an aggregate contract verdict (the
+    * sp_zknn_check pattern): the LSH-banded candidate SET is
+    * engine-specific (hyperplane sketches), so the pair list cannot be
+    * replayed in SQL — but its precision contract can: every returned
+    * pair is ordered (id1 < id2), scores at/above the threshold, and
+    * carries a cosine bit-equal to an independent recompute via Spark's
+    * higher-order array functions (different codepath than the codegen'd
+    * kernel). Ordered + verified cos >= t together imply every pair is a
+    * row of the exact similarity join (emb_sim_join, hash-anchored), so
+    * precision is fully checked; recall is the declared LSH tradeoff,
+    * covered by the recall spec. */
+  def embNearDupQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = embeddings(s, d)
       .embeddingNearDupPairs("embedding", "vec_id", threshold = 0.3,
         planes = 16, bandBits = 4)
-      .orderBy(col("id1"), col("id2"))
+      .join(embeddings(s, d).select(col("vec_id").as("id1"),
+        col("embedding").as("__v1")), Seq("id1"))
+      .join(embeddings(s, d).select(col("vec_id").as("id2"),
+        col("embedding").as("__v2")), Seq("id2"))
+    pairs.agg(
+      (sum(when(col("id1") < col("id2"), 0).otherwise(1)) === 0).as("all_ordered"),
+      (sum(when(col("cos") >= 0.3, 0).otherwise(1)) === 0).as("all_above_threshold"),
+      (sum(when(col("cos") === cosHofCol(col("__v1"), col("__v2")), 0).otherwise(1)) === 0)
+        .as("all_cos_exact"),
+      (count(lit(1)) > 0).as("nonempty"))
+  }
 
   /** Near-dup clustering: connected components over the deterministic
     * n-gram pair list (min reachable id per doc; unpaired docs are
@@ -129,13 +155,52 @@ object Pipeline {
       .select(col("vec_id"), col("cos"))
       .orderBy(col("vec_id"))
 
-  def annLshTopKQ(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
-      .cosineTopKLsh("embedding", "vec_id", queryVec(s, d), 10,
-        planes = 16, bandBits = 4)
-      .select(col("vec_id"), col("cos"))
-      .orderBy(col("vec_id"))
+  /** Independent cosine recompute via Spark's built-in higher-order
+    * array functions — a different codepath from the codegen'd
+    * `cosineSimilarity` kernel, with the same sequential double
+    * accumulation and the same `dot / (sqrt(na) * sqrt(nb))` final
+    * expression, so agreement is bit-exact and meaningful. */
+  private def cosHofCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val nb = aggregate(b, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    dot / (sqrt(na) * sqrt(nb))
+  }
 
+  /** LSH ANN, emitted as contract rows (the sp_zknn_check pattern): the
+    * candidate set depends on engine-private hyperplane sketches, but the
+    * result CONTRACT is deterministic and DuckDB-checkable — exactly k
+    * rows ranked 1..k, every row inside the exact top-2k (the
+    * subset-of-brute-force-with-margin bound; exact top-2k computed by
+    * the declarative TakeOrdered path over the independent HOF cosine),
+    * and the emitted cosine bit-equal to the HOF recompute. */
+  def annLshTopKQ(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val q = queryVec(s, d)
+    val ann = embeddings(s, d)
+      .cosineTopKLsh("embedding", "vec_id", q, k, planes = 16, bandBits = 4)
+    val top2k = embeddings(s, d)
+      .withColumn("__xcos", cosHofCol(col("embedding"), lit(q)))
+      .orderBy(col("__xcos").desc, col("vec_id").asc)
+      .limit(2 * k)
+      .select(col("vec_id").as("__tid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    ann.join(top2k, col("vec_id") === col("__tid"), "left")
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"),
+        col("__tid").isNotNull.as("in_top_2k"),
+        (col("cos") === cosHofCol(col("embedding"), lit(q))).as("cos_exact"))
+      .orderBy(col("rank"))
+  }
+
+  /** IVF ANN — fully DuckDB-hash-matched: the centroid sampler is plain
+    * integer arithmetic (VectorOps.centroidOrder), so the oracle replays
+    * the whole pipeline (centroids -> argmax-cosine cells -> probe
+    * choice -> exact top-k in probed cells) row-for-row. */
   def annIvfTopKQ(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .cosineTopKIvf("embedding", "vec_id", queryVec(s, d), 10,
@@ -160,7 +225,11 @@ object Pipeline {
     * probing; scores exact, pruning spec-proven). */
   def annIvfDiskQ(s: SparkSession, d: String): DataFrame = {
     import graft.operators.VectorOps
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+    // fixed per-sfDir path (mode=overwrite): repeated runs reuse one
+    // directory instead of orphaning a fresh tempdir per invocation; the
+    // result is lazy, so deleting after-the-fact is not an option here
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_q_" + Integer.toHexString(d.hashCode)).toString
     embeddings(s, d).writeIvf(path, "embedding", "vec_id", nlist = 16)
     VectorOps.readIvfTopK(s, path, "embedding", "vec_id", queryVec(s, d), 10, nprobe = 4)
       .select(col("vec_id"), col("cos"))
@@ -207,6 +276,45 @@ object Pipeline {
        | + 0.4 * ($distinctRatioSql)
        | + 0.3 * (CAST(1.0 AS DOUBLE)
        |   - $stopRatioSql)""".stripMargin
+
+  /** Full SQL replay of the IVF ANN pipeline (cosineTopKIvf and the disk
+    * layout both follow it): centroids are the `nlist` vectors minimizing
+    * the Knuth multiplicative hash ((id + seed) * 2654435761) mod 2^32
+    * (VectorOps.centroidOrder — deliberately SQL-expressible); each
+    * vector joins its argmax-cosine centroid (first index on ties, like
+    * Spark's array_position-of-array_max); the query probes the `nprobe`
+    * cells with the most query-similar centroids (stable sort on ties,
+    * like sortBy); exact cosine top-k inside probed cells. All cosine
+    * comparisons ride the bit-exact cosSql mirror. */
+  private def annIvfOracleSql(k: Int, nlist: Int, nprobe: Int, seed: Long): String =
+    s"""WITH cent AS (
+       |  SELECT cell, cv FROM (
+       |    SELECT embedding AS cv, row_number() OVER (
+       |        ORDER BY ((vec_id + $seed) * 2654435761) % 4294967296, vec_id) AS cell
+       |    FROM embeddings) c
+       |  WHERE cell <= $nlist
+       |),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |assign AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.embedding AS emb, cent.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "cent.cv")} DESC, cent.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent) a
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT cell FROM (
+       |    SELECT cent.cell, row_number() OVER (
+       |        ORDER BY ${cosSql("cent.cv", "q.qv")} DESC, cent.cell ASC) AS pr
+       |    FROM cent, q) p
+       |  WHERE pr <= $nprobe
+       |)
+       |SELECT vec_id, cos FROM (
+       |  SELECT a.vec_id, ${cosSql("a.emb", "q.qv")} AS cos
+       |  FROM assign a JOIN probes USING (cell), q
+       |  ORDER BY cos DESC, a.vec_id ASC LIMIT $k) t
+       |ORDER BY vec_id""".stripMargin
 
   // n-gram pair SQL, shared by the pair query and the components oracle
   private val ngramShingleCteSql =
@@ -271,6 +379,21 @@ object Pipeline {
         | len(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '')) AS n_ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_ivf_topk" -> annIvfOracleSql(k = 10, nlist = 16, nprobe = 4, seed = 42L),
+    // the disk layout preserves IVF semantics exactly (same centroids via
+    // metadata round-trip, same probes, exact re-rank in probed cells)
+    "ann_ivf_disk_topk" -> annIvfOracleSql(k = 10, nlist = 16, nprobe = 4, seed = 42L),
+    // contract oracles (sp_zknn_check pattern): the expected table is the
+    // contract's prediction, generated from the base data — if the LSH
+    // result violates rank completeness, the top-2k margin, or bit-exact
+    // cosines, the Spark side emits different rows and the hash fails
+    "ann_lsh_topk" ->
+      """SELECT CAST(r AS INT) AS rank, TRUE AS in_top_2k, TRUE AS cos_exact
+        |FROM (SELECT row_number() OVER (ORDER BY vec_id) AS r FROM embeddings) t
+        |WHERE r <= 10 ORDER BY rank""".stripMargin,
+    "dd_emb_near_dup" ->
+      """SELECT TRUE AS all_ordered, TRUE AS all_above_threshold,
+        |  TRUE AS all_cos_exact, TRUE AS nonempty""".stripMargin,
     "ann_brute_topk" ->
       s"""SELECT vec_id, cos FROM (
          |  WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
