@@ -126,12 +126,14 @@ object Bench {
 
   /** Pure-CPU environment calibration: `cpus` tasks each run a fixed
     * 2.5e8-iteration splitmix64 loop — no I/O, no shuffle, no allocation.
-    * Reported as `b0_calibration` so every bench artifact carries its own
-    * environment-noise denominator: on a quiet machine this is wall-clock
-    * constant (~1s reference in BASELINE.md), and host CPU steal inflates
-    * it by the same factor it inflates the long parallel stages — a run
-    * whose calibration is N x the reference must be read as contaminated
-    * rather than as a code regression (the round-4 lesson). */
+    * On a quiet machine this is wall-clock constant (~0.66 s reference in
+    * BASELINE.md), and host CPU steal inflates it by the same factor it
+    * inflates the long parallel stages. Run BEFORE and AFTER the query
+    * sweep (`calibration_pre`/`calibration_post` top-level fields —
+    * round 5 proved a single start-of-run point sample integrates none
+    * of the contention that arrives later), and complemented by the
+    * per-query `cpu_per_wall` ratios from the stage-metrics listener,
+    * which give each entry its own contention denominator. */
   private def calibration(spark: SparkSession, cpus: Int): Double = {
     val t0 = System.nanoTime()
     val mix = spark.sparkContext.parallelize(0 until cpus, cpus).map { seed =>
@@ -152,24 +154,56 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Accumulates executor CPU nanoseconds across completed stages.
+    * Snapshot deltas around each timed query give `cpu_per_wall` =
+    * stage CPU seconds / wall seconds — a per-query contention
+    * denominator (a CPU-bound query on an idle 32-thread host sits far
+    * above 1; host CPU steal leaves its CPU time unchanged while wall
+    * inflates, so the ratio collapses exactly when the entry is
+    * contaminated). Listener delivery is asynchronous, so attribution
+    * is approximate at the boundary of very short queries — it is a
+    * diagnostic denominator, not a timing source. */
+  private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
+  }
+
+  private final class Recorder(listener: CpuListener) {
+    val wall = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpuRatio = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timed(name: String)(f: => Unit): Unit = {
+      val c0 = listener.cpuNs.get()
+      val t0 = System.nanoTime()
+      try f
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      val w = (System.nanoTime() - t0) / 1e9
+      wall(name) = w
+      // small settle window so async stage-completed events land
+      Thread.sleep(50)
+      cpuRatio(name) = ((listener.cpuNs.get() - c0) / 1e9) / math.max(w, 1e-9)
+    }
+  }
+
   /** Indexed-path timings: build once (reported), then query. */
-  private def indexedPhase(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
-    val t0 = System.nanoTime()
+  private def indexedPhase(spark: SparkSession, sfDir: String, rec: Recorder): Unit = {
     val idx = IndexManager.indexTable(spark, customerPts(spark, sfDir),
       s"bench:$sfDir", Seq("cx", "cy"), numPartitions = 32)
-    idx.boxRange(Array(0.0, 0.0), Array(1.0, 1.0)).count() // force build + cache
-    val build = (System.nanoTime() - t0) / 1e9
-    def time(f: => Long): Double = {
-      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    rec.timed("b10_index_build") {
+      idx.boxRange(Array(0.0, 0.0), Array(1.0, 1.0)).count() // force build + cache
     }
-    Seq(
-      "b10_index_build" -> build,
-      "b1i_box_range_indexed" -> time(
-        idx.boxRange(Array(2000.0, 100.0), Array(4000.0, 300.0)).count()),
-      "b2i_circle_range_indexed" -> time(
-        idx.circleRange(Array(5000.0, 500.0), 500.0).count()),
-      "b3i_knn_indexed" -> time(
-        idx.knn(Array(5000.0, 500.0), 10, Seq("c_custkey")).count()))
+    rec.timed("b1i_box_range_indexed") {
+      idx.boxRange(Array(2000.0, 100.0), Array(4000.0, 300.0)).count()
+    }
+    rec.timed("b2i_circle_range_indexed") {
+      idx.circleRange(Array(5000.0, 500.0), 500.0).count()
+    }
+    rec.timed("b3i_knn_indexed") {
+      idx.knn(Array(5000.0, 500.0), 10, Seq("c_custkey")).count()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -183,28 +217,38 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new CpuListener
+    spark.sparkContext.addSparkListener(listener)
 
     // JVM/codegen warmup on a small query (not reported)
     try customerPts(spark, sfDir).boxRange(Seq("cx", "cy"), Seq(0.0, 0.0), Seq(1.0, 1.0)).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    try results("b0_calibration") = calibration(spark, cpus.toInt)
-    catch { case e: Throwable => System.err.println(s"[bench] calibration failed: $e") }
-    headline.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      results(name) = (System.nanoTime() - t0) / 1e9
-    }
-    try indexedPhase(spark, sfDir).foreach { case (k, v) => results(k) = v }
-    catch { case e: Throwable => System.err.println(s"[bench] indexed phase failed: $e") }
+    // environment noise is sampled BEFORE AND AFTER the sweep: a clean
+    // pre + dirty post (or vice versa) flags mid-run contention that a
+    // single point sample cannot see (the round-5 lesson)
+    def cal(): Double =
+      try calibration(spark, cpus.toInt)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration failed: $e"); -1.0 }
+    val calPre = cal()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // calibration measures the environment, not the engine — report it
-    // per-query but keep the headline total comparable across rounds
-    val total = results.collect { case (k, v) if k != "b0_calibration" => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rec = new Recorder(listener)
+    headline.foreach { case (name, fn) =>
+      rec.timed(name) { fn(spark, sfDir).count() }
+    }
+    try indexedPhase(spark, sfDir, rec)
+    catch { case e: Throwable => System.err.println(s"[bench] indexed phase failed: $e") }
+    val calPost = cal()
+
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // calibration measures the environment, not the engine: top-level
+    // fields, never part of `queries`, so sum(queries) == total
+    val total = rec.wall.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(rec.wall)},"cpu_per_wall":${jmap(rec.cpuRatio)},""" +
+      s""""calibration_pre":$calPre,"calibration_post":$calPost,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
