@@ -220,8 +220,12 @@ object DedupOps {
     def nearDupComponents(idCol: String, pairs: DataFrame,
                           id1: String = "id1", id2: String = "id2",
                           maxIters: Int = 25): DataFrame = {
-      val labels = nearDupLabelTable(idCol, pairs, id1, id2, maxIters)
+      // one distinct-id scan, checkpointed once, reused as both the
+      // propagation seed and the final restriction (previously the
+      // restriction recomputed the distinct scan per call)
       val ownIds = ds.toDF.select(col(idCol).as("__id")).distinct()
+        .localCheckpoint()
+      val labels = DedupOps.labelTableFrom(ownIds, pairs, id1, id2, maxIters)
       // restrict to THIS dataset's ids: a pair list computed on a
       // superset dataset may reference foreign ids — they participate in
       // propagation above (a foreign node can bridge two of our docs)
@@ -241,14 +245,23 @@ object DedupOps {
       * superset pair list cannot balloon the iteration. */
     private[graft] def nearDupLabelTable(idCol: String, pairs: DataFrame,
                                          id1: String = "id1", id2: String = "id2",
-                                         maxIters: Int = 25): DataFrame = {
+                                         maxIters: Int = 25): DataFrame =
+      DedupOps.labelTableFrom(
+        ds.toDF.select(col(idCol).as("__id")).distinct().localCheckpoint(),
+        pairs, id1, id2, maxIters)
+  }
+
+  /** Label-propagation core of `nearDupComponents`, over an
+    * already-checkpointed distinct-id seed table `ownIds` (column
+    * `__id`). */
+  private def labelTableFrom(ownIds: DataFrame, pairs: DataFrame,
+                             id1: String, id2: String,
+                             maxIters: Int): DataFrame = {
       // materialize the edge list once: `pairs` is typically an
       // expensive near-dup join, and without this every round's jobs
       // would recompute it from scratch (measured 45s -> 3s at sf0.1)
       val edges = pairs.select(col(id1).as("__src"), col(id2).as("__dst"))
         .unionByName(pairs.select(col(id2).as("__src"), col(id1).as("__dst")))
-        .localCheckpoint()
-      val ownIds = ds.toDF.select(col(idCol).as("__id")).distinct()
         .localCheckpoint()
       var labels = ownIds.withColumn("__lbl", col("__id"))
       var iter = 0
@@ -279,6 +292,5 @@ object DedupOps {
         iter += 1
       }
       labels
-    }
   }
 }

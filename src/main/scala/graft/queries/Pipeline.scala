@@ -39,6 +39,33 @@ object Pipeline {
         bands = 16, threshold = 0.8)
       .orderBy(col("id1"), col("id2"))
 
+  /** Measures the MinHash bucket cap's recall cut end-to-end (driver
+    * queries otherwise run uncapped): a deterministic boilerplate-heavy
+    * derivation of `documents` — every 5th doc's text replaced by ONE
+    * fixed template, the identical-text cluster a templated corpus
+    * produces — run uncapped vs capped, alongside the oversized-bucket
+    * audit. The cluster's banded buckets all exceed the cap (identical
+    * signatures), so capping cuts exactly the intra-cluster pairs; the
+    * summary row makes that cut a measured number, not a guess.
+    * Engine-hash-based -> rows-only; exactness specced in ScalaTest. */
+  def minHashCappedQ(s: SparkSession, d: String): DataFrame = {
+    val template = "subscribe to our newsletter terms of service apply " +
+      "all rights reserved unsubscribe at any time"
+    val boiler = documents(s, d).withColumn("text",
+      when(col("doc_id") % 5 === 0, lit(template)).otherwise(col("text")))
+    val uncapped = boiler.minHashPairs("doc_id", "text", shingle = 3,
+      numHashes = 64, bands = 16, threshold = 0.8)
+    val capped = boiler.minHashPairs("doc_id", "text", shingle = 3,
+      numHashes = 64, bands = 16, threshold = 0.8, maxBucket = 20)
+    val audit = boiler.minHashOversizedBuckets("doc_id", "text", shingle = 3,
+      numHashes = 64, bands = 16, maxBucket = 20)
+    uncapped.agg(count(lit(1)).as("n_uncapped"))
+      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+      .crossJoin(audit.agg(count(lit(1)).as("n_oversized_buckets"),
+        coalesce(max(col("size")), lit(0L)).as("max_bucket_size")))
+      .withColumn("pairs_cut", col("n_uncapped") - col("n_capped"))
+  }
+
   def simHashPairsQ(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .simHashPairs("doc_id", "text", blocks = 4, maxHamming = 3)
@@ -453,6 +480,7 @@ object Pipeline {
     "pp_curation_pipeline" -> (curationPipelineQ _),
     "dd_exact_dedup" -> (exactDedupQ _),
     "dd_minhash_pairs" -> (minHashPairsQ _),
+    "dd_minhash_pairs_capped" -> (minHashCappedQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),

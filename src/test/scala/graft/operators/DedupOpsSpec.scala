@@ -137,6 +137,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(uncapped.count { case (a, b) => a <= 60 && b <= 60 } === 60 * 59 / 2)
   }
 
+  test("dd_minhash_pairs_capped summary measures a real recall cut") {
+    // the driver-facing end-to-end exercise of the cap: the boilerplate
+    // derivation plants an identical-text cluster, so the capped run
+    // must lose exactly those intra-cluster pairs and the audit must
+    // list the dropped buckets
+    val row = graft.queries.Pipeline.minHashCappedQ(spark, sf()).head()
+    val nUncapped = row.getAs[Long]("n_uncapped")
+    val nCapped = row.getAs[Long]("n_capped")
+    val nOversized = row.getAs[Long]("n_oversized_buckets")
+    val maxBucket = row.getAs[Long]("max_bucket_size")
+    val cut = row.getAs[Long]("pairs_cut")
+    assert(nCapped < nUncapped, s"cap must cut pairs: $nCapped vs $nUncapped")
+    assert(cut === nUncapped - nCapped)
+    assert(nOversized > 0, "the cut must be auditable, not silent")
+    assert(maxBucket > 20, "audited buckets must exceed the cap")
+    // the identical-text cluster (every 5th doc) is the floor of the cut
+    val nBoiler = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(cut >= nBoiler * (nBoiler - 1) / 2,
+      s"cut $cut must cover the C($nBoiler,2) cluster pairs")
+  }
+
   test("nearDupComponents: chains merge to min id, singletons stay themselves") {
     val nodes = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chain 1-2-3-4 (diameter 3), pair 6-8, singletons 5, 7, 9
