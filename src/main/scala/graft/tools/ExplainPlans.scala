@@ -54,6 +54,24 @@ object ExplainPlans {
       customerPts(spark, d).knnJoinPivot(supplierPts(spark, d),
         Seq("cx", "cy"), Seq("sx", "sy"), 3, "c_custkey", Seq("s_suppkey"))
     }
+    show("exact_dedup (expect partial HashAggregate before the digest shuffle)") {
+      import graft.operators.DedupOps._
+      documents(spark, d).exactDedup("text", "doc_id")
+    }
+    show("ivf_disk_topk (expect PartitionFilters on __graft_cell — non-probed cell dirs never read)") {
+      import graft.operators.VectorOps
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_ivf_plans").toString
+      embeddings(spark, d).writeIvf(path, "embedding", "vec_id", nlist = 16)
+      val q = embeddings(spark, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      VectorOps.readIvfTopK(spark, path, "embedding", "vec_id", q, 10, nprobe = 4)
+    }
+    show("minhash_banded_join (expect equi-join on band/bucket — texts never ride the join)") {
+      import graft.operators.DedupOps._
+      documents(spark, d).minHashPairs("doc_id", "text", shingle = 3,
+        numHashes = 64, bands = 16, threshold = 0.8)
+    }
     spark.stop()
   }
 }
