@@ -69,15 +69,27 @@ object Advanced {
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
+  /** Media-feature ANN, emitted as contract rows (the sp_zknn_check
+    * pattern): the stub feature vectors are engine-private (wraparound
+    * 64-bit hashing, not SQL-replicable), but the top-k CONTRACT over
+    * them is deterministic — exactly k rows ranked 1..k, rank 1 is the
+    * query medium itself (self-similarity dominates a unit-norm
+    * cosine), and every emitted cosine bit-equals an independent
+    * recompute via Spark's higher-order array functions. */
   def mediaFeaturesTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.syntheticMediaTable(s, d).as[Multimodal.MediaRow]
     val feats = Multimodal.extractFeatures(media, dim = 32).toDF()
     val q = feats.filter(col("media_id") === 0)
       .select(col("features")).head().getSeq[Float](0).toArray
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("media_id").asc)
     feats.cosineTopK("features", "media_id", q, 10)
-      .select(col("media_id"), col("kind"), col("cos"))
-      .orderBy(col("media_id"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"),
+        (col("rank") =!= 1 || col("media_id") === 0).as("top1_is_self"),
+        (col("cos") === Pipeline.cosHofCol(col("features"), lit(q))).as("cos_exact"))
+      .orderBy(col("rank"))
   }
 
   /** Approximate zKNN join, emitted as per-(left, rank) contract rows
@@ -225,6 +237,12 @@ object Advanced {
     // the zKNN contract is fully determined even though the neighbor SETS
     // are approximate: per left, ranks 1..k complete, k distinct rights,
     // max exact distance >= exact kth — predicted from `customer` alone
+    // media-feature ANN contract: predicted table = ranks 1..10 with
+    // both verdict columns TRUE (see mediaFeaturesTopK scaladoc)
+    "mm_features_topk" ->
+      """SELECT CAST(r AS INT) AS rank, TRUE AS top1_is_self, TRUE AS cos_exact
+        |FROM (SELECT row_number() OVER (ORDER BY doc_id) AS r FROM documents) t
+        |WHERE r <= 10 ORDER BY rank""".stripMargin,
     "sp_zknn_join" ->
       """SELECT c_custkey, CAST(u.r AS INT) AS rank,
         |  TRUE AS rights_distinct, TRUE AS covers_exact_kth

@@ -187,7 +187,7 @@ object Pipeline {
     * `cosineSimilarity` kernel, with the same sequential double
     * accumulation and the same `dot / (sqrt(na) * sqrt(nb))` final
     * expression, so agreement is bit-exact and meaningful. */
-  private def cosHofCol(a: Column, b: Column): Column = {
+  private[queries] def cosHofCol(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b,
       (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
     val na = aggregate(a, lit(0.0),

@@ -13,26 +13,15 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val qs = graft.queries.Pipeline.queries
     import org.apache.spark.sql.functions._
     import graft.Tables._
-    import graft.functions.cosineSimilarity
-    // exact global rank of every vector vs query vec 0
-    val q = embeddings(spark, d).filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
-    val ranked = embeddings(spark, d)
-      .withColumn("xcos", cosineSimilarity(col("embedding"), lit(q)))
-      .withColumn("xrank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("xcos").desc, col("vec_id").asc)))
-      .select(col("vec_id"), col("xrank"), col("xcos"))
-    for (name <- Seq("ann_lsh_topk", "ann_ivf_topk", "ann_ivf_disk_topk")) {
-      val res = qs(name)(spark, d).join(ranked, Seq("vec_id"))
-        .select(col("vec_id"), col("xrank"), col("cos"), col("xcos"))
-        .collect().sortBy(_.getInt(1))
-      val maxRank = res.map(_.getInt(1)).max
-      val cosExact = res.forall(r => r.getDouble(2) == r.getDouble(3))
-      println(s"$name: maxExactRank=$maxRank cosAllExact=$cosExact ranks=${res.map(_.getInt(1)).mkString(",")}")
-    }
+    val docs = documents(spark, d)
+    val mism = docs.filter(graft.functions.langId(col("text")) =!= col("lang"))
+    println(s"langId mismatches: ${mism.count()} / ${docs.count()}")
+    mism.select(col("doc_id"), col("lang"),
+      graft.functions.langId(col("text")).as("guess")).show(10, false)
+    // distinct langs present
+    docs.groupBy(col("lang")).count().show()
     spark.stop()
   }
 }
