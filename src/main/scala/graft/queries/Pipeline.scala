@@ -33,11 +33,50 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
-  def minHashPairsQ(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** Independent n-gram Jaccard recompute via Spark built-ins over
+    * STRING shingles — a different codepath from the hashed-shingle
+    * kernels (`shingleSet`/`sortedJaccard`), mirroring the DuckDB
+    * dd_ngram_jaccard_pairs oracle's string-set semantics (equal modulo
+    * negligible 64-bit shingle-hash collisions — the same argument that
+    * oracle's green hash already rests on). */
+  private def jaccardBuiltinCol(t1: Column, t2: Column, n: Int): Column = {
+    def sh(t: Column): Column = {
+      val toks = filter(split(trim(t), "\\s+"), x => x =!= lit(""))
+      array_distinct(
+        when(size(toks) === 0, array().cast("array<string>"))
+          .when(size(toks) < n, array(concat_ws(" ", toks)))
+          .otherwise(transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    }
+    val (a, b) = (sh(t1), sh(t2))
+    val inter = size(array_intersect(a, b))
+    when(size(a) === 0 && size(b) === 0, lit(1.0))
+      .when(size(a) === 0 || size(b) === 0, lit(0.0))
+      .otherwise(inter.cast("double") / (size(a) + size(b) - inter))
+  }
+
+  /** MinHash near-dup, emitted as an aggregate precision verdict (same
+    * pattern as dd_emb_near_dup): the banded candidate SET is
+    * engine-hash-specific, but every returned pair must be ordered,
+    * score at/above the threshold, and carry a Jaccard bit-equal to the
+    * independent built-in-function recompute over string shingles.
+    * Recall (the LSH tradeoff) is covered by the brute-force ScalaTest
+    * oracle; the capped variant is measured by dd_minhash_pairs_capped. */
+  def minHashPairsQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = docs
       .minHashPairs("doc_id", "text", shingle = 3, numHashes = 64,
         bands = 16, threshold = 0.8)
-      .orderBy(col("id1"), col("id2"))
+      .join(docs.select(col("doc_id").as("id1"), col("text").as("__t1")), Seq("id1"))
+      .join(docs.select(col("doc_id").as("id2"), col("text").as("__t2")), Seq("id2"))
+    pairs.agg(
+      (sum(when(col("id1") < col("id2"), 0).otherwise(1)) === 0).as("all_ordered"),
+      (sum(when(col("jaccard") >= 0.8, 0).otherwise(1)) === 0).as("all_above_threshold"),
+      (sum(when(col("jaccard") ===
+        jaccardBuiltinCol(col("__t1"), col("__t2"), 3), 0).otherwise(1)) === 0)
+        .as("all_jaccard_exact"),
+      (count(lit(1)) > 0).as("nonempty"))
+  }
 
   /** Measures the MinHash bucket cap's recall cut end-to-end (driver
     * queries otherwise run uncapped): a deterministic boilerplate-heavy
@@ -421,6 +460,9 @@ object Pipeline {
     "dd_emb_near_dup" ->
       """SELECT TRUE AS all_ordered, TRUE AS all_above_threshold,
         |  TRUE AS all_cos_exact, TRUE AS nonempty""".stripMargin,
+    "dd_minhash_pairs" ->
+      """SELECT TRUE AS all_ordered, TRUE AS all_above_threshold,
+        |  TRUE AS all_jaccard_exact, TRUE AS nonempty""".stripMargin,
     "ann_brute_topk" ->
       s"""SELECT vec_id, cos FROM (
          |  WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
