@@ -105,6 +105,13 @@ object Pipeline {
       .withColumn("pairs_cut", col("n_uncapped") - col("n_capped"))
   }
 
+  /** SimHash near-dup pairs. Pigeonhole blocking with maxHamming < blocks
+    * is COMPLETE (3 differing bits cannot touch all 4 blocks), so the
+    * result is exactly every pair at Hamming distance <= 3 — which makes
+    * the operator fully DuckDB-replayable: the oracle refolds the
+    * splitmix64 token hashes and the per-bit majority vote in HUGEINT
+    * modular arithmetic (recursive-CTE fold over distinct tokens) and
+    * joins all pairs under the same Hamming bound. */
   def simHashPairsQ(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .simHashPairs("doc_id", "text", blocks = 4, maxHamming = 3)
@@ -202,6 +209,13 @@ object Pipeline {
       bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Language-id guess + content fingerprint per doc. Both kernels are
+    * deterministic arithmetic over the character stream, and the test
+    * corpus is ASCII-only (verified; CJK-script branch never fires), so
+    * the DuckDB oracle replays them exactly: the FNV-1a-style rolling
+    * hash as a list_reduce fold in HUGEINT modular arithmetic, and the
+    * function-word profile argmax (first profile attaining the max, 0
+    * hits -> 'und') as a greatest() CASE. */
   def langIdQ(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
       col("doc_id"), col("lang"),
@@ -382,6 +396,68 @@ object Pipeline {
        |  ORDER BY cos DESC, a.vec_id ASC LIMIT $k) t
        |ORDER BY vec_id""".stripMargin
 
+  /** DuckDB replay of TextKernels.simHash64: distinct tokens fold
+    * splitmix64 over their chars in a recursive CTE (one iteration per
+    * char position; HUGEINT carries the unsigned 64-bit value, xors hop
+    * through signed BIGINT, the 64x64 multiplies split the left operand
+    * into 32-bit halves so INT128 never overflows), then per-doc per-bit
+    * majority votes over the token MULTISET reassemble the signature.
+    * Defines CTE `simdocs(doc_id, simhash)` — callers must open with
+    * WITH RECURSIVE. Tokenless docs get signature 0 (all votes lose). */
+  private val simhashCteSql = {
+    // (u64 as HUGEINT) -> signed BIGINT two's-complement reinterpretation
+    def toS(u: String) =
+      s"CAST($u - 18446744073709551616 * ($u // 9223372036854775808) AS BIGINT)"
+    // (a * c) mod 2^64 with a < 2^64: split a into 32-bit halves
+    def mulMod(a: String, c: String) =
+      s"($a % 4294967296 * $c + (($a // 4294967296 * $c) % 4294967296) * 4294967296) % 18446744073709551616"
+    s"""dtok AS (
+       |  SELECT DISTINCT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), q -> q != '')) AS tok
+       |  FROM documents),
+       |chs AS (
+       |  SELECT tok,
+       |    unnest(generate_series(1, length(tok))) AS pos,
+       |    unnest(list_transform(regexp_extract_all(tok, '.'), c -> CAST(unicode(c) AS HUGEINT))) AS code
+       |  FROM dtok),
+       |fold(tok, pos, h) AS (
+       |  SELECT tok, 0, CAST(11400714819323198485 AS HUGEINT) FROM dtok
+       |  UNION ALL
+       |  SELECT tok, pos, out FROM (
+       |    SELECT c.tok AS tok, c.pos AS pos,
+       |      f.h - f.h % 128 + CAST(xor(CAST(f.h % 128 AS BIGINT), CAST(c.code AS BIGINT)) AS HUGEINT) AS a,
+       |      (a + 11400714819323198485) % 18446744073709551616 AS x1,
+       |      CAST(xor(${toS("x1")}, CAST(x1 // 1073741824 AS BIGINT)) AS BIGINT) AS t1s,
+       |      CAST(t1s AS HUGEINT) + 18446744073709551616 * CAST(t1s < 0 AS HUGEINT) AS t1,
+       |      ${mulMod("t1", "13787848793156543929")} AS x2,
+       |      CAST(xor(${toS("x2")}, CAST(x2 // 134217728 AS BIGINT)) AS BIGINT) AS t2s,
+       |      CAST(t2s AS HUGEINT) + 18446744073709551616 * CAST(t2s < 0 AS HUGEINT) AS t2,
+       |      ${mulMod("t2", "10723151780598845931")} AS x3,
+       |      CAST(xor(${toS("x3")}, CAST(x3 // 2147483648 AS BIGINT)) AS BIGINT) AS outs,
+       |      CAST(outs AS HUGEINT) + 18446744073709551616 * CAST(outs < 0 AS HUGEINT) AS out
+       |    FROM fold f JOIN chs c ON c.tok = f.tok AND c.pos = f.pos + 1) stage),
+       |th AS (
+       |  SELECT tok, h FROM (
+       |    SELECT tok, h, row_number() OVER (PARTITION BY tok ORDER BY pos DESC) AS rn FROM fold) t
+       |  WHERE rn = 1),
+       |doctok AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), q -> q != '')) AS tok
+       |  FROM documents),
+       |votes AS (
+       |  SELECT d.doc_id, b.b,
+       |    sum(CASE WHEN (th.h // (CAST(1 AS HUGEINT) << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM doctok d JOIN th USING (tok), (SELECT unnest(generate_series(0, 63)) AS b) b
+       |  GROUP BY d.doc_id, b.b),
+       |sim AS (
+       |  SELECT doc_id, ${toS("su")} AS simhash
+       |  FROM (
+       |    SELECT doc_id,
+       |      coalesce(sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END), 0) AS su
+       |    FROM votes GROUP BY doc_id)),
+       |simdocs AS (
+       |  SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+       |  FROM documents d LEFT JOIN sim s USING (doc_id))""".stripMargin
+  }
+
   // n-gram pair SQL, shared by the pair query and the components oracle
   private val ngramShingleCteSql =
     """sh AS (
@@ -463,6 +539,41 @@ object Pipeline {
     "dd_minhash_pairs" ->
       """SELECT TRUE AS all_ordered, TRUE AS all_above_threshold,
         |  TRUE AS all_jaccard_exact, TRUE AS nonempty""".stripMargin,
+    // full row-level replay: pigeonhole blocking (maxHamming < blocks) is
+    // complete, so the operator's result == every pair at Hamming <= 3
+    // over the replayed signatures
+    "dd_simhash_pairs" ->
+      s"""WITH RECURSIVE $simhashCteSql
+         |SELECT id1, id2, hamming FROM (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM simdocs a JOIN simdocs b ON a.doc_id < b.doc_id) t
+         |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin,
+    // ASCII corpus (verified): per-char Character.toLowerCase == lower(),
+    // UTF-16 units == codepoints, the CJK-script branch never fires
+    "tx_langid_fingerprint" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |       WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+        |       WHEN hd = greatest(he, hd, hf, hs) THEN 'de'
+        |       WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+        |       ELSE 'es' END AS lang_guess,
+        |  CAST(fpu - 18446744073709551616 * (fpu // 9223372036854775808) AS BIGINT) AS fp64
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), q -> q != '') AS toks,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS he,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS hd,
+        |    len(list_filter(toks, t -> t IN ('le','la','les','et','est','un','une','des','que','pour'))) AS hf,
+        |    len(list_filter(toks, t -> t IN ('el','la','los','las','y','es','un','una','que','por'))) AS hs,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '.'),
+        |                       c -> CAST(unicode(c) AS HUGEINT))),
+        |      (h, c) -> ((h - h % 128 + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |                 * 1099511628211) % 18446744073709551616) AS fpu
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "ann_brute_topk" ->
       s"""SELECT vec_id, cos FROM (
          |  WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
