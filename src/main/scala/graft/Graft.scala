@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.index.{HashIndexedTable, IndexManager, IndexedTable, RangeIndexedTable}
+import graft.index.{HashIndexedTable, IndexManager, IndexedTable, QuadTreeIndexedTable, RangeIndexedTable}
 
 /** Session facade — the migration surface for users of the reference
   * engine's `SimbaSession` index DDL (reference: SimbaSession.scala:40-89:
@@ -38,6 +38,11 @@ object Graft {
                      keyCol: String): HashIndexedTable =
     IndexManager.hashIndexTable(spark, df, name, keyCol, GraftConf.indexPartitions(spark))
 
+  def quadTreeIndexTable(spark: SparkSession, df: DataFrame, name: String,
+                         keyCols: Seq[String]): QuadTreeIndexedTable =
+    IndexManager.quadTreeIndexTable(spark, df, name, keyCols,
+      GraftConf.indexPartitions(spark), GraftConf.indexBits(spark))
+
   def showIndex(spark: SparkSession): Seq[String] = IndexManager.showIndexes(spark)
   def hasIndex(spark: SparkSession, name: String): Boolean = IndexManager.hasIndex(spark, name)
   def dropIndexTableByName(spark: SparkSession, name: String): Unit =
@@ -54,6 +59,10 @@ object Graft {
     IndexManager.persistHashIndex(idx, path)
   def loadHashIndex(spark: SparkSession, name: String, path: String): HashIndexedTable =
     IndexManager.loadHashIndex(spark, name, path)
+  def persistIndex(idx: QuadTreeIndexedTable, path: String): Unit =
+    IndexManager.persistQuadIndex(idx, path)
+  def loadQuadIndex(spark: SparkSession, name: String, path: String): QuadTreeIndexedTable =
+    IndexManager.loadQuadIndex(spark, name, path)
 
   /** Index cache storage level for subsequently built/loaded indexes —
     * the reference's `setStorageLevel` (reference: IndexManager.scala:179-187). */

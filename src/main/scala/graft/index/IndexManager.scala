@@ -42,9 +42,18 @@ object IndexManager {
   case object RangeKind extends IndexKind
   /** hash bucketing (reference HashMapType equivalent). */
   case object HashKind extends IndexKind
+  /** quadtree cells as the global level (reference QuadTreeType equivalent). */
+  case object QuadKind extends IndexKind
 
   /** Global-level entry: everything the driver knows about partition p. */
   final case class PartitionStat(mbr: MBR, count: Long, zMin: Long, zMax: Long)
+
+  /** A quadtree leaf: its cell is the CONTIGUOUS Morton interval
+    * [zLo, zHi] (a node at depth L is a dims*L-bit z-prefix), `mbr` the
+    * TRUE bounds of the rows inside (tighter than the cell rectangle —
+    * prunes empty space the cell still covers). Empty cells are never
+    * materialized. */
+  final case class QuadLeaf(zLo: Long, zHi: Long, count: Long, mbr: MBR)
 
   final val ZCol = "__graft_zidx"
 
@@ -83,7 +92,8 @@ object IndexManager {
     registry.filterInPlace((_, v) => !stopped(v.data))
     rangeRegistry.filterInPlace((_, v) => !stopped(v.data))
     hashRegistry.filterInPlace((_, v) => !stopped(v.data))
-    planSubs.filterInPlace((k, _) => registry.contains(k))
+    quadRegistry.filterInPlace((_, v) => !stopped(v.data))
+    planSubs.filterInPlace((k, _) => registry.contains(k) || quadRegistry.contains(k))
   }
 
   /** Substitution pairs registered by THIS session only — a cross-session
@@ -123,21 +133,23 @@ object IndexManager {
     registry.remove(key).foreach(_.data.unpersist())
     rangeRegistry.remove(key).foreach(_.data.unpersist())
     hashRegistry.remove(key).foreach(_.data.unpersist())
+    quadRegistry.remove(key).foreach(_.data.unpersist())
     planSubs.remove(key)
   }
 
   def clearIndex(spark: SparkSession): Unit =
-    (registry.keys ++ rangeRegistry.keys ++ hashRegistry.keys)
+    (registry.keys ++ rangeRegistry.keys ++ hashRegistry.keys ++ quadRegistry.keys)
       .filter(_._1 == skey(spark))
       .foreach(k => dropIndex(spark, k._2))
 
   /** All index names registered for this session. */
   def showIndexes(spark: SparkSession): Seq[String] =
-    (registry.keys ++ rangeRegistry.keys ++ hashRegistry.keys)
+    (registry.keys ++ rangeRegistry.keys ++ hashRegistry.keys ++ quadRegistry.keys)
       .filter(_._1 == skey(spark)).map(_._2).toSeq.distinct.sorted
 
   private val rangeRegistry = TrieMap[(String, String), RangeIndexedTable]()
   private val hashRegistry = TrieMap[(String, String), HashIndexedTable]()
+  private val quadRegistry = TrieMap[(String, String), QuadTreeIndexedTable]()
 
   /** Build (or return) a 1-D range index: range-partitioned, sorted,
     * cached — the reference's TreeMap/Treap indexed relations collapse to
@@ -205,6 +217,157 @@ object IndexManager {
 
     new IndexedTable(name, clustered, keyCols, lows, highs, bits,
       partitionStats(clustered, keyCols))
+  }
+
+  /** Build (or return) a quadtree index (reference QuadTreeIndexedRelation
+    * + QuadTreePartitioner, index/QuadTree.scala:43-197,
+    * partitioner/QuadTreePartitioner.scala:34-128). A quadtree node at
+    * depth L is a dims*L-bit Morton prefix — its cell is a CONTIGUOUS
+    * z-interval — so the whole structure maps onto the z machinery:
+    *
+    *  - **global level**: the tree is built EXACTLY (the reference builds
+    *    from a collected sample) from one bounded aggregation — row
+    *    counts + true MBRs per finest-depth prefix (<= 2^16 groups to
+    *    the driver whatever the table size), split midpoint-style while
+    *    a cell holds more than `capacity` rows.
+    *  - **partitioning**: leaves in z order are packed into count-balanced
+    *    contiguous groups; the group id is a codegen'd comparison chain
+    *    on the z key, range-shuffled once — midpoint cut points, i.e.
+    *    the reference's QuadTreePartitioner, declaratively.
+    *  - **scan**: a query prunes by TRUE leaf MBRs and reads the union of
+    *    surviving leaf intervals — MULTIPLE tight z-intervals, strictly
+    *    stronger than the single covering interval of the z index at
+    *    quadrant seams (where [z(lo), z(hi)] covers nearly everything).
+    */
+  def quadTreeIndexTable(spark: SparkSession, df: DataFrame, name: String,
+                         keyCols: Seq[String], numPartitions: Int = 32,
+                         bits: Int = 15, capacity: Long = 0L): QuadTreeIndexedTable = {
+    evictStopped()
+    quadRegistry.getOrElseUpdate((skey(spark), name), {
+      val idx = buildQuad(spark, df, name, keyCols, numPartitions, bits, capacity)
+      planSubs.put((skey(spark), name),
+        (df.queryExecution.optimizedPlan,
+         idx.data.select(df.columns.map(col): _*).queryExecution.optimizedPlan))
+      idx
+    })
+  }
+
+  private def buildQuad(spark: SparkSession, df: DataFrame, name: String,
+                        keyCols: Seq[String], numPartitions: Int, bits: Int,
+                        capacity: Long): QuadTreeIndexedTable = {
+    require(keyCols.nonEmpty && keyCols.length * bits <= 62)
+    val aggs = keyCols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!b.isNullAt(0),
+      s"cannot index '$name': table is empty or key column is all null")
+    val lows = keyCols.indices.map(i => b.getDouble(2 * i)).toArray
+    val highs = keyCols.indices.map(i => b.getDouble(2 * i + 1)).toArray
+
+    val withZ = df.withColumn(ZCol,
+      zorder(keyCols.map(col), lows.toSeq, highs.toSeq, bits))
+    val (leaves, resolvedCapacity) =
+      quadLeaves(withZ, keyCols, bits, capacity, numPartitions)
+
+    // pack leaves (already in z order) into count-balanced contiguous
+    // groups; the group id is a when-chain on z — codegen'd comparisons,
+    // no udf — and one range shuffle lands each group in its partition
+    val total = leaves.map(_.count).sum
+    val target = math.max(1L, math.ceil(total.toDouble / numPartitions).toLong)
+    val cuts = scala.collection.mutable.ArrayBuffer[Long]() // group-start zLo (excluding first)
+    var acc = 0L
+    leaves.foreach { l =>
+      if (acc >= target && cuts.length < numPartitions - 1) { cuts += l.zLo; acc = 0L }
+      acc += l.count
+    }
+    val partCol = cuts.zipWithIndex.foldLeft(lit(0)) { case (e, (cut, i)) =>
+      when(col(ZCol) >= cut, i + 1).otherwise(e)
+    }
+    val clustered = withZ
+      .repartitionByRange(cuts.length + 1, partCol, col(ZCol))
+      .sortWithinPartitions(ZCol)
+      .persist(graft.GraftConf.indexStorageLevel(spark))
+
+    new QuadTreeIndexedTable(name, clustered, keyCols, lows, highs, bits,
+      resolvedCapacity, leaves)
+  }
+
+  /** The exact global level: one aggregation by finest-depth z-prefix
+    * (bounded at 2^16 groups regardless of table size) collects counts
+    * and true MBRs; the driver then splits top-down while a cell holds
+    * more than `capacity` rows (capacity 0 = auto: total/(4*parts), ~4
+    * leaves per partition for pruning finer than the partition grain).
+    * Empty cells are dropped — leaves cover data, not space. Returns the
+    * RESOLVED capacity alongside, so a persisted index records the value
+    * the tree was actually built with (auto depends on the partition
+    * count, which may differ at load time). */
+  private def quadLeaves(withZ: DataFrame, keyCols: Seq[String], bits: Int,
+                         capacity0: Long, numPartitions: Int)
+      : (Array[QuadLeaf], Long) = {
+    val dims = keyCols.length
+    val maxDepth = math.min(bits, 16 / dims).max(1)
+    val shift = dims * (bits - maxDepth)
+    val statAggs = keyCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))) :+ count(lit(1))
+    val rows = withZ
+      .groupBy(shiftrightunsigned(col(ZCol), shift).as("__pfx"))
+      .agg(statAggs.head, statAggs.tail: _*)
+      .collect()
+      .sortBy(_.getLong(0))
+    val pfx = rows.map(_.getLong(0))
+    val cnt = rows.map(_.getLong(1 + 2 * dims))
+    val cum = cnt.scanLeft(0L)(_ + _) // cum(i) = rows before cell i
+    val total = cum.last
+    val capacity = if (capacity0 > 0) capacity0
+      else math.max(1L, math.ceil(total.toDouble / (4L * numPartitions)).toLong)
+
+    def mbrOf(from: Int, until: Int): MBR = {
+      val lo = Array.fill(dims)(Double.MaxValue)
+      val hi = Array.fill(dims)(Double.MinValue)
+      var i = from
+      while (i < until) {
+        var d = 0
+        while (d < dims) {
+          lo(d) = math.min(lo(d), rows(i).getDouble(1 + 2 * d))
+          hi(d) = math.max(hi(d), rows(i).getDouble(2 + 2 * d))
+          d += 1
+        }
+        i += 1
+      }
+      MBR(Point(lo), Point(hi))
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer[QuadLeaf]()
+    // node (depth, p) covers finest prefixes [p << w, (p+1) << w), w below
+    def walk(depth: Int, p: Long): Unit = {
+      val w = dims * (maxDepth - depth)
+      val from = lowerBound(pfx, p << w)
+      val until = lowerBound(pfx, (p + 1L) << w)
+      val n = cum(until) - cum(from)
+      if (n == 0L) return
+      if (n > capacity && depth < maxDepth) {
+        var c = 0L
+        val fan = 1L << dims
+        while (c < fan) { walk(depth + 1, (p << dims) | c); c += 1 }
+      } else {
+        val cellBits = dims * (bits - depth)
+        out += QuadLeaf(p << cellBits, ((p + 1L) << cellBits) - 1L, n,
+          mbrOf(from, until))
+      }
+    }
+    walk(0, 0L)
+    (out.toArray, capacity)
+  }
+
+  /** First index i with xs(i) >= key (xs sorted ascending). */
+  private def lowerBound(xs: Array[Long], key: Long): Int = {
+    var lo = 0
+    var hi = xs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   /** Global level — per-partition stats (numPartitions rows to driver).
@@ -303,6 +466,39 @@ object IndexManager {
     idx
   }
 
+  /** Persist/load parity for the quadtree index: z-sorted parquet (row-
+    * group stats serve the interval pruning on disk) + parameters; the
+    * tree itself is recomputed on load — it is a deterministic function
+    * of (data, keyCols, bits, capacity), and the one bounded aggregation
+    * is cheaper than serializing and trusting stale leaves. */
+  def persistQuadIndex(idx: QuadTreeIndexedTable, path: String): Unit = {
+    idx.data.write.mode("overwrite").parquet(s"$path/data")
+    val spark = idx.data.sparkSession
+    import spark.implicits._
+    val cols = idx.keyCols.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    Seq(s"""{"kind": "quadtree", "keyCols": $cols, """ +
+        s""""lows": ${idx.lows.mkString("[", ",", "]")}, """ +
+        s""""highs": ${idx.highs.mkString("[", ",", "]")}, """ +
+        s""""bits": ${idx.bits}, "capacity": ${idx.capacity}}""")
+      .toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+  }
+
+  def loadQuadIndex(spark: SparkSession, name: String, path: String): QuadTreeIndexedTable = {
+    evictStopped()
+    val meta = spark.read.textFile(s"$path/meta").head()
+    val (keyCols, lows, highs, bits) = parseMeta(meta)
+    val capacity = """"capacity":\s*(\d+)""".r.findFirstMatchIn(meta).get.group(1).toLong
+    val data = spark.read.parquet(s"$path/data")
+      .persist(graft.GraftConf.indexStorageLevel(spark))
+    // capacity in the meta is always the resolved value -> same tree
+    val (leaves, _) = quadLeaves(data, keyCols, bits, capacity,
+      graft.GraftConf.indexPartitions(spark))
+    val idx = new QuadTreeIndexedTable(name, data, keyCols, lows, highs, bits,
+      capacity, leaves)
+    quadRegistry.putIfAbsent((skey(spark), name), idx)
+    idx
+  }
+
   private def strField(json: String, key: String): String =
     (s"""\"$key\":\\s*\"(.*?)\"""").r.findFirstMatchIn(json).getOrElse(
       throw new IllegalArgumentException(s"index meta missing '$key': $json")
@@ -317,7 +513,8 @@ object IndexManager {
                       level: org.apache.spark.storage.StorageLevel): Unit = {
     val key = (skey(spark), name)
     val datas = registry.get(key).map(_.data) ++
-      rangeRegistry.get(key).map(_.data) ++ hashRegistry.get(key).map(_.data)
+      rangeRegistry.get(key).map(_.data) ++ hashRegistry.get(key).map(_.data) ++
+      quadRegistry.get(key).map(_.data)
     require(datas.nonEmpty, s"no index named '$name' in this session")
     datas.foreach { d => d.unpersist(); d.persist(level) }
   }
@@ -329,6 +526,7 @@ object IndexManager {
     registry.get(key).map(persistIndex(_, path))
       .orElse(rangeRegistry.get(key).map(persistRangeIndex(_, path)))
       .orElse(hashRegistry.get(key).map(persistHashIndex(_, path)))
+      .orElse(quadRegistry.get(key).map(persistQuadIndex(_, path)))
       .getOrElse(throw new IllegalArgumentException(
         s"no index named '$name' in this session"))
   }
@@ -337,7 +535,8 @@ object IndexManager {
     * z-order metadata carries `keyCols`, range/hash carry a `kind` tag. */
   def loadIndexAuto(spark: SparkSession, name: String, path: String): Unit = {
     val meta = spark.read.textFile(s"$path/meta").head()
-    if (meta.contains("\"keyCols\"")) loadIndex(spark, name, path)
+    if (meta.contains("\"quadtree\"")) loadQuadIndex(spark, name, path)
+    else if (meta.contains("\"keyCols\"")) loadIndex(spark, name, path)
     else strField(meta, "kind") match {
       case "range" => loadRangeIndex(spark, name, path)
       case "hash"  => loadHashIndex(spark, name, path)
@@ -515,4 +714,139 @@ final class HashIndexedTable(
 
   def lookupIn(values: Seq[Any]): DataFrame =
     data.filter(col(keyCol).isin(values: _*))
+}
+
+/** A quadtree index: z-sorted cached data plus the driver-held tree
+  * (reference QuadTreeIndexedRelation.scala:28-85). Queries prune by TRUE
+  * leaf MBRs, then read the UNION of surviving leaf z-intervals — several
+  * tight BETWEENs instead of the z index's single covering interval, so
+  * quadrant-seam queries (where [z(lo), z(hi)] covers nearly the whole
+  * curve) skip the non-intersecting subtrees in between. */
+final class QuadTreeIndexedTable(
+    val name: String,
+    private[index] val data: DataFrame,
+    val keyCols: Seq[String],
+    val lows: Array[Double],
+    val highs: Array[Double],
+    val bits: Int,
+    val capacity: Long,
+    val leaves: Array[IndexManager.QuadLeaf]) extends Serializable {
+
+  import IndexManager.ZCol
+
+  /** Predicate cap: pruning finer than this folds the cheapest gaps —
+    * leaf-count-weighted, so the rows a fold re-admits are minimal —
+    * keeping the scan filter a short codegen'd comparison chain. */
+  private val maxIntervals = 64
+
+  private def output: Seq[Column] =
+    data.columns.filterNot(_ == ZCol).map(col).toSeq
+
+  /** Surviving leaf intervals under `keep`, coalesced: a run of
+    * consecutive kept leaves merges into one interval (the z-space
+    * between consecutive MATERIALIZED leaves holds no rows — empty cells
+    * are never materialized), and if more than `maxIntervals` runs
+    * survive, the cheapest gaps (fewest skipped rows) are folded in —
+    * correctness is indifferent, the exact predicate re-filters. */
+  private[index] def intervalsFor(keep: IndexManager.QuadLeaf => Boolean): Seq[(Long, Long)] = {
+    // runs of kept leaves: (zLo, zHi, leaf index range)
+    val runs = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Int)]()
+    var i = 0
+    while (i < leaves.length) {
+      if (keep(leaves(i))) {
+        val start = i
+        while (i + 1 < leaves.length && keep(leaves(i + 1))) i += 1
+        runs += ((leaves(start).zLo, leaves(i).zHi, start, i))
+      }
+      i += 1
+    }
+    if (runs.length <= maxIntervals) runs.map(r => (r._1, r._2)).toSeq
+    else {
+      // keep the (maxIntervals - 1) most expensive gaps as separators
+      val gapCost = (0 until runs.length - 1).map { g =>
+        val skipped = (runs(g)._4 + 1 until runs(g + 1)._3)
+          .map(leaves(_).count).sum
+        (g, skipped)
+      }
+      val seps = gapCost.sortBy(-_._2).take(maxIntervals - 1).map(_._1).toSet
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var lo = runs.head._1
+      for (g <- runs.indices) {
+        if (g == runs.length - 1 || seps(g)) {
+          out += ((lo, runs(g)._2))
+          if (g < runs.length - 1) lo = runs(g + 1)._1
+        }
+      }
+      out.toSeq
+    }
+  }
+
+  /** OR-of-BETWEENs pre-filter over the surviving leaf intervals, or the
+    * plain data when the box covers most of the extent (same selectivity
+    * fallback as the z index — a near-total interval set prunes nothing
+    * and costs comparisons per row). */
+  private def preFilter(box: MBR): DataFrame = {
+    val spark = data.sparkSession
+    val covered = MBR(Point(lows), Point(highs)).calcRatio(box)
+    if (graft.GraftConf.indexSelectivityEnable(spark) &&
+        covered >= graft.GraftConf.indexSelectivityThreshold(spark)) data
+    else {
+      val ivs = intervalsFor(_.mbr.intersects(box))
+      if (ivs.isEmpty) data.limit(0)
+      else data.filter(ivs.map { case (lo, hi) =>
+        col(ZCol) >= lo && col(ZCol) <= hi
+      }.reduce(_ || _))
+    }
+  }
+
+  def boxRange(lo: Array[Double], hi: Array[Double]): DataFrame =
+    preFilter(MBR(Point(lo), Point(hi)))
+      .filter(inBox(keyCols.map(col), lo.toSeq, hi.toSeq))
+      .select(output: _*)
+
+  def circleRange(center: Array[Double], r: Double): DataFrame = {
+    val q = Point(center)
+    // leaf-level pruning on exact MBR-to-center distance (tighter than
+    // the bounding box of the circle); exact predicate re-filters
+    val ivs = intervalsFor(_.mbr.minDist(q) <= r)
+    val pre =
+      if (ivs.isEmpty) data.limit(0)
+      else data.filter(ivs.map { case (lo, hi) =>
+        col(ZCol) >= lo && col(ZCol) <= hi
+      }.reduce(_ || _))
+    pre.filter(inCircle(keyCols.map(col), center.toSeq, r))
+      .select(output: _*)
+  }
+
+  /** Indexed kNN: the leaf walk is the z index's partition walk at leaf
+    * granularity — finer stats, tighter starting radius (same
+    * single-pass bound: the walked leaves alone hold >= k rows). */
+  def knn(center: Array[Double], k: Int, tieBreak: Seq[String]): DataFrame = {
+    val q = Point(center)
+    val ordered = (df: DataFrame) => df
+      .withColumn("__graft_knn_d", pointDistance(keyCols.map(col), center.toSeq.map(lit)))
+      .filter(col("__graft_knn_d").isNotNull)
+      .orderBy((col("__graft_knn_d").asc +: tieBreak.map(col(_).asc)): _*)
+      .limit(k)
+      .drop("__graft_knn_d")
+
+    val byDist = leaves.sortBy(_.mbr.minDist(q))
+    var covered = 0L
+    var r = 0.0
+    var i = 0
+    while (i < byDist.length && covered < k) {
+      covered += byDist(i).count
+      r = math.max(r, graft.spatial.Dist.furthest(q, byDist(i).mbr))
+      i += 1
+    }
+    if (covered < k) return ordered(data).select(output: _*)
+    ordered(circleRange(center, r))
+  }
+
+  /** Leaves whose true MBR intersects the box vs total — the
+    * global-level pruning decision, exposed for tests/metrics. */
+  def prunedLeafCount(lo: Array[Double], hi: Array[Double]): (Int, Int) = {
+    val box = MBR(Point(lo), Point(hi))
+    (leaves.count(_.mbr.intersects(box)), leaves.length)
+  }
 }

@@ -4,26 +4,28 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.storage.StorageLevel
 
 /** The reference's index-type vocabulary (reference: index/Index.scala:
-  * 26-41), mapped onto this library's three clusterings: RTree -> the
+  * 26-41), mapped onto this library's four clusterings: RTree -> the
   * z-order spatial index, TreeMap/Treap -> the 1-D range index (the
   * treap's extra rank queries are unused by the reference's own scans),
-  * HashMap -> the hash index. QuadTree is not carried — z-order covers
-  * the 2-D locality role (COVERAGE.md §2.4). */
+  * HashMap -> the hash index, QuadTree -> the quadtree index (driver-held
+  * exact tree over Morton-prefix cells, multi-interval pruning). */
 sealed abstract class IndexType
 case object RTreeType extends IndexType
 case object TreeMapType extends IndexType
 case object TreapType extends IndexType
 case object HashMapType extends IndexType
+case object QuadTreeType extends IndexType
 
 object IndexType {
   /** Parse the reference's names (reference: index/Index.scala:26-33). */
   def apply(typ: String): IndexType = typ.toLowerCase match {
-    case "rtree"   => RTreeType
-    case "treemap" => TreeMapType
-    case "treap"   => TreapType
-    case "hashmap" => HashMapType
+    case "rtree"    => RTreeType
+    case "treemap"  => TreeMapType
+    case "treap"    => TreapType
+    case "hashmap"  => HashMapType
+    case "quadtree" => QuadTreeType
     case other => throw new IllegalArgumentException(
-      s"unknown index type: $other (expected rtree|treemap|treap|hashmap)")
+      s"unknown index type: $other (expected rtree|quadtree|treemap|treap|hashmap)")
   }
 }
 
@@ -46,6 +48,9 @@ object IndexOps {
       indexType match {
         case RTreeType =>
           IndexManager.indexTable(spark, ds.toDF, indexName, column.toSeq,
+            parts, graft.GraftConf.indexBits(spark))
+        case QuadTreeType =>
+          IndexManager.quadTreeIndexTable(spark, ds.toDF, indexName, column.toSeq,
             parts, graft.GraftConf.indexBits(spark))
         case TreeMapType | TreapType =>
           require(column.length == 1, s"$indexType indexes one column, got ${column.length}")

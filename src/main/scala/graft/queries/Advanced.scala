@@ -33,6 +33,21 @@ object Advanced {
     custIndex(s, d).knn(Array(5000.0, 500.0), 10, tieBreak = Seq("c_custkey"))
       .orderBy(col("c_custkey"))
 
+  private def custQuadIndex(s: SparkSession, d: String) =
+    IndexManager.quadTreeIndexTable(s, customerPts(s, d), s"customer_qt:$d",
+      Seq("cx", "cy"), numPartitions = 16)
+
+  /** Same probes as the z-indexed twins, answered through the quadtree
+    * index (multi-interval leaf pruning) — and the same oracles: index
+    * kind must never change results. */
+  def quadTreeRangeQ(s: SparkSession, d: String): DataFrame =
+    custQuadIndex(s, d).boxRange(Array(2000.0, 100.0), Array(4000.0, 300.0))
+      .orderBy(col("c_custkey"))
+
+  def quadTreeKnnQ(s: SparkSession, d: String): DataFrame =
+    custQuadIndex(s, d).knn(Array(5000.0, 500.0), 10, tieBreak = Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+
   def eventsHourlyStream(s: SparkSession, d: String): DataFrame =
     StreamingOps.hourlyEventStatsBatchEquivalent(s, d)
       .orderBy(col("hour_ms"), col("event_type"))
@@ -199,6 +214,8 @@ object Advanced {
     "sp_box_range_indexed" -> Spatial.oracles("sp_box_range"),
     "sp_circle_range_indexed" -> Spatial.oracles("sp_circle_range"),
     "sp_knn_indexed" -> Spatial.oracles("sp_knn"),
+    "sp_quadtree_range" -> Spatial.oracles("sp_box_range"),
+    "sp_quadtree_knn" -> Spatial.oracles("sp_knn"),
     "q8_events_hourly_stream" -> Relational.oracles("q6_events_hourly"),
     // gaps-and-islands twin of BOTH sessionizers (custom-state and
     // native session_window): same (time, event_id) ordering, same
@@ -258,6 +275,8 @@ object Advanced {
     "sp_box_range_indexed" -> (boxRangeIndexed _),
     "sp_circle_range_indexed" -> (circleRangeIndexed _),
     "sp_knn_indexed" -> (knnIndexed _),
+    "sp_quadtree_range" -> (quadTreeRangeQ _),
+    "sp_quadtree_knn" -> (quadTreeKnnQ _),
     "q8_events_hourly_stream" -> (eventsHourlyStream _),
     "st_sessions" -> (sessionsStream _),
     "st_sessions_native" -> (sessionsNativeStream _),

@@ -25,13 +25,15 @@ class IndexOpsSpec extends SparkSpec {
       // treap is the same clustering as treemap (rank queries unused)
       cust.index(IndexType("treap"), "v_treap", Array("cy"))
       assert(IndexManager.showIndexes(spark).contains("v_treap"))
-      intercept[IllegalArgumentException](IndexType("quadtree"))
+      cust.index(IndexType("quadtree"), "v_quad", Array("cx", "cy"))
+      assert(IndexManager.showIndexes(spark).contains("v_quad"))
+      intercept[IllegalArgumentException](IndexType("octree"))
       intercept[IllegalArgumentException](
         cust.index(HashMapType, "v_bad", Array("cx", "cy")))
-    } finally Seq("v_rtree", "v_range", "v_hash", "v_treap", "v_bad")
+    } finally Seq("v_rtree", "v_range", "v_hash", "v_treap", "v_quad", "v_bad")
       .foreach(cust.dropIndexByName)
     assert(IndexManager.showIndexes(spark)
-      .count(Set("v_rtree", "v_range", "v_hash", "v_treap")) === 0)
+      .count(Set("v_rtree", "v_range", "v_hash", "v_treap", "v_quad")) === 0)
   }
 
   test("session-level DDL by table name (Graft facade)") {
