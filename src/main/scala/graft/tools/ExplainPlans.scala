@@ -72,6 +72,12 @@ object ExplainPlans {
       documents(spark, d).minHashPairs("doc_id", "text", shingle = 3,
         numHashes = 64, bands = 16, threshold = 0.8)
     }
+    show("quadtree_box_range (expect OR-of-BETWEENs on the z key over the cached clustering)") {
+      graft.index.IndexManager
+        .quadTreeIndexTable(spark, customerPts(spark, d), "plans_qt",
+          Seq("cx", "cy"), numPartitions = 8)
+        .boxRange(Array(2000.0, 100.0), Array(4000.0, 300.0))
+    }
     spark.stop()
   }
 }
