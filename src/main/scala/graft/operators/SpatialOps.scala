@@ -324,12 +324,19 @@ object SpatialOps {
 
       val (lPts, radii, theta) =
         SpatialOps.sampleKnnRadii(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
-      // pivots: farthest-point selection from a larger sample pool, so
-      // sparse regions get nearby pivots even under heavy density skew
-      val pivots: Array[Array[Double]] = SpatialOps.farthestPointPivots[Array[Double]](
-        samplePoints(rt, rKeys, sampleCap).toIndexedSeq,
-        graft.spatial.Dist.pointToPoint, numPivots).toArray
-      require(pivots.nonEmpty, "pivot kNN join: right side is empty")
+      // pivots: farthest-point selection from a larger sample pool (so
+      // sparse regions get nearby pivots even under heavy density skew),
+      // then cost-aware refinement splits any cell whose estimated pair
+      // count dominates — a dense cluster collects pivots proportional
+      // to its join cost instead of degenerating to one cell's cross
+      // product (no-op on balanced data)
+      val rPool = samplePoints(rt, rKeys, sampleCap).toIndexedSeq
+      val pivots0 = SpatialOps.farthestPointPivots[Array[Double]](
+        rPool, graft.spatial.Dist.pointToPoint, numPivots)
+      require(pivots0.nonEmpty, "pivot kNN join: right side is empty")
+      val pivots: Array[Array[Double]] = SpatialOps.refinePivots[Array[Double]](
+        lPts.toIndexedSeq, radii, rPool, graft.spatial.Dist.pointToPoint,
+        pivots0, maxPivots = 2 * numPivots, quantile, theta).toArray
 
       // per-pivot-cell theta from the same sample (1-based cell ids,
       // argmin over the pivots) — without it a dense cell filters at the
@@ -339,12 +346,18 @@ object SpatialOps {
       val cellThetas =
         SpatialOps.perCellQuantile(lPts.map(nearestPivot), radii, quantile, theta)
 
-      def distTo(keys: Seq[String], p: Array[Double]): Column =
-        pointDistance(keys.map(col), p.toSeq.map(lit))
-
-      pivotCellKnn(l, rt,
-        lDistToPivot = i => distTo(lKeys, pivots(i)),
-        rDistToPivot = i => distTo(rKeys, pivots(i)),
+      // Euclidean distance from the row's keys to a pivot ARRAY element
+      // (same metric as pointDistance/exactDist — the triangle-inequality
+      // bounds need metric consistency; nulls propagate to a null cell
+      // exactly like the kernel's null semantics)
+      def distToElem(keys: Seq[String])(e: Column): Column =
+        sqrt(keys.zipWithIndex.map { case (c2, i) =>
+          val d = col(c2) - element_at(e, i + 1)
+          d * d
+        }.reduce(_ + _))
+      pivotCellKnn(l, rt, SpatialOps.pivotsLitD(pivots),
+        lDistToPivot = distToElem(lKeys),
+        rDistToPivot = distToElem(rKeys),
         numPivots = pivots.length, theta = theta,
         exactDist = pointDistance(lKeys.map(col), rKeys.map(col)),
         lId = leftId, k = k, tieBreak = tieBreak,
@@ -619,6 +632,96 @@ object SpatialOps {
     chosen.map(pool).toIndexedSeq
   }
 
+  // literal array-of-pivots columns (typedLit needs a TypeTag, whose
+  // anonymous class value classes forbid — hence object-level helpers)
+  private[operators] def pivotsLitD(p: Array[Array[Double]]): Column =
+    typedLit(p.map(_.toSeq).toSeq)
+  private[operators] def pivotsLitF(p: Array[Array[Float]]): Column =
+    typedLit(p.map(_.toSeq).toSeq)
+
+  /** Cost-aware pivot refinement — the pivot joins' analogue of the grid
+    * join's dense-cell refinement. Maximin pivots spread over the EXTENT,
+    * so under density skew a geometrically small dense cluster collects
+    * 1-2 pivots and its cell's equi-join degenerates toward the cluster's
+    * cross product (the b5s skew bench shape). Starting from the maximin
+    * set (which sparse regions still need for tight admission bands),
+    * repeatedly split the cell with the largest estimated candidate-pair
+    * cost — |cell's sample lefts| × |sample rights its admission band
+    * d(r, p) <= maxDl + theta_cell admits| — by promoting the cell's
+    * farthest left sample point to a new pivot. Stops at `maxPivots`, or
+    * as soon as costs are balanced (max <= 2x mean) — note maximin
+    * pivots have unbalanced cell POPULATIONS even on uniform data (edge
+    * pivots own small cells), so some splitting there is expected and
+    * measured beneficial. Driver-only, on the already-capped samples:
+    * O(iterations × (|lPool| + cells × |rPool|)) — a few ms. Pivot
+    * placement only shapes performance; exactness always comes from the
+    * bounds + fallback downstream. */
+  private[operators] def refinePivots[T](
+      lPool: IndexedSeq[T], radii: Array[Double], rPool: IndexedSeq[T],
+      dist: (T, T) => Double, initial: IndexedSeq[T],
+      maxPivots: Int, quantile: Double, theta: Double): IndexedSeq[T] = {
+    if (initial.isEmpty || lPool.isEmpty) return initial
+    val pivots = scala.collection.mutable.ArrayBuffer[T](initial: _*)
+    val cell = new Array[Int](lPool.length)
+    val dmin = new Array[Double](lPool.length)
+    var i = 0
+    while (i < lPool.length) {
+      var best = 0; var bd = Double.MaxValue; var p = 0
+      while (p < pivots.length) {
+        val d = dist(lPool(i), pivots(p))
+        if (d < bd) { bd = d; best = p }
+        p += 1
+      }
+      cell(i) = best; dmin(i) = bd; i += 1
+    }
+    while (pivots.length < maxPivots) {
+      val n = pivots.length
+      val cnt = new Array[Int](n)
+      val maxDl = new Array[Double](n)
+      val farIdx = Array.fill(n)(-1)
+      val cellRadii = Array.fill(n)(scala.collection.mutable.ArrayBuffer[Double]())
+      i = 0
+      while (i < lPool.length) {
+        val c = cell(i)
+        cnt(c) += 1
+        if (dmin(i) > maxDl(c) || farIdx(c) < 0) { maxDl(c) = dmin(i); farIdx(c) = i }
+        cellRadii(c) += radii(i)
+        i += 1
+      }
+      val costs = new Array[Double](n)
+      var c = 0
+      while (c < n) {
+        if (cnt(c) > 0) {
+          val rs = cellRadii(c).toArray
+          java.util.Arrays.sort(rs)
+          val thetaC = math.min(rs(math.min(rs.length - 1, (quantile * rs.length).toInt)), theta)
+          val band = maxDl(c) + thetaC
+          var admitted = 0; var r = 0
+          while (r < rPool.length) {
+            if (dist(rPool(r), pivots(c)) <= band) admitted += 1
+            r += 1
+          }
+          costs(c) = cnt(c).toDouble * admitted
+        }
+        c += 1
+      }
+      val total = costs.sum
+      var cMax = 0
+      c = 1
+      while (c < n) { if (costs(c) > costs(cMax)) cMax = c; c += 1 }
+      if (costs(cMax) <= 2.0 * total / n || cnt(cMax) <= 1 || maxDl(cMax) <= 0.0) return pivots.toIndexedSeq
+      val newPivot = lPool(farIdx(cMax))
+      pivots += newPivot
+      i = 0
+      while (i < lPool.length) {
+        val d = dist(lPool(i), newPivot)
+        if (d < dmin(i)) { cell(i) = n; dmin(i) = d }
+        i += 1
+      }
+    }
+    pivots.toIndexedSeq
+  }
+
   /** Group per-point radii by an arbitrary cell assignment and take the
     * cell-local quantile, capped at `cap` (the global theta) so grid
     * coverage / triangle-inequality admission stays valid. */
@@ -784,30 +887,35 @@ object SpatialOps {
     * discipline as the grid join's per-cell theta: under heavy density
     * skew the global quantile theta is sized by the sparse region, and a
     * dense cell would otherwise admit nearly the whole right side.
-    * Unlisted cells fall back to the global theta. */
+    * Unlisted cells fall back to the global theta.
+    *
+    * Pivots ride in as ONE literal array and every per-pivot computation
+    * is a higher-order function over it (`transform` for distances,
+    * `posexplode` for right fan-out) with per-cell thetas/bounds as
+    * `element_at` lookups into literal arrays — generated code is O(1)
+    * in the pivot count. The unrolled alternative (a column per pivot,
+    * a when-chain per cell) made janino compile time the dominant cost
+    * of the whole join past ~32 pivots, dwarfing the execution it was
+    * tuning. */
   private[operators] def pivotCellKnn(
-      l: DataFrame, rt: DataFrame,
-      lDistToPivot: Int => Column, rDistToPivot: Int => Column,
+      l: DataFrame, rt: DataFrame, pivotsLit: Column,
+      lDistToPivot: Column => Column, rDistToPivot: Column => Column,
       numPivots: Int, theta: Double, exactDist: Column,
       lId: String, k: Int, tieBreak: Seq[String],
       outCols: Seq[Column], fallback: DataFrame => DataFrame,
       cellThetas: Map[Int, Double] = Map.empty): DataFrame = {
     def thetaOf(cell1Based: Int): Double = cellThetas.getOrElse(cell1Based, theta)
-    val lDists = array((0 until numPivots).map(lDistToPivot): _*)
-    val cthetaExpr = (1 to numPivots).foldLeft(lit(theta)) { (acc, i) =>
-      if (cellThetas.contains(i)) when(col("__graft_cell") === i, lit(thetaOf(i))).otherwise(acc)
-      else acc
-    }
+    val thetaArr = lit((1 to numPivots).map(thetaOf).toArray)
     // null-keyed lefts get a null cell: dropped from the candidate pass
     // here (a null cell would NPE the bound collection), landing in the
     // starved set where the fallback applies its own null semantics
     val lAug = l
-      .withColumn("__graft_pd", lDists)
+      .withColumn("__graft_pd", transform(pivotsLit, lDistToPivot))
       .withColumn("__graft_cell",
         array_position(col("__graft_pd"), array_min(col("__graft_pd"))).cast("int"))
       .filter(col("__graft_cell").isNotNull)
       .withColumn("__graft_dl", element_at(col("__graft_pd"), col("__graft_cell")))
-      .withColumn("__graft_ctheta", cthetaExpr)
+      .withColumn("__graft_ctheta", element_at(thetaArr, col("__graft_cell")))
       .drop("__graft_pd")
 
     // per-cell radius bound (numPivots rows to the driver)
@@ -815,26 +923,19 @@ object SpatialOps {
       .agg(max(col("__graft_dl")).as("__m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     // empty left -> no cells; the fallback IS the correct empty result
-    // (and avoids reducing an empty admit-condition list)
     if (maxDl.isEmpty) return fallback(l)
 
     // right rows fan out only to admitting cells (1-based cell ids from
-    // array_position); each cell's admission band uses ITS radius
-    val admitStructs = (0 until numPivots).flatMap { i =>
-      maxDl.get(i + 1).map { _ =>
-        struct(lit(i + 1).as("cell"), rDistToPivot(i).as("dr"))
-      }
-    }
+    // array_position); each cell's admission band uses ITS radius, and a
+    // left-less cell's -inf band admits nothing
+    val bandArr = lit(Array.tabulate(numPivots)(i =>
+      maxDl.get(i + 1).map(_ + thetaOf(i + 1)).getOrElse(Double.NegativeInfinity)))
     val admitted = rt
-      .withColumn("__graft_rc", explode(array(admitStructs: _*)))
-      .withColumn("__graft_rcell", col("__graft_rc.cell"))
-      .withColumn("__graft_dr", col("__graft_rc.dr"))
-      .drop("__graft_rc")
-      .filter((0 until numPivots).flatMap { i =>
-        maxDl.get(i + 1).map { bound =>
-          col("__graft_rcell") === (i + 1) && col("__graft_dr") <= bound + thetaOf(i + 1)
-        }
-      }.reduce(_ || _))
+      .select(col("*"), posexplode(transform(pivotsLit, rDistToPivot))
+        .as(Seq("__graft_pos", "__graft_dr")))
+      .withColumn("__graft_rcell", (col("__graft_pos") + 1).cast("int"))
+      .filter(col("__graft_dr") <= element_at(bandArr, col("__graft_rcell")))
+      .drop("__graft_pos")
 
     val cand = lAug.join(admitted, col("__graft_cell") === col("__graft_rcell"))
       .withColumn("__graft_d", exactDist)

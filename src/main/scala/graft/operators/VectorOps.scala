@@ -257,10 +257,12 @@ object VectorOps {
       val cellThetas =
         SpatialOps.perCellQuantile(lS.map(nearestPivot), radii, quantile, theta)
       // same machinery as the spatial Voronoi join — only the distance
-      // expressions differ (keeps the two variants in lockstep)
+      // expressions differ (keeps the two variants in lockstep); pivots
+      // ride in as one literal array (codegen O(1) in pivot count)
       SpatialOps.pivotCellKnn(l, rt,
-        lDistToPivot = i => l2Distance(col(lVec), lit(pivots(i))),
-        rDistToPivot = i => l2Distance(col(rVec), lit(pivots(i))),
+        SpatialOps.pivotsLitF(pivots),
+        lDistToPivot = e => l2Distance(col(lVec), e),
+        rDistToPivot = e => l2Distance(col(rVec), e),
         numPivots = pivots.length, theta = theta,
         exactDist = l2Distance(col(lVec), col(rVec)),
         lId = lId, k = k, tieBreak = tieBreak,

@@ -399,6 +399,43 @@ class SpatialOpsSpec extends SparkSpec {
     assert(grid === want && pivot === want && want.nonEmpty)
   }
 
+  test("refinePivots splits the dominant-cost cell under skew, no-ops when balanced") {
+    val dist = graft.spatial.Dist.pointToPoint _
+    // 80/20 skew: dense cluster in [0,1]^2, sparse halo spread 1000x wider
+    val dense = (0 until 800).map(i => Array((i % 40) * 0.025, (i / 40) * 0.05))
+    val sparse = (0 until 200).map(i => Array(1000.0 + (i % 20) * 500.0, (i / 20) * 800.0))
+    val lPool = (dense ++ sparse).toIndexedSeq
+    val radii = Array.fill(800)(0.05) ++ Array.fill(200)(400.0)
+    val initial = SpatialOps.farthestPointPivots(lPool, dist, 16)
+    val refined = SpatialOps.refinePivots(lPool, radii, lPool, dist, initial,
+      maxPivots = 32, quantile = 0.95, theta = 400.0)
+    assert(refined.length > initial.length, "skew must trigger splitting")
+    // the dense cluster must collect most of the added pivots
+    val added = refined.drop(initial.length)
+    assert(added.count(p => p(0) <= 1.0 && p(1) <= 1.0) > added.length / 2)
+    // max cell population must drop substantially
+    def maxCell(pivots: IndexedSeq[Array[Double]]): Int =
+      lPool.groupBy(p => pivots.indices.minBy(i => dist(p, pivots(i))))
+        .values.map(_.size).max
+    assert(maxCell(refined) < maxCell(initial) / 2,
+      s"refined max cell ${maxCell(refined)} vs initial ${maxCell(initial)}")
+
+    // invariants: budget respected, initial (maximin) pivots preserved as
+    // a prefix — sparse regions never lose their nearby pivots
+    assert(refined.length <= 32)
+    assert(refined.take(initial.length).map(_.toSeq) === initial.map(_.toSeq))
+
+    // already-balanced cells: refinement stops immediately (every cell
+    // the same population and cost -> max == mean)
+    val fourCorners = IndexedSeq(
+      Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0), Array(10.0, 10.0))
+    val balanced = fourCorners.flatMap(c =>
+      (0 until 50).map(i => Array(c(0) + (i % 5) * 0.01, c(1) + (i / 5) * 0.01)))
+    val bRefined = SpatialOps.refinePivots(balanced, Array.fill(200)(0.05),
+      balanced, dist, fourCorners, maxPivots = 16, quantile = 0.95, theta = 0.05)
+    assert(bRefined.length === 4, s"balanced cells must not split (got ${bRefined.length})")
+  }
+
   test("n-dimensional: 3-D distance join via grid equals naive") {
     import spark.implicits._
     val a = (1 to 60).map(i => (i.toLong, i * 1.0, (i % 7) * 2.0, (i % 5) * 3.0))
