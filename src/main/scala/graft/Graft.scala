@@ -21,9 +21,13 @@ import graft.index.{HashIndexedTable, IndexManager, IndexedTable, QuadTreeIndexe
   */
 object Graft {
 
-  /** Install the index-substitution optimizer rule and `graft_*` SQL
-    * functions on a live session. Idempotent. */
-  def install(spark: SparkSession): Unit = plans.GraftExtensions.install(spark)
+  /** Install the index-substitution optimizer rule, `graft_*` SQL
+    * functions, and the Point UDT (typed-Dataset surface) on a live
+    * session. Idempotent. */
+  def install(spark: SparkSession): Unit = {
+    spatial.SpatialUDT.register()
+    plans.GraftExtensions.install(spark)
+  }
 
   def indexTable(spark: SparkSession, df: DataFrame, name: String,
                  keyCols: Seq[String]): IndexedTable =

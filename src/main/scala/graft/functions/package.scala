@@ -27,6 +27,13 @@ package object functions {
   def pointDistance(ax: Column, ay: Column, bx: Column, by: Column): Column =
     pointDistance(Seq(ax, ay), Seq(bx, by))
 
+  /** Coordinate `i` (0-based) of a Point-UDT column. `UnwrapUDT` retypes
+    * the column to its physical `array<double>` (codegen'd identity — no
+    * per-row Point deserialization), `element_at` reads the ordinate. */
+  def pointCoord(p: Column, i: Int): Column =
+    element_at(toCol(
+      org.apache.spark.sql.catalyst.expressions.UnwrapUDT(toExpr(p))), i + 1)
+
   /** Box-range predicate: point in [low, high] on every dimension,
     * boundaries inclusive (semantics of reference expression/InRange.scala:31-46;
     * the conjunctive-filter equivalence is documented by the reference itself

@@ -54,6 +54,36 @@ object SpatialOps {
                 k: Int, leftId: String): DataFrame =
       knnJoin(right, leftKeys.toSeq, rightKeys.toSeq, k, leftId, Nil)
 
+    // Typed point-column verbs: queries addressing a Point-UDT column of
+    // a case-class Dataset, PRESERVING the element type T — the
+    // reference's class-inference surface (reference:
+    // examples/SpatialClassInference.scala:29-40; Point carries
+    // @SQLUserDefinedType there, here registration is by class name via
+    // graft.spatial.SpatialUDT.register / Graft.install, which must run
+    // before the first Dataset[T] with a Point field is created).
+    // Coordinates are read through UnwrapUDT + element_at — pure column
+    // arithmetic, no per-row Point objects.
+
+    /** Rows whose `pointCol` lies in the box [low, high] (inclusive). */
+    def range(pointCol: String, low: Array[Double], high: Array[Double]): Dataset[T] = {
+      val keys = low.indices.map(i => graft.functions.pointCoord(ds(pointCol), i))
+      ds.filter(inBox(keys, low.toSeq, high.toSeq))
+    }
+
+    /** Rows whose `pointCol` is within distance r of center (inclusive). */
+    def circleRange(pointCol: String, center: Array[Double], r: Double): Dataset[T] = {
+      val keys = center.indices.map(i => graft.functions.pointCoord(ds(pointCol), i))
+      ds.filter(inCircle(keys, center.toSeq, r))
+    }
+
+    /** The k rows whose `pointCol` is nearest to `center` (null points
+      * excluded; ties in distance unordered, like the reference). */
+    def knn(pointCol: String, center: Array[Double], k: Int): Dataset[T] = {
+      val keys = center.indices.map(i => graft.functions.pointCoord(ds(pointCol), i))
+      val d = pointDistance(keys, center.toSeq.map(lit))
+      ds.filter(d.isNotNull).orderBy(d.asc).limit(k)
+    }
+
     /** Rows within distance r of center (inclusive). */
     def circleRange(keys: Seq[String], center: Seq[Double], r: Double): DataFrame =
       ds.toDF.filter(inCircle(keys.map(col), center, r))

@@ -48,6 +48,22 @@ object Advanced {
     custQuadIndex(s, d).knn(Array(5000.0, 500.0), 10, tieBreak = Seq("c_custkey"))
       .orderBy(col("c_custkey"))
 
+  /** Typed-Dataset class inference (reference
+    * examples/SpatialClassInference.scala:29-40): the same box probe as
+    * sp_box_range, but through a `Dataset[CustPointRow]` whose Point-UDT
+    * column is queried by name — same oracle, because the surface must
+    * never change results. */
+  def pointUdtRangeQ(s: SparkSession, d: String): DataFrame = {
+    graft.spatial.SpatialUDT.register()
+    import s.implicits._
+    import graft.operators.SpatialOps._
+    customerPts(s, d).as[(Long, Double, Double)]
+      .map { case (id, x, y) => CustPointRow(id, x, y, graft.spatial.Point(Array(x, y))) }
+      .range("p", Array(2000.0, 100.0), Array(4000.0, 300.0))
+      .select(col("c_custkey"), col("cx"), col("cy"))
+      .orderBy(col("c_custkey"))
+  }
+
   def eventsHourlyStream(s: SparkSession, d: String): DataFrame =
     StreamingOps.hourlyEventStatsBatchEquivalent(s, d)
       .orderBy(col("hour_ms"), col("event_type"))
@@ -216,6 +232,7 @@ object Advanced {
     "sp_knn_indexed" -> Spatial.oracles("sp_knn"),
     "sp_quadtree_range" -> Spatial.oracles("sp_box_range"),
     "sp_quadtree_knn" -> Spatial.oracles("sp_knn"),
+    "sp_point_udt_range" -> Spatial.oracles("sp_box_range"),
     "q8_events_hourly_stream" -> Relational.oracles("q6_events_hourly"),
     // gaps-and-islands twin of BOTH sessionizers (custom-state and
     // native session_window): same (time, event_id) ordering, same
@@ -287,6 +304,11 @@ object Advanced {
     "sp_zknn_check" -> (zknnCheckQ _),
     "q15_sql_functions" -> (sqlFunctionsQ _),
     "mm_features_topk" -> (mediaFeaturesTopK _),
-    "mm_frame_sample" -> (mediaFrameSample _)
+    "mm_frame_sample" -> (mediaFrameSample _),
+    "sp_point_udt_range" -> (pointUdtRangeQ _)
   )
 }
+
+/** Customer point with a typed Point-UDT column (the class-inference
+  * surface exercised by sp_point_udt_range). */
+case class CustPointRow(c_custkey: Long, cx: Double, cy: Double, p: graft.spatial.Point)
