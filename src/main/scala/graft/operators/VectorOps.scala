@@ -247,8 +247,15 @@ object VectorOps {
       // spread over the embedding space, so a dense near-dup cluster
       // doesn't monopolize every pivot (same rationale as the spatial
       // pivot join under density skew)
-      val pivots = SpatialOps.farthestPointPivots[Array[Float]](
-        rS.toIndexedSeq, l2, numPivots).toArray
+      val pivots0 = SpatialOps.farthestPointPivots[Array[Float]](
+        rS.toIndexedSeq, l2, numPivots)
+      // cost-aware refinement (see SpatialOps.refinePivots): a near-dup
+      // embedding cluster otherwise collects 1-2 pivots and its cell's
+      // equi-join degenerates toward the cluster's cross product; codegen
+      // is O(1) in pivot count, so the extra pivots cost nothing to plan
+      val pivots = SpatialOps.refinePivots[Array[Float]](
+        lS.toIndexedSeq, radii, rS.toIndexedSeq, l2, pivots0,
+        maxPivots = 2 * numPivots, quantile = quantile, theta = theta).toArray
       // per-pivot-cell theta from the same sample — the skew discipline
       // of the spatial joins: a dense cluster of embeddings (near-dup
       // corpus) must filter at its own radius, not the global quantile's
