@@ -204,6 +204,18 @@ object Bench {
     rec.timed("b3i_knn_indexed") {
       idx.knn(Array(5000.0, 500.0), 10, Seq("c_custkey")).count()
     }
+    // quadtree twin: same probes through the multi-interval leaf pruning
+    val qt = IndexManager.quadTreeIndexTable(spark, customerPts(spark, sfDir),
+      s"bench_qt:$sfDir", Seq("cx", "cy"), numPartitions = 32)
+    rec.timed("b10q_quadtree_build") {
+      qt.boxRange(Array(0.0, 0.0), Array(1.0, 1.0)).count() // force build + cache
+    }
+    rec.timed("b1q_box_range_quadtree") {
+      qt.boxRange(Array(2000.0, 100.0), Array(4000.0, 300.0)).count()
+    }
+    rec.timed("b3q_knn_quadtree") {
+      qt.knn(Array(5000.0, 500.0), 10, Seq("c_custkey")).count()
+    }
   }
 
   def main(args: Array[String]): Unit = {
