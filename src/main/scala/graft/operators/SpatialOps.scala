@@ -926,7 +926,11 @@ object SpatialOps {
     * in the pivot count. The unrolled alternative (a column per pivot,
     * a when-chain per cell) made janino compile time the dominant cost
     * of the whole join past ~32 pivots, dwarfing the execution it was
-    * tuning. */
+    * tuning. The HOF lambdas evaluate interpreted (ArrayTransform is
+    * CodegenFallback) — a deliberate trade: O(numPivots) interpreted
+    * arithmetic per row against seconds of driver compile and a hard
+    * pivot-count ceiling; the hot path (exact distance over candidate
+    * pairs) stays codegen'd. */
   private[operators] def pivotCellKnn(
       l: DataFrame, rt: DataFrame, pivotsLit: Column,
       lDistToPivot: Column => Column, rDistToPivot: Column => Column,
