@@ -54,6 +54,24 @@ object SpatialOps {
                 k: Int, leftId: String): DataFrame =
       knnJoin(right, leftKeys.toSeq, rightKeys.toSeq, k, leftId, Nil)
 
+    /** Reference-parity kNN join with NO caller-supplied left id
+      * (reference `DataSet.scala:154-170` — its verb takes only keys and
+      * k): every physical left row keeps its own top-k, identified by a
+      * generated id that never leaves the plan. Deliberate deviation on
+      * byte-identical duplicate rows: the reference's reduceByKey merges
+      * them and the merged candidate list can then rank the SAME
+      * neighbor twice (CKJSpark.scala:33-59 concatenates each copy's
+      * list) — here each copy simply gets its own correct k neighbors.
+      * Callers with a real key column should pass it instead. */
+    def knnJoin(right: Dataset[_], leftKeys: Array[String], rightKeys: Array[String],
+                k: Int): DataFrame = {
+      val l = ds.toDF
+      val withId = l.withColumn("__graft_lid", monotonically_increasing_id())
+      new DatasetSpatialOps(withId)
+        .knnJoin(right, leftKeys.toSeq, rightKeys.toSeq, k, "__graft_lid", Nil)
+        .drop("__graft_lid")
+    }
+
     // Typed point-column verbs: queries addressing a Point-UDT column of
     // a case-class Dataset, PRESERVING the element type T — the
     // reference's class-inference surface (reference:

@@ -436,6 +436,30 @@ class SpatialOpsSpec extends SparkSpec {
     assert(bRefined.length === 4, s"balanced cells must not split (got ${bRefined.length})")
   }
 
+  test("id-less knnJoin: reference verb shape, per-row top-k incl. duplicates") {
+    import spark.implicits._
+    // the reference verb takes only keys and k (DataSet.scala:154-170);
+    // every physical row — duplicates included, like the reference's own
+    // example data (BasicSpatialOps.scala:29-31) — gets its own top-k
+    val a = Seq((1.0, 1.0, "1"), (2.0, 2.0, "dup"), (2.0, 2.0, "dup"),
+      (3.0, 3.0, "5"), (4.0, 4.0, "6")).toDF("x", "y", "tag")
+    val b = Seq((1.5, 1.5, 10L), (2.5, 2.5, 20L), (3.5, 3.5, 30L), (9.0, 9.0, 40L))
+      .toDF("bx", "by", "bid")
+    val got = a.knnJoin(b, Array("x", "y"), Array("bx", "by"), 2)
+    assert(got.count() === 10) // 5 physical rows x k=2
+    assert(got.columns.toSeq === Seq("x", "y", "tag", "bx", "by", "bid"))
+    // each duplicate copy gets the CORRECT distinct neighbor set
+    val dupNbrs = got.filter(col("tag") === "dup").select("bid")
+      .collect().map(_.getLong(0)).sorted
+    assert(dupNbrs.toSeq === Seq(10L, 10L, 20L, 20L))
+    // and the verb agrees with the explicit-id path on keyed data
+    val keyed = a.withColumn("rid", monotonically_increasing_id())
+    val viaId = keyed.knnJoin(b, Seq("x", "y"), Seq("bx", "by"), 2, "rid", Seq("bid"))
+      .select("x", "y", "bid")
+    val viaRow = got.select("x", "y", "bid")
+    assert(viaId.exceptAll(viaRow).isEmpty && viaRow.exceptAll(viaId).isEmpty)
+  }
+
   test("n-dimensional: 3-D distance join via grid equals naive") {
     import spark.implicits._
     val a = (1 to 60).map(i => (i.toLong, i * 1.0, (i % 7) * 2.0, (i % 5) * 3.0))
