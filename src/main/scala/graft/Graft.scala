@@ -51,6 +51,18 @@ object Graft {
   def hasIndex(spark: SparkSession, name: String): Boolean = IndexManager.hasIndex(spark, name)
   def dropIndexTableByName(spark: SparkSession, name: String): Unit =
     IndexManager.dropIndex(spark, name)
+
+  /** Table-scoped session DDL — the reference's `hasIndex(table, index)`,
+    * `showIndex(table)`, `dropIndexTableByName(table, index)` (reference:
+    * SimbaSession.scala:47-79), matched by `sameResult` on the table's
+    * plan like its IndexManager. Covers the plan-registered kinds
+    * (z-order/quadtree); range/hash indexes are name-addressed only. */
+  def hasIndex(spark: SparkSession, tableName: String, indexName: String): Boolean =
+    IndexManager.indexesOfPlan(spark, spark.table(tableName)).contains(indexName)
+  def showIndex(spark: SparkSession, tableName: String): Seq[String] =
+    IndexManager.indexesOfPlan(spark, spark.table(tableName)).sorted
+  def dropIndexTableByName(spark: SparkSession, tableName: String, indexName: String): Unit =
+    if (hasIndex(spark, tableName, indexName)) IndexManager.dropIndex(spark, indexName)
   def clearIndex(spark: SparkSession): Unit = IndexManager.clearIndex(spark)
   def persistIndex(idx: IndexedTable, path: String): Unit = IndexManager.persistIndex(idx, path)
   def loadIndex(spark: SparkSession, name: String, path: String): IndexedTable =

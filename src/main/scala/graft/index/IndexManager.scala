@@ -125,8 +125,11 @@ object IndexManager {
     })
   }
 
-  def hasIndex(spark: SparkSession, name: String): Boolean =
-    registry.contains((skey(spark), name))
+  def hasIndex(spark: SparkSession, name: String): Boolean = {
+    val key = (skey(spark), name)
+    registry.contains(key) || rangeRegistry.contains(key) ||
+      hashRegistry.contains(key) || quadRegistry.contains(key)
+  }
 
   def dropIndex(spark: SparkSession, name: String): Unit = {
     val key = (skey(spark), name)
@@ -545,15 +548,24 @@ object IndexManager {
     }
   }
 
-  /** Drop every z-order index whose registered SOURCE plan is the same
-    * query as `df` — the reference's plan-matched `dropIndex`
-    * (reference: DataSet.scala:194-197; its IndexManager keys on
-    * `plan.sameResult` the same way). Returns the dropped names. */
-  def dropIndexesOfPlan(spark: SparkSession, df: DataFrame): Seq[String] = {
+  /** Names of this session's plan-registered indexes (z-order/quadtree)
+    * whose SOURCE plan is the same query as `df` — the lookup behind the
+    * reference's table-scoped DDL (`hasIndex(table, index)`,
+    * `showIndex(table)`; its IndexManager keys on `plan.sameResult` the
+    * same way, IndexManager.scala:70-103). Range/hash indexes register
+    * no source plan (name-addressed only, by design). */
+  def indexesOfPlan(spark: SparkSession, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.optimizedPlan
-    val mine = planSubs.iterator
+    planSubs.iterator
       .filter { case ((sid, _), (src, _)) => sid == skey(spark) && src.sameResult(plan) }
       .map(_._1._2).toSeq
+  }
+
+  /** Drop every z-order index whose registered SOURCE plan is the same
+    * query as `df` — the reference's plan-matched `dropIndex`
+    * (reference: DataSet.scala:194-197). Returns the dropped names. */
+  def dropIndexesOfPlan(spark: SparkSession, df: DataFrame): Seq[String] = {
+    val mine = indexesOfPlan(spark, df)
     mine.foreach(dropIndex(spark, _))
     mine
   }

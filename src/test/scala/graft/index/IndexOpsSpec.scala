@@ -51,6 +51,26 @@ class IndexOpsSpec extends SparkSpec {
       .foreach(IndexManager.dropIndex(spark, _))
   }
 
+  test("table-scoped DDL: hasIndex/showIndex/drop by (table, index) plan match") {
+    val other = Tables.supplierPts(spark, sf())
+    cust.createOrReplaceTempView("v_scoped_cust")
+    other.createOrReplaceTempView("v_scoped_supp")
+    graft.Graft.indexTable(spark, "v_scoped_cust", RTreeType, "v_sc_idx", Array("cx", "cy"))
+    graft.Graft.indexTable(spark, "v_scoped_supp", QuadTreeType, "v_ss_idx", Array("sx", "sy"))
+    try {
+      assert(graft.Graft.hasIndex(spark, "v_scoped_cust", "v_sc_idx"))
+      assert(!graft.Graft.hasIndex(spark, "v_scoped_cust", "v_ss_idx"),
+        "another table's index must not match")
+      assert(graft.Graft.showIndex(spark, "v_scoped_cust") === Seq("v_sc_idx"))
+      assert(graft.Graft.showIndex(spark, "v_scoped_supp") === Seq("v_ss_idx"))
+      // wrong table: drop is a no-op; right table: drops
+      graft.Graft.dropIndexTableByName(spark, "v_scoped_cust", "v_ss_idx")
+      assert(IndexManager.hasIndex(spark, "v_ss_idx"))
+      graft.Graft.dropIndexTableByName(spark, "v_scoped_supp", "v_ss_idx")
+      assert(!IndexManager.hasIndex(spark, "v_ss_idx"))
+    } finally Seq("v_sc_idx", "v_ss_idx").foreach(IndexManager.dropIndex(spark, _))
+  }
+
   test("dropIndex() drops by plan match, not by name") {
     val other = Tables.supplierPts(spark, sf())
     cust.index(RTreeType, "v_mine", Array("cx", "cy"))
