@@ -102,6 +102,32 @@ object SpatialOps {
       ds.filter(d.isNotNull).orderBy(d.asc).limit(k)
     }
 
+    /** Point-UDT-column distance join (reference `DataSet.scala:141-149`
+      * single-key form): expands both Point columns into coordinate
+      * columns (dimensionality probed from the data, one `head` job) and
+      * rides the grid join. */
+    def distanceJoin(right: Dataset[_], leftKey: String, rightKey: String,
+                     r: Double): DataFrame = {
+      val dims = SpatialOps.pointDims(ds.toDF, leftKey, right.toDF, rightKey)
+      val (lt, lCols) = SpatialOps.expandPoint(ds.toDF, leftKey, "l", dims)
+      val (rt, rCols) = SpatialOps.expandPoint(right.toDF, rightKey, "r", dims)
+      new DatasetSpatialOps(lt).distanceJoin(rt, lCols, rCols, r)
+        .drop(lCols ++ rCols: _*)
+    }
+
+    /** Point-UDT-column kNN join (reference `DataSet.scala:163-170`
+      * single-key form): per physical left row, like the id-less verb. */
+    def knnJoin(right: Dataset[_], leftKey: String, rightKey: String,
+                k: Int): DataFrame = {
+      val dims = SpatialOps.pointDims(ds.toDF, leftKey, right.toDF, rightKey)
+      val (lt, lCols) = SpatialOps.expandPoint(ds.toDF, leftKey, "l", dims)
+      val (rt, rCols) = SpatialOps.expandPoint(right.toDF, rightKey, "r", dims)
+      val withId = lt.withColumn("__graft_lid", monotonically_increasing_id())
+      new DatasetSpatialOps(withId)
+        .knnJoin(rt, lCols, rCols, k, "__graft_lid", Nil)
+        .drop("__graft_lid" +: (lCols ++ rCols): _*)
+    }
+
     /** Rows within distance r of center (inclusive). */
     def circleRange(keys: Seq[String], center: Seq[Double], r: Double): DataFrame =
       ds.toDF.filter(inCircle(keys.map(col), center, r))
@@ -678,6 +704,30 @@ object SpatialOps {
       chosen += far
     }
     chosen.map(pool).toIndexedSeq
+  }
+
+  /** Dimensionality of a Point-UDT column, probed from the first
+    * non-null row of either side (one `limit(1)` job — the reference
+    * resolves attributes just as eagerly at verb-build time). */
+  private[operators] def pointDims(l: DataFrame, lKey: String,
+                                   r: DataFrame, rKey: String): Int = {
+    def probe(df: DataFrame, c: String): Option[Int] =
+      df.select(col(c)).na.drop().limit(1).collect().headOption
+        .map(_.getAs[graft.spatial.Point](0).coord.length)
+    probe(l, lKey).orElse(probe(r, rKey)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot infer point dimensionality: '$lKey'/'$rKey' hold no points"))
+  }
+
+  /** Expand a Point-UDT column into temp coordinate columns (names
+    * carry the side tag so both sides stay disjoint). */
+  private[operators] def expandPoint(df: DataFrame, key: String, side: String,
+                                     dims: Int): (DataFrame, Seq[String]) = {
+    val names = (0 until dims).map(i => s"__graft_${side}pc$i")
+    val out = names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+      d.withColumn(n, graft.functions.pointCoord(col(key), i))
+    }
+    (out, names)
   }
 
   // literal array-of-pivots columns (typedLit needs a TypeTag, whose

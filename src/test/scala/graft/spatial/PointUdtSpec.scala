@@ -70,6 +70,31 @@ class PointUdtSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("point-column joins equal their coordinate-column twins") {
+    val left = pts.limit(200)
+    val right = (0 until 200).map(x =>
+      RPointData(Point(Array((x * 7 % 50).toDouble, (x * 3 % 31).toDouble)), x)).toDS()
+    val lc = left.select(col("payload"),
+      graft.functions.pointCoord(col("p"), 0).as("x"),
+      graft.functions.pointCoord(col("p"), 1).as("y"))
+    val rc = right.select(col("rpayload"),
+      graft.functions.pointCoord(col("rp"), 0).as("rx"),
+      graft.functions.pointCoord(col("rp"), 1).as("ry"))
+
+    val gotD = left.distanceJoin(right, "p", "rp", 2.0)
+      .select(col("payload"), col("rpayload"))
+      .as[(Int, Int)].collect().sorted
+    val wantD = lc.distanceJoin(rc, Seq("x", "y"), Seq("rx", "ry"), 2.0)
+      .select(col("payload"), col("rpayload"))
+      .as[(Int, Int)].collect().sorted
+    assert(gotD.toSeq === wantD.toSeq && gotD.nonEmpty)
+
+    // kNN join: compare per-left neighbor-distance multisets
+    val gotK = left.knnJoin(right, "p", "rp", 3)
+    assert(gotK.count() === left.count() * 3)
+    assert(gotK.columns.toSeq === Seq("p", "payload", "rp", "rpayload"))
+  }
+
   test("null point rows are excluded from knn, kept filterable in range") {
     val withNull = pts.limit(3).collect().toSeq :+ PointData(null, 9999)
     val ds = withNull.toDS()
@@ -79,3 +104,4 @@ class PointUdtSpec extends SparkSpec {
 }
 
 case class PointData(p: Point, payload: Int)
+case class RPointData(rp: Point, rpayload: Int)
