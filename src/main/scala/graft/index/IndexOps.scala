@@ -79,6 +79,12 @@ object IndexOps {
       ds
     }
 
+    /** Reference signature parity (reference: DataSet.scala:194-202).
+      * `blocking` is accepted for source compatibility; unpersist here is
+      * always non-blocking (Spark's own default), which is also what the
+      * reference passes for the no-arg form. */
+    def dropIndex(blocking: Boolean): Dataset[T] = dropIndex()
+
     def dropIndexByName(indexName: String): Dataset[T] = {
       IndexManager.dropIndex(ds.sparkSession, indexName)
       ds
