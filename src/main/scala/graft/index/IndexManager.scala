@@ -198,18 +198,24 @@ object IndexManager {
     })
   }
 
-  private def build(spark: SparkSession, df: DataFrame, name: String,
-                    keyCols: Seq[String], numPartitions: Int, bits: Int): IndexedTable = {
-    require(keyCols.nonEmpty && keyCols.length * bits <= 62)
-    // pass 1: exact global bounds (tiny distributed agg; the reference
-    // samples + collects instead, STRPartitioner.scala:88-97)
+  /** Pass 1 of every spatial build: exact global bounds (tiny
+    * distributed agg; the reference samples + collects instead,
+    * STRPartitioner.scala:88-97). */
+  private def exactBounds(df: DataFrame, name: String,
+                          keyCols: Seq[String]): (Array[Double], Array[Double]) = {
     val aggs = keyCols.flatMap(c =>
       Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c")))
     val b = df.agg(aggs.head, aggs.tail: _*).head()
     require(!b.isNullAt(0),
       s"cannot index '$name': table is empty or key column is all null")
-    val lows = keyCols.indices.map(i => b.getDouble(2 * i)).toArray
-    val highs = keyCols.indices.map(i => b.getDouble(2 * i + 1)).toArray
+    (keyCols.indices.map(i => b.getDouble(2 * i)).toArray,
+     keyCols.indices.map(i => b.getDouble(2 * i + 1)).toArray)
+  }
+
+  private def build(spark: SparkSession, df: DataFrame, name: String,
+                    keyCols: Seq[String], numPartitions: Int, bits: Int): IndexedTable = {
+    require(keyCols.nonEmpty && keyCols.length * bits <= 62)
+    val (lows, highs) = exactBounds(df, name, keyCols)
 
     // cluster: range-partition + sort by the Morton key, cache
     val z = zorder(keyCols.map(col), lows.toSeq, highs.toSeq, bits)
@@ -259,13 +265,7 @@ object IndexManager {
                         keyCols: Seq[String], numPartitions: Int, bits: Int,
                         capacity: Long): QuadTreeIndexedTable = {
     require(keyCols.nonEmpty && keyCols.length * bits <= 62)
-    val aggs = keyCols.flatMap(c =>
-      Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c")))
-    val b = df.agg(aggs.head, aggs.tail: _*).head()
-    require(!b.isNullAt(0),
-      s"cannot index '$name': table is empty or key column is all null")
-    val lows = keyCols.indices.map(i => b.getDouble(2 * i)).toArray
-    val highs = keyCols.indices.map(i => b.getDouble(2 * i + 1)).toArray
+    val (lows, highs) = exactBounds(df, name, keyCols)
 
     val withZ = df.withColumn(ZCol,
       zorder(keyCols.map(col), lows.toSeq, highs.toSeq, bits))
@@ -312,7 +312,15 @@ object IndexManager {
     val shift = dims * (bits - maxDepth)
     val statAggs = keyCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))) :+ count(lit(1))
+    // null-keyed rows are excluded from the tree: quantize clamps a null
+    // ordinate to cell 0 (Spark's greatest/least skip nulls), so such a
+    // row lands in a real prefix group whose min/max over the null key
+    // can then be null and crash the MBR read below. They can never
+    // satisfy a box/circle/knn predicate — scans that admit them through
+    // a z-interval re-filter them exactly, matching the z index (whose
+    // stats min/max skip them the same way).
     val rows = withZ
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(shiftrightunsigned(col(ZCol), shift).as("__pfx"))
       .agg(statAggs.head, statAggs.tail: _*)
       .collect()

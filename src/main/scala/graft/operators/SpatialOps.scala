@@ -66,7 +66,13 @@ object SpatialOps {
     def knnJoin(right: Dataset[_], leftKeys: Array[String], rightKeys: Array[String],
                 k: Int): DataFrame = {
       val l = ds.toDF
+      // localCheckpoint pins the generated ids: the inner join evaluates
+      // its left in TWO plan branches (candidates and the starved
+      // anti-join), and monotonically_increasing_id is only stable per
+      // evaluation — a shuffled left could otherwise number the branches
+      // differently and duplicate or drop rows
       val withId = l.withColumn("__graft_lid", monotonically_increasing_id())
+        .localCheckpoint()
       new DatasetSpatialOps(withId)
         .knnJoin(right, leftKeys.toSeq, rightKeys.toSeq, k, "__graft_lid", Nil)
         .drop("__graft_lid")
@@ -122,7 +128,10 @@ object SpatialOps {
       val dims = SpatialOps.pointDims(ds.toDF, leftKey, right.toDF, rightKey)
       val (lt, lCols) = SpatialOps.expandPoint(ds.toDF, leftKey, "l", dims)
       val (rt, rCols) = SpatialOps.expandPoint(right.toDF, rightKey, "r", dims)
+      // localCheckpoint: same generated-id stability argument as the
+      // id-less coordinate verb above
       val withId = lt.withColumn("__graft_lid", monotonically_increasing_id())
+        .localCheckpoint()
       new DatasetSpatialOps(withId)
         .knnJoin(rt, lCols, rCols, k, "__graft_lid", Nil)
         .drop("__graft_lid" +: (lCols ++ rCols): _*)

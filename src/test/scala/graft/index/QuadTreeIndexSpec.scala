@@ -100,6 +100,22 @@ class QuadTreeIndexSpec extends SparkSpec {
     } finally IndexManager.dropIndex(spark, "qt_seam")
   }
 
+  test("null-keyed rows: build succeeds, results match the z-index parity contract") {
+    val withNulls = cust.withColumn("cx",
+      when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("cx")))
+    val idx = IndexManager.quadTreeIndexTable(spark, withNulls, "qt_nulls",
+      Seq("cx", "cy"), numPartitions = 8)
+    try {
+      val got = idx.boxRange(Array(0.0, 100.0), Array(5000.0, 600.0))
+      val want = withNulls.boxRange(Seq("cx", "cy"), Seq(0.0, 100.0), Seq(5000.0, 600.0))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      assert(got.count() > 0)
+      // the tree covers exactly the non-null rows
+      assert(idx.leaves.map(_.count).sum ===
+        withNulls.filter(col("cx").isNotNull).count())
+    } finally IndexManager.dropIndex(spark, "qt_nulls")
+  }
+
   test("persist/load round trip: same results, same tree") {
     withQuad("qt_persist") { idx =>
       val dir = java.nio.file.Files.createTempDirectory("graft_qt").toString
