@@ -183,6 +183,25 @@ package object functions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  // PII-ish patterns, deliberately restricted to syntax valid in BOTH
+  // Java regex (Spark) and RE2 (DuckDB/ripgrep) so the redaction is
+  // SQL-oracle-able: no lookarounds, no possessive quantifiers
+  private[graft] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val UrlRe = """https?://[^\s]+"""
+  private[graft] val PhoneRe = """\d{3}[-.]\d{3}[-.]\d{4}"""
+
+  /** Curation-pipeline redaction: emails, URLs, then phone-shaped
+    * numbers replaced by typed tokens. URL first of the three REPLACED
+    * patterns would eat emails inside URLs — order is email, URL, phone
+    * so `mailto:`-less addresses keep their own token. Codegen'd
+    * built-in `regexp_replace` all the way (replaces every match). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      PhoneRe, "<PHONE>")
+
   /** BPE-ish token pattern: letter runs, digit runs, single non-space
     * punctuation — the word-boundary pre-split BPE vocabularies use.
     * ASCII classes only so Java and RE2-based engines agree. */

@@ -75,6 +75,28 @@ object VectorOps {
         .orderBy(col("cos").desc, col(idCol).asc)
         .limit(k)
 
+    /** Symmetric max-abs int8 quantization of an embedding column — the
+      * storage-path op of a training-data pipeline (4x smaller vectors
+      * before a write). Emits (id, scale, q) where `scale` = max |v_i|
+      * and `q_i = floor(v_i * 127 / scale + 0.5)` (explicit
+      * floor-of-shifted instead of round(): the same exact IEEE
+      * expression is writable in any SQL engine, so the op is
+      * hash-oracle-able; round() half-even/half-up dialects differ).
+      * All-zero vectors quantize to all-zero with scale 0. Pure
+      * higher-order built-ins — no shuffle, no UDF. */
+    def quantizeInt8(vecCol: String, idCol: String): DataFrame = {
+      val asD = transform(col(vecCol), x => abs(x.cast("double")))
+      ds.toDF
+        .withColumn("scale", aggregate(asD, lit(0.0), (a, x) => greatest(a, x)))
+        .select(
+          col(idCol),
+          col("scale"),
+          when(col("scale") === 0.0, transform(col(vecCol), _ => lit(0)))
+            .otherwise(transform(col(vecCol), x =>
+              floor(x.cast("double") * 127.0 / col("scale") + 0.5).cast("int")))
+            .as("q"))
+    }
+
     /** Approximate top-k: candidates must share >= 1 sketch band with the
       * query (`bandBits`-bit blocks of the hyperplane sketch), then exact
       * cosine ranks them. `planes`/`bandBits` trade recall for scan cost:

@@ -190,6 +190,35 @@ object Pipeline {
         qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** PII redaction over a deterministically dirtied corpus: the raw
+    * documents carry no emails/URLs/phones (verified), so every 3rd doc
+    * gets a synthetic contact line appended — both engines replay the
+    * SAME injection, then the SAME email→URL→phone redaction chain, so
+    * the whole op is hash-checked with real matches (the patterns are
+    * restricted to Java-regex ∩ RE2 syntax on purpose). */
+  def redactQ(s: SparkSession, d: String): DataFrame = {
+    val dirty = documents(s, d).withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://ex.org/d/"), col("doc_id"),
+          lit(" tel 555-867-530"), col("doc_id") % 10))
+        .otherwise(col("text")))
+    dirty.select(col("doc_id"),
+        graft.functions.redactPii(col("text")).as("red_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Symmetric max-abs int8 quantization of the embeddings table — the
+    * storage-path op (4x smaller vectors). floor-of-shifted instead of
+    * round() keeps the arithmetic dialect-portable -> full hash oracle;
+    * the int array rides as a joined string (the q21 array precedent —
+    * the compare harness hashes scalars). */
+  def quantizeQ(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).quantizeInt8("embedding", "vec_id")
+      .select(col("vec_id"), col("scale"),
+        array_join(col("q"), ",").as("q_csv"))
+      .orderBy(col("vec_id"))
+
   // ---- text analysis ----
 
   def textStatsQ(s: SparkSession, d: String): DataFrame =
@@ -484,6 +513,36 @@ object Pipeline {
       |WHERE jaccard >= 0.8""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same injection, same email -> URL -> phone replacement chain; the
+    // patterns are Java-regex ∩ RE2 so both engines see identical matches
+    "pp_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        CASE WHEN doc_id % 3 = 0
+        |             THEN text || ' contact user' || doc_id ||
+        |                  '@example.com or https://ex.org/d/' || doc_id ||
+        |                  ' tel 555-867-530' || (doc_id % 10)
+        |             ELSE text END,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS red_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical IEEE shape: scale = max |v| (order-independent), then
+    // floor(v * 127 / scale + 0.5) per element; zero vectors -> zeros
+    "emb_quantize_int8" ->
+      """SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |  array_to_string(
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+        |         THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding, x -> CAST(floor(
+        |                CAST(x AS DOUBLE) * 127.0
+        |                / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+        |                + 0.5) AS INT))
+        |    END, ',') AS q_csv
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "pp_curation_pipeline" ->
       s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
          |SELECT doc_id, lang, $ntokSql AS n_tokens,
@@ -631,6 +690,8 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pp_curation_pipeline" -> (curationPipelineQ _),
+    "pp_redact" -> (redactQ _),
+    "emb_quantize_int8" -> (quantizeQ _),
     "dd_exact_dedup" -> (exactDedupQ _),
     "dd_minhash_pairs" -> (minHashPairsQ _),
     "dd_minhash_pairs_capped" -> (minHashCappedQ _),

@@ -104,4 +104,21 @@ class ExpressionsSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
     }
   }
+
+  test("redactPii replaces emails, URLs, and phone numbers with typed tokens") {
+    val cases = Seq(
+      ("write to a.user+x@sub.example.org today",
+       "write to <EMAIL> today"),
+      ("docs at https://ex.org/p?q=1#frag and http://plain.io/x",
+       "docs at <URL> and <URL>"),
+      ("call 555-867-5309 or 555.123.4567 now",
+       "call <PHONE> or <PHONE> now"),
+      // an email inside a URL path: the email token is substituted
+      // first, then the URL pass collapses the whole non-whitespace run
+      ("see https://ex.org/u/a@b.co/profile", "see <URL>"),
+      ("no pii here at all", "no pii here at all"))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.redactPii($"t")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g === w) }
+  }
 }

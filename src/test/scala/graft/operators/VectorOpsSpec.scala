@@ -173,4 +173,29 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   private def byIdOf(id: Long): Array[Float] = all.find(_._1 == id).get._2
+
+  test("quantizeInt8: values in [-127,127], dequantization error bounded, zero vector safe") {
+    import spark.implicits._
+    val withZero = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((9999L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding"))
+    val rows = withZero.quantizeInt8("embedding", "vec_id")
+      .join(withZero, Seq("vec_id"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val q = r.getSeq[Int](r.fieldIndex("q"))
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      assert(q.forall(x => x >= -127 && x <= 127))
+      if (scale == 0.0) assert(q.forall(_ == 0))
+      else {
+        // max dequantization error = half a quantization step
+        val step = scale / 127.0
+        q.zip(v).foreach { case (qi, vi) =>
+          assert(math.abs(qi * step - vi) <= step / 2 + 1e-9,
+            s"vec ${r.getLong(0)}: $qi * $step vs $vi")
+        }
+      }
+    }
+  }
 }
