@@ -154,6 +154,38 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Memory-traversing calibration probe — the splitmix loop's blind
+    * spot (proven in round 6: a co-runner that saturates memory
+    * bandwidth inflates query wall AND CPU time proportionally, so
+    * `cpu_per_wall` stays normal, while the register-only ALU loop
+    * reads clean). Each of `cpus` tasks fills a 64 MiB Long array
+    * (32 tasks = 2 GiB, far past any LLC) and then makes 16M strided
+    * reads (odd stride, power-of-two wrap -> full-period visit order
+    * that defeats the prefetcher), so the probe's wall time is memory-
+    * bandwidth-bound. A run where this probe disagrees with its
+    * BASELINE.md reference while the ALU probe reads clean is
+    * bandwidth/cache contamination. */
+  private def memCalibration(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    val mix = spark.sparkContext.parallelize(0 until cpus, cpus).map { seed =>
+      val n = 1 << 23 // 8M longs = 64 MiB per task
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = (i + seed).toLong * 0x9E3779B97F4A7C15L; i += 1 }
+      var acc = 0L
+      var idx = seed & (n - 1)
+      var j = 0
+      while (j < (n << 1)) { // 16M reads x 64B lines = 1 GiB of traffic/task
+        acc ^= a(idx)
+        idx = (idx + 4097) & (n - 1)
+        j += 1
+      }
+      acc
+    }.reduce(_ ^ _)
+    if (mix == 42L) System.err.println("[bench] mem calibration fixpoint") // defeat DCE
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Accumulates executor CPU nanoseconds across completed stages.
     * Snapshot deltas around each timed query give `cpu_per_wall` =
     * stage CPU seconds / wall seconds — a per-query contention
@@ -188,11 +220,16 @@ object Bench {
     }
   }
 
-  /** Indexed-path timings: build once (reported), then query. */
+  /** Indexed-path timings: build once (reported), then query. The
+    * `indexTable`/`quadTreeIndexTable` calls run their driver-side work
+    * (bounds agg, leaf collect) eagerly, so they sit INSIDE the timed
+    * block — the build entries measure the whole build, not just the
+    * cache fill. */
   private def indexedPhase(spark: SparkSession, sfDir: String, rec: Recorder): Unit = {
-    val idx = IndexManager.indexTable(spark, customerPts(spark, sfDir),
-      s"bench:$sfDir", Seq("cx", "cy"), numPartitions = 32)
+    var idx: graft.index.IndexedTable = null
     rec.timed("b10_index_build") {
+      idx = IndexManager.indexTable(spark, customerPts(spark, sfDir),
+        s"bench:$sfDir", Seq("cx", "cy"), numPartitions = 32)
       idx.boxRange(Array(0.0, 0.0), Array(1.0, 1.0)).count() // force build + cache
     }
     rec.timed("b1i_box_range_indexed") {
@@ -205,9 +242,10 @@ object Bench {
       idx.knn(Array(5000.0, 500.0), 10, Seq("c_custkey")).count()
     }
     // quadtree twin: same probes through the multi-interval leaf pruning
-    val qt = IndexManager.quadTreeIndexTable(spark, customerPts(spark, sfDir),
-      s"bench_qt:$sfDir", Seq("cx", "cy"), numPartitions = 32)
+    var qt: graft.index.QuadTreeIndexedTable = null
     rec.timed("b10q_quadtree_build") {
+      qt = IndexManager.quadTreeIndexTable(spark, customerPts(spark, sfDir),
+        s"bench_qt:$sfDir", Seq("cx", "cy"), numPartitions = 32)
       qt.boxRange(Array(0.0, 0.0), Array(1.0, 1.0)).count() // force build + cache
     }
     rec.timed("b1q_box_range_quadtree") {
@@ -243,7 +281,12 @@ object Bench {
       try calibration(spark, cpus.toInt)
       catch { case e: Throwable =>
         System.err.println(s"[bench] calibration failed: $e"); -1.0 }
+    def memCal(): Double =
+      try memCalibration(spark, cpus.toInt)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] mem calibration failed: $e"); -1.0 }
     val calPre = cal()
+    val memPre = memCal()
 
     val rec = new Recorder(listener)
     headline.foreach { case (name, fn) =>
@@ -252,15 +295,28 @@ object Bench {
     try indexedPhase(spark, sfDir, rec)
     catch { case e: Throwable => System.err.println(s"[bench] indexed phase failed: $e") }
     val calPost = cal()
+    val memPost = memCal()
 
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // calibration measures the environment, not the engine: top-level
     // fields, never part of `queries`, so sum(queries) == total
     val total = rec.wall.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${jmap(rec.wall)},"cpu_per_wall":${jmap(rec.cpuRatio)},""" +
-      s""""calibration_pre":$calPre,"calibration_post":$calPost,"sf":"$sfDir"}""")
+      s""""calibration_pre":$calPre,"calibration_post":$calPost,""" +
+      s""""calibration_mem_pre":$memPre,"calibration_mem_post":$memPost,""" +
+      s""""sf":"$sfDir"}"""
+    println(line)
+    // also land the line in a file: log-relay tail limits truncated the
+    // round-6 artifact mid-JSON, losing 11 entries — a file can't be
+    // clipped by a stdout relay
+    try {
+      val p = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] json also written to ${p.toAbsolutePath}")
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

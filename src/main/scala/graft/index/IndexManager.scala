@@ -440,7 +440,7 @@ object IndexManager {
     idx.data.write.mode("overwrite").parquet(s"$path/data")
     val spark = idx.data.sparkSession
     import spark.implicits._
-    Seq(s"""{"kind": "range", "keyCol": "${idx.keyCol}"}""")
+    Seq(s"""{"kind": "range", "keyCol": ${jstr(idx.keyCol)}}""")
       .toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
   }
 
@@ -462,7 +462,7 @@ object IndexManager {
     idx.data.write.mode("overwrite").parquet(s"$path/data")
     val spark = idx.data.sparkSession
     import spark.implicits._
-    Seq(s"""{"kind": "hash", "keyCol": "${idx.keyCol}"}""")
+    Seq(s"""{"kind": "hash", "keyCol": ${jstr(idx.keyCol)}}""")
       .toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
   }
 
@@ -486,7 +486,7 @@ object IndexManager {
     idx.data.write.mode("overwrite").parquet(s"$path/data")
     val spark = idx.data.sparkSession
     import spark.implicits._
-    val cols = idx.keyCols.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val cols = idx.keyCols.map(jstr).mkString("[", ",", "]")
     Seq(s"""{"kind": "quadtree", "keyCols": $cols, """ +
         s""""lows": ${idx.lows.mkString("[", ",", "]")}, """ +
         s""""highs": ${idx.highs.mkString("[", ",", "]")}, """ +
@@ -511,9 +511,9 @@ object IndexManager {
   }
 
   private def strField(json: String, key: String): String =
-    (s"""\"$key\":\\s*\"(.*?)\"""").r.findFirstMatchIn(json).getOrElse(
+    junstr((s"""\"$key\":\\s*\"((?:[^\"\\\\]|\\\\.)*)\"""").r.findFirstMatchIn(json).getOrElse(
       throw new IllegalArgumentException(s"index meta missing '$key': $json")
-    ).group(1)
+    ).group(1))
 
   /** Re-cache the named index (any kind, this session) at `level` —
     * the reference's `setStorageLevel` (reference: IndexManager.scala:
@@ -542,17 +542,21 @@ object IndexManager {
         s"no index named '$name' in this session"))
   }
 
-  /** Load an index persisted at `path`, dispatching on its metadata:
-    * z-order metadata carries `keyCols`, range/hash carry a `kind` tag. */
+  /** Load an index persisted at `path`, dispatching on its metadata's
+    * `kind` tag (z-order metadata written before the tag existed has
+    * none — those fall back on the `keyCols` shape). */
   def loadIndexAuto(spark: SparkSession, name: String, path: String): Unit = {
     val meta = spark.read.textFile(s"$path/meta").head()
-    if (meta.contains("\"quadtree\"")) loadQuadIndex(spark, name, path)
-    else if (meta.contains("\"keyCols\"")) loadIndex(spark, name, path)
-    else strField(meta, "kind") match {
-      case "range" => loadRangeIndex(spark, name, path)
-      case "hash"  => loadHashIndex(spark, name, path)
-      case other   => throw new IllegalArgumentException(
+    (""""kind":\s*"(\w+)"""".r).findFirstMatchIn(meta).map(_.group(1)) match {
+      case Some("quadtree")           => loadQuadIndex(spark, name, path)
+      case Some("zorder")             => loadIndex(spark, name, path)
+      case Some("range")              => loadRangeIndex(spark, name, path)
+      case Some("hash")               => loadHashIndex(spark, name, path)
+      case Some(other)                => throw new IllegalArgumentException(
         s"unknown persisted index kind '$other' at $path")
+      case None if meta.contains("\"keyCols\"") => loadIndex(spark, name, path)
+      case None                       => throw new IllegalArgumentException(
+        s"unrecognized index meta at $path: $meta")
     }
   }
 
@@ -578,21 +582,35 @@ object IndexManager {
     mine
   }
 
-  // minimal hand-rolled JSON (no extra deps)
+  // minimal hand-rolled JSON (no extra deps); column names pass through
+  // jstr/junstr so quotes and backslashes round-trip
+  private[index] def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private val EscapedChar = """\\(.)""".r
+  private[index] def junstr(s: String): String =
+    EscapedChar.replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
+
+  private val QuotedStr = """"((?:[^"\\]|\\.)*)"""".r
+
   private def ujsonish(idx: IndexedTable): String = {
-    val cols = idx.keyCols.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val cols = idx.keyCols.map(jstr).mkString("[", ",", "]")
     val lo = idx.lows.mkString("[", ",", "]")
     val hi = idx.highs.mkString("[", ",", "]")
-    s"""{"keyCols": $cols, "lows": $lo, "highs": $hi, "bits": ${idx.bits}}"""
+    s"""{"kind": "zorder", "keyCols": $cols, "lows": $lo, "highs": $hi, "bits": ${idx.bits}}"""
   }
 
   private def parseMeta(s: String): (Seq[String], Array[Double], Array[Double], Int) = {
-    def arr(key: String): Array[String] = {
-      val m = (s"""\"$key\":\\s*\\[(.*?)\\]""").r.findFirstMatchIn(s).get.group(1)
-      if (m.trim.isEmpty) Array.empty else m.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    def raw(key: String): String =
+      (s"""\"$key\":\\s*\\[(.*?)\\]""").r.findFirstMatchIn(s).get.group(1)
+    def strArr(key: String): Seq[String] =
+      QuotedStr.findAllMatchIn(raw(key)).map(m => junstr(m.group(1))).toSeq
+    def numArr(key: String): Array[Double] = {
+      val m = raw(key)
+      if (m.trim.isEmpty) Array.empty else m.split(",").map(_.trim.toDouble)
     }
     val bits = """"bits":\s*(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
-    (arr("keyCols").toSeq, arr("lows").map(_.toDouble), arr("highs").map(_.toDouble), bits)
+    (strArr("keyCols"), numArr("lows"), numArr("highs"), bits)
   }
 }
 

@@ -716,16 +716,25 @@ object SpatialOps {
   }
 
   /** Dimensionality of a Point-UDT column, probed from the first
-    * non-null row of either side (one `limit(1)` job — the reference
-    * resolves attributes just as eagerly at verb-build time). */
+    * non-null row of each side (one `limit(1)` job per side — the
+    * reference resolves attributes just as eagerly at verb-build time).
+    * Both sides must agree: a silent mismatch would read nulls past the
+    * shorter coord array and return wrong/empty joins. */
   private[operators] def pointDims(l: DataFrame, lKey: String,
                                    r: DataFrame, rKey: String): Int = {
     def probe(df: DataFrame, c: String): Option[Int] =
       df.select(col(c)).na.drop().limit(1).collect().headOption
         .map(_.getAs[graft.spatial.Point](0).coord.length)
-    probe(l, lKey).orElse(probe(r, rKey)).getOrElse(
-      throw new IllegalArgumentException(
-        s"cannot infer point dimensionality: '$lKey'/'$rKey' hold no points"))
+    (probe(l, lKey), probe(r, rKey)) match {
+      case (Some(a), Some(b)) =>
+        require(a == b,
+          s"point dimensionality mismatch: '$lKey' is $a-D but '$rKey' is $b-D")
+        a
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalArgumentException(
+        s"cannot infer point dimensionality: '$lKey'/'$rKey' hold no points")
+    }
   }
 
   /** Expand a Point-UDT column into temp coordinate columns (names

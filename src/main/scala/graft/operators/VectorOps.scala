@@ -85,15 +85,18 @@ object VectorOps {
       * All-zero vectors quantize to all-zero with scale 0. Pure
       * higher-order built-ins — no shuffle, no UDF. */
     def quantizeInt8(vecCol: String, idCol: String): DataFrame = {
+      // internal __graft_ name for the intermediate so an input column
+      // that happens to be called "scale" is never silently replaced
+      val sc = "__graft_qscale"
       val asD = transform(col(vecCol), x => abs(x.cast("double")))
       ds.toDF
-        .withColumn("scale", aggregate(asD, lit(0.0), (a, x) => greatest(a, x)))
+        .withColumn(sc, aggregate(asD, lit(0.0), (a, x) => greatest(a, x)))
         .select(
           col(idCol),
-          col("scale"),
-          when(col("scale") === 0.0, transform(col(vecCol), _ => lit(0)))
+          col(sc).as("scale"),
+          when(col(sc) === 0.0, transform(col(vecCol), _ => lit(0)))
             .otherwise(transform(col(vecCol), x =>
-              floor(x.cast("double") * 127.0 / col("scale") + 0.5).cast("int")))
+              floor(x.cast("double") * 127.0 / col(sc) + 0.5).cast("int")))
             .as("q"))
     }
 

@@ -113,6 +113,41 @@ class IndexManagerSpec extends SparkSpec {
     IndexManager.dropIndex(spark, "t_disk_loaded")
   }
 
+  test("loadIndexAuto dispatches on the kind tag: a column named 'quadtree' stays z-order") {
+    // a substring dispatch on the meta JSON would misroute this z-order
+    // index (key column literally named "quadtree") to the quad loader
+    val tricky = cust.select(col("c_custkey"), col("cx").as("quadtree"), col("cy"))
+    val idx = IndexManager.indexTable(spark, tricky, "t_auto_qt",
+      Seq("quadtree", "cy"), numPartitions = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_auto").toString
+    IndexManager.persistIndex(idx, path)
+    IndexManager.dropIndex(spark, "t_auto_qt")
+    IndexManager.loadIndexAuto(spark, "t_auto_qt_loaded", path)
+    assert(IndexManager.hasIndex(spark, "t_auto_qt_loaded"))
+    val loaded = IndexManager.loadIndex(spark, "t_auto_qt_loaded", path) // registry hit
+    val got = loaded.boxRange(Array(0.0, 100.0), Array(5000.0, 600.0))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val want = cust.boxRange(Seq("cx", "cy"), Seq(0.0, 100.0), Seq(5000.0, 600.0))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want && got.nonEmpty)
+    IndexManager.dropIndex(spark, "t_auto_qt_loaded")
+  }
+
+  test("index meta round-trips key columns containing quotes and backslashes") {
+    val weird = "c\"x\\y"
+    val tricky = cust.select(col("c_custkey"), col("cx").as(weird), col("cy"))
+    val idx = IndexManager.indexTable(spark, tricky, "t_weird",
+      Seq(weird, "cy"), numPartitions = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_esc").toString
+    IndexManager.persistIndex(idx, path)
+    IndexManager.dropIndex(spark, "t_weird")
+    val loaded = IndexManager.loadIndex(spark, "t_weird_loaded", path)
+    assert(loaded.keyCols === Seq(weird, "cy"))
+    assert(loaded.boxRange(Array(0.0, 100.0), Array(5000.0, 600.0)).count() ===
+      cust.boxRange(Seq("cx", "cy"), Seq(0.0, 100.0), Seq(5000.0, 600.0)).count())
+    IndexManager.dropIndex(spark, "t_weird_loaded")
+  }
+
   test("loaded z-index recomputes stats: knn takes the pruned path, stays exact") {
     val idx = freshIndex("t_disk_knn")
     val path = java.nio.file.Files.createTempDirectory("graft_idx_knn").toString

@@ -198,4 +198,14 @@ class VectorOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("quantizeInt8: an input column named 'scale' is not clobbered") {
+    import spark.implicits._
+    val in = Seq((1L, Array(1.0f, -2.0f), 999.0), (2L, Array(0.0f, 4.0f), 888.0))
+      .toDF("vec_id", "embedding", "scale")
+    val out = in.quantizeInt8("embedding", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("scale")).toMap
+    // the emitted scale is the computed max-abs, not the input column
+    assert(out(1L) === 2.0 && out(2L) === 4.0)
+  }
 }

@@ -95,6 +95,16 @@ class PointUdtSpec extends SparkSpec {
     assert(gotK.columns.toSeq === Seq("p", "payload", "rp", "rpayload"))
   }
 
+  test("point-column joins reject mismatched dimensionality") {
+    val left = pts.limit(20)
+    val right3d = (0 until 20).map(x =>
+      RPointData(Point(Array(x.toDouble, x.toDouble, x.toDouble)), x)).toDS()
+    val e = intercept[IllegalArgumentException] {
+      left.distanceJoin(right3d, "p", "rp", 2.0).count()
+    }
+    assert(e.getMessage.contains("dimensionality mismatch"))
+  }
+
   test("null point rows are excluded from knn, kept filterable in range") {
     val withNull = pts.limit(3).collect().toSeq :+ PointData(null, 9999)
     val ds = withNull.toDS()
