@@ -187,14 +187,30 @@ object Advanced {
   }
 
   /** Library scalar functions through the SQL surface (temp-function
-    * registry): engine-specific hashes -> rows-only check. */
+    * registry), emitted as contract rows (the mm_features_topk pattern):
+    * DuckDB can't evaluate the engine-private `graft_*` hashes, but it
+    * can verify BOOLEANS — per document, each SQL-registry result must
+    * bit-equal the same function through the DataFrame expression path
+    * (whose values tx_langid_fingerprint already hash-checks against a
+    * full DuckDB replay). The predicted table is all-TRUE, so any
+    * registry-path divergence is a hash failure. */
   def sqlFunctionsQ(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.registerFunctions(s)
     documents(s, d).createOrReplaceTempView("graft_documents")
-    s.sql(
-      """SELECT doc_id, graft_lang_id(text) AS lang_guess,
-        | graft_simhash64(text) AS sh, graft_fingerprint64(text) AS fp
-        |FROM graft_documents ORDER BY doc_id""".stripMargin)
+    val viaSql = s.sql(
+      """SELECT doc_id, graft_lang_id(text) AS lang_sql,
+        | graft_simhash64(text) AS sh_sql, graft_fingerprint64(text) AS fp_sql
+        |FROM graft_documents""".stripMargin)
+    val viaDf = documents(s, d).select(col("doc_id"),
+      graft.functions.langId(col("text")).as("lang_df"),
+      graft.functions.simhash64(col("text")).as("sh_df"),
+      graft.functions.fingerprint64(col("text")).as("fp_df"))
+    viaSql.join(viaDf, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("lang_sql") === col("lang_df")).as("lang_id_agrees"),
+        (col("sh_sql") === col("sh_df")).as("simhash_agrees"),
+        (col("fp_sql") === col("fp_df")).as("fingerprint_agrees"))
+      .orderBy(col("doc_id"))
   }
 
   /** Frame content rides as hex text so DuckDB can hash-check the exact
@@ -285,7 +301,13 @@ object Advanced {
     "sp_zknn_check" ->
       """SELECT c_custkey, CAST(3 AS INT) AS n_rows, CAST(3 AS INT) AS n_distinct,
         |  TRUE AS covers_exact_kth
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // SQL-registry contract: every graft_* function through the SQL
+    // surface bit-equals its DataFrame expression twin (see sqlFunctionsQ)
+    "q15_sql_functions" ->
+      """SELECT doc_id, TRUE AS lang_id_agrees, TRUE AS simhash_agrees,
+        |  TRUE AS fingerprint_agrees
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -83,10 +83,17 @@ object Pipeline {
     * derivation of `documents` — every 5th doc's text replaced by ONE
     * fixed template, the identical-text cluster a templated corpus
     * produces — run uncapped vs capped, alongside the oversized-bucket
-    * audit. The cluster's banded buckets all exceed the cap (identical
-    * signatures), so capping cuts exactly the intra-cluster pairs; the
-    * summary row makes that cut a measured number, not a guess.
-    * Engine-hash-based -> rows-only; exactness specced in ScalaTest. */
+    * audit. Emitted as an aggregate contract verdict (the
+    * dd_minhash_pairs pattern): the surviving pair SET is
+    * engine-hash-specific, but the cap's behavior on the cluster is
+    * fully determined — identical texts share every band bucket, all of
+    * those buckets exceed the cap, so (a) no intra-cluster pair
+    * survives, (b) the cut is at least C(cluster, 2) (capped pairs are
+    * a subset of uncapped; uncapped holds every cluster pair at exact
+    * Jaccard 1.0), (c) the audit reports at least one oversized bucket
+    * per band and a max bucket at least the cluster size. Surviving
+    * pairs obey the uncapped twin's ordered/threshold/bit-exact-Jaccard
+    * contract (vacuous truths guarded with coalesce if none survive). */
   def minHashCappedQ(s: SparkSession, d: String): DataFrame = {
     val template = "subscribe to our newsletter terms of service apply " +
       "all rights reserved unsubscribe at any time"
@@ -96,13 +103,32 @@ object Pipeline {
       numHashes = 64, bands = 16, threshold = 0.8)
     val capped = boiler.minHashPairs("doc_id", "text", shingle = 3,
       numHashes = 64, bands = 16, threshold = 0.8, maxBucket = 20)
+      .join(boiler.select(col("doc_id").as("id1"), col("text").as("__t1")), Seq("id1"))
+      .join(boiler.select(col("doc_id").as("id2"), col("text").as("__t2")), Seq("id2"))
     val audit = boiler.minHashOversizedBuckets("doc_id", "text", shingle = 3,
       numHashes = 64, bands = 16, maxBucket = 20)
+    def allZero(c: Column): Column = coalesce(sum(c), lit(0L)) === 0
     uncapped.agg(count(lit(1)).as("n_uncapped"))
-      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+      .crossJoin(capped.agg(
+        count(lit(1)).as("n_capped"),
+        allZero(when(col("id1") < col("id2"), 0).otherwise(1)).as("all_ordered"),
+        allZero(when(col("jaccard") >= 0.8, 0).otherwise(1)).as("all_above_threshold"),
+        allZero(when(col("jaccard") ===
+          jaccardBuiltinCol(col("__t1"), col("__t2"), 3), 0).otherwise(1))
+          .as("all_jaccard_exact"),
+        allZero(when(col("id1") % 5 === 0 && col("id2") % 5 === 0, 1).otherwise(0))
+          .as("no_cluster_pair_survives")))
       .crossJoin(audit.agg(count(lit(1)).as("n_oversized_buckets"),
         coalesce(max(col("size")), lit(0L)).as("max_bucket_size")))
-      .withColumn("pairs_cut", col("n_uncapped") - col("n_capped"))
+      .crossJoin(boiler.filter(col("doc_id") % 5 === 0)
+        .agg(count(lit(1)).as("n_cluster")))
+      .select(
+        col("all_ordered"), col("all_above_threshold"), col("all_jaccard_exact"),
+        col("no_cluster_pair_survives"),
+        (col("n_uncapped") - col("n_capped") >=
+          col("n_cluster") * (col("n_cluster") - 1) / 2).as("cut_covers_cluster"),
+        (col("n_oversized_buckets") >= 16).as("every_band_reports_cluster"),
+        (col("max_bucket_size") >= col("n_cluster")).as("max_bucket_covers_cluster"))
   }
 
   /** SimHash near-dup pairs. Pigeonhole blocking with maxHamming < blocks
@@ -598,6 +624,13 @@ object Pipeline {
     "dd_minhash_pairs" ->
       """SELECT TRUE AS all_ordered, TRUE AS all_above_threshold,
         |  TRUE AS all_jaccard_exact, TRUE AS nonempty""".stripMargin,
+    // cap contract fully determined by the templated cluster (see
+    // minHashCappedQ scaladoc): one all-TRUE verdict row
+    "dd_minhash_pairs_capped" ->
+      """SELECT TRUE AS all_ordered, TRUE AS all_above_threshold,
+        |  TRUE AS all_jaccard_exact, TRUE AS no_cluster_pair_survives,
+        |  TRUE AS cut_covers_cluster, TRUE AS every_band_reports_cluster,
+        |  TRUE AS max_bucket_covers_cluster""".stripMargin,
     // full row-level replay: pigeonhole blocking (maxHamming < blocks) is
     // complete, so the operator's result == every pair at Hamming <= 3
     // over the replayed signatures
