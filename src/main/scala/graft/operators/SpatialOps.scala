@@ -373,7 +373,8 @@ object SpatialOps {
         .drop(DIST, "__graft_rn")
       val starved = l.join(satisfiedIds, Seq(leftId), "left_anti")
 
-      val fallback = starved.knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak)
+      val fallback = SpatialOps.gridRetryThenNaive(starved, rt, lKeys, rKeys,
+        k, leftId, tieBreak, theta)
       satisfied.unionByName(fallback)
     }
 
@@ -620,8 +621,14 @@ object SpatialOps {
       .drop(DIST, "__graft_rn", "__lid", "__rid")
     val starved = l.join(satisfiedIds,
       col(leftId).cast("long") === col("__lid"), "left_anti")
-    val fallback = new DatasetSpatialOps(starved)
-      .knnJoinNaive(r, lKeys, rKeys, k, leftId, tieBreak)
+    // bounded retry before the cross plan: the curve has no radius of
+    // its own, so the retry's theta comes from the same capped sampling
+    // estimate the grid join uses (two tiny collect jobs — the same
+    // order of driver work as the bounds aggs above)
+    val (_, _, theta) = sampleKnnRadii(l, r, lKeys, rKeys, k,
+      cap = 2000, quantile = 0.95, safety = 2.0)
+    val fallback = gridRetryThenNaive(starved, r, lKeys, rKeys,
+      k, leftId, tieBreak, theta)
     ranked.unionByName(fallback)
   }
 
@@ -987,6 +994,33 @@ object SpatialOps {
       .select((l.columns ++ rt.columns).map(col): _*)
   }
 
+  /** Bounded retry for starved lefts before the cross-window plan
+    * (VERDICT r6 #4): one grid pass at DOUBLED theta — entirely lazy
+    * (no sampling, no driver jobs) — then the exact cross-window only
+    * for the rows that stay starved at 2x. At the designed ~5%
+    * starvation the cross fallback was already fine; this caps the
+    * adversarial case where an unlucky sample starves a large left
+    * fraction, which previously went quadratic in one step. Exactness:
+    * the 3^d neighborhood at cell side 2*theta covers every 2*theta
+    * ball, so a left with >= k candidates here provably has its true k
+    * nearest among them — same argument as the main grid phase. */
+  private[operators] def gridRetryThenNaive(
+      starved: DataFrame, rt: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
+      k: Int, leftId: String, tieBreak: Seq[String], theta: Double): DataFrame = {
+    val cand = gridCandidates(starved, rt, lKeys, rKeys, 2 * theta, Map.empty)
+      .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
+    val w = Window.partitionBy(col(leftId))
+      .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
+    val kept = cand.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+    val okIds = kept.groupBy(col(leftId)).agg(count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") >= k).select(col(leftId))
+    val ok = kept.join(okIds, Seq(leftId), "left_semi").drop(DIST, "__graft_rn")
+    val still = starved.join(okIds, Seq(leftId), "left_anti")
+    ok.unionByName(
+      new DatasetSpatialOps(still).knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak))
+  }
+
   /** Shared core of the pivot (Voronoi) kNN joins — spatial
     * [[DatasetSpatialOps.knnJoinPivot]] and vector
     * `VectorOps.knnJoinVec` plug in their distance expressions:
@@ -1069,7 +1103,45 @@ object SpatialOps {
     val satisfied = kept.join(satisfiedIds, Seq(lId), "left_semi")
       .select(outCols: _*)
     val starved = l.join(satisfiedIds, Seq(lId), "left_anti")
-    satisfied.unionByName(fallback(starved))
+
+    // Bounded retry before the cross-window fallback (VERDICT r6 #4):
+    // one more candidate pass over the starved lefts at DOUBLED
+    // per-cell thetas. Every plan-time piece (pivot array, maxDl
+    // bounds — maxDl over the full left upper-bounds the starved
+    // subset) is reused, so the retry is lazy and adds no driver jobs;
+    // it is metric-generic, so the vector kNN join gets the same cap.
+    // Exactness: a right within 2*theta_i of a starved left in cell i
+    // has d(r, p_i) <= maxDl_i + 2*theta_i by the triangle inequality,
+    // so the doubled band admits every such right — >= k candidates
+    // here provably contain the true k nearest.
+    val thetaArr2 = lit((1 to numPivots).map(thetaOf(_) * 2).toArray)
+    val bandArr2 = lit(Array.tabulate(numPivots)(i =>
+      maxDl.get(i + 1).map(_ + thetaOf(i + 1) * 2).getOrElse(Double.NegativeInfinity)))
+    val lAug2 = starved
+      .withColumn("__graft_pd", transform(pivotsLit, lDistToPivot))
+      .withColumn("__graft_cell",
+        array_position(col("__graft_pd"), array_min(col("__graft_pd"))).cast("int"))
+      .filter(col("__graft_cell").isNotNull)
+      .withColumn("__graft_ctheta", element_at(thetaArr2, col("__graft_cell")))
+      .drop("__graft_pd")
+    val admitted2 = rt
+      .select(col("*"), posexplode(transform(pivotsLit, rDistToPivot))
+        .as(Seq("__graft_pos", "__graft_dr")))
+      .withColumn("__graft_rcell", (col("__graft_pos") + 1).cast("int"))
+      .filter(col("__graft_dr") <= element_at(bandArr2, col("__graft_rcell")))
+      .drop("__graft_pos")
+    val kept2 = lAug2.join(admitted2, col("__graft_cell") === col("__graft_rcell"))
+      .withColumn("__graft_d", exactDist)
+      .filter(col("__graft_d") <= col("__graft_ctheta"))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+    val okIds2 = kept2.groupBy(col(lId)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k).select(col(lId))
+    val satisfied2 = kept2.join(okIds2, Seq(lId), "left_semi")
+      .select(outCols: _*)
+    val still = starved.join(okIds2, Seq(lId), "left_anti")
+
+    satisfied.unionByName(satisfied2).unionByName(fallback(still))
   }
 
   private def toPts(rows: Array[org.apache.spark.sql.Row], dims: Int): Array[Array[Double]] =

@@ -137,26 +137,16 @@ class DedupOpsSpec extends SparkSpec {
     assert(uncapped.count { case (a, b) => a <= 60 && b <= 60 } === 60 * 59 / 2)
   }
 
-  test("dd_minhash_pairs_capped summary measures a real recall cut") {
+  test("dd_minhash_pairs_capped verdict row is all-TRUE (a real, audited recall cut)") {
     // the driver-facing end-to-end exercise of the cap: the boilerplate
     // derivation plants an identical-text cluster, so the capped run
-    // must lose exactly those intra-cluster pairs and the audit must
-    // list the dropped buckets
+    // must lose at least those intra-cluster pairs, keep no
+    // intra-cluster survivor, and audit the dropped buckets — the
+    // contract DuckDB now hash-checks as an all-TRUE verdict row
     val row = graft.queries.Pipeline.minHashCappedQ(spark, sf()).head()
-    val nUncapped = row.getAs[Long]("n_uncapped")
-    val nCapped = row.getAs[Long]("n_capped")
-    val nOversized = row.getAs[Long]("n_oversized_buckets")
-    val maxBucket = row.getAs[Long]("max_bucket_size")
-    val cut = row.getAs[Long]("pairs_cut")
-    assert(nCapped < nUncapped, s"cap must cut pairs: $nCapped vs $nUncapped")
-    assert(cut === nUncapped - nCapped)
-    assert(nOversized > 0, "the cut must be auditable, not silent")
-    assert(maxBucket > 20, "audited buckets must exceed the cap")
-    // the identical-text cluster (every 5th doc) is the floor of the cut
-    val nBoiler = Tables.documents(spark, sf())
-      .filter(col("doc_id") % 5 === 0).count()
-    assert(cut >= nBoiler * (nBoiler - 1) / 2,
-      s"cut $cut must cover the C($nBoiler,2) cluster pairs")
+    row.schema.fieldNames.foreach { f =>
+      assert(row.getAs[Boolean](f), s"verdict column $f must be TRUE")
+    }
   }
 
   test("nearDupComponents: chains merge to min id, singletons stay themselves") {

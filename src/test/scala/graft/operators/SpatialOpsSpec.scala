@@ -232,6 +232,37 @@ class SpatialOpsSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("forced mass starvation: doubled-theta retry rescues every left from the cross plan") {
+    import spark.implicits._
+    // each left's kth(=1)-NN sits at exactly 3; safety 0.7 crushes the
+    // sampled theta to 2.1 < 3, so EVERY left starves in phase 1 — the
+    // adversarial shape that previously sent the whole left side to the
+    // quadratic cross-window in one step. The retry at 2*theta = 4.2
+    // >= 3 satisfies every left, so the cross plan's input is empty.
+    val l = (0 until 200).map(i => (i.toLong, i * 10.0, 0.0)).toDF("lid", "lx", "ly")
+    val r = (0 until 200).map(i => (i.toLong + 1000, i * 10.0 + 3.0, 0.0)).toDF("rid", "rx", "ry")
+    val want = l.knnJoinNaive(r, Seq("lx", "ly"), Seq("rx", "ry"), 1, "lid", Seq("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+
+    val gotGrid = l.knnJoin(r, Seq("lx", "ly"), Seq("rx", "ry"), 1, "lid", Seq("rid"),
+      sampleCap = 1000, quantile = 0.95, safety = 0.7)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(gotGrid === want && gotGrid.size === 200)
+
+    val gotPivot = l.knnJoinPivot(r, Seq("lx", "ly"), Seq("rx", "ry"), 1, "lid", Seq("rid"),
+      numPivots = 8, sampleCap = 1000, quantile = 0.95, safety = 0.7)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(gotPivot === want)
+
+    // the implementation's own theta estimate confirms the shape: the
+    // phase-1 radius misses every kth neighbor, the doubled one covers
+    // all of them — so the retry provably empties the cross plan's left
+    val (_, _, theta) = SpatialOps.sampleKnnRadii(l, r, Seq("lx", "ly"), Seq("rx", "ry"),
+      k = 1, cap = 1000, quantile = 0.95, safety = 0.7)
+    assert(theta < 3.0, s"phase-1 theta must starve every left, got $theta")
+    assert(2 * theta >= 3.0, s"retry theta must cover every kth neighbor, got ${2 * theta}")
+  }
+
   test("distance join stays correct under extreme cell skew") {
     import spark.implicits._
     // every right row lands in the same grid cell
