@@ -55,8 +55,8 @@ object Graft {
   /** Table-scoped session DDL — the reference's `hasIndex(table, index)`,
     * `showIndex(table)`, `dropIndexTableByName(table, index)` (reference:
     * SimbaSession.scala:47-79), matched by `sameResult` on the table's
-    * plan like its IndexManager. Covers the plan-registered kinds
-    * (z-order/quadtree); range/hash indexes are name-addressed only. */
+    * plan like its IndexManager. Covers all four index kinds (each
+    * registers a plan substitution). */
   def hasIndex(spark: SparkSession, tableName: String, indexName: String): Boolean =
     IndexManager.indexesOfPlan(spark, spark.table(tableName)).contains(indexName)
   def showIndex(spark: SparkSession, tableName: String): Seq[String] =

@@ -105,6 +105,41 @@ object IndexManager {
       .filter(_._1._1 == skey(spark))
       .map(_._2).toSeq
 
+  /** The pre-substitution source plan of `plan`: with the
+    * IndexSubstitution rule installed on the session, an optimized plan
+    * may ALREADY read a registered index's cache (the rule rewrote it
+    * before we ever saw it). Plan-keyed operations — registration of a
+    * second index on the same source, `hasIndex(table, index)`,
+    * plan-matched drop — must key on the original source, or the rule
+    * defeats them: a substituted probe sameResults the REPLACEMENT, not
+    * the registered source. Strips the rule's rename-Project before
+    * comparing (optimizers collapse it into the cache projection). */
+  private def unsubstituted(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  ): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    def stripRename(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p match {
+        case Project(pl, child) if pl.forall {
+          case _: AttributeReference => true
+          case Alias(_: AttributeReference, _) => true
+          case _ => false
+        } => child
+        case other => other
+      }
+    val sid = skey(spark)
+    planSubs.iterator
+      .filter(_._1._1 == sid)
+      .collectFirst { case (_, (src, repl))
+        if repl.sameResult(plan) || repl.sameResult(stripRename(plan)) => src }
+      .getOrElse(plan)
+  }
+
+  private def sourcePlanOf(spark: SparkSession, df: DataFrame) =
+    unsubstituted(spark, df.queryExecution.optimizedPlan)
+
   /** Build (or return) a spatial z-order index over `keyCols`. */
   def indexTable(spark: SparkSession, df: DataFrame, name: String,
                  keyCols: Seq[String], numPartitions: Int = 32,
@@ -119,7 +154,7 @@ object IndexManager {
       // substitution happens before optimization, so a plan inlined
       // during optimization would otherwise never pick up the cache)
       planSubs.put((skey(spark), name),
-        (df.queryExecution.optimizedPlan,
+        (sourcePlanOf(spark, df),
          idx.data.select(df.columns.map(col): _*).queryExecution.optimizedPlan))
       idx
     })
@@ -169,6 +204,14 @@ object IndexManager {
         .repartitionByRange(numPartitions, col(keyCol))
         .sortWithinPartitions(keyCol)
         .persist(graft.GraftConf.indexStorageLevel(spark))
+      // same transparent-substitution registration as the spatial kinds
+      // (the reference's useIndexedData rewrite covers EVERY index kind,
+      // reference: IndexManager.scala:311-318): any query over the same
+      // source reads the clustered cache, where a 1-D key filter prunes
+      // by cached-batch min/max stats on the sorted key
+      planSubs.put((skey(spark), name),
+        (sourcePlanOf(spark, df),
+         clustered.select(df.columns.map(col): _*).queryExecution.optimizedPlan))
       new RangeIndexedTable(name, clustered, keyCol, rangeBounds(clustered, keyCol))
     })
   }
@@ -194,6 +237,12 @@ object IndexManager {
     hashRegistry.getOrElseUpdate((skey(spark), name), {
       val clustered = df.repartition(numPartitions, col(keyCol))
         .persist(graft.GraftConf.indexStorageLevel(spark))
+      // substitution parity with every other kind: an equality filter on
+      // the key over the substituted cache touches one hash partition's
+      // cached batches
+      planSubs.put((skey(spark), name),
+        (sourcePlanOf(spark, df),
+         clustered.select(df.columns.map(col): _*).queryExecution.optimizedPlan))
       new HashIndexedTable(name, clustered, keyCol)
     })
   }
@@ -255,7 +304,7 @@ object IndexManager {
     quadRegistry.getOrElseUpdate((skey(spark), name), {
       val idx = buildQuad(spark, df, name, keyCols, numPartitions, bits, capacity)
       planSubs.put((skey(spark), name),
-        (df.queryExecution.optimizedPlan,
+        (sourcePlanOf(spark, df),
          idx.data.select(df.columns.map(col): _*).queryExecution.optimizedPlan))
       idx
     })
@@ -560,14 +609,13 @@ object IndexManager {
     }
   }
 
-  /** Names of this session's plan-registered indexes (z-order/quadtree)
+  /** Names of this session's plan-registered indexes (all four kinds)
     * whose SOURCE plan is the same query as `df` — the lookup behind the
     * reference's table-scoped DDL (`hasIndex(table, index)`,
     * `showIndex(table)`; its IndexManager keys on `plan.sameResult` the
-    * same way, IndexManager.scala:70-103). Range/hash indexes register
-    * no source plan (name-addressed only, by design). */
+    * same way, IndexManager.scala:70-103). */
   def indexesOfPlan(spark: SparkSession, df: DataFrame): Seq[String] = {
-    val plan = df.queryExecution.optimizedPlan
+    val plan = sourcePlanOf(spark, df)
     planSubs.iterator
       .filter { case ((sid, _), (src, _)) => sid == skey(spark) && src.sameResult(plan) }
       .map(_._1._2).toSeq

@@ -69,11 +69,10 @@ object IndexOps {
       ds
     }
 
-    /** Drop every z-order index built FROM THIS dataset's plan — the
+    /** Drop every index built FROM THIS dataset's plan — the
       * reference's plan-matched drop (reference: DataSet.scala:194-197,
       * IndexManager dedups and drops by `plan.sameResult` the same way).
-      * Range/hash indexes are name-addressed only ([[dropIndexByName]]):
-      * they register no plan substitution to match against. */
+      * All four kinds register a plan substitution, so all four match. */
     def dropIndex(): Dataset[T] = {
       IndexManager.dropIndexesOfPlan(ds.sparkSession, ds.toDF)
       ds

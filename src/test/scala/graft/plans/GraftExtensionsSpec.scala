@@ -73,6 +73,52 @@ class GraftExtensionsSpec extends AnyFunSuite {
     IndexManager.dropIndex(spark, "ext_miss")
   }
 
+  test("range index substitutes: a 1-D filter over the same source reads the cache") {
+    val src = Tables.orders(spark, dir)
+    IndexManager.rangeIndexTable(spark, src, "ext_range", "o_totalprice", numPartitions = 4)
+    // a fresh equivalent plan with a 1-D key filter — the reference's
+    // useIndexedData covers every index kind, not just the spatial ones
+    val q = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 60000.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"expected cached range-index scan in plan:\n$plan")
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 60000.0)
+    assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty && q.count() > 0)
+    IndexManager.dropIndex(spark, "ext_range")
+  }
+
+  test("hash index substitutes: an equality filter over the same source reads the cache") {
+    val src = Tables.customer(spark, dir)
+    IndexManager.hashIndexTable(spark, src, "ext_hash", "c_mktsegment", numPartitions = 4)
+    val q = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"expected cached hash-index scan in plan:\n$plan")
+    val want = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+    assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty && q.count() > 0)
+    IndexManager.dropIndex(spark, "ext_hash")
+  }
+
+  test("plan-keyed DDL survives the rule: substituted probes map back to the source") {
+    val src = Tables.customerPts(spark, dir)
+    IndexManager.indexTable(spark, src, "ext_ddl", Seq("cx", "cy"), numPartitions = 4)
+    // with the rule installed, a fresh probe over the same source is
+    // ITSELF substituted before indexesOfPlan sees it — the reverse
+    // mapping must still resolve it to the registered source
+    assert(IndexManager.indexesOfPlan(spark, Tables.customerPts(spark, dir))
+      === Seq("ext_ddl"))
+    // a second index built from the (already-substituted) source must
+    // register the ORIGINAL plan, keeping both plan-addressable
+    IndexManager.quadTreeIndexTable(spark, Tables.customerPts(spark, dir),
+      "ext_ddl2", Seq("cx", "cy"), numPartitions = 4)
+    assert(IndexManager.indexesOfPlan(spark, Tables.customerPts(spark, dir)).sorted
+      === Seq("ext_ddl", "ext_ddl2"))
+    Seq("ext_ddl", "ext_ddl2").foreach(IndexManager.dropIndex(spark, _))
+  }
+
   test("dropping the index stops substitution") {
     val src = Tables.customerPts(spark, dir)
     IndexManager.indexTable(spark, src, "ext_drop", Seq("cx", "cy"), numPartitions = 4)
