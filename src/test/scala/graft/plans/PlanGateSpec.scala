@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables._
+import graft.operators.SpatialOps._
+import graft.operators.VectorOps._
+
+/** Plan-regression gate (VERDICT r6 #7): the load-bearing physical-plan
+  * markers — parquet pushdown, broadcast placement, IVF directory
+  * pruning, map-side combine, no cartesian blow-ups — fail FAST in
+  * `sbt test` instead of surfacing as a bench delta a round later.
+  * Asserted against the same queries `tools.ExplainPlans` dumps for the
+  * human-audited PLANS_r*.md. */
+class PlanGateSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private lazy val cust = customerPts(spark, sf())
+  private lazy val supp = supplierPts(spark, sf())
+
+  test("box/circle range: conjuncts reach the parquet scan as PushedFilters") {
+    val p1 = plan(cust.boxRange(Seq("cx", "cy"), Seq(2000.0, 100.0), Seq(4000.0, 300.0)))
+    // cx aliases c_acctbal, so the pushed filter names the parquet column
+    assert(p1.contains("PushedFilters") &&
+      p1.contains("GreaterThanOrEqual(c_acctbal,2000.0)") &&
+      p1.contains("LessThanOrEqual(c_acctbal,4000.0)"),
+      s"box-range pushdown lost:\n$p1")
+    val p2 = plan(cust.circleRange(Seq("cx", "cy"), Seq(5000.0, 500.0), 500.0))
+    assert(p2.contains("GreaterThanOrEqual(c_acctbal,4500.0)") &&
+      p2.contains("LessThanOrEqual(c_acctbal,5500.0)"),
+      s"circle-range bbox pushdown lost:\n$p2")
+  }
+
+  test("knn and ann top-k stay TakeOrderedAndProject (never global sort)") {
+    val p1 = plan(cust.knn(Seq("cx", "cy"), Seq(5000.0, 500.0), 10, Seq("c_custkey")))
+    assert(p1.contains("TakeOrderedAndProject"), s"knn lost top-k plan:\n$p1")
+    val q = embeddings(spark, sf()).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val p2 = plan(embeddings(spark, sf()).cosineTopK("embedding", "vec_id", q, 10))
+    assert(p2.contains("TakeOrderedAndProject"), s"ann lost top-k plan:\n$p2")
+  }
+
+  test("distance join: cell equi-join, no cartesian; broadcast verb broadcasts") {
+    val p1 = plan(cust.distanceJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"), 100.0))
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+      s"grid distance join degenerated:\n$p1")
+    assert(p1.contains("HashJoin") || p1.contains("SortMergeJoin"),
+      s"grid distance join lost its equi-join:\n$p1")
+    val p2 = plan(cust.distanceJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      100.0, broadcastRight = true))
+    assert(p2.contains("BroadcastHashJoin"), s"broadcast verb lost its hint:\n$p2")
+  }
+
+  test("pivot kNN join: windowed equi-join; the only nested-loop is the bounded fallback") {
+    val p = plan(cust.knnJoinPivot(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      3, "c_custkey", Seq("s_suppkey")))
+    assert(!p.contains("CartesianProduct"), s"pivot join grew a cartesian:\n$p")
+    assert(p.contains("Window"), s"pivot join lost its top-k window:\n$p")
+    // the cross-window fallback for doubly-starved lefts is the single
+    // tolerated nested loop; more means a main-path degeneration
+    // (counted on the simple tree — formatted mode prints nodes twice)
+    val simple = cust.knnJoinPivot(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+      3, "c_custkey", Seq("s_suppkey")).queryExecution.executedPlan.toString
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(simple).size
+    assert(bnlj <= 1, s"expected at most the fallback nested loop, found $bnlj")
+  }
+
+  test("exact dedup: map-side combine before the single digest shuffle") {
+    import graft.operators.DedupOps._
+    val p = plan(documents(spark, sf()).exactDedup("text", "doc_id"))
+    assert(p.contains("partial_min_by"), s"dedup lost its partial aggregate:\n$p")
+    assert("Exchange \\(".r.findAllIn(p).size === 1,
+      s"dedup must shuffle exactly once:\n$p")
+  }
+
+  test("IVF disk layout: probed cells prune at the directory level") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_plangate").toString
+    embeddings(spark, sf()).writeIvf(path, "embedding", "vec_id", nlist = 16)
+    val q = embeddings(spark, sf()).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val p = plan(graft.operators.VectorOps.readIvfTopK(
+      spark, path, "embedding", "vec_id", q, 10, nprobe = 4))
+    assert(p.contains("PartitionFilters") && p.contains("__graft_cell"),
+      s"IVF scan lost directory pruning:\n$p")
+  }
+
+  test("quadtree range reads the cached clustering") {
+    val qt = graft.index.IndexManager.quadTreeIndexTable(spark, cust,
+      "plangate_qt", Seq("cx", "cy"), numPartitions = 4)
+    try {
+      val p = plan(qt.boxRange(Array(2000.0, 100.0), Array(4000.0, 300.0)))
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"quadtree range lost the cache:\n$p")
+    } finally graft.index.IndexManager.dropIndex(spark, "plangate_qt")
+  }
+}
