@@ -285,6 +285,10 @@ object Bench {
       try memCalibration(spark, cpus.toInt)
       catch { case e: Throwable =>
         System.err.println(s"[bench] mem calibration failed: $e"); -1.0 }
+    // the first memory-probe call pays one-off heap growth + page
+    // faults (observed +0.2-0.35 s on the pre bracket); a discarded
+    // warmup call keeps the measured brackets comparable
+    memCal()
     val calPre = cal()
     val memPre = memCal()
 

@@ -358,20 +358,25 @@ object SpatialOps {
 
       val cand = gridCandidates(l, rt, lKeys, rKeys, theta, cellThetas, maxRefine)
         .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
-      val w = Window.partitionBy(col(leftId))
-        .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
-      val ranked = cand.withColumn("__graft_rn", row_number().over(w))
-      val kept = ranked.filter(col("__graft_rn") <= k)
 
       // Starved lefts (< k candidates within theta) take the exact
-      // fallback for ALL of their k rows, so their partial candidates in
-      // `kept` must be excluded or they'd appear twice in the union —
-      // same guard as pivotCellKnn / zknnJoinImpl.
-      val satisfiedIds = kept.groupBy(col(leftId)).agg(count(lit(1)).as("__graft_n"))
-        .filter(col("__graft_n") >= k).select(col(leftId))
-      val satisfied = kept.join(satisfiedIds, Seq(leftId), "left_semi")
-        .drop(DIST, "__graft_rn")
-      val starved = l.join(satisfiedIds, Seq(leftId), "left_anti")
+      // fallback for ALL of their k rows, so their partial candidates
+      // must be excluded or they'd appear twice in the union — same
+      // guard as pivotCellKnn / zknnJoinImpl. The per-left candidate
+      // COUNT rides the top-k window's own shuffle (count over the same
+      // partition, unordered frame), so the satisfied/starved split
+      // costs no aggregate and no semi join — at 10x scale the old
+      // agg+semi+anti chain re-executed per consuming branch dominated
+      // the whole join.
+      val (satisfied, satisfiedLeftIds) =
+        SpatialOps.topKWithCount(cand, leftId, k, tieBreak)
+      // LAZY local checkpoint (computed once on first action, blocks
+      // auto-cleaned with the RDD): the retry + naive branches reference
+      // the starved set several times, and without materialization each
+      // reference re-executed the whole candidate pipeline — at a 10x
+      // slice that re-execution dominated the join end to end
+      val starved = l.join(satisfiedLeftIds, Seq(leftId), "left_anti")
+        .localCheckpoint(false)
 
       val fallback = SpatialOps.gridRetryThenNaive(starved, rt, lKeys, rKeys,
         k, leftId, tieBreak, theta)
@@ -609,18 +614,14 @@ object SpatialOps {
     // left rows that found < k curve candidates (sparse right side /
     // partition edges) fall back to the exact windowed join, so the
     // "k rows per left" contract holds even when the curve misses;
-    // they must come ONLY from the fallback or they'd be double-counted
-    val satisfiedIds = joined.groupBy(col("__lid")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= k).select(col("__lid"))
-
-    val w = Window.partitionBy(col("__lid"))
-      .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
-    val ranked = joined.join(satisfiedIds, Seq("__lid"), "left_semi")
-      .withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") <= k)
-      .drop(DIST, "__graft_rn", "__lid", "__rid")
-    val starved = l.join(satisfiedIds,
+    // they must come ONLY from the fallback or they'd be double-counted.
+    // Split rides the window's own shuffle — see topKWithCount.
+    val (kept, keptIds) = topKWithCount(joined, "__lid", k, tieBreak)
+    val ranked = kept.drop("__lid", "__rid")
+    // lazy checkpoint: same multi-branch materialization as knnJoin
+    val starved = l.join(keptIds,
       col(leftId).cast("long") === col("__lid"), "left_anti")
+      .localCheckpoint(false)
     // bounded retry before the cross plan: the curve has no radius of
     // its own, so the retry's theta comes from the same capped sampling
     // estimate the grid join uses (two tiny collect jobs — the same
@@ -994,6 +995,33 @@ object SpatialOps {
       .select((l.columns ++ rt.columns).map(col): _*)
   }
 
+  /** Windowed top-k with a shared-exchange satisfied/starved split.
+    * The candidate set is explicitly hash-partitioned on `leftId` ONCE:
+    * the top-k window, the per-left candidate count, and every
+    * downstream branch (semi-join, anti-join, retry) all sit on that
+    * one exchange, which ReuseExchange/AQE dedups across the final
+    * union's branches — without it, each branch re-executed the whole
+    * candidate pipeline, and at a 10x slice that re-execution (not the
+    * candidate work itself) dominated the join. The >= k test counts
+    * candidates BEFORE the rank filter (equivalent, since the rank
+    * limit only drops rows past k), so the count path is a cheap
+    * aggregate and the rank filter stays a WindowGroupLimit.
+    * Returns (top-k rows of satisfied lefts, satisfied left ids). */
+  private[operators] def topKWithCount(
+      cand: DataFrame, leftId: String, k: Int, tieBreak: Seq[String],
+      distCol: String = DIST): (DataFrame, DataFrame) = {
+    val shared = cand.repartition(col(leftId))
+    val ids = shared.groupBy(col(leftId)).agg(count(lit(1)).as("__graft_nc"))
+      .filter(col("__graft_nc") >= k).select(col(leftId))
+    val w = Window.partitionBy(col(leftId))
+      .orderBy((col(distCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val kept = shared.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .join(ids, Seq(leftId), "left_semi")
+      .drop(distCol, "__graft_rn")
+    (kept, ids)
+  }
+
   /** Bounded retry for starved lefts before the cross-window plan
     * (VERDICT r6 #4): one grid pass at DOUBLED theta — entirely lazy
     * (no sampling, no driver jobs) — then the exact cross-window only
@@ -1009,13 +1037,7 @@ object SpatialOps {
       k: Int, leftId: String, tieBreak: Seq[String], theta: Double): DataFrame = {
     val cand = gridCandidates(starved, rt, lKeys, rKeys, 2 * theta, Map.empty)
       .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
-    val w = Window.partitionBy(col(leftId))
-      .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
-    val kept = cand.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") <= k)
-    val okIds = kept.groupBy(col(leftId)).agg(count(lit(1)).as("__graft_n"))
-      .filter(col("__graft_n") >= k).select(col(leftId))
-    val ok = kept.join(okIds, Seq(leftId), "left_semi").drop(DIST, "__graft_rn")
+    val (ok, okIds) = topKWithCount(cand, leftId, k, tieBreak)
     val still = starved.join(okIds, Seq(leftId), "left_anti")
     ok.unionByName(
       new DatasetSpatialOps(still).knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak))
@@ -1094,15 +1116,14 @@ object SpatialOps {
     val cand = lAug.join(admitted, col("__graft_cell") === col("__graft_rcell"))
       .withColumn("__graft_d", exactDist)
       .filter(col("__graft_d") <= col("__graft_ctheta"))
-    val w = Window.partitionBy(col(lId))
-      .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
-    val kept = cand.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") <= k)
-    val satisfiedIds = kept.groupBy(col(lId)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= k).select(col(lId))
-    val satisfied = kept.join(satisfiedIds, Seq(lId), "left_semi")
-      .select(outCols: _*)
-    val starved = l.join(satisfiedIds, Seq(lId), "left_anti")
+    // satisfied/starved split on the top-k window's own shuffle — see
+    // topKWithCount (the old agg+semi chain re-executed per branch)
+    val (kept, keptIds) = topKWithCount(cand, lId, k, tieBreak, distCol = "__graft_d")
+    val satisfied = kept.select(outCols: _*)
+    // lazy checkpoint: the retry + fallback branches reference the
+    // starved set several times (see knnJoin)
+    val starved = l.join(keptIds, Seq(lId), "left_anti")
+      .localCheckpoint(false)
 
     // Bounded retry before the cross-window fallback (VERDICT r6 #4):
     // one more candidate pass over the starved lefts at DOUBLED
@@ -1130,16 +1151,12 @@ object SpatialOps {
       .withColumn("__graft_rcell", (col("__graft_pos") + 1).cast("int"))
       .filter(col("__graft_dr") <= element_at(bandArr2, col("__graft_rcell")))
       .drop("__graft_pos")
-    val kept2 = lAug2.join(admitted2, col("__graft_cell") === col("__graft_rcell"))
+    val cand2 = lAug2.join(admitted2, col("__graft_cell") === col("__graft_rcell"))
       .withColumn("__graft_d", exactDist)
       .filter(col("__graft_d") <= col("__graft_ctheta"))
-      .withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") <= k)
-    val okIds2 = kept2.groupBy(col(lId)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= k).select(col(lId))
-    val satisfied2 = kept2.join(okIds2, Seq(lId), "left_semi")
-      .select(outCols: _*)
-    val still = starved.join(okIds2, Seq(lId), "left_anti")
+    val (kept2, kept2Ids) = topKWithCount(cand2, lId, k, tieBreak, distCol = "__graft_d")
+    val satisfied2 = kept2.select(outCols: _*)
+    val still = starved.join(kept2Ids, Seq(lId), "left_anti")
 
     satisfied.unionByName(satisfied2).unionByName(fallback(still))
   }

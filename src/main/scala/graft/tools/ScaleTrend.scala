@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.DedupOps._
+import graft.operators.SpatialOps._
+
+/** Scale-trend evidence (VERDICT r6 #5): the 2x bench bar is measured at
+  * sf0.1; this main measures the same headline operators at a ~10x slice
+  * synthesized from sf0.1 and reports the observed scaling exponent
+  * e = log10(t_10x / t_1x) — near-linear plans should read e ≈ 1.
+  *
+  * The slice models "more data over more space" (the 100 TB shape —
+  * constant density, like more days of the same feed), NOT densification:
+  *  - spatial replicas keep every point's local neighborhood by shifting
+  *    whole replicas apart in x (offset > the data's full x-span), with
+  *    ids offset per replica;
+  *  - document replicas get per-replica `translate` of the vowels so
+  *    cross-replica texts are NOT near-dups (within-replica near-dup
+  *    structure is preserved) and ids offset per replica.
+  * Both sides of every join are replicated, so total work for a linear
+  * plan grows ~10x (the naive cross plans would grow ~100x).
+  */
+object ScaleTrend {
+
+  private val IdOffset = 100000000L
+  private val XOffset = 12000.0 // > customer cx span (~11k), replicas stay disjoint
+
+  private def custRep(s: SparkSession, d: String, n: Int, prefix: String): DataFrame =
+    (0 until n).map { r =>
+      customerPts(s, d).select(
+        (col("c_custkey") + lit(r * IdOffset)).as(s"${prefix}id"),
+        (col("cx") + lit(r * XOffset)).as(s"${prefix}x"),
+        col("cy").as(s"${prefix}y"))
+    }.reduce(_ unionByName _)
+
+  private def suppRep(s: SparkSession, d: String, n: Int): DataFrame =
+    (0 until n).map { r =>
+      supplierPts(s, d).select(
+        (col("s_suppkey") + lit(r * IdOffset)).as("rid"),
+        (col("sx") + lit(r * XOffset)).as("rx"),
+        col("sy").as("ry"))
+    }.reduce(_ unionByName _)
+
+  // ten vowel substitutions (identity first); distinct enough that a
+  // text and its translated twin share < 80% of their 3-shingles
+  private val VowelMaps = Seq("aeiou", "bfjpv", "cgkqw", "dhlrx", "fimsy",
+    "gjntz", "hkpvb", "ilqwc", "jmrxd", "knsye")
+
+  private def docsRep(s: SparkSession, d: String, n: Int): DataFrame =
+    (0 until n).map { r =>
+      documents(s, d).select(
+        (col("doc_id") + lit(r * IdOffset)).as("doc_id"),
+        translate(col("text"), "aeiou", VowelMaps(r)).as("text"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def b4l(n: Int): Long =
+      custRep(spark, d, n, "l").distanceJoin(custRep(spark, d, n, "m"),
+        Seq("lx", "ly"), Seq("mx", "my"), 50.0).count()
+    def b5(n: Int): Long =
+      custRep(spark, d, n, "l").knnJoin(suppRep(spark, d, n),
+        Seq("lx", "ly"), Seq("rx", "ry"), 3, "lid", Seq("rid")).count()
+    def b7(n: Int): Long =
+      docsRep(spark, d, n).minHashPairs("doc_id", "text", shingle = 3,
+        numHashes = 64, bands = 16, threshold = 0.8, maxBucket = 1000).count()
+
+    val entries: Seq[(String, Int => Long)] =
+      Seq("b4l_distance_join_self_grid" -> (b4l _),
+          "b5_knn_join_grid" -> (b5 _),
+          "b7_minhash_dedup" -> (b7 _))
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    entries.foreach { case (name, f) => f(1) } // warmup at 1x
+    entries.foreach { case (name, f) =>
+      val (t1, r1) = timed(f(1)); val (t1b, _) = timed(f(1))
+      val (t10, r10) = timed(f(10)); val (t10b, _) = timed(f(10))
+      val b1 = math.min(t1, t1b); val b10 = math.min(t10, t10b)
+      val e = math.log10(b10 / b1)
+      println(f"$name%-30s 1x: $b1%6.2f s ($r1%9d rows)  10x: $b10%6.2f s ($r10%9d rows)  exponent=$e%.2f")
+    }
+    spark.stop()
+  }
+}
