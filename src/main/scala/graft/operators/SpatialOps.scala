@@ -349,12 +349,17 @@ object SpatialOps {
     def knnJoin(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
                 k: Int, leftId: String, tieBreak: Seq[String],
                 sampleCap: Int = 2000, quantile: Double = 0.95,
-                safety: Double = 2.0, maxRefine: Int = 64): DataFrame = {
+                safety: Double = 2.0, maxRefine: Int = 64,
+                retryThreshold: Long = 1024L): DataFrame = {
       val l = ds.toDF
       val rt = right.toDF
 
-      val (theta, cellThetas) =
-        estimateKnnRadii(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
+      val (lPts, radii, theta) =
+        SpatialOps.sampleKnnRadii(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
+      val gridCell = (p: Array[Double]) => p.toSeq.map(x => math.floor(x / theta).toLong)
+      val cellThetas: Map[Seq[Long], Double] =
+        if (lPts.isEmpty) Map.empty
+        else SpatialOps.perCellQuantile(lPts.map(gridCell), radii, quantile, theta)
 
       val cand = gridCandidates(l, rt, lKeys, rKeys, theta, cellThetas, maxRefine)
         .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
@@ -362,24 +367,14 @@ object SpatialOps {
       // Starved lefts (< k candidates within theta) take the exact
       // fallback for ALL of their k rows, so their partial candidates
       // must be excluded or they'd appear twice in the union — same
-      // guard as pivotCellKnn / zknnJoinImpl. The per-left candidate
-      // COUNT rides the top-k window's own shuffle (count over the same
-      // partition, unordered frame), so the satisfied/starved split
-      // costs no aggregate and no semi join — at 10x scale the old
-      // agg+semi+anti chain re-executed per consuming branch dominated
-      // the whole join.
+      // guard as pivotCellKnn / zknnJoinImpl.
       val (satisfied, satisfiedLeftIds) =
         SpatialOps.topKWithCount(cand, leftId, k, tieBreak)
-      // LAZY local checkpoint (computed once on first action, blocks
-      // auto-cleaned with the RDD): the retry + naive branches reference
-      // the starved set several times, and without materialization each
-      // reference re-executed the whole candidate pipeline — at a 10x
-      // slice that re-execution dominated the join end to end
       val starved = l.join(satisfiedLeftIds, Seq(leftId), "left_anti")
-        .localCheckpoint(false)
 
-      val fallback = SpatialOps.gridRetryThenNaive(starved, rt, lKeys, rKeys,
-        k, leftId, tieBreak, theta)
+      val fallback = SpatialOps.starvedFallback(starved, rt, lKeys, rKeys,
+        k, leftId, tieBreak, theta,
+        SpatialOps.retryCellThetas(lPts, radii, quantile, theta), retryThreshold)
       satisfied.unionByName(fallback)
     }
 
@@ -406,7 +401,8 @@ object SpatialOps {
     def knnJoinPivot(right: Dataset[_], lKeys: Seq[String], rKeys: Seq[String],
                      k: Int, leftId: String, tieBreak: Seq[String],
                      numPivots: Int = 32, sampleCap: Int = 2000,
-                     quantile: Double = 0.95, safety: Double = 2.0): DataFrame = {
+                     quantile: Double = 0.95, safety: Double = 2.0,
+                     retryThreshold: Long = 1024L): DataFrame = {
       val l = ds.toDF
       val rt = right.toDF
       require(l.columns.intersect(rt.columns).isEmpty, "need disjoint column names")
@@ -453,7 +449,8 @@ object SpatialOps {
         outCols = (l.columns ++ rt.columns).map(col),
         fallback = starved =>
           new DatasetSpatialOps(starved).knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak),
-        cellThetas = cellThetas)
+        cellThetas = cellThetas,
+        retryThreshold = retryThreshold)
     }
 
     /** kNN join with the algorithm chosen by session conf
@@ -618,18 +615,23 @@ object SpatialOps {
     // Split rides the window's own shuffle — see topKWithCount.
     val (kept, keptIds) = topKWithCount(joined, "__lid", k, tieBreak)
     val ranked = kept.drop("__lid", "__rid")
-    // lazy checkpoint: same multi-branch materialization as knnJoin
+    // eager checkpoint + count-routed fallback, same discipline as
+    // starvedFallback; the curve has no radius of its own, so the
+    // retry's theta comes from the grid join's capped sampling estimate
+    // — run ONLY when the retry actually engages (mass starvation), so
+    // the common path pays neither the sampling nor the retry pass
     val starved = l.join(keptIds,
       col(leftId).cast("long") === col("__lid"), "left_anti")
-      .localCheckpoint(false)
-    // bounded retry before the cross plan: the curve has no radius of
-    // its own, so the retry's theta comes from the same capped sampling
-    // estimate the grid join uses (two tiny collect jobs — the same
-    // order of driver work as the bounds aggs above)
-    val (_, _, theta) = sampleKnnRadii(l, r, lKeys, rKeys, k,
-      cap = 2000, quantile = 0.95, safety = 2.0)
-    val fallback = gridRetryThenNaive(starved, r, lKeys, rKeys,
-      k, leftId, tieBreak, theta)
+      .localCheckpoint()
+    val fallback =
+      if (starved.count() <= 1024L)
+        new DatasetSpatialOps(starved).knnJoinNaive(r, lKeys, rKeys, k, leftId, tieBreak)
+      else {
+        val (lPts, radii, theta) = sampleKnnRadii(l, r, lKeys, rKeys, k,
+          cap = 2000, quantile = 0.95, safety = 2.0)
+        gridRetryThenNaive(starved, r, lKeys, rKeys, k, leftId, tieBreak,
+          theta, retryCellThetas(lPts, radii, 0.95, theta))
+      }
     ranked.unionByName(fallback)
   }
 
@@ -866,6 +868,22 @@ object SpatialOps {
     (theta, perCellQuantile(lPts.map(gridCell), radii, quantile, theta))
   }
 
+  /** Per-cell thetas for the doubled-radius retry grid (cell side
+    * 2*theta, radii doubled, capped at the side): the retry MUST keep
+    * the per-cell skew discipline — with only the global 2*theta, a
+    * dense cluster's cells filter at the sparse-region-sized radius and
+    * the retry's candidate set detonates exactly the way the r3 bench
+    * proved for phase 1 (measured again in r7: +2 s on the skew
+    * entries from a global-theta retry, gone with this map). */
+  private[operators] def retryCellThetas(
+      lPts: Array[Array[Double]], radii: Array[Double],
+      quantile: Double, theta: Double): Map[Seq[Long], Double] = {
+    if (lPts.isEmpty) return Map.empty
+    val side = 2 * theta
+    val cell = (p: Array[Double]) => p.toSeq.map(x => math.floor(x / side).toLong)
+    perCellQuantile(lPts.map(cell), radii.map(_ * 2), quantile, side)
+  }
+
   /** Candidate pairs for the grid kNN join: equi-join on cell id at cell
     * side `theta` (left rows keep their own cell, right rows replicate to
     * the 3^d neighborhood — same shape as `distanceJoin`), filtered to
@@ -1022,20 +1040,52 @@ object SpatialOps {
     (kept, ids)
   }
 
+  /** Materialize the starved set (one EAGER local checkpoint — blocks
+    * are shared by every consuming branch and auto-cleaned with the
+    * RDD; without materialization each branch re-executed the whole
+    * candidate pipeline, which dominated the join at a 10x slice) and
+    * route the fallback on the ACTUAL starved count (VERDICT r6 #4):
+    *
+    *  - `<= retryThreshold` rows (the designed <= ~5% case): straight
+    *    to the exact cross-window — its pair count is bounded by
+    *    threshold * |right|, and a retry would only add a pass (under
+    *    skew the stubborn starved lefts are exactly the ones whose
+    *    radius estimate is off by MORE than 2x, so the retry rarely
+    *    rescues them — measured +2 s of pure overhead at sf0.1);
+    *  - above it (adversarial estimate failure — mass starvation from
+    *    an unlucky sample): the bounded doubled-theta grid retry first,
+    *    so only rows still starved at 2x pay the cross plan.
+    *
+    * The count makes the verb eager at build time (it executes the
+    * candidate phase once); the verbs already run sampling collects at
+    * build, and the checkpoint is reused by the query itself. */
+  private[operators] def starvedFallback(
+      starved0: DataFrame, rt: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
+      k: Int, leftId: String, tieBreak: Seq[String], theta: Double,
+      cellThetas2: Map[Seq[Long], Double], retryThreshold: Long): DataFrame = {
+    val starved = starved0.localCheckpoint()
+    if (starved.count() <= retryThreshold)
+      new DatasetSpatialOps(starved).knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak)
+    else
+      gridRetryThenNaive(starved, rt, lKeys, rKeys, k, leftId, tieBreak,
+        theta, cellThetas2)
+  }
+
   /** Bounded retry for starved lefts before the cross-window plan
-    * (VERDICT r6 #4): one grid pass at DOUBLED theta — entirely lazy
-    * (no sampling, no driver jobs) — then the exact cross-window only
-    * for the rows that stay starved at 2x. At the designed ~5%
-    * starvation the cross fallback was already fine; this caps the
-    * adversarial case where an unlucky sample starves a large left
-    * fraction, which previously went quadratic in one step. Exactness:
-    * the 3^d neighborhood at cell side 2*theta covers every 2*theta
-    * ball, so a left with >= k candidates here provably has its true k
-    * nearest among them — same argument as the main grid phase. */
+    * (VERDICT r6 #4): one grid pass at DOUBLED per-cell thetas — the
+    * retry keeps the per-cell skew discipline via [[retryCellThetas]];
+    * with only the global 2*theta a dense cluster's cells filter at the
+    * sparse-region-sized radius and the candidate set detonates — then
+    * the exact cross-window only for the rows that stay starved at 2x.
+    * Exactness: every per-cell radius is capped at the grid side
+    * 2*theta, so the 3^d neighborhood covers every filter ball — a left
+    * with >= k candidates here provably has its true k nearest among
+    * them, same argument as the main grid phase. */
   private[operators] def gridRetryThenNaive(
       starved: DataFrame, rt: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
-      k: Int, leftId: String, tieBreak: Seq[String], theta: Double): DataFrame = {
-    val cand = gridCandidates(starved, rt, lKeys, rKeys, 2 * theta, Map.empty)
+      k: Int, leftId: String, tieBreak: Seq[String], theta: Double,
+      cellThetas2: Map[Seq[Long], Double]): DataFrame = {
+    val cand = gridCandidates(starved, rt, lKeys, rKeys, 2 * theta, cellThetas2)
       .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
     val (ok, okIds) = topKWithCount(cand, leftId, k, tieBreak)
     val still = starved.join(okIds, Seq(leftId), "left_anti")
@@ -1079,7 +1129,8 @@ object SpatialOps {
       numPivots: Int, theta: Double, exactDist: Column,
       lId: String, k: Int, tieBreak: Seq[String],
       outCols: Seq[Column], fallback: DataFrame => DataFrame,
-      cellThetas: Map[Int, Double] = Map.empty): DataFrame = {
+      cellThetas: Map[Int, Double] = Map.empty,
+      retryThreshold: Long = 1024L): DataFrame = {
     def thetaOf(cell1Based: Int): Double = cellThetas.getOrElse(cell1Based, theta)
     val thetaArr = lit((1 to numPivots).map(thetaOf).toArray)
     // null-keyed lefts get a null cell: dropped from the candidate pass
@@ -1120,17 +1171,21 @@ object SpatialOps {
     // topKWithCount (the old agg+semi chain re-executed per branch)
     val (kept, keptIds) = topKWithCount(cand, lId, k, tieBreak, distCol = "__graft_d")
     val satisfied = kept.select(outCols: _*)
-    // lazy checkpoint: the retry + fallback branches reference the
-    // starved set several times (see knnJoin)
-    val starved = l.join(keptIds, Seq(lId), "left_anti")
-      .localCheckpoint(false)
+    // eager checkpoint + count-routed fallback — same discipline as
+    // starvedFallback: a small starved set (designed case) goes
+    // straight to the caller's exact fallback (a retry would only add
+    // a pass); a LARGE one (adversarial estimate failure) takes the
+    // bounded doubled-theta retry below first
+    val starved = l.join(keptIds, Seq(lId), "left_anti").localCheckpoint()
+    if (starved.count() <= retryThreshold)
+      return satisfied.unionByName(fallback(starved))
 
     // Bounded retry before the cross-window fallback (VERDICT r6 #4):
     // one more candidate pass over the starved lefts at DOUBLED
     // per-cell thetas. Every plan-time piece (pivot array, maxDl
     // bounds — maxDl over the full left upper-bounds the starved
-    // subset) is reused, so the retry is lazy and adds no driver jobs;
-    // it is metric-generic, so the vector kNN join gets the same cap.
+    // subset) is reused; it is metric-generic, so the vector kNN join
+    // gets the same cap.
     // Exactness: a right within 2*theta_i of a starved left in cell i
     // has d(r, p_i) <= maxDl_i + 2*theta_i by the triangle inequality,
     // so the doubled band admits every such right — >= k candidates

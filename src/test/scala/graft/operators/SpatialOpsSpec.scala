@@ -244,13 +244,16 @@ class SpatialOpsSpec extends SparkSpec {
     val want = l.knnJoinNaive(r, Seq("lx", "ly"), Seq("rx", "ry"), 1, "lid", Seq("rid"))
       .select("lid", "rid").as[(Long, Long)].collect().toSet
 
+    // retryThreshold = 0 forces the retry route even for this small set
+    // (the count-gate would otherwise send 200 starved lefts, below the
+    // default 1024, straight to the cross plan)
     val gotGrid = l.knnJoin(r, Seq("lx", "ly"), Seq("rx", "ry"), 1, "lid", Seq("rid"),
-      sampleCap = 1000, quantile = 0.95, safety = 0.7)
+      sampleCap = 1000, quantile = 0.95, safety = 0.7, retryThreshold = 0L)
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(gotGrid === want && gotGrid.size === 200)
 
     val gotPivot = l.knnJoinPivot(r, Seq("lx", "ly"), Seq("rx", "ry"), 1, "lid", Seq("rid"),
-      numPivots = 8, sampleCap = 1000, quantile = 0.95, safety = 0.7)
+      numPivots = 8, sampleCap = 1000, quantile = 0.95, safety = 0.7, retryThreshold = 0L)
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(gotPivot === want)
 
