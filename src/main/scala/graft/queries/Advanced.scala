@@ -213,6 +213,53 @@ object Advanced {
       .orderBy(col("doc_id"))
   }
 
+  /** KD-tree partitioner contract (reference
+    * partitioner/KDTreePartitioner.scala:34-140 — the one reference
+    * component previously skipped; the reference itself never wires it
+    * into a relation or join, so it surfaces here as a first-class
+    * layout op): partition the customer points into 8 KD regions and
+    * emit the deterministic contract — exact region count, total row
+    * coverage, the proportional-median balance bound, in-plan box
+    * containment of every row in its own region, and equality of a box
+    * query served from ONLY the admitted (box-intersecting) regions
+    * against the unpartitioned plan. The whole table rides as the
+    * sample (cap 4000 > |customer| at the driver's scale), so the cuts
+    * are exact medians and every verdict is deterministic. */
+  def kdTreePartitionQ(s: SparkSession, d: String): DataFrame = {
+    import graft.index.KdTreePartitioner
+    import graft.index.KdTreePartitioner.RegionCol
+    import graft.operators.SpatialOps._
+    val pts = customerPts(s, d)
+    val (kd, tree) = KdTreePartitioner.partition(pts, Seq("cx", "cy"), parts = 8)
+    val nLeaves = KdTreePartitioner.numLeaves(tree)
+    val boxes = KdTreePartitioner.leafBoxes(tree, 2)
+    // literal per-region box bounds; containment checked in-plan
+    def arr(f: Int => Double) = lit((0 until nLeaves).map(f).toArray)
+    val inBox =
+      col("cx") >= element_at(arr(boxes(_)._1(0)), col(RegionCol) + 1) &&
+      col("cx") <  element_at(arr(boxes(_)._2(0)), col(RegionCol) + 1) &&
+      col("cy") >= element_at(arr(boxes(_)._1(1)), col(RegionCol) + 1) &&
+      col("cy") <  element_at(arr(boxes(_)._2(1)), col(RegionCol) + 1)
+
+    val (qlo, qhi) = (Array(2000.0, 100.0), Array(4000.0, 300.0))
+    val admitted = KdTreePartitioner.admittedRegions(tree, 2, qlo, qhi)
+    val pruned = kd.filter(col(RegionCol).isin(admitted: _*))
+      .boxRange(Seq("cx", "cy"), qlo.toSeq, qhi.toSeq).select("c_custkey")
+    val plain = pts.boxRange(Seq("cx", "cy"), qlo.toSeq, qhi.toSeq).select("c_custkey")
+    val rangeExact = pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty
+
+    val n = pts.count()
+    kd.groupBy(col(RegionCol))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(inBox, 0).otherwise(1)).as("__out"))
+      .agg(
+        count(lit(1)).cast("int").as("n_regions"),
+        sum(col("__cnt")).as("total_rows"),
+        (max(col("__cnt")) <= lit(2 * ((n + 7) / 8))).as("balanced"),
+        (sum(col("__out")) === 0).as("in_own_box"),
+        lit(rangeExact).as("range_query_exact"))
+  }
+
   /** Frame content rides as hex text so DuckDB can hash-check the exact
     * bytes (substring over the hex of the blob = 2 chars per byte). */
   def mediaFrameSample(s: SparkSession, d: String): DataFrame =
@@ -302,6 +349,13 @@ object Advanced {
       """SELECT c_custkey, CAST(3 AS INT) AS n_rows, CAST(3 AS INT) AS n_distinct,
         |  TRUE AS covers_exact_kth
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // KD-partitioner contract: 8 exact-median regions covering every
+    // row, balanced, box-contained, range-exact (see kdTreePartitionQ)
+    "sp_kdtree_partition" ->
+      """SELECT CAST(8 AS INT) AS n_regions,
+        |  CAST(count(*) AS BIGINT) AS total_rows,
+        |  TRUE AS balanced, TRUE AS in_own_box, TRUE AS range_query_exact
+        |FROM customer""".stripMargin,
     // SQL-registry contract: every graft_* function through the SQL
     // surface bit-equals its DataFrame expression twin (see sqlFunctionsQ)
     "q15_sql_functions" ->
@@ -325,6 +379,7 @@ object Advanced {
     "sp_zknn_join" -> (zknnJoinQ _),
     "sp_zknn_check" -> (zknnCheckQ _),
     "q15_sql_functions" -> (sqlFunctionsQ _),
+    "sp_kdtree_partition" -> (kdTreePartitionQ _),
     "mm_features_topk" -> (mediaFeaturesTopK _),
     "mm_frame_sample" -> (mediaFrameSample _),
     "sp_point_udt_range" -> (pointUdtRangeQ _)
