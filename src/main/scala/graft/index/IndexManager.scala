@@ -220,7 +220,10 @@ object IndexManager {
                           keyCol: String): Map[Int, (Double, Double, Long)] =
     clustered
       .groupBy(spark_partition_id().as("__pid"))
-      .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"), count(lit(1)))
+      // count(keyCol) counts KEYED rows only — null keys in a partition
+      // must not inflate the driver-answered side of `rank`
+      .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"),
+        count(col(keyCol)))
       .collect()
       .flatMap(r => // an all-null-key partition has no usable bounds
         if (r.isNullAt(1)) None
@@ -773,7 +776,7 @@ final class RangeIndexedTable(
     /** partition id -> (min, max, count) of the key. */
     val bounds: Map[Int, (Double, Double, Long)]) extends Serializable {
 
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{col, spark_partition_id}
 
   /** key in [lo, hi] (inclusive): sorted cached batches prune by min/max. */
   def range(lo: Double, hi: Double): DataFrame =
@@ -785,6 +788,59 @@ final class RangeIndexedTable(
     * pruning decision, exposed for tests/metrics. */
   def prunedPartitionCount(lo: Double, hi: Double): (Int, Int) =
     (bounds.values.count { case (mn, mx, _) => mn <= hi && mx >= lo }, bounds.size)
+
+  /** Number of rows with key <= k — the reference treap's order-
+    * statistic `rank` (reference: index/Treap.scala:117-126), previously
+    * a documented collapse. Two-level answer: partitions entirely at or
+    * below k are summed from the driver-held bounds with NO scan; only
+    * partitions whose range straddles k are scanned (one pruned count
+    * over the sorted cache). Null keys never count. */
+  def rank(k: Double): Long = {
+    val below = bounds.values.collect { case (_, mx, cnt) if mx <= k => cnt }.sum
+    val straddlers = bounds.collect {
+      case (pid, (mn, mx, _)) if mn <= k && mx > k => pid
+    }.toSeq
+    if (straddlers.isEmpty) below
+    else below + data
+      .filter(spark_partition_id().isin(straddlers: _*) && col(keyCol) <= k)
+      .count()
+  }
+
+  /** Multiplicity of exactly `k` — the reference treap's `getCount`
+    * (reference: index/Treap.scala:128-135; its -1-for-absent sentinel
+    * becomes the natural 0). Scans only partitions whose bounds admit
+    * the key. */
+  def getCount(k: Double): Long = {
+    val hits = bounds.collect {
+      case (pid, (mn, mx, _)) if mn <= k && k <= mx => pid
+    }.toSeq
+    if (hits.isEmpty) 0L
+    else data
+      .filter(spark_partition_id().isin(hits: _*) && col(keyCol) === k)
+      .count()
+  }
+
+  /** Number of rows with key in [lo, hi] (inclusive) = rank algebra
+    * over the same two-level structure: interior partitions from the
+    * driver bounds, boundary partitions scanned. */
+  def countRange(lo: Double, hi: Double): Long = {
+    val interior = bounds.values.collect {
+      case (mn, mx, cnt) if mn >= lo && mx <= hi => cnt
+    }.sum
+    val boundary = bounds.collect {
+      case (pid, (mn, mx, _)) if mn <= hi && mx >= lo && (mn < lo || mx > hi) => pid
+    }.toSeq
+    if (boundary.isEmpty) interior
+    else interior + data
+      .filter(spark_partition_id().isin(boundary: _*) &&
+        col(keyCol) >= lo && col(keyCol) <= hi)
+      .count()
+  }
+
+  /** Straddling-partition count for a rank probe (scanned, total) —
+    * the driver-answered fraction, exposed for tests/metrics. */
+  def rankScanStats(k: Double): (Int, Int) =
+    (bounds.values.count { case (mn, mx, _) => mn <= k && mx > k }, bounds.size)
 }
 
 /** A hash index: hash-clustered cached data; equality lookups.

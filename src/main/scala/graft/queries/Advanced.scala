@@ -93,6 +93,21 @@ object Advanced {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
+  /** Order-statistic queries over the 1-D range index — the reference
+    * treap's `rank`/`getCount` API (reference: index/Treap.scala:
+    * 117-135), previously a documented collapse into the range index.
+    * The two-level answers (driver bounds for interior partitions, one
+    * pruned scan for the boundary) are exact, so DuckDB replays all
+    * three as plain counting SQL. */
+  def rangeRankQ(s: SparkSession, d: String): DataFrame = {
+    val idx = IndexManager.rangeIndexTable(s, orders(s, d), s"orders_price:$d",
+      "o_totalprice")
+    val minKey = orders(s, d).agg(min(col("o_totalprice"))).head().getDouble(0)
+    import s.implicits._
+    Seq((idx.rank(50000.0), idx.getCount(minKey), idx.countRange(50000.0, 60000.0)))
+      .toDF("rank_50k", "min_key_count", "range_50_60k")
+  }
+
   /** Hash index over market segment (HashMap-analogue path). */
   def hashIndexQ(s: SparkSession, d: String): DataFrame =
     IndexManager.hashIndexTable(s, customer(s, d), s"cust_seg:$d", "c_mktsegment")
@@ -315,6 +330,17 @@ object Advanced {
     "sp_hash_index" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    // treap rank/getCount/countRange replayed as plain counting SQL
+    "sp_range_rank" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 50000.0) AS BIGINT)
+        |    AS rank_50k,
+        |  CAST((SELECT count(*) FROM orders
+        |        WHERE o_totalprice = (SELECT min(o_totalprice) FROM orders)) AS BIGINT)
+        |    AS min_key_count,
+        |  CAST((SELECT count(*) FROM orders
+        |        WHERE o_totalprice >= 50000.0 AND o_totalprice <= 60000.0) AS BIGINT)
+        |    AS range_50_60k""".stripMargin,
     // pure byte slicing: media = video docs (doc_id % 3 = 2), bytes =
     // UTF-8 text, frames = 64-byte chunks, every 2nd; content compared
     // via hex (2 hex chars per byte -> substring at *128)
@@ -375,6 +401,7 @@ object Advanced {
     "st_sessions_native" -> (sessionsNativeStream _),
     "st_stream_dedup" -> (streamDedup _),
     "sp_range_index" -> (rangeIndexQ _),
+    "sp_range_rank" -> (rangeRankQ _),
     "sp_hash_index" -> (hashIndexQ _),
     "sp_zknn_join" -> (zknnJoinQ _),
     "sp_zknn_check" -> (zknnCheckQ _),

@@ -306,28 +306,26 @@ object Pipeline {
   }
 
   /** LSH ANN, emitted as contract rows (the sp_zknn_check pattern): the
-    * candidate set depends on engine-private hyperplane sketches, but the
-    * result CONTRACT is deterministic and DuckDB-checkable — exactly k
-    * rows ranked 1..k, every row inside the exact top-2k (the
-    * subset-of-brute-force-with-margin bound; exact top-2k computed by
-    * the declarative TakeOrdered path over the independent HOF cosine),
-    * and the emitted cosine bit-equal to the HOF recompute. */
+    * candidate set depends on engine-private hyperplane sketches, so the
+    * DuckDB-checkable CONTRACT sticks to the properties that hold at
+    * EVERY corpus size — exactly k rows ranked 1..k, rank 1 is the
+    * query vector itself (it shares every band with itself, and a
+    * unit-self cosine dominates), and every emitted cosine bit-equal to
+    * the independent HOF recompute. Recall against the exact top-k (the
+    * LSH tradeoff, corpus-size-dependent — a fixed membership bound
+    * like the old "inside exact top-2k" provably flakes at sf0.001) is
+    * pinned by the ScalaTest oracle on fixed data instead, the same
+    * split as dd_minhash_pairs. */
   def annLshTopKQ(s: SparkSession, d: String): DataFrame = {
     val k = 10
     val q = queryVec(s, d)
     val ann = embeddings(s, d)
       .cosineTopKLsh("embedding", "vec_id", q, k, planes = 16, bandBits = 4)
-    val top2k = embeddings(s, d)
-      .withColumn("__xcos", cosHofCol(col("embedding"), lit(q)))
-      .orderBy(col("__xcos").desc, col("vec_id").asc)
-      .limit(2 * k)
-      .select(col("vec_id").as("__tid"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cos").desc, col("vec_id").asc)
-    ann.join(top2k, col("vec_id") === col("__tid"), "left")
-      .withColumn("rank", row_number().over(w))
+    ann.withColumn("rank", row_number().over(w))
       .select(col("rank"),
-        col("__tid").isNotNull.as("in_top_2k"),
+        (col("rank") =!= 1 || col("vec_id") === 0).as("top1_is_query"),
         (col("cos") === cosHofCol(col("embedding"), lit(q))).as("cos_exact"))
       .orderBy(col("rank"))
   }
@@ -615,7 +613,7 @@ object Pipeline {
     // result violates rank completeness, the top-2k margin, or bit-exact
     // cosines, the Spark side emits different rows and the hash fails
     "ann_lsh_topk" ->
-      """SELECT CAST(r AS INT) AS rank, TRUE AS in_top_2k, TRUE AS cos_exact
+      """SELECT CAST(r AS INT) AS rank, TRUE AS top1_is_query, TRUE AS cos_exact
         |FROM (SELECT row_number() OVER (ORDER BY vec_id) AS r FROM embeddings) t
         |WHERE r <= 10 ORDER BY rank""".stripMargin,
     "dd_emb_near_dup" ->

@@ -83,6 +83,42 @@ class IndexManagerSpec extends SparkSpec {
     assert(!IndexManager.showIndexes(spark).contains("t_range"))
   }
 
+  test("range index order statistics: rank/getCount/countRange equal plain counts") {
+    val orders = Tables.orders(spark, sf())
+    val idx = IndexManager.rangeIndexTable(spark, orders, "t_rank",
+      "o_totalprice", numPartitions = 8)
+    try {
+      val k = 100000.0
+      assert(idx.rank(k) ===
+        orders.filter(col("o_totalprice") <= k).count())
+      assert(idx.rank(Double.NegativeInfinity) === 0L)
+      assert(idx.rank(Double.PositiveInfinity) === orders.count())
+      val aKey = orders.agg(min(col("o_totalprice"))).head().getDouble(0)
+      assert(idx.getCount(aKey) ===
+        orders.filter(col("o_totalprice") === aKey).count())
+      assert(idx.getCount(-1.0) === 0L, "absent key counts zero, no scan")
+      assert(idx.countRange(50000.0, 150000.0) ===
+        orders.filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 150000.0).count())
+      // two-level shape: a rank probe scans at most one straddler
+      val (scanned, total) = idx.rankScanStats(k)
+      assert(scanned <= 1 && total === 8,
+        s"rank should scan at most the straddling partition, got $scanned/$total")
+    } finally IndexManager.dropIndex(spark, "t_rank")
+  }
+
+  test("range index rank ignores null keys") {
+    import spark.implicits._
+    val mixed = Seq(Option(1.0), Option(2.0), None, Option(3.0), None)
+      .toDF("k")
+    val idx = IndexManager.rangeIndexTable(spark, mixed, "t_rank_null", "k",
+      numPartitions = 2)
+    try {
+      assert(idx.rank(10.0) === 3L)
+      assert(idx.rank(1.5) === 1L)
+      assert(idx.countRange(0.0, 10.0) === 3L)
+    } finally IndexManager.dropIndex(spark, "t_rank_null")
+  }
+
   test("hash index: lookup and lookupIn equal plain filters") {
     val customer = Tables.customer(spark, sf())
     val idx = IndexManager.hashIndexTable(spark, customer, "t_hash",

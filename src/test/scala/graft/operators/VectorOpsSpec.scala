@@ -75,6 +75,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.head._1 === 0L && got.head._2 === 1.0)
   }
 
+  test("cosineTopKLsh recall against the exact top-k (fixed data, fixed seed)") {
+    // the recall property the driver oracle deliberately does NOT carry
+    // (it is corpus-size-dependent); pinned here on deterministic data —
+    // the dd_minhash_pairs split between contract oracle and spec
+    val q = all.find(_._1 == 0L).get._2
+    val k = 10
+    val got = emb.cosineTopKLsh("embedding", "vec_id", q, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = all.map { case (id, v) => (id, cosScala(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    val recall = got.count(want).toDouble / want.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
   test("cosineTopKIvf: exact scores, self in top-1, decent recall at nprobe=8") {
     val q = all.find(_._1 == 0L).get._2
     val got = emb.cosineTopKIvf("embedding", "vec_id", q, 10, nlist = 16, nprobe = 8)
