@@ -35,10 +35,20 @@ object IndexSubstitution extends Rule[LogicalPlan] {
       case al @ Alias(c: AttributeReference, _) => c.exprId -> al.name
     }.toMap
 
-  /** Re-project `repl` to `orig`'s names under `orig`'s expression ids. */
+  /** Re-project `repl` to `orig`'s names under `orig`'s expression ids.
+    * An attribute that is ALREADY bound (same name, same exprId — the
+    * clustered cache preserves the source DataFrame's attribute ids, so
+    * a query built from the registered DataFrame object lands here)
+    * passes through unaliased: a self-alias trips Spark's
+    * pruneFilterProject fast-path, whose unchecked Seq[Attribute] cast
+    * would plant the Alias inside InMemoryTableScanExec and crash later
+    * at physical canonicalization. */
   private def aliased(orig: Seq[Attribute], repl: LogicalPlan): LogicalPlan = {
     val byName = repl.output.map(a => a.name -> a).toMap
-    Project(orig.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), repl)
+    Project(orig.map { o =>
+      val n = byName(o.name)
+      if (n.exprId == o.exprId) n else Alias(n, o.name)(exprId = o.exprId)
+    }, repl)
   }
 
   private def covers(p: LogicalPlan, repl: LogicalPlan): Boolean =
