@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-sampling operators — the mixture/balance stage
+  * of a training-data pipeline (up/down-weight languages or sources,
+  * cap runaway groups) built so the SAME selection comes out of every
+  * engine and every run:
+  *
+  *  - [[DatasetSampleOps.mixtureSample]] keeps a row iff a Knuth
+  *    multiplicative hash of its id, folded to a unit fraction, falls
+  *    under its group's rate. The hash is plain integer arithmetic
+  *    (`(id * 2654435761) mod 2^32` — the same SQL-expressible sampler
+  *    the IVF centroid chooser uses), so DuckDB replays the exact row
+  *    set and the driver hash-checks it. No shuffle, no sort: one
+  *    codegen'd filter over the scan.
+  *  - [[DatasetSampleOps.groupCap]] keeps the top `cap` rows per group
+  *    under a deterministic total order. One hash shuffle on the group
+  *    key; the rank filter is a WindowGroupLimit, so each map task
+  *    pre-prunes to `cap` rows per group before the shuffle — the
+  *    shuffle carries at most cap * tasks rows per group however large
+  *    the group is (low-cardinality group keys are the norm here:
+  *    languages, sources).
+  */
+object SampleOps {
+
+  /** Unit-interval fold of the Knuth multiplicative hash of `id` —
+    * deterministic, engine-portable (exact in any engine with 64-bit
+    * integers; the fraction is < 2^32 so the double compare is exact). */
+  private def knuthFrac(id: Column): Column =
+    pmod(id.cast("long") * 2654435761L, lit(4294967296L)) / 4294967296.0
+
+  implicit class DatasetSampleOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** Per-group Bernoulli sampling at each group's `rates` rate
+      * (groups not listed keep `defaultRate`). Selection depends only
+      * on (id, rates) — stable across runs, partitionings, and
+      * engines. */
+    def mixtureSample(groupCol: String, idCol: String,
+                      rates: Map[String, Double],
+                      defaultRate: Double = 0.0): DataFrame = {
+      require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+        "sampling rates must be in [0, 1]")
+      val rate = rates.foldLeft(lit(defaultRate)) { case (e, (g, r)) =>
+        when(col(groupCol) === g, lit(r)).otherwise(e)
+      }
+      ds.toDF.filter(knuthFrac(col(idCol)) < rate)
+    }
+
+    /** Keep the top `cap` rows of each group under `order` (callers
+      * must make the order total — include a unique tie-break — or the
+      * kept set is nondeterministic). */
+    def groupCap(groupCol: String, cap: Int, order: Seq[Column]): DataFrame = {
+      require(cap >= 1, s"cap must be >= 1, got $cap")
+      val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+      ds.toDF.withColumn("__graft_gc_rn", row_number().over(w))
+        .filter(col("__graft_gc_rn") <= cap)
+        .drop("__graft_gc_rn")
+    }
+  }
+}

@@ -131,6 +131,31 @@ object Pipeline {
         (col("max_bucket_size") >= col("n_cluster")).as("max_bucket_covers_cluster"))
   }
 
+  /** Deterministic mixture sampling over the corpus: per-language keep
+    * rates applied through the engine-portable Knuth-hash fraction
+    * (SampleOps.mixtureSample), so DuckDB replays the exact kept set —
+    * the language-rebalancing stage of a training-data pipeline as a
+    * full hash oracle. */
+  def mixtureSampleQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SampleOps._
+    documents(s, d)
+      .mixtureSample("lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic per-group cap: top 50 docs per language by
+    * (n_chars desc, doc_id) — the runaway-source capping stage
+    * (SampleOps.groupCap); plain window SQL for DuckDB. */
+  def groupCapQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SampleOps._
+    documents(s, d)
+      .groupCap("lang", 50, Seq(col("n_chars").desc, col("doc_id").asc))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs. Pigeonhole blocking with maxHamming < blocks
     * is COMPLETE (3 differing bits cannot touch all 4 blocks), so the
     * result is exactly every pair at Hamming distance <= 3 — which makes
@@ -622,6 +647,21 @@ object Pipeline {
     "dd_minhash_pairs" ->
       """SELECT TRUE AS all_ordered, TRUE AS all_above_threshold,
         |  TRUE AS all_jaccard_exact, TRUE AS nonempty""".stripMargin,
+    // exact replay of the Knuth-hash mixture sampler: same integer
+    // arithmetic, same IEEE constants, exact power-of-two division
+    "pp_mixture_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0 <
+        |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+        |            WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin,
+    "pp_group_cap" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
     // cap contract fully determined by the templated cluster (see
     // minHashCappedQ scaladoc): one all-TRUE verdict row
     "dd_minhash_pairs_capped" ->
@@ -722,6 +762,8 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pp_curation_pipeline" -> (curationPipelineQ _),
     "pp_redact" -> (redactQ _),
+    "pp_mixture_sample" -> (mixtureSampleQ _),
+    "pp_group_cap" -> (groupCapQ _),
     "emb_quantize_int8" -> (quantizeQ _),
     "dd_exact_dedup" -> (exactDedupQ _),
     "dd_minhash_pairs" -> (minHashPairsQ _),

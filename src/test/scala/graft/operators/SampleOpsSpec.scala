@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.operators.SampleOps._
+
+class SampleOpsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf())
+
+  test("mixtureSample: rate 1 keeps a group whole, rate 0 drops it, others thin") {
+    val langs = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keep = langs.keySet.head
+    val out = docs.mixtureSample("lang", "doc_id", Map(keep -> 1.0))
+    val outLangs = out.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outLangs === Map(keep -> langs(keep)),
+      "rate 1 keeps the listed group whole; default 0 drops the rest")
+
+    val half = docs.mixtureSample("lang", "doc_id",
+      Map.empty, defaultRate = 0.5).count().toDouble / docs.count()
+    assert(half > 0.3 && half < 0.7, s"rate-0.5 kept fraction off: $half")
+  }
+
+  test("mixtureSample: selection is a deterministic function of (id, rates)") {
+    val a = docs.mixtureSample("lang", "doc_id", Map.empty, defaultRate = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = docs.repartition(7).mixtureSample("lang", "doc_id", Map.empty, defaultRate = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.nonEmpty, "partitioning must not change the kept set")
+  }
+
+  test("mixtureSample plans as one shuffle-free codegen'd filter") {
+    val plan = docs.mixtureSample("lang", "doc_id", Map("en" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixture sampling must not shuffle:\n$plan")
+  }
+
+  test("groupCap: at most cap rows per group, exactly the order's top rows") {
+    val out = docs.groupCap("lang", 5, Seq(col("n_chars").desc, col("doc_id").asc))
+    val byLang = out.select("lang", "doc_id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(byLang.values.forall(_.size <= 5))
+    // spot-check one group against a driver-side sort
+    val (lang, got) = byLang.head
+    val want = docs.filter(col("lang") === lang)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }.take(5).map(_._1).toSet
+    assert(got === want)
+  }
+
+  test("groupCap rank filter stays a WindowGroupLimit (map-side pre-prune)") {
+    val plan = docs.groupCap("lang", 5, Seq(col("n_chars").desc, col("doc_id").asc))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"cap must pre-prune before the shuffle:\n$plan")
+  }
+}
