@@ -293,4 +293,45 @@ object DedupOps {
       }
       labels
   }
+
+  /** Word n-grams of `textCol` as an array column: explicit
+    * `[ \t\n\r]+` tokenization (the Java-regex ∩ RE2 class — the
+    * pp_redact portability discipline, so an oracle replays it
+    * verbatim) and `array_join` over sliding `slice`s — pure
+    * higher-order built-ins, no UDF. Texts shorter than n words
+    * produce no grams. */
+  private[operators] def wordGrams(textCol: Column, n: Int): Column = {
+    val toks = split(trim(textCol), "[ \\t\\n\\r]+")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array())
+  }
+
+  /** Train/eval decontamination: every (corpus doc, eval doc) pair
+    * sharing at least `minShared` distinct word `n`-grams — the
+    * standard benchmark-contamination sweep of a training-data
+    * pipeline. Each side explodes to per-doc DISTINCT grams (ids +
+    * gram strings only — texts never ride the join), the candidate
+    * space is the gram equi-join (never all pairs), and the count is a
+    * partial-aggregated groupBy. The eval side is typically tiny;
+    * `broadcast(eval)` upstream turns the join map-side. Joining on
+    * the gram STRING keeps the operator engine-replayable end to end;
+    * at petabyte scale substitute `fingerprint64(gram)` for the join
+    * key to shuffle 8-byte hashes instead (same pairs up to hash
+    * collisions). */
+  def contaminationPairs(corpus: DataFrame, eval: DataFrame,
+                         corpusId: String, evalId: String, textCol: String,
+                         n: Int = 8, minShared: Long = 1L): DataFrame = {
+    def grams(df: DataFrame, id: String, out: String) = df
+      .select(col(id).as(out), explode(wordGrams(col(textCol), n)).as("__graft_gram"))
+      .distinct()
+    grams(corpus, corpusId, "__graft_cid")
+      .join(grams(eval, evalId, "__graft_eid"), Seq("__graft_gram"))
+      .groupBy(col("__graft_cid"), col("__graft_eid"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+      .select(col("__graft_cid").as(corpusId), col("__graft_eid").as(evalId),
+        col("shared_grams"))
+  }
 }

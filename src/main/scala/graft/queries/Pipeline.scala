@@ -131,6 +131,21 @@ object Pipeline {
         (col("max_bucket_size") >= col("n_cluster")).as("max_bucket_covers_cluster"))
   }
 
+  /** Benchmark decontamination sweep: (corpus doc, eval doc) pairs
+    * sharing >= 1 distinct word 8-gram, with every 7th doc standing in
+    * as the benchmark set. Grams join on their strings, so DuckDB
+    * replays the whole operator (tokenization is the explicit
+    * Java∩RE2 whitespace class). */
+  def contaminationQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val eval = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    graft.operators.DedupOps.contaminationPairs(
+        corpus, broadcast(eval), "doc_id", "eval_id", "text", n = 8)
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   /** Deterministic mixture sampling over the corpus: per-language keep
     * rates applied through the engine-portable Knuth-hash fraction
     * (SampleOps.mixtureSample), so DuckDB replays the exact kept set —
@@ -647,6 +662,22 @@ object Pipeline {
     "dd_minhash_pairs" ->
       """SELECT TRUE AS all_ordered, TRUE AS all_above_threshold,
         |  TRUE AS all_jaccard_exact, TRUE AS nonempty""".stripMargin,
+    // full replay of the decontamination sweep: same whitespace class,
+    // same sliding 8-gram windows, same string-keyed join
+    "pp_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r]+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM tok, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8
+        |)
+        |SELECT c.doc_id AS doc_id, e.doc_id AS eval_id,
+        |  count(*) AS shared_grams
+        |FROM grams c JOIN grams e ON c.gram = e.gram
+        |WHERE c.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+        |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin,
     // exact replay of the Knuth-hash mixture sampler: same integer
     // arithmetic, same IEEE constants, exact power-of-two division
     "pp_mixture_sample" ->
@@ -764,6 +795,7 @@ object Pipeline {
     "pp_redact" -> (redactQ _),
     "pp_mixture_sample" -> (mixtureSampleQ _),
     "pp_group_cap" -> (groupCapQ _),
+    "pp_contamination" -> (contaminationQ _),
     "emb_quantize_int8" -> (quantizeQ _),
     "dd_exact_dedup" -> (exactDedupQ _),
     "dd_minhash_pairs" -> (minHashPairsQ _),

@@ -149,6 +149,26 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("contaminationPairs: shared 8-gram windows found, counts distinct, clean docs absent") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog tonight"
+    val eval = Seq((100L, evalDoc)).toDF("eval_id", "text")
+    val corpus = Seq(
+      // embeds an exact 8-word window of the eval doc -> contaminated
+      (1L, "prefix words " + "quick brown fox jumps over the lazy dog" + " suffix"),
+      // repeats the SAME window twice -> still ONE distinct shared gram
+      (2L, "quick brown fox jumps over the lazy dog and quick brown fox jumps over the lazy dog"),
+      // shares only shorter fragments -> clean at n = 8
+      (3L, "the quick brown fox sleeps all day long here"),
+      (4L, "completely unrelated content about spark query planning engines")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.DedupOps
+      .contaminationPairs(corpus, eval, "doc_id", "eval_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 shares exactly the one embedded window; doc 2's duplicated
+    // window still counts once (distinct grams per doc)
+    assert(got === Set((1L, 100L, 1L), (2L, 100L, 1L)))
+  }
+
   test("nearDupComponents: chains merge to min id, singletons stay themselves") {
     val nodes = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chain 1-2-3-4 (diameter 3), pair 6-8, singletons 5, 7, 9
