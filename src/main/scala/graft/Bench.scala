@@ -104,6 +104,19 @@ object Bench {
         graft.functions.tokenCount(col("text")).as("n"),
         graft.functions.qualityScore(col("text")).as("q"),
         graft.functions.simhash64(col("text")).as("sh"))),
+    // corpus curation: sampling + capping + decontamination (r7 ops)
+    "b8m_mixture_sample" -> ((s: SparkSession, d: String) => {
+      import graft.operators.SampleOps._
+      documents(s, d).mixtureSample("lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1))
+    }),
+    "b8c_group_cap" -> ((s: SparkSession, d: String) => {
+      import graft.operators.SampleOps._
+      documents(s, d).groupCap("lang", 50,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+    }),
+    "b8d_contamination" -> ((s: SparkSession, d: String) =>
+      graft.queries.Pipeline.queries("pp_contamination")(s, d)),
     // relational anchor
     "b9_q1_agg" -> ((s: SparkSession, d: String) =>
       graft.queries.Relational.pricingSummary(s, d))

@@ -72,6 +72,19 @@ object ExplainPlans {
       documents(spark, d).minHashPairs("doc_id", "text", shingle = 3,
         numHashes = 64, bands = 16, threshold = 0.8)
     }
+    show("mixture_sample (expect ONE shuffle-free codegen'd filter over the scan)") {
+      import graft.operators.SampleOps._
+      documents(spark, d).mixtureSample("lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1))
+    }
+    show("group_cap (expect WindowGroupLimit before the single group shuffle)") {
+      import graft.operators.SampleOps._
+      documents(spark, d).groupCap("lang", 50,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+    }
+    show("contamination (expect gram equi-join with broadcast eval side, no cross product)") {
+      graft.queries.Pipeline.queries("pp_contamination")(spark, d)
+    }
     show("quadtree_box_range (expect OR-of-BETWEENs on the z key over the cached clustering)") {
       graft.index.IndexManager
         .quadTreeIndexTable(spark, customerPts(spark, d), "plans_qt",
