@@ -255,4 +255,30 @@ package object functions {
     require(keys.length * bits <= 62, "zorder overflow")
     zorderCells(keys.indices.map(i => quantize(keys(i), lows(i), highs(i), bits)), bits)
   }
+
+  /** Word n-grams of a text column as an array: explicit `[ \t\n\r]+`
+    * tokenization (the Java-regex ∩ RE2 class, so SQL oracles replay it
+    * verbatim) and `array_join` over sliding slices — pure higher-order
+    * built-ins, no UDF. Texts shorter than n words produce no grams.
+    * Shared by the decontamination sweep and the repetition score. */
+  def wordGrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = split(trim(text), "[ \\t\\n\\r]+")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array())
+  }
+
+  /** Within-document repetition score: the fraction of duplicated word
+    * n-grams, `1 - distinct/total` in [0, 1] (0 for texts shorter than
+    * n words) — the standard repetitive-boilerplate quality signal of a
+    * curation pipeline. Identical expression shape is writable in any
+    * SQL engine, so the score is hash-oracle-able bit for bit. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val grams = wordGrams(text, n)
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+  }
 }

@@ -294,20 +294,6 @@ object DedupOps {
       labels
   }
 
-  /** Word n-grams of `textCol` as an array column: explicit
-    * `[ \t\n\r]+` tokenization (the Java-regex ∩ RE2 class — the
-    * pp_redact portability discipline, so an oracle replays it
-    * verbatim) and `array_join` over sliding `slice`s — pure
-    * higher-order built-ins, no UDF. Texts shorter than n words
-    * produce no grams. */
-  private[operators] def wordGrams(textCol: Column, n: Int): Column = {
-    val toks = split(trim(textCol), "[ \\t\\n\\r]+")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array())
-  }
-
   /** Train/eval decontamination: every (corpus doc, eval doc) pair
     * sharing at least `minShared` distinct word `n`-grams — the
     * standard benchmark-contamination sweep of a training-data

@@ -296,6 +296,16 @@ object Pipeline {
       qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Within-document repetition score: fraction of duplicated word
+    * 3-grams (graft.functions.repetitionRatio) — the repetitive-
+    * boilerplate quality signal; identical IEEE expression shape in the
+    * DuckDB replay, so scores hash-match bit for bit. */
+  def repetitionQ(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      graft.functions.repetitionRatio(col("text"), 3).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
   /** Whitespace vs BPE-ish token counts side by side. */
   def tokenCountsQ(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
@@ -621,6 +631,23 @@ object Pipeline {
         |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // same whitespace class, same sliding windows, same 1 - distinct/total
+    "tx_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r]+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]
+        |         ELSE [] END AS grams
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                    / CAST(len(grams) AS DOUBLE)
+        |  END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "tx_stats" ->
       """SELECT doc_id,
         | len(list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '')) AS n_tokens,
@@ -805,6 +832,7 @@ object Pipeline {
     "dd_components" -> (componentsQ _),
     "dd_emb_near_dup" -> (embNearDupQ _),
     "tx_stats" -> (textStatsQ _),
+    "tx_repetition" -> (repetitionQ _),
     "tx_token_counts" -> (tokenCountsQ _),
     "tx_langid_fingerprint" -> (langIdQ _),
     "ann_brute_topk" -> (annBruteTopKQ _),

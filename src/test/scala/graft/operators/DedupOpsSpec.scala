@@ -149,6 +149,18 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetitionRatio: duplicated 3-grams counted, short texts score 0") {
+    val df = Seq(
+      (1L, "a b c a b c"), // grams: abc,bca,cab,abc -> 1 dup of 4 = 0.25
+      (2L, "x y"),         // shorter than n words -> 0.0
+      (3L, "w1 w2 w3 w4")  // all grams distinct -> 0.0
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.functions.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.25 && got(2L) === 0.0 && got(3L) === 0.0)
+  }
+
   test("contaminationPairs: shared 8-gram windows found, counts distinct, clean docs absent") {
     val evalDoc = "the quick brown fox jumps over the lazy dog tonight"
     val eval = Seq((100L, evalDoc)).toDF("eval_id", "text")
