@@ -19,6 +19,9 @@ object GraftConf {
   val KnnSafety          = "spark.graft.knn.radiusSafety"
   // dense-cell grid refinement cap for the grid kNN join (1 disables)
   val KnnMaxRefine       = "spark.graft.knn.maxRefine"
+  // starved sets larger than this take the bounded doubled-theta retry
+  // before the cross-window fallback; smaller ones go straight to it
+  val KnnRetryThreshold  = "spark.graft.knn.retryThreshold"
   val ZknnShifts         = "spark.graft.zknn.shifts"
   val ZknnBits           = "spark.graft.zknn.bits"
   val IndexPartitions    = "spark.graft.index.partitions"
@@ -47,6 +50,7 @@ object GraftConf {
   def knnQuantile(s: SparkSession): Double = get(s, KnnQuantile, "0.95").toDouble
   def knnSafety(s: SparkSession): Double = get(s, KnnSafety, "2.0").toDouble
   def knnMaxRefine(s: SparkSession): Int = get(s, KnnMaxRefine, "64").toInt
+  def knnRetryThreshold(s: SparkSession): Long = get(s, KnnRetryThreshold, "1024").toLong
   def zknnShifts(s: SparkSession): Int = get(s, ZknnShifts, "2").toInt
   def zknnBits(s: SparkSession): Int = get(s, ZknnBits, "18").toInt
   def indexPartitions(s: SparkSession): Int = get(s, IndexPartitions, "32").toInt

@@ -471,12 +471,14 @@ object SpatialOps {
         case "pivot" => knnJoinPivot(right, lKeys, rKeys, k, leftId, tieBreak,
           sampleCap = graft.GraftConf.sampleCap(s),
           quantile = graft.GraftConf.knnQuantile(s),
-          safety = graft.GraftConf.knnSafety(s))
+          safety = graft.GraftConf.knnSafety(s),
+          retryThreshold = graft.GraftConf.knnRetryThreshold(s))
         case "grid"  => knnJoin(right, lKeys, rKeys, k, leftId, tieBreak,
           sampleCap = graft.GraftConf.sampleCap(s),
           quantile = graft.GraftConf.knnQuantile(s),
           safety = graft.GraftConf.knnSafety(s),
-          maxRefine = graft.GraftConf.knnMaxRefine(s))
+          maxRefine = graft.GraftConf.knnMaxRefine(s),
+          retryThreshold = graft.GraftConf.knnRetryThreshold(s))
         case other => throw new IllegalArgumentException(
           s"${graft.GraftConf.KnnJoinAlgo}=$other; expected grid|zorder|pivot|naive")
       }

@@ -119,10 +119,17 @@ class SpatialOpsSpec extends SparkSpec {
       assert(tuned.queryExecution.optimizedPlan.toString.contains("/ 2.5)"),
         "expected conf-driven theta 2.5 as the grid divisor in the plan")
       assert(tuned.count() === 100) // exactness preserved (fallback)
+      // the retry gate is conf-driven too: threshold 0 forces the
+      // doubled-theta retry route and stays exact
+      spark.conf.set(graft.GraftConf.KnnRetryThreshold, "0")
+      val retried = l.knnJoinAuto(r, Seq("lx", "ly"), Seq("rx", "ry"),
+        2, "lid", "rid", Seq("rid"))
+      assert(retried.count() === 100)
     } finally {
       spark.conf.unset(graft.GraftConf.SampleCap)
       spark.conf.unset(graft.GraftConf.KnnQuantile)
       spark.conf.unset(graft.GraftConf.KnnSafety)
+      spark.conf.unset(graft.GraftConf.KnnRetryThreshold)
     }
   }
 
