@@ -120,20 +120,31 @@ object IndexManager {
   ): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.Project
-    def stripRename(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    // Strip ONLY the rule's own rename-Project: attribute-only AND its
+    // output names are exactly the registered source's (same multiset,
+    // same arity — the rule builds `aliased(p.output, repl)` with
+    // p sameResult src, so the rename list carries src's names; the
+    // cache side may have extra internal columns). A looser match (any
+    // attribute-only Project — ADVICE r7) mapped a user's
+    // column-pruning select over a substituted cache back to the FULL
+    // source plan, mis-keying registration/drop for a plan the user
+    // never indexed.
+    def stripRename(
+        src: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
       p match {
         case Project(pl, child) if pl.forall {
           case _: AttributeReference => true
           case Alias(_: AttributeReference, _) => true
           case _ => false
-        } => child
+        } && pl.map(_.name).sorted == src.output.map(_.name).sorted => child
         case other => other
       }
     val sid = skey(spark)
     planSubs.iterator
       .filter(_._1._1 == sid)
       .collectFirst { case (_, (src, repl))
-        if repl.sameResult(plan) || repl.sameResult(stripRename(plan)) => src }
+        if repl.sameResult(plan) || repl.sameResult(stripRename(src, plan)) => src }
       .getOrElse(plan)
   }
 

@@ -28,9 +28,25 @@ object SampleOps {
 
   /** Unit-interval fold of the Knuth multiplicative hash of `id` —
     * deterministic, engine-portable (exact in any engine with 64-bit
-    * integers; the fraction is < 2^32 so the double compare is exact). */
-  private def knuthFrac(id: Column): Column =
-    pmod(id.cast("long") * 2654435761L, lit(4294967296L)) / 4294967296.0
+    * integers; the fraction is < 2^32 so the double compare is exact).
+    * The id is masked to 32 bits and the multiply runs in two 16-bit
+    * halves, so no intermediate exceeds 2^49 — the naive
+    * `id * 2654435761` overflows Long past id ~3.5e9 (silent wrap in
+    * non-ANSI Spark, an error in ANSI Spark and DuckDB), well inside a
+    * 100-TB corpus's id space. Engine-exact replay additionally
+    * requires NON-NEGATIVE ids: SQL `%` truncates toward zero on
+    * negatives where Spark's pmod floors, so the two engines mask a
+    * negative id to different residues. */
+  private def knuthFrac(id: Column): Column = {
+    val m32 = 4294967296L // 2^32
+    val c = 2654435761L   // Knuth's multiplier, < 2^32
+    val id32 = pmod(id.cast("long"), lit(m32))
+    val hi = floor(id32 / 65536).cast("long") // < 2^16
+    val lo = id32 % 65536                     // < 2^16
+    // (id32 * c) mod 2^32 without overflow: hi*c < 2^48, the folded
+    // hi-part * 2^16 < 2^48, lo*c < 2^48
+    pmod(pmod(hi * c, lit(m32)) * 65536L + lo * c, lit(m32)) / 4294967296.0
+  }
 
   implicit class DatasetSampleOps[T](private val ds: Dataset[T]) extends AnyVal {
 

@@ -621,18 +621,23 @@ object SpatialOps {
     // starvedFallback; the curve has no radius of its own, so the
     // retry's theta comes from the grid join's capped sampling estimate
     // — run ONLY when the retry actually engages (mass starvation), so
-    // the common path pays neither the sampling nor the retry pass
+    // the common path pays neither the sampling nor the retry pass.
+    // Threshold and sampling params come from GraftConf like the
+    // grid/pivot paths (ADVICE r7: these were hardcoded here, so
+    // spark.graft.knn.retryThreshold silently skipped the zorder algo).
     val starved = l.join(keptIds,
       col(leftId).cast("long") === col("__lid"), "left_anti")
       .localCheckpoint()
     val fallback =
-      if (starved.count() <= 1024L)
+      if (starved.count() <= graft.GraftConf.knnRetryThreshold(spark))
         new DatasetSpatialOps(starved).knnJoinNaive(r, lKeys, rKeys, k, leftId, tieBreak)
       else {
+        val quantile = graft.GraftConf.knnQuantile(spark)
         val (lPts, radii, theta) = sampleKnnRadii(l, r, lKeys, rKeys, k,
-          cap = 2000, quantile = 0.95, safety = 2.0)
+          cap = graft.GraftConf.sampleCap(spark), quantile = quantile,
+          safety = graft.GraftConf.knnSafety(spark))
         gridRetryThenNaive(starved, r, lKeys, rKeys, k, leftId, tieBreak,
-          theta, retryCellThetas(lPts, radii, 0.95, theta))
+          theta, retryCellThetas(lPts, radii, quantile, theta))
       }
     ranked.unionByName(fallback)
   }
@@ -1026,20 +1031,24 @@ object SpatialOps {
     * candidates BEFORE the rank filter (equivalent, since the rank
     * limit only drops rows past k), so the count path is a cheap
     * aggregate and the rank filter stays a WindowGroupLimit.
-    * Returns (top-k rows of satisfied lefts, satisfied left ids). */
+    * Returns (top-k rows of satisfied lefts, satisfied left ids).
+    * `keepDist` keeps `distCol` in the kept rows — required when the
+    * caller's output projection references the distance (the vector
+    * join exposes it as `l2`); the default drops it, matching the
+    * spatial verbs whose contract is exactly left++right columns. */
   private[operators] def topKWithCount(
       cand: DataFrame, leftId: String, k: Int, tieBreak: Seq[String],
-      distCol: String = DIST): (DataFrame, DataFrame) = {
+      distCol: String = DIST, keepDist: Boolean = false): (DataFrame, DataFrame) = {
     val shared = cand.repartition(col(leftId))
     val ids = shared.groupBy(col(leftId)).agg(count(lit(1)).as("__graft_nc"))
       .filter(col("__graft_nc") >= k).select(col(leftId))
     val w = Window.partitionBy(col(leftId))
       .orderBy((col(distCol) +: tieBreak.map(col)).map(_.asc): _*)
-    val kept = shared.withColumn("__graft_rn", row_number().over(w))
+    val kept0 = shared.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") <= k)
       .join(ids, Seq(leftId), "left_semi")
-      .drop(distCol, "__graft_rn")
-    (kept, ids)
+      .drop("__graft_rn")
+    (if (keepDist) kept0 else kept0.drop(distCol), ids)
   }
 
   /** Materialize the starved set (one EAGER local checkpoint — blocks
@@ -1171,7 +1180,9 @@ object SpatialOps {
       .filter(col("__graft_d") <= col("__graft_ctheta"))
     // satisfied/starved split on the top-k window's own shuffle — see
     // topKWithCount (the old agg+semi chain re-executed per branch)
-    val (kept, keptIds) = topKWithCount(cand, lId, k, tieBreak, distCol = "__graft_d")
+    // keepDist: outCols may reference __graft_d (the vector join's `l2`)
+    val (kept, keptIds) =
+      topKWithCount(cand, lId, k, tieBreak, distCol = "__graft_d", keepDist = true)
     val satisfied = kept.select(outCols: _*)
     // eager checkpoint + count-routed fallback — same discipline as
     // starvedFallback: a small starved set (designed case) goes
@@ -1211,7 +1222,8 @@ object SpatialOps {
     val cand2 = lAug2.join(admitted2, col("__graft_cell") === col("__graft_rcell"))
       .withColumn("__graft_d", exactDist)
       .filter(col("__graft_d") <= col("__graft_ctheta"))
-    val (kept2, kept2Ids) = topKWithCount(cand2, lId, k, tieBreak, distCol = "__graft_d")
+    val (kept2, kept2Ids) =
+      topKWithCount(cand2, lId, k, tieBreak, distCol = "__graft_d", keepDist = true)
     val satisfied2 = kept2.select(outCols: _*)
     val still = starved.join(kept2Ids, Seq(lId), "left_anti")
 

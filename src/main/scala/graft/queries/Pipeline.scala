@@ -706,10 +706,17 @@ object Pipeline {
         |WHERE c.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
         |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin,
     // exact replay of the Knuth-hash mixture sampler: same integer
-    // arithmetic, same IEEE constants, exact power-of-two division
+    // arithmetic, same IEEE constants, exact power-of-two division.
+    // The multiply runs in two 16-bit halves exactly like knuthFrac —
+    // the naive (doc_id * 2654435761) raises an out-of-range error in
+    // DuckDB past doc_id ~3.5e9, so the engine-portability claim needs
+    // the overflow-free form on BOTH sides (same values for any
+    // non-negative 64-bit id)
     "pp_mixture_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0 <
+        |WHERE ((doc_id % 4294967296 // 65536 * 2654435761 % 4294967296)
+        |         * 65536 + doc_id % 65536 * 2654435761) % 4294967296
+        |      / 4294967296.0 <
         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
         |            WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.0 END
         |ORDER BY doc_id""".stripMargin,

@@ -20,6 +20,24 @@ class IndexManagerSpec extends SparkSpec {
     try body(idx) finally IndexManager.dropIndex(spark, name)
   }
 
+  test("a narrowing select over the cache is not mis-keyed to the source plan") {
+    withIndex("t_narrow") { idx =>
+      // an attribute-only but column-PRUNING select over the cache is
+      // not the substitution rule's rename (arity differs from the
+      // registered source) — keying it back to the full source would
+      // report/drop an index for a plan the user never indexed
+      // (ADVICE r7: stripRename accepted any attribute-only Project)
+      val narrowed = idx.data.select("cx", "cy")
+      assert(IndexManager.indexesOfPlan(spark, narrowed).isEmpty,
+        "pruned cache select must not resolve to the full source's index")
+      // while the source-shaped cache frame (the registered replacement:
+      // all of the source's columns, internal z column dropped) still
+      // maps back to the registered source
+      assert(IndexManager.indexesOfPlan(spark, idx.data.select(cust.columns.map(col): _*))
+        === Seq("t_narrow"))
+    }
+  }
+
   test("indexed boxRange equals unindexed filter") {
     withIndex("t_box") { idx =>
       val got = idx.boxRange(Array(0.0, 100.0), Array(5000.0, 600.0))

@@ -33,6 +33,23 @@ class SampleOpsSpec extends SparkSpec {
     assert(a === b && a.nonEmpty, "partitioning must not change the kept set")
   }
 
+  test("mixtureSample: corpus-scale ids don't overflow the Knuth hash") {
+    import spark.implicits._
+    // the naive (id * 2654435761) wraps Long past id ~3.5e9 (and errors
+    // in ANSI engines); the two-halves form must agree with reference
+    // integer arithmetic at the extreme id. DuckDB on the same formula
+    // gives hash32(Long.MaxValue) = 1640531535 -> frac ~0.3820.
+    val big = Seq((Long.MaxValue, "en"), (3499999999L, "en"), (0L, "en"))
+      .toDF("doc_id", "lang")
+    val kept = big.mixtureSample("lang", "doc_id", Map("en" -> 0.383))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // frac(MaxValue) ~= 0.38199 < 0.383 (kept); frac(0) = 0 (kept)
+    assert(kept.contains(Long.MaxValue) && kept.contains(0L))
+    val dropped = big.mixtureSample("lang", "doc_id", Map("en" -> 0.381))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!dropped.contains(Long.MaxValue), "frac(MaxValue) must be ~0.382")
+  }
+
   test("mixtureSample plans as one shuffle-free codegen'd filter") {
     val plan = docs.mixtureSample("lang", "doc_id", Map("en" -> 0.5))
       .queryExecution.executedPlan.toString

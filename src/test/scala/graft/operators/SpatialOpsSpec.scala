@@ -227,6 +227,33 @@ class SpatialOpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"zKNN recall too low: $recall")
   }
 
+  test("spark.graft.knn.retryThreshold reaches the zorder path") {
+    import spark.implicits._
+    // 2 rights < k=3: every left starves off the curve (candidates per
+    // left are bounded by the right count), so the fallback route is
+    // fully determined by the count-gate — which must read the conf
+    // (ADVICE r7: it was hardcoded at 1024, making the conf a no-op
+    // for the zorder algorithm)
+    val l = (0 until 20).map(i => (i.toLong, i * 10.0, 0.0)).toDF("lid", "lx", "ly")
+    val r = Seq((1000L, 5.0, 0.0), (1001L, 15.0, 0.0)).toDF("rid", "rx", "ry")
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    val dflt = l.zknnJoin(r, Seq("lx", "ly"), Seq("rx", "ry"),
+      3, "lid", "rid", Seq("rid"))
+    // 20 starved lefts <= default 1024: straight to the cross fallback,
+    // no grid-retry cell columns anywhere in the plan
+    assert(!plan(dflt).contains("__graft_cell_lc0"), plan(dflt))
+    try {
+      spark.conf.set(graft.GraftConf.KnnRetryThreshold, "0")
+      val retried = l.zknnJoin(r, Seq("lx", "ly"), Seq("rx", "ry"),
+        3, "lid", "rid", Seq("rid"))
+      assert(plan(retried).contains("__graft_cell_lc0"),
+        s"threshold 0 must route the zorder starved set through the grid retry:\n${plan(retried)}")
+      // exactness unchanged either way: 2 rights -> 2 neighbors per left
+      assert(dflt.count() === 40 && retried.count() === 40)
+    } finally spark.conf.unset(graft.GraftConf.KnnRetryThreshold)
+  }
+
   test("segmentRange equals kernel brute force") {
     val got = cust.segmentRange(Seq("cx", "cy"), (0.0, 0.0), (9000.0, 150.0), 200.0)
       .select("c_custkey").collect().map(_.getLong(0)).toSet

@@ -125,7 +125,12 @@ class VectorOpsSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     // 8 tight, well-separated clusters: kth-NN distances are tiny next to
-    // inter-cluster distances, so the admit-fraction gate picks pivots
+    // inter-cluster distances, so the admit-fraction gate picks pivots.
+    // sampleCap ABOVE the table size (whole-table sample): a subsample
+    // that leaves clusters with < k sampled members inflates theta past
+    // the admit-fraction gate and the verb silently returns the naive
+    // plan — which is how a pivot-path-only break once slipped through
+    // this very test (ADVICE r7).
     val rng = new scala.util.Random(7)
     val centers = Array.fill(8)(Array.fill(16)(rng.nextDouble() * 100f))
     val rows = (0 until 320).map { i =>
@@ -134,8 +139,15 @@ class VectorOpsSpec extends SparkSpec {
     }
     val left = rows.toDF("vid", "vec")
     val right = rows.map { case (id, v) => (id, v) }.toDF("vid2", "vec2")
-    val got = left.knnJoinVec(right, "vec", "vec2", "vid", k = 3,
-        tieBreak = Seq("vid2"), numPivots = 8, sampleCap = 200)
+    val joined = left.knnJoinVec(right, "vec", "vec2", "vid", k = 3,
+      tieBreak = Seq("vid2"), numPivots = 8, sampleCap = 400)
+    // pin the code path: the pivot plan carries the cell equi-join
+    // (__graft_rcell) — the naive plan has no cell columns at all. (The
+    // exact-fallback branch for starved lefts legitimately contains a
+    // cross join, so assert the pivot markers, not cross-join absence.)
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_rcell"), s"pivot path not taken:\n$plan")
+    val got = joined
       .select("vid", "vid2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val w = Window.partitionBy(col("vid")).orderBy(col("__d").asc, col("vid2").asc)
     val want = left.crossJoin(right)
@@ -143,6 +155,10 @@ class VectorOpsSpec extends SparkSpec {
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
       .select("vid", "vid2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want)
+    // the exposed distance column must survive the pivot path (the r7
+    // break: topKWithCount dropped __graft_d before outCols selected it)
+    val l2s = joined.filter(col("vid") === col("vid2")).select("l2").collect()
+    assert(l2s.nonEmpty && l2s.forall(_.getDouble(0) === 0.0))
   }
 
   test("knnJoinVec returns empty (not crash) on an empty left side") {
