@@ -22,6 +22,11 @@ object GraftConf {
   // starved sets larger than this take the bounded doubled-theta retry
   // before the cross-window fallback; smaller ones go straight to it
   val KnnRetryThreshold  = "spark.graft.knn.retryThreshold"
+  // eagerly checkpoint the kNN-join candidate exchange so the
+  // build-time starved-count job and the query share one candidate
+  // execution (the default); off trades that second execution for not
+  // holding the candidate blocks in block-manager storage
+  val KnnMaterialize     = "spark.graft.knn.materializeCandidates"
   val ZknnShifts         = "spark.graft.zknn.shifts"
   val ZknnBits           = "spark.graft.zknn.bits"
   val IndexPartitions    = "spark.graft.index.partitions"
@@ -51,6 +56,7 @@ object GraftConf {
   def knnSafety(s: SparkSession): Double = get(s, KnnSafety, "2.0").toDouble
   def knnMaxRefine(s: SparkSession): Int = get(s, KnnMaxRefine, "64").toInt
   def knnRetryThreshold(s: SparkSession): Long = get(s, KnnRetryThreshold, "1024").toLong
+  def knnMaterialize(s: SparkSession): Boolean = get(s, KnnMaterialize, "true").toBoolean
   def zknnShifts(s: SparkSession): Int = get(s, ZknnShifts, "2").toInt
   def zknnBits(s: SparkSession): Int = get(s, ZknnBits, "18").toInt
   def indexPartitions(s: SparkSession): Int = get(s, IndexPartitions, "32").toInt

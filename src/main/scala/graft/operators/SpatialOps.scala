@@ -369,7 +369,8 @@ object SpatialOps {
       // must be excluded or they'd appear twice in the union — same
       // guard as pivotCellKnn / zknnJoinImpl.
       val (satisfied, satisfiedLeftIds) =
-        SpatialOps.topKWithCount(cand, leftId, k, tieBreak)
+        SpatialOps.topKWithCount(cand, leftId, k, tieBreak,
+          materialize = graft.GraftConf.knnMaterialize(ds.sparkSession))
       val starved = l.join(satisfiedLeftIds, Seq(leftId), "left_anti")
 
       val fallback = SpatialOps.starvedFallback(starved, rt, lKeys, rKeys,
@@ -615,7 +616,8 @@ object SpatialOps {
     // "k rows per left" contract holds even when the curve misses;
     // they must come ONLY from the fallback or they'd be double-counted.
     // Split rides the window's own shuffle — see topKWithCount.
-    val (kept, keptIds) = topKWithCount(joined, "__lid", k, tieBreak)
+    val (kept, keptIds) = topKWithCount(joined, "__lid", k, tieBreak,
+      materialize = graft.GraftConf.knnMaterialize(spark))
     val ranked = kept.drop("__lid", "__rid")
     // eager checkpoint + count-routed fallback, same discipline as
     // starvedFallback; the curve has no radius of its own, so the
@@ -1035,11 +1037,24 @@ object SpatialOps {
     * `keepDist` keeps `distCol` in the kept rows — required when the
     * caller's output projection references the distance (the vector
     * join exposes it as `l2`); the default drops it, matching the
-    * spatial verbs whose contract is exactly left++right columns. */
+    * spatial verbs whose contract is exactly left++right columns.
+    * `materialize` checkpoints the shared exchange EAGERLY (one local
+    * checkpoint; partitioning survives, so the window and the count
+    * agg still run shuffle-free on top). The verbs' count-routed
+    * fallback executes a job at build time; without materialization
+    * that job ran the whole candidate phase once at build and AGAIN at
+    * query time (ReuseExchange only dedups within one execution) —
+    * the r7 sf0.1 regression on the b5 bench family (+0.7..2.7 s).
+    * With it, build pays the candidate phase once and every later
+    * consumer — satisfied branch, anti-join, retry, the query itself —
+    * reads the checkpointed blocks. Retry-phase splits skip it: they
+    * run inside a single execution with no build-time count on top. */
   private[operators] def topKWithCount(
       cand: DataFrame, leftId: String, k: Int, tieBreak: Seq[String],
-      distCol: String = DIST, keepDist: Boolean = false): (DataFrame, DataFrame) = {
-    val shared = cand.repartition(col(leftId))
+      distCol: String = DIST, keepDist: Boolean = false,
+      materialize: Boolean = false): (DataFrame, DataFrame) = {
+    val shared0 = cand.repartition(col(leftId))
+    val shared = if (materialize) shared0.localCheckpoint() else shared0
     val ids = shared.groupBy(col(leftId)).agg(count(lit(1)).as("__graft_nc"))
       .filter(col("__graft_nc") >= k).select(col(leftId))
     val w = Window.partitionBy(col(leftId))
@@ -1067,9 +1082,10 @@ object SpatialOps {
     *    an unlucky sample): the bounded doubled-theta grid retry first,
     *    so only rows still starved at 2x pay the cross plan.
     *
-    * The count makes the verb eager at build time (it executes the
-    * candidate phase once); the verbs already run sampling collects at
-    * build, and the checkpoint is reused by the query itself. */
+    * The count makes the verb eager at build time, but the candidate
+    * exchange is materialized upstream (topKWithCount materialize) —
+    * this job and every query-time branch read those blocks, so the
+    * candidate phase itself runs exactly once across build + query. */
   private[operators] def starvedFallback(
       starved0: DataFrame, rt: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
       k: Int, leftId: String, tieBreak: Seq[String], theta: Double,
@@ -1181,8 +1197,9 @@ object SpatialOps {
     // satisfied/starved split on the top-k window's own shuffle — see
     // topKWithCount (the old agg+semi chain re-executed per branch)
     // keepDist: outCols may reference __graft_d (the vector join's `l2`)
-    val (kept, keptIds) =
-      topKWithCount(cand, lId, k, tieBreak, distCol = "__graft_d", keepDist = true)
+    val (kept, keptIds) = topKWithCount(cand, lId, k, tieBreak,
+      distCol = "__graft_d", keepDist = true,
+      materialize = graft.GraftConf.knnMaterialize(l.sparkSession))
     val satisfied = kept.select(outCols: _*)
     // eager checkpoint + count-routed fallback — same discipline as
     // starvedFallback: a small starved set (designed case) goes

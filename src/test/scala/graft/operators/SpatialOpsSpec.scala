@@ -113,17 +113,19 @@ class SpatialOpsSpec extends SparkSpec {
       spark.conf.set(graft.GraftConf.KnnSafety, "0.05")
       val tuned = l.knnJoinAuto(r, Seq("lx", "ly"), Seq("rx", "ry"),
         2, "lid", "rid", Seq("rid"))
-      // theta = 2nd-NN(50) * quantile-pick * safety(0.05) = 2.5, baked in
-      // as the grid-cell divisor `floor(<key> / theta)` — a fragment
-      // specific enough that an unrelated 2.5 literal can't green it
-      assert(tuned.queryExecution.optimizedPlan.toString.contains("/ 2.5)"),
-        "expected conf-driven theta 2.5 as the grid divisor in the plan")
       assert(tuned.count() === 100) // exactness preserved (fallback)
-      // the retry gate is conf-driven too: threshold 0 forces the
-      // doubled-theta retry route and stays exact
+      // theta = 2nd-NN(50) * quantile-pick * safety(0.05) = 2.5. The
+      // phase-1 grid divisor is hidden behind the materialized
+      // candidate checkpoint (LogicalRDD), but with retryThreshold 0
+      // the doubled-theta retry branch is built lazily into the plan —
+      // its grid divisor `floor(<key> / (2*theta))` = `/ 5.0)` is a
+      // fragment specific enough that it can only come from the
+      // conf-driven theta (sampleCap, quantile, AND safety plumbed)
       spark.conf.set(graft.GraftConf.KnnRetryThreshold, "0")
       val retried = l.knnJoinAuto(r, Seq("lx", "ly"), Seq("rx", "ry"),
         2, "lid", "rid", Seq("rid"))
+      assert(retried.queryExecution.optimizedPlan.toString.contains("/ 5.0)"),
+        "expected conf-driven doubled theta 5.0 as the retry grid divisor")
       assert(retried.count() === 100)
     } finally {
       spark.conf.unset(graft.GraftConf.SampleCap)
