@@ -16,6 +16,18 @@ import graft.operators.VectorOps._
   */
 object Bench {
 
+  /** Headline entries grouped into probe-bracketed phases: a memory
+    * calibration probe runs between phases, so a contention burst is
+    * localized to the phase it hit instead of invalidating the whole
+    * sweep (VERDICT r7 #6). */
+  private def phases: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = Seq(
+    "selections" -> headline.filter(e => e._1.startsWith("b1") || e._1.startsWith("b2")
+      || e._1.startsWith("b3") || e._1.startsWith("b4")),
+    "knn_joins" -> headline.filter(_._1.startsWith("b5")),
+    "vectors_dedup" -> headline.filter(e => e._1.startsWith("b6") || e._1.startsWith("b7")),
+    "pipeline_relational" -> headline.filter(e => e._1.startsWith("b8") || e._1.startsWith("b9"))
+  )
+
   private def headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // B1-B3: selections (pushdown-able filters, top-k)
     "b1_box_range" -> ((s: SparkSession, d: String) =>
@@ -239,6 +251,10 @@ object Bench {
     * block — the build entries measure the whole build, not just the
     * cache fill. */
   private def indexedPhase(spark: SparkSession, sfDir: String, rec: Recorder): Unit = {
+    // a retry attempt must rebuild, not read the registry entry of the
+    // dirty attempt — otherwise b10_index_build times a registry no-op
+    IndexManager.dropIndex(spark, s"bench:$sfDir")
+    IndexManager.dropIndex(spark, s"bench_qt:$sfDir")
     var idx: graft.index.IndexedTable = null
     rec.timed("b10_index_build") {
       idx = IndexManager.indexTable(spark, customerPts(spark, sfDir),
@@ -269,6 +285,67 @@ object Bench {
     }
   }
 
+  /** One full sweep: ALU + memory brackets around the whole run, plus a
+    * memory probe between phases (6 mem points: pre, one per headline
+    * phase boundary, post after the indexed phase). */
+  private final case class Sweep(
+      rec: Recorder, calPre: Double, calPost: Double,
+      memProbes: scala.collection.mutable.LinkedHashMap[String, Double]) {
+    def memPre: Double = memProbes.getOrElse("pre", -1.0)
+    def memPost: Double = memProbes.lastOption.map(_._2).getOrElse(-1.0)
+    def total: Double = rec.wall.values.sum
+  }
+
+  /** Why this sweep cannot be trusted, per BASELINE.md's interpretation
+    * rule: any memory probe at/above the 0.7 s contamination threshold,
+    * or a pre/post bracket pair (ALU or memory) disagreeing >= 1.5x.
+    * None -> clean. */
+  private def dirtyReason(s: Sweep): Option[String] = {
+    val memDirty = s.memProbes.collect {
+      case (k, v) if v >= 0.7 => f"mem probe $k=$v%.3f >= 0.7"
+    }
+    def pairOff(a: Double, b: Double): Boolean =
+      a > 0 && b > 0 && math.max(a, b) / math.min(a, b) >= 1.5
+    val aluDirty =
+      if (pairOff(s.calPre, s.calPost))
+        Seq(f"ALU pre/post disagree: ${s.calPre}%.3f vs ${s.calPost}%.3f")
+      else Nil
+    val memPairDirty =
+      if (pairOff(s.memPre, s.memPost))
+        Seq(f"mem pre/post disagree: ${s.memPre}%.3f vs ${s.memPost}%.3f")
+      else Nil
+    val all = memDirty.toSeq ++ aluDirty ++ memPairDirty
+    if (all.isEmpty) None else Some(all.mkString("; "))
+  }
+
+  private def runSweep(spark: SparkSession, sfDir: String, cpus: Int,
+                       listener: CpuListener): Sweep = {
+    def cal(): Double =
+      try calibration(spark, cpus)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration failed: $e"); -1.0 }
+    def memCal(): Double =
+      try memCalibration(spark, cpus)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] mem calibration failed: $e"); -1.0 }
+    val calPre = cal()
+    val memProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    memProbes("pre") = memCal()
+    val rec = new Recorder(listener)
+    phases.foreach { case (phaseName, entries) =>
+      entries.foreach { case (name, fn) =>
+        rec.timed(name) { fn(spark, sfDir).count() }
+      }
+      // phase-boundary probe: a burst is pinned to the phase it hit
+      memProbes(s"post_$phaseName") = memCal()
+    }
+    try indexedPhase(spark, sfDir, rec)
+    catch { case e: Throwable => System.err.println(s"[bench] indexed phase failed: $e") }
+    val calPost = cal()
+    memProbes("post_indexed") = memCal()
+    Sweep(rec, calPre, calPost, memProbes)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -286,43 +363,50 @@ object Bench {
     // JVM/codegen warmup on a small query (not reported)
     try customerPts(spark, sfDir).boxRange(Seq("cx", "cy"), Seq(0.0, 0.0), Seq(1.0, 1.0)).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-
-    // environment noise is sampled BEFORE AND AFTER the sweep: a clean
-    // pre + dirty post (or vice versa) flags mid-run contention that a
-    // single point sample cannot see (the round-5 lesson)
-    def cal(): Double =
-      try calibration(spark, cpus.toInt)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] calibration failed: $e"); -1.0 }
-    def memCal(): Double =
-      try memCalibration(spark, cpus.toInt)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] mem calibration failed: $e"); -1.0 }
     // the first memory-probe call pays one-off heap growth + page
     // faults (observed +0.2-0.35 s on the pre bracket); a discarded
     // warmup call keeps the measured brackets comparable
-    memCal()
-    val calPre = cal()
-    val memPre = memCal()
+    try memCalibration(spark, cpus.toInt)
+    catch { case e: Throwable => System.err.println(s"[bench] mem warmup failed: $e") }
 
-    val rec = new Recorder(listener)
-    headline.foreach { case (name, fn) =>
-      rec.timed(name) { fn(spark, sfDir).count() }
+    // Self-healing (VERDICT r7 #1): a sweep whose own probes read dirty
+    // is re-run (bounded attempts) instead of being emitted as the
+    // round's number — r6 AND r7 both checked in artifacts their probes
+    // could have rejected. The first clean sweep wins; every dirty
+    // attempt is summarized in the `attempts` field. If no attempt
+    // comes back clean, the last sweep is emitted with its `dirty`
+    // reason so the artifact says explicitly it is not trustworthy.
+    val maxAttempts = 3
+    val dirtySummaries = scala.collection.mutable.ArrayBuffer[String]()
+    var chosen: Sweep = null
+    var chosenDirty: Option[String] = None
+    var attempt = 0
+    while (attempt < maxAttempts && chosen == null) {
+      attempt += 1
+      val s = runSweep(spark, sfDir, cpus.toInt, listener)
+      dirtyReason(s) match {
+        case None =>
+          chosen = s; chosenDirty = None
+        case Some(reason) =>
+          System.err.println(s"[bench] attempt $attempt dirty: $reason")
+          dirtySummaries += s"""{"attempt":$attempt,"reason":${jstr(reason)},""" +
+            s""""total":${s.total},"calibration_pre":${s.calPre},""" +
+            s""""calibration_post":${s.calPost},"mem_probes":${jmap(s.memProbes)}}"""
+          if (attempt == maxAttempts) { chosen = s; chosenDirty = Some(reason) }
+      }
     }
-    try indexedPhase(spark, sfDir, rec)
-    catch { case e: Throwable => System.err.println(s"[bench] indexed phase failed: $e") }
-    val calPost = cal()
-    val memPost = memCal()
 
-    def jmap(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // calibration measures the environment, not the engine: top-level
     // fields, never part of `queries`, so sum(queries) == total
-    val total = rec.wall.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val rec = chosen.rec
+    val dirtyField = chosenDirty.map(r => s""""dirty":${jstr(r)},""").getOrElse("")
+    val line = s"""{"metric":"total","value":${chosen.total},"unit":"sec",""" +
       s""""queries":${jmap(rec.wall)},"cpu_per_wall":${jmap(rec.cpuRatio)},""" +
-      s""""calibration_pre":$calPre,"calibration_post":$calPost,""" +
-      s""""calibration_mem_pre":$memPre,"calibration_mem_post":$memPost,""" +
+      s""""calibration_pre":${chosen.calPre},"calibration_post":${chosen.calPost},""" +
+      s""""calibration_mem_pre":${chosen.memPre},"calibration_mem_post":${chosen.memPost},""" +
+      s""""calibration_mem_phases":${jmap(chosen.memProbes)},""" +
+      dirtyField +
+      s""""attempts":[${dirtySummaries.mkString(",")}],""" +
       s""""sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: log-relay tail limits truncated the
@@ -336,4 +420,10 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
+
+  private def jmap(m: scala.collection.Map[String, Double]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }
