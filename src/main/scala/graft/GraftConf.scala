@@ -12,7 +12,7 @@ object GraftConf {
 
   val JoinPartitions     = "spark.graft.join.partitions"
   val DistanceJoinAlgo   = "spark.graft.join.distanceJoin"   // auto | grid | broadcast | naive
-  val KnnJoinAlgo        = "spark.graft.join.knnJoin"        // grid | zorder | pivot | naive
+  val KnnJoinAlgo        = "spark.graft.join.knnJoin"        // grid | zorder | pivot | naive | auto
   val BroadcastThreshold = "spark.graft.join.broadcastThreshold" // row estimate
   val SampleCap          = "spark.graft.knn.sampleCap"
   val KnnQuantile        = "spark.graft.knn.radiusQuantile"

@@ -59,11 +59,15 @@ object IndexManager {
 
   private val registry = TrieMap[(String, String), IndexedTable]()
 
-  // (source analyzed plan, replacement analyzed plan) pairs consumed by
-  // graft.plans.IndexSubstitution — the useIndexedData analogue.
+  // (source optimized plan, replacement optimized plan, index key
+  // columns) triples consumed by graft.plans.IndexSubstitution — the
+  // useIndexedData analogue. Key columns let the rule prefer, among
+  // several indexes registered on one source, the one whose keys cover
+  // the query's filter conjuncts (VERDICT r7 #8).
   private val planSubs =
     TrieMap[(String, String), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                               org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
+                               org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                               Seq[String])]()
 
   /** Stable per-session registry key: a process-unique UUID assigned on
     * first sight of each session object. Unlike `System.identityHashCode`
@@ -93,14 +97,18 @@ object IndexManager {
     rangeRegistry.filterInPlace((_, v) => !stopped(v.data))
     hashRegistry.filterInPlace((_, v) => !stopped(v.data))
     quadRegistry.filterInPlace((_, v) => !stopped(v.data))
-    planSubs.filterInPlace((k, _) => registry.contains(k) || quadRegistry.contains(k))
+    // every kind registers a substitution — forgetting one here silently
+    // evicts its planSubs entry on the NEXT build of any index
+    planSubs.filterInPlace((k, _) => registry.contains(k) || quadRegistry.contains(k) ||
+      rangeRegistry.contains(k) || hashRegistry.contains(k))
   }
 
   /** Substitution pairs registered by THIS session only — a cross-session
     * leak would let one session's queries silently read another's cache. */
   def planSubstitutions(spark: SparkSession)
       : Seq[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+             org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             Seq[String])] =
     planSubs.iterator
       .filter(_._1._1 == skey(spark))
       .map(_._2).toSeq
@@ -143,7 +151,7 @@ object IndexManager {
     val sid = skey(spark)
     planSubs.iterator
       .filter(_._1._1 == sid)
-      .collectFirst { case (_, (src, repl))
+      .collectFirst { case (_, (src, repl, _))
         if repl.sameResult(plan) || repl.sameResult(stripRename(src, plan)) => src }
       .getOrElse(plan)
   }
@@ -166,7 +174,8 @@ object IndexManager {
       // during optimization would otherwise never pick up the cache)
       planSubs.put((skey(spark), name),
         (sourcePlanOf(spark, df),
-         idx.data.select(df.columns.map(col): _*).queryExecution.optimizedPlan))
+         idx.data.select(df.columns.map(col): _*).queryExecution.optimizedPlan,
+         keyCols))
       idx
     })
   }
@@ -222,7 +231,8 @@ object IndexManager {
       // by cached-batch min/max stats on the sorted key
       planSubs.put((skey(spark), name),
         (sourcePlanOf(spark, df),
-         clustered.select(df.columns.map(col): _*).queryExecution.optimizedPlan))
+         clustered.select(df.columns.map(col): _*).queryExecution.optimizedPlan,
+         Seq(keyCol)))
       new RangeIndexedTable(name, clustered, keyCol, rangeBounds(clustered, keyCol))
     })
   }
@@ -256,7 +266,8 @@ object IndexManager {
       // cached batches
       planSubs.put((skey(spark), name),
         (sourcePlanOf(spark, df),
-         clustered.select(df.columns.map(col): _*).queryExecution.optimizedPlan))
+         clustered.select(df.columns.map(col): _*).queryExecution.optimizedPlan,
+         Seq(keyCol)))
       new HashIndexedTable(name, clustered, keyCol)
     })
   }
@@ -319,7 +330,8 @@ object IndexManager {
       val idx = buildQuad(spark, df, name, keyCols, numPartitions, bits, capacity)
       planSubs.put((skey(spark), name),
         (sourcePlanOf(spark, df),
-         idx.data.select(df.columns.map(col): _*).queryExecution.optimizedPlan))
+         idx.data.select(df.columns.map(col): _*).queryExecution.optimizedPlan,
+         keyCols))
       idx
     })
   }
@@ -631,7 +643,7 @@ object IndexManager {
   def indexesOfPlan(spark: SparkSession, df: DataFrame): Seq[String] = {
     val plan = sourcePlanOf(spark, df)
     planSubs.iterator
-      .filter { case ((sid, _), (src, _)) => sid == skey(spark) && src.sameResult(plan) }
+      .filter { case ((sid, _), (src, _, _)) => sid == skey(spark) && src.sameResult(plan) }
       .map(_._1._2).toSeq
   }
 

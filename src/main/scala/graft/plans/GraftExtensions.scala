@@ -54,33 +54,76 @@ object IndexSubstitution extends Rule[LogicalPlan] {
   private def covers(p: LogicalPlan, repl: LogicalPlan): Boolean =
     p.output.map(_.name).toSet.subsetOf(repl.output.map(_.name).toSet)
 
+  /** Among several indexes registered on ONE source, prefer the one
+    * whose key columns cover the most of the query's filter conjunct
+    * references, then the one with the fewest key columns (tightest
+    * match: a 1-D filter over a table carrying both a range index on
+    * that column and a 2-D z-order index should read the range cache —
+    * its clustering puts the WHOLE selected range in contiguous cached
+    * batches, where the z-cache interleaves it). Candidates with no
+    * filter in scope keep registration-scan order. */
+  private def rankByFilter(
+      cands: Seq[(LogicalPlan, LogicalPlan, Seq[String])],
+      refNames: Seq[String]): (LogicalPlan, LogicalPlan, Seq[String]) =
+    cands.maxBy { case (_, _, keyCols) =>
+      (refNames.count(keyCols.contains), -keyCols.size)
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val subs = org.apache.spark.sql.SparkSession.getActiveSession
       .map(IndexManager.planSubstitutions)
       .getOrElse(Seq.empty)
     if (subs.isEmpty) plan
-    else plan.transformUp { case p =>
+    // top-down: the Filter shapes are seen BEFORE their child relation,
+    // so the filter conjuncts are in scope to rank multiple candidate
+    // indexes; bottom-up substituted the bare child first and the
+    // ranking never saw a filter. Replacement subtrees are cache scans
+    // (InMemoryRelation leaves) that match no registered source, so
+    // descending into them cannot re-substitute.
+    else plan.transformDown { case p =>
       // single scan over the registered substitutions per node (sameResult
       // canonicalizes whole subtrees — doing it twice per match doubled
       // the dominant cost of this rule)
-      subs.find(s => s._1.sameResult(p) && covers(p, s._2)) match {
-        case Some((_, repl)) => aliased(p.output, repl)
-        case None => p match {
+      subs.filter(s => s._1.sameResult(p) && covers(p, s._2)) match {
+        case direct if direct.nonEmpty =>
+          aliased(p.output, direct.head._2)
+        case _ => p match {
           case pr @ Project(pl, Filter(cond, child)) =>
             val names = passThroughNames(pl)
-            subs.find { case (src, repl) =>
+            val cands = subs.filter { case (src, repl, _) =>
               src.sameResult(Project(pl, child)) &&
                 pl.map(_.name).toSet.subsetOf(repl.output.map(_.name).toSet) &&
                 cond.references.forall(a => names.get(a.exprId)
                   .exists(n => repl.output.exists(_.name == n)))
-            } match {
-              case Some((_, repl)) =>
-                val byName = repl.output.map(a => a.name -> a).toMap
-                val remapped = cond.transform {
-                  case a: AttributeReference => byName(names(a.exprId))
-                }
-                aliased(pr.output, Filter(remapped, repl))
-              case None => p
+            }
+            if (cands.isEmpty) p
+            else {
+              val refNames = cond.references.toSeq
+                .flatMap(a => names.get(a.exprId)).distinct
+              val (_, repl, _) = rankByFilter(cands, refNames)
+              val byName = repl.output.map(a => a.name -> a).toMap
+              val remapped = cond.transform {
+                case a: AttributeReference => byName(names(a.exprId))
+              }
+              aliased(pr.output, Filter(remapped, repl))
+            }
+          // bare Filter over a registered source (no pruning Project on
+          // top — e.g. a full-column filter over a raw table read):
+          // same ranking, references resolve against the child directly
+          case f @ Filter(cond, child) =>
+            val cands = subs.filter { case (src, repl, _) =>
+              src.sameResult(child) && covers(child, repl) &&
+                cond.references.forall(a => repl.output.exists(_.name == a.name))
+            }
+            if (cands.isEmpty) p
+            else {
+              val refNames = cond.references.toSeq.map(_.name).distinct
+              val (_, repl, _) = rankByFilter(cands, refNames)
+              val byName = repl.output.map(a => a.name -> a).toMap
+              val remapped = cond.transform {
+                case a: AttributeReference => byName(a.name)
+              }
+              aliased(f.output, Filter(remapped, repl))
             }
           case _ => p
         }

@@ -71,18 +71,59 @@ object ScaleTrend {
     def b5(n: Int): Long =
       custRep(spark, d, n, "l").knnJoin(suppRep(spark, d, n),
         Seq("lx", "ly"), Seq("rx", "ry"), 3, "lid", Seq("rid")).count()
+    def b5p(n: Int): Long =
+      custRep(spark, d, n, "l").knnJoinPivot(suppRep(spark, d, n),
+        Seq("lx", "ly"), Seq("rx", "ry"), 3, "lid", Seq("rid")).count()
+    def b5z(n: Int): Long =
+      custRep(spark, d, n, "l").zknnJoin(suppRep(spark, d, n),
+        Seq("lx", "ly"), Seq("rx", "ry"), 3, "lid", "rid", Seq("rid")).count()
     def b7(n: Int): Long =
       docsRep(spark, d, n).minHashPairs("doc_id", "text", shingle = 3,
         numHashes = 64, bands = 16, threshold = 0.8, maxBucket = 1000).count()
+    // decontamination sweep over the replicated corpus: both the corpus
+    // and the stand-in benchmark set grow with the slice (the same %7
+    // split as the driver query); cross-replica grams differ (vowel
+    // translation), so matched pairs grow ~n, not n^2
+    def b8d(n: Int): Long = {
+      val docs = docsRep(spark, d, n)
+      val eval = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      graft.operators.DedupOps.contaminationPairs(
+        docs.filter(col("doc_id") % 7 =!= 0), broadcast(eval),
+        "doc_id", "eval_id", "text", n = 8).count()
+    }
 
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b5_knn_join_grid" -> (b5 _),
-          "b7_minhash_dedup" -> (b7 _))
+          "b5_knn_join_pivot" -> (b5p _),
+          "b5_knn_join_zorder" -> (b5z _),
+          "b7_minhash_dedup" -> (b7 _),
+          "b8d_contamination" -> (b8d _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f
       ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    // `ScaleTrend 100` measures the second decade instead: the 1x vs
+    // 100x pair, once per entry (a 100x run is minutes, min-of-2 would
+    // double that for little variance reduction), on the two headline
+    // join shapes. Exponent is per-decade: e = log100(t100/t1) * ... =
+    // log10(t_100x / t_1x) / 2, directly comparable to the 10x column.
+    if (args.headOption.contains("100")) {
+      val hundred: Seq[(String, Int => Long)] =
+        Seq("b4l_distance_join_self_grid" -> (b4l _),
+            "b5_knn_join_grid" -> (b5 _))
+      hundred.foreach { case (_, f) => f(1) } // warmup
+      hundred.foreach { case (name, f) =>
+        val (t1, r1) = timed(f(1)); val (t1b, _) = timed(f(1))
+        val b1 = math.min(t1, t1b)
+        val (t100, r100) = timed(f(100))
+        val e = math.log10(t100 / b1) / 2.0
+        println(f"$name%-30s 1x: $b1%6.2f s ($r1%9d rows)  100x: $t100%7.2f s ($r100%10d rows)  exponent/decade=$e%.2f")
+      }
+      spark.stop(); return
     }
 
     entries.foreach { case (name, f) => f(1) } // warmup at 1x

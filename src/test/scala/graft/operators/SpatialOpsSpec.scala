@@ -229,6 +229,64 @@ class SpatialOpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"zKNN recall too low: $recall")
   }
 
+  test("knnJoinAuto 'auto' cost-gates: grid on uniform 2-D, pivot on clustered 64-D") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // gate unit level: uniform 2-D -> grid (9 cheap cell copies beat
+    // 64 interpreted pivot multiplies per right row); clustered 64-D ->
+    // pivot (3^64 neighbor fan-out is not a plan)
+    val uni2 = Array.fill(200)(Array(rng.nextDouble() * 100, rng.nextDouble() * 100))
+    assert(SpatialOps.chooseKnnAlgo(uni2, uni2, theta = 5.0, dims = 2) === "grid")
+    val centers64 = Array.fill(8)(Array.fill(64)(rng.nextDouble() * 100))
+    val clus64 = Array.tabulate(200)(i =>
+      centers64(i % 8).map(_ + rng.nextGaussian() * 0.1))
+    assert(SpatialOps.chooseKnnAlgo(clus64, clus64, theta = 1.0, dims = 64) === "pivot")
+    // the model (not just the d>8 short-circuit) also lands pivot at
+    // moderate dims where 3^d outgrows the pivot side: clustered 6-D
+    val centers6 = Array.fill(8)(Array.fill(6)(rng.nextDouble() * 100))
+    val clus6 = Array.tabulate(200)(i =>
+      centers6(i % 8).map(_ + rng.nextGaussian() * 0.1))
+    assert(SpatialOps.chooseKnnAlgo(clus6, clus6, theta = 1.0, dims = 6) === "pivot")
+
+    // end-to-end: conf 'auto' dispatches on the gate. Materialization
+    // off so the phase-1 plan markers stay visible (grid cells vs pivot
+    // cells); exactness pinned against the naive window either way.
+    try {
+      spark.conf.set(graft.GraftConf.KnnJoinAlgo, "auto")
+      spark.conf.set(graft.GraftConf.KnnMaterialize, "false")
+      val got2d = cust.knnJoinAuto(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+        3, "c_custkey", "s_suppkey", Seq("s_suppkey"))
+      val p2 = got2d.queryExecution.optimizedPlan.toString
+      assert(p2.contains("__graft_cell_lc0") && !p2.contains("__graft_rcell"),
+        s"uniform-ish 2-D must take the grid plan:\n$p2")
+      assert(pairSet(got2d) === pairSet(cust.knnJoinNaive(supp,
+        Seq("cx", "cy"), Seq("sx", "sy"), 3, "c_custkey", Seq("s_suppkey"))))
+
+      val rows = (0 until 60).map(i =>
+        (i.toLong, centers64(i % 8).map(v => v + rng.nextGaussian() * 0.1).toSeq))
+      val base = rows.toDF("lid", "v")
+      val l64 = base.select(col("lid") +:
+        (0 until 64).map(i => element_at(col("v"), i + 1).as(s"d$i")): _*)
+      val r64 = base.select(col("lid").as("rid") +:
+        (0 until 64).map(i => element_at(col("v"), i + 1).as(s"e$i")): _*)
+      val lk = (0 until 64).map(i => s"d$i")
+      val rk = (0 until 64).map(i => s"e$i")
+      val gotHd = l64.knnJoinAuto(r64, lk, rk, 2, "lid", "rid", Seq("rid"))
+      val pHd = gotHd.queryExecution.optimizedPlan.toString
+      assert(pHd.contains("__graft_rcell"),
+        s"clustered 64-D must take the pivot plan:\n$pHd")
+      val gotSet = gotHd.select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantSet = l64.knnJoinNaive(r64, lk, rk, 2, "lid", Seq("rid"))
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotSet === wantSet)
+    } finally {
+      spark.conf.unset(graft.GraftConf.KnnJoinAlgo)
+      spark.conf.unset(graft.GraftConf.KnnMaterialize)
+    }
+  }
+
   test("spark.graft.knn.retryThreshold reaches the zorder path") {
     import spark.implicits._
     // 2 rights < k=3: every left starves off the curve (candidates per

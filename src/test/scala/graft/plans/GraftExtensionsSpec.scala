@@ -119,6 +119,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
     Seq("ext_ddl", "ext_ddl2").foreach(IndexManager.dropIndex(spark, _))
   }
 
+  test("multi-index choice: 1-D filter picks the range cache, 2-D box the z cache") {
+    // orders: both key columns are REAL parquet columns, so the filter
+    // conjuncts still reference them when the rule runs (a computed
+    // column like customerPts.cy is inlined by the optimizer and its
+    // conjunct no longer mentions the index key); bare-table filters
+    // also exercise the Filter-without-Project matching shape
+    IndexManager.indexTable(spark, Tables.orders(spark, dir), "ext_mi_z",
+      Seq("o_totalprice", "o_custkey"), numPartitions = 4)
+    IndexManager.rangeIndexTable(spark, Tables.orders(spark, dir),
+      "ext_mi_r", "o_totalprice", numPartitions = 4)
+    try {
+      // the z cache carries its internal __graft_z column (visible in
+      // the InMemoryRelation's output); the range cache does not — a
+      // plan-string marker for WHICH cache a substituted query reads
+      val q1 = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 60000.0)
+      val p1 = q1.queryExecution.optimizedPlan.toString
+      assert(p1.contains("InMemoryRelation"), s"1-D filter not substituted:\n$p1")
+      assert(!p1.contains("__graft_z"),
+        s"1-D filter must prefer the range cache (tightest key match):\n$p1")
+      val q2 = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 100000.0 &&
+          col("o_custkey") >= 100 && col("o_custkey") <= 900)
+      val p2 = q2.queryExecution.optimizedPlan.toString
+      assert(p2.contains("__graft_z"),
+        s"2-D box must prefer the z cache (covers both conjunct columns):\n$p2")
+      // both substituted plans still return exactly the un-indexed rows
+      val raw = spark.read.parquet(s"$dir/orders.parquet")
+      val want1 = raw.filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 60000.0)
+      assert(q1.exceptAll(want1).isEmpty && want1.exceptAll(q1).isEmpty && q1.count() > 0)
+      val want2 = raw.filter(col("o_totalprice") >= 50000.0 &&
+        col("o_totalprice") <= 100000.0 &&
+        col("o_custkey") >= 100 && col("o_custkey") <= 900)
+      assert(q2.exceptAll(want2).isEmpty && want2.exceptAll(q2).isEmpty && q2.count() > 0)
+    } finally Seq("ext_mi_z", "ext_mi_r").foreach(IndexManager.dropIndex(spark, _))
+  }
+
   test("dropping the index stops substitution") {
     val src = Tables.customerPts(spark, dir)
     IndexManager.indexTable(spark, src, "ext_drop", Seq("cx", "cy"), numPartitions = 4)
