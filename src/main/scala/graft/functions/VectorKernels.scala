@@ -36,6 +36,24 @@ object VectorKernels {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Euclidean norm of one float vector — EXACTLY cosineF's `sqrt(na)`
+    * factor (same index-order accumulation over the same double casts),
+    * so `dotF(a,b) / (normF(a) * normF(b))` is bit-identical to
+    * `cosineF(a,b)` wherever the norms are nonzero. Exists so pair joins
+    * can hoist the two norm passes out of the n^2 loop (1/3 of cosineF's
+    * per-pair arithmetic each) without perturbing oracle parity. */
+  def normF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      na += x * x
+      i += 1
+    }
+    math.sqrt(na)
+  }
+
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = sameDim(a, b)
     var dot = 0.0

@@ -49,6 +49,24 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `vector_norm(array<float>) -> double` — cosineF's per-side norm
+  * factor, hoistable to one pass per ROW so all-pairs cosine joins pay
+  * only the dot product per PAIR (bit-identical composition; see
+  * VectorKernels.normF). */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vector_norm"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.normF(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.normF($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `l2_distance(array<float>, array<float>) -> double` */
 case class L2Distance(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -141,6 +141,8 @@ package object functions {
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
 
+  def vectorNorm(a: Column): Column = toCol(VectorNorm(toExpr(a)))
+
   def l2Distance(a: Column, b: Column): Column =
     toCol(L2Distance(toExpr(a), toExpr(b)))
 

@@ -306,14 +306,25 @@ object VectorOps {
     /** Exact all-pairs similarity join (cosine >= threshold) against
       * `right`. Cross product + codegen'd kernel filter; correct at any
       * threshold, quadratic by nature — the oracle/baseline path. Spark
-      * broadcasts the smaller side (BroadcastNestedLoopJoin). */
+      * broadcasts the smaller side (BroadcastNestedLoopJoin).
+      *
+      * The norms are hoisted to one pass per ROW (each side's projection
+      * sits below the join), so the n^2 loop pays only the dot product —
+      * 1/3 of cosineF's per-pair arithmetic. `dot / (normL * normR)` is
+      * the SAME computation graph as cosineF (identical accumulation
+      * order, identical zero-denominator guard), so results stay
+      * bit-identical to the per-pair kernel and the DuckDB oracle. */
     def similarityJoinExact(right: Dataset[_], lVec: String, rVec: String,
                             lId: String, rId: String,
                             threshold: Double): DataFrame = {
       val l = ds.toDF.select(col(lId), col(lVec))
+        .withColumn("__lnorm", vectorNorm(col(lVec)))
       val r = right.toDF.select(col(rId).as("__rid"), col(rVec).as("__rvec"))
+        .withColumn("__rnorm", vectorNorm(col("__rvec")))
+      val denom = col("__lnorm") * col("__rnorm")
       l.crossJoin(r)
-        .withColumn("cos", cosineSimilarity(col(lVec), col("__rvec")))
+        .withColumn("cos", when(denom === 0.0, lit(0.0))
+          .otherwise(dotProduct(col(lVec), col("__rvec")) / denom))
         .filter(col("cos") >= threshold)
         .select(col(lId), col("__rid").as(rId), col("cos"))
     }

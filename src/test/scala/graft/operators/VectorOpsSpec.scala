@@ -51,6 +51,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("similarityJoinExact hoisted-norm cosine is bit-identical to the kernel") {
+    import spark.implicits._
+    // includes a zero vector: the hoisted form must keep cosineF's
+    // zero-denominator -> 0.0 contract, not divide by zero
+    val data = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-1.5f, 0.25f, 8.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.1f, -0.2f, 0.3f))).toDF("id", "v")
+    val r = data.select(col("id").as("id2"), col("v").as("v2"))
+    // threshold -2 keeps every pair (cosine >= -1), so the value of each
+    // pair is compared, not just membership above a cut
+    val got = data.similarityJoinExact(r, "v", "v2", "id", "id2", -2.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val want = data.crossJoin(r)
+      .withColumn("cos", graft.functions.cosineSimilarity(col("v"), col("v2")))
+      .collect().map(x => (x.getLong(0), x.getLong(2)) -> x.getDouble(4)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(v) ===
+        java.lang.Double.doubleToRawLongBits(want(k)), s"pair $k")
+    }
+  }
+
   test("embeddingNearDupPairs: exact precision, candidates subset of exact join") {
     val got = emb.embeddingNearDupPairs("embedding", "vec_id",
       threshold = 0.25, planes = 16, bandBits = 4)
