@@ -286,13 +286,17 @@ object Bench {
   }
 
   /** One full sweep: ALU + memory brackets around the whole run, plus a
-    * memory probe between phases (6 mem points: pre, one per headline
-    * phase boundary, post after the indexed phase). */
+    * memory probe between phases (7 mem points: pre, one per headline
+    * phase boundary, post after the indexed phase, and one after the
+    * trailing steady-state re-execution). The headline pre/post pair is
+    * (pre, post_indexed); post_steady guards only the steady numbers. */
   private final case class Sweep(
       rec: Recorder, calPre: Double, calPost: Double,
-      memProbes: scala.collection.mutable.LinkedHashMap[String, Double]) {
+      memProbes: scala.collection.mutable.LinkedHashMap[String, Double],
+      steady: scala.collection.mutable.LinkedHashMap[String, Double]) {
     def memPre: Double = memProbes.getOrElse("pre", -1.0)
-    def memPost: Double = memProbes.lastOption.map(_._2).getOrElse(-1.0)
+    def memPost: Double = memProbes.getOrElse("post_indexed",
+      memProbes.lastOption.map(_._2).getOrElse(-1.0))
     def total: Double = rec.wall.values.sum
   }
 
@@ -343,7 +347,27 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] indexed phase failed: $e") }
     val calPost = cal()
     memProbes("post_indexed") = memCal()
-    Sweep(rec, calPre, calPost, memProbes)
+    // Steady-state re-execution of the kNN-join family: the cold sweep
+    // number carries ~2-2.5 s of local-mode fixed cost per entry
+    // (driver-side gaps across ~25 AQE stage-jobs + first-run JIT —
+    // job-time sum ~2.7 s inside a 5.2 s cold wall) that amortizes away
+    // at scale. The second execution measures the steady-state rate the
+    // 100-TB story actually rides on. Runs AFTER every headline entry
+    // so it cannot perturb them; reported as `steady_state`, never
+    // mixed into `queries`/`total`.
+    val steady = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val steadyNames = Set("b5_knn_join_grid", "b5_knn_join_zorder",
+      "b5_knn_join_pivot", "b5s_knn_join_skew_grid", "b5s_knn_join_skew_pivot")
+    phases.foreach { case (_, entries) =>
+      entries.filter(e => steadyNames(e._1)).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] steady $name failed: $e") }
+        steady(name) = (System.nanoTime() - t0) / 1e9
+      }
+    }
+    memProbes("post_steady") = memCal()
+    Sweep(rec, calPre, calPost, memProbes, steady)
   }
 
   def main(args: Array[String]): Unit = {
@@ -405,6 +429,7 @@ object Bench {
       s""""calibration_pre":${chosen.calPre},"calibration_post":${chosen.calPost},""" +
       s""""calibration_mem_pre":${chosen.memPre},"calibration_mem_post":${chosen.memPost},""" +
       s""""calibration_mem_phases":${jmap(chosen.memProbes)},""" +
+      s""""steady_state":${jmap(chosen.steady)},""" +
       dirtyField +
       s""""attempts":[${dirtySummaries.mkString(",")}],""" +
       s""""sf":"$sfDir"}"""
