@@ -129,6 +129,8 @@ object Bench {
     }),
     "b8d_contamination" -> ((s: SparkSession, d: String) =>
       graft.queries.Pipeline.queries("pp_contamination")(s, d)),
+    "b8b_boilerplate" -> ((s: SparkSession, d: String) =>
+      graft.queries.Pipeline.queries("pp_boilerplate")(s, d)),
     // relational anchor
     "b9_q1_agg" -> ((s: SparkSession, d: String) =>
       graft.queries.Relational.pricingSummary(s, d))

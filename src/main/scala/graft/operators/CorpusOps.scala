@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Corpus-level text-preparation operators — the stages of a training
+  * pipeline that look ACROSS documents rather than at one document at a
+  * time (per-document scoring lives in [[graft.functions]]; dedup in
+  * [[DedupOps]]; mixture/balance in [[SampleOps]]):
+  *
+  *  - [[DatasetCorpusOps.boilerplateScore]] finds word n-grams shared by
+  *    many distinct documents (headers, footers, license blocks,
+  *    templated navigation) and scores each document by the fraction of
+  *    its distinct grams that are corpus-frequent — the standard
+  *    "remove boilerplate before training" signal.
+  *  - [[DatasetCorpusOps.sequencePack]] assigns documents to
+  *    fixed-token-capacity bins (training context windows) by
+  *    deterministic contiguous packing within a shard group.
+  *
+  * Scale notes (100 TB):
+  *  - boilerplateScore never joins documents to documents: the candidate
+  *    space is per-doc DISTINCT grams (texts never ride the join), the
+  *    document-frequency table is a partial-aggregated groupBy on the
+  *    gram, and the score join is gram-keyed — the same discipline as
+  *    [[DedupOps.contaminationPairs]]. At petabyte scale swap the gram
+  *    string for `fingerprint64(gram)` so the two shuffles carry 8-byte
+  *    keys (same result up to hash collisions).
+  *  - sequencePack's window partitions by the shard group, so the
+  *    parallelism unit is the group; groups are expected to be
+  *    shard-sized (source buckets, crawl segments), not the whole
+  *    corpus. For a corpus with one giant group, pre-split the group
+  *    key (e.g. by id range) — a global prefix sum over one ordering is
+  *    inherently a single sequential chain and this operator refuses to
+  *    hide that.
+  */
+object CorpusOps {
+
+  implicit class DatasetCorpusOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** Per-document boilerplate fraction against the whole corpus: a
+      * word `n`-gram is boilerplate iff it occurs in at least `minDocs`
+      * DISTINCT documents; each document scores
+      * `boilerplate_grams / total_grams` over its DISTINCT grams.
+      * Documents shorter than `n` words have no grams and are absent
+      * from the output (nothing to score).
+      *
+      * Plain integer counts plus one double division, so any SQL engine
+      * replays the scores bit-for-bit. */
+    def boilerplateScore(idCol: String, textCol: String,
+                         n: Int = 8, minDocs: Long = 2L): DataFrame = {
+      require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+      val grams = ds.toDF
+        .select(col(idCol).as("__graft_bid"),
+          explode(wordGrams(col(textCol), n)).as("__graft_gram"))
+        .distinct()
+      // document frequency per gram; partial aggregation collapses each
+      // mapper's grams before the shuffle
+      val frequent = grams.groupBy(col("__graft_gram"))
+        .agg(count(lit(1)).as("__graft_df"))
+        .filter(col("__graft_df") >= minDocs)
+      // left join + count(non-null) flags boilerplate membership without
+      // a second scan of the gram table
+      grams.join(frequent, Seq("__graft_gram"), "left")
+        .groupBy(col("__graft_bid"))
+        .agg(count(lit(1)).as("total_grams"),
+          count(col("__graft_df")).as("boilerplate_grams"))
+        .select(col("__graft_bid").as(idCol),
+          col("total_grams"), col("boilerplate_grams"),
+          (col("boilerplate_grams").cast("double") /
+            col("total_grams").cast("double")).as("boilerplate_frac"))
+    }
+
+    /** Winnowing fingerprints (the MOSS scheme: Schleimer, Wilkerson,
+      * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+      * SIGMOD 2003): hash every word `n`-gram, slide a window of `w`
+      * consecutive gram hashes, keep each window's minimum, emit the
+      * DISTINCT selected hashes per document. Guarantees any shared run
+      * of `n + w - 1` words between two documents shares at least one
+      * fingerprint — substring-robust near-dup detection, where minhash
+      * only sees whole-document similarity.
+      *
+      * The "hash" is the md5 hex string and the window minimum is its
+      * lexicographic minimum: both engines compute identical md5 hex
+      * and compare ASCII identically, so the fingerprint set replays
+      * exactly in SQL with no custom hash kernel. Documents with fewer
+      * than `n + w - 1` words have no full window and emit nothing.
+      *
+      * Scale shape: one shuffle on the document id; the window sort is
+      * per-document (gram position), never global. Fingerprint join
+      * downstream is an equi-join on the fingerprint string (or its
+      * fingerprint64 at petabyte scale — same note as the gram ops). */
+    def winnowFingerprints(idCol: String, textCol: String,
+                           n: Int = 4, w: Int = 4): DataFrame = {
+      require(n >= 1 && w >= 1, s"n and w must be >= 1, got ($n, $w)")
+      val g = ds.toDF.select(col(idCol),
+        posexplode(wordGrams(col(textCol), n)).as(Seq("__graft_pos", "__graft_gram")))
+      val byDoc = Window.partitionBy(col(idCol))
+      val win = byDoc.orderBy(col("__graft_pos"))
+        .rowsBetween(Window.currentRow, w - 1)
+      g.withColumn("__graft_h", md5(col("__graft_gram")))
+        .withColumn("__graft_n", count(lit(1)).over(byDoc))
+        .withColumn("__graft_wmin", min(col("__graft_h")).over(win))
+        // only full windows select fingerprints (window starts at pos)
+        .filter(col("__graft_pos") <= col("__graft_n") - w)
+        .select(col(idCol), col("__graft_wmin").as("fingerprint"))
+        .distinct()
+    }
+
+    /** Fixed-size token chunking with stride (context-window slicing
+      * for embedding/training pipelines): chunk `c` covers tokens
+      * `[c*stride, c*stride + size)`; the last chunk may be shorter;
+      * chunks start while `c*stride < n_tokens - size + stride` — i.e.
+      * a final fragment shorter than a full stride's advance is folded
+      * into the preceding chunk count. Documents with zero tokens emit
+      * nothing. Pure per-row explode — no shuffle at all. */
+    def tokenChunks(idCol: String, textCol: String,
+                    size: Int, stride: Int): DataFrame = {
+      require(size >= 1 && stride >= 1 && stride <= size,
+        s"need 1 <= stride <= size, got (size=$size, stride=$stride)")
+      val toks = graft.functions.tokens(col(textCol))
+      val nTok = graft.functions.tokenCount(col(textCol))
+      // ceil((n - size) / stride) + 1 full-or-tail chunks, min 1 for
+      // any non-empty doc; floor-division stays exact at any document
+      // length a context window will ever see
+      val nChunks = when(nTok <= size, lit(1L))
+        .otherwise(floor((nTok - size + stride - 1) / lit(stride)).cast("long") + 1L)
+      ds.toDF
+        .filter(nTok >= 1)
+        .select(col(idCol), posexplode(transform(
+          sequence(lit(0L), nChunks - 1L),
+          c => array_join(slice(toks, (c * stride + 1L).cast("int"), lit(size)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
+    }
+
+    /** Deterministic contiguous sequence packing: within each
+      * `groupCol` shard, documents in ascending `idCol` order are
+      * assigned `bin = exclusive-prefix-sum(tokens) div capacity` — the
+      * streaming next-fit packing a sequential packer over the same
+      * order would produce, except a document straddling a capacity
+      * boundary stays in the bin it starts in (bins can overflow by at
+      * most one document; no document is ever split). Emits the
+      * exclusive prefix sum as `cum_tokens` so callers can compute
+      * intra-bin offsets.
+      *
+      * Integer arithmetic end to end (`div` is integral division), so
+      * the assignment replays exactly in any engine. */
+    def sequencePack(groupCol: String, idCol: String, tokens: Column,
+                     capacity: Long): DataFrame = {
+      require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ds.toDF
+        .select(col(groupCol), col(idCol), tokens.cast("long").as("tok_count"))
+        .withColumn("cum_tokens", coalesce(sum(col("tok_count")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_tokens div ${capacity}L"))
+    }
+  }
+}

@@ -146,6 +146,51 @@ object Pipeline {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  /** Corpus-level boilerplate scoring: 5-grams shared by >= 2 distinct
+    * documents are boilerplate; each doc scores the fraction of its
+    * distinct grams that are. Integer counts + one double division ->
+    * full hash oracle on the proven gram tokenizer. */
+  def boilerplateQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).boilerplateScore("doc_id", "text", n = 5, minDocs = 2L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic sequence packing into 2048-token bins per source
+    * shard: exclusive prefix sum of whitespace token counts in doc_id
+    * order, integral division by the capacity — integer arithmetic end
+    * to end, replayed exactly by the window-function oracle. */
+  def sequencePackQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d)
+      .sequencePack("source", "doc_id", tokenCount(col("text")), capacity = 2048L)
+      .select(col("source"), col("doc_id"), col("tok_count"),
+        col("cum_tokens"), col("bin"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Winnowing fingerprints (MOSS): distinct window-min md5 gram
+    * hashes per document — substring-robust fingerprinting. The hash
+    * is the md5 hex STRING and the window min is lexicographic, so the
+    * oracle needs no custom hash kernel: both engines compute identical
+    * md5 hex and compare ASCII identically. */
+  def winnowQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).winnowFingerprints("doc_id", "text", n = 4, w = 4)
+      .orderBy(col("doc_id"), col("fingerprint"))
+  }
+
+  /** Context-window token chunking: 64-token chunks, stride 48 —
+    * per-doc explode, replayed exactly via generate_series + list
+    * slicing. */
+  def tokenChunksQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).tokenChunks("doc_id", "text", size = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Deterministic mixture sampling over the corpus: per-language keep
     * rates applied through the engine-portable Knuth-hash fraction
     * (SampleOps.mixtureSample), so DuckDB replays the exact kept set —
@@ -705,6 +750,83 @@ object Pipeline {
         |FROM grams c JOIN grams e ON c.gram = e.gram
         |WHERE c.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
         |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin,
+    // boilerplate = 5-grams in >= 2 distinct docs; same tok/grams CTE
+    // shape as pp_contamination (hash-proven tokenizer), integer counts
+    // and one double division
+    "pp_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r]+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+        |  FROM tok, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        |  WHERE len(t) >= 5
+        |), df AS (
+        |  SELECT gram, count(*) AS docfreq FROM grams GROUP BY gram
+        |)
+        |SELECT g.doc_id AS doc_id,
+        |  count(*) AS total_grams,
+        |  count(d.gram) AS boilerplate_grams,
+        |  CAST(count(d.gram) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS boilerplate_frac
+        |FROM grams g LEFT JOIN df d ON g.gram = d.gram AND d.docfreq >= 2
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // winnowing: window-min over md5 hex gram hashes; pos is 0-based in
+    // Spark (posexplode) so the DuckDB gram CTE subtracts 1. A window
+    // starting at pos is full iff pos <= n_grams - w.
+    "tx_winnow" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r]+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+3], ' ')) AS h
+        |  FROM tok, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 4
+        |), win AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_grams
+        |  FROM grams
+        |)
+        |SELECT DISTINCT doc_id, wmin AS fingerprint
+        |FROM win WHERE pos <= n_grams - 4
+        |ORDER BY doc_id, fingerprint""".stripMargin,
+    // context-window chunking: 64-token chunks, stride 48; chunk count
+    // = ceil((n - 64)/48) + 1 (min 1), chunk c = tokens [c*48, c*48+64)
+    "tx_token_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                q -> q != '') AS t
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, t, len(t) AS nt,
+        |    CASE WHEN len(t) <= 64 THEN 1
+        |         ELSE (len(t) - 64 + 47) // 48 + 1 END AS nchunks
+        |  FROM toks WHERE len(t) >= 1
+        |)
+        |SELECT doc_id, c AS chunk_id,
+        |  array_to_string(t[c * 48 + 1 : c * 48 + 64], ' ') AS chunk_text
+        |FROM n, UNNEST(generate_series(0, nchunks - 1)) AS u(c)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    // contiguous next-fit packing: exclusive prefix sum of whitespace
+    // token counts per source shard, integral division by the 2048
+    // capacity — integer arithmetic end to end
+    "pp_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         q -> q != '')) AS BIGINT) AS tok_count
+        |  FROM documents
+        |)
+        |SELECT source, doc_id, tok_count,
+        |  COALESCE(sum(tok_count) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tokens,
+        |  COALESCE(sum(tok_count) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+        |    AS bin
+        |FROM toks ORDER BY source, doc_id""".stripMargin,
     // exact replay of the Knuth-hash mixture sampler: same integer
     // arithmetic, same IEEE constants, exact power-of-two division.
     // The multiply runs in two 16-bit halves exactly like knuthFrac —
@@ -830,6 +952,10 @@ object Pipeline {
     "pp_mixture_sample" -> (mixtureSampleQ _),
     "pp_group_cap" -> (groupCapQ _),
     "pp_contamination" -> (contaminationQ _),
+    "pp_boilerplate" -> (boilerplateQ _),
+    "pp_sequence_pack" -> (sequencePackQ _),
+    "tx_winnow" -> (winnowQ _),
+    "tx_token_chunks" -> (tokenChunksQ _),
     "emb_quantize_int8" -> (quantizeQ _),
     "dd_exact_dedup" -> (exactDedupQ _),
     "dd_minhash_pairs" -> (minHashPairsQ _),

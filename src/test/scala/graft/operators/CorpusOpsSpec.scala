@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.operators.CorpusOps._
+
+class CorpusOpsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf())
+
+  test("boilerplateScore: planted shared header scores 1.0, unique text 0.0") {
+    import spark.implicits._
+    val header = "terms of service apply to all visitors"
+    val fixture = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$header iota kappa lambda mu nu xi omicron pi"),
+      (3L, "completely unrelated text one two three four five six seven"),
+      (4L, "short")).toDF("doc_id", "text")
+    val got = fixture.boilerplateScore("doc_id", "text", n = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 4 has < 4 words -> no grams -> absent
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // the 7-word header contributes 4 internal 4-grams shared by docs 1
+    // and 2; grams straddling header/tail differ between them, so the
+    // shared grams are EXACTLY the header-internal ones. 15 words ->
+    // 12 distinct grams per doc.
+    val (t1, b1, f1) = got(1L)
+    assert(t1 === 12L && b1 === 4L, s"doc1 got ($t1, $b1)")
+    assert(f1 === 4.0 / 12.0)
+    // doc 3 shares nothing
+    assert(got(3L)._2 === 0L && got(3L)._3 === 0.0)
+  }
+
+  test("boilerplateScore: fraction bounded, duplicate docs fully boilerplate") {
+    val base = docs.filter(col("doc_id") < 50)
+    val dup = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val out = base.unionAll(dup)
+      .boilerplateScore("doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (t, b, f) =>
+      assert(b <= t && f >= 0.0 && f <= 1.0)
+    }
+    // every duplicated doc (both copies) with >= 5 words scores 1.0:
+    // each of its grams occurs in at least the two copies
+    val expectDup = 2 * docs.filter(col("doc_id") < 10)
+      .filter(graft.functions.tokenCount(col("text")) >= 5).count()
+    assert(out.count(_._3 == 1.0) >= expectDup && expectDup > 0)
+  }
+
+  test("winnowFingerprints: shared n+w-1 run guarantees a shared fingerprint") {
+    import spark.implicits._
+    // docs 1 and 2 share a 7-word run (= n + w - 1 for n=4, w=4) inside
+    // otherwise-disjoint text; doc 3 is unrelated; doc 4 too short
+    val run = "quick brown foxes jump over lazy dogs"
+    val fixture = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"one two three four $run five six seven"),
+      (3L, "totally different words in this unrelated document body here"),
+      (4L, "just three words")).toDF("doc_id", "text")
+    val fp = fixture.winnowFingerprints("doc_id", "text", n = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fp.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // the winnowing guarantee: >= 1 shared fingerprint for the run
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    // unrelated doc shares nothing with either
+    assert((byDoc(3L) intersect (byDoc(1L) union byDoc(2L))).isEmpty)
+    // < n + w - 1 words -> no full window -> absent
+    assert(!byDoc.contains(4L))
+    // every fingerprint is a gram md5 actually present in the doc
+    val grams1 = "alpha beta gamma quick brown foxes jump over lazy dogs delta epsilon"
+      .split(" ").sliding(4).map(_.mkString(" ")).toSet
+    val md5s1 = grams1.map(g => java.security.MessageDigest.getInstance("MD5")
+      .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(byDoc(1L).subsetOf(md5s1))
+  }
+
+  test("tokenChunks: full coverage, stride overlap, tail chunk shorter") {
+    import spark.implicits._
+    val words = (1 to 10).map(i => s"w$i").mkString(" ")
+    val fixture = Seq((1L, words), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = fixture.tokenChunks("doc_id", "text", size = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 1: 10 tokens -> ceil((10-4)/2)+1 = 4 chunks at starts 0,2,4,6
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(d1.toSeq === Seq("w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8",
+      "w7 w8 w9 w10"))
+    // doc 2: fewer tokens than size -> one (short) chunk
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq === Seq("a b"))
+    // doc 3: zero tokens -> no chunks
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("sequencePack: contiguous next-fit bins, overflow by at most one doc") {
+    val packed = docs.sequencePack("source", "doc_id",
+      graft.functions.tokenCount(col("text")), capacity = 500L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(packed.length.toLong === docs.count())
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // cum_tokens is the exclusive prefix sum in doc_id order
+      var cum = 0L
+      sorted.foreach { case (_, _, tok, cumGot, bin) =>
+        assert(cumGot === cum)
+        assert(bin === cum / 500L)
+        cum += tok
+      }
+      // bins are contiguous and non-decreasing; a bin's content starts
+      // before capacity*(bin+1) by construction
+      val bins = sorted.map(_._5)
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("sequencePack: total tokens per bin exceed capacity only via the straddler") {
+    import spark.implicits._
+    val fixture = Seq(
+      ("s", 1L, 300L), ("s", 2L, 300L), ("s", 3L, 50L),
+      ("s", 4L, 600L), ("s", 5L, 10L)).toDF("source", "doc_id", "n")
+    val got = fixture.sequencePack("source", "doc_id", col("n"), capacity = 500L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    // cum: 0, 300, 600, 650, 1250 -> bins 0, 0, 1, 1, 2
+    assert(got.toSeq === Seq((1L, 0L, 0L), (2L, 300L, 0L),
+      (3L, 600L, 1L), (4L, 650L, 1L), (5L, 1250L, 2L)))
+  }
+}
