@@ -359,7 +359,8 @@ object Bench {
     // mixed into `queries`/`total`.
     val steady = scala.collection.mutable.LinkedHashMap[String, Double]()
     val steadyNames = Set("b5_knn_join_grid", "b5_knn_join_zorder",
-      "b5_knn_join_pivot", "b5s_knn_join_skew_grid", "b5s_knn_join_skew_pivot")
+      "b5_knn_join_pivot", "b5s_knn_join_skew_grid", "b5s_knn_join_skew_pivot",
+      "b6v_knn_join_vec_pivot")
     phases.foreach { case (_, entries) =>
       entries.filter(e => steadyNames(e._1)).foreach { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -109,6 +109,28 @@ object CorpusOps {
         .distinct()
     }
 
+    /** Candidate substring-duplication pairs: documents sharing at
+      * least `minShared` winnowing fingerprints. By the winnowing
+      * guarantee, any two documents sharing a run of
+      * `n + w - 1 + (minShared-1)*w` words (approximately) surface
+      * here — the cross-document analogue of what suffix-array
+      * substring dedup finds, expressed as a fingerprint equi-join:
+      * per-doc fingerprint sets are bounded (~2/(w+1) of gram count),
+      * the join is fingerprint-keyed, and texts never ride it — the
+      * same shape as [[DedupOps.contaminationPairs]]. Emits
+      * `(id1, id2, shared_fps)` with `id1 < id2`. */
+    def winnowPairs(idCol: String, textCol: String,
+                    n: Int = 4, w: Int = 4, minShared: Long = 2L): DataFrame = {
+      val fps = winnowFingerprints(idCol, textCol, n, w)
+      val l = fps.select(col(idCol).as("id1"), col("fingerprint"))
+      val r = fps.select(col(idCol).as("id2"), col("fingerprint"))
+      l.join(r, Seq("fingerprint"))
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= minShared)
+    }
+
     /** Fixed-size token chunking with stride (context-window slicing
       * for embedding/training pipelines): chunk `c` covers tokens
       * `[c*stride, c*stride + size)`; the last chunk may be shorter;

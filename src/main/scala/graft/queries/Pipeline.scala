@@ -180,6 +180,15 @@ object Pipeline {
       .orderBy(col("doc_id"), col("fingerprint"))
   }
 
+  /** Substring-level near-dup candidates: pairs sharing >= 2 winnowing
+    * fingerprints — what suffix-array substring dedup would surface,
+    * as a fingerprint equi-join. */
+  def winnowPairsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).winnowPairs("doc_id", "text", n = 4, w = 4, minShared = 2L)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Context-window token chunking: 64-token chunks, stride 48 —
     * per-doc explode, replayed exactly via generate_series + list
     * slicing. */
@@ -810,6 +819,31 @@ object Pipeline {
         |  array_to_string(t[c * 48 + 1 : c * 48 + 64], ' ') AS chunk_text
         |FROM n, UNNEST(generate_series(0, nchunks - 1)) AS u(c)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // substring near-dup candidates: self-join of the winnowing
+    // fingerprint sets (same CTE chain as tx_winnow)
+    "dd_winnow_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r]+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+3], ' ')) AS h
+        |  FROM tok, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 4
+        |), win AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_grams
+        |  FROM grams
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, wmin AS fingerprint
+        |  FROM win WHERE pos <= n_grams - 4
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared_fps
+        |FROM fps a JOIN fps b
+        |  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id1, id2""".stripMargin,
     // contiguous next-fit packing: exclusive prefix sum of whitespace
     // token counts per source shard, integral division by the 2048
     // capacity — integer arithmetic end to end
@@ -956,6 +990,7 @@ object Pipeline {
     "pp_sequence_pack" -> (sequencePackQ _),
     "tx_winnow" -> (winnowQ _),
     "tx_token_chunks" -> (tokenChunksQ _),
+    "dd_winnow_pairs" -> (winnowPairsQ _),
     "emb_quantize_int8" -> (quantizeQ _),
     "dd_exact_dedup" -> (exactDedupQ _),
     "dd_minhash_pairs" -> (minHashPairsQ _),

@@ -93,13 +93,24 @@ object ScaleTrend {
         "doc_id", "eval_id", "text", n = 8).count()
     }
 
+    // corpus boilerplate over the replicated corpus: each replica's
+    // vowel translation makes cross-replica grams distinct, so the
+    // document-frequency table grows ~n and matched grams stay within
+    // a replica — the 100-TB shape (per-shard boilerplate)
+    def b8b(n: Int): Long = {
+      import graft.operators.CorpusOps._
+      docsRep(spark, d, n).boilerplateScore("doc_id", "text", n = 5, minDocs = 2L)
+        .count()
+    }
+
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b5_knn_join_grid" -> (b5 _),
           "b5_knn_join_pivot" -> (b5p _),
           "b5_knn_join_zorder" -> (b5z _),
           "b7_minhash_dedup" -> (b7 _),
-          "b8d_contamination" -> (b8d _))
+          "b8d_contamination" -> (b8d _),
+          "b8b_boilerplate" -> (b8b _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f

@@ -79,6 +79,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byDoc(1L).subsetOf(md5s1))
   }
 
+  test("winnowPairs: long shared run pairs up, unrelated docs do not") {
+    import spark.implicits._
+    val run = "the quick brown fox jumps over the lazy dog again and again"
+    val fixture = Seq(
+      (1L, s"prefix words here $run suffix tail words"),
+      (2L, s"other opening text $run closing remarks follow now"),
+      (3L, "entirely distinct content with no overlap whatsoever present here today")
+    ).toDF("doc_id", "text")
+    val got = fixture.winnowPairs("doc_id", "text", n = 4, w = 4, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    // shared fingerprints are a symmetric count and id1 < id2
+    assert(got.head._3 >= 2L)
+  }
+
   test("tokenChunks: full coverage, stride overlap, tail chunk shorter") {
     import spark.implicits._
     val words = (1 to 10).map(i => s"w$i").mkString(" ")

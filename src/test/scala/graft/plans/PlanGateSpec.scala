@@ -78,6 +78,17 @@ class PlanGateSpec extends SparkSpec {
       s"dedup must shuffle exactly once:\n$p")
   }
 
+  test("boilerplate/winnow: gram- and fingerprint-keyed joins, never a nested loop") {
+    import graft.operators.CorpusOps._
+    val pb = plan(documents(spark, sf()).boilerplateScore("doc_id", "text", 5, 2))
+    assert(!pb.contains("CartesianProduct") && !pb.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate join degenerated:\n$pb")
+    assert(pb.contains("partial_count"), s"document-frequency agg lost map-side combine:\n$pb")
+    val pw = plan(documents(spark, sf()).winnowPairs("doc_id", "text", 4, 4, 2))
+    assert(!pw.contains("CartesianProduct") && !pw.contains("BroadcastNestedLoopJoin"),
+      s"winnow pair join degenerated:\n$pw")
+  }
+
   test("IVF disk layout: probed cells prune at the directory level") {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_ivf_plangate").toString
