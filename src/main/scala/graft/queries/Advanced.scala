@@ -86,6 +86,13 @@ object Advanced {
   def streamDedup(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamDedupCounts(s, d).orderBy(col("lang"))
 
+  /** Streaming decontamination gate: corpus docs stream through a
+    * stream-static semi join against the static eval-set grams, with a
+    * stateful per-doc matched-gram count — the batch contamination
+    * sweep aggregated over the eval side, run on a genuine stream. */
+  def streamContamination(s: SparkSession, d: String): DataFrame =
+    StreamingOps.streamContaminationCounts(s, d, n = 8).orderBy(col("doc_id"))
+
   /** 1-D range index over order totals (TreeMap/Treap-analogue path). */
   def rangeIndexQ(s: SparkSession, d: String): DataFrame =
     IndexManager.rangeIndexTable(s, orders(s, d), s"orders_price:$d", "o_totalprice")
@@ -323,6 +330,24 @@ object Advanced {
     "st_stream_dedup" ->
       """SELECT lang, COUNT(DISTINCT text) AS n_unique FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // streaming gate = batch contamination aggregated over the eval
+    // side: distinct corpus (doc, gram) pairs matched against the
+    // distinct eval gram set (same tok/grams CTE as pp_contamination)
+    "st_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r]+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM tok, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8
+        |), ev AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0
+        |)
+        |SELECT g.doc_id, count(*) AS matched_grams
+        |FROM grams g JOIN ev ON g.gram = ev.gram
+        |WHERE g.doc_id % 7 <> 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "sp_range_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 60000.0
@@ -400,6 +425,7 @@ object Advanced {
     "st_sessions" -> (sessionsStream _),
     "st_sessions_native" -> (sessionsNativeStream _),
     "st_stream_dedup" -> (streamDedup _),
+    "st_contamination" -> (streamContamination _),
     "sp_range_index" -> (rangeIndexQ _),
     "sp_range_rank" -> (rangeRankQ _),
     "sp_hash_index" -> (hashIndexQ _),

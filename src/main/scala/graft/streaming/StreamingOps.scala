@@ -92,6 +92,52 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Streaming benchmark-decontamination gate: documents arrive as a
+    * file stream; each is checked against a STATIC eval-set gram table
+    * via a stream-static LEFT SEMI join at the gram level, then a
+    * stateful per-document count of matched distinct grams (Complete
+    * mode). Per-doc gram distinctness comes from `array_distinct`
+    * WITHIN the row (no stateful distinct needed), so the result is
+    * exactly the batch `contaminationPairs` aggregated over the eval
+    * side — the production shape: the eval set is small and static
+    * (broadcast side), the corpus streams through, and a doc appearing
+    * here is quarantined before training.
+    *
+    * Streaming-specific machinery: stream-static semi join (static side
+    * re-read per micro-batch, broadcast by size), stateful streaming
+    * aggregation keyed by doc_id. */
+  def streamContaminationCounts(spark: SparkSession, dir: String,
+                                n: Int = 8): DataFrame = {
+    import graft.functions.wordGrams
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+    val evalGrams = batch.filter(col("doc_id") % 7 === 0)
+      .select(explode(array_distinct(wordGrams(col("text"), n))).as("__gram"))
+      .distinct()
+    val staged = java.nio.file.Files.createTempDirectory("graft_contam_src")
+    staged.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    staged.resolve("documents.parquet").toFile.deleteOnExit()
+    val sinkName = s"graft_contam_${System.nanoTime()}"
+    val q = spark.readStream
+      .schema(batch.schema)
+      .parquet(staged.toString)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(wordGrams(col("text"), n))).as("__gram"))
+      .join(evalGrams, Seq("__gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched_grams"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, total: java.math.BigDecimal)

@@ -44,16 +44,25 @@ object ScaleTrend {
         col("sy").as("ry"))
     }.reduce(_ unionByName _)
 
-  // ten vowel substitutions (identity first); distinct enough that a
-  // text and its translated twin share < 80% of their 3-shingles
-  private val VowelMaps = Seq("aeiou", "bfjpv", "cgkqw", "dhlrx", "fimsy",
-    "gjntz", "hkpvb", "ilqwc", "jmrxd", "knsye")
+  /** Replica r's vowel translation: the base-26 digits of r plus a
+    * parity digit (a distance-2 code over the 5 targets), so ANY two
+    * replicas differ in at least two vowel mappings and cross-replica
+    * texts stay far below the 0.8-shingle near-dup threshold — holds
+    * for any replication factor (the r7 fixed 10-map list crashed the
+    * 100x slice). r = 0 is the identity: the 1x slice IS the raw
+    * corpus, so 1x entries match the bench's. */
+  private def vowelMap(r: Int): String =
+    if (r == 0) "aeiou"
+    else {
+      val d = Array(r % 26, (r / 26) % 26, (r / 676) % 26, (r / 17576) % 26)
+      (d :+ (d.sum % 26)).map(x => ('a' + x).toChar).mkString
+    }
 
   private def docsRep(s: SparkSession, d: String, n: Int): DataFrame =
     (0 until n).map { r =>
       documents(s, d).select(
         (col("doc_id") + lit(r * IdOffset)).as("doc_id"),
-        translate(col("text"), "aeiou", VowelMaps(r)).as("text"))
+        translate(col("text"), "aeiou", vowelMap(r)).as("text"))
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
@@ -125,9 +134,15 @@ object ScaleTrend {
     if (args.headOption.contains("100")) {
       val hundred: Seq[(String, Int => Long)] =
         Seq("b4l_distance_join_self_grid" -> (b4l _),
-            "b5_knn_join_grid" -> (b5 _))
-      hundred.foreach { case (_, f) => f(1) } // warmup
-      hundred.foreach { case (name, f) =>
+            "b5_knn_join_grid" -> (b5 _),
+            "b7_minhash_dedup" -> (b7 _),
+            "b8d_contamination" -> (b8d _))
+      // optional trailing args select a subset (re-measure one entry
+      // without re-paying the minutes-long others)
+      val want = args.drop(1).toSet
+      val sel = if (want.isEmpty) hundred else hundred.filter(e => want(e._1))
+      sel.foreach { case (_, f) => f(1) } // warmup
+      sel.foreach { case (name, f) =>
         val (t1, r1) = timed(f(1)); val (t1b, _) = timed(f(1))
         val b1 = math.min(t1, t1b)
         val (t100, r100) = timed(f(100))

@@ -16,6 +16,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming contamination gate equals the batch gram-intersection") {
+    import graft.functions.wordGrams
+    val got = StreamingOps.streamContaminationCounts(spark, sf(), n = 8)
+    // batch equivalent: distinct corpus (doc, gram) pairs semi-joined
+    // against the distinct eval gram set, counted per doc
+    val docs = Tables.documents(spark, sf())
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(wordGrams(col("text"), 8))).as("g"))
+    val ev = grams.filter(col("doc_id") % 7 === 0).select("g").distinct()
+    val want = grams.filter(col("doc_id") % 7 =!= 0)
+      .join(ev, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("matched_grams"))
+    assert(got.count() > 0, "gate found no contaminated docs — fixture broke")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("sessionize carries open sessions across micro-batches, emits closed only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
