@@ -131,6 +131,10 @@ object Bench {
       graft.queries.Pipeline.queries("pp_contamination")(s, d)),
     "b8b_boilerplate" -> ((s: SparkSession, d: String) =>
       graft.queries.Pipeline.queries("pp_boilerplate")(s, d)),
+    "b8u_unigram_quality" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      documents(s, d).unigramScore("doc_id", "text")
+    }),
     // relational anchor
     "b9_q1_agg" -> ((s: SparkSession, d: String) =>
       graft.queries.Relational.pricingSummary(s, d))

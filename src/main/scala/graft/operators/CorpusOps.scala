@@ -157,6 +157,70 @@ object CorpusOps {
           .as(Seq("chunk_id", "chunk_text")))
     }
 
+    /** Per-document unigram "likelihood" quality score — the cheap,
+      * fully-SQL-replayable stand-in for the KenLM-perplexity filter of
+      * CCNet-style pipelines: documents whose tokens are corpus-typical
+      * score high, documents full of rare junk (mojibake, hashes, code
+      * spill) score low. Score = (Σ over token OCCURRENCES of that
+      * token's corpus count) / (n_doc_tokens · N_corpus_tokens) — the
+      * mean corpus unigram probability of the document's tokens. All
+      * counting is exact integer arithmetic; the single final double
+      * division is IEEE-correctly-rounded in every engine (deliberately
+      * NO log: `ln` is not required correctly rounded, so a true
+      * log-likelihood would not hash-replay across engines).
+      *
+      * Scale shape: the count table is vocabulary-sized (partial
+      * aggregation collapses each mapper's tokens before its shuffle);
+      * the score join is token-keyed with exactly ONE row per token on
+      * the count side, so hot stopword keys replicate nothing — AQE
+      * skew handling splits the fat left partitions. The corpus total
+      * is derived from the count table, and at runtime AQE reuses the
+      * count shuffle for it (`ReusedExchange`, pinned by spec) — two
+      * corpus passes total, never three. Documents with zero tokens
+      * score 0.0. */
+    def unigramScore(idCol: String, textCol: String): DataFrame = {
+      val df = ds.toDF
+      val toks = df.select(col(idCol).as("__graft_uid"),
+        explode(tokens(col(textCol))).as("__graft_tok"))
+      val counts = toks.groupBy(col("__graft_tok"))
+        .agg(count(lit(1)).as("__graft_cnt"))
+      val totalDf = counts.agg(sum(col("__graft_cnt")).as("__graft_total"))
+      val perDoc = toks.join(counts, Seq("__graft_tok"))
+        .groupBy(col("__graft_uid"))
+        .agg(sum(col("__graft_cnt")).as("sum_cnt"),
+          count(lit(1)).as("n_tokens"))
+      df.select(col(idCol)).join(
+          perDoc.withColumnRenamed("__graft_uid", idCol), Seq(idCol), "left")
+        .crossJoin(broadcast(totalDf))
+        .select(col(idCol),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("sum_cnt"), lit(0L)).as("sum_cnt"),
+          when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(col("sum_cnt").cast("double") /
+              (col("n_tokens") * col("__graft_total")).cast("double"))
+            .as("unigram_score"))
+    }
+
+    /** Source/domain reputation filter (the C4 / RefinedWeb "drop bad
+      * domains" stage): keep only documents whose `groupCol` (source,
+      * domain, crawl segment) has mean [[graft.functions.qualityScore]]
+      * of at least `minMean`, and attach that mean as `source_mean_q`.
+      * The mean is a decimal-exact sum divided by the count
+      * ([[graft.Tables.davg]]), so aggregation order never perturbs it
+      * and SQL engines replay the kept set bit-for-bit.
+      *
+      * Scale shape: one partial-aggregated groupBy on the group key
+      * builds the reputation table (cardinality = #sources, tiny);
+      * surviving sources broadcast back onto the corpus — the corpus
+      * itself never shuffles. */
+    def sourceReputationFilter(groupCol: String, textCol: String,
+                               minMean: Double): DataFrame = {
+      val stats = ds.toDF.groupBy(col(groupCol))
+        .agg(graft.Tables.davg(qualityScore(col(textCol))).as("source_mean_q"))
+        .filter(col("source_mean_q") >= minMean)
+      ds.toDF.join(broadcast(stats), Seq(groupCol))
+    }
+
     /** Deterministic contiguous sequence packing: within each
       * `groupCol` shard, documents in ascending `idCol` order are
       * assigned `bin = exclusive-prefix-sum(tokens) div capacity` — the

@@ -65,6 +65,37 @@ object SampleOps {
       ds.toDF.filter(knuthFrac(col(idCol)) < rate)
     }
 
+    /** Deterministic train/val/test split assignment: adds a `split`
+      * column naming, for each row, the first split whose cumulative
+      * fraction bound exceeds the row's Knuth-hash unit fraction
+      * ([[knuthFrac]]). Selection depends only on (id, fractions) —
+      * stable across runs, partitionings, engines, and corpus growth
+      * (a row keeps its split when new rows arrive, the property that
+      * makes hash splits the standard over random ones). Because the
+      * hash ignores every other column, the split is automatically
+      * stratified: any subpopulation (language, source) lands in each
+      * split in the same proportions. No shuffle: one codegen'd
+      * when-chain over the scan.
+      *
+      * Fractions must sum to 1 (±1e-9); the LAST split absorbs the
+      * upper tail so every row is assigned. For bit-exact SQL
+      * replay pick fractions whose cumulative sums are exact binary
+      * doubles (0.75/0.125/0.125, not 0.8/0.1/0.1 whose 0.8+0.1
+      * folds to 0.9000000000000001). */
+    def splitAssign(idCol: String, splits: Seq[(String, Double)]): DataFrame = {
+      require(splits.nonEmpty, "need at least one split")
+      require(splits.forall(_._2 > 0.0), s"fractions must be > 0: $splits")
+      require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+        s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+      val bounds = splits.init.scanLeft(0.0)(_ + _._2).tail // cumulative, sans 1.0
+      val f = knuthFrac(col(idCol))
+      val assign = splits.init.zip(bounds)
+        .foldRight(lit(splits.last._1): Column) { case (((name, _), b), e) =>
+          when(f < b, lit(name)).otherwise(e)
+        }
+      ds.toDF.withColumn("split", assign)
+    }
+
     /** Keep the top `cap` rows of each group under `order` (callers
       * must make the order total — include a unique tie-break — or the
       * kept set is nondeterministic). */

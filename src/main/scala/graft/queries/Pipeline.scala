@@ -146,6 +146,37 @@ object Pipeline {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  /** Unigram corpus-likelihood quality score (the SQL-replayable
+    * KenLM-perplexity stand-in): mean corpus unigram probability of
+    * each document's tokens — exact integer sums, one double
+    * division. */
+  def unigramQualityQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).unigramScore("doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  /** Source-reputation (domain) filter: keep documents of sources whose
+    * mean quality score >= 0.645 (drops roughly half the synthetic
+    * sources at every SF); decimal-exact mean -> full hash oracle. */
+  def sourceFilterQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).sourceReputationFilter("source", "text", minMean = 0.645)
+      .select(col("doc_id"), col("source"), col("source_mean_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified train/val/test split: 0.75/0.125/0.125 by
+    * the Knuth hash of doc_id (cumulative bounds 0.75 and 0.875 are
+    * exact binary doubles, so the CASE replays bit-for-bit). */
+  def splitAssignQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SampleOps._
+    documents(s, d)
+      .splitAssign("doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-level boilerplate scoring: 5-grams shared by >= 2 distinct
     * documents are boilerplate; each doc scores the fraction of its
     * distinct grams that are. Integer counts + one double division ->
@@ -876,6 +907,54 @@ object Pipeline {
         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
         |            WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.0 END
         |ORDER BY doc_id""".stripMargin,
+    // same Knuth-hash fold as pp_mixture_sample; bounds 0.75/0.875 are
+    // exact binary doubles so the CASE replays bit-for-bit
+    "pp_split_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id % 4294967296 // 65536 * 2654435761 % 4294967296)
+        |       * 65536 + doc_id % 65536 * 2654435761) % 4294967296
+        |      / 4294967296.0 AS f
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN f < 0.75 THEN 'train'
+        |       WHEN f < 0.875 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // decimal-exact per-source mean of the shared quality expression
+    "pp_source_filter" ->
+      s"""WITH stats AS (
+         |  SELECT source,
+         |    CAST(SUM(CAST(($qualitySql) AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*) AS source_mean_q
+         |  FROM documents GROUP BY source)
+         |SELECT d.doc_id, d.source, s.source_mean_q
+         |FROM documents d JOIN stats s USING (source)
+         |WHERE s.source_mean_q >= 0.645
+         |ORDER BY d.doc_id""".stripMargin,
+    // integer occurrence counting on the proven whitespace tokenizer;
+    // the one double division at the end is correctly rounded in both
+    // engines (no log — ln is not required correctly rounded)
+    "tx_unigram_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                       q -> q != '')) AS tok
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT tok, count(*) AS c FROM tok GROUP BY 1
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(c.c) AS BIGINT) AS sum_cnt
+        |  FROM tok t JOIN cnt c USING (tok) GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+        |  COALESCE(p.sum_cnt, 0) AS sum_cnt,
+        |  CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE CAST(p.sum_cnt AS DOUBLE)
+        |              / CAST(p.n_tokens * n AS DOUBLE) END AS unigram_score
+        |FROM documents d LEFT JOIN per p USING (doc_id), tot
+        |ORDER BY doc_id""".stripMargin,
     "pp_group_cap" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
@@ -985,6 +1064,9 @@ object Pipeline {
     "pp_redact" -> (redactQ _),
     "pp_mixture_sample" -> (mixtureSampleQ _),
     "pp_group_cap" -> (groupCapQ _),
+    "pp_split_assign" -> (splitAssignQ _),
+    "pp_source_filter" -> (sourceFilterQ _),
+    "tx_unigram_quality" -> (unigramQualityQ _),
     "pp_contamination" -> (contaminationQ _),
     "pp_boilerplate" -> (boilerplateQ _),
     "pp_sequence_pack" -> (sequencePackQ _),

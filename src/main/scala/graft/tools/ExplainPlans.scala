@@ -85,6 +85,19 @@ object ExplainPlans {
     show("contamination (expect gram equi-join with broadcast eval side, no cross product)") {
       graft.queries.Pipeline.queries("pp_contamination")(spark, d)
     }
+    show("split_assign (expect ONE shuffle-free codegen'd projection over the scan)") {
+      import graft.operators.SampleOps._
+      documents(spark, d).splitAssign("doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    }
+    show("source_filter (expect partial-agg reputation build + BroadcastHashJoin back — corpus never shuffles)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).sourceReputationFilter("source", "text", 0.645)
+    }
+    show("unigram_quality (expect partial-agg count table, token equi-join, left join + broadcast scalar)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).unigramScore("doc_id", "text")
+    }
     show("quadtree_box_range (expect OR-of-BETWEENs on the z key over the cached clustering)") {
       graft.index.IndexManager
         .quadTreeIndexTable(spark, customerPts(spark, d), "plans_qt",

@@ -52,6 +52,73 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.count(_._3 == 1.0) >= expectDup && expectDup > 0)
   }
 
+  test("unigramScore: exact mean corpus unigram probability on a known fixture") {
+    import spark.implicits._
+    val fixture = Seq((1L, "a a b"), (2L, "a c"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = fixture.unigramScore("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // corpus counts: a=3, b=1, c=1; N=5
+    assert(got(1L) === ((3L, 7L, 7.0 / 15.0)))  // 3+3+1 over 3*5
+    assert(got(2L) === ((2L, 4L, 4.0 / 10.0)))  // 3+1 over 2*5
+    assert(got(3L) === ((0L, 0L, 0.0)))          // zero tokens -> 0.0
+  }
+
+  test("unigramScore: typical docs outscore rare-token docs on the corpus") {
+    import spark.implicits._
+    val junk = Seq((9000001L, "qzxv jkqw zzyx wvut qpzm xkcd"))
+      .toDF("doc_id", "text")
+    val scored = docs.select(col("doc_id"), col("text")).unionAll(junk)
+      .unigramScore("doc_id", "text")
+    val junkScore = scored.filter(col("doc_id") === 9000001L)
+      .head().getDouble(3)
+    val corpusMedian = scored.filter(col("doc_id") < 9000000L)
+      .stat.approxQuantile("unigram_score", Array(0.5), 0.0).head
+    assert(junkScore < corpusMedian,
+      s"rare-token junk ($junkScore) must score below the median ($corpusMedian)")
+    // scores are probabilities-of-sorts: always in (0, 1] for non-empty docs
+    assert(scored.filter(col("n_tokens") > 0)
+      .filter(col("unigram_score") <= 0.0 || col("unigram_score") > 1.0)
+      .count() === 0L)
+  }
+
+  test("unigramScore reuses the count-table exchange for the corpus total") {
+    // the corpus-total branch derives from the same token-count shuffle
+    // as the score join; AQE must reuse that exchange, not recompute it
+    // (a third corpus pass at 100 TB otherwise)
+    val df = docs.unigramScore("doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"corpus total must reuse the count exchange:\n$p")
+  }
+
+  test("sourceReputationFilter drops the low-quality source, keeps the good one") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "good", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "good", "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "bad", "the the the the the the"),
+      (4L, "bad", "a a a a of of of of")).toDF("doc_id", "source", "text")
+    val out = fixture.sourceReputationFilter("source", "text", minMean = 0.5)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L), s"only the good source survives: $kept")
+    // the attached mean equals an independent davg over the same group
+    val want = fixture.filter(col("source") === "good")
+      .agg(Tables.davg(graft.functions.qualityScore(col("text"))))
+      .head().getDouble(0)
+    val attached = out.select("source_mean_q").distinct().head().getDouble(0)
+    assert(attached === want)
+  }
+
+  test("sourceReputationFilter broadcasts the reputation table (corpus never shuffles)") {
+    val plan = docs.sourceReputationFilter("source", "text", minMean = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"reputation join must broadcast:\n$plan")
+  }
+
   test("winnowFingerprints: shared n+w-1 run guarantees a shared fingerprint") {
     import spark.implicits._
     // docs 1 and 2 share a 7-word run (= n + w - 1 for n=4, w=4) inside

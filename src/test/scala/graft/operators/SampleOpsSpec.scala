@@ -56,6 +56,54 @@ class SampleOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"mixture sampling must not shuffle:\n$plan")
   }
 
+  test("splitAssign: total partition, deterministic, agrees with mixtureSample") {
+    val out = docs.splitAssign("doc_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    // every row assigned exactly one split, no row lost
+    assert(out.count() === docs.count())
+    val bySplit = out.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"),
+      s"all three splits must be populated: $bySplit")
+    // the hash ignores partitioning
+    val a = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = docs.repartition(7).splitAssign("doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // split 'train' is EXACTLY the f < 0.75 region: the mixtureSample
+    // keep set at rate 0.75 (same hash, same bound)
+    val train = a.collect { case (id, "train") => id }.toSet
+    val sampled = docs.mixtureSample("lang", "doc_id", Map.empty, defaultRate = 0.75)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(train === sampled)
+  }
+
+  test("splitAssign: stratified for free — per-lang shares track the fractions") {
+    val out = docs.splitAssign("doc_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    val perLang = out.groupBy(col("lang"), col("split")).count().collect()
+      .groupBy(_.getString(0))
+    perLang.foreach { case (lang, rows) =>
+      val total = rows.map(_.getLong(2)).sum.toDouble
+      val trainShare = rows.find(_.getString(1) == "train")
+        .map(_.getLong(2)).getOrElse(0L) / total
+      assert(trainShare > 0.55 && trainShare < 0.95,
+        s"$lang train share $trainShare far from 0.75")
+    }
+  }
+
+  test("splitAssign rejects fractions that don't sum to 1") {
+    intercept[IllegalArgumentException] {
+      docs.splitAssign("doc_id", Seq("train" -> 0.8, "val" -> 0.1))
+    }
+    intercept[IllegalArgumentException] {
+      docs.splitAssign("doc_id", Seq.empty)
+    }
+  }
+
   test("groupCap: at most cap rows per group, exactly the order's top rows") {
     val out = docs.groupCap("lang", 5, Seq(col("n_chars").desc, col("doc_id").asc))
     val byLang = out.select("lang", "doc_id").collect()
