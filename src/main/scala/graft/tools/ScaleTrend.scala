@@ -112,6 +112,15 @@ object ScaleTrend {
         .count()
     }
 
+    // unigram LM scoring over the replicated corpus: vowel translation
+    // multiplies the vocabulary ~n-fold while per-replica count shapes
+    // stay constant — the count table and the token-keyed score join
+    // both grow ~n, so a healthy plan reads e ≈ 1
+    def b8u(n: Int): Long = {
+      import graft.operators.CorpusOps._
+      docsRep(spark, d, n).unigramScore("doc_id", "text").count()
+    }
+
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b5_knn_join_grid" -> (b5 _),
@@ -119,7 +128,8 @@ object ScaleTrend {
           "b5_knn_join_zorder" -> (b5z _),
           "b7_minhash_dedup" -> (b7 _),
           "b8d_contamination" -> (b8d _),
-          "b8b_boilerplate" -> (b8b _))
+          "b8b_boilerplate" -> (b8b _),
+          "b8u_unigram_quality" -> (b8u _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f
@@ -152,8 +162,12 @@ object ScaleTrend {
       spark.stop(); return
     }
 
-    entries.foreach { case (name, f) => f(1) } // warmup at 1x
-    entries.foreach { case (name, f) =>
+    // optional args select a subset (measure one new entry without
+    // re-paying the whole sweep), same contract as the 100x mode
+    val wanted = args.toSet
+    val selected = if (wanted.isEmpty) entries else entries.filter(e => wanted(e._1))
+    selected.foreach { case (name, f) => f(1) } // warmup at 1x
+    selected.foreach { case (name, f) =>
       val (t1, r1) = timed(f(1)); val (t1b, _) = timed(f(1))
       val (t10, r10) = timed(f(10)); val (t10b, _) = timed(f(10))
       val b1 = math.min(t1, t1b); val b10 = math.min(t10, t10b)
