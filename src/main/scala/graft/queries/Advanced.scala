@@ -93,6 +93,46 @@ object Advanced {
   def streamContamination(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamContaminationCounts(s, d, n = 8).orderBy(col("doc_id"))
 
+  /** Point-in-time as-of join: each click event attaches the same
+    * user's most recent prior-or-simultaneous purchase (the classic
+    * attribution / feature-backfill shape). Union + running window —
+    * one shuffle, no join node; DuckDB oracles it with its NATIVE
+    * `ASOF LEFT JOIN`, an independent implementation. */
+  def asOfJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TemporalOps._
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    clicks.asOfJoin(purchases, Seq("user_id"), Seq("user_id"),
+        "ts", "p_ts", "p_event_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_event_id"), col("p_ts"), col("p_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Bucketed interval join: clicks landing inside the 24-hour
+    * attribution window opened by each purchase of the same user —
+    * the validity-window enrichment shape, as a (key, bucket)
+    * equi-join + refine instead of Catalyst's per-key cross. */
+  def intervalJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TemporalOps._
+    val dayUs = 86400000000L
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"),
+        unix_micros(col("ts")).as("w_start"),
+        (unix_micros(col("ts")) + dayUs).as("w_end"))
+    clicks.intervalJoin(windows, Seq("user_id"), Seq("user_id"),
+        "t", "w_start", "w_end", bucketWidth = dayUs)
+      .select(col("event_id"), col("user_id"), col("p_event_id"))
+      .orderBy(col("event_id"), col("p_event_id"))
+  }
+
   /** 1-D range index over order totals (TreeMap/Treap-analogue path). */
   def rangeIndexQ(s: SparkSession, d: String): DataFrame =
     IndexManager.rangeIndexTable(s, orders(s, d), s"orders_price:$d", "o_totalprice")
@@ -348,6 +388,38 @@ object Advanced {
         |FROM grams g JOIN ev ON g.gram = ev.gram
         |WHERE g.doc_id % 7 <> 0
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of
+    // the same point-in-time semantics (greatest p_ts <= ts, inclusive,
+    // per user). The rn=1 dedupe pins equal-timestamp ties to the max
+    // event id, the same total order the window operator uses.
+    "ts_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS p_event_id, value AS p_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+        |)
+        |SELECT l.event_id, l.user_id, l.ts, r.p_event_id, r.p_ts, r.p_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.p_ts
+        |ORDER BY l.event_id""".stripMargin,
+    // plain range join in DuckDB (the engine handles it natively);
+    // epoch_us == Spark's unix_micros on the same micro timestamps
+    "ts_interval_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS w_start,
+        |    epoch_us(ts) + 86400000000 AS w_end
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.event_id, c.user_id, p.p_event_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.t BETWEEN p.w_start AND p.w_end
+        |ORDER BY event_id, p_event_id""".stripMargin,
     "sp_range_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 60000.0
@@ -426,6 +498,8 @@ object Advanced {
     "st_sessions_native" -> (sessionsNativeStream _),
     "st_stream_dedup" -> (streamDedup _),
     "st_contamination" -> (streamContamination _),
+    "ts_asof_join" -> (asOfJoinQ _),
+    "ts_interval_join" -> (intervalJoinQ _),
     "sp_range_index" -> (rangeIndexQ _),
     "sp_range_rank" -> (rangeRankQ _),
     "sp_hash_index" -> (hashIndexQ _),

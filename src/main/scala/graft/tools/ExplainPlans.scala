@@ -98,6 +98,28 @@ object ExplainPlans {
       import graft.operators.CorpusOps._
       documents(spark, d).unigramScore("doc_id", "text")
     }
+    show("asof_join (expect ONE hash shuffle + running window — NO join node)") {
+      import graft.operators.TemporalOps._
+      val ev = events(spark, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event_id"))
+      clicks.asOfJoin(purchases, Seq("user_id"), Seq("user_id"),
+        "ts", "p_ts", "p_event_id")
+    }
+    show("interval_join (expect equi-join on (key, bucket) + range refine — no cross)") {
+      import graft.operators.TemporalOps._
+      val ev = events(spark, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + 86400000000L).as("w_end"))
+      clicks.intervalJoin(windows, Seq("user_id"), Seq("user_id"),
+        "t", "w_start", "w_end", bucketWidth = 86400000000L)
+    }
     show("quadtree_box_range (expect OR-of-BETWEENs on the z key over the cached clustering)") {
       graft.index.IndexManager
         .quadTreeIndexTable(spark, customerPts(spark, d), "plans_qt",
