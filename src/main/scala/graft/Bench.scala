@@ -135,6 +135,13 @@ object Bench {
       import graft.operators.CorpusOps._
       documents(s, d).unigramScore("doc_id", "text")
     }),
+    // temporal point-in-time joins (r8 ops; one shuffle + window vs a
+    // per-key cross — the asymptotic win is the plan shape, the entry
+    // records the constant)
+    "b11_asof_join" -> ((s: SparkSession, d: String) =>
+      graft.queries.Advanced.queries("ts_asof_join")(s, d)),
+    "b11i_interval_join" -> ((s: SparkSession, d: String) =>
+      graft.queries.Advanced.queries("ts_interval_join")(s, d)),
     // relational anchor
     "b9_q1_agg" -> ((s: SparkSession, d: String) =>
       graft.queries.Relational.pricingSummary(s, d))

@@ -209,4 +209,26 @@ class StreamingOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
     assert(rows === Set((1L, "en", 4L), (2L, "de", 6L)))
   }
+
+  test("splitAssign composes over a stream and agrees with the batch assignment") {
+    import spark.implicits._
+    import graft.operators.SampleOps._
+    implicit val sqlCtx = spark.sqlContext
+    // split assignment is a pure function of the id, so it is trivially
+    // streamable — each arriving example gets the SAME split the batch
+    // pipeline would give it (the property that lets an online ingest
+    // path and an offline rebuild agree)
+    val ids = (0L until 64L)
+    val input = MemoryStream[Long]
+    input.addData(ids: _*)
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val out = input.toDS().toDF("doc_id").splitAssign("doc_id", splits)
+      .writeStream.outputMode("append").format("memory").queryName("spl").start()
+    out.processAllAvailable(); out.stop()
+    val streamed = spark.table("spl").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = ids.toDF("doc_id").splitAssign("doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === batch && streamed.values.toSet.size === 3)
+  }
 }
