@@ -128,5 +128,21 @@ object TemporalOps {
         .filter(col(leftTime).between(col(rightStart), col(rightEnd)))
         .drop(b)
     }
+
+    /** [[intervalJoin]] with the bucket width chosen from the data: the
+      * median interval length of a capped sample (a bucket ≈ the typical
+      * interval keeps replication ≈ 2 rows per interval while buckets
+      * stay selective). Safe to automate because the width affects ONLY
+      * the plan's replication/selectivity trade — the result set is
+      * bucket-width invariant (spec-proven). */
+    def intervalJoin(right: Dataset[_], leftKeys: Seq[String], rightKeys: Seq[String],
+                     leftTime: String, rightStart: String, rightEnd: String): DataFrame = {
+      val sampled = right.toDF
+        .select((col(rightEnd) - col(rightStart)).cast("double").as("__graft_len"))
+        .limit(100000)
+      val width = sampled.stat.approxQuantile("__graft_len", Array(0.5), 0.01)
+        .headOption.map(_.toLong).filter(_ >= 1L).getOrElse(1L)
+      intervalJoin(right, leftKeys, rightKeys, leftTime, rightStart, rightEnd, width)
+    }
   }
 }

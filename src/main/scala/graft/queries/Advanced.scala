@@ -113,6 +113,13 @@ object Advanced {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming twin of the as-of join: clicks stream through
+    * foreachBatch micro-batches, each batch-as-of joined against the
+    * static purchase table — exact by construction, so it answers to
+    * the SAME native ASOF JOIN oracle as the batch query. */
+  def streamAsOfQ(s: SparkSession, d: String): DataFrame =
+    StreamingOps.streamAsOf(s, d).orderBy(col("event_id"))
+
   /** Bucketed interval join: clicks landing inside the 24-hour
     * attribution window opened by each purchase of the same user —
     * the validity-window enrichment shape, as a (key, bucket)
@@ -351,6 +358,20 @@ object Advanced {
         |  GROUP BY user_id, sid) t
         |ORDER BY user_id, start_ms""".stripMargin
 
+  private val asOfOracleSql =
+    """WITH l AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      |), r AS (
+      |  SELECT user_id, ts AS p_ts, event_id AS p_event_id, value AS p_value
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+      |                                     ORDER BY event_id DESC) AS rn
+      |        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+      |)
+      |SELECT l.event_id, l.user_id, l.ts, r.p_event_id, r.p_ts, r.p_value
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts >= r.p_ts
+      |ORDER BY l.event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sp_box_range_indexed" -> Spatial.oracles("sp_box_range"),
     "sp_circle_range_indexed" -> Spatial.oracles("sp_circle_range"),
@@ -391,20 +412,11 @@ object Advanced {
     // DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of
     // the same point-in-time semantics (greatest p_ts <= ts, inclusive,
     // per user). The rn=1 dedupe pins equal-timestamp ties to the max
-    // event id, the same total order the window operator uses.
-    "ts_asof_join" ->
-      """WITH l AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-        |), r AS (
-        |  SELECT user_id, ts AS p_ts, event_id AS p_event_id, value AS p_value
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
-        |                                     ORDER BY event_id DESC) AS rn
-        |        FROM events WHERE event_type = 'purchase') WHERE rn = 1
-        |)
-        |SELECT l.event_id, l.user_id, l.ts, r.p_event_id, r.p_ts, r.p_value
-        |FROM l ASOF LEFT JOIN r
-        |  ON l.user_id = r.user_id AND l.ts >= r.p_ts
-        |ORDER BY l.event_id""".stripMargin,
+    // event id, the same total order the window operator uses. The
+    // streaming twin answers to the SAME oracle: per-micro-batch
+    // batch-as-of against a static right side is exact by construction.
+    "ts_asof_join" -> asOfOracleSql,
+    "st_asof" -> asOfOracleSql,
     // plain range join in DuckDB (the engine handles it natively);
     // epoch_us == Spark's unix_micros on the same micro timestamps
     "ts_interval_join" ->
@@ -499,6 +511,7 @@ object Advanced {
     "st_stream_dedup" -> (streamDedup _),
     "st_contamination" -> (streamContamination _),
     "ts_asof_join" -> (asOfJoinQ _),
+    "st_asof" -> (streamAsOfQ _),
     "ts_interval_join" -> (intervalJoinQ _),
     "sp_range_index" -> (rangeIndexQ _),
     "sp_range_rank" -> (rangeRankQ _),

@@ -92,6 +92,52 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Streaming point-in-time backfill: click events arrive as a
+    * multi-file stream; each micro-batch is as-of joined (backward,
+    * inclusive — [[graft.operators.TemporalOps]]) against the STATIC
+    * purchase table via `foreachBatch`. This split is EXACT, not an
+    * approximation: the as-of result for a left row depends only on
+    * that row and the static right side, so processing lefts in any
+    * batching yields the batch answer row-for-row — which is why
+    * foreachBatch + batch-as-of is the production shape for online
+    * feature lookup against a frozen feature table. Batches append to
+    * one parquet sink; the returned frame reads it back complete.
+    *
+    * Streaming-specific machinery: file stream with maxFilesPerTrigger
+    * (genuinely multiple micro-batches), foreachBatch with a batch-only
+    * operator inside, idempotent-append parquet sink. */
+  def streamAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TemporalOps._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    val staged = java.nio.file.Files.createTempDirectory("graft_asof_src")
+    staged.toFile.deleteOnExit()
+    // several source files -> several micro-batches under maxFilesPerTrigger
+    clicks.repartition(4).write.mode("overwrite").parquet(staged.toString)
+    val out = java.nio.file.Files.createTempDirectory("graft_asof_out")
+    out.toFile.deleteOnExit()
+    val q = spark.readStream
+      .schema(clicks.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.asOfJoin(purchases, Seq("user_id"), Seq("user_id"),
+            "ts", "p_ts", "p_event_id")
+          .write.mode("append").parquet(out.toString)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out.toString)
+      .select("event_id", "user_id", "ts", "p_event_id", "p_ts", "p_value")
+  }
+
   /** Streaming benchmark-decontamination gate: documents arrive as a
     * file stream; each is checked against a STATIC eval-set gram table
     * via a stream-static LEFT SEMI join at the gram level, then a

@@ -112,6 +112,29 @@ object ScaleTrend {
         .count()
     }
 
+    // as-of join over replicated events: each replica shifts BOTH its
+    // user ids and its timestamps, so key cardinality grows ~n with
+    // per-key timeline sizes constant — the 100-TB shape (more users,
+    // not densified users). One shuffle + per-key window reads e ≈ 1.
+    def b11(n: Int): Long = {
+      import graft.operators.TemporalOps._
+      val span = 3600L * 24 * 40 // > the events table's ~31-day span, s
+      val ev = (0 until n).map { r =>
+        events(spark, d).select(
+          (col("event_id") + lit(r * IdOffset)).as("event_id"),
+          (col("user_id") + lit(r * IdOffset)).as("user_id"),
+          (col("ts") + expr(s"INTERVAL ${r.toLong * span} SECOND")).as("ts"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      clicks.asOfJoin(purchases, Seq("user_id"), Seq("user_id"),
+        "ts", "p_ts", "p_event_id").count()
+    }
+
     // unigram LM scoring over the replicated corpus: vowel translation
     // multiplies the vocabulary ~n-fold while per-replica count shapes
     // stay constant — the count table and the token-keyed score join
@@ -129,7 +152,8 @@ object ScaleTrend {
           "b7_minhash_dedup" -> (b7 _),
           "b8d_contamination" -> (b8d _),
           "b8b_boilerplate" -> (b8b _),
-          "b8u_unigram_quality" -> (b8u _))
+          "b8u_unigram_quality" -> (b8u _),
+          "b11_asof_join" -> (b11 _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f

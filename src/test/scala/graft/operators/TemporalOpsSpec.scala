@@ -103,6 +103,19 @@ class TemporalOpsSpec extends SparkSpec {
     assert(df.count() > 0, "fixture produced no in-window pairs")
   }
 
+  test("intervalJoin auto width equals any fixed width (width is perf-only)") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 100L), (2L, 1L, 150L), (3L, 1L, 201L), (4L, 2L, 100L))
+      .toDF("id", "k", "t")
+    val r = Seq((10L, 1L, 100L, 200L), (11L, 1L, 140L, 160L), (12L, 2L, 300L, 400L))
+      .toDF("w_id", "w_k", "w_start", "w_end")
+    val auto = l.intervalJoin(r, Seq("k"), Seq("w_k"), "t", "w_start", "w_end")
+      .select("id", "w_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val fixed = l.intervalJoin(r, Seq("k"), Seq("w_k"), "t", "w_start", "w_end", 50L)
+      .select("id", "w_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(auto === fixed && auto.nonEmpty)
+  }
+
   test("asOfJoin rejects name clashes and bad key lists") {
     import spark.implicits._
     val l = Seq((1L, 1L, 1L)).toDF("id", "k", "t")

@@ -210,6 +210,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows === Set((1L, "en", 4L), (2L, "de", 6L)))
   }
 
+  test("streaming as-of backfill equals the batch as-of join row-for-row") {
+    import graft.operators.TemporalOps._
+    val got = StreamingOps.streamAsOf(spark, sf())
+    val ev = Tables.events(spark, sf())
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    val want = clicks.asOfJoin(purchases, Seq("user_id"), Seq("user_id"),
+        "ts", "p_ts", "p_event_id")
+      .select("event_id", "user_id", "ts", "p_event_id", "p_ts", "p_value")
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("splitAssign composes over a stream and agrees with the batch assignment") {
     import spark.implicits._
     import graft.operators.SampleOps._
