@@ -201,6 +201,29 @@ object CorpusOps {
             .as("unigram_score"))
     }
 
+    /** Per-group vocabulary statistics with a certified sketch: exact
+      * distinct-token count next to the HyperLogLog++ estimate
+      * (`approx_count_distinct`) and a boolean verdict that the sketch
+      * landed within `bound` relative error. The sketch is the scale
+      * path (fixed-size registers, no distinct shuffle; order- and
+      * partition-independent, so the estimate is deterministic); the
+      * exact count is the certificate. At 100 TB run the sketch alone —
+      * the verdict column exists so small-scale runs can prove the
+      * sketch's contract before you trust it where exact is
+      * unaffordable ("estimate the dedup rate before paying for it"). */
+    def vocabStats(groupCol: String, textCol: String,
+                   rsd: Double = 0.02, bound: Double = 0.05): DataFrame = {
+      val toks = ds.toDF.select(col(groupCol),
+        explode(tokens(col(textCol))).as("__graft_tok"))
+      toks.groupBy(col(groupCol))
+        .agg(countDistinct(col("__graft_tok")).as("n_distinct_exact"),
+          approx_count_distinct(col("__graft_tok"), rsd).as("__graft_approx"))
+        .withColumn("within_bound",
+          abs(col("__graft_approx") - col("n_distinct_exact")).cast("double") /
+            col("n_distinct_exact").cast("double") <= bound)
+        .drop("__graft_approx")
+    }
+
     /** Source/domain reputation filter (the C4 / RefinedWeb "drop bad
       * domains" stage): keep only documents whose `groupCol` (source,
       * domain, crawl segment) has mean [[graft.functions.qualityScore]]

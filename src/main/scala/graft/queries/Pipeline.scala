@@ -177,6 +177,16 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-lang vocabulary size, exact + HLL-sketch contract: the oracle
+    * replays the exact count and pins `within_bound` TRUE — a DuckDB
+    * engine cannot reproduce Spark's HLL++ registers, so the CONTRACT
+    * (sketch within 5% of exact) is the oracled surface, the same
+    * pattern as the LSH/minhash contract oracles. */
+  def vocabSketchQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).vocabStats("lang", "text").orderBy(col("lang"))
+  }
+
   /** Corpus-level boilerplate scoring: 5-grams shared by >= 2 distinct
     * documents are boilerplate; each doc scores the fraction of its
     * distinct grams that are. Integer counts + one double division ->
@@ -955,6 +965,17 @@ object Pipeline {
         |              / CAST(p.n_tokens * n AS DOUBLE) END AS unigram_score
         |FROM documents d LEFT JOIN per p USING (doc_id), tot
         |ORDER BY doc_id""".stripMargin,
+    // contract oracle: exact vocab count + TRUE verdict (Spark's HLL++
+    // registers aren't replayable in DuckDB; the 5%-of-exact contract is)
+    "tx_vocab_sketch" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                       q -> q != '')) AS tok
+        |  FROM documents)
+        |SELECT lang, COUNT(DISTINCT tok) AS n_distinct_exact,
+        |  TRUE AS within_bound
+        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
     "pp_group_cap" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
@@ -1067,6 +1088,7 @@ object Pipeline {
     "pp_split_assign" -> (splitAssignQ _),
     "pp_source_filter" -> (sourceFilterQ _),
     "tx_unigram_quality" -> (unigramQualityQ _),
+    "tx_vocab_sketch" -> (vocabSketchQ _),
     "pp_contamination" -> (contaminationQ _),
     "pp_boilerplate" -> (boilerplateQ _),
     "pp_sequence_pack" -> (sequencePackQ _),

@@ -94,6 +94,18 @@ class CorpusOpsSpec extends SparkSpec {
       s"corpus total must reuse the count exchange:\n$p")
   }
 
+  test("vocabStats: sketch within bound, deterministic under repartitioning") {
+    val a = docs.vocabStats("lang", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(a.nonEmpty && a.values.forall(_._2),
+      s"HLL sketch must land within 5% of exact: $a")
+    // HLL registers are max-merged — order and partitioning must not
+    // change the verdict or the exact counts
+    val b = docs.repartition(13).vocabStats("lang", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(a === b)
+  }
+
   test("sourceReputationFilter drops the low-quality source, keeps the good one") {
     import spark.implicits._
     val fixture = Seq(
