@@ -98,6 +98,52 @@ object DedupOps {
         .select(col("id1"), col("id2"), col("jaccard"))
     }
 
+    /** Incremental (asymmetric) MinHash-LSH near-dup gate: candidate
+      * pairs between THIS dataset — the newly ingested shard — and the
+      * EXISTING `corpus`, exactly verified. The ingest-time shape of
+      * dedup: the corpus's banded buckets are computed once per ingest
+      * wave (persist them across waves in production), the new shard's
+      * buckets are shard-sized, and the equi-join on (band, bucket)
+      * replaces the corpus self-join — candidate work scales with the
+      * SHARD, not the corpus. Self pairs (same id on both sides, when
+      * the shard overlaps the corpus id space) are dropped.
+      *
+      * Returns (id_new, id_corpus, jaccard) at `threshold`, with the
+      * same precision guarantee as [[minHashPairs]] (exact shingle
+      * Jaccard verify); `maxBucket` caps the CORPUS bucket population
+      * (that is where templated boilerplate detonates). */
+    def minHashPairsAgainst(corpus: Dataset[_], idCol: String, textCol: String,
+                            shingle: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16, threshold: Double = 0.5,
+                            seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
+      require(numHashes % bands == 0, "bands must divide numHashes")
+      val newB = bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
+      val corpB = new DatasetDedupOps(corpus)
+        .bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
+      val keptCorp =
+        if (maxBucket <= 0) corpB
+        else corpB.join(
+          corpB.groupBy(col("__band"), col("__bucket"))
+            .agg(count(lit(1)).as("__bsz"))
+            .filter(col("__bsz") <= maxBucket)
+            .select(col("__band"), col("__bucket")),
+          Seq("__band", "__bucket"), "left_semi")
+      val pairs = newB.select(col(idCol).as("id_new"), col("__band"), col("__bucket"))
+        .join(keptCorp.select(col(idCol).as("id_corpus"), col("__band"), col("__bucket")),
+          Seq("__band", "__bucket"))
+        .filter(col("id_new") =!= col("id_corpus"))
+        .select(col("id_new"), col("id_corpus"))
+        .distinct()
+      val t1 = ds.toDF.select(col(idCol).as("id_new"),
+        shingleSet(col(textCol), shingle).as("__sh1"))
+      val t2 = corpus.toDF.select(col(idCol).as("id_corpus"),
+        shingleSet(col(textCol), shingle).as("__sh2"))
+      pairs.join(t1, Seq("id_new")).join(t2, Seq("id_corpus"))
+        .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_new"), col("id_corpus"), col("jaccard"))
+    }
+
     /** Audit surface for [[minHashPairs]]'s bucket cap: the (band,
       * bucket, size) rows EXCLUDED from candidate generation at
       * `maxBucket` — run it alongside a capped dedup to quantify the

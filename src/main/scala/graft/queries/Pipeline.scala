@@ -78,6 +78,31 @@ object Pipeline {
       (count(lit(1)) > 0).as("nonempty"))
   }
 
+  /** Incremental ingest-time dedup gate: docs with doc_id % 10 == 0
+    * play the newly arrived shard, the rest the existing corpus; the
+    * asymmetric banded join replaces the corpus self-join. Aggregate
+    * contract verdict (the dd_minhash_pairs pattern) plus the
+    * side-correctness bits the asymmetric form adds: every pair has a
+    * shard-side left id and a corpus-side right id. */
+  def minHashIncrementalQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val pairs = fresh
+      .minHashPairsAgainst(corpus, "doc_id", "text", shingle = 3,
+        numHashes = 64, bands = 16, threshold = 0.8)
+      .join(docs.select(col("doc_id").as("id_new"), col("text").as("__t1")), Seq("id_new"))
+      .join(docs.select(col("doc_id").as("id_corpus"), col("text").as("__t2")), Seq("id_corpus"))
+    pairs.agg(
+      (sum(when(col("id_new") % 10 === 0, 0).otherwise(1)) === 0).as("all_new_side"),
+      (sum(when(col("id_corpus") % 10 =!= 0, 0).otherwise(1)) === 0).as("all_corpus_side"),
+      (sum(when(col("jaccard") >= 0.8, 0).otherwise(1)) === 0).as("all_above_threshold"),
+      (sum(when(col("jaccard") ===
+        jaccardBuiltinCol(col("__t1"), col("__t2"), 3), 0).otherwise(1)) === 0)
+        .as("all_jaccard_exact"),
+      (count(lit(1)) > 0).as("nonempty"))
+  }
+
   /** Measures the MinHash bucket cap's recall cut end-to-end (driver
     * queries otherwise run uncapped): a deterministic boilerplate-heavy
     * derivation of `documents` — every 5th doc's text replaced by ONE
@@ -784,6 +809,10 @@ object Pipeline {
     "dd_minhash_pairs" ->
       """SELECT TRUE AS all_ordered, TRUE AS all_above_threshold,
         |  TRUE AS all_jaccard_exact, TRUE AS nonempty""".stripMargin,
+    "dd_minhash_incremental" ->
+      """SELECT TRUE AS all_new_side, TRUE AS all_corpus_side,
+        |  TRUE AS all_above_threshold, TRUE AS all_jaccard_exact,
+        |  TRUE AS nonempty""".stripMargin,
     // full replay of the decontamination sweep: same whitespace class,
     // same sliding 8-gram windows, same string-keyed join
     "pp_contamination" ->
@@ -1098,6 +1127,7 @@ object Pipeline {
     "emb_quantize_int8" -> (quantizeQ _),
     "dd_exact_dedup" -> (exactDedupQ _),
     "dd_minhash_pairs" -> (minHashPairsQ _),
+    "dd_minhash_incremental" -> (minHashIncrementalQ _),
     "dd_minhash_pairs_capped" -> (minHashCappedQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),

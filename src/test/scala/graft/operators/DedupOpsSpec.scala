@@ -44,6 +44,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("minHashPairsAgainst: shard-vs-corpus gate finds cross pairs only") {
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val got = fresh.minHashPairsAgainst(corpus, "doc_id", "text", shingle = 3,
+        numHashes = 64, bands = 16, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val textOf = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // precision + side correctness per returned pair
+    got.foreach { case (n, c, j) =>
+      assert(n % 10 == 0 && c % 10 != 0, s"pair ($n,$c) on wrong sides")
+      val exact = TextKernels.shingleJaccard(textOf(n), textOf(c), 3)
+      assert(j === exact && j >= 0.8, s"pair ($n,$c)")
+    }
+    // recall: every brute-force CROSS pair is found; corpus-internal
+    // pairs never appear (they are the symmetric operator's job)
+    val ids = textOf.keys.toSeq.sorted
+    val cross = for {
+      n <- ids if n % 10 == 0; c <- ids if c % 10 != 0
+      if TextKernels.shingleJaccard(textOf(n), textOf(c), 3) >= 0.8
+    } yield (n, c)
+    assert(got.map(t => (t._1, t._2)).toSet === cross.toSet)
+    assert(got.nonEmpty, "fixture has no cross-boundary near-dups — split broke")
+  }
+
   test("simHashPairs: pigeonhole blocking gives full recall within maxHamming") {
     val got = docs.simHashPairs("doc_id", "text", blocks = 4, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
