@@ -21,15 +21,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only
-    * reads as a raw long (nanosAsLong); convert to a proper microsecond
-    * timestamp with exact integral division (a double division would lose
-    * precision above 2^53 ns). */
+  /** `events.parquet`'s `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 only reads as a raw
+    * long under nanosAsLong), plain TIMESTAMP(MICROS) without the UTC
+    * flag (read as TIMESTAMP_NTZ), or an adjusted-to-UTC timestamp.
+    * Normalize all three to session-zone TimestampType so every
+    * downstream query sees one shape. The long path divides integrally
+    * (a double division would lose precision above 2^53 ns); the NTZ
+    * cast is value-preserving because every session here pins
+    * spark.sql.session.timeZone=UTC. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
   }
+
+  /** See [[events]] — shared with the streaming readers, which must apply
+    * the same normalization on top of the batch schema. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -45,10 +45,10 @@ object StreamingOps {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
     staged.resolve("events.parquet").toFile.deleteOnExit()
-    val raw = spark.readStream
-      .schema(batchSchema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(batchSchema)
+        .parquet(staged.toString))
     val sinkName = s"graft_stream_${System.nanoTime()}"
     val q = hourlyEventStats(raw)
       .writeStream
@@ -352,18 +352,33 @@ object StreamingOps {
     java.nio.file.Files.setLastModifiedTime(staged.resolve("a_events.parquet"),
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
 
-    // sentinel batch: ts (nanos) far beyond every real event + gap
-    val maxNs = batch.agg(max(col("ts"))).head().getLong(0)
+    // sentinel batch: ts far beyond every real event + gap. The physical
+    // ts type follows the source file (long nanos in older testdata
+    // generations, micro timestamps since) because the stream reader
+    // reads the sentinel file under the source's batchSchema.
+    val tsType = batchSchema("ts").dataType
+    val maxNs = tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        batch.agg(max(col("ts"))).head().getLong(0)
+      case _ =>
+        batch.agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0) * 1000L
+    }
     val sentNs = maxNs + (gapMs + 60000L) * 1000000L
+    val sentTs = tsType match {
+      case org.apache.spark.sql.types.LongType => lit(sentNs)
+      // sentNs stays a multiple of 1000, so the micros division is exact
+      case t => timestamp_micros(lit(sentNs / 1000L)).cast(t)
+    }
     val sentinelTmp = java.nio.file.Files.createTempDirectory("graft_sess_sent")
     sentinelTmp.toFile.deleteOnExit()
     batch.select(col("user_id")).distinct()
       .select(batchSchema.fieldNames.map {
         case "event_id"   => lit(-1L).as("event_id")
-        case "ts"         => lit(sentNs).as("ts")
+        case "ts"         => sentTs.as("ts")
         case "user_id"    => col("user_id")
         case "event_type" => lit("__graft_end").as("event_type")
-        case other        => lit(0.0).as(other) // value
+        case "value"      => lit(0.0).as("value")
+        case other        => lit(null).cast(batchSchema(other).dataType).as(other)
       }: _*)
       .coalesce(1).write.mode("overwrite").parquet(sentinelTmp.toString)
     val part = java.nio.file.Files.list(sentinelTmp).iterator().asScala
@@ -372,11 +387,11 @@ object StreamingOps {
     java.nio.file.Files.copy(part, staged.resolve("z_sentinel.parquet"))
     staged.resolve("z_sentinel.parquet").toFile.deleteOnExit()
 
-    val evs = spark.readStream
-      .schema(batchSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val evs = graft.Tables.normalizeEventTs(
+        spark.readStream
+          .schema(batchSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     (evs, sentNs)
   }
