@@ -329,6 +329,121 @@ object VectorOps {
         .select(col(lId), col("__rid").as(rId), col("cos"))
     }
 
+    /** Deterministic distributed Lloyd's k-means over the embedding
+      * column, returning one `(id, cluster)` row per input row.
+      *
+      * Engineered so the WHOLE iteration — seeds, assignments, centroid
+      * updates — replays bit-exactly in any engine with 64-bit integer
+      * and IEEE double arithmetic, independent of partitioning:
+      *
+      *  - vectors are quantized once to exact integers
+      *    (`floor(x * scale)` as BIGINT), so the per-cluster centroid
+      *    SUM is integer arithmetic — associative and commutative, hence
+      *    order- and partition-independent, unlike a double sum whose
+      *    last bits depend on accumulation order;
+      *  - centroids are `intSum / count` in double — one exact IEEE
+      *    division of exact inputs;
+      *  - seeds are the `k` rows minimizing the Knuth multiplicative
+      *    hash of the id (same replayable choice as the IVF coarse
+      *    quantizer above); cluster ids are 0-based in that seed order;
+      *  - assignment is argmin of squared L2 to a LITERAL centroid
+      *    array, ties to the lowest cluster id (`array_position` of the
+      *    array min takes the first occurrence) — a pure codegen'd
+      *    expression, no join, no shuffle;
+      *  - distances fold dimensions left-to-right from 0.0, the proven
+      *    `list_sum(list_transform(...))` parity shape of the cosine /
+      *    L2 oracles in queries.Pipeline.
+      *
+      * 100-TB shape: each iteration is one scan + one aggregation whose
+      * map-side partial combine collapses the shuffle to
+      * `k * dim * tasks` rows; driver state is `k * dim` longs; the
+      * assignment expression broadcasts with the plan. `cache` persists
+      * the quantized projection across the `iters + 1` passes
+      * (MEMORY_AND_DISK — at corpus scale leave it off and let the
+      * scans stream from parquet, or persist a sampled training slice).
+      * Overflow headroom: |q_i| <= scale * max|x_i|, so a dimension's
+      * sum stays inside a signed 64-bit long for ~10^12 rows at
+      * `scale`=2^16 and |x| <= 100.
+      *
+      * Reference analogue: the IVF quantizer's cell structure
+      * (`/root/reference` has no clustering op; this is pipeline
+      * surface, SemDeDup-style curation needs it). */
+    def kmeansAssign(vecCol: String, idCol: String, k: Int, iters: Int = 2,
+                     seed: Long = 42L, scale: Double = 65536.0,
+                     cache: Boolean = true): DataFrame = {
+      require(k >= 1 && iters >= 0)
+      val df = ds.toDF
+      val qv = transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long"))
+      val base0 = df.select(col(idCol), qv.as("__qv"))
+      val base =
+        if (cache && iters > 0)
+          base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else base0
+      // k rows to the driver, Knuth-hash order — bounded like the IVF
+      // centroid sample; empty input returns the empty assignment frame
+      val seedRows = base
+        .orderBy(VectorOps.centroidOrder(idCol, seed), col(idCol))
+        .limit(k).collect()
+      if (seedRows.isEmpty) return df.select(col(idCol), lit(0).as("cluster")).limit(0)
+      var centers: Array[Array[Double]] =
+        seedRows.map(_.getSeq[Long](1).map(_.toDouble).toArray)
+
+      def sqDistTo(c: Array[Double]): org.apache.spark.sql.Column =
+        aggregate(
+          zip_with(col("__qv"), array(c.map(lit).toIndexedSeq: _*), (a, b) => {
+            val d = a.cast("double") - b; d * d
+          }),
+          lit(0.0), (acc, x) => acc + x)
+      // materialize the distance array in its own projection so the min
+      // and the position read ONE evaluation (the IVF __graft_cos shape)
+      def assigned(cs: Array[Array[Double]]): DataFrame =
+        base.withColumn("__d", array(cs.map(sqDistTo): _*))
+          .withColumn("__c",
+            (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+          .drop("__d")
+
+      for (_ <- 1 to iters) {
+        // k*dim rows back to the driver; sums are exact longs
+        val stats = assigned(centers)
+          .select(col("__c"), posexplode(col("__qv")).as(Seq("__p", "__q")))
+          .groupBy("__c", "__p")
+          .agg(sum("__q").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = centers.map(_.clone) // empty clusters keep their centroid
+        stats.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble
+        }
+        centers = next
+      }
+      assigned(centers).select(col(idCol), col("__c").as("cluster"))
+    }
+
+    /** SemDeDup-style semantic near-duplicate pairs: k-means clusters
+      * block the candidate space (the [[kmeansAssign]] partition), then
+      * only within-cluster pairs pay the exact cosine verify at
+      * `threshold`. The classic curation recipe for pruning semantically
+      * redundant training documents — near-dups land in one cluster with
+      * high probability, so the quadratic term is per-cluster, bounded
+      * by the largest cluster, never the corpus. Deterministic end to
+      * end (clustering replays exactly; cosine is the bit-parity
+      * kernel), so the result is hash-oracle-able. Vectors join back
+      * onto the candidate pairs by id — they never ride the cluster
+      * self-join. */
+    def semanticDedupPairs(vecCol: String, idCol: String, k: Int,
+                           threshold: Double, iters: Int = 2,
+                           seed: Long = 42L): DataFrame = {
+      val assign = kmeansAssign(vecCol, idCol, k, iters, seed)
+      val a = assign.select(col(idCol).as("id1"), col("cluster"))
+      val b = assign.select(col(idCol).as("id2"), col("cluster"))
+      val pairs = a.join(b, Seq("cluster")).filter(col("id1") < col("id2"))
+      val v1 = ds.toDF.select(col(idCol).as("id1"), col(vecCol).as("__v1"))
+      val v2 = ds.toDF.select(col(idCol).as("id2"), col(vecCol).as("__v2"))
+      pairs.join(v1, Seq("id1")).join(v2, Seq("id2"))
+        .withColumn("cos", cosineSimilarity(col("__v1"), col("__v2")))
+        .filter(col("cos") >= threshold)
+        .select(col("cluster"), col("id1"), col("id2"), col("cos"))
+    }
+
     /** LSH-blocked near-duplicate pairs within this dataset:
       * sketch-band equi-join -> exact cosine verify at `threshold`.
       * Linear-ish in data size for high thresholds (near-dup regime). */

@@ -539,6 +539,22 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Deterministic Lloyd's k-means assignment (k=8, 2 iterations) over
+    * the embeddings — full DuckDB replay: seeds, integer-exact centroid
+    * sums, and argmin assignments are all engine-portable arithmetic
+    * (VectorOps.kmeansAssign's contract). */
+  def kmeansQ(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .kmeansAssign("embedding", "vec_id", k = 8, iters = 2)
+      .orderBy(col("vec_id"))
+
+  /** SemDeDup-style semantic near-dup pairs: k-means blocks, exact
+    * within-cluster cosine >= 0.8 verifies. */
+  def semanticPairsQ(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .semanticDedupPairs("embedding", "vec_id", k = 8, threshold = 0.8)
+      .orderBy(col("id1"), col("id2"))
+
   def simJoinExactQ(s: SparkSession, d: String): DataFrame = {
     val left = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val right = embeddings(s, d).select(
@@ -548,6 +564,63 @@ object Pipeline {
       .filter(col("vec_id") < col("vec_id2"))
       .orderBy(col("vec_id"), col("vec_id2"))
   }
+
+  /** DuckDB replay of VectorOps.kmeansAssign: the same quantization,
+    * Knuth-hash seeds, argmin assignments (ties to the lowest cluster
+    * id) and integer-exact centroid updates, one CTE pair per Lloyd
+    * iteration. Emits CTEs `kq` (quantized vectors), `c0..c$iters`
+    * (centroids) — callers compute the final assignment over
+    * `c$iters`. The squared-L2 fold is the bit-parity
+    * list_sum(list_transform(...)) shape; centroids are
+    * `CAST(intSum AS DOUBLE) / count`, exact in both engines. */
+  private def kmeansCteSql(k: Int, iters: Int, seed: Long): String = {
+    def sqDist(qv: String, cv: String): String =
+      s"""list_sum(list_transform(list_zip($qv, $cv),
+         |        x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))""".stripMargin
+    val head =
+      s"""kq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cid,
+         |         list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv FROM (
+         |    SELECT qv, row_number() OVER (
+         |        ORDER BY ((vec_id + $seed) * 2654435761) % 4294967296, vec_id) AS rn
+         |    FROM kq) s
+         |  WHERE rn <= $k)""".stripMargin
+    def iterSql(t: Int): String =
+      s"""a$t AS (
+         |  SELECT vec_id, qv, cid FROM (
+         |    SELECT kq.vec_id, kq.qv, c.cid,
+         |      row_number() OVER (PARTITION BY kq.vec_id
+         |        ORDER BY ${sqDist("kq.qv", "c.cv")} ASC, c.cid ASC) AS rn
+         |    FROM kq, c${t - 1} c) z WHERE rn = 1),
+         |u$t AS (
+         |  SELECT cid, pos, sum(qel) AS s, count(*) AS n FROM (
+         |    SELECT cid, unnest(generate_series(1, len(qv))) AS pos, unnest(qv) AS qel
+         |    FROM a$t) e
+         |  GROUP BY cid, pos),
+         |c$t AS (
+         |  SELECT p.cid, CASE WHEN u.cv IS NULL THEN p.cv ELSE u.cv END AS cv
+         |  FROM c${t - 1} p LEFT JOIN (
+         |    SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS cv
+         |    FROM u$t GROUP BY cid) u ON p.cid = u.cid)""".stripMargin
+    (head +: (1 to iters).map(iterSql)).mkString(",\n")
+  }
+
+  /** Final k-means assignment CTE `kmf(vec_id, cluster)` over the last
+    * centroid CTE from [[kmeansCteSql]]. */
+  private def kmeansAssignSql(iters: Int): String =
+    s"""kmf AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT kq.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY kq.vec_id
+       |        ORDER BY list_sum(list_transform(list_zip(kq.qv, c.cv),
+       |            x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))) ASC,
+       |          c.cid ASC) AS rn
+       |    FROM kq, c$iters c) z WHERE rn = 1)""".stripMargin
 
   // DuckDB cosine in double precision with the same sequential
   // accumulation as VectorKernels.cosineF -> bit-exact parity.
@@ -1075,6 +1148,20 @@ object Pipeline {
         |        b.vec_id ASC) AS rn
         |  FROM embeddings a CROSS JOIN embeddings b) t
         |WHERE rn <= 3 ORDER BY vec_id, vec_id2""".stripMargin,
+    "emb_kmeans" ->
+      s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
+         |${kmeansAssignSql(iters = 2)}
+         |SELECT vec_id, cluster FROM kmf ORDER BY vec_id""".stripMargin,
+    "dd_semantic_pairs" ->
+      s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
+         |${kmeansAssignSql(iters = 2)}
+         |SELECT cluster, id1, id2, cos FROM (
+         |  SELECT a.cluster AS cluster, a.vec_id AS id1, b.vec_id AS id2,
+         |    ${cosSql("e1.embedding", "e2.embedding")} AS cos
+         |  FROM kmf a JOIN kmf b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN embeddings e1 ON e1.vec_id = a.vec_id
+         |  JOIN embeddings e2 ON e2.vec_id = b.vec_id) t
+         |WHERE cos >= 0.8 ORDER BY id1, id2""".stripMargin,
     "emb_sim_join" ->
       s"""SELECT vec_id, vec_id2, cos FROM (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS vec_id2,
@@ -1142,6 +1229,8 @@ object Pipeline {
     "ann_ivf_topk" -> (annIvfTopKQ _),
     "ann_ivf_disk_topk" -> (annIvfDiskQ _),
     "emb_sim_join" -> (simJoinExactQ _),
-    "emb_knn_join" -> (embKnnJoinQ _)
+    "emb_knn_join" -> (embKnnJoinQ _),
+    "emb_kmeans" -> (kmeansQ _),
+    "dd_semantic_pairs" -> (semanticPairsQ _)
   )
 }

@@ -262,4 +262,92 @@ class VectorOpsSpec extends SparkSpec {
     // the emitted scale is the computed max-abs, not the input column
     assert(out(1L) === 2.0 && out(2L) === 4.0)
   }
+
+  test("kmeansAssign replays exactly against an independent driver Lloyd's") {
+    val k = 6; val iters = 2; val seedL = 42L; val scale = 65536.0
+    val got = emb.kmeansAssign("embedding", "vec_id", k, iters)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent replay from the raw floats: quantize, Knuth-hash
+    // seeds, strict-< argmin (first minimum = lowest cluster id),
+    // integer-exact centroid sums — the operator's whole contract
+    val q: Array[(Long, Array[Long])] = all.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * scale).toLong)
+    }
+    def hash(id: Long) = ((id + seedL) * 2654435761L) % 4294967296L
+    var centers = q.sortBy { case (id, _) => (hash(id), id) }
+      .take(k).map(_._2.map(_.toDouble))
+    def assignOf(cs: Array[Array[Double]], v: Array[Long]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      for (c <- cs.indices) {
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i).toDouble - cs(c)(i); s += d * d; i += 1 }
+        if (s < bd) { bd = s; best = c }
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val dim = q.head._2.length
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val cnt = new Array[Long](k)
+      q.foreach { case (_, v) =>
+        val c = assignOf(centers, v); cnt(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centers = centers.zipWithIndex.map { case (old, c) =>
+        if (cnt(c) == 0L) old else sums(c).map(_.toDouble / cnt(c).toDouble)
+      }
+    }
+    val want = q.map { case (id, v) => id -> assignOf(centers, v) }.toMap
+    assert(got === want)
+    assert(got.values.toSet.size > 1, "degenerate: everything in one cluster")
+  }
+
+  test("kmeansAssign is partition-independent") {
+    val a = emb.kmeansAssign("embedding", "vec_id", k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = emb.repartition(7).kmeansAssign("embedding", "vec_id", k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a === b)
+  }
+
+  test("semanticDedupPairs: exact precision, block-complete recall, exact cosines") {
+    import spark.implicits._
+    // tight clusters far apart: every true near-dup pair (cos >= 0.999)
+    // lies inside one physical cluster, and no Voronoi boundary between
+    // k-means centroids cuts through a cluster of diameter ~0.4 at
+    // separation ~100 — so the blocked result must equal brute force
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(6)(Array.fill(16)(rng.nextDouble() * 100f))
+    val rows = (0 until 240).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = df.semanticDedupPairs("embedding", "vec_id", k = 6, threshold = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byPair = got.map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(byPair.size === got.length)
+    val want = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      c = cosScala(rows(i)._2, rows(j)._2) if c >= 0.999
+    } yield (rows(i)._1, rows(j)._1) -> c).toMap
+    // exact precision: every emitted pair is a true near-dup, with the
+    // kernel's bit-exact cosine
+    byPair.foreach { case (p, c) =>
+      assert(want.contains(p), s"false positive $p")
+      assert(c === want(p), s"pair $p")
+    }
+    // completeness within blocks: the ONLY pairs the blocker may miss
+    // are those k-means separated (a tight cluster can catch two seed
+    // centroids and split — SemDeDup's documented recall trade). Every
+    // same-block near-dup pair must be present.
+    val cluster = df.kmeansAssign("embedding", "vec_id", k = 6, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sameBlock = want.keySet.filter { case (a, b) => cluster(a) == cluster(b) }
+    assert(byPair.keySet === sameBlock)
+    // deterministic recall floor on this fixture (seeded, no flake):
+    // splits cost at most a few clusters' cross-half pairs
+    assert(byPair.size.toDouble / want.size >= 0.5,
+      s"recall ${byPair.size}/${want.size}")
+  }
 }
