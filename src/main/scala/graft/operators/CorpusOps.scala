@@ -157,6 +157,65 @@ object CorpusOps {
           .as(Seq("chunk_id", "chunk_text")))
     }
 
+    /** BM25 top-k retrieval over the corpus for a FIXED literal term
+      * set — the keyword-retrieval stage of a data pipeline (find the
+      * training documents most relevant to an eval topic, rank
+      * candidates for inspection, build topic-targeted subsets).
+      *
+      * Uses the Robertson odds-ratio idf `(N - df + 0.5)/(df + 0.5)`
+      * WITHOUT the usual log wrapper: `ln` is not required to be
+      * correctly rounded, so a log idf would not hash-replay across
+      * engines (the [[unigramScore]] precedent). The odds ratio
+      * preserves the idf ORDERING of terms exactly and keeps every
+      * arithmetic step IEEE-replayable; rankings differ from log-BM25
+      * only in how strongly rare terms dominate. The tf saturation
+      * term `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` is standard BM25.
+      *
+      * Scale shape: corpus statistics (N, Σdl, per-term df) are ONE
+      * bounded aggregation — map-side combined, `2 + |terms|` numbers
+      * to the driver; scoring is a pure codegen'd expression over the
+      * token array (no join — the term list rides in the plan); the
+      * top-k is TakeOrderedAndProject (per-partition heaps, k-row
+      * merge), never a global sort. An inverted-index layout would
+      * serve ad-hoc queries better; for a fixed pipeline term set the
+      * two-pass scan is the honest minimum. */
+    def bm25TopK(idCol: String, textCol: String, terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      require(terms.nonEmpty, "bm25TopK: need at least one query term")
+      val df = ds.toDF
+      val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+        .withColumn("__dl", size(col("__toks")).cast("long"))
+      val statAggs =
+        Seq(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")) ++
+          terms.zipWithIndex.map { case (t, i) =>
+            sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L))
+              .as(s"__df$i")
+          }
+      val stats = base.agg(statAggs.head, statAggs.tail: _*).head()
+      val nD = stats.getLong(0).toDouble
+      if (stats.getLong(0) == 0L)
+        return base.select(col(idCol), col("__dl").as("dl"),
+          lit(0.0).as("score")).limit(0)
+      val avgdl = stats.getLong(1).toDouble / stats.getLong(0).toDouble
+      val idf = terms.indices.map { i =>
+        val dfT = stats.getLong(2 + i).toDouble
+        (nD - dfT + 0.5) / (dfT + 0.5)
+      }
+      val dlD = col("__dl").cast("double")
+      // every literal and association below mirrors the oracle SQL
+      // text exactly — same IEEE graph, same doubles
+      val termScores = terms.zipWithIndex.map { case (t, i) =>
+        val tf = size(filter(col("__toks"), x => x === lit(t))).cast("double")
+        lit(idf(i)) * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl)))
+      }
+      base.withColumn("score", termScores.reduce(_ + _))
+        .filter(col("score") > 0.0) // no term present -> not a hit
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(k)
+        .select(col(idCol), col("__dl").as("dl"), col("score"))
+    }
+
     /** Per-document unigram "likelihood" quality score — the cheap,
       * fully-SQL-replayable stand-in for the KenLM-perplexity filter of
       * CCNet-style pipelines: documents whose tokens are corpus-typical

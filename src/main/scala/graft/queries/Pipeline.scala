@@ -539,6 +539,20 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** The fixed BM25 query-term set (mid-to-low document frequency mix
+    * from the synthetic vocabulary) — shared by the query and the
+    * oracle generator. */
+  private val bm25Terms = Seq("spark", "vector", "window", "hash", "merge", "customer")
+
+  /** BM25 top-20 keyword retrieval over documents (rational odds-ratio
+    * idf — the log-free, hash-replayable form; CorpusOps.bm25TopK). */
+  def bm25Q(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d)
+      .bm25TopK("doc_id", "text", bm25Terms, k = 20)
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic Lloyd's k-means assignment (k=8, 2 iterations) over
     * the embeddings — full DuckDB replay: seeds, integer-exact centroid
     * sums, and argmin assignments are all engine-portable arithmetic
@@ -1148,6 +1162,44 @@ object Pipeline {
         |        b.vec_id ASC) AS rn
         |  FROM embeddings a CROSS JOIN embeddings b) t
         |WHERE rn <= 3 ORDER BY vec_id, vec_id2""".stripMargin,
+    // BM25 with the odds-ratio idf: every constant and association in
+    // the score expression is written identically to the Spark side
+    // (tf * (k1 + 1.0), (1.0 - b) + b * dl / avgdl, terms summed left
+    // to right), so the doubles are bit-equal. Stats (n, avgdl, df)
+    // are exact integers cast once to double in both engines. The
+    // inexact constant 1.2 is CAST to DOUBLE explicitly: DuckDB parses
+    // bare numeric literals as DECIMAL, and decimal-exact tf*2.2 is one
+    // ulp off double tf*(1.2+1.0) (binary-exact 0.5/0.75/0.25 literals
+    // elsewhere in this file are immune).
+    "tx_bm25" -> {
+      val termSql = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"""((st.n - st.df$i + 0.5) / (st.df$i + 0.5))
+           |     * (len(list_filter(b.toks, t -> t = '$t')) * (CAST(1.2 AS DOUBLE) + 1.0))
+           |     / (len(list_filter(b.toks, t -> t = '$t'))
+           |        + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * b.dl / st.avgdl))""".stripMargin
+      }.mkString("\n   + ")
+      val dfSql = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"""CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"""
+      }.mkString(",\n    ")
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), q -> q != '') AS toks
+         |  FROM documents),
+         |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tk),
+         |st AS (SELECT
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         |    $dfSql
+         |  FROM tk)
+         |SELECT doc_id, dl, score FROM (
+         |  SELECT doc_id, dl, score FROM (
+         |    SELECT b.doc_id, b.dl,
+         |      $termSql AS score
+         |    FROM base b, st) s
+         |  WHERE score > 0
+         |  ORDER BY score DESC, doc_id ASC LIMIT 20) t
+         |ORDER BY doc_id""".stripMargin
+    },
     "emb_kmeans" ->
       s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
          |${kmeansAssignSql(iters = 2)}
@@ -1231,6 +1283,7 @@ object Pipeline {
     "emb_sim_join" -> (simJoinExactQ _),
     "emb_knn_join" -> (embKnnJoinQ _),
     "emb_kmeans" -> (kmeansQ _),
-    "dd_semantic_pairs" -> (semanticPairsQ _)
+    "dd_semantic_pairs" -> (semanticPairsQ _),
+    "tx_bm25" -> (bm25Q _)
   )
 }

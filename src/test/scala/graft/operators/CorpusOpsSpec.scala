@@ -223,4 +223,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 0L, 0L), (2L, 300L, 0L),
       (3L, 600L, 1L), (4L, 650L, 1L), (5L, 1250L, 2L)))
   }
+
+  test("bm25TopK replays bit-exactly against an independent driver scorer") {
+    val terms = Seq("spark", "vector", "window", "hash", "merge", "customer")
+    val k1 = 1.2; val b = 0.75; val k = 15
+    val got = docs.bm25TopK("doc_id", "text", terms, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent recompute with the operator's exact IEEE graph
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+    val n = corpus.length.toDouble
+    val avgdl = corpus.map(_._2.length.toLong).sum.toDouble / corpus.length.toDouble
+    val idf = terms.map { t =>
+      val dfT = corpus.count(_._2.contains(t)).toDouble
+      (n - dfT + 0.5) / (dfT + 0.5)
+    }
+    val scored = corpus.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = toks.count(_ == t).toDouble
+        idf(i) * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+      }.reduce(_ + _)
+      (id, toks.length.toLong, score)
+    }.filter(_._3 > 0.0)
+    val want = scored.sortBy { case (id, _, s) => (-s, id) }.take(k)
+    assert(got.sortBy { case (id, _, s) => (-s, id) }.toSeq === want.toSeq)
+    // sanity: the term set has df variety, so idf actually discriminates
+    assert(idf.distinct.length > 1)
+  }
+
+  test("bm25TopK: a doc containing no query term never ranks") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "spark merge window"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "spark spark spark spark")).toDF("doc_id", "text")
+    val got = fixture.bm25TopK("doc_id", "text", Seq("spark", "merge"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L))
+  }
 }
