@@ -21,11 +21,15 @@ object Bench {
     * localized to the phase it hit instead of invalidating the whole
     * sweep (VERDICT r7 #6). */
   private def phases: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = Seq(
-    "selections" -> headline.filter(e => e._1.startsWith("b1") || e._1.startsWith("b2")
-      || e._1.startsWith("b3") || e._1.startsWith("b4")),
+    // b11 (temporal) sorts under its own phase, not "selections" — the
+    // b1* prefix match would otherwise bracket the as-of/interval joins
+    // with the range scans and misattribute a dirty probe
+    "selections" -> headline.filter(e => !e._1.startsWith("b11") && (e._1.startsWith("b1")
+      || e._1.startsWith("b2") || e._1.startsWith("b3") || e._1.startsWith("b4"))),
     "knn_joins" -> headline.filter(_._1.startsWith("b5")),
     "vectors_dedup" -> headline.filter(e => e._1.startsWith("b6") || e._1.startsWith("b7")),
-    "pipeline_relational" -> headline.filter(e => e._1.startsWith("b8") || e._1.startsWith("b9"))
+    "pipeline_relational" -> headline.filter(e => e._1.startsWith("b8") || e._1.startsWith("b9")
+      || e._1.startsWith("b11"))
   )
 
   private def headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -103,6 +107,13 @@ object Bench {
         .select(col("embedding")).head().getSeq[Float](0).toArray
       embeddings(s, d).cosineTopK("embedding", "vec_id", q, 10)
     }),
+    // B6K: deterministic k-means (2 Lloyd iterations) + SemDeDup
+    // semantic dedup on top of its blocks (r8 ops)
+    "b6k_kmeans" -> ((s: SparkSession, d: String) =>
+      embeddings(s, d).kmeansAssign("embedding", "vec_id", k = 8, iters = 2)),
+    "b6sd_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      embeddings(s, d).semanticDedupPairs("embedding", "vec_id", k = 8,
+        threshold = 0.8)),
     // pipeline ops
     "b7_minhash_dedup" -> ((s: SparkSession, d: String) =>
       documents(s, d).minHashPairs("doc_id", "text", 3, 64, 16, 0.8,
@@ -134,6 +145,13 @@ object Bench {
     "b8u_unigram_quality" -> ((s: SparkSession, d: String) => {
       import graft.operators.CorpusOps._
       documents(s, d).unigramScore("doc_id", "text")
+    }),
+    // BM25 keyword retrieval (r8): one stats pass + codegen'd scoring
+    // + TakeOrderedAndProject
+    "b8r_bm25" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      documents(s, d).bm25TopK("doc_id", "text",
+        Seq("spark", "vector", "window", "hash", "merge", "customer"), 20)
     }),
     // temporal point-in-time joins (r8 ops; one shuffle + window vs a
     // per-key cross — the asymptotic win is the plan shape, the entry
@@ -327,12 +345,36 @@ object Bench {
       if (pairOff(s.calPre, s.calPost))
         Seq(f"ALU pre/post disagree: ${s.calPre}%.3f vs ${s.calPost}%.3f")
       else Nil
+    // the mem pair rule additionally requires the larger side to breach
+    // the absolute threshold: the clean band's own noise spans ~0.38-0.65
+    // (r8 measurements), so a bare 1.5x ratio between two in-band values
+    // is not evidence of contamination and was burning retry attempts
     val memPairDirty =
-      if (pairOff(s.memPre, s.memPost))
+      if (pairOff(s.memPre, s.memPost) && math.max(s.memPre, s.memPost) >= 0.7)
         Seq(f"mem pre/post disagree: ${s.memPre}%.3f vs ${s.memPost}%.3f")
       else Nil
     val all = memDirty.toSeq ++ aluDirty ++ memPairDirty
     if (all.isEmpty) None else Some(all.mkString("; "))
+  }
+
+  /** Drop every retained block this JVM accumulated — checkpointed kNN
+    * candidate exchanges, persisted projections, index caches of
+    * FINISHED work — and pay the GC debt now. The calibration probes
+    * exist to detect EXTERNAL contamination; without this, a probe's
+    * 2 GiB task allocation measures this JVM's own heap history (r8
+    * observation: an attempt's `pre` probe read 14.5 s purely from the
+    * previous sweep's leftovers, decaying probe-by-probe as blocks
+    * aged out — a self-inflicted dirty verdict that burned all 3
+    * self-healing attempts). Entries only ever count() their frame and
+    * discard it, so nothing released here is still needed; the indexed
+    * phase rebuilds its indexes per attempt by design. */
+  private def releaseRetained(spark: SparkSession): Unit = {
+    try {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] releaseRetained failed: $e") }
   }
 
   private def runSweep(spark: SparkSession, sfDir: String, cpus: Int,
@@ -345,6 +387,7 @@ object Bench {
       try memCalibration(spark, cpus)
       catch { case e: Throwable =>
         System.err.println(s"[bench] mem calibration failed: $e"); -1.0 }
+    releaseRetained(spark) // a retry starts from a clean slate
     val calPre = cal()
     val memProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
     memProbes("pre") = memCal()
@@ -353,11 +396,15 @@ object Bench {
       entries.foreach { case (name, fn) =>
         rec.timed(name) { fn(spark, sfDir).count() }
       }
+      // finished entries' retained blocks are garbage; release before
+      // the probe so it reads the environment, not this heap's history
+      releaseRetained(spark)
       // phase-boundary probe: a burst is pinned to the phase it hit
       memProbes(s"post_$phaseName") = memCal()
     }
     try indexedPhase(spark, sfDir, rec)
     catch { case e: Throwable => System.err.println(s"[bench] indexed phase failed: $e") }
+    releaseRetained(spark)
     val calPost = cal()
     memProbes("post_indexed") = memCal()
     // Steady-state re-execution of the kNN-join family: the cold sweep
@@ -380,6 +427,7 @@ object Bench {
         steady(name) = (System.nanoTime() - t0) / 1e9
       }
     }
+    releaseRetained(spark)
     memProbes("post_steady") = memCal()
     Sweep(rec, calPre, calPost, memProbes, steady)
   }

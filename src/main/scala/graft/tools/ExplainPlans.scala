@@ -126,6 +126,20 @@ object ExplainPlans {
           Seq("cx", "cy"), numPartitions = 8)
         .boxRange(Array(2000.0, 100.0), Array(4000.0, 300.0))
     }
+    show("kmeans_assign (expect ONE shuffle-free codegen'd argmin projection — centroids ride in the plan)") {
+      import graft.operators.VectorOps._
+      embeddings(spark, d).kmeansAssign("embedding", "vec_id", k = 8, iters = 2)
+    }
+    show("semantic_dedup (expect cluster equi-self-join of (id, cluster) — vectors join back by id)") {
+      import graft.operators.VectorOps._
+      embeddings(spark, d).semanticDedupPairs("embedding", "vec_id", k = 8,
+        threshold = 0.8)
+    }
+    show("bm25 (expect codegen'd score over the scan + TakeOrderedAndProject, no join)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).bm25TopK("doc_id", "text",
+        Seq("spark", "vector", "window", "hash", "merge", "customer"), 20)
+    }
     spark.stop()
   }
 }

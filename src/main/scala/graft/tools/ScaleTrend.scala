@@ -144,6 +144,56 @@ object ScaleTrend {
       docsRep(spark, d, n).unigramScore("doc_id", "text").count()
     }
 
+    // embedding replicas for the clustering trend: replica r multiplies
+    // every vector elementwise by a deterministic ±1 sign pattern.
+    // Sign flips preserve norms and WITHIN-replica pairwise dot
+    // products exactly (s_i^2 = 1), while independent patterns
+    // decorrelate CROSS-replica cosines toward 0 — replicas are
+    // disjoint similarity neighborhoods, the "more shards of the same
+    // corpus" shape. r = 0 is the identity (1x == the bench's data).
+    def embRep(n: Int): DataFrame = {
+      import graft.operators.VectorOps._
+      (0 until n).map { r =>
+        val base = embeddings(spark, d).select(
+          (col("vec_id") + lit(r * IdOffset)).as("vec_id"), col("embedding"))
+        if (r == 0) base
+        else {
+          val rng = new scala.util.Random(1000 + r)
+          val signs = array(Array.fill(64)(lit(
+            if (rng.nextBoolean()) 1.0f else -1.0f)).toIndexedSeq: _*)
+          base.select(col("vec_id"),
+            zip_with(col("embedding"), signs, (x, sg) => x * sg).as("embedding"))
+        }
+      }.reduce(_ unionByName _)
+    }
+
+    // k-means over the replicated embeddings: k grows with the slice
+    // (k = 8n — the SemDeDup configuration, constant expected cluster
+    // size; a fixed k at 10x data would measure 10x-fatter cells, not
+    // the operator). Per iteration: one scan (argmin over the literal
+    // centroid array) + a (k*dim)-key partial-combined aggregation.
+    def b6k(n: Int): Long = {
+      import graft.operators.VectorOps._
+      embRep(n).kmeansAssign("embedding", "vec_id", k = 8 * n, iters = 2).count()
+    }
+
+    // semantic dedup on those blocks: within-cell pairs only; constant
+    // cell size -> pair volume ~n and the verify join ~n
+    def b6sd(n: Int): Long = {
+      import graft.operators.VectorOps._
+      embRep(n).semanticDedupPairs("embedding", "vec_id", k = 8 * n,
+        threshold = 0.8).count()
+    }
+
+    // BM25 over the replicated corpus: the stats aggregation and the
+    // scoring scan both grow ~n; the term set is fixed, so df work per
+    // row is constant (vowel-translated replicas simply miss the terms)
+    def b8r(n: Int): Long = {
+      import graft.operators.CorpusOps._
+      docsRep(spark, d, n).bm25TopK("doc_id", "text",
+        Seq("spark", "vector", "window", "hash", "merge", "customer"), 20).count()
+    }
+
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b5_knn_join_grid" -> (b5 _),
@@ -153,7 +203,10 @@ object ScaleTrend {
           "b8d_contamination" -> (b8d _),
           "b8b_boilerplate" -> (b8b _),
           "b8u_unigram_quality" -> (b8u _),
-          "b11_asof_join" -> (b11 _))
+          "b11_asof_join" -> (b11 _),
+          "b6k_kmeans" -> (b6k _),
+          "b6sd_semantic_dedup" -> (b6sd _),
+          "b8r_bm25" -> (b8r _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f
