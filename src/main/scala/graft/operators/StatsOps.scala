@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouped numeric statistics with certified sketches — the
+  * [[CorpusOps.DatasetCorpusOps.vocabStats]] discipline applied to
+  * quantiles: the exact answer and the mergeable sketch side by side,
+  * with a boolean verdict that the sketch honored its bound. At 100 TB
+  * run the sketch alone (`approx_percentile` is a fixed-size mergeable
+  * digest, one partial-combined aggregation, no sort); the exact path
+  * exists so small-scale runs can certify the sketch's contract before
+  * trusting it where exact is unaffordable.
+  */
+object StatsOps {
+
+  implicit class DatasetStatsOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** Per-group quantiles of `valueCol` at each q in `qs`:
+      * `(group, q, n, exact, within_bound)`.
+      *
+      * The exact value deliberately does NOT use Spark's `percentile`
+      * aggregate: its internal interpolation arithmetic is not
+      * SQL-portable. Instead the classic rank interpolation is spelled
+      * out in plain column arithmetic —
+      * `k = floor(q*(n-1))`, `frac = q*(n-1) - k`,
+      * `exact = v[k] + (v[k+1] - v[k]) * frac` — over a per-group
+      * `row_number` ranking, so ANY engine replays the identical IEEE
+      * graph and the result hash-matches. Ties in `valueCol` are safe
+      * without a tiebreak: equal values make rank-k well-defined
+      * whatever order `row_number` picks.
+      *
+      * Scale shape: the exact path costs ONE hash shuffle + per-group
+      * sort (the window), then a filter keeping <= 2 rows per
+      * (group, q) and a tiny aggregation; the sketch rides the same
+      * plan as one more aggregate. The verdict bounds the sketch's
+      * VALUE error relative to the exact quantile; the sketch's own
+      * guarantee is on rank (<= n/accuracy ranks), so `bound` should be
+      * sized to the data's local density — the certify step is exactly
+      * the place that check happens. */
+    def quantileStats(groupCol: String, valueCol: String, qs: Seq[Double],
+                      accuracy: Int = 10000, bound: Double = 0.01): DataFrame = {
+      require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+      val df = ds.toDF
+      val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      val ranked = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+        .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      val sketch = df.groupBy(col(groupCol))
+        .agg(percentile_approx(col(valueCol).cast("double"),
+          array(qs.map(lit): _*), lit(accuracy)).as("__apx"))
+      val perQ = qs.zipWithIndex.map { case (q, i) =>
+        val kD = floor(lit(q) * (col("__n") - 1L).cast("double"))
+        val fracD = lit(q) * (col("__n") - 1L).cast("double") - kD
+        val lo = max(when(col("__rn").cast("double") === kD, col("__v")))
+        val hi = max(when(col("__rn").cast("double") === kD + 1.0, col("__v")))
+        ranked
+          .filter(col("__rn").cast("double") === kD ||
+            col("__rn").cast("double") === kD + 1.0)
+          .groupBy(col(groupCol))
+          .agg(first(col("__n")).as("n"),
+            (lo + (coalesce(hi, lo) - lo) *
+              (lit(q) * (first(col("__n")) - 1L).cast("double") -
+                floor(lit(q) * (first(col("__n")) - 1L).cast("double"))))
+              .as("exact"))
+          .select(col(groupCol), lit(q).as("q"), col("n"), col("exact"),
+            lit(i).as("__qi"))
+      }.reduce(_ unionByName _)
+      perQ.join(sketch, Seq(groupCol))
+        .withColumn("__a", element_at(col("__apx"), col("__qi") + 1))
+        .withColumn("within_bound",
+          abs(col("__a") - col("exact")) <=
+            lit(bound) * greatest(abs(col("exact")), lit(1e-9)))
+        .select(col(groupCol), col("q"), col("n"), col("exact"),
+          col("within_bound"))
+    }
+  }
+}

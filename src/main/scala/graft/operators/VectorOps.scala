@@ -444,6 +444,48 @@ object VectorOps {
         .select(col("cluster"), col("id1"), col("id2"), col("cos"))
     }
 
+    /** Embedding-level benchmark decontamination: corpus documents
+      * (this dataset) whose embeddings are near-duplicates of an eval
+      * set's — the semantic sibling of the n-gram
+      * [[DedupOps.contaminationPairs]] sweep, catching paraphrased or
+      * reformatted contamination that shares no exact n-grams.
+      *
+      * Shape: both sides sketch once (random-hyperplane, codegen'd);
+      * candidates are a band/key equi-join of (id, band, key) triples
+      * with the EVAL side broadcast (eval sets are benchmark-sized, the
+      * corpus never shuffles); vectors join back onto the deduped
+      * candidate pairs by id for the exact cosine verify — precision is
+      * exact, recall is the LSH bands'. Emits
+      * (`idCol`, `evalId`, cos >= threshold). */
+    def semanticContaminationAgainst(eval_ : Dataset[_], vecCol: String,
+                                     idCol: String, evalVec: String,
+                                     evalId: String, threshold: Double = 0.9,
+                                     planes: Int = 16, bandBits: Int = 4,
+                                     seed: Long = 42L): DataFrame = {
+      require(planes % bandBits == 0)
+      val bands = planes / bandBits
+      val mask = (1L << bandBits) - 1
+      def banded(df: DataFrame, vc: String, ic: String, out: String): DataFrame = {
+        val sk = hyperplaneSketch(col(vc), planes, seed)
+        val bandStructs = (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(sk, b * bandBits).bitwiseAND(lit(mask)).as("key"))
+        }
+        df.select(col(ic).as(out), explode(array(bandStructs: _*)).as("__b"))
+          .select(col(out), col("__b.band").as("__band"), col("__b.key").as("__key"))
+      }
+      val corpusB = banded(ds.toDF, vecCol, idCol, "__cid")
+      val evalB = banded(eval_.toDF, evalVec, evalId, "__eid")
+      val pairs = corpusB.join(broadcast(evalB), Seq("__band", "__key"))
+        .select(col("__cid"), col("__eid")).distinct()
+      val cv = ds.toDF.select(col(idCol).as("__cid"), col(vecCol).as("__v1"))
+      val ev = eval_.toDF.select(col(evalId).as("__eid"), col(evalVec).as("__v2"))
+      pairs.join(cv, Seq("__cid")).join(broadcast(ev), Seq("__eid"))
+        .withColumn("cos", cosineSimilarity(col("__v1"), col("__v2")))
+        .filter(col("cos") >= threshold)
+        .select(col("__cid").as(idCol), col("__eid").as(evalId), col("cos"))
+    }
+
     /** LSH-blocked near-duplicate pairs within this dataset:
       * sketch-band equi-join -> exact cosine verify at `threshold`.
       * Linear-ish in data size for high thresholds (near-dup regime). */

@@ -372,7 +372,49 @@ object Advanced {
       |  ON l.user_id = r.user_id AND l.ts >= r.p_ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** Certified grouped quantiles over lineitem: exact values from the
+    * SQL-portable rank interpolation (StatsOps.quantileStats spells the
+    * arithmetic out; Spark's own `percentile` interpolation is not),
+    * sketch verdict pinned TRUE. The inexact q literal 0.95 is CAST to
+    * DOUBLE in the oracle — DuckDB decimal literals replay
+    * `0.95*(n-1)`'s fraction exactly where doubles round (the tx_bm25
+    * lesson); 0.25/0.5/0.75 are binary-exact either way. */
+  def quantileStatsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.StatsOps._
+    lineitem(s, d)
+      .quantileStats("l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  private val quantileStatsOracleSql: String = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val perQ = qs.map { q =>
+      s"""SELECT l_returnflag, CAST($q AS DOUBLE) AS q, n, exact FROM (
+         |  SELECT l_returnflag, any_value(n) AS n,
+         |    max(CASE WHEN rn = floor(CAST($q AS DOUBLE) * (n - 1)) THEN v END)
+         |      + (coalesce(max(CASE WHEN rn = floor(CAST($q AS DOUBLE) * (n - 1)) + 1 THEN v END),
+         |                  max(CASE WHEN rn = floor(CAST($q AS DOUBLE) * (n - 1)) THEN v END))
+         |         - max(CASE WHEN rn = floor(CAST($q AS DOUBLE) * (n - 1)) THEN v END))
+         |      * (CAST($q AS DOUBLE) * (any_value(n) - 1)
+         |         - floor(CAST($q AS DOUBLE) * (any_value(n) - 1))) AS exact
+         |  FROM ranked
+         |  WHERE rn = floor(CAST($q AS DOUBLE) * (n - 1))
+         |     OR rn = floor(CAST($q AS DOUBLE) * (n - 1)) + 1
+         |  GROUP BY l_returnflag) s${qs.indexOf(q)}""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ranked AS (
+       |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)) - 1 AS rn,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM lineitem)
+       |SELECT l_returnflag, q, n, exact, TRUE AS within_bound FROM (
+       |$perQ) u
+       |ORDER BY l_returnflag, q""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q27_quantile_stats" -> quantileStatsOracleSql,
     "sp_box_range_indexed" -> Spatial.oracles("sp_box_range"),
     "sp_circle_range_indexed" -> Spatial.oracles("sp_circle_range"),
     "sp_knn_indexed" -> Spatial.oracles("sp_knn"),
@@ -522,7 +564,8 @@ object Advanced {
     "sp_kdtree_partition" -> (kdTreePartitionQ _),
     "mm_features_topk" -> (mediaFeaturesTopK _),
     "mm_frame_sample" -> (mediaFrameSample _),
-    "sp_point_udt_range" -> (pointUdtRangeQ _)
+    "sp_point_udt_range" -> (pointUdtRangeQ _),
+    "q27_quantile_stats" -> (quantileStatsQ _)
   )
 }
 

@@ -553,6 +553,32 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Embedding-level decontamination (corpus %7!=0 vs eval %7==0 — the
+    * same split as pp_contamination), emitted as contract verdicts: the
+    * candidate set rides engine-private hyperplane sketches, so the
+    * DuckDB-checkable contract is the dd_emb_near_dup pattern — every
+    * emitted pair is corpus x eval, above threshold, with the kernel's
+    * bit-exact cosine, and the sweep found something. */
+  def semanticContaminationQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val corpus = emb.filter(col("vec_id") % 7 =!= 0)
+    val eval_ = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
+    val pairs = corpus
+      .semanticContaminationAgainst(eval_, "embedding", "vec_id",
+        "eval_emb", "eval_id", threshold = 0.3)
+      .join(emb.select(col("vec_id"), col("embedding").as("__v1")), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("eval_id"),
+        col("embedding").as("__v2")), Seq("eval_id"))
+    pairs.agg(
+      (sum(when(col("vec_id") % 7 =!= 0, 0).otherwise(1)) === 0).as("all_corpus_side"),
+      (sum(when(col("eval_id") % 7 === 0, 0).otherwise(1)) === 0).as("all_eval_side"),
+      (sum(when(col("cos") >= 0.3, 0).otherwise(1)) === 0).as("all_above_threshold"),
+      (sum(when(col("cos") === cosHofCol(col("__v1"), col("__v2")), 0).otherwise(1)) === 0)
+        .as("all_cos_exact"),
+      (count(lit(1)) > 0).as("nonempty"))
+  }
+
   /** Deterministic Lloyd's k-means assignment (k=8, 2 iterations) over
     * the embeddings — full DuckDB replay: seeds, integer-exact centroid
     * sums, and argmin assignments are all engine-portable arithmetic
@@ -893,6 +919,10 @@ object Pipeline {
     "dd_emb_near_dup" ->
       """SELECT TRUE AS all_ordered, TRUE AS all_above_threshold,
         |  TRUE AS all_cos_exact, TRUE AS nonempty""".stripMargin,
+    "pp_semantic_contamination" ->
+      """SELECT TRUE AS all_corpus_side, TRUE AS all_eval_side,
+        |  TRUE AS all_above_threshold, TRUE AS all_cos_exact,
+        |  TRUE AS nonempty""".stripMargin,
     "dd_minhash_pairs" ->
       """SELECT TRUE AS all_ordered, TRUE AS all_above_threshold,
         |  TRUE AS all_jaccard_exact, TRUE AS nonempty""".stripMargin,
@@ -1284,6 +1314,7 @@ object Pipeline {
     "emb_knn_join" -> (embKnnJoinQ _),
     "emb_kmeans" -> (kmeansQ _),
     "dd_semantic_pairs" -> (semanticPairsQ _),
-    "tx_bm25" -> (bm25Q _)
+    "tx_bm25" -> (bm25Q _),
+    "pp_semantic_contamination" -> (semanticContaminationQ _)
   )
 }

@@ -310,6 +310,31 @@ class VectorOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("semanticContaminationAgainst: exact precision, banded recall of true dup") {
+    import spark.implicits._
+    // eval set = 3 vectors; corpus contains an exact copy of eval #1000
+    // (must be found — identical sketches share every band), plus
+    // unrelated noise
+    val rng = new scala.util.Random(5)
+    def vec() = Array.fill(32)((rng.nextGaussian() * 0.3).toFloat)
+    val ev = Seq((1000L, vec()), (1001L, vec()), (1002L, vec()))
+    val corpus = ((1L, ev.head._2.clone) +:
+      (2L to 40L).map(i => (i, vec()))).toDF("vec_id", "embedding")
+    val eval_ = ev.toDF("eval_id", "eval_emb")
+    val got = corpus.semanticContaminationAgainst(eval_, "embedding", "vec_id",
+      "eval_emb", "eval_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the planted exact duplicate is always recalled, at cosine 1.0
+    assert(got.exists { case (c, e, cos) => c == 1L && e == 1000L && cos >= 0.9999 })
+    // exact precision: every emitted pair really is above threshold
+    val evMap = ev.toMap
+    val corpusMap = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    got.foreach { case (c, e, cos) =>
+      assert(cos === cosScala(corpusMap(c), evMap(e)), s"pair ($c,$e)")
+      assert(cos >= 0.9)
+    }
+  }
+
   test("semanticDedupPairs: exact precision, block-complete recall, exact cosines") {
     import spark.implicits._
     // tight clusters far apart: every true near-dup pair (cos >= 0.999)
