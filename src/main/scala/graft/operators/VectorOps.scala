@@ -25,6 +25,68 @@ object VectorOps {
   private[operators] def centroidOrder(idCol: String, seed: Long): org.apache.spark.sql.Column =
     pmod((col(idCol).cast("long") + lit(seed)) * lit(2654435761L), lit(4294967296L))
 
+  // ---- shared Lloyd's machinery (kmeansAssign + cosineTopKIvfTrained) ----
+  // Every arithmetic step here is part of the engine-replay contract
+  // documented at kmeansAssign — change nothing without updating the
+  // emb_kmeans / dd_semantic_pairs / ann_ivf_trained_topk oracles.
+
+  /** `(id[, vec], __qv)` — the integer quantization that makes centroid
+    * sums exact and partition-independent. */
+  private[operators] def quantizedBase(df: org.apache.spark.sql.DataFrame,
+                                       vecCol: String, idCol: String,
+                                       scale: Double, keepVec: Boolean): org.apache.spark.sql.DataFrame = {
+    val qv = transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long"))
+    if (keepVec) df.select(col(idCol), col(vecCol), qv.as("__qv"))
+    else df.select(col(idCol), qv.as("__qv"))
+  }
+
+  /** Squared L2 from `__qv` to a literal centroid, folded left-to-right
+    * from 0.0 (the list_sum parity shape). */
+  private[operators] def sqDistToCenter(c: Array[Double]): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(col("__qv"), array(c.map(lit).toIndexedSeq: _*), (a, b) => {
+        val d = a.cast("double") - b; d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Adds `__c` = argmin cell (ties to the lowest id — array_position
+    * of the min takes the first occurrence). The distance array gets
+    * its own projection so min and position read ONE evaluation (the
+    * IVF __graft_cos shape). */
+  private[operators] def withCell(base: org.apache.spark.sql.DataFrame,
+                                  cs: Array[Array[Double]]): org.apache.spark.sql.DataFrame =
+    base.withColumn("__d", array(cs.map(sqDistToCenter): _*))
+      .withColumn("__c",
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .drop("__d")
+
+  /** `iters` Lloyd rounds from Knuth-hash seeds over a quantized base;
+    * None on empty input. Per round: k*dim exact-long sums to the
+    * driver; empty clusters keep their centroid. */
+  private[operators] def lloydTrain(base: org.apache.spark.sql.DataFrame,
+                                    idCol: String, k: Int, iters: Int,
+                                    seed: Long): Option[Array[Array[Double]]] = {
+    val seedRows = base.select(col(idCol), col("__qv"))
+      .orderBy(centroidOrder(idCol, seed), col(idCol))
+      .limit(k).collect()
+    if (seedRows.isEmpty) return None
+    var centers: Array[Array[Double]] =
+      seedRows.map(_.getSeq[Long](1).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val stats = withCell(base, centers)
+        .select(col("__c"), posexplode(col("__qv")).as(Seq("__p", "__q")))
+        .groupBy("__c", "__p")
+        .agg(sum("__q").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centers.map(_.clone)
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble
+      }
+      centers = next
+    }
+    Some(centers)
+  }
+
   /** Query a disk IVF layout written by
     * [[DatasetVectorOps.writeIvf]]: probe the nprobe cells whose
     * centroids are nearest the query — `__graft_cell` is a partition
@@ -373,49 +435,58 @@ object VectorOps {
                      cache: Boolean = true): DataFrame = {
       require(k >= 1 && iters >= 0)
       val df = ds.toDF
-      val qv = transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long"))
-      val base0 = df.select(col(idCol), qv.as("__qv"))
+      val base0 = VectorOps.quantizedBase(df, vecCol, idCol, scale, keepVec = false)
       val base =
         if (cache && iters > 0)
           base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else base0
-      // k rows to the driver, Knuth-hash order — bounded like the IVF
-      // centroid sample; empty input returns the empty assignment frame
-      val seedRows = base
-        .orderBy(VectorOps.centroidOrder(idCol, seed), col(idCol))
-        .limit(k).collect()
-      if (seedRows.isEmpty) return df.select(col(idCol), lit(0).as("cluster")).limit(0)
-      var centers: Array[Array[Double]] =
-        seedRows.map(_.getSeq[Long](1).map(_.toDouble).toArray)
-
-      def sqDistTo(c: Array[Double]): org.apache.spark.sql.Column =
-        aggregate(
-          zip_with(col("__qv"), array(c.map(lit).toIndexedSeq: _*), (a, b) => {
-            val d = a.cast("double") - b; d * d
-          }),
-          lit(0.0), (acc, x) => acc + x)
-      // materialize the distance array in its own projection so the min
-      // and the position read ONE evaluation (the IVF __graft_cos shape)
-      def assigned(cs: Array[Array[Double]]): DataFrame =
-        base.withColumn("__d", array(cs.map(sqDistTo): _*))
-          .withColumn("__c",
-            (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
-          .drop("__d")
-
-      for (_ <- 1 to iters) {
-        // k*dim rows back to the driver; sums are exact longs
-        val stats = assigned(centers)
-          .select(col("__c"), posexplode(col("__qv")).as(Seq("__p", "__q")))
-          .groupBy("__c", "__p")
-          .agg(sum("__q").as("s"), count(lit(1)).as("n"))
-          .collect()
-        val next = centers.map(_.clone) // empty clusters keep their centroid
-        stats.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble
-        }
-        centers = next
+      VectorOps.lloydTrain(base, idCol, k, iters, seed) match {
+        // empty input returns the empty assignment frame
+        case None => df.select(col(idCol), lit(0).as("cluster")).limit(0)
+        case Some(centers) =>
+          VectorOps.withCell(base, centers)
+            .select(col(idCol), col("__c").as("cluster"))
       }
-      assigned(centers).select(col(idCol), col("__c").as("cluster"))
+    }
+
+    /** ANN with a TRAINED coarse quantizer: the Lloyd's centroids of
+      * [[kmeansAssign]] replace [[cosineTopKIvf]]'s hash-sampled ones —
+      * cells follow the data's actual cluster structure, so a probe
+      * covers the query's true neighborhood with fewer cells (classic
+      * IVF training). Cell assignment and probe choice are both argmin
+      * squared-L2 over the quantized vectors (consistent with
+      * training); the final ranking inside probed cells is exact
+      * cosine. Because the training replays exactly (the kmeansAssign
+      * contract), the WHOLE index — centroids, cells, probes, result —
+      * is engine-replayable, unlike the sketch-based ANN variants. */
+    def cosineTopKIvfTrained(vecCol: String, idCol: String, query: Array[Float],
+                             k: Int, nlist: Int = 8, nprobe: Int = 2,
+                             iters: Int = 2, seed: Long = 42L,
+                             scale: Double = 65536.0): DataFrame = {
+      require(nlist >= 1 && nprobe >= 1)
+      val df = ds.toDF
+      val base = VectorOps.quantizedBase(df, vecCol, idCol, scale, keepVec = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      VectorOps.lloydTrain(base, idCol, nlist, iters, seed) match {
+        case None =>
+          df.withColumn("cos", lit(0.0)).select(col(idCol), col("cos")).limit(0)
+        case Some(centers) =>
+          // the query quantizes through the SAME floor(x*scale) map and
+          // probes by the same fixed-order L2 fold the oracle replays
+          val qq = query.map(x => math.floor(x.toDouble * scale))
+          def l2sq(c: Array[Double]): Double = {
+            var s = 0.0; var i = 0
+            while (i < qq.length) { val d = qq(i) - c(i); s += d * d; i += 1 }
+            s
+          }
+          val probes = centers.indices.sortBy(i => (l2sq(centers(i)), i)).take(nprobe)
+          VectorOps.withCell(base, centers)
+            .filter(col("__c").isin(probes: _*))
+            .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
+            .orderBy(col("cos").desc, col(idCol).asc)
+            .limit(k)
+            .select(col(idCol), col("cos"))
+      }
     }
 
     /** SemDeDup-style semantic near-duplicate pairs: k-means clusters

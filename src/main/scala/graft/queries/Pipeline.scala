@@ -588,6 +588,16 @@ object Pipeline {
       .kmeansAssign("embedding", "vec_id", k = 8, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** ANN through the TRAINED coarse quantizer — unlike the sketch ANN
+    * variants, the whole index replays in DuckDB (k-means CTEs + L2
+    * probe choice + exact cosine re-rank), so this one gets a full
+    * hash oracle, not a contract. */
+  def annIvfTrainedQ(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .cosineTopKIvfTrained("embedding", "vec_id", queryVec(s, d), 10,
+        nlist = 8, nprobe = 2, iters = 2)
+      .orderBy(col("vec_id"))
+
   /** SemDeDup-style semantic near-dup pairs: k-means blocks, exact
     * within-cluster cosine >= 0.8 verifies. */
   def semanticPairsQ(s: SparkSession, d: String): DataFrame =
@@ -1234,6 +1244,29 @@ object Pipeline {
       s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
          |${kmeansAssignSql(iters = 2)}
          |SELECT vec_id, cluster FROM kmf ORDER BY vec_id""".stripMargin,
+    // trained IVF: same k-means CTEs; probe = nprobe cells nearest the
+    // query's quantized vector in L2 (tie to lowest cid), then exact
+    // cosine top-k inside probed cells
+    "ann_ivf_trained_topk" ->
+      s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
+         |${kmeansAssignSql(iters = 2)},
+         |qq AS (SELECT qv FROM kq WHERE vec_id = 0),
+         |eq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |        ORDER BY list_sum(list_transform(list_zip(q.qv, c.cv),
+         |            x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))) ASC,
+         |          c.cid ASC) AS pr
+         |    FROM c2 c, qq q) p
+         |  WHERE pr <= 2)
+         |SELECT vec_id, cos FROM (
+         |  SELECT a.vec_id, ${cosSql("e.embedding", "eq.qe")} AS cos
+         |  FROM kmf a
+         |  JOIN probes ON a.cluster = probes.cid
+         |  JOIN embeddings e ON e.vec_id = a.vec_id, eq
+         |  ORDER BY cos DESC, a.vec_id ASC LIMIT 10) t
+         |ORDER BY vec_id""".stripMargin,
     "dd_semantic_pairs" ->
       s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
          |${kmeansAssignSql(iters = 2)}
@@ -1315,6 +1348,7 @@ object Pipeline {
     "emb_kmeans" -> (kmeansQ _),
     "dd_semantic_pairs" -> (semanticPairsQ _),
     "tx_bm25" -> (bm25Q _),
-    "pp_semantic_contamination" -> (semanticContaminationQ _)
+    "pp_semantic_contamination" -> (semanticContaminationQ _),
+    "ann_ivf_trained_topk" -> (annIvfTrainedQ _)
   )
 }

@@ -310,6 +310,40 @@ class VectorOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("cosineTopKIvfTrained: exact scores, self top-1, recall >= untrained on clusters") {
+    import spark.implicits._
+    // 8 tight clusters: trained centroids settle one per dense region,
+    // so probing the query's cell covers its true neighbors; the
+    // hash-sampled quantizer has no such guarantee
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextDouble() * 100f))
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows.head._2
+    val exact = df.cosineTopK("embedding", "vec_id", q, 10)
+      .select("vec_id", "cos").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val trained = df.cosineTopKIvfTrained("embedding", "vec_id", q, 10,
+      nlist = 8, nprobe = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // self found, scores bit-exact vs the exact scan's
+    assert(trained.exists(_._1 == 0L))
+    val exactMap = exact.toMap
+    trained.foreach { case (id, c) =>
+      exactMap.get(id).foreach(e => assert(c === e, s"vec $id")) }
+    val untrained = df.cosineTopKIvf("embedding", "vec_id", q, 10,
+      nlist = 8, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactIds = exact.map(_._1).toSet
+    val rTrained = trained.map(_._1).toSet.intersect(exactIds).size
+    val rUntrained = untrained.intersect(exactIds).size
+    assert(rTrained >= rUntrained,
+      s"trained recall $rTrained < untrained $rUntrained")
+    assert(rTrained >= 8, s"trained recall only $rTrained/10")
+  }
+
   test("semanticContaminationAgainst: exact precision, banded recall of true dup") {
     import spark.implicits._
     // eval set = 3 vectors; corpus contains an exact copy of eval #1000
