@@ -449,6 +449,31 @@ object VectorOps {
       }
     }
 
+    /** Train-once centroids for external reuse — the other half of the
+      * periodic-retrain / online-assign production split (see
+      * [[assignClusters]]). Same arithmetic as [[kmeansAssign]]; empty
+      * input trains to an empty centroid set. */
+    def kmeansCenters(vecCol: String, idCol: String, k: Int, iters: Int = 2,
+                      seed: Long = 42L, scale: Double = 65536.0): Array[Array[Double]] =
+      VectorOps.lloydTrain(
+        VectorOps.quantizedBase(ds.toDF, vecCol, idCol, scale, keepVec = false),
+        idCol, k, iters, seed).getOrElse(Array.empty)
+
+    /** Stateless argmin assignment of this dataset's vectors to FIXED
+      * centroids — one codegen'd projection, no shuffle, no state, so
+      * it composes over Structured Streaming unchanged: train
+      * [[kmeansCenters]] on a batch snapshot, assign arriving vectors
+      * online to the same cells the batch pipeline would (the
+      * SemDeDup-at-ingest shape). */
+    def assignClusters(vecCol: String, idCol: String,
+                       centers: Array[Array[Double]],
+                       scale: Double = 65536.0): DataFrame = {
+      require(centers.nonEmpty, "assignClusters: empty centroid set")
+      VectorOps.withCell(
+        VectorOps.quantizedBase(ds.toDF, vecCol, idCol, scale, keepVec = false),
+        centers).select(col(idCol), col("__c").as("cluster"))
+    }
+
     /** ANN with a TRAINED coarse quantizer: the Lloyd's centroids of
       * [[kmeansAssign]] replace [[cosineTopKIvf]]'s hash-sampled ones —
       * cells follow the data's actual cluster structure, so a probe

@@ -247,4 +247,29 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(streamed === batch && streamed.values.toSet.size === 3)
   }
+
+  test("k-means assignment composes over a stream and agrees with the batch clustering") {
+    import spark.implicits._
+    import graft.operators.VectorOps._
+    implicit val sqlCtx = spark.sqlContext
+    // the periodic-retrain / online-assign split: centroids train on a
+    // batch snapshot; assignment is a stateless codegen'd projection,
+    // so arriving vectors land in the SAME cell the batch clustering
+    // gives them (SemDeDup blocking at ingest time)
+    val rng = new scala.util.Random(3)
+    val rows = (0L until 80L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val batchDf = rows.toDF("vec_id", "embedding")
+    val centers = batchDf.kmeansCenters("embedding", "vec_id", k = 4, iters = 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    input.addData(rows: _*)
+    val out = input.toDS().toDF("vec_id", "embedding")
+      .assignClusters("embedding", "vec_id", centers)
+      .writeStream.outputMode("append").format("memory").queryName("kmstream").start()
+    out.processAllAvailable(); out.stop()
+    val streamed = spark.table("kmstream").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = batchDf.kmeansAssign("embedding", "vec_id", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed === batch && streamed.values.toSet.size > 1)
+  }
 }
