@@ -153,6 +153,21 @@ object Bench {
       documents(s, d).bm25TopK("doc_id", "text",
         Seq("spark", "vector", "window", "hash", "merge", "customer"), 20)
     }),
+    // embedding-level decontamination (r8): banded sketch equi-join,
+    // broadcast eval side, exact-cosine verify
+    "b8sc_semantic_contamination" -> ((s: SparkSession, d: String) => {
+      val emb = embeddings(s, d)
+      emb.filter(col("vec_id") % 7 =!= 0).semanticContaminationAgainst(
+        emb.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb")),
+        "embedding", "vec_id", "eval_emb", "eval_id", threshold = 0.3)
+    }),
+    // certified grouped quantiles (r8): window rank + sketch + verdict
+    "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
+      import graft.operators.StatsOps._
+      lineitem(s, d).quantileStats("l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.95))
+    }),
     // temporal point-in-time joins (r8 ops; one shuffle + window vs a
     // per-key cross — the asymptotic win is the plan shape, the entry
     // records the constant)
