@@ -194,6 +194,36 @@ object ScaleTrend {
         Seq("spark", "vector", "window", "hash", "merge", "customer"), 20).count()
     }
 
+    // semantic decontamination over sign-flip embedding replicas: corpus
+    // AND eval both grow ~n. At this threshold (0.3 ≈ 2.4σ of the
+    // decorrelated cross-replica cosine) a small tail of cross-replica
+    // pairs passes, so the MATCHED set grows ~n² in the synthetic slice
+    // (measured ~100x at 10x) — the same harness artifact as the n-gram
+    // contamination 100x note — while the banded candidate work stays
+    // data-proportional; the runtime exponent is the claim under test
+    def b8sc(n: Int): Long = {
+      import graft.operators.VectorOps._
+      val emb = embRep(n)
+      emb.filter(col("vec_id") % 7 =!= 0).semanticContaminationAgainst(
+        emb.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb")),
+        "embedding", "vec_id", "eval_emb", "eval_id", threshold = 0.3).count()
+    }
+
+    // certified quantiles over replicated lineitem: same 3 groups, rows
+    // x n — per-group sort grows n log n, so a healthy window plan reads
+    // e slightly above but near 1
+    def b9q(n: Int): Long = {
+      import graft.operators.StatsOps._
+      val li = (0 until n).map { r =>
+        lineitem(spark, d).select(col("l_returnflag"),
+          col("l_extendedprice") + lit(r * 0.0))
+          .toDF("l_returnflag", "l_extendedprice")
+      }.reduce(_ unionByName _)
+      li.quantileStats("l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.95)).count()
+    }
+
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b5_knn_join_grid" -> (b5 _),
@@ -206,7 +236,9 @@ object ScaleTrend {
           "b11_asof_join" -> (b11 _),
           "b6k_kmeans" -> (b6k _),
           "b6sd_semantic_dedup" -> (b6sd _),
-          "b8r_bm25" -> (b8r _))
+          "b8r_bm25" -> (b8r _),
+          "b8sc_semantic_contamination" -> (b8sc _),
+          "b9q_quantile_stats" -> (b9q _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f
