@@ -423,6 +423,14 @@ object VectorOps {
       * the quantized projection across the `iters + 1` passes
       * (MEMORY_AND_DISK — at corpus scale leave it off and let the
       * scans stream from parquet, or persist a sampled training slice).
+      * The argmin rides a LITERAL centroid array (`k * dim` constants
+      * in the plan): right up to a few hundred centroids — past
+      * Janino's method limits whole-stage codegen falls back to
+      * interpreted evaluation, correct but slower (spec-pinned at
+      * k=96). A SemDeDup run wanting 10^4+ clusters should assign
+      * hierarchically: train a coarse level (<= ~256 cells) with this
+      * operator, then per-cell sub-centers on each cell's partition —
+      * the two-level IVF discipline.
       * Overflow headroom: |q_i| <= scale * max|x_i|, so a dimension's
       * sum stays inside a signed 64-bit long for ~10^12 rows at
       * `scale`=2^16 and |x| <= 100.

@@ -302,6 +302,41 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.values.toSet.size > 1, "degenerate: everything in one cluster")
   }
 
+  test("kmeansAssign stays correct at large k (codegen-fallback envelope)") {
+    // k*dim = 6144 literal constants in the argmin expression — past
+    // whole-stage codegen's comfort zone; evaluation may fall back to
+    // interpreted, but assignment must stay exact (verified against the
+    // same independent replay as the small-k test, one iteration)
+    val k = 96
+    val got = emb.kmeansAssign("embedding", "vec_id", k, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size === all.length)
+    val q = all.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 65536.0).toLong) }
+    def hash(id: Long) = ((id + 42L) * 2654435761L) % 4294967296L
+    var centers = q.sortBy { case (id, _) => (hash(id), id) }
+      .take(k).map(_._2.map(_.toDouble))
+    def assignOf(cs: Array[Array[Double]], v: Array[Long]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      for (c <- cs.indices) {
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i).toDouble - cs(c)(i); s += d * d; i += 1 }
+        if (s < bd) { bd = s; best = c }
+      }
+      best
+    }
+    val dim = q.head._2.length
+    val sums = Array.fill(k)(new Array[Long](dim)); val cnt = new Array[Long](k)
+    q.foreach { case (_, v) =>
+      val c = assignOf(centers, v); cnt(c) += 1
+      var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+    }
+    centers = centers.zipWithIndex.map { case (old, c) =>
+      if (cnt(c) == 0L) old else sums(c).map(_.toDouble / cnt(c).toDouble) }
+    val want = q.map { case (id, v) => id -> assignOf(centers, v) }.toMap
+    assert(got === want)
+  }
+
   test("kmeansAssign is partition-independent") {
     val a = emb.kmeansAssign("embedding", "vec_id", k = 8, iters = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
