@@ -87,6 +87,78 @@ object VectorOps {
     Some(centers)
   }
 
+  /** Squared L2 from an arbitrary quantized-slice column to a literal
+    * centroid — [[sqDistToCenter]] generalized to product-quantization
+    * subspace slices. Same fold shape (0.0 seed, left-to-right), same
+    * engine-replay contract. */
+  private[operators] def sqDistOn(sl: org.apache.spark.sql.Column,
+                                  c: Array[Double]): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(sl, array(c.map(lit).toIndexedSeq: _*), (a, b) => {
+        val d = a.cast("double") - b; d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subspace argmin code columns `__pqc0..__pqc{m-1}` against the
+    * given codebooks (ties to the lowest code — first occurrence of the
+    * min, the [[withCell]] shape). The distance arrays get their own
+    * projection so min and position read one evaluation. */
+  private[operators] def withPqCodes(base: org.apache.spark.sql.DataFrame,
+                                     books: Array[Array[Array[Double]]],
+                                     subDim: Int): org.apache.spark.sql.DataFrame = {
+    val m = books.length
+    val withD = base.select(col("*") +: (0 until m).map { s =>
+      array(books(s).map(c =>
+        sqDistOn(slice(col("__qv"), s * subDim + 1, subDim), c)).toIndexedSeq: _*)
+        .as(s"__pqd$s")
+    }: _*)
+    val withC = withD.select(withD.columns.filterNot(_.startsWith("__pqd")).map(col) ++
+      (0 until m).map(s =>
+        (array_position(col(s"__pqd$s"), array_min(col(s"__pqd$s"))) - 1)
+          .cast("int").as(s"__pqc$s")): _*)
+    withC
+  }
+
+  /** Product-quantization training: `iters` Lloyd rounds over ALL `m`
+    * subspaces at once. One seed job (the subspace codebooks are slices
+    * of the SAME Knuth-hash seed rows — one collect, not m); per round
+    * ONE scan + ONE map-side-combined aggregation keyed (position,
+    * code) — dim * ksub keys total, never per-subspace jobs. Returns
+    * `[m][ksub][subDim]` codebooks; None on empty input. Empty codes
+    * keep their centroid, the [[lloydTrain]] rule. */
+  private[operators] def pqTrain(base: org.apache.spark.sql.DataFrame,
+                                 idCol: String, m: Int, ksub: Int, iters: Int,
+                                 seed: Long): Option[Array[Array[Array[Double]]]] = {
+    val seedRows = base.select(col(idCol), col("__qv"))
+      .orderBy(centroidOrder(idCol, seed), col(idCol))
+      .limit(ksub).collect()
+    if (seedRows.isEmpty) return None
+    val dim = seedRows.head.getSeq[Long](1).length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      seedRows.map(_.getSeq[Long](1).slice(s * subDim, (s + 1) * subDim)
+        .map(_.toDouble).toArray))
+    for (_ <- 1 to iters) {
+      val cells = withPqCodes(base, books, subDim)
+        .withColumn("__cells", array((0 until m).map(s => col(s"__pqc$s")): _*))
+      val stats = cells
+        .select(col("__cells"), posexplode(col("__qv")).as(Seq("__p", "__q")))
+        .withColumn("__cell",
+          element_at(col("__cells"), (col("__p") / subDim).cast("int") + 1))
+        .groupBy("__p", "__cell")
+        .agg(sum("__q").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone))
+      stats.foreach { r =>
+        val p = r.getInt(0); val c = r.getInt(1)
+        next(p / subDim)(c)(p % subDim) = r.getLong(2).toDouble / r.getLong(3).toDouble
+      }
+      books = next
+    }
+    Some(books)
+  }
+
   /** Query a disk IVF layout written by
     * [[DatasetVectorOps.writeIvf]]: probe the nprobe cells whose
     * centroids are nearest the query — `__graft_cell` is a partition
@@ -515,6 +587,68 @@ object VectorOps {
           val probes = centers.indices.sortBy(i => (l2sq(centers(i)), i)).take(nprobe)
           VectorOps.withCell(base, centers)
             .filter(col("__c").isin(probes: _*))
+            .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
+            .orderBy(col("cos").desc, col(idCol).asc)
+            .limit(k)
+            .select(col(idCol), col("cos"))
+      }
+    }
+
+    /** ANN by product quantization (the IVF-PQ compression half):
+      * vectors split into `m` subspaces, each with its own
+      * `ksub`-center Lloyd codebook ([[VectorOps.pqTrain]] — the
+      * [[kmeansAssign]] arithmetic restricted to the slice), so a
+      * vector stores as `m` small codes instead of `dim` floats — the
+      * classic memory-compressed index (a 64-dim float vector becomes
+      * 4 bytes at m=4). Query-time scoring is asymmetric distance
+      * computation: the query builds one `m x ksub` lookup table of
+      * exact subspace distances on the driver, and every candidate's
+      * approximate distance is `m` literal-array lookups summed — a
+      * shuffle-free codegen'd projection feeding TakeOrderedAndProject,
+      * no join, no vector reads. The best `refine` candidates are
+      * re-ranked by exact cosine (vectors touched only for those).
+      *
+      * At 100 TB: train on a sample, encode once (write codes beside
+      * ids), score the code table; compose with the IVF cell filter
+      * ([[cosineTopKIvfTrained]]) to prune before scoring. Recall is
+      * governed by m/ksub/refine; precision of the returned ranking is
+      * exact (re-rank). Deterministic end to end — quantized training
+      * replays exactly, ADC tables are exact driver doubles, ties
+      * break to the lowest id — so the WHOLE index is engine-replayable
+      * and hash-oracle-able, like the trained IVF. */
+    def cosineTopKPq(vecCol: String, idCol: String, query: Array[Float],
+                     k: Int, m: Int = 4, ksub: Int = 4, refine: Int = 50,
+                     iters: Int = 2, seed: Long = 42L,
+                     scale: Double = 65536.0): DataFrame = {
+      require(m >= 1 && ksub >= 1 && refine >= k && iters >= 0)
+      require(query.length % m == 0, s"pq: dim ${query.length} not divisible by m=$m")
+      val subDim = query.length / m
+      val df = ds.toDF
+      val base = VectorOps.quantizedBase(df, vecCol, idCol, scale, keepVec = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      VectorOps.pqTrain(base, idCol, m, ksub, iters, seed) match {
+        case None =>
+          df.withColumn("cos", lit(0.0)).select(col(idCol), col("cos")).limit(0)
+        case Some(books) =>
+          // ADC tables: exact driver doubles over the SAME quantized map
+          // the codes trained on, sequential fold (the oracle's list_sum)
+          val qq = query.map(x => math.floor(x.toDouble * scale))
+          val tables: Array[Array[Double]] = Array.tabulate(m) { s =>
+            books(s).map { c =>
+              var acc = 0.0; var j = 0
+              while (j < subDim) {
+                val d = qq(s * subDim + j) - c(j); acc += d * d; j += 1
+              }
+              acc
+            }
+          }
+          val adc = (0 until m).map { s =>
+            element_at(array(tables(s).map(lit).toIndexedSeq: _*), col(s"__pqc$s") + 1)
+          }.reduce(_ + _)
+          VectorOps.withPqCodes(base, books, subDim)
+            .withColumn("__adc", adc)
+            .orderBy(col("__adc").asc, col(idCol).asc)
+            .limit(refine)
             .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
             .orderBy(col("cos").desc, col(idCol).asc)
             .limit(k)

@@ -598,6 +598,15 @@ object Pipeline {
         nlist = 8, nprobe = 2, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** ANN through product quantization — like the trained IVF, the
+    * whole index replays in DuckDB (per-subspace k-means CTEs + ADC
+    * score + exact cosine re-rank), so full hash oracle. */
+  def annPqTopKQ(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .cosineTopKPq("embedding", "vec_id", queryVec(s, d), 10,
+        m = 4, ksub = 4, refine = 50, iters = 2)
+      .orderBy(col("vec_id"))
+
   /** SemDeDup-style semantic near-dup pairs: k-means blocks, exact
     * within-cluster cosine >= 0.8 verifies. */
   def semanticPairsQ(s: SparkSession, d: String): DataFrame =
@@ -671,6 +680,84 @@ object Pipeline {
        |            x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))) ASC,
        |          c.cid ASC) AS rn
        |    FROM kq, c$iters c) z WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replay of VectorOps.cosineTopKPq's whole index: the
+    * [[kmeansCteSql]] arithmetic per SUBSPACE SLICE (same quantization,
+    * same Knuth-hash seed rows — the codebooks slice ONE seed set, so
+    * every subspace reuses the `sd` CTE — argmin ties to the lowest
+    * code, integer-exact updates), then ADC = the sum over subspaces of
+    * the squared-L2 between the query's quantized slice and the
+    * candidate's code centroid, left-to-right like the Spark column.
+    * Emits CTEs `pq`, `sd`, per-subspace `c{t}_{s}` and final codes
+    * `f{s}`, plus `adc(vec_id, score)`. */
+  private def pqCteSql(m: Int, ksub: Int, iters: Int, seed: Long,
+                       dim: Int): String = {
+    val subDim = dim / m
+    def lo(s: Int) = s * subDim + 1
+    def hi(s: Int) = (s + 1) * subDim
+    def l2(qv: String, cv: String): String =
+      s"""list_sum(list_transform(list_zip($qv, $cv),
+         |        x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))""".stripMargin
+    val head =
+      s"""pq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |sd AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cid, qv FROM (
+         |    SELECT qv, row_number() OVER (
+         |        ORDER BY ((vec_id + $seed) * 2654435761) % 4294967296, vec_id) AS rn
+         |    FROM pq) s
+         |  WHERE rn <= $ksub)""".stripMargin
+    def subCtes(s: Int): Seq[String] = {
+      val c0 =
+        s"""c0_$s AS (
+           |  SELECT cid, list_transform(qv[${lo(s)}:${hi(s)}], x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM sd)""".stripMargin
+      val steps = (1 to iters).map { t =>
+        s"""a${t}_$s AS (
+           |  SELECT vec_id, qv, cid FROM (
+           |    SELECT p.vec_id, p.qv, c.cid,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY ${l2(s"p.qv[${lo(s)}:${hi(s)}]", "c.cv")} ASC, c.cid ASC) AS rn
+           |    FROM pq p, c${t - 1}_$s c) z WHERE rn = 1),
+           |u${t}_$s AS (
+           |  SELECT cid, pos, sum(qel) AS s, count(*) AS n FROM (
+           |    SELECT cid, unnest(generate_series(1, $subDim)) AS pos,
+           |           unnest(qv[${lo(s)}:${hi(s)}]) AS qel
+           |    FROM a${t}_$s) e
+           |  GROUP BY cid, pos),
+           |c${t}_$s AS (
+           |  SELECT p.cid, CASE WHEN u.cv IS NULL THEN p.cv ELSE u.cv END AS cv
+           |  FROM c${t - 1}_$s p LEFT JOIN (
+           |    SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS cv
+           |    FROM u${t}_$s GROUP BY cid) u ON p.cid = u.cid)""".stripMargin
+      }
+      val f =
+        s"""f$s AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT p.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY ${l2(s"p.qv[${lo(s)}:${hi(s)}]", "c.cv")} ASC, c.cid ASC) AS rn
+           |    FROM pq p, c${iters}_$s c) z WHERE rn = 1)""".stripMargin
+      (c0 +: steps) :+ f
+    }
+    val adcTerms = (0 until m)
+      .map(s => l2(s"q.qv[${lo(s)}:${hi(s)}]", s"cc$s.cv"))
+      .mkString("\n    + ")
+    val adcJoins = (0 until m).map(s =>
+      s"  JOIN f$s ON f$s.vec_id = p.vec_id\n" +
+        s"  JOIN c${iters}_$s cc$s ON cc$s.cid = f$s.cid").mkString("\n")
+    val adc =
+      s"""qpq AS (SELECT qv FROM pq WHERE vec_id = 0),
+         |adc AS (
+         |  SELECT p.vec_id,
+         |    $adcTerms AS score
+         |  FROM pq p CROSS JOIN qpq q
+         |$adcJoins)""".stripMargin
+    ((head +: (0 until m).flatMap(subCtes)) :+ adc).mkString(",\n")
+  }
 
   // DuckDB cosine in double precision with the same sequential
   // accumulation as VectorKernels.cosineF -> bit-exact parity.
@@ -1267,6 +1354,18 @@ object Pipeline {
          |  JOIN embeddings e ON e.vec_id = a.vec_id, eq
          |  ORDER BY cos DESC, a.vec_id ASC LIMIT 10) t
          |ORDER BY vec_id""".stripMargin,
+    // product quantization: per-subspace k-means CTEs slicing ONE seed
+    // set, ADC candidate scoring, exact cosine top-k over the refined
+    // set — the full index replayed
+    "ann_pq_topk" ->
+      s"""WITH ${pqCteSql(m = 4, ksub = 4, iters = 2, seed = 42L, dim = 64)},
+         |cand AS (SELECT vec_id FROM adc ORDER BY score ASC, vec_id ASC LIMIT 50),
+         |eq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, cos FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "eq.qe")} AS cos
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, eq
+         |  ORDER BY cos DESC, e.vec_id ASC LIMIT 10) t
+         |ORDER BY vec_id""".stripMargin,
     "dd_semantic_pairs" ->
       s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
          |${kmeansAssignSql(iters = 2)}
@@ -1349,6 +1448,7 @@ object Pipeline {
     "dd_semantic_pairs" -> (semanticPairsQ _),
     "tx_bm25" -> (bm25Q _),
     "pp_semantic_contamination" -> (semanticContaminationQ _),
-    "ann_ivf_trained_topk" -> (annIvfTrainedQ _)
+    "ann_ivf_trained_topk" -> (annIvfTrainedQ _),
+    "ann_pq_topk" -> (annPqTopKQ _)
   )
 }

@@ -379,6 +379,82 @@ class VectorOpsSpec extends SparkSpec {
     assert(rTrained >= 8, s"trained recall only $rTrained/10")
   }
 
+  test("cosineTopKPq: exact re-ranked scores, self top-1, high recall on clusters") {
+    import spark.implicits._
+    // same clustered shape as the trained-IVF spec: per-subspace
+    // codebooks settle on the per-cluster slice means, so ADC ranks the
+    // query's own cluster first and the refine set covers the true top-k
+    val rng = new scala.util.Random(17)
+    val centers = Array.fill(8)(Array.fill(32)(rng.nextDouble() * 100f))
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows.head._2
+    val exact = df.cosineTopK("embedding", "vec_id", q, 10)
+      .select("vec_id", "cos").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val pq = df.cosineTopKPq("embedding", "vec_id", q, 10,
+      m = 4, ksub = 8, refine = 40, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(pq.length == 10)
+    assert(pq.maxBy(_._2)._1 == 0L, "self not top-1")
+    // returned scores are the exact kernel's (re-rank is exact cosine)
+    val exactMap = exact.toMap
+    pq.foreach { case (id, c) =>
+      exactMap.get(id).foreach(e => assert(c === e, s"vec $id")) }
+    val recall = pq.map(_._1).toSet.intersect(exact.map(_._1).toSet).size
+    assert(recall >= 8, s"pq recall only $recall/10")
+  }
+
+  test("cosineTopKPq is partition-independent and guards its parameters") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 96).map(i =>
+      (i.toLong, Array.fill(16)((rng.nextDouble() * 10).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows.head._2
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.cosineTopKPq("embedding", "vec_id", q, 5, m = 4, ksub = 4,
+          refine = 20, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(run(df) === run(df.repartition(7)))
+    // dim not divisible by m
+    assertThrows[IllegalArgumentException] {
+      df.cosineTopKPq("embedding", "vec_id", q, 5, m = 3)
+    }
+    // empty input -> empty frame, not a crash
+    assert(df.filter(col("vec_id") < 0)
+      .cosineTopKPq("embedding", "vec_id", q, 5).count() == 0L)
+  }
+
+  test("pqTrain: codebook shapes, codes in range, one shared seed set") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 64).map(i =>
+      (i.toLong, Array.fill(8)((rng.nextDouble() * 4).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val base = VectorOps.quantizedBase(df, "embedding", "vec_id", 65536.0,
+      keepVec = false)
+    val books = VectorOps.pqTrain(base, "vec_id", m = 2, ksub = 4,
+      iters = 2, seed = 42L).get
+    assert(books.length == 2 && books.forall(_.length == 4) &&
+      books.forall(_.forall(_.length == 4)))
+    // the codebooks are slices of ONE Knuth-hash seed ordering: the
+    // untrained (iters=0) books for every subspace come from the same rows
+    val books0 = VectorOps.pqTrain(base, "vec_id", m = 2, ksub = 4,
+      iters = 0, seed = 42L).get
+    val seedIds = base.select(col("vec_id"), col("__qv"))
+      .orderBy(VectorOps.centroidOrder("vec_id", 42L), col("vec_id"))
+      .limit(4).collect().map(_.getSeq[Long](1).map(_.toDouble).toArray)
+    assert(books0(0).toSeq.map(_.toSeq) === seedIds.map(_.slice(0, 4).toSeq).toSeq)
+    assert(books0(1).toSeq.map(_.toSeq) === seedIds.map(_.slice(4, 8).toSeq).toSeq)
+    val coded = VectorOps.withPqCodes(base, books, subDim = 4)
+    val codes = coded.select(col("__pqc0"), col("__pqc1")).collect()
+    assert(codes.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4 &&
+      r.getInt(1) >= 0 && r.getInt(1) < 4))
+  }
+
   test("semanticContaminationAgainst: exact precision, banded recall of true dup") {
     import spark.implicits._
     // eval set = 3 vectors; corpus contains an exact copy of eval #1000
