@@ -114,6 +114,14 @@ object Bench {
     "b6sd_semantic_dedup" -> ((s: SparkSession, d: String) =>
       embeddings(s, d).semanticDedupPairs("embedding", "vec_id", k = 8,
         threshold = 0.8)),
+    // product-quantization ANN (r8): per-subspace codebooks, ADC
+    // literal-table scoring, exact re-rank
+    "b6pq_ann_pq" -> ((s: SparkSession, d: String) => {
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      embeddings(s, d).cosineTopKPq("embedding", "vec_id", q, 10,
+        m = 4, ksub = 4, refine = 50, iters = 2)
+    }),
     // pipeline ops
     "b7_minhash_dedup" -> ((s: SparkSession, d: String) =>
       documents(s, d).minHashPairs("doc_id", "text", 3, 64, 16, 0.8,
@@ -161,6 +169,24 @@ object Bench {
         emb.filter(col("vec_id") % 7 === 0)
           .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb")),
         "embedding", "vec_id", "eval_emb", "eval_id", threshold = 0.3)
+    }),
+    // data-selection operators (r8): DSIR importance weights (two
+    // vocab tables + token-keyed join), temperature mixture (tiny
+    // group agg + broadcast rate filter), BPE pair stats (vocab
+    // collapse + weighted pair count)
+    "b8i_importance" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      documents(s, d).importanceWeights("doc_id", "text",
+        col("lang") === "en")
+    }),
+    "b8t_temperature" -> ((s: SparkSession, d: String) => {
+      import graft.operators.SampleOps._
+      documents(s, d).temperatureMixture("lang", "doc_id",
+        alphaQuarters = 2, budget = 200L)
+    }),
+    "b8e_bpe_pairs" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      documents(s, d).bpePairStats("text", topN = 50)
     }),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {

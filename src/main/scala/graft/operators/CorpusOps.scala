@@ -325,5 +325,110 @@ object CorpusOps {
         .withColumn("cum_tokens", coalesce(sum(col("tok_count")).over(w), lit(0L)))
         .withColumn("bin", expr(s"cum_tokens div ${capacity}L"))
     }
+
+    /** Data-selection importance weights (the DSIR recipe, reduced to
+      * unigram features and kept log-free): each document scores the
+      * MEAN likelihood ratio of its tokens under a target-domain
+      * unigram LM vs the raw-corpus unigram LM, with add-one
+      * smoothing — documents that look like the target distribution
+      * (`targetPred` selects the exemplar docs) score above 1,
+      * off-distribution documents below. Feed the weight into
+      * [[SampleOps]] (e.g. keep `knuthFrac(id) * wMax < weight`) for
+      * importance resampling of a raw crawl toward a curated domain.
+      *
+      * Engine-replay contract: token counts and totals are exact
+      * integers; each per-token ratio is two correctly-rounded
+      * divisions in a fixed shape
+      * `((m+1)/(M+V)) / ((n+1)/(N+V))`; the per-document sum runs
+      * through [[graft.Tables.dsum]]'s decimal cast, so it is
+      * order- and partition-independent (the trade: ratios truncate
+      * at 6 decimal places — documented, deterministic); one final
+      * division by the token count. No `ln` anywhere (not correctly
+      * rounded across engines — the [[unigramScore]] precedent), so
+      * the classic sum-of-log-ratios becomes a mean of ratios: the
+      * same ordering signal for selection, exactly replayable.
+      *
+      * Scale shape: both LMs are vocabulary-sized count tables from
+      * partial-combined groupBys; the score join is token-keyed onto
+      * the vocab table (text never rides a join); one doc-keyed
+      * aggregation. The three scalars (N, M, V) broadcast. */
+    def importanceWeights(idCol: String, textCol: String,
+                          targetPred: Column): DataFrame = {
+      val df = ds.toDF
+      val toks = df.select(col(idCol).as("__graft_iid"),
+        explode(graft.functions.tokens(col(textCol))).as("__graft_tok"))
+      val raw = toks.groupBy(col("__graft_tok"))
+        .agg(count(lit(1)).as("__graft_n"))
+      val tgt = df.filter(targetPred)
+        .select(explode(graft.functions.tokens(col(textCol))).as("__graft_tok"))
+        .groupBy(col("__graft_tok"))
+        .agg(count(lit(1)).as("__graft_m"))
+      // ratio table over the RAW vocabulary (target-only tokens cannot
+      // occur in a scored doc); V = raw vocab size
+      val totals = raw.agg(
+        sum(col("__graft_n")).as("__graft_nn"),
+        count(lit(1)).as("__graft_v"))
+        .crossJoin(tgt.agg(
+          coalesce(sum(col("__graft_m")), lit(0L)).as("__graft_mm")))
+      val ratio = raw.join(tgt, Seq("__graft_tok"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("__graft_tok"),
+          (((coalesce(col("__graft_m"), lit(0L)) + 1L).cast("double") /
+              (col("__graft_mm") + col("__graft_v")).cast("double")) /
+            ((col("__graft_n") + 1L).cast("double") /
+              (col("__graft_nn") + col("__graft_v")).cast("double")))
+            .as("__graft_r"))
+      val perDoc = toks.join(ratio, Seq("__graft_tok"))
+        .groupBy(col("__graft_iid"))
+        .agg(graft.Tables.dsum(col("__graft_r")).as("__graft_sum"),
+          count(lit(1)).as("n_tokens"))
+      df.select(col(idCol)).join(
+          perDoc.withColumnRenamed("__graft_iid", idCol), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(col("__graft_sum") / col("n_tokens").cast("double"))
+            .as("imp_weight"))
+    }
+
+    /** One counting iteration of byte-pair-encoding tokenizer training:
+      * the `topN` most frequent ADJACENT symbol pairs across the corpus,
+      * weighted by word frequency — the statistic BPE training computes
+      * per merge round (the top pair becomes the next merge rule; the
+      * driver loop re-runs this after applying each merge, exactly like
+      * the Lloyd rounds of [[VectorOps]]). Symbols here are the initial
+      * single-character alphabet; repeats inside a word count every
+      * occurrence, the standard BPE convention.
+      *
+      * Scale shape: the corpus collapses to its WORD VOCABULARY first
+      * (one partial-combined groupBy — Zipf makes this table orders of
+      * magnitude smaller than the token stream), pair extraction and the
+      * weighted pair count run over that vocabulary table, and the topN
+      * cut is TakeOrderedAndProject. Document text never rides a join;
+      * nothing driver-side except the final `topN` rows. Deterministic:
+      * ties at the cut break lexicographically on (lhs, rhs). */
+    def bpePairStats(textCol: String, topN: Int = 50): DataFrame = {
+      require(topN >= 1, s"topN must be >= 1, got $topN")
+      val wc = ds.toDF
+        .select(explode(graft.functions.tokens(col(textCol))).as("__graft_w"))
+        .groupBy(col("__graft_w")).agg(count(lit(1)).as("__graft_n"))
+      // '.' never matches a tokenizer-split word boundary (tokens carry
+      // no whitespace), so this is exactly the character alphabet; the
+      // sequence() is guarded because Spark's sequence(1, 0) counts DOWN
+      val chars = wc.withColumn("__graft_cs",
+        regexp_extract_all(col("__graft_w"), lit("."), lit(0)))
+      val idx = when(size(col("__graft_cs")) >= 2,
+          sequence(lit(1), size(col("__graft_cs")) - 1))
+        .otherwise(array().cast("array<int>"))
+      chars.select(col("__graft_n"), col("__graft_cs"),
+          explode(idx).as("__graft_i"))
+        .select(col("__graft_n"),
+          element_at(col("__graft_cs"), col("__graft_i")).as("lhs"),
+          element_at(col("__graft_cs"), col("__graft_i") + 1).as("rhs"))
+        .groupBy(col("lhs"), col("rhs"))
+        .agg(sum(col("__graft_n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(topN)
+    }
   }
 }

@@ -96,6 +96,63 @@ object SampleOps {
       ds.toDF.withColumn("split", assign)
     }
 
+    /** Temperature-scaled mixture rebalancing (the standard
+      * multilingual recipe: sample group g with probability
+      * proportional to n_g^alpha, alpha < 1 up-weighting the tail so
+      * head languages/sources stop dominating). Computes each group's
+      * deterministic keep rate
+      * `min(1, budget * share_g / n_g)` with `share_g = n_g^alpha /
+      * SUM_h n_h^alpha`, then selects rows with the same Knuth-hash
+      * Bernoulli filter as [[mixtureSample]] — so the expected kept
+      * count is ~`budget` rows distributed by the tempered shares, and
+      * the selection is stable across runs, partitionings, engines,
+      * and corpus growth. Output = input columns + the group's
+      * `samp_rate`.
+      *
+      * `alphaQuarters` expresses alpha in quarters (1 => 0.25,
+      * 2 => 0.5, 3 => 0.75, 4 => 1.0): these powers evaluate as a
+      * fixed chain of correctly-rounded `sqrt`s and one multiply, so
+      * every engine computes bit-identical shares — the repo-wide
+      * log-free discipline (`pow(x, a)` carries no correct-rounding
+      * guarantee; `ln`-space mixing would break the hash oracle).
+      *
+      * Scale shape: ONE partial-combined count per group (table size =
+      * #groups: languages, sources — tiny), a decimal-exact share
+      * denominator (order-independent), rates broadcast back onto the
+      * corpus, then a shuffle-free codegen'd filter. The corpus never
+      * shuffles. */
+    def temperatureMixture(groupCol: String, idCol: String,
+                           alphaQuarters: Int, budget: Long): DataFrame = {
+      require(alphaQuarters >= 1 && alphaQuarters <= 4,
+        s"alphaQuarters must be 1..4, got $alphaQuarters")
+      require(budget >= 0, s"budget must be >= 0, got $budget")
+      def qpow(n: Column): Column = {
+        val d = n.cast("double")
+        alphaQuarters match {
+          case 1 => sqrt(sqrt(d))
+          case 2 => sqrt(d)
+          case 3 => sqrt(d) * sqrt(sqrt(d))
+          case 4 => d
+        }
+      }
+      val counts = ds.toDF.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__graft_tn"))
+        .withColumn("__graft_s", qpow(col("__graft_tn")))
+      // decimal-exact denominator: order- and partition-independent
+      // (38,6 headroom — group shares can reach n_g^1.0 at alpha=1)
+      val tot = counts.agg(
+        sum(col("__graft_s").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("__graft_tot"))
+      val ratesT = counts.crossJoin(broadcast(tot))
+        .select(col(groupCol),
+          least(lit(1.0),
+            lit(budget).cast("double") * (col("__graft_s") / col("__graft_tot")) /
+              col("__graft_tn").cast("double"))
+            .as("samp_rate"))
+      ds.toDF.join(broadcast(ratesT), Seq(groupCol))
+        .filter(knuthFrac(col(idCol)) < col("samp_rate"))
+    }
+
     /** Keep the top `cap` rows of each group under `order` (callers
       * must make the order total — include a unique tie-break — or the
       * kept set is nondeterministic). */

@@ -222,6 +222,36 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-scaled (alpha = 0.5) language rebalancing at a
+    * 200-row budget: sqrt shares, decimal-exact denominator,
+    * Knuth-hash selection — full hash oracle. */
+  def temperatureQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SampleOps._
+    documents(s, d)
+      .temperatureMixture("lang", "doc_id", alphaQuarters = 2, budget = 200L)
+      .select(col("doc_id"), col("lang"), col("samp_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR-style importance weights toward the English slice: exact
+    * integer LM counts, fixed-shape smoothed ratios, decimal-exact
+    * per-doc sum — full hash oracle. */
+  def importanceQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).importanceWeights("doc_id", "text", col("lang") === "en")
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE tokenizer-training pair statistics: the 50 most frequent
+    * adjacent character pairs weighted by word frequency — integer
+    * counts end to end with a lexicographic tie-break at the cut, so
+    * the oracle replays the exact topN set. */
+  def bpePairsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).bpePairStats("text", topN = 50)
+      .orderBy(col("lhs"), col("rhs"))
+  }
+
   /** Deterministic sequence packing into 2048-token bins per source
     * shard: exclusive prefix sum of whitespace token counts in doc_id
     * order, integral division by the capacity — integer arithmetic end
@@ -1103,6 +1133,80 @@ object Pipeline {
         |  array_to_string(t[c * 48 + 1 : c * 48 + 64], ' ') AS chunk_text
         |FROM n, UNNEST(generate_series(0, nchunks - 1)) AS u(c)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // temperature mixture: sqrt(n) shares (correctly rounded in both
+    // engines), DECIMAL(38,6) order-independent denominator, the
+    // two-halves Knuth-hash filter of pp_mixture_sample, and the rate
+    // expression shape-identical to the Spark least(...) column
+    "pp_temperature" ->
+      """WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS sg FROM g),
+        |t AS (SELECT CAST(sum(CAST(sg AS DECIMAL(38,6))) AS DOUBLE) AS tot FROM s),
+        |r AS (SELECT lang,
+        |        least(1.0, CAST(200 AS DOUBLE) * (sg / t.tot) / CAST(n AS DOUBLE))
+        |          AS samp_rate
+        |      FROM s, t)
+        |SELECT d.doc_id, d.lang, r.samp_rate
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ((doc_id % 4294967296 // 65536 * 2654435761 % 4294967296)
+        |         * 65536 + doc_id % 65536 * 2654435761) % 4294967296
+        |      / 4294967296.0 < r.samp_rate
+        |ORDER BY doc_id""".stripMargin,
+    // DSIR importance weights: raw/target unigram count tables, the
+    // fixed-shape smoothed ratio ((m+1)/(M+V)) / ((n+1)/(N+V)), the
+    // dsum DECIMAL(18,6) per-doc sum, one final division — every
+    // arithmetic step shape-identical to the Spark side
+    "pp_importance" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                       q -> q != '')) AS tok
+        |  FROM documents),
+        |raw AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |               CAST(count(*) AS BIGINT) AS v FROM raw),
+        |ttk AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                            q -> q != '')) AS tok
+        |  FROM documents WHERE lang = 'en'),
+        |tgt AS (SELECT tok, count(*) AS m FROM ttk GROUP BY tok),
+        |mtot AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS mm FROM tgt),
+        |ratio AS (
+        |  SELECT r.tok,
+        |    (CAST(coalesce(t.m, 0) + 1 AS DOUBLE) / CAST(mt.mm + tt.v AS DOUBLE))
+        |      / (CAST(r.n + 1 AS DOUBLE) / CAST(tt.nn + tt.v AS DOUBLE)) AS rr
+        |  FROM raw r LEFT JOIN tgt t ON r.tok = t.tok, tot tt, mtot mt),
+        |pd AS (
+        |  SELECT k.doc_id,
+        |    CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tk k JOIN ratio ON k.tok = ratio.tok GROUP BY k.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_tokens, 0) AS n_tokens,
+        |  CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE pd.s / CAST(pd.n_tokens AS DOUBLE) END AS imp_weight
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // BPE pair statistics: word vocabulary (counts), character split via
+    // regexp_extract_all('.') — RE2 '.' == Java '.' on whitespace-free
+    // words — adjacent pair expansion, integer-weighted count, topN cut
+    // with a lexicographic tie-break (generate_series(1,0) is empty in
+    // DuckDB, so 1-char words vanish exactly like the guarded Spark side)
+    "tx_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                            q -> q != '')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS n FROM w GROUP BY w),
+        |ch AS (SELECT n, regexp_extract_all(w, '.') AS cs FROM wc),
+        |pr AS (
+        |  SELECT cs[i] AS lhs, cs[i + 1] AS rhs, n
+        |  FROM (SELECT n, cs, unnest(generate_series(1, len(cs) - 1)) AS i
+        |        FROM ch) t)
+        |SELECT lhs, rhs, pair_count FROM (
+        |  SELECT lhs, rhs, CAST(sum(n) AS BIGINT) AS pair_count
+        |  FROM pr GROUP BY lhs, rhs
+        |  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 50) z
+        |ORDER BY lhs, rhs""".stripMargin,
     // substring near-dup candidates: self-join of the winnowing
     // fingerprint sets (same CTE chain as tx_winnow)
     "dd_winnow_pairs" ->
@@ -1424,6 +1528,9 @@ object Pipeline {
     "pp_sequence_pack" -> (sequencePackQ _),
     "tx_winnow" -> (winnowQ _),
     "tx_token_chunks" -> (tokenChunksQ _),
+    "tx_bpe_pairs" -> (bpePairsQ _),
+    "pp_importance" -> (importanceQ _),
+    "pp_temperature" -> (temperatureQ _),
     "dd_winnow_pairs" -> (winnowPairsQ _),
     "emb_quantize_int8" -> (quantizeQ _),
     "dd_exact_dedup" -> (exactDedupQ _),

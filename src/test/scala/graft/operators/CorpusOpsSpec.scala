@@ -263,4 +263,69 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got === Set(1L, 3L))
   }
+
+  test("importanceWeights: target-like docs outweigh off-target docs") {
+    import spark.implicits._
+    // target = docs with is_t; shared filler keeps the vocab overlapping
+    val fixture = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta gamma gamma", true),
+      (3L, "omega omega psi psi", false),
+      (4L, "alpha beta alpha gamma", false), // target-like but unlabeled
+      (5L, "", false)).toDF("doc_id", "text", "is_t")
+    val got = fixture.importanceWeights("doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // empty doc: zero tokens, weight 0 by contract
+    assert(got(5L) === ((0L, 0.0)))
+    // target-vocabulary docs score strictly above the off-target doc,
+    // INCLUDING the unlabeled doc 4 (importance is about content, not label)
+    assert(got(4L)._2 > got(3L)._2)
+    assert(got(1L)._2 > got(3L)._2)
+    // all weights positive for non-empty docs (smoothing)
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(got(id)._2 > 0.0))
+  }
+
+  test("importanceWeights is partition-independent (decimal-exact sum)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val words = Array("a", "b", "c", "d", "e", "f", "g")
+    val fixture = (0 until 120).map { i =>
+      val txt = Seq.fill(12)(words(rng.nextInt(words.length))).mkString(" ")
+      (i.toLong, txt, i % 3 == 0)
+    }.toDF("doc_id", "text", "is_t")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.importanceWeights("doc_id", "text", col("is_t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    assert(run(fixture) === run(fixture.repartition(17)))
+  }
+
+  test("bpePairStats: hand-computed pair counts, repeats and 1-char words") {
+    import spark.implicits._
+    // vocabulary: ab x2, abc x1, aaa x1, x x1
+    //   ab  -> (a,b) twice (word count 2)
+    //   abc -> (a,b), (b,c)
+    //   aaa -> (a,a) twice within ONE word (every adjacent occurrence)
+    //   x   -> nothing (no adjacent pair)
+    val fixture = Seq(
+      (1L, "ab abc aaa"),
+      (2L, "ab x")).toDF("doc_id", "text")
+    val got = fixture.bpePairStats("text", topN = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(("a", "b") -> 3L, ("b", "c") -> 1L, ("a", "a") -> 2L))
+  }
+
+  test("bpePairStats: deterministic topN cut, partition-independent") {
+    import spark.implicits._
+    val fixture = (0 until 200).map(i =>
+      (i.toLong, s"w${i % 7}a w${i % 5}b shared shared")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.bpePairStats("text", topN = 5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val a = run(fixture)
+    assert(a.size == 5)
+    // counts non-increasing; ties broken lexicographically
+    assert(a.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    assert(a === run(fixture.repartition(13)))
+  }
 }

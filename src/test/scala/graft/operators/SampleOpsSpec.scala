@@ -124,4 +124,42 @@ class SampleOpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"cap must pre-prune before the shuffle:\n$plan")
   }
+
+  test("temperatureMixture: tempered rates up-weight the tail, budget respected") {
+    import spark.implicits._
+    // 400/100/25 skew: alpha=0.5 shares prop to 20/10/5, so the tail
+    // group's keep RATE is the highest and the head's the lowest
+    val fixture = ((0 until 400).map(i => (i.toLong, "en")) ++
+      (1000 until 1100).map(i => (i.toLong, "de")) ++
+      (2000 until 2025).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val got = fixture.temperatureMixture("lang", "doc_id",
+      alphaQuarters = 2, budget = 100L)
+    val rates = got.select(col("lang"), col("samp_rate")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("fr") > rates("de") && rates("de") > rates("en"),
+      s"rates not tempered: $rates")
+    // expected kept mass = sum rate_g * n_g = budget (no group capped at 1)
+    val expected = rates("en") * 400 + rates("de") * 100 + rates("fr") * 25
+    assert(math.abs(expected - 100.0) < 1e-6, s"expected mass $expected")
+    // alpha = 1.0 degenerates to uniform rates (share_g = n_g / N)
+    val uni = fixture.temperatureMixture("lang", "doc_id",
+        alphaQuarters = 4, budget = 100L)
+      .select(col("lang"), col("samp_rate")).distinct()
+      .collect().map(_.getDouble(1)).distinct
+    assert(uni.length == 1, s"alpha=1 rates not uniform: ${uni.toSeq}")
+  }
+
+  test("temperatureMixture: deterministic, partition-independent, corpus never shuffles") {
+    import spark.implicits._
+    val fixture = (0 until 300).map(i => (i.toLong, s"g${i % 4}"))
+      .toDF("doc_id", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.temperatureMixture("lang", "doc_id", alphaQuarters = 3, budget = 60L)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(run(fixture) === run(fixture.repartition(11)))
+    val plan = fixture.temperatureMixture("lang", "doc_id", 2, 60L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates must broadcast onto the corpus:\n$plan")
+  }
 }
