@@ -224,6 +224,37 @@ object ScaleTrend {
         Seq(0.25, 0.5, 0.75, 0.95)).count()
     }
 
+    // DSIR importance weights over the replicated corpus: the vowel
+    // translation grows BOTH vocab tables ~n (target slice = the %3
+    // stand-in, same per-replica share); the token-keyed score join and
+    // the doc-keyed sum grow ~n — a healthy plan reads e ≈ 1
+    def b8i(n: Int): Long = {
+      import graft.operators.CorpusOps._
+      docsRep(spark, d, n)
+        .importanceWeights("doc_id", "text", col("doc_id") % 3 === 0).count()
+    }
+
+    // BPE pair stats over the replicated corpus: the token-stream scan
+    // and the vocab collapse grow ~n; the pair table is alphabet-bounded
+    // (the vowel translation maps letters to letters), so the weighted
+    // pair aggregation's key space is CONSTANT — e ≈ 1 measures the scan
+    def b8e(n: Int): Long = {
+      import graft.operators.CorpusOps._
+      docsRep(spark, d, n).bpePairStats("text", topN = 50).count()
+    }
+
+    // PQ ANN over sign-flip embedding replicas: training scans grow ~n
+    // with a FIXED (dim * ksub)-key aggregation; ADC scoring is one
+    // shuffle-free scan; the refine/re-rank is constant-size
+    def b6pq(n: Int): Long = {
+      import graft.operators.VectorOps._
+      val emb = embRep(n)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      emb.cosineTopKPq("embedding", "vec_id", q, 10,
+        m = 4, ksub = 4, refine = 50, iters = 2).count()
+    }
+
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b5_knn_join_grid" -> (b5 _),
@@ -238,7 +269,10 @@ object ScaleTrend {
           "b6sd_semantic_dedup" -> (b6sd _),
           "b8r_bm25" -> (b8r _),
           "b8sc_semantic_contamination" -> (b8sc _),
-          "b9q_quantile_stats" -> (b9q _))
+          "b9q_quantile_stats" -> (b9q _),
+          "b8i_importance" -> (b8i _),
+          "b8e_bpe_pairs" -> (b8e _),
+          "b6pq_ann_pq" -> (b6pq _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f
