@@ -140,6 +140,26 @@ object ExplainPlans {
       documents(spark, d).bm25TopK("doc_id", "text",
         Seq("spark", "vector", "window", "hash", "merge", "customer"), 20)
     }
+    show("pq_ann (expect shuffle-free codegen'd code+ADC projection + TakeOrdered — codebooks/tables ride in the plan)") {
+      import graft.operators.VectorOps._
+      val q = embeddings(spark, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      embeddings(spark, d).cosineTopKPq("embedding", "vec_id", q, 10,
+        m = 4, ksub = 4, refine = 50, iters = 2)
+    }
+    show("importance_weights (expect two partial-agg vocab tables, token-keyed ratio join, dsum doc agg — text never rides a join)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).importanceWeights("doc_id", "text", col("lang") === "en")
+    }
+    show("temperature_mixture (expect tiny group agg + BroadcastHashJoin rate filter — corpus never shuffles)") {
+      import graft.operators.SampleOps._
+      documents(spark, d).temperatureMixture("lang", "doc_id",
+        alphaQuarters = 2, budget = 200L)
+    }
+    show("bpe_pairs (expect partial-agg vocab collapse, pair explode over the VOCAB table, TakeOrdered cut)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).bpePairStats("text", topN = 50)
+    }
     spark.stop()
   }
 }

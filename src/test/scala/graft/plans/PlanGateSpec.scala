@@ -101,6 +101,31 @@ class PlanGateSpec extends SparkSpec {
       s"IVF scan lost directory pruning:\n$p")
   }
 
+  test("PQ ANN: shuffle-free ADC scoring over literal tables, TakeOrdered cut") {
+    val q = embeddings(spark, sf()).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val p = plan(embeddings(spark, sf()).cosineTopKPq("embedding", "vec_id",
+      q, 10, m = 4, ksub = 4, refine = 50, iters = 2))
+    // ADC tables and codebooks ride in the plan as literals; scoring is
+    // a per-partition scan + TakeOrdered merge — any Exchange here means
+    // the candidate cut started shuffling
+    assert(p.contains("TakeOrderedAndProject"), s"PQ lost TakeOrdered:\n$p")
+    assert(p.contains("element_at"), s"PQ lost the ADC literal lookup:\n$p")
+    assert(!p.contains("Exchange"), s"PQ scoring must not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ scoring must not join:\n$p")
+  }
+
+  test("temperature mixture: rates broadcast, the corpus side never shuffles") {
+    import graft.operators.SampleOps._
+    val p = plan(documents(spark, sf())
+      .temperatureMixture("lang", "doc_id", alphaQuarters = 2, budget = 200L))
+    assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
+    // the only exchanges allowed feed the tiny rate table (group agg +
+    // broadcast); the corpus side reads straight from parquet
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not sort-merge:\n$p")
+  }
+
   test("quadtree range reads the cached clustering") {
     val qt = graft.index.IndexManager.quadTreeIndexTable(spark, cust,
       "plangate_qt", Seq("cx", "cy"), numPartitions = 4)
