@@ -656,6 +656,73 @@ object VectorOps {
       }
     }
 
+    /** Composed IVF-PQ ANN — the canonical billion-scale index shape
+      * (inverted cell lists prune WHICH vectors are scored, product
+      * quantization compresses HOW they are scored): the trained
+      * coarse quantizer of [[cosineTopKIvfTrained]] keeps only the
+      * `nprobe` cells nearest the query, then [[cosineTopKPq]]'s ADC
+      * lookup tables rank the survivors without touching a float
+      * vector, and the best `refine` pay the exact cosine. The PQ
+      * codebooks here quantize RAW vectors, not per-cell residuals —
+      * the residual refinement is a documented simplification trade
+      * (residual PQ needs per-cell code tables, m*ksub*nlist driver
+      * state, for better distortion at equal bits; raw-vector PQ keeps
+      * ONE table set and composes with any nprobe).
+      *
+      * At 100 TB: cells bound the scan (directory-pruned like
+      * [[writeIvf]]), codes bound the bytes per scored row, refine
+      * bounds the exact work — each knob caps one resource. Both
+      * trainings and both scoring phases are the proven engine-replay
+      * arithmetic, so the whole composed index hash-oracles. */
+    def cosineTopKIvfPq(vecCol: String, idCol: String, query: Array[Float],
+                        k: Int, nlist: Int = 8, nprobe: Int = 2,
+                        m: Int = 4, ksub: Int = 4, refine: Int = 50,
+                        iters: Int = 2, seed: Long = 42L,
+                        scale: Double = 65536.0): DataFrame = {
+      require(nlist >= 1 && nprobe >= 1 && m >= 1 && ksub >= 1 &&
+        refine >= k && iters >= 0)
+      require(query.length % m == 0, s"pq: dim ${query.length} not divisible by m=$m")
+      val subDim = query.length / m
+      val df = ds.toDF
+      val base = VectorOps.quantizedBase(df, vecCol, idCol, scale, keepVec = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (VectorOps.lloydTrain(base, idCol, nlist, iters, seed),
+        VectorOps.pqTrain(base, idCol, m, ksub, iters, seed)) match {
+        case (Some(coarse), Some(books)) =>
+          val qq = query.map(x => math.floor(x.toDouble * scale))
+          def l2sq(c: Array[Double]): Double = {
+            var s = 0.0; var i = 0
+            while (i < qq.length) { val d = qq(i) - c(i); s += d * d; i += 1 }
+            s
+          }
+          val probes = coarse.indices.sortBy(i => (l2sq(coarse(i)), i)).take(nprobe)
+          val tables: Array[Array[Double]] = Array.tabulate(m) { s =>
+            books(s).map { c =>
+              var acc = 0.0; var j = 0
+              while (j < subDim) {
+                val d = qq(s * subDim + j) - c(j); acc += d * d; j += 1
+              }
+              acc
+            }
+          }
+          val adc = (0 until m).map { s =>
+            element_at(array(tables(s).map(lit).toIndexedSeq: _*), col(s"__pqc$s") + 1)
+          }.reduce(_ + _)
+          val probed = VectorOps.withCell(base, coarse)
+            .filter(col("__c").isin(probes: _*))
+          VectorOps.withPqCodes(probed, books, subDim)
+            .withColumn("__adc", adc)
+            .orderBy(col("__adc").asc, col(idCol).asc)
+            .limit(refine)
+            .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
+            .orderBy(col("cos").desc, col(idCol).asc)
+            .limit(k)
+            .select(col(idCol), col("cos"))
+        case _ =>
+          df.withColumn("cos", lit(0.0)).select(col(idCol), col("cos")).limit(0)
+      }
+    }
+
     /** SemDeDup-style semantic near-duplicate pairs: k-means clusters
       * block the candidate space (the [[kmeansAssign]] partition), then
       * only within-cluster pairs pay the exact cosine verify at

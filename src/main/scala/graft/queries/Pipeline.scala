@@ -637,6 +637,14 @@ object Pipeline {
         m = 4, ksub = 4, refine = 50, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** Composed IVF-PQ: trained coarse cells prune, PQ ADC ranks, exact
+    * cosine re-ranks — both trainings replay, full hash oracle. */
+  def annIvfPqTopKQ(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .cosineTopKIvfPq("embedding", "vec_id", queryVec(s, d), 10,
+        nlist = 8, nprobe = 4, m = 4, ksub = 4, refine = 50, iters = 2)
+      .orderBy(col("vec_id"))
+
   /** SemDeDup-style semantic near-dup pairs: k-means blocks, exact
     * within-cluster cosine >= 0.8 verifies. */
   def semanticPairsQ(s: SparkSession, d: String): DataFrame =
@@ -1470,6 +1478,33 @@ object Pipeline {
          |  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, eq
          |  ORDER BY cos DESC, e.vec_id ASC LIMIT 10) t
          |ORDER BY vec_id""".stripMargin,
+    // composed IVF-PQ: coarse k-means CTEs (cells + probes), PQ CTEs
+    // (codes + ADC), candidate = probed cells ranked by ADC, exact
+    // cosine top-k — the whole two-level index replayed in one query
+    "ann_ivfpq_topk" ->
+      s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
+         |${kmeansAssignSql(iters = 2)},
+         |${pqCteSql(m = 4, ksub = 4, iters = 2, seed = 42L, dim = 64)},
+         |qiq AS (SELECT qv FROM kq WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |        ORDER BY list_sum(list_transform(list_zip(q.qv, c.cv),
+         |            x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))) ASC,
+         |          c.cid ASC) AS pr
+         |    FROM c2 c, qiq q) p
+         |  WHERE pr <= 4),
+         |cand AS (
+         |  SELECT a.vec_id FROM adc a
+         |  JOIN kmf ON kmf.vec_id = a.vec_id
+         |  JOIN probes ON kmf.cluster = probes.cid
+         |  ORDER BY a.score ASC, a.vec_id ASC LIMIT 50),
+         |eq2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, cos FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "eq2.qe")} AS cos
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, eq2
+         |  ORDER BY cos DESC, e.vec_id ASC LIMIT 10) t
+         |ORDER BY vec_id""".stripMargin,
     "dd_semantic_pairs" ->
       s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
          |${kmeansAssignSql(iters = 2)}
@@ -1556,6 +1591,7 @@ object Pipeline {
     "tx_bm25" -> (bm25Q _),
     "pp_semantic_contamination" -> (semanticContaminationQ _),
     "ann_ivf_trained_topk" -> (annIvfTrainedQ _),
-    "ann_pq_topk" -> (annPqTopKQ _)
+    "ann_pq_topk" -> (annPqTopKQ _),
+    "ann_ivfpq_topk" -> (annIvfPqTopKQ _)
   )
 }

@@ -428,6 +428,35 @@ class VectorOpsSpec extends SparkSpec {
       .cosineTopKPq("embedding", "vec_id", q, 5).count() == 0L)
   }
 
+  test("cosineTopKIvfPq: composed index — exact scores, self top-1, cluster recall") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val centers = Array.fill(8)(Array.fill(32)(rng.nextDouble() * 100f))
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows.head._2
+    val exact = df.cosineTopK("embedding", "vec_id", q, 10)
+      .select("vec_id", "cos").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val got = df.cosineTopKIvfPq("embedding", "vec_id", q, 10,
+      nlist = 8, nprobe = 2, m = 4, ksub = 8, refine = 40, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.length == 10)
+    assert(got.maxBy(_._2)._1 == 0L, "self not top-1")
+    val exactMap = exact.toMap
+    got.foreach { case (id, c) =>
+      exactMap.get(id).foreach(e => assert(c === e, s"vec $id")) }
+    val recall = got.map(_._1).toSet.intersect(exact.map(_._1).toSet).size
+    assert(recall >= 8, s"ivf-pq recall only $recall/10")
+    // the cell filter actually prunes: candidates all sit in probed cells
+    val assign = df.kmeansAssign("embedding", "vec_id", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probedCells = got.map { case (id, _) => assign(id) }.toSet
+    assert(probedCells.size <= 2, s"results span ${probedCells.size} cells > nprobe")
+  }
+
   test("pqTrain: codebook shapes, codes in range, one shared seed set") {
     import spark.implicits._
     val rng = new scala.util.Random(29)
