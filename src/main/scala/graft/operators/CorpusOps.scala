@@ -353,32 +353,62 @@ object CorpusOps {
       * the vocab table (text never rides a join); one doc-keyed
       * aggregation. The three scalars (N, M, V) broadcast. */
     def importanceWeights(idCol: String, textCol: String,
-                          targetPred: Column): DataFrame = {
+                          targetPred: Column): DataFrame =
+      scoreWithRatios(importanceRatios(textCol, targetPred), idCol, textCol)
+
+    /** The trainable half of [[importanceWeights]]: the per-token
+      * likelihood-ratio table `(token, ratio)` fit on THIS corpus —
+      * persist it and hand it to [[scoreWithRatios]] to score other
+      * (or later) corpora against a frozen fit. The periodic-refit /
+      * online-score production split, exactly the
+      * [[VectorOps.DatasetVectorOps.kmeansCenters]] /
+      * `assignClusters` shape for text. */
+    def importanceRatios(textCol: String, targetPred: Column): DataFrame = {
       val df = ds.toDF
-      val toks = df.select(col(idCol).as("__graft_iid"),
-        explode(graft.functions.tokens(col(textCol))).as("__graft_tok"))
-      val raw = toks.groupBy(col("__graft_tok"))
+      val raw = df
+        .select(explode(graft.functions.tokens(col(textCol))).as("__graft_tok"))
+        .groupBy(col("__graft_tok"))
         .agg(count(lit(1)).as("__graft_n"))
       val tgt = df.filter(targetPred)
         .select(explode(graft.functions.tokens(col(textCol))).as("__graft_tok"))
         .groupBy(col("__graft_tok"))
         .agg(count(lit(1)).as("__graft_m"))
       // ratio table over the RAW vocabulary (target-only tokens cannot
-      // occur in a scored doc); V = raw vocab size
+      // occur in a doc scored against its own fit); V = raw vocab size
       val totals = raw.agg(
         sum(col("__graft_n")).as("__graft_nn"),
         count(lit(1)).as("__graft_v"))
         .crossJoin(tgt.agg(
           coalesce(sum(col("__graft_m")), lit(0L)).as("__graft_mm")))
-      val ratio = raw.join(tgt, Seq("__graft_tok"), "left")
+      raw.join(tgt, Seq("__graft_tok"), "left")
         .crossJoin(broadcast(totals))
-        .select(col("__graft_tok"),
+        .select(col("__graft_tok").as("token"),
           (((coalesce(col("__graft_m"), lit(0L)) + 1L).cast("double") /
               (col("__graft_mm") + col("__graft_v")).cast("double")) /
             ((col("__graft_n") + 1L).cast("double") /
               (col("__graft_nn") + col("__graft_v")).cast("double")))
-            .as("__graft_r"))
-      val perDoc = toks.join(ratio, Seq("__graft_tok"))
+            .as("ratio"))
+    }
+
+    /** The stateless half of [[importanceWeights]]: score THIS dataset
+      * against a FROZEN `(token, ratio)` table from
+      * [[importanceRatios]] — a token-keyed join + one per-doc
+      * aggregation, no corpus statistics recomputed, so it applies
+      * per micro-batch (`foreachBatch`) for importance scoring at
+      * ingest. Tokens outside the frozen vocabulary are skipped (the
+      * mean runs over in-vocabulary tokens; `n_tokens` counts those),
+      * and a doc with no known token scores 0. Scoring a corpus
+      * against its own fit reproduces [[importanceWeights]] exactly —
+      * the fit covers every token, so nothing is skipped. */
+    def scoreWithRatios(ratios: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+      val df = ds.toDF
+      val toks = df.select(col(idCol).as("__graft_iid"),
+        explode(graft.functions.tokens(col(textCol))).as("__graft_tok"))
+      val perDoc = toks.join(
+          ratios.select(col("token").as("__graft_tok"),
+            col("ratio").as("__graft_r")),
+          Seq("__graft_tok"))
         .groupBy(col("__graft_iid"))
         .agg(graft.Tables.dsum(col("__graft_r")).as("__graft_sum"),
           count(lit(1)).as("n_tokens"))

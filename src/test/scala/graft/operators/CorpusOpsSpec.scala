@@ -285,6 +285,28 @@ class CorpusOpsSpec extends SparkSpec {
     Seq(1L, 2L, 3L, 4L).foreach(id => assert(got(id)._2 > 0.0))
   }
 
+  test("importance split: frozen-fit scoring reproduces the fused verb; OOV skipped") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta gamma gamma", true),
+      (3L, "omega omega psi psi", false),
+      (4L, "alpha beta alpha gamma", false)).toDF("doc_id", "text", "is_t")
+    val ratios = fixture.importanceRatios("text", col("is_t"))
+    // self-fit scoring == the fused verb, bit for bit
+    val split = fixture.scoreWithRatios(ratios, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val fused = fixture.importanceWeights("doc_id", "text", col("is_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(split === fused)
+    // frozen fit scoring NEW docs: unknown tokens skipped, all-OOV doc -> 0
+    val fresh = Seq((10L, "alpha zzz beta"), (11L, "zzz qqq")).toDF("doc_id", "text")
+    val got = fresh.scoreWithRatios(ratios, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(10L)._1 == 2L, "zzz must be skipped, alpha+beta counted")
+    assert(got(11L) === ((0L, 0.0)))
+  }
+
   test("importanceWeights is partition-independent (decimal-exact sum)") {
     import spark.implicits._
     val rng = new scala.util.Random(31)

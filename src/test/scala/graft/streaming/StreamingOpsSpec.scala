@@ -248,6 +248,42 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed === batch && streamed.values.toSet.size === 3)
   }
 
+  test("importance scoring composes over a stream against a frozen ratio fit") {
+    import spark.implicits._
+    import graft.operators.CorpusOps._
+    implicit val sqlCtx = spark.sqlContext
+    // periodic-refit / online-score: ratios fit once on a batch
+    // snapshot; each micro-batch scores statelessly via foreachBatch
+    // (per-doc aggregation needs only the doc's own row), landing the
+    // SAME weights the batch path gives
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta gamma gamma", true),
+      (3L, "omega omega psi psi", false),
+      (4L, "alpha beta alpha gamma", false)).toDF("doc_id", "text", "is_t")
+    val ratios = corpus.importanceRatios("text", col("is_t")).cache()
+    val arriving = Seq((10L, "alpha beta omega"), (11L, "gamma gamma"),
+      (12L, "psi alpha"), (13L, "zzz"))
+    val input = MemoryStream[(Long, String)]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.scoreWithRatios(ratios, "doc_id", "text").collect()
+          .foreach(r => sink.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        ()
+      }.start()
+    input.addData(arriving.take(2): _*); q.processAllAvailable()
+    input.addData(arriving.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = sink.toArray(Array.empty[(Long, Long, Double)]).sortBy(_._1).toSeq
+    val batch = arriving.toDF("doc_id", "text")
+      .scoreWithRatios(ratios, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(streamed === batch)
+    assert(streamed.find(_._1 == 13L).get._3 === 0.0) // all-OOV doc
+  }
+
   test("k-means assignment composes over a stream and agrees with the batch clustering") {
     import spark.implicits._
     import graft.operators.VectorOps._
