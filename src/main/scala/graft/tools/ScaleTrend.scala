@@ -289,7 +289,8 @@ object ScaleTrend {
         Seq("b4l_distance_join_self_grid" -> (b4l _),
             "b5_knn_join_grid" -> (b5 _),
             "b7_minhash_dedup" -> (b7 _),
-            "b8d_contamination" -> (b8d _))
+            "b8d_contamination" -> (b8d _),
+            "b8i_importance" -> (b8i _))
       // optional trailing args select a subset (re-measure one entry
       // without re-paying the minutes-long others)
       val want = args.drop(1).toSet
