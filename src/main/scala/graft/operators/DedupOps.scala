@@ -280,6 +280,30 @@ object DedupOps {
         .select(col("__id").as(idCol), col("__lbl").as("component"))
     }
 
+    /** Near-duplicate RETENTION policy: keep, from each connected
+      * component of near-dups, the single best row under `order`
+      * (callers include a unique tie-break — quality DESC, id ASC is
+      * the standard). Production dedup does not keep an arbitrary
+      * member; it keeps the best copy (longest, highest-quality,
+      * canonical source) and drops the rest — this verb is that last
+      * step, composed over [[nearDupComponents]]'s output. Singleton
+      * components pass through untouched, so the result is exactly
+      * "the corpus with near-dup clusters collapsed to their best
+      * member".
+      *
+      * Scale shape: one hash shuffle on the component id; the rank-1
+      * filter plans as WindowGroupLimit, so map tasks pre-prune to one
+      * row per component before the shuffle — the shuffle carries at
+      * most one row per (component, task) however large a cluster is. */
+    def dedupKeepBest(idCol: String, components: DataFrame,
+                      order: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(col("component")).orderBy(order: _*)
+      ds.toDF.join(components, Seq(idCol))
+        .withColumn("__graft_kb_rn", row_number().over(w))
+        .filter(col("__graft_kb_rn") === 1)
+        .drop("__graft_kb_rn")
+    }
+
     /** The full converged label table, BEFORE the restriction to this
       * dataset's own ids — exposed package-private so specs can assert
       * the state bound: label rows only ever enter via `viaNeighbors`

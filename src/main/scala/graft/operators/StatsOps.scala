@@ -15,7 +15,65 @@ import org.apache.spark.sql.functions._
   */
 object StatsOps {
 
+  /** Exact per-group quantile by the SQL-portable rank interpolation —
+    * the [[DatasetStatsOps.quantileStats]] arithmetic factored for
+    * reuse (same IEEE graph, so anything built on it stays
+    * hash-oracle-able). Returns `(group, <out>)`. */
+  private def exactQuantile(df: org.apache.spark.sql.DataFrame,
+                            groupCol: String, v: org.apache.spark.sql.Column,
+                            q: Double, out: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val ranked = df.select(col(groupCol), v.cast("double").as("__v"))
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val kD = floor(lit(q) * (col("__n") - 1L).cast("double"))
+    ranked.filter(col("__rn").cast("double") === kD ||
+        col("__rn").cast("double") === kD + 1.0)
+      .groupBy(col(groupCol))
+      .agg(first(col("__n")).as("__gn"),
+        max(when(col("__rn").cast("double") === kD, col("__v"))).as("__lo"),
+        max(when(col("__rn").cast("double") === kD + 1.0, col("__v"))).as("__hi"))
+      .select(col(groupCol),
+        (col("__lo") + (coalesce(col("__hi"), col("__lo")) - col("__lo")) *
+          (lit(q) * (col("__gn") - 1L).cast("double") -
+            floor(lit(q) * (col("__gn") - 1L).cast("double")))).as(out))
+  }
+
   implicit class DatasetStatsOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** Robust per-group outlier filter by median absolute deviation:
+      * keep rows with `|v - median| <= k * MAD`, where median and MAD
+      * are the EXACT per-group statistics (the [[quantileStats]] rank
+      * interpolation — not a sketch, and not mean/stddev, which an
+      * outlier itself drags; median/MAD have a 50% breakdown point,
+      * which is why curation pipelines clip on them). Appends the
+      * group's `median` and `mad` columns to the kept rows. A group
+      * with `MAD = 0` (at least half its values equal the median) has
+      * no scale estimate — the filter keeps the whole group by
+      * convention rather than inventing one.
+      *
+      * Scale shape: two window passes (value ranks, deviation ranks) —
+      * each ONE hash shuffle + per-group sort, the quantileStats cost
+      * model — and two broadcast joins of #groups-row stat tables; the
+      * kept set never shuffles. Every arithmetic step is the proven
+      * rank-interpolation IEEE graph, so the filter decision replays
+      * bit-for-bit in any engine (hash-oracle-able). */
+    def robustOutlierFilter(groupCol: String, valueCol: String,
+                            k: Double = 3.5): DataFrame = {
+      require(k > 0.0, s"k must be > 0, got $k")
+      val df = ds.toDF
+      val med = StatsOps.exactQuantile(
+        df.select(col(groupCol), col(valueCol)), groupCol,
+        col(valueCol), 0.5, "median")
+      val withMed = df.join(broadcast(med), Seq(groupCol))
+        .withColumn("__dev", abs(col(valueCol).cast("double") - col("median")))
+      val mad = StatsOps.exactQuantile(
+        withMed.select(col(groupCol), col("__dev")), groupCol,
+        col("__dev"), 0.5, "mad")
+      withMed.join(broadcast(mad), Seq(groupCol))
+        .filter(col("mad") === 0.0 || col("__dev") <= lit(k) * col("mad"))
+        .drop("__dev")
+    }
 
     /** Per-group quantiles of `valueCol` at each q in `qs`:
       * `(group, q, n, exact, within_bound)`.

@@ -387,6 +387,53 @@ object Advanced {
       .orderBy(col("l_returnflag"), col("q"))
   }
 
+  /** Robust MAD outlier clip of documents by length within language:
+    * exact median + exact MAD via the same rank interpolation, keep
+    * |v - median| <= 3 * MAD (MAD = 0 keeps the group). Every compare
+    * is the bit-parity IEEE graph, so the kept set hash-matches. */
+  def outlierFilterQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.StatsOps._
+    documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .robustOutlierFilter("lang", "n_chars", k = 3.0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("median"), col("mad"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def medianCte(src: String, vExpr: String, group: String,
+                        rankedName: String, outName: String,
+                        outCol: String): String =
+    s"""$rankedName AS (
+       |  SELECT $group, $vExpr AS v,
+       |    row_number() OVER (PARTITION BY $group ORDER BY $vExpr) - 1 AS rn,
+       |    count(*) OVER (PARTITION BY $group) AS n
+       |  FROM $src),
+       |$outName AS (
+       |  SELECT $group,
+       |    max(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE) * (n - 1)) THEN v END)
+       |      + (coalesce(max(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE) * (n - 1)) + 1 THEN v END),
+       |                  max(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE) * (n - 1)) THEN v END))
+       |         - max(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE) * (n - 1)) THEN v END))
+       |      * (CAST(0.5 AS DOUBLE) * (any_value(n) - 1)
+       |         - floor(CAST(0.5 AS DOUBLE) * (any_value(n) - 1))) AS $outCol
+       |  FROM $rankedName
+       |  WHERE rn = floor(CAST(0.5 AS DOUBLE) * (n - 1))
+       |     OR rn = floor(CAST(0.5 AS DOUBLE) * (n - 1)) + 1
+       |  GROUP BY $group)""".stripMargin
+
+  private val outlierFilterOracleSql: String =
+    s"""WITH ${medianCte("documents", "CAST(n_chars AS DOUBLE)", "lang", "rk1", "med", "median")},
+       |dv AS (
+       |  SELECT d.doc_id, d.lang, d.n_chars, m.median,
+       |    abs(CAST(d.n_chars AS DOUBLE) - m.median) AS dev
+       |  FROM documents d JOIN med m ON d.lang = m.lang),
+       |${medianCte("dv", "dev", "lang", "rk2", "madt", "mad")}
+       |SELECT dv.doc_id AS doc_id, dv.lang AS lang, dv.n_chars AS n_chars,
+       |       dv.median AS median, madt.mad AS mad
+       |FROM dv JOIN madt ON dv.lang = madt.lang
+       |WHERE madt.mad = 0.0 OR dv.dev <= CAST(3.0 AS DOUBLE) * madt.mad
+       |ORDER BY dv.doc_id""".stripMargin
+
   private val quantileStatsOracleSql: String = {
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
     val perQ = qs.map { q =>
@@ -415,6 +462,7 @@ object Advanced {
 
   val oracles: Map[String, String] = Map(
     "q27_quantile_stats" -> quantileStatsOracleSql,
+    "q28_outlier_filter" -> outlierFilterOracleSql,
     "sp_box_range_indexed" -> Spatial.oracles("sp_box_range"),
     "sp_circle_range_indexed" -> Spatial.oracles("sp_circle_range"),
     "sp_knn_indexed" -> Spatial.oracles("sp_knn"),
@@ -565,7 +613,8 @@ object Advanced {
     "mm_features_topk" -> (mediaFeaturesTopK _),
     "mm_frame_sample" -> (mediaFrameSample _),
     "sp_point_udt_range" -> (pointUdtRangeQ _),
-    "q27_quantile_stats" -> (quantileStatsQ _)
+    "q27_quantile_stats" -> (quantileStatsQ _),
+    "q28_outlier_filter" -> (outlierFilterQ _)
   )
 }
 

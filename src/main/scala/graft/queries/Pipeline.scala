@@ -390,6 +390,24 @@ object Pipeline {
     docs.nearDupComponents("doc_id", pairs).orderBy(col("doc_id"))
   }
 
+  /** Near-dup retention: components over the deterministic n-gram
+    * pairs, then keep each component's best member by (quality DESC,
+    * doc_id ASC) — the "dedup keeps the best copy" policy, fully
+    * oracled because quality doubles are bit-equal across engines. */
+  def keepBestQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = docs.ngramJaccardPairs("doc_id", "text",
+      blockBy = Seq(col("lang"),
+        length(conv(col("n_chars").cast("string"), 10, 2))),
+      n = 3, threshold = 0.8)
+    val comps = docs.nearDupComponents("doc_id", pairs)
+    docs.select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .dedupKeepBest("doc_id", comps,
+        Seq(col("quality").desc, col("doc_id").asc))
+      .select(col("doc_id"), col("component"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The canonical curation chain end-to-end — exact dedup, then quality
     * and length gates, emitting per-doc stats: the composition a training
     * -data pipeline actually runs, fully oracled because every stage is
@@ -1536,6 +1554,26 @@ object Pipeline {
     // doc labeled with the min id reachable through near-dup edges — the
     // recursive CTE terminates because (id, lbl) pairs are finite and
     // UNION deduplicates
+    // retention on top of the same components: each component keeps its
+    // best member under (quality DESC, doc_id ASC) — quality doubles are
+    // the bit-parity tx_stats expression, so the argmax agrees exactly
+    "dd_keep_best" ->
+      s"""WITH RECURSIVE $ngramShingleCteSql,
+         |pairs AS ($ngramPairsSelectSql),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION ALL SELECT id2 AS src, id1 AS dst FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id),
+         |qual AS (SELECT doc_id, $qualitySql AS quality FROM documents)
+         |SELECT doc_id, component, quality FROM (
+         |  SELECT c.doc_id, c.component, q.quality,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN qual q ON q.doc_id = c.doc_id) t
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dd_components" ->
       s"""WITH RECURSIVE $ngramShingleCteSql,
          |pairs AS ($ngramPairsSelectSql),
@@ -1575,6 +1613,7 @@ object Pipeline {
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),
+    "dd_keep_best" -> (keepBestQ _),
     "dd_emb_near_dup" -> (embNearDupQ _),
     "tx_stats" -> (textStatsQ _),
     "tx_repetition" -> (repetitionQ _),

@@ -276,4 +276,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept < n, "near-dup removal must drop documents")
     assert(kept >= n - pairs.count(), "can only drop flagged docs")
   }
+
+  test("dedupKeepBest: one best row per component, singletons pass through") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {4} and {5} singletons
+    val docs = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.7)
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val comps = docs.nearDupComponents("doc_id", pairs)
+    val kept = docs.dedupKeepBest("doc_id", comps,
+        Seq(col("quality").desc, col("doc_id").asc))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    // cluster {1,2,3}: quality tie 2 vs 3 breaks to lower id -> 2
+    assert(kept.map(_._1).toSeq === Seq(2L, 4L, 5L))
+    // every kept row carries its component label
+    assert(kept.toMap.apply(2L) === 1L)
+    // plan: the rank-1 filter pre-prunes map-side
+    val plan = docs.dedupKeepBest("doc_id", comps,
+      Seq(col("quality").desc, col("doc_id").asc))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"keep-best must pre-prune before the component shuffle:\n$plan")
+  }
 }

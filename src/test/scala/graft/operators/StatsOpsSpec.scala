@@ -55,4 +55,44 @@ class StatsOpsSpec extends SparkSpec {
       assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("robustOutlierFilter: MAD clip on a known fixture, MAD=0 keeps the group") {
+    import spark.implicits._
+    // group a: values 10,10,11,12,13,100 -> median 11.5, deviations
+    // (1.5,1.5,0.5,0.5,1.5,88.5) sorted (0.5,0.5,1.5,1.5,1.5,88.5) ->
+    // MAD 1.5; k=3 keeps |v-11.5| <= 4.5 -> drops only 100
+    // group b: all equal -> MAD 0 -> whole group kept by convention
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 11.0),
+      ("a", 4L, 12.0), ("a", 5L, 13.0), ("a", 6L, 100.0),
+      ("b", 7L, 5.0), ("b", 8L, 5.0), ("b", 9L, 5.0)
+    ).toDF("g", "id", "v")
+    val got = df.robustOutlierFilter("g", "v", k = 3.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L))
+    val aRow = got.find(_._1 == 1L).get
+    assert(aRow._2 === 11.5 && aRow._3 === 1.5)
+    val bRow = got.find(_._1 == 7L).get
+    assert(bRow._2 === 5.0 && bRow._3 === 0.0)
+  }
+
+  test("robustOutlierFilter is partition-independent and immune to extreme outliers") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val rows = (0 until 200).map { i =>
+      val v = if (i % 50 == 0) 1e9 else 100.0 + rng.nextGaussian()
+      (s"g${i % 2}", i.toLong, v)
+    }
+    val df = rows.toDF("g", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.robustOutlierFilter("g", "v", k = 3.5)
+        .collect().map(_.getLong(1)).sorted.toSeq
+    val kept = run(df)
+    // the 1e9 spikes are dropped (mean/stddev clipping would have been
+    // dragged by them; median/MAD is not)
+    assert(rows.filter(_._3 == 1e9).map(_._2).forall(id => !kept.contains(id)))
+    assert(kept.size >= 180)
+    assert(kept === run(df.repartition(13)))
+  }
 }
