@@ -188,6 +188,27 @@ object Bench {
       import graft.operators.CorpusOps._
       documents(s, d).bpePairStats("text", topN = 50)
     }),
+    // r8d corpus ops: passage dedup (digest-keyed first-occurrence +
+    // id-keyed reassembly), bigram word-order quality (two count
+    // tables + token-keyed joins), BPE apply (shuffle-free replace
+    // chain), integer PageRank (one equi-join + agg per iteration)
+    "b8pd_passage_dedup" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      documents(s, d).passageDedup("doc_id", "text", width = 20)
+    }),
+    "b8bg_bigram_quality" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      documents(s, d).bigramScore("doc_id", "text")
+    }),
+    "b8be_bpe_encode" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      val docs = documents(s, d)
+      docs.select(col("doc_id"),
+        size(docs.bpeEncode("text", graft.queries.Pipeline.bpeMerges))
+          .as("n_bpe"))
+    }),
+    "b8pr_pagerank" -> ((s: SparkSession, d: String) =>
+      graft.queries.Pipeline.queries("gp_pagerank")(s, d)),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._

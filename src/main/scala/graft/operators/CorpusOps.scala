@@ -460,5 +460,207 @@ object CorpusOps {
         .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
         .limit(topN)
     }
+
+    /** Cross-corpus repeated-passage removal — the passage-level
+      * counterpart of document dedup (repeated spans across DIFFERENT
+      * documents: quoted reposts, templated headers, license blocks —
+      * the duplication document-level dedup cannot see). Every document
+      * splits into fixed-`width`-word passages; only the globally FIRST
+      * occurrence of each distinct passage survives (ordered by
+      * (document id, position) — a total order, so the result is
+      * independent of partitioning); each document is reassembled from
+      * its surviving passages in original order.
+      *
+      * Returns `(idCol, text_clean, kept_passages, total_passages)` for
+      * EVERY input document — a document whose passages all first
+      * occurred elsewhere keeps an empty `text_clean` (the pipeline's
+      * length filter then drops it).
+      *
+      * Scale shape: the first-occurrence shuffle carries
+      * `(md5(passage), id, pos)` — a 32-char digest and two longs, never
+      * passage text (same digest discipline as [[DedupOps]]; 2^128
+      * collision space). Passage text rides only the per-document
+      * reassembly, keyed by id. `min(struct(id, pos))` partial-aggregates
+      * map-side, so a passage repeated millions of times (the exact case
+      * this operator exists for) sends one candidate per mapper, not one
+      * per occurrence. Total passage counts come straight from the token
+      * count — no extra shuffle. */
+    def passageDedup(idCol: String, textCol: String,
+                     width: Int = 20): DataFrame = {
+      require(width >= 1, s"width must be >= 1, got $width")
+      val df = ds.toDF
+      val toks = graft.functions.tokens(col(textCol))
+      val nTok = graft.functions.tokenCount(col(textCol))
+      val nPass = ceil(nTok / lit(width.toDouble)).cast("long")
+      val passages = when(nTok === 0L, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0L), nPass - 1L),
+          i => array_join(slice(toks, (i * width + 1L).cast("int"), lit(width)), " ")))
+      val chunked = df.select(col(idCol).as("__graft_did"),
+        posexplode(passages).as(Seq("__graft_pos", "__graft_pass")))
+      val firsts = chunked
+        .groupBy(md5(col("__graft_pass")).as("__graft_key"))
+        .agg(min(struct(col("__graft_did"), col("__graft_pos"))).as("__graft_f"))
+        .select(col("__graft_f.__graft_did").as("__graft_did"),
+          col("__graft_f.__graft_pos").as("__graft_pos"))
+      val cleaned = chunked
+        .join(firsts, Seq("__graft_did", "__graft_pos"), "left_semi")
+        .groupBy(col("__graft_did"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("__graft_pos"), col("__graft_pass")))),
+            x => x("__graft_pass")), " ").as("text_clean"),
+          count(lit(1)).as("kept_passages"))
+      df.select(col(idCol), nPass.as("total_passages"))
+        .join(cleaned.withColumnRenamed("__graft_did", idCol), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("text_clean"), lit("")).as("text_clean"),
+          coalesce(col("kept_passages"), lit(0L)).as("kept_passages"),
+          col("total_passages"))
+    }
+
+    /** Per-document word-ORDER typicality — the bigram companion of
+      * [[unigramScore]]: score = (Σ over the document's adjacent token
+      * pairs of that pair's corpus bigram count) / (Σ of the first
+      * token's corpus unigram count) — a pooled bigram-to-unigram
+      * evidence ratio in (0, 1]. A document whose unigram MIX is
+      * corpus-typical but whose word order is scrambled (the failure
+      * mode unigram scoring cannot see: shuffled text, keyword stuffing,
+      * interleaved columns) scores low, because its bigrams are rare
+      * while its unigrams stay common.
+      *
+      * All counting is exact integer arithmetic with ONE final double
+      * division (the [[unigramScore]] replay discipline — no `ln`, no
+      * per-term double sums), so any SQL engine reproduces the scores
+      * bit-for-bit. Documents with fewer than two tokens score 0.0.
+      *
+      * Scale shape: both count tables are vocabulary-sized (partial
+      * aggregation collapses each mapper's stream before its shuffle) —
+      * the bigram vocabulary is the one to watch, but Zipf keeps it
+      * orders of magnitude under the pair-occurrence stream; the two
+      * score joins are token-keyed with ONE row per key on the count
+      * side (hot stopword-pair keys replicate nothing; AQE splits the
+      * fat occurrence partitions). Document text never rides a join. */
+    def bigramScore(idCol: String, textCol: String): DataFrame = {
+      val df = ds.toDF
+      val base = df.select(col(idCol).as("__graft_bid"),
+          graft.functions.tokens(col(textCol)).as("__graft_ts"))
+        .withColumn("__graft_i",
+          explode(when(size(col("__graft_ts")) >= 2,
+              sequence(lit(1), size(col("__graft_ts")) - 1))
+            .otherwise(array().cast("array<int>"))))
+        .select(col("__graft_bid"),
+          element_at(col("__graft_ts"), col("__graft_i")).as("__graft_w1"),
+          element_at(col("__graft_ts"), col("__graft_i") + 1).as("__graft_w2"))
+      val uniCounts = df
+        .select(explode(graft.functions.tokens(col(textCol))).as("__graft_w1"))
+        .groupBy(col("__graft_w1")).agg(count(lit(1)).as("__graft_c1"))
+      val biCounts = base.groupBy(col("__graft_w1"), col("__graft_w2"))
+        .agg(count(lit(1)).as("__graft_c12"))
+      val perDoc = base
+        .join(biCounts, Seq("__graft_w1", "__graft_w2"))
+        .join(uniCounts, Seq("__graft_w1"))
+        .groupBy(col("__graft_bid"))
+        .agg(sum(col("__graft_c12")).as("__graft_s12"),
+          sum(col("__graft_c1")).as("__graft_s1"),
+          count(lit(1)).as("n_bigrams"))
+      df.select(col(idCol)).join(
+          perDoc.withColumnRenamed("__graft_bid", idCol), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(col("__graft_s12").cast("double") /
+              col("__graft_s1").cast("double"))
+            .as("bigram_score"))
+    }
+
+    /** Tokenize every word of `textCol` with an ORDERED byte-pair-merge
+      * list — the APPLY side of the BPE tokenizer whose training
+      * statistic is [[bpePairStats]] / whose trainer is
+      * [[CorpusOps.learnBpeMerges]]. Standard ordered-merge encoding:
+      * each word becomes its character sequence, then each merge
+      * `(lhs, rhs) -> lhs+rhs` is applied in rank order to every
+      * left-to-right non-overlapping adjacent occurrence. Returns the
+      * document's BPE tokens as one flat array column.
+      *
+      * The kernel is a chain of built-in `replace` calls over a
+      * symbol string with DOUBLE-space separators (`" h  e  l  l  o "`),
+      * one per merge — whole-stage-codegen'd end to end, no UDF, and
+      * bit-replayable in any SQL engine with `replace`. The double
+      * separator is load-bearing: the merge pattern `" a  b "` consumes
+      * only the INNER space of each boundary, so after a replacement the
+      * very next adjacent pair still starts with its own boundary space
+      * and one left-to-right pass merges a whole chain (`a a a a` →
+      * `aa aa`, the canonical pairing — a single-space pattern would eat
+      * the shared boundary and strand every other pair). One pass per
+      * rank is the fixpoint: a merge's output symbol differs from both
+      * inputs, so it can never create a new occurrence of its own pair.
+      * Merge lists are tokenizer-sized (thousands); each adds one
+      * codegen'd pass over a string whose length shrinks monotonically. */
+    def bpeEncode(textCol: String, merges: Seq[(String, String)]): Column = {
+      require(merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty },
+        "bpeEncode: empty merge symbol")
+      val encodeWord = (w: Column) => {
+        val spaced = regexp_replace(w, "(.)", " $1 ")
+        val merged = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+          replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
+        }
+        graft.functions.tokens(merged)
+      }
+      flatten(transform(graft.functions.tokens(col(textCol)), encodeWord))
+    }
+
+    /** Greedy BPE tokenizer training over the corpus: `rounds` merge
+      * rules, each the most-frequent adjacent symbol pair (ties broken
+      * lexicographically — deterministic) under all PREVIOUS merges —
+      * the classic Sennrich et al. loop, with the corpus collapsed to
+      * its word-frequency vocabulary first so every round is one
+      * aggregation over a Zipf-small table, never the token stream.
+      *
+      * The vocabulary is localCheckpointed once and each round's merge
+      * is applied as a codegen'd `replace` on the spaced representation
+      * — `rounds` narrow passes, one `limit(1)` collect per round (two
+      * driver numbers: the pair). Training is driver-looped by nature
+      * (each rule depends on the last — same shape as the Lloyd rounds
+      * of [[VectorOps]]); the apply side ([[bpeEncode]]) is a single
+      * codegen'd pass. */
+    def learnBpeMerges(textCol: String, rounds: Int): Seq[(String, String)] = {
+      require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+      val wc0 = ds.toDF
+        .select(explode(graft.functions.tokens(col(textCol))).as("__graft_w"))
+        .groupBy(col("__graft_w")).agg(count(lit(1)).as("__graft_n"))
+        .select(regexp_replace(col("__graft_w"), "(.)", " $1 ")
+          .as("__graft_sp"), col("__graft_n"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var wc = wc0
+      var round = 0
+      var exhausted = false
+      while (round < rounds && !exhausted) {
+        val syms = graft.functions.tokens(col("__graft_sp"))
+        val idx = when(size(syms) >= 2, sequence(lit(1), size(syms) - 1))
+          .otherwise(array().cast("array<int>"))
+        val top = wc
+          .select(col("__graft_n"), syms.as("__graft_ss"),
+            explode(idx).as("__graft_i"))
+          .select(col("__graft_n"),
+            element_at(col("__graft_ss"), col("__graft_i")).as("lhs"),
+            element_at(col("__graft_ss"), col("__graft_i") + 1).as("rhs"))
+          .groupBy(col("lhs"), col("rhs"))
+          .agg(sum(col("__graft_n")).as("pc"))
+          .orderBy(col("pc").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          wc = wc.select(
+            replace(col("__graft_sp"), lit(s" $a  $b "), lit(s" $a$b "))
+              .as("__graft_sp"), col("__graft_n"))
+            .localCheckpoint()
+        }
+        round += 1
+      }
+      merges.toSeq
+    }
   }
 }

@@ -496,6 +496,69 @@ object Pipeline {
       fingerprint64(col("text")).as("fp64"))
       .orderBy(col("doc_id"))
 
+  /** Cross-corpus repeated-passage removal (CorpusOps.passageDedup):
+    * 20-word passages, global first occurrence by (doc_id, position)
+    * survives, documents reassembled. Fully replayed in DuckDB (the
+    * dedup key is md5 in both engines). */
+  def passageDedupQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).passageDedup("doc_id", "text", width = 20)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word-order typicality (CorpusOps.bigramScore): pooled corpus
+    * bigram-to-unigram evidence ratio — exact integer sums, one final
+    * division, bit-replayable. */
+  def bigramQualityQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).bigramScore("doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed ordered merge list for the BPE-encode query and its oracle —
+    * chosen to exercise chained merges (spark/the/join/data collapse to
+    * single tokens through 3–4 dependent ranks) over this corpus's
+    * vocabulary. The operator takes ANY list (e.g. from
+    * CorpusOps.learnBpeMerges); the QUERY pins a literal one so the
+    * DuckDB replay can apply the identical ranks. */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    "s" -> "p", "sp" -> "a", "spa" -> "r", "spar" -> "k",
+    "t" -> "h", "th" -> "e",
+    "j" -> "o", "jo" -> "i", "joi" -> "n",
+    "d" -> "a", "da" -> "t", "dat" -> "a",
+    "e" -> "r", "o" -> "r")
+
+  /** BPE apply (CorpusOps.bpeEncode) under [[bpeMerges]]: per-document
+    * whitespace vs BPE token counts plus the first 8 BPE tokens. The
+    * encode kernel is a replace-chain, replayed verbatim in DuckDB. */
+  def bpeEncodeQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    val docs = documents(s, d)
+    val bpe = docs.bpeEncode("text", bpeMerges)
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_ws_tokens"),
+      size(bpe).cast("long").as("n_bpe_tokens"),
+      array_join(slice(bpe, 1, 8), " ").as("bpe_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-point integer PageRank (GraphOps.pageRank) over the
+    * supplier->part purchase graph (part keys offset to disjoint node
+    * ids): 3 iterations, damping 17/20, uniform dangling redistribution
+    * — every part is dangling, so the correction path is exercised on
+    * real data. All-long arithmetic, bit-replayed by 3 unrolled
+    * iterations in DuckDB. */
+  def pageRankQ(s: SparkSession, d: String): DataFrame = {
+    val e = lineitem(s, d)
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") + 1000000000L).as("dst"))
+      .distinct()
+    graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 3)
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(50)
+  }
+
   // ---- embedding similarity search ----
 
   private def queryVec(s: SparkSession, d: String): Array[Float] =
@@ -972,7 +1035,151 @@ object Pipeline {
       |    ON a.lang = b.lang AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id) t
       |WHERE jaccard >= 0.8""".stripMargin
 
+  /** DuckDB replay of the [[graft.operators.CorpusOps.bpeEncode]]
+    * replace-chain under [[bpeMerges]], applied to a word expression. */
+  private def bpeEncodeSql(wordExpr: String): String =
+    bpeMerges.foldLeft(
+      s"regexp_replace($wordExpr, '(.)', ' \\1 ', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+
+  /** DuckDB mirror of GraphOps.dampTerm: exact floor(x*num/20) for
+    * non-negative BIGINT x with no float multiply. */
+  private def dampSql(x: String, num: Int): String =
+    s"(CAST(floor(($x)/20) AS BIGINT)*$num" +
+      s" + CAST(floor((($x)%20)*$num/20) AS BIGINT))"
+
+  /** One unrolled PageRank iteration (CTE bodies): contributions,
+    * dangling share, new ranks — the exact integer arithmetic of
+    * GraphOps.pageRank. */
+  private def prIterSql(prev: String, cur: String): String =
+    s"""pr_c$cur AS (
+       |  SELECT e.dst AS node,
+       |    CAST(SUM(CAST(floor(CAST(r.rank AS DOUBLE)/d.outdeg) AS BIGINT))
+       |         AS BIGINT) AS contrib
+       |  FROM pr_r$prev r
+       |  JOIN pr_edges e ON r.node = e.src
+       |  JOIN pr_deg d ON d.src = e.src
+       |  GROUP BY e.dst),
+       |pr_g$cur AS (
+       |  SELECT COALESCE(CAST(SUM(r.rank) AS BIGINT), 0)
+       |           // (SELECT n FROM pr_n) AS share
+       |  FROM pr_r$prev r LEFT JOIN pr_deg d ON r.node = d.src
+       |  WHERE d.src IS NULL),
+       |pr_r$cur AS (
+       |  SELECT nd.node,
+       |    (SELECT tp FROM pr_tele)
+       |      + ${dampSql(s"COALESCE(c.contrib, 0) + (SELECT share FROM pr_g$cur)", 17)}
+       |      AS rank
+       |  FROM pr_nodes nd LEFT JOIN pr_c$cur c USING (node))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // full replay: same 20-word passages, same md5 dedup key, same
+    // (doc_id, pos) first-occurrence order, same reassembly
+    "pp_passage_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                q -> q != '') AS ts
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ts,
+        |    unnest(range(0, CAST(ceil(len(ts)/20.0) AS BIGINT))) AS pos
+        |  FROM toks),
+        |chunked AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(ts[(pos*20+1):(pos*20+20)], ' ') AS pass
+        |  FROM pos),
+        |kept AS (
+        |  SELECT doc_id, pos, pass FROM (
+        |    SELECT doc_id, pos, pass,
+        |      row_number() OVER (PARTITION BY md5(pass)
+        |                         ORDER BY doc_id, pos) AS rn
+        |    FROM chunked) t WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(pass, ' ' ORDER BY pos) AS text_clean,
+        |    count(*) AS kept_passages
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(a.text_clean, '') AS text_clean,
+        |  COALESCE(a.kept_passages, 0) AS kept_passages,
+        |  CAST(ceil(len(t.ts)/20.0) AS BIGINT) AS total_passages
+        |FROM toks t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    // exact integer sums over corpus bigram/unigram counts; the single
+    // final double division is correctly rounded in both engines
+    "tx_bigram_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                q -> q != '') AS ts
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks) t),
+        |unicnt AS (
+        |  SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(ts) AS w1 FROM toks) u GROUP BY 1),
+        |bicnt AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |per AS (
+        |  SELECT b.doc_id,
+        |    CAST(sum(bc.c12) AS BIGINT) AS s12,
+        |    CAST(sum(uc.c1) AS BIGINT) AS s1,
+        |    count(*) AS n_bigrams
+        |  FROM big b
+        |  JOIN bicnt bc USING (w1, w2)
+        |  JOIN unicnt uc USING (w1)
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+        |       ELSE CAST(p.s12 AS DOUBLE) / CAST(p.s1 AS DOUBLE)
+        |  END AS bigram_score
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // identical replace-chain per word, identical merge ranks
+    "tx_bpe_encode" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                q -> q != '') AS ts
+         |  FROM documents),
+         |enc AS (
+         |  SELECT doc_id, ts,
+         |    flatten(list_transform(ts, w ->
+         |      list_filter(regexp_split_to_array(trim(${bpeEncodeSql("w")}),
+         |                                        '\\s+'), q -> q != ''))) AS bpe
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CAST(len(ts) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+         |  array_to_string(bpe[1:8], ' ') AS bpe_head
+         |FROM enc ORDER BY doc_id""".stripMargin,
+    // 3 unrolled fixed-point iterations, bit-identical long arithmetic
+    "gp_pagerank" ->
+      s"""WITH pr_edges AS (
+         |  SELECT DISTINCT l_suppkey AS src,
+         |    l_partkey + 1000000000 AS dst
+         |  FROM lineitem),
+         |pr_nodes AS (
+         |  SELECT src AS node FROM pr_edges
+         |  UNION SELECT dst FROM pr_edges),
+         |pr_n AS (SELECT count(*) AS n FROM pr_nodes),
+         |pr_deg AS (
+         |  SELECT src, count(*) AS outdeg FROM pr_edges GROUP BY src),
+         |pr_init AS (
+         |  SELECT 1000000000000000 // (SELECT n FROM pr_n) AS iv),
+         |pr_tele AS (
+         |  SELECT ${dampSql("(SELECT iv FROM pr_init)", 3)} AS tp),
+         |pr_r0 AS (
+         |  SELECT node, (SELECT iv FROM pr_init) AS rank FROM pr_nodes),
+         |${prIterSql("0", "1")},
+         |${prIterSql("1", "2")},
+         |${prIterSql("2", "3")}
+         |SELECT node, rank FROM pr_r3
+         |ORDER BY rank DESC, node ASC LIMIT 50""".stripMargin,
     // same injection, same email -> URL -> phone replacement chain; the
     // patterns are Java-regex ∩ RE2 so both engines see identical matches
     "pp_redact" ->
@@ -1631,6 +1838,10 @@ object Pipeline {
     "pp_semantic_contamination" -> (semanticContaminationQ _),
     "ann_ivf_trained_topk" -> (annIvfTrainedQ _),
     "ann_pq_topk" -> (annPqTopKQ _),
-    "ann_ivfpq_topk" -> (annIvfPqTopKQ _)
+    "ann_ivfpq_topk" -> (annIvfPqTopKQ _),
+    "pp_passage_dedup" -> (passageDedupQ _),
+    "tx_bigram_quality" -> (bigramQualityQ _),
+    "tx_bpe_encode" -> (bpeEncodeQ _),
+    "gp_pagerank" -> (pageRankQ _)
   )
 }

@@ -160,6 +160,27 @@ object ExplainPlans {
       import graft.operators.CorpusOps._
       documents(spark, d).bpePairStats("text", topN = 50)
     }
+    show("passage_dedup (expect partial-agg min(struct) on the md5 key — passage text rides only the id-keyed reassembly)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).passageDedup("doc_id", "text", width = 20)
+    }
+    show("bigram_quality (expect two partial-agg count tables, token-keyed joins, long sums — text never rides a join)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).bigramScore("doc_id", "text")
+    }
+    show("bpe_encode (expect ONE shuffle-free codegen'd replace-chain projection over the scan)") {
+      import graft.operators.CorpusOps._
+      val docs = documents(spark, d)
+      docs.select(col("doc_id"),
+        size(docs.bpeEncode("text", graft.queries.Pipeline.bpeMerges))
+          .as("n_bpe"))
+    }
+    show("pagerank_iteration (expect src-keyed equi-join + partial-agg contribution sum per round — no cross, no global sort)") {
+      val e = lineitem(spark, d)
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 1000000000L).as("dst")).distinct()
+      graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 1)
+    }
     spark.stop()
   }
 }

@@ -255,6 +255,38 @@ object ScaleTrend {
         m = 4, ksub = 4, refine = 50, iters = 2).count()
     }
 
+    // passage dedup over the replicated corpus: the vowel translation
+    // keeps cross-replica passages distinct, so the first-occurrence
+    // table grows ~n and within-replica duplication structure is
+    // preserved — both shuffles (digest-keyed, id-keyed) grow ~n
+    def b8pd(n: Int): Long = {
+      import graft.operators.CorpusOps._
+      docsRep(spark, d, n).passageDedup("doc_id", "text", width = 20).count()
+    }
+
+    // bigram quality over the replicated corpus: vocabulary and bigram
+    // count tables grow ~n (translated replicas share no tokens), the
+    // token-keyed joins and doc sums grow ~n — a healthy plan reads e≈1
+    def b8bg(n: Int): Long = {
+      import graft.operators.CorpusOps._
+      docsRep(spark, d, n).bigramScore("doc_id", "text").count()
+    }
+
+    // integer PageRank over replicated purchase graphs: replica r
+    // offsets BOTH endpoints, so the slice is n disjoint copies of the
+    // graph (n-fold nodes and edges, constant degree structure — the
+    // 100-TB shape). Each iteration's equi-join + contribution agg
+    // grows ~n; dst base 5e7 keeps src/dst ranges disjoint within and
+    // across replicas at any n here
+    def b8pr(n: Int): Long = {
+      val e = (0 until n).map { r =>
+        lineitem(spark, d).select(
+          (col("l_suppkey") + lit(r * IdOffset)).as("src"),
+          (col("l_partkey") + lit(50000000L + r * IdOffset)).as("dst"))
+      }.reduce(_ unionByName _).distinct()
+      graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 3).count()
+    }
+
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b5_knn_join_grid" -> (b5 _),
@@ -272,7 +304,10 @@ object ScaleTrend {
           "b9q_quantile_stats" -> (b9q _),
           "b8i_importance" -> (b8i _),
           "b8e_bpe_pairs" -> (b8e _),
-          "b6pq_ann_pq" -> (b6pq _))
+          "b6pq_ann_pq" -> (b6pq _),
+          "b8pd_passage_dedup" -> (b8pd _),
+          "b8bg_bigram_quality" -> (b8bg _),
+          "b8pr_pagerank" -> (b8pr _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f

@@ -350,4 +350,109 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.map(_._3).sliding(2).forall(p => p.head >= p.last))
     assert(a === run(fixture.repartition(13)))
   }
+
+  test("passageDedup: hand fixture — global first occurrence survives") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f"),   // passages "a b c", "d e f" — both first
+      (2L, "a b c x y z"),   // "a b c" dup of doc1#0 -> dropped
+      (3L, "d e f")          // dup of doc1#1 -> doc fully dropped
+    ).toDF("doc_id", "text")
+    val got = fixture.passageDedup("doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === (("a b c d e f", 2L, 2L)))
+    assert(got(2L) === (("x y z", 1L, 2L)))
+    assert(got(3L) === (("", 0L, 1L)))
+  }
+
+  test("passageDedup: corpus invariants + partition independence") {
+    val base = docs.filter(col("doc_id") < 60)
+    val out = base.passageDedup("doc_id", "text", width = 10)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === base.count())
+    rows.foreach { case (_, txt, kept, total) =>
+      assert(kept <= total)
+      val n = if (txt.isEmpty) 0 else txt.split("\\s+").length
+      // every kept passage has <= width words; count matches the text
+      assert(n <= kept * 10 && (kept == 0) == txt.isEmpty)
+    }
+    // total kept across the corpus == number of DISTINCT passages
+    val distinctPassages = base.passageDedup("doc_id", "text", width = 10)
+      .agg(sum(col("kept_passages"))).head().getLong(0)
+    val rerun = base.repartition(13).passageDedup("doc_id", "text", width = 10)
+      .agg(sum(col("kept_passages"))).head().getLong(0)
+    assert(distinctPassages === rerun)
+  }
+
+  test("bigramScore: hand-computed pooled ratio") {
+    import spark.implicits._
+    // corpus = one doc "a b a b": bigrams (a,b),(b,a),(a,b)
+    // c12: (a,b)=2, (b,a)=1; c1: a=2, b=2
+    // s12 = 2+1+2 = 5; s1 = 2+2+2 = 6; score = 5/6
+    val fixture = Seq((1L, "a b a b"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = fixture.bigramScore("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) === ((3L, 5.0 / 6.0)))
+    assert(got(2L) === ((0L, 0.0))) // single token: no bigrams
+    assert(got(3L) === ((0L, 0.0)))
+  }
+
+  test("bigramScore: scrambled word order scores below typical order") {
+    import spark.implicits._
+    // five docs share the dominant order u->v; doc 6 has the same
+    // unigram mix but atypical adjacencies
+    val fixture = (1L to 5L).map(i => (i, "u v u v u v")) :+
+      ((6L, "u u u v v v"))
+    val got = fixture.toDF("doc_id", "text").bigramScore("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(6L) < got(1L),
+      s"scrambled ${got(6L)} should score below typical ${got(1L)}")
+    assert(got.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("bpeEncode: ordered merges, chained and adjacent occurrences") {
+    import spark.implicits._
+    val fixture = Seq((1L, "hello aaaa aaa")).toDF("doc_id", "text")
+    val got = fixture.select(
+      fixture.bpeEncode("text", Seq("l" -> "l", "ll" -> "o", "a" -> "a"))
+        .as("bpe")).head().getSeq[String](0)
+    // hello: (l,l) -> h e ll o; (ll,o) -> h e llo
+    // aaaa:  (a,a) left-to-right non-overlap -> aa aa
+    // aaa:   -> aa a
+    assert(got === Seq("h", "e", "llo", "aa", "aa", "aa", "a"))
+  }
+
+  test("bpeEncode: lossless — tokens concatenate back to the words") {
+    val merges = Seq("s" -> "p", "sp" -> "a", "spa" -> "r", "spar" -> "k",
+      "t" -> "h", "th" -> "e", "d" -> "a", "da" -> "t", "dat" -> "a")
+    val base = docs.filter(col("doc_id") < 40)
+    val bad = base.select(
+      concat_ws("", base.bpeEncode("text", merges)).as("re"),
+      regexp_replace(trim(col("text")), "\\s+", "").as("orig"))
+      .filter(col("re") =!= col("orig")).count()
+    assert(bad === 0L)
+    // and the merge list actually fires: fewer BPE tokens than chars
+    val Seq(nBpe, nCh) = base.select(
+      sum(size(base.bpeEncode("text", merges))).cast("long"),
+      sum(length(regexp_replace(col("text"), "\\s+", ""))).cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    assert(nBpe < nCh)
+  }
+
+  test("learnBpeMerges: greedy ranks on a hand corpus, then round-trip") {
+    import spark.implicits._
+    // the x3, cat x1; round 1 ties (t,h)/(h,e) at 3 -> lexicographic
+    // (h,e); round 2 (t,he) at 3; round 3 ties (a,t)/(c,a) -> (a,t)
+    val fixture = Seq((1L, "the the cat"), (2L, "the")).toDF("doc_id", "text")
+    val merges = fixture.learnBpeMerges("text", rounds = 3)
+    assert(merges === Seq("h" -> "e", "t" -> "he", "a" -> "t"))
+    val enc = fixture.select(fixture.bpeEncode("text", merges).as("b"))
+      .collect().map(_.getSeq[String](0))
+    assert(enc(0) === Seq("the", "the", "c", "at"))
+    assert(enc(1) === Seq("the"))
+  }
 }

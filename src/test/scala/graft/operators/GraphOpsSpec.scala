@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("pageRank: 3-cycle stays uniform, mass conserved to quantization") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val mass = 1000000000000000L
+    val got = GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // symmetric cycle: all ranks identical
+    assert(got.values.toSet.size === 1)
+    // each floor loses < 1 unit; 3 iterations, <= a few units per node
+    val total = got.values.sum
+    assert(total <= mass && total >= mass - 100L,
+      s"mass $total drifted from $mass")
+  }
+
+  test("pageRank: star with dangling sink — hand-computed first iteration") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    // massScale 20000, n 4 -> init 5000, teleport floor(5000*3/20)=750
+    // node 1 is dangling (rank 5000 redistributes: share 1250)
+    // r1(1) = 750 + floor(0.85*(15000+1250)) = 750 + 13812 = 14562
+    // r1(2..4) = 750 + floor(0.85*1250) = 750 + 1062 = 1812
+    val got = GraphOps.pageRank(edges, "src", "dst", iters = 1,
+      massScale = 20000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 14562L)
+    assert(got(2L) === 1812L && got(3L) === 1812L && got(4L) === 1812L)
+  }
+
+  test("pageRank: bit-identical across partitionings; sink gains rank") {
+    import spark.implicits._
+    val edges = (1L to 200L).map(i => (i, i % 20 + 1000L)).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.pageRank(df, "src", "dst", iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val a = run(edges)
+    assert(a === run(edges.repartition(17)))
+    // the 20 sink nodes absorb more rank than any pure source
+    val ranks = a.toMap
+    val sinkMin = (1000L to 1019L).map(ranks).min
+    val srcMax = (1L to 200L).map(ranks).max
+    assert(sinkMin > srcMax)
+  }
+}

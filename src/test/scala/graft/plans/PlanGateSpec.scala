@@ -126,6 +126,48 @@ class PlanGateSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus side must not sort-merge:\n$p")
   }
 
+  test("passage dedup: partial min(struct) on the digest key, no nested loop") {
+    import graft.operators.CorpusOps._
+    val p = plan(documents(spark, sf()).passageDedup("doc_id", "text", 20))
+    assert(p.contains("partial_min"),
+      s"first-occurrence agg lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"passage dedup degenerated:\n$p")
+  }
+
+  test("bigram quality: partial-agg count tables, equi-joins only") {
+    import graft.operators.CorpusOps._
+    val p = plan(documents(spark, sf()).bigramScore("doc_id", "text"))
+    assert(p.contains("partial_count"),
+      s"bigram count tables lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bigram score joins degenerated:\n$p")
+  }
+
+  test("bpe encode: one shuffle-free codegen'd projection over the scan") {
+    import graft.operators.CorpusOps._
+    val docs = documents(spark, sf())
+    val p = plan(docs.select(col("doc_id"),
+      size(docs.bpeEncode("text", graft.queries.Pipeline.bpeMerges)).as("n")))
+    assert(!p.contains("Exchange"), s"bpe encode must not shuffle:\n$p")
+    // the per-word lambda evaluates interpreted (ArrayTransform is
+    // CodegenFallback — the documented pivot-HOF trade); the gate pins
+    // the SHAPE: one projection straight over the scan, no join, no agg
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      s"bpe encode grew extra operators:\n$p")
+  }
+
+  test("pagerank: src-keyed equi-joins with partial contribution sums, no cross") {
+    val e = lineitem(spark, sf())
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") + 1000000000L).as("dst")).distinct()
+    val p = plan(graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 1))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank iteration degenerated:\n$p")
+    assert(p.contains("partial_sum"),
+      s"contribution sum lost map-side combine:\n$p")
+  }
+
   test("quadtree range reads the cached clustering") {
     val qt = graft.index.IndexManager.quadTreeIndexTable(spark, cust,
       "plangate_qt", Seq("cx", "cy"), numPartitions = 4)
