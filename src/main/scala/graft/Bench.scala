@@ -209,6 +209,10 @@ object Bench {
     }),
     "b8pr_pagerank" -> ((s: SparkSession, d: String) =>
       graft.queries.Pipeline.queries("gp_pagerank")(s, d)),
+    "b8ve_vocab_encode" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      documents(s, d).vocabEncode("doc_id", "text", vocabSize = 1000)
+    }),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._

@@ -609,6 +609,56 @@ object CorpusOps {
       flatten(transform(graft.functions.tokens(col(textCol)), encodeWord))
     }
 
+    /** Frequency-ranked vocabulary build + token-id encoding — the
+      * export step between tokenizer training and sequence packing:
+      * the `vocabSize` most frequent tokens get ids 1..vocabSize by
+      * (count DESC, token ASC) rank (deterministic; id 0 is reserved
+      * for out-of-vocabulary), and every document becomes its id
+      * sequence. Returns `(idCol, ids, n_tokens, n_unk)`.
+      *
+      * Scale shape: the count table is vocabulary-sized and
+      * partial-aggregated; the top-`vocabSize` cut is
+      * TakeOrderedAndProject (per-partition heaps — never a global
+      * sort of the count table), and the rank window runs over the
+      * ALREADY-CUT `vocabSize` rows, so the one single-partition
+      * window is bounded by the parameter, not the corpus. The encode
+      * join is token-keyed with one row per token on the vocab side
+      * (hot stopwords replicate nothing); ids reassemble on the
+      * document key. Integer arithmetic end to end — any engine
+      * replays the ids exactly. */
+    def vocabEncode(idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+      require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+      val df = ds.toDF
+      val tokPos = df.select(col(idCol).as("__graft_vid"),
+        posexplode(graft.functions.tokens(col(textCol)))
+          .as(Seq("__graft_pos", "__graft_tok")))
+      val counts = tokPos.groupBy(col("__graft_tok"))
+        .agg(count(lit(1)).as("__graft_c"))
+        .orderBy(col("__graft_c").desc, col("__graft_tok").asc)
+        .limit(vocabSize)
+      val vocab = counts.withColumn("__graft_tid",
+        row_number().over(Window.orderBy(
+          col("__graft_c").desc, col("__graft_tok").asc)).cast("int"))
+        .select(col("__graft_tok"), col("__graft_tid"))
+      val enc = tokPos.join(vocab, Seq("__graft_tok"), "left")
+        .select(col("__graft_vid"), col("__graft_pos"),
+          coalesce(col("__graft_tid"), lit(0)).as("__graft_tid"))
+        .groupBy(col("__graft_vid"))
+        .agg(
+          transform(array_sort(collect_list(
+            struct(col("__graft_pos"), col("__graft_tid")))),
+            x => x("__graft_tid")).as("ids"),
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("__graft_tid") === 0, 1L).otherwise(0L)).as("n_unk"))
+      df.select(col(idCol)).join(
+          enc.withColumnRenamed("__graft_vid", idCol), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("ids"), array().cast("array<int>")).as("ids"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_unk"), lit(0L)).as("n_unk"))
+    }
+
     /** Greedy BPE tokenizer training over the corpus: `rounds` merge
       * rules, each the most-frequent adjacent symbol pair (ties broken
       * lexicographically — deterministic) under all PREVIOUS merges —

@@ -559,6 +559,18 @@ object Pipeline {
       .limit(50)
   }
 
+  /** Vocabulary build + id encoding (CorpusOps.vocabEncode): top-1000
+    * tokens by (count DESC, token ASC), ids 1..1000, OOV -> 0; per-doc
+    * counts plus the first 10 ids. Integer-exact, fully replayed. */
+  def vocabEncodeQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).vocabEncode("doc_id", "text", vocabSize = 1000)
+      .select(col("doc_id"),
+        col("n_tokens"), col("n_unk"),
+        concat_ws(",", slice(col("ids"), 1, 10)).as("ids_head"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- embedding similarity search ----
 
   private def queryVec(s: SparkSession, d: String): Array[Float] =
@@ -1137,6 +1149,37 @@ object Pipeline {
         |  CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
         |       ELSE CAST(p.s12 AS DOUBLE) / CAST(p.s1 AS DOUBLE)
         |  END AS bigram_score
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // integer-exact vocab ranks + id encoding, fully replayed
+    "tx_vocab_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                q -> q != '') AS ts
+        |  FROM documents),
+        |tokpos AS (
+        |  SELECT doc_id, pos, ts[pos] AS tok
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos
+        |        FROM toks) t),
+        |cnt AS (SELECT tok, count(*) AS c FROM tokpos GROUP BY 1),
+        |vocab AS (
+        |  SELECT tok,
+        |    CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS INT) AS tid
+        |  FROM cnt QUALIFY tid <= 1000),
+        |enc AS (
+        |  SELECT t.doc_id, t.pos, COALESCE(v.tid, 0) AS tid
+        |  FROM tokpos t LEFT JOIN vocab v USING (tok)),
+        |per AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |    array_to_string((list(tid ORDER BY pos))[1:10], ',') AS ids_head
+        |  FROM enc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_tokens, 0) AS n_tokens,
+        |  COALESCE(p.n_unk, 0) AS n_unk,
+        |  COALESCE(p.ids_head, '') AS ids_head
         |FROM documents d LEFT JOIN per p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     // identical replace-chain per word, identical merge ranks
@@ -1842,6 +1885,7 @@ object Pipeline {
     "pp_passage_dedup" -> (passageDedupQ _),
     "tx_bigram_quality" -> (bigramQualityQ _),
     "tx_bpe_encode" -> (bpeEncodeQ _),
+    "tx_vocab_encode" -> (vocabEncodeQ _),
     "gp_pagerank" -> (pageRankQ _)
   )
 }

@@ -175,6 +175,10 @@ object ExplainPlans {
         size(docs.bpeEncode("text", graft.queries.Pipeline.bpeMerges))
           .as("n_bpe"))
     }
+    show("vocab_encode (expect TakeOrdered vocab cut + token-keyed left join — the rank window runs over the CUT rows only)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).vocabEncode("doc_id", "text", vocabSize = 1000)
+    }
     show("pagerank_iteration (expect src-keyed equi-join + partial-agg contribution sum per round — no cross, no global sort)") {
       val e = lineitem(spark, d)
         .select(col("l_suppkey").as("src"),

@@ -287,6 +287,16 @@ object ScaleTrend {
       graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 3).count()
     }
 
+    // vocab encode over the replicated corpus: the count table grows ~n
+    // (translated replicas share no tokens) but the vocab CUT stays
+    // fixed at vocabSize — so the OOV share rises while the TakeOrdered
+    // cut, encode join, and id reassembly all grow ~n
+    def b8ve(n: Int): Long = {
+      import graft.operators.CorpusOps._
+      docsRep(spark, d, n).vocabEncode("doc_id", "text", vocabSize = 1000)
+        .count()
+    }
+
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b5_knn_join_grid" -> (b5 _),
@@ -307,7 +317,8 @@ object ScaleTrend {
           "b6pq_ann_pq" -> (b6pq _),
           "b8pd_passage_dedup" -> (b8pd _),
           "b8bg_bigram_quality" -> (b8bg _),
-          "b8pr_pagerank" -> (b8pr _))
+          "b8pr_pagerank" -> (b8pr _),
+          "b8ve_vocab_encode" -> (b8ve _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f

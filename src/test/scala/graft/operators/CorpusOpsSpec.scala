@@ -443,6 +443,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nBpe < nCh)
   }
 
+  test("vocabEncode: hand fixture — frequency ranks, ties, OOV") {
+    import spark.implicits._
+    // counts: b=3, a=1, c=1, x=1; top-2 = b(id 1), a(id 2) — count
+    // tie at 1 breaks lexicographically; c and x fall out -> OOV id 0
+    val fixture = Seq((1L, "b a b c"), (2L, "b x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = fixture.vocabEncode("doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((Seq(1, 2, 1, 0), 4L, 1L)))
+    assert(got(2L) === ((Seq(1, 0), 2L, 1L)))
+    assert(got(3L) === ((Seq.empty[Int], 0L, 0L)))
+  }
+
+  test("vocabEncode: partition-independent, ids dense in 0..vocabSize") {
+    val base = docs.filter(col("doc_id") < 80)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.vocabEncode("doc_id", "text", vocabSize = 30)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq
+    val a = run(base)
+    assert(a === run(base.repartition(13)))
+    val allIds = a.flatMap(_._2)
+    assert(allIds.forall(id => id >= 0 && id <= 30))
+    // the full vocab range is used (corpus has > 30 distinct tokens)
+    assert(allIds.toSet.size === 31)
+  }
+
   test("learnBpeMerges: greedy ranks on a hand corpus, then round-trip") {
     import spark.implicits._
     // the x3, cat x1; round 1 ties (t,h)/(h,e) at 3 -> lexicographic

@@ -157,6 +157,15 @@ class PlanGateSpec extends SparkSpec {
       s"bpe encode grew extra operators:\n$p")
   }
 
+  test("vocab encode: TakeOrdered vocab cut (never a global count-table sort), equi-join back") {
+    import graft.operators.CorpusOps._
+    val p = plan(documents(spark, sf()).vocabEncode("doc_id", "text", 1000))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut lost its per-partition heap plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"encode join degenerated:\n$p")
+  }
+
   test("pagerank: src-keyed equi-joins with partial contribution sums, no cross") {
     val e = lineitem(spark, sf())
       .select(col("l_suppkey").as("src"),
