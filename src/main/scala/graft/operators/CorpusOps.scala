@@ -38,6 +38,20 @@ import graft.functions._
   */
 object CorpusOps {
 
+  /** The fixed-`width`-word passage split shared by
+    * [[DatasetCorpusOps.passageDedup]] and the streaming gate
+    * ([[graft.streaming.StreamingOps.streamPassageGate]]): passage i =
+    * words [i·width, (i+1)·width), last one possibly short; empty text
+    * has no passages. */
+  private[graft] def passagesOf(text: Column, width: Int): Column = {
+    val toks = graft.functions.tokens(text)
+    val nTok = graft.functions.tokenCount(text)
+    val nPass = ceil(nTok / lit(width.toDouble)).cast("long")
+    when(nTok === 0L, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0L), nPass - 1L),
+        i => array_join(slice(toks, (i * width + 1L).cast("int"), lit(width)), " ")))
+  }
+
   implicit class DatasetCorpusOps[T](private val ds: Dataset[T]) extends AnyVal {
 
     /** Per-document boilerplate fraction against the whole corpus: a
@@ -492,9 +506,7 @@ object CorpusOps {
       val toks = graft.functions.tokens(col(textCol))
       val nTok = graft.functions.tokenCount(col(textCol))
       val nPass = ceil(nTok / lit(width.toDouble)).cast("long")
-      val passages = when(nTok === 0L, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0L), nPass - 1L),
-          i => array_join(slice(toks, (i * width + 1L).cast("int"), lit(width)), " ")))
+      val passages = CorpusOps.passagesOf(col(textCol), width)
       val chunked = df.select(col(idCol).as("__graft_did"),
         posexplode(passages).as(Seq("__graft_pos", "__graft_pass")))
       val firsts = chunked

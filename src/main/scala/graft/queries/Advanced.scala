@@ -93,6 +93,13 @@ object Advanced {
   def streamContamination(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamContaminationCounts(s, d, n = 8).orderBy(col("doc_id"))
 
+  /** Streaming repeated-passage gate: odd-doc arrivals stream through a
+    * stream-static anti join against the even-doc corpus's passage
+    * digests and reassemble from surviving passages — the incremental
+    * shard-vs-corpus twin of pp_passage_dedup. */
+  def streamPassageGateQ(s: SparkSession, d: String): DataFrame =
+    StreamingOps.streamPassageGate(s, d, width = 20).orderBy(col("doc_id"))
+
   /** Point-in-time as-of join: each click event attaches the same
     * user's most recent prior-or-simultaneous purchase (the classic
     * attribution / feature-backfill shape). Union + running window —
@@ -499,6 +506,32 @@ object Advanced {
         |FROM grams g JOIN ev ON g.gram = ev.gram
         |WHERE g.doc_id % 7 <> 0
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // streaming gate = arrivals' passages minus the corpus digest set,
+    // reassembled; same passage split + md5 key as pp_passage_dedup
+    "st_passage_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                q -> q != '') AS ts
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ts,
+        |    unnest(range(0, CAST(ceil(len(ts)/20.0) AS BIGINT))) AS pos
+        |  FROM toks),
+        |chunked AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(ts[(pos*20+1):(pos*20+20)], ' ') AS pass
+        |  FROM pos),
+        |corpus AS (
+        |  SELECT DISTINCT md5(pass) AS key FROM chunked WHERE doc_id % 2 = 0),
+        |kept AS (
+        |  SELECT c.doc_id, c.pos, c.pass
+        |  FROM chunked c LEFT JOIN corpus k ON md5(c.pass) = k.key
+        |  WHERE c.doc_id % 2 <> 0 AND k.key IS NULL)
+        |SELECT doc_id,
+        |  string_agg(pass, ' ' ORDER BY pos) AS text_clean,
+        |  count(*) AS kept_passages
+        |FROM kept GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of
     // the same point-in-time semantics (greatest p_ts <= ts, inclusive,
     // per user). The rn=1 dedupe pins equal-timestamp ties to the max
@@ -600,6 +633,7 @@ object Advanced {
     "st_sessions_native" -> (sessionsNativeStream _),
     "st_stream_dedup" -> (streamDedup _),
     "st_contamination" -> (streamContamination _),
+    "st_passage_gate" -> (streamPassageGateQ _),
     "ts_asof_join" -> (asOfJoinQ _),
     "st_asof" -> (streamAsOfQ _),
     "ts_interval_join" -> (intervalJoinQ _),

@@ -184,6 +184,60 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Streaming repeated-passage gate: newly-arriving documents stream
+    * through a stream-static ANTI join against the STATIC corpus's
+    * passage-digest table — any fixed-width passage already present in
+    * the corpus (here: the even-doc half) is dropped, and each arrival
+    * is reassembled from its surviving passages. The shard-vs-corpus
+    * shape of [[graft.operators.CorpusOps.DatasetCorpusOps.passageDedup]]
+    * (which dedups WITHIN a corpus): the production quarantine gate for
+    * incremental crawls. A document whose passages ALL exist in the
+    * corpus produces no row (nothing survives to aggregate).
+    *
+    * Scale shape: the digest table is passage-cardinality-sized and
+    * carries 32-char md5 keys only; the stream side explodes to
+    * (digest, id, pos) — passage text rides only the per-document
+    * reassembly aggregation. */
+  def streamPassageGate(spark: SparkSession, dir: String,
+                        width: Int = 20): DataFrame = {
+    import graft.operators.CorpusOps
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+    val corpusKeys = batch.filter(col("doc_id") % 2 === 0)
+      .select(explode(CorpusOps.passagesOf(col("text"), width))
+        .as("__graft_pass"))
+      .select(md5(col("__graft_pass")).as("__graft_key"))
+      .distinct()
+    val staged = java.nio.file.Files.createTempDirectory("graft_passage_src")
+    staged.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    staged.resolve("documents.parquet").toFile.deleteOnExit()
+    val sinkName = s"graft_passage_${System.nanoTime()}"
+    val q = spark.readStream
+      .schema(batch.schema)
+      .parquet(staged.toString)
+      .filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"),
+        posexplode(CorpusOps.passagesOf(col("text"), width))
+          .as(Seq("__graft_pos", "__graft_pass")))
+      .withColumn("__graft_key", md5(col("__graft_pass")))
+      .join(corpusKeys, Seq("__graft_key"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__graft_pos"), col("__graft_pass")))),
+          x => x("__graft_pass")), " ").as("text_clean"),
+        count(lit(1)).as("kept_passages"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, total: java.math.BigDecimal)

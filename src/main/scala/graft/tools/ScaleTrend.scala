@@ -336,7 +336,9 @@ object ScaleTrend {
             "b5_knn_join_grid" -> (b5 _),
             "b7_minhash_dedup" -> (b7 _),
             "b8d_contamination" -> (b8d _),
-            "b8i_importance" -> (b8i _))
+            "b8i_importance" -> (b8i _),
+            "b8pd_passage_dedup" -> (b8pd _),
+            "b8pr_pagerank" -> (b8pr _))
       // optional trailing args select a subset (re-measure one entry
       // without re-paying the minutes-long others)
       val want = args.drop(1).toSet

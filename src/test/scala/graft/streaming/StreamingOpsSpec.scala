@@ -32,6 +32,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming passage gate equals the batch anti-join recompute") {
+    import graft.operators.CorpusOps
+    val got = StreamingOps.streamPassageGate(spark, sf(), width = 20)
+    // batch equivalent: arrivals' passages minus the corpus digest set,
+    // reassembled in position order
+    val docs = Tables.documents(spark, sf())
+    val chunked = docs.select(col("doc_id"),
+      posexplode(CorpusOps.passagesOf(col("text"), 20)).as(Seq("pos", "pass")))
+    val corpus = chunked.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("pass")).as("k")).distinct()
+    val want = chunked.filter(col("doc_id") % 2 =!= 0)
+      .join(corpus, md5(col("pass")) === col("k"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"),
+          col("pass")))), x => x("pass")), " ").as("text_clean"),
+        count(lit(1)).as("kept_passages"))
+    assert(got.count() > 0, "gate passed no documents — fixture broke")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and the gate actually drops something: corpus-shared passages exist
+    val arrivalsAll = chunked.filter(col("doc_id") % 2 =!= 0).count()
+    val kept = got.agg(sum(col("kept_passages"))).head().getLong(0)
+    assert(kept < arrivalsAll,
+      s"gate dropped nothing ($kept of $arrivalsAll) — corpus overlap fixture broke")
+  }
+
   test("sessionize carries open sessions across micro-batches, emits closed only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
