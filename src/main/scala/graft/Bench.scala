@@ -213,6 +213,8 @@ object Bench {
       import graft.operators.CorpusOps._
       documents(s, d).vocabEncode("doc_id", "text", vocabSize = 1000)
     }),
+    "b8sd_span_decontamination" -> ((s: SparkSession, d: String) =>
+      graft.queries.Pipeline.queries("pp_span_decontamination")(s, d)),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._

@@ -390,4 +390,64 @@ object DedupOps {
       .select(col("__graft_cid").as(corpusId), col("__graft_eid").as(evalId),
         col("shared_grams"))
   }
+
+  /** Surgical span decontamination — the redaction counterpart of
+    * [[contaminationPairs]]: instead of FLAGGING a contaminated
+    * document (and typically dropping it whole), remove exactly the
+    * token spans that match a benchmark `n`-gram and keep the rest.
+    * A token survives iff NO matched gram's window `[start, start+n)`
+    * covers it. Returns every corpus document as
+    * `(corpusId, text_clean, n_tokens, n_removed)` — untouched
+    * documents pass through with `n_removed = 0`.
+    *
+    * The match phase is the [[contaminationPairs]] shuffle discipline:
+    * corpus grams explode with their START POSITION (id + gram + one
+    * int — text never rides the join), the eval side collapses to its
+    * DISTINCT gram set (typically broadcast), matches semi-join on the
+    * gram string, and matched starts come back as one id-keyed
+    * aggregated array. The redaction itself is a codegen-friendly
+    * higher-order filter over the token array (per token an
+    * `exists` over the doc's OWN matched starts — bounded by that
+    * doc's match count, not the corpus). Pure integer/string
+    * arithmetic end to end, so any SQL engine replays the cleaned
+    * text bit-for-bit. */
+  def decontaminateSpans(corpus: DataFrame, eval: DataFrame,
+                         corpusId: String, textCol: String,
+                         evalTextCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = eval
+      .select(explode(wordGrams(col(evalTextCol), n)).as("__graft_gram"))
+      .distinct()
+    // 1-based gram start positions; a doc with < n tokens has no grams
+    val starts = corpus
+      .select(col(corpusId).as("__graft_did"),
+        posexplode(wordGrams(col(textCol), n))
+          .as(Seq("__graft_p0", "__graft_gram")))
+      .join(evalGrams, Seq("__graft_gram"), "left_semi")
+      .groupBy(col("__graft_did"))
+      .agg(collect_set(col("__graft_p0") + 1).as("__graft_starts"))
+    val toks = graft.functions.tokens(col(textCol))
+    // sequence(1, 0) counts DOWN (the bpePairStats guard), so the
+    // empty-token case must short-circuit before zip_with
+    val indexed = when(size(col("__graft_t")) === 0,
+        array().cast("array<struct<t:string,i:int>>"))
+      .otherwise(zip_with(col("__graft_t"),
+        sequence(lit(1), size(col("__graft_t"))),
+        (t, i) => struct(t.as("t"), i.as("i"))))
+    corpus
+      .join(starts.withColumnRenamed("__graft_did", corpusId),
+        Seq(corpusId), "left")
+      .select(col(corpusId),
+        coalesce(col("__graft_starts"), array().cast("array<int>"))
+          .as("__graft_s"),
+        toks.as("__graft_t"))
+      .select(col(corpusId), col("__graft_t"),
+        filter(indexed, x => !exists(col("__graft_s"),
+          s => x("i") >= s && x("i") < s + n)).as("__graft_kept"))
+      .select(col(corpusId),
+        array_join(transform(col("__graft_kept"), x => x("t")), " ")
+          .as("text_clean"),
+        size(col("__graft_t")).cast("long").as("n_tokens"),
+        (size(col("__graft_t")) - size(col("__graft_kept")))
+          .cast("long").as("n_removed"))
+  }
 }

@@ -571,6 +571,20 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Surgical span decontamination (DedupOps.decontaminateSpans): the
+    * redaction counterpart of pp_contamination — matched eval 8-gram
+    * windows are cut out of each corpus document instead of flagging
+    * the whole document; untouched docs pass through. Same %7 split as
+    * the flagging sweep; integer/string-exact, fully replayed. */
+  def decontaminateSpansQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.DedupOps.decontaminateSpans(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      broadcast(docs.filter(col("doc_id") % 7 === 0)),
+      "doc_id", "text", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- embedding similarity search ----
 
   private def queryVec(s: SparkSession, d: String): Array[Float] =
@@ -1151,6 +1165,39 @@ object Pipeline {
         |  END AS bigram_score
         |FROM documents d LEFT JOIN per p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // same gram windows as pp_contamination; the redaction is an
+    // index-aware list_filter — every kept token's 1-based position is
+    // outside every matched [start, start+8) window
+    "pp_span_decontamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                q -> q != '') AS ts,
+        |    regexp_split_to_array(trim(text), '[ \t\n\r]+') AS gt
+        |  FROM documents),
+        |eg AS (
+        |  SELECT DISTINCT array_to_string(gt[i:i+7], ' ') AS gram
+        |  FROM (SELECT gt, unnest(range(1, len(gt) - 6)) AS i
+        |        FROM tok WHERE doc_id % 7 = 0 AND len(gt) >= 8) t),
+        |cg AS (
+        |  SELECT doc_id, i, array_to_string(gt[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, gt, unnest(range(1, len(gt) - 6)) AS i
+        |        FROM tok WHERE doc_id % 7 <> 0 AND len(gt) >= 8) t),
+        |starts AS (
+        |  SELECT doc_id, list(DISTINCT i) AS ss
+        |  FROM cg JOIN eg USING (gram) GROUP BY doc_id),
+        |red AS (
+        |  SELECT t.doc_id, t.ts, COALESCE(s.ss, []) AS ss,
+        |    list_filter(t.ts, (x, i) ->
+        |      len(list_filter(COALESCE(s.ss, []),
+        |          st -> i >= st AND i < st + 8)) = 0) AS kept
+        |  FROM tok t LEFT JOIN starts s USING (doc_id)
+        |  WHERE t.doc_id % 7 <> 0)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kept, ' '), '') AS text_clean,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(ts) - len(kept) AS BIGINT) AS n_removed
+        |FROM red ORDER BY doc_id""".stripMargin,
     // integer-exact vocab ranks + id encoding, fully replayed
     "tx_vocab_encode" ->
       """WITH toks AS (
@@ -1198,7 +1245,7 @@ object Pipeline {
          |SELECT doc_id,
          |  CAST(len(ts) AS BIGINT) AS n_ws_tokens,
          |  CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
-         |  array_to_string(bpe[1:8], ' ') AS bpe_head
+         |  COALESCE(array_to_string(bpe[1:8], ' '), '') AS bpe_head
          |FROM enc ORDER BY doc_id""".stripMargin,
     // 3 unrolled fixed-point iterations, bit-identical long arithmetic
     "gp_pagerank" ->
@@ -1886,6 +1933,7 @@ object Pipeline {
     "tx_bigram_quality" -> (bigramQualityQ _),
     "tx_bpe_encode" -> (bpeEncodeQ _),
     "tx_vocab_encode" -> (vocabEncodeQ _),
+    "pp_span_decontamination" -> (decontaminateSpansQ _),
     "gp_pagerank" -> (pageRankQ _)
   )
 }

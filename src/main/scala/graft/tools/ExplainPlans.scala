@@ -179,6 +179,13 @@ object ExplainPlans {
       import graft.operators.CorpusOps._
       documents(spark, d).vocabEncode("doc_id", "text", vocabSize = 1000)
     }
+    show("span_decontamination (expect gram-keyed broadcast semi join + id-keyed starts join — text rides only the redaction projection)") {
+      val docs = documents(spark, d)
+      graft.operators.DedupOps.decontaminateSpans(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        broadcast(docs.filter(col("doc_id") % 7 === 0)),
+        "doc_id", "text", "text", n = 8)
+    }
     show("pagerank_iteration (expect src-keyed equi-join + partial-agg contribution sum per round — no cross, no global sort)") {
       val e = lineitem(spark, d)
         .select(col("l_suppkey").as("src"),

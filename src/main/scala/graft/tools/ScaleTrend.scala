@@ -297,6 +297,17 @@ object ScaleTrend {
         .count()
     }
 
+    // span decontamination over the replicated corpus: corpus AND eval
+    // grow with the slice (the %7 split); cross-replica grams differ,
+    // so matched spans grow ~n and the redaction projection scans ~n
+    def b8sd2(n: Int): Long = {
+      val docs = docsRep(spark, d, n)
+      graft.operators.DedupOps.decontaminateSpans(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        broadcast(docs.filter(col("doc_id") % 7 === 0)),
+        "doc_id", "text", "text", n = 8).count()
+    }
+
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b5_knn_join_grid" -> (b5 _),
@@ -318,7 +329,8 @@ object ScaleTrend {
           "b8pd_passage_dedup" -> (b8pd _),
           "b8bg_bigram_quality" -> (b8bg _),
           "b8pr_pagerank" -> (b8pr _),
-          "b8ve_vocab_encode" -> (b8ve _))
+          "b8ve_vocab_encode" -> (b8ve _),
+          "b8sd_span_decontamination" -> (b8sd2 _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f

@@ -299,4 +299,48 @@ class DedupOpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"keep-best must pre-prune before the component shuffle:\n$plan")
   }
+
+  test("decontaminateSpans: matched windows cut, everything else intact") {
+    import spark.implicits._
+    val eval_ = Seq((100L, "e1 e2 e3")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b e1 e2 e3 c"),       // one match at start 3 -> tokens 3-5 cut
+      (2L, "x y z"),                // untouched
+      (3L, "e1 e2 e3"),             // fully cut
+      (4L, "q"),                    // shorter than n -> no grams, untouched
+      (5L, "p e1 e2 e3 e1 e2 e3")   // two matches (starts 2, 5) -> only p left
+    ).toDF("doc_id", "text")
+    val got = DedupOps.decontaminateSpans(corpus, eval_,
+        "doc_id", "text", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("a b c", 6L, 3L)))
+    assert(got(2L) === (("x y z", 3L, 0L)))
+    assert(got(3L) === (("", 3L, 3L)))
+    assert(got(4L) === (("q", 1L, 0L)))
+    assert(got(5L) === (("p", 7L, 6L)))
+  }
+
+  test("decontaminateSpans: partition-independent; clean corpus unchanged") {
+    val docs = graft.Tables.documents(spark, sf())
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") < 200)
+    val eval_ = docs.filter(col("doc_id") % 7 === 0 && col("doc_id") < 200)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      DedupOps.decontaminateSpans(c, eval_, "doc_id", "text", "text", n = 8)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val a = run(corpus)
+    assert(a === run(corpus.repartition(13)))
+    assert(a.size === corpus.count())
+    // removals only happen where the flagging sweep finds sharing
+    val flagged = DedupOps.contaminationPairs(corpus,
+      eval_.select(col("doc_id").as("eval_id"), col("text")),
+      "doc_id", "eval_id", "text", n = 8)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    a.foreach { case (id, _, removed) =>
+      assert((removed > 0) === flagged.contains(id),
+        s"doc $id: removed=$removed but flagged=${flagged.contains(id)}")
+    }
+  }
 }

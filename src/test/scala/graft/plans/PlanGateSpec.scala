@@ -166,6 +166,18 @@ class PlanGateSpec extends SparkSpec {
       s"encode join degenerated:\n$p")
   }
 
+  test("span decontamination: gram-keyed semi join + id-keyed redaction, no cross") {
+    val docs = documents(spark, sf())
+    val p = plan(graft.operators.DedupOps.decontaminateSpans(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      broadcast(docs.filter(col("doc_id") % 7 === 0)),
+      "doc_id", "text", "text", n = 8))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span decontamination degenerated:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram side must broadcast:\n$p")
+  }
+
   test("pagerank: src-keyed equi-joins with partial contribution sums, no cross") {
     val e = lineitem(spark, sf())
       .select(col("l_suppkey").as("src"),
