@@ -215,6 +215,8 @@ object Bench {
     }),
     "b8sd_span_decontamination" -> ((s: SparkSession, d: String) =>
       graft.queries.Pipeline.queries("pp_span_decontamination")(s, d)),
+    "b8tc_triangles" -> ((s: SparkSession, d: String) =>
+      graft.queries.Pipeline.queries("gp_triangles")(s, d)),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._

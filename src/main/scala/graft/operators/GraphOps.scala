@@ -100,4 +100,79 @@ object GraphOps {
   /** Driver-side mirror of [[dampTerm]] for plan-time constants. */
   private def dampInt(x: Long, num: Int): Long =
     (x / 20) * num + ((x % 20) * num) / 20
+
+  /** Per-node triangle counts over an undirected edge list — the local
+    * link-graph cohesion signal (a node embedded in triangles sits in a
+    * genuine community; link farms and spam rings show near-zero
+    * closure relative to degree, so `2·tri / (deg·(deg−1))` — the local
+    * clustering coefficient, one division the caller can add — is a
+    * standard crawl-curation feature alongside [[pageRank]]).
+    *
+    * Degree-orientation algorithm (the MapReduce-classic wedge-closing
+    * scheme): direct every canonical edge from its lower-(degree, id)
+    * endpoint to the higher; enumerate wedges only from each node's
+    * ORIENTED out-neighbors, and close them against the oriented edge
+    * set. Orientation bounds every out-neighborhood by O(√(2m)) — a
+    * celebrity node with 10⁸ followers contributes wedges only through
+    * its few higher-degree peers, not C(10⁸, 2) pairs — keeping total
+    * wedge volume ≤ m^1.5 regardless of skew. Each triangle materializes
+    * exactly once (its endpoints appear in orientation order), then
+    * credits all three corners.
+    *
+    * Every step is an equi-join or a partial-aggregated count on integer
+    * keys — one distinct shuffle, one degree aggregation, two
+    * degree-attach joins, the wedge self-join on the pivot node, the
+    * closing join on the (v, w) pair, and the final corner count. No
+    * cartesian anywhere; exact integer arithmetic end to end, so any SQL
+    * engine replays it bit-for-bit.
+    *
+    * Returns `(node, degree, triangles)` for every node incident to at
+    * least one non-loop edge. Self-loops drop; multi-edges collapse. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("__graft_a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("__graft_b"))
+      .filter(col("__graft_a") =!= col("__graft_b"))
+      .distinct()
+    val deg = und.select(col("__graft_a").as("node"))
+      .union(und.select(col("__graft_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // orient a→b iff (deg(a), a) < (deg(b), b); carry the head's degree
+    // so wedge enumeration can order the two spokes without re-joining
+    val o = und
+      .join(deg.select(col("node").as("__graft_a"), col("degree").as("__graft_da")),
+        Seq("__graft_a"))
+      .join(deg.select(col("node").as("__graft_b"), col("degree").as("__graft_db")),
+        Seq("__graft_b"))
+      .select(
+        when(col("__graft_da") < col("__graft_db") ||
+            (col("__graft_da") === col("__graft_db") &&
+              col("__graft_a") < col("__graft_b")),
+          struct(col("__graft_a").as("u"), col("__graft_b").as("v"),
+            col("__graft_db").as("dv")))
+          .otherwise(struct(col("__graft_b").as("u"), col("__graft_a").as("v"),
+            col("__graft_da").as("dv"))).as("e"))
+      .select(col("e.u").as("__graft_u"), col("e.v").as("__graft_v"),
+        col("e.dv").as("__graft_dv"))
+    // wedges (u; v, w) with (deg(v), v) < (deg(w), w): the closing edge,
+    // if present, is oriented v→w — each triangle matches exactly once
+    val wedges = o.as("x")
+      .join(o.select(col("__graft_u"), col("__graft_v").as("__graft_w"),
+        col("__graft_dv").as("__graft_dw")).as("y"), Seq("__graft_u"))
+      .filter(col("__graft_dv") < col("__graft_dw") ||
+        (col("__graft_dv") === col("__graft_dw") &&
+          col("__graft_v") < col("__graft_w")))
+      .select(col("__graft_u"), col("__graft_v"), col("__graft_w"))
+    val tris = wedges.join(
+      o.select(col("__graft_u").as("__graft_v"), col("__graft_v").as("__graft_w"))
+        .hint("shuffle_hash"),
+      Seq("__graft_v", "__graft_w"), "left_semi")
+    val corners = tris
+      .select(explode(array(col("__graft_u"), col("__graft_v"), col("__graft_w")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

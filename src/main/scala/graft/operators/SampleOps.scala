@@ -153,6 +153,28 @@ object SampleOps {
         .filter(knuthFrac(col(idCol)) < col("samp_rate"))
     }
 
+    /** Exact-size stratified sample: exactly `min(k, n_g)` rows from
+      * each group, chosen uniformly and deterministically — the
+      * fixed-budget counterpart of [[mixtureSample]]'s expected-rate
+      * Bernoulli draw (eval sets, per-language probes, and audit
+      * samples need exact counts, not a rate whose realization
+      * drifts ±√n). Rows are ranked inside each group by their Knuth
+      * unit fraction ([[knuthFrac]], id tie-break): the hash order is
+      * uniform over any id encoding, independent of every other
+      * column, and stable across runs, partitionings, and engines —
+      * though (unlike the Bernoulli filter) a row's MEMBERSHIP can
+      * change when the group gains new rows, the price of exactness.
+      *
+      * Scale shape: the rank-`k` window filter plans as
+      * WindowGroupLimit, so every map task pre-prunes to ≤ k rows per
+      * group before the one group shuffle — a billion-row language
+      * still ships only k·tasks candidates. */
+    def stratifiedSample(groupCol: String, idCol: String, k: Int): DataFrame = {
+      require(k >= 1, s"k must be >= 1, got $k")
+      ds.toDF.groupCap(groupCol, k,
+        Seq(knuthFrac(col(idCol)).asc, col(idCol).asc))
+    }
+
     /** Keep the top `cap` rows of each group under `order` (callers
       * must make the order total — include a unique tie-break — or the
       * kept set is nondeterministic). */

@@ -310,6 +310,18 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-size stratified sample (SampleOps.stratifiedSample):
+    * exactly min(40, n_lang) docs per language, uniform by the Knuth
+    * hash order — the fixed-budget eval-set draw. Replays as a plain
+    * window rank over the same integer hash fold. */
+  def stratifiedSampleQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SampleOps._
+    documents(s, d)
+      .stratifiedSample("lang", "doc_id", 40)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic per-group cap: top 50 docs per language by
     * (n_chars desc, doc_id) — the runaway-source capping stage
     * (SampleOps.groupCap); plain window SQL for DuckDB. */
@@ -557,6 +569,21 @@ object Pipeline {
     graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 3)
       .orderBy(col("rank").desc, col("node").asc)
       .limit(50)
+  }
+
+  /** Per-node triangle counts (GraphOps.triangleCounts) over the part
+    * co-occurrence graph — parts are linked when some order contains
+    * both. The within-order pair join is bounded by the per-order item
+    * count (≤ 7), so edge construction is itself scale-safe. Integer
+    * counts end to end, fully replayed. */
+  def triangleCountsQ(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("x").join(li.as("y"), Seq("ok"))
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    graft.operators.GraphOps.triangleCounts(e, "src", "dst")
+      .orderBy(col("node"))
   }
 
   /** Vocabulary build + id encoding (CorpusOps.vocabEncode): top-1000
@@ -1247,6 +1274,46 @@ object Pipeline {
          |  CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
          |  COALESCE(array_to_string(bpe[1:8], ' '), '') AS bpe_head
          |FROM enc ORDER BY doc_id""".stripMargin,
+    // degree-oriented wedge closing, exact integer counts; the
+    // lexicographic (degree, id) orientation is spelled out so both
+    // engines orient every edge identically
+    "gp_triangles" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT a AS node FROM pe UNION ALL SELECT b AS node FROM pe) n
+        |  GROUP BY node),
+        |o AS (
+        |  SELECT CASE WHEN da.degree < db.degree
+        |              OR (da.degree = db.degree AND pe.a < pe.b)
+        |         THEN pe.a ELSE pe.b END AS u,
+        |         CASE WHEN da.degree < db.degree
+        |              OR (da.degree = db.degree AND pe.a < pe.b)
+        |         THEN pe.b ELSE pe.a END AS v,
+        |         CASE WHEN da.degree < db.degree
+        |              OR (da.degree = db.degree AND pe.a < pe.b)
+        |         THEN db.degree ELSE da.degree END AS dv
+        |  FROM pe JOIN deg da ON pe.a = da.node JOIN deg db ON pe.b = db.node),
+        |wg AS (
+        |  SELECT x.u AS u, x.v AS v, y.v AS w
+        |  FROM o x JOIN o y ON x.u = y.u
+        |  WHERE x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v)),
+        |tri AS (
+        |  SELECT wg.u, wg.v, wg.w FROM wg
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = wg.v AND o.v = wg.w)),
+        |corners AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT u AS node FROM tri UNION ALL
+        |    SELECT v AS node FROM tri UNION ALL
+        |    SELECT w AS node FROM tri) c
+        |  GROUP BY node)
+        |SELECT deg.node, deg.degree,
+        |  COALESCE(corners.triangles, 0) AS triangles
+        |FROM deg LEFT JOIN corners USING (node)
+        |ORDER BY deg.node""".stripMargin,
     // 3 unrolled fixed-point iterations, bit-identical long arithmetic
     "gp_pagerank" ->
       s"""WITH pr_edges AS (
@@ -1587,6 +1654,20 @@ object Pipeline {
         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
         |            WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.0 END
         |ORDER BY doc_id""".stripMargin,
+    // same Knuth-hash fold as pp_mixture_sample, here as the window
+    // ORDER key: exactly 40 rows per language, ties broken by id
+    "pp_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id % 4294967296 // 65536 * 2654435761 % 4294967296)
+        |       * 65536 + doc_id % 65536 * 2654435761) % 4294967296 AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, lang FROM r WHERE rn <= 40
+        |ORDER BY doc_id""".stripMargin,
     // same Knuth-hash fold as pp_mixture_sample; bounds 0.75/0.875 are
     // exact binary doubles so the CASE replays bit-for-bit
     "pp_split_assign" ->
@@ -1888,6 +1969,7 @@ object Pipeline {
     "pp_curation_pipeline" -> (curationPipelineQ _),
     "pp_redact" -> (redactQ _),
     "pp_mixture_sample" -> (mixtureSampleQ _),
+    "pp_stratified_sample" -> (stratifiedSampleQ _),
     "pp_group_cap" -> (groupCapQ _),
     "pp_split_assign" -> (splitAssignQ _),
     "pp_source_filter" -> (sourceFilterQ _),
@@ -1934,6 +2016,7 @@ object Pipeline {
     "tx_bpe_encode" -> (bpeEncodeQ _),
     "tx_vocab_encode" -> (vocabEncodeQ _),
     "pp_span_decontamination" -> (decontaminateSpansQ _),
-    "gp_pagerank" -> (pageRankQ _)
+    "gp_pagerank" -> (pageRankQ _),
+    "gp_triangles" -> (triangleCountsQ _)
   )
 }

@@ -186,6 +186,14 @@ object ExplainPlans {
         broadcast(docs.filter(col("doc_id") % 7 === 0)),
         "doc_id", "text", "text", n = 8)
     }
+    show("triangle_counts (expect degree-attach + wedge self-join + closing semi join, all equi — no cross)") {
+      val li = lineitem(spark, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.GraphOps.triangleCounts(e, "src", "dst")
+    }
     show("pagerank_iteration (expect src-keyed equi-join + partial-agg contribution sum per round — no cross, no global sort)") {
       val e = lineitem(spark, d)
         .select(col("l_suppkey").as("src"),

@@ -287,6 +287,21 @@ object ScaleTrend {
       graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 3).count()
     }
 
+    // triangle counting over offset-disjoint part co-occurrence
+    // replicas: edges, wedges, and triangles all grow ~n (replicas
+    // share no nodes), so the oriented wedge join is what scales
+    def b8tc(n: Int): Long = {
+      val li = (0 until n).map { r =>
+        lineitem(spark, d).select(
+          (col("l_orderkey") + lit(r * IdOffset)).as("ok"),
+          (col("l_partkey") + lit(r * IdOffset)).as("pk"))
+      }.reduce(_ unionByName _)
+      val pairs = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.GraphOps.triangleCounts(pairs, "src", "dst").count()
+    }
+
     // vocab encode over the replicated corpus: the count table grows ~n
     // (translated replicas share no tokens) but the vocab CUT stays
     // fixed at vocabSize — so the OOV share rises while the TakeOrdered
@@ -330,7 +345,8 @@ object ScaleTrend {
           "b8bg_bigram_quality" -> (b8bg _),
           "b8pr_pagerank" -> (b8pr _),
           "b8ve_vocab_encode" -> (b8ve _),
-          "b8sd_span_decontamination" -> (b8sd2 _))
+          "b8sd_span_decontamination" -> (b8sd2 _),
+          "b8tc_triangles" -> (b8tc _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f

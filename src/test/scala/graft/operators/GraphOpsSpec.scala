@@ -49,4 +49,37 @@ class GraphOpsSpec extends SparkSpec {
     val srcMax = (1L to 200L).map(ranks).max
     assert(sinkMin > srcMax)
   }
+
+  test("triangleCounts: hand fixture — K4 + pendant + stray edge + noise") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}; pendant 5-1; disconnected edge 6-7; plus a
+    // self-loop, a duplicate, and a reversed duplicate (all collapse)
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((5L, 1L), (6L, 7L), (3L, 3L), (1L, 2L), (2L, 1L)))
+      .toDF("src", "dst")
+    val got = GraphOps.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // K4: each node in C(3,2)=3 triangles; node 1 also carries the pendant
+    assert(got(1L) === ((4L, 3L)))
+    assert(got(2L) === ((3L, 3L)))
+    assert(got(3L) === ((3L, 3L)))
+    assert(got(4L) === ((3L, 3L)))
+    assert(got(5L) === ((1L, 0L)))
+    assert(got(6L) === ((1L, 0L)) && got(7L) === ((1L, 0L)))
+  }
+
+  test("triangleCounts: K6 clique formula; partition-independent") {
+    import spark.implicits._
+    val k6 = (for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j))
+      .toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.triangleCounts(df, "src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val a = run(k6)
+    // every node: degree 5, C(5,2)=10 triangles; total corners = 3*C(6,3)
+    assert(a === (1L to 6L).map(i => (i, 5L, 10L)))
+    assert(a.map(_._3).sum === 3L * 20L)
+    assert(a === run(k6.repartition(11)))
+  }
 }

@@ -162,4 +162,39 @@ class SampleOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"rates must broadcast onto the corpus:\n$plan")
   }
+
+  test("stratifiedSample: exactly min(k, n_g) per group, hash-order members") {
+    val sizes = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = docs.stratifiedSample("lang", "doc_id", 40)
+      .select("lang", "doc_id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(out.keySet === sizes.keySet)
+    sizes.foreach { case (lang, n) =>
+      assert(out(lang).size === math.min(40L, n), s"lang $lang")
+    }
+    // membership = the k smallest (hash, id) — driver-side replay
+    def hash32(id: Long): Long = {
+      val id32 = id & 0xffffffffL
+      ((id32 >>> 16) * 2654435761L % 4294967296L * 65536L +
+        (id32 & 0xffffL) * 2654435761L) % 4294967296L
+    }
+    val (lang, got) = out.head
+    val want = docs.filter(col("lang") === lang)
+      .select("doc_id").collect().map(_.getLong(0))
+      .sortBy(id => (hash32(id), id)).take(40).toSet
+    assert(got === want)
+  }
+
+  test("stratifiedSample: partition-independent; WindowGroupLimit pre-prune") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.stratifiedSample("lang", "doc_id", 25)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(run(docs) === run(docs.repartition(13)))
+    val plan = docs.stratifiedSample("lang", "doc_id", 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"sample must pre-prune map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

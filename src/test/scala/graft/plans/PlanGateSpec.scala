@@ -178,6 +178,17 @@ class PlanGateSpec extends SparkSpec {
       s"eval gram side must broadcast:\n$p")
   }
 
+  test("triangle counting: oriented equi-joins only, no cross") {
+    val li = lineitem(spark, sf())
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("x").join(li.as("y"), Seq("ok"))
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    val p = plan(graft.operators.GraphOps.triangleCounts(e, "src", "dst"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting degenerated:\n$p")
+  }
+
   test("pagerank: src-keyed equi-joins with partial contribution sums, no cross") {
     val e = lineitem(spark, sf())
       .select(col("l_suppkey").as("src"),
