@@ -217,6 +217,13 @@ object Bench {
       graft.queries.Pipeline.queries("pp_span_decontamination")(s, d)),
     "b8tc_triangles" -> ((s: SparkSession, d: String) =>
       graft.queries.Pipeline.queries("gp_triangles")(s, d)),
+    "b8ii_inverted_index" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      documents(s, d).invertedIndex("doc_id", "text", maxPostings = 20)
+    }),
+    "b8rp_random_project" -> ((s: SparkSession, d: String) =>
+      embeddings(s, d).select(col("vec_id"),
+        graft.functions.signProject(col("embedding"), 8).as("p"))),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._

@@ -99,4 +99,51 @@ object VectorKernels {
     }
     sketch
   }
+
+  /** murmur3's 32-bit avalanche finalizer on a key masked to 32 bits.
+    * A bare multiplicative hash's top bit is a golden-ratio ROTATION of
+    * the key — quasi-periodic, so sign sequences drawn from it correlate
+    * with structured inputs; fmix32's xorshift/multiply rounds give true
+    * avalanche. Engine-portable: each wrapping multiply replays in plain
+    * 64-bit SQL arithmetic as the two-halves fold
+    * `((k // 65536 * C) % 2^32 * 65536 + (k % 65536) * C) % 2^32`
+    * (no intermediate exceeds 2^49), and the xorshifts as
+    * `xor(k, k // 2^s)`. Callers must pass non-negative keys (SQL `%`
+    * truncates toward zero on negatives where this masks). */
+  @inline private def fmix32(k0: Long): Long = {
+    var k = k0 & 0xffffffffL
+    k ^= k >>> 16
+    k = k * 0x85ebca6bL & 0xffffffffL // == two-halves fold mod 2^32
+    k ^= k >>> 13
+    k = k * 0xc2b2ae35L & 0xffffffffL
+    k ^= k >>> 16
+    k
+  }
+
+  /** Johnson–Lindenstrauss sign projection: `out(j) = Σ_i a(i) ·
+    * s(i,j)` with `s(i,j) = +1` when [[fmix32]] of `i·outDim + j +
+    * seed` lands in the lower half of the 32-bit range, else `−1` —
+    * the Achlioptas ±1 random projection, with the matrix generated
+    * from the key instead of stored. Accumulation starts at 0.0 and
+    * runs in ascending `i` (the `list_sum` parity shape), so any SQL
+    * engine folding the same products in order replays every output
+    * coordinate bit-for-bit. */
+  def signProject(a: ArrayData, outDim: Int, seed: Long): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val s = if (fmix32(i.toLong * outDim + j + seed) < 2147483648L) 1.0
+                else -1.0
+        acc += a.getFloat(i).toDouble * s
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -104,6 +104,26 @@ case class HyperplaneSketch(child: Expression, planes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `sign_project(array<float>) -> array<double>` — Achlioptas ±1
+  * Johnson–Lindenstrauss projection to `outDim` coordinates, the
+  * projection matrix generated from a hashed key (engine-replayable)
+  * instead of stored. Deterministic in (outDim, seed). */
+case class SignProject(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_project"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.signProject(a.asInstanceOf[ArrayData], outDim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.signProject($a, $outDim, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `zorder(int, int, ...) -> long` — Morton code of quantized cell
   * ordinates (graft.spatial.ZValue). Children must already be
   * non-negative ints (use ZValue.quantize / the zorder() helper in

@@ -149,6 +149,11 @@ package object functions {
   def hyperplaneSketch(v: Column, planes: Int = 16, seed: Long = 42L): Column =
     toCol(HyperplaneSketch(toExpr(v), planes, seed))
 
+  /** Achlioptas ±1 JL projection to `outDim` coordinates (seed must be
+    * non-negative for engine-exact SQL replay of the sign hash). */
+  def signProject(v: Column, outDim: Int, seed: Long = 0L): Column =
+    toCol(SignProject(toExpr(v), outDim, seed))
+
   // ---- text surface (native expressions, codegen'd) ----
 
   def minhashSignature(text: Column, shingle: Int = 3, numHashes: Int = 64,

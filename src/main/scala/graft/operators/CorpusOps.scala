@@ -671,6 +671,46 @@ object CorpusOps {
           coalesce(col("n_unk"), lit(0L)).as("n_unk"))
     }
 
+    /** Inverted-index export: one row per term with its document
+      * frequency, total term frequency, and a bounded posting string
+      * (`"id:tf id:tf …"`, the `maxPostings` LOWEST doc ids) — the
+      * materialized form of the per-query stats [[bm25TopK]] computes
+      * on the fly, and the standard corpus-exploration artifact
+      * (retrieval indexes, "which docs contain this contaminated
+      * phrase", term-level corpus diffs).
+      *
+      * Scale shape: `df`/`tf_total` come from partial-aggregated
+      * counts over the (term, doc) frame — exact over ALL documents.
+      * The posting LIST is where an export dies at 100 TB (a stop
+      * word's list is the corpus), so it is capped: the per-term
+      * doc-id rank filter plans as WindowGroupLimit, every map task
+      * pre-prunes to ≤ `maxPostings` rows per term, and a
+      * billion-document term ships `maxPostings·tasks` candidates,
+      * not its corpus. Exact integer arithmetic end to end. */
+    def invertedIndex(idCol: String, textCol: String,
+                      maxPostings: Int = 1000): DataFrame = {
+      require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+      val tf = ds.toDF
+        .select(col(idCol).as("__graft_iid"),
+          explode(graft.functions.tokens(col(textCol))).as("term"))
+        .groupBy(col("term"), col("__graft_iid"))
+        .agg(count(lit(1)).as("__graft_tf"))
+      val stats = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          sum(col("__graft_tf")).as("tf_total"))
+      val postings = tf
+        .withColumn("__graft_rn", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("__graft_iid").asc)))
+        .filter(col("__graft_rn") <= maxPostings)
+        .groupBy(col("term"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__graft_iid"), col("__graft_tf")))),
+          x => concat_ws(":", x("__graft_iid"), x("__graft_tf"))), " ")
+          .as("postings"))
+      stats.join(postings, Seq("term"))
+        .select(col("term"), col("df"), col("tf_total"), col("postings"))
+    }
+
     /** Greedy BPE tokenizer training over the corpus: `rounds` merge
       * rules, each the most-frequent adjacent symbol pair (ties broken
       * lexicographically — deterministic) under all PREVIOUS merges —

@@ -465,6 +465,17 @@ object Pipeline {
         array_join(col("q"), ",").as("q_csv"))
       .orderBy(col("vec_id"))
 
+  /** JL sign random projection (functions.signProject): embeddings
+    * down to 8 hashed ±1 coordinates, exploded to scalar rows for the
+    * exact-double compare. The fold order matches list_sum, so every
+    * coordinate replays bit-for-bit. */
+  def randomProjectQ(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(graft.functions.signProject(col("embedding"), 8))
+          .as(Seq("dim", "value")))
+      .orderBy(col("vec_id"), col("dim"))
+
   // ---- text analysis ----
 
   def textStatsQ(s: SparkSession, d: String): DataFrame =
@@ -584,6 +595,16 @@ object Pipeline {
       .select(col("x.pk").as("src"), col("y.pk").as("dst"))
     graft.operators.GraphOps.triangleCounts(e, "src", "dst")
       .orderBy(col("node"))
+  }
+
+  /** Inverted-index export (CorpusOps.invertedIndex): per-term df /
+    * total tf over the whole corpus plus a 20-entry capped posting
+    * string — exact stats, bounded export. Integer/string exact,
+    * fully replayed. */
+  def invertedIndexQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).invertedIndex("doc_id", "text", maxPostings = 20)
+      .orderBy(col("term"))
   }
 
   /** Vocabulary build + id encoding (CorpusOps.vocabEncode): top-1000
@@ -1225,6 +1246,31 @@ object Pipeline {
         |  CAST(len(ts) AS BIGINT) AS n_tokens,
         |  CAST(len(ts) - len(kept) AS BIGINT) AS n_removed
         |FROM red ORDER BY doc_id""".stripMargin,
+    // exact df/tf stats over all docs; posting string capped at the 20
+    // lowest doc ids per term — same window-rank cap as the Spark side
+    "tx_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT term, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                 q -> q != '')) AS term
+        |        FROM documents) t
+        |  GROUP BY term, doc_id),
+        |stats AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS tf_total
+        |  FROM tf GROUP BY term),
+        |capped AS (
+        |  SELECT term, doc_id, tf,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM tf),
+        |posts AS (
+        |  SELECT term, string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)
+        |    AS postings
+        |  FROM capped WHERE rn <= 20 GROUP BY term)
+        |SELECT s.term, s.df, s.tf_total, p.postings
+        |FROM stats s JOIN posts p USING (term)
+        |ORDER BY s.term""".stripMargin,
     // integer-exact vocab ranks + id encoding, fully replayed
     "tx_vocab_encode" ->
       """WITH toks AS (
@@ -1353,6 +1399,35 @@ object Pipeline {
         |      'https?://[^\s]+', '<URL>', 'g'),
         |    '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS red_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ±1 sign from fmix32 of key = i*8 + dim (seed 0): xorshifts as
+    // xor(k, k // 2^s), wrapping multiplies as the two-halves fold —
+    // the matrix is data-independent, so it builds once as per-dim
+    // sign lists. list_sum folds the products in index order — the
+    // same IEEE accumulation as the kernel, so values are exact
+    "emb_random_project" ->
+      """WITH keys AS (
+        |  SELECT ii.i AS i, jj.j AS j, CAST(ii.i * 8 + jj.j AS BIGINT) AS k
+        |  FROM (SELECT unnest(range(0,
+        |          (SELECT max(len(embedding)) FROM embeddings))) AS i) ii,
+        |       (SELECT unnest(range(0, 8)) AS j) jj),
+        |m1 AS (SELECT i, j, xor(k, k // 65536) AS x FROM keys),
+        |m2 AS (SELECT i, j, (x // 65536 * 2246822507 % 4294967296 * 65536
+        |                     + x % 65536 * 2246822507) % 4294967296 AS x FROM m1),
+        |m3 AS (SELECT i, j, xor(x, x // 8192) AS x FROM m2),
+        |m4 AS (SELECT i, j, (x // 65536 * 3266489909 % 4294967296 * 65536
+        |                     + x % 65536 * 3266489909) % 4294967296 AS x FROM m3),
+        |sg AS (SELECT i, j,
+        |         CASE WHEN xor(x, x // 65536) < 2147483648
+        |              THEN 1.0 ELSE -1.0 END AS s FROM m4),
+        |sgl AS (SELECT j, list(s ORDER BY i) AS sv FROM sg GROUP BY j),
+        |pr AS (SELECT vec_id, embedding, unnest(range(0, 8)) AS dim
+        |       FROM embeddings)
+        |SELECT p.vec_id, CAST(p.dim AS INT) AS dim,
+        |  list_sum(list_transform(
+        |    list_zip(p.embedding, g.sv),
+        |    x -> CAST(x[1] AS DOUBLE) * x[2])) AS value
+        |FROM pr p JOIN sgl g ON p.dim = g.j
+        |ORDER BY p.vec_id, p.dim""".stripMargin,
     // identical IEEE shape: scale = max |v| (order-independent), then
     // floor(v * 127 / scale + 0.5) per element; zero vectors -> zeros
     "emb_quantize_int8" ->
@@ -1985,6 +2060,7 @@ object Pipeline {
     "pp_temperature" -> (temperatureQ _),
     "dd_winnow_pairs" -> (winnowPairsQ _),
     "emb_quantize_int8" -> (quantizeQ _),
+    "emb_random_project" -> (randomProjectQ _),
     "dd_exact_dedup" -> (exactDedupQ _),
     "dd_minhash_pairs" -> (minHashPairsQ _),
     "dd_minhash_incremental" -> (minHashIncrementalQ _),
@@ -2015,6 +2091,7 @@ object Pipeline {
     "tx_bigram_quality" -> (bigramQualityQ _),
     "tx_bpe_encode" -> (bpeEncodeQ _),
     "tx_vocab_encode" -> (vocabEncodeQ _),
+    "tx_inverted_index" -> (invertedIndexQ _),
     "pp_span_decontamination" -> (decontaminateSpansQ _),
     "gp_pagerank" -> (pageRankQ _),
     "gp_triangles" -> (triangleCountsQ _)

@@ -194,6 +194,14 @@ object ExplainPlans {
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       graft.operators.GraphOps.triangleCounts(e, "src", "dst")
     }
+    show("inverted_index (expect partial-agg tf counts + WindowGroupLimit posting cap — exact stats, bounded export)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).invertedIndex("doc_id", "text", maxPostings = 20)
+    }
+    show("random_project (expect one shuffle-free codegen'd projection over the scan)") {
+      embeddings(spark, d).select(col("vec_id"),
+        graft.functions.signProject(col("embedding"), 8).as("p"))
+    }
     show("pagerank_iteration (expect src-keyed equi-join + partial-agg contribution sum per round — no cross, no global sort)") {
       val e = lineitem(spark, d)
         .select(col("l_suppkey").as("src"),

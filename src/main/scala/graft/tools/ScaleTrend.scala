@@ -302,6 +302,16 @@ object ScaleTrend {
       graft.operators.GraphOps.triangleCounts(pairs, "src", "dst").count()
     }
 
+    // inverted index over the replicated corpus: translated replicas
+    // share no tokens, so terms grow ~n while per-term df/postings stay
+    // fixed — the (term, doc) agg and the WindowGroupLimit cap are what
+    // the trend measures
+    def b8ii(n: Int): Long = {
+      import graft.operators.CorpusOps._
+      docsRep(spark, d, n).invertedIndex("doc_id", "text", maxPostings = 20)
+        .count()
+    }
+
     // vocab encode over the replicated corpus: the count table grows ~n
     // (translated replicas share no tokens) but the vocab CUT stays
     // fixed at vocabSize — so the OOV share rises while the TakeOrdered
@@ -346,7 +356,8 @@ object ScaleTrend {
           "b8pr_pagerank" -> (b8pr _),
           "b8ve_vocab_encode" -> (b8ve _),
           "b8sd_span_decontamination" -> (b8sd2 _),
-          "b8tc_triangles" -> (b8tc _))
+          "b8tc_triangles" -> (b8tc _),
+          "b8ii_inverted_index" -> (b8ii _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f

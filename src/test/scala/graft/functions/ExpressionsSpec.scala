@@ -105,6 +105,48 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("signProject: codegen matches an independent sign-matrix replay") {
+    // independent replay of the ±1 matrix: fmix32 of i*outDim + j + seed
+    // via the SQL-shaped arithmetic (two-halves folds + // xorshifts),
+    // lower half of 2^32 -> +1
+    def sign(i: Int, j: Int, outDim: Int, seed: Long): Double = {
+      def mul(k: Long, c: Long): Long =
+        (k / 65536 * c % 4294967296L * 65536L + k % 65536 * c) % 4294967296L
+      def xs(k: Long, s: Int): Long = k ^ (k / (1L << s))
+      val k0 = (i.toLong * outDim + j + seed) & 0xffffffffL
+      val h = xs(mul(xs(mul(xs(k0, 16), 0x85ebca6bL), 13), 0xc2b2ae35L), 16)
+      if (h < 2147483648L) 1.0 else -1.0
+    }
+    val outDim = 5
+    val got = vecs.map(v => (v._1, v._2)).toDF("id", "a")
+      .select($"id", graft.functions.signProject($"a", outDim, seed = 7L).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (id, a, _) =>
+      val want = (0 until outDim).map { j =>
+        a.indices.foldLeft(0.0)((acc, i) =>
+          acc + a(i).toDouble * sign(i, j, outDim, 7L))
+      }
+      assert(got(id) === want, s"vector $id")
+    }
+    // a projection is a shuffle-free scan-side expression
+    val plan = vecs.map(v => (v._1, v._2)).toDF("id", "a")
+      .select(graft.functions.signProject($"a", 8))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+
+  test("signProject: JL contract — norms roughly preserved at outDim 32") {
+    // E[|Px|^2] = outDim * |x|^2 for ±1 projections; on a fixed vector
+    // the concentration at outDim=32 keeps the ratio well inside [0.3, 3]
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val inNorm2 = v.map(x => x.toDouble * x).sum
+    val p = Seq((1L, v)).toDF("id", "a")
+      .select(graft.functions.signProject($"a", 32).as("p"))
+      .collect()(0).getSeq[Double](0)
+    val ratio = p.map(x => x * x).sum / (32.0 * inNorm2)
+    assert(ratio > 0.3 && ratio < 3.0, s"norm ratio $ratio")
+  }
+
   test("redactPii replaces emails, URLs, and phone numbers with typed tokens") {
     val cases = Seq(
       ("write to a.user+x@sub.example.org today",

@@ -470,6 +470,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(allIds.toSet.size === 31)
   }
 
+  test("invertedIndex: hand fixture — exact stats, capped ordered postings") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b a"),   // a:2, b:1
+      (2L, "b b"),     // b:2
+      (3L, "a c"),     // a:1, c:1
+      (4L, "a")        // a:1
+    ).toDF("doc_id", "text")
+    val got = fixture.invertedIndex("doc_id", "text", maxPostings = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // df/tf_total are over ALL docs even where the posting list is cut
+    assert(got("a") === ((3L, 4L, "1:2 3:1")))
+    assert(got("b") === ((2L, 3L, "1:1 2:2")))
+    assert(got("c") === ((1L, 1L, "3:1")))
+  }
+
+  test("invertedIndex: partition-independent; WindowGroupLimit pre-prune") {
+    val base = docs.filter(col("doc_id") < 100)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.invertedIndex("doc_id", "text", maxPostings = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+    val a = run(base)
+    assert(a === run(base.repartition(13)) && a.nonEmpty)
+    val plan = base.invertedIndex("doc_id", "text", maxPostings = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"posting cap must pre-prune map-side:\n$plan")
+    // every posting string respects the cap
+    assert(a.forall(_._4.split(" ").length <= 5))
+  }
+
   test("learnBpeMerges: greedy ranks on a hand corpus, then round-trip") {
     import spark.implicits._
     // the x3, cat x1; round 1 ties (t,h)/(h,e) at 3 -> lexicographic
