@@ -224,6 +224,8 @@ object Bench {
     "b8rp_random_project" -> ((s: SparkSession, d: String) =>
       embeddings(s, d).select(col("vec_id"),
         graft.functions.signProject(col("embedding"), 8).as("p"))),
+    "b6pc_pca" -> ((s: SparkSession, d: String) =>
+      embeddings(s, d).principalComponent("embedding", "vec_id")),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._

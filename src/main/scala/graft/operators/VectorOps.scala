@@ -825,5 +825,93 @@ object VectorOps {
         .filter(col("cos") >= threshold)
         .select(col("id1"), col("id2"), col("cos"))
     }
+
+    /** Dominant principal direction of the (uncentered) second-moment
+      * matrix — the leading PCA axis embedding pipelines use for
+      * whitening, anisotropy diagnostics ("is the embedding space
+      * collapsing?"), and 1-D coarse ordering. Deterministic and
+      * engine-replayable end to end, the [[kmeansCenters]] discipline:
+      *
+      *  1. vectors quantize to longs (`floor(x·scale)` — exactly the
+      *     shared Lloyd's quantization), so the Gram matrix is a sum
+      *     of exact integers: order- and partition-independent.
+      *  2. ONE scan computes the upper-triangle Gram — each row emits
+      *     its d(d+1)/2 index pairs, the groupBy partial-aggregates
+      *     map-side, so the shuffle carries ~d²/2·tasks rows no matter
+      *     the corpus (the per-row O(d²) products are inherent to a
+      *     Gram matrix; nothing here is quadratic in ROWS).
+      *  3. `iters` fixed power-iteration rounds on the driver
+      *     (O(d²·iters) on a d×d matrix), every fold in pinned index
+      *     order from 0.0, starting from the all-ones vector —
+      *     an unrolled-CTE SQL replay computes bit-identical doubles.
+      *
+      * Fixed iteration count, not convergence-tested: determinism and
+      * replay come first; 8 rounds separate any dominant eigenvalue
+      * with a visible spectral gap, and callers can raise `iters`.
+      * Returns the (unit) direction; all-zero input yields the zero
+      * vector. */
+    def principalDirection(vecCol: String, scale: Double = 65536.0,
+                           iters: Int = 8): Array[Double] = {
+      require(iters >= 1, s"iters must be >= 1, got $iters")
+      val q = ds.toDF.select(
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scale).cast("long")).as("__qv"))
+      val gRows = q
+        .select(posexplode(col("__qv")).as(Seq("__a", "__qa")),
+          col("__qv").as("__v2"))
+        .select(col("__a"), col("__qa"),
+          posexplode(col("__v2")).as(Seq("__b", "__qb")))
+        .filter(col("__b") >= col("__a"))
+        .groupBy(col("__a"), col("__b"))
+        .agg(sum(col("__qa").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("__qb")).as("__g"))
+        .collect()
+      if (gRows.isEmpty) return Array.empty
+      val d = gRows.iterator.map(_.getInt(1)).max + 1
+      val g = Array.ofDim[Double](d, d)
+      gRows.foreach { r =>
+        val a = r.getInt(0); val b = r.getInt(1)
+        val v = r.getDecimal(2).doubleValue() // exact int, correctly rounded
+        g(a)(b) = v; g(b)(a) = v
+      }
+      var v = Array.fill(d)(1.0)
+      var it = 0
+      while (it < iters) {
+        val m = Array.tabulate(d) { a =>
+          var acc = 0.0; var b = 0
+          while (b < d) { acc += g(a)(b) * v(b); b += 1 }
+          acc
+        }
+        var n2 = 0.0; var a = 0
+        while (a < d) { n2 += m(a) * m(a); a += 1 }
+        val nrm = math.sqrt(n2)
+        if (nrm == 0.0) return Array.fill(d)(0.0)
+        v = m.map(_ / nrm)
+        it += 1
+      }
+      v
+    }
+
+    /** Stateless projection of each vector onto a FIXED direction —
+      * one shuffle-free fold per row (the [[sqDistToCenter]] parity
+      * shape: 0.0 seed, index order), so it composes over Structured
+      * Streaming unchanged: train [[principalDirection]] offline,
+      * score online. Returns `(id, pc1)`. */
+    def projectOnto(vecCol: String, idCol: String,
+                    direction: Array[Double]): DataFrame = {
+      require(direction.nonEmpty, "direction must be non-empty")
+      ds.toDF.select(col(idCol),
+        aggregate(
+          zip_with(col(vecCol), array(direction.map(lit).toIndexedSeq: _*),
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x).as("pc1"))
+    }
+
+    /** [[principalDirection]] + [[projectOnto]] in one call:
+      * `(id, pc1)` along the corpus's leading axis. */
+    def principalComponent(vecCol: String, idCol: String,
+                           scale: Double = 65536.0,
+                           iters: Int = 8): DataFrame =
+      projectOnto(vecCol, idCol, principalDirection(vecCol, scale, iters))
   }
 }

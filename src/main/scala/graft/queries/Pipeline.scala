@@ -465,6 +465,55 @@ object Pipeline {
         array_join(col("q"), ",").as("q_csv"))
       .orderBy(col("vec_id"))
 
+  /** Leading principal component (VectorOps.principalComponent):
+    * integer-quantized Gram matrix (exact, order-independent) + 8
+    * pinned-fold power-iteration rounds + shuffle-free projection.
+    * Every double replays bit-for-bit via the unrolled-CTE oracle. */
+  def principalComponentQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorOps._
+    embeddings(s, d).principalComponent("embedding", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
+  /** The emb_pca oracle: quantize -> exact HUGEINT Gram (upper
+    * triangle, mirrored) -> 8 unrolled power-iteration CTE pairs
+    * (matvec in b-order, norm in a-order, the pinned driver folds) ->
+    * the same list_sum projection. Built by loop because the
+    * iteration count is the only thing that varies. */
+  private def pcaSql: String = {
+    val iterCtes = (1 to 8).map { k =>
+      s"""m$k AS (
+         |  SELECT a, list_sum(list_transform(
+         |    list_zip(grow, (SELECT v FROM v${k - 1})), x -> x[1] * x[2])) AS mv
+         |  FROM gr),
+         |v$k AS (
+         |  SELECT list_transform(l, x -> x / sqrt(list_sum(
+         |    list_transform(l, y -> y * y)))) AS v
+         |  FROM (SELECT list(mv ORDER BY a) AS l FROM m$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |idx AS (SELECT unnest(range(0,
+       |  (SELECT max(len(embedding)) FROM embeddings))) AS i),
+       |gu AS (
+       |  SELECT ia.i AS a, ib.i AS b,
+       |    CAST(SUM(CAST(q[ia.i + 1] AS HUGEINT) * q[ib.i + 1]) AS DOUBLE) AS gv
+       |  FROM qv, idx ia, idx ib
+       |  WHERE ib.i >= ia.i
+       |  GROUP BY ia.i, ib.i),
+       |gf AS (SELECT a, b, gv FROM gu
+       |       UNION ALL SELECT b AS a, a AS b, gv FROM gu WHERE a <> b),
+       |gr AS (SELECT a, list(gv ORDER BY b) AS grow FROM gf GROUP BY a),
+       |v0 AS (SELECT list(1.0 ORDER BY i) AS v FROM idx),
+       |$iterCtes
+       |SELECT e.vec_id,
+       |  list_sum(list_transform(list_zip(e.embedding, (SELECT v FROM v8)),
+       |    x -> CAST(x[1] AS DOUBLE) * x[2])) AS pc1
+       |FROM embeddings e ORDER BY e.vec_id""".stripMargin
+  }
+
   /** JL sign random projection (functions.signProject): embeddings
     * down to 8 hashed ±1 coordinates, exploded to scalar rows for the
     * exact-double compare. The fold order matches list_sum, so every
@@ -1399,6 +1448,9 @@ object Pipeline {
         |      'https?://[^\s]+', '<URL>', 'g'),
         |    '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS red_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact integer Gram + unrolled pinned-fold power iteration; see
+    // pcaSql for the construction
+    "emb_pca" -> pcaSql,
     // ±1 sign from fmix32 of key = i*8 + dim (seed 0): xorshifts as
     // xor(k, k // 2^s), wrapping multiplies as the two-halves fold —
     // the matrix is data-independent, so it builds once as per-dim
@@ -2061,6 +2113,7 @@ object Pipeline {
     "dd_winnow_pairs" -> (winnowPairsQ _),
     "emb_quantize_int8" -> (quantizeQ _),
     "emb_random_project" -> (randomProjectQ _),
+    "emb_pca" -> (principalComponentQ _),
     "dd_exact_dedup" -> (exactDedupQ _),
     "dd_minhash_pairs" -> (minHashPairsQ _),
     "dd_minhash_incremental" -> (minHashIncrementalQ _),

@@ -198,6 +198,12 @@ object ExplainPlans {
       import graft.operators.CorpusOps._
       documents(spark, d).invertedIndex("doc_id", "text", maxPostings = 20)
     }
+    show("pca_projection (expect one shuffle-free fold over the scan; Gram phase runs at build time)") {
+      import graft.operators.VectorOps._
+      val e = embeddings(spark, d)
+      e.projectOnto("embedding", "vec_id",
+        e.principalDirection("embedding"))
+    }
     show("random_project (expect one shuffle-free codegen'd projection over the scan)") {
       embeddings(spark, d).select(col("vec_id"),
         graft.functions.signProject(col("embedding"), 8).as("p"))

@@ -312,6 +312,14 @@ object ScaleTrend {
         .count()
     }
 
+    // PCA over replicated embeddings: the Gram scan grows ~n while the
+    // shuffle stays d^2/2 cells and the driver work is constant — the
+    // one-scan aggregation is what the trend certifies
+    def b6pc(n: Int): Long = {
+      import graft.operators.VectorOps._
+      embRep(n).principalComponent("embedding", "vec_id").count()
+    }
+
     // vocab encode over the replicated corpus: the count table grows ~n
     // (translated replicas share no tokens) but the vocab CUT stays
     // fixed at vocabSize — so the OOV share rises while the TakeOrdered
@@ -357,7 +365,8 @@ object ScaleTrend {
           "b8ve_vocab_encode" -> (b8ve _),
           "b8sd_span_decontamination" -> (b8sd2 _),
           "b8tc_triangles" -> (b8tc _),
-          "b8ii_inverted_index" -> (b8ii _))
+          "b8ii_inverted_index" -> (b8ii _),
+          "b6pc_pca" -> (b6pc _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f

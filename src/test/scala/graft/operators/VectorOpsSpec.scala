@@ -549,4 +549,66 @@ class VectorOpsSpec extends SparkSpec {
     assert(byPair.size.toDouble / want.size >= 0.5,
       s"recall ${byPair.size}/${want.size}")
   }
+
+  test("principalDirection recovers a planted dominant axis") {
+    import spark.implicits._
+    // energy concentrated along (0.6, 0.8, 0); small off-axis noise
+    val rows = (1 to 60).map { i =>
+      val t = (i % 7 - 3).toFloat
+      val n = ((i * 31) % 5 - 2).toFloat * 0.05f
+      (i.toLong, Array(0.6f * t, 0.8f * t + n, n))
+    }
+    val pc = rows.toDF("vec_id", "embedding")
+      .principalDirection("embedding")
+    val alignment = math.abs(0.6 * pc(0) + 0.8 * pc(1))
+    assert(alignment > 0.99, s"axis alignment $alignment, pc=${pc.toSeq}")
+    val norm = math.sqrt(pc.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-12)
+  }
+
+  test("principalDirection: independent driver replay, bit-for-bit") {
+    import spark.implicits._
+    val rows = (1 to 25).map { i =>
+      (i.toLong, Array.tabulate(4)(j => math.sin(i * 4 + j + 1).toFloat))
+    }
+    val got = rows.toDF("vec_id", "embedding").principalDirection("embedding")
+    // full independent replay: quantize, exact BigInt Gram, 8 pinned rounds
+    val q = rows.map(_._2.map(x => math.floor(x.toDouble * 65536.0).toLong))
+    val d = 4
+    val g = Array.ofDim[Double](d, d)
+    for (a <- 0 until d; b <- 0 until d) {
+      val s = q.foldLeft(BigInt(0))((acc, v) => acc + BigInt(v(a)) * v(b))
+      g(a)(b) = s.doubleValue
+    }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 8) {
+      val m = Array.tabulate(d) { a =>
+        var acc = 0.0; var b = 0
+        while (b < d) { acc += g(a)(b) * v(b); b += 1 }
+        acc
+      }
+      var n2 = 0.0; var a = 0
+      while (a < d) { n2 += m(a) * m(a); a += 1 }
+      val nrm = math.sqrt(n2)
+      v = m.map(_ / nrm)
+    }
+    assert(got.toSeq === v.toSeq)
+  }
+
+  test("principalComponent: partition-independent; projection shuffle-free") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.principalComponent("embedding", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val base = emb.limit(300)
+    val a = run(base)
+    assert(a === run(base.repartition(13)) && a.nonEmpty)
+    // train/project split equals the fused call bit-for-bit
+    val dir = base.principalDirection("embedding")
+    val split = base.projectOnto("embedding", "vec_id", dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(a === split)
+    val plan = base.projectOnto("embedding", "vec_id", dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
 }
