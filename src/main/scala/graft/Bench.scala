@@ -226,6 +226,12 @@ object Bench {
         graft.functions.signProject(col("embedding"), 8).as("p"))),
     "b6pc_pca" -> ((s: SparkSession, d: String) =>
       embeddings(s, d).principalComponent("embedding", "vec_id")),
+    "b8nd_normalized_dedup" -> ((s: SparkSession, d: String) =>
+      graft.queries.Pipeline.queries("pp_normalized_dedup")(s, d)),
+    "b8tf_tfidf" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      documents(s, d).tfidfVectors("doc_id", "text")
+    }),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._

@@ -209,6 +209,20 @@ package object functions {
         UrlRe, "<URL>"),
       PhoneRe, "<PHONE>")
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * everything outside `[a-z0-9]` + whitespace to spaces, collapse
+    * whitespace runs, trim — so case/punctuation/spacing variants of
+    * the same content collide (the normalization pass run before
+    * exact dedup so near-trivial variants don't survive it). ASCII
+    * classes and explicit whitespace sets only (`[ \t\n\r]`, never
+    * `\s` — Java's `\s` and RE2's disagree on vertical tab), so
+    * Java, RE2, and SQL engines normalize identically. Codegen'd
+    * built-ins all the way; no shuffle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r]", " "),
+      "[ \\t\\n\\r]+", " "))
+
   /** BPE-ish token pattern: letter runs, digit runs, single non-space
     * punctuation — the word-boundary pre-split BPE vocabularies use.
     * ASCII classes only so Java and RE2-based engines agree. */

@@ -711,6 +711,37 @@ object CorpusOps {
         .select(col("term"), col("df"), col("tf_total"), col("postings"))
     }
 
+    /** TF-IDF doc-term matrix export: one row per (document, term)
+      * with the term frequency and the odds-ratio-idf weight
+      * `tf · (N − df + 0.5)/(df + 0.5)` — the sparse document vectors
+      * downstream clustering / retrieval / topic passes consume
+      * ([[bm25TopK]] is the query-time scorer over the same stats;
+      * this is the materialized corpus-wide form). Log-free idf (the
+      * repo-wide `ln` correct-rounding discipline) with the IEEE
+      * expression shape pinned to the oracle text, so every weight
+      * replays bit-for-bit.
+      *
+      * Scale shape: the (doc, term) tf table partial-aggregates
+      * map-side; `df` is a second vocabulary-sized partial agg; the
+      * weight join is term-keyed with ONE row per term on the df side
+      * (hot stopword keys replicate nothing — AQE splits the fat
+      * partitions); N is one driver scalar. */
+    def tfidfVectors(idCol: String, textCol: String): DataFrame = {
+      val df0 = ds.toDF
+      val n = df0.count()
+      val tf = df0
+        .select(col(idCol).as("__graft_tid"),
+          explode(graft.functions.tokens(col(textCol))).as("term"))
+        .groupBy(col("__graft_tid"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(dfT, Seq("term"))
+        .select(col("__graft_tid").as(idCol), col("term"), col("tf"),
+          ((lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) *
+            col("tf").cast("double")).as("tfidf"))
+    }
+
     /** Greedy BPE tokenizer training over the corpus: `rounds` merge
       * rules, each the most-frequent adjacent symbol pair (ties broken
       * lexicographically — deterministic) under all PREVIOUS merges —

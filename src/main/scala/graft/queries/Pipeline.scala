@@ -656,6 +656,32 @@ object Pipeline {
       .orderBy(col("term"))
   }
 
+  /** Text normalization + exact dedup (functions.normalizeText +
+    * DedupOps.exactDedup): injected case/punct/spacing variants
+    * collapse onto their source doc and the min-id copy survives.
+    * String-exact, fully replayed. */
+  def normalizedDedupQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupOps._
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val variants = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !!!")).as("text"))
+    docs.unionByName(variants)
+      .withColumn("text_norm", graft.functions.normalizeText(col("text")))
+      .exactDedup("text_norm", "doc_id")
+      .select(col("doc_id"), col("text_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF doc-term export (CorpusOps.tfidfVectors) over a bounded
+    * doc slice; integer tf/df, one pinned-shape double weight. */
+  def tfidfQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).filter(col("doc_id") < 300)
+      .tfidfVectors("doc_id", "text")
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   /** Vocabulary build + id encoding (CorpusOps.vocabEncode): top-1000
     * tokens by (count DESC, token ASC), ids 1..1000, OOV -> 0; per-doc
     * counts plus the first 10 ids. Integer-exact, fully replayed. */
@@ -1295,6 +1321,42 @@ object Pipeline {
         |  CAST(len(ts) AS BIGINT) AS n_tokens,
         |  CAST(len(ts) - len(kept) AS BIGINT) AS n_removed
         |FROM red ORDER BY doc_id""".stripMargin,
+    // same injected variants, same normalization chain ('g' flag: the
+    // Spark built-in replaces every match), min-id survivor per key
+    "pp_normalized_dedup" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    '  ' || upper(text) || ' !!!' AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 \t\n\r]', ' ', 'g'), '[ \t\n\r]+', ' ', 'g'))
+        |      AS text_norm
+        |  FROM uni)
+        |SELECT min(doc_id) AS doc_id, text_norm
+        |FROM norm GROUP BY text_norm
+        |ORDER BY doc_id""".stripMargin,
+    // integer tf/df; the weight's IEEE shape ((N - df + 0.5)/(df + 0.5)
+    // * tf, all via double casts) is pinned to the Spark column exactly
+    "tx_tfidf" ->
+      """WITH tfx AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                 q -> q != '')) AS term
+        |        FROM documents WHERE doc_id < 300) t
+        |  GROUP BY doc_id, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tfx GROUP BY term),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n
+        |       FROM documents WHERE doc_id < 300)
+        |SELECT tfx.doc_id, tfx.term, CAST(tfx.tf AS BIGINT) AS tf,
+        |  (nn.n - CAST(dfx.df AS DOUBLE) + 0.5) / (CAST(dfx.df AS DOUBLE) + 0.5)
+        |    * CAST(tfx.tf AS DOUBLE) AS tfidf
+        |FROM tfx JOIN dfx USING (term), nn
+        |ORDER BY tfx.doc_id, tfx.term""".stripMargin,
     // exact df/tf stats over all docs; posting string capped at the 20
     // lowest doc ids per term — same window-rank cap as the Spark side
     "tx_inverted_index" ->
@@ -2145,6 +2207,8 @@ object Pipeline {
     "tx_bpe_encode" -> (bpeEncodeQ _),
     "tx_vocab_encode" -> (vocabEncodeQ _),
     "tx_inverted_index" -> (invertedIndexQ _),
+    "pp_normalized_dedup" -> (normalizedDedupQ _),
+    "tx_tfidf" -> (tfidfQ _),
     "pp_span_decontamination" -> (decontaminateSpansQ _),
     "gp_pagerank" -> (pageRankQ _),
     "gp_triangles" -> (triangleCountsQ _)

@@ -147,6 +147,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(ratio > 0.3 && ratio < 3.0, s"norm ratio $ratio")
   }
 
+  test("normalizeText collapses case/punct/spacing variants; idempotent") {
+    val cases = Seq(
+      ("  Hello,   World!! ", "hello world"),
+      ("HELLO world", "hello world"),
+      ("a-b_c.d", "a b c d"),
+      ("already clean", "already clean"),
+      ("\t tabs\nand\r\nnewlines ", "tabs and newlines"),
+      ("!!!", ""))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.normalizeText($"t")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g === w) }
+    // idempotent: normalizing a normalized string is the identity
+    val again = got.toSeq.toDF("t")
+      .select(graft.functions.normalizeText($"t")).as[String].collect()
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("redactPii replaces emails, URLs, and phone numbers with typed tokens") {
     val cases = Seq(
       ("write to a.user+x@sub.example.org today",

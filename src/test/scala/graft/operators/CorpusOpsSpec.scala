@@ -504,6 +504,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.forall(_._4.split(" ").length <= 5))
   }
 
+  test("tfidfVectors: hand fixture — exact tf/df and pinned-shape weights") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b a"), (2L, "b c"), (3L, "a"), (4L, "")).toDF("doc_id", "text")
+    val got = fixture.tfidfVectors("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // N = 4 (the empty doc counts); df: a=2, b=2, c=1
+    def w(tf: Long, df: Long): Double =
+      (4.0 - df.toDouble + 0.5) / (df.toDouble + 0.5) * tf.toDouble
+    assert(got((1L, "a")) === ((2L, w(2, 2))))
+    assert(got((1L, "b")) === ((1L, w(1, 2))))
+    assert(got((2L, "b")) === ((1L, w(1, 2))))
+    assert(got((2L, "c")) === ((1L, w(1, 1))))
+    assert(got((3L, "a")) === ((1L, w(1, 2))))
+    assert(got.size === 5) // the empty doc emits no rows
+  }
+
+  test("tfidfVectors: partition-independent, rarer terms outweigh common") {
+    val base = docs.filter(col("doc_id") < 120)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.tfidfVectors("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val a = run(base)
+    assert(a === run(base.repartition(13)) && a.nonEmpty)
+    // at equal tf, a strictly rarer term weighs strictly more
+    val byTerm = a.groupBy(_._2).view.mapValues(_.head).toMap
+    val pairs = for {
+      (t1, r1) <- byTerm.toSeq; (t2, r2) <- byTerm.toSeq
+      if r1._3 == r2._3 && r1._4 != r2._4
+    } yield (r1, r2)
+    pairs.headOption.foreach { case (r1, r2) =>
+      val df1 = a.count(_._2 == r1._2); val df2 = a.count(_._2 == r2._2)
+      if (df1 < df2) assert(r1._4 > r2._4) else if (df2 < df1) assert(r2._4 > r1._4)
+    }
+  }
+
   test("learnBpeMerges: greedy ranks on a hand corpus, then round-trip") {
     import spark.implicits._
     // the x3, cat x1; round 1 ties (t,h)/(h,e) at 3 -> lexicographic
