@@ -225,7 +225,7 @@ object Bench {
       embeddings(s, d).select(col("vec_id"),
         graft.functions.signProject(col("embedding"), 8).as("p"))),
     "b6pc_pca" -> ((s: SparkSession, d: String) =>
-      embeddings(s, d).principalComponent("embedding", "vec_id")),
+      embeddings(s, d).principalComponents("embedding", "vec_id", k = 2)),
     "b8nd_normalized_dedup" -> ((s: SparkSession, d: String) =>
       graft.queries.Pipeline.queries("pp_normalized_dedup")(s, d)),
     "b8tf_tfidf" -> ((s: SparkSession, d: String) => {

@@ -851,7 +851,22 @@ object VectorOps {
       * Returns the (unit) direction; all-zero input yields the zero
       * vector. */
     def principalDirection(vecCol: String, scale: Double = 65536.0,
-                           iters: Int = 8): Array[Double] = {
+                           iters: Int = 8): Array[Double] =
+      principalDirections(vecCol, 1, scale, iters).headOption
+        .getOrElse(Array.empty)
+
+    /** Top-`k` principal directions by power iteration WITH deflation:
+      * after each direction `v` converges, the matrix sheds its
+      * component (`G ← G − λ·v·vᵀ`, `λ = vᵀ(Gv)` via the same pinned
+      * folds), so the next round finds the next axis. Every arithmetic
+      * step — matvec in b-order, norm in a-order, `λ·v(a)·v(b)`
+      * left-associated — is part of the replay contract; the oracle's
+      * deflation CTEs compute bit-identical doubles. Degenerate
+      * (all-zero) remainders yield zero vectors. */
+    def principalDirections(vecCol: String, k: Int,
+                            scale: Double = 65536.0,
+                            iters: Int = 8): Array[Array[Double]] = {
+      require(k >= 1, s"k must be >= 1, got $k")
       require(iters >= 1, s"iters must be >= 1, got $iters")
       val q = ds.toDF.select(
         transform(col(vecCol),
@@ -874,22 +889,41 @@ object VectorOps {
         val v = r.getDecimal(2).doubleValue() // exact int, correctly rounded
         g(a)(b) = v; g(b)(a) = v
       }
-      var v = Array.fill(d)(1.0)
-      var it = 0
-      while (it < iters) {
-        val m = Array.tabulate(d) { a =>
-          var acc = 0.0; var b = 0
-          while (b < d) { acc += g(a)(b) * v(b); b += 1 }
-          acc
-        }
-        var n2 = 0.0; var a = 0
-        while (a < d) { n2 += m(a) * m(a); a += 1 }
-        val nrm = math.sqrt(n2)
-        if (nrm == 0.0) return Array.fill(d)(0.0)
-        v = m.map(_ / nrm)
-        it += 1
+      def matvec(v: Array[Double]): Array[Double] = Array.tabulate(d) { a =>
+        var acc = 0.0; var b = 0
+        while (b < d) { acc += g(a)(b) * v(b); b += 1 }
+        acc
       }
-      v
+      val dirs = Array.newBuilder[Array[Double]]
+      var c = 0
+      while (c < k) {
+        var v = Array.fill(d)(1.0)
+        var degenerate = false
+        var it = 0
+        while (it < iters && !degenerate) {
+          val m = matvec(v)
+          var n2 = 0.0; var a = 0
+          while (a < d) { n2 += m(a) * m(a); a += 1 }
+          val nrm = math.sqrt(n2)
+          if (nrm == 0.0) { degenerate = true; v = Array.fill(d)(0.0) }
+          else v = m.map(_ / nrm)
+          it += 1
+        }
+        dirs += v
+        if (!degenerate) {
+          val m = matvec(v)
+          var lam = 0.0; var a = 0
+          while (a < d) { lam += v(a) * m(a); a += 1 }
+          var i = 0
+          while (i < d) {
+            var j = 0
+            while (j < d) { g(i)(j) = g(i)(j) - lam * v(i) * v(j); j += 1 }
+            i += 1
+          }
+        }
+        c += 1
+      }
+      dirs.result()
     }
 
     /** Stateless projection of each vector onto a FIXED direction —
@@ -913,5 +947,22 @@ object VectorOps {
                            scale: Double = 65536.0,
                            iters: Int = 8): DataFrame =
       projectOnto(vecCol, idCol, principalDirection(vecCol, scale, iters))
+
+    /** Top-`k` PCA scores in one shuffle-free projection:
+      * `(id, pc1, …, pck)` — [[principalDirections]] trained once,
+      * then one pinned fold per component per row. */
+    def principalComponents(vecCol: String, idCol: String, k: Int = 2,
+                            scale: Double = 65536.0,
+                            iters: Int = 8): DataFrame = {
+      val dirs = principalDirections(vecCol, k, scale, iters)
+      require(dirs.nonEmpty, "principalComponents on an empty dataset")
+      val scoreCols = dirs.zipWithIndex.map { case (dir, i) =>
+        aggregate(
+          zip_with(col(vecCol), array(dir.map(lit).toIndexedSeq: _*),
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x).as(s"pc${i + 1}")
+      }
+      ds.toDF.select((col(idCol) +: scoreCols.toIndexedSeq): _*)
+    }
   }
 }

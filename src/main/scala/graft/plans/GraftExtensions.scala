@@ -193,6 +193,26 @@ object GraftExtensions {
       graft.functions.ShapeAsWkt(es(0))),
     "graft_st_fromwkt" -> arity("graft_st_fromwkt", 1)(es =>
       graft.functions.WktToShape(es(0))),
+    // graft_sign_project(vec, outDim, seed) — JL ±1 projection; dims and
+    // seed must be foldable literals (evaluated once at plan time)
+    "graft_sign_project" -> arity("graft_sign_project", 3)(es => {
+      require(es(1).foldable && es(2).foldable,
+        "graft_sign_project: outDim and seed must be literals")
+      graft.functions.SignProject(es(0),
+        es(1).eval(null).asInstanceOf[Number].intValue(),
+        es(2).eval(null).asInstanceOf[Number].longValue())
+    }),
+    // same pattern strings as functions.normalizeText — built as direct
+    // Catalyst nodes (a Column round-trip yields unresolved ColumnNodes
+    // in the function-registry context)
+    "graft_normalize_text" -> arity("graft_normalize_text", 1)(es => {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace, StringTrim}
+      StringTrim(
+        RegExpReplace(
+          RegExpReplace(Lower(es(0)),
+            Literal("[^a-z0-9 \\t\\n\\r]"), Literal(" ")),
+          Literal("[ \\t\\n\\r]+"), Literal(" ")))
+    }),
     // graft_point_in_polygon(x, y, array(x0,y0,x1,y1,...)) — the ring must
     // be a foldable literal; it is evaluated once at plan time
     "graft_point_in_polygon" -> arity("graft_point_in_polygon", 3)(es => {

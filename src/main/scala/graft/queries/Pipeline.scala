@@ -465,39 +465,49 @@ object Pipeline {
         array_join(col("q"), ",").as("q_csv"))
       .orderBy(col("vec_id"))
 
-  /** Leading principal component (VectorOps.principalComponent):
-    * integer-quantized Gram matrix (exact, order-independent) + 8
-    * pinned-fold power-iteration rounds + shuffle-free projection.
-    * Every double replays bit-for-bit via the unrolled-CTE oracle. */
+  /** Top-2 principal components (VectorOps.principalComponents):
+    * integer-quantized Gram matrix (exact, order-independent), 8
+    * pinned-fold power-iteration rounds, λ-deflation, 8 more rounds,
+    * then one shuffle-free projection per component. Every double
+    * replays bit-for-bit via the unrolled-CTE oracle. */
   def principalComponentQ(s: SparkSession, d: String): DataFrame = {
     import graft.operators.VectorOps._
-    embeddings(s, d).principalComponent("embedding", "vec_id")
+    embeddings(s, d).principalComponents("embedding", "vec_id", k = 2)
       .orderBy(col("vec_id"))
   }
 
   /** The emb_pca oracle: quantize -> exact HUGEINT Gram (upper
     * triangle, mirrored) -> 8 unrolled power-iteration CTE pairs
     * (matvec in b-order, norm in a-order, the pinned driver folds) ->
-    * the same list_sum projection. Built by loop because the
-    * iteration count is the only thing that varies. */
+    * λ = v8ᵀ(G·v8) -> deflated matrix gr2 (λ·v(a)·v(b)
+    * left-associated) -> 8 more rounds -> the same list_sum
+    * projection per component. Built by loop because the iteration
+    * count is the only thing that varies. */
   private def pcaSql: String = {
-    val iterCtes = (1 to 8).map { k =>
-      s"""m$k AS (
-         |  SELECT a, list_sum(list_transform(
-         |    list_zip(grow, (SELECT v FROM v${k - 1})), x -> x[1] * x[2])) AS mv
-         |  FROM gr),
-         |v$k AS (
-         |  SELECT list_transform(l, x -> x / sqrt(list_sum(
-         |    list_transform(l, y -> y * y)))) AS v
-         |  FROM (SELECT list(mv ORDER BY a) AS l FROM m$k))""".stripMargin
-    }.mkString(",\n")
-    s"""WITH qv AS (
+    // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
+    // the deflated chain references the first chain several times — the
+    // Gram aggregation would re-evaluate per reference (minutes instead
+    // of half a second). Lambdas may not contain subqueries, hence the
+    // gr2a hoist of λ and v8(a) into plain row columns.
+    def rounds(n: Int, mat: String, mp: String, vp: String, v0: String) =
+      (1 to n).map { k =>
+        val prev = if (k == 1) v0 else s"$vp${k - 1}"
+        s"""$mp$k AS MATERIALIZED (
+           |  SELECT a, list_sum(list_transform(
+           |    list_zip(grow, (SELECT v FROM $prev)), x -> x[1] * x[2])) AS mv
+           |  FROM $mat),
+           |$vp$k AS MATERIALIZED (
+           |  SELECT list_transform(l, x -> x / sqrt(list_sum(
+           |    list_transform(l, y -> y * y)))) AS v
+           |  FROM (SELECT list(mv ORDER BY a) AS l FROM $mp$k))""".stripMargin
+      }.mkString(",\n")
+    s"""WITH qv AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS q
        |  FROM embeddings),
-       |idx AS (SELECT unnest(range(0,
+       |idx AS MATERIALIZED (SELECT unnest(range(0,
        |  (SELECT max(len(embedding)) FROM embeddings))) AS i),
-       |gu AS (
+       |gu AS MATERIALIZED (
        |  SELECT ia.i AS a, ib.i AS b,
        |    CAST(SUM(CAST(q[ia.i + 1] AS HUGEINT) * q[ib.i + 1]) AS DOUBLE) AS gv
        |  FROM qv, idx ia, idx ib
@@ -505,12 +515,31 @@ object Pipeline {
        |  GROUP BY ia.i, ib.i),
        |gf AS (SELECT a, b, gv FROM gu
        |       UNION ALL SELECT b AS a, a AS b, gv FROM gu WHERE a <> b),
-       |gr AS (SELECT a, list(gv ORDER BY b) AS grow FROM gf GROUP BY a),
+       |gr AS MATERIALIZED (SELECT a, list(gv ORDER BY b) AS grow FROM gf GROUP BY a),
        |v0 AS (SELECT list(1.0 ORDER BY i) AS v FROM idx),
-       |$iterCtes
+       |${rounds(8, "gr", "m", "v", "v0")},
+       |mf AS MATERIALIZED (
+       |  SELECT a, list_sum(list_transform(
+       |    list_zip(grow, (SELECT v FROM v8)), x -> x[1] * x[2])) AS mv
+       |  FROM gr),
+       |lam AS MATERIALIZED (
+       |  SELECT list_sum(list_transform(
+       |    list_zip((SELECT v FROM v8), l), x -> x[1] * x[2])) AS lm
+       |  FROM (SELECT list(mv ORDER BY a) AS l FROM mf)),
+       |gr2a AS (
+       |  SELECT gr.a AS a, gr.grow AS grow, vv.v AS pv, lam.lm AS lm,
+       |    list_extract(vv.v, gr.a + 1) AS va
+       |  FROM gr, (SELECT v FROM v8) vv, lam),
+       |gr2 AS MATERIALIZED (
+       |  SELECT a, list_transform(list_zip(grow, pv),
+       |    x -> x[1] - lm * va * x[2]) AS grow
+       |  FROM gr2a),
+       |${rounds(8, "gr2", "w", "u", "v0")}
        |SELECT e.vec_id,
        |  list_sum(list_transform(list_zip(e.embedding, (SELECT v FROM v8)),
-       |    x -> CAST(x[1] AS DOUBLE) * x[2])) AS pc1
+       |    x -> CAST(x[1] AS DOUBLE) * x[2])) AS pc1,
+       |  list_sum(list_transform(list_zip(e.embedding, (SELECT v FROM u8)),
+       |    x -> CAST(x[1] AS DOUBLE) * x[2])) AS pc2
        |FROM embeddings e ORDER BY e.vec_id""".stripMargin
   }
 

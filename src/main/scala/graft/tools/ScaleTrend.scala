@@ -317,7 +317,7 @@ object ScaleTrend {
     // one-scan aggregation is what the trend certifies
     def b6pc(n: Int): Long = {
       import graft.operators.VectorOps._
-      embRep(n).principalComponent("embedding", "vec_id").count()
+      embRep(n).principalComponents("embedding", "vec_id", k = 2).count()
     }
 
     // vocab encode over the replicated corpus: the count table grows ~n

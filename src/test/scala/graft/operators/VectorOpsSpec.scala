@@ -595,6 +595,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.toSeq === v.toSeq)
   }
 
+  test("principalDirections: deflation finds the orthogonal second axis") {
+    import spark.implicits._
+    // two planted axes: strong along (0.6, 0.8, 0), weaker along (0, 0, 1)
+    val rows = (1 to 80).map { i =>
+      val t = (i % 9 - 4).toFloat
+      val s2 = (i % 5 - 2).toFloat * 0.4f
+      (i.toLong, Array(0.6f * t, 0.8f * t, s2))
+    }
+    val dirs = rows.toDF("vec_id", "embedding")
+      .principalDirections("embedding", k = 2)
+    val (p1, p2) = (dirs(0), dirs(1))
+    assert(math.abs(0.6 * p1(0) + 0.8 * p1(1)) > 0.99, s"pc1 ${p1.toSeq}")
+    assert(math.abs(p2(2)) > 0.99, s"pc2 ${p2.toSeq}")
+    val ortho = p1.zip(p2).map { case (x, y) => x * y }.sum
+    assert(math.abs(ortho) < 1e-6, s"pc1·pc2 = $ortho")
+  }
+
   test("principalComponent: partition-independent; projection shuffle-free") {
     def run(df: org.apache.spark.sql.DataFrame) =
       df.principalComponent("embedding", "vec_id")

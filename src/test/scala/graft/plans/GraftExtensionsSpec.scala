@@ -176,4 +176,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(1) === graft.functions.TextKernels.simHash64("alpha beta"))
     assert(row.getDouble(2) === 1.0)
   }
+
+  test("SQL registry: sign projection and text normalization") {
+    GraftExtensions.registerFunctions(spark)
+    val row = spark.sql(
+      "SELECT graft_normalize_text('  Hello,   World!! ') AS n, " +
+        "graft_sign_project(array(cast(1.0 as float), cast(0.0 as float)), 4, 0) AS p")
+      .head()
+    assert(row.getString(0) === "hello world")
+    // matches the Column-API expression exactly
+    import spark.implicits._
+    val want = Seq(Array(1f, 0f)).toDF("v")
+      .select(graft.functions.signProject(col("v"), 4, 0L))
+      .head().getSeq[Double](0)
+    assert(row.getSeq[Double](1) === want)
+  }
 }

@@ -333,4 +333,28 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(streamed === batch && streamed.values.toSet.size > 1)
   }
+
+  test("streamed PCA projection equals the batch projection bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.VectorOps._
+    implicit val sqlCtx = spark.sqlContext
+    // the train-offline / score-online split: the direction trains on a
+    // batch snapshot; projectOnto is a stateless shuffle-free fold, so
+    // arriving vectors score identically to the batch pass
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 60L).map(i => (i, Array.fill(6)(rng.nextGaussian().toFloat)))
+    val batchDf = rows.toDF("vec_id", "embedding")
+    val dir = batchDf.principalDirection("embedding")
+    val input = MemoryStream[(Long, Array[Float])]
+    input.addData(rows: _*)
+    val out = input.toDS().toDF("vec_id", "embedding")
+      .projectOnto("embedding", "vec_id", dir)
+      .writeStream.outputMode("append").format("memory").queryName("pcstream").start()
+    out.processAllAvailable(); out.stop()
+    val streamed = spark.table("pcstream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = batchDf.projectOnto("embedding", "vec_id", dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed === batch && streamed.nonEmpty)
+  }
 }
