@@ -100,6 +100,14 @@ object Advanced {
   def streamPassageGateQ(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamPassageGate(s, d, width = 20).orderBy(col("doc_id"))
 
+  /** Streaming span-decontamination gate: non-eval arrivals are
+    * span-redacted per micro-batch against the static eval set — the
+    * incremental twin of pp_span_decontamination, answering to the
+    * SAME oracle (per-document redaction given static eval grams is
+    * exact under micro-batching by construction). */
+  def streamSpanGateQ(s: SparkSession, d: String): DataFrame =
+    StreamingOps.streamSpanGate(s, d, n = 8).orderBy(col("doc_id"))
+
   /** Point-in-time as-of join: each click event attaches the same
     * user's most recent prior-or-simultaneous purchase (the classic
     * attribution / feature-backfill shape). Union + running window —
@@ -540,6 +548,10 @@ object Advanced {
     // batch-as-of against a static right side is exact by construction.
     "ts_asof_join" -> asOfOracleSql,
     "st_asof" -> asOfOracleSql,
+    // the streaming gate answers to the batch sweep's exact oracle:
+    // per-document redaction against static eval grams is micro-batch
+    // invariant by construction
+    "st_span_gate" -> graft.queries.Pipeline.oracles("pp_span_decontamination"),
     // plain range join in DuckDB (the engine handles it natively);
     // epoch_us == Spark's unix_micros on the same micro timestamps
     "ts_interval_join" ->
@@ -634,6 +646,7 @@ object Advanced {
     "st_stream_dedup" -> (streamDedup _),
     "st_contamination" -> (streamContamination _),
     "st_passage_gate" -> (streamPassageGateQ _),
+    "st_span_gate" -> (streamSpanGateQ _),
     "ts_asof_join" -> (asOfJoinQ _),
     "st_asof" -> (streamAsOfQ _),
     "ts_interval_join" -> (intervalJoinQ _),

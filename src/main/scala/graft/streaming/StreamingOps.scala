@@ -238,6 +238,48 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Streaming twin of [[graft.operators.DedupOps.decontaminateSpans]]:
+    * arriving corpus documents are span-redacted against the STATIC
+    * eval set per micro-batch via `foreachBatch` — the incremental
+    * quarantine gate that cleans a crawl as it lands instead of
+    * re-sweeping the corpus. Redaction is per-document given the eval
+    * grams, so micro-batching is exact by construction: the streamed
+    * output bit-equals the batch sweep over the same rows (spec-pinned),
+    * and the whole thing answers to the same DuckDB oracle as
+    * `pp_span_decontamination`. */
+  def streamSpanGate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+    val evalDocs = batch.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+    val staged = java.nio.file.Files.createTempDirectory("graft_span_src")
+    staged.toFile.deleteOnExit()
+    // several source files -> several micro-batches under maxFilesPerTrigger
+    batch.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(staged.toString)
+    val out = java.nio.file.Files.createTempDirectory("graft_span_out")
+    out.toFile.deleteOnExit()
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.DedupOps.decontaminateSpans(
+            b.toDF, broadcast(evalDocs), "doc_id", "text", "text", n)
+          .write.mode("append").parquet(out.toString)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out.toString)
+      .select("doc_id", "text_clean", "n_tokens", "n_removed")
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, total: java.math.BigDecimal)

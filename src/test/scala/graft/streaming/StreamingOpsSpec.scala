@@ -334,6 +334,20 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed === batch && streamed.values.toSet.size > 1)
   }
 
+  test("streamSpanGate equals the batch span sweep; overlap is redacted") {
+    val got = StreamingOps.streamSpanGate(spark, sf(), n = 8)
+    val docs = Tables.documents(spark, sf())
+    val want = graft.operators.DedupOps.decontaminateSpans(
+      docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", "text", n = 8)
+    assert(got.count() > 0, "gate passed no documents — fixture broke")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the gate actually redacts: eval-shared 8-gram windows exist
+    val removed = got.agg(sum(col("n_removed"))).head().getLong(0)
+    assert(removed > 0, "gate removed nothing — overlap fixture broke")
+  }
+
   test("streamed PCA projection equals the batch projection bit-for-bit") {
     import spark.implicits._
     import graft.operators.VectorOps._
