@@ -232,6 +232,12 @@ object Bench {
       import graft.operators.CorpusOps._
       documents(s, d).tfidfVectors("doc_id", "text")
     }),
+    "b9k_key_stats" -> ((s: SparkSession, d: String) => {
+      import graft.operators.StatsOps._
+      lineitem(s, d).keyStats("l_suppkey", topN = 20)
+    }),
+    "b8sn_snapshot_diff" -> ((s: SparkSession, d: String) =>
+      graft.queries.Pipeline.queries("pp_snapshot_diff")(s, d)),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._

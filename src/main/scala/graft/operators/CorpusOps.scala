@@ -742,6 +742,29 @@ object CorpusOps {
             col("tf").cast("double")).as("tfidf"))
     }
 
+    /** Snapshot delta audit: classify every document id across two
+      * corpus versions as `added` / `removed` / `changed` / `unchanged`
+      * by content digest — the drift report a training pipeline runs
+      * between crawl snapshots before deciding what to re-process
+      * (and the provenance record for "which examples entered/left the
+      * mix this release"). `this` dataset is the NEW snapshot, `old`
+      * the previous one.
+      *
+      * Scale shape: each side collapses to `(id, md5)` at the scan —
+      * text never rides the join — then ONE id-keyed full-outer
+      * shuffle join and a codegen'd CASE. String-exact end to end. */
+    def snapshotDiff(old: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+      val newD = ds.toDF.select(col(idCol), md5(col(textCol)).as("__graft_nh"))
+      val oldD = old.select(col(idCol), md5(col(textCol)).as("__graft_oh"))
+      newD.join(oldD, Seq(idCol), "full_outer")
+        .select(col(idCol),
+          when(col("__graft_oh").isNull, lit("added"))
+            .when(col("__graft_nh").isNull, lit("removed"))
+            .when(col("__graft_nh") === col("__graft_oh"), lit("unchanged"))
+            .otherwise(lit("changed")).as("status"))
+    }
+
     /** Greedy BPE tokenizer training over the corpus: `rounds` merge
       * rules, each the most-frequent adjacent symbol pair (ties broken
       * lexicographically — deterministic) under all PREVIOUS merges —

@@ -148,5 +148,35 @@ object StatsOps {
         .select(col(groupCol), col("q"), col("n"), col("exact"),
           col("within_bound"))
     }
+
+    /** Shuffle-key skew diagnostics — the audit a plan review runs
+      * BEFORE a big join or aggregation ships: the `topN` heaviest
+      * values of `keyCol` with exact counts, each key's share of all
+      * rows, and its skew factor (count ÷ mean count per distinct
+      * key; a key at skew 500 on 32 partitions means one straggler
+      * task does ~16 partitions' work — the number that justifies
+      * salting or an AQE skew-join threshold).
+      *
+      * Scale shape: ONE partial-aggregated count per key (table size =
+      * distinct keys), a TakeOrdered top-N cut (per-partition heaps,
+      * never a global sort), and one broadcast two-number total. The
+      * totals sum as decimal (a non-ANSI long sum would wrap
+      * silently); shares/skews are single pinned-shape double
+      * divisions, so the whole report replays exactly. */
+    def keyStats(keyCol: String, topN: Int = 20): DataFrame = {
+      require(topN >= 1, s"topN must be >= 1, got $topN")
+      val counts = ds.toDF.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(
+        sum(col("cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("__t"),
+        count(lit(1)).as("__k"))
+      counts.orderBy(col("cnt").desc, col(keyCol).asc).limit(topN)
+        .crossJoin(broadcast(tot))
+        .select(col(keyCol), col("cnt"),
+          (col("cnt").cast("double") / col("__t").cast("double")).as("share"),
+          (col("cnt").cast("double") * col("__k").cast("double") /
+            col("__t").cast("double")).as("skew"))
+    }
   }
 }

@@ -711,6 +711,31 @@ object Pipeline {
       .orderBy(col("doc_id"), col("term"))
   }
 
+  /** Shuffle-key skew diagnostics (StatsOps.keyStats): the 20 heaviest
+    * lineitem supplier keys with exact counts, shares, and skew
+    * factors. Integer counts + pinned-shape double divisions. */
+  def keyStatsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.StatsOps._
+    lineitem(s, d).keyStats("l_suppkey", topN = 20)
+      .orderBy(col("cnt").desc, col("l_suppkey").asc)
+  }
+
+  /** Snapshot delta audit (CorpusOps.snapshotDiff): a deterministic
+    * mutation of the corpus (drop %11, edit %13, add %17 under new
+    * ids) diffed against the original — every id classified
+    * added/removed/changed/unchanged by content digest. */
+  def snapshotDiffQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    val old = documents(s, d).select(col("doc_id"), col("text"))
+    val newV = old.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(old.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    newV.snapshotDiff(old, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
   /** Vocabulary build + id encoding (CorpusOps.vocabEncode): top-1000
     * tokens by (count DESC, token ASC), ids 1..1000, OOV -> 0; per-doc
     * counts plus the first 10 ids. Integer-exact, fully replayed. */
@@ -1386,6 +1411,36 @@ object Pipeline {
         |    * CAST(tfx.tf AS DOUBLE) AS tfidf
         |FROM tfx JOIN dfx USING (term), nn
         |ORDER BY tfx.doc_id, tfx.term""".stripMargin,
+    // exact per-key counts, decimal-safe total, pinned-shape divisions
+    "q29_key_stats" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt, count(*) AS kk FROM c),
+        |top AS (SELECT l_suppkey, cnt FROM c
+        |        ORDER BY cnt DESC, l_suppkey LIMIT 20)
+        |SELECT top.l_suppkey, top.cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE) AS share,
+        |  CAST(cnt AS DOUBLE) * CAST(kk AS DOUBLE) / CAST(tt AS DOUBLE) AS skew
+        |FROM top, t ORDER BY cnt DESC, l_suppkey""".stripMargin,
+    // same deterministic mutation, digest compare over a full outer join
+    "pp_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |newv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM old WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM old
+        |  WHERE doc_id % 17 = 0),
+        |nh AS (SELECT doc_id, md5(text) AS h FROM newv),
+        |oh AS (SELECT doc_id, md5(text) AS h FROM old)
+        |SELECT COALESCE(nh.doc_id, oh.doc_id) AS doc_id,
+        |  CASE WHEN oh.h IS NULL THEN 'added'
+        |       WHEN nh.h IS NULL THEN 'removed'
+        |       WHEN nh.h = oh.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM nh FULL OUTER JOIN oh ON nh.doc_id = oh.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // exact df/tf stats over all docs; posting string capped at the 20
     // lowest doc ids per term — same window-rank cap as the Spark side
     "tx_inverted_index" ->
@@ -2238,6 +2293,8 @@ object Pipeline {
     "tx_inverted_index" -> (invertedIndexQ _),
     "pp_normalized_dedup" -> (normalizedDedupQ _),
     "tx_tfidf" -> (tfidfQ _),
+    "q29_key_stats" -> (keyStatsQ _),
+    "pp_snapshot_diff" -> (snapshotDiffQ _),
     "pp_span_decontamination" -> (decontaminateSpansQ _),
     "gp_pagerank" -> (pageRankQ _),
     "gp_triangles" -> (triangleCountsQ _)

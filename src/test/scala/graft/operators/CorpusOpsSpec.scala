@@ -543,6 +543,19 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: every status on a hand fixture; partition-independent") {
+    import spark.implicits._
+    val old = Seq((1L, "same"), (2L, "was this"), (3L, "gone")).toDF("doc_id", "text")
+    val nu = Seq((1L, "same"), (2L, "now this"), (4L, "fresh")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.snapshotDiff(old, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val got = run(nu)
+    assert(got === Seq(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    assert(got === run(nu.repartition(7)))
+  }
+
   test("learnBpeMerges: greedy ranks on a hand corpus, then round-trip") {
     import spark.implicits._
     // the x3, cat x1; round 1 ties (t,h)/(h,e) at 3 -> lexicographic

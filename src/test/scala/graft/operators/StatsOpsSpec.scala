@@ -95,4 +95,33 @@ class StatsOpsSpec extends SparkSpec {
     assert(kept.size >= 180)
     assert(kept === run(df.repartition(13)))
   }
+
+  test("keyStats: exact counts, shares, skew factors on a hand fixture") {
+    import spark.implicits._
+    // key 1: 6 rows, key 2: 3, key 3: 1 -> total 10, k=3, mean 10/3
+    val rows = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }
+    val got = rows.toDF("id", "key").keyStats("key", topN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(-_._2).toSeq
+    assert(got.map(t => (t._1, t._2)) === Seq((1L, 6L), (2L, 3L)))
+    assert(got(0)._3 === 6.0 / 10.0)
+    assert(got(0)._4 === 6.0 * 3.0 / 10.0)
+    assert(got(1)._3 === 3.0 / 10.0)
+    assert(got(1)._4 === 3.0 * 3.0 / 10.0)
+  }
+
+  test("keyStats: partition-independent; TakeOrdered cut, no global sort") {
+    val li = graft.Tables.lineitem(spark, sf())
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.keyStats("l_suppkey", topN = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+    val a = run(li)
+    assert(a.size === 10 && a === run(li.repartition(13)))
+    val plan = li.keyStats("l_suppkey", topN = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must cut via per-partition heaps:\n$plan")
+  }
 }
