@@ -238,6 +238,10 @@ object Bench {
     }),
     "b8sn_snapshot_diff" -> ((s: SparkSession, d: String) =>
       graft.queries.Pipeline.queries("pp_snapshot_diff")(s, d)),
+    "b8xd_span_dedup" -> ((s: SparkSession, d: String) =>
+      graft.operators.DedupOps.dedupRepeatedSpans(
+        documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 8)),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._

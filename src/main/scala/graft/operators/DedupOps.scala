@@ -425,6 +425,17 @@ object DedupOps {
       .join(evalGrams, Seq("__graft_gram"), "left_semi")
       .groupBy(col("__graft_did"))
       .agg(collect_set(col("__graft_p0") + 1).as("__graft_starts"))
+    redactByStarts(corpus, starts, corpusId, textCol, n)
+  }
+
+  /** Shared redaction tail of [[decontaminateSpans]] and
+    * [[dedupRepeatedSpans]]: cut every token covered by a matched
+    * window start (`starts` = `(__graft_did, __graft_starts)` with
+    * 1-based starts), reassemble, and report removal counts. One
+    * id-keyed left join + a codegen-friendly higher-order filter. */
+  private def redactByStarts(corpus: DataFrame, starts: DataFrame,
+                             corpusId: String, textCol: String,
+                             n: Int): DataFrame = {
     val toks = graft.functions.tokens(col(textCol))
     // sequence(1, 0) counts DOWN (the bpePairStats guard), so the
     // empty-token case must short-circuit before zip_with
@@ -449,5 +460,43 @@ object DedupOps {
         size(col("__graft_t")).cast("long").as("n_tokens"),
         (size(col("__graft_t")) - size(col("__graft_kept")))
           .cast("long").as("n_removed"))
+  }
+
+  /** Exact repeated-span dedup (the Lee-et-al "ExactSubstr" policy at
+    * word-`n`-gram resolution): every duplicated token run of ≥ `n`
+    * words keeps its GLOBAL first occurrence — lowest `(doc, pos)` —
+    * and every other copy is cut out of its document, corpus-wide and
+    * within-document alike. Stride-1 grams make the cut exact: a
+    * duplicated region of L ≥ n tokens is covered by exactly its own
+    * L−n+1 duplicate windows, so precisely those L tokens fall (edge
+    * windows mixing unique context don't match). [[passageDedup]] is
+    * the coarse fixed-width form of the same policy; this one pays
+    * n× gram amplification for exact span boundaries (suffix arrays
+    * avoid that CPU on one machine but don't distribute or replay —
+    * the gram-join form does both).
+    *
+    * Scale shape: gram occurrences collapse to `(md5, doc, pos)` —
+    * text never rides the join; the global first occurrence is ONE
+    * `min(struct)` aggregation (map-side combine: a million-fold
+    * boilerplate gram sends one candidate per mapper); duplicate
+    * starts come back as one id-keyed array; redaction is the shared
+    * shuffle-free projection. */
+  def dedupRepeatedSpans(corpus: DataFrame, corpusId: String,
+                         textCol: String, n: Int = 8): DataFrame = {
+    val occ = corpus
+      .select(col(corpusId).as("__graft_did"),
+        posexplode(wordGrams(col(textCol), n))
+          .as(Seq("__graft_p0", "__graft_gram")))
+      .select(col("__graft_did"), col("__graft_p0"),
+        md5(col("__graft_gram")).as("__graft_g"))
+    val firsts = occ.groupBy(col("__graft_g"))
+      .agg(min(struct(col("__graft_did"), col("__graft_p0")))
+        .as("__graft_f"))
+    val dupStarts = occ.join(firsts, Seq("__graft_g"))
+      .filter(col("__graft_did") =!= col("__graft_f.__graft_did") ||
+        col("__graft_p0") =!= col("__graft_f.__graft_p0"))
+      .groupBy(col("__graft_did"))
+      .agg(collect_set(col("__graft_p0") + 1).as("__graft_starts"))
+    redactByStarts(corpus, dupStarts, corpusId, textCol, n)
   }
 }

@@ -702,6 +702,28 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact repeated-span dedup (DedupOps.dedupRepeatedSpans): every
+    * duplicated ≥8-word run keeps its lowest-(doc,pos) occurrence,
+    * all other copies cut. Injected duplicate tails force real
+    * removals. Integer/string-exact, fully replayed. */
+  def dedupRepeatedSpansQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    // plant cross-doc duplication: docs ≡ 3 (mod 19) append the first
+    // 12 tokens of the PREVIOUS doc — a run only span dedup catches
+    val donors = docs
+      .select((col("doc_id") + 1L).as("doc_id"),
+        concat_ws(" ", slice(graft.functions.tokens(col("text")), 1, 12))
+          .as("__tail"))
+    val fixture = docs.join(donors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 19 === 3 && col("__tail").isNotNull &&
+            col("__tail") =!= "",
+          concat(col("text"), lit(" "), col("__tail")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.DedupOps.dedupRepeatedSpans(fixture, "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF doc-term export (CorpusOps.tfidfVectors) over a bounded
     * doc slice; integer tf/df, one pinned-shape double weight. */
   def tfidfQ(s: SparkSession, d: String): DataFrame = {
@@ -1411,6 +1433,48 @@ object Pipeline {
         |    * CAST(tfx.tf AS DOUBLE) AS tfidf
         |FROM tfx JOIN dfx USING (term), nn
         |ORDER BY tfx.doc_id, tfx.term""".stripMargin,
+    // same planted duplication; global first occurrence = rn 1 over
+    // (doc, pos) per gram digest; the same index-aware redaction
+    "dd_span_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                q -> q != '') AS ts0
+        |  FROM documents),
+        |fixture AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 19 = 3 AND p.doc_id IS NOT NULL
+        |              AND array_to_string(p.ts0[1:12], ' ') != ''
+        |         THEN b.text || ' ' || array_to_string(p.ts0[1:12], ' ')
+        |         ELSE b.text END AS text
+        |  FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                q -> q != '') AS ts,
+        |    regexp_split_to_array(trim(text), '[ \t\n\r]+') AS gt
+        |  FROM fixture),
+        |cg AS (
+        |  SELECT doc_id, i, md5(array_to_string(gt[i:i+7], ' ')) AS g
+        |  FROM (SELECT doc_id, gt, unnest(range(1, len(gt) - 6)) AS i
+        |        FROM tok WHERE len(gt) >= 8) t),
+        |dup AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i,
+        |      row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+        |    FROM cg) t WHERE rn > 1),
+        |starts AS (SELECT doc_id, list(DISTINCT i) AS ss FROM dup GROUP BY doc_id),
+        |red AS (
+        |  SELECT t.doc_id, t.ts, COALESCE(s.ss, []) AS ss,
+        |    list_filter(t.ts, (x, i) ->
+        |      len(list_filter(COALESCE(s.ss, []),
+        |          st -> i >= st AND i < st + 8)) = 0) AS kept
+        |  FROM tok t LEFT JOIN starts s USING (doc_id))
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kept, ' '), '') AS text_clean,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(ts) - len(kept) AS BIGINT) AS n_removed
+        |FROM red ORDER BY doc_id""".stripMargin,
     // exact per-key counts, decimal-safe total, pinned-shape divisions
     "q29_key_stats" ->
       """WITH c AS (
@@ -2295,6 +2359,7 @@ object Pipeline {
     "tx_tfidf" -> (tfidfQ _),
     "q29_key_stats" -> (keyStatsQ _),
     "pp_snapshot_diff" -> (snapshotDiffQ _),
+    "dd_span_dedup" -> (dedupRepeatedSpansQ _),
     "pp_span_decontamination" -> (decontaminateSpansQ _),
     "gp_pagerank" -> (pageRankQ _),
     "gp_triangles" -> (triangleCountsQ _)

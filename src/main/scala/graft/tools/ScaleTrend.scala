@@ -320,6 +320,15 @@ object ScaleTrend {
       embRep(n).principalComponents("embedding", "vec_id", k = 2).count()
     }
 
+    // exact span dedup over the replicated corpus: translated replicas
+    // share almost no grams, so occurrences AND duplicate groups grow
+    // ~n — the min(struct) first-occurrence agg is what the trend
+    // certifies (within-replica duplication replicates n-fold)
+    def b8xd(n: Int): Long = {
+      graft.operators.DedupOps.dedupRepeatedSpans(
+        docsRep(spark, d, n), "doc_id", "text", n = 8).count()
+    }
+
     // vocab encode over the replicated corpus: the count table grows ~n
     // (translated replicas share no tokens) but the vocab CUT stays
     // fixed at vocabSize — so the OOV share rises while the TakeOrdered
@@ -366,7 +375,8 @@ object ScaleTrend {
           "b8sd_span_decontamination" -> (b8sd2 _),
           "b8tc_triangles" -> (b8tc _),
           "b8ii_inverted_index" -> (b8ii _),
-          "b6pc_pca" -> (b6pc _))
+          "b6pc_pca" -> (b6pc _),
+          "b8xd_span_dedup" -> (b8xd _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f

@@ -321,6 +321,39 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(5L) === (("p", 7L, 6L)))
   }
 
+  test("dedupRepeatedSpans: first occurrence survives, every copy cut") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d x"),        // first occurrence of "a b c d"
+      (2L, "p q a b c d r"),    // cross-doc copy -> cut
+      (3L, "e f g h e f g h"),  // within-doc repeat -> second cut
+      (4L, "u v w")             // unique, untouched
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupRepeatedSpans(corpus, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("a b c d x", 5L, 0L)))
+    assert(got(2L) === (("p q r", 7L, 4L)))
+    assert(got(3L) === (("e f g h", 8L, 4L)))
+    assert(got(4L) === (("u v w", 3L, 0L)))
+  }
+
+  test("dedupRepeatedSpans: partition-independent; partial min(struct) plan") {
+    val docs = graft.Tables.documents(spark, sf())
+      .filter(col("doc_id") < 150).select(col("doc_id"), col("text"))
+    def run(c: org.apache.spark.sql.DataFrame) =
+      DedupOps.dedupRepeatedSpans(c, "doc_id", "text", n = 8)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val a = run(docs)
+    assert(a === run(docs.repartition(13)) && a.size === docs.count())
+    val plan = DedupOps.dedupRepeatedSpans(docs, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"first occurrence must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("decontaminateSpans: partition-independent; clean corpus unchanged") {
     val docs = graft.Tables.documents(spark, sf())
     val corpus = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") < 200)
