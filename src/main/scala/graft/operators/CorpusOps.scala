@@ -765,6 +765,38 @@ object CorpusOps {
             .otherwise(lit("changed")).as("status"))
     }
 
+    /** Hash-sharded corpus export — the write side of the pipeline:
+      * every row lands in shard `knuth32(id) mod shards` (the
+      * engine-portable two-halves fold the samplers use, so ANY
+      * engine recomputes which shard holds a document without reading
+      * manifests), written as a `shard=`-partitioned parquet
+      * directory. Returns the post-write manifest `(shard, n_docs)`
+      * READ BACK from the files — the count you publish is the count
+      * that's actually on disk, not the count you meant to write.
+      *
+      * Scale shape: the shard column is one codegen'd projection (no
+      * shuffle — each task appends to its shards' directories);
+      * readers of one shard prune every other directory at plan time
+      * (`PartitionFilters`, spec-gated — the IVF-directory
+      * discipline). Deterministic: stable across runs, partitionings,
+      * and engines; id-hash sharding keeps any (language, source)
+      * subpopulation proportionally represented in every shard. */
+    def writeSharded(path: String, idCol: String, shards: Int): DataFrame = {
+      require(shards >= 1, s"shards must be >= 1, got $shards")
+      val m32 = 4294967296L
+      val c = 2654435761L
+      val id32 = pmod(col(idCol).cast("long"), lit(m32))
+      val hash = pmod(
+        pmod(floor(id32 / 65536).cast("long") * c, lit(m32)) * 65536L +
+          id32 % 65536 * c, lit(m32))
+      val spark = ds.sparkSession
+      ds.toDF.withColumn("shard", pmod(hash, lit(shards.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      spark.read.parquet(path)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+    }
+
     /** Greedy BPE tokenizer training over the corpus: `rounds` merge
       * rules, each the most-frequent adjacent symbol pair (ties broken
       * lexicographically — deterministic) under all PREVIOUS merges —

@@ -702,6 +702,19 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Hash-sharded export round trip (CorpusOps.writeSharded): the
+    * corpus writes to a shard-partitioned temp directory and the
+    * manifest read BACK from the files answers to a DuckDB replay of
+    * the shard hash — verifying the write path end to end. */
+  def writeShardedQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    val out = java.nio.file.Files.createTempDirectory("graft_shards")
+    out.toFile.deleteOnExit()
+    documents(s, d).select(col("doc_id"), col("text"))
+      .writeSharded(out.toString, "doc_id", shards = 8)
+      .orderBy(col("shard"))
+  }
+
   /** Exact repeated-span dedup (DedupOps.dedupRepeatedSpans): every
     * duplicated ≥8-word run keeps its lowest-(doc,pos) occurrence,
     * all other copies cut. Injected duplicate tails force real
@@ -1433,6 +1446,14 @@ object Pipeline {
         |    * CAST(tfx.tf AS DOUBLE) AS tfidf
         |FROM tfx JOIN dfx USING (term), nn
         |ORDER BY tfx.doc_id, tfx.term""".stripMargin,
+    // the two-halves Knuth fold mod 8 — the manifest the files must
+    // carry if the write path round-trips every row exactly once
+    "pp_write_sharded" ->
+      """SELECT CAST(((doc_id % 4294967296 // 65536 * 2654435761 % 4294967296)
+        |        * 65536 + doc_id % 65536 * 2654435761) % 4294967296 % 8
+        |      AS INT) AS shard,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     // same planted duplication; global first occurrence = rn 1 over
     // (doc, pos) per gram digest; the same index-aware redaction
     "dd_span_dedup" ->
@@ -2360,6 +2381,7 @@ object Pipeline {
     "q29_key_stats" -> (keyStatsQ _),
     "pp_snapshot_diff" -> (snapshotDiffQ _),
     "dd_span_dedup" -> (dedupRepeatedSpansQ _),
+    "pp_write_sharded" -> (writeShardedQ _),
     "pp_span_decontamination" -> (decontaminateSpansQ _),
     "gp_pagerank" -> (pageRankQ _),
     "gp_triangles" -> (triangleCountsQ _)

@@ -198,6 +198,30 @@ object ExplainPlans {
       import graft.operators.CorpusOps._
       documents(spark, d).invertedIndex("doc_id", "text", maxPostings = 20)
     }
+    show("span_dedup (expect partial_min first-occurrence agg + id-keyed starts join — text rides only the redaction)") {
+      graft.operators.DedupOps.dedupRepeatedSpans(
+        documents(spark, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 8)
+    }
+    show("tfidf (expect partial-agg tf + vocab-sized df table + term-keyed weight join)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).tfidfVectors("doc_id", "text")
+    }
+    show("normalized_dedup (expect codegen'd normalization + ONE digest-shuffle min_by)") {
+      import graft.operators.DedupOps._
+      documents(spark, d).select(col("doc_id"), col("text"))
+        .withColumn("text_norm", graft.functions.normalizeText(col("text")))
+        .exactDedup("text_norm", "doc_id")
+    }
+    show("key_stats (expect one partial-agg count per key + TakeOrderedAndProject cut + broadcast total)") {
+      import graft.operators.StatsOps._
+      lineitem(spark, d).keyStats("l_suppkey", topN = 20)
+    }
+    show("snapshot_diff (expect (id, md5) scans + ONE id-keyed full-outer join — text never rides)") {
+      import graft.operators.CorpusOps._
+      val old = documents(spark, d).select(col("doc_id"), col("text"))
+      old.filter(col("doc_id") % 11 =!= 0).snapshotDiff(old, "doc_id", "text")
+    }
     show("pca_projection (expect one shuffle-free fold over the scan; Gram phase runs at build time)") {
       import graft.operators.VectorOps._
       val e = embeddings(spark, d)

@@ -396,7 +396,9 @@ object ScaleTrend {
             "b8d_contamination" -> (b8d _),
             "b8i_importance" -> (b8i _),
             "b8pd_passage_dedup" -> (b8pd _),
-            "b8pr_pagerank" -> (b8pr _))
+            "b8pr_pagerank" -> (b8pr _),
+            "b8tc_triangles" -> (b8tc _),
+            "b8xd_span_dedup" -> (b8xd _))
       // optional trailing args select a subset (re-measure one entry
       // without re-paying the minutes-long others)
       val want = args.drop(1).toSet

@@ -556,6 +556,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === run(nu.repartition(7)))
   }
 
+  test("writeSharded: exact round trip, driver-replayable shards, pruned reads") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shard_spec")
+    out.toFile.deleteOnExit()
+    val src = docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    val manifest = src.writeSharded(out.toString, "doc_id", shards = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def hash32(id: Long): Long = {
+      val id32 = id & 0xffffffffL
+      ((id32 >>> 16) * 2654435761L % 4294967296L * 65536L +
+        (id32 & 0xffffL) * 2654435761L) % 4294967296L
+    }
+    val srcIds = src.select("doc_id").collect().map(_.getLong(0))
+    val wantManifest = srcIds.groupBy(id => (hash32(id) % 4).toInt)
+      .view.mapValues(_.length.toLong).toMap
+    assert(manifest === wantManifest)
+    // every row lands exactly once, in its computed shard
+    val back = spark.read.parquet(out.toString)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(back.length === srcIds.length)
+    back.foreach { case (id, s) => assert(s === (hash32(id) % 4).toInt) }
+    // a one-shard read prunes the other directories at plan time
+    val plan = spark.read.parquet(out.toString)
+      .filter(col("shard") === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(shard"),
+      s"shard read must prune via partition filters:\n$plan")
+  }
+
   test("learnBpeMerges: greedy ranks on a hand corpus, then round-trip") {
     import spark.implicits._
     // the x3, cat x1; round 1 ties (t,h)/(h,e) at 3 -> lexicographic
