@@ -242,6 +242,10 @@ object Bench {
       graft.operators.DedupOps.dedupRepeatedSpans(
         documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text", n = 8)),
+    "b8cl_collocations" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      documents(s, d).collocations("text", minCount = 5, topN = 40)
+    }),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._

@@ -585,6 +585,56 @@ object CorpusOps {
             .as("bigram_score"))
     }
 
+    /** Corpus collocation mining: the `topN` adjacent word pairs with
+      * the highest lift `c(w1,w2)·N / (c(w1)·c(w2))` among pairs seen
+      * ≥ `minCount` times — the PMI-style association lexicon (PMI is
+      * `log` of exactly this ratio; the log is monotone, so ranking by
+      * the raw ratio is ranking by PMI without the `ln`
+      * correct-rounding hazard — the repo-wide log-free discipline).
+      * The lexicon feeds tokenizer sanity checks ("did multi-word
+      * entities survive?"), stopword-list induction, and phrase-table
+      * export.
+      *
+      * Scale shape: both count tables are vocabulary-sized and
+      * partial-aggregated; the lift joins are word-keyed with ONE row
+      * per word on the count side; N is a two-number broadcast; the
+      * top-N cut is TakeOrdered (per-partition heaps). Counts are
+      * exact integers; lift is one pinned-shape double expression —
+      * fully engine-replayable. */
+    def collocations(textCol: String, minCount: Long = 5,
+                     topN: Int = 50): DataFrame = {
+      require(minCount >= 1 && topN >= 1)
+      val df = ds.toDF
+      val ts = graft.functions.tokens(col(textCol))
+      val pairs = df.select(ts.as("__graft_ts"))
+        .withColumn("__graft_i",
+          explode(when(size(col("__graft_ts")) >= 2,
+              sequence(lit(1), size(col("__graft_ts")) - 1))
+            .otherwise(array().cast("array<int>"))))
+        .select(element_at(col("__graft_ts"), col("__graft_i")).as("w1"),
+          element_at(col("__graft_ts"), col("__graft_i") + 1).as("w2"))
+      val uni = df.select(explode(ts).as("__graft_w"))
+        .groupBy(col("__graft_w")).agg(count(lit(1)).as("__graft_c"))
+      val tot = uni.agg(
+        sum(col("__graft_c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("__graft_n"))
+      val bi = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("pair_count"))
+        .filter(col("pair_count") >= minCount)
+      bi
+        .join(uni.select(col("__graft_w").as("w1"),
+          col("__graft_c").as("__graft_c1")), Seq("w1"))
+        .join(uni.select(col("__graft_w").as("w2"),
+          col("__graft_c").as("__graft_c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("pair_count"),
+          (col("pair_count").cast("double") * col("__graft_n").cast("double") /
+            (col("__graft_c1").cast("double") * col("__graft_c2").cast("double")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+        .limit(topN)
+    }
+
     /** Tokenize every word of `textCol` with an ORDERED byte-pair-merge
       * list — the APPLY side of the BPE tokenizer whose training
       * statistic is [[bpePairStats]] / whose trainer is

@@ -715,6 +715,15 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
+  /** Collocation lexicon (CorpusOps.collocations): top-40 adjacent
+    * pairs by lift among pairs seen ≥5 times — exact integer counts,
+    * one pinned-shape double lift, fully replayed. */
+  def collocationsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).collocations("text", minCount = 5, topN = 40)
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+  }
+
   /** Exact repeated-span dedup (DedupOps.dedupRepeatedSpans): every
     * duplicated ≥8-word run keeps its lowest-(doc,pos) occurrence,
     * all other copies cut. Injected duplicate tails force real
@@ -1446,6 +1455,30 @@ object Pipeline {
         |    * CAST(tfx.tf AS DOUBLE) AS tfidf
         |FROM tfx JOIN dfx USING (term), nn
         |ORDER BY tfx.doc_id, tfx.term""".stripMargin,
+    // exact pair/unigram counts; lift = c12*N / (c1*c2) in the pinned
+    // double shape; (lift DESC, w1, w2) makes the top-40 cut total
+    "tx_collocations" ->
+      """WITH tok AS (
+        |  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     q -> q != '') AS ts
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(ts) AS w FROM tok) t GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |pairs AS (
+        |  SELECT ts[i] AS w1, ts[i+1] AS w2 FROM (
+        |    SELECT ts, unnest(range(1, len(ts))) AS i
+        |    FROM tok WHERE len(ts) >= 2) t),
+        |bi AS (
+        |  SELECT w1, w2, count(*) AS pair_count
+        |  FROM pairs GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT b.w1, b.w2, b.pair_count,
+        |  CAST(b.pair_count AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+        |FROM bi b JOIN uni u1 ON b.w1 = u1.w
+        |          JOIN uni u2 ON b.w2 = u2.w, tot t
+        |ORDER BY lift DESC, b.w1, b.w2 LIMIT 40""".stripMargin,
     // the two-halves Knuth fold mod 8 — the manifest the files must
     // carry if the write path round-trips every row exactly once
     "pp_write_sharded" ->
@@ -2382,6 +2415,7 @@ object Pipeline {
     "pp_snapshot_diff" -> (snapshotDiffQ _),
     "dd_span_dedup" -> (dedupRepeatedSpansQ _),
     "pp_write_sharded" -> (writeShardedQ _),
+    "tx_collocations" -> (collocationsQ _),
     "pp_span_decontamination" -> (decontaminateSpansQ _),
     "gp_pagerank" -> (pageRankQ _),
     "gp_triangles" -> (triangleCountsQ _)

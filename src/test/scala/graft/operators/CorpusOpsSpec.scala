@@ -585,6 +585,39 @@ class CorpusOpsSpec extends SparkSpec {
       s"shard read must prune via partition filters:\n$plan")
   }
 
+  test("collocations: exact lift on a hand fixture; bound pair ranks first") {
+    import spark.implicits._
+    // "new york" always together (3x); "of the" frequent but independent-ish
+    val fixture = Seq(
+      (1L, "new york of the"),
+      (2L, "new york of a"),
+      (3L, "new york the of")
+    ).toDF("doc_id", "text")
+    val got = fixture.collocations("text", minCount = 2, topN = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // N = 12 tokens; c(new)=3, c(york)=3, c12(new,york)=3 -> lift 12*3/9
+    assert(got(("new", "york")) === ((3L, 3.0 * 12.0 / (3.0 * 3.0))))
+    // "york of": c12=3, c(york)=3, c(of)=3 -> same lift; "of the" weaker
+    val topPair = fixture.collocations("text", minCount = 2, topN = 1)
+      .collect()(0)
+    assert(topPair.getDouble(3) === 4.0)
+  }
+
+  test("collocations: partition-independent; TakeOrdered cut") {
+    val base = docs.filter(col("doc_id") < 200)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collocations("text", minCount = 3, topN = 20)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val a = run(base)
+    assert(a === run(base.repartition(13)) && a.nonEmpty)
+    val plan = base.collocations("text", minCount = 3, topN = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must cut via per-partition heaps:\n$plan")
+  }
+
   test("learnBpeMerges: greedy ranks on a hand corpus, then round-trip") {
     import spark.implicits._
     // the x3, cat x1; round 1 ties (t,h)/(h,e) at 3 -> lexicographic
