@@ -175,6 +175,32 @@ object SampleOps {
         Seq(knuthFrac(col(idCol)).asc, col(idCol).asc))
     }
 
+    /** Leakage-free train/val/test split: assign every row the split of
+      * its NEAR-DUP COMPONENT, not of its own id — the correction that
+      * keeps a document and its near-duplicates on the same side of the
+      * split (id-hash splits scatter a duplicate cluster across
+      * train/test, and the model "generalizes" to test examples it
+      * memorized from train — the classic dedup-blind eval leak).
+      * `pairs` is any near-dup pair list ([[graft.operators.DedupOps]]
+      * minhash/simhash/n-gram/winnow/embedding generators all fit);
+      * components come from the pointer-doubling propagation and the
+      * component label (its min reachable id) feeds the SAME Knuth-hash
+      * assignment as [[splitAssign]], so unpaired documents fall
+      * exactly where plain splitAssign would put them... IF their own
+      * id is their component — which it is, by the min-id labeling.
+      * Returns `(id, component, split)`.
+      *
+      * Scale shape: [[graft.operators.DedupOps]] component propagation
+      * (O(log n) rounds) + one shuffle-free codegen'd split projection. */
+    def leakageFreeSplit(idCol: String, pairs: DataFrame,
+                         splits: Seq[(String, Double)],
+                         id1: String = "id1", id2: String = "id2"): DataFrame = {
+      import graft.operators.DedupOps._
+      ds.toDF.nearDupComponents(idCol, pairs, id1, id2)
+        .splitAssign("component", splits)
+        .select(col(idCol), col("component"), col("split"))
+    }
+
     /** Keep the top `cap` rows of each group under `order` (callers
       * must make the order total — include a unique tie-break — or the
       * kept set is nondeterministic). */

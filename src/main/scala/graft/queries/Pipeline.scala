@@ -402,6 +402,24 @@ object Pipeline {
     docs.nearDupComponents("doc_id", pairs).orderBy(col("doc_id"))
   }
 
+  /** Leakage-free split (SampleOps.leakageFreeSplit): every doc takes
+    * its near-dup COMPONENT's split, so duplicate clusters never
+    * straddle train/test. Same deterministic pair list as
+    * dd_components; same hash CASE as pp_split_assign, keyed on the
+    * component label. */
+  def leakageFreeSplitQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SampleOps._
+    import graft.operators.DedupOps._
+    val docs = documents(s, d)
+    val pairs = docs.ngramJaccardPairs("doc_id", "text",
+      blockBy = Seq(col("lang"),
+        length(conv(col("n_chars").cast("string"), 10, 2))),
+      n = 3, threshold = 0.8)
+    docs.leakageFreeSplit("doc_id", pairs,
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup retention: components over the deterministic n-gram
     * pairs, then keep each component's best member by (quality DESC,
     * doc_id ASC) — the "dedup keeps the best copy" policy, fully
@@ -2353,7 +2371,30 @@ object Pipeline {
          |  UNION
          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, MIN(lbl) AS component FROM reach
-         |GROUP BY id ORDER BY doc_id""".stripMargin
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the dd_components labels fed through the pp_split_assign hash
+    // CASE, keyed on the component
+    "pp_leakage_free_split" ->
+      s"""WITH RECURSIVE $ngramShingleCteSql,
+         |pairs AS ($ngramPairsSelectSql),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION ALL SELECT id2 AS src, id1 AS dst FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach
+         |         GROUP BY id),
+         |h AS (
+         |  SELECT doc_id, component,
+         |    ((component % 4294967296 // 65536 * 2654435761 % 4294967296)
+         |       * 65536 + component % 65536 * 2654435761) % 4294967296
+         |      / 4294967296.0 AS f
+         |  FROM comp)
+         |SELECT doc_id, component,
+         |  CASE WHEN f < 0.75 THEN 'train'
+         |       WHEN f < 0.875 THEN 'val' ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2385,6 +2426,7 @@ object Pipeline {
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),
+    "pp_leakage_free_split" -> (leakageFreeSplitQ _),
     "dd_keep_best" -> (keepBestQ _),
     "dd_emb_near_dup" -> (embNearDupQ _),
     "tx_stats" -> (textStatsQ _),

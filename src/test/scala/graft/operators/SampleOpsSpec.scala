@@ -163,6 +163,37 @@ class SampleOpsSpec extends SparkSpec {
       s"rates must broadcast onto the corpus:\n$plan")
   }
 
+  test("leakageFreeSplit: clusters never straddle; singletons = splitAssign") {
+    import spark.implicits._
+    val ids = (1L to 400L).map(i => (i, s"doc $i"))
+    val df = ids.toDF("doc_id", "text")
+    // chain pairs clustering ids into groups of 4: {1..4}, {5..8}, ...
+    val pairs = (1L to 400L).filter(_ % 4 != 0)
+      .map(i => (i, i + 1)).toDF("id1", "id2")
+    val out = df.leakageFreeSplit("doc_id", pairs,
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 400)
+    // every member of a cluster carries the cluster-min component and
+    // ONE split
+    out.groupBy(t => (t._1 - 1) / 4).foreach { case (g, rows) =>
+      assert(rows.map(_._2).toSet === Set(g * 4 + 1),
+        s"cluster $g mislabeled: ${rows.toSeq}")
+      assert(rows.map(_._3).toSet.size === 1,
+        s"cluster $g straddles splits: ${rows.toSeq}")
+    }
+    // an unpaired doc falls exactly where plain splitAssign puts it
+    val solo = Seq((999L, "solo")).toDF("doc_id", "text")
+    val a = solo.leakageFreeSplit("doc_id",
+        Seq.empty[(Long, Long)].toDF("id1", "id2"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .collect()(0).getString(2)
+    val b = solo.splitAssign("doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .collect()(0).getString(2)
+    assert(a === b)
+  }
+
   test("stratifiedSample: exactly min(k, n_g) per group, hash-order members") {
     val sizes = docs.groupBy(col("lang")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
