@@ -201,6 +201,50 @@ object SampleOps {
         .select(col(idCol), col("component"), col("split"))
     }
 
+    /** Deterministic random-negative mining for contrastive training:
+      * each row gets `k` pseudo-random partners drawn from its HASH
+      * BUCKET by circular offset — the scalable stand-in for "sample k
+      * uniform negatives per anchor" (a true global draw needs a
+      * global index; hash buckets + within-bucket rotation give
+      * hash-uniform partners with only bucket-local coordination).
+      * Returns `(id, neg_id, j)` for offsets `j = 1..k`; self-partners
+      * (only possible when a bucket has ≤ k members) are dropped.
+      * Selection is a pure function of (id, k, buckets, seed) —
+      * stable across runs, partitionings, and engines.
+      *
+      * Scale shape: one window rank per bucket (size the bucket count
+      * so buckets hold thousands of rows — the window sorts ONLY
+      * within a bucket), then a (bucket, rank)-keyed equi-join; k
+      * rides as one explode. Anchors and negatives are id-only — the
+      * caller joins payloads back by id. */
+    def mineNegatives(idCol: String, k: Int, buckets: Int,
+                      seed: Long = 0L): DataFrame = {
+      require(k >= 1 && buckets >= 1)
+      val bucketed = ds.toDF.select(col(idCol).as("__graft_mid"))
+        .withColumn("__graft_b",
+          floor(knuthFrac(col("__graft_mid") + lit(seed)) * buckets).cast("int"))
+        .withColumn("__graft_rn", row_number().over(
+          Window.partitionBy(col("__graft_b"))
+            .orderBy(knuthFrac(col("__graft_mid") + lit(seed + 1)).asc,
+              col("__graft_mid").asc)))
+      val sized = bucketed.withColumn("__graft_sz",
+        count(lit(1)).over(Window.partitionBy(col("__graft_b"))))
+      val wanted = sized
+        // sequence(1, 0) counts DOWN (the bpePairStats guard):
+        // singleton buckets must short-circuit to no offsets
+        .withColumn("j", explode(when(col("__graft_sz") <= 1,
+            array().cast("array<int>"))
+          .otherwise(sequence(lit(1),
+            least(lit(k.toLong), col("__graft_sz") - 1).cast("int")))))
+        .withColumn("__graft_tr",
+          pmod(col("__graft_rn") - 1 + col("j"), col("__graft_sz")) + 1)
+      val targets = bucketed.select(col("__graft_b"),
+        col("__graft_rn").as("__graft_tr"), col("__graft_mid").as("neg_id"))
+      wanted.join(targets, Seq("__graft_b", "__graft_tr"))
+        .filter(col("neg_id") =!= col("__graft_mid"))
+        .select(col("__graft_mid").as(idCol), col("neg_id"), col("j"))
+    }
+
     /** Keep the top `cap` rows of each group under `order` (callers
       * must make the order total — include a unique tie-break — or the
       * kept set is nondeterministic). */

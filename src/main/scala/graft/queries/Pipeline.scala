@@ -420,6 +420,15 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic negative mining (SampleOps.mineNegatives): 3
+    * hash-bucket-circular negatives per doc over 16 buckets — integer
+    * window arithmetic end to end, fully replayed. */
+  def mineNegativesQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SampleOps._
+    documents(s, d).mineNegatives("doc_id", k = 3, buckets = 16)
+      .orderBy(col("doc_id"), col("j"))
+  }
+
   /** Near-dup retention: components over the deterministic n-gram
     * pairs, then keep each component's best member by (quality DESC,
     * doc_id ASC) — the "dedup keeps the best copy" policy, fully
@@ -2372,6 +2381,30 @@ object Pipeline {
          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, MIN(lbl) AS component FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // two Knuth folds (bucket at seed 0, in-bucket order at seed 1),
+    // window rank + circular modular offsets — integer-exact
+    "pp_mine_negatives" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(floor(((doc_id % 4294967296 // 65536 * 2654435761 % 4294967296)
+        |       * 65536 + doc_id % 65536 * 2654435761) % 4294967296
+        |      / 4294967296.0 * 16) AS INT) AS b,
+        |    (((doc_id + 1) % 4294967296 // 65536 * 2654435761 % 4294967296)
+        |       * 65536 + (doc_id + 1) % 65536 * 2654435761) % 4294967296 AS h2
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, b,
+        |    row_number() OVER (PARTITION BY b ORDER BY h2, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY b) AS sz
+        |  FROM h),
+        |w AS (
+        |  SELECT doc_id, b, rn, sz,
+        |    unnest(range(1, least(3, sz - 1) + 1)) AS j
+        |  FROM r WHERE sz > 1)
+        |SELECT w.doc_id, t.doc_id AS neg_id, CAST(w.j AS INT) AS j
+        |FROM w JOIN r t
+        |  ON t.b = w.b AND t.rn = (w.rn - 1 + w.j) % w.sz + 1
+        |ORDER BY w.doc_id, j""".stripMargin,
     // the dd_components labels fed through the pp_split_assign hash
     // CASE, keyed on the component
     "pp_leakage_free_split" ->
@@ -2427,6 +2460,7 @@ object Pipeline {
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),
     "pp_leakage_free_split" -> (leakageFreeSplitQ _),
+    "pp_mine_negatives" -> (mineNegativesQ _),
     "dd_keep_best" -> (keepBestQ _),
     "dd_emb_near_dup" -> (embNearDupQ _),
     "tx_stats" -> (textStatsQ _),

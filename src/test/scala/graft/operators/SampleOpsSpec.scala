@@ -194,6 +194,38 @@ class SampleOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("mineNegatives: k distinct non-self partners, bucket-local, stable") {
+    import spark.implicits._
+    val df = (1L to 120L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.mineNegatives("doc_id", k = 3, buckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val out = run(df)
+    assert(out === run(df.repartition(11)))
+    val byAnchor = out.groupBy(_._1)
+    byAnchor.foreach { case (id, rows) =>
+      assert(rows.map(_._2).distinct.size === rows.size, s"dup partner for $id")
+      assert(!rows.exists(_._2 == id), s"self partner for $id")
+      assert(rows.size <= 3)
+    }
+    // partners come from the anchor's own hash bucket
+    def hash32(x: Long): Long = {
+      val x32 = x & 0xffffffffL
+      ((x32 >>> 16) * 2654435761L % 4294967296L * 65536L +
+        (x32 & 0xffffL) * 2654435761L) % 4294967296L
+    }
+    def bucket(id: Long): Int = (hash32(id) * 4 / 4294967296L).toInt
+    out.foreach { case (id, neg, _) =>
+      assert(bucket(id) === bucket(neg), s"cross-bucket pair $id -> $neg")
+    }
+    // every anchor in a bucket of size > 3 gets the full k
+    val sizes = (1L to 120L).groupBy(bucket).view.mapValues(_.size).toMap
+    byAnchor.foreach { case (id, rows) =>
+      if (sizes(bucket(id)) > 3) assert(rows.size === 3, s"anchor $id short")
+    }
+  }
+
   test("stratifiedSample: exactly min(k, n_g) per group, hash-order members") {
     val sizes = docs.groupBy(col("lang")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
