@@ -246,6 +246,12 @@ object Bench {
       import graft.operators.CorpusOps._
       documents(s, d).collocations("text", minCount = 5, topN = 40)
     }),
+    "b8lf_leakage_free_split" -> ((s: SparkSession, d: String) =>
+      graft.queries.Pipeline.queries("pp_leakage_free_split")(s, d)),
+    "b8mn_mine_negatives" -> ((s: SparkSession, d: String) => {
+      import graft.operators.SampleOps._
+      documents(s, d).mineNegatives("doc_id", k = 3, buckets = 16)
+    }),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._
