@@ -209,6 +209,27 @@ package object functions {
         UrlRe, "<URL>"),
       PhoneRe, "<PHONE>")
 
+  /** The two-halves Knuth multiplicative hash on a value masked to 32
+    * bits — THE engine-portable integer fold every sampler, splitter,
+    * and sharder replays in SQL as
+    * `((k % 2^32 // 65536 * 2654435761) % 2^32 * 65536 +
+    * k % 65536 * 2654435761) % 2^32`. The id is masked and the
+    * multiply runs in 16-bit halves so no intermediate exceeds 2^49
+    * (the naive `id * 2654435761` overflows Long past id ~3.5e9 —
+    * silent wrap in non-ANSI Spark, an error in ANSI Spark and
+    * DuckDB). Engine-exact replay additionally requires NON-NEGATIVE
+    * inputs: SQL `%` truncates toward zero on negatives where Spark's
+    * pmod floors. ONE definition on purpose — sharding, sampling, and
+    * splitting must never drift apart. */
+  private[graft] def knuth32(id: Column): Column = {
+    val m32 = 4294967296L // 2^32
+    val c = 2654435761L   // Knuth's multiplier, < 2^32
+    val id32 = pmod(id.cast("long"), lit(m32))
+    val hi = floor(id32 / 65536).cast("long") // < 2^16
+    val lo = id32 % 65536                     // < 2^16
+    pmod(pmod(hi * c, lit(m32)) * 65536L + lo * c, lit(m32))
+  }
+
   /** Canonical text normalization for dedup keys: lowercase, strip
     * everything outside `[a-z0-9]` + whitespace to spaces, collapse
     * whitespace runs, trim — so case/punctuation/spacing variants of
@@ -218,10 +239,13 @@ package object functions {
     * `\s` — Java's `\s` and RE2's disagree on vertical tab), so
     * Java, RE2, and SQL engines normalize identically. Codegen'd
     * built-ins all the way; no shuffle. */
+  private[graft] val NormStripRe = "[^a-z0-9 \\t\\n\\r]"
+  private[graft] val NormWsRe = "[ \\t\\n\\r]+"
+
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r]", " "),
-      "[ \\t\\n\\r]+", " "))
+      regexp_replace(lower(text), NormStripRe, " "),
+      NormWsRe, " "))
 
   /** BPE-ish token pattern: letter runs, digit runs, single non-space
     * punctuation — the word-boundary pre-split BPE vocabularies use.

@@ -778,7 +778,9 @@ object CorpusOps {
       * partitions); N is one driver scalar. */
     def tfidfVectors(idCol: String, textCol: String): DataFrame = {
       val df0 = ds.toDF
-      val n = df0.count()
+      // N stays in the plan (one-row agg broadcast) — a driver count()
+      // here would run an extra eager job on every composition
+      val nDocs = df0.agg(count(lit(1)).cast("double").as("__graft_nd"))
       val tf = df0
         .select(col(idCol).as("__graft_tid"),
           explode(graft.functions.tokens(col(textCol))).as("term"))
@@ -786,8 +788,9 @@ object CorpusOps {
         .agg(count(lit(1)).as("tf"))
       val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(dfT, Seq("term"))
+        .crossJoin(broadcast(nDocs))
         .select(col("__graft_tid").as(idCol), col("term"), col("tf"),
-          ((lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+          ((col("__graft_nd") - col("df").cast("double") + lit(0.5)) /
             (col("df").cast("double") + lit(0.5)) *
             col("tf").cast("double")).as("tfidf"))
     }
@@ -805,13 +808,18 @@ object CorpusOps {
       * shuffle join and a codegen'd CASE. String-exact end to end. */
     def snapshotDiff(old: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
-      val newD = ds.toDF.select(col(idCol), md5(col(textCol)).as("__graft_nh"))
-      val oldD = old.select(col(idCol), md5(col(textCol)).as("__graft_oh"))
+      // presence is its own marker: md5(NULL) is NULL, so a NULL-text
+      // document would otherwise read as absent, and the hash compare
+      // is null-safe so two NULL texts count as unchanged
+      val newD = ds.toDF.select(col(idCol), md5(col(textCol)).as("__graft_nh"),
+        lit(true).as("__graft_np"))
+      val oldD = old.select(col(idCol), md5(col(textCol)).as("__graft_oh"),
+        lit(true).as("__graft_op"))
       newD.join(oldD, Seq(idCol), "full_outer")
         .select(col(idCol),
-          when(col("__graft_oh").isNull, lit("added"))
-            .when(col("__graft_nh").isNull, lit("removed"))
-            .when(col("__graft_nh") === col("__graft_oh"), lit("unchanged"))
+          when(col("__graft_op").isNull, lit("added"))
+            .when(col("__graft_np").isNull, lit("removed"))
+            .when(col("__graft_nh") <=> col("__graft_oh"), lit("unchanged"))
             .otherwise(lit("changed")).as("status"))
     }
 
@@ -833,14 +841,9 @@ object CorpusOps {
       * subpopulation proportionally represented in every shard. */
     def writeSharded(path: String, idCol: String, shards: Int): DataFrame = {
       require(shards >= 1, s"shards must be >= 1, got $shards")
-      val m32 = 4294967296L
-      val c = 2654435761L
-      val id32 = pmod(col(idCol).cast("long"), lit(m32))
-      val hash = pmod(
-        pmod(floor(id32 / 65536).cast("long") * c, lit(m32)) * 65536L +
-          id32 % 65536 * c, lit(m32))
       val spark = ds.sparkSession
-      ds.toDF.withColumn("shard", pmod(hash, lit(shards.toLong)).cast("int"))
+      ds.toDF.withColumn("shard",
+          pmod(graft.functions.knuth32(col(idCol)), lit(shards.toLong)).cast("int"))
         .write.mode("overwrite").partitionBy("shard").parquet(path)
       spark.read.parquet(path)
         .groupBy(col("shard"))

@@ -436,7 +436,15 @@ object DedupOps {
   private def redactByStarts(corpus: DataFrame, starts: DataFrame,
                              corpusId: String, textCol: String,
                              n: Int): DataFrame = {
-    val toks = graft.functions.tokens(col(textCol))
+    // redaction indexes the EXACT array wordGrams derived the starts
+    // from — its raw `[ \t\n\r]+` split, empties included. tokens()'s
+    // `\s+` (Java \s also eats \f and \x0B), or an empty-filtered
+    // copy of this split (leading \t/\n survives trim as a "" token),
+    // would shift the 1-based positions and cut the WRONG tokens.
+    // Empty tokens are dropped only AFTER the positional cut, and the
+    // reported counts are over real (non-empty) tokens. NULL text
+    // passes through as the empty document.
+    val toks = split(trim(coalesce(col(textCol), lit(""))), "[ \\t\\n\\r]+")
     // sequence(1, 0) counts DOWN (the bpePairStats guard), so the
     // empty-token case must short-circuit before zip_with
     val indexed = when(size(col("__graft_t")) === 0,
@@ -444,6 +452,7 @@ object DedupOps {
       .otherwise(zip_with(col("__graft_t"),
         sequence(lit(1), size(col("__graft_t"))),
         (t, i) => struct(t.as("t"), i.as("i"))))
+    val nonempty = (a: Column) => filter(a, t => t =!= "")
     corpus
       .join(starts.withColumnRenamed("__graft_did", corpusId),
         Seq(corpusId), "left")
@@ -452,13 +461,14 @@ object DedupOps {
           .as("__graft_s"),
         toks.as("__graft_t"))
       .select(col(corpusId), col("__graft_t"),
-        filter(indexed, x => !exists(col("__graft_s"),
-          s => x("i") >= s && x("i") < s + n)).as("__graft_kept"))
+        transform(
+          filter(indexed, x => !exists(col("__graft_s"),
+            s => x("i") >= s && x("i") < s + n)),
+          x => x("t")).as("__graft_kept"))
       .select(col(corpusId),
-        array_join(transform(col("__graft_kept"), x => x("t")), " ")
-          .as("text_clean"),
-        size(col("__graft_t")).cast("long").as("n_tokens"),
-        (size(col("__graft_t")) - size(col("__graft_kept")))
+        array_join(nonempty(col("__graft_kept")), " ").as("text_clean"),
+        size(nonempty(col("__graft_t"))).cast("long").as("n_tokens"),
+        (size(nonempty(col("__graft_t"))) - size(nonempty(col("__graft_kept"))))
           .cast("long").as("n_removed"))
   }
 

@@ -37,16 +37,8 @@ object SampleOps {
     * requires NON-NEGATIVE ids: SQL `%` truncates toward zero on
     * negatives where Spark's pmod floors, so the two engines mask a
     * negative id to different residues. */
-  private def knuthFrac(id: Column): Column = {
-    val m32 = 4294967296L // 2^32
-    val c = 2654435761L   // Knuth's multiplier, < 2^32
-    val id32 = pmod(id.cast("long"), lit(m32))
-    val hi = floor(id32 / 65536).cast("long") // < 2^16
-    val lo = id32 % 65536                     // < 2^16
-    // (id32 * c) mod 2^32 without overflow: hi*c < 2^48, the folded
-    // hi-part * 2^16 < 2^48, lo*c < 2^48
-    pmod(pmod(hi * c, lit(m32)) * 65536L + lo * c, lit(m32)) / 4294967296.0
-  }
+  private def knuthFrac(id: Column): Column =
+    graft.functions.knuth32(id) / 4294967296.0
 
   implicit class DatasetSampleOps[T](private val ds: Dataset[T]) extends AnyVal {
 

@@ -202,16 +202,16 @@ object GraftExtensions {
         es(1).eval(null).asInstanceOf[Number].intValue(),
         es(2).eval(null).asInstanceOf[Number].longValue())
     }),
-    // same pattern strings as functions.normalizeText — built as direct
-    // Catalyst nodes (a Column round-trip yields unresolved ColumnNodes
-    // in the function-registry context)
+    // the SHARED pattern constants of functions.normalizeText — built as
+    // direct Catalyst nodes (a Column round-trip yields unresolved
+    // ColumnNodes in the function-registry context)
     "graft_normalize_text" -> arity("graft_normalize_text", 1)(es => {
       import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace, StringTrim}
       StringTrim(
         RegExpReplace(
           RegExpReplace(Lower(es(0)),
-            Literal("[^a-z0-9 \\t\\n\\r]"), Literal(" ")),
-          Literal("[ \\t\\n\\r]+"), Literal(" ")))
+            Literal(graft.functions.NormStripRe), Literal(" ")),
+          Literal(graft.functions.NormWsRe), Literal(" ")))
     }),
     // graft_point_in_polygon(x, y, array(x0,y0,x1,y1,...)) — the ring must
     // be a foldable literal; it is evaluated once at plan time

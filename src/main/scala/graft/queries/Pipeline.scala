@@ -519,13 +519,17 @@ object Pipeline {
     def rounds(n: Int, mat: String, mp: String, vp: String, v0: String) =
       (1 to n).map { k =>
         val prev = if (k == 1) v0 else s"$vp${k - 1}"
+        // the zero-norm CASE mirrors the driver's degenerate branch
+        // (zero vector, which then propagates through every remaining
+        // round and zeroes the deflation term — identical semantics)
         s"""$mp$k AS MATERIALIZED (
            |  SELECT a, list_sum(list_transform(
            |    list_zip(grow, (SELECT v FROM $prev)), x -> x[1] * x[2])) AS mv
            |  FROM $mat),
            |$vp$k AS MATERIALIZED (
-           |  SELECT list_transform(l, x -> x / sqrt(list_sum(
-           |    list_transform(l, y -> y * y)))) AS v
+           |  SELECT list_transform(l, x -> CASE
+           |      WHEN list_sum(list_transform(l, y -> y * y)) = 0 THEN 0.0
+           |      ELSE x / sqrt(list_sum(list_transform(l, y -> y * y))) END) AS v
            |  FROM (SELECT list(mv ORDER BY a) AS l FROM $mp$k))""".stripMargin
       }.mkString(",\n")
     s"""WITH qv AS MATERIALIZED (
@@ -1419,8 +1423,6 @@ object Pipeline {
     "pp_span_decontamination" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |                q -> q != '') AS ts,
         |    regexp_split_to_array(trim(text), '[ \t\n\r]+') AS gt
         |  FROM documents),
         |eg AS (
@@ -1435,16 +1437,18 @@ object Pipeline {
         |  SELECT doc_id, list(DISTINCT i) AS ss
         |  FROM cg JOIN eg USING (gram) GROUP BY doc_id),
         |red AS (
-        |  SELECT t.doc_id, t.ts, COALESCE(s.ss, []) AS ss,
-        |    list_filter(t.ts, (x, i) ->
+        |  SELECT t.doc_id, t.gt, COALESCE(s.ss, []) AS ss,
+        |    list_filter(t.gt, (x, i) ->
         |      len(list_filter(COALESCE(s.ss, []),
         |          st -> i >= st AND i < st + 8)) = 0) AS kept
         |  FROM tok t LEFT JOIN starts s USING (doc_id)
         |  WHERE t.doc_id % 7 <> 0)
         |SELECT doc_id,
-        |  COALESCE(array_to_string(kept, ' '), '') AS text_clean,
-        |  CAST(len(ts) AS BIGINT) AS n_tokens,
-        |  CAST(len(ts) - len(kept) AS BIGINT) AS n_removed
+        |  COALESCE(array_to_string(list_filter(kept, x -> x != ''), ' '), '')
+        |    AS text_clean,
+        |  CAST(len(list_filter(gt, x -> x != '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(gt, x -> x != ''))
+        |       - len(list_filter(kept, x -> x != '')) AS BIGINT) AS n_removed
         |FROM red ORDER BY doc_id""".stripMargin,
     // same injected variants, same normalization chain ('g' flag: the
     // Spark built-in replaces every match), min-id survivor per key
@@ -1531,8 +1535,6 @@ object Pipeline {
         |  FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1),
         |tok AS (
         |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |                q -> q != '') AS ts,
         |    regexp_split_to_array(trim(text), '[ \t\n\r]+') AS gt
         |  FROM fixture),
         |cg AS (
@@ -1546,15 +1548,17 @@ object Pipeline {
         |    FROM cg) t WHERE rn > 1),
         |starts AS (SELECT doc_id, list(DISTINCT i) AS ss FROM dup GROUP BY doc_id),
         |red AS (
-        |  SELECT t.doc_id, t.ts, COALESCE(s.ss, []) AS ss,
-        |    list_filter(t.ts, (x, i) ->
+        |  SELECT t.doc_id, t.gt, COALESCE(s.ss, []) AS ss,
+        |    list_filter(t.gt, (x, i) ->
         |      len(list_filter(COALESCE(s.ss, []),
         |          st -> i >= st AND i < st + 8)) = 0) AS kept
         |  FROM tok t LEFT JOIN starts s USING (doc_id))
         |SELECT doc_id,
-        |  COALESCE(array_to_string(kept, ' '), '') AS text_clean,
-        |  CAST(len(ts) AS BIGINT) AS n_tokens,
-        |  CAST(len(ts) - len(kept) AS BIGINT) AS n_removed
+        |  COALESCE(array_to_string(list_filter(kept, x -> x != ''), ' '), '')
+        |    AS text_clean,
+        |  CAST(len(list_filter(gt, x -> x != '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(gt, x -> x != ''))
+        |       - len(list_filter(kept, x -> x != '')) AS BIGINT) AS n_removed
         |FROM red ORDER BY doc_id""".stripMargin,
     // exact per-key counts, decimal-safe total, pinned-shape divisions
     "q29_key_stats" ->
@@ -1580,9 +1584,9 @@ object Pipeline {
         |nh AS (SELECT doc_id, md5(text) AS h FROM newv),
         |oh AS (SELECT doc_id, md5(text) AS h FROM old)
         |SELECT COALESCE(nh.doc_id, oh.doc_id) AS doc_id,
-        |  CASE WHEN oh.h IS NULL THEN 'added'
-        |       WHEN nh.h IS NULL THEN 'removed'
-        |       WHEN nh.h = oh.h THEN 'unchanged'
+        |  CASE WHEN oh.doc_id IS NULL THEN 'added'
+        |       WHEN nh.doc_id IS NULL THEN 'removed'
+        |       WHEN nh.h IS NOT DISTINCT FROM oh.h THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM nh FULL OUTER JOIN oh ON nh.doc_id = oh.doc_id
         |ORDER BY doc_id""".stripMargin,

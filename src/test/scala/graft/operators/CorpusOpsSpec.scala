@@ -543,6 +543,19 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: NULL text is present, not absent") {
+    import spark.implicits._
+    val old = Seq((1L, null.asInstanceOf[String]), (2L, "x"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nu = Seq((1L, "y"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = nu.snapshotDiff(old, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "changed", 2L -> "changed",
+      3L -> "added", 4L -> "unchanged"))
+  }
+
   test("snapshotDiff: every status on a hand fixture; partition-independent") {
     import spark.implicits._
     val old = Seq((1L, "same"), (2L, "was this"), (3L, "gone")).toDF("doc_id", "text")

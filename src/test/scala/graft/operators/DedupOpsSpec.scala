@@ -354,6 +354,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("decontaminateSpans: redaction indexes wordGrams' own split") {
+    import spark.implicits._
+    val eval_ = Seq((100L, "e1 e2 e3")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // \f is ONE wordGrams token ("a\fb") but two tokens() tokens —
+      // the old \s+ redaction index cut [b, e1, e2] here
+      (1L, "a\fb e1 e2 e3"),
+      // leading tab survives trim as an empty split slot; positions
+      // must still line up and the empty slot must not be counted
+      (2L, "\tz e1 e2 e3"),
+      (3L, null.asInstanceOf[String])) // NULL text = empty doc
+      .toDF("doc_id", "text")
+    val got = DedupOps.decontaminateSpans(corpus, eval_,
+        "doc_id", "text", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("a\fb", 4L, 3L)))
+    assert(got(2L) === (("z", 4L, 3L)))
+    assert(got(3L) === (("", 0L, 0L)))
+  }
+
   test("decontaminateSpans: partition-independent; clean corpus unchanged") {
     val docs = graft.Tables.documents(spark, sf())
     val corpus = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") < 200)
