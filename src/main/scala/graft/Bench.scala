@@ -482,6 +482,36 @@ object Bench {
       System.err.println(s"[bench] releaseRetained failed: $e") }
   }
 
+  /** BASELINE.md's own clean-state recipe, executed by the sweep itself
+    * (VERDICT r8 #2): `sync` + `echo 3 > /proc/sys/vm/drop_caches` when
+    * that file is writable (it is in the build sandbox), else a short
+    * cooldown sleep so an external burst can drain. Three rounds running,
+    * the checked-in artifact was contaminated by host page-cache state the
+    * recipe clears — the probes detected it every time but the retries
+    * re-ran into the same polluted state. Running the recipe BEFORE
+    * attempt 1 and between retries makes an attempt one that CAN pass. */
+  private def dropOsCaches(): Unit = {
+    try {
+      val rc = new ProcessBuilder("sync").inheritIO().start().waitFor()
+      if (rc != 0) System.err.println(s"[bench] sync exited $rc")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sync failed: $e") }
+    val p = java.nio.file.Paths.get("/proc/sys/vm/drop_caches")
+    val dropped =
+      try {
+        if (java.nio.file.Files.isWritable(p)) {
+          java.nio.file.Files.write(p, "3\n".getBytes("UTF-8"))
+          System.err.println("[bench] dropped OS page/slab caches")
+          true
+        } else false
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] drop_caches write failed: $e"); false }
+    if (!dropped) {
+      System.err.println("[bench] drop_caches not writable; 10 s cooldown")
+      try Thread.sleep(10000) catch { case _: InterruptedException => }
+    }
+  }
+
   private def runSweep(spark: SparkSession, sfDir: String, cpus: Int,
                        listener: CpuListener): Sweep = {
     def cal(): Double =
@@ -574,6 +604,10 @@ object Bench {
     var attempt = 0
     while (attempt < maxAttempts && chosen == null) {
       attempt += 1
+      // clean-state recipe before EVERY attempt — the first included:
+      // the retries must run in a state that can pass, not merely
+      // re-observe the same polluted host (r6-r8 artifact history)
+      dropOsCaches()
       val s = runSweep(spark, sfDir, cpus.toInt, listener)
       dirtyReason(s) match {
         case None =>
@@ -591,8 +625,23 @@ object Bench {
     // fields, never part of `queries`, so sum(queries) == total
     val rec = chosen.rec
     val dirtyField = chosenDirty.map(r => s""""dirty":${jstr(r)},""").getOrElse("")
+    // calibration-normalized series (VERDICT r8 #7): the ALU reference
+    // band itself drifts with host state (0.66 documented, 0.71-0.78
+    // judge-observed on a clean run), so absolute seconds compare
+    // noisily across rounds. Each entry divided by THIS run's ALU
+    // calibration mean is a host-speed-free number — cross-round and
+    // cross-host comparable. Raw seconds stay the primary series.
+    val calMean = {
+      val vals = Seq(chosen.calPre, chosen.calPost).filter(_ > 0)
+      if (vals.isEmpty) -1.0 else vals.sum / vals.length
+    }
+    val normalized: scala.collection.Map[String, Double] =
+      if (calMean > 0) rec.wall.map { case (k, v) => k -> v / calMean }
+      else scala.collection.Map.empty[String, Double]
     val line = s"""{"metric":"total","value":${chosen.total},"unit":"sec",""" +
       s""""queries":${jmap(rec.wall)},"cpu_per_wall":${jmap(rec.cpuRatio)},""" +
+      s""""calibration_mean":$calMean,""" +
+      s""""queries_normalized":${jmap(normalized)},""" +
       s""""calibration_pre":${chosen.calPre},"calibration_post":${chosen.calPost},""" +
       s""""calibration_mem_pre":${chosen.memPre},"calibration_mem_post":${chosen.memPost},""" +
       s""""calibration_mem_phases":${jmap(chosen.memProbes)},""" +

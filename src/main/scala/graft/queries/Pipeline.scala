@@ -2055,11 +2055,12 @@ object Pipeline {
         |  FROM documents
         |)
         |SELECT source, doc_id, tok_count,
-        |  COALESCE(sum(tok_count) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tokens,
-        |  COALESCE(sum(tok_count) OVER (PARTITION BY source ORDER BY doc_id
+        |  CAST(COALESCE(sum(tok_count) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(COALESCE(sum(tok_count) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
-        |    AS bin
+        |    AS BIGINT) AS bin
         |FROM toks ORDER BY source, doc_id""".stripMargin,
     // exact replay of the Knuth-hash mixture sampler: same integer
     // arithmetic, same IEEE constants, exact power-of-two division.
