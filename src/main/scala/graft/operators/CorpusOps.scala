@@ -31,10 +31,10 @@ import graft.functions._
   *  - sequencePack's window partitions by the shard group, so the
   *    parallelism unit is the group; groups are expected to be
   *    shard-sized (source buckets, crawl segments), not the whole
-  *    corpus. For a corpus with one giant group, pre-split the group
-  *    key (e.g. by id range) — a global prefix sum over one ordering is
-  *    inherently a single sequential chain and this operator refuses to
-  *    hide that.
+  *    corpus. For packing across group boundaries (or one giant
+  *    group), [[DatasetCorpusOps.sequencePackGlobal]] runs the global
+  *    prefix sum as a two-pass decomposed scan — bounded windows plus
+  *    aggregate-sized offset tables — instead of a sequential chain.
   */
 object CorpusOps {
 
@@ -338,6 +338,74 @@ object CorpusOps {
         .select(col(groupCol), col(idCol), tokens.cast("long").as("tok_count"))
         .withColumn("cum_tokens", coalesce(sum(col("tok_count")).over(w), lit(0L)))
         .withColumn("bin", expr(s"cum_tokens div ${capacity}L"))
+    }
+
+    /** GLOBAL deterministic sequence packing: the same next-fit bin
+      * assignment as [[sequencePack]], but over the single corpus-wide
+      * ordering `(groupCol, idCol)` — bins may span group boundaries,
+      * so the packed stream has no per-shard padding waste.
+      *
+      * A global exclusive prefix sum is a sequential chain, but it
+      * DECOMPOSES: this is the classic two-pass scan, expressed
+      * declaratively so no stage ever sees more than a bounded window.
+      *
+      *  1. within-bucket pass — `idCol div bucketWidth` splits each
+      *     group into contiguous id ranges; a window partitioned by
+      *     (group, bucket) computes the exclusive prefix inside each
+      *     bucket (≤ `bucketWidth` rows per window partition, never a
+      *     whole group on one task);
+      *  2. bucket offsets — per-bucket token totals (ONE tiny
+      *     partial-combined aggregation, n/bucketWidth rows) get their
+      *     own exclusive prefix via a window partitioned by the group
+      *     (#buckets-per-group rows per partition);
+      *  3. group offsets — per-group totals (#groups rows) get the
+      *     cross-group exclusive prefix; the frame is aggregate-sized,
+      *     so its single-partition window is free.
+      *
+      * `cum_tokens = group_off + bucket_off + in_bucket` reproduces the
+      * sequential scan exactly; both offset tables broadcast back onto
+      * the corpus (size n/bucketWidth and #groups — pick `bucketWidth`
+      * so n/bucketWidth stays broadcastable: 2^20 keeps a 10^11-doc
+      * corpus's bucket table at ~10^5 rows). No global sort, no
+      * single-partition pass over data rows, and the corpus shuffles
+      * once (the within-bucket window); integer arithmetic end to end,
+      * so any engine's plain global window sum replays it bit-exactly. */
+    def sequencePackGlobal(groupCol: String, idCol: String, tokens: Column,
+                           capacity: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+      require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+      require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+      val base = ds.toDF
+        .select(col(groupCol), col(idCol), tokens.cast("long").as("tok_count"))
+        // truncating div is monotone in idCol, so buckets are contiguous
+        // ranges of the ordering whatever the id sign
+        .withColumn("__bucket", expr(s"cast($idCol as bigint) div ${bucketWidth}L"))
+      val wIn = Window.partitionBy(col(groupCol), col("__bucket"))
+        .orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withIn = base.withColumn("__in_bucket",
+        coalesce(sum(col("tok_count")).over(wIn), lit(0L)))
+      val bucketTotals = base.groupBy(col(groupCol), col("__bucket"))
+        .agg(sum(col("tok_count")).as("__bucket_tok"))
+      val wBucket = Window.partitionBy(col(groupCol)).orderBy(col("__bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bucketOff = bucketTotals.withColumn("__bucket_off",
+        coalesce(sum(col("__bucket_tok")).over(wBucket), lit(0L)))
+      val groupTotals = bucketTotals.groupBy(col(groupCol))
+        .agg(sum(col("__bucket_tok")).as("__group_tok"))
+      val wGroup = Window.orderBy(col(groupCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val groupOff = groupTotals.withColumn("__group_off",
+        coalesce(sum(col("__group_tok")).over(wGroup), lit(0L)))
+        .select(col(groupCol), col("__group_off"))
+      withIn
+        .join(broadcast(bucketOff.select(col(groupCol), col("__bucket"),
+          col("__bucket_off"))), Seq(groupCol, "__bucket"))
+        .join(broadcast(groupOff), Seq(groupCol))
+        .withColumn("cum_tokens",
+          col("__group_off") + col("__bucket_off") + col("__in_bucket"))
+        .withColumn("bin", expr(s"cum_tokens div ${capacity}L"))
+        .select(col(groupCol), col(idCol), col("tok_count"),
+          col("cum_tokens"), col("bin"))
     }
 
     /** Data-selection importance weights (the DSIR recipe, reduced to

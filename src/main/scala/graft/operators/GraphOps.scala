@@ -73,28 +73,87 @@ object GraphOps {
       // iteration's plan visible (gated by PlanGateSpec) instead of
       // hiding it behind a trailing checkpoint
       if (i > 0) ranks = ranks.localCheckpoint()
-      // dangling mass: one exact long to the driver (sum as decimal —
-      // Spark's non-ANSI long sum would wrap silently on overflow)
-      val dang = ranks.join(outdeg, col("node") === col("__graft_src"), "left_anti")
-        .agg(coalesce(sum(col("rank").cast(DecimalType(38, 0))), lit(0))
-          .cast("long")).head().getLong(0)
-      val contribs = ranks
-        .join(e, col("node") === col("__graft_src"))
-        .join(outdeg, Seq("__graft_src"))
-        .select(col("__graft_dst").as("node"),
-          floor(col("rank") / col("__graft_deg")).cast("long").as("__graft_c"))
-        .groupBy(col("node"))
-        .agg(sum(col("__graft_c").cast(DecimalType(38, 0)))
-          .cast("long").as("__graft_in"))
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (teleport + dampTerm(
-            coalesce(col("__graft_in"), lit(0L)) + lit(dang / n), 17))
-            .as("rank"))
+      ranks = prStep(nodes, e, outdeg, ranks, n, teleport)
       i += 1
     }
     ranks
+  }
+
+  /** One PageRank iteration — the exact arithmetic both the fixed-count
+    * and the converging drivers share, so their round-i states are
+    * bit-identical by construction. */
+  private def prStep(nodes: DataFrame, e: DataFrame, outdeg: DataFrame,
+                     ranks: DataFrame, n: Long, teleport: Column): DataFrame = {
+    // dangling mass: one exact long to the driver (sum as decimal —
+    // Spark's non-ANSI long sum would wrap silently on overflow)
+    val dang = ranks.join(outdeg, col("node") === col("__graft_src"), "left_anti")
+      .agg(coalesce(sum(col("rank").cast(DecimalType(38, 0))), lit(0))
+        .cast("long")).head().getLong(0)
+    val contribs = ranks
+      .join(e, col("node") === col("__graft_src"))
+      .join(outdeg, Seq("__graft_src"))
+      .select(col("__graft_dst").as("node"),
+        floor(col("rank") / col("__graft_deg")).cast("long").as("__graft_c"))
+      .groupBy(col("node"))
+      .agg(sum(col("__graft_c").cast(DecimalType(38, 0)))
+        .cast("long").as("__graft_in"))
+    nodes
+      .join(contribs, Seq("node"), "left")
+      .select(col("node"),
+        (teleport + dampTerm(
+          coalesce(col("__graft_in"), lit(0L)) + lit(dang / n), 17))
+          .as("rank"))
+  }
+
+  /** [[pageRank]] with an L1-delta stopping rule: iterate until the
+    * total absolute rank movement between consecutive rounds is at most
+    * `tolL1` (in `massScale` units) or `maxIters` rounds have run,
+    * whichever first. Returns the final ranks AND the number of rounds
+    * executed, so callers can audit how much the bound saved.
+    *
+    * Each round pays ONE extra aggregate beyond [[pageRank]]'s work —
+    * an equi-join of the previous and current rank frames (both
+    * localCheckpointed, so neither recomputes) and a decimal-exact
+    * `sum(abs(delta))` reduced to a single driver scalar; the delta is
+    * exact integer arithmetic like the ranks themselves, so the stop
+    * decision is deterministic and engine-replayable. The round-i state
+    * is bit-identical to `pageRank(..., iters = i)` ([[prStep]] is the
+    * shared single-round arithmetic) — the fixed-count form stays the
+    * oracle path, this form is how a 100-TB run avoids paying for
+    * iterations a fast-mixing graph doesn't need. */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                        tolL1: Long, maxIters: Int = 20,
+                        massScale: Long = 1000000000000000L): (DataFrame, Int) = {
+    require(tolL1 >= 0L, s"tolL1 must be >= 0, got $tolL1")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(massScale >= 1L, s"massScale must be >= 1, got $massScale")
+    val e = edges.select(col(srcCol).cast("long").as("__graft_src"),
+      col(dstCol).cast("long").as("__graft_dst"))
+    val nodes = e.select(col("__graft_src").as("node"))
+      .union(e.select(col("__graft_dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    if (n == 0L) return (nodes.withColumn("rank", lit(0L)), 0)
+    val init = massScale / n
+    val teleport = lit(dampInt(init, 3))
+    val outdeg = e.groupBy(col("__graft_src"))
+      .agg(count(lit(1)).as("__graft_deg")).localCheckpoint()
+
+    var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val next = prStep(nodes, e, outdeg, ranks, n, teleport).localCheckpoint()
+      val delta = ranks.select(col("node"), col("rank").as("__graft_prev"))
+        .join(next, Seq("node"))
+        .agg(coalesce(sum(abs(col("rank") - col("__graft_prev"))
+          .cast(DecimalType(38, 0))), lit(0)).cast("long"))
+        .head().getLong(0)
+      ranks = next
+      i += 1
+      if (delta <= tolL1) converged = true
+    }
+    (ranks, i)
   }
 
   /** Driver-side mirror of [[dampTerm]] for plan-time constants. */

@@ -265,6 +265,20 @@ object Pipeline {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Corpus-wide sequence packing over the single (source, doc_id)
+    * ordering — bins span source boundaries. The Spark side runs the
+    * decomposed two-pass scan (bounded within-bucket windows + tiny
+    * offset tables; bucketWidth=64 so sf0.01 genuinely exercises the
+    * multi-bucket recombination); the oracle replays it as ONE plain
+    * global window sum — the two must agree bit-exactly. */
+  def sequencePackGlobalQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d)
+      .sequencePackGlobal("source", "doc_id", tokenCount(col("text")),
+        capacity = 2048L, bucketWidth = 64L)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Winnowing fingerprints (MOSS): distinct window-min md5 gram
     * hashes per document — substring-robust fingerprinting. The hash
     * is the md5 hex STRING and the window min is lexicographic, so the
@@ -2062,6 +2076,23 @@ object Pipeline {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
         |    AS BIGINT) AS bin
         |FROM toks ORDER BY source, doc_id""".stripMargin,
+    // corpus-wide packing: the Spark side's two-pass decomposed scan
+    // must equal ONE plain global window sum over (source, doc_id)
+    "pp_sequence_pack_global" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         q -> q != '')) AS BIGINT) AS tok_count
+        |  FROM documents
+        |)
+        |SELECT source, doc_id, tok_count,
+        |  CAST(COALESCE(sum(tok_count) OVER (ORDER BY source, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(COALESCE(sum(tok_count) OVER (ORDER BY source, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+        |    AS BIGINT) AS bin
+        |FROM toks ORDER BY source, doc_id""".stripMargin,
     // exact replay of the Knuth-hash mixture sampler: same integer
     // arithmetic, same IEEE constants, exact power-of-two division.
     // The multiply runs in two 16-bit halves exactly like knuthFrac —
@@ -2448,6 +2479,7 @@ object Pipeline {
     "pp_contamination" -> (contaminationQ _),
     "pp_boilerplate" -> (boilerplateQ _),
     "pp_sequence_pack" -> (sequencePackQ _),
+    "pp_sequence_pack_global" -> (sequencePackGlobalQ _),
     "tx_winnow" -> (winnowQ _),
     "tx_token_chunks" -> (tokenChunksQ _),
     "tx_bpe_pairs" -> (bpePairsQ _),

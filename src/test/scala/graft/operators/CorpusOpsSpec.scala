@@ -224,6 +224,44 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 600L, 1L), (4L, 650L, 1L), (5L, 1250L, 2L)))
   }
 
+  test("sequencePackGlobal: bins span source boundaries on a known fixture") {
+    import spark.implicits._
+    val fixture = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L),
+      ("b", 1L, 50L), ("b", 2L, 600L), ("c", 1L, 10L))
+      .toDF("source", "doc_id", "n")
+    // global order (a,1)(a,2)(b,1)(b,2)(c,1); cum: 0,300,600,650,1250
+    // -> bins 0,0,1,1,2 — (b,1) lands in the bin (a,*) opened
+    val got = fixture.sequencePackGlobal("source", "doc_id", col("n"),
+      capacity = 500L, bucketWidth = 1L)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(("a", 1L, 0L, 0L), ("a", 2L, 300L, 0L),
+      ("b", 1L, 600L, 1L), ("b", 2L, 650L, 1L), ("c", 1L, 1250L, 2L)))
+  }
+
+  test("sequencePackGlobal: decomposed scan equals the sequential global scan") {
+    // bucketWidth=64 forces genuine multi-bucket recombination on the
+    // documents table; the driver replay is the sequential chain the
+    // two-pass decomposition must reproduce exactly
+    val got = docs.sequencePackGlobal("source", "doc_id",
+      graft.functions.tokenCount(col("text")), capacity = 2048L,
+      bucketWidth = 64L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val seq0 = docs.select(col("source"), col("doc_id"),
+      graft.functions.tokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.size === seq0.length && seq0.nonEmpty)
+    var cum = 0L
+    seq0.foreach { case (s, id, tok) =>
+      assert(got((s, id)) === ((tok, cum, cum / 2048L)),
+        s"mismatch at ($s, $id)")
+      cum += tok
+    }
+  }
+
   test("bm25TopK replays bit-exactly against an independent driver scorer") {
     val terms = Seq("spark", "vector", "window", "hash", "merge", "customer")
     val k1 = 1.2; val b = 0.75; val k = 15

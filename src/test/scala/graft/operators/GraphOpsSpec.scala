@@ -50,6 +50,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(sinkMin > srcMax)
   }
 
+  test("pageRankConverged: early stop on a fast-mixing graph, bit-identical " +
+    "to the fixed-count run at the stop round") {
+    import spark.implicits._
+    // directed 3-cycle: uniform ranks are a fixpoint up to quantization,
+    // so the L1 delta collapses after the first couple of rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val maxIters = 10
+    val (df, rounds) = GraphOps.pageRankConverged(edges, "src", "dst",
+      tolL1 = 10L, maxIters = maxIters)
+    assert(rounds >= 1 && rounds < maxIters,
+      s"expected early stop, ran $rounds/$maxIters rounds")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = GraphOps.pageRank(edges, "src", "dst", iters = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === fixed, "converged ranks diverge from fixed-count ranks")
+  }
+
+  test("pageRankConverged: tolL1=0 on a skewed graph runs to maxIters " +
+    "unless it hits an exact fixpoint, and matches the fixed run") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)).toDF("src", "dst")
+    val maxIters = 4
+    val (df, rounds) = GraphOps.pageRankConverged(edges, "src", "dst",
+      tolL1 = 0L, maxIters = maxIters, massScale = 20000L)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = GraphOps.pageRank(edges, "src", "dst", iters = rounds,
+      massScale = 20000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === fixed)
+    assert(rounds >= 1 && rounds <= maxIters)
+  }
+
   test("triangleCounts: hand fixture — K4 + pendant + stray edge + noise") {
     import spark.implicits._
     // K4 on {1,2,3,4}; pendant 5-1; disconnected edge 6-7; plus a
