@@ -27,6 +27,16 @@ object GraftConf {
   // execution (the default); off trades that second execution for not
   // holding the candidate blocks in block-manager storage
   val KnnMaterialize     = "spark.graft.knn.materializeCandidates"
+  // when the vector kNN join's admit-fraction gate trips (distance
+  // concentration on isotropic high-d data defeats pivot pruning), take
+  // a trained-IVF approximate probe route instead of the exact quadratic
+  // cross-window plan. Default OFF: the exactness contract holds unless
+  // the session opts in; the approximate route's recall is governed by
+  // nprobe (see VectorOpsSpec's recall gate).
+  val KnnVecApprox       = "spark.graft.knn.vec.approx"
+  val KnnVecApproxNlist  = "spark.graft.knn.vec.approx.nlist"
+  val KnnVecApproxNprobe = "spark.graft.knn.vec.approx.nprobe"
+  val KnnVecApproxIters  = "spark.graft.knn.vec.approx.iters"
   val ZknnShifts         = "spark.graft.zknn.shifts"
   val ZknnBits           = "spark.graft.zknn.bits"
   val IndexPartitions    = "spark.graft.index.partitions"
@@ -57,6 +67,10 @@ object GraftConf {
   def knnMaxRefine(s: SparkSession): Int = get(s, KnnMaxRefine, "64").toInt
   def knnRetryThreshold(s: SparkSession): Long = get(s, KnnRetryThreshold, "1024").toLong
   def knnMaterialize(s: SparkSession): Boolean = get(s, KnnMaterialize, "true").toBoolean
+  def knnVecApprox(s: SparkSession): Boolean = get(s, KnnVecApprox, "false").toBoolean
+  def knnVecApproxNlist(s: SparkSession): Int = get(s, KnnVecApproxNlist, "16").toInt
+  def knnVecApproxNprobe(s: SparkSession): Int = get(s, KnnVecApproxNprobe, "4").toInt
+  def knnVecApproxIters(s: SparkSession): Int = get(s, KnnVecApproxIters, "3").toInt
   def zknnShifts(s: SparkSession): Int = get(s, ZknnShifts, "2").toInt
   def zknnBits(s: SparkSession): Int = get(s, ZknnBits, "18").toInt
   def indexPartitions(s: SparkSession): Int = get(s, IndexPartitions, "32").toInt

@@ -99,6 +99,12 @@ object VectorOps {
       }),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Literal matrix of integer-quantized centroids (typedLit needs a
+    * TypeTag, which value classes forbid — the [[graft.operators.SpatialOps]]
+    * pivotsLit precedent). */
+  private[operators] def centersLitL(p: Array[Array[Long]]): org.apache.spark.sql.Column =
+    typedLit(p.map(_.toSeq).toSeq)
+
   /** Per-subspace argmin code columns `__pqc0..__pqc{m-1}` against the
     * given codebooks (ties to the lowest code — first occurrence of the
     * min, the [[withCell]] shape). The distance arrays get their own
@@ -392,15 +398,79 @@ object VectorOps {
       val kth = radii.sorted
       val theta = kth(math.min(kth.length - 1, (quantile * kth.length).toInt))
 
+      // Approximate escape hatch behind the cost gate (conf-gated,
+      // default off — the exactness contract holds unless the session
+      // opts in): train an IVF coarse quantizer on the right SAMPLE
+      // (driver Lloyd, farthest-point seeded — deterministic given the
+      // sample), assign every right row to its nearest cell, probe the
+      // `nprobe` nearest cells per LEFT row, and take the per-left
+      // top-k among probed candidates. This is the at-scale answer for
+      // isotropic embeddings where the admit-fraction gate would
+      // otherwise hand a 100-TB join the quadratic cross plan: the
+      // cell equi-join bounds candidates at ~nprobe/nlist of the right
+      // side per left row, recall is governed by nprobe (spec-gated
+      // >= 0.9 on clustered fixtures at the defaults).
+      def approxIvfPlan(): DataFrame = {
+        val s = l.sparkSession
+        val nlist = math.min(graft.GraftConf.knnVecApproxNlist(s), rS.length)
+        val nprobe = math.min(graft.GraftConf.knnVecApproxNprobe(s), nlist)
+        val iters = graft.GraftConf.knnVecApproxIters(s)
+        val dim = rS.head.length
+        var centers: Array[Array[Float]] = SpatialOps
+          .farthestPointPivots[Array[Float]](rS.toIndexedSeq, l2, nlist).toArray
+        for (_ <- 1 to iters) {
+          val sums = Array.fill(centers.length)(new Array[Double](dim))
+          val cnt = new Array[Long](centers.length)
+          rS.foreach { v =>
+            var best = 0; var bd = Double.MaxValue; var i = 0
+            while (i < centers.length) {
+              val d = l2(v, centers(i)); if (d < bd) { bd = d; best = i }; i += 1
+            }
+            cnt(best) += 1
+            var j = 0; while (j < dim) { sums(best)(j) += v(j); j += 1 }
+          }
+          centers = centers.zipWithIndex.map { case (c, i) =>
+            if (cnt(i) == 0L) c
+            else Array.tabulate(dim)(j => (sums(i)(j) / cnt(i)).toFloat)
+          }
+        }
+        // null vectors can't rank (the naive plan drops them too)
+        val rCelled = rt.filter(col(rVec).isNotNull)
+          .withColumn("__rd",
+            array(centers.indices.map(i => l2Distance(col(rVec), lit(centers(i)))): _*))
+          .withColumn("__cell",
+            (array_position(col("__rd"), array_min(col("__rd"))) - 1).cast("int"))
+          .drop("__rd")
+        val lDists = array(centers.indices.map(i =>
+          struct(l2Distance(col(lVec), lit(centers(i))).as("d"),
+            lit(i).as("i"))): _*)
+        val lProbed = l.filter(col(lVec).isNotNull)
+          .withColumn("__cell",
+            explode(transform(slice(array_sort(lDists), 1, nprobe),
+              x => x.getField("i"))))
+        val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col(lId))
+          .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
+        lProbed.join(rCelled, Seq("__cell"))
+          .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
+          .withColumn("__graft_rn", row_number().over(w0))
+          .filter(col("__graft_rn") <= k)
+          .select((l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"): _*)
+      }
+
       // cost gate against the curse of dimensionality: when distances
       // concentrate (isotropic high-d data), theta admits most of the
       // right side and pivot pruning cannot beat the plain cross-window
       // plan — detect that from the sample and take the cheaper plan
+      // (exact cross by default; the conf-gated IVF probe when the
+      // session accepts approximate results)
       val admitFrac =
         if (sampleDists.isEmpty) 1.0
         else sampleDists.iterator.map(ds0 => ds0.count(_ <= theta)).sum.toDouble /
           (sampleDists.length.toLong * rS.length)
-      if (admitFrac > 0.25) return naivePlan(l)
+      if (admitFrac > 0.25) {
+        return if (graft.GraftConf.knnVecApprox(l.sparkSession)) approxIvfPlan()
+        else naivePlan(l)
+      }
 
       // farthest-point pivots from the already-collected right sample:
       // spread over the embedding space, so a dense near-dup cluster
@@ -663,11 +733,20 @@ object VectorOps {
       * `nprobe` cells nearest the query, then [[cosineTopKPq]]'s ADC
       * lookup tables rank the survivors without touching a float
       * vector, and the best `refine` pay the exact cosine. The PQ
-      * codebooks here quantize RAW vectors, not per-cell residuals —
-      * the residual refinement is a documented simplification trade
-      * (residual PQ needs per-cell code tables, m*ksub*nlist driver
-      * state, for better distortion at equal bits; raw-vector PQ keeps
-      * ONE table set and composes with any nprobe).
+      * codebooks quantize RAW vectors by default; `residual = true`
+      * switches to the FAISS IVF-PQ form — codebooks train on each
+      * vector's difference from its (integer-quantized) coarse
+      * centroid, and the query builds one ADC table PER PROBED CELL
+      * from its per-cell residual. Residuals are a much tighter
+      * distribution than raw vectors (the coarse quantizer has already
+      * absorbed cluster position), so ADC error shrinks at equal codes
+      * and `refine` can too — and at 100 TB the refine set's raw-vector
+      * reads ARE the memory bill, so equal recall at smaller refine is
+      * the point (spec-gated on clustered fixtures). Cost:
+      * nprobe*m*ksub driver-double table literals instead of m*ksub
+      * (still tiny), plus one codegen'd zip_with subtraction against a
+      * literal centroid matrix — exact long arithmetic, so training
+      * stays engine-replayable in either mode.
       *
       * At 100 TB: cells bound the scan (directory-pruned like
       * [[writeIvf]]), codes bound the bytes per scored row, refine
@@ -678,17 +757,20 @@ object VectorOps {
                         k: Int, nlist: Int = 8, nprobe: Int = 2,
                         m: Int = 4, ksub: Int = 4, refine: Int = 50,
                         iters: Int = 2, seed: Long = 42L,
-                        scale: Double = 65536.0): DataFrame = {
+                        scale: Double = 65536.0,
+                        residual: Boolean = false): DataFrame = {
       require(nlist >= 1 && nprobe >= 1 && m >= 1 && ksub >= 1 &&
         refine >= k && iters >= 0)
       require(query.length % m == 0, s"pq: dim ${query.length} not divisible by m=$m")
       val subDim = query.length / m
       val df = ds.toDF
+      def emptyOut: DataFrame =
+        df.withColumn("cos", lit(0.0)).select(col(idCol), col("cos")).limit(0)
       val base = VectorOps.quantizedBase(df, vecCol, idCol, scale, keepVec = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (VectorOps.lloydTrain(base, idCol, nlist, iters, seed),
-        VectorOps.pqTrain(base, idCol, m, ksub, iters, seed)) match {
-        case (Some(coarse), Some(books)) =>
+      VectorOps.lloydTrain(base, idCol, nlist, iters, seed) match {
+        case None => emptyOut
+        case Some(coarse) =>
           val qq = query.map(x => math.floor(x.toDouble * scale))
           def l2sq(c: Array[Double]): Double = {
             var s = 0.0; var i = 0
@@ -696,30 +778,68 @@ object VectorOps {
             s
           }
           val probes = coarse.indices.sortBy(i => (l2sq(coarse(i)), i)).take(nprobe)
-          val tables: Array[Array[Double]] = Array.tabulate(m) { s =>
-            books(s).map { c =>
-              var acc = 0.0; var j = 0
-              while (j < subDim) {
-                val d = qq(s * subDim + j) - c(j); acc += d * d; j += 1
-              }
-              acc
-            }
+          val celled = VectorOps.withCell(base, coarse)
+          // residual mode: centroids floor to the integer grid so the
+          // residual stays an exact long vector and pqTrain's long-sum
+          // engine-replay contract holds unchanged on it
+          val centerQ: Array[Array[Long]] =
+            if (residual) coarse.map(_.map(v => math.floor(v).toLong)) else null
+          val codesInput =
+            if (residual)
+              celled.withColumn("__qv",
+                zip_with(col("__qv"),
+                  element_at(VectorOps.centersLitL(centerQ), col("__c") + 1),
+                  (a, b) => a - b))
+            else celled
+          VectorOps.pqTrain(codesInput, idCol, m, ksub, iters, seed) match {
+            case None => emptyOut
+            case Some(books) =>
+              val adc =
+                if (!residual) {
+                  val tables: Array[Array[Double]] = Array.tabulate(m) { s =>
+                    books(s).map { c =>
+                      var acc = 0.0; var j = 0
+                      while (j < subDim) {
+                        val d = qq(s * subDim + j) - c(j); acc += d * d; j += 1
+                      }
+                      acc
+                    }
+                  }
+                  (0 until m).map { s =>
+                    element_at(array(tables(s).map(lit).toIndexedSeq: _*),
+                      col(s"__pqc$s") + 1)
+                  }.reduce(_ + _)
+                } else {
+                  // one ADC table per probed cell, from the query's
+                  // residual against THAT cell's quantized centroid
+                  coalesce(probes.map { c =>
+                    val tabs: Array[Array[Double]] = Array.tabulate(m) { s =>
+                      books(s).map { cen =>
+                        var acc = 0.0; var j = 0
+                        while (j < subDim) {
+                          val d = (qq(s * subDim + j) -
+                            centerQ(c)(s * subDim + j)) - cen(j)
+                          acc += d * d; j += 1
+                        }
+                        acc
+                      }
+                    }
+                    when(col("__c") === c, (0 until m).map { s =>
+                      element_at(array(tabs(s).map(lit).toIndexedSeq: _*),
+                        col(s"__pqc$s") + 1)
+                    }.reduce(_ + _))
+                  }: _*)
+                }
+              val probed = codesInput.filter(col("__c").isin(probes: _*))
+              VectorOps.withPqCodes(probed, books, subDim)
+                .withColumn("__adc", adc)
+                .orderBy(col("__adc").asc, col(idCol).asc)
+                .limit(refine)
+                .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
+                .orderBy(col("cos").desc, col(idCol).asc)
+                .limit(k)
+                .select(col(idCol), col("cos"))
           }
-          val adc = (0 until m).map { s =>
-            element_at(array(tables(s).map(lit).toIndexedSeq: _*), col(s"__pqc$s") + 1)
-          }.reduce(_ + _)
-          val probed = VectorOps.withCell(base, coarse)
-            .filter(col("__c").isin(probes: _*))
-          VectorOps.withPqCodes(probed, books, subDim)
-            .withColumn("__adc", adc)
-            .orderBy(col("__adc").asc, col(idCol).asc)
-            .limit(refine)
-            .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
-            .orderBy(col("cos").desc, col(idCol).asc)
-            .limit(k)
-            .select(col(idCol), col("cos"))
-        case _ =>
-          df.withColumn("cos", lit(0.0)).select(col(idCol), col("cos")).limit(0)
       }
     }
 
