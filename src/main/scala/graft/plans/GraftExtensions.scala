@@ -144,6 +144,13 @@ object IndexSubstitution extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => IndexSubstitution)
+    GraftExtensions.sqlTableFunctions.foreach { case (name, builder) =>
+      e.injectTableFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
   }
 }
 
@@ -225,9 +232,81 @@ object GraftExtensions {
 
   /** Register the SQL functions on an existing session (temp-function
     * registry — works without session extensions). */
-  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     sqlFunctions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    sqlTableFunctions.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+  }
+
+  // ---- SQL-mode spatial joins (table-valued functions) ----
+  //
+  // The DataFrame join verbs exposed to `spark.sql` — beyond reference
+  // parity (the reference's SQL mode ships only scalar predicates,
+  // README.md:16). Table/view names resolve through the session catalog,
+  // so any temp view or catalog table works:
+  //
+  //   SELECT * FROM graft_distance_join('pts_l', 'pts_r', 'x1,y1', 'x2,y2', 100.0)
+  //   SELECT * FROM graft_knn_join('pts_l', 'pts_r', 'x1,y1', 'x2,y2', 3, 'id1')
+  //
+  // The builder constructs the SAME plan as the DataFrame verb (grid
+  // equi-join / bound-then-refine), so SQL mode pays no plan penalty.
+  // All arguments must be literals; the kNN form runs its radius
+  // sampling at analysis time (the cost-based plan's price in a TVF).
+
+  private def litString(fn: String, what: String, e: Expression): String = {
+    require(e.foldable, s"$fn: $what must be a string literal")
+    val v = e.eval(null)
+    require(v != null, s"$fn: $what must not be NULL")
+    v.toString
+  }
+
+  private def litNum(fn: String, what: String, e: Expression): Double = {
+    require(e.foldable, s"$fn: $what must be a numeric literal")
+    e.eval(null) match {
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be numeric, got $other")
+    }
+  }
+
+  private def csvCols(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Name -> builder for every SQL-exposed table-valued function. */
+  val sqlTableFunctions: Map[String, Seq[Expression] =>
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = Map(
+    "graft_distance_join" -> (es => {
+      val fn = "graft_distance_join"
+      require(es.length == 5,
+        s"$fn(left_table, right_table, 'lx,ly', 'rx,ry', radius)")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import graft.operators.SpatialOps._
+      spark.table(litString(fn, "left table", es(0)))
+        .distanceJoin(spark.table(litString(fn, "right table", es(1))),
+          csvCols(litString(fn, "left keys", es(2))),
+          csvCols(litString(fn, "right keys", es(3))),
+          litNum(fn, "radius", es(4)))
+        .queryExecution.logical
+    }),
+    "graft_knn_join" -> (es => {
+      val fn = "graft_knn_join"
+      require(es.length == 6,
+        s"$fn(left_table, right_table, 'lx,ly', 'rx,ry', k, 'left_id')")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import graft.operators.SpatialOps._
+      spark.table(litString(fn, "left table", es(0)))
+        .knnJoin(spark.table(litString(fn, "right table", es(1))),
+          csvCols(litString(fn, "left keys", es(2))),
+          csvCols(litString(fn, "right keys", es(3))),
+          litNum(fn, "k", es(4)).toInt,
+          litString(fn, "left id", es(5)), Nil)
+        .queryExecution.logical
+    })
+  )
 }

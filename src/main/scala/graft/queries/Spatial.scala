@@ -72,6 +72,32 @@ object Spatial {
       .select(col("c_custkey"), col("s_suppkey"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
 
+  /** The grid distance join through the SQL surface: the
+    * `graft_distance_join` table-valued function builds the SAME plan
+    * as the DataFrame verb, called from `spark.sql` over temp views. */
+  def distanceJoinSqlQ(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.registerFunctions(s)
+    customerPts(s, d).createOrReplaceTempView("graft_sql_cust_pts")
+    supplierPts(s, d).createOrReplaceTempView("graft_sql_supp_pts")
+    s.sql(
+      """SELECT c_custkey, s_suppkey
+        |FROM graft_distance_join('graft_sql_cust_pts', 'graft_sql_supp_pts',
+        |                         'cx,cy', 'sx,sy', 100.0)
+        |ORDER BY c_custkey, s_suppkey""".stripMargin)
+  }
+
+  /** The grid kNN join through the SQL surface (`graft_knn_join` TVF). */
+  def knnJoinSqlQ(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.registerFunctions(s)
+    customerPts(s, d).createOrReplaceTempView("graft_sql_cust_pts")
+    supplierPts(s, d).createOrReplaceTempView("graft_sql_supp_pts")
+    s.sql(
+      """SELECT c_custkey, s_suppkey
+        |FROM graft_knn_join('graft_sql_cust_pts', 'graft_sql_supp_pts',
+        |                    'cx,cy', 'sx,sy', 3, 'c_custkey')
+        |ORDER BY c_custkey, s_suppkey""".stripMargin)
+  }
+
   /** Exact kNN join (bounded-radius grid + fallback). */
   def knnJoin(s: SparkSession, d: String): DataFrame =
     customerPts(s, d)
@@ -258,6 +284,18 @@ object Spatial {
       s"""SELECT c_custkey, s_suppkey FROM ($custPtsSql) c, ($suppPtsSql) s
          |WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
          |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "sp_distance_join_sql" ->
+      s"""SELECT c_custkey, s_suppkey FROM ($custPtsSql) c, ($suppPtsSql) s
+         |WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
+         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "sp_knn_join_sql" ->
+      s"""SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c_custkey, s_suppkey,
+         |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+         |      ORDER BY sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) ASC,
+         |               s_suppkey ASC) AS rn
+         |  FROM ($custPtsSql) c CROSS JOIN ($suppPtsSql) s) t
+         |WHERE rn <= 3 ORDER BY c_custkey, s_suppkey""".stripMargin,
     "sp_knn_join_pivot" ->
       s"""SELECT c_custkey, s_suppkey FROM (
          |  SELECT c_custkey, s_suppkey,
@@ -307,6 +345,8 @@ object Spatial {
     "sp_wkt_roundtrip" -> (wktRoundTripQ _),
     "sp_distance_join" -> (distanceJoin _),
     "sp_distance_join_bc" -> (distanceJoinBc _),
+    "sp_distance_join_sql" -> (distanceJoinSqlQ _),
+    "sp_knn_join_sql" -> (knnJoinSqlQ _),
     "sp_knn_join" -> (knnJoin _),
     "sp_knn_join_pivot" -> (knnJoinPivotQ _),
     "sp_shape_column_range" -> (shapeColumnRange _)

@@ -165,6 +165,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("InMemoryTableScan"))
   }
 
+  test("SQL-mode spatial joins: the TVFs build the DataFrame verbs' plans") {
+    import spark.implicits._
+    GraftExtensions.registerFunctions(spark)
+    val l = (0 until 200).map(i => (i.toLong, (i % 50) * 10.0, (i % 20) * 10.0))
+      .toDF("id1", "x1", "y1")
+    val r = (0 until 100).map(i => (i.toLong, (i % 40) * 10.0 + 1.0, (i % 25) * 10.0 + 1.0))
+      .toDF("id2", "x2", "y2")
+    l.createOrReplaceTempView("tvf_l")
+    r.createOrReplaceTempView("tvf_r")
+    val dj = spark.sql(
+      "SELECT id1, id2 FROM graft_distance_join('tvf_l', 'tvf_r', 'x1,y1', 'x2,y2', 15.0)")
+    // the grid plan, not a cross product
+    val plan = dj.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join Cross") && !plan.contains("Cartesian"),
+      s"TVF produced a cross plan:\n$plan")
+    import graft.operators.SpatialOps._
+    val want = l.distanceJoin(r, Seq("x1", "y1"), Seq("x2", "y2"), 15.0)
+      .select("id1", "id2").collect().map(t => (t.getLong(0), t.getLong(1))).toSet
+    val got = dj.collect().map(t => (t.getLong(0), t.getLong(1))).toSet
+    assert(got === want && got.nonEmpty)
+
+    val kj = spark.sql(
+      "SELECT id1, id2 FROM graft_knn_join('tvf_l', 'tvf_r', 'x1,y1', 'x2,y2', 3, 'id1')")
+    val wantK = l.knnJoin(r, Seq("x1", "y1"), Seq("x2", "y2"), 3, "id1", Nil)
+      .select("id1", "id2").collect().map(t => (t.getLong(0), t.getLong(1))).toSet
+    val gotK = kj.collect().map(t => (t.getLong(0), t.getLong(1))).toSet
+    assert(gotK === wantK && gotK.nonEmpty)
+    // non-literal / wrong-arity arguments fail loudly, not mysteriously
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_distance_join('tvf_l', 'tvf_r', 'x1,y1', 'x2,y2')").collect()
+    }
+  }
+
   test("SQL function registry exposes the scalar surface") {
     GraftExtensions.registerFunctions(spark)
     val row = spark.sql(
