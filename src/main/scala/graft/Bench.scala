@@ -102,6 +102,20 @@ object Bench {
         col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
       left.knnJoinVec(right, "embedding", "embedding2", "vec_id", 3, Seq("vec_id2"))
     }),
+    // the conf-gated approximate route (r9): on THIS data the admit
+    // fraction trips the gate (isotropic d=64 embeddings), so the entry
+    // above measures the exact cross-window fallback — this one measures
+    // the trained-IVF probe path the 100-TB story actually rides on.
+    // The conf is read at plan-build time, so unsetting right after the
+    // build keeps every other entry on its exact contract.
+    "b6va_knn_join_vec_approx" -> ((s: SparkSession, d: String) => {
+      val left = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val right = embeddings(s, d).select(
+        col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
+      s.conf.set(graft.GraftConf.KnnVecApprox, "true")
+      try left.knnJoinVec(right, "embedding", "embedding2", "vec_id", 3, Seq("vec_id2"))
+      finally s.conf.unset(graft.GraftConf.KnnVecApprox)
+    }),
     "b6_ann_topk" -> ((s: SparkSession, d: String) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray

@@ -379,10 +379,16 @@ object VectorOps {
       def naivePlan(left: DataFrame): DataFrame = {
         val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col(lId))
           .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
-        left.crossJoin(rt)
+        // null vectors -> null distance, which asc ranks FIRST: exclude.
+        // Filter the INPUTS, not the computed distance — l2Distance is
+        // null-intolerant, so the predicates are equivalent, but a
+        // distance-null filter pushes into the BNL join condition and
+        // every pair pays the d-dim kernel TWICE (once in the join
+        // predicate, once in the projection — observed as the b6v
+        // entry's 1.2-1.3x vs baseline)
+        left.filter(col(lVec).isNotNull)
+          .crossJoin(rt.filter(col(rVec).isNotNull))
           .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
-          // null vectors -> null distance, which asc ranks FIRST: exclude
-          .filter(col("__graft_d").isNotNull)
           .withColumn("__graft_rn", row_number().over(w0))
           .filter(col("__graft_rn") <= k)
           .select((l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"): _*)

@@ -296,16 +296,21 @@ object GraftExtensions {
     }),
     "graft_knn_join" -> (es => {
       val fn = "graft_knn_join"
-      require(es.length == 6,
-        s"$fn(left_table, right_table, 'lx,ly', 'rx,ry', k, 'left_id')")
+      require(es.length == 6 || es.length == 7,
+        s"$fn(left_table, right_table, 'lx,ly', 'rx,ry', k, 'left_id'[, 'tie,break'])")
       val spark = org.apache.spark.sql.SparkSession.active
       import graft.operators.SpatialOps._
+      // the optional 7th argument names right-side tie-break columns —
+      // REQUIRED for a deterministic result when equal distances are
+      // possible (gridded coordinates), same as the DataFrame verb
+      val tieBreak =
+        if (es.length == 7) csvCols(litString(fn, "tie break", es(6))) else Nil
       spark.table(litString(fn, "left table", es(0)))
         .knnJoin(spark.table(litString(fn, "right table", es(1))),
           csvCols(litString(fn, "left keys", es(2))),
           csvCols(litString(fn, "right keys", es(3))),
           litNum(fn, "k", es(4)).toInt,
-          litString(fn, "left id", es(5)), Nil)
+          litString(fn, "left id", es(5)), tieBreak)
         .queryExecution.logical
     })
   )

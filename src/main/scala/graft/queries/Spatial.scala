@@ -94,7 +94,7 @@ object Spatial {
     s.sql(
       """SELECT c_custkey, s_suppkey
         |FROM graft_knn_join('graft_sql_cust_pts', 'graft_sql_supp_pts',
-        |                    'cx,cy', 'sx,sy', 3, 'c_custkey')
+        |                    'cx,cy', 'sx,sy', 3, 'c_custkey', 's_suppkey')
         |ORDER BY c_custkey, s_suppkey""".stripMargin)
   }
 

@@ -186,9 +186,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val got = dj.collect().map(t => (t.getLong(0), t.getLong(1))).toSet
     assert(got === want && got.nonEmpty)
 
+    // the gridded fixture has equidistant neighbors — the tie-break
+    // argument is what makes the result deterministic on both sides
     val kj = spark.sql(
-      "SELECT id1, id2 FROM graft_knn_join('tvf_l', 'tvf_r', 'x1,y1', 'x2,y2', 3, 'id1')")
-    val wantK = l.knnJoin(r, Seq("x1", "y1"), Seq("x2", "y2"), 3, "id1", Nil)
+      "SELECT id1, id2 FROM graft_knn_join('tvf_l', 'tvf_r', 'x1,y1', 'x2,y2', 3, 'id1', 'id2')")
+    val wantK = l.knnJoin(r, Seq("x1", "y1"), Seq("x2", "y2"), 3, "id1", Seq("id2"))
       .select("id1", "id2").collect().map(t => (t.getLong(0), t.getLong(1))).toSet
     val gotK = kj.collect().map(t => (t.getLong(0), t.getLong(1))).toSet
     assert(gotK === wantK && gotK.nonEmpty)
