@@ -422,45 +422,123 @@ object VectorOps {
         val nprobe = math.min(graft.GraftConf.knnVecApproxNprobe(s), nlist)
         val iters = graft.GraftConf.knnVecApproxIters(s)
         val dim = rS.head.length
-        var centers: Array[Array[Float]] = SpatialOps
-          .farthestPointPivots[Array[Float]](rS.toIndexedSeq, l2, nlist).toArray
-        for (_ <- 1 to iters) {
-          val sums = Array.fill(centers.length)(new Array[Double](dim))
-          val cnt = new Array[Long](centers.length)
-          rS.foreach { v =>
-            var best = 0; var bd = Double.MaxValue; var i = 0
-            while (i < centers.length) {
-              val d = l2(v, centers(i)); if (d < bd) { bd = d; best = i }; i += 1
+        // driver Lloyd over a sample, farthest-point seeded —
+        // deterministic given the sample; shared by both levels
+        def lloyd(sample: Array[Array[Float]], k0: Int): Array[Array[Float]] = {
+          if (sample.isEmpty) return Array(new Array[Float](dim))
+          var centers: Array[Array[Float]] = SpatialOps
+            .farthestPointPivots[Array[Float]](sample.toIndexedSeq, l2,
+              math.min(k0, sample.length)).toArray
+          for (_ <- 1 to iters) {
+            val sums = Array.fill(centers.length)(new Array[Double](dim))
+            val cnt = new Array[Long](centers.length)
+            sample.foreach { v =>
+              var best = 0; var bd = Double.MaxValue; var i = 0
+              while (i < centers.length) {
+                val d = l2(v, centers(i)); if (d < bd) { bd = d; best = i }; i += 1
+              }
+              cnt(best) += 1
+              var j = 0; while (j < dim) { sums(best)(j) += v(j); j += 1 }
             }
-            cnt(best) += 1
-            var j = 0; while (j < dim) { sums(best)(j) += v(j); j += 1 }
+            centers = centers.zipWithIndex.map { case (c, i) =>
+              if (cnt(i) == 0L) c
+              else Array.tabulate(dim)(j => (sums(i)(j) / cnt(i)).toFloat)
+            }
           }
-          centers = centers.zipWithIndex.map { case (c, i) =>
-            if (cnt(i) == 0L) c
-            else Array.tabulate(dim)(j => (sums(i)(j) / cnt(i)).toFloat)
-          }
+          centers
         }
-        // null vectors can't rank (the naive plan drops them too)
-        val rCelled = rt.filter(col(rVec).isNotNull)
-          .withColumn("__rd",
-            array(centers.indices.map(i => l2Distance(col(rVec), lit(centers(i)))): _*))
-          .withColumn("__cell",
-            (array_position(col("__rd"), array_min(col("__rd"))) - 1).cast("int"))
-          .drop("__rd")
-        val lDists = array(centers.indices.map(i =>
-          struct(l2Distance(col(lVec), lit(centers(i))).as("d"),
-            lit(i).as("i"))): _*)
-        val lProbed = l.filter(col(lVec).isNotNull)
-          .withColumn("__cell",
-            explode(transform(slice(array_sort(lDists), 1, nprobe),
-              x => x.getField("i"))))
         val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col(lId))
           .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
-        lProbed.join(rCelled, Seq("__cell"))
-          .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
-          .withColumn("__graft_rn", row_number().over(w0))
-          .filter(col("__graft_rn") <= k)
-          .select((l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"): _*)
+        def joinCells(lProbed: DataFrame, rCelled: DataFrame): DataFrame =
+          lProbed.join(rCelled, Seq("__cell"))
+            .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
+            .withColumn("__graft_rn", row_number().over(w0))
+            .filter(col("__graft_rn") <= k)
+            .select((l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"): _*)
+
+        if (nlist < 64) {
+          // flat quantizer: one argmin over nlist literal centroids
+          val centers = lloyd(rS, nlist)
+          // null vectors can't rank (the naive plan drops them too)
+          val rCelled = rt.filter(col(rVec).isNotNull)
+            .withColumn("__rd",
+              array(centers.indices.map(i => l2Distance(col(rVec), lit(centers(i)))): _*))
+            .withColumn("__cell",
+              (array_position(col("__rd"), array_min(col("__rd"))) - 1).cast("int"))
+            .drop("__rd")
+          val lDists = array(centers.indices.map(i =>
+            struct(l2Distance(col(lVec), lit(centers(i))).as("d"),
+              lit(i).as("i"))): _*)
+          val lProbed = l.filter(col(lVec).isNotNull)
+            .withColumn("__cell",
+              explode(transform(slice(array_sort(lDists), 1, nprobe),
+                x => x.getField("i"))))
+          joinCells(lProbed, rCelled)
+        } else {
+          // TWO-LEVEL quantizer (the inverted-multi-index shape): a flat
+          // argmin is O(nlist) PER ROW, and holding per-cell occupancy
+          // constant at scale means nlist ∝ n — which turns assignment
+          // itself quadratic (measured: exponent 1.44/decade at
+          // nlist ∝ n). Routing through ~√nlist supercells and then that
+          // supercell's ~√nlist children costs O(√nlist) per row: the
+          // supercell branch is a lazily-evaluated CASE, so only the
+          // matching child table is ever computed. Probing evaluates the
+          // two nearest supercells' child tables and takes the nprobe
+          // nearest children across them.
+          val l1k = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+          val childK = math.max(1, math.ceil(nlist.toDouble / l1k).toInt)
+          val sup = lloyd(rS, l1k)
+          val members = Array.fill(sup.length)(
+            scala.collection.mutable.ArrayBuffer[Array[Float]]())
+          rS.foreach { v =>
+            var best = 0; var bd = Double.MaxValue; var i = 0
+            while (i < sup.length) {
+              val d = l2(v, sup(i)); if (d < bd) { bd = d; best = i }; i += 1
+            }
+            members(best) += v
+          }
+          val kids: Array[Array[Array[Float]]] = sup.indices.map { i =>
+            if (members(i).isEmpty) Array(sup(i))
+            else lloyd(members(i).toArray, childK)
+          }.toArray
+          def supDistArr(v: String) =
+            array(sup.indices.map(i => l2Distance(col(v), lit(sup(i)))): _*)
+          // right: nearest supercell, then that supercell's child argmin
+          val childPick = sup.indices.map { i =>
+            val cd = array(kids(i).indices.map(j =>
+              l2Distance(col(rVec), lit(kids(i)(j)))): _*)
+            when(col("__sc") === i,
+              lit(i * childK) + (array_position(cd, array_min(cd)) - 1).cast("int"))
+          }
+          val rCelled = rt.filter(col(rVec).isNotNull)
+            .withColumn("__sd", supDistArr(rVec))
+            .withColumn("__sc",
+              (array_position(col("__sd"), array_min(col("__sd"))) - 1).cast("int"))
+            .withColumn("__cell", coalesce(childPick: _*))
+            .drop("__sd", "__sc")
+          // left: two nearest supercells' children, nprobe best overall
+          val supStructs = array(sup.indices.map(i =>
+            struct(l2Distance(col(lVec), lit(sup(i))).as("d"),
+              lit(i).as("i"))): _*)
+          val emptyCand = array().cast("array<struct<d:double,i:int>>")
+          val candPerSup = sup.indices.map { i =>
+            val arr = array(kids(i).indices.map(j =>
+              struct(l2Distance(col(lVec), lit(kids(i)(j))).as("d"),
+                lit(i * childK + j).as("i"))): _*)
+            when(col("__s1") === i || col("__s2") === i, arr).otherwise(emptyCand)
+          }
+          val lProbed = l.filter(col(lVec).isNotNull)
+            .withColumn("__stop", slice(array_sort(supStructs), 1, 2))
+            .withColumn("__s1", element_at(col("__stop"), 1).getField("i"))
+            .withColumn("__s2",
+              coalesce(element_at(col("__stop"), 2).getField("i"), lit(-1)))
+            .withColumn("__cell",
+              explode(transform(
+                slice(array_sort(flatten(array(candPerSup: _*))), 1, nprobe),
+                x => x.getField("i"))))
+            .drop("__stop", "__s1", "__s2")
+          joinCells(lProbed, rCelled)
+        }
       }
 
       // cost gate against the curse of dimensionality: when distances

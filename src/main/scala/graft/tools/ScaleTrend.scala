@@ -350,6 +350,49 @@ object ScaleTrend {
         "doc_id", "text", "text", n = 8).count()
     }
 
+    // global sequence packing over the replicated corpus: same sources,
+    // n-times the documents per source -> n-times the buckets at the
+    // same bucket width; the offset tables stay aggregate-sized. The
+    // decomposed two-pass scan should read e ≈ 1 where a naive global
+    // window would serialize on one partition.
+    def b8sq(n: Int): Long = {
+      import graft.operators.CorpusOps._
+      // docsRep drops `source`; a synthetic 16-shard key preserves the
+      // shape (few groups, n-times the docs per group)
+      docsRep(spark, d, n)
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(16))))
+        .sequencePackGlobal("source", "doc_id",
+          graft.functions.tokenCount(col("text")), capacity = 2048L,
+          bucketWidth = 64L).count()
+    }
+
+    // approximate vector kNN join (the r9 conf-gated IVF probe route,
+    // forced via safety=1e9 so the admit-fraction gate trips at every
+    // slice) with nlist grown ∝ n — the IVF scale discipline: per-cell
+    // occupancy stays constant, so per-left candidates are flat and
+    // total work ~n. Replicas shift dim 0 by a large offset (neighbor
+    // structure intact within a replica); ids offset per replica.
+    def b6va(n: Int): Long = {
+      import graft.operators.VectorOps._
+      def rep(p: String): DataFrame =
+        (0 until n).map { r =>
+          embeddings(spark, d).select(
+            (col("vec_id") + lit(r * IdOffset)).as(s"${p}id"),
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, x.cast("double") + lit(r * 10000.0))
+                .otherwise(x.cast("double")))
+              .cast("array<float>").as(s"${p}vec"))
+        }.reduce(_ unionByName _)
+      spark.conf.set(graft.GraftConf.KnnVecApprox, "true")
+      spark.conf.set(graft.GraftConf.KnnVecApproxNlist, (16 * n).toString)
+      try rep("l").knnJoinVec(rep("r"), "lvec", "rvec", "lid", 3,
+        Seq("rid"), sampleCap = 500 * n, safety = 1e9).count()
+      finally {
+        spark.conf.unset(graft.GraftConf.KnnVecApprox)
+        spark.conf.unset(graft.GraftConf.KnnVecApproxNlist)
+      }
+    }
+
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b5_knn_join_grid" -> (b5 _),
@@ -376,7 +419,9 @@ object ScaleTrend {
           "b8tc_triangles" -> (b8tc _),
           "b8ii_inverted_index" -> (b8ii _),
           "b6pc_pca" -> (b6pc _),
-          "b8xd_span_dedup" -> (b8xd _))
+          "b8xd_span_dedup" -> (b8xd _),
+          "b8sq_sequence_pack_global" -> (b8sq _),
+          "b6va_knn_join_vec_approx" -> (b6va _))
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f

@@ -229,6 +229,42 @@ class VectorOpsSpec extends SparkSpec {
     } finally spark.conf.unset(graft.GraftConf.KnnVecApprox)
   }
 
+  test("knnJoinVec approx: two-level quantizer (nlist >= 64) holds recall " +
+    "on clustered data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)((rng.nextDouble() * 100).toFloat))
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat))
+    }
+    val left = rows.toDF("vid", "vec")
+    val right = rows.map { case (id, v) => (id, v) }.toDF("vid2", "vec2")
+    spark.conf.set(graft.GraftConf.KnnVecApprox, "true")
+    spark.conf.set(graft.GraftConf.KnnVecApproxNlist, "64")
+    try {
+      val approx = left.knnJoinVec(right, "vec", "vec2", "vid", k = 3,
+        tieBreak = Seq("vid2"), sampleCap = 400, safety = 1e9)
+      val plan = approx.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__cell") && !plan.contains("Join Cross") &&
+        !plan.contains("Cartesian"), s"two-level path not taken:\n$plan")
+      val got = approx.select("vid", "vid2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy(col("vid")).orderBy(col("__d").asc, col("vid2").asc)
+      val want = left.crossJoin(right)
+        .withColumn("__d", graft.functions.l2Distance(col("vec"), col("vec2")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
+        .select("vid", "vid2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = got.intersect(want).size.toDouble / want.size
+      assert(recall >= 0.9, f"two-level approx recall $recall%.3f < 0.9")
+    } finally {
+      spark.conf.unset(graft.GraftConf.KnnVecApprox)
+      spark.conf.unset(graft.GraftConf.KnnVecApproxNlist)
+    }
+  }
+
   test("knnJoinVec returns empty (not crash) on an empty left side") {
     val none = emb.select(col("vec_id"), col("embedding")).filter(lit(false))
     val right = emb.select(col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
