@@ -238,6 +238,54 @@ object ExplainPlans {
           (col("l_partkey") + 1000000000L).as("dst")).distinct()
       graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 1)
     }
+    show("sequence_pack_global (expect bounded (group,bucket) windows + two tiny broadcast offset joins — NO single-partition window over data, no global sort)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).sequencePackGlobal("source", "doc_id",
+        graft.functions.tokenCount(col("text")), capacity = 2048L,
+        bucketWidth = 64L)
+    }
+    show("knn_join_vec_approx_flat (expect __cell equi-join, no cross/BNL; flat argmin at nlist=16)") {
+      import graft.operators.VectorOps._
+      spark.conf.set(graft.GraftConf.KnnVecApprox, "true")
+      try {
+        val left = embeddings(spark, d).select(col("vec_id"), col("embedding"))
+        val right = embeddings(spark, d).select(
+          col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
+        left.knnJoinVec(right, "embedding", "embedding2", "vec_id", 3,
+          Seq("vec_id2"), safety = 1e9)
+      } finally spark.conf.unset(graft.GraftConf.KnnVecApprox)
+    }
+    show("knn_join_vec_approx_two_level (expect supercell CASE routing then __cell equi-join — O(sqrt(nlist)) assignment per row)") {
+      import graft.operators.VectorOps._
+      spark.conf.set(graft.GraftConf.KnnVecApprox, "true")
+      spark.conf.set(graft.GraftConf.KnnVecApproxNlist, "64")
+      try {
+        val left = embeddings(spark, d).select(col("vec_id"), col("embedding"))
+        val right = embeddings(spark, d).select(
+          col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
+        left.knnJoinVec(right, "embedding", "embedding2", "vec_id", 3,
+          Seq("vec_id2"), safety = 1e9)
+      } finally {
+        spark.conf.unset(graft.GraftConf.KnnVecApprox)
+        spark.conf.unset(graft.GraftConf.KnnVecApproxNlist)
+      }
+    }
+    show("ivfpq_residual (expect probed-cell filter + per-cell CASE ADC over PQ codes — no float-vector reads before the refine set)") {
+      import graft.operators.VectorOps._
+      val q = embeddings(spark, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      embeddings(spark, d).cosineTopKIvfPq("embedding", "vec_id", q, 10,
+        nlist = 8, nprobe = 2, m = 4, ksub = 4, refine = 40, residual = true)
+    }
+    show("sql_tvf_distance_join (expect the DataFrame grid plan — cell equi-join, no cross — reached from spark.sql)") {
+      graft.plans.GraftExtensions.registerFunctions(spark)
+      customerPts(spark, d).createOrReplaceTempView("plans_cust_pts")
+      supplierPts(spark, d).createOrReplaceTempView("plans_supp_pts")
+      spark.sql(
+        """SELECT c_custkey, s_suppkey
+          |FROM graft_distance_join('plans_cust_pts', 'plans_supp_pts',
+          |                         'cx,cy', 'sx,sy', 100.0)""".stripMargin)
+    }
     spark.stop()
   }
 }
