@@ -204,6 +204,87 @@ object VectorOps {
       .drop("__graft_cell")
   }
 
+  /** Query the [[DatasetVectorOps.writeIvfPq]] disk layout: probe the
+    * `nprobe` nearest cells (same quantized-L2 argmin as the in-memory
+    * [[DatasetVectorOps.cosineTopKIvfPq]] — the two produce IDENTICAL
+    * results for identical parameters), rank the probed rows by ADC
+    * over their stored PQ codes, and re-rank the best `refine` by exact
+    * cosine.
+    *
+    * The 100-TB shape this layout exists for: the ADC scoring pass
+    * reads ONLY (id, codes, cell) — parquet column pruning never
+    * touches the float vectors — and the refine pass re-reads the
+    * probed cells with an `id IN (...)` filter pushed to the scan, so
+    * raw vectors are read for at most `refine` rows. One bounded
+    * driver collect (≤ `refine` ids) stitches the phases. */
+  def readIvfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    vecCol: String, idCol: String, query: Array[Float],
+                    k: Int, nprobe: Int = 4, refine: Int = 50): DataFrame = {
+    require(refine >= k && nprobe >= 1)
+    val lines = spark.read.textFile(s"$path/meta").collect()
+    def line(tag: String): String = lines.find(_.startsWith(tag + "="))
+      .getOrElse(throw new IllegalArgumentException(
+        s"readIvfPqTopK: no '$tag' line in $path/meta"))
+      .substring(tag.length + 1)
+    val coarse: Array[Array[Double]] =
+      line("coarse").split(";").map(_.split(",").map(_.toDouble))
+    val books: Array[Array[Array[Double]]] =
+      line("books").split("\\|").map(_.split(";").map(_.split(",").map(_.toDouble)))
+    val params = line("params").split(",").map { kv =>
+      val Array(a, b) = kv.split(":"); a -> b
+    }.toMap
+    val m = params("m").toInt
+    val ksub = params("ksub").toInt
+    val scale = params("scale").toDouble
+    val residual = params("residual").toBoolean
+    require(m == books.length && books.forall(_.length <= ksub))
+    val subDim = books(0)(0).length
+    require(query.length == m * subDim,
+      s"readIvfPqTopK: query dim ${query.length} != ${m * subDim}")
+    val qq = query.map(x => math.floor(x.toDouble * scale))
+    def l2sq(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < qq.length) { val d = qq(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val probes0 = coarse.indices.sortBy(i => (l2sq(coarse(i)), i)).take(nprobe)
+    val probesPart = probes0.map(_ + 1) // the 1-based partition values
+    def adcTable(qr: Int => Double): Array[Array[Double]] = Array.tabulate(m) { s =>
+      books(s).map { cen =>
+        var acc = 0.0; var j = 0
+        while (j < subDim) { val d = qr(s * subDim + j) - cen(j); acc += d * d; j += 1 }
+        acc
+      }
+    }
+    def adcOf(tabs: Array[Array[Double]]) = (0 until m).map { s =>
+      element_at(array(tabs(s).map(lit).toIndexedSeq: _*), col(s"__pqc$s") + 1)
+    }.reduce(_ + _)
+    val adc =
+      if (!residual) adcOf(adcTable(i => qq(i)))
+      else {
+        val cCol = (col("__graft_cell") - 1).cast("int")
+        coalesce(probes0.map { c =>
+          when(cCol === c,
+            adcOf(adcTable(i => qq(i) - math.floor(coarse(c)(i)))))
+        }: _*)
+      }
+    val data = spark.read.parquet(s"$path/data")
+    val probed = data.filter(col("__graft_cell").isin(probesPart: _*))
+    val scored = probed
+      .select(col(idCol) +: (0 until m).map(s => col(s"__pqc$s"))
+        :+ col("__graft_cell"): _*)
+      .withColumn("__adc", adc)
+      .orderBy(col("__adc").asc, col(idCol).asc)
+      .limit(refine)
+    val refineIds = scored.select(col(idCol)).collect().map(_.get(0))
+    probed
+      .filter(col(idCol).isin(refineIds.toIndexedSeq: _*))
+      .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
   implicit class DatasetVectorOps[T](private val ds: Dataset[T]) extends AnyVal {
 
     /** Exact top-k by cosine similarity against one query vector.
@@ -328,6 +409,59 @@ object VectorOps {
       val spark = df.sparkSession
       import spark.implicits._
       Seq(meta).toDS().coalesce(1).write.mode("overwrite").text(s"$path/centroids")
+    }
+
+    /** Persist the composed IVF-PQ index ([[cosineTopKIvfPq]]'s exact
+      * arithmetic — trained coarse cells, PQ codes, optional residual
+      * encoding) as a cell-partitioned parquet layout plus a metadata
+      * directory: each row stores (id, vector, m codes) under its cell's
+      * directory, so [[VectorOps.readIvfPqTopK]] prunes non-probed cells
+      * via PartitionFilters, ADC-scores reading ONLY the code columns,
+      * and touches float vectors for just the refine set. Train once,
+      * write once, query many — the at-rest form of the billion-scale
+      * index. Identical parameters produce results identical to the
+      * in-memory verb (everything in the chain is the proven
+      * engine-replay arithmetic). */
+    def writeIvfPq(path: String, vecCol: String, idCol: String,
+                   nlist: Int = 8, m: Int = 4, ksub: Int = 4,
+                   iters: Int = 2, seed: Long = 42L,
+                   scale: Double = 65536.0, residual: Boolean = false): Unit = {
+      require(nlist >= 1 && m >= 1 && ksub >= 1 && iters >= 0)
+      val df = ds.toDF
+      val base = VectorOps.quantizedBase(df, vecCol, idCol, scale, keepVec = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val coarse = VectorOps.lloydTrain(base, idCol, nlist, iters, seed)
+          .getOrElse(throw new IllegalArgumentException(
+            "writeIvfPq: dataset is empty — nothing to index"))
+        val celled = VectorOps.withCell(base, coarse)
+        val codesInput =
+          if (residual) {
+            val centerQ = coarse.map(_.map(v => math.floor(v).toLong))
+            celled.withColumn("__qv",
+              zip_with(col("__qv"),
+                element_at(VectorOps.centersLitL(centerQ), col("__c") + 1),
+                (a, b) => a - b))
+          } else celled
+        val books = VectorOps.pqTrain(codesInput, idCol, m, ksub, iters, seed).get
+        val subDim = books(0)(0).length
+        VectorOps.withPqCodes(codesInput, books, subDim)
+          .select(col(idCol) +: col(vecCol) +:
+            (0 until m).map(s => col(s"__pqc$s")) :+
+            (col("__c") + 1).as("__graft_cell"): _*)
+          .write.mode("overwrite").partitionBy("__graft_cell")
+          .parquet(s"$path/data")
+        // metadata as tagged text lines (bracket-free codec — no nested
+        // parsing); Double.toString round-trips exactly, so the reader
+        // reconstructs the IDENTICAL centroids and codebooks
+        val lines = Seq(
+          "coarse=" + coarse.map(_.mkString(",")).mkString(";"),
+          "books=" + books.map(_.map(_.mkString(",")).mkString(";")).mkString("|"),
+          s"params=m:$m,ksub:$ksub,scale:$scale,residual:$residual")
+        val spark = df.sparkSession
+        import spark.implicits._
+        lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+      } finally base.unpersist()
     }
 
     /** Exact vector kNN join by L2 distance: for every left row, its k

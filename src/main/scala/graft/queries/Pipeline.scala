@@ -1018,6 +1018,21 @@ object Pipeline {
         nlist = 8, nprobe = 4, m = 4, ksub = 4, refine = 50, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** The SAME composed IVF-PQ index, persisted ([[writeIvfPq]]) then
+    * queried from disk ([[VectorOps.readIvfPqTopK]]): cell directories
+    * prune the probe, ADC reads only code columns, vectors are read for
+    * the refine set alone — answers to the in-memory replay oracle. */
+  def annIvfPqDiskQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorOps
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_q_" + Integer.toHexString(d.hashCode)).toString
+    embeddings(s, d).writeIvfPq(path, "embedding", "vec_id",
+      nlist = 8, m = 4, ksub = 4, iters = 2)
+    VectorOps.readIvfPqTopK(s, path, "embedding", "vec_id",
+      queryVec(s, d), 10, nprobe = 4, refine = 50)
+      .orderBy(col("vec_id"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: k-means blocks, exact
     * within-cluster cosine >= 0.8 verifies. */
   def semanticPairsQ(s: SparkSession, d: String): DataFrame =
@@ -1365,7 +1380,7 @@ object Pipeline {
        |      AS rank
        |  FROM pr_nodes nd LEFT JOIN pr_c$cur c USING (node))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     // full replay: same 20-word passages, same md5 dedup key, same
     // (doc_id, pos) first-occurrence order, same reassembly
     "pp_passage_dedup" ->
@@ -2330,7 +2345,9 @@ object Pipeline {
          |ORDER BY vec_id""".stripMargin,
     // composed IVF-PQ: coarse k-means CTEs (cells + probes), PQ CTEs
     // (codes + ADC), candidate = probed cells ranked by ADC, exact
-    // cosine top-k — the whole two-level index replayed in one query
+    // cosine top-k — the whole two-level index replayed in one query.
+    // The disk-layout twin (ann_ivfpq_disk_topk, below) answers to the
+    // SAME replay: the layout changes where bytes live, not values.
     "ann_ivfpq_topk" ->
       s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
          |${kmeansAssignSql(iters = 2)},
@@ -2466,6 +2483,13 @@ object Pipeline {
          |FROM h ORDER BY doc_id""".stripMargin
   )
 
+  // the disk layout persists the SAME index the in-memory verb builds
+  // (identical training, codes, probes, ADC, refine arithmetic), so its
+  // oracle IS the in-memory replay — the layout changes where bytes
+  // live, never values
+  val oracles: Map[String, String] =
+    oracles0.updated("ann_ivfpq_disk_topk", oracles0("ann_ivfpq_topk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pp_curation_pipeline" -> (curationPipelineQ _),
     "pp_redact" -> (redactQ _),
@@ -2517,6 +2541,7 @@ object Pipeline {
     "ann_ivf_trained_topk" -> (annIvfTrainedQ _),
     "ann_pq_topk" -> (annPqTopKQ _),
     "ann_ivfpq_topk" -> (annIvfPqTopKQ _),
+    "ann_ivfpq_disk_topk" -> (annIvfPqDiskQ _),
     "pp_passage_dedup" -> (passageDedupQ _),
     "tx_bigram_quality" -> (bigramQualityQ _),
     "tx_bpe_encode" -> (bpeEncodeQ _),

@@ -579,6 +579,33 @@ class VectorOpsSpec extends SparkSpec {
     df.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
+  test("IVF-PQ disk layout: identical results to the in-memory verb, " +
+    "cells pruned, vectors read only for the refine set") {
+    val q = all.find(_._1 == 1L).get._2
+    for (res <- Seq(false, true)) {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpq_spec_$res").toString
+      emb.writeIvfPq(path, "embedding", "vec_id",
+        nlist = 8, m = 4, ksub = 4, iters = 2, residual = res)
+      val disk = VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
+        q, 10, nprobe = 4, refine = 40)
+      val mem = emb.cosineTopKIvfPq("embedding", "vec_id", q, 10,
+        nlist = 8, nprobe = 4, m = 4, ksub = 4, refine = 40, iters = 2,
+        residual = res)
+      val dv = disk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mv = mem.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(dv === mv, s"disk != memory at residual=$res")
+      assert(dv.nonEmpty)
+      // probe pruning reaches the scan as PartitionFilters; the refine
+      // read carries the bounded id IN filter
+      val plan = disk.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("__graft_cell"),
+        s"no partition pruning in refine scan:\n$plan")
+      assert(plan.contains("In(vec_id") || plan.contains("vec_id#"),
+        s"no id pushdown in refine scan:\n$plan")
+    }
+  }
+
   test("pqTrain: codebook shapes, codes in range, one shared seed set") {
     import spark.implicits._
     val rng = new scala.util.Random(29)
