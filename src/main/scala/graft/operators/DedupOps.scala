@@ -67,7 +67,16 @@ object DedupOps {
                      threshold: Double = 0.5, seed: Long = 42L,
                      maxBucket: Int = 0): DataFrame = {
       require(numHashes % bands == 0, "bands must divide numHashes")
+      // persist the banded frame: it is referenced up to FOUR times
+      // downstream (both sides of the cap's semi-join, then each side
+      // of the bucket self-join), and each reference would otherwise
+      // re-run the shingle + numHashes signature kernels over the full
+      // corpus. The cached frame is (id, band, bucket) — n x bands rows
+      // of three integers, a tiny fraction of re-tokenizing the text —
+      // the same persist-the-quantized-base discipline as the IVF
+      // family; storage spills to disk at scale
       val banded = bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // cap: drop over-populated buckets before the self-join — one
       // extra (band, bucket) count agg, map-side combinable, vs a
       // quadratic bucket join
@@ -118,8 +127,16 @@ object DedupOps {
                             seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
       require(numHashes % bands == 0, "bands must divide numHashes")
       val newB = bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
-      val corpB = new DatasetDedupOps(corpus)
+      // the cap's semi-join references the corpus buckets twice — cache
+      // the (id, band, bucket) frame rather than re-running the corpus
+      // signature kernels (the minHashPairs persist discipline; in
+      // production this frame persists ACROSS ingest waves). Uncapped,
+      // the frame is read once — nothing to cache.
+      val corpB0 = new DatasetDedupOps(corpus)
         .bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
+      val corpB =
+        if (maxBucket <= 0) corpB0
+        else corpB0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keptCorp =
         if (maxBucket <= 0) corpB
         else corpB.join(

@@ -530,7 +530,17 @@ object VectorOps {
       // empty left: the naive plan IS the correct empty result
       if (lS.isEmpty) return naivePlan(l)
 
-      val sampleDists = lS.map(a => rS.map(b => l2(a, b)))
+      // The gate/theta estimation is a STATISTICAL read — a bounded
+      // 500x500 sub-sample estimates admit fraction, radii, and pivots
+      // just as well, and the full sampleDists matrix is quadratic in
+      // sampleCap (driver memory AND time: a 50k sample would build a
+      // 20 GB matrix before any plan exists). Callers raise sampleCap
+      // for the approximate route's IVF TRAINING (linear per Lloyd
+      // round over rS below), never for the gate. Identical behavior at
+      // the default cap.
+      val gateL = lS.take(500)
+      val gateR = rS.take(500)
+      val sampleDists = gateL.map(a => gateR.map(b => l2(a, b)))
       val radii = sampleDists.map { ds0 =>
         val s = ds0.sorted
         math.max(s(math.min(k, s.length) - 1) * safety, 1e-9)
@@ -684,7 +694,7 @@ object VectorOps {
       val admitFrac =
         if (sampleDists.isEmpty) 1.0
         else sampleDists.iterator.map(ds0 => ds0.count(_ <= theta)).sum.toDouble /
-          (sampleDists.length.toLong * rS.length)
+          (sampleDists.length.toLong * gateR.length)
       if (admitFrac > 0.25) {
         return if (graft.GraftConf.knnVecApprox(l.sparkSession)) approxIvfPlan()
         else naivePlan(l)
@@ -695,13 +705,13 @@ object VectorOps {
       // doesn't monopolize every pivot (same rationale as the spatial
       // pivot join under density skew)
       val pivots0 = SpatialOps.farthestPointPivots[Array[Float]](
-        rS.toIndexedSeq, l2, numPivots)
+        gateR.toIndexedSeq, l2, numPivots)
       // cost-aware refinement (see SpatialOps.refinePivots): a near-dup
       // embedding cluster otherwise collects 1-2 pivots and its cell's
       // equi-join degenerates toward the cluster's cross product; codegen
       // is O(1) in pivot count, so the extra pivots cost nothing to plan
       val pivots = SpatialOps.refinePivots[Array[Float]](
-        lS.toIndexedSeq, radii, rS.toIndexedSeq, l2, pivots0,
+        gateL.toIndexedSeq, radii, gateR.toIndexedSeq, l2, pivots0,
         maxPivots = 2 * numPivots, quantile = quantile, theta = theta).toArray
       // per-pivot-cell theta from the same sample — the skew discipline
       // of the spatial joins: a dense cluster of embeddings (near-dup
@@ -709,7 +719,7 @@ object VectorOps {
       val nearestPivot = (v: Array[Float]) =>
         pivots.indices.minBy(i => l2(v, pivots(i))) + 1
       val cellThetas =
-        SpatialOps.perCellQuantile(lS.map(nearestPivot), radii, quantile, theta)
+        SpatialOps.perCellQuantile(gateL.map(nearestPivot), radii, quantile, theta)
       // same machinery as the spatial Voronoi join — only the distance
       // expressions differ (keeps the two variants in lockstep); pivots
       // ride in as one literal array (codegen O(1) in pivot count)

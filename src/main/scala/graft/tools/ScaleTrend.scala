@@ -443,7 +443,8 @@ object ScaleTrend {
             "b8pd_passage_dedup" -> (b8pd _),
             "b8pr_pagerank" -> (b8pr _),
             "b8tc_triangles" -> (b8tc _),
-            "b8xd_span_dedup" -> (b8xd _))
+            "b8xd_span_dedup" -> (b8xd _),
+            "b6va_knn_join_vec_approx" -> (b6va _))
       // optional trailing args select a subset (re-measure one entry
       // without re-paying the minutes-long others)
       val want = args.drop(1).toSet
