@@ -105,6 +105,11 @@ object VectorOps {
   private[operators] def centersLitL(p: Array[Array[Long]]): org.apache.spark.sql.Column =
     typedLit(p.map(_.toSeq).toSeq)
 
+  /** 3-level float codebook matrix as ONE data literal (same TypeTag /
+    * value-class restriction as above). */
+  private[operators] def codebooksLitF(p: Array[Array[Array[Float]]]): org.apache.spark.sql.Column =
+    typedLit(p.map(_.map(_.toSeq).toSeq).toSeq)
+
   /** Per-subspace argmin code columns `__pqc0..__pqc{m-1}` against the
     * given codebooks (ties to the lowest code — first occurrence of the
     * min, the [[withCell]] shape). The distance arrays get their own
@@ -645,40 +650,52 @@ object VectorOps {
             if (members(i).isEmpty) Array(sup(i))
             else lloyd(members(i).toArray, childK)
           }.toArray
+          // the child codebooks ride in as ONE 3-level data literal —
+          // plan/code size stays O(√nlist) (supercell expressions only)
+          // however large nlist grows. A per-centroid expression tree
+          // here put O(nlist) nodes in the plan and stalled the 100x
+          // slice (nlist=1600 → 4800 kernel nodes) in codegen/GC; as
+          // DATA, the same centroids are one literal, and the per-row
+          // child scan is a higher-order fold over exactly the matched
+          // supercell's ≤childK rows.
+          val kidsLit = VectorOps.codebooksLitF(kids)
+          def l2sqHof(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+            aggregate(
+              zip_with(v, c, (a, b) => {
+                val d = a.cast("double") - b.cast("double"); d * d
+              }),
+              lit(0.0), (acc, x) => acc + x)
           def supDistArr(v: String) =
             array(sup.indices.map(i => l2Distance(col(v), lit(sup(i)))): _*)
           // right: nearest supercell, then that supercell's child argmin
-          val childPick = sup.indices.map { i =>
-            val cd = array(kids(i).indices.map(j =>
-              l2Distance(col(rVec), lit(kids(i)(j)))): _*)
-            when(col("__sc") === i,
-              lit(i * childK) + (array_position(cd, array_min(cd)) - 1).cast("int"))
-          }
+          // (one element_at selects the child table; only it is scanned)
+          val rChildD = transform(element_at(kidsLit, col("__sc") + 1),
+            c => l2sqHof(col(rVec), c))
           val rCelled = rt.filter(col(rVec).isNotNull)
             .withColumn("__sd", supDistArr(rVec))
             .withColumn("__sc",
               (array_position(col("__sd"), array_min(col("__sd"))) - 1).cast("int"))
-            .withColumn("__cell", coalesce(childPick: _*))
-            .drop("__sd", "__sc")
+            .withColumn("__cd", rChildD)
+            .withColumn("__cell",
+              col("__sc") * childK +
+                (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int"))
+            .drop("__sd", "__sc", "__cd")
           // left: two nearest supercells' children, nprobe best overall
           val supStructs = array(sup.indices.map(i =>
             struct(l2Distance(col(lVec), lit(sup(i))).as("d"),
               lit(i).as("i"))): _*)
-          val emptyCand = array().cast("array<struct<d:double,i:int>>")
-          val candPerSup = sup.indices.map { i =>
-            val arr = array(kids(i).indices.map(j =>
-              struct(l2Distance(col(lVec), lit(kids(i)(j))).as("d"),
-                lit(i * childK + j).as("i"))): _*)
-            when(col("__s1") === i || col("__s2") === i, arr).otherwise(emptyCand)
-          }
+          def candOf(sCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+            transform(element_at(kidsLit, sCol + 1), (c, j) =>
+              struct(l2sqHof(col(lVec), c).as("d"),
+                (sCol * childK + j).cast("int").as("i")))
           val lProbed = l.filter(col(lVec).isNotNull)
             .withColumn("__stop", slice(array_sort(supStructs), 1, 2))
             .withColumn("__s1", element_at(col("__stop"), 1).getField("i"))
-            .withColumn("__s2",
-              coalesce(element_at(col("__stop"), 2).getField("i"), lit(-1)))
+            .withColumn("__s2", element_at(col("__stop"), 2).getField("i"))
             .withColumn("__cell",
               explode(transform(
-                slice(array_sort(flatten(array(candPerSup: _*))), 1, nprobe),
+                slice(array_sort(concat(candOf(col("__s1")), candOf(col("__s2")))),
+                  1, nprobe),
                 x => x.getField("i"))))
             .drop("__stop", "__s1", "__s2")
           joinCells(lProbed, rCelled)
