@@ -374,6 +374,20 @@ object CorpusOps {
                            capacity: Long, bucketWidth: Long = 1L << 20): DataFrame = {
       require(capacity >= 1, s"capacity must be >= 1, got $capacity")
       require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+      // the bucket key is integral division of the id, so the id MUST
+      // be integral: a string id's SORT order (the documented global
+      // ordering) disagrees with its numeric cast's bucket order
+      // ("100" sorts before "63" but buckets after it), which would
+      // silently misorder the prefix sum. Per-group sequencePack works
+      // for any orderable id; the global decomposition needs this.
+      val idType = ds.toDF.schema(idCol).dataType
+      require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+        s"sequencePackGlobal: idCol '$idCol' must be an integral type " +
+          s"(its ${idType.typeName} sort order would disagree with the " +
+          "bucket key's numeric order); use sequencePack for non-numeric ids")
+      // `tokens` is assumed non-negative (token counts): the bucket
+      // total below reads the LAST row's prefix+own, exact only when
+      // later rows never decrease the running sum
       val base = ds.toDF
         .select(col(groupCol), col(idCol), tokens.cast("long").as("tok_count"))
         // truncating div is monotone in idCol, so buckets are contiguous
@@ -384,8 +398,14 @@ object CorpusOps {
         .rowsBetween(Window.unboundedPreceding, -1)
       val withIn = base.withColumn("__in_bucket",
         coalesce(sum(col("tok_count")).over(wIn), lit(0L)))
-      val bucketTotals = base.groupBy(col(groupCol), col("__bucket"))
-        .agg(sum(col("tok_count")).as("__bucket_tok"))
+      // bucket totals DERIVED FROM the windowed frame, not from a second
+      // read of `base`: max(prefix + own) over a bucket IS its token sum
+      // (the prefix is monotone under non-negative tokens), and because
+      // this groupBy keys on the window's own partitioning, the ONE
+      // exchange feeding the window is reused — the corpus is scanned
+      // and tokenized exactly once
+      val bucketTotals = withIn.groupBy(col(groupCol), col("__bucket"))
+        .agg(max(col("__in_bucket") + col("tok_count")).as("__bucket_tok"))
       val wBucket = Window.partitionBy(col(groupCol)).orderBy(col("__bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val bucketOff = bucketTotals.withColumn("__bucket_off",

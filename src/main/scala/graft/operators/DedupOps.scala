@@ -67,16 +67,15 @@ object DedupOps {
                      threshold: Double = 0.5, seed: Long = 42L,
                      maxBucket: Int = 0): DataFrame = {
       require(numHashes % bands == 0, "bands must divide numHashes")
-      // persist the banded frame: it is referenced up to FOUR times
-      // downstream (both sides of the cap's semi-join, then each side
-      // of the bucket self-join), and each reference would otherwise
-      // re-run the shingle + numHashes signature kernels over the full
-      // corpus. The cached frame is (id, band, bucket) — n x bands rows
-      // of three integers, a tiny fraction of re-tokenizing the text —
-      // the same persist-the-quantized-base discipline as the IVF
-      // family; storage spills to disk at scale
+      // NOTE: the banded frame is referenced up to four times downstream
+      // (both sides of the cap's semi-join, then each side of the bucket
+      // self-join), re-running the signature kernels per reference. A
+      // persist here would leak a CacheManager entry per call (the lazy
+      // result leaves no unpersist point), so the production pattern is
+      // the CALLER materializing bandedBuckets once — e.g. checkpointed
+      // beside the corpus and reused across ingest waves — and running
+      // the cap/join stages over that
       val banded = bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // cap: drop over-populated buckets before the self-join — one
       // extra (band, bucket) count agg, map-side combinable, vs a
       // quadratic bucket join
@@ -127,16 +126,13 @@ object DedupOps {
                             seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
       require(numHashes % bands == 0, "bands must divide numHashes")
       val newB = bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
-      // the cap's semi-join references the corpus buckets twice — cache
-      // the (id, band, bucket) frame rather than re-running the corpus
-      // signature kernels (the minHashPairs persist discipline; in
-      // production this frame persists ACROSS ingest waves). Uncapped,
-      // the frame is read once — nothing to cache.
-      val corpB0 = new DatasetDedupOps(corpus)
+      // the cap's semi-join references the corpus buckets twice; see
+      // minHashPairs on why this is left to the CALLER to materialize
+      // (persisting here would leak a cache entry per ingest wave —
+      // production keeps ONE banded frame beside the corpus and reuses
+      // it across waves)
+      val corpB = new DatasetDedupOps(corpus)
         .bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
-      val corpB =
-        if (maxBucket <= 0) corpB0
-        else corpB0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keptCorp =
         if (maxBucket <= 0) corpB
         else corpB.join(

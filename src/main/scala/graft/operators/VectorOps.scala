@@ -436,6 +436,17 @@ object VectorOps {
       val base = VectorOps.quantizedBase(df, vecCol, idCol, scale, keepVec = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // the id is the index key: the reader's refine phase re-selects
+        // rows BY id, so a duplicated id would pull extra rows into the
+        // exact re-rank and silently diverge from the in-memory verb.
+        // One partial-aggregated pair of counts guards that at write
+        // time (the write is already a multi-pass training job).
+        val Array(nRows, nIds) = base
+          .agg(count(lit(1)), count_distinct(col(idCol)))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        require(nRows == nIds,
+          s"writeIvfPq: idCol '$idCol' must be unique — $nRows rows but " +
+            s"$nIds distinct ids (the disk index is keyed by id)")
         val coarse = VectorOps.lloydTrain(base, idCol, nlist, iters, seed)
           .getOrElse(throw new IllegalArgumentException(
             "writeIvfPq: dataset is empty — nothing to index"))
@@ -598,12 +609,32 @@ object VectorOps {
         }
         val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col(lId))
           .orderBy((col("__graft_d") +: tieBreak.map(col)).map(_.asc): _*)
-        def joinCells(lProbed: DataFrame, rCelled: DataFrame): DataFrame =
-          lProbed.join(rCelled, Seq("__cell"))
+        // `lWithProbes` carries the probe set as an ARRAY column so
+        // starved lefts are detectable BEFORE the inner cell join: a
+        // left row whose probed cells are all empty of right rows would
+        // otherwise silently vanish, while the exact verb returns k
+        // neighbors for every non-null left row — flipping the conf
+        // must change scores, never which KEYS appear. Starved lefts
+        // (rare: a trained cell the full right side never populated)
+        // take the exact cross plan — the grid kNN join's starved-
+        // fallback discipline. The routing join is a broadcast against
+        // the ≤nlist non-empty cell ids.
+        def joinCells(lWithProbes: DataFrame, rCelled: DataFrame): DataFrame = {
+          val nonEmptyCells = rCelled.select(col("__cell")).distinct()
+          val covered = lWithProbes.join(broadcast(nonEmptyCells),
+            array_contains(col("__probes"), nonEmptyCells("__cell")), "left_semi")
+          val starved = lWithProbes.join(broadcast(nonEmptyCells),
+            array_contains(col("__probes"), nonEmptyCells("__cell")), "left_anti")
+            .drop("__probes")
+          covered
+            .withColumn("__cell", explode(col("__probes"))).drop("__probes")
+            .join(rCelled, Seq("__cell"))
             .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
             .withColumn("__graft_rn", row_number().over(w0))
             .filter(col("__graft_rn") <= k)
             .select((l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"): _*)
+            .unionByName(naivePlan(starved))
+        }
 
         if (nlist < 64) {
           // flat quantizer: one argmin over nlist literal centroids
@@ -618,11 +649,11 @@ object VectorOps {
           val lDists = array(centers.indices.map(i =>
             struct(l2Distance(col(lVec), lit(centers(i))).as("d"),
               lit(i).as("i"))): _*)
-          val lProbed = l.filter(col(lVec).isNotNull)
-            .withColumn("__cell",
-              explode(transform(slice(array_sort(lDists), 1, nprobe),
-                x => x.getField("i"))))
-          joinCells(lProbed, rCelled)
+          val lWithProbes = l.filter(col(lVec).isNotNull)
+            .withColumn("__probes",
+              transform(slice(array_sort(lDists), 1, nprobe),
+                x => x.getField("i")))
+          joinCells(lWithProbes, rCelled)
         } else {
           // TWO-LEVEL quantizer (the inverted-multi-index shape): a flat
           // argmin is O(nlist) PER ROW, and holding per-cell occupancy
@@ -688,17 +719,17 @@ object VectorOps {
             transform(element_at(kidsLit, sCol + 1), (c, j) =>
               struct(l2sqHof(col(lVec), c).as("d"),
                 (sCol * childK + j).cast("int").as("i")))
-          val lProbed = l.filter(col(lVec).isNotNull)
+          val lWithProbes = l.filter(col(lVec).isNotNull)
             .withColumn("__stop", slice(array_sort(supStructs), 1, 2))
             .withColumn("__s1", element_at(col("__stop"), 1).getField("i"))
             .withColumn("__s2", element_at(col("__stop"), 2).getField("i"))
-            .withColumn("__cell",
-              explode(transform(
+            .withColumn("__probes",
+              transform(
                 slice(array_sort(concat(candOf(col("__s1")), candOf(col("__s2")))),
                   1, nprobe),
-                x => x.getField("i"))))
+                x => x.getField("i")))
             .drop("__stop", "__s1", "__s2")
-          joinCells(lProbed, rCelled)
+          joinCells(lWithProbes, rCelled)
         }
       }
 

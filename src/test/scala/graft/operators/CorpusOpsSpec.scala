@@ -240,6 +240,18 @@ class CorpusOpsSpec extends SparkSpec {
       ("b", 1L, 600L, 1L), ("b", 2L, 650L, 1L), ("c", 1L, 1250L, 2L)))
   }
 
+  test("sequencePackGlobal rejects non-integral id columns") {
+    import spark.implicits._
+    // "100" sorts before "63" but buckets after it — the decomposition
+    // would silently misorder the prefix sum, so it must refuse
+    val fixture = Seq(("a", "63", 10L), ("a", "100", 5L))
+      .toDF("source", "doc_id", "n")
+    val e = intercept[IllegalArgumentException] {
+      fixture.sequencePackGlobal("source", "doc_id", col("n"), capacity = 64L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("sequencePackGlobal: decomposed scan equals the sequential global scan") {
     // bucketWidth=64 forces genuine multi-bucket recombination on the
     // documents table; the driver replay is the sequential chain the

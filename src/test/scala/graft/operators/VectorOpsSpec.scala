@@ -210,10 +210,13 @@ class VectorOpsSpec extends SparkSpec {
     try {
       val approx = run()
       val plan = approx.queryExecution.optimizedPlan.toString
-      // approx path engaged: cell equi-join, no cartesian/BNL anywhere
-      assert(plan.contains("__cell"), s"approx path not taken:\n$plan")
-      assert(!plan.contains("Join Cross") && !plan.contains("Cartesian"),
-        s"approx plan still quadratic:\n$plan")
+      // approx path engaged: the cell equi-join markers. (The starved-
+      // left fallback branch legitimately contains a cross join over
+      // the — typically empty — uncovered set, the same precedent as
+      // the pivot path's exact fallback, so assert the markers, not
+      // cross-join absence.)
+      assert(plan.contains("__cell") && plan.contains("__probes"),
+        s"approx path not taken:\n$plan")
       val got = approx.select("vid", "vid2").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val w = Window.partitionBy(col("vid")).orderBy(col("__d").asc, col("vid2").asc)
@@ -224,6 +227,10 @@ class VectorOpsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = got.intersect(want).size.toDouble / want.size
       assert(recall >= 0.9, f"approx recall $recall%.3f < 0.9")
+      // key parity: the conf changes WHICH neighbors, never which left
+      // ids appear (starved lefts route to the exact fallback)
+      assert(got.map(_._1) === want.map(_._1),
+        "approx route dropped or invented left ids")
       // schema parity with the exact verb (callers switch via conf only)
       assert(approx.columns.toSeq === Seq("vid", "vec", "vid2", "vec2", "l2"))
     } finally spark.conf.unset(graft.GraftConf.KnnVecApprox)
@@ -247,8 +254,9 @@ class VectorOpsSpec extends SparkSpec {
       val approx = left.knnJoinVec(right, "vec", "vec2", "vid", k = 3,
         tieBreak = Seq("vid2"), sampleCap = 400, safety = 1e9)
       val plan = approx.queryExecution.optimizedPlan.toString
-      assert(plan.contains("__cell") && !plan.contains("Join Cross") &&
-        !plan.contains("Cartesian"), s"two-level path not taken:\n$plan")
+      // markers, not cross-absence: the starved fallback branch has one
+      assert(plan.contains("__cell") && plan.contains("__probes"),
+        s"two-level path not taken:\n$plan")
       val got = approx.select("vid", "vid2").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val w = Window.partitionBy(col("vid")).orderBy(col("__d").asc, col("vid2").asc)
@@ -601,8 +609,8 @@ class VectorOpsSpec extends SparkSpec {
       val plan = disk.queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters") && plan.contains("__graft_cell"),
         s"no partition pruning in refine scan:\n$plan")
-      assert(plan.contains("In(vec_id") || plan.contains("vec_id#"),
-        s"no id pushdown in refine scan:\n$plan")
+      assert(plan.contains("In(vec_id"),
+        s"no id IN pushdown in refine scan:\n$plan")
     }
   }
 
