@@ -617,15 +617,23 @@ object VectorOps {
         // must change scores, never which KEYS appear. Starved lefts
         // (rare: a trained cell the full right side never populated)
         // take the exact cross plan — the grid kNN join's starved-
-        // fallback discipline. The routing join is a broadcast against
-        // the ≤nlist non-empty cell ids.
+        // fallback discipline.
+        //
+        // The non-empty cell set comes to the DRIVER (≤nlist ints, one
+        // bounded build-time job — the theta-sampling precedent) and
+        // routes as a literal-array overlap filter. A broadcast
+        // non-equi join here instead inlines the O(√nlist) probe
+        // computation into the BNL join CONDITION — evaluated per
+        // (row × cell) pair, it regressed the 10x slice 11 s -> 61 s.
         def joinCells(lWithProbes: DataFrame, rCelled: DataFrame): DataFrame = {
-          val nonEmptyCells = rCelled.select(col("__cell")).distinct()
-          val covered = lWithProbes.join(broadcast(nonEmptyCells),
-            array_contains(col("__probes"), nonEmptyCells("__cell")), "left_semi")
-          val starved = lWithProbes.join(broadcast(nonEmptyCells),
-            array_contains(col("__probes"), nonEmptyCells("__cell")), "left_anti")
-            .drop("__probes")
+          val nonEmpty: Array[Int] = rCelled.select(col("__cell")).distinct()
+            .collect().map(_.getInt(0))
+          val neLit = lit(nonEmpty)
+          val covered =
+            lWithProbes.filter(arrays_overlap(col("__probes"), neLit))
+          val starved =
+            lWithProbes.filter(!arrays_overlap(col("__probes"), neLit))
+              .drop("__probes")
           covered
             .withColumn("__cell", explode(col("__probes"))).drop("__probes")
             .join(rCelled, Seq("__cell"))
