@@ -536,10 +536,33 @@ object Bench {
       try memCalibration(spark, cpus)
       catch { case e: Throwable =>
         System.err.println(s"[bench] mem calibration failed: $e"); -1.0 }
+    // One probe reading is a ~0.5 s sample of a shared host; a transient
+    // burst overlapping JUST that window reads >= 0.7 and burns an entire
+    // ~75 s attempt (r9: all 3 attempts died on single marginal probes,
+    // 0.74-1.15, every neighboring probe clean). Genuine contamination
+    // persists across seconds; a blip does not — so a reading at/above
+    // the threshold is re-measured after a short settle (up to 2
+    // re-probes) and the MINIMUM wins. Min is the right statistic for a
+    // bandwidth probe: interference is strictly additive (co-runners
+    // only ever slow it), so the minimum is the least-contaminated view
+    // of the environment, and a probe that stays >= 0.7 across three
+    // spaced readings is real contamination, not noise.
+    def memCalRobust(): Double = {
+      var best = memCal()
+      var tries = 0
+      while (best >= 0.7 && tries < 2) {
+        System.err.println(f"[bench] mem probe $best%.3f >= 0.7; settling + re-probing")
+        try Thread.sleep(1500) catch { case _: InterruptedException => }
+        val again = memCal()
+        if (again >= 0) best = if (best < 0) again else math.min(best, again)
+        tries += 1
+      }
+      best
+    }
     releaseRetained(spark) // a retry starts from a clean slate
     val calPre = cal()
     val memProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
-    memProbes("pre") = memCal()
+    memProbes("pre") = memCalRobust()
     val rec = new Recorder(listener)
     phases.foreach { case (phaseName, entries) =>
       entries.foreach { case (name, fn) =>
@@ -549,13 +572,13 @@ object Bench {
       // the probe so it reads the environment, not this heap's history
       releaseRetained(spark)
       // phase-boundary probe: a burst is pinned to the phase it hit
-      memProbes(s"post_$phaseName") = memCal()
+      memProbes(s"post_$phaseName") = memCalRobust()
     }
     try indexedPhase(spark, sfDir, rec)
     catch { case e: Throwable => System.err.println(s"[bench] indexed phase failed: $e") }
     releaseRetained(spark)
     val calPost = cal()
-    memProbes("post_indexed") = memCal()
+    memProbes("post_indexed") = memCalRobust()
     // Steady-state re-execution of the kNN-join family: the cold sweep
     // number carries ~2-2.5 s of local-mode fixed cost per entry
     // (driver-side gaps across ~25 AQE stage-jobs + first-run JIT —
@@ -577,7 +600,7 @@ object Bench {
       }
     }
     releaseRetained(spark)
-    memProbes("post_steady") = memCal()
+    memProbes("post_steady") = memCalRobust()
     Sweep(rec, calPre, calPost, memProbes, steady)
   }
 

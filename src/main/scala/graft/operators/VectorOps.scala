@@ -274,7 +274,22 @@ object VectorOps {
         }: _*)
       }
     val data = spark.read.parquet(s"$path/data")
+    // pair validation: the write stamps one token into both artifacts
+    // (meta line + constant parquet column). Every row this query reads
+    // must carry the meta's token — a torn or interleaved rewrite
+    // (fresh data under stale codebooks, or vice versa) THROWS here
+    // instead of ADC-ranking stored codes against the wrong books.
+    // Per-row cost is one codegen'd string comparison on probed rows.
+    val token = line("token")
+    require(data.columns.contains("__graft_token"),
+      s"readIvfPqTopK: $path/data has no __graft_token column — the " +
+        "layout predates the tokened format or is torn; rewrite with writeIvfPq")
+    val tokenOk = assert_true(col("__graft_token") === token,
+      lit(s"readIvfPqTopK: write-token mismatch between $path/meta and " +
+        s"$path/data — data and codebooks come from different writes; " +
+        "rewrite the layout with writeIvfPq"))
     val probed = data.filter(col("__graft_cell").isin(probesPart: _*))
+      .filter(tokenOk.isNull)
     val scored = probed
       .select(col(idCol) +: (0 until m).map(s => col(s"__pqc$s"))
         :+ col("__graft_cell"): _*)
@@ -439,11 +454,17 @@ object VectorOps {
         // the id is the index key: the reader's refine phase re-selects
         // rows BY id, so a duplicated id would pull extra rows into the
         // exact re-rank and silently diverge from the in-memory verb.
-        // One partial-aggregated pair of counts guards that at write
-        // time (the write is already a multi-pass training job).
-        val Array(nRows, nIds) = base
-          .agg(count(lit(1)), count_distinct(col(idCol)))
+        // One partial-aggregated triple of counts guards that at write
+        // time (the write is already a multi-pass training job). Nulls
+        // get their own message: count_distinct ignores them, so a
+        // null-id dataset would otherwise fail as "must be unique" —
+        // and a null id that slipped through would NPE in training.
+        val Array(nRows, nNonNull, nIds) = base
+          .agg(count(lit(1)), count(col(idCol)), count_distinct(col(idCol)))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        require(nNonNull == nRows,
+          s"writeIvfPq: idCol '$idCol' has ${nRows - nNonNull} null " +
+            "ids — the disk index is keyed by id; filter or fill them first")
         require(nRows == nIds,
           s"writeIvfPq: idCol '$idCol' must be unique — $nRows rows but " +
             s"$nIds distinct ids (the disk index is keyed by id)")
@@ -461,9 +482,17 @@ object VectorOps {
           } else celled
         val books = VectorOps.pqTrain(codesInput, idCol, m, ksub, iters, seed).get
         val subDim = books(0)(0).length
+        // data and meta are TWO independent overwrite jobs; a failure or
+        // concurrent rewrite between them would pair fresh codes with
+        // stale codebooks, and ADC against the wrong books returns wrong
+        // neighbors SILENTLY. A per-write token stored in BOTH artifacts
+        // makes the layout self-validating: the reader refuses a
+        // mismatched pair instead of ranking against the wrong books.
+        val token = java.util.UUID.randomUUID().toString
         VectorOps.withPqCodes(codesInput, books, subDim)
           .select(col(idCol) +: col(vecCol) +:
             (0 until m).map(s => col(s"__pqc$s")) :+
+            lit(token).as("__graft_token") :+
             (col("__c") + 1).as("__graft_cell"): _*)
           .write.mode("overwrite").partitionBy("__graft_cell")
           .parquet(s"$path/data")
@@ -473,7 +502,8 @@ object VectorOps {
         val lines = Seq(
           "coarse=" + coarse.map(_.mkString(",")).mkString(";"),
           "books=" + books.map(_.map(_.mkString(",")).mkString(";")).mkString("|"),
-          s"params=m:$m,ksub:$ksub,scale:$scale,residual:$residual")
+          s"params=m:$m,ksub:$ksub,scale:$scale,residual:$residual",
+          "token=" + token)
         val spark = df.sparkSession
         import spark.implicits._
         lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
@@ -554,8 +584,19 @@ object VectorOps {
       // for the approximate route's IVF TRAINING (linear per Lloyd
       // round over rS below), never for the gate. Identical behavior at
       // the default cap.
-      val gateL = lS.take(500)
-      val gateR = rS.take(500)
+      // a deterministic STRIDE over the collected sample, not a prefix:
+      // when callers raise sampleCap for IVF training, a take(500) head
+      // is typically the first partitions — topic-clustered data would
+      // bias theta, pivots, and the admit-fraction gate all at once.
+      // Identical to take() at the default cap (length <= 500).
+      def spread(a: Array[Array[Float]]): Array[Array[Float]] =
+        if (a.length <= 500) a
+        else {
+          val step = a.length.toDouble / 500
+          Array.tabulate(500)(i => a(math.min((i * step).toInt, a.length - 1)))
+        }
+      val gateL = spread(lS)
+      val gateR = spread(rS)
       val sampleDists = gateL.map(a => gateR.map(b => l2(a, b)))
       val radii = sampleDists.map { ds0 =>
         val s = ds0.sorted

@@ -275,6 +275,16 @@ object GraftExtensions {
     }
   }
 
+  /** Integral numeric literal — `k=3.5` is a caller mistake, and
+    * silently truncating it to 3 would be the one argument here that
+    * escapes the loud literal/arity discipline around it. */
+  private def litInt(fn: String, what: String, e: Expression): Int = {
+    val d = litNum(fn, what, e)
+    require(d == math.rint(d) && math.abs(d) <= Int.MaxValue,
+      s"$fn: $what must be an integral literal, got $d")
+    d.toInt
+  }
+
   private def csvCols(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
@@ -309,7 +319,7 @@ object GraftExtensions {
         .knnJoin(spark.table(litString(fn, "right table", es(1))),
           csvCols(litString(fn, "left keys", es(2))),
           csvCols(litString(fn, "right keys", es(3))),
-          litNum(fn, "k", es(4)).toInt,
+          litInt(fn, "k", es(4)),
           litString(fn, "left id", es(5)), tieBreak)
         .queryExecution.logical
     })

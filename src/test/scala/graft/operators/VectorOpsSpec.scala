@@ -614,6 +614,45 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ disk layout: a torn meta/data pair is refused, not mis-ranked") {
+    val q = all.find(_._1 == 1L).get._2
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_spec_torn").toString
+    emb.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+      iters = 2)
+    // simulate the failure the token exists for: a rewrite that replaced
+    // one artifact but not the other — same codebooks, different token
+    import spark.implicits._
+    val tampered = spark.read.textFile(s"$path/meta").collect().toSeq
+      .map(l => if (l.startsWith("token=")) "token=some-other-write" else l)
+    spark.createDataset(tampered).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[Throwable] {
+      VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id", q, 10,
+        nprobe = 4, refine = 40).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("write-token mismatch")),
+      s"torn layout not refused: $msgs")
+  }
+
+  test("writeIvfPq: null ids get their own message, not 'must be unique'") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_spec_nullid").toString
+    val withNull = Seq(
+      (Option(1L), Array(1f, 0f, 0f, 0f)),
+      (Option.empty[Long], Array(0f, 1f, 0f, 0f)),
+      (Option(3L), Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      withNull.writeIvfPq(path, "embedding", "vec_id", nlist = 2, m = 2,
+        ksub = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
+
   test("pqTrain: codebook shapes, codes in range, one shared seed set") {
     import spark.implicits._
     val rng = new scala.util.Random(29)

@@ -198,6 +198,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_distance_join('tvf_l', 'tvf_r', 'x1,y1', 'x2,y2')").collect()
     }
+    // a fractional k is a caller mistake — rejected loudly, never
+    // silently truncated to its floor
+    val eK = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft_knn_join('tvf_l', 'tvf_r', 'x1,y1', 'x2,y2', 3.5, 'id1', 'id2')").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(e => Option(e.getMessage)).toSeq
+    assert(chain(eK).exists(_.contains("integral")),
+      s"fractional k not rejected with the integral message: ${chain(eK)}")
   }
 
   test("SQL function registry exposes the scalar surface") {
