@@ -145,6 +145,53 @@ object CorpusOps {
         .filter(col("shared_fps") >= minShared)
     }
 
+    /** Exact corpus-wide heavy word n-grams — boilerplate DISCOVERY
+      * (the flip side of the per-document repetition score): grams
+      * occurring at least `minCount` times across the corpus are the
+      * navigation chrome, license blocks, and template fragments a
+      * curation pipeline then strips, caps, or feeds to
+      * [[DedupOps]]-style span removal.
+      *
+      * The naive plan — explode every gram and groupBy — shuffles a
+      * hash table the size of the CORPUS's distinct-gram set (at
+      * 100 TB, itself terabytes). This verb bounds that with a
+      * count-sketch prefilter that costs one extra (cheap) pass:
+      * pass 1 aggregates occurrence counts of `hash(gram) mod
+      * sketchWidth` BUCKETS — a partial-combined aggregation whose
+      * state is at most `sketchWidth` rows per task, whatever the gram
+      * cardinality — and keeps buckets with total >= minCount. A
+      * bucket's count upper-bounds every member gram's count
+      * (collisions only ever ADD), so discarding light buckets drops
+      * NO heavy gram: the prefilter is exact-by-construction, the
+      * classic count-min guarantee. Pass 2 re-explodes, keeps only
+      * grams in surviving buckets (a broadcast semi-join against the
+      * <= sketchWidth survivor ids — no driver collect), and counts
+      * those exactly. Output `(gram, cnt)` is the exact heavy-hitter
+      * set; the sketch only sized the work. Size `sketchWidth` ~
+      * (corpus grams / minCount) * small constant so surviving buckets
+      * stay a sliver; the default 2^16 handles the test scales with
+      * room. */
+    def heavyNgrams(textCol: String, n: Int, minCount: Long,
+                    sketchWidth: Int = 1 << 16): DataFrame = {
+      require(n >= 1, s"n must be >= 1, got $n")
+      require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+      require(sketchWidth >= 1, s"sketchWidth must be >= 1, got $sketchWidth")
+      val grams = ds.toDF
+        .select(explode(graft.functions.wordGrams(col(textCol), n)).as("gram"))
+      // the bucket hash need NOT be engine-portable: it never reaches
+      // the output — it only routes grams to sketch cells
+      val bucket = pmod(xxhash64(col("gram")), lit(sketchWidth.toLong))
+      val heavyBuckets = grams
+        .groupBy(bucket.as("__graft_hb")).agg(count(lit(1)).as("__graft_hc"))
+        .filter(col("__graft_hc") >= minCount)
+        .select(col("__graft_hb"))
+      grams
+        .withColumn("__graft_hb", bucket)
+        .join(broadcast(heavyBuckets), Seq("__graft_hb"), "left_semi")
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+    }
+
     /** Fixed-size token chunking with stride (context-window slicing
       * for embedding/training pipelines): chunk `c` covers tokens
       * `[c*stride, c*stride + size)`; the last chunk may be shorter;
@@ -405,11 +452,22 @@ object CorpusOps {
       // exchange feeding the window is reused — the corpus is scanned
       // and tokenized exactly once
       val bucketTotals = withIn.groupBy(col(groupCol), col("__bucket"))
-        .agg(max(col("__in_bucket") + col("tok_count")).as("__bucket_tok"))
+        .agg(max(col("__in_bucket") + col("tok_count")).as("__bucket_tok"),
+          // the max(prefix+own) = bucket-sum identity above holds ONLY
+          // for non-negative tokens; a negative count would silently
+          // corrupt every downstream offset. Carrying the bucket min
+          // through the SAME partial agg (no extra pass) lets the tiny
+          // per-bucket side fail loudly instead.
+          min(col("tok_count")).as("__bucket_min"))
       val wBucket = Window.partitionBy(col(groupCol)).orderBy(col("__bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val bucketOff = bucketTotals.withColumn("__bucket_off",
-        coalesce(sum(col("__bucket_tok")).over(wBucket), lit(0L)))
+      val bucketOff = bucketTotals
+        .filter(assert_true(col("__bucket_min") >= 0L,
+          lit("sequencePackGlobal: tokens must be non-negative — a " +
+            "negative count breaks the bucket-total identity (use " +
+            "greatest(tokens, 0) or fix the expression)")).isNull)
+        .withColumn("__bucket_off",
+          coalesce(sum(col("__bucket_tok")).over(wBucket), lit(0L)))
       val groupTotals = bucketTotals.groupBy(col(groupCol))
         .agg(sum(col("__bucket_tok")).as("__group_tok"))
       val wGroup = Window.orderBy(col(groupCol))

@@ -237,6 +237,48 @@ object SampleOps {
         .select(col("__graft_mid").as(idCol), col("neg_id"), col("j"))
     }
 
+    /** Deterministic epoch shuffle into training shards — the "global
+      * random order" a distributed trainer actually consumes: every
+      * epoch permutes the corpus, the permutation is materialized as
+      * `(shard, pos)` so `numShards` readers each stream their own
+      * shard in `pos` order, and the whole assignment is a pure
+      * function of (id, epoch, numShards) — reproducible across runs,
+      * partitionings, and engines (resume-safe: a crashed epoch
+      * re-derives the identical order).
+      *
+      * The shard is the top bits of the row's Knuth-hash key
+      * (`key * numShards div 2^32` — exact integer arithmetic, key <
+      * 2^32 so the product stays < 2^63 for any sane shard count) and
+      * `pos` ranks the key WITHIN the shard, so concatenating shards
+      * 0..S-1 in pos order is one uniformly-hashed global permutation.
+      * The epoch enters as an additive pre-hash offset (a bijection on
+      * the masked id domain), so epochs give genuinely different
+      * permutations under the SAME portable hash the samplers and
+      * splitters replay in SQL.
+      *
+      * Scale shape: ONE hash shuffle on the shard id and a per-shard
+      * sort of n/numShards rows — never a global sort, no driver
+      * state; compose with [[graft.operators.CorpusOps]]' sharded
+      * export to land shard-partitioned parquet. Ids must be
+      * non-negative (the [[knuthFrac]] contract). */
+    def epochShuffle(idCol: String, epoch: Int, numShards: Int): DataFrame = {
+      require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+      require(numShards >= 1 && numShards <= (1 << 20),
+        s"numShards must be in [1, 2^20], got $numShards")
+      // 1000003 (prime) spaces epoch offsets far apart in the masked
+      // 32-bit domain; the shift is a bijection, so each epoch is a
+      // full permutation, not a resample
+      val key = graft.functions.knuth32(col(idCol) + lit(epoch.toLong * 1000003L))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("__graft_ek").asc, col(idCol).asc)
+      ds.toDF
+        .withColumn("__graft_ek", key)
+        .withColumn("shard",
+          floor(col("__graft_ek") * numShards / 4294967296L).cast("int"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .drop("__graft_ek")
+    }
+
     /** Keep the top `cap` rows of each group under `order` (callers
       * must make the order total — include a unique tie-break — or the
       * kept set is nondeterministic). */
@@ -246,6 +288,38 @@ object SampleOps {
       ds.toDF.withColumn("__graft_gc_rn", row_number().over(w))
         .filter(col("__graft_gc_rn") <= cap)
         .drop("__graft_gc_rn")
+    }
+
+    /** Quality-stratified selection: keep the best `keepFrac` FRACTION
+      * of every group under `order` (best-first — score descending
+      * with a unique tie-break). Where [[groupCap]] cuts at an
+      * absolute count, this cuts at a per-group PROPORTION, the shape
+      * domain-balanced curation needs: "keep the top 25% of each
+      * source by quality" prunes low-quality mass without shifting the
+      * source mixture (an absolute threshold would gut strict-scoring
+      * domains and keep everything from lenient ones). Every group
+      * keeps `ceil(n_g * keepFrac)` rows, so no non-empty group is
+      * emptied.
+      *
+      * Deterministic and engine-replayable when `order` is a total
+      * order and `keepFrac` is an exact binary fraction (0.25, 0.5,
+      * 0.375 — the [[splitAssign]] discipline: `n * keepFrac` is then
+      * one exact IEEE multiply in every engine). Scale shape: ONE hash
+      * shuffle on the group key; the rank and the group count ride the
+      * same window partitioning (one exchange, one sort), and the
+      * filter is codegen'd — no joins, no driver state. */
+    def groupTopFraction(groupCol: String, keepFrac: Double,
+                         order: Seq[Column]): DataFrame = {
+      require(keepFrac > 0.0 && keepFrac <= 1.0,
+        s"keepFrac must be in (0, 1], got $keepFrac")
+      val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+      val wc = Window.partitionBy(col(groupCol))
+      ds.toDF
+        .withColumn("__graft_tf_rn", row_number().over(w))
+        .withColumn("__graft_tf_n", count(lit(1)).over(wc))
+        .filter(col("__graft_tf_rn") <=
+          ceil(col("__graft_tf_n") * keepFrac).cast("long"))
+        .drop("__graft_tf_rn", "__graft_tf_n")
     }
   }
 }

@@ -347,6 +347,41 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic epoch-1 shuffle of the corpus into 8 training
+    * shards (SampleOps.epochShuffle): shard = top bits of the
+    * epoch-offset Knuth hash, pos = within-shard hash rank. Pure
+    * integer arithmetic on the repo's ONE portable hash, so DuckDB
+    * replays the full (shard, pos) permutation bit-for-bit. */
+  def epochShuffleQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SampleOps._
+    documents(s, d)
+      .epochShuffle("doc_id", epoch = 1, numShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact corpus-wide heavy 3-grams (>= 4 occurrences) behind the
+    * count-sketch prefilter (CorpusOps.heavyNgrams). The sketch only
+    * routes work — the output is the exact heavy set, so the oracle is
+    * the plain explode + GROUP BY + HAVING. */
+  def heavyNgramsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    documents(s, d).heavyNgrams("text", n = 3, minCount = 4L)
+      .orderBy(col("gram"))
+  }
+
+  /** Quality-stratified selection: keep the top 25% of every source by
+    * (token count desc, doc_id) — SampleOps.groupTopFraction. 0.25 is
+    * an exact binary fraction, so the ceil bound replays exactly. */
+  def groupTopFractionQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SampleOps._
+    documents(s, d)
+      .groupTopFraction("source", 0.25,
+        Seq(graft.functions.tokenCount(col("text")).desc, col("doc_id").asc))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs. Pigeonhole blocking with maxHamming < blocks
     * is COMPLETE (3 differing bits cannot touch all 4 blocks), so the
     * result is exactly every pair at Hamming distance <= 3 — which makes
@@ -2203,6 +2238,48 @@ object Pipeline {
         |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents) t
         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+    // the two-halves Knuth fold of (doc_id + epoch*1000003); shard is
+    // the key's top bits via exact integer arithmetic (k*8 < 2^35, and
+    // /2^32 is a binary-exponent shift, so both engines' floors agree)
+    "pp_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (((doc_id + 1000003) % 4294967296 // 65536 * 2654435761
+        |        % 4294967296) * 65536
+        |      + (doc_id + 1000003) % 65536 * 2654435761) % 4294967296 AS k
+        |  FROM documents)
+        |SELECT doc_id, CAST(k * 8 // 4294967296 AS INT) AS shard,
+        |  row_number() OVER (PARTITION BY k * 8 // 4294967296
+        |                     ORDER BY k, doc_id) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // the sketch prefilter never reaches the output — the oracle is the
+    // plain exact heavy-hitter query
+    "tx_heavy_ngrams" ->
+      """WITH tok AS (
+        |  SELECT regexp_split_to_array(trim(text), '[ \t\n\r]+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3
+        |)
+        |SELECT gram, count(*) AS cnt FROM grams
+        |GROUP BY gram HAVING count(*) >= 4 ORDER BY gram""".stripMargin,
+    "pp_group_top_frac" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                    q -> q != '')) AS tc
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY tc DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM t)
+        |SELECT doc_id, source FROM r
+        |WHERE rn <= CAST(ceil(n * 0.25) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     // cap contract fully determined by the templated cluster (see
     // minHashCappedQ scaladoc): one all-TRUE verdict row
     "dd_minhash_pairs_capped" ->
@@ -2496,6 +2573,9 @@ object Pipeline {
     "pp_mixture_sample" -> (mixtureSampleQ _),
     "pp_stratified_sample" -> (stratifiedSampleQ _),
     "pp_group_cap" -> (groupCapQ _),
+    "pp_epoch_shuffle" -> (epochShuffleQ _),
+    "tx_heavy_ngrams" -> (heavyNgramsQ _),
+    "pp_group_top_frac" -> (groupTopFractionQ _),
     "pp_split_assign" -> (splitAssignQ _),
     "pp_source_filter" -> (sourceFilterQ _),
     "tx_unigram_quality" -> (unigramQualityQ _),

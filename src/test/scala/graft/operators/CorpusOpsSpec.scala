@@ -252,6 +252,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("heavyNgrams: exact heavy set whatever the sketch width; semi-join plan") {
+    // the naive exact result the prefilter must never change
+    val naive = docs
+      .select(explode(graft.functions.wordGrams(col("text"), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty, "fixture has no heavy grams — test is vacuous")
+    // degenerate width 1 (single bucket, zero pruning) and a wide
+    // sketch (real pruning) must both return exactly the naive set
+    for (w <- Seq(1, 1 << 16)) {
+      val got = docs.heavyNgrams("text", n = 3, minCount = 4L, sketchWidth = w)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === naive, s"sketchWidth=$w diverged from the exact set")
+    }
+    // the prefilter is a broadcast semi-join, never a driver collect
+    val plan = docs.heavyNgrams("text", n = 3, minCount = 4L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("Broadcast"),
+      s"expected a broadcast semi-join prefilter:\n$plan")
+  }
+
+  test("sequencePackGlobal fails loudly on negative token counts") {
+    import spark.implicits._
+    // the bucket-total identity max(prefix+own)=sum holds only for
+    // non-negative tokens; a negative count must throw, not silently
+    // corrupt every downstream offset
+    val fixture = Seq(("a", 1L, 10L), ("a", 2L, -3L), ("a", 3L, 5L))
+      .toDF("source", "doc_id", "n")
+    val e = intercept[Throwable] {
+      fixture.sequencePackGlobal("source", "doc_id", col("n"),
+        capacity = 64L, bucketWidth = 1L).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("non-negative")),
+      s"negative tokens not rejected: $msgs")
+  }
+
   test("sequencePackGlobal: decomposed scan equals the sequential global scan") {
     // bucketWidth=64 forces genuine multi-bucket recombination on the
     // documents table; the driver replay is the sequential chain the

@@ -260,4 +260,70 @@ class SampleOpsSpec extends SparkSpec {
       s"sample must pre-prune map-side:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("epochShuffle: a full permutation, driver-replayed, epoch-distinct") {
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = docs.epochShuffle("doc_id", epoch = 1, numShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every row appears exactly once, shards in range
+    assert(out.map(_._1).toSet === ids && out.length === ids.size)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    // pos is 1..n_shard consecutive within each shard
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $s positions not consecutive")
+    }
+    // driver replay of the exact (shard, order) assignment
+    def hash32(id: Long): Long = {
+      val id32 = id & 0xffffffffL
+      ((id32 >>> 16) * 2654435761L % 4294967296L * 65536L +
+        (id32 & 0xffffL) * 2654435761L) % 4294967296L
+    }
+    val want = ids.toSeq.map { id =>
+      val k = hash32(id + 1000003L)
+      (id, k * 8 / 4294967296L, k)
+    }
+    want.groupBy(_._2).foreach { case (s, rows) =>
+      val ordered = rows.sortBy(t => (t._3, t._1)).map(_._1)
+      val got = out.filter(_._2 == s).sortBy(_._3).map(_._1).toSeq
+      assert(got === ordered, s"shard $s order diverges from the replay")
+    }
+    // a different epoch is a genuinely different permutation
+    val e2 = docs.epochShuffle("doc_id", epoch = 2, numShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(e2 !== out.toSet, "epochs 1 and 2 produced the same permutation")
+  }
+
+  test("epochShuffle plans one shard shuffle, never a global sort") {
+    val plan = docs.epochShuffle("doc_id", 0, 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"expected a shard hash shuffle:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"a global sort must not appear:\n$plan")
+  }
+
+  test("groupTopFraction: per-group ceil(n*frac) best-first, no group emptied") {
+    import spark.implicits._
+    val fixture = Seq(
+      ("a", 1L, 10L), ("a", 2L, 40L), ("a", 3L, 30L), ("a", 4L, 20L),
+      ("b", 5L, 5L), ("b", 6L, 50L), ("b", 7L, 15L), ("b", 8L, 25L), ("b", 9L, 35L),
+      ("c", 10L, 1L))
+      .toDF("src", "id", "score")
+    val got = fixture.groupTopFraction("src", 0.5,
+      Seq(col("score").desc, col("id").asc))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // a: ceil(4*0.5)=2 -> {2,3}; b: ceil(5*0.5)=3 -> {6,9,8}; c: ceil(1*0.5)=1 -> {10}
+    assert(got === Set(2L, 3L, 6L, 9L, 8L, 10L))
+    val all = fixture.groupTopFraction("src", 1.0, Seq(col("id").asc)).count()
+    assert(all === 10L, "keepFrac=1 must keep everything")
+    // one exchange: rank and count share the group partitioning
+    val plan = fixture.groupTopFraction("src", 0.25,
+      Seq(col("score").desc, col("id").asc))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"expected at most one exchange:\n$plan")
+  }
 }
