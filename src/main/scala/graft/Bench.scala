@@ -266,6 +266,21 @@ object Bench {
       import graft.operators.SampleOps._
       documents(s, d).mineNegatives("doc_id", k = 3, buckets = 16)
     }),
+    // r10 ops: epoch shard shuffle, sketch-prefiltered heavy grams,
+    // per-group proportional pruning
+    "b8es_epoch_shuffle" -> ((s: SparkSession, d: String) => {
+      import graft.operators.SampleOps._
+      documents(s, d).epochShuffle("doc_id", epoch = 1, numShards = 8)
+    }),
+    "b8hh_heavy_ngrams" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      documents(s, d).heavyNgrams("text", n = 3, minCount = 4L)
+    }),
+    "b8gt_group_top_frac" -> ((s: SparkSession, d: String) => {
+      import graft.operators.SampleOps._
+      documents(s, d).groupTopFraction("source", 0.25,
+        Seq(graft.functions.tokenCount(col("text")).desc, col("doc_id").asc))
+    }),
     // certified grouped quantiles (r8): window rank + sketch + verdict
     "b9q_quantile_stats" -> ((s: SparkSession, d: String) => {
       import graft.operators.StatsOps._

@@ -67,40 +67,64 @@ object DedupOps {
                      threshold: Double = 0.5, seed: Long = 42L,
                      maxBucket: Int = 0): DataFrame = {
       require(numHashes % bands == 0, "bands must divide numHashes")
-      // NOTE: the banded frame is referenced up to four times downstream
-      // (both sides of the cap's semi-join, then each side of the bucket
-      // self-join), re-running the signature kernels per reference. A
-      // persist here would leak a CacheManager entry per call (the lazy
-      // result leaves no unpersist point), so the production pattern is
-      // the CALLER materializing bandedBuckets once — e.g. checkpointed
-      // beside the corpus and reused across ingest waves — and running
-      // the cap/join stages over that
+      // NOTE (uncapped route): the banded frame is referenced by both
+      // sides of the bucket self-join, re-running the signature kernels
+      // per reference (the two sides' exchanges differ by alias, so
+      // stage reuse cannot merge them). A persist here would leak a
+      // CacheManager entry per call (the lazy result leaves no
+      // unpersist point), so the production pattern is the CALLER
+      // materializing bandedBuckets once — e.g. checkpointed beside the
+      // corpus and reused across ingest waves. The CAPPED route below
+      // does not have the problem: one evaluation, one shuffle.
       val banded = bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
-      // cap: drop over-populated buckets before the self-join — one
-      // extra (band, bucket) count agg, map-side combinable, vs a
-      // quadratic bucket join
-      val kept =
-        if (maxBucket <= 0) banded
-        else banded.join(
-          banded.groupBy(col("__band"), col("__bucket"))
-            .agg(count(lit(1)).as("__bsz"))
-            .filter(col("__bsz") <= maxBucket)
-            .select(col("__band"), col("__bucket")),
-          Seq("__band", "__bucket"), "left_semi")
-      val l = kept.select(col(idCol).as("id1"), col("__band"), col("__bucket"))
-      val r = kept.select(col(idCol).as("id2"), col("__band"), col("__bucket"))
-      val pairs = l.join(r, Seq("__band", "__bucket"))
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"))
-        .distinct()
+      val pairs =
+        if (maxBucket > 0) {
+          // capped route: the cap bounds every bucket, so the bucket
+          // membership can be ONE collect_list aggregation (state <=
+          // maxBucket ids per bucket — the same bound the cap already
+          // imposes on pair fan-out) and within-bucket pairs come from
+          // a codegen'd higher-order expression over the sorted id
+          // array instead of a self-join. The signature pipeline runs
+          // ONCE (the former count-agg + semi-join + two join sides
+          // re-evaluated the 64-hash kernel four times), the cap check
+          // is a free size() filter, and oversized buckets drop before
+          // a single pair exists.
+          val buckets = banded
+            .groupBy(col("__band"), col("__bucket"))
+            .agg(collect_list(col(idCol)).as("__ids"))
+            .filter(size(col("__ids")).between(2, maxBucket))
+          val sortedIds = array_sort(col("__ids"))
+          buckets
+            .select(explode(flatten(transform(sortedIds, (x, i) =>
+              transform(slice(sortedIds, i + 2, lit(maxBucket)),
+                y => struct(x.as("id1"), y.as("id2")))))).as("__p"))
+            .select(col("__p.id1"), col("__p.id2"))
+            .distinct()
+        } else {
+          val l = banded.select(col(idCol).as("id1"), col("__band"), col("__bucket"))
+          val r = banded.select(col(idCol).as("id2"), col("__band"), col("__bucket"))
+          l.join(r, Seq("__band", "__bucket"))
+            .filter(col("id1") < col("id2"))
+            .select(col("id1"), col("id2"))
+            .distinct()
+        }
       // exact verify over precomputed sorted shingle sets (the per-doc /
       // per-pair kernel split of shingleJaccard — identical scores, no
-      // per-candidate re-tokenization)
-      val t1 = ds.toDF.select(col(idCol).as("id1"),
-        shingleSet(col(textCol), shingle).as("__sh1"))
-      val t2 = ds.toDF.select(col(idCol).as("id2"),
-        shingleSet(col(textCol), shingle).as("__sh2"))
-      pairs.join(t1, Seq("id1")).join(t2, Seq("id2"))
+      // per-candidate re-tokenization), restricted to CANDIDATE docs: at
+      // corpus scale the pair set is a sliver of the corpus, so the
+      // semi-join keeps the shingle kernel off every doc that appears in
+      // no pair (the former full-corpus t1/t2 tokenized everything
+      // twice). `pairs` ends in a distinct shuffle, so its three
+      // references here share one reused exchange stage, not three
+      // signature evaluations.
+      val candIds = pairs.select(col("id1").as("__cand"))
+        .union(pairs.select(col("id2").as("__cand"))).distinct()
+      val sh = ds.toDF
+        .join(candIds, col(idCol) === col("__cand"), "left_semi")
+        .select(col(idCol), shingleSet(col(textCol), shingle).as("__sh"))
+      pairs
+        .join(sh.select(col(idCol).as("id1"), col("__sh").as("__sh1")), Seq("id1"))
+        .join(sh.select(col(idCol).as("id2"), col("__sh").as("__sh2")), Seq("id2"))
         .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
         .filter(col("jaccard") >= threshold)
         .select(col("id1"), col("id2"), col("jaccard"))
@@ -147,10 +171,20 @@ object DedupOps {
         .filter(col("id_new") =!= col("id_corpus"))
         .select(col("id_new"), col("id_corpus"))
         .distinct()
-      val t1 = ds.toDF.select(col(idCol).as("id_new"),
-        shingleSet(col(textCol), shingle).as("__sh1"))
-      val t2 = corpus.toDF.select(col(idCol).as("id_corpus"),
-        shingleSet(col(textCol), shingle).as("__sh2"))
+      // candidate-restricted verify (the minHashPairs discipline): the
+      // CORPUS side especially must not pay whole-corpus tokenization
+      // for a shard-sized pair set; `pairs` ends in a distinct shuffle,
+      // so its references share one reused exchange stage
+      val t1 = ds.toDF
+        .join(pairs.select(col("id_new").as("__cand")).distinct(),
+          col(idCol) === col("__cand"), "left_semi")
+        .select(col(idCol).as("id_new"),
+          shingleSet(col(textCol), shingle).as("__sh1"))
+      val t2 = corpus.toDF
+        .join(pairs.select(col("id_corpus").as("__cand")).distinct(),
+          col(idCol) === col("__cand"), "left_semi")
+        .select(col(idCol).as("id_corpus"),
+          shingleSet(col(textCol), shingle).as("__sh2"))
       pairs.join(t1, Seq("id_new")).join(t2, Seq("id_corpus"))
         .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
         .filter(col("jaccard") >= threshold)

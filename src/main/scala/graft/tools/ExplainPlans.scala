@@ -277,6 +277,24 @@ object ExplainPlans {
       embeddings(spark, d).cosineTopKIvfPq("embedding", "vec_id", q, 10,
         nlist = 8, nprobe = 2, m = 4, ksub = 4, refine = 40, residual = true)
     }
+    show("epoch_shuffle (expect ONE hash exchange on shard + in-shard sort — no rangepartitioning/global sort)") {
+      import graft.operators.SampleOps._
+      documents(spark, d).epochShuffle("doc_id", epoch = 1, numShards = 8)
+    }
+    show("heavy_ngrams (expect width-bounded bucket partial agg, broadcast LEFT-SEMI prefilter, then the exact gram agg)") {
+      import graft.operators.CorpusOps._
+      documents(spark, d).heavyNgrams("text", n = 3, minCount = 4L)
+    }
+    show("group_top_frac (expect one exchange shared by the rank window and the group count — codegen'd filter, no join)") {
+      import graft.operators.SampleOps._
+      documents(spark, d).groupTopFraction("source", 0.25,
+        Seq(graft.functions.tokenCount(col("text")).desc, col("doc_id").asc))
+    }
+    show("minhash_capped (expect ONE banded-signature evaluation into a collect_list bucket agg + higher-order pair explode; verify semi-joined to candidates)") {
+      import graft.operators.DedupOps._
+      documents(spark, d).minHashPairs("doc_id", "text", 3, 64, 16, 0.8,
+        maxBucket = 1000)
+    }
     show("sql_tvf_distance_join (expect the DataFrame grid plan — cell equi-join, no cross — reached from spark.sql)") {
       graft.plans.GraftExtensions.registerFunctions(spark)
       customerPts(spark, d).createOrReplaceTempView("plans_cust_pts")
