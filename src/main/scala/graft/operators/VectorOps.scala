@@ -192,16 +192,33 @@ object VectorOps {
       else if (fs.exists(legacy)) legacy
       else throw new IllegalArgumentException(
         s"readIvfTopK: no centroids at $current (nor legacy $legacy)")
-    val raw = spark.read.textFile(metaPath.toString).head()
-    require(raw.startsWith("[[") && raw.endsWith("]]"),
-      s"readIvfTopK: malformed centroids metadata at $metaPath")
+    val metaLines = spark.read.textFile(metaPath.toString).collect()
+    val raw = metaLines.find(l => l.startsWith("[[") && l.endsWith("]]"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"readIvfTopK: malformed centroids metadata at $metaPath"))
     val centroids = raw.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .map(_.split(",").map(_.trim.toFloat))
     val qA = new org.apache.spark.sql.catalyst.util.GenericArrayData(query)
     val qCos = centroids.map(c => graft.functions.VectorKernels.cosineF(
       qA, new org.apache.spark.sql.catalyst.util.GenericArrayData(c)))
     val probes = qCos.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2 + 1)
-    spark.read.parquet(s"$path/data")
+    val data = spark.read.parquet(s"$path/data")
+    // pair validation (the writeIvfPq token discipline) — stale
+    // centroids against fresh cell assignments would probe the wrong
+    // cells and silently miss true neighbors. Legacy layouts (no token
+    // line) skip the check; tokened metadata REQUIRES a tokened scan.
+    val tokened = metaLines.find(_.startsWith("token=")).map(_.substring(6))
+      .map { tok =>
+        require(data.columns.contains("__graft_token"),
+          s"readIvfTopK: $metaPath carries a write token but $path/data " +
+            "has no __graft_token column — the layout is torn; rewrite with writeIvf")
+        data.filter(assert_true(col("__graft_token") === tok,
+          lit(s"readIvfTopK: write-token mismatch between $metaPath and " +
+            s"$path/data — data and centroids come from different writes; " +
+            "rewrite the layout with writeIvf")).isNull)
+          .drop("__graft_token")
+      }.getOrElse(data)
+    tokened
       .filter(col("__graft_cell").isin(probes: _*))
       .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
       .orderBy(col("cos").desc, col(idCol).asc)
@@ -418,7 +435,13 @@ object VectorOps {
       require(centroids.nonEmpty,
         "writeIvf: dataset is empty — no centroids to quantize against")
       val cosArr = array(centroids.map(c => cosineSimilarity(col(vecCol), lit(c))): _*)
+      // the writeIvfPq token discipline: data and centroids are two
+      // independent jobs, and stale centroids against fresh cell
+      // assignments would silently probe the wrong cells — the reader
+      // refuses a mismatched pair instead
+      val token = java.util.UUID.randomUUID().toString
       df.withColumn("__graft_cos", cosArr)
+        .withColumn("__graft_token", lit(token))
         .withColumn("__graft_cell",
           array_position(col("__graft_cos"), array_max(col("__graft_cos"))).cast("int"))
         .drop("__graft_cos")
@@ -428,7 +451,8 @@ object VectorOps {
       // local) — same discipline as IndexManager.persistIndex
       val spark = df.sparkSession
       import spark.implicits._
-      Seq(meta).toDS().coalesce(1).write.mode("overwrite").text(s"$path/centroids")
+      Seq(meta, "token=" + token).toDS().coalesce(1).write.mode("overwrite")
+        .text(s"$path/centroids")
     }
 
     /** Persist the composed IVF-PQ index ([[cosineTopKIvfPq]]'s exact

@@ -366,6 +366,36 @@ object ScaleTrend {
           bucketWidth = 64L).count()
     }
 
+    // epoch shuffle over the replicated corpus: shard count fixed at 8,
+    // rows grow ~n — ONE hash exchange + per-shard sorts, so e ≈ 1
+    // (the n log n sort term is invisible at these decades)
+    def b8es(n: Int): Long = {
+      import graft.operators.SampleOps._
+      docsRep(spark, d, n).epochShuffle("doc_id", epoch = 1, numShards = 8)
+        .count()
+    }
+
+    // heavy n-grams over the replicated corpus: translated replicas
+    // share no grams, so distinct grams AND heavy grams grow ~n; the
+    // sketch pass's agg state stays width-bounded while both scans
+    // grow ~n — e ≈ 1
+    def b8hh(n: Int): Long = {
+      import graft.operators.CorpusOps._
+      docsRep(spark, d, n).heavyNgrams("text", n = 3, minCount = 4L).count()
+    }
+
+    // per-group top fraction: the b8sq synthetic-source shape (few
+    // groups, n-times the docs per group) — one exchange + in-group
+    // sort, e ≈ 1
+    def b8gt(n: Int): Long = {
+      import graft.operators.SampleOps._
+      docsRep(spark, d, n)
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(16))))
+        .groupTopFraction("source", 0.25,
+          Seq(graft.functions.tokenCount(col("text")).desc, col("doc_id").asc))
+        .count()
+    }
+
     // approximate vector kNN join (the r9 conf-gated IVF probe route,
     // forced via safety=1e9 so the admit-fraction gate trips at every
     // slice) with nlist grown ∝ n — the IVF scale discipline: per-cell
@@ -421,6 +451,9 @@ object ScaleTrend {
           "b6pc_pca" -> (b6pc _),
           "b8xd_span_dedup" -> (b8xd _),
           "b8sq_sequence_pack_global" -> (b8sq _),
+          "b8es_epoch_shuffle" -> (b8es _),
+          "b8hh_heavy_ngrams" -> (b8hh _),
+          "b8gt_group_top_frac" -> (b8gt _),
           "b6va_knn_join_vec_approx" -> (b6va _))
 
     def timed(f: => Long): (Double, Long) = {
