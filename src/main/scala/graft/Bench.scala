@@ -448,6 +448,19 @@ object Bench {
     rec.timed("b3q_knn_quadtree") {
       qt.knn(Array(5000.0, 500.0), 10, Seq("c_custkey")).count()
     }
+    // at-rest layout twin (r10): write the cell-partitioned z-sorted
+    // parquet once (timed — the build entry), then answer the same box
+    // DIRECTLY from disk with directory + row-group pruning, no cache
+    val diskPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bench_spatial_disk").toString
+    rec.timed("b10d_spatial_disk_write") {
+      graft.index.SpatialDisk.write(customerPts(spark, sfDir), diskPath,
+        Seq("cx", "cy"))
+    }
+    rec.timed("b1d_box_range_disk") {
+      graft.index.SpatialDisk.boxRange(spark, diskPath,
+        Array(2000.0, 100.0), Array(4000.0, 300.0)).count()
+    }
   }
 
   /** One full sweep: ALU + memory brackets around the whole run, plus a

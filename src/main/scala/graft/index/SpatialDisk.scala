@@ -1,0 +1,168 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{inBox, inCircle, quantize, zorder, zorderCells}
+import graft.spatial.ZValue
+
+/** The AT-REST spatial layout — the disk sibling of the in-memory
+  * z-order index (and the spatial twin of the IVF-disk ANN layout):
+  * rows land in the parquet directory of their COARSE Morton cell and
+  * are z-sorted WITHIN each directory, so a box/circle query
+  *
+  *  1. prunes non-intersecting cell directories at the filesystem level
+  *     (`PartitionFilters` on `__graft_cell` — never opened, never read),
+  *  2. prunes row groups inside surviving directories via min/max stats
+  *     on the fine z key (the covering-interval pre-filter), and
+  *  3. re-applies the exact predicate to the survivors.
+  *
+  * Write once, query many, no session registry and no cache fill: the
+  * 100-TB shape where the table cannot live in memory and a query must
+  * touch only the data it needs. Unlike
+  * [[IndexManager.persistIndex]]/`loadIndex` (which rehydrate the
+  * whole table into a cached in-memory index), queries here read
+  * DIRECTLY from the layout.
+  *
+  * Layout: `$path/data` (cell-partitioned parquet, fine z column
+  * `__graft_z`, write token `__graft_token`) + `$path/meta` (tagged
+  * text lines: key columns, quantization bounds, bit widths, token).
+  * Data and meta are two independent jobs, so both carry one per-write
+  * token and readers refuse a mismatched pair (the writeIvfPq
+  * discipline) — stale bounds against fresh cells would route queries
+  * to the wrong directories and silently drop matches.
+  */
+object SpatialDisk {
+
+  private val CellCol = "__graft_cell"
+  private val ZCol = "__graft_z"
+  private val TokenCol = "__graft_token"
+
+  /** Write the layout. `cellBits` sets directory granularity: d
+    * dimensions make up to `2^(d*cellBits)` directories (default 5 ->
+    * 1024 cells in 2-d — coarse enough that a 100-TB table still
+    * writes human-scale directory counts, fine enough that a selective
+    * box reads a sliver). `bits` is the fine in-file z key. */
+  def write(df: DataFrame, path: String, keyCols: Seq[String],
+            cellBits: Int = 5, bits: Int = 18): Unit = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(cellBits >= 1 && keyCols.length * cellBits <= 30,
+      s"cellBits out of range for ${keyCols.length} dims: $cellBits")
+    require(bits >= cellBits && keyCols.length * bits <= 62,
+      s"bits out of range: $bits")
+    // exact bounds in ONE bounded aggregation (2 numbers per dim)
+    val aggs = keyCols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"lo_$c"),
+        max(col(c)).cast("double").as(s"hi_$c")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!b.isNullAt(0),
+      "SpatialDisk.write: table is empty or a key column is all null")
+    val lows = keyCols.indices.map(i => b.getDouble(2 * i)).toArray
+    val highs = keyCols.indices.map(i => b.getDouble(2 * i + 1)).toArray
+    val token = java.util.UUID.randomUUID().toString
+    val cell = zorder(keyCols.map(col), lows.toSeq, highs.toSeq, cellBits)
+    val z = zorder(keyCols.map(col), lows.toSeq, highs.toSeq, bits)
+    // one range shuffle clusters cells together; the within-partition
+    // sort puts each directory's files in fine-z order so parquet
+    // row-group min/max stats on __graft_z are tight
+    df.withColumn(CellCol, cell)
+      .withColumn(ZCol, z)
+      .withColumn(TokenCol, lit(token))
+      .repartitionByRange(col(CellCol), col(ZCol))
+      .sortWithinPartitions(col(CellCol), col(ZCol))
+      .write.mode("overwrite").partitionBy(CellCol).parquet(s"$path/data")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = Seq(
+      "keyCols=" + keyCols.mkString(","),
+      "lows=" + lows.mkString(","),
+      "highs=" + highs.mkString(","),
+      s"params=cellBits:$cellBits,bits:$bits",
+      "token=" + token)
+    lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+  }
+
+  private final case class Meta(keyCols: Seq[String], lows: Array[Double],
+                                highs: Array[Double], cellBits: Int,
+                                bits: Int, token: String)
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val lines = spark.read.textFile(s"$path/meta").collect()
+    def line(tag: String): String = lines.find(_.startsWith(tag + "="))
+      .getOrElse(throw new IllegalArgumentException(
+        s"SpatialDisk: no '$tag' line in $path/meta"))
+      .substring(tag.length + 1)
+    val params = line("params").split(",").map { kv =>
+      val Array(a, v) = kv.split(":"); a -> v
+    }.toMap
+    Meta(line("keyCols").split(",").toSeq,
+      line("lows").split(",").map(_.toDouble),
+      line("highs").split(",").map(_.toDouble),
+      params("cellBits").toInt, params("bits").toInt, line("token"))
+  }
+
+  /** The validated scan every query starts from: token-checked data
+    * with the cell-directory filter for the bbox `[lo, hi]` applied.
+    * Cell ids come from enumerating the box's quantized cell ranges
+    * per dimension (bounded by the total cell count — the layout's own
+    * directory count) and Morton-interleaving each combination; the
+    * `isin` on the partition column is what parquet turns into
+    * directory pruning. A fine-z covering-interval BETWEEN serves
+    * row-group pruning inside surviving directories. */
+  private def scanBox(spark: SparkSession, path: String, m: Meta,
+                      lo: Array[Double], hi: Array[Double]): DataFrame = {
+    require(lo.length == m.keyCols.length && hi.length == m.keyCols.length,
+      s"query dims ${lo.length} != layout dims ${m.keyCols.length}")
+    val data = spark.read.parquet(s"$path/data")
+    require(data.columns.contains(TokenCol),
+      s"SpatialDisk: $path/data has no $TokenCol column — the layout is " +
+        "torn or foreign; rewrite with SpatialDisk.write")
+    val tokenOk = assert_true(col(TokenCol) === m.token,
+      lit(s"SpatialDisk: write-token mismatch between $path/meta and " +
+        s"$path/data — bounds and cells come from different writes; " +
+        "rewrite the layout"))
+    // per-dim coarse cell ranges of the clamped box
+    def cellOf(v: Double, i: Int): Int =
+      ZValue.quantize(v, m.lows(i), m.highs(i), m.cellBits)
+    val ranges = m.keyCols.indices.map(i => cellOf(lo(i), i) to cellOf(hi(i), i))
+    val cells = ranges.foldLeft(Seq(Array.empty[Int])) { (acc, r) =>
+      acc.flatMap(prefix => r.map(c => prefix :+ c))
+    }.map(coords => ZValue.interleave(coords, m.cellBits))
+    // covering fine-z interval: every point of the box has z in
+    // [z(lo), z(hi)] (bitwise monotonicity per dimension) — loose at
+    // quadrant seams, exact filter re-applied downstream
+    val zLo = ZValue.interleave(
+      m.keyCols.indices.map(i => ZValue.quantize(lo(i), m.lows(i), m.highs(i), m.bits)).toArray,
+      m.bits)
+    val zHi = ZValue.interleave(
+      m.keyCols.indices.map(i => ZValue.quantize(hi(i), m.lows(i), m.highs(i), m.bits)).toArray,
+      m.bits)
+    data
+      .filter(col(CellCol).isin(cells: _*))
+      .filter(col(ZCol).between(zLo, zHi))
+      .filter(tokenOk.isNull)
+  }
+
+  /** Box range directly from the layout: directory + row-group pruning,
+    * then the exact predicate. Output schema = the written table. */
+  def boxRange(spark: SparkSession, path: String,
+               lo: Array[Double], hi: Array[Double]): DataFrame = {
+    val m = readMeta(spark, path)
+    scanBox(spark, path, m, lo, hi)
+      .filter(inBox(m.keyCols.map(col), lo.toSeq, hi.toSeq))
+      .drop(CellCol, ZCol, TokenCol)
+  }
+
+  /** Circle range: the circle's bbox drives the pruning, the exact
+    * distance predicate decides. */
+  def circleRange(spark: SparkSession, path: String,
+                  center: Array[Double], radius: Double): DataFrame = {
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    val m = readMeta(spark, path)
+    val lo = center.map(_ - radius)
+    val hi = center.map(_ + radius)
+    scanBox(spark, path, m, lo, hi)
+      .filter(inCircle(m.keyCols.map(col), center.toSeq, radius))
+      .drop(CellCol, ZCol, TokenCol)
+  }
+}

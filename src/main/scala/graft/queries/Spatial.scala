@@ -38,6 +38,20 @@ object Spatial {
       .circleRange(Seq("cx", "cy"), center, circleR)
       .orderBy(col("c_custkey"))
 
+  /** Box range answered DIRECTLY from the at-rest layout
+    * (graft.index.SpatialDisk): the table writes once as
+    * cell-partitioned z-sorted parquet, the query prunes directories
+    * (PartitionFilters) and row groups before the exact predicate —
+    * identical results to the in-memory verb, so the oracle IS the
+    * plain range SQL. */
+  def diskBoxRange(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    graft.index.SpatialDisk.write(customerPts(s, d), path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.boxRange(s, path, boxLow.toArray, boxHigh.toArray)
+      .orderBy(col("c_custkey"))
+  }
+
   // Diamond |(x-5000)/2000.37| + |(y-500)/300.13| <= 1 — a convex polygon
   // whose containment is also expressible as one SQL inequality, giving
   // the general ray-casting kernel an exact relational oracle. Fractional
@@ -219,6 +233,12 @@ object Spatial {
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE sqrt((cx - 5000.0)*(cx - 5000.0) + (cy - 500.0)*(cy - 500.0)) <= 500.0
          |ORDER BY c_custkey""".stripMargin,
+    // the at-rest layout changes where bytes live, never values — its
+    // oracle is the plain box-range SQL
+    "sp_disk_box_range" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
+         |ORDER BY c_custkey""".stripMargin,
     "sp_polygon_range" ->
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
@@ -336,6 +356,7 @@ object Spatial {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp_box_range" -> (boxRange _),
     "sp_circle_range" -> (circleRange _),
+    "sp_disk_box_range" -> (diskBoxRange _),
     "sp_polygon_range" -> (polygonRange _),
     "sp_segment_range" -> (segmentRangeQ _),
     "sp_bounds_agg" -> (boundsBySegment _),

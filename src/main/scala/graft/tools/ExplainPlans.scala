@@ -295,6 +295,13 @@ object ExplainPlans {
       documents(spark, d).minHashPairs("doc_id", "text", 3, 64, 16, 0.8,
         maxBucket = 1000)
     }
+    show("spatial_disk_box (expect PartitionFilters INSET on __graft_cell + fine-z BETWEEN in PushedFilters — directory and row-group pruning before the exact predicate)") {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_spatial_disk").toString
+      graft.index.SpatialDisk.write(customerPts(spark, d), path, Seq("cx", "cy"))
+      graft.index.SpatialDisk.boxRange(spark, path,
+        Array(2000.0, 100.0), Array(4000.0, 300.0))
+    }
     show("sql_tvf_distance_join (expect the DataFrame grid plan — cell equi-join, no cross — reached from spark.sql)") {
       graft.plans.GraftExtensions.registerFunctions(spark)
       customerPts(spark, d).createOrReplaceTempView("plans_cust_pts")
