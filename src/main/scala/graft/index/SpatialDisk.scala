@@ -46,7 +46,10 @@ object SpatialDisk {
   def write(df: DataFrame, path: String, keyCols: Seq[String],
             cellBits: Int = 5, bits: Int = 18): Unit = {
     require(keyCols.nonEmpty, "need at least one key column")
-    require(cellBits >= 1 && keyCols.length * cellBits <= 30,
+    // d*cellBits <= 16 bounds BOTH the directory count and the per-cell
+    // stats collect below at 2^16 (the quad-prefix discipline) — cells
+    // are the layout's COARSE routing level, fine pruning is the z key
+    require(cellBits >= 1 && keyCols.length * cellBits <= 16,
       s"cellBits out of range for ${keyCols.length} dims: $cellBits")
     require(bits >= cellBits && keyCols.length * bits <= 62,
       s"bits out of range: $bits")
@@ -72,19 +75,42 @@ object SpatialDisk {
       .sortWithinPartitions(col(CellCol), col(ZCol))
       .write.mode("overwrite").partitionBy(CellCol).parquet(s"$path/data")
     val spark = df.sparkSession
+    // per-cell TRUE stats (count + tight MBR), read back from the
+    // WRITTEN files so published stats are on-disk stats — one bounded
+    // aggregation (<= 2^(d*cellBits) <= 2^16 rows to the driver). They
+    // serve kNN's guaranteed-radius walk, the IndexManager PartitionStat
+    // design at the directory level.
+    val statAggs = count(lit(1)).as("__n") +: keyCols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"__lo_$c"),
+        max(col(c)).cast("double").as(s"__hi_$c")))
+    val statRows = spark.read.parquet(s"$path/data")
+      .groupBy(col(CellCol)).agg(statAggs.head, statAggs.tail: _*)
+      .collect()
+    val cellStats = statRows.map { r =>
+      val id = r.getAs[Number](0).longValue()
+      val n = r.getLong(1)
+      val bounds = keyCols.indices.flatMap(i =>
+        Seq(r.getDouble(2 + 2 * i), r.getDouble(3 + 2 * i)))
+      s"$id:$n:" + bounds.mkString(",")
+    }.sorted.mkString(";")
     import spark.implicits._
     val lines = Seq(
       "keyCols=" + keyCols.mkString(","),
       "lows=" + lows.mkString(","),
       "highs=" + highs.mkString(","),
       s"params=cellBits:$cellBits,bits:$bits",
+      "cells=" + cellStats,
       "token=" + token)
     lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
   }
 
+  /** Per-cell on-disk stats: row count + the cell's TRUE MBR. */
+  private final case class CellStat(id: Long, count: Long,
+                                    mbr: graft.spatial.MBR)
+
   private final case class Meta(keyCols: Seq[String], lows: Array[Double],
                                 highs: Array[Double], cellBits: Int,
-                                bits: Int, token: String)
+                                bits: Int, cells: Seq[CellStat], token: String)
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val lines = spark.read.textFile(s"$path/meta").collect()
@@ -95,10 +121,18 @@ object SpatialDisk {
     val params = line("params").split(",").map { kv =>
       val Array(a, v) = kv.split(":"); a -> v
     }.toMap
+    val cells = line("cells").split(";").filter(_.nonEmpty).toSeq.map { s =>
+      val Array(id, n, bounds) = s.split(":")
+      val b = bounds.split(",").map(_.toDouble)
+      val los = Array.tabulate(b.length / 2)(i => b(2 * i))
+      val his = Array.tabulate(b.length / 2)(i => b(2 * i + 1))
+      CellStat(id.toLong, n.toLong,
+        graft.spatial.MBR(graft.spatial.Point(los), graft.spatial.Point(his)))
+    }
     Meta(line("keyCols").split(",").toSeq,
       line("lows").split(",").map(_.toDouble),
       line("highs").split(",").map(_.toDouble),
-      params("cellBits").toInt, params("bits").toInt, line("token"))
+      params("cellBits").toInt, params("bits").toInt, cells, line("token"))
   }
 
   /** The validated scan every query starts from: token-checked data
@@ -109,10 +143,8 @@ object SpatialDisk {
     * `isin` on the partition column is what parquet turns into
     * directory pruning. A fine-z covering-interval BETWEEN serves
     * row-group pruning inside surviving directories. */
-  private def scanBox(spark: SparkSession, path: String, m: Meta,
-                      lo: Array[Double], hi: Array[Double]): DataFrame = {
-    require(lo.length == m.keyCols.length && hi.length == m.keyCols.length,
-      s"query dims ${lo.length} != layout dims ${m.keyCols.length}")
+  /** Token-validated scan of the whole layout. */
+  private def validated(spark: SparkSession, path: String, m: Meta): DataFrame = {
     val data = spark.read.parquet(s"$path/data")
     require(data.columns.contains(TokenCol),
       s"SpatialDisk: $path/data has no $TokenCol column — the layout is " +
@@ -121,6 +153,13 @@ object SpatialDisk {
       lit(s"SpatialDisk: write-token mismatch between $path/meta and " +
         s"$path/data — bounds and cells come from different writes; " +
         "rewrite the layout"))
+    data.filter(tokenOk.isNull)
+  }
+
+  private def scanBox(spark: SparkSession, path: String, m: Meta,
+                      lo: Array[Double], hi: Array[Double]): DataFrame = {
+    require(lo.length == m.keyCols.length && hi.length == m.keyCols.length,
+      s"query dims ${lo.length} != layout dims ${m.keyCols.length}")
     // per-dim coarse cell ranges of the clamped box
     def cellOf(v: Double, i: Int): Int =
       ZValue.quantize(v, m.lows(i), m.highs(i), m.cellBits)
@@ -137,10 +176,9 @@ object SpatialDisk {
     val zHi = ZValue.interleave(
       m.keyCols.indices.map(i => ZValue.quantize(hi(i), m.lows(i), m.highs(i), m.bits)).toArray,
       m.bits)
-    data
+    validated(spark, path, m)
       .filter(col(CellCol).isin(cells: _*))
       .filter(col(ZCol).between(zLo, zHi))
-      .filter(tokenOk.isNull)
   }
 
   /** Box range directly from the layout: directory + row-group pruning,
@@ -164,5 +202,44 @@ object SpatialDisk {
     scanBox(spark, path, m, lo, hi)
       .filter(inCircle(m.keyCols.map(col), center.toSeq, radius))
       .drop(CellCol, ZCol, TokenCol)
+  }
+
+  /** kNN directly from the layout: walk cells by minDist using the
+    * meta's TRUE per-cell stats until the walked cells alone hold at
+    * least k rows, take r = the max furthest-corner distance over the
+    * walked cells — the circle of radius r then provably contains >= k
+    * rows (the in-memory stats-walk argument, at the directory level) —
+    * and answer with ONE pruned circle scan + top-k. No
+    * count-and-expand round trips; driver state = the meta's bounded
+    * cell stats. `tieBreak` makes equal distances deterministic (the
+    * in-memory knn contract). */
+  def knn(spark: SparkSession, path: String, center: Array[Double],
+          k: Int, tieBreak: Seq[String]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = readMeta(spark, path)
+    require(center.length == m.keyCols.length,
+      s"query dims ${center.length} != layout dims ${m.keyCols.length}")
+    def ordered(df: DataFrame): DataFrame = df
+      .withColumn("__graft_knn_d",
+        graft.functions.pointDistance(m.keyCols.map(col), center.toSeq.map(lit)))
+      // null-key rows get a null distance, which asc ranks FIRST: exclude
+      .filter(col("__graft_knn_d").isNotNull)
+      .orderBy((col("__graft_knn_d").asc +: tieBreak.map(col(_).asc)): _*)
+      .limit(k)
+      .drop("__graft_knn_d")
+    val q = graft.spatial.Point(center)
+    val total = m.cells.map(_.count).sum
+    if (m.cells.isEmpty || total <= k)
+      return ordered(validated(spark, path, m).drop(CellCol, ZCol, TokenCol))
+    val byDist = m.cells.sortBy(_.mbr.minDist(q))
+    var covered = 0L
+    var r = 0.0
+    var i = 0
+    while (i < byDist.length && covered < k) {
+      covered += byDist(i).count
+      r = math.max(r, graft.spatial.Dist.furthest(q, byDist(i).mbr))
+      i += 1
+    }
+    ordered(circleRange(spark, path, center, r))
   }
 }

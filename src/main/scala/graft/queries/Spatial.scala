@@ -52,6 +52,17 @@ object Spatial {
       .orderBy(col("c_custkey"))
   }
 
+  /** kNN from the same at-rest layout: guaranteed-radius cell walk on
+    * the meta's true per-cell stats, one pruned circle scan + top-k.
+    * Same oracle as the in-memory kNN. */
+  def diskKnn(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    graft.index.SpatialDisk.write(customerPts(s, d), path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.knn(s, path, center.toArray, knnK, Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
   // Diamond |(x-5000)/2000.37| + |(y-500)/300.13| <= 1 — a convex polygon
   // whose containment is also expressible as one SQL inequality, giving
   // the general ray-casting kernel an exact relational oracle. Fractional
@@ -234,10 +245,17 @@ object Spatial {
          |WHERE sqrt((cx - 5000.0)*(cx - 5000.0) + (cy - 500.0)*(cy - 500.0)) <= 500.0
          |ORDER BY c_custkey""".stripMargin,
     // the at-rest layout changes where bytes live, never values — its
-    // oracle is the plain box-range SQL
+    // oracles are the plain range/knn SQL
     "sp_disk_box_range" ->
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_disk_knn" ->
+      s"""SELECT * FROM (
+         |  SELECT * FROM ($custPtsSql) c
+         |  ORDER BY sqrt((cx - 5000.0)*(cx - 5000.0) + (cy - 500.0)*(cy - 500.0)) ASC,
+         |           c_custkey ASC
+         |  LIMIT 10) t
          |ORDER BY c_custkey""".stripMargin,
     "sp_polygon_range" ->
       s"""SELECT * FROM ($custPtsSql) c
@@ -357,6 +375,7 @@ object Spatial {
     "sp_box_range" -> (boxRange _),
     "sp_circle_range" -> (circleRange _),
     "sp_disk_box_range" -> (diskBoxRange _),
+    "sp_disk_knn" -> (diskKnn _),
     "sp_polygon_range" -> (polygonRange _),
     "sp_segment_range" -> (segmentRangeQ _),
     "sp_bounds_agg" -> (boundsBySegment _),

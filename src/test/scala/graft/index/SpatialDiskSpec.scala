@@ -72,6 +72,33 @@ class SpatialDiskSpec extends SparkSpec {
       s"query read $read of $total populated cells — no pruning win")
   }
 
+  test("disk kNN equals the in-memory kNN; the walk prunes directories") {
+    val path = freshLayout("knn")
+    val c = Array(5000.0, 500.0)
+    val got = SpatialDisk.knn(spark, path, c, 10, Seq("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val want = cust.knn(Seq("cx", "cy"), c.toSeq, 10, Seq("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want && got.size === 10)
+    // the guaranteed-radius circle must not read the whole layout
+    val total = spark.read.parquet(s"$path/data")
+      .select(count_distinct(col("__graft_cell"))).head().getLong(0)
+    val q = SpatialDisk.knn(spark, path, c, 10, Seq("c_custkey"))
+    val qe = q.queryExecution
+    q.collect()
+    val scans = qe.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val read = scans.head.metrics("numPartitions").value
+    assert(read * 2 < total,
+      s"kNN read $read of $total populated cells — no pruning win")
+    // k past the table size degrades to the ordered full scan, still exact
+    val all = SpatialDisk.knn(spark, path, c, cust.count().toInt + 5,
+      Seq("c_custkey")).count()
+    assert(all === cust.count())
+  }
+
   test("a torn meta/data pair is refused, not silently mis-routed") {
     val path = freshLayout("torn")
     import spark.implicits._
