@@ -450,12 +450,16 @@ object Bench {
     }
     // at-rest layout twin (r10): write the cell-partitioned z-sorted
     // parquet once (timed — the build entry), then answer the same box
-    // DIRECTLY from disk with directory + row-group pruning, no cache
+    // DIRECTLY from disk with directory + row-group pruning, no cache.
+    // cellBits=4 (256 dirs) — directory granularity follows data size:
+    // at 15k rows the default 1024 dirs is ~15 rows/file and the entry
+    // measures file-creation overhead, not the layout (12.96 s vs
+    // 3.5 s; a 100-TB table wants MORE cells, not fewer)
     val diskPath = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_bench_spatial_disk").toString
     rec.timed("b10d_spatial_disk_write") {
       graft.index.SpatialDisk.write(customerPts(spark, sfDir), diskPath,
-        Seq("cx", "cy"))
+        Seq("cx", "cy"), cellBits = 4)
     }
     rec.timed("b1d_box_range_disk") {
       graft.index.SpatialDisk.boxRange(spark, diskPath,

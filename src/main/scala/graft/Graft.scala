@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.index.{HashIndexedTable, IndexManager, IndexedTable, QuadTreeIndexedTable, RangeIndexedTable}
+import graft.index.{HashIndexedTable, IndexManager, IndexedTable, QuadTreeIndexedTable, RangeIndexedTable, SpatialDisk}
 
 /** Session facade — the migration surface for users of the reference
   * engine's `SimbaSession` index DDL (reference: SimbaSession.scala:40-89:
@@ -109,4 +109,24 @@ object Graft {
     * z-order table specifically, hence the distinct name). */
   def loadAnyIndex(spark: SparkSession, indexName: String, fileName: String): Unit =
     IndexManager.loadIndexAuto(spark, indexName, fileName)
+
+  // ---- at-rest spatial layout (no session registry, no cache fill —
+  // box/circle/kNN answered DIRECTLY from cell-partitioned z-sorted
+  // parquet with directory + row-group pruning; graft.index.SpatialDisk)
+
+  def writeSpatialLayout(df: DataFrame, path: String, keyCols: Seq[String],
+                         cellBits: Int = 5, bits: Int = 18): Unit =
+    SpatialDisk.write(df, path, keyCols, cellBits, bits)
+
+  def diskBoxRange(spark: SparkSession, path: String,
+                   lo: Array[Double], hi: Array[Double]): DataFrame =
+    SpatialDisk.boxRange(spark, path, lo, hi)
+
+  def diskCircleRange(spark: SparkSession, path: String,
+                      center: Array[Double], radius: Double): DataFrame =
+    SpatialDisk.circleRange(spark, path, center, radius)
+
+  def diskKnn(spark: SparkSession, path: String, center: Array[Double],
+              k: Int, tieBreak: Seq[String]): DataFrame =
+    SpatialDisk.knn(spark, path, center, k, tieBreak)
 }

@@ -112,19 +112,20 @@ object DedupOps {
       // per-pair kernel split of shingleJaccard — identical scores, no
       // per-candidate re-tokenization), restricted to CANDIDATE docs: at
       // corpus scale the pair set is a sliver of the corpus, so the
-      // semi-join keeps the shingle kernel off every doc that appears in
-      // no pair (the former full-corpus t1/t2 tokenized everything
-      // twice). `pairs` ends in a distinct shuffle, so its three
+      // per-side semi-joins keep the shingle kernel off every doc that
+      // appears in no pair (the former full-corpus t1/t2 tokenized
+      // everything twice). `pairs` ends in a distinct shuffle, so its
       // references here share one reused exchange stage, not three
       // signature evaluations.
-      val candIds = pairs.select(col("id1").as("__cand"))
-        .union(pairs.select(col("id2").as("__cand"))).distinct()
-      val sh = ds.toDF
-        .join(candIds, col(idCol) === col("__cand"), "left_semi")
-        .select(col(idCol), shingleSet(col(textCol), shingle).as("__sh"))
-      pairs
-        .join(sh.select(col(idCol).as("id1"), col("__sh").as("__sh1")), Seq("id1"))
-        .join(sh.select(col(idCol).as("id2"), col("__sh").as("__sh2")), Seq("id2"))
+      val t1 = ds.toDF
+        .join(pairs.select(col("id1").as("__cand")).distinct(),
+          col(idCol) === col("__cand"), "left_semi")
+        .select(col(idCol).as("id1"), shingleSet(col(textCol), shingle).as("__sh1"))
+      val t2 = ds.toDF
+        .join(pairs.select(col("id2").as("__cand")).distinct(),
+          col(idCol) === col("__cand"), "left_semi")
+        .select(col(idCol).as("id2"), shingleSet(col(textCol), shingle).as("__sh2"))
+      pairs.join(t1, Seq("id1")).join(t2, Seq("id2"))
         .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
         .filter(col("jaccard") >= threshold)
         .select(col("id1"), col("id2"), col("jaccard"))

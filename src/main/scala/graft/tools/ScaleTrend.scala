@@ -477,6 +477,9 @@ object ScaleTrend {
             "b8pr_pagerank" -> (b8pr _),
             "b8tc_triangles" -> (b8tc _),
             "b8xd_span_dedup" -> (b8xd _),
+            "b8es_epoch_shuffle" -> (b8es _),
+            "b8gt_group_top_frac" -> (b8gt _),
+            "b8hh_heavy_ngrams" -> (b8hh _),
             "b6va_knn_join_vec_approx" -> (b6va _))
       // optional trailing args select a subset (re-measure one entry
       // without re-paying the minutes-long others)
