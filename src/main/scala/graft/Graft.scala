@@ -129,4 +129,11 @@ object Graft {
   def diskKnn(spark: SparkSession, path: String, center: Array[Double],
               k: Int, tieBreak: Seq[String]): DataFrame =
     SpatialDisk.knn(spark, path, center, k, tieBreak)
+
+  def appendSpatialLayout(df: DataFrame, path: String): Unit =
+    SpatialDisk.append(df, path)
+
+  def diskDistanceJoin(left: DataFrame, leftKeys: Seq[String], path: String,
+                       radius: Double): DataFrame =
+    SpatialDisk.distanceJoin(left, leftKeys, path, radius)
 }

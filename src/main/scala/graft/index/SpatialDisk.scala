@@ -74,12 +74,19 @@ object SpatialDisk {
       .repartitionByRange(col(CellCol), col(ZCol))
       .sortWithinPartitions(col(CellCol), col(ZCol))
       .write.mode("overwrite").partitionBy(CellCol).parquet(s"$path/data")
-    val spark = df.sparkSession
-    // per-cell TRUE stats (count + tight MBR), read back from the
-    // WRITTEN files so published stats are on-disk stats — one bounded
-    // aggregation (<= 2^(d*cellBits) <= 2^16 rows to the driver). They
-    // serve kNN's guaranteed-radius walk, the IndexManager PartitionStat
-    // design at the directory level.
+    writeStatsMeta(df.sparkSession, path, keyCols, lows, highs, cellBits,
+      bits, token)
+  }
+
+  /** Refresh `$path/meta` with per-cell TRUE stats (count + tight MBR)
+    * read back from the WRITTEN files, so published stats are on-disk
+    * stats — one bounded aggregation (<= 2^(d*cellBits) <= 2^16 rows
+    * to the driver). They serve kNN's guaranteed-radius walk, the
+    * IndexManager PartitionStat design at the directory level. */
+  private def writeStatsMeta(spark: SparkSession, path: String,
+                             keyCols: Seq[String], lows: Array[Double],
+                             highs: Array[Double], cellBits: Int,
+                             bits: Int, token: String): Unit = {
     val statAggs = count(lit(1)).as("__n") +: keyCols.flatMap(c =>
       Seq(min(col(c)).cast("double").as(s"__lo_$c"),
         max(col(c)).cast("double").as(s"__hi_$c")))
@@ -102,6 +109,37 @@ object SpatialDisk {
       "cells=" + cellStats,
       "token=" + token)
     lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+  }
+
+  /** Append an ingest wave to an existing layout. New rows route with
+    * the ORIGINAL quantization bounds from the meta (points outside
+    * them clamp into edge cells, where the query-side enumeration —
+    * which clamps the same way — still finds them), land as new files
+    * inside their cell directories, and the meta's per-cell stats are
+    * refreshed from the written files afterwards.
+    *
+    * Crash safety is append-shaped: data files land first, the meta
+    * rewrite is last. A failure between the two leaves STALE stats
+    * over a superset of the data — still correct: box/circle never
+    * consult stats, and kNN's walk treats counts as LOWER bounds (the
+    * walked cells' claimed rows are all still present inside their
+    * recorded MBRs, so the guaranteed radius still covers >= k; extra
+    * appended rows only add candidates to the final exact scan). The
+    * write token is preserved — an append extends the SAME layout
+    * generation, it does not create a new one. */
+  def append(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val m = readMeta(spark, path)
+    val cell = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq, m.cellBits)
+    val z = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq, m.bits)
+    df.withColumn(CellCol, cell)
+      .withColumn(ZCol, z)
+      .withColumn(TokenCol, lit(m.token))
+      .repartitionByRange(col(CellCol), col(ZCol))
+      .sortWithinPartitions(col(CellCol), col(ZCol))
+      .write.mode("append").partitionBy(CellCol).parquet(s"$path/data")
+    writeStatsMeta(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
+      m.bits, m.token)
   }
 
   /** Per-cell on-disk stats: row count + the cell's TRUE MBR. */
@@ -202,6 +240,55 @@ object SpatialDisk {
     scanBox(spark, path, m, lo, hi)
       .filter(inCircle(m.keyCols.map(col), center.toSeq, radius))
       .drop(CellCol, ZCol, TokenCol)
+  }
+
+  /** Distance join of a query set against the at-rest layout: for each
+    * `left` row, every layout row within `radius`. The grid discipline
+    * applied to directories: each left row explodes to the coarse cells
+    * its radius-dilated bbox intersects (one `explode` per dimension —
+    * the combo count is the dilated box's cell span, the same bounded
+    * fan-out as the in-memory grid join's neighborhood replication), a
+    * layout row sits in exactly ONE cell, so the cell equi-join meets
+    * each qualifying pair exactly once — no dedup pass, no cartesian.
+    * Directory pruning comes from ONE bounded driver job: the distinct
+    * candidate cells of the exploded left (<= the layout's own cell
+    * count <= 2^16) become the scan's PartitionFilters IN-set, so cell
+    * directories no left row can reach are never opened — the "query
+    * firehose against an at-rest corpus" shape. */
+  def distanceJoin(left: DataFrame, leftKeys: Seq[String], path: String,
+                   radius: Double): DataFrame = {
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    val spark = left.sparkSession
+    val m = readMeta(spark, path)
+    require(leftKeys.length == m.keyCols.length,
+      s"left dims ${leftKeys.length} != layout dims ${m.keyCols.length}")
+    val data = validated(spark, path, m)
+    val layoutCols = data.columns.filterNot(
+      Seq(CellCol, ZCol, TokenCol).contains(_))
+    require(left.columns.intersect(layoutCols).isEmpty,
+      "need disjoint column names between the left side and the layout")
+    val ordCols = m.keyCols.indices.map(i => s"__graft_dj_o$i")
+    var celled = left
+    m.keyCols.indices.foreach { i =>
+      celled = celled.withColumn(ordCols(i), explode(sequence(
+        quantize(col(leftKeys(i)) - radius, m.lows(i), m.highs(i), m.cellBits),
+        quantize(col(leftKeys(i)) + radius, m.lows(i), m.highs(i), m.cellBits))))
+    }
+    val leftCelled = celled
+      .withColumn("__graft_dj_cell", zorderCells(ordCols.map(col), m.cellBits))
+      .drop(ordCols: _*)
+    // bounded driver job: the candidate-cell set prunes directories
+    val cellSet = leftCelled.select(col("__graft_dj_cell")).distinct()
+      .collect().map(_.getLong(0))
+    if (cellSet.isEmpty)
+      return leftCelled.drop("__graft_dj_cell")
+        .join(data.select(layoutCols.map(col): _*), lit(false))
+    leftCelled
+      .join(data.filter(col(CellCol).isin(cellSet.toIndexedSeq: _*)),
+        col("__graft_dj_cell") === col(CellCol))
+      .filter(graft.functions.pointDistance(
+        leftKeys.map(col), m.keyCols.map(col)) <= radius)
+      .select((left.columns ++ layoutCols).map(col): _*)
   }
 
   /** kNN directly from the layout: walk cells by minDist using the

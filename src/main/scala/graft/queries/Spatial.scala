@@ -63,6 +63,35 @@ object Spatial {
       .orderBy(col("c_custkey"))
   }
 
+  /** Distance join of the supplier points against the customer layout:
+    * left rows explode to their dilated-bbox cells, the cell equi-join
+    * meets each pair once, and only left-reachable directories are
+    * read. Same pairs as the in-memory grid join. */
+  def diskDistanceJoin(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_dj_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    graft.index.SpatialDisk.write(customerPts(s, d), path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.distanceJoin(supplierPts(s, d), Seq("sx", "sy"),
+        path, joinR)
+      .select(col("c_custkey"), col("s_suppkey"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  /** The append path under the oracle: half the table writes, the rest
+    * arrives as an ingest wave, and the box query over the combined
+    * layout must equal the plain box SQL over the whole table. */
+  def diskAppendBox(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_app_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val pts = customerPts(s, d)
+    graft.index.SpatialDisk.write(
+      pts.filter(col("c_custkey") % 2 === 0), path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.append(
+      pts.filter(col("c_custkey") % 2 =!= 0), path)
+    graft.index.SpatialDisk.boxRange(s, path, boxLow.toArray, boxHigh.toArray)
+      .orderBy(col("c_custkey"))
+  }
+
   // Diamond |(x-5000)/2000.37| + |(y-500)/300.13| <= 1 — a convex polygon
   // whose containment is also expressible as one SQL inequality, giving
   // the general ray-casting kernel an exact relational oracle. Fractional
@@ -257,6 +286,14 @@ object Spatial {
          |           c_custkey ASC
          |  LIMIT 10) t
          |ORDER BY c_custkey""".stripMargin,
+    "sp_disk_distance_join" ->
+      s"""SELECT c_custkey, s_suppkey FROM ($custPtsSql) c, ($suppPtsSql) s
+         |WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
+         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "sp_disk_append_box" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
+         |ORDER BY c_custkey""".stripMargin,
     "sp_polygon_range" ->
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
@@ -376,6 +413,8 @@ object Spatial {
     "sp_circle_range" -> (circleRange _),
     "sp_disk_box_range" -> (diskBoxRange _),
     "sp_disk_knn" -> (diskKnn _),
+    "sp_disk_distance_join" -> (diskDistanceJoin _),
+    "sp_disk_append_box" -> (diskAppendBox _),
     "sp_polygon_range" -> (polygonRange _),
     "sp_segment_range" -> (segmentRangeQ _),
     "sp_bounds_agg" -> (boundsBySegment _),

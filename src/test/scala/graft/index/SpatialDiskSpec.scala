@@ -10,6 +10,19 @@ class SpatialDiskSpec extends SparkSpec {
 
   private lazy val cust = Tables.customerPts(spark, sf())
 
+  /** File scans of an executed plan, descending through AQE wrappers
+    * and materialized query stages (TreeNode.collect treats them as
+    * leaves). */
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+    }.flatten
+
   private def freshLayout(tag: String): String = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_spatial_disk_spec_$tag").toString
@@ -97,6 +110,64 @@ class SpatialDiskSpec extends SparkSpec {
     val all = SpatialDisk.knn(spark, path, c, cust.count().toInt + 5,
       Seq("c_custkey")).count()
     assert(all === cust.count())
+  }
+
+  test("append: an ingest wave lands in the same layout generation") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_append").toString
+    val first = cust.filter(col("c_custkey") % 2 === 0)
+    val second = cust.filter(col("c_custkey") % 2 =!= 0)
+    SpatialDisk.write(first, path, Seq("cx", "cy"))
+    SpatialDisk.append(second, path)
+    // an appended point OUTSIDE the original bounds clamps into an edge
+    // cell on write and on query — still found
+    import spark.implicits._
+    val outlier = Seq((999999999L, 50000.0, 50000.0)).toDF("c_custkey", "cx", "cy")
+    SpatialDisk.append(outlier, path)
+    val lo = Array(2000.0, 100.0); val hi = Array(4000.0, 300.0)
+    val gotBox = SpatialDisk.boxRange(spark, path, lo, hi)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val wantBox = cust.boxRange(Seq("cx", "cy"), lo.toSeq, hi.toSeq)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotBox === wantBox && gotBox.nonEmpty)
+    val c = Array(5000.0, 500.0)
+    val gotKnn = SpatialDisk.knn(spark, path, c, 10, Seq("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val wantKnn = cust.knn(Seq("cx", "cy"), c.toSeq, 10, Seq("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotKnn === wantKnn)
+    val everything = SpatialDisk.boxRange(spark, path,
+      Array(-1e9, -1e9), Array(1e9, 1e9)).count()
+    assert(everything === cust.count() + 1, "the outlier must be findable")
+    val far = SpatialDisk.circleRange(spark, path,
+      Array(50000.0, 50000.0), 10.0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSeq
+    assert(far === Seq(999999999L), "the out-of-bounds outlier must be found")
+  }
+
+  test("distanceJoin against the layout equals the in-memory join; dirs pruned") {
+    val path = freshLayout("dj")
+    val supp = graft.Tables.supplierPts(spark, sf())
+    val got = SpatialDisk.distanceJoin(supp, Seq("sx", "sy"), path, 100.0)
+      .select("s_suppkey", "c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = supp.distanceJoinNaive(cust, Seq("sx", "sy"), Seq("cx", "cy"), 100.0)
+      .select("s_suppkey", "c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === want && got.nonEmpty)
+    // a clustered left reads a sliver of the directories
+    val total = spark.read.parquet(s"$path/data")
+      .select(count_distinct(col("__graft_cell"))).head().getLong(0)
+    val clustered = supp.filter(col("sx") < 1000.0 && col("sy") < 200.0)
+    val q = SpatialDisk.distanceJoin(clustered, Seq("sx", "sy"), path, 50.0)
+    val qe = q.queryExecution
+    q.collect()
+    val scans = scansOf(qe.executedPlan)
+      .filter(_.toString.contains("__graft_cell"))
+    assert(scans.nonEmpty, s"no layout scan found in:\n${qe.executedPlan}")
+    val read = scans.map(_.metrics("numPartitions").value).max
+    assert(read * 2 < total,
+      s"clustered left read $read of $total cells — no pruning win")
   }
 
   test("a torn meta/data pair is refused, not silently mis-routed") {
