@@ -291,6 +291,40 @@ object SpatialDisk {
       .select((left.columns ++ layoutCols).map(col): _*)
   }
 
+  /** The STATIC side of a stream-static spatial join: the
+    * token-validated layout with its routing cell exposed as `cellCol`
+    * (internals dropped). Pair with [[withQueryCells]] on the stream
+    * side and equi-join on the cell. */
+  def joinTable(spark: SparkSession, path: String, cellCol: String): DataFrame = {
+    val m = readMeta(spark, path)
+    validated(spark, path, m).drop(ZCol, TokenCol)
+      .withColumnRenamed(CellCol, cellCol)
+  }
+
+  /** The STREAM side's router: explode each row to the coarse cells
+    * its `radius`-dilated bbox intersects, emitted as `cellCol` — a
+    * STATELESS projection (bounds come from the layout's meta at plan
+    * time), so it runs on an unbounded stream. A layout row sits in
+    * exactly one cell, so the downstream cell equi-join meets each
+    * qualifying pair exactly once; follow with the exact distance
+    * predicate. */
+  def withQueryCells(df: DataFrame, keys: Seq[String], path: String,
+                     radius: Double, cellCol: String): DataFrame = {
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    val m = readMeta(df.sparkSession, path)
+    require(keys.length == m.keyCols.length,
+      s"query dims ${keys.length} != layout dims ${m.keyCols.length}")
+    val ordCols = m.keyCols.indices.map(i => s"__graft_qc_o$i")
+    var celled = df
+    m.keyCols.indices.foreach { i =>
+      celled = celled.withColumn(ordCols(i), explode(sequence(
+        quantize(col(keys(i)) - radius, m.lows(i), m.highs(i), m.cellBits),
+        quantize(col(keys(i)) + radius, m.lows(i), m.highs(i), m.cellBits))))
+    }
+    celled.withColumn(cellCol, zorderCells(ordCols.map(col), m.cellBits))
+      .drop(ordCols: _*)
+  }
+
   /** kNN directly from the layout: walk cells by minDist using the
     * meta's TRUE per-cell stats until the walked cells alone hold at
     * least k rows, take r = the max furthest-corner distance over the

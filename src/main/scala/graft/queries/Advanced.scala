@@ -100,6 +100,15 @@ object Advanced {
   def streamPassageGateQ(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamPassageGate(s, d, width = 20).orderBy(col("doc_id"))
 
+  /** Streaming geofence/enrichment: customer points stream in
+    * micro-batches against the at-rest supplier layout — stateless cell
+    * routing + stream-static cell equi-join + exact distance. Emitted
+    * pairs equal the batch distance join's, so the oracle is the plain
+    * pair SQL. */
+  def streamGeoJoinQ(s: SparkSession, d: String): DataFrame =
+    StreamingOps.streamSpatialJoin(s, d, radius = 100.0)
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+
   /** Streaming span-decontamination gate: non-eval arrivals are
     * span-redacted per micro-batch against the static eval set — the
     * incremental twin of pp_span_decontamination, answering to the
@@ -516,6 +525,15 @@ object Advanced {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // streaming gate = arrivals' passages minus the corpus digest set,
     // reassembled; same passage split + md5 key as pp_passage_dedup
+    // the streaming geofence emits the batch distance join's pairs
+    "st_geo_join" ->
+      """SELECT c_custkey, s_suppkey
+        |FROM (SELECT c_custkey, c_acctbal AS cx,
+        |        CAST(c_custkey % 1000 AS DOUBLE) AS cy FROM customer) c,
+        |     (SELECT s_suppkey, s_acctbal AS sx,
+        |        CAST(s_suppkey % 1000 AS DOUBLE) AS sy FROM supplier) s
+        |WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
     "st_passage_gate" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -646,6 +664,7 @@ object Advanced {
     "st_stream_dedup" -> (streamDedup _),
     "st_contamination" -> (streamContamination _),
     "st_passage_gate" -> (streamPassageGateQ _),
+    "st_geo_join" -> (streamGeoJoinQ _),
     "st_span_gate" -> (streamSpanGateQ _),
     "ts_asof_join" -> (asOfJoinQ _),
     "st_asof" -> (streamAsOfQ _),

@@ -184,6 +184,58 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Streaming spatial enrichment — a point stream distance-joins the
+    * AT-REST spatial layout ([[graft.index.SpatialDisk]]): each arrival
+    * explodes to the coarse cells its radius-dilated bbox intersects (a
+    * STATELESS projection — bounds are plan-time constants from the
+    * layout's meta), the static side is the layout keyed by its
+    * directory cell, and the cell equi-join meets each qualifying pair
+    * exactly once before the exact distance predicate. The production
+    * geofence/enrichment gate: the layout is written once beside the
+    * corpus, and every micro-batch pays only its own arrivals.
+    *
+    * Harness: customer points stream in micro-batches against the
+    * supplier-point layout; emitted pairs equal the batch distance
+    * join's (the oracle). */
+  def streamSpatialJoin(spark: SparkSession, dir: String,
+                        radius: Double = 100.0): DataFrame = {
+    import graft.Tables
+    val layout = java.nio.file.Files.createTempDirectory("graft_geo_layout")
+    layout.toFile.deleteOnExit()
+    graft.index.SpatialDisk.write(Tables.supplierPts(spark, dir),
+      layout.toString, Seq("sx", "sy"), cellBits = 4)
+    val statics = graft.index.SpatialDisk
+      .joinTable(spark, layout.toString, "__graft_geo_cell")
+    val staged = java.nio.file.Files.createTempDirectory("graft_geo_src")
+    staged.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/customer.parquet"),
+      staged.resolve("customer.parquet"))
+    staged.resolve("customer.parquet").toFile.deleteOnExit()
+    val batchSchema = spark.read.parquet(s"$dir/customer.parquet").schema
+    val sinkName = s"graft_geo_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .parquet(staged.toString)
+      .select(col("c_custkey"),
+        col("c_acctbal").as("cx"),
+        (col("c_custkey") % 1000).cast("double").as("cy"))
+    val q = graft.index.SpatialDisk
+      .withQueryCells(stream, Seq("cx", "cy"), layout.toString, radius,
+        "__graft_geo_cell")
+      .join(statics, Seq("__graft_geo_cell"))
+      .filter(graft.functions.pointDistance(
+        Seq(col("cx"), col("cy")), Seq(col("sx"), col("sy"))) <= radius)
+      .select(col("c_custkey"), col("s_suppkey"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Streaming repeated-passage gate: newly-arriving documents stream
     * through a stream-static ANTI join against the STATIC corpus's
     * passage-digest table — any fixed-width passage already present in

@@ -194,6 +194,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.table("spst").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("streaming geo join: multi-batch arrivals against the at-rest layout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // layout = the supplier points; stream = customer points in 3
+    // genuine micro-batches; union of emissions must equal the batch
+    // distance join (and each batch pays only its own arrivals)
+    val cust = graft.Tables.customerPts(spark, sf())
+    val supp = graft.Tables.supplierPts(spark, sf())
+    val layout = java.nio.file.Files.createTempDirectory("graft_geo_spec").toString
+    graft.index.SpatialDisk.write(supp, layout, Seq("sx", "sy"), cellBits = 4)
+    val statics = graft.index.SpatialDisk.joinTable(spark, layout, "__gc")
+    val rows = cust.select("c_custkey", "cx", "cy").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val input = MemoryStream[(Long, Double, Double)]
+    val stream = input.toDS().toDF("c_custkey", "cx", "cy")
+    val q = graft.index.SpatialDisk
+      .withQueryCells(stream, Seq("cx", "cy"), layout, 100.0, "__gc")
+      .join(statics, Seq("__gc"))
+      .filter(graft.functions.pointDistance(
+        Seq(col("cx"), col("cy")), Seq(col("sx"), col("sy"))) <= 100.0)
+      .select(col("c_custkey"), col("s_suppkey"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("geojoin").start()
+    val thirds = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    thirds.foreach { batch => input.addData(batch.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    import graft.operators.SpatialOps._
+    val want = cust.distanceJoinNaive(supp, Seq("cx", "cy"), Seq("sx", "sy"), 100.0)
+      .select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = spark.table("geojoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === want && got.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
