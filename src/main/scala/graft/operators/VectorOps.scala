@@ -239,14 +239,17 @@ object VectorOps {
     * probed cells with an `id IN (...)` filter pushed to the scan, so
     * raw vectors are read for at most `refine` rows. One bounded
     * driver collect (≤ `refine` ids) stitches the phases. */
-  def readIvfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
-                    vecCol: String, idCol: String, query: Array[Float],
-                    k: Int, nprobe: Int = 4, refine: Int = 50): DataFrame = {
-    require(refine >= k && nprobe >= 1)
+  /** Parsed [[DatasetVectorOps.writeIvfPq]] metadata. */
+  private[operators] final case class IvfPqMeta(
+      coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      m: Int, ksub: Int, scale: Double, residual: Boolean, token: String)
+
+  private[operators] def readIvfPqMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): IvfPqMeta = {
     val lines = spark.read.textFile(s"$path/meta").collect()
     def line(tag: String): String = lines.find(_.startsWith(tag + "="))
       .getOrElse(throw new IllegalArgumentException(
-        s"readIvfPqTopK: no '$tag' line in $path/meta"))
+        s"IVF-PQ layout: no '$tag' line in $path/meta"))
       .substring(tag.length + 1)
     val coarse: Array[Array[Double]] =
       line("coarse").split(";").map(_.split(",").map(_.toDouble))
@@ -255,11 +258,23 @@ object VectorOps {
     val params = line("params").split(",").map { kv =>
       val Array(a, b) = kv.split(":"); a -> b
     }.toMap
-    val m = params("m").toInt
-    val ksub = params("ksub").toInt
-    val scale = params("scale").toDouble
-    val residual = params("residual").toBoolean
-    require(m == books.length && books.forall(_.length <= ksub))
+    val meta = IvfPqMeta(coarse, books, params("m").toInt,
+      params("ksub").toInt, params("scale").toDouble,
+      params("residual").toBoolean, line("token"))
+    require(meta.m == books.length && books.forall(_.length <= meta.ksub))
+    meta
+  }
+
+  def readIvfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    vecCol: String, idCol: String, query: Array[Float],
+                    k: Int, nprobe: Int = 4, refine: Int = 50): DataFrame = {
+    require(refine >= k && nprobe >= 1)
+    val meta = readIvfPqMeta(spark, path)
+    val coarse = meta.coarse
+    val books = meta.books
+    val m = meta.m
+    val scale = meta.scale
+    val residual = meta.residual
     val subDim = books(0)(0).length
     require(query.length == m * subDim,
       s"readIvfPqTopK: query dim ${query.length} != ${m * subDim}")
@@ -297,7 +312,7 @@ object VectorOps {
     // (fresh data under stale codebooks, or vice versa) THROWS here
     // instead of ADC-ranking stored codes against the wrong books.
     // Per-row cost is one codegen'd string comparison on probed rows.
-    val token = line("token")
+    val token = meta.token
     require(data.columns.contains("__graft_token"),
       s"readIvfPqTopK: $path/data has no __graft_token column — the " +
         "layout predates the tokened format or is torn; rewrite with writeIvfPq")
@@ -531,6 +546,64 @@ object VectorOps {
         val spark = df.sparkSession
         import spark.implicits._
         lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+      } finally base.unpersist()
+    }
+
+    /** Append an ingest wave of vectors to an existing [[writeIvfPq]]
+      * layout — the incremental-embedding-index shape: new rows assign
+      * to the layout's EXISTING coarse cells and encode with its
+      * EXISTING codebooks (read back from the meta, no retraining),
+      * land as new parquet files inside their cell directories, and
+      * carry the layout's write token (an append extends the same
+      * generation, it does not create one). The id key stays unique
+      * ACROSS waves (checked — the reader's refine phase re-selects
+      * rows by id).
+      *
+      * Codebooks trained on earlier waves score later waves slightly
+      * worse (ADC error drifts with the distribution), which affects
+      * RECALL at small nprobe/refine — never exactness: probing every
+      * cell with `refine >= rows` re-ranks the full layout by exact
+      * cosine whatever the codes say. Retrain (full rewrite) when the
+      * drift audit says recall slipped. */
+    def appendIvfPq(path: String, vecCol: String, idCol: String): Unit = {
+      val df = ds.toDF
+      val spark = df.sparkSession
+      val meta = VectorOps.readIvfPqMeta(spark, path)
+      val base = VectorOps.quantizedBase(df, vecCol, idCol, meta.scale,
+        keepVec = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val Array(nRows, nNonNull, nIds) = base
+          .agg(count(lit(1)), count(col(idCol)), count_distinct(col(idCol)))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        require(nNonNull == nRows,
+          s"appendIvfPq: idCol '$idCol' has ${nRows - nNonNull} null ids")
+        require(nRows == nIds,
+          s"appendIvfPq: idCol '$idCol' must be unique within the wave")
+        // cross-wave uniqueness: one column-pruned pass over the layout
+        val clash = spark.read.parquet(s"$path/data").select(col(idCol))
+          .join(base.select(col(idCol)), Seq(idCol), "left_semi")
+          .limit(1).count()
+        require(clash == 0L,
+          s"appendIvfPq: wave ids collide with ids already in $path " +
+            "(the disk index is keyed by id)")
+        val celled = VectorOps.withCell(base, meta.coarse)
+        val codesInput =
+          if (meta.residual) {
+            val centerQ = meta.coarse.map(_.map(v => math.floor(v).toLong))
+            celled.withColumn("__qv",
+              zip_with(col("__qv"),
+                element_at(VectorOps.centersLitL(centerQ), col("__c") + 1),
+                (a, b) => a - b))
+          } else celled
+        val subDim = meta.books(0)(0).length
+        VectorOps.withPqCodes(codesInput, meta.books, subDim)
+          .select(col(idCol) +: col(vecCol) +:
+            (0 until meta.m).map(s => col(s"__pqc$s")) :+
+            lit(meta.token).as("__graft_token") :+
+            (col("__c") + 1).as("__graft_cell"): _*)
+          .write.mode("append").partitionBy("__graft_cell")
+          .parquet(s"$path/data")
       } finally base.unpersist()
     }
 

@@ -1068,6 +1068,26 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Incremental IVF-PQ: half the embeddings write the layout, the
+    * rest APPEND with the existing codebooks (no retrain). Queried at
+    * full probes + full refine, the exact re-rank makes the result
+    * independent of code quality — so the oracle is the plain
+    * brute-force SQL over ALL rows, proving every appended row is
+    * reachable and exactly scored. */
+  def annIvfPqAppendQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorOps
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_app_" + Integer.toHexString(d.hashCode)).toString
+    val emb = embeddings(s, d)
+    emb.filter(col("vec_id") % 2 === 0).writeIvfPq(path, "embedding",
+      "vec_id", nlist = 8, m = 4, ksub = 4, iters = 2)
+    emb.filter(col("vec_id") % 2 =!= 0).appendIvfPq(path, "embedding", "vec_id")
+    val total = emb.count().toInt
+    VectorOps.readIvfPqTopK(s, path, "embedding", "vec_id",
+      queryVec(s, d), 10, nprobe = 8, refine = total)
+      .orderBy(col("vec_id"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: k-means blocks, exact
     * within-cluster cosine >= 0.8 verifies. */
   def semanticPairsQ(s: SparkSession, d: String): DataFrame =
@@ -2566,6 +2586,9 @@ object Pipeline {
   // live, never values
   val oracles: Map[String, String] =
     oracles0.updated("ann_ivfpq_disk_topk", oracles0("ann_ivfpq_topk"))
+      // append at full probes + full refine re-ranks EXACTLY, so the
+      // incremental layout answers to the brute-force oracle
+      .updated("ann_ivfpq_append_topk", oracles0("ann_brute_topk"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pp_curation_pipeline" -> (curationPipelineQ _),
@@ -2622,6 +2645,7 @@ object Pipeline {
     "ann_pq_topk" -> (annPqTopKQ _),
     "ann_ivfpq_topk" -> (annIvfPqTopKQ _),
     "ann_ivfpq_disk_topk" -> (annIvfPqDiskQ _),
+    "ann_ivfpq_append_topk" -> (annIvfPqAppendQ _),
     "pp_passage_dedup" -> (passageDedupQ _),
     "tx_bigram_quality" -> (bigramQualityQ _),
     "tx_bpe_encode" -> (bpeEncodeQ _),

@@ -637,6 +637,36 @@ class VectorOpsSpec extends SparkSpec {
       s"torn layout not refused: $msgs")
   }
 
+  test("appendIvfPq: waves reach exact parity at full probes; id clashes refused") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_spec_append").toString
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 =!= 0)
+    a.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+      iters = 2)
+    b.appendIvfPq(path, "embedding", "vec_id")
+    // exactness escape: probing every cell with refine >= rows re-ranks
+    // the FULL layout by exact cosine — appended rows must land in the
+    // brute-force answer with exact scores, whatever the stale codes say
+    val q = all.find(_._1 == 1L).get._2
+    val total = emb.count().toInt
+    val got = VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
+      q, 10, nprobe = 8, refine = total)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = emb.cosineTopK("embedding", "vec_id", q, 10)
+      .select(col("vec_id"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want && got.size === 10)
+    // the default-probe read still answers (recall path intact)
+    assert(VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
+      q, 10, nprobe = 4, refine = 50).count() === 10L)
+    // a wave colliding with existing ids is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      a.limit(1).appendIvfPq(path, "embedding", "vec_id")
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("writeIvfPq: null ids get their own message, not 'must be unique'") {
     import spark.implicits._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
