@@ -366,6 +366,33 @@ object ScaleTrend {
           bucketWidth = 64L).count()
     }
 
+    // at-rest spatial layout (its OWN mode, `ScaleTrend disk`): the box
+    // query's cost must track the QUERY's data, not the table's —
+    // replicas shift in x, the box hits only replica 0, so the pruned
+    // read stays flat while the table grows 10x/100x. Layout builds are
+    // untimed (the generic harness would fold the first build into the
+    // timed call); cellBits follows data span per the occupancy
+    // discipline (cells ∝ n) so the grid keeps resolving replicas.
+    if (args.headOption.contains("disk")) {
+      for ((n, cb) <- Seq((1, 5), (10, 5), (100, 7))) {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_trend_disk_$n"
+        val t0 = System.nanoTime()
+        graft.index.SpatialDisk.write(custRep(spark, d, n, "c"), p,
+          Seq("cx", "cy"), cellBits = cb)
+        val tw = (System.nanoTime() - t0) / 1e9
+        def q(): (Double, Long) = {
+          val t1 = System.nanoTime()
+          val rows = graft.index.SpatialDisk.boxRange(spark, p,
+            Array(2000.0, 100.0), Array(4000.0, 300.0)).count()
+          ((System.nanoTime() - t1) / 1e9, rows)
+        }
+        val (qa, rows) = q(); val (qb, _) = q()
+        println(f"b1d_box_range_disk ${n}%3dx cellBits=$cb: " +
+          f"write $tw%7.2f s, query ${math.min(qa, qb)}%6.2f s ($rows rows)")
+      }
+      spark.stop(); return
+    }
+
     // epoch shuffle over the replicated corpus: shard count fixed at 8,
     // rows grow ~n — ONE hash exchange + per-shard sorts, so e ≈ 1
     // (the n log n sort term is invisible at these decades)
