@@ -288,6 +288,13 @@ object GraftExtensions {
   private def csvCols(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  private def csvNums(fn: String, what: String, s: String): Array[Double] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).map { t =>
+      try t.toDouble catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$fn: $what must be comma-separated numbers, got '$s'") }
+    }
+
   /** Name -> builder for every SQL-exposed table-valued function. */
   val sqlTableFunctions: Map[String, Seq[Expression] =>
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = Map(
@@ -321,6 +328,33 @@ object GraftExtensions {
           csvCols(litString(fn, "right keys", es(3))),
           litInt(fn, "k", es(4)),
           litString(fn, "left id", es(5)), tieBreak)
+        .queryExecution.logical
+    }),
+    // SQL mode for the at-rest layout (graft.index.SpatialDisk): box
+    // range and kNN answered directly from the cell-partitioned
+    // parquet, same pre-listing directory pruning as the Scala verbs
+    "graft_disk_box_range" -> (es => {
+      val fn = "graft_disk_box_range"
+      require(es.length == 3,
+        s"$fn(layout_path, 'lo1,lo2,...', 'hi1,hi2,...')")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.index.SpatialDisk.boxRange(spark,
+          litString(fn, "layout path", es(0)),
+          csvNums(fn, "lows", litString(fn, "lows", es(1))),
+          csvNums(fn, "highs", litString(fn, "highs", es(2))))
+        .queryExecution.logical
+    }),
+    "graft_disk_knn" -> (es => {
+      val fn = "graft_disk_knn"
+      require(es.length == 3 || es.length == 4,
+        s"$fn(layout_path, 'c1,c2,...', k[, 'tie,break'])")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val tieBreak =
+        if (es.length == 4) csvCols(litString(fn, "tie break", es(3))) else Nil
+      graft.index.SpatialDisk.knn(spark,
+          litString(fn, "layout path", es(0)),
+          csvNums(fn, "center", litString(fn, "center", es(1))),
+          litInt(fn, "k", es(2)), tieBreak)
         .queryExecution.logical
     })
   )

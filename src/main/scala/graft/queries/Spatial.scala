@@ -77,6 +77,19 @@ object Spatial {
       .orderBy(col("c_custkey"), col("s_suppkey"))
   }
 
+  /** The at-rest layout through SQL: the graft_disk_box_range TVF
+    * builds the same pruned-scan plan as the Scala verb. */
+  def diskBoxSqlQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_sql_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    graft.index.SpatialDisk.write(customerPts(s, d), path, Seq("cx", "cy"))
+    graft.plans.GraftExtensions.registerFunctions(s)
+    s.sql(
+      s"""SELECT * FROM graft_disk_box_range('$path',
+         |  '2000.0,100.0', '4000.0,300.0')
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** The append path under the oracle: half the table writes, the rest
     * arrives as an ingest wave, and the box query over the combined
     * layout must equal the plain box SQL over the whole table. */
@@ -294,6 +307,10 @@ object Spatial {
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
          |ORDER BY c_custkey""".stripMargin,
+    "sp_disk_box_sql" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
+         |ORDER BY c_custkey""".stripMargin,
     "sp_polygon_range" ->
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
@@ -415,6 +432,7 @@ object Spatial {
     "sp_disk_knn" -> (diskKnn _),
     "sp_disk_distance_join" -> (diskDistanceJoin _),
     "sp_disk_append_box" -> (diskAppendBox _),
+    "sp_disk_box_sql" -> (diskBoxSqlQ _),
     "sp_polygon_range" -> (polygonRange _),
     "sp_segment_range" -> (segmentRangeQ _),
     "sp_bounds_agg" -> (boundsBySegment _),

@@ -198,6 +198,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_distance_join('tvf_l', 'tvf_r', 'x1,y1', 'x2,y2')").collect()
     }
+    // the at-rest layout's SQL twins build the Scala verbs' plans
+    val diskPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ext_spec_disk").toString
+    graft.index.SpatialDisk.write(l, diskPath, Seq("x1", "y1"))
+    val db = spark.sql(
+      s"SELECT id1 FROM graft_disk_box_range('$diskPath', '100,50', '300,150')")
+      .collect().map(_.getLong(0)).toSet
+    val wantDb = l.filter(col("x1").between(100.0, 300.0) &&
+      col("y1").between(50.0, 150.0)).select("id1")
+      .collect().map(_.getLong(0)).toSet
+    assert(db === wantDb && db.nonEmpty)
+    val dk = spark.sql(
+      s"SELECT id1 FROM graft_disk_knn('$diskPath', '155,55', 5, 'id1')")
+      .collect().map(_.getLong(0)).toSet
+    val wantDk = l.knn(Seq("x1", "y1"), Seq(155.0, 55.0), 5, Seq("id1"))
+      .select("id1").collect().map(_.getLong(0)).toSet
+    assert(dk === wantDk && dk.size === 5)
+
     // a fractional k is a caller mistake — rejected loudly, never
     // silently truncated to its floor
     val eK = intercept[Throwable] {
