@@ -465,6 +465,10 @@ object Bench {
       graft.index.SpatialDisk.boxRange(spark, diskPath,
         Array(2000.0, 100.0), Array(4000.0, 300.0)).count()
     }
+    rec.timed("b3d_knn_disk") {
+      graft.index.SpatialDisk.knn(spark, diskPath,
+        Array(5000.0, 500.0), 10, Seq("c_custkey")).count()
+    }
   }
 
   /** One full sweep: ALU + memory brackets around the whole run, plus a

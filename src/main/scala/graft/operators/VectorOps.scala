@@ -226,6 +226,49 @@ object VectorOps {
       .drop("__graft_cell")
   }
 
+  /** Recall audit of a [[DatasetVectorOps.writeIvfPq]] layout — the
+    * "when to retrain" signal the incremental index
+    * ([[DatasetVectorOps.appendIvfPq]]) needs: codebooks trained on
+    * earlier waves drift as the distribution moves, which degrades
+    * recall at production probe settings while the exactness escape
+    * (full probes + full refine) stays exact. The audit samples
+    * `nQueries` stored vectors deterministically (the Knuth-hash order
+    * every sampler uses), runs each as a query at BOTH settings, and
+    * reports per-query recall of the production setting against the
+    * exact answer.
+    *
+    * Returns one row per sampled query `(query_id, recall)` plus
+    * ordering by id; driver cost is `2 * nQueries` bounded jobs over
+    * the PRUNED layout (each probe-limited read touches `nprobe`
+    * directories; the exact pass probes all — the audit is the
+    * expensive full-probe path run `nQueries` times, so keep
+    * `nQueries` small and scheduled, not per-ingest). */
+  def auditIvfPqRecall(spark: org.apache.spark.sql.SparkSession, path: String,
+                       vecCol: String, idCol: String, nQueries: Int, k: Int,
+                       nprobe: Int = 4, refine: Int = 50): DataFrame = {
+    require(nQueries >= 1 && k >= 1)
+    val meta = readIvfPqMeta(spark, path)
+    val total = spark.read.parquet(s"$path/data").count().toInt
+    val queries = spark.read.parquet(s"$path/data")
+      .select(col(idCol), col(vecCol))
+      .orderBy(centroidOrder(idCol, 777L), col(idCol))
+      .limit(nQueries).collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    val rows = queries.map { case (qid, qv) =>
+      val approx = readIvfPqTopK(spark, path, vecCol, idCol, qv, k,
+        nprobe = nprobe, refine = refine)
+        .select(col(idCol)).collect().map(_.get(0)).toSet
+      val exact = readIvfPqTopK(spark, path, vecCol, idCol, qv, k,
+        nprobe = meta.coarse.length, refine = math.max(refine, total))
+        .select(col(idCol)).collect().map(_.get(0)).toSet
+      (qid, exact.intersect(approx).size.toDouble / exact.size)
+    }
+    import spark.implicits._
+    spark.createDataset(rows.toIndexedSeq.map { case (id, r) =>
+      (id.toString, r)
+    }).toDF("query_id", "recall").orderBy(col("query_id"))
+  }
+
   /** Query the [[DatasetVectorOps.writeIvfPq]] disk layout: probe the
     * `nprobe` nearest cells (same quantized-L2 argmin as the in-memory
     * [[DatasetVectorOps.cosineTopKIvfPq]] — the two produce IDENTICAL

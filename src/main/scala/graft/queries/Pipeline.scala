@@ -1088,6 +1088,26 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Recall audit of the incremental IVF-PQ layout — the contract row:
+    * at full probes + full refine every sampled query's recall is
+    * exactly 1.0 (the exactness escape), verified engine-side and
+    * pinned by the oracle (the dd_minhash_pairs_capped verdict-row
+    * pattern: DuckDB cannot cheaply replay per-query ADC probes, so
+    * the CONTRACT is the oracled surface). */
+  def annIvfPqAuditQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorOps
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_audit_" + Integer.toHexString(d.hashCode)).toString
+    val emb = embeddings(s, d)
+    emb.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+      iters = 2)
+    val total = emb.count().toInt
+    VectorOps.auditIvfPqRecall(s, path, "embedding", "vec_id",
+        nQueries = 4, k = 5, nprobe = 8, refine = total)
+      .agg(count(lit(1)).as("n_queries"),
+        (min(col("recall")) === 1.0).as("all_exact_at_full_probes"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: k-means blocks, exact
     * within-cluster cosine >= 0.8 verifies. */
   def semanticPairsQ(s: SparkSession, d: String): DataFrame =
@@ -2589,6 +2609,10 @@ object Pipeline {
       // append at full probes + full refine re-ranks EXACTLY, so the
       // incremental layout answers to the brute-force oracle
       .updated("ann_ivfpq_append_topk", oracles0("ann_brute_topk"))
+      // audit contract row (engine-side verification; per-query ADC
+      // probe replays are out of a SQL oracle's reach)
+      .updated("ann_ivfpq_audit",
+        "SELECT CAST(4 AS BIGINT) AS n_queries, TRUE AS all_exact_at_full_probes")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pp_curation_pipeline" -> (curationPipelineQ _),
@@ -2646,6 +2670,7 @@ object Pipeline {
     "ann_ivfpq_topk" -> (annIvfPqTopKQ _),
     "ann_ivfpq_disk_topk" -> (annIvfPqDiskQ _),
     "ann_ivfpq_append_topk" -> (annIvfPqAppendQ _),
+    "ann_ivfpq_audit" -> (annIvfPqAuditQ _),
     "pp_passage_dedup" -> (passageDedupQ _),
     "tx_bigram_quality" -> (bigramQualityQ _),
     "tx_bpe_encode" -> (bpeEncodeQ _),

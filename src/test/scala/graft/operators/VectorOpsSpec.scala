@@ -667,6 +667,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"), e.getMessage)
   }
 
+  test("auditIvfPqRecall: exact at full probes, deterministic, drift visible") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_spec_audit").toString
+    emb.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+      iters = 2)
+    val total = emb.count().toInt
+    val full = VectorOps.auditIvfPqRecall(spark, path, "embedding", "vec_id",
+      nQueries = 4, k = 5, nprobe = 8, refine = total)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(full.length === 4 && full.forall(_._2 === 1.0),
+      s"full probes must be exact: ${full.toSeq}")
+    // restricted probes: recall well-defined in [0,1] and deterministic
+    def partial() = VectorOps.auditIvfPqRecall(spark, path, "embedding",
+      "vec_id", nQueries = 4, k = 5, nprobe = 1, refine = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val p1 = partial(); val p2 = partial()
+    assert(p1 === p2 && p1.forall(t => t._2 >= 0.0 && t._2 <= 1.0))
+  }
+
   test("writeIvfPq: null ids get their own message, not 'must be unique'") {
     import spark.implicits._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
