@@ -53,15 +53,26 @@ object SpatialDisk {
       s"cellBits out of range for ${keyCols.length} dims: $cellBits")
     require(bits >= cellBits && keyCols.length * bits <= 62,
       s"bits out of range: $bits")
-    // exact bounds in ONE bounded aggregation (2 numbers per dim)
-    val aggs = keyCols.flatMap(c =>
+    // exact bounds + per-dim null counts in ONE bounded aggregation —
+    // a null key quantizes to a null cell and lands under the Hive
+    // default partition where no query enumeration can reach it, so
+    // null keys are refused loudly BEFORE any data is written (the
+    // same guard protects the stats read-back from a null-cell group)
+    val aggs = count(lit(1)).as("__n") +: keyCols.flatMap(c =>
       Seq(min(col(c)).cast("double").as(s"lo_$c"),
-        max(col(c)).cast("double").as(s"hi_$c")))
+        max(col(c)).cast("double").as(s"hi_$c"),
+        count(col(c)).as(s"n_$c")))
     val b = df.agg(aggs.head, aggs.tail: _*).head()
-    require(!b.isNullAt(0),
-      "SpatialDisk.write: table is empty or a key column is all null")
-    val lows = keyCols.indices.map(i => b.getDouble(2 * i)).toArray
-    val highs = keyCols.indices.map(i => b.getDouble(2 * i + 1)).toArray
+    val total = b.getLong(0)
+    require(total > 0, "SpatialDisk.write: table is empty")
+    keyCols.zipWithIndex.foreach { case (c, i) =>
+      require(b.getLong(3 + 3 * i) == total,
+        s"SpatialDisk.write: key column '$c' has " +
+          s"${total - b.getLong(3 + 3 * i)} nulls — rows with null keys " +
+          "would be unreachable; filter or fill them first")
+    }
+    val lows = keyCols.indices.map(i => b.getDouble(1 + 3 * i)).toArray
+    val highs = keyCols.indices.map(i => b.getDouble(2 + 3 * i)).toArray
     val token = java.util.UUID.randomUUID().toString
     val cell = zorder(keyCols.map(col), lows.toSeq, highs.toSeq, cellBits)
     val z = zorder(keyCols.map(col), lows.toSeq, highs.toSeq, bits)
@@ -130,6 +141,16 @@ object SpatialDisk {
   def append(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val m = readMeta(spark, path)
+    // the write-side null-key guard, for the same unreachable-row trap
+    val aggs = count(lit(1)).as("__n") +:
+      m.keyCols.map(c => count(col(c)).as(s"n_$c"))
+    val cnts = df.agg(aggs.head, aggs.tail: _*).head()
+    m.keyCols.zipWithIndex.foreach { case (c, i) =>
+      require(cnts.getLong(1 + i) == cnts.getLong(0),
+        s"SpatialDisk.append: key column '$c' has " +
+          s"${cnts.getLong(0) - cnts.getLong(1 + i)} nulls — rows with " +
+          "null keys would be unreachable; filter or fill them first")
+    }
     val cell = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq, m.cellBits)
     val z = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq, m.bits)
     df.withColumn(CellCol, cell)
@@ -219,9 +240,14 @@ object SpatialDisk {
     val existing = cells.map(c => s"$dataPath/$CellCol=$c")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     if (existing.isEmpty) return full().filter(lit(false))
+    // the isin is semantically redundant on the restricted read but is
+    // what surfaces as the plan's PartitionFilters IN-set; prunedScan
+    // OWNS the cell filter on both branches so callers never stack a
+    // second copy of an up-to-1024-literal predicate
     tokenChecked(
       spark.read.option("basePath", dataPath).parquet(existing: _*),
       path, m)
+      .filter(col(CellCol).isin(cells: _*))
   }
 
   private def scanBox(spark: SparkSession, path: String, m: Meta,
@@ -245,7 +271,6 @@ object SpatialDisk {
       m.keyCols.indices.map(i => ZValue.quantize(hi(i), m.lows(i), m.highs(i), m.bits)).toArray,
       m.bits)
     prunedScan(spark, path, m, cells)
-      .filter(col(CellCol).isin(cells: _*))
       .filter(col(ZCol).between(zLo, zHi))
   }
 

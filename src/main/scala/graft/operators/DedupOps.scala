@@ -98,6 +98,10 @@ object DedupOps {
             .select(explode(flatten(transform(sortedIds, (x, i) =>
               transform(slice(sortedIds, i + 2, lit(maxBucket)),
                 y => struct(x.as("id1"), y.as("id2")))))).as("__p"))
+            // duplicate idCol VALUES would pair with themselves from a
+            // sorted array; the strict filter keeps parity with the
+            // uncapped route's id1 < id2 join condition
+            .filter(col("__p.id1") < col("__p.id2"))
             .select(col("__p.id1"), col("__p.id2"))
             .distinct()
         } else {

@@ -205,8 +205,10 @@ object VectorOps {
     val data = spark.read.parquet(s"$path/data")
     // pair validation (the writeIvfPq token discipline) — stale
     // centroids against fresh cell assignments would probe the wrong
-    // cells and silently miss true neighbors. Legacy layouts (no token
-    // line) skip the check; tokened metadata REQUIRES a tokened scan.
+    // cells and silently miss true neighbors. Only a layout where
+    // NEITHER side is tokened is legacy; a token on exactly one side
+    // IS the torn case the token exists for (e.g. a rewrite of a
+    // legacy layout that crashed between the data and centroids jobs).
     val tokened = metaLines.find(_.startsWith("token=")).map(_.substring(6))
       .map { tok =>
         require(data.columns.contains("__graft_token"),
@@ -217,7 +219,13 @@ object VectorOps {
             s"$path/data — data and centroids come from different writes; " +
             "rewrite the layout with writeIvf")).isNull)
           .drop("__graft_token")
-      }.getOrElse(data)
+      }.getOrElse {
+        require(!data.columns.contains("__graft_token"),
+          s"readIvfTopK: $path/data carries a write token but $metaPath " +
+            "has no token line — data and centroids come from different " +
+            "writes; rewrite the layout with writeIvf")
+        data
+      }
     tokened
       .filter(col("__graft_cell").isin(probes: _*))
       .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
@@ -536,20 +544,33 @@ object VectorOps {
         // the id is the index key: the reader's refine phase re-selects
         // rows BY id, so a duplicated id would pull extra rows into the
         // exact re-rank and silently diverge from the in-memory verb.
-        // One partial-aggregated triple of counts guards that at write
+        // One partial-aggregated pass of counts guards that at write
         // time (the write is already a multi-pass training job). Nulls
         // get their own message: count_distinct ignores them, so a
         // null-id dataset would otherwise fail as "must be unique" —
         // and a null id that slipped through would NPE in training.
-        val Array(nRows, nNonNull, nIds) = base
-          .agg(count(lit(1)), count(col(idCol)), count_distinct(col(idCol)))
-          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        // Null or ragged VECTORS are guarded in the same pass: a null
+        // vector assigns a null cell and lands under the Hive default
+        // partition, where no probe set can ever reach it.
+        val g = base.agg(count(lit(1)), count(col(idCol)),
+          count_distinct(col(idCol)), count(col(vecCol)),
+          min(size(col("__qv"))), max(size(col("__qv")))).head()
+        val nRows = g.getLong(0)
+        val nNonNull = g.getLong(1)
+        val nIds = g.getLong(2)
+        val nVec = g.getLong(3)
         require(nNonNull == nRows,
           s"writeIvfPq: idCol '$idCol' has ${nRows - nNonNull} null " +
             "ids — the disk index is keyed by id; filter or fill them first")
         require(nRows == nIds,
           s"writeIvfPq: idCol '$idCol' must be unique — $nRows rows but " +
             s"$nIds distinct ids (the disk index is keyed by id)")
+        require(nVec == nRows,
+          s"writeIvfPq: vecCol '$vecCol' has ${nRows - nVec} null " +
+            "vectors — they would land in an unreachable null cell")
+        require(nRows == 0 || g.getInt(4) == g.getInt(5),
+          s"writeIvfPq: vecCol '$vecCol' has ragged dimensions " +
+            s"(${g.getInt(4)}..${g.getInt(5)})")
         val coarse = VectorOps.lloydTrain(base, idCol, nlist, iters, seed)
           .getOrElse(throw new IllegalArgumentException(
             "writeIvfPq: dataset is empty — nothing to index"))
@@ -616,13 +637,29 @@ object VectorOps {
         keepVec = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val Array(nRows, nNonNull, nIds) = base
-          .agg(count(lit(1)), count(col(idCol)), count_distinct(col(idCol)))
-          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        // same one-pass guards as the write, PLUS the dimension check
+        // against the LAYOUT: a wave of wrong-dim vectors would zip
+        // against the coarse centroids to null cells and land under the
+        // Hive default partition — silently invisible to every probe
+        // set, violating the exactness escape
+        val g = base.agg(count(lit(1)), count(col(idCol)),
+          count_distinct(col(idCol)), count(col(vecCol)),
+          min(size(col("__qv"))), max(size(col("__qv")))).head()
+        val nRows = g.getLong(0)
+        val nNonNull = g.getLong(1)
+        val nIds = g.getLong(2)
+        val nVec = g.getLong(3)
         require(nNonNull == nRows,
           s"appendIvfPq: idCol '$idCol' has ${nRows - nNonNull} null ids")
         require(nRows == nIds,
           s"appendIvfPq: idCol '$idCol' must be unique within the wave")
+        require(nVec == nRows,
+          s"appendIvfPq: vecCol '$vecCol' has ${nRows - nVec} null " +
+            "vectors — they would land in an unreachable null cell")
+        val layoutDim = meta.coarse(0).length
+        require(nRows == 0 || (g.getInt(4) == layoutDim && g.getInt(5) == layoutDim),
+          s"appendIvfPq: wave vector dimensions ${g.getInt(4)}..${g.getInt(5)} " +
+            s"!= layout dimension $layoutDim")
         // cross-wave uniqueness: one column-pruned pass over the layout
         val clash = spark.read.parquet(s"$path/data").select(col(idCol))
           .join(base.select(col(idCol)), Seq(idCol), "left_semi")

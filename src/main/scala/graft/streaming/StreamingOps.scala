@@ -200,18 +200,23 @@ object StreamingOps {
   def streamSpatialJoin(spark: SparkSession, dir: String,
                         radius: Double = 100.0): DataFrame = {
     import graft.Tables
-    val layout = java.nio.file.Files.createTempDirectory("graft_geo_layout")
-    layout.toFile.deleteOnExit()
+    // deterministic per-dataset paths: repeated harness runs OVERWRITE
+    // the same layout/staging instead of leaking a full layout per
+    // call (deleteOnExit cannot remove non-empty directories)
+    val tag = Integer.toHexString(dir.hashCode)
+    val layout = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_geo_layout_$tag").toString
     graft.index.SpatialDisk.write(Tables.supplierPts(spark, dir),
-      layout.toString, Seq("sx", "sy"), cellBits = 4)
+      layout, Seq("sx", "sy"), cellBits = 4)
     val statics = graft.index.SpatialDisk
-      .joinTable(spark, layout.toString, "__graft_geo_cell")
-    val staged = java.nio.file.Files.createTempDirectory("graft_geo_src")
-    staged.toFile.deleteOnExit()
+      .joinTable(spark, layout, "__graft_geo_cell")
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_geo_src_$tag")
+    java.nio.file.Files.createDirectories(staged)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/customer.parquet"),
-      staged.resolve("customer.parquet"))
-    staged.resolve("customer.parquet").toFile.deleteOnExit()
+      staged.resolve("customer.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val batchSchema = spark.read.parquet(s"$dir/customer.parquet").schema
     val sinkName = s"graft_geo_${System.nanoTime()}"
     val stream = spark.readStream

@@ -302,6 +302,12 @@ object ExplainPlans {
       graft.index.SpatialDisk.boxRange(spark, path,
         Array(2000.0, 100.0), Array(4000.0, 300.0))
     }
+    show("spatial_disk_distance_join (expect exploded-left cells, equi-join on the cell — no cross — against the pruned layout scan)") {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_spatial_disk").toString
+      graft.index.SpatialDisk.distanceJoin(supplierPts(spark, d),
+        Seq("sx", "sy"), path, 100.0)
+    }
     show("sql_tvf_distance_join (expect the DataFrame grid plan — cell equi-join, no cross — reached from spark.sql)") {
       graft.plans.GraftExtensions.registerFunctions(spark)
       customerPts(spark, d).createOrReplaceTempView("plans_cust_pts")

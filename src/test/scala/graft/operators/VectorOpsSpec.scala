@@ -300,18 +300,45 @@ class VectorOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_legacy")
     val path = "file://" + dir.toString
     emb.writeIvf(path, "embedding", "vec_id", nlist = 8)
-    // rewrite the layout as the pre-text-directory format: one
-    // centroids.json file holding the same [[...],[...]] payload
-    val meta = spark.read.textFile(s"$path/centroids").head()
+    // rewrite the layout as the pre-token, pre-text-directory format:
+    // one centroids.json file holding the [[...],[...]] payload and
+    // data WITHOUT the token column (a token on exactly one side is
+    // the torn case and must be refused — covered below)
+    val meta = spark.read.textFile(s"$path/centroids").collect()
+      .find(_.startsWith("[[")).get
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir.toString, "centroids"))
     java.nio.file.Files.write(
       dir.resolve("centroids.json"), meta.getBytes("UTF-8"))
+    val stripped = spark.read.parquet(s"$path/data").drop("__graft_token")
+    stripped.write.mode("overwrite").parquet(s"$path/data_tmp")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir.toString, "data"))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(dir.toString, "data_tmp"),
+      new java.io.File(dir.toString, "data"))
     val q = all.find(_._1 == 0L).get._2
     val rows = VectorOps.readIvfTopK(spark, path, "embedding", "vec_id", q, 5, nprobe = 4)
       .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(rows.nonEmpty && rows.head._1 === 0L)
     rows.foreach { case (id, c) => assert(c === cosScala(byIdOf(id), q)) }
+    // the torn case: TOKENED data under untokened metadata (a legacy
+    // rewrite that crashed between the data and centroids jobs) is
+    // refused, never silently probed with stale centroids
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_torn")
+    val path2 = "file://" + dir2.toString
+    emb.writeIvf(path2, "embedding", "vec_id", nlist = 8)
+    val m2 = spark.read.textFile(s"$path2/centroids").collect()
+      .find(_.startsWith("[[")).get
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir2.toString, "centroids"))
+    java.nio.file.Files.write(
+      dir2.resolve("centroids.json"), m2.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.readIvfTopK(spark, path2, "embedding", "vec_id", q, 5,
+        nprobe = 4).collect()
+    }
+    assert(e.getMessage.contains("no token line"), e.getMessage)
   }
 
   private def byIdOf(id: Long): Array[Float] = all.find(_._1 == id).get._2
@@ -638,33 +665,35 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   test("appendIvfPq: waves reach exact parity at full probes; id clashes refused") {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ivfpq_spec_append").toString
-    val a = emb.filter(col("vec_id") % 2 === 0)
-    val b = emb.filter(col("vec_id") % 2 =!= 0)
-    a.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
-      iters = 2)
-    b.appendIvfPq(path, "embedding", "vec_id")
-    // exactness escape: probing every cell with refine >= rows re-ranks
-    // the FULL layout by exact cosine — appended rows must land in the
-    // brute-force answer with exact scores, whatever the stale codes say
-    val q = all.find(_._1 == 1L).get._2
-    val total = emb.count().toInt
-    val got = VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
-      q, 10, nprobe = 8, refine = total)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val want = emb.cosineTopK("embedding", "vec_id", q, 10)
-      .select(col("vec_id"), col("cos"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(got === want && got.size === 10)
-    // the default-probe read still answers (recall path intact)
-    assert(VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
-      q, 10, nprobe = 4, refine = 50).count() === 10L)
-    // a wave colliding with existing ids is refused loudly
-    val e = intercept[IllegalArgumentException] {
-      a.limit(1).appendIvfPq(path, "embedding", "vec_id")
+    for (res <- Seq(false, true)) {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpq_spec_append_$res").toString
+      val a = emb.filter(col("vec_id") % 2 === 0)
+      val b = emb.filter(col("vec_id") % 2 =!= 0)
+      a.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+        iters = 2, residual = res)
+      b.appendIvfPq(path, "embedding", "vec_id")
+      // exactness escape: probing every cell with refine >= rows re-ranks
+      // the FULL layout by exact cosine — appended rows must land in the
+      // brute-force answer with exact scores, whatever the stale codes say
+      val q = all.find(_._1 == 1L).get._2
+      val total = emb.count().toInt
+      val got = VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
+        q, 10, nprobe = 8, refine = total)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = emb.cosineTopK("embedding", "vec_id", q, 10)
+        .select(col("vec_id"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === want && got.size === 10, s"residual=$res")
+      // the default-probe read still answers (recall path intact)
+      assert(VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
+        q, 10, nprobe = 4, refine = 50).count() === 10L)
+      // a wave colliding with existing ids is refused loudly
+      val e = intercept[IllegalArgumentException] {
+        a.limit(1).appendIvfPq(path, "embedding", "vec_id")
+      }
+      assert(e.getMessage.contains("collide"), e.getMessage)
     }
-    assert(e.getMessage.contains("collide"), e.getMessage)
   }
 
   test("auditIvfPqRecall: exact at full probes, deterministic, drift visible") {
