@@ -155,24 +155,28 @@ object DedupOps {
                             seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
       require(numHashes % bands == 0, "bands must divide numHashes")
       val newB = bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
-      // the cap's semi-join references the corpus buckets twice; see
-      // minHashPairs on why this is left to the CALLER to materialize
-      // (persisting here would leak a cache entry per ingest wave —
-      // production keeps ONE banded frame beside the corpus and reuses
-      // it across waves)
       val corpB = new DatasetDedupOps(corpus)
         .bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
-      val keptCorp =
-        if (maxBucket <= 0) corpB
-        else corpB.join(
-          corpB.groupBy(col("__band"), col("__bucket"))
-            .agg(count(lit(1)).as("__bsz"))
-            .filter(col("__bsz") <= maxBucket)
-            .select(col("__band"), col("__bucket")),
-          Seq("__band", "__bucket"), "left_semi")
-      val pairs = newB.select(col(idCol).as("id_new"), col("__band"), col("__bucket"))
-        .join(keptCorp.select(col(idCol).as("id_corpus"), col("__band"), col("__bucket")),
-          Seq("__band", "__bucket"))
+      val pairs = (
+        if (maxBucket <= 0) {
+          newB.select(col(idCol).as("id_new"), col("__band"), col("__bucket"))
+            .join(corpB.select(col(idCol).as("id_corpus"),
+              col("__band"), col("__bucket")), Seq("__band", "__bucket"))
+        } else {
+          // capped route, the minHashPairs discipline: the cap bounds
+          // every corpus bucket, so membership is ONE collect_list
+          // aggregation — the corpus signature pipeline runs ONCE (the
+          // former count-agg + semi-join re-ran it per reference), the
+          // cap check is a free size() filter, and the shard side joins
+          // against the bounded membership arrays
+          val corpBuckets = corpB
+            .groupBy(col("__band"), col("__bucket"))
+            .agg(collect_list(col(idCol)).as("__cids"))
+            .filter(size(col("__cids")) <= maxBucket)
+          newB.select(col(idCol).as("id_new"), col("__band"), col("__bucket"))
+            .join(corpBuckets, Seq("__band", "__bucket"))
+            .select(col("id_new"), explode(col("__cids")).as("id_corpus"))
+        })
         .filter(col("id_new") =!= col("id_corpus"))
         .select(col("id_new"), col("id_corpus"))
         .distinct()

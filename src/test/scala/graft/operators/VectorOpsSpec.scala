@@ -713,6 +713,27 @@ class VectorOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     val p1 = partial(); val p2 = partial()
     assert(p1 === p2 && p1.forall(t => t._2 >= 0.0 && t._2 <= 1.0))
+    // drift: append a far-shifted wave the codebooks never saw — the
+    // exactness invariant holds (full probes stay 1.0 over the larger
+    // layout) while the production-probe audit is the signal that CAN
+    // read below 1.0
+    import spark.implicits._
+    val shifted = all.map { case (id, v) =>
+      (id + 100000L, v.zipWithIndex.map { case (x, i) =>
+        if (i == 0) x + 1000f else x })
+    }.toSeq.toDF("vec_id", "embedding")
+    shifted.appendIvfPq(path, "embedding", "vec_id")
+    val total2 = total + all.length
+    val full2 = VectorOps.auditIvfPqRecall(spark, path, "embedding",
+      "vec_id", nQueries = 4, k = 5, nprobe = 8, refine = total2)
+      .collect().map(_.getDouble(1))
+    assert(full2.forall(_ === 1.0),
+      s"full probes must stay exact under drift: ${full2.toSeq}")
+    val drifted = VectorOps.auditIvfPqRecall(spark, path, "embedding",
+      "vec_id", nQueries = 4, k = 5, nprobe = 1, refine = 5)
+      .collect().map(_.getDouble(1))
+    assert(drifted.exists(_ < 1.0),
+      s"the drifted layout must be visible at production probes: ${drifted.toSeq}")
   }
 
   test("writeIvfPq: null ids get their own message, not 'must be unique'") {
