@@ -122,11 +122,11 @@ object DedupOps {
       // references here share one reused exchange stage, not three
       // signature evaluations.
       val t1 = ds.toDF
-        .join(pairs.select(col("id1").as("__cand")).distinct(),
+        .join(pairs.select(col("id1").as("__cand")),
           col(idCol) === col("__cand"), "left_semi")
         .select(col(idCol).as("id1"), shingleSet(col(textCol), shingle).as("__sh1"))
       val t2 = ds.toDF
-        .join(pairs.select(col("id2").as("__cand")).distinct(),
+        .join(pairs.select(col("id2").as("__cand")),
           col(idCol) === col("__cand"), "left_semi")
         .select(col(idCol).as("id2"), shingleSet(col(textCol), shingle).as("__sh2"))
       pairs.join(t1, Seq("id1")).join(t2, Seq("id2"))
@@ -185,12 +185,12 @@ object DedupOps {
       // for a shard-sized pair set; `pairs` ends in a distinct shuffle,
       // so its references share one reused exchange stage
       val t1 = ds.toDF
-        .join(pairs.select(col("id_new").as("__cand")).distinct(),
+        .join(pairs.select(col("id_new").as("__cand")),
           col(idCol) === col("__cand"), "left_semi")
         .select(col(idCol).as("id_new"),
           shingleSet(col(textCol), shingle).as("__sh1"))
       val t2 = corpus.toDF
-        .join(pairs.select(col("id_corpus").as("__cand")).distinct(),
+        .join(pairs.select(col("id_corpus").as("__cand")),
           col(idCol) === col("__cand"), "left_semi")
         .select(col(idCol).as("id_corpus"),
           shingleSet(col(textCol), shingle).as("__sh2"))
