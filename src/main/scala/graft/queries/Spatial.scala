@@ -77,6 +77,22 @@ object Spatial {
       .orderBy(col("c_custkey"), col("s_suppkey"))
   }
 
+  /** Spatio-temporal co-location join: event pairs within 5 spatial
+    * units AND 5 minutes — time rides as one more grid axis (a single
+    * equi-join on spatial cells + the integer-ms time cell; both exact
+    * predicates refine). */
+  def spatioTemporalJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.eventsPts
+    val l = eventsPts(s, d)
+    val rSide = eventsPts(s, d).select(col("event_id").as("event_id2"),
+      col("ts").as("ts2"), col("ex").as("ex2"), col("ey").as("ey2"))
+    l.spatioTemporalJoin(rSide, Seq("ex", "ey"), Seq("ex2", "ey2"),
+        "ts", "ts2", r = 5.0, dtMillis = 300000L)
+      .filter(col("event_id") < col("event_id2"))
+      .select(col("event_id"), col("event_id2"))
+      .orderBy(col("event_id"), col("event_id2"))
+  }
+
   /** The at-rest layout through SQL: the graft_disk_box_range TVF
     * builds the same pruned-scan plan as the Scala verb. */
   def diskBoxSqlQ(s: SparkSession, d: String): DataFrame = {
@@ -311,6 +327,18 @@ object Spatial {
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
          |ORDER BY c_custkey""".stripMargin,
+    // the grid cells are internal — the oracle replays only the two
+    // exact predicates (epoch_ms is the ms contract's SQL twin)
+    "sp_st_join" ->
+      """WITH e AS (SELECT event_id, ts, value AS ex,
+        |             CAST(user_id % 1000 AS DOUBLE) AS ey FROM events)
+        |SELECT a.event_id AS event_id, b.event_id AS event_id2
+        |FROM e a, e b
+        |WHERE a.event_id < b.event_id
+        |  AND sqrt((a.ex - b.ex)*(a.ex - b.ex)
+        |         + (a.ey - b.ey)*(a.ey - b.ey)) <= 5.0
+        |  AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
+        |ORDER BY event_id, event_id2""".stripMargin,
     "sp_polygon_range" ->
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
@@ -433,6 +461,7 @@ object Spatial {
     "sp_disk_distance_join" -> (diskDistanceJoin _),
     "sp_disk_append_box" -> (diskAppendBox _),
     "sp_disk_box_sql" -> (diskBoxSqlQ _),
+    "sp_st_join" -> (spatioTemporalJoinQ _),
     "sp_polygon_range" -> (polygonRange _),
     "sp_segment_range" -> (segmentRangeQ _),
     "sp_bounds_agg" -> (boundsBySegment _),

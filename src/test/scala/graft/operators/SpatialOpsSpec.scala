@@ -600,4 +600,27 @@ class SpatialOpsSpec extends SparkSpec {
       .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fast === slow && fast.nonEmpty)
   }
+
+  test("spatioTemporalJoin equals the naive double predicate; no cartesian") {
+    val ev = Tables.eventsPts(spark, sf())
+    val rSide = ev.select(col("event_id").as("event_id2"),
+      col("ts").as("ts2"), col("ex").as("ex2"), col("ey").as("ey2"))
+    def pairs(df: DataFrame) = df
+      .filter(col("event_id") < col("event_id2"))
+      .select("event_id", "event_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = ev.spatioTemporalJoin(rSide, Seq("ex", "ey"), Seq("ex2", "ey2"),
+      "ts", "ts2", r = 20.0, dtMillis = 1800000L)
+    val got = pairs(q)
+    val want = pairs(ev.join(rSide,
+      graft.functions.pointDistance(Seq(col("ex"), col("ey")),
+        Seq(col("ex2"), col("ey2"))) <= 20.0 &&
+        abs(unix_millis(col("ts")) - unix_millis(col("ts2"))) <= 1800000L))
+    assert(got === want && got.nonEmpty)
+    // one equi-join on (spatial cells, time cell) — never a cross plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"spatio-temporal join grew a cross plan:\n$plan")
+  }
 }
