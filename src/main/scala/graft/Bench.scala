@@ -54,6 +54,16 @@ object Bench {
     "b4l_distance_join_self_grid" -> ((s: SparkSession, d: String) =>
       customerPts(s, d).distanceJoin(renamedCust(s, d), Seq("cx", "cy"),
         Seq("c2x", "c2y"), 50.0)),
+    // B4ST: spatio-temporal co-location self-join (r10) — one equi-join
+    // on (spatial cells, integer-ms time cell), both exact predicates
+    "b4st_spatiotemporal_join" -> ((s: SparkSession, d: String) => {
+      val l = eventsPts(s, d)
+      val rSide = eventsPts(s, d).select(col("event_id").as("event_id2"),
+        col("ts").as("ts2"), col("ex").as("ex2"), col("ey").as("ey2"))
+      l.spatioTemporalJoin(rSide, Seq("ex", "ey"), Seq("ex2", "ey2"),
+          "ts", "ts2", r = 5.0, dtMillis = 300000L)
+        .filter(col("event_id") < col("event_id2"))
+    }),
     // B5: kNN join — windowed cross vs bounded-radius grid
     "b5_knn_join_naive" -> ((s: SparkSession, d: String) =>
       customerPts(s, d).knnJoinNaive(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
