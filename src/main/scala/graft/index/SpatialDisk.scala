@@ -38,6 +38,11 @@ object SpatialDisk {
   private val ZCol = "__graft_z"
   private val TokenCol = "__graft_token"
 
+  /** Driver-side FileSystem metadata calls issued by [[prunedScan]]'s
+    * pruning layer since JVM start — observability for the "one
+    * listing, never one probe per candidate cell" contract. */
+  private[graft] val pruneFsCalls = new java.util.concurrent.atomic.AtomicLong
+
   /** Write the layout. `cellBits` sets directory granularity: d
     * dimensions make up to `2^(d*cellBits)` directories (default 5 ->
     * 1024 cells in 2-d — coarse enough that a 100-TB table still
@@ -51,8 +56,11 @@ object SpatialDisk {
     // are the layout's COARSE routing level, fine pruning is the z key
     require(cellBits >= 1 && keyCols.length * cellBits <= 16,
       s"cellBits out of range for ${keyCols.length} dims: $cellBits")
-    require(bits >= cellBits && keyCols.length * bits <= 62,
-      s"bits out of range: $bits")
+    // bits <= 30 is zorder's own per-dimension quantization ceiling —
+    // checked here, where the parameter enters, so 1-2-dim callers
+    // don't hit a "quantize bits" error from deep inside the kernel
+    require(bits >= cellBits && bits <= 30 && keyCols.length * bits <= 62,
+      s"bits out of range (need cellBits <= bits <= 30, dims*bits <= 62): $bits")
     // exact bounds + per-dim null counts in ONE bounded aggregation —
     // a null key quantizes to a null cell and lands under the Hive
     // default partition where no query enumeration can reach it, so
@@ -97,19 +105,35 @@ object SpatialDisk {
   private def writeStatsMeta(spark: SparkSession, path: String,
                              keyCols: Seq[String], lows: Array[Double],
                              highs: Array[Double], cellBits: Int,
-                             bits: Int, token: String): Unit = {
+                             bits: Int, token: String): Unit =
+    writeMetaLines(spark, path, keyCols, lows, highs, cellBits, bits, token,
+      collectCellStats(spark.read.parquet(s"$path/data"), keyCols))
+
+  /** Per-cell stats (count + tight MBR) of a frame that carries the
+    * routing cell column — ONE bounded aggregation (<= 2^(d*cellBits)
+    * <= 2^16 rows to the driver). */
+  private def collectCellStats(df: DataFrame,
+                               keyCols: Seq[String]): Seq[CellStat] = {
     val statAggs = count(lit(1)).as("__n") +: keyCols.flatMap(c =>
       Seq(min(col(c)).cast("double").as(s"__lo_$c"),
         max(col(c)).cast("double").as(s"__hi_$c")))
-    val statRows = spark.read.parquet(s"$path/data")
-      .groupBy(col(CellCol)).agg(statAggs.head, statAggs.tail: _*)
-      .collect()
-    val cellStats = statRows.map { r =>
-      val id = r.getAs[Number](0).longValue()
-      val n = r.getLong(1)
+    df.groupBy(col(CellCol)).agg(statAggs.head, statAggs.tail: _*)
+      .collect().toIndexedSeq.map { r =>
+        val los = Array.tabulate(keyCols.length)(i => r.getDouble(2 + 2 * i))
+        val his = Array.tabulate(keyCols.length)(i => r.getDouble(3 + 2 * i))
+        CellStat(r.getAs[Number](0).longValue(), r.getLong(1),
+          graft.spatial.MBR(graft.spatial.Point(los), graft.spatial.Point(his)))
+      }
+  }
+
+  private def writeMetaLines(spark: SparkSession, path: String,
+                             keyCols: Seq[String], lows: Array[Double],
+                             highs: Array[Double], cellBits: Int, bits: Int,
+                             token: String, cells: Seq[CellStat]): Unit = {
+    val cellStats = cells.map { s =>
       val bounds = keyCols.indices.flatMap(i =>
-        Seq(r.getDouble(2 + 2 * i), r.getDouble(3 + 2 * i)))
-      s"$id:$n:" + bounds.mkString(",")
+        Seq(s.mbr.low.coord(i), s.mbr.high.coord(i)))
+      s"${s.id}:${s.count}:" + bounds.mkString(",")
     }.sorted.mkString(";")
     import spark.implicits._
     val lines = Seq(
@@ -126,8 +150,11 @@ object SpatialDisk {
     * the ORIGINAL quantization bounds from the meta (points outside
     * them clamp into edge cells, where the query-side enumeration —
     * which clamps the same way — still finds them), land as new files
-    * inside their cell directories, and the meta's per-cell stats are
-    * refreshed from the written files afterwards.
+    * inside their cell directories, and the WAVE's own per-cell stats
+    * are merged into the existing meta (counts add, MBRs union) — the
+    * stats refresh costs O(wave), never a full-layout re-aggregation
+    * (an ingest wave against a 100-TB layout must not pay an O(table)
+    * scan per append).
     *
     * Crash safety is append-shaped: data files land first, the meta
     * rewrite is last. A failure between the two leaves STALE stats
@@ -153,14 +180,27 @@ object SpatialDisk {
     }
     val cell = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq, m.cellBits)
     val z = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq, m.bits)
-    df.withColumn(CellCol, cell)
+    val celled = df.withColumn(CellCol, cell)
       .withColumn(ZCol, z)
       .withColumn(TokenCol, lit(m.token))
+    celled
       .repartitionByRange(col(CellCol), col(ZCol))
       .sortWithinPartitions(col(CellCol), col(ZCol))
       .write.mode("append").partitionBy(CellCol).parquet(s"$path/data")
-    writeStatsMeta(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
-      m.bits, m.token)
+    // merge the wave's stats into the published meta: counts ADD, MBRs
+    // UNION — both operations only ever widen, so a merged meta makes
+    // the same guarantees the read-back one did (counts are exact over
+    // data written through this API; MBRs cover every claimed row)
+    val merged = scala.collection.mutable.LinkedHashMap.empty[Long, CellStat]
+    m.cells.foreach(s => merged(s.id) = s)
+    collectCellStats(celled, m.keyCols).foreach { w =>
+      merged(w.id) = merged.get(w.id) match {
+        case Some(e) => CellStat(w.id, e.count + w.count, e.mbr.union(w.mbr))
+        case None    => w
+      }
+    }
+    writeMetaLines(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
+      m.bits, m.token, merged.values.toIndexedSeq)
   }
 
   /** Per-cell on-disk stats: row count + the cell's TRUE MBR. */
@@ -227,8 +267,8 @@ object SpatialDisk {
     * and 0.1 s through explicit paths). The metastore-partition-
     * pruning shape, done at the filesystem level. Falls back to the
     * full listing + IN filter when the candidate set is most of the
-    * layout — per-cell existence probes would then cost more than one
-    * listing. */
+    * layout — the explicit path list handed to the reader stays
+    * bounded. */
   private def prunedScan(spark: SparkSession, path: String, m: Meta,
                          cells: Seq[Long]): DataFrame = {
     val dataPath = s"$path/data"
@@ -237,8 +277,20 @@ object SpatialDisk {
     if (cells.isEmpty || cells.length > 1024) return full()
     val base = new org.apache.hadoop.fs.Path(dataPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing = cells.map(c => s"$dataPath/$CellCol=$c")
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    // ONE listing of the cell level, intersected with the candidate
+    // set, replaces per-candidate existence probes: an object store
+    // answers listStatus in one round trip where 1024 serial HEADs are
+    // 1024 of them (spec-checked via [[pruneFsCalls]])
+    pruneFsCalls.incrementAndGet()
+    val present = fs.listStatus(base).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(CellCol + "="))
+        try Iterator.single(n.substring(CellCol.length + 1).toLong)
+        catch { case _: NumberFormatException => Iterator.empty }
+      else Iterator.empty
+    }.toSet
+    val existing = cells.filter(present.contains)
+      .map(c => s"$dataPath/$CellCol=$c")
     if (existing.isEmpty) return full().filter(lit(false))
     // the isin is semantically redundant on the restricted read but is
     // what surfaces as the plan's PartitionFilters IN-set; prunedScan

@@ -26,6 +26,14 @@ import graft.functions._
   */
 object DedupOps {
 
+  /** Largest `maxBucket` the capped minhash route expands as a nested
+    * pair array (~cap^2/2 structs in ONE row before explode — at 2048
+    * that is ~2M small structs, comfortably task-sized; at 10k it
+    * would be ~50M in one task). Larger caps fall back to the
+    * self-join shape, which spreads a bucket's pair fan-out across the
+    * shuffle. */
+  private[operators] val CappedArrayBucketMax = 2048
+
   implicit class DatasetDedupOps[T](private val ds: Dataset[T]) extends AnyVal {
 
     /** Exact dedup: keep, per distinct value of `textCol`, the row with
@@ -61,7 +69,10 @@ object DedupOps {
       * partially cover — so capping is OPT-IN (default 0 = disabled):
       * full recall unless the caller chooses the cut. When capping, the
       * cut is auditable, not silent: [[minHashOversizedBuckets]] lists
-      * exactly the dropped buckets and their sizes. */
+      * exactly the dropped buckets and their sizes. Caps up to
+      * [[DedupOps.CappedArrayBucketMax]] take the single-evaluation
+      * array route; larger caps keep the self-join shape (identical
+      * pairs either way). */
     def minHashPairs(idCol: String, textCol: String, shingle: Int = 3,
                      numHashes: Int = 64, bands: Int = 16,
                      threshold: Double = 0.5, seed: Long = 42L,
@@ -78,7 +89,7 @@ object DedupOps {
       // does not have the problem: one evaluation, one shuffle.
       val banded = bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
       val pairs =
-        if (maxBucket > 0) {
+        if (maxBucket > 0 && maxBucket <= DedupOps.CappedArrayBucketMax) {
           // capped route: the cap bounds every bucket, so the bucket
           // membership can be ONE collect_list aggregation (state <=
           // maxBucket ids per bucket — the same bound the cap already
@@ -103,6 +114,25 @@ object DedupOps {
             // uncapped route's id1 < id2 join condition
             .filter(col("__p.id1") < col("__p.id2"))
             .select(col("__p.id1"), col("__p.id2"))
+            .distinct()
+        } else if (maxBucket > 0) {
+          // caps past the array route's ceiling keep the SELF-JOIN
+          // shape with a count pre-filter: the array route would
+          // materialize ~maxBucket^2/2 pair structs as ONE row before
+          // explode — a 10k cap is ~50M structs in a single task —
+          // whereas the join spreads a big bucket's pair fan-out
+          // across the shuffle like the uncapped route does
+          val kept = banded.join(
+            banded.groupBy(col("__band"), col("__bucket"))
+              .agg(count(lit(1)).as("__n"))
+              .filter(col("__n").between(2, maxBucket))
+              .select(col("__band"), col("__bucket")),
+            Seq("__band", "__bucket"), "left_semi")
+          val l = kept.select(col(idCol).as("id1"), col("__band"), col("__bucket"))
+          val r = kept.select(col(idCol).as("id2"), col("__band"), col("__bucket"))
+          l.join(r, Seq("__band", "__bucket"))
+            .filter(col("id1") < col("id2"))
+            .select(col("id1"), col("id2"))
             .distinct()
         } else {
           val l = banded.select(col(idCol).as("id1"), col("__band"), col("__bucket"))

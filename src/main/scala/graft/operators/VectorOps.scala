@@ -256,7 +256,17 @@ object VectorOps {
                        nprobe: Int = 4, refine: Int = 50): DataFrame = {
     require(nQueries >= 1 && k >= 1)
     val meta = readIvfPqMeta(spark, path)
-    val total = spark.read.parquet(s"$path/data").count().toInt
+    // the exact baseline refines ALL rows, and refine is an Int: past
+    // 2^31 rows a silent toInt would flip negative and max(refine,
+    // total) would keep the small refine — the "exact" answer would no
+    // longer be exact and the audit would report WRONG recall. Fail
+    // loudly instead; a layout that large needs a sampled baseline.
+    val totalRows = spark.read.parquet(s"$path/data").count()
+    require(totalRows <= Int.MaxValue,
+      s"auditIvfPqRecall: layout holds $totalRows rows — the refine-all " +
+        "exact baseline no longer fits an Int refine count; audit a " +
+        "bounded sub-layout instead")
+    val total = totalRows.toInt
     val queries = spark.read.parquet(s"$path/data")
       .select(col(idCol), col(vecCol))
       .orderBy(centroidOrder(idCol, 777L), col(idCol))

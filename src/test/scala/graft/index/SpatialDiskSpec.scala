@@ -170,6 +170,57 @@ class SpatialDiskSpec extends SparkSpec {
       s"clustered left read $read of $total cells — no pruning win")
   }
 
+  test("append merges the wave's stats — equal to re-aggregating the layout") {
+    // half written, half appended: the append-time merge (counts ADD,
+    // MBRs UNION — O(wave), never a full-layout re-aggregation) must
+    // publish the same per-cell stats a fresh scan of the written data
+    // would produce
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_merge").toString
+    SpatialDisk.write(cust.filter(col("c_custkey") % 2 === 0), path,
+      Seq("cx", "cy"))
+    SpatialDisk.append(cust.filter(col("c_custkey") % 2 =!= 0), path)
+    val expected = spark.read.parquet(s"$path/data")
+      .groupBy(col("__graft_cell"))
+      .agg(count(lit(1)), min(col("cx")), max(col("cx")),
+        min(col("cy")), max(col("cy")))
+      .collect().map(r => r.getAs[Number](0).longValue() ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    val published = spark.read.textFile(s"$path/meta").collect()
+      .find(_.startsWith("cells=")).get.substring("cells=".length)
+      .split(";").map { s =>
+        val Array(id, n, bounds) = s.split(":")
+        val b = bounds.split(",").map(_.toDouble)
+        id.toLong -> ((n.toLong, b(0), b(1), b(2), b(3)))
+      }.toMap
+    assert(published === expected,
+      "merged per-cell stats must equal the re-aggregated stats")
+  }
+
+  test("pruning issues ONE filesystem listing, not per-cell probes") {
+    val path = freshLayout("fscalls")
+    val before = SpatialDisk.pruneFsCalls.get()
+    // plan construction is where prunedScan runs its driver-side pruning
+    val q = SpatialDisk.boxRange(spark, path,
+      Array(2000.0, 100.0), Array(4000.0, 300.0))
+    q.collect()
+    val calls = SpatialDisk.pruneFsCalls.get() - before
+    assert(calls >= 1 && calls <= 2,
+      s"expected at most 2 FS metadata calls for one query, saw $calls")
+  }
+
+  test("write refuses fine-z bits past the quantizer's 30-bit ceiling") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_bits").toString
+    val e = intercept[IllegalArgumentException] {
+      SpatialDisk.write(cust.select("c_custkey", "cx"), path,
+        Seq("cx"), cellBits = 5, bits = 40)
+    }
+    assert(e.getMessage.contains("bits out of range"),
+      s"contract must be checked where the parameter enters: ${e.getMessage}")
+  }
+
   test("a torn meta/data pair is refused, not silently mis-routed") {
     val path = freshLayout("torn")
     import spark.implicits._

@@ -160,6 +160,16 @@ class DedupOpsSpec extends SparkSpec {
       bands = 16, threshold = 0.8, maxBucket = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.count { case (a, b) => a <= 60 && b <= 60 } === 60 * 59 / 2)
+
+    // a cap past the array route's ceiling (would nest ~cap^2/2 pair
+    // structs in one row) falls back to the self-join shape — with
+    // every bucket under the cap it must equal the uncapped output
+    assert(DedupOps.CappedArrayBucketMax < 5000)
+    val bigCap = df.minHashPairs("doc_id", "text", shingle = 3, numHashes = 64,
+      bands = 16, threshold = 0.8, maxBucket = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bigCap === uncapped,
+      "the self-join capped route must match uncapped when nothing is cut")
   }
 
   test("dd_minhash_pairs_capped verdict row is all-TRUE (a real, audited recall cut)") {
