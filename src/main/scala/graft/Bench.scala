@@ -496,10 +496,31 @@ object Bench {
     def total: Double = rec.wall.values.sum
   }
 
+  /** Cold-vs-steady consistency: each steady-tracked entry's second
+    * execution is a same-sweep CONTROL for its cold number. The cold
+    * run carries fixed cost (first-run JIT, driver-side AQE gaps) but
+    * historically at most ~2x the steady rate (r8-r10 clean runs:
+    * 0.93-1.64x); a cold entry 4x+ its own steady reading — double the
+    * historical ceiling — means a burst hit the timed window yet missed
+    * every memory probe, exactly the hole the committed r10 artifact
+    * fell through (pivot 31.99 s cold beside 3.16 s steady, certified
+    * clean because the probes' take-the-minimum re-probe absorbed the
+    * burst). Tiny steady denominators (< 0.5 s — small-sf smoke runs)
+    * are skipped: there the ratio measures JIT, not contamination. */
+  private[graft] def coldSteadyViolations(
+      wall: collection.Map[String, Double],
+      steady: collection.Map[String, Double]): Seq[String] =
+    steady.toSeq.collect {
+      case (name, st) if st >= 0.5 && wall.getOrElse(name, 0.0) / st > 4.0 =>
+        f"cold/steady inconsistent: $name cold ${wall(name)}%.2f s vs " +
+          f"steady $st%.2f s (> 4x)"
+    }
+
   /** Why this sweep cannot be trusted, per BASELINE.md's interpretation
     * rule: any memory probe at/above the 0.7 s contamination threshold,
-    * or a pre/post bracket pair (ALU or memory) disagreeing >= 1.5x.
-    * None -> clean. */
+    * a pre/post bracket pair (ALU or memory) disagreeing >= 1.5x, or a
+    * steady-tracked entry whose cold number is 4x+ its own steady
+    * re-execution. None -> clean. */
   private def dirtyReason(s: Sweep): Option[String] = {
     val memDirty = s.memProbes.collect {
       case (k, v) if v >= 0.7 => f"mem probe $k=$v%.3f >= 0.7"
@@ -518,7 +539,8 @@ object Bench {
       if (pairOff(s.memPre, s.memPost) && math.max(s.memPre, s.memPost) >= 0.7)
         Seq(f"mem pre/post disagree: ${s.memPre}%.3f vs ${s.memPost}%.3f")
       else Nil
-    val all = memDirty.toSeq ++ aluDirty ++ memPairDirty
+    val coldSteady = coldSteadyViolations(s.rec.wall, s.steady)
+    val all = memDirty.toSeq ++ aluDirty ++ memPairDirty ++ coldSteady
     if (all.isEmpty) None else Some(all.mkString("; "))
   }
 
