@@ -18,6 +18,21 @@ class MultimodalSpec extends SparkSpec {
     assert(media.select("kind").distinct().count() === 3)
   }
 
+  test("synthetic image rows are REAL PNGs the true decode path handles") {
+    import spark.implicits._
+    val imgs = media.as[MediaRow].filter(_.kind == "image").take(5)
+    assert(imgs.nonEmpty)
+    imgs.foreach { m =>
+      // PNG magic + a successful real decode, distinct per id
+      assert((m.bytes(0) & 0xFF) == 0x89 && m.bytes(1) == 'P'.toByte,
+        s"media ${m.media_id} is not a PNG payload")
+      assert(decodeImage(m.bytes, 16).isDefined)
+    }
+    val f0 = decodeImage(imgs(0).bytes, 16).get.toSeq
+    val f1 = decodeImage(imgs(1).bytes, 16).get.toSeq
+    assert(f0 !== f1, "distinct media must decode to distinct features")
+  }
+
   test("decodeStub: deterministic, unit-norm, payload-sensitive") {
     val a = decodeStub("hello".getBytes, 32)
     val b = decodeStub("hello".getBytes, 32)
@@ -26,6 +41,72 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq !== c.toSeq)
     val norm = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
     assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
+  /** A real in-memory PNG: left half dark, right half bright — enough
+    * structure that grid-mean pooling must see it. */
+  private def pngBytes(w: Int, h: Int, leftGray: Int, rightGray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = if (x < w / 2) leftGray else rightGray
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeImage: REAL PNG decode — deterministic, content-driven, not the stub") {
+    val bytes = pngBytes(64, 48, leftGray = 20, rightGray = 220)
+    val a = decodeImage(bytes, 32).get
+    val b = decodeImage(bytes, 32).get
+    assert(a.toSeq === b.toSeq, "decode must be deterministic")
+    // decoded features reflect PIXELS, not byte hashes
+    assert(a.toSeq !== decodeStub(bytes, 32).toSeq,
+      "real decode must differ from the hash stub on the same bytes")
+    val norm = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // the left-dark / right-bright structure survives pooling: some
+    // cells differ, and a flipped image decodes to a different vector
+    val flipped = decodeImage(pngBytes(64, 48, 220, 20), 32).get
+    assert(a.toSeq !== flipped.toSeq,
+      "pooled features must track pixel CONTENT, not payload size")
+    // a JPEG of the same image also decodes (format sniffing)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jout)
+    assert(decodeImage(jout.toByteArray, 32).isDefined)
+  }
+
+  test("decodeFeatures: image kind takes the real path, others the stub") {
+    val png = pngBytes(32, 32, 0, 255)
+    assert(decodeFeatures("image", png, 16).toSeq ===
+      decodeImage(png, 16).get.toSeq)
+    // audio/video stay on the stub (no codecs in this container)
+    assert(decodeFeatures("audio", png, 16).toSeq ===
+      decodeStub(png, 16).toSeq)
+    // non-decodable image payloads (the synthetic table's UTF-8 bytes)
+    // fall back to the stub instead of failing mid-pipeline
+    val text = "not an image at all".getBytes("UTF-8")
+    assert(decodeImage(text, 16).isEmpty)
+    assert(decodeFeatures("image", text, 16).toSeq ===
+      decodeStub(text, 16).toSeq)
+  }
+
+  test("extractFeatures runs the real decode distributed over PNG rows") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "image", pngBytes(40, 40, 10, 240), 40, 40),
+      MediaRow(2L, "image", pngBytes(40, 40, 240, 10), 40, 40),
+      MediaRow(3L, "audio", "waveform-bytes".getBytes("UTF-8"), 0, 0))
+    val feats = extractFeatures(spark.createDataset(rows), dim = 16)
+      .collect().map(f => f.media_id -> f.features).toMap
+    assert(feats(1L).toSeq ===
+      decodeImage(pngBytes(40, 40, 10, 240), 16).get.toSeq)
+    assert(feats(1L).toSeq !== feats(2L).toSeq)
+    assert(feats(3L).toSeq ===
+      decodeStub("waveform-bytes".getBytes("UTF-8"), 16).toSeq)
   }
 
   test("extractFeatures preserves ids and emits fixed-dim vectors") {
