@@ -287,6 +287,57 @@ object VectorOps {
     }).toDF("query_id", "recall").orderBy(col("query_id"))
   }
 
+  /** ACT on the drift trigger: retrain the coarse centroids and PQ
+    * codebooks of a [[DatasetVectorOps.writeIvfPq]] layout from the
+    * CURRENT data (original + every appended wave) and rewrite the
+    * layout as a NEW generation. [[auditIvfPqRecall]] detects quantizer
+    * drift; this is the repair.
+    *
+    * Training is bounded: Lloyd's passes run over a seeded Knuth-hash
+    * sample of `trainCap` rows (codebooks need a representative sample,
+    * not every row), while the re-ENCODE covers the full table — a
+    * retrain is inherently O(table), it is the rewrite.
+    *
+    * Crash safety is the write-token discipline: the current rows are
+    * snapshotted beside the layout first (Spark cannot overwrite a
+    * directory it is still lazily reading), then data and meta are
+    * rewritten with a FRESH token. A failure between the two leaves new
+    * codes against old books — a pair every reader REFUSES (token
+    * mismatch) instead of ranking against the wrong codebooks; the
+    * snapshot still holds every row for a re-run. A torn INPUT layout
+    * is refused up front for the same reason: retraining it would bake
+    * the tear into the next generation. `nlist` 0 keeps the layout's
+    * current cell count. */
+  def retrainIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                   vecCol: String, idCol: String, nlist: Int = 0,
+                   iters: Int = 2, seed: Long = 42L,
+                   trainCap: Int = 4096): Unit = {
+    require(iters >= 0 && trainCap >= 1)
+    val meta = readIvfPqMeta(spark, path)
+    val data = spark.read.parquet(s"$path/data")
+    require(data.columns.contains("__graft_token"),
+      s"retrainIvfPq: $path/data has no __graft_token column — the " +
+        "layout is torn or foreign; rewrite with writeIvfPq")
+    // one column-pruned pass (dictionary-encoded token column) — noise
+    // next to the rewrite this call is about to do
+    val tokens = data.select(col("__graft_token")).distinct()
+      .collect().map(_.getString(0))
+    require(tokens.length == 1 && tokens(0) == meta.token,
+      s"retrainIvfPq: write-token mismatch between $path/meta and " +
+        s"$path/data — refusing to retrain a torn layout")
+    val lists = if (nlist > 0) nlist else meta.coarse.length
+    val snap = s"$path/retrain_snapshot"
+    data.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(snap)
+    val current = spark.read.parquet(snap)
+    new DatasetVectorOps(current).writeIvfPq(path, vecCol, idCol,
+      nlist = lists, m = meta.m, ksub = meta.ksub, iters = iters,
+      seed = seed, scale = meta.scale, residual = meta.residual,
+      trainCap = trainCap)
+    val sp = new org.apache.hadoop.fs.Path(snap)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
+
   /** Query the [[DatasetVectorOps.writeIvfPq]] disk layout: probe the
     * `nprobe` nearest cells (same quantized-L2 argmin as the in-memory
     * [[DatasetVectorOps.cosineTopKIvfPq]] — the two produce IDENTICAL
@@ -545,7 +596,8 @@ object VectorOps {
     def writeIvfPq(path: String, vecCol: String, idCol: String,
                    nlist: Int = 8, m: Int = 4, ksub: Int = 4,
                    iters: Int = 2, seed: Long = 42L,
-                   scale: Double = 65536.0, residual: Boolean = false): Unit = {
+                   scale: Double = 65536.0, residual: Boolean = false,
+                   trainCap: Int = 0): Unit = {
       require(nlist >= 1 && m >= 1 && ksub >= 1 && iters >= 0)
       val df = ds.toDF
       val base = VectorOps.quantizedBase(df, vecCol, idCol, scale, keepVec = true)
@@ -581,11 +633,22 @@ object VectorOps {
         require(nRows == 0 || g.getInt(4) == g.getInt(5),
           s"writeIvfPq: vecCol '$vecCol' has ragged dimensions " +
             s"(${g.getInt(4)}..${g.getInt(5)})")
-        val coarse = VectorOps.lloydTrain(base, idCol, nlist, iters, seed)
+        // trainCap > 0 bounds the TRAINING set to a seeded Knuth-hash
+        // sample (the retrain path's knob: Lloyd's iters full passes run
+        // over trainCap rows, not the whole table — codebook quality
+        // needs a representative sample, not every row). The ENCODE
+        // below still covers every row whatever the cap.
+        val trainBase =
+          if (trainCap > 0)
+            base.orderBy(VectorOps.centroidOrder(idCol, seed), col(idCol))
+              .limit(trainCap)
+          else base
+        val coarse = VectorOps.lloydTrain(trainBase, idCol, nlist, iters, seed)
           .getOrElse(throw new IllegalArgumentException(
             "writeIvfPq: dataset is empty — nothing to index"))
-        val celled = VectorOps.withCell(base, coarse)
-        val codesInput =
+        def celledShifted(f: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val celled = VectorOps.withCell(f, coarse)
           if (residual) {
             val centerQ = coarse.map(_.map(v => math.floor(v).toLong))
             celled.withColumn("__qv",
@@ -593,7 +656,11 @@ object VectorOps {
                 element_at(VectorOps.centersLitL(centerQ), col("__c") + 1),
                 (a, b) => a - b))
           } else celled
-        val books = VectorOps.pqTrain(codesInput, idCol, m, ksub, iters, seed).get
+        }
+        val codesInput = celledShifted(base)
+        val books = VectorOps.pqTrain(
+          if (trainCap > 0) celledShifted(trainBase) else codesInput,
+          idCol, m, ksub, iters, seed).get
         val subDim = books(0)(0).length
         // data and meta are TWO independent overwrite jobs; a failure or
         // concurrent rewrite between them would pair fresh codes with
@@ -637,8 +704,9 @@ object VectorOps {
       * worse (ADC error drifts with the distribution), which affects
       * RECALL at small nprobe/refine — never exactness: probing every
       * cell with `refine >= rows` re-ranks the full layout by exact
-      * cosine whatever the codes say. Retrain (full rewrite) when the
-      * drift audit says recall slipped. */
+      * cosine whatever the codes say. When [[VectorOps.auditIvfPqRecall]]
+      * says recall slipped, [[VectorOps.retrainIvfPq]] rewrites the
+      * layout with fresh codebooks. */
     def appendIvfPq(path: String, vecCol: String, idCol: String): Unit = {
       val df = ds.toDF
       val spark = df.sparkSession

@@ -736,6 +736,75 @@ class VectorOpsSpec extends SparkSpec {
       s"the drifted layout must be visible at production probes: ${drifted.toSeq}")
   }
 
+  test("retrainIvfPq: the audit fires on drift, the retrain restores parity") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_spec_retrain").toString
+    // 8 tight clusters (the trained-IVF fixture): a HEALTHY layout is at
+    // full recall at production probes, so the drift->retrain arc is
+    // visible end to end instead of buried in baseline noise
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextDouble() * 100f))
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+      .writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+        iters = 2)
+    // production settings: 2 of 8 cells probed; refine 100 because
+    // m=4/ksub=4 yields only 256 code words, so tight clusters tie
+    // ~80-deep in ADC and a shallower refine truncates inside a tie
+    def audit() = VectorOps.auditIvfPqRecall(spark, path, "embedding",
+      "vec_id", nQueries = 8, k = 5, nprobe = 2, refine = 100)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val pre = audit()
+    assert(pre.length === 8 && pre.forall(_._2 === 1.0),
+      s"healthy layout must audit at parity: $pre")
+    // drift: a second mode the codebooks never saw (mirrored far
+    // centers), appended as a wave — encodes with the OLD books
+    val centers2 = Array.fill(8)(Array.fill(16)(-(rng.nextDouble() * 100f) - 50f))
+    val wave = (0 until 320).map { i =>
+      val c = centers2(i % 8)
+      (1000L + i, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat))
+    }
+    wave.toDF("vec_id", "embedding").appendIvfPq(path, "embedding", "vec_id")
+    val drifted = audit()
+    assert(drifted.exists(_._2 < 1.0), s"the audit must fire: $drifted")
+    assert(drifted.filter(_._1.toLong >= 1000L).exists(_._2 <= 0.5),
+      s"recall collapses exactly on the un-trained wave: $drifted")
+    // ACT on the trigger: retrain codebooks from the CURRENT layout
+    // (both waves) and rewrite as a new generation
+    VectorOps.retrainIvfPq(spark, path, "embedding", "vec_id")
+    val healed = audit()
+    assert(healed.forall(_._2 === 1.0),
+      s"retrain must restore production recall to full-probe parity: " +
+        s"drifted=$drifted healed=$healed")
+    // same rows, fresh MATCHING token pair, snapshot cleaned up
+    assert(spark.read.parquet(s"$path/data").count() === 640L)
+    val tok = spark.read.textFile(s"$path/meta").collect()
+      .find(_.startsWith("token=")).get
+    val dataTok = spark.read.parquet(s"$path/data")
+      .select("__graft_token").distinct().collect().map(_.getString(0))
+    assert(dataTok.length === 1 && s"token=${dataTok(0)}" === tok)
+    assert(!new java.io.File(s"$path/retrain_snapshot").exists())
+  }
+
+  test("retrainIvfPq refuses a torn layout instead of baking in the tear") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_spec_retrain_torn").toString
+    emb.writeIvfPq(path, "embedding", "vec_id", nlist = 4, m = 4, ksub = 4)
+    val tampered = spark.read.textFile(s"$path/meta").collect().toSeq
+      .map(l => if (l.startsWith("token=")) "token=some-other-write" else l)
+    spark.createDataset(tampered).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.retrainIvfPq(spark, path, "embedding", "vec_id")
+    }
+    assert(e.getMessage.contains("write-token mismatch"), e.getMessage)
+  }
+
   test("writeIvfPq: null ids get their own message, not 'must be unique'") {
     import spark.implicits._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
