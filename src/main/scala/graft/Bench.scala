@@ -479,6 +479,12 @@ object Bench {
       graft.index.SpatialDisk.knn(spark, diskPath,
         Array(5000.0, 500.0), 10, Seq("c_custkey")).count()
     }
+    // the at-rest twin of b5_knn_join_grid: same query set, k, tie-break
+    rec.timed("b5d_knn_join_disk") {
+      graft.index.SpatialDisk.knnJoin(supplierPts(spark, sfDir),
+        Seq("sx", "sy"), diskPath, 3,
+        leftId = "s_suppkey", tieBreak = Seq("c_custkey")).count()
+    }
   }
 
   /** One full sweep: ALU + memory brackets around the whole run, plus a

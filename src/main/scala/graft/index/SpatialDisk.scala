@@ -399,6 +399,134 @@ object SpatialDisk {
       .select((left.columns ++ layoutCols).map(col): _*)
   }
 
+  /** kNN join of a query set against the at-rest layout: for each
+    * `left` row, its `k` nearest layout rows by exact distance (equal
+    * distances broken by `tieBreak`, ascending). The in-memory
+    * `knnJoin`'s bound-then-refine discipline applied to directories:
+    *
+    *  1. A bounded driver sample of the left (≤ `sampleCap` points)
+    *     gets per-point GUARANTEED radii from the meta's TRUE cell
+    *     stats — the [[knn]] walk: accumulate cells by minDist until
+    *     they hold ≥ k rows, radius = max furthest-corner distance.
+    *     No data is read; driver cost is sampleCap × cell count, both
+    *     bounded (cells ≤ 2^16 by the write-side require).
+    *  2. Radii group to per-grid-cell bounds (side = the sampled
+    *     radii's max), so a dense region dilates small while a sparse
+    *     one dilates wide — the estimateKnnRadii skew discipline.
+    *  3. Each left row explodes to the coarse cells its radius-dilated
+    *     bbox intersects (the [[distanceJoin]] shape); the distinct
+    *     candidate cells prune directories BEFORE listing (prunedScan),
+    *     and a layout row sits in exactly one cell, so the equi-join
+    *     meets each candidate pair once.
+    *  4. Windowed top-k per left inside the radius; lefts that matched
+    *     fewer than k rows (the sampled radii are guaranteed only AT
+    *     the sampled points) take an exact fallback against the full
+    *     layout — correctness never depends on the sample.
+    *
+    * Output columns: left ++ layout (no internals). */
+  def knnJoin(left: DataFrame, leftKeys: Seq[String], path: String, k: Int,
+              leftId: String, tieBreak: Seq[String],
+              sampleCap: Int = 512): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = left.sparkSession
+    val m = readMeta(spark, path)
+    val dims = m.keyCols.length
+    require(leftKeys.length == dims,
+      s"left dims ${leftKeys.length} != layout dims $dims")
+
+    // ---- driver-side radius bounds from the meta's true cell stats
+    val lPts = graft.operators.SpatialOps.samplePoints(left, leftKeys, sampleCap)
+    val total = m.cells.map(_.count).sum
+    def walkRadius(p: Array[Double]): Double = {
+      val q = graft.spatial.Point(p)
+      val byDist = m.cells.sortBy(_.mbr.minDist(q))
+      var covered = 0L; var r = 0.0; var i = 0
+      while (i < byDist.length && covered < k) {
+        covered += byDist(i).count
+        r = math.max(r, graft.spatial.Dist.furthest(q, byDist(i).mbr))
+        i += 1
+      }
+      r
+    }
+    val radii = lPts.map(walkRadius)
+    val thetaG = if (radii.isEmpty) 0.0 else radii.max
+    // per-grid-cell MAX of the guaranteed sampled radii: quantile 1.0
+    // because each radius is already a certified k-cover at its point —
+    // shrinking below a neighbor's certificate only buys starvation
+    val side = math.max(thetaG, 1e-9)
+    val cellRadii: Map[Seq[Long], Double] =
+      if (lPts.isEmpty) Map.empty
+      else graft.operators.SpatialOps.perCellQuantile(
+        lPts.map(p => p.toSeq.map(x => math.floor(x / side).toLong)),
+        radii, 1.0, Double.MaxValue)
+
+    // ---- dilate, prune, join, window
+    val data0 = validated(spark, path, m)
+    val layoutCols = data0.columns.filterNot(
+      Seq(CellCol, ZCol, TokenCol).contains(_))
+    require(left.columns.intersect(layoutCols).isEmpty,
+      "need disjoint column names between the left side and the layout")
+    val outCols = (left.columns ++ layoutCols).map(col(_))
+    if (total == 0L || lPts.isEmpty)
+      return left.join(data0.select(layoutCols.map(col(_)): _*), lit(false))
+        .select(outCols: _*)
+
+    // per-left radius via a tiny broadcast (grid cell -> radius)
+    val gridCols = (0 until dims).map(i => s"__graft_kj_g$i")
+    val rTable = {
+      import spark.implicits._
+      cellRadii.toSeq.map { case (c, r) => (c.mkString(","), r) }
+        .toDF("__graft_kj_gkey", "__graft_kj_r0")
+    }
+    val gkey = concat_ws(",",
+      (0 until dims).map(i =>
+        floor(col(leftKeys(i)) / side).cast("long").cast("string")): _*)
+    val leftR = left.withColumn("__graft_kj_gkey", gkey)
+      .join(broadcast(rTable), Seq("__graft_kj_gkey"), "left")
+      .withColumn("__graft_kj_r", coalesce(col("__graft_kj_r0"), lit(thetaG)))
+      .drop("__graft_kj_gkey", "__graft_kj_r0")
+    val ordCols = (0 until dims).map(i => s"__graft_kj_o$i")
+    var celled = leftR
+    (0 until dims).foreach { i =>
+      celled = celled.withColumn(ordCols(i), explode(sequence(
+        quantize(col(leftKeys(i)) - col("__graft_kj_r"),
+          m.lows(i), m.highs(i), m.cellBits),
+        quantize(col(leftKeys(i)) + col("__graft_kj_r"),
+          m.lows(i), m.highs(i), m.cellBits))))
+    }
+    val leftCelled = celled
+      .withColumn("__graft_kj_cell", zorderCells(ordCols.map(col(_)), m.cellBits))
+      .drop(ordCols: _*)
+    val cellSet = leftCelled.select(col("__graft_kj_cell")).distinct()
+      .collect().map(_.getLong(0))
+    val data = prunedScan(spark, path, m, cellSet.toIndexedSeq)
+    val dist = graft.functions.pointDistance(
+      leftKeys.map(col(_)), m.keyCols.map(col(_)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(leftId))
+      .orderBy(dist.asc +: tieBreak.map(col(_).asc): _*)
+    val ranked = leftCelled
+      .join(data, col("__graft_kj_cell") === col(CellCol))
+      .filter(dist <= col("__graft_kj_r"))
+      .withColumn("__graft_kj_rn", row_number().over(w))
+      .filter(col("__graft_kj_rn") <= k)
+
+    // exact fallback for starved lefts (< k candidates in the radius)
+    val okIds = ranked.groupBy(col(leftId))
+      .agg(count(lit(1)).as("__graft_kj_n"))
+      .filter(col("__graft_kj_n") === k)
+      .select(col(leftId))
+    val good = ranked.join(okIds, Seq(leftId), "left_semi")
+      .select(outCols: _*)
+    val starved = left.join(okIds, Seq(leftId), "left_anti")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(leftId))
+      .orderBy(dist.asc +: tieBreak.map(col(_).asc): _*)
+    val fallback = starved.join(data0)
+      .withColumn("__graft_kj_rn", row_number().over(wAll))
+      .filter(col("__graft_kj_rn") <= k)
+      .select(outCols: _*)
+    good.unionByName(fallback)
+  }
+
   /** The STATIC side of a stream-static spatial join: the
     * token-validated layout with its routing cell exposed as `cellCol`
     * (internals dropped). Pair with [[withQueryCells]] on the stream

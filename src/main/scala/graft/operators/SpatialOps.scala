@@ -991,7 +991,7 @@ object SpatialOps {
   /** Group per-point radii by an arbitrary cell assignment and take the
     * cell-local quantile, capped at `cap` (the global theta) so grid
     * coverage / triangle-inequality admission stays valid. */
-  private[operators] def perCellQuantile[C](
+  private[graft] def perCellQuantile[C](
       cells: Array[C], radii: Array[Double], quantile: Double,
       cap: Double): Map[C, Double] =
     cells.zip(radii).groupBy(_._1).map { case (c, rs) =>
@@ -1385,7 +1385,7 @@ object SpatialOps {
     * side whose sampling doesn't bias the density estimate). One
     * `limit(cap+1)` probe takes small tables whole; larger tables get a
     * seeded sample capped at `cap`. */
-  private def samplePoints(df: DataFrame, keys: Seq[String], cap: Int): Array[Array[Double]] = {
+  private[graft] def samplePoints(df: DataFrame, keys: Seq[String], cap: Int): Array[Array[Double]] = {
     val projected = df.select(keys.map(c => col(c).cast("double")): _*).na.drop("any")
     val head = projected.limit(cap + 1).collect()
     if (head.length <= cap) toPts(head, keys.length)

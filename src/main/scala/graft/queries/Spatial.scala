@@ -77,6 +77,21 @@ object Spatial {
       .orderBy(col("c_custkey"), col("s_suppkey"))
   }
 
+  /** kNN join where the RIGHT side is the at-rest layout: per-left
+    * guaranteed radii from the meta's true cell stats, dilated-cell
+    * explode, pruned directory scan, windowed top-k + exact fallback.
+    * Same results as the in-memory kNN join with the sides swapped, so
+    * the oracle is the plain window SQL partitioned by the left id. */
+  def diskKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_kj_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    graft.index.SpatialDisk.write(customerPts(s, d), path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.knnJoin(supplierPts(s, d), Seq("sx", "sy"), path,
+        knnJoinK, leftId = "s_suppkey", tieBreak = Seq("c_custkey"))
+      .select(col("c_custkey"), col("s_suppkey"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
   /** Spatio-temporal co-location join: event pairs within 5 spatial
     * units AND 5 minutes — time rides as one more grid axis (a single
     * equi-join on spatial cells + the integer-ms time cell; both exact
@@ -319,6 +334,14 @@ object Spatial {
       s"""SELECT c_custkey, s_suppkey FROM ($custPtsSql) c, ($suppPtsSql) s
          |WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
          |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "sp_disk_knn_join" ->
+      s"""SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c_custkey, s_suppkey,
+         |    ROW_NUMBER() OVER (PARTITION BY s_suppkey
+         |      ORDER BY sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) ASC,
+         |               c_custkey ASC) AS rn
+         |  FROM ($custPtsSql) c CROSS JOIN ($suppPtsSql) s) t
+         |WHERE rn <= 3 ORDER BY c_custkey, s_suppkey""".stripMargin,
     "sp_disk_append_box" ->
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
@@ -459,6 +482,7 @@ object Spatial {
     "sp_disk_box_range" -> (diskBoxRange _),
     "sp_disk_knn" -> (diskKnn _),
     "sp_disk_distance_join" -> (diskDistanceJoin _),
+    "sp_disk_knn_join" -> (diskKnnJoin _),
     "sp_disk_append_box" -> (diskAppendBox _),
     "sp_disk_box_sql" -> (diskBoxSqlQ _),
     "sp_st_join" -> (spatioTemporalJoinQ _),

@@ -221,6 +221,44 @@ class SpatialDiskSpec extends SparkSpec {
       s"contract must be checked where the parameter enters: ${e.getMessage}")
   }
 
+  test("knnJoin against the layout equals the in-memory kNN join; dirs pruned") {
+    val path = freshLayout("kj")
+    val supp = graft.Tables.supplierPts(spark, sf())
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("s_suppkey", "c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = pairs(SpatialDisk.knnJoin(supp, Seq("sx", "sy"), path, 3,
+      leftId = "s_suppkey", tieBreak = Seq("c_custkey")))
+    val want = pairs(supp.knnJoinNaive(cust, Seq("sx", "sy"), Seq("cx", "cy"),
+      3, leftId = "s_suppkey", tieBreak = Seq("c_custkey")))
+    assert(got === want && got.nonEmpty)
+    // every left gets exactly k rows (layout larger than k)
+    val perLeft = SpatialDisk.knnJoin(supp, Seq("sx", "sy"), path, 3,
+      leftId = "s_suppkey", tieBreak = Seq("c_custkey"))
+      .groupBy("s_suppkey").count().select("count")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(perLeft === Seq(3L))
+    // k past the layout size degrades to all rows per left, still exact
+    val all = SpatialDisk.knnJoin(supp.limit(2), Seq("sx", "sy"), path,
+      cust.count().toInt + 5, leftId = "s_suppkey",
+      tieBreak = Seq("c_custkey")).count()
+    assert(all === 2L * cust.count())
+    // a clustered left reads a sliver of the directories
+    val total = spark.read.parquet(s"$path/data")
+      .select(count_distinct(col("__graft_cell"))).head().getLong(0)
+    val clustered = supp.filter(col("sx") < 1000.0 && col("sy") < 200.0)
+    val q = SpatialDisk.knnJoin(clustered, Seq("sx", "sy"), path, 3,
+      leftId = "s_suppkey", tieBreak = Seq("c_custkey"))
+    val qe = q.queryExecution
+    q.collect()
+    val scans = scansOf(qe.executedPlan)
+      .filter(_.toString.contains("__graft_cell"))
+    assert(scans.nonEmpty, s"no layout scan found in:\n${qe.executedPlan}")
+    val read = scans.map(_.metrics("numPartitions").value).max
+    assert(read * 2 < total,
+      s"clustered left read $read of $total cells — no pruning win")
+  }
+
   test("a torn meta/data pair is refused, not silently mis-routed") {
     val path = freshLayout("torn")
     import spark.implicits._
