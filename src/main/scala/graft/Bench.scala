@@ -20,6 +20,10 @@ object Bench {
     * calibration probe runs between phases, so a contention burst is
     * localized to the phase it hit instead of invalidating the whole
     * sweep (VERDICT r7 #6). */
+  private[graft] def entryFor(name: String): (SparkSession, String) => DataFrame =
+    phases.flatMap(_._2).find(_._1 == name).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"no bench entry $name"))
+
   private def phases: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = Seq(
     // b11 (temporal) sorts under its own phase, not "selections" — the
     // b1* prefix match would otherwise bracket the as-of/interval joins
@@ -60,6 +64,28 @@ object Bench {
       val l = eventsPts(s, d)
       val rSide = eventsPts(s, d).select(col("event_id").as("event_id2"),
         col("ts").as("ts2"), col("ex").as("ex2"), col("ey").as("ey2"))
+      l.spatioTemporalJoin(rSide, Seq("ex", "ey"), Seq("ex2", "ey2"),
+          "ts", "ts2", r = 5.0, dtMillis = 300000L)
+        .filter(col("event_id") < col("event_id2"))
+    }),
+    // the skew twin: 30% of events fold into a 10x10 spatial box (2
+    // cells wide at r=5) while their timestamps keep the full span —
+    // the time axis of the composite cell key keeps the equi-join's
+    // buckets thin, so spatial clustering alone must not detonate
+    "b4sts_spatiotemporal_skew" -> ((s: SparkSession, d: String) => {
+      def skew(df: org.apache.spark.sql.DataFrame,
+               x: String, y: String): org.apache.spark.sql.DataFrame =
+        df.withColumn(x, when(col("__id") % 10 < 3, pmod(col(x), lit(10.0)))
+            .otherwise(col(x)))
+          .withColumn(y, when(col("__id") % 10 < 3, pmod(col(y), lit(10.0)))
+            .otherwise(col(y)))
+          .drop("__id")
+      val l = skew(eventsPts(s, d).withColumn("__id", col("event_id")),
+        "ex", "ey")
+      val rSide = skew(eventsPts(s, d)
+        .select(col("event_id").as("event_id2"), col("ts").as("ts2"),
+          col("ex").as("ex2"), col("ey").as("ey2"))
+        .withColumn("__id", col("event_id2")), "ex2", "ey2")
       l.spatioTemporalJoin(rSide, Seq("ex", "ey"), Seq("ex2", "ey2"),
           "ts", "ts2", r = 5.0, dtMillis = 300000L)
         .filter(col("event_id") < col("event_id2"))

@@ -393,6 +393,26 @@ object ScaleTrend {
       spark.stop(); return
     }
 
+    // spatio-temporal co-location over TIME-shifted event replicas:
+    // replica r shifts ts past the table's span, so replicas never
+    // co-locate in time whatever their spatial overlap — per-window
+    // density is constant (the "more days of the same feed" shape) and
+    // the one (space, time)-cell equi-join should read e ≈ 1
+    def b4st(n: Int): Long = {
+      val span = 3600L * 24 * 40 // > the events table's ~31-day span, s
+      val ev = (0 until n).map { r =>
+        eventsPts(spark, d).select(
+          (col("event_id") + lit(r * IdOffset)).as("event_id"),
+          (col("ts") + expr(s"INTERVAL ${r.toLong * span} SECOND")).as("ts"),
+          col("ex"), col("ey"))
+      }.reduce(_ unionByName _)
+      val rSide = ev.select(col("event_id").as("event_id2"),
+        col("ts").as("ts2"), col("ex").as("ex2"), col("ey").as("ey2"))
+      ev.spatioTemporalJoin(rSide, Seq("ex", "ey"), Seq("ex2", "ey2"),
+          "ts", "ts2", r = 5.0, dtMillis = 300000L)
+        .filter(col("event_id") < col("event_id2")).count()
+    }
+
     // epoch shuffle over the replicated corpus: shard count fixed at 8,
     // rows grow ~n — ONE hash exchange + per-shard sorts, so e ≈ 1
     // (the n log n sort term is invisible at these decades)
@@ -452,6 +472,7 @@ object ScaleTrend {
 
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
+          "b4st_spatiotemporal_join" -> (b4st _),
           "b5_knn_join_grid" -> (b5 _),
           "b5_knn_join_pivot" -> (b5p _),
           "b5_knn_join_zorder" -> (b5z _),
