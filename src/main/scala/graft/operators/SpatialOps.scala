@@ -215,6 +215,64 @@ object SpatialOps {
     def spatialFilter(p: SpatialPredicate): DataFrame =
       SpatialPredicate.compile(ds.toDF, p)
 
+    /** Distance join of this POLYGON table against a point table: every
+      * (polygon, point) pair with minDist(polygon, point) <= `r`
+      * (r = 0 keeps containment and boundary contact). The grid
+      * discipline with an EXTENSIVE left: a point sits in exactly ONE
+      * cell, a polygon covers every cell its r-dilated bbox intersects
+      * (two `explode(sequence(...))` over the per-row bbox — the
+      * SpatialDisk.distanceJoin shape), so the cell equi-join meets each
+      * qualifying pair exactly once and the exact polygon test
+      * ([[graft.functions.stDistance]] — point-in-polygon else min
+      * segment distance, codegen'd) refines. Closes the last Simba
+      * shape-join the surface lacked (ref Polygon.scala:32-38).
+      *
+      * `shapeCol` is a [[graft.spatial.ShapeCodec]] struct column of
+      * 2-D polygons (any pair-layout shape works — MBR, segment). Cell
+      * side adapts to the data: max(r, median sampled bbox span), so a
+      * polygon explodes to O(1) cells whatever its size — at 100 TB the
+      * fan-out per polygon stays bounded and the shuffle carries each
+      * point once. */
+    def polygonDistanceJoin(points: Dataset[_], shapeCol: String,
+                            pKeys: Seq[String], r: Double,
+                            sampleCap: Int = 512): DataFrame = {
+      require(r >= 0, s"distance must be >= 0, got $r")
+      require(pKeys.length == 2, "polygonDistanceJoin is 2-D only")
+      val polys = ds.toDF
+      val pts = points.toDF
+      require(polys.columns.intersect(pts.columns).isEmpty,
+        s"polygonDistanceJoin requires disjoint column names, shared: " +
+          polys.columns.intersect(pts.columns).mkString(","))
+      val coords = col(s"$shapeCol.coords")
+      def axis(parity: Int): Column =
+        filter(coords, (_, i) => i % 2 === parity)
+      // bounded driver sample sizes the grid: median per-polygon bbox
+      // span keeps each polygon's cell fan-out O(1) (a fixed side of r
+      // under huge polygons would explode them to span/r cells each)
+      val spans = polys.select(coords).limit(sampleCap).collect().map { row =>
+        val a = row.getSeq[Double](0)
+        val xs = a.indices.collect { case i if i % 2 == 0 => a(i) }
+        val ys = a.indices.collect { case i if i % 2 == 1 => a(i) }
+        math.max(xs.max - xs.min, ys.max - ys.min)
+      }.sorted
+      val side = math.max(1e-9, math.max(r,
+        if (spans.isEmpty) 0.0 else spans(spans.length / 2)))
+      val pl = polys
+        .withColumn("__graft_pj_cx", explode(sequence(
+          floor((array_min(axis(0)) - r) / side).cast("long"),
+          floor((array_max(axis(0)) + r) / side).cast("long"))))
+        .withColumn("__graft_pj_cy", explode(sequence(
+          floor((array_min(axis(1)) - r) / side).cast("long"),
+          floor((array_max(axis(1)) + r) / side).cast("long"))))
+      val pt = pts
+        .withColumn("__graft_pj_cx", floor(col(pKeys(0)) / side).cast("long"))
+        .withColumn("__graft_pj_cy", floor(col(pKeys(1)) / side).cast("long"))
+      pl.join(pt, Seq("__graft_pj_cx", "__graft_pj_cy"))
+        .filter(stDistance(col(shapeCol),
+          stPoint(col(pKeys(0)), col(pKeys(1)))) <= r)
+        .select((polys.columns ++ pts.columns).map(col): _*)
+    }
+
     /** Distance join, grid algorithm: left rows hash to their own cell
       * (side length r), right rows replicate to the 3^d neighborhood, the
       * pair space shrinks to an equi-join on cell id plus a residual exact

@@ -92,6 +92,28 @@ object Spatial {
       .orderBy(col("c_custkey"), col("s_suppkey"))
   }
 
+  /** Polygon × point distance join: 25 nation-derived rectangles run
+    * as GENUINE polygon structs through the shape codec (grid cells
+    * from each polygon's dilated bbox, exact codegen'd polygon
+    * distance — point-in-polygon else min segment distance — refines),
+    * against the customer points at r = 100.37. Rectangles keep the
+    * oracle honest: DuckDB replays the SAME predicate in closed
+    * axis-distance form. */
+  def polygonDistanceJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.spatial.ShapeCodec
+    val cx = col("n_nationkey").cast("double") * 400.0
+    val cy = col("n_nationkey").cast("double") * 40.0
+    val polys = nation(s, d).select(col("n_nationkey"),
+      struct(lit(ShapeCodec.TagPolygon).as("tag"),
+        array(cx - 150.0, cy - 20.0, cx + 150.0, cy - 20.0,
+          cx + 150.0, cy + 20.0, cx - 150.0, cy + 20.0).as("coords"))
+        .as("poly"))
+    polys.polygonDistanceJoin(customerPts(s, d), "poly", Seq("cx", "cy"),
+        100.37)
+      .select(col("n_nationkey"), col("c_custkey"))
+      .orderBy(col("n_nationkey"), col("c_custkey"))
+  }
+
   /** Spatio-temporal co-location join: event pairs within 5 spatial
     * units AND 5 minutes — time rides as one more grid axis (a single
     * equi-join on spatial cells + the integer-ms time cell; both exact
@@ -366,6 +388,17 @@ object Spatial {
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
          |ORDER BY c_custkey""".stripMargin,
+    // rectangles as polygons: the closed-form axis distance IS the
+    // polygon minDist for a point vs an axis-aligned rectangle
+    "sp_polygon_join" ->
+      s"""SELECT n_nationkey, c_custkey
+         |FROM nation n, ($custPtsSql) c
+         |WHERE sqrt(
+         |    pow(greatest(n.n_nationkey*400.0 - 150.0 - cx,
+         |                 cx - (n.n_nationkey*400.0 + 150.0), 0.0), 2)
+         |  + pow(greatest(n.n_nationkey*40.0 - 20.0 - cy,
+         |                 cy - (n.n_nationkey*40.0 + 20.0), 0.0), 2)) <= 100.37
+         |ORDER BY n_nationkey, c_custkey""".stripMargin,
     "sp_bounds_agg" ->
       """SELECT c_mktsegment,
         | min(c_acctbal) AS xmin, min(CAST(c_custkey % 1000 AS DOUBLE)) AS ymin,
@@ -486,6 +519,7 @@ object Spatial {
     "sp_disk_append_box" -> (diskAppendBox _),
     "sp_disk_box_sql" -> (diskBoxSqlQ _),
     "sp_st_join" -> (spatioTemporalJoinQ _),
+    "sp_polygon_join" -> (polygonDistanceJoinQ _),
     "sp_polygon_range" -> (polygonRange _),
     "sp_segment_range" -> (segmentRangeQ _),
     "sp_bounds_agg" -> (boundsBySegment _),

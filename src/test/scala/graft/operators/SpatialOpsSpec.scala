@@ -623,4 +623,38 @@ class SpatialOpsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"spatio-temporal join grew a cross plan:\n$plan")
   }
+
+  test("polygonDistanceJoin equals the naive shape-distance filter; no cartesian") {
+    import graft.functions.{stDistance, stPoint}
+    import graft.spatial.ShapeCodec
+    // nation-derived rectangles as genuine polygon structs: centers on a
+    // diagonal, so some customers are INSIDE (distance 0), some within
+    // r of a boundary, most far away
+    val ncx = col("n_nationkey").cast("double") * 400.0
+    val ncy = col("n_nationkey").cast("double") * 40.0
+    val polys = Tables.nation(spark, sf()).select(col("n_nationkey"),
+      struct(lit(ShapeCodec.TagPolygon).as("tag"),
+        array(ncx - 150.0, ncy - 20.0, ncx + 150.0, ncy - 20.0,
+          ncx + 150.0, ncy + 20.0, ncx - 150.0, ncy + 20.0).as("coords"))
+        .as("poly"))
+    def pairs(df: DataFrame) = df.select("n_nationkey", "c_custkey")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val q = polys.polygonDistanceJoin(cust, "poly", Seq("cx", "cy"), 100.37)
+    val got = pairs(q)
+    val want = pairs(polys.join(cust,
+      stDistance(col("poly"), stPoint(col("cx"), col("cy"))) <= 100.37))
+    assert(got === want && got.nonEmpty)
+    // inside points are kept at distance 0 (containment, not just rim)
+    val inside = polys.join(cust,
+      stDistance(col("poly"), stPoint(col("cx"), col("cy"))) === 0.0)
+    assert(pairs(inside).nonEmpty && pairs(inside).subsetOf(got))
+    // r=0 degrades to exact containment/boundary contact
+    assert(pairs(polys.polygonDistanceJoin(cust, "poly", Seq("cx", "cy"), 0.0))
+      === pairs(inside))
+    // cell equi-join, never a cross plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"polygon join grew a cross plan:\n$plan")
+  }
 }
