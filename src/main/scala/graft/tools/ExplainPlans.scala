@@ -308,6 +308,25 @@ object ExplainPlans {
       graft.index.SpatialDisk.distanceJoin(supplierPts(spark, d),
         Seq("sx", "sy"), path, 100.0)
     }
+    show("spatial_disk_knn_join (expect per-left radius via tiny broadcast, exploded dilated cells, equi-join against the pruned layout scan, window top-k; fallback branch empty-propagated by AQE)") {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_spatial_disk").toString
+      graft.index.SpatialDisk.knnJoin(supplierPts(spark, d),
+        Seq("sx", "sy"), path, 3, leftId = "s_suppkey",
+        tieBreak = Seq("c_custkey"))
+    }
+    show("polygon_distance_join (expect per-polygon bbox-cell explode, equi-join on (cx,cy) cells — no cross — with the codegen'd shape-distance refine)") {
+      import graft.spatial.ShapeCodec
+      val ncx = col("n_nationkey").cast("double") * 400.0
+      val ncy = col("n_nationkey").cast("double") * 40.0
+      nation(spark, d).select(col("n_nationkey"),
+        struct(lit(ShapeCodec.TagPolygon).as("tag"),
+          array(ncx - 150.0, ncy - 20.0, ncx + 150.0, ncy - 20.0,
+            ncx + 150.0, ncy + 20.0, ncx - 150.0, ncy + 20.0).as("coords"))
+          .as("poly"))
+        .polygonDistanceJoin(customerPts(spark, d), "poly",
+          Seq("cx", "cy"), 100.37)
+    }
     show("sql_tvf_distance_join (expect the DataFrame grid plan — cell equi-join, no cross — reached from spark.sql)") {
       graft.plans.GraftExtensions.registerFunctions(spark)
       customerPts(spark, d).createOrReplaceTempView("plans_cust_pts")
