@@ -273,6 +273,84 @@ object SpatialOps {
         .select((polys.columns ++ pts.columns).map(col): _*)
     }
 
+    /** Spatial INTERSECTION join of two mixed-shape tables: every
+      * (left, right) pair whose shapes intersect — the classic spatial
+      * join, partition-based (PBSM): BOTH sides are extensive, so each
+      * row explodes to the grid cells its bbox covers, the cell
+      * equi-join proposes pairs, and the exact codegen'd
+      * [[graft.functions.stIntersects]] test decides. Overlapping
+      * bboxes meet in EVERY shared cell, so duplicates are suppressed
+      * with the reference-point method instead of a distinct shuffle: a
+      * pair is reported only in the single cell holding its
+      * bbox-intersection's min corner (that corner lies inside both
+      * bboxes, so the pair provably meets there; every other shared
+      * cell drops it with a codegen'd comparison).
+      *
+      * Shape columns are [[graft.spatial.ShapeCodec]] structs of any
+      * 2-D shape (point, MBR, circle, polygon, segment — bboxes come
+      * from the coords layout, circles from center ± radius). Cell side
+      * = the larger of the two sides' median sampled bbox spans, so
+      * per-row fan-out stays O(1) whatever the shapes' size — the
+      * 100-TB shape: one shuffle keyed by locality, pair work
+      * proportional to true bbox overlaps, never a cross product. */
+    def shapeIntersectsJoin(right: Dataset[_], lShapeCol: String,
+                            rShapeCol: String,
+                            sampleCap: Int = 512): DataFrame = {
+      val l = ds.toDF
+      val rt = right.toDF
+      require(l.columns.intersect(rt.columns).isEmpty,
+        s"shapeIntersectsJoin requires disjoint column names, shared: " +
+          l.columns.intersect(rt.columns).mkString(","))
+      val circleTag = lit(graft.spatial.ShapeCodec.TagCircle)
+      def lo(shape: Column, parity: Int): Column = {
+        val coords = shape.getField("coords")
+        when(shape.getField("tag") === circleTag,
+          element_at(coords, parity + 1) - element_at(coords, 3))
+          .otherwise(array_min(filter(coords, (_, i) => i % 2 === parity)))
+      }
+      def hi(shape: Column, parity: Int): Column = {
+        val coords = shape.getField("coords")
+        when(shape.getField("tag") === circleTag,
+          element_at(coords, parity + 1) + element_at(coords, 3))
+          .otherwise(array_max(filter(coords, (_, i) => i % 2 === parity)))
+      }
+      // bounded driver sample sizes the grid from the LARGER side's
+      // median bbox span — big shapes dictate the cell so their fan-out
+      // stays O(1); the smaller side lands in O(1) cells regardless
+      def medianSpan(df: DataFrame, c: String): Double = {
+        val spans = df.select(
+          (hi(col(c), 0) - lo(col(c), 0)).as("sx"),
+          (hi(col(c), 1) - lo(col(c), 1)).as("sy"))
+          .limit(sampleCap).collect()
+          .map(r => math.max(r.getDouble(0), r.getDouble(1))).sorted
+        if (spans.isEmpty) 0.0 else spans(spans.length / 2)
+      }
+      val side = math.max(1e-9,
+        math.max(medianSpan(l, lShapeCol), medianSpan(rt, rShapeCol)))
+      def celled(df: DataFrame, c: String, p: String): DataFrame = df
+        .withColumn(s"__graft_ij_${p}lx", lo(col(c), 0))
+        .withColumn(s"__graft_ij_${p}hx", hi(col(c), 0))
+        .withColumn(s"__graft_ij_${p}ly", lo(col(c), 1))
+        .withColumn(s"__graft_ij_${p}hy", hi(col(c), 1))
+        .withColumn("__graft_ij_cx", explode(sequence(
+          floor(col(s"__graft_ij_${p}lx") / side).cast("long"),
+          floor(col(s"__graft_ij_${p}hx") / side).cast("long"))))
+        .withColumn("__graft_ij_cy", explode(sequence(
+          floor(col(s"__graft_ij_${p}ly") / side).cast("long"),
+          floor(col(s"__graft_ij_${p}hy") / side).cast("long"))))
+      celled(l, lShapeCol, "l")
+        .join(celled(rt, rShapeCol, "r"), Seq("__graft_ij_cx", "__graft_ij_cy"))
+        // reference point: the bbox intersection's min corner picks ONE
+        // of the shared cells; all others drop the pair right here
+        .filter(
+          floor(greatest(col("__graft_ij_llx"), col("__graft_ij_rlx")) / side)
+            .cast("long") === col("__graft_ij_cx") &&
+          floor(greatest(col("__graft_ij_lly"), col("__graft_ij_rly")) / side)
+            .cast("long") === col("__graft_ij_cy"))
+        .filter(stIntersects(col(lShapeCol), col(rShapeCol)))
+        .select((l.columns ++ rt.columns).map(col): _*)
+    }
+
     /** Distance join, grid algorithm: left rows hash to their own cell
       * (side length r), right rows replicate to the 3^d neighborhood, the
       * pair space shrinks to an equi-join on cell id plus a residual exact

@@ -114,6 +114,29 @@ object Spatial {
       .orderBy(col("n_nationkey"), col("c_custkey"))
   }
 
+  /** Shape × shape INTERSECTION join (PBSM, reference-point dedup):
+    * nation-derived rectangles against supplier-derived rectangles,
+    * both as genuine MBR structs through the shape codec. Rectangle ×
+    * rectangle intersection is pure interval comparisons, so the
+    * oracle replays the predicate exactly — no float kernels, no
+    * parity risk. */
+  def shapeIntersectsJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.spatial.ShapeCodec
+    val ncx = col("n_nationkey").cast("double") * 400.0
+    val ncy = col("n_nationkey").cast("double") * 40.0
+    val lboxes = nation(s, d).select(col("n_nationkey"),
+      struct(lit(ShapeCodec.TagMBR).as("tag"),
+        array(ncx - 150.0, ncy - 20.0, ncx + 150.0, ncy + 20.0).as("coords"))
+        .as("lbox"))
+    val rboxes = supplierPts(s, d).select(col("s_suppkey"),
+      struct(lit(ShapeCodec.TagMBR).as("tag"),
+        array(col("sx") - 500.0, col("sy") - 80.0,
+          col("sx") + 500.0, col("sy") + 80.0).as("coords")).as("rbox"))
+    lboxes.shapeIntersectsJoin(rboxes, "lbox", "rbox")
+      .select(col("n_nationkey"), col("s_suppkey"))
+      .orderBy(col("n_nationkey"), col("s_suppkey"))
+  }
+
   /** Spatio-temporal co-location join: event pairs within 5 spatial
     * units AND 5 minutes — time rides as one more grid axis (a single
     * equi-join on spatial cells + the integer-ms time cell; both exact
@@ -388,6 +411,16 @@ object Spatial {
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
          |ORDER BY c_custkey""".stripMargin,
+    // rectangle x rectangle intersection = interval overlap per axis —
+    // pure comparisons, exactly replayable
+    "sp_intersects_join" ->
+      s"""SELECT n_nationkey, s_suppkey
+         |FROM nation n, ($suppPtsSql) s
+         |WHERE n.n_nationkey*400.0 - 150.0 <= sx + 500.0
+         |  AND sx - 500.0 <= n.n_nationkey*400.0 + 150.0
+         |  AND n.n_nationkey*40.0 - 20.0 <= sy + 80.0
+         |  AND sy - 80.0 <= n.n_nationkey*40.0 + 20.0
+         |ORDER BY n_nationkey, s_suppkey""".stripMargin,
     // rectangles as polygons: the closed-form axis distance IS the
     // polygon minDist for a point vs an axis-aligned rectangle
     "sp_polygon_join" ->
@@ -520,6 +553,7 @@ object Spatial {
     "sp_disk_box_sql" -> (diskBoxSqlQ _),
     "sp_st_join" -> (spatioTemporalJoinQ _),
     "sp_polygon_join" -> (polygonDistanceJoinQ _),
+    "sp_intersects_join" -> (shapeIntersectsJoinQ _),
     "sp_polygon_range" -> (polygonRange _),
     "sp_segment_range" -> (segmentRangeQ _),
     "sp_bounds_agg" -> (boundsBySegment _),

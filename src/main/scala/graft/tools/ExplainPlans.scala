@@ -327,6 +327,20 @@ object ExplainPlans {
         .polygonDistanceJoin(customerPts(spark, d), "poly",
           Seq("cx", "cy"), 100.37)
     }
+    show("shape_intersects_join (expect both sides exploded to bbox cells, equi-join on the cell — no cross — reference-point filter + codegen'd stIntersects refine)") {
+      import graft.spatial.ShapeCodec
+      val ncx = col("n_nationkey").cast("double") * 400.0
+      val ncy = col("n_nationkey").cast("double") * 40.0
+      val lb = nation(spark, d).select(col("n_nationkey"),
+        struct(lit(ShapeCodec.TagMBR).as("tag"),
+          array(ncx - 150.0, ncy - 20.0, ncx + 150.0, ncy + 20.0).as("coords"))
+          .as("lbox"))
+      val rb = supplierPts(spark, d).select(col("s_suppkey"),
+        struct(lit(ShapeCodec.TagMBR).as("tag"),
+          array(col("sx") - 500.0, col("sy") - 80.0,
+            col("sx") + 500.0, col("sy") + 80.0).as("coords")).as("rbox"))
+      lb.shapeIntersectsJoin(rb, "lbox", "rbox")
+    }
     show("sql_tvf_distance_join (expect the DataFrame grid plan — cell equi-join, no cross — reached from spark.sql)") {
       graft.plans.GraftExtensions.registerFunctions(spark)
       customerPts(spark, d).createOrReplaceTempView("plans_cust_pts")

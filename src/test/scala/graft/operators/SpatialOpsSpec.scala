@@ -624,6 +624,71 @@ class SpatialOpsSpec extends SparkSpec {
       s"spatio-temporal join grew a cross plan:\n$plan")
   }
 
+  test("shapeIntersectsJoin: PBSM parity with naive, each pair exactly once") {
+    import graft.functions.{stIntersects, stShape}
+    import spark.implicits._
+    // deliberately OVERLAPPING big boxes spanning many shared grid
+    // cells: the reference-point rule must still emit each pair once
+    def box(id: Long, lox: Double, loy: Double, hix: Double, hiy: Double) =
+      (id, graft.spatial.MBR(graft.spatial.Point(lox, loy),
+        graft.spatial.Point(hix, hiy)): graft.spatial.Shape)
+    def circle(id: Long, cx: Double, cy: Double, r: Double) =
+      (id, graft.spatial.Circle(graft.spatial.Point(cx, cy), r): graft.spatial.Shape)
+    def poly(id: Long, cx: Double, cy: Double, w: Double, h: Double) =
+      (id, graft.spatial.Polygon(Array(
+        graft.spatial.Point(cx - w, cy - h), graft.spatial.Point(cx + w, cy - h),
+        graft.spatial.Point(cx + w, cy + h), graft.spatial.Point(cx - w, cy + h)))
+        : graft.spatial.Shape)
+    def pt(id: Long, x: Double, y: Double) =
+      (id, graft.spatial.Point(x, y): graft.spatial.Shape)
+    val lShapes = Seq(box(1, 0, 0, 100, 100), box(2, 50, 50, 250, 250),
+      poly(3, 300, 300, 80, 80), circle(4, -50, -50, 40), pt(5, 75, 75))
+    val rShapes = Seq(box(10, 60, 60, 90, 90), box(11, -1000, -1000, 2000, 2000),
+      circle(12, 310, 310, 30), pt(13, 75.0, 75.0), box(14, 5000, 5000, 5001, 5001))
+    def df(s: Seq[(Long, graft.spatial.Shape)], idName: String, shapeName: String) =
+      s.map { case (id, sh) =>
+        val (tag, coords) = graft.spatial.ShapeCodec.encode(sh)
+        (id, tag, coords.toSeq)
+      }.toDF(idName, "__t", "__c")
+        .select(col(idName), struct(col("__t").as("tag"),
+          col("__c").cast("array<double>").as("coords")).as(shapeName))
+    val l = df(lShapes, "lid", "lshape")
+    val r = df(rShapes, "rid", "rshape")
+    def pairs(d: org.apache.spark.sql.DataFrame) = d.select("lid", "rid")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    val got = pairs(l.shapeIntersectsJoin(r, "lshape", "rshape"))
+    val want = pairs(l.crossJoin(r)
+      .filter(stIntersects(col("lshape"), col("rshape"))))
+    assert(got === want && got.nonEmpty, s"got=$got want=$want")
+    // exactly once: no duplicates even for boxes sharing many cells
+    assert(got.distinct === got, s"duplicated pairs: $got")
+    // the all-covering box 11 meets every left shape
+    assert(got.count(_._2 == 11L) === lShapes.length)
+    // supplier-scale parity on real data
+    val ncx = col("n_nationkey").cast("double") * 400.0
+    val ncy = col("n_nationkey").cast("double") * 40.0
+    val lb = Tables.nation(spark, sf()).select(col("n_nationkey"),
+      struct(lit(graft.spatial.ShapeCodec.TagMBR).as("tag"),
+        array(ncx - 150.0, ncy - 20.0, ncx + 150.0, ncy + 20.0).as("coords"))
+        .as("lbox"))
+    val rb = Tables.supplierPts(spark, sf()).select(col("s_suppkey"),
+      struct(lit(graft.spatial.ShapeCodec.TagMBR).as("tag"),
+        array(col("sx") - 500.0, col("sy") - 80.0,
+          col("sx") + 500.0, col("sy") + 80.0).as("coords")).as("rbox"))
+    val q = lb.shapeIntersectsJoin(rb, "lbox", "rbox")
+    val gotReal = q.select("n_nationkey", "s_suppkey").collect()
+      .map(x => (x.getInt(0), x.getLong(1))).toSeq.sorted
+    val wantReal = lb.crossJoin(rb)
+      .filter(stIntersects(col("lbox"), col("rbox")))
+      .select("n_nationkey", "s_suppkey").collect()
+      .map(x => (x.getInt(0), x.getLong(1))).toSeq.sorted
+    assert(gotReal === wantReal && gotReal.nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"intersects join grew a cross plan:\n$plan")
+  }
+
   test("polygonDistanceJoin equals the naive shape-distance filter; no cartesian") {
     import graft.functions.{stDistance, stPoint}
     import graft.spatial.ShapeCodec
