@@ -203,6 +203,39 @@ object SpatialDisk {
       m.bits, m.token, merged.values.toIndexedSeq)
   }
 
+  /** Compact the layout: appended ingest waves leave many small files
+    * inside each cell directory (one per wave per cell — at 100 TB the
+    * open/footer cost of ten thousand shard-files per directory is
+    * what kills a pruned read, not the bytes). One clustered rewrite
+    * re-sorts every cell's rows into few fine-z-ordered files and
+    * publishes a NEW generation: fresh bounds from the current data,
+    * fresh per-cell stats, fresh write token. Crash safety is the
+    * write-token discipline — the current rows are snapshotted beside
+    * the layout first (Spark cannot overwrite a directory it is still
+    * lazily reading), and a failure between the data and meta rewrites
+    * leaves a token-mismatched pair every reader REFUSES; the snapshot
+    * still holds every row for a re-run. A torn input layout is
+    * refused up front. */
+  def compact(path: String, spark: SparkSession): Unit = {
+    val m = readMeta(spark, path)
+    val data = spark.read.parquet(s"$path/data")
+    require(data.columns.contains(TokenCol),
+      s"SpatialDisk.compact: $path/data has no $TokenCol column — the " +
+        "layout is torn or foreign; rewrite with SpatialDisk.write")
+    val tokens = data.select(col(TokenCol)).distinct()
+      .collect().map(_.getString(0))
+    require(tokens.length == 1 && tokens(0) == m.token,
+      s"SpatialDisk.compact: write-token mismatch between $path/meta " +
+        s"and $path/data — refusing to compact a torn layout")
+    val snap = s"$path/compact_snapshot"
+    data.drop(CellCol, ZCol, TokenCol)
+      .write.mode("overwrite").parquet(snap)
+    write(spark.read.parquet(snap), path, m.keyCols,
+      cellBits = m.cellBits, bits = m.bits)
+    val sp = new org.apache.hadoop.fs.Path(snap)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
+
   /** Per-cell on-disk stats: row count + the cell's TRUE MBR. */
   private final case class CellStat(id: Long, count: Long,
                                     mbr: graft.spatial.MBR)

@@ -287,6 +287,48 @@ object VectorOps {
     }).toDF("query_id", "recall").orderBy(col("query_id"))
   }
 
+  /** Compact a [[DatasetVectorOps.writeIvfPq]] layout: appended ingest
+    * waves leave one small file per wave inside each cell directory —
+    * at 100 TB the per-file open/footer cost of thousands of wave
+    * shards per probed cell is what erodes the pruned read, not the
+    * bytes. One clustered rewrite (hash repartition on the cell — each
+    * cell's rows land in exactly one task, so one file per directory)
+    * re-publishes the SAME rows, cells, and codebooks under a FRESH
+    * write token: no retraining, results identical by construction.
+    * Crash safety is the token discipline ([[retrainIvfPq]]): snapshot
+    * first, and a failure between the data and meta rewrites leaves a
+    * token-mismatched pair every reader refuses. */
+  def compactIvfPq(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val meta = readIvfPqMeta(spark, path)
+    val data = spark.read.parquet(s"$path/data")
+    require(data.columns.contains("__graft_token"),
+      s"compactIvfPq: $path/data has no __graft_token column — the " +
+        "layout is torn or foreign; rewrite with writeIvfPq")
+    val tokens = data.select(col("__graft_token")).distinct()
+      .collect().map(_.getString(0))
+    require(tokens.length == 1 && tokens(0) == meta.token,
+      s"compactIvfPq: write-token mismatch between $path/meta and " +
+        s"$path/data — refusing to compact a torn layout")
+    val snap = s"$path/compact_snapshot"
+    data.write.mode("overwrite").parquet(snap)
+    val token = java.util.UUID.randomUUID().toString
+    spark.read.parquet(snap)
+      .withColumn("__graft_token", lit(token))
+      .repartition(col("__graft_cell"))
+      .write.mode("overwrite").partitionBy("__graft_cell")
+      .parquet(s"$path/data")
+    val lines = Seq(
+      "coarse=" + meta.coarse.map(_.mkString(",")).mkString(";"),
+      "books=" + meta.books.map(_.map(_.mkString(",")).mkString(";")).mkString("|"),
+      s"params=m:${meta.m},ksub:${meta.ksub},scale:${meta.scale},residual:${meta.residual}",
+      "token=" + token)
+    import spark.implicits._
+    lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+    val sp = new org.apache.hadoop.fs.Path(snap)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
+
   /** ACT on the drift trigger: retrain the coarse centroids and PQ
     * codebooks of a [[DatasetVectorOps.writeIvfPq]] layout from the
     * CURRENT data (original + every appended wave) and rewrite the

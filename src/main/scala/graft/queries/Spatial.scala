@@ -177,6 +177,10 @@ object Spatial {
       pts.filter(col("c_custkey") % 2 === 0), path, Seq("cx", "cy"))
     graft.index.SpatialDisk.append(
       pts.filter(col("c_custkey") % 2 =!= 0), path)
+    // compact the two write waves into a fresh generation before the
+    // query — the oracle gate exercises the whole at-rest lifecycle
+    // (write -> append -> compact -> query) every sweep
+    graft.index.SpatialDisk.compact(path, s)
     graft.index.SpatialDisk.boxRange(s, path, boxLow.toArray, boxHigh.toArray)
       .orderBy(col("c_custkey"))
   }

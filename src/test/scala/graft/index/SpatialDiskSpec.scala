@@ -259,6 +259,52 @@ class SpatialDiskSpec extends SparkSpec {
       s"clustered left read $read of $total cells — no pruning win")
   }
 
+  test("compact: wave shards collapse to few files, same answers, fresh token") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_compact").toString
+    SpatialDisk.write(cust.filter(col("c_custkey") % 4 === 0), path, Seq("cx", "cy"))
+    (1 to 3).foreach(i =>
+      SpatialDisk.append(cust.filter(col("c_custkey") % 4 === i), path))
+    def dataFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$path/data"))
+    }
+    def tokenOf(): String = spark.read.textFile(s"$path/meta").collect()
+      .find(_.startsWith("token=")).get
+    val before = dataFiles().length
+    val tokenBefore = tokenOf()
+    val lo = Array(2000.0, 100.0); val hi = Array(4000.0, 300.0)
+    val wantBox = SpatialDisk.boxRange(spark, path, lo, hi)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    SpatialDisk.compact(path, spark)
+    // four write waves collapsed: strictly fewer files, same rows
+    val after = dataFiles().length
+    assert(after < before, s"compact must shrink file count: $before -> $after")
+    assert(SpatialDisk.boxRange(spark, path,
+      Array(-1e9, -1e9), Array(1e9, 1e9)).count() === cust.count())
+    val gotBox = SpatialDisk.boxRange(spark, path, lo, hi)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotBox === wantBox)
+    // a NEW generation: fresh token, matching pair
+    assert(tokenOf() !== tokenBefore)
+    val dataTok = spark.read.parquet(s"$path/data")
+      .select("__graft_token").distinct().collect().map(_.getString(0))
+    assert(dataTok.length === 1 && s"token=${dataTok(0)}" === tokenOf())
+    assert(!new java.io.File(s"$path/compact_snapshot").exists())
+    // a torn layout is refused up front, not baked into the next generation
+    import spark.implicits._
+    val tampered = spark.read.textFile(s"$path/meta").collect().toSeq
+      .map(l => if (l.startsWith("token=")) "token=some-other-write" else l)
+    spark.createDataset(tampered).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[IllegalArgumentException] {
+      SpatialDisk.compact(path, spark)
+    }
+    assert(e.getMessage.contains("write-token mismatch"), e.getMessage)
+  }
+
   test("a torn meta/data pair is refused, not silently mis-routed") {
     val path = freshLayout("torn")
     import spark.implicits._

@@ -790,6 +790,56 @@ class VectorOpsSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/retrain_snapshot").exists())
   }
 
+  test("compactIvfPq: wave shards collapse, results identical, fresh token") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_spec_compact").toString
+    emb.filter(col("vec_id") % 4 === 0)
+      .writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4)
+    (1 to 3).foreach(i => emb.filter(col("vec_id") % 4 === i)
+      .appendIvfPq(path, "embedding", "vec_id"))
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$path/data")).length
+    }
+    val q = all.find(_._1 == 1L).get._2
+    val total = emb.count().toInt
+    def topk() = VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
+      q, 10, nprobe = 4, refine = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def topkExact() = VectorOps.readIvfPqTopK(spark, path, "embedding",
+      "vec_id", q, 10, nprobe = 8, refine = total)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = dataFiles()
+    val wantProd = topk(); val wantExact = topkExact()
+    val tokenBefore = spark.read.textFile(s"$path/meta").collect()
+      .find(_.startsWith("token=")).get
+    VectorOps.compactIvfPq(spark, path)
+    // no retraining: cells and codes identical, so BOTH probe settings
+    // return bit-identical results over strictly fewer files
+    assert(dataFiles() < before,
+      s"compact must shrink file count: $before -> ${dataFiles()}")
+    assert(topk() === wantProd && topkExact() === wantExact)
+    val tokenAfter = spark.read.textFile(s"$path/meta").collect()
+      .find(_.startsWith("token=")).get
+    assert(tokenAfter !== tokenBefore)
+    val dataTok = spark.read.parquet(s"$path/data")
+      .select("__graft_token").distinct().collect().map(_.getString(0))
+    assert(dataTok.length === 1 && s"token=${dataTok(0)}" === tokenAfter)
+    assert(!new java.io.File(s"$path/compact_snapshot").exists())
+    // a torn layout is refused up front
+    val tampered = spark.read.textFile(s"$path/meta").collect().toSeq
+      .map(l => if (l.startsWith("token=")) "token=some-other-write" else l)
+    spark.createDataset(tampered).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.compactIvfPq(spark, path)
+    }
+    assert(e.getMessage.contains("write-token mismatch"), e.getMessage)
+  }
+
   test("retrainIvfPq refuses a torn layout instead of baking in the tear") {
     import spark.implicits._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
