@@ -356,6 +356,34 @@ object GraftExtensions {
           csvNums(fn, "center", litString(fn, "center", es(1))),
           litInt(fn, "k", es(2)), tieBreak)
         .queryExecution.logical
+    }),
+    "graft_disk_knn_join" -> (es => {
+      val fn = "graft_disk_knn_join"
+      require(es.length == 5 || es.length == 6,
+        s"$fn(left_table, 'lx,ly', layout_path, k, 'left_id'[, 'tie,break'])")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val tieBreak =
+        if (es.length == 6) csvCols(litString(fn, "tie break", es(5))) else Nil
+      graft.index.SpatialDisk.knnJoin(
+          spark.table(litString(fn, "left table", es(0))),
+          csvCols(litString(fn, "left keys", es(1))),
+          litString(fn, "layout path", es(2)),
+          litInt(fn, "k", es(3)),
+          litString(fn, "left id", es(4)), tieBreak)
+        .queryExecution.logical
+    }),
+    "graft_intersects_join" -> (es => {
+      val fn = "graft_intersects_join"
+      require(es.length == 4,
+        s"$fn(left_table, right_table, 'left_shape_col', 'right_shape_col')")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import graft.operators.SpatialOps._
+      spark.table(litString(fn, "left table", es(0)))
+        .shapeIntersectsJoin(
+          spark.table(litString(fn, "right table", es(1))),
+          litString(fn, "left shape col", es(2)),
+          litString(fn, "right shape col", es(3)))
+        .queryExecution.logical
     })
   )
 }

@@ -216,6 +216,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .select("id1").collect().map(_.getLong(0)).toSet
     assert(dk === wantDk && dk.size === 5)
 
+    // disk kNN JOIN through SQL builds the same pruned-layout plan
+    val dkj = spark.sql(
+      s"SELECT id2, id1 FROM graft_disk_knn_join('tvf_r', 'x2,y2', " +
+        s"'$diskPath', 3, 'id2', 'id1')")
+      .collect().map(t => (t.getLong(0), t.getLong(1))).toSet
+    val wantDkj = graft.index.SpatialDisk.knnJoin(r, Seq("x2", "y2"),
+        diskPath, 3, leftId = "id2", tieBreak = Seq("id1"))
+      .select("id2", "id1").collect()
+      .map(t => (t.getLong(0), t.getLong(1))).toSet
+    assert(dkj === wantDkj && dkj.nonEmpty)
+
+    // intersects join through SQL: same PBSM plan, no cross
+    val lb = l.select(col("id1"), struct(
+      lit(graft.spatial.ShapeCodec.TagMBR).as("tag"),
+      array(col("x1") - 5.0, col("y1") - 5.0,
+        col("x1") + 5.0, col("y1") + 5.0).as("coords")).as("lbox"))
+    val rb = r.select(col("id2"), struct(
+      lit(graft.spatial.ShapeCodec.TagMBR).as("tag"),
+      array(col("x2") - 5.0, col("y2") - 5.0,
+        col("x2") + 5.0, col("y2") + 5.0).as("coords")).as("rbox"))
+    lb.createOrReplaceTempView("tvf_lb")
+    rb.createOrReplaceTempView("tvf_rb")
+    val ij = spark.sql(
+      "SELECT id1, id2 FROM graft_intersects_join('tvf_lb', 'tvf_rb', 'lbox', 'rbox')")
+    val ijPlan = ij.queryExecution.optimizedPlan.toString
+    assert(!ijPlan.contains("Join Cross") && !ijPlan.contains("Cartesian"),
+      s"intersects TVF produced a cross plan:\n$ijPlan")
+    val gotIj = ij.collect().map(t => (t.getLong(0), t.getLong(1))).toSet
+    val wantIj = lb.shapeIntersectsJoin(rb, "lbox", "rbox")
+      .select("id1", "id2").collect()
+      .map(t => (t.getLong(0), t.getLong(1))).toSet
+    assert(gotIj === wantIj && gotIj.nonEmpty)
+
     // a fractional k is a caller mistake — rejected loudly, never
     // silently truncated to its floor
     val eK = intercept[Throwable] {
