@@ -144,6 +144,16 @@ object Advanced {
   def streamAsOfQ(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamAsOf(s, d).orderBy(col("event_id"))
 
+  /** Stream-stream spatio-temporal co-location: both event streams
+    * live, joined on spatial cells with a watermarked event-time range
+    * bound; the exact predicates match the batch operator's contract,
+    * so it answers the batch `sp_st_join` oracle exactly. */
+  def streamStJoinQ(s: SparkSession, d: String): DataFrame =
+    StreamingOps.streamSpatioTemporalJoin(s, d, radius = 5.0,
+        dtMillis = 300000L)
+      .filter(col("event_id") < col("event_id2"))
+      .orderBy(col("event_id"), col("event_id2"))
+
   /** Bucketed interval join: clicks landing inside the 24-hour
     * attribution window opened by each purchase of the same user —
     * the validity-window enrichment shape, as a (key, bucket)
@@ -566,6 +576,10 @@ object Advanced {
     // batch-as-of against a static right side is exact by construction.
     "ts_asof_join" -> asOfOracleSql,
     "st_asof" -> asOfOracleSql,
+    // the stream-stream co-location join answers the batch operator's
+    // oracle: the event-time range is only the state bound (1 ms wider
+    // than the contract), the exact integer-ms predicate decides
+    "st_st_join" -> graft.queries.Spatial.oracles("sp_st_join"),
     // the streaming gate answers to the batch sweep's exact oracle:
     // per-document redaction against static eval grams is micro-batch
     // invariant by construction
@@ -668,6 +682,7 @@ object Advanced {
     "st_span_gate" -> (streamSpanGateQ _),
     "ts_asof_join" -> (asOfJoinQ _),
     "st_asof" -> (streamAsOfQ _),
+    "st_st_join" -> (streamStJoinQ _),
     "ts_interval_join" -> (intervalJoinQ _),
     "sp_range_index" -> (rangeIndexQ _),
     "sp_range_rank" -> (rangeRankQ _),

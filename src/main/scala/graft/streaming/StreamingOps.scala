@@ -241,6 +241,75 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Stream-STREAM spatio-temporal co-location join: two live event
+    * streams joined on the spatial grid cell with an event-time RANGE
+    * condition — the watermark + time-bound pair that lets Spark
+    * expire join state, so it runs forever on unbounded streams (rows
+    * older than watermark + dt leave the buffers). The batch
+    * [[graft.operators.SpatialOps.DatasetSpatialOps.spatioTemporalJoin]]
+    * grid discipline in streaming form: the right stream replicates to
+    * the 3^d neighbor cells as a STATELESS projection, the left keeps
+    * its own cell, a qualifying pair meets in exactly one cell, and
+    * the exact distance + integer-ms |dt| predicates refine.
+    *
+    * The event-time range rides 1 ms WIDER than `dtMillis`: the range
+    * bound compares full-resolution timestamps while the contract's
+    * predicate compares TRUNCATED epoch-ms — a pair at dt =
+    * dtMillis + 0.4 ms truncates into the contract but would miss a
+    * tight range. The range is the state bound; the ms predicate
+    * decides, so the stream answers the batch operator's oracle
+    * exactly. */
+  def streamSpatioTemporalJoin(spark: SparkSession, dir: String,
+                               radius: Double = 5.0,
+                               dtMillis: Long = 300000L,
+                               watermark: String = "30 minutes"): DataFrame = {
+    val pts = graft.Tables.eventsPts(spark, dir)
+    val tag = Integer.toHexString(dir.hashCode)
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stst_src_$tag")
+    java.nio.file.Files.createDirectories(staged)
+    pts.repartition(2).write.mode("overwrite").parquet(staged.toString)
+    val schema = spark.read.parquet(staged.toString).schema
+    def reader() = spark.readStream.schema(schema).parquet(staged.toString)
+    val l = reader()
+      .withWatermark("ts", watermark)
+      .withColumn("__graft_st_cx", floor(col("ex") / radius).cast("long"))
+      .withColumn("__graft_st_cy", floor(col("ey") / radius).cast("long"))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val offArr = array(offsets.map { case (dx, dy) =>
+      array(lit(dx), lit(dy)) }: _*)
+    val rSide = reader()
+      .select(col("event_id").as("event_id2"), col("ts").as("ts2"),
+        col("ex").as("ex2"), col("ey").as("ey2"))
+      .withWatermark("ts2", watermark)
+      .withColumn("__graft_st_off", explode(offArr))
+      .withColumn("__graft_st_rcx",
+        floor(col("ex2") / radius).cast("long") +
+          element_at(col("__graft_st_off"), 1))
+      .withColumn("__graft_st_rcy",
+        floor(col("ey2") / radius).cast("long") +
+          element_at(col("__graft_st_off"), 2))
+      .drop("__graft_st_off")
+    val margin = dtMillis + 1
+    val joined = l.join(rSide,
+      col("__graft_st_cx") === col("__graft_st_rcx") &&
+        col("__graft_st_cy") === col("__graft_st_rcy") &&
+        col("ts2") >= col("ts") - expr(s"INTERVAL $margin MILLISECOND") &&
+        col("ts2") <= col("ts") + expr(s"INTERVAL $margin MILLISECOND") &&
+        graft.functions.pointDistance(
+          Seq(col("ex"), col("ey")), Seq(col("ex2"), col("ey2"))) <= radius &&
+        abs(unix_millis(col("ts")) - unix_millis(col("ts2"))) <= dtMillis)
+      .select(col("event_id"), col("event_id2"))
+    val sinkName = s"graft_stst_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Streaming repeated-passage gate: newly-arriving documents stream
     * through a stream-static ANTI join against the STATIC corpus's
     * passage-digest table — any fixed-width passage already present in

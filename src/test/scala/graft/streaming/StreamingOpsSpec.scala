@@ -286,6 +286,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream spatio-temporal join equals the batch grid join") {
+    import graft.operators.SpatialOps._
+    // wider radius/window than the oracle query so the pair set is rich
+    val got = StreamingOps.streamSpatioTemporalJoin(spark, sf(),
+        radius = 20.0, dtMillis = 1800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.eventsPts(spark, sf())
+    val rSide = ev.select(col("event_id").as("event_id2"),
+      col("ts").as("ts2"), col("ex").as("ex2"), col("ey").as("ey2"))
+    val want = ev.spatioTemporalJoin(rSide, Seq("ex", "ey"),
+        Seq("ex2", "ey2"), "ts", "ts2", r = 20.0, dtMillis = 1800000L)
+      .select("event_id", "event_id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want && got.nonEmpty,
+      s"stream-stream pairs diverge: missing=${(want -- got).take(5)} " +
+        s"extra=${(got -- want).take(5)}")
+  }
+
   test("splitAssign composes over a stream and agrees with the batch assignment") {
     import spark.implicits._
     import graft.operators.SampleOps._
