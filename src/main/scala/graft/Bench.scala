@@ -60,6 +60,32 @@ object Bench {
         Seq("c2x", "c2y"), 50.0)),
     // B4ST: spatio-temporal co-location self-join (r10) — one equi-join
     // on (spatial cells, integer-ms time cell), both exact predicates
+    // B4P: polygon x point distance join at full table size — supplier
+    // diamonds against every customer point (the oracle query's 25-row
+    // nation side measures nothing)
+    "b4p_polygon_join" -> ((s: SparkSession, d: String) => {
+      import graft.spatial.ShapeCodec
+      val polys = supplierPts(s, d).select(col("s_suppkey"),
+        struct(lit(ShapeCodec.TagPolygon).as("tag"),
+          array(col("sx") - 150.0, col("sy"), col("sx"), col("sy") - 30.0,
+            col("sx") + 150.0, col("sy"), col("sx"), col("sy") + 30.0)
+            .as("coords")).as("poly"))
+      polys.polygonDistanceJoin(customerPts(s, d), "poly",
+        Seq("cx", "cy"), 50.0)
+    }),
+    // B4X: PBSM intersects join, supplier boxes x customer boxes
+    "b4x_intersects_join" -> ((s: SparkSession, d: String) => {
+      import graft.spatial.ShapeCodec
+      val lb = supplierPts(s, d).select(col("s_suppkey"),
+        struct(lit(ShapeCodec.TagMBR).as("tag"),
+          array(col("sx") - 500.0, col("sy") - 80.0,
+            col("sx") + 500.0, col("sy") + 80.0).as("coords")).as("lbox"))
+      val rb = customerPts(s, d).select(col("c_custkey"),
+        struct(lit(ShapeCodec.TagMBR).as("tag"),
+          array(col("cx") - 50.0, col("cy") - 8.0,
+            col("cx") + 50.0, col("cy") + 8.0).as("coords")).as("rbox"))
+      lb.shapeIntersectsJoin(rb, "lbox", "rbox")
+    }),
     "b4st_spatiotemporal_join" -> ((s: SparkSession, d: String) => {
       val l = eventsPts(s, d)
       val rSide = eventsPts(s, d).select(col("event_id").as("event_id2"),

@@ -413,6 +413,22 @@ object ScaleTrend {
         .filter(col("event_id") < col("event_id2")).count()
     }
 
+    // PBSM intersects join over shifted replicas: boxes shift with
+    // their centers, replicas stay disjoint in x, so true overlaps —
+    // and the reference-point-deduped pair work — grow ~n
+    def b4x(n: Int): Long = {
+      import graft.spatial.ShapeCodec
+      val lb = suppRep(spark, d, n).select(col("rid"),
+        struct(lit(ShapeCodec.TagMBR).as("tag"),
+          array(col("rx") - 500.0, col("ry") - 80.0,
+            col("rx") + 500.0, col("ry") + 80.0).as("coords")).as("lbox"))
+      val rb = custRep(spark, d, n, "c").select(col("cid"),
+        struct(lit(ShapeCodec.TagMBR).as("tag"),
+          array(col("cx") - 50.0, col("cy") - 8.0,
+            col("cx") + 50.0, col("cy") + 8.0).as("coords")).as("rbox"))
+      lb.shapeIntersectsJoin(rb, "lbox", "rbox").count()
+    }
+
     // epoch shuffle over the replicated corpus: shard count fixed at 8,
     // rows grow ~n — ONE hash exchange + per-shard sorts, so e ≈ 1
     // (the n log n sort term is invisible at these decades)
@@ -473,6 +489,7 @@ object ScaleTrend {
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b4st_spatiotemporal_join" -> (b4st _),
+          "b4x_intersects_join" -> (b4x _),
           "b5_knn_join_grid" -> (b5 _),
           "b5_knn_join_pivot" -> (b5p _),
           "b5_knn_join_zorder" -> (b5z _),
