@@ -66,7 +66,13 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
-    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else Some(poolGray(img, dim))
+  }
+
+  /** Grid-mean pooling of decoded pixels — the shared kernel behind
+    * [[decodeImage]] and [[decodeGifFrames]]. */
+  private def poolGray(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
     val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
     val gh = (dim + gw - 1) / gw
     val sums = new Array[Double](gw * gh)
@@ -99,27 +105,132 @@ object Multimodal {
     val n = math.sqrt(norm).toFloat
     if (n > 0) { k = 0; while (k < dim) { out(k) /= n; k += 1 } }
     else out(0) = 1.0f // pure-black image: a fixed unit direction
-    Some(out)
+    out
+  }
+
+  /** REAL video-frame extraction for the one motion container the JDK
+    * ships a codec for: animated GIF through ImageIO's frame-indexed
+    * reader. Every `stride`-th frame decodes to pixels and pools to a
+    * `dim` grid-mean feature vector ([[poolGray]] — the image kernel).
+    * Returns (frame index, features) pairs; None when the bytes are
+    * not a GIF the reader accepts, so callers can fall back instead of
+    * failing mid-pipeline. */
+  def decodeGifFrames(bytes: Array[Byte], stride: Int,
+                      dim: Int): Option[Seq[(Int, Array[Float])]] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      if (n <= 0) None
+      else Some((0 until n by stride).map(i => i -> poolGray(reader.read(i), dim)))
+    } catch { case _: Exception => None }
+    finally {
+      reader.dispose()
+      if (iis != null) iis.close()
+    }
+  }
+
+  /** REAL audio decode: WAV/AIFF bytes through `javax.sound.sampled`
+    * (ships with the JDK) to PCM samples, pooled into a per-window RMS
+    * energy vector — the time-domain envelope descriptor — and
+    * unit-normalized like every embedding this engine searches over.
+    * Multi-channel audio averages channels per frame. Returns None when
+    * the bytes are not a decodable audio container or not PCM-encoded,
+    * so callers fall back to the stub instead of failing mid-pipeline. */
+  def decodeAudio(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val stream =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (stream == null) return None
+    try {
+      val fmt = stream.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!signed && !unsigned) return None
+      val bits = fmt.getSampleSizeInBits
+      if (bits != 8 && bits != 16) return None
+      val raw = stream.readAllBytes()
+      val bytesPerSample = bits / 8
+      val channels = math.max(1, fmt.getChannels)
+      val frameBytes = bytesPerSample * channels
+      val nFrames = raw.length / frameBytes
+      if (nFrames == 0) return None
+      // mean over channels per frame, normalized to [-1, 1]
+      val samples = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < channels) {
+          val off = f * frameBytes + c * bytesPerSample
+          val v =
+            if (bits == 8) {
+              if (unsigned) ((raw(off) & 0xFF) - 128) / 128.0
+              else raw(off) / 128.0
+            } else {
+              val lo = raw(off) & 0xFF
+              val hi = raw(off + 1) & 0xFF
+              val s =
+                if (fmt.isBigEndian) ((raw(off) << 8) | (raw(off + 1) & 0xFF))
+                else ((raw(off + 1) << 8) | lo)
+              (if (unsigned) (s & 0xFFFF) - 32768 else s.toShort.toInt) / 32768.0
+            }
+          acc += v
+          c += 1
+        }
+        samples(f) = acc / channels
+        f += 1
+      }
+      // per-window RMS energy over `dim` equal windows
+      val out = new Array[Float](dim)
+      var norm = 0.0
+      var k = 0
+      while (k < dim) {
+        val lo = (k.toLong * nFrames / dim).toInt
+        val hi = math.max(lo + 1, ((k + 1).toLong * nFrames / dim).toInt)
+        var ss = 0.0
+        var i = lo
+        while (i < hi && i < nFrames) { ss += samples(i) * samples(i); i += 1 }
+        val v = math.sqrt(ss / math.max(1, math.min(hi, nFrames) - lo)).toFloat
+        out(k) = v
+        norm += v.toDouble * v.toDouble
+        k += 1
+      }
+      val n = math.sqrt(norm).toFloat
+      if (n > 0) { k = 0; while (k < dim) { out(k) /= n; k += 1 } }
+      else out(0) = 1.0f // digital silence: a fixed unit direction
+      Some(out)
+    } catch { case _: Exception => None }
+    finally stream.close()
   }
 
   /** The per-row decode dispatch [[extractFeatures]] runs: image bytes
-    * through the REAL [[decodeImage]] path, everything else (audio,
-    * video — no codecs in this container) and non-decodable image
+    * through the REAL [[decodeImage]] path, audio bytes through the
+    * REAL [[decodeAudio]] path, video (no container codec in the JDK —
+    * but see [[sampleGifFrames]] for the GIF form) and non-decodable
     * payloads through the deterministic [[decodeStub]]. */
   def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float] =
     if (kind == "image") decodeImage(bytes, dim).getOrElse(decodeStub(bytes, dim))
+    else if (kind == "audio") decodeAudio(bytes, dim).getOrElse(decodeStub(bytes, dim))
     else decodeStub(bytes, dim)
 
-  /** A small REAL PNG, deterministically derived from the media id: an
-    * id-seeded integer gradient pattern, so distinct media decode to
-    * distinct pooled features. Runs inside executors (per-partition). */
-  private def syntheticPng(mediaId: Long, side: Int): Array[Byte] = {
+  /** An id-seeded integer gradient frame — the pixel source behind the
+    * synthetic PNG/GIF payloads; `framePhase` animates it. */
+  private def syntheticImage(mediaId: Long, side: Int,
+                             framePhase: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val h = mediaId * 0x9E3779B97F4A7C15L
     val fx = 1 + (h & 3L).toInt
     val fy = 1 + ((h >>> 2) & 3L).toInt
-    val phase = ((h >>> 32) & 0xFFL).toInt
+    val phase = ((h >>> 32) & 0xFFL).toInt + framePhase * 37
     var y = 0
     while (y < side) {
       var x = 0
@@ -130,17 +241,81 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** A small REAL PNG, deterministically derived from the media id, so
+    * distinct media decode to distinct pooled features. Runs inside
+    * executors (per-partition). */
+  private def syntheticPng(mediaId: Long, side: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(syntheticImage(mediaId, side, 0), "png", out)
+    out.toByteArray
+  }
+
+  /** A small REAL WAV (16-bit PCM mono), deterministically derived from
+    * the media id: an id-seeded two-tone mixture written through the
+    * JDK's own WAVE writer, so the container is a real encoder's
+    * output. StrictMath keeps the samples platform-deterministic. */
+  private[multimodal] def syntheticWav(mediaId: Long, nSamples: Int,
+                                       rate: Int = 8000): Array[Byte] = {
+    val h = mediaId * 0x9E3779B97F4A7C15L
+    val f1 = 110.0 + ((h >>> 8) & 0xFFL).toInt
+    val f2 = 400.0 + ((h >>> 16) & 0xFFL).toInt * 2.0
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val t = i.toDouble / rate
+      val v = 0.5 * StrictMath.sin(2 * math.Pi * f1 * t) +
+        0.3 * StrictMath.sin(2 * math.Pi * f2 * t)
+      val s = math.max(-32768.0, math.min(32767.0, math.rint(v * 20000))).toInt
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** A small REAL animated GIF, deterministically derived from the
+    * media id (`2 + id % 4` frames of the moving gradient), written
+    * through ImageIO's own GIF sequence writer. */
+  private[multimodal] def syntheticGif(mediaId: Long, side: Int): Array[Byte] = {
+    val frames = 2 + (mediaId % 4).toInt
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "JDK GIF writer missing")
+    val writer = writers.next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(
+          syntheticImage(mediaId, side, f), null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     out.toByteArray
   }
 
   /** Synthesize a deterministic media table from `documents` — the test
     * double for a real binary source, keeping every downstream op
-    * runnable. IMAGE rows carry REAL PNG payloads ([[syntheticPng]]) so
-    * the correctness gate exercises the true `javax.imageio` decode;
-    * audio/video rows keep UTF-8 text bytes (their decode is the stub,
-    * and the frame-sample oracle replays the byte slicing in SQL). */
+    * runnable. IMAGE rows carry REAL PNG payloads ([[syntheticPng]])
+    * and AUDIO rows REAL WAV payloads ([[syntheticWav]]), so the
+    * correctness gate exercises the true `javax.imageio` /
+    * `javax.sound.sampled` decodes; video rows keep UTF-8 text bytes
+    * (the frame-sample oracle replays that byte slicing in SQL — the
+    * real GIF frame path has its own table, [[syntheticGifTable]]). */
   def syntheticMediaTable(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     val kinds = Seq("image", "audio", "video")
@@ -153,10 +328,46 @@ object Multimodal {
     import spark.implicits._
     base.as[MediaRow].mapPartitions { rows =>
       rows.map { m =>
-        if (m.kind != "image") m
-        else MediaRow(m.media_id, m.kind, syntheticPng(m.media_id, 24), 24, 24)
+        m.kind match {
+          case "image" =>
+            MediaRow(m.media_id, m.kind, syntheticPng(m.media_id, 24), 24, 24)
+          case "audio" =>
+            MediaRow(m.media_id, m.kind,
+              syntheticWav(m.media_id, nSamples = 1600), 0, 0)
+          case _ => m
+        }
       }
     }.toDF()
+  }
+
+  /** Video-kind media with REAL animated-GIF payloads (id-seeded frame
+    * counts, moving gradient) — the fixture [[sampleGifFrames]] runs
+    * over in the correctness gate. Bounded to ids under `maxId` so the
+    * per-row GIF encode stays a test-scale cost. */
+  def syntheticGifTable(spark: SparkSession, dir: String,
+                        maxId: Long = 90L): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2 && col("doc_id") < maxId)
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { ids =>
+      ids.map(id => MediaRow(id, "video", syntheticGif(id, 16), 16, 16))
+    }.toDF()
+  }
+
+  /** REAL frame sampling over GIF video rows: every `stride`-th frame
+    * of each animated GIF decodes to pixels and pools to features —
+    * (media_id, frame_idx, features). Non-GIF payloads contribute no
+    * rows (the decode is format-sniffed, never a crash). */
+  def sampleGifFrames(media: Dataset[MediaRow], stride: Int = 2,
+                      dim: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter((m: MediaRow) => m.kind == "video").mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodeGifFrames(m.bytes, stride, dim).toSeq.flatten.map {
+          case (idx, feats) => (m.media_id, idx, feats)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "features")
   }
 
   /** Batch feature extraction: iterator-based per-partition processing

@@ -372,6 +372,28 @@ object Advanced {
         length(col("frame")).cast("int").as("frame_len"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** REAL video-frame extraction: every 2nd frame of each id-seeded
+    * animated GIF decodes through ImageIO's frame-indexed reader and
+    * pools to features. Contract columns verified ENGINE-side (a
+    * second independent decode must agree bit-for-bit; dims fixed);
+    * DuckDB predicts the table shape from `documents` alone (frame
+    * count = 2 + id % 4, stride 2). */
+  def mediaGifFramesQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def frames() = Multimodal.sampleGifFrames(
+      Multimodal.syntheticGifTable(s, d).as[Multimodal.MediaRow],
+      stride = 2, dim = 16)
+    val again = frames().select(col("media_id").as("__m"),
+      col("frame_idx").as("__f"), col("features").as("__feat2"))
+    frames()
+      .join(again, col("media_id") === col("__m") &&
+        col("frame_idx") === col("__f"))
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+        (col("features") === col("__feat2")).as("deterministic"),
+        (size(col("features")) === 16).as("dim_ok"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   private val sessionsOracleSql =
       """SELECT user_id, start_ms, end_ms, n_events, total_value FROM (
         |  SELECT user_id, MIN(t) AS start_ms, MAX(t) AS end_ms,
@@ -642,6 +664,16 @@ object Advanced {
       """SELECT CAST(r AS INT) AS rank, TRUE AS top1_is_self, TRUE AS cos_exact
         |FROM (SELECT row_number() OVER (ORDER BY doc_id) AS r FROM documents) t
         |WHERE r <= 10 ORDER BY rank""".stripMargin,
+    // real GIF decode contract: DuckDB predicts the frame table's shape
+    // (2 + id % 4 frames, stride 2) while determinism and dims are
+    // verified engine-side by a second independent decode
+    "mm_gif_frames" ->
+      """SELECT doc_id AS media_id, CAST(u.f AS INT) AS frame_idx,
+        |  TRUE AS deterministic, TRUE AS dim_ok
+        |FROM documents,
+        |  UNNEST(generate_series(0, CAST(2 + doc_id % 4 AS INT) - 1, 2)) AS u(f)
+        |WHERE doc_id % 3 = 2 AND doc_id < 90
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "sp_zknn_join" ->
       """SELECT c_custkey, CAST(u.r AS INT) AS rank,
         |  TRUE AS rights_distinct, TRUE AS covers_exact_kth
@@ -693,6 +725,7 @@ object Advanced {
     "sp_kdtree_partition" -> (kdTreePartitionQ _),
     "mm_features_topk" -> (mediaFeaturesTopK _),
     "mm_frame_sample" -> (mediaFrameSample _),
+    "mm_gif_frames" -> (mediaGifFramesQ _),
     "sp_point_udt_range" -> (pointUdtRangeQ _),
     "q27_quantile_stats" -> (quantileStatsQ _),
     "q28_outlier_filter" -> (outlierFilterQ _)

@@ -79,19 +79,99 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeImage(jout.toByteArray, 32).isDefined)
   }
 
-  test("decodeFeatures: image kind takes the real path, others the stub") {
+  test("decodeFeatures: image/audio take the real paths, the rest the stub") {
     val png = pngBytes(32, 32, 0, 255)
     assert(decodeFeatures("image", png, 16).toSeq ===
       decodeImage(png, 16).get.toSeq)
-    // audio/video stay on the stub (no codecs in this container)
+    // PNG bytes under the audio kind are NOT decodable audio — fallback
+    assert(decodeAudio(png, 16).isEmpty)
     assert(decodeFeatures("audio", png, 16).toSeq ===
       decodeStub(png, 16).toSeq)
-    // non-decodable image payloads (the synthetic table's UTF-8 bytes)
-    // fall back to the stub instead of failing mid-pipeline
+    // a real WAV under the audio kind takes the real decode
+    val wav = syntheticWav(7L, nSamples = 800)
+    assert(decodeFeatures("audio", wav, 16).toSeq ===
+      decodeAudio(wav, 16).get.toSeq)
+    // video stays on the stub at the feature level (frame extraction is
+    // its own surface, sampleGifFrames)
+    assert(decodeFeatures("video", wav, 16).toSeq ===
+      decodeStub(wav, 16).toSeq)
+    // non-decodable image payloads fall back to the stub
     val text = "not an image at all".getBytes("UTF-8")
     assert(decodeImage(text, 16).isEmpty)
     assert(decodeFeatures("image", text, 16).toSeq ===
       decodeStub(text, 16).toSeq)
+  }
+
+  test("decodeAudio: REAL WAV decode — deterministic, content-driven, not the stub") {
+    val wav = syntheticWav(42L, nSamples = 1600)
+    // RIFF container magic: the payload is a genuine WAV
+    assert(wav(0) == 'R'.toByte && wav(1) == 'I'.toByte &&
+      wav(2) == 'F'.toByte && wav(3) == 'F'.toByte)
+    val a = decodeAudio(wav, 16).get
+    val b = decodeAudio(wav, 16).get
+    assert(a.toSeq === b.toSeq, "decode must be deterministic")
+    assert(a.toSeq !== decodeStub(wav, 16).toSeq,
+      "real decode must differ from the hash stub on the same bytes")
+    val norm = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // different ids mix different tones -> different envelopes
+    val other = decodeAudio(syntheticWav(43L, nSamples = 1600), 16).get
+    assert(a.toSeq !== other.toSeq)
+    // a LOUD vs QUIET window structure must be visible: a WAV whose
+    // second half is silence pools to near-zero trailing windows
+    val halfSilent = {
+      val full = syntheticWav(42L, nSamples = 1600)
+      // zero the last 800 samples in the data chunk (tail of the file)
+      val c = full.clone()
+      var i = c.length - 1600; while (i < c.length) { c(i) = 0; i += 1 }
+      c
+    }
+    val hs = decodeAudio(halfSilent, 16).get
+    assert(hs.takeRight(4).forall(v => math.abs(v) < 0.05),
+      s"silent tail must pool near zero: ${hs.toSeq}")
+  }
+
+  test("decodeGifFrames: REAL animated-GIF frames — counts, stride, determinism") {
+    val gif = syntheticGif(10L, side = 16) // 2 + 10%4 = 4 frames
+    assert(gif(0) == 'G'.toByte && gif(1) == 'I'.toByte && gif(2) == 'F'.toByte)
+    val all = decodeGifFrames(gif, stride = 1, dim = 16).get
+    assert(all.map(_._1) === Seq(0, 1, 2, 3))
+    val strided = decodeGifFrames(gif, stride = 2, dim = 16).get
+    assert(strided.map(_._1) === Seq(0, 2))
+    // strided frames ARE the corresponding full-decode frames
+    assert(strided.map(_._2.toSeq) ===
+      Seq(all(0)._2.toSeq, all(2)._2.toSeq))
+    // frames animate: consecutive frames differ
+    assert(all(0)._2.toSeq !== all(1)._2.toSeq)
+    // deterministic across decodes
+    assert(decodeGifFrames(gif, stride = 2, dim = 16).get.map(_._2.toSeq) ===
+      strided.map(_._2.toSeq))
+    // non-GIF bytes are refused, not crashed on
+    assert(decodeGifFrames(pngBytes(16, 16, 0, 255), 1, 16).isEmpty)
+  }
+
+  test("sampleGifFrames runs the real frame decode distributed") {
+    import spark.implicits._
+    val media = syntheticGifTable(spark, sf())
+    assert(media.count() > 0)
+    val frames = sampleGifFrames(media.as[MediaRow], stride = 2, dim = 16)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    // per id: frame count = ceil((2 + id % 4) / 2), indices 0,2,..
+    val byId = rows.groupBy(_.getLong(0))
+    byId.foreach { case (id, rs) =>
+      val n = 2 + (id % 4).toInt
+      val wantIdx = (0 until n by 2).toSeq
+      assert(rs.map(_.getInt(1)).sorted.toSeq === wantIdx, s"media $id")
+    }
+    // features equal a driver-side decode of the same payload
+    val one = media.as[MediaRow].filter((m: MediaRow) => m.media_id == rows.head.getLong(0))
+      .head()
+    val driverFeats = decodeGifFrames(one.bytes, 2, 16).get.toMap
+    rows.filter(_.getLong(0) == one.media_id).foreach { r =>
+      assert(r.getSeq[Float](2).toSeq ===
+        driverFeats(r.getInt(1)).toSeq)
+    }
   }
 
   test("extractFeatures runs the real decode distributed over PNG rows") {
