@@ -43,6 +43,12 @@ object SpatialDisk {
     * listing, never one probe per candidate cell" contract. */
   private[graft] val pruneFsCalls = new java.util.concurrent.atomic.AtomicLong
 
+  /** Explicit directory paths the last [[prunedScan]] handed the
+    * reader (-1 when it fell back to the full listing) — observability
+    * for specs now that consumers may materialize the scan at build
+    * time, where plan introspection can no longer see it. */
+  private[graft] val pruneLastPathCount = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** Write the layout. `cellBits` sets directory granularity: d
     * dimensions make up to `2^(d*cellBits)` directories (default 5 ->
     * 1024 cells in 2-d — coarse enough that a 100-TB table still
@@ -305,8 +311,10 @@ object SpatialDisk {
   private def prunedScan(spark: SparkSession, path: String, m: Meta,
                          cells: Seq[Long]): DataFrame = {
     val dataPath = s"$path/data"
-    def full() = validated(spark, path, m)
-      .filter(col(CellCol).isin(cells: _*))
+    def full() = {
+      pruneLastPathCount.set(-1L)
+      validated(spark, path, m).filter(col(CellCol).isin(cells: _*))
+    }
     if (cells.isEmpty || cells.length > 1024) return full()
     val base = new org.apache.hadoop.fs.Path(dataPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -324,6 +332,7 @@ object SpatialDisk {
     }.toSet
     val existing = cells.filter(present.contains)
       .map(c => s"$dataPath/$CellCol=$c")
+    pruneLastPathCount.set(existing.length.toLong)
     if (existing.isEmpty) return full().filter(lit(false))
     // the isin is semantically redundant on the restricted read but is
     // what surfaces as the plan's PartitionFilters IN-set; prunedScan
@@ -470,16 +479,50 @@ object SpatialDisk {
     // ---- driver-side radius bounds from the meta's true cell stats
     val lPts = graft.operators.SpatialOps.samplePoints(left, leftKeys, sampleCap)
     val total = m.cells.map(_.count).sum
+    val cellArr = m.cells.toArray
+    // radius per sampled point = min(CERTIFIED walk bound, density
+    // ESTIMATE). The walk bound (accumulate cells by minDist until they
+    // hold >= k rows, take the max furthest corner) provably covers k
+    // but is only as tight as the cells — a coarse anisotropic cell
+    // makes it the cell diagonal, and the dilated candidate join
+    // detonates (measured 10 s at the 100x slice, where cells run 8600
+    // wide). The density estimate (radius of a disc holding k rows at
+    // the nearest cell's density, x2 safety) tracks the actual kth-NN
+    // scale instead; it is NOT certified, and does not need to be —
+    // starved lefts take the observed count-routed exact fallback.
     def walkRadius(p: Array[Double]): Double = {
       val q = graft.spatial.Point(p)
-      val byDist = m.cells.sortBy(_.mbr.minDist(q))
-      var covered = 0L; var r = 0.0; var i = 0
-      while (i < byDist.length && covered < k) {
-        covered += byDist(i).count
-        r = math.max(r, graft.spatial.Dist.furthest(q, byDist(i).mbr))
+      // nearest cell: ONE linear scan (at 2^14 cells a per-sample sort
+      // dominated the whole driver phase)
+      var best: CellStat = null
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < cellArr.length) {
+        val d = cellArr(i).mbr.minDist(q)
+        if (d < bestD) { bestD = d; best = cellArr(i) }
         i += 1
       }
-      r
+      val certified: Double =
+        if (best != null && best.count >= k)
+          graft.spatial.Dist.furthest(q, best.mbr)
+        else {
+          val byDist = m.cells.sortBy(_.mbr.minDist(q))
+          var covered = 0L; var r = 0.0; var j = 0
+          while (j < byDist.length && covered < k) {
+            covered += byDist(j).count
+            r = math.max(r, graft.spatial.Dist.furthest(q, byDist(j).mbr))
+            j += 1
+          }
+          r
+        }
+      if (best == null || best.count <= 0) return certified
+      // disc of k rows at the nearest cell's density (2-D area from the
+      // cell's TRUE mbr; degenerate extents floor at 1e-9)
+      val area = (0 until dims).map(i => math.max(1e-9,
+        best.mbr.high.coord(i) - best.mbr.low.coord(i))).product
+      val density = best.count.toDouble / area
+      val est = (bestD + 2.0 * math.pow(k / density, 1.0 / dims))
+      math.min(certified, est)
     }
     val radii = lPts.map(walkRadius)
     val thetaG = if (radii.isEmpty) 0.0 else radii.max
@@ -493,15 +536,22 @@ object SpatialDisk {
         lPts.map(p => p.toSeq.map(x => math.floor(x / side).toLong)),
         radii, 1.0, Double.MaxValue)
 
-    // ---- dilate, prune, join, window
-    val data0 = validated(spark, path, m)
-    val layoutCols = data0.columns.filterNot(
+    // ---- dilate, prune, join, window.
+    // NOTE no full-layout DataFrame is constructed on the common path:
+    // even a never-executed branch pays the full FILE LISTING at
+    // DataFrame creation, and at 2^14 directories that listing is the
+    // dominant cost (measured 26 s vs the pruned join's 5 s at the
+    // 100x slice). Schema comes from the meta's cells (one explicit
+    // directory), the fallback from an observed starved count.
+    val schemaProbe = prunedScan(spark, path, m,
+      m.cells.headOption.map(_.id).toIndexedSeq)
+    val layoutCols = schemaProbe.columns.filterNot(
       Seq(CellCol, ZCol, TokenCol).contains(_))
     require(left.columns.intersect(layoutCols).isEmpty,
       "need disjoint column names between the left side and the layout")
     val outCols = (left.columns ++ layoutCols).map(col(_))
     if (total == 0L || lPts.isEmpty)
-      return left.join(data0.select(layoutCols.map(col(_)): _*), lit(false))
+      return left.join(schemaProbe.select(layoutCols.map(col(_)): _*), lit(false))
         .select(outCols: _*)
 
     // per-left radius via a tiny broadcast (grid cell -> radius)
@@ -537,23 +587,32 @@ object SpatialDisk {
       leftKeys.map(col(_)), m.keyCols.map(col(_)))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(leftId))
       .orderBy(dist.asc +: tieBreak.map(col(_).asc): _*)
+    // materialize the candidate top-k ONCE (the in-memory join's
+    // topKWithCount discipline): okIds, the satisfied branch, and the
+    // starved anti-join all read these blocks instead of re-running
+    // the candidate pipeline per consumer
     val ranked = leftCelled
       .join(data, col("__graft_kj_cell") === col(CellCol))
       .filter(dist <= col("__graft_kj_r"))
       .withColumn("__graft_kj_rn", row_number().over(w))
       .filter(col("__graft_kj_rn") <= k)
+      .localCheckpoint()
 
-    // exact fallback for starved lefts (< k candidates in the radius)
+    // exact fallback for starved lefts (< k candidates in the radius),
+    // COUNT-ROUTED: the full-layout scan is only constructed when
+    // starvation is actually observed — the common all-satisfied path
+    // never lists the table
     val okIds = ranked.groupBy(col(leftId))
       .agg(count(lit(1)).as("__graft_kj_n"))
       .filter(col("__graft_kj_n") === k)
       .select(col(leftId))
     val good = ranked.join(okIds, Seq(leftId), "left_semi")
       .select(outCols: _*)
-    val starved = left.join(okIds, Seq(leftId), "left_anti")
+    val starved = left.join(okIds, Seq(leftId), "left_anti").localCheckpoint()
+    if (starved.isEmpty) return good
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(leftId))
       .orderBy(dist.asc +: tieBreak.map(col(_).asc): _*)
-    val fallback = starved.join(data0)
+    val fallback = starved.join(validated(spark, path, m))
       .withColumn("__graft_kj_rn", row_number().over(wAll))
       .filter(col("__graft_kj_rn") <= k)
       .select(outCols: _*)

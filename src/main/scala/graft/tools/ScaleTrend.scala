@@ -389,6 +389,20 @@ object ScaleTrend {
         val (qa, rows) = q(); val (qb, _) = q()
         println(f"b1d_box_range_disk ${n}%3dx cellBits=$cb: " +
           f"write $tw%7.2f s, query ${math.min(qa, qb)}%6.2f s ($rows rows)")
+        // kNN JOIN against the growing layout: the query set stays
+        // replica-0-sized, so per-left radii SHRINK as density grows
+        // (cell stats adapt) and the pruned read must stay ~flat while
+        // the table grows 10x/100x
+        def kj(): (Double, Long) = {
+          val t1 = System.nanoTime()
+          val rows = graft.index.SpatialDisk.knnJoin(
+            suppRep(spark, d, 1).limit(500), Seq("rx", "ry"), p, 3,
+            leftId = "rid", tieBreak = Seq("cid")).count()
+          ((System.nanoTime() - t1) / 1e9, rows)
+        }
+        val (ka, kRows) = kj(); val (kb, _) = kj()
+        println(f"b5d_knn_join_disk  ${n}%3dx cellBits=$cb: " +
+          f"query ${math.min(ka, kb)}%6.2f s ($kRows rows)")
       }
       spark.stop(); return
     }
