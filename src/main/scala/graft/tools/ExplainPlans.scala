@@ -308,7 +308,7 @@ object ExplainPlans {
       graft.index.SpatialDisk.distanceJoin(supplierPts(spark, d),
         Seq("sx", "sy"), path, 100.0)
     }
-    show("spatial_disk_knn_join (expect per-left radius via tiny broadcast, exploded dilated cells, equi-join against the pruned layout scan, window top-k; fallback branch empty-propagated by AQE)") {
+    show("spatial_disk_knn_join (expect the satisfied branch reading the MATERIALIZED candidate top-k — the candidate phase ran once at build, count-routed: no full-layout scan or fallback branch appears unless starvation was observed)") {
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_plans_spatial_disk").toString
       graft.index.SpatialDisk.knnJoin(supplierPts(spark, d),

@@ -403,6 +403,15 @@ object ScaleTrend {
         val (ka, kRows) = kj(); val (kb, _) = kj()
         println(f"b5d_knn_join_disk  ${n}%3dx cellBits=$cb: " +
           f"query ${math.min(ka, kb)}%6.2f s ($kRows rows)")
+        def k1(): (Double, Long) = {
+          val t1 = System.nanoTime()
+          val rows = graft.index.SpatialDisk.knn(spark, p,
+            Array(5000.0, 500.0), 10, Seq("cid")).count()
+          ((System.nanoTime() - t1) / 1e9, rows)
+        }
+        val (na, nRows) = k1(); val (nb, _) = k1()
+        println(f"b3d_knn_disk       ${n}%3dx cellBits=$cb: " +
+          f"query ${math.min(na, nb)}%6.2f s ($nRows rows)")
       }
       spark.stop(); return
     }
