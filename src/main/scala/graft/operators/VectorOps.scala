@@ -287,6 +287,104 @@ object VectorOps {
     }).toDF("query_id", "recall").orderBy(col("query_id"))
   }
 
+  /** ANN JOIN against a [[DatasetVectorOps.writeIvfPq]] disk layout:
+    * for every `left` row, the k most-cosine-similar stored vectors —
+    * the retrieval-pipeline join ("embed the wave, search the at-rest
+    * corpus") as ONE distributed plan instead of a per-query driver
+    * loop. Mirrors [[readIvfPqTopK]]'s arithmetic exactly, so per-left
+    * results are IDENTICAL to the single-query verb at the same
+    * parameters:
+    *
+    *  1. per-left probe cells: quantized-L2 to every coarse centroid
+    *     (the same sequential fold), top-`nprobe` by (dist, index);
+    *  2. ADC scoring per (left, row) reading ONLY (id, codes, cell) —
+    *     column pruning never touches stored vectors — with the row's
+    *     codeword looked up in literal codebooks (residual layouts
+    *     shift the left by the row's own cell centroid first);
+    *  3. per-left top-`refine` by (ADC, id) via WindowGroupLimit, then
+    *     the refine set joins BACK to the probed cells' (id, vector)
+    *     for the exact cosine re-rank, top-k by (cos desc, id).
+    *
+    * The exactness escape carries over: nprobe = nlist with refine >=
+    * rows re-ranks the full layout by exact cosine per left, whatever
+    * the codes say. Output: (left columns, layout id, cos). */
+  def readIvfPqTopKJoin(left: org.apache.spark.sql.DataFrame, lVecCol: String,
+                        lIdCol: String, path: String, vecCol: String,
+                        idCol: String, k: Int,
+                        nprobe: Int = 4, refine: Int = 50): DataFrame = {
+    require(refine >= k && nprobe >= 1)
+    require(lIdCol != idCol && lIdCol != vecCol && lVecCol != idCol &&
+      lVecCol != vecCol,
+      "need disjoint column names between the left side and the layout")
+    val spark = left.sparkSession
+    val meta = readIvfPqMeta(spark, path)
+    val coarse = meta.coarse
+    val books = meta.books
+    val m = meta.m
+    val subDim = books(0)(0).length
+    val nlist = coarse.length
+    val np = math.min(nprobe, nlist)
+    val base = quantizedBase(left, lVecCol, lIdCol, meta.scale, keepVec = true)
+    // per-left probe cells: distances to every coarse centroid (the
+    // readIvfPqTopK l2sq fold as a codegen'd column), top-np by
+    // (dist, index) through one sorted-struct slice
+    val distArr = array(coarse.map(c => sqDistOn(col("__qv"), c)).toIndexedSeq: _*)
+    val probeStructs = array_sort(transform(sequence(lit(0), lit(nlist - 1)),
+      i => struct(element_at(distArr, i + 1).as("d"), i.as("i"))))
+    val exploded = base
+      .withColumn("__graft_vj_p", explode(slice(probeStructs, 1, np)))
+      .withColumn("__graft_vj_cell", col("__graft_vj_p.i") + 1)
+      .drop("__graft_vj_p")
+    val data = spark.read.parquet(s"$path/data")
+    require(data.columns.contains("__graft_token"),
+      s"readIvfPqTopKJoin: $path/data has no __graft_token column — the " +
+        "layout predates the tokened format or is torn; rewrite with writeIvfPq")
+    val tokenOk = assert_true(col("__graft_token") === meta.token,
+      lit(s"readIvfPqTopKJoin: write-token mismatch between $path/meta " +
+        s"and $path/data — rewrite the layout with writeIvfPq"))
+    // ADC pass: codes + cell only
+    val codes = data.filter(tokenOk.isNull)
+      .select(col(idCol) +: (0 until m).map(s => col(s"__pqc$s"))
+        :+ col("__graft_cell"): _*)
+    def booksLit(s: Int) = array(books(s).map(cw =>
+      array(cw.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val shiftedQv =
+      if (!meta.residual) col("__qv")
+      else {
+        val centerQ = coarse.map(_.map(v => math.floor(v)))
+        zip_with(col("__qv"),
+          element_at(array(centerQ.map(c =>
+            array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*),
+            col("__graft_cell").cast("int")),
+          (a, b) => a - b)
+      }
+    val adc = (0 until m).map { s =>
+      val sub = slice(shiftedQv, s * subDim + 1, subDim)
+      val cw = element_at(booksLit(s), col(s"__pqc$s") + 1)
+      aggregate(zip_with(sub, cw, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(lIdCol))
+      .orderBy(col("__graft_vj_adc").asc, col(idCol).asc)
+    val refined = exploded
+      .join(codes, col("__graft_vj_cell") === col("__graft_cell"))
+      .withColumn("__graft_vj_adc", adc)
+      .withColumn("__graft_vj_rn", row_number().over(wAdc))
+      .filter(col("__graft_vj_rn") <= refine)
+      .select(col(lIdCol), col(lVecCol), col(idCol))
+    // exact re-rank: the refine set pulls raw vectors by id
+    val vecs = data.filter(tokenOk.isNull).select(col(idCol), col(vecCol))
+    val wCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(lIdCol))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    refined.join(vecs, Seq(idCol))
+      .withColumn("cos", cosineSimilarity(col(vecCol), col(lVecCol)))
+      .withColumn("__graft_vj_rk", row_number().over(wCos))
+      .filter(col("__graft_vj_rk") <= k)
+      .select(col(lIdCol), col(idCol), col("cos"))
+  }
+
   /** Compact a [[DatasetVectorOps.writeIvfPq]] layout: appended ingest
     * waves leave one small file per wave inside each cell directory —
     * at 100 TB the per-file open/footer cost of thousands of wave

@@ -1088,6 +1088,28 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** ANN JOIN against the at-rest IVF-PQ layout: a query WAVE (every
+    * fifth embedding) retrieves its top-k from the corpus layout in
+    * ONE distributed plan — probe cells per left, ADC over code
+    * columns, per-left refine, exact cosine re-rank. Run at the
+    * exactness escape (full probes, refine >= rows), so the oracle is
+    * the brute cosine top-k join SQL: every (wave row, corpus row)
+    * pair exactly scored and ranked. */
+  def annIvfPqJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorOps
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_join_" + Integer.toHexString(d.hashCode)).toString
+    val emb = embeddings(s, d)
+    emb.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+      iters = 2)
+    val wave = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val total = emb.count().toInt
+    VectorOps.readIvfPqTopKJoin(wave, "qvec", "qid", path,
+        "embedding", "vec_id", k = 3, nprobe = 8, refine = total)
+      .orderBy(col("qid"), col("vec_id"))
+  }
+
   /** Recall audit of the incremental IVF-PQ layout — the contract row:
     * at full probes + full refine every sampled query's recall is
     * exactly 1.0 (the exactness escape), verified engine-side and
@@ -2613,6 +2635,19 @@ object Pipeline {
       // probe replays are out of a SQL oracle's reach)
       .updated("ann_ivfpq_audit",
         "SELECT CAST(4 AS BIGINT) AS n_queries, TRUE AS all_exact_at_full_probes")
+      // the ANN join at the exactness escape answers the brute cosine
+      // top-k JOIN — same cosSql IEEE shape as ann_brute_topk, windowed
+      // per wave row
+      .updated("ann_ivfpq_join_topk",
+        s"""SELECT qid, vec_id, cos FROM (
+           |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+           |    ${cosSql("a.embedding", "b.embedding")} AS cos,
+           |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC,
+           |        b.vec_id ASC) AS rn
+           |  FROM embeddings a CROSS JOIN embeddings b
+           |  WHERE a.vec_id % 5 = 0) t
+           |WHERE rn <= 3 ORDER BY qid, vec_id""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pp_curation_pipeline" -> (curationPipelineQ _),
@@ -2670,6 +2705,7 @@ object Pipeline {
     "ann_ivfpq_topk" -> (annIvfPqTopKQ _),
     "ann_ivfpq_disk_topk" -> (annIvfPqDiskQ _),
     "ann_ivfpq_append_topk" -> (annIvfPqAppendQ _),
+    "ann_ivfpq_join_topk" -> (annIvfPqJoinQ _),
     "ann_ivfpq_audit" -> (annIvfPqAuditQ _),
     "pp_passage_dedup" -> (passageDedupQ _),
     "tx_bigram_quality" -> (bigramQualityQ _),

@@ -790,6 +790,44 @@ class VectorOpsSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/retrain_snapshot").exists())
   }
 
+  test("readIvfPqTopKJoin: per-left parity with the single-query verb; exact at escape") {
+    import spark.implicits._
+    for (res <- Seq(false, true)) {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpq_spec_join_$res").toString
+      emb.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+        iters = 2, residual = res)
+      val wave = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // pruned path: every left's rows equal the single-query verb's at
+      // IDENTICAL parameters (same probe selection, ADC, refine cut)
+      val got = VectorOps.readIvfPqTopKJoin(wave, "qvec", "qid", path,
+          "embedding", "vec_id", k = 5, nprobe = 3, refine = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (q, rs) =>
+          q -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+      assert(got.nonEmpty)
+      val queries = wave.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      queries.foreach { case (qid, qv) =>
+        val want = VectorOps.readIvfPqTopK(spark, path, "embedding",
+            "vec_id", qv, k = 5, nprobe = 3, refine = 20)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+        assert(got(qid) === want, s"residual=$res query $qid diverges")
+      }
+      // exactness escape: full probes + refine >= rows == brute cosine
+      val total = emb.count().toInt
+      val escape = VectorOps.readIvfPqTopKJoin(wave, "qvec", "qid", path,
+          "embedding", "vec_id", k = 5, nprobe = 8, refine = total)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val brute = queries.flatMap { case (qid, qv) =>
+        emb.cosineTopK("embedding", "vec_id", qv, 5)
+          .collect().map(r => qid -> r.getLong(0))
+      }.sorted.toSeq
+      assert(escape === brute, s"residual=$res escape != brute")
+    }
+  }
+
   test("compactIvfPq: wave shards collapse, results identical, fresh token") {
     import spark.implicits._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
