@@ -26,6 +26,37 @@ import graft.functions._
   */
 object DedupOps {
 
+  /** Shard-vs-corpus candidate pairs from two banded-bucket frames —
+    * the shared kernel behind [[DatasetDedupOps.minHashPairsAgainst]]
+    * and its at-rest-index twin, so index-on/index-off results are
+    * equal by construction. `maxBucket > 0` takes the capped route
+    * (one collect_list membership aggregation on the corpus side). */
+  private[operators] def pairsAgainstBuckets(
+      newB: DataFrame, corpB: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = (
+    if (maxBucket <= 0) {
+      newB.select(col(idCol).as("id_new"), col("__band"), col("__bucket"))
+        .join(corpB.select(col(idCol).as("id_corpus"),
+          col("__band"), col("__bucket")), Seq("__band", "__bucket"))
+    } else {
+      // capped route, the minHashPairs discipline: the cap bounds
+      // every corpus bucket, so membership is ONE collect_list
+      // aggregation — the corpus signature pipeline runs ONCE (the
+      // former count-agg + semi-join re-ran it per reference), the
+      // cap check is a free size() filter, and the shard side joins
+      // against the bounded membership arrays
+      val corpBuckets = corpB
+        .groupBy(col("__band"), col("__bucket"))
+        .agg(collect_list(col(idCol)).as("__cids"))
+        .filter(size(col("__cids")) <= maxBucket)
+      newB.select(col(idCol).as("id_new"), col("__band"), col("__bucket"))
+        .join(corpBuckets, Seq("__band", "__bucket"))
+        .select(col("id_new"), explode(col("__cids")).as("id_corpus"))
+    })
+    .filter(col("id_new") =!= col("id_corpus"))
+    .select(col("id_new"), col("id_corpus"))
+    .distinct()
+
   /** Largest `maxBucket` the capped minhash route expands as a nested
     * pair array (~cap^2/2 structs in ONE row before explode — at 2048
     * that is ~2M small structs, comfortably task-sized; at 10k it
@@ -187,29 +218,7 @@ object DedupOps {
       val newB = bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
       val corpB = new DatasetDedupOps(corpus)
         .bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
-      val pairs = (
-        if (maxBucket <= 0) {
-          newB.select(col(idCol).as("id_new"), col("__band"), col("__bucket"))
-            .join(corpB.select(col(idCol).as("id_corpus"),
-              col("__band"), col("__bucket")), Seq("__band", "__bucket"))
-        } else {
-          // capped route, the minHashPairs discipline: the cap bounds
-          // every corpus bucket, so membership is ONE collect_list
-          // aggregation — the corpus signature pipeline runs ONCE (the
-          // former count-agg + semi-join re-ran it per reference), the
-          // cap check is a free size() filter, and the shard side joins
-          // against the bounded membership arrays
-          val corpBuckets = corpB
-            .groupBy(col("__band"), col("__bucket"))
-            .agg(collect_list(col(idCol)).as("__cids"))
-            .filter(size(col("__cids")) <= maxBucket)
-          newB.select(col(idCol).as("id_new"), col("__band"), col("__bucket"))
-            .join(corpBuckets, Seq("__band", "__bucket"))
-            .select(col("id_new"), explode(col("__cids")).as("id_corpus"))
-        })
-        .filter(col("id_new") =!= col("id_corpus"))
-        .select(col("id_new"), col("id_corpus"))
-        .distinct()
+      val pairs = DedupOps.pairsAgainstBuckets(newB, corpB, idCol, maxBucket)
       // candidate-restricted verify (the minHashPairs discipline): the
       // CORPUS side especially must not pay whole-corpus tokenization
       // for a shard-sized pair set; `pairs` ends in a distinct shuffle,
@@ -224,6 +233,103 @@ object DedupOps {
           col(idCol) === col("__cand"), "left_semi")
         .select(col(idCol).as("id_corpus"),
           shingleSet(col(textCol), shingle).as("__sh2"))
+      pairs.join(t1, Seq("id_new")).join(t2, Seq("id_corpus"))
+        .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_new"), col("id_corpus"), col("jaccard"))
+    }
+
+    /** Persist this corpus's MinHash-LSH index AT REST: the banded
+      * bucket table (id, band, bucket) plus the per-doc sorted shingle
+      * sets the exact verify needs — write once, ingest many. Each
+      * arriving wave computes its OWN (shard-sized) buckets and joins
+      * against the layout; the corpus text is never re-tokenized: even
+      * the verify reads candidate shingles from the stored table. The
+      * production form of [[minHashPairsAgainst]]'s "persist the
+      * banded buckets across waves" note.
+      *
+      * Layout: `$path/buckets` (band-clustered, bucket-sorted parquet),
+      * `$path/shingles` (id-keyed sorted shingle arrays), `$path/meta`
+      * (tagged params + write token). The reader derives its banding
+      * from the META (a wave banded with different parameters would
+      * silently find nothing), and the token pairing refuses torn
+      * layouts — the SpatialDisk discipline. */
+    def writeMinhashIndex(path: String, idCol: String, textCol: String,
+                          shingle: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16, seed: Long = 42L): Unit = {
+      require(numHashes % bands == 0, "bands must divide numHashes")
+      val spark = ds.sparkSession
+      val token = java.util.UUID.randomUUID().toString
+      bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
+        .withColumn("__graft_token", lit(token))
+        .repartition(col("__band"))
+        .sortWithinPartitions(col("__band"), col("__bucket"))
+        .write.mode("overwrite").parquet(s"$path/buckets")
+      ds.toDF
+        .select(col(idCol), shingleSet(col(textCol), shingle).as("__shingles"))
+        .withColumn("__graft_token", lit(token))
+        .write.mode("overwrite").parquet(s"$path/shingles")
+      import spark.implicits._
+      Seq(s"params=idCol:$idCol,shingle:$shingle,numHashes:$numHashes," +
+          s"bands:$bands,seed:$seed",
+        "token=" + token).toDS().coalesce(1)
+        .write.mode("overwrite").text(s"$path/meta")
+    }
+
+    /** Incremental near-dup gate against a [[writeMinhashIndex]] layout:
+      * THIS dataset is the arriving wave; candidate pairs and the exact
+      * Jaccard verify run against the AT-REST corpus index — identical
+      * results to [[minHashPairsAgainst]] on the original corpus (the
+      * pair kernel is shared; the verify reads the stored shingles), at
+      * wave-plus-candidates cost. Returns (id_new, id_corpus, jaccard)
+      * at `threshold`; `maxBucket` caps corpus bucket population as in
+      * the direct form. */
+    def minHashPairsAgainstIndex(path: String, idCol: String, textCol: String,
+                                 threshold: Double = 0.5,
+                                 maxBucket: Int = 0): DataFrame = {
+      val spark = ds.sparkSession
+      val lines = spark.read.textFile(s"$path/meta").collect()
+      def line(tag: String): String = lines.find(_.startsWith(tag + "="))
+        .getOrElse(throw new IllegalArgumentException(
+          s"minHashPairsAgainstIndex: no '$tag' line in $path/meta"))
+        .substring(tag.length + 1)
+      val params = line("params").split(",").map { kv =>
+        val Array(a, v) = kv.split(":"); a -> v
+      }.toMap
+      val token = line("token")
+      val storedId = params("idCol")
+      def tokenChecked(df: DataFrame, what: String): DataFrame = {
+        require(df.columns.contains("__graft_token"),
+          s"minHashPairsAgainstIndex: $path/$what has no __graft_token " +
+            "column — the layout is torn or foreign; rewrite with " +
+            "writeMinhashIndex")
+        df.filter(assert_true(col("__graft_token") === token,
+          lit(s"minHashPairsAgainstIndex: write-token mismatch between " +
+            s"$path/meta and $path/$what — rewrite the layout")).isNull)
+          .drop("__graft_token")
+      }
+      // the wave bands with the INDEX's parameters — the meta is the
+      // single source of truth (different banding would silently find
+      // nothing; deriving it here makes that impossible)
+      val newB = bandedBuckets(idCol, textCol, params("shingle").toInt,
+        params("numHashes").toInt, params("bands").toInt,
+        params("seed").toLong)
+      val corpB = tokenChecked(
+        spark.read.parquet(s"$path/buckets"), "buckets")
+        .withColumnRenamed(storedId, idCol)
+      val pairs = DedupOps.pairsAgainstBuckets(newB, corpB, idCol, maxBucket)
+      val t1 = ds.toDF
+        .join(pairs.select(col("id_new").as("__cand")),
+          col(idCol) === col("__cand"), "left_semi")
+        .select(col(idCol).as("id_new"),
+          shingleSet(col(textCol), params("shingle").toInt).as("__sh1"))
+      // corpus shingles come from the LAYOUT — candidate-restricted, so
+      // raw corpus text is never touched after the write
+      val t2 = tokenChecked(
+        spark.read.parquet(s"$path/shingles"), "shingles")
+        .join(pairs.select(col("id_corpus").as("__cand")),
+          col(storedId) === col("__cand"), "left_semi")
+        .select(col(storedId).as("id_corpus"), col("__shingles").as("__sh2"))
       pairs.join(t1, Seq("id_new")).join(t2, Seq("id_corpus"))
         .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
         .filter(col("jaccard") >= threshold)

@@ -78,6 +78,34 @@ object Pipeline {
       (count(lit(1)) > 0).as("nonempty"))
   }
 
+  /** At-rest minhash index gate: the corpus's banded buckets AND
+    * verify shingles persist once ([[writeMinhashIndex]]); the wave
+    * dedups against the LAYOUT — corpus text never re-read. The
+    * verdict row asserts engine-side that index-backed pairs equal the
+    * direct [[minHashPairsAgainst]] bit-for-bit (full-outer compare of
+    * jaccard per pair), the index-on/index-off contract the spatial
+    * indexes answer with shared oracles. */
+  def minHashIndexQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_minhash_idx_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    corpus.writeMinhashIndex(path, "doc_id", "text", shingle = 3,
+      numHashes = 64, bands = 16)
+    val viaIndex = fresh.minHashPairsAgainstIndex(path, "doc_id", "text",
+      threshold = 0.8)
+    val direct = fresh.minHashPairsAgainst(corpus, "doc_id", "text",
+      shingle = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    viaIndex.select(col("id_new"), col("id_corpus"), col("jaccard").as("__ji"))
+      .join(direct.select(col("id_new"), col("id_corpus"),
+        col("jaccard").as("__jd")), Seq("id_new", "id_corpus"), "full_outer")
+      .agg(
+        (sum(when(col("__ji") === col("__jd"), 0).otherwise(1)) === 0)
+          .as("index_equals_direct"),
+        (count(lit(1)) > 0).as("nonempty"))
+  }
+
   /** Incremental ingest-time dedup gate: docs with doc_id % 10 == 0
     * play the newly arrived shard, the rest the existing corpus; the
     * asymmetric banded join replaces the corpus self-join. Aggregate
@@ -1995,6 +2023,10 @@ object Pipeline {
       """SELECT TRUE AS all_new_side, TRUE AS all_corpus_side,
         |  TRUE AS all_above_threshold, TRUE AS all_jaccard_exact,
         |  TRUE AS nonempty""".stripMargin,
+    // the at-rest index must be invisible in results: the verdict row
+    // pins the engine-side full-outer equality with the direct form
+    "dd_minhash_index" ->
+      "SELECT TRUE AS index_equals_direct, TRUE AS nonempty",
     // full replay of the decontamination sweep: same whitespace class,
     // same sliding 8-gram windows, same string-keyed join
     "pp_contamination" ->
@@ -2678,6 +2710,7 @@ object Pipeline {
     "dd_exact_dedup" -> (exactDedupQ _),
     "dd_minhash_pairs" -> (minHashPairsQ _),
     "dd_minhash_incremental" -> (minHashIncrementalQ _),
+    "dd_minhash_index" -> (minHashIndexQ _),
     "dd_minhash_pairs_capped" -> (minHashCappedQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),

@@ -172,6 +172,42 @@ class DedupOpsSpec extends SparkSpec {
       "the self-join capped route must match uncapped when nothing is cut")
   }
 
+  test("at-rest minhash index: index-backed pairs equal the direct form") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_minhash_index_spec").toString
+    val all = docs
+    val fresh = all.filter(col("doc_id") % 10 === 0)
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    corpus.writeMinhashIndex(path, "doc_id", "text", shingle = 3,
+      numHashes = 64, bands = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (cap <- Seq(0, 50)) {
+      val got = rows(fresh.minHashPairsAgainstIndex(path, "doc_id", "text",
+        threshold = 0.8, maxBucket = cap))
+      val want = rows(fresh.minHashPairsAgainst(corpus, "doc_id", "text",
+        shingle = 3, numHashes = 64, bands = 16, threshold = 0.8,
+        maxBucket = cap))
+      assert(got === want && got.nonEmpty, s"cap=$cap index != direct")
+    }
+    // the wave bands with the INDEX's parameters (from the meta) — no
+    // caller-supplied banding to get wrong
+    // torn layout refused loudly
+    val tampered = spark.read.textFile(s"$path/meta").collect().toSeq
+      .map(l => if (l.startsWith("token=")) "token=some-other-write" else l)
+    spark.createDataset(tampered).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[Throwable] {
+      fresh.minHashPairsAgainstIndex(path, "doc_id", "text",
+        threshold = 0.8).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
+  }
+
   test("dd_minhash_pairs_capped verdict row is all-TRUE (a real, audited recall cut)") {
     // the driver-facing end-to-end exercise of the cap: the boilerplate
     // derivation plants an identical-text cluster, so the capped run
