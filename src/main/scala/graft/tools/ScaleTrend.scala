@@ -373,6 +373,33 @@ object ScaleTrend {
     // untimed (the generic harness would fold the first build into the
     // timed call); cellBits follows data span per the occupancy
     // discipline (cells ∝ n) so the grid keeps resolving replicas.
+    // at-rest minhash index (its OWN mode, `ScaleTrend minhashidx`):
+    // the dedup GATE's cost must track the WAVE, not the corpus — the
+    // index write is the amortized one-time cost (untimed here), the
+    // per-wave gate joins a fixed-size wave against a 1x/10x layout
+    if (args.headOption.contains("minhashidx")) {
+      import graft.operators.DedupOps._
+      val wave = documents(spark, d).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      for (n <- Seq(1, 10)) {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_trend_mhidx_$n"
+        val t0 = System.nanoTime()
+        docsRep(spark, d, n).writeMinhashIndex(p, "doc_id", "text",
+          shingle = 3, numHashes = 64, bands = 16)
+        val tw = (System.nanoTime() - t0) / 1e9
+        def g(): (Double, Long) = {
+          val t1 = System.nanoTime()
+          val rows = wave.minHashPairsAgainstIndex(p, "doc_id", "text",
+            threshold = 0.8, maxBucket = 1000).count()
+          ((System.nanoTime() - t1) / 1e9, rows)
+        }
+        val (ga, rows) = g(); val (gb, _) = g()
+        println(f"b7i_minhash_index_gate ${n}%3dx: write $tw%7.2f s, " +
+          f"gate ${math.min(ga, gb)}%6.2f s ($rows rows)")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("disk")) {
       for ((n, cb) <- Seq((1, 5), (10, 5), (100, 7))) {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_trend_disk_$n"
