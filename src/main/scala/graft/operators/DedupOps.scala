@@ -248,6 +248,13 @@ object DedupOps {
       * production form of [[minHashPairsAgainst]]'s "persist the
       * banded buckets across waves" note.
       *
+      * Per-wave cost shape: wave-sized signature work + one COLUMNAR
+      * scan of the (id, band, bucket) table — three narrow columns,
+      * not text — with the wave side broadcast into the bucket join,
+      * plus a candidate-semi-joined read of the shingle table for the
+      * verify. The expensive passes (tokenize, shingle, 64-hash
+      * signatures over the corpus) run exactly once, at write time.
+      *
       * Layout: `$path/buckets` (band-clustered, bucket-sorted parquet),
       * `$path/shingles` (id-keyed sorted shingle arrays), `$path/meta`
       * (tagged params + write token). The reader derives its banding

@@ -249,12 +249,16 @@ object SpatialOps {
       // bounded driver sample sizes the grid: median per-polygon bbox
       // span keeps each polygon's cell fan-out O(1) (a fixed side of r
       // under huge polygons would explode them to span/r cells each)
-      val spans = polys.select(coords).limit(sampleCap).collect().map { row =>
-        val a = row.getSeq[Double](0)
-        val xs = a.indices.collect { case i if i % 2 == 0 => a(i) }
-        val ys = a.indices.collect { case i if i % 2 == 1 => a(i) }
-        math.max(xs.max - xs.min, ys.max - ys.min)
-      }.sorted
+      // null shapes drop out of the join everywhere (null bbox -> no
+      // cells, null exact test -> filtered); the sampler must skip them
+      // the same way instead of NPE-ing on the driver
+      val spans = polys.select(coords).na.drop("any")
+        .limit(sampleCap).collect().map { row =>
+          val a = row.getSeq[Double](0)
+          val xs = a.indices.collect { case i if i % 2 == 0 => a(i) }
+          val ys = a.indices.collect { case i if i % 2 == 1 => a(i) }
+          math.max(xs.max - xs.min, ys.max - ys.min)
+        }.sorted
       val side = math.max(1e-9, math.max(r,
         if (spans.isEmpty) 0.0 else spans(spans.length / 2)))
       val pl = polys
@@ -318,10 +322,12 @@ object SpatialOps {
       // median bbox span — big shapes dictate the cell so their fan-out
       // stays O(1); the smaller side lands in O(1) cells regardless
       def medianSpan(df: DataFrame, c: String): Double = {
+        // null shapes drop out of the join (null cells, null exact
+        // test); the sampler skips them the same way
         val spans = df.select(
           (hi(col(c), 0) - lo(col(c), 0)).as("sx"),
           (hi(col(c), 1) - lo(col(c), 1)).as("sy"))
-          .limit(sampleCap).collect()
+          .na.drop("any").limit(sampleCap).collect()
           .map(r => math.max(r.getDouble(0), r.getDouble(1))).sorted
         if (spans.isEmpty) 0.0 else spans(spans.length / 2)
       }

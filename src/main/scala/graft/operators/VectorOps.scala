@@ -307,7 +307,8 @@ object VectorOps {
     *
     * The exactness escape carries over: nprobe = nlist with refine >=
     * rows re-ranks the full layout by exact cosine per left, whatever
-    * the codes say. Output: (left columns, layout id, cos). */
+    * the codes say. Output: (left id, layout id, cos) — the join is
+    * keyed; carry other left columns by joining back on the id. */
   def readIvfPqTopKJoin(left: org.apache.spark.sql.DataFrame, lVecCol: String,
                         lIdCol: String, path: String, vecCol: String,
                         idCol: String, k: Int,

@@ -341,6 +341,26 @@ object ExplainPlans {
             col("sx") + 500.0, col("sy") + 80.0).as("coords")).as("rbox"))
       lb.shapeIntersectsJoin(rb, "lbox", "rbox")
     }
+    show("ann_ivfpq_join (expect per-left probe explode, cell equi-join over CODE columns only — no vector reads before refine — WindowGroupLimit refine, id-keyed re-rank join)") {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_ivfpq_join").toString
+      embeddings(spark, d).writeIvfPq(path, "embedding", "vec_id",
+        nlist = 8, m = 4, ksub = 4, iters = 2)
+      val wave = embeddings(spark, d).filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.VectorOps.readIvfPqTopKJoin(wave, "qvec", "qid",
+        path, "embedding", "vec_id", k = 3, nprobe = 4, refine = 50)
+    }
+    show("minhash_index_gate (expect the wave's OWN signature pipeline joined to the stored bucket scan; verify shingles read from the layout via candidate semi-joins — no corpus re-tokenization anywhere)") {
+      import graft.operators.DedupOps._
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_mh_idx").toString
+      val docsT = documents(spark, d)
+      docsT.filter(col("doc_id") % 10 =!= 0)
+        .writeMinhashIndex(path, "doc_id", "text")
+      docsT.filter(col("doc_id") % 10 === 0)
+        .minHashPairsAgainstIndex(path, "doc_id", "text", threshold = 0.8)
+    }
     show("sql_tvf_distance_join (expect the DataFrame grid plan — cell equi-join, no cross — reached from spark.sql)") {
       graft.plans.GraftExtensions.registerFunctions(spark)
       customerPts(spark, d).createOrReplaceTempView("plans_cust_pts")

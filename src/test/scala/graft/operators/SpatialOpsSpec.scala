@@ -660,6 +660,12 @@ class SpatialOpsSpec extends SparkSpec {
     val want = pairs(l.crossJoin(r)
       .filter(stIntersects(col("lshape"), col("rshape"))))
     assert(got === want && got.nonEmpty, s"got=$got want=$want")
+    // a NULL shape row drops out consistently: same pairs, no crash in
+    // the driver sampler
+    val withNull = df(lShapes, "lid", "lshape").unionByName(
+      Seq(99L).toDF("lid").withColumn("lshape",
+        lit(null).cast(l.schema("lshape").dataType)))
+    assert(pairs(withNull.shapeIntersectsJoin(r, "lshape", "rshape")) === got)
     // exactly once: no duplicates even for boxes sharing many cells
     assert(got.distinct === got, s"duplicated pairs: $got")
     // the all-covering box 11 meets every left shape
