@@ -265,6 +265,9 @@ object DedupOps {
                           shingle: Int = 3, numHashes: Int = 64,
                           bands: Int = 16, seed: Long = 42L): Unit = {
       require(numHashes % bands == 0, "bands must divide numHashes")
+      require(!idCol.contains(",") && !idCol.contains(":"),
+        s"writeMinhashIndex: idCol '$idCol' would break the meta codec " +
+          "(',' and ':' are its delimiters)")
       val spark = ds.sparkSession
       val token = java.util.UUID.randomUUID().toString
       bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)

@@ -584,6 +584,8 @@ object ScaleTrend {
     if (args.headOption.contains("100")) {
       val hundred: Seq[(String, Int => Long)] =
         Seq("b4l_distance_join_self_grid" -> (b4l _),
+            "b4st_spatiotemporal_join" -> (b4st _),
+            "b4x_intersects_join" -> (b4x _),
             "b5_knn_join_grid" -> (b5 _),
             "b7_minhash_dedup" -> (b7 _),
             "b8d_contamination" -> (b8d _),
