@@ -136,4 +136,11 @@ object Graft {
   def diskDistanceJoin(left: DataFrame, leftKeys: Seq[String], path: String,
                        radius: Double): DataFrame =
     SpatialDisk.distanceJoin(left, leftKeys, path, radius)
+
+  def diskKnnJoin(left: DataFrame, leftKeys: Seq[String], path: String,
+                  k: Int, leftId: String, tieBreak: Seq[String]): DataFrame =
+    SpatialDisk.knnJoin(left, leftKeys, path, k, leftId, tieBreak)
+
+  def compactSpatialLayout(spark: SparkSession, path: String): Unit =
+    SpatialDisk.compact(path, spark)
 }
