@@ -270,7 +270,16 @@ object DedupOps {
           "(',' and ':' are its delimiters)")
       val spark = ds.sparkSession
       val token = java.util.UUID.randomUUID().toString
+      // stored as MEMBERSHIP ARRAYS per (band, bucket): the
+      // collect_list aggregation runs ONCE here, so a wave's gate is a
+      // broadcast-wave equi-join against the table IN PLACE — the
+      // corpus side never shuffles again, capped or not (the flat
+      // per-id layout forced the capped route to re-aggregate the
+      // whole table per wave). sort_array keeps file bytes
+      // deterministic.
       bandedBuckets(idCol, textCol, shingle, numHashes, bands, seed)
+        .groupBy(col("__band"), col("__bucket"))
+        .agg(sort_array(collect_list(col(idCol))).as("__cids"))
         .withColumn("__graft_token", lit(token))
         .repartition(col("__band"))
         .sortWithinPartitions(col("__band"), col("__bucket"))
@@ -324,10 +333,23 @@ object DedupOps {
       val newB = bandedBuckets(idCol, textCol, params("shingle").toInt,
         params("numHashes").toInt, params("bands").toInt,
         params("seed").toLong)
-      val corpB = tokenChecked(
+      // candidate pairs straight off the stored membership arrays —
+      // semantically identical to [[DedupOps.pairsAgainstBuckets]] on
+      // the flat form (spec-checked for both cap settings), with ZERO
+      // corpus-side shuffle: the wave side broadcasts, the bucket
+      // table is scanned in place, oversized buckets drop on a size()
+      val member = tokenChecked(
         spark.read.parquet(s"$path/buckets"), "buckets")
-        .withColumnRenamed(storedId, idCol)
-      val pairs = DedupOps.pairsAgainstBuckets(newB, corpB, idCol, maxBucket)
+      val kept =
+        if (maxBucket > 0) member.filter(size(col("__cids")) <= maxBucket)
+        else member
+      val pairs = newB
+        .select(col(idCol).as("id_new"), col("__band"), col("__bucket"))
+        .join(kept, Seq("__band", "__bucket"))
+        .select(col("id_new"), explode(col("__cids")).as("id_corpus"))
+        .filter(col("id_new") =!= col("id_corpus"))
+        .select(col("id_new"), col("id_corpus"))
+        .distinct()
       val t1 = ds.toDF
         .join(pairs.select(col("id_new").as("__cand")),
           col(idCol) === col("__cand"), "left_semi")
