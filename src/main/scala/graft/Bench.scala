@@ -16,14 +16,17 @@ import graft.operators.VectorOps._
   */
 object Bench {
 
-  /** Headline entries grouped into probe-bracketed phases: a memory
-    * calibration probe runs between phases, so a contention burst is
-    * localized to the phase it hit instead of invalidating the whole
-    * sweep (VERDICT r7 #6). */
+  /** One headline entry by name — the probe surface measurement tools
+    * use to time a single bench entry in isolation (in-JVM A/Bs, band
+    * re-measures) without replicating its definition. */
   private[graft] def entryFor(name: String): (SparkSession, String) => DataFrame =
     phases.flatMap(_._2).find(_._1 == name).map(_._2)
       .getOrElse(throw new IllegalArgumentException(s"no bench entry $name"))
 
+  /** Headline entries grouped into probe-bracketed phases: a memory
+    * calibration probe runs between phases, so a contention burst is
+    * localized to the phase it hit instead of invalidating the whole
+    * sweep (VERDICT r7 #6). */
   private def phases: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = Seq(
     // b11 (temporal) sorts under its own phase, not "selections" — the
     // b1* prefix match would otherwise bracket the as-of/interval joins
