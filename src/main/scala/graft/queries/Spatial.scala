@@ -77,6 +77,24 @@ object Spatial {
       .orderBy(col("c_custkey"), col("s_suppkey"))
   }
 
+  /** The 1-D degenerate form of the at-rest layout IS a temporal range
+    * index: events land in the parquet directory of their coarse TIME
+    * cell, z-sorted (= time-sorted) within it, and a time-range query
+    * prunes day-directories before reading a byte. Same machinery, one
+    * axis — the layout is dimension-general by construction. */
+  def diskTimeRange(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.eventsPts
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_t_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val ev = eventsPts(s, d).select(col("event_id"),
+      unix_millis(col("ts")).cast("double").as("tms"))
+    graft.index.SpatialDisk.write(ev, path, Seq("tms"), cellBits = 6)
+    val t0 = ev.agg(min(col("tms"))).head().getDouble(0)
+    graft.index.SpatialDisk.boxRange(s, path,
+        Array(t0 + 86400000.0), Array(t0 + 259200000.0))
+      .orderBy(col("event_id"))
+  }
+
   /** kNN join where the RIGHT side is the at-rest layout: per-left
     * guaranteed radii from the meta's true cell stats, dilated-cell
     * explode, pruned directory scan, windowed top-k + exact fallback.
@@ -383,6 +401,14 @@ object Spatial {
       s"""SELECT c_custkey, s_suppkey FROM ($custPtsSql) c, ($suppPtsSql) s
          |WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
          |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    // the 1-D layout's time-range query replays as a plain BETWEEN on
+    // integer epoch-ms (days 1..3 after the table's first event)
+    "sp_disk_time_range" ->
+      """WITH m AS (SELECT min(epoch_ms(ts)) AS t0 FROM events)
+        |SELECT event_id, CAST(epoch_ms(ts) AS DOUBLE) AS tms
+        |FROM events, m
+        |WHERE epoch_ms(ts) BETWEEN t0 + 86400000 AND t0 + 259200000
+        |ORDER BY event_id""".stripMargin,
     "sp_disk_knn_join" ->
       s"""SELECT c_custkey, s_suppkey FROM (
          |  SELECT c_custkey, s_suppkey,
@@ -553,6 +579,7 @@ object Spatial {
     "sp_disk_knn" -> (diskKnn _),
     "sp_disk_distance_join" -> (diskDistanceJoin _),
     "sp_disk_knn_join" -> (diskKnnJoin _),
+    "sp_disk_time_range" -> (diskTimeRange _),
     "sp_disk_append_box" -> (diskAppendBox _),
     "sp_disk_box_sql" -> (diskBoxSqlQ _),
     "sp_st_join" -> (spatioTemporalJoinQ _),

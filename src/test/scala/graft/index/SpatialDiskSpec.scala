@@ -320,6 +320,59 @@ class SpatialDiskSpec extends SparkSpec {
       s"torn layout not refused: $msgs")
   }
 
+  test("the layout is dimension-general: 1-D and 3-D write/box/kNN parity") {
+    import spark.implicits._
+    // 1-D: a time-line layout (the at-rest form of a temporal range
+    // index) — box range degenerates to BETWEEN, kNN to nearest-values
+    val oneD = cust.select(col("c_custkey"), col("cx"))
+    val p1 = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_1d").toString
+    SpatialDisk.write(oneD, p1, Seq("cx"), cellBits = 6, bits = 18)
+    val got1 = SpatialDisk.boxRange(spark, p1, Array(2000.0), Array(4000.0))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val want1 = oneD.filter(col("cx").between(2000.0, 4000.0))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got1 === want1 && got1.nonEmpty)
+    val gotK1 = SpatialDisk.knn(spark, p1, Array(5000.0), 7, Seq("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val wantK1 = oneD.knn(Seq("cx"), Seq(5000.0), 7, Seq("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotK1 === wantK1 && gotK1.size === 7)
+
+    // 3-D: the write-side d*cellBits <= 16 and d*bits <= 62 contracts
+    // leave room (5,5,5 cells; 18-bit z per dim)
+    val threeD = cust.select(col("c_custkey"), col("cx"), col("cy"))
+      .withColumn("cz", (col("c_custkey") % 97).cast("double"))
+    val p3 = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_3d").toString
+    SpatialDisk.write(threeD, p3, Seq("cx", "cy", "cz"), cellBits = 5,
+      bits = 18)
+    val lo = Array(2000.0, 100.0, 10.0); val hi = Array(6000.0, 600.0, 60.0)
+    val got3 = SpatialDisk.boxRange(spark, p3, lo, hi)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val want3 = threeD.boxRange(Seq("cx", "cy", "cz"), lo.toSeq, hi.toSeq)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got3 === want3 && got3.nonEmpty)
+    val c3 = Array(5000.0, 500.0, 50.0)
+    val gotK3 = SpatialDisk.knn(spark, p3, c3, 9, Seq("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val wantK3 = threeD.knn(Seq("cx", "cy", "cz"), c3.toSeq, 9, Seq("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotK3 === wantK3 && gotK3.size === 9)
+    // the 3-D kNN join twin stays exact too
+    val q3 = threeD.limit(20).select(col("c_custkey").as("qid"),
+      col("cx").as("qx"), col("cy").as("qy"), col("cz").as("qz"))
+    val gotJ = SpatialDisk.knnJoin(q3, Seq("qx", "qy", "qz"), p3, 3,
+      leftId = "qid", tieBreak = Seq("c_custkey"))
+      .select("qid", "c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wantJ = q3.knnJoinNaive(threeD, Seq("qx", "qy", "qz"),
+      Seq("cx", "cy", "cz"), 3, leftId = "qid", tieBreak = Seq("c_custkey"))
+      .select("qid", "c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotJ === wantJ && gotJ.nonEmpty)
+  }
+
   test("queries clamp outside the written bounds instead of failing") {
     val path = freshLayout("clamp")
     // a box reaching far outside the data domain returns exactly the
