@@ -385,23 +385,47 @@ object Multimodal {
     }
   }
 
-  /** Resize for `image` rows: halve width/height and decimate the
-    * payload to a quarter of its bytes (every 4th byte — the stub for a
-    * real resampling kernel; metadata and payload stay consistent, which
-    * is the contract downstream stages depend on). Iterator-based
-    * per-partition transform like [[extractFeatures]]. */
+  /** Resize for `image` rows: REAL resample — decode the payload
+    * (ImageIO), draw it onto a half-size canvas with bilinear
+    * interpolation, re-encode as PNG; metadata tracks the true decoded
+    * dimensions, which is the payload/metadata consistency contract
+    * downstream stages depend on. Non-decodable image payloads keep
+    * the deterministic byte-decimation stand-in (every 4th byte, dims
+    * halved) so the pipeline runs end-to-end on any input.
+    * Iterator-based per-partition transform like [[extractFeatures]]. */
   def resizeHalf(media: Dataset[MediaRow]): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
         if (m.kind != "image") m
         else {
-          // ==== STUB BOUNDARY ==== real impl: decode -> resample -> encode
-          val out = new Array[Byte]((m.bytes.length + 3) / 4)
-          var i = 0
-          while (i < out.length) { out(i) = m.bytes(i * 4); i += 1 }
-          MediaRow(m.media_id, m.kind, out,
-            math.max(1, m.width / 2), math.max(1, m.height / 2))
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.bytes))
+            catch { case _: Exception => null }
+          if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+            val w = math.max(1, img.getWidth / 2)
+            val h = math.max(1, img.getHeight / 2)
+            val small = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = small.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(small, "png", out)
+            MediaRow(m.media_id, m.kind, out.toByteArray, w, h)
+          } else {
+            // non-decodable payload: deterministic stand-in
+            val out = new Array[Byte]((m.bytes.length + 3) / 4)
+            var i = 0
+            while (i < out.length) { out(i) = m.bytes(i * 4); i += 1 }
+            MediaRow(m.media_id, m.kind, out,
+              math.max(1, m.width / 2), math.max(1, m.height / 2))
+          }
         }
       }
     }

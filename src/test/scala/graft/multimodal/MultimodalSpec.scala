@@ -210,21 +210,32 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getAs[Long]("media_id") === 0L) // self is most similar
   }
 
-  test("resizeHalf: images shrink consistently, other kinds untouched") {
+  test("resizeHalf: REAL resample for decodable images, others untouched") {
     import spark.implicits._
     val before = media.as[MediaRow].collect().map(m => m.media_id -> m).toMap
     val after = resizeHalf(media.as[MediaRow]).collect()
     after.foreach { m =>
       val b = before(m.media_id)
       if (b.kind == "image") {
+        // the synthetic image rows are real PNGs: the output must be a
+        // real PNG whose DECODED dimensions are half the original's
         assert(m.width === math.max(1, b.width / 2))
         assert(m.height === math.max(1, b.height / 2))
-        assert(m.bytes.length === (b.bytes.length + 3) / 4)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.bytes))
+        assert(img != null, s"media ${m.media_id} resized payload not an image")
+        assert(img.getWidth === m.width && img.getHeight === m.height,
+          s"media ${m.media_id}: metadata/payload dims diverge")
       } else {
         assert(m.width === b.width && m.bytes.length === b.bytes.length)
       }
     }
     assert(after.exists(_.kind == "image"))
+    // non-decodable image payloads keep the deterministic stand-in
+    val raw = Seq(MediaRow(7L, "image", "not an image".getBytes("UTF-8"), 40, 20))
+    val fb = resizeHalf(spark.createDataset(raw)).head()
+    assert(fb.width === 20 && fb.height === 10 &&
+      fb.bytes.length === ("not an image".getBytes("UTF-8").length + 3) / 4)
   }
 
   test("sampleFrames: video rows only, stride honored, frames bounded") {
