@@ -1301,6 +1301,40 @@ object VectorOps {
       * Reference analogue: the IVF quantizer's cell structure
       * (`/root/reference` has no clustering op; this is pipeline
       * surface, SemDeDup-style curation needs it). */
+    def meanPoolEmbeddings(groupCol: String, vecCol: String): DataFrame = {
+      // chunk -> document embedding pooling: the per-group elementwise
+      // mean of an embedding column — the aggregation every
+      // chunked-embedding pipeline runs before doc-level search.
+      // Values quantize to floor(x * 2^16) longs first (the
+      // kmeansAssign discipline): the sums are EXACT integers, so the
+      // result is bit-identical under any partitioning AND in any
+      // replaying engine — a float sum is order-dependent and a
+      // float->decimal cast rounds with engine-specific tie modes
+      // (measured: 1-ulp oracle misses at the 6th digit). Cost of the
+      // discipline: <= 2^-16 per-chunk quantization error, the same
+      // trade kmeansAssign documents. ONE (group, position)
+      // partial-combined shuffle, then per-group reassembly sorted by
+      // position; state = groups x dim keys. Ragged chunks pool
+      // per-position over the chunks that HAVE that position
+      // (n_chunks reports the max). Output:
+      // (group, n_chunks, pooled array<double>).
+      val scale = 65536.0
+      ds.toDF
+        .select(col(groupCol), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+        .groupBy(col(groupCol), col("__p"))
+        .agg(sum(floor(col("__x").cast("double") * scale).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
+        .groupBy(col(groupCol))
+        .agg(
+          max(col("__n")).as("n_chunks"),
+          transform(
+            array_sort(collect_list(struct(col("__p"), col("__s"), col("__n")))),
+            e => e.getField("__s").cast("double") /
+              (e.getField("__n").cast("double") * scale))
+            .as("pooled"))
+        .select(col(groupCol), col("n_chunks"), col("pooled"))
+    }
+
     def kmeansAssign(vecCol: String, idCol: String, k: Int, iters: Int = 2,
                      seed: Long = 42L, scale: Double = 65536.0,
                      cache: Boolean = true): DataFrame = {

@@ -1116,6 +1116,21 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Chunk -> document embedding pooling (VectorOps.meanPoolEmbeddings):
+    * per-position exact integer-quantized means over 10-chunk "documents"
+    * (vec_id div 10), emitted as per-position rows so the oracle
+    * compares scalars. One (group, position) partial-combined shuffle;
+    * plain float sums would flake across partitionings. */
+  def meanPoolQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorOps._
+    embeddings(s, d)
+      .select(expr("vec_id div 10").as("doc_id"), col("embedding"))
+      .meanPoolEmbeddings("doc_id", "embedding")
+      .select(col("doc_id"), col("n_chunks"),
+        posexplode(col("pooled")).as(Seq("p", "v")))
+      .orderBy(col("doc_id"), col("p"))
+  }
+
   /** ANN JOIN against the at-rest IVF-PQ layout: a query WAVE (every
     * fifth embedding) retrieves its top-k from the corpus layout in
     * ONE distributed plan — probe cells per left, ADC over code
@@ -2667,6 +2682,23 @@ object Pipeline {
       // probe replays are out of a SQL oracle's reach)
       .updated("ann_ivfpq_audit",
         "SELECT CAST(4 AS BIGINT) AS n_queries, TRUE AS all_exact_at_full_probes")
+      // chunk->doc pooling: decimal-exact per-position means replayed
+      // row-for-row (ordinality is 1-based in DuckDB, posexplode 0-based)
+      .updated("emb_mean_pool",
+        """WITH ex AS (
+          |  SELECT vec_id // 10 AS doc_id,
+          |    unnest(generate_series(1, len(embedding))) - 1 AS p,
+          |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 65536.0) AS BIGINT) AS xq
+          |  FROM embeddings
+          |), agg AS (
+          |  SELECT doc_id, p, SUM(xq) AS s, COUNT(*) AS n
+          |  FROM ex GROUP BY doc_id, p
+          |)
+          |SELECT doc_id,
+          |  CAST(max(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks,
+          |  CAST(p AS INT) AS p,
+          |  CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 65536.0) AS v
+          |FROM agg ORDER BY doc_id, p""".stripMargin)
       // the ANN join at the exactness escape answers the brute cosine
       // top-k JOIN — same cosSql IEEE shape as ann_brute_topk, windowed
       // per wave row
@@ -2739,6 +2771,7 @@ object Pipeline {
     "ann_ivfpq_disk_topk" -> (annIvfPqDiskQ _),
     "ann_ivfpq_append_topk" -> (annIvfPqAppendQ _),
     "ann_ivfpq_join_topk" -> (annIvfPqJoinQ _),
+    "emb_mean_pool" -> (meanPoolQ _),
     "ann_ivfpq_audit" -> (annIvfPqAuditQ _),
     "pp_passage_dedup" -> (passageDedupQ _),
     "tx_bigram_quality" -> (bigramQualityQ _),

@@ -790,6 +790,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/retrain_snapshot").exists())
   }
 
+  test("meanPoolEmbeddings: exact per-position means, ragged and partition-safe") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(3.0f, 6.0f, 9.0f)),
+      (2L, Array(10.0f, 20.0f)),
+      (2L, Array(30.0f, 40.0f)),
+      (2L, Array(50.0f, 60.0f, 70.0f))) // ragged third position
+      .toDF("doc_id", "emb")
+    val got = chunks.meanPoolEmbeddings("doc_id", "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toSeq)).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 2L, Seq(2.0, 4.0, 6.0)),
+      // ragged: position 2 pools over the ONE chunk that has it
+      (2L, 3L, Seq(30.0, 40.0, 70.0))))
+    // partition-independent: the exact integer-quantized sums make the
+    // means bit-identical whatever the layout
+    val repartitioned = chunks.repartition(7).meanPoolEmbeddings("doc_id", "emb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](2).toSeq))
+      .sortBy(_._1).toSeq
+    assert(repartitioned === got.map(t => (t._1, t._3)))
+  }
+
   test("readIvfPqTopKJoin: per-left parity with the single-query verb; exact at escape") {
     import spark.implicits._
     for (res <- Seq(false, true)) {
