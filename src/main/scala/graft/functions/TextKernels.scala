@@ -127,6 +127,52 @@ object TextKernels {
   def shingleJaccard(a: String, b: String, n: Int): Double =
     sortedJaccard(shingleSet(a, n), shingleSet(b, n))
 
+  /** Content-defined chunking (the rsync/LBFS discipline): a cut lands
+    * after position i when the rolling hash of the LAST `window` chars
+    * satisfies `(h & mask) == 0` — boundaries depend only on local
+    * content, so an edit realigns within ~window + minSize chars
+    * instead of shifting every later boundary the way fixed-width
+    * chunking does (what makes chunk-level dedup survive insertions).
+    * `minSize` suppresses cuts too close to the previous one, `maxSize`
+    * forces one; with mask = 2^k - 1 the expected chunk is ~2^k chars.
+    * Wrapping 64-bit polynomial arithmetic (base 257) — deterministic
+    * everywhere. Chunks concatenate back to the input exactly. */
+  def cdcChunks(s: String, window: Int, mask: Long, minSize: Int,
+                maxSize: Int): Array[String] = {
+    require(window >= 1 && minSize >= 1 && maxSize >= minSize,
+      s"cdc: need window >= 1 and 1 <= minSize <= maxSize " +
+        s"(window=$window, minSize=$minSize, maxSize=$maxSize)")
+    val n = s.length
+    if (n == 0) return Array.empty
+    val B = 257L
+    var bw = 1L // B^window, wrapping
+    var w = 0
+    while (w < window) { bw *= B; w += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = h * B + s.charAt(i)
+      if (i >= window) h -= s.charAt(i - window) * bw
+      val len = i - start + 1
+      if ((len >= minSize && i >= window - 1 && (h & mask) == 0L) ||
+        len >= maxSize) {
+        out += s.substring(start, i + 1)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) out += s.substring(start)
+    out.toArray
+  }
+
+  def cdcChunksU(s: UTF8String, window: Int, mask: Long, minSize: Int,
+                 maxSize: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cdcChunks(s.toString, window, mask, minSize, maxSize)
+        .map(c => UTF8String.fromString(c): Any))
+
   private def distinctSorted(xs: Array[Long]): Array[Long] = {
     if (xs.length <= 1) return xs
     val c = xs.clone()

@@ -162,6 +162,16 @@ package object functions {
 
   def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
 
+  /** Content-defined chunk split: rolling-hash boundaries (avg chunk
+    * ~2^maskBits chars), insertion-robust — the chunking that makes
+    * chunk-level dedup survive edits. Chunks concatenate back to the
+    * input exactly. */
+  def cdcChunks(text: Column, window: Int = 16, maskBits: Int = 8,
+                minSize: Int = 64, maxSize: Int = 1024): Column = {
+    require(maskBits >= 1 && maskBits <= 62, s"maskBits in [1,62]: $maskBits")
+    toCol(CdcChunks(toExpr(text), window, (1L << maskBits) - 1, minSize, maxSize))
+  }
+
   def shingleJaccard(a: Column, b: Column, n: Int = 3): Column =
     toCol(ShingleJaccard(toExpr(a), toExpr(b), n))
 

@@ -28,6 +28,25 @@ case class MinHashSignature(child: Expression, shingle: Int, numHashes: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `cdc_chunks(text) -> array<string>` — content-defined chunk split
+  * (rolling-hash boundaries; see [[TextKernels.cdcChunks]]). */
+case class CdcChunks(child: Expression, window: Int, mask: Long,
+                     minSize: Int, maxSize: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.cdcChunksU(a.asInstanceOf[UTF8String], window, mask,
+      minSize, maxSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.TextKernels.cdcChunksU($a, $window, ${mask}L, $minSize, $maxSize)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `simhash64(text) -> long`. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -190,6 +190,10 @@ object GraftExtensions {
       graft.functions.SimHash64(es(0))),
     "graft_fingerprint64" -> arity("graft_fingerprint64", 1)(es =>
       graft.functions.Fingerprint64(es(0))),
+    // graft_cdc_chunks(text) — content-defined chunk split at the
+    // library defaults (window 16, avg chunk ~256 chars, [64, 1024])
+    "graft_cdc_chunks" -> arity("graft_cdc_chunks", 1)(es =>
+      graft.functions.CdcChunks(es(0), 16, 0xFFL, 64, 1024)),
     "graft_lang_id" -> arity("graft_lang_id", 1)(es =>
       graft.functions.LangId(es(0))),
     "graft_st_intersects" -> arity("graft_st_intersects", 2)(es =>

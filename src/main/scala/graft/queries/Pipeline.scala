@@ -312,6 +312,27 @@ object Pipeline {
     * is the md5 hex STRING and the window min is lexicographic, so the
     * oracle needs no custom hash kernel: both engines compute identical
     * md5 hex and compare ASCII identically. */
+  /** Content-defined chunking contract (functions.cdcChunks): per doc,
+    * the rolling-hash chunks must concatenate back to the text exactly,
+    * every non-last chunk lands in [minSize, maxSize], and the last is
+    * <= maxSize — verified engine-side (boundary positions are
+    * hash-private), the verdict-row pattern. The insertion-robustness
+    * property is spec-pinned (suffix chunks realign after a prefix
+    * edit). */
+  def cdcChunksQ(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.cdcChunks
+    documents(s, d)
+      .select(col("doc_id"), col("text"), cdcChunks(col("text")).as("__ch"))
+      .select(col("doc_id"),
+        (concat_ws("", col("__ch")) === col("text")).as("reassembles"),
+        (size(filter(
+          slice(col("__ch"), lit(1), greatest(size(col("__ch")) - 1, lit(0))),
+          c => length(c) < 64 || length(c) > 1024)) === 0).as("sizes_ok"),
+        (size(col("__ch")) === 0 ||
+          length(element_at(col("__ch"), -1)) <= 1024).as("last_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   def winnowQ(s: SparkSession, d: String): DataFrame = {
     import graft.operators.CorpusOps._
     documents(s, d).winnowFingerprints("doc_id", "text", n = 4, w = 4)
@@ -2082,6 +2103,12 @@ object Pipeline {
     // winnowing: window-min over md5 hex gram hashes; pos is 0-based in
     // Spark (posexplode) so the DuckDB gram CTE subtracts 1. A window
     // starting at pos is full iff pos <= n_grams - w.
+    // CDC contract row: boundaries are hash-private, the properties are
+    // verified engine-side; DuckDB predicts the verdict table's shape
+    "tx_cdc_chunks" ->
+      """SELECT doc_id, TRUE AS reassembles, TRUE AS sizes_ok,
+        |  TRUE AS last_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "tx_winnow" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r]+') AS t
@@ -2731,6 +2758,7 @@ object Pipeline {
     "pp_sequence_pack" -> (sequencePackQ _),
     "pp_sequence_pack_global" -> (sequencePackGlobalQ _),
     "tx_winnow" -> (winnowQ _),
+    "tx_cdc_chunks" -> (cdcChunksQ _),
     "tx_token_chunks" -> (tokenChunksQ _),
     "tx_bpe_pairs" -> (bpePairsQ _),
     "pp_importance" -> (importanceQ _),

@@ -81,6 +81,22 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks through codegen matches the kernel and reassembles") {
+    val rnd = new scala.util.Random(3)
+    val texts = Seq(
+      (0 until 4000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString,
+      "tiny", "")
+    val rows = texts.toDF("t")
+      .select($"t", cdcChunks($"t").as("ch"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val got = r.getSeq[String](1).toSeq
+      assert(got === TextKernels.cdcChunks(t, 16, 0xFFL, 64, 1024).toSeq)
+      assert(got.mkString === t)
+    }
+  }
+
   test("hyperplane sketch: deterministic, similar vectors share more bits") {
     val a = Array.fill(32)(1.0f)
     val b = a.clone(); b(0) = 0.9f // nearly identical

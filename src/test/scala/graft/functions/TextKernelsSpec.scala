@@ -56,6 +56,47 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(f("hello world") !== f("hello word"))
   }
 
+  test("cdcChunks: reassembly, size bounds, determinism") {
+    val rnd = new scala.util.Random(7)
+    val text = (0 until 5000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val chunks = TextKernels.cdcChunks(text, 16, 0xFFL, 64, 1024)
+    assert(chunks.mkString === text)
+    chunks.dropRight(1).foreach { c =>
+      assert(c.length >= 64 && c.length <= 1024, s"len=${c.length}")
+    }
+    assert(chunks.last.length <= 1024)
+    assert(chunks.toSeq === TextKernels.cdcChunks(text, 16, 0xFFL, 64, 1024).toSeq)
+    assert(TextKernels.cdcChunks("", 16, 0xFFL, 64, 1024).isEmpty)
+    // a doc shorter than minSize is a single chunk
+    assert(TextKernels.cdcChunks("short", 16, 0xFFL, 64, 1024).toSeq === Seq("short"))
+  }
+
+  test("cdcChunks: boundaries realign after a prefix edit (insertion robustness)") {
+    val rnd = new scala.util.Random(11)
+    val text = (0 until 8000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = "INSERTED-PREFIX-" + text
+    val a = TextKernels.cdcChunks(text, 16, 0xFFL, 64, 1024)
+    val b = TextKernels.cdcChunks(edited, 16, 0xFFL, 64, 1024)
+    // after the first few chunks the cut points must coincide again:
+    // the suffix chunk multiset overlap is large, unlike fixed-width
+    val setA = a.toSet
+    val shared = b.count(setA.contains)
+    assert(shared >= a.length - 3,
+      s"only $shared of ${a.length} chunks realigned after a prefix edit")
+    // fixed-width chunking by contrast realigns nowhere (sanity contrast)
+    val fw = text.grouped(256).toArray
+    val fwEdited = edited.grouped(256).toArray.toSet
+    assert(fw.count(fwEdited.contains) <= 1)
+  }
+
+  test("cdcChunks: maxSize forces a cut when the hash never fires") {
+    // mask so strict no boundary fires -> every chunk exactly maxSize
+    val text = "a" * 1000
+    val chunks = TextKernels.cdcChunks(text, 16, (1L << 60) - 1, 10, 100)
+    assert(chunks.dropRight(1).forall(_.length == 100))
+    assert(chunks.mkString === text)
+  }
+
   test("langId picks profiles and CJK") {
     assert(TextKernels.langId("the cat sat on the mat and it is a cat") === "en")
     assert(TextKernels.langId("der Hund ist nicht in das Haus und die Katze") === "de")
