@@ -384,6 +384,126 @@ object DedupOps {
         .filter(col("size") > maxBucket)
     }
 
+    /** CDC chunk-level near-dup pairs: documents sharing at least
+      * `minShared` content-defined chunks ([[graft.functions.cdcChunks]]
+      * boundaries — insertion-robust, so an edited doc still shares its
+      * untouched chunks), exact-verified with shingle Jaccard. Chunk
+      * hashing is the dedup family's third blocking key (beside
+      * minhash bands and simhash blocks): it needs no signature tuning
+      * and surfaces pairs that share long LITERAL spans even when
+      * whole-doc Jaccard is low — the copied-paragraph case minhash's
+      * global signature dilutes.
+      *
+      * 100-TB shape: texts are chunked and dropped in the first
+      * projection — only (id, 64-bit chunk hash) rides the ONE groupBy
+      * shuffle; `maxDocsPerChunk` bounds the membership arrays the way
+      * the capped minhash route bounds buckets (a boilerplate chunk
+      * shared by a million templated docs must not detonate the pair
+      * expansion — such a chunk is dropped, auditable via
+      * [[cdcCrossDocChunks]]), and only candidate docs are re-tokenized
+      * for the verify (per-side semi-joins). Returns
+      * (id1, id2, shared_chunks, jaccard). */
+    def cdcChunkPairs(idCol: String, textCol: String, window: Int = 8,
+                      maskBits: Int = 6, minSize: Int = 32,
+                      maxSize: Int = 256, minShared: Int = 2,
+                      shingle: Int = 3, maxDocsPerChunk: Int = 64): DataFrame = {
+      require(minShared >= 1, s"minShared must be >= 1: $minShared")
+      require(maxDocsPerChunk >= 2 &&
+        maxDocsPerChunk <= DedupOps.CappedArrayBucketMax,
+        s"maxDocsPerChunk in [2, ${DedupOps.CappedArrayBucketMax}]: $maxDocsPerChunk")
+      val chunkIds = ds.toDF
+        .select(col(idCol),
+          explode(cdcChunks(col(textCol), window, maskBits, minSize,
+            maxSize)).as("__c"))
+        .select(col(idCol), xxhash64(col("__c")).as("__h"))
+        .distinct()
+      val members = chunkIds
+        .groupBy(col("__h"))
+        .agg(collect_list(col(idCol)).as("__ids"))
+        .filter(size(col("__ids")).between(2, maxDocsPerChunk))
+      val sortedIds = array_sort(col("__ids"))
+      // a pair sharing k chunk hashes materializes k struct rows — the
+      // groupBy count IS the shared-chunk count (chunkIds is distinct
+      // per (id, hash), so each hash yields a pair at most once)
+      val pairs = members
+        .select(explode(flatten(transform(sortedIds, (x, i) =>
+          transform(slice(sortedIds, i + 2, lit(maxDocsPerChunk)),
+            y => struct(x.as("id1"), y.as("id2")))))).as("__p"))
+        .filter(col("__p.id1") < col("__p.id2"))
+        .groupBy(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
+        .agg(count(lit(1)).as("shared_chunks"))
+        .filter(col("shared_chunks") >= minShared)
+      // candidate-restricted verify, the minHashPairs discipline:
+      // `pairs` ends in an aggregation shuffle, so its three references
+      // here share one reused exchange stage
+      val t1 = ds.toDF
+        .join(pairs.select(col("id1").as("__cand")),
+          col(idCol) === col("__cand"), "left_semi")
+        .select(col(idCol).as("id1"), shingleSet(col(textCol), shingle).as("__sh1"))
+      val t2 = ds.toDF
+        .join(pairs.select(col("id2").as("__cand")),
+          col(idCol) === col("__cand"), "left_semi")
+        .select(col(idCol).as("id2"), shingleSet(col(textCol), shingle).as("__sh2"))
+      pairs.join(t1, Seq("id1")).join(t2, Seq("id2"))
+        .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
+        .select(col("id1"), col("id2"), col("shared_chunks"), col("jaccard"))
+    }
+
+    /** Chunk-level storage-dedup summary over content-defined chunks:
+      * ONE row quantifying what a content-addressed chunk store would
+      * save on this corpus (the rsync/backup economics applied to
+      * corpus curation). `total_chunk_chars` equals the corpus's total
+      * text length by the reassembly contract (chunks PARTITION each
+      * doc — the grouping key includes the length, so the total is
+      * exact even under a 64-bit hash collision); `distinct_chunk_chars`
+      * is the store's residency, `dup_chunk_chars` the saving,
+      * `cross_doc_chunks` the chunks appearing in >= 2 docs (the
+      * near-dup signal [[cdcChunkPairs]] expands).
+      *
+      * 100-TB shape: chunk + hash in one projection (text dropped),
+      * ONE groupBy shuffle on (hash, length) with map-side partial
+      * aggregation, then a single global fold — no pair space, no
+      * membership arrays, driver state is four longs. */
+    def cdcDedupStats(idCol: String, textCol: String, window: Int = 8,
+                      maskBits: Int = 6, minSize: Int = 32,
+                      maxSize: Int = 256): DataFrame = {
+      ds.toDF
+        .select(col(idCol),
+          explode(cdcChunks(col(textCol), window, maskBits, minSize,
+            maxSize)).as("__c"))
+        .select(col(idCol), xxhash64(col("__c")).as("__h"),
+          length(col("__c")).cast("long").as("__len"))
+        .groupBy(col("__h"), col("__len"))
+        .agg(count(lit(1)).as("__n"), countDistinct(col(idCol)).as("__nd"))
+        .agg(
+          sum(col("__n") * col("__len")).as("total_chunk_chars"),
+          sum(col("__len")).as("distinct_chunk_chars"),
+          sum((col("__n") - 1) * col("__len")).as("dup_chunk_chars"),
+          sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("cross_doc_chunks"))
+    }
+
+    /** Audit surface for [[cdcChunkPairs]]'s membership cap: the
+      * (chunk hash, length, doc count) rows shared across more docs
+      * than `maxDocsPerChunk` admits — boilerplate chunks excluded from
+      * candidate generation, quantified instead of silently dropped. */
+    def cdcCrossDocChunks(idCol: String, textCol: String, window: Int = 8,
+                          maskBits: Int = 6, minSize: Int = 32,
+                          maxSize: Int = 256,
+                          maxDocsPerChunk: Int = 64): DataFrame = {
+      require(maxDocsPerChunk >= 2,
+        "the oversized-chunk audit only makes sense with a cap >= 2")
+      ds.toDF
+        .select(col(idCol),
+          explode(cdcChunks(col(textCol), window, maskBits, minSize,
+            maxSize)).as("__c"))
+        .select(col(idCol), xxhash64(col("__c")).as("__h"),
+          length(col("__c")).cast("long").as("__len"))
+        .distinct()
+        .groupBy(col("__h").as("chunk_hash"), col("__len").as("chunk_chars"))
+        .agg(countDistinct(col(idCol)).as("n_docs"))
+        .filter(col("n_docs") > maxDocsPerChunk)
+    }
+
     /** Shared candidate layout: one (id, band, bucket) row per doc per
       * band. Texts never ride this — at corpus scale they'd shuffle once
       * per band; they join back for the exact verify. Band b's bucket

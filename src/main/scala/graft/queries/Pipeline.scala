@@ -78,6 +78,44 @@ object Pipeline {
       (count(lit(1)) > 0).as("nonempty"))
   }
 
+  /** CDC chunk-sharing near-dup gate: chunk boundaries are
+    * engine-hash-private, so the oracle is the verdict row — every pair
+    * ordered, sharing at least `minShared` content-defined chunks, and
+    * carrying a Jaccard bit-equal to the independent built-in-function
+    * recompute; nonempty pins that the corpus's planted near-dups
+    * actually share realigned chunks (the insertion-robustness payoff). */
+  def cdcPairsQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = docs
+      .cdcChunkPairs("doc_id", "text", minShared = 2)
+      .join(docs.select(col("doc_id").as("id1"), col("text").as("__t1")), Seq("id1"))
+      .join(docs.select(col("doc_id").as("id2"), col("text").as("__t2")), Seq("id2"))
+    pairs.agg(
+      (sum(when(col("id1") < col("id2"), 0).otherwise(1)) === 0).as("all_ordered"),
+      (sum(when(col("shared_chunks") >= 2, 0).otherwise(1)) === 0).as("all_min_shared"),
+      (sum(when(col("jaccard") ===
+        jaccardBuiltinCol(col("__t1"), col("__t2"), 3), 0).otherwise(1)) === 0)
+        .as("all_jaccard_exact"),
+      (count(lit(1)) > 0).as("nonempty"))
+  }
+
+  /** Chunk-store savings summary: `total_chunk_chars` is REAL oracle
+    * teeth — the reassembly contract makes it equal the corpus's total
+    * text length, which DuckDB computes independently; the verdict
+    * booleans pin the engine-side conservation identities the hash
+    * grouping must satisfy. */
+  def cdcDedupQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val stats = docs.cdcDedupStats("doc_id", "text")
+    val corpusChars = docs.agg(sum(length(col("text")).cast("long")).as("__cc"))
+    stats.crossJoin(corpusChars).select(
+      col("total_chunk_chars"),
+      (col("total_chunk_chars") === col("__cc")).as("chars_conserved"),
+      (col("distinct_chunk_chars") + col("dup_chunk_chars") ===
+        col("total_chunk_chars")).as("savings_consistent"),
+      (col("cross_doc_chunks") > 0).as("sharing_nonempty"))
+  }
+
   /** At-rest minhash index gate: the corpus's banded buckets AND
     * verify shingles persist once ([[writeMinhashIndex]]); the wave
     * dedups against the LAYOUT — corpus text never re-read. The
@@ -2059,6 +2097,16 @@ object Pipeline {
       """SELECT TRUE AS all_new_side, TRUE AS all_corpus_side,
         |  TRUE AS all_above_threshold, TRUE AS all_jaccard_exact,
         |  TRUE AS nonempty""".stripMargin,
+    // chunk boundaries are hash-private; the one DuckDB-computable fact
+    // is total chars (chunks partition each doc), the rest is verdict
+    "dd_cdc_pairs" ->
+      """SELECT TRUE AS all_ordered, TRUE AS all_min_shared,
+        |  TRUE AS all_jaccard_exact, TRUE AS nonempty""".stripMargin,
+    "dd_cdc_dedup" ->
+      """SELECT CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chunk_chars,
+        |  TRUE AS chars_conserved, TRUE AS savings_consistent,
+        |  TRUE AS sharing_nonempty
+        |FROM documents""".stripMargin,
     // the at-rest index must be invisible in results: the verdict row
     // pins the engine-side full-outer equality with the direct form
     "dd_minhash_index" ->
@@ -2772,6 +2820,8 @@ object Pipeline {
     "dd_minhash_incremental" -> (minHashIncrementalQ _),
     "dd_minhash_index" -> (minHashIndexQ _),
     "dd_minhash_pairs_capped" -> (minHashCappedQ _),
+    "dd_cdc_pairs" -> (cdcPairsQ _),
+    "dd_cdc_dedup" -> (cdcDedupQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),

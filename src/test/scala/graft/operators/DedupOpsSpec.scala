@@ -443,4 +443,71 @@ class DedupOpsSpec extends SparkSpec {
         s"doc $id: removed=$removed but flagged=${flagged.contains(id)}")
     }
   }
+
+  test("cdcChunkPairs: brute-force parity on shared chunks, exact jaccard") {
+    val got = docs.cdcChunkPairs("doc_id", "text", minShared = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val textOf = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // brute force: chunk every doc with the same params, count shared
+    // DISTINCT chunks per pair, honoring the membership cap
+    val chunkSets = textOf.map { case (id, t) =>
+      id -> TextKernels.cdcChunks(t, 8, 0x3FL, 32, 256).toSet
+    }
+    val docCount = chunkSets.values.flatten.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size }
+    val ids = textOf.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      shared = (chunkSets(ids(i)) intersect chunkSets(ids(j)))
+        .count(c => docCount(c) <= 64)
+      if shared >= 1
+    } yield (ids(i), ids(j)) -> shared.toLong).toMap
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (pair, (shared, jac)) =>
+      assert(shared === brute(pair), s"pair $pair shared count")
+      assert(jac === TextKernels.shingleJaccard(
+        textOf(pair._1), textOf(pair._2), 3), s"pair $pair jaccard")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("cdcDedupStats: conservation identities and cross-doc count") {
+    val r = docs.cdcDedupStats("doc_id", "text").collect()(0)
+    val (total, distinct_, dup, cross) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val textOf = docs.select("doc_id", "text").collect()
+      .map(r2 => r2.getLong(0) -> r2.getString(1)).toMap
+    assert(total === textOf.values.map(_.length.toLong).sum,
+      "chunks must partition every doc exactly")
+    assert(distinct_ + dup === total)
+    val perDocChunks = textOf.map { case (id, t) =>
+      id -> TextKernels.cdcChunks(t, 8, 0x3FL, 32, 256).toSet }
+    val bruteCross = perDocChunks.values.flatten.groupBy(identity)
+      .count { case (_, xs) => xs.size >= 2 }
+    assert(cross === bruteCross.toLong)
+    assert(cross > 0, "the corpus's planted near-dups must share chunks")
+  }
+
+  test("cdc membership cap drops boilerplate chunks; audit lists them") {
+    // 6 docs with an identical 200-char body: every chunk lives in 6
+    // docs, so a cap of 4 admits no pair — and the audit names exactly
+    // the dropped chunks
+    val body = ("the quick brown fox jumps over the lazy dog. " * 5).trim
+    val df = (1L to 6L).map(i => (i, body)).toDF("doc_id", "text")
+    val pairs = df.cdcChunkPairs("doc_id", "text", minShared = 1,
+      maxDocsPerChunk = 4)
+    assert(pairs.count() === 0)
+    val audit = df.cdcCrossDocChunks("doc_id", "text", maxDocsPerChunk = 4)
+      .collect()
+    val nChunks = TextKernels.cdcChunks(body, 8, 0x3FL, 32, 256).toSet.size
+    assert(audit.length === nChunks)
+    audit.foreach(r => assert(r.getLong(2) === 6L))
+    // raising the cap re-admits the cluster: all 15 pairs, jaccard 1.0
+    val open = df.cdcChunkPairs("doc_id", "text", minShared = 1,
+      maxDocsPerChunk = 8).collect()
+    assert(open.length === 15)
+    open.foreach(r => assert(r.getDouble(3) === 1.0))
+  }
 }
