@@ -411,13 +411,8 @@ object DedupOps {
       require(maxDocsPerChunk >= 2 &&
         maxDocsPerChunk <= DedupOps.CappedArrayBucketMax,
         s"maxDocsPerChunk in [2, ${DedupOps.CappedArrayBucketMax}]: $maxDocsPerChunk")
-      val chunkIds = ds.toDF
-        .select(col(idCol),
-          explode(cdcChunks(col(textCol), window, maskBits, minSize,
-            maxSize)).as("__c"))
-        .select(col(idCol), xxhash64(col("__c")).as("__h"))
-        .distinct()
-      val members = chunkIds
+      val members = cdcChunkHashes(idCol, textCol, window, maskBits,
+          minSize, maxSize)
         .groupBy(col("__h"))
         .agg(collect_list(col(idCol)).as("__ids"))
         .filter(size(col("__ids")).between(2, maxDocsPerChunk))
@@ -502,6 +497,164 @@ object DedupOps {
         .groupBy(col("__h").as("chunk_hash"), col("__len").as("chunk_chars"))
         .agg(countDistinct(col(idCol)).as("n_docs"))
         .filter(col("n_docs") > maxDocsPerChunk)
+    }
+
+    /** This dataset's distinct (id, chunk-hash) rows under the given
+      * CDC parameters — the blocking layout [[cdcChunkPairs]] and the
+      * at-rest index share. Text drops in the first projection. */
+    private def cdcChunkHashes(idCol: String, textCol: String, window: Int,
+                               maskBits: Int, minSize: Int,
+                               maxSize: Int): DataFrame =
+      ds.toDF
+        .select(col(idCol),
+          explode(cdcChunks(col(textCol), window, maskBits, minSize,
+            maxSize)).as("__c"))
+        .select(col(idCol), xxhash64(col("__c")).as("__h"))
+        .distinct()
+
+    /** Persist this corpus's CDC chunk index AT REST: per-chunk-hash
+      * sorted doc-membership arrays plus the per-doc shingle sets the
+      * exact verify needs — write once, gate every ingest wave. The
+      * [[writeMinhashIndex]] discipline applied to chunk blocking:
+      * chunking + hashing over the corpus runs exactly once, each
+      * arriving wave chunks only ITSELF and equi-joins the stored
+      * membership table in place (three narrow columns, zero
+      * corpus-side shuffle), and the verify reads candidate shingles
+      * from the layout — corpus text is never re-read after the write.
+      * Tagged params + write token make a mis-parameterized or torn
+      * layout impossible to read silently. */
+    def writeCdcIndex(path: String, idCol: String, textCol: String,
+                      window: Int = 8, maskBits: Int = 6, minSize: Int = 32,
+                      maxSize: Int = 256, shingle: Int = 3): Unit = {
+      require(!idCol.contains(",") && !idCol.contains(":"),
+        s"writeCdcIndex: idCol '$idCol' would break the meta codec " +
+          "(',' and ':' are its delimiters)")
+      val spark = ds.sparkSession
+      val token = java.util.UUID.randomUUID().toString
+      cdcChunkHashes(idCol, textCol, window, maskBits, minSize, maxSize)
+        .groupBy(col("__h"))
+        .agg(sort_array(collect_list(col(idCol))).as("__cids"))
+        .withColumn("__graft_token", lit(token))
+        .repartitionByRange(col("__h"))
+        .sortWithinPartitions(col("__h"))
+        .write.mode("overwrite").parquet(s"$path/chunks")
+      ds.toDF
+        .select(col(idCol), shingleSet(col(textCol), shingle).as("__shingles"))
+        .withColumn("__graft_token", lit(token))
+        .write.mode("overwrite").parquet(s"$path/shingles")
+      import spark.implicits._
+      Seq(s"params=idCol:$idCol,window:$window,maskBits:$maskBits," +
+          s"minSize:$minSize,maxSize:$maxSize,shingle:$shingle",
+        "token=" + token).toDS().coalesce(1)
+        .write.mode("overwrite").text(s"$path/meta")
+    }
+
+    /** Ingest-wave CDC dedup gate against a [[writeCdcIndex]] layout:
+      * THIS dataset is the arriving wave; pairs sharing at least
+      * `minShared` content-defined chunks with corpus docs come
+      * straight off the stored membership arrays (the wave side joins
+      * the table IN PLACE), the exact Jaccard verify reads corpus
+      * shingles from the layout, and chunking parameters derive from
+      * the META — a wave chunked differently is impossible, not just
+      * unlikely. `maxDocsPerChunk` drops boilerplate chunks by stored
+      * membership size, as in [[cdcChunkPairs]]. Returns
+      * (id_new, id_corpus, shared_chunks, jaccard). */
+    def cdcPairsAgainstIndex(path: String, idCol: String, textCol: String,
+                             minShared: Int = 2,
+                             maxDocsPerChunk: Int = 64): DataFrame = {
+      require(minShared >= 1, s"minShared must be >= 1: $minShared")
+      val spark = ds.sparkSession
+      val lines = spark.read.textFile(s"$path/meta").collect()
+      def line(tag: String): String = lines.find(_.startsWith(tag + "="))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cdcPairsAgainstIndex: no '$tag' line in $path/meta"))
+        .substring(tag.length + 1)
+      val params = line("params").split(",").map { kv =>
+        val Array(a, v) = kv.split(":"); a -> v
+      }.toMap
+      val token = line("token")
+      val storedId = params("idCol")
+      def tokenChecked(df: DataFrame, what: String): DataFrame = {
+        require(df.columns.contains("__graft_token"),
+          s"cdcPairsAgainstIndex: $path/$what has no __graft_token " +
+            "column — the layout is torn or foreign; rewrite with " +
+            "writeCdcIndex")
+        df.filter(assert_true(col("__graft_token") === token,
+          lit(s"cdcPairsAgainstIndex: write-token mismatch between " +
+            s"$path/meta and $path/$what — rewrite the layout")).isNull)
+          .drop("__graft_token")
+      }
+      val waveChunks = cdcChunkHashes(idCol, textCol,
+        params("window").toInt, params("maskBits").toInt,
+        params("minSize").toInt, params("maxSize").toInt)
+      val member = tokenChecked(
+        spark.read.parquet(s"$path/chunks"), "chunks")
+        .filter(size(col("__cids")) <= maxDocsPerChunk)
+      val pairs = waveChunks
+        .select(col(idCol).as("id_new"), col("__h"))
+        .join(member, Seq("__h"))
+        .select(col("id_new"), explode(col("__cids")).as("id_corpus"))
+        .filter(col("id_new") =!= col("id_corpus"))
+        .groupBy(col("id_new"), col("id_corpus"))
+        .agg(count(lit(1)).as("shared_chunks"))
+        .filter(col("shared_chunks") >= minShared)
+      val t1 = ds.toDF
+        .join(pairs.select(col("id_new").as("__cand")),
+          col(idCol) === col("__cand"), "left_semi")
+        .select(col(idCol).as("id_new"),
+          shingleSet(col(textCol), params("shingle").toInt).as("__sh1"))
+      val t2 = tokenChecked(
+        spark.read.parquet(s"$path/shingles"), "shingles")
+        .join(pairs.select(col("id_corpus").as("__cand")),
+          col(storedId) === col("__cand"), "left_semi")
+        .select(col(storedId).as("id_corpus"), col("__shingles").as("__sh2"))
+      pairs.join(t1, Seq("id_new")).join(t2, Seq("id_corpus"))
+        .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
+        .select(col("id_new"), col("id_corpus"), col("shared_chunks"),
+          col("jaccard"))
+    }
+
+    /** Direct (no-layout) form of [[cdcPairsAgainstIndex]]: wave-vs-
+      * corpus shared-chunk pairs with both sides chunked fresh —
+      * the reference semantics the index must reproduce bit-for-bit
+      * (same membership-array shape, so equality is by construction;
+      * the dd_cdc_index verdict row pins it engine-side). */
+    def cdcChunkPairsAgainst(corpus: Dataset[_], idCol: String,
+                             textCol: String, window: Int = 8,
+                             maskBits: Int = 6, minSize: Int = 32,
+                             maxSize: Int = 256, minShared: Int = 2,
+                             shingle: Int = 3,
+                             maxDocsPerChunk: Int = 64): DataFrame = {
+      require(minShared >= 1, s"minShared must be >= 1: $minShared")
+      val waveChunks = cdcChunkHashes(idCol, textCol, window, maskBits,
+        minSize, maxSize)
+      val member = new DatasetDedupOps(corpus)
+        .cdcChunkHashes(idCol, textCol, window, maskBits, minSize, maxSize)
+        .groupBy(col("__h"))
+        .agg(sort_array(collect_list(col(idCol))).as("__cids"))
+        .filter(size(col("__cids")) <= maxDocsPerChunk)
+      val pairs = waveChunks
+        .select(col(idCol).as("id_new"), col("__h"))
+        .join(member, Seq("__h"))
+        .select(col("id_new"), explode(col("__cids")).as("id_corpus"))
+        .filter(col("id_new") =!= col("id_corpus"))
+        .groupBy(col("id_new"), col("id_corpus"))
+        .agg(count(lit(1)).as("shared_chunks"))
+        .filter(col("shared_chunks") >= minShared)
+      val t1 = ds.toDF
+        .join(pairs.select(col("id_new").as("__cand")),
+          col(idCol) === col("__cand"), "left_semi")
+        .select(col(idCol).as("id_new"),
+          shingleSet(col(textCol), shingle).as("__sh1"))
+      val t2 = corpus.toDF
+        .join(pairs.select(col("id_corpus").as("__cand")),
+          col(idCol) === col("__cand"), "left_semi")
+        .select(col(idCol).as("id_corpus"),
+          shingleSet(col(textCol), shingle).as("__sh2"))
+      pairs.join(t1, Seq("id_new")).join(t2, Seq("id_corpus"))
+        .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
+        .select(col("id_new"), col("id_corpus"), col("shared_chunks"),
+          col("jaccard"))
     }
 
     /** Shared candidate layout: one (id, band, bucket) row per doc per

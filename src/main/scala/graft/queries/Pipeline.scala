@@ -116,6 +116,36 @@ object Pipeline {
       (col("cross_doc_chunks") > 0).as("sharing_nonempty"))
   }
 
+  /** At-rest CDC chunk index gate: the corpus's chunk-hash membership
+    * arrays and verify shingles persist once ([[writeCdcIndex]]); the
+    * wave dedups against the LAYOUT. The verdict row asserts
+    * engine-side that index-backed pairs equal the direct
+    * [[cdcChunkPairsAgainst]] bit-for-bit — full-outer compare of
+    * (shared_chunks, jaccard) per pair — the index-on/index-off
+    * contract the minhash index answers with the same shape. */
+  def cdcIndexQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_cdc_idx_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    corpus.writeCdcIndex(path, "doc_id", "text")
+    val viaIndex = fresh.cdcPairsAgainstIndex(path, "doc_id", "text",
+      minShared = 1)
+    val direct = fresh.cdcChunkPairsAgainst(corpus, "doc_id", "text",
+      minShared = 1)
+    viaIndex.select(col("id_new"), col("id_corpus"),
+      col("shared_chunks").as("__si"), col("jaccard").as("__ji"))
+      .join(direct.select(col("id_new"), col("id_corpus"),
+        col("shared_chunks").as("__sd"), col("jaccard").as("__jd")),
+        Seq("id_new", "id_corpus"), "full_outer")
+      .agg(
+        (sum(when(col("__si") === col("__sd") &&
+          col("__ji") === col("__jd"), 0).otherwise(1)) === 0)
+          .as("index_equals_direct"),
+        (count(lit(1)) > 0).as("nonempty"))
+  }
+
   /** At-rest minhash index gate: the corpus's banded buckets AND
     * verify shingles persist once ([[writeMinhashIndex]]); the wave
     * dedups against the LAYOUT — corpus text never re-read. The
@@ -2107,6 +2137,8 @@ object Pipeline {
         |  TRUE AS chars_conserved, TRUE AS savings_consistent,
         |  TRUE AS sharing_nonempty
         |FROM documents""".stripMargin,
+    "dd_cdc_index" ->
+      "SELECT TRUE AS index_equals_direct, TRUE AS nonempty",
     // the at-rest index must be invisible in results: the verdict row
     // pins the engine-side full-outer equality with the direct form
     "dd_minhash_index" ->
@@ -2822,6 +2854,7 @@ object Pipeline {
     "dd_minhash_pairs_capped" -> (minHashCappedQ _),
     "dd_cdc_pairs" -> (cdcPairsQ _),
     "dd_cdc_dedup" -> (cdcDedupQ _),
+    "dd_cdc_index" -> (cdcIndexQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),

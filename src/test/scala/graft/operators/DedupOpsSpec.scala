@@ -490,6 +490,37 @@ class DedupOpsSpec extends SparkSpec {
     assert(cross > 0, "the corpus's planted near-dups must share chunks")
   }
 
+  test("at-rest cdc index: index-backed pairs equal the direct form") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_cdc_index_spec").toString
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    corpus.writeCdcIndex(path, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (cap <- Seq(64, 3)) {
+      val got = rows(fresh.cdcPairsAgainstIndex(path, "doc_id", "text",
+        minShared = 1, maxDocsPerChunk = cap))
+      val want = rows(fresh.cdcChunkPairsAgainst(corpus, "doc_id", "text",
+        minShared = 1, maxDocsPerChunk = cap))
+      assert(got === want, s"cap=$cap index != direct")
+      if (cap == 64) assert(got.nonEmpty)
+    }
+    // a torn layout (meta token not matching the tables) refuses loudly
+    val tampered = spark.read.textFile(s"$path/meta").collect().toSeq
+      .map(l => if (l.startsWith("token=")) "token=some-other-write" else l)
+    spark.createDataset(tampered).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[Throwable] {
+      fresh.cdcPairsAgainstIndex(path, "doc_id", "text").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
+  }
+
   test("cdc membership cap drops boilerplate chunks; audit lists them") {
     // 6 docs with an identical 200-char body: every chunk lives in 6
     // docs, so a cap of 4 admits no pair — and the audit names exactly
