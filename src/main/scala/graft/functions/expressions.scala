@@ -328,3 +328,30 @@ case class PointInPolygon(left: Expression, right: Expression, verts: Array[Doub
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** `bloom_might_contain(h: long)` against a literal serialized
+  * `org.apache.spark.util.sketch.BloomFilter` — the wave-side
+  * pre-filter of the at-rest digest index. The filter rides the plan
+  * as a referenced object (deserialized once per executor plan, not
+  * per row), so the probe is one static call inside whole-stage
+  * codegen. Never a correctness gate on its own: a `true` is a MAYBE
+  * the digest equi-join confirms, a `false` is a definite no. */
+case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(bloomBytes)
+
+  override def nullSafeEval(v: Any): Any = bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.mightContainLong($v)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

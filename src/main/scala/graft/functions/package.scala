@@ -138,6 +138,12 @@ package object functions {
   def cosineSimilarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
 
+  /** Probe a serialized `spark.util.sketch.BloomFilter` with a long
+    * column — codegen'd, filter deserialized once per plan. `true` is
+    * a maybe, `false` a definite no; always confirm positives. */
+  def bloomMightContain(h: Column, bloomBytes: Array[Byte]): Column =
+    toCol(BloomMightContainLong(toExpr(h), bloomBytes))
+
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
 

@@ -65,6 +65,38 @@ object DedupOps {
     * shuffle. */
   private[operators] val CappedArrayBucketMax = 2048
 
+  /** Parse an at-rest layout's `$path/meta` (the `params=`/`token=`
+    * line codec shared by the minhash/CDC/digest indexes) into a map;
+    * the write token rides under the reserved key `__token`. */
+  private[operators] def indexMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      what: String): Map[String, String] = {
+    val lines = spark.read.textFile(s"$path/meta").collect()
+    def line(tag: String): String = lines.find(_.startsWith(tag + "="))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$what: no '$tag' line in $path/meta"))
+      .substring(tag.length + 1)
+    line("params").split(",").map { kv =>
+      val Array(a, v) = kv.split(":"); a -> v
+    }.toMap + ("__token" -> line("token"))
+  }
+
+  /** The digest index's serialized Bloom filter — one driver-side row,
+    * token-paired with the meta so a filter from a different write
+    * (stale after an overwrite, foreign after a copy) refuses. */
+  private[operators] def digestBloom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      token: String): Array[Byte] = {
+    val rows = spark.read.parquet(s"$path/bloom")
+      .select(col("__graft_token"), col("__bloom")).collect()
+    require(rows.length == 1,
+      s"digest gate: $path/bloom must hold exactly one row, found ${rows.length}")
+    require(rows(0).getString(0) == token,
+      s"digest gate: write-token mismatch between $path/meta and " +
+        s"$path/bloom — rewrite the layout")
+    rows(0).getAs[Array[Byte]](1)
+  }
+
   implicit class DatasetDedupOps[T](private val ds: Dataset[T]) extends AnyVal {
 
     /** Exact dedup: keep, per distinct value of `textCol`, the row with
@@ -78,6 +110,136 @@ object DedupOps {
       df.groupBy(xxhash64(col(textCol)), col(textCol))
         .agg(min_by(all, col(idCol)).as("__row"))
         .select(df.columns.map(c => col(s"__row.$c").as(c)): _*)
+    }
+
+    /** Persist this corpus's exact-dedup digest set AT REST: one
+      * (id, xxhash64, md5) row per document plus an optional Bloom
+      * filter over the 64-bit digests — write once, gate every ingest
+      * wave without ever re-reading corpus text. The Bloom filter is
+      * the 100-TB move: at the default 1% fpp, ~99% of genuinely novel
+      * wave docs are cleared by a LOCAL probe (zero shuffle) and only
+      * the maybes pay the digest equi-join. It is never a correctness
+      * gate — matches are always confirmed against the stored 192-bit
+      * (xxhash64 + md5) digest pair, the standard content-address
+      * argument. `maxBloomBytes` bounds what the reader must broadcast:
+      * past it (≈ 10^9 docs at 1% fpp per 1.2 GB) the filter is SKIPPED
+      * and recorded as such in the meta — the gate stays correct, just
+      * join-only. Tagged params + write token refuse mis-parameterized
+      * or torn layouts, as in [[writeMinhashIndex]]. */
+    def writeDigestIndex(path: String, idCol: String, textCol: String,
+                         normalized: Boolean = false, fpp: Double = 0.01,
+                         maxBloomBytes: Long = 128L << 20): Unit = {
+      require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
+      require(!idCol.contains(",") && !idCol.contains(":"),
+        s"writeDigestIndex: idCol '$idCol' would break the meta codec " +
+          "(',' and ':' are its delimiters)")
+      val spark = ds.sparkSession
+      val token = java.util.UUID.randomUUID().toString
+      val t = if (normalized) normalizeText(col(textCol)) else col(textCol)
+      val digests = ds.toDF
+        .select(col(idCol), xxhash64(t).as("__h64"), unhex(md5(t)).as("__md5"))
+      digests.withColumn("__graft_token", lit(token))
+        .repartitionByRange(col("__h64"))
+        .sortWithinPartitions(col("__h64"))
+        .write.mode("overwrite").parquet(s"$path/digests")
+      // size the filter from the written table (narrow columns, one
+      // bounded job) — n rows is a safe over-estimate of distinct
+      // digests, it only lowers the realized fpp
+      val n = spark.read.parquet(s"$path/digests").count()
+      val bloomBits = math.ceil(
+        -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+      val withBloom = n > 0 && bloomBits / 8 <= maxBloomBytes
+      if (withBloom) {
+        val bf = spark.read.parquet(s"$path/digests")
+          .stat.bloomFilter("__h64", n, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__graft_token",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__bloom",
+            org.apache.spark.sql.types.BinaryType)))
+        spark.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(token, bos.toByteArray)), schema)
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+      }
+      import spark.implicits._
+      Seq(s"params=idCol:$idCol,normalized:$normalized," +
+          s"bloom:${if (withBloom) "yes" else "no"}",
+        "token=" + token).toDS().coalesce(1)
+        .write.mode("overwrite").text(s"$path/meta")
+    }
+
+    /** Exact-duplicate pairs of THIS wave against a [[writeDigestIndex]]
+      * layout: (id_new, id_corpus) where the wave doc's text equals the
+      * corpus doc's (normalized first iff the index was written
+      * normalized — the meta decides, so a differently-normalized probe
+      * is impossible). Matches confirm on the stored 192-bit digest
+      * pair; the Bloom filter (when the layout carries one) only thins
+      * the wave BEFORE the join. */
+    def exactPairsAgainstIndex(path: String, idCol: String,
+                               textCol: String): DataFrame = {
+      val (stored, waveD, storedId, bloom) =
+        digestGateSides(path, idCol, textCol)
+      val thinned = bloom match {
+        case Some(bytes) => waveD.filter(bloomMightContain(col("__h64"), bytes))
+        case None        => waveD
+      }
+      thinned
+        .join(stored, Seq("__h64", "__md5"))
+        .select(col("id_new"), col(storedId).as("id_corpus"))
+    }
+
+    /** The ADMIT set: wave rows (all columns preserved) whose text
+      * matches nothing in the [[writeDigestIndex]] corpus. This is
+      * where the Bloom filter earns its bytes: a `false` probe is a
+      * definite no-match, so those rows are admitted LOCALLY — only
+      * Bloom maybes (true dups + fpp of the novel) ride the anti-join
+      * shuffle. */
+    def admitAgainstDigestIndex(path: String, idCol: String,
+                                textCol: String): DataFrame = {
+      val (stored, waveD, _, bloom) = digestGateSides(path, idCol, textCol)
+      val storedKeys = stored.select(col("__h64"), col("__md5"))
+      val admitted = bloom match {
+        case Some(bytes) =>
+          val maybe = bloomMightContain(col("__h64"), bytes)
+          waveD.filter(!maybe).unionByName(
+            waveD.filter(maybe)
+              .join(storedKeys, Seq("__h64", "__md5"), "left_anti"))
+        case None =>
+          waveD.join(storedKeys, Seq("__h64", "__md5"), "left_anti")
+      }
+      ds.toDF.join(admitted.select(col("id_new").as("__keep")),
+        col(idCol) === col("__keep"), "left_semi")
+    }
+
+    /** Shared read path of the digest gate: meta-driven digest columns
+      * for the wave (the meta decides normalization — a differently-
+      * hashed probe is impossible), token-checked stored digests, and
+      * the layout's Bloom bytes when the meta says one was written. */
+    private def digestGateSides(path: String, idCol: String, textCol: String)
+        : (DataFrame, DataFrame, String, Option[Array[Byte]]) = {
+      val spark = ds.sparkSession
+      val params = DedupOps.indexMeta(spark, path, "digest gate")
+      val token = params("__token")
+      val storedId = params("idCol")
+      val stored = spark.read.parquet(s"$path/digests")
+      require(stored.columns.contains("__graft_token"),
+        s"digest gate: $path/digests has no __graft_token column — the " +
+          "layout is torn or foreign; rewrite with writeDigestIndex")
+      val storedOk = stored.filter(assert_true(col("__graft_token") === token,
+          lit(s"digest gate: write-token mismatch between $path/meta and " +
+            s"$path/digests — rewrite the layout")).isNull)
+        .drop("__graft_token")
+      val t = if (params("normalized").toBoolean) normalizeText(col(textCol))
+              else col(textCol)
+      val wave = ds.toDF.select(col(idCol).as("id_new"),
+        xxhash64(t).as("__h64"), unhex(md5(t)).as("__md5"))
+      val bloom =
+        if (params("bloom") == "yes") Some(DedupOps.digestBloom(spark, path, token))
+        else None
+      (storedOk, wave, storedId, bloom)
     }
 
     /** MinHash-LSH near-dup candidate pairs, exactly verified.

@@ -116,6 +116,53 @@ object Pipeline {
       (col("cross_doc_chunks") > 0).as("sharing_nonempty"))
   }
 
+  /** The digest-gate queries' synthetic ingest wave: every 7th corpus
+    * doc verbatim under a shifted id (a true duplicate the gate must
+    * pair), plus every 11th doc with mutated text (novel — the Bloom
+    * filter clears most of these locally). Built from the same table
+    * the oracle reads, so the DuckDB join on raw text is the exact
+    * reference semantics. */
+  private def digestWave(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" NOVEL")).as("text")))
+
+  private val digestWaveSql =
+    """SELECT doc_id + 1000000 AS id_new, text FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000 AS id_new, text || ' NOVEL' FROM documents
+      |WHERE doc_id % 11 = 0""".stripMargin
+
+  /** At-rest exact-dedup digest gate, pairs form: corpus digests +
+    * Bloom filter persist once ([[writeDigestIndex]]); the wave's
+    * exact-duplicate pairs come off the layout with corpus text never
+    * re-read. The oracle is the REAL reference semantics — a raw-text
+    * equi-join in DuckDB — not a verdict row: digest equality is
+    * checked against text equality itself. */
+  def digestGateQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_digest_idx_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    docs.writeDigestIndex(path, "doc_id", "text")
+    digestWave(docs).exactPairsAgainstIndex(path, "doc_id", "text")
+      .orderBy(col("id_new"), col("id_corpus"))
+  }
+
+  /** The digest gate's ADMIT set: wave docs whose text matches nothing
+    * in the corpus — Bloom-cleared rows skip the join entirely. Oracle
+    * is the NOT EXISTS form of the same raw-text semantics. */
+  def digestAdmitQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_digest_idx_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    docs.writeDigestIndex(path, "doc_id", "text")
+    digestWave(docs).admitAgainstDigestIndex(path, "doc_id", "text")
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** At-rest CDC chunk index gate: the corpus's chunk-hash membership
     * arrays and verify shingles persist once ([[writeCdcIndex]]); the
     * wave dedups against the LAYOUT. The verdict row asserts
@@ -2139,6 +2186,18 @@ object Pipeline {
         |FROM documents""".stripMargin,
     "dd_cdc_index" ->
       "SELECT TRUE AS index_equals_direct, TRUE AS nonempty",
+    // the digest gate's oracle is the reference semantics itself: a
+    // raw-text equi-join — the layout must reproduce it exactly
+    "dd_digest_gate" ->
+      s"""WITH wave AS ($digestWaveSql)
+         |SELECT w.id_new, c.doc_id AS id_corpus
+         |FROM wave w JOIN documents c ON w.text = c.text
+         |ORDER BY id_new, id_corpus""".stripMargin,
+    "dd_digest_admit" ->
+      s"""WITH wave AS ($digestWaveSql)
+         |SELECT id_new AS doc_id, length(text) AS n_chars FROM wave w
+         |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = w.text)
+         |ORDER BY doc_id""".stripMargin,
     // the at-rest index must be invisible in results: the verdict row
     // pins the engine-side full-outer equality with the direct form
     "dd_minhash_index" ->
@@ -2855,6 +2914,8 @@ object Pipeline {
     "dd_cdc_pairs" -> (cdcPairsQ _),
     "dd_cdc_dedup" -> (cdcDedupQ _),
     "dd_cdc_index" -> (cdcIndexQ _),
+    "dd_digest_gate" -> (digestGateQ _),
+    "dd_digest_admit" -> (digestAdmitQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),

@@ -490,6 +490,83 @@ class DedupOpsSpec extends SparkSpec {
     assert(cross > 0, "the corpus's planted near-dups must share chunks")
   }
 
+  test("at-rest digest index: gate equals the text join, bloom prunes") {
+    import org.apache.spark.sql.DataFrame
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_digest_index_spec").toString
+    val corpus = docs
+    val wave = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" NOVEL")).as("text")))
+    def pairsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = pairsOf(wave.as("w").join(corpus.as("c"),
+      col("w.text") === col("c.text"))
+      .select(col("w.doc_id"), col("c.doc_id")))
+    assert(want.nonEmpty)
+    // with and without the bloom filter: identical, both equal the join
+    for (bloomBytes <- Seq(128L << 20, 0L)) {
+      corpus.writeDigestIndex(path, "doc_id", "text",
+        maxBloomBytes = bloomBytes)
+      val meta = spark.read.textFile(s"$path/meta").collect().mkString("\n")
+      assert(meta.contains(if (bloomBytes > 0) "bloom:yes" else "bloom:no"))
+      val got = pairsOf(wave.exactPairsAgainstIndex(path, "doc_id", "text"))
+      assert(got === want, s"maxBloomBytes=$bloomBytes")
+      // admit is the exact complement of the matched wave ids
+      val admitted = wave.admitAgainstDigestIndex(path, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val matched = got.map(_._1).toSet
+      val waveIds = wave.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted.intersect(matched).isEmpty)
+      assert(admitted.union(matched) === waveIds)
+    }
+    // the bloom genuinely prunes: novel texts overwhelmingly probe false
+    corpus.writeDigestIndex(path, "doc_id", "text")
+    val token = DedupOps.indexMeta(spark, path, "spec")("__token")
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      DedupOps.digestBloom(spark, path, token))
+    val novelHits = wave.filter(col("doc_id") >= 2000000L)
+      .select(xxhash64(col("text"))).collect()
+      .count(r => bloom.mightContainLong(r.getLong(0)))
+    val novelTotal = wave.filter(col("doc_id") >= 2000000L).count()
+    assert(novelHits <= novelTotal / 4,
+      s"bloom cleared too few novels: $novelHits of $novelTotal maybe")
+    // every true duplicate must probe true (no false negatives, ever)
+    val dupMisses = wave.filter(col("doc_id") < 2000000L)
+      .select(xxhash64(col("text"))).collect()
+      .count(r => !bloom.mightContainLong(r.getLong(0)))
+    assert(dupMisses === 0)
+    // a torn layout (stale bloom from a prior write) refuses loudly
+    val tampered = spark.read.textFile(s"$path/meta").collect().toSeq
+      .map(l => if (l.startsWith("token=")) "token=some-other-write" else l)
+    spark.createDataset(tampered).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[Throwable] {
+      wave.exactPairsAgainstIndex(path, "doc_id", "text").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
+  }
+
+  test("digest index: normalized form matches case/punct variants") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_digest_norm_spec").toString
+    val corpus = Seq((1L, "Alpha, Beta!"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    corpus.writeDigestIndex(path, "doc_id", "text", normalized = true)
+    val wave = Seq((10L, "alpha   beta"), (11L, "GAMMA DELTA?"),
+      (12L, "epsilon")).toDF("doc_id", "text")
+    val got = wave.exactPairsAgainstIndex(path, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 1L), (11L, 2L)))
+    val admitted = wave.admitAgainstDigestIndex(path, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(12L))
+  }
+
   test("at-rest cdc index: index-backed pairs equal the direct form") {
     import spark.implicits._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
