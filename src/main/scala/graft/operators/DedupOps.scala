@@ -76,9 +76,15 @@ object DedupOps {
       .getOrElse(throw new IllegalArgumentException(
         s"$what: no '$tag' line in $path/meta"))
       .substring(tag.length + 1)
-    line("params").split(",").map { kv =>
+    val base = line("params").split(",").map { kv =>
       val Array(a, v) = kv.split(":"); a -> v
     }.toMap + ("__token" -> line("token"))
+    // layouts that grow by ingest waves publish the ordered token list
+    // under `waves=` — its ABSENCE means single-write (digest/minhash)
+    lines.find(_.startsWith("waves=")) match {
+      case Some(l) => base + ("__waves" -> l.substring("waves=".length))
+      case None    => base
+    }
   }
 
   /** The digest index's serialized Bloom filter — one driver-side row,
@@ -95,6 +101,90 @@ object DedupOps {
       s"digest gate: write-token mismatch between $path/meta and " +
         s"$path/bloom — rewrite the layout")
     rows(0).getAs[Array[Byte]](1)
+  }
+
+  /** Merge a multi-wave [[DatasetDedupOps.writeCdcIndex]] layout back
+    * to single-wave form: membership arrays split across appends are
+    * re-grouped once and republished under ONE fresh token, restoring
+    * the reader's in-place (shuffle-free) fast path. Results are
+    * identical by construction — the reader's merged view IS this
+    * regroup. Crash safety is the token discipline (the
+    * [[graft.operators.VectorOps.compactIvfPq]] shape): both tables
+    * are snapshotted beside the layout, rewritten with the new token,
+    * and the meta commits LAST — a tear leaves a token mismatch every
+    * reader refuses, with the snapshots still holding every row. */
+  def compactCdcIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit =
+    compactMembershipIndex(spark, path, "compactCdcIndex", "chunks",
+      Seq("__h"), CdcParamKeys,
+      df => df.repartitionByRange(col("__h")).sortWithinPartitions(col("__h")))
+
+  /** [[compactCdcIndex]] for the minhash layout: merges per-wave
+    * (band, bucket) membership slices back to whole arrays under one
+    * fresh token. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit =
+    compactMembershipIndex(spark, path, "compactMinhashIndex", "buckets",
+      Seq("__band", "__bucket"), MinhashParamKeys,
+      df => df.repartition(col("__band"))
+        .sortWithinPartitions(col("__band"), col("__bucket")))
+
+  private[operators] val CdcParamKeys =
+    Seq("idCol", "window", "maskBits", "minSize", "maxSize", "shingle")
+  private[operators] val MinhashParamKeys =
+    Seq("idCol", "shingle", "numHashes", "bands", "seed")
+
+  /** Shared compaction kernel for the wave-appendable membership
+    * layouts (CDC chunks, minhash buckets): re-group the split arrays
+    * once, republish both tables under ONE fresh token, meta commits
+    * last. A tear between the rewrites leaves a token mismatch every
+    * reader refuses; the snapshots still hold every row. */
+  private def compactMembershipIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      caller: String, table: String, groupCols: Seq[String],
+      paramKeys: Seq[String], layout: DataFrame => DataFrame): Unit = {
+    val params = indexMeta(spark, path, caller)
+    val waveTokens = params.getOrElse("__waves", params("__token"))
+      .split(";").toSet
+    require(waveTokens.contains(params("__token")),
+      s"$caller: write-token mismatch inside $path/meta (token not in " +
+        "the waves list) — rewrite the layout")
+    val members = spark.read.parquet(s"$path/$table")
+    val shingles = spark.read.parquet(s"$path/shingles")
+    for ((df, what) <- Seq((members, table), (shingles, "shingles"))) {
+      require(df.columns.contains("__graft_token"),
+        s"$caller: $path/$what has no __graft_token column — " +
+          "the layout is torn or foreign; rewrite it")
+      val seen = df.select(col("__graft_token")).distinct()
+        .collect().map(_.getString(0)).toSet
+      require(seen.subsetOf(waveTokens),
+        s"$caller: $path/$what holds rows under token(s) " +
+          s"${seen.diff(waveTokens)} the meta never admitted — " +
+          "refusing to compact a torn layout")
+    }
+    val snapM = s"$path/compact_snapshot_$table"
+    val snapS = s"$path/compact_snapshot_shingles"
+    members.select(groupCols.map(col) :+ explode(col("__cids")).as("__cid"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+      .write.mode("overwrite").parquet(snapM)
+    shingles.drop("__graft_token").write.mode("overwrite").parquet(snapS)
+    val token = java.util.UUID.randomUUID().toString
+    layout(spark.read.parquet(snapM).withColumn("__graft_token", lit(token)))
+      .write.mode("overwrite").parquet(s"$path/$table")
+    spark.read.parquet(snapS)
+      .withColumn("__graft_token", lit(token))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    import spark.implicits._
+    Seq("params=" + paramKeys.map(k => s"$k:${params(k)}").mkString(","),
+      "token=" + token,
+      "waves=" + token).toDS().coalesce(1)
+      .write.mode("overwrite").text(s"$path/meta")
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (s <- Seq(snapM, snapS)) {
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).delete(p, true)
+    }
   }
 
   implicit class DatasetDedupOps[T](private val ds: Dataset[T]) extends AnyVal {
@@ -453,7 +543,53 @@ object DedupOps {
       import spark.implicits._
       Seq(s"params=idCol:$idCol,shingle:$shingle,numHashes:$numHashes," +
           s"bands:$bands,seed:$seed",
-        "token=" + token).toDS().coalesce(1)
+        "token=" + token,
+        "waves=" + token).toDS().coalesce(1)
+        .write.mode("overwrite").text(s"$path/meta")
+    }
+
+    /** Admit THIS dataset into a [[writeMinhashIndex]] layout as a new
+      * ingest wave — the [[appendCdcIndex]] discipline on the minhash
+      * blocking key: the wave signs ITSELF with the meta's banding,
+      * appends its own (band, bucket) membership arrays and shingles
+      * under a FRESH wave token at O(wave) cost, and the meta's token
+      * list commits LAST — a torn append is refused by every reader,
+      * never half-read. Cross-wave id clashes refuse up front. */
+    def appendMinhashIndex(path: String, idCol: String,
+                           textCol: String): Unit = {
+      val spark = ds.sparkSession
+      val params = DedupOps.indexMeta(spark, path, "appendMinhashIndex")
+      require(params.contains("__waves"),
+        s"appendMinhashIndex: $path/meta has no 'waves' line — the " +
+          "layout predates wave support; rewrite with writeMinhashIndex")
+      val storedId = params("idCol")
+      val clash = ds.toDF.select(col(idCol))
+        .join(spark.read.parquet(s"$path/shingles")
+          .select(col(storedId).as(idCol)), Seq(idCol), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendMinhashIndex: wave id ${clash.headOption.map(_.get(0))} " +
+          s"already exists in $path — ids must be unique across waves")
+      val waveToken = java.util.UUID.randomUUID().toString
+      bandedBuckets(idCol, textCol, params("shingle").toInt,
+        params("numHashes").toInt, params("bands").toInt,
+        params("seed").toLong)
+        .groupBy(col("__band"), col("__bucket"))
+        .agg(sort_array(collect_list(col(idCol))).as("__cids"))
+        .withColumn("__graft_token", lit(waveToken))
+        .repartition(col("__band"))
+        .sortWithinPartitions(col("__band"), col("__bucket"))
+        .write.mode("append").parquet(s"$path/buckets")
+      ds.toDF
+        .select(col(idCol).as(storedId),
+          shingleSet(col(textCol), params("shingle").toInt).as("__shingles"))
+        .withColumn("__graft_token", lit(waveToken))
+        .write.mode("append").parquet(s"$path/shingles")
+      import spark.implicits._
+      Seq("params=" + DedupOps.MinhashParamKeys
+            .map(k => s"$k:${params(k)}").mkString(","),
+        "token=" + params("__token"),
+        "waves=" + params("__waves") + ";" + waveToken).toDS().coalesce(1)
         .write.mode("overwrite").text(s"$path/meta")
     }
 
@@ -469,22 +605,21 @@ object DedupOps {
                                  threshold: Double = 0.5,
                                  maxBucket: Int = 0): DataFrame = {
       val spark = ds.sparkSession
-      val lines = spark.read.textFile(s"$path/meta").collect()
-      def line(tag: String): String = lines.find(_.startsWith(tag + "="))
-        .getOrElse(throw new IllegalArgumentException(
-          s"minHashPairsAgainstIndex: no '$tag' line in $path/meta"))
-        .substring(tag.length + 1)
-      val params = line("params").split(",").map { kv =>
-        val Array(a, v) = kv.split(":"); a -> v
-      }.toMap
-      val token = line("token")
+      val params = DedupOps.indexMeta(spark, path, "minHashPairsAgainstIndex")
+      // every admitted wave's token is valid; any OTHER token is a torn
+      // append and the whole read refuses (appendMinhashIndex contract)
+      val waveTokens = params.getOrElse("__waves", params("__token"))
+        .split(";").toSeq
+      require(waveTokens.contains(params("__token")),
+        s"minHashPairsAgainstIndex: write-token mismatch inside " +
+          s"$path/meta (token not in the waves list) — rewrite the layout")
       val storedId = params("idCol")
       def tokenChecked(df: DataFrame, what: String): DataFrame = {
         require(df.columns.contains("__graft_token"),
           s"minHashPairsAgainstIndex: $path/$what has no __graft_token " +
             "column — the layout is torn or foreign; rewrite with " +
             "writeMinhashIndex")
-        df.filter(assert_true(col("__graft_token") === token,
+        df.filter(assert_true(col("__graft_token").isin(waveTokens: _*),
           lit(s"minHashPairsAgainstIndex: write-token mismatch between " +
             s"$path/meta and $path/$what — rewrite the layout")).isNull)
           .drop("__graft_token")
@@ -500,8 +635,19 @@ object DedupOps {
       // the flat form (spec-checked for both cap settings), with ZERO
       // corpus-side shuffle: the wave side broadcasts, the bucket
       // table is scanned in place, oversized buckets drop on a size()
-      val member = tokenChecked(
+      val stored = tokenChecked(
         spark.read.parquet(s"$path/buckets"), "buckets")
+      // one wave: arrays are whole, scan in place; several: a bucket's
+      // members may be split across wave rows — re-group (narrow
+      // columns) so the cap sees MERGED populations;
+      // [[DedupOps.compactMinhashIndex]] restores the fast path
+      val member =
+        if (waveTokens.length == 1) stored
+        else stored
+          .select(col("__band"), col("__bucket"),
+            explode(col("__cids")).as("__cid"))
+          .groupBy(col("__band"), col("__bucket"))
+          .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
       val kept =
         if (maxBucket > 0) member.filter(size(col("__cids")) <= maxBucket)
         else member
@@ -707,7 +853,57 @@ object DedupOps {
       import spark.implicits._
       Seq(s"params=idCol:$idCol,window:$window,maskBits:$maskBits," +
           s"minSize:$minSize,maxSize:$maxSize,shingle:$shingle",
-        "token=" + token).toDS().coalesce(1)
+        "token=" + token,
+        "waves=" + token).toDS().coalesce(1)
+        .write.mode("overwrite").text(s"$path/meta")
+    }
+
+    /** Admit THIS dataset into an existing [[writeCdcIndex]] layout as
+      * a new ingest wave: the wave chunks and shingles ITSELF (meta
+      * parameters, so a differently-chunked wave is impossible) and
+      * appends its own membership arrays under a FRESH wave token —
+      * corpus data is never touched, the append costs O(wave). The
+      * meta's `waves=` token list is rewritten LAST as the commit
+      * point: a failure after the row appends but before the meta
+      * leaves rows under a token no meta lists, which every reader
+      * REFUSES loudly (the torn layout is repaired by re-running the
+      * append's meta write or rewriting the index) — never silently
+      * read half-admitted. Cross-wave id clashes are refused up front:
+      * one column-pruned semi-join against the stored shingle ids. */
+    def appendCdcIndex(path: String, idCol: String, textCol: String): Unit = {
+      val spark = ds.sparkSession
+      val params = DedupOps.indexMeta(spark, path, "appendCdcIndex")
+      require(params.contains("__waves"),
+        s"appendCdcIndex: $path/meta has no 'waves' line — the layout " +
+          "predates wave support; rewrite with writeCdcIndex")
+      val storedId = params("idCol")
+      val clash = ds.toDF.select(col(idCol))
+        .join(spark.read.parquet(s"$path/shingles")
+          .select(col(storedId).as(idCol)), Seq(idCol), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendCdcIndex: wave id ${clash.headOption.map(_.get(0))} " +
+          s"already exists in $path — ids must be unique across waves")
+      val waveToken = java.util.UUID.randomUUID().toString
+      cdcChunkHashes(idCol, textCol, params("window").toInt,
+        params("maskBits").toInt, params("minSize").toInt,
+        params("maxSize").toInt)
+        .groupBy(col("__h"))
+        .agg(sort_array(collect_list(col(idCol))).as("__cids"))
+        .withColumn("__graft_token", lit(waveToken))
+        .repartitionByRange(col("__h"))
+        .sortWithinPartitions(col("__h"))
+        .write.mode("append").parquet(s"$path/chunks")
+      ds.toDF
+        .select(col(idCol).as(storedId),
+          shingleSet(col(textCol), params("shingle").toInt).as("__shingles"))
+        .withColumn("__graft_token", lit(waveToken))
+        .write.mode("append").parquet(s"$path/shingles")
+      import spark.implicits._
+      Seq("params=" + DedupOps.CdcParamKeys
+            .map(k => s"$k:${params(k)}").mkString(","),
+        "token=" + params("__token"),
+        "waves=" + params("__waves") + ";" + waveToken).toDS().coalesce(1)
         .write.mode("overwrite").text(s"$path/meta")
     }
 
@@ -726,22 +922,22 @@ object DedupOps {
                              maxDocsPerChunk: Int = 64): DataFrame = {
       require(minShared >= 1, s"minShared must be >= 1: $minShared")
       val spark = ds.sparkSession
-      val lines = spark.read.textFile(s"$path/meta").collect()
-      def line(tag: String): String = lines.find(_.startsWith(tag + "="))
-        .getOrElse(throw new IllegalArgumentException(
-          s"cdcPairsAgainstIndex: no '$tag' line in $path/meta"))
-        .substring(tag.length + 1)
-      val params = line("params").split(",").map { kv =>
-        val Array(a, v) = kv.split(":"); a -> v
-      }.toMap
-      val token = line("token")
+      val params = DedupOps.indexMeta(spark, path, "cdcPairsAgainstIndex")
+      // every admitted wave's token is valid; a row under any OTHER
+      // token is a torn append (rows landed, meta commit didn't) and
+      // the whole read refuses rather than miss half a wave
+      val waveTokens = params.getOrElse("__waves", params("__token"))
+        .split(";").toSeq
+      require(waveTokens.contains(params("__token")),
+        s"cdcPairsAgainstIndex: write-token mismatch inside $path/meta " +
+          "(token not in the waves list) — rewrite the layout")
       val storedId = params("idCol")
       def tokenChecked(df: DataFrame, what: String): DataFrame = {
         require(df.columns.contains("__graft_token"),
           s"cdcPairsAgainstIndex: $path/$what has no __graft_token " +
             "column — the layout is torn or foreign; rewrite with " +
             "writeCdcIndex")
-        df.filter(assert_true(col("__graft_token") === token,
+        df.filter(assert_true(col("__graft_token").isin(waveTokens: _*),
           lit(s"cdcPairsAgainstIndex: write-token mismatch between " +
             s"$path/meta and $path/$what — rewrite the layout")).isNull)
           .drop("__graft_token")
@@ -749,9 +945,19 @@ object DedupOps {
       val waveChunks = cdcChunkHashes(idCol, textCol,
         params("window").toInt, params("maskBits").toInt,
         params("minSize").toInt, params("maxSize").toInt)
-      val member = tokenChecked(
+      val storedChunks = tokenChecked(
         spark.read.parquet(s"$path/chunks"), "chunks")
-        .filter(size(col("__cids")) <= maxDocsPerChunk)
+      // one wave: membership arrays are whole, scan them in place.
+      // several: a chunk's members may be SPLIT across wave rows, so
+      // re-group before the cap — narrow columns only, and
+      // [[DedupOps.compactCdcIndex]] restores the in-place fast path
+      val merged =
+        if (waveTokens.length == 1) storedChunks
+        else storedChunks
+          .select(col("__h"), explode(col("__cids")).as("__cid"))
+          .groupBy(col("__h"))
+          .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+      val member = merged.filter(size(col("__cids")) <= maxDocsPerChunk)
       val pairs = waveChunks
         .select(col(idCol).as("id_new"), col("__h"))
         .join(member, Seq("__h"))

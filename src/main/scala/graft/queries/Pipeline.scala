@@ -193,6 +193,86 @@ object Pipeline {
         (count(lit(1)) > 0).as("nonempty"))
   }
 
+  /** Wave admission into the at-rest CDC index: corpus0 writes the
+    * layout, wave2 is APPENDED (O(wave) — corpus rows untouched), the
+    * fresh wave gates against the two-wave layout, then
+    * [[DedupOps.compactCdcIndex]] merges it back to one wave. The
+    * verdict row asserts engine-side that BOTH the appended and the
+    * compacted layout reproduce the direct pairs against the unioned
+    * corpus bit-for-bit. */
+  def cdcAppendQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_cdc_app_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    val corpus0 = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+    val wave2 = docs.filter(col("doc_id") % 10 >= 6)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    corpus0.writeCdcIndex(path, "doc_id", "text")
+    wave2.appendCdcIndex(path, "doc_id", "text")
+    val viaAppend = fresh.cdcPairsAgainstIndex(path, "doc_id", "text",
+      minShared = 1)
+    val direct = fresh.cdcChunkPairsAgainst(corpus0.unionByName(wave2),
+      "doc_id", "text", minShared = 1)
+    def compare(got: DataFrame): DataFrame =
+      got.select(col("id_new"), col("id_corpus"),
+        col("shared_chunks").as("__sg"), col("jaccard").as("__jg"))
+        .join(direct.select(col("id_new"), col("id_corpus"),
+          col("shared_chunks").as("__sd"), col("jaccard").as("__jd")),
+          Seq("id_new", "id_corpus"), "full_outer")
+        .agg(
+          (sum(when(col("__sg") === col("__sd") &&
+            col("__jg") === col("__jd"), 0).otherwise(1)) === 0).as("eq"),
+          (count(lit(1)) > 0).as("ne"))
+    // the append comparison must evaluate BEFORE the compact rewrites
+    // the files it lazily reads — collect the one verdict row eagerly;
+    // viaCompact is PLANNED after the compact for the same reason (the
+    // parquet file listing snapshots at read time)
+    val aRow = compare(viaAppend).collect()(0)
+    graft.operators.DedupOps.compactCdcIndex(s, path)
+    val viaCompact = fresh.cdcPairsAgainstIndex(path, "doc_id", "text",
+      minShared = 1)
+    compare(viaCompact).select(
+      lit(aRow.getBoolean(0)).as("append_equals_direct"),
+      col("eq").as("compact_equals_direct"),
+      lit(aRow.getBoolean(1)).as("nonempty"))
+  }
+
+  /** Wave admission into the at-rest minhash index — [[cdcAppendQ]]'s
+    * contract on the minhash blocking key: append is O(wave), the
+    * two-wave layout and the compacted layout must both reproduce the
+    * direct pairs against the unioned corpus bit-for-bit. */
+  def minhashAppendQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_mh_app_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    val corpus0 = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+    val wave2 = docs.filter(col("doc_id") % 10 >= 6)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    corpus0.writeMinhashIndex(path, "doc_id", "text")
+    wave2.appendMinhashIndex(path, "doc_id", "text")
+    val viaAppend = fresh.minHashPairsAgainstIndex(path, "doc_id", "text",
+      threshold = 0.3)
+    val direct = fresh.minHashPairsAgainst(corpus0.unionByName(wave2),
+      "doc_id", "text", threshold = 0.3)
+    def compare(got: DataFrame): DataFrame =
+      got.select(col("id_new"), col("id_corpus"), col("jaccard").as("__jg"))
+        .join(direct.select(col("id_new"), col("id_corpus"),
+          col("jaccard").as("__jd")),
+          Seq("id_new", "id_corpus"), "full_outer")
+        .agg(
+          (sum(when(col("__jg") === col("__jd"), 0).otherwise(1)) === 0)
+            .as("eq"),
+          (count(lit(1)) > 0).as("ne"))
+    val aRow = compare(viaAppend).collect()(0)
+    graft.operators.DedupOps.compactMinhashIndex(s, path)
+    val viaCompact = fresh.minHashPairsAgainstIndex(path, "doc_id", "text",
+      threshold = 0.3)
+    compare(viaCompact).select(
+      lit(aRow.getBoolean(0)).as("append_equals_direct"),
+      col("eq").as("compact_equals_direct"),
+      lit(aRow.getBoolean(1)).as("nonempty"))
+  }
+
   /** At-rest minhash index gate: the corpus's banded buckets AND
     * verify shingles persist once ([[writeMinhashIndex]]); the wave
     * dedups against the LAYOUT — corpus text never re-read. The
@@ -2198,6 +2278,12 @@ object Pipeline {
          |SELECT id_new AS doc_id, length(text) AS n_chars FROM wave w
          |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = w.text)
          |ORDER BY doc_id""".stripMargin,
+    "dd_cdc_append" ->
+      ("SELECT TRUE AS append_equals_direct, TRUE AS compact_equals_direct, " +
+        "TRUE AS nonempty"),
+    "dd_minhash_append" ->
+      ("SELECT TRUE AS append_equals_direct, TRUE AS compact_equals_direct, " +
+        "TRUE AS nonempty"),
     // the at-rest index must be invisible in results: the verdict row
     // pins the engine-side full-outer equality with the direct form
     "dd_minhash_index" ->
@@ -2916,6 +3002,8 @@ object Pipeline {
     "dd_cdc_index" -> (cdcIndexQ _),
     "dd_digest_gate" -> (digestGateQ _),
     "dd_digest_admit" -> (digestAdmitQ _),
+    "dd_cdc_append" -> (cdcAppendQ _),
+    "dd_minhash_append" -> (minhashAppendQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),

@@ -598,6 +598,107 @@ class DedupOpsSpec extends SparkSpec {
     assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
   }
 
+  test("minhash index append + compact: wave admission keeps the direct contract") {
+    import org.apache.spark.sql.DataFrame
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_minhash_append_spec").toString
+    val corpus0 = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+    val wave2 = docs.filter(col("doc_id") % 10 >= 6)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    corpus0.writeMinhashIndex(path, "doc_id", "text")
+    wave2.appendMinhashIndex(path, "doc_id", "text")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val union = corpus0.unionByName(wave2)
+    // cap 2 exercises the merged-population path: a bucket whose
+    // members are split across waves must be capped on the MERGED size
+    for (cap <- Seq(0, 2)) {
+      val got = rows(fresh.minHashPairsAgainstIndex(path, "doc_id", "text",
+        threshold = 0.3, maxBucket = cap))
+      val want = rows(fresh.minHashPairsAgainst(union, "doc_id", "text",
+        threshold = 0.3, maxBucket = cap))
+      assert(got === want, s"cap=$cap appended index != direct on union")
+      if (cap == 0) assert(got.nonEmpty)
+    }
+    val gotAll = rows(fresh.minHashPairsAgainstIndex(path, "doc_id", "text",
+      threshold = 0.3))
+    assert(gotAll.exists(p => p._2 % 10 >= 6),
+      "no pair against an appended-wave doc — the append is invisible")
+    val clash = intercept[IllegalArgumentException] {
+      corpus0.appendMinhashIndex(path, "doc_id", "text")
+    }
+    assert(clash.getMessage.contains("already exists"))
+    DedupOps.compactMinhashIndex(spark, path)
+    val meta = spark.read.textFile(s"$path/meta").collect()
+      .find(_.startsWith("waves=")).get
+    assert(!meta.contains(";"), s"compact left several waves: $meta")
+    val after = rows(fresh.minHashPairsAgainstIndex(path, "doc_id", "text",
+      threshold = 0.3))
+    assert(after === gotAll, "compact changed answers")
+  }
+
+  test("cdc index append + compact: wave admission keeps the direct contract") {
+    import org.apache.spark.sql.DataFrame
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_cdc_append_spec").toString
+    val corpus0 = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+    val wave2 = docs.filter(col("doc_id") % 10 >= 6)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    corpus0.writeCdcIndex(path, "doc_id", "text")
+    wave2.appendCdcIndex(path, "doc_id", "text")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val union = corpus0.unionByName(wave2)
+    // cap 3 matters: a chunk's MERGED membership must be capped, not
+    // the per-wave slices
+    for (cap <- Seq(64, 3)) {
+      val got = rows(fresh.cdcPairsAgainstIndex(path, "doc_id", "text",
+        minShared = 1, maxDocsPerChunk = cap))
+      val want = rows(fresh.cdcChunkPairsAgainst(union, "doc_id", "text",
+        minShared = 1, maxDocsPerChunk = cap))
+      assert(got === want, s"cap=$cap appended index != direct on union")
+      if (cap == 64) assert(got.nonEmpty)
+    }
+    // cross-wave sharing must be visible: some pair's corpus doc comes
+    // from the APPENDED wave
+    val gotAll = rows(fresh.cdcPairsAgainstIndex(path, "doc_id", "text",
+      minShared = 1))
+    assert(gotAll.exists(p => p._2 % 10 >= 6),
+      "no pair against an appended-wave doc — the append is invisible")
+    // an id clash across waves refuses up front
+    val clash = intercept[IllegalArgumentException] {
+      corpus0.appendCdcIndex(path, "doc_id", "text")
+    }
+    assert(clash.getMessage.contains("already exists"))
+    // compact: back to one wave, same answers, in-place read again
+    DedupOps.compactCdcIndex(spark, path)
+    val meta = spark.read.textFile(s"$path/meta").collect()
+      .find(_.startsWith("waves=")).get
+    assert(!meta.contains(";"), s"compact left several waves: $meta")
+    val tokens = spark.read.parquet(s"$path/chunks")
+      .select("__graft_token").distinct().collect()
+    assert(tokens.length === 1)
+    val after = rows(fresh.cdcPairsAgainstIndex(path, "doc_id", "text",
+      minShared = 1))
+    assert(after === gotAll, "compact changed answers")
+    // a torn append (rows landed, meta commit didn't) refuses loudly:
+    // simulate by appending and then restoring the pre-append meta
+    val metaBefore = spark.read.textFile(s"$path/meta").collect().toSeq
+    docs.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 500000L).as("doc_id"), col("text"))
+      .appendCdcIndex(path, "doc_id", "text")
+    spark.createDataset(metaBefore).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[Throwable] {
+      fresh.cdcPairsAgainstIndex(path, "doc_id", "text").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
+  }
+
   test("cdc membership cap drops boilerplate chunks; audit lists them") {
     // 6 docs with an identical 200-char body: every chunk lives in 6
     // docs, so a cap of 4 admits no pair — and the audit names exactly
