@@ -68,7 +68,7 @@ object DedupOps {
   /** Parse an at-rest layout's `$path/meta` (the `params=`/`token=`
     * line codec shared by the minhash/CDC/digest indexes) into a map;
     * the write token rides under the reserved key `__token`. */
-  private[operators] def indexMeta(
+  private[graft] def indexMeta(
       spark: org.apache.spark.sql.SparkSession, path: String,
       what: String): Map[String, String] = {
     val lines = spark.read.textFile(s"$path/meta").collect()

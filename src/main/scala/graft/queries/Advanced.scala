@@ -100,6 +100,36 @@ object Advanced {
   def streamPassageGateQ(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamPassageGate(s, d, width = 20).orderBy(col("doc_id"))
 
+  /** Streaming CDC-index gate: odd-doc arrivals chunk themselves and
+    * stream-static join the even-doc corpus's AT-REST chunk membership
+    * layout. The verdict row asserts engine-side that the stream's
+    * per-arrival (matched corpus docs, shared chunks) equals the batch
+    * [[graft.operators.DedupOps.DatasetDedupOps.cdcPairsAgainstIndex]]
+    * aggregated per arrival — the stream and batch read THE SAME
+    * layout, so this is the streaming-equals-batch contract on the CDC
+    * blocking key. */
+  def streamCdcGateQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupOps._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stcdc_idx_" + Integer.toHexString(d.hashCode)).toString
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).writeCdcIndex(path, "doc_id", "text")
+    val stream = StreamingOps.streamCdcIndexGate(s, d, path)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+      .cdcPairsAgainstIndex(path, "doc_id", "text", minShared = 1)
+      .groupBy(col("id_new").as("doc_id"))
+      .agg(count(lit(1)).as("__m"), sum(col("shared_chunks")).as("__sc"))
+    stream.select(col("doc_id"),
+        col("matched_corpus_docs").cast("long").as("__ms"),
+        col("shared_chunks").cast("long").as("__ss"))
+      .join(batch, Seq("doc_id"), "full_outer")
+      .agg(
+        (sum(when(col("__ms") === col("__m") &&
+          col("__ss") === col("__sc"), 0).otherwise(1)) === 0)
+          .as("stream_equals_batch"),
+        (count(lit(1)) > 0).as("nonempty"))
+  }
+
   /** Streaming geofence/enrichment: customer points stream in
     * micro-batches against the at-rest supplier layout — stateless cell
     * routing + stream-static cell equi-join + exact distance. Emitted
@@ -598,6 +628,10 @@ object Advanced {
     // batch-as-of against a static right side is exact by construction.
     "ts_asof_join" -> asOfOracleSql,
     "st_asof" -> asOfOracleSql,
+    // verdict row: the stream and batch gates read the SAME at-rest
+    // CDC layout; the engine-side full-outer compare is the contract
+    "st_cdc_gate" ->
+      "SELECT TRUE AS stream_equals_batch, TRUE AS nonempty",
     // the stream-stream co-location join answers the batch operator's
     // oracle: the event-time range is only the state bound (1 ms wider
     // than the contract), the exact integer-ms predicate decides
@@ -710,6 +744,7 @@ object Advanced {
     "st_stream_dedup" -> (streamDedup _),
     "st_contamination" -> (streamContamination _),
     "st_passage_gate" -> (streamPassageGateQ _),
+    "st_cdc_gate" -> (streamCdcGateQ _),
     "st_geo_join" -> (streamGeoJoinQ _),
     "st_span_gate" -> (streamSpanGateQ _),
     "ts_asof_join" -> (asOfJoinQ _),

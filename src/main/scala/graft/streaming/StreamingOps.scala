@@ -364,6 +364,67 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Streaming ingest gate against the AT-REST CDC chunk index: newly
+    * arriving documents chunk THEMSELVES (a stateless projection — the
+    * chunking parameters come from the layout's meta, so a
+    * differently-chunked stream is impossible) and stream-static join
+    * the stored membership arrays; per arrival it emits how many
+    * corpus docs share content-defined chunks with it and how many
+    * distinct chunks are shared. Clean documents produce no row — the
+    * quarantine shape of [[streamPassageGate]] on the CDC blocking
+    * key, reading the index [[graft.operators.DedupOps.DatasetDedupOps.writeCdcIndex]]
+    * wrote once (corpus text is never touched by the stream).
+    *
+    * Scale shape: the static side is the narrow (hash, members) table
+    * scanned in place; the stream side carries (doc_id, 64-bit hash)
+    * rows into the join — text never rides past the chunk projection. */
+  def streamCdcIndexGate(spark: SparkSession, dir: String,
+                         indexPath: String): DataFrame = {
+    import graft.operators.DedupOps
+    import graft.functions.cdcChunks
+    val params = DedupOps.indexMeta(spark, indexPath, "streamCdcIndexGate")
+    val waveTokens = params.getOrElse("__waves", params("__token"))
+      .split(";").toSeq
+    val member = spark.read.parquet(s"$indexPath/chunks")
+      .filter(assert_true(col("__graft_token").isin(waveTokens: _*),
+        lit(s"streamCdcIndexGate: write-token mismatch between " +
+          s"$indexPath/meta and $indexPath/chunks — rewrite the layout")).isNull)
+      .drop("__graft_token")
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+    val staged = java.nio.file.Files.createTempDirectory("graft_cdcgate_src")
+    staged.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    staged.resolve("documents.parquet").toFile.deleteOnExit()
+    val sinkName = s"graft_cdcgate_${System.nanoTime()}"
+    val q = spark.readStream
+      .schema(batch.schema)
+      .parquet(staged.toString)
+      .filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"),
+        explode(cdcChunks(col("text"), params("window").toInt,
+          params("maskBits").toInt, params("minSize").toInt,
+          params("maxSize").toInt)).as("__c"))
+      .select(col("doc_id"), xxhash64(col("__c")).as("__h"))
+      .join(member, Seq("__h"))
+      .select(col("doc_id"), col("__h"), explode(col("__cids")).as("__cid"))
+      .filter(col("doc_id") =!= col("__cid"))
+      .groupBy(col("doc_id"))
+      .agg(
+        size(array_distinct(collect_list(col("__cid"))))
+          .as("matched_corpus_docs"),
+        size(array_distinct(collect_list(struct(col("__h"), col("__cid")))))
+          .as("shared_chunks"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Streaming twin of [[graft.operators.DedupOps.decontaminateSpans]]:
     * arriving corpus documents are span-redacted against the STATIC
     * eval set per micro-batch via `foreachBatch` — the incremental

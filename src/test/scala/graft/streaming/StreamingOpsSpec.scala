@@ -57,6 +57,28 @@ class StreamingOpsSpec extends SparkSpec {
       s"gate dropped nothing ($kept of $arrivalsAll) — corpus overlap fixture broke")
   }
 
+  test("streaming CDC-index gate equals the batch layout gate per arrival") {
+    import graft.operators.DedupOps._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stcdc_spec").toString
+    val docs = Tables.documents(spark, sf())
+    docs.filter(col("doc_id") % 2 === 0).writeCdcIndex(path, "doc_id", "text")
+    val got = StreamingOps.streamCdcIndexGate(spark, sf(), path)
+      .select(col("doc_id"), col("matched_corpus_docs").cast("long"),
+        col("shared_chunks").cast("long"))
+    val want = docs.filter(col("doc_id") % 2 =!= 0)
+      .cdcPairsAgainstIndex(path, "doc_id", "text", minShared = 1)
+      .groupBy(col("id_new").as("doc_id"))
+      .agg(count(lit(1)).as("matched_corpus_docs"),
+        sum(col("shared_chunks")).as("shared_chunks"))
+    assert(got.count() > 0, "gate flagged no documents — fixture broke")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // clean arrivals stay silent: flagged must be a strict subset
+    val arrivals = docs.filter(col("doc_id") % 2 =!= 0).count()
+    assert(got.count() < arrivals,
+      "every arrival matched the corpus — planted-dup fixture broke")
+  }
+
   test("sessionize carries open sessions across micro-batches, emits closed only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
