@@ -540,6 +540,40 @@ object Bench {
         Seq("sx", "sy"), diskPath, 3,
         leftId = "s_suppkey", tieBreak = Seq("c_custkey")).count()
     }
+    // at-rest TEXT layouts (r11): the corpus's digest set and CDC chunk
+    // index each write once (timed build entries), then a synthetic
+    // ingest wave gates off the layout — the write-once/gate-forever
+    // split the 100-TB ingest story rests on. The wave is the
+    // dd_digest_gate shape: every 7th doc verbatim (true dups the gate
+    // must pair), every 11th mutated (novel — the Bloom clears most
+    // locally, the CDC gate sees only its shared chunks).
+    import graft.operators.DedupOps._
+    val docsAll = documents(spark, sfDir)
+    val wave = docsAll.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docsAll.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" NOVEL")).as("text")))
+    val digestPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bench_digest_idx").toString
+    rec.timed("b10t_digest_index_write") {
+      docsAll.writeDigestIndex(digestPath, "doc_id", "text")
+    }
+    rec.timed("b7dg_digest_gate") {
+      wave.exactPairsAgainstIndex(digestPath, "doc_id", "text").count()
+    }
+    rec.timed("b7da_digest_admit") {
+      wave.admitAgainstDigestIndex(digestPath, "doc_id", "text").count()
+    }
+    val cdcPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bench_cdc_idx").toString
+    rec.timed("b10u_cdc_index_write") {
+      docsAll.writeCdcIndex(cdcPath, "doc_id", "text")
+    }
+    rec.timed("b7cg_cdc_gate") {
+      wave.cdcPairsAgainstIndex(cdcPath, "doc_id", "text",
+        minShared = 1).count()
+    }
   }
 
   /** One full sweep: ALU + memory brackets around the whole run, plus a

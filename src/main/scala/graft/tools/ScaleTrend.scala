@@ -400,6 +400,47 @@ object ScaleTrend {
       spark.stop(); return
     }
 
+    // at-rest TEXT layouts (their OWN mode, `ScaleTrend textidx`): the
+    // digest and CDC gates' cost must track the WAVE against a growing
+    // layout — the write is the amortized one-time cost (reported, not
+    // the exponent), the per-wave gate probes a fixed-size wave against
+    // a 1x/10x corpus layout. Both gates scan narrow columns only
+    // (digests / chunk hashes), so the growth the exponent sees is the
+    // layout scan, never corpus text.
+    if (args.headOption.contains("textidx")) {
+      import graft.operators.DedupOps._
+      val wave = documents(spark, d).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      for (n <- Seq(1, 10)) {
+        val pd = s"${System.getProperty("java.io.tmpdir")}/graft_trend_dgidx_$n"
+        var t0 = System.nanoTime()
+        docsRep(spark, d, n).writeDigestIndex(pd, "doc_id", "text")
+        val twd = (System.nanoTime() - t0) / 1e9
+        def gd(): (Double, Long) = {
+          val t1 = System.nanoTime()
+          val rows = wave.exactPairsAgainstIndex(pd, "doc_id", "text").count()
+          ((System.nanoTime() - t1) / 1e9, rows)
+        }
+        val (gda, rowsD) = gd(); val (gdb, _) = gd()
+        println(f"b7dg_digest_gate ${n}%3dx: write $twd%7.2f s, " +
+          f"gate ${math.min(gda, gdb)}%6.2f s ($rowsD rows)")
+        val pc = s"${System.getProperty("java.io.tmpdir")}/graft_trend_cdcidx_$n"
+        t0 = System.nanoTime()
+        docsRep(spark, d, n).writeCdcIndex(pc, "doc_id", "text")
+        val twc = (System.nanoTime() - t0) / 1e9
+        def gc(): (Double, Long) = {
+          val t1 = System.nanoTime()
+          val rows = wave.cdcPairsAgainstIndex(pc, "doc_id", "text",
+            minShared = 1).count()
+          ((System.nanoTime() - t1) / 1e9, rows)
+        }
+        val (gca, rowsC) = gc(); val (gcb, _) = gc()
+        println(f"b7cg_cdc_gate ${n}%3dx: write $twc%7.2f s, " +
+          f"gate ${math.min(gca, gcb)}%6.2f s ($rowsC rows)")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("disk")) {
       for ((n, cb) <- Seq((1, 5), (10, 5), (100, 7))) {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_trend_disk_$n"
