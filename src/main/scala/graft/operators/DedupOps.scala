@@ -87,20 +87,23 @@ object DedupOps {
     }
   }
 
-  /** The digest index's serialized Bloom filter — one driver-side row,
-    * token-paired with the meta so a filter from a different write
-    * (stale after an overwrite, foreign after a copy) refuses. */
-  private[operators] def digestBloom(
+  /** The digest index's serialized Bloom filters — one driver-side row
+    * per admitted wave, token-paired with the meta: a filter set that
+    * doesn't cover exactly the admitted waves (stale after an
+    * overwrite, torn after a failed append) refuses. Probes OR across
+    * waves, so a definite-no stays definite. */
+  private[operators] def digestBlooms(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      token: String): Array[Byte] = {
+      waveTokens: Seq[String]): Seq[Array[Byte]] = {
     val rows = spark.read.parquet(s"$path/bloom")
       .select(col("__graft_token"), col("__bloom")).collect()
-    require(rows.length == 1,
-      s"digest gate: $path/bloom must hold exactly one row, found ${rows.length}")
-    require(rows(0).getString(0) == token,
+    val byToken = rows.map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    require(byToken.size == rows.length &&
+      byToken.keySet == waveTokens.toSet,
       s"digest gate: write-token mismatch between $path/meta and " +
-        s"$path/bloom — rewrite the layout")
-    rows(0).getAs[Array[Byte]](1)
+        s"$path/bloom (filters for ${byToken.keySet.size} wave(s), meta " +
+        s"admits ${waveTokens.length}) — rewrite the layout")
+    waveTokens.map(byToken)
   }
 
   /** Merge a multi-wave [[DatasetDedupOps.writeCdcIndex]] layout back
@@ -256,8 +259,68 @@ object DedupOps {
       }
       import spark.implicits._
       Seq(s"params=idCol:$idCol,normalized:$normalized," +
-          s"bloom:${if (withBloom) "yes" else "no"}",
-        "token=" + token).toDS().coalesce(1)
+          s"bloom:${if (withBloom) "yes" else "no"},fpp:$fpp",
+        "token=" + token,
+        "waves=" + token).toDS().coalesce(1)
+        .write.mode("overwrite").text(s"$path/meta")
+    }
+
+    /** Admit THIS dataset into a [[writeDigestIndex]] layout as a new
+      * ingest wave: digests append under a FRESH wave token, and —
+      * when the layout carries Bloom filters — the wave writes its OWN
+      * filter (sized for its rows at the meta's fpp) beside the
+      * existing ones; readers OR the per-wave probes, so a definite-no
+      * stays a definite-no and the realized fpp grows additively with
+      * the wave count (k·fpp — visible, never silent: the meta lists
+      * every wave). The meta's token list commits LAST; a torn append
+      * refuses at read. O(wave) — stored digests are never re-read
+      * beyond the id-clash semi-join. */
+    def appendDigestIndex(path: String, idCol: String,
+                          textCol: String): Unit = {
+      val spark = ds.sparkSession
+      val params = DedupOps.indexMeta(spark, path, "appendDigestIndex")
+      require(params.contains("__waves"),
+        s"appendDigestIndex: $path/meta has no 'waves' line — the " +
+          "layout predates wave support; rewrite with writeDigestIndex")
+      val storedId = params("idCol")
+      val clash = ds.toDF.select(col(idCol))
+        .join(spark.read.parquet(s"$path/digests")
+          .select(col(storedId).as(idCol)), Seq(idCol), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendDigestIndex: wave id ${clash.headOption.map(_.get(0))} " +
+          s"already exists in $path — ids must be unique across waves")
+      val waveToken = java.util.UUID.randomUUID().toString
+      val t = if (params("normalized").toBoolean) normalizeText(col(textCol))
+              else col(textCol)
+      ds.toDF
+        .select(col(idCol).as(storedId), xxhash64(t).as("__h64"),
+          unhex(md5(t)).as("__md5"))
+        .withColumn("__graft_token", lit(waveToken))
+        .repartitionByRange(col("__h64"))
+        .sortWithinPartitions(col("__h64"))
+        .write.mode("append").parquet(s"$path/digests")
+      if (params("bloom") == "yes") {
+        val n = math.max(1L, ds.toDF.count())
+        val bf = ds.toDF.select(xxhash64(t).as("__h64"))
+          .stat.bloomFilter("__h64", n, params("fpp").toDouble)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__graft_token",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__bloom",
+            org.apache.spark.sql.types.BinaryType)))
+        spark.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(waveToken, bos.toByteArray)), schema)
+          .coalesce(1).write.mode("append").parquet(s"$path/bloom")
+      }
+      import spark.implicits._
+      Seq("params=" + Seq("idCol", "normalized", "bloom", "fpp")
+            .map(k => s"$k:${params(k)}").mkString(","),
+        "token=" + params("__token"),
+        "waves=" + params("__waves") + ";" + waveToken).toDS().coalesce(1)
         .write.mode("overwrite").text(s"$path/meta")
     }
 
@@ -270,11 +333,11 @@ object DedupOps {
       * the wave BEFORE the join. */
     def exactPairsAgainstIndex(path: String, idCol: String,
                                textCol: String): DataFrame = {
-      val (stored, waveD, storedId, bloom) =
+      val (stored, waveD, storedId, maybe) =
         digestGateSides(path, idCol, textCol)
-      val thinned = bloom match {
-        case Some(bytes) => waveD.filter(bloomMightContain(col("__h64"), bytes))
-        case None        => waveD
+      val thinned = maybe match {
+        case Some(m) => waveD.filter(m)
+        case None    => waveD
       }
       thinned
         .join(stored, Seq("__h64", "__md5"))
@@ -289,13 +352,12 @@ object DedupOps {
       * shuffle. */
     def admitAgainstDigestIndex(path: String, idCol: String,
                                 textCol: String): DataFrame = {
-      val (stored, waveD, _, bloom) = digestGateSides(path, idCol, textCol)
+      val (stored, waveD, _, maybe) = digestGateSides(path, idCol, textCol)
       val storedKeys = stored.select(col("__h64"), col("__md5"))
-      val admitted = bloom match {
-        case Some(bytes) =>
-          val maybe = bloomMightContain(col("__h64"), bytes)
-          waveD.filter(!maybe).unionByName(
-            waveD.filter(maybe)
+      val admitted = maybe match {
+        case Some(m) =>
+          waveD.filter(!m).unionByName(
+            waveD.filter(m)
               .join(storedKeys, Seq("__h64", "__md5"), "left_anti"))
         case None =>
           waveD.join(storedKeys, Seq("__h64", "__md5"), "left_anti")
@@ -309,16 +371,21 @@ object DedupOps {
       * hashed probe is impossible), token-checked stored digests, and
       * the layout's Bloom bytes when the meta says one was written. */
     private def digestGateSides(path: String, idCol: String, textCol: String)
-        : (DataFrame, DataFrame, String, Option[Array[Byte]]) = {
+        : (DataFrame, DataFrame, String, Option[Column]) = {
       val spark = ds.sparkSession
       val params = DedupOps.indexMeta(spark, path, "digest gate")
-      val token = params("__token")
+      val waveTokens = params.getOrElse("__waves", params("__token"))
+        .split(";").toSeq
+      require(waveTokens.contains(params("__token")),
+        s"digest gate: write-token mismatch inside $path/meta (token " +
+          "not in the waves list) — rewrite the layout")
       val storedId = params("idCol")
       val stored = spark.read.parquet(s"$path/digests")
       require(stored.columns.contains("__graft_token"),
         s"digest gate: $path/digests has no __graft_token column — the " +
           "layout is torn or foreign; rewrite with writeDigestIndex")
-      val storedOk = stored.filter(assert_true(col("__graft_token") === token,
+      val storedOk = stored.filter(
+        assert_true(col("__graft_token").isin(waveTokens: _*),
           lit(s"digest gate: write-token mismatch between $path/meta and " +
             s"$path/digests — rewrite the layout")).isNull)
         .drop("__graft_token")
@@ -326,10 +393,15 @@ object DedupOps {
               else col(textCol)
       val wave = ds.toDF.select(col(idCol).as("id_new"),
         xxhash64(t).as("__h64"), unhex(md5(t)).as("__md5"))
-      val bloom =
-        if (params("bloom") == "yes") Some(DedupOps.digestBloom(spark, path, token))
+      // the maybe-probe ORs every admitted wave's filter: a row is a
+      // definite no-match only when ALL waves say no
+      val maybe =
+        if (params("bloom") == "yes")
+          Some(DedupOps.digestBlooms(spark, path, waveTokens)
+            .map(b => bloomMightContain(col("__h64"), b))
+            .reduce(_ || _))
         else None
-      (storedOk, wave, storedId, bloom)
+      (storedOk, wave, storedId, maybe)
     }
 
     /** MinHash-LSH near-dup candidate pairs, exactly verified.

@@ -193,6 +193,23 @@ object Pipeline {
         (count(lit(1)) > 0).as("nonempty"))
   }
 
+  /** Digest-index wave admission with a REAL oracle: corpus waves 1–5
+    * write the layout, waves 6–9 are APPENDED ([[appendDigestIndex]] —
+    * per-wave Bloom filters OR'd at read), and the probe wave's pairs
+    * must equal DuckDB's raw-text join against exactly the two
+    * admitted waves. */
+  def digestAppendQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_digest_app_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+      .writeDigestIndex(path, "doc_id", "text")
+    docs.filter(col("doc_id") % 10 >= 6)
+      .appendDigestIndex(path, "doc_id", "text")
+    digestWave(docs).exactPairsAgainstIndex(path, "doc_id", "text")
+      .orderBy(col("id_new"), col("id_corpus"))
+  }
+
   /** Wave admission into the at-rest CDC index: corpus0 writes the
     * layout, wave2 is APPENDED (O(wave) — corpus rows untouched), the
     * fresh wave gates against the two-wave layout, then
@@ -2281,6 +2298,14 @@ object Pipeline {
     "dd_cdc_append" ->
       ("SELECT TRUE AS append_equals_direct, TRUE AS compact_equals_direct, " +
         "TRUE AS nonempty"),
+    // the appended digest layout answers the same raw-text semantics,
+    // restricted to exactly the two admitted corpus waves
+    "dd_digest_append" ->
+      s"""WITH wave AS ($digestWaveSql)
+         |SELECT w.id_new, c.doc_id AS id_corpus
+         |FROM wave w JOIN documents c ON w.text = c.text
+         |WHERE c.doc_id % 10 >= 1
+         |ORDER BY id_new, id_corpus""".stripMargin,
     "dd_minhash_append" ->
       ("SELECT TRUE AS append_equals_direct, TRUE AS compact_equals_direct, " +
         "TRUE AS nonempty"),
@@ -3004,6 +3029,7 @@ object Pipeline {
     "dd_digest_admit" -> (digestAdmitQ _),
     "dd_cdc_append" -> (cdcAppendQ _),
     "dd_minhash_append" -> (minhashAppendQ _),
+    "dd_digest_append" -> (digestAppendQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),

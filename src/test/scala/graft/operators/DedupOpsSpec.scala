@@ -526,7 +526,7 @@ class DedupOpsSpec extends SparkSpec {
     corpus.writeDigestIndex(path, "doc_id", "text")
     val token = DedupOps.indexMeta(spark, path, "spec")("__token")
     val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      DedupOps.digestBloom(spark, path, token))
+      DedupOps.digestBlooms(spark, path, Seq(token)).head)
     val novelHits = wave.filter(col("doc_id") >= 2000000L)
       .select(xxhash64(col("text"))).collect()
       .count(r => bloom.mightContainLong(r.getLong(0)))
@@ -545,6 +545,63 @@ class DedupOpsSpec extends SparkSpec {
       .text(s"$path/meta")
     val e = intercept[Throwable] {
       wave.exactPairsAgainstIndex(path, "doc_id", "text").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
+  }
+
+  test("digest index append: waves gate like a fresh full write") {
+    import org.apache.spark.sql.DataFrame
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_digest_append_spec").toString
+    val corpus0 = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+    val wave2 = docs.filter(col("doc_id") % 10 >= 6)
+    // the probe wave: half true dups of corpus0, half of wave2, plus novels
+    val probe = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" NOVEL")).as("text")))
+    def pairsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    corpus0.writeDigestIndex(path, "doc_id", "text")
+    val before = pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text"))
+    wave2.appendDigestIndex(path, "doc_id", "text")
+    val got = pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text"))
+    // reference: one fresh write over the union
+    val fullPath = path + "_full"
+    corpus0.unionByName(wave2).writeDigestIndex(fullPath, "doc_id", "text")
+    val want = pairsOf(probe.exactPairsAgainstIndex(fullPath, "doc_id", "text"))
+    assert(got === want, "appended layout != fresh full write")
+    assert(got.size > before.size,
+      "append added no reachable dups — wave fixture broke")
+    // admit stays the exact complement across waves
+    val admitted = probe.admitAgainstDigestIndex(path, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val probeIds = probe.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === probeIds.diff(got.map(_._1).toSet))
+    // bloom coverage tracks the wave list: two filters, both consulted —
+    // a wave2 dup must probe maybe even though wave1's filter says no
+    val tokens = DedupOps.indexMeta(spark, path, "spec")("__waves").split(";")
+    assert(tokens.length === 2)
+    assert(DedupOps.digestBlooms(spark, path, tokens.toSeq).size === 2)
+    // id clash across waves refuses
+    val clash = intercept[IllegalArgumentException] {
+      corpus0.appendDigestIndex(path, "doc_id", "text")
+    }
+    assert(clash.getMessage.contains("already exists"))
+    // torn append (rows + bloom landed, meta didn't) refuses loudly
+    val metaBefore = spark.read.textFile(s"$path/meta").collect().toSeq
+    docs.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 500000L).as("doc_id"), col("text"))
+      .appendDigestIndex(path, "doc_id", "text")
+    spark.createDataset(metaBefore).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[Throwable] {
+      probe.exactPairsAgainstIndex(path, "doc_id", "text").collect()
     }
     val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
       .flatMap(t => Option(t.getMessage)).toSeq
