@@ -132,6 +132,64 @@ object DedupOps {
       df => df.repartition(col("__band"))
         .sortWithinPartitions(col("__band"), col("__bucket")))
 
+  /** Collapse a multi-wave [[DatasetDedupOps.writeDigestIndex]] layout
+    * back to one wave: digests republish under ONE fresh token and the
+    * per-wave Bloom filters are replaced by a single filter rebuilt
+    * from the full table — restoring the write-time fpp that k OR'd
+    * wave filters degrade to k·fpp. Token discipline as everywhere:
+    * snapshot, rewrite, meta commits last; a tear refuses. */
+  def compactDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    val params = indexMeta(spark, path, "compactDigestIndex")
+    val waveTokens = params.getOrElse("__waves", params("__token"))
+      .split(";").toSet
+    require(waveTokens.contains(params("__token")),
+      s"compactDigestIndex: write-token mismatch inside $path/meta " +
+        "(token not in the waves list) — rewrite the layout")
+    val digests = spark.read.parquet(s"$path/digests")
+    require(digests.columns.contains("__graft_token"),
+      s"compactDigestIndex: $path/digests has no __graft_token column — " +
+        "the layout is torn or foreign; rewrite with writeDigestIndex")
+    val seen = digests.select(col("__graft_token")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(seen.subsetOf(waveTokens),
+      s"compactDigestIndex: $path/digests holds rows under token(s) " +
+        s"${seen.diff(waveTokens)} the meta never admitted — " +
+        "refusing to compact a torn layout")
+    val snap = s"$path/compact_snapshot_digests"
+    digests.drop("__graft_token").write.mode("overwrite").parquet(snap)
+    val token = java.util.UUID.randomUUID().toString
+    spark.read.parquet(snap)
+      .withColumn("__graft_token", lit(token))
+      .repartitionByRange(col("__h64"))
+      .sortWithinPartitions(col("__h64"))
+      .write.mode("overwrite").parquet(s"$path/digests")
+    if (params("bloom") == "yes") {
+      val n = math.max(1L, spark.read.parquet(s"$path/digests").count())
+      val bf = spark.read.parquet(s"$path/digests")
+        .stat.bloomFilter("__h64", n, params("fpp").toDouble)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__graft_token",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__bloom",
+          org.apache.spark.sql.types.BinaryType)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(token, bos.toByteArray)), schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+    }
+    import spark.implicits._
+    Seq("params=" + Seq("idCol", "normalized", "bloom", "fpp")
+          .map(k => s"$k:${params(k)}").mkString(","),
+      "token=" + token,
+      "waves=" + token).toDS().coalesce(1)
+      .write.mode("overwrite").text(s"$path/meta")
+    val p = new org.apache.hadoop.fs.Path(snap)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   private[operators] val CdcParamKeys =
     Seq("idCol", "window", "maskBits", "minSize", "maxSize", "shingle")
   private[operators] val MinhashParamKeys =

@@ -593,6 +593,13 @@ class DedupOpsSpec extends SparkSpec {
       corpus0.appendDigestIndex(path, "doc_id", "text")
     }
     assert(clash.getMessage.contains("already exists"))
+    // compact: one wave, ONE rebuilt bloom, identical answers
+    DedupOps.compactDigestIndex(spark, path)
+    val waves = DedupOps.indexMeta(spark, path, "spec")("__waves").split(";")
+    assert(waves.length === 1)
+    assert(DedupOps.digestBlooms(spark, path, waves.toSeq).size === 1)
+    assert(pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text"))
+      === got, "compact changed answers")
     // torn append (rows + bloom landed, meta didn't) refuses loudly
     val metaBefore = spark.read.textFile(s"$path/meta").collect().toSeq
     docs.filter(col("doc_id") % 10 === 0).select(
