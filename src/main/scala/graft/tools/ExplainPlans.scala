@@ -361,6 +361,35 @@ object ExplainPlans {
       docsT.filter(col("doc_id") % 10 === 0)
         .minHashPairsAgainstIndex(path, "doc_id", "text", threshold = 0.8)
     }
+    show("digest_gate (expect the codegen'd bloom_might_contain filter on the wave BEFORE the (h64, md5) equi-join against the stored digest scan — 3 narrow columns, no text past the hash projection)") {
+      import graft.operators.DedupOps._
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_dg_idx").toString
+      val docsT = documents(spark, d)
+      docsT.writeDigestIndex(path, "doc_id", "text")
+      docsT.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .exactPairsAgainstIndex(path, "doc_id", "text")
+    }
+    show("digest_admit (expect a UNION of the bloom-false branch — admitted with NO join — and the bloom-true branch's left-anti against the digests; novel rows never shuffle)") {
+      import graft.operators.DedupOps._
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_dg_idx").toString
+      documents(spark, d).filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" NOVEL")).as("text"))
+        .admitAgainstDigestIndex(path, "doc_id", "text")
+    }
+    show("cdc_index_gate (expect the wave's OWN chunk-hash projection equi-joined to the stored membership scan IN PLACE (single wave: no regroup), shared-chunk count agg, verify shingles via candidate semi-joins)") {
+      import graft.operators.DedupOps._
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_cdc_idx").toString
+      val docsT = documents(spark, d)
+      docsT.filter(col("doc_id") % 10 =!= 0)
+        .writeCdcIndex(path, "doc_id", "text")
+      docsT.filter(col("doc_id") % 10 === 0)
+        .cdcPairsAgainstIndex(path, "doc_id", "text", minShared = 1)
+    }
     show("sql_tvf_distance_join (expect the DataFrame grid plan — cell equi-join, no cross — reached from spark.sql)") {
       graft.plans.GraftExtensions.registerFunctions(spark)
       customerPts(spark, d).createOrReplaceTempView("plans_cust_pts")
