@@ -92,7 +92,7 @@ object DedupOps {
     * doesn't cover exactly the admitted waves (stale after an
     * overwrite, torn after a failed append) refuses. Probes OR across
     * waves, so a definite-no stays definite. */
-  private[operators] def digestBlooms(
+  private[graft] def digestBlooms(
       spark: org.apache.spark.sql.SparkSession, path: String,
       waveTokens: Seq[String]): Seq[Array[Byte]] = {
     val rows = spark.read.parquet(s"$path/bloom")

@@ -100,6 +100,30 @@ object Advanced {
   def streamPassageGateQ(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamPassageGate(s, d, width = 20).orderBy(col("doc_id"))
 
+  /** Streaming digest ADMIT gate with a REAL oracle: the corpus digest
+    * layout writes once, the dd_digest_gate wave arrives as a live
+    * stream, and the admitted rows must equal DuckDB's NOT EXISTS over
+    * raw text — the stateless crawl-ingest filter answering exact
+    * reference semantics from the at-rest layout. */
+  def streamDigestGateQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupOps._
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stdg_idx_" + Integer.toHexString(d.hashCode)).toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stdg_wave_" + Integer.toHexString(d.hashCode)).toString
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    docs.writeDigestIndex(idx, "doc_id", "text")
+    docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" NOVEL")).as("text")))
+      .write.mode("overwrite").parquet(wavePath)
+    StreamingOps.streamDigestGate(s, wavePath, idx)
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming CDC-index gate: odd-doc arrivals chunk themselves and
     * stream-static join the even-doc corpus's AT-REST chunk membership
     * layout. The verdict row asserts engine-side that the stream's
@@ -632,6 +656,9 @@ object Advanced {
     // CDC layout; the engine-side full-outer compare is the contract
     "st_cdc_gate" ->
       "SELECT TRUE AS stream_equals_batch, TRUE AS nonempty",
+    // the streaming admit gate answers the batch admit's REAL oracle:
+    // raw-text NOT EXISTS over the same synthesized wave
+    "st_digest_admit" -> graft.queries.Pipeline.oracles("dd_digest_admit"),
     // the stream-stream co-location join answers the batch operator's
     // oracle: the event-time range is only the state bound (1 ms wider
     // than the contract), the exact integer-ms predicate decides
@@ -745,6 +772,7 @@ object Advanced {
     "st_contamination" -> (streamContamination _),
     "st_passage_gate" -> (streamPassageGateQ _),
     "st_cdc_gate" -> (streamCdcGateQ _),
+    "st_digest_admit" -> (streamDigestGateQ _),
     "st_geo_join" -> (streamGeoJoinQ _),
     "st_span_gate" -> (streamSpanGateQ _),
     "ts_asof_join" -> (asOfJoinQ _),

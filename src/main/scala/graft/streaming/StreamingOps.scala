@@ -364,6 +364,63 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Streaming exact-dedup ADMIT gate against the at-rest digest index:
+    * arrivals staged at `wavePath` hash themselves (meta-driven
+    * normalization) and pass if their text matches nothing in the
+    * corpus layout. Fully STATELESS — the Bloom probe is a codegen'd
+    * filter (a definite-no admits with NO join; only maybes ride the
+    * stream-static anti join) and the admit decision is per-row, so
+    * the gate runs forever in append mode with zero state store: the
+    * production crawl-ingest filter
+    * ([[graft.operators.DedupOps.DatasetDedupOps.admitAgainstDigestIndex]]
+    * on a live stream, same layout, same answers). */
+  def streamDigestGate(spark: SparkSession, wavePath: String,
+                       indexPath: String): DataFrame = {
+    import graft.operators.DedupOps
+    import graft.functions.{bloomMightContain, normalizeText}
+    val params = DedupOps.indexMeta(spark, indexPath, "streamDigestGate")
+    val waveTokens = params.getOrElse("__waves", params("__token"))
+      .split(";").toSeq
+    require(waveTokens.contains(params("__token")),
+      s"streamDigestGate: write-token mismatch inside $indexPath/meta " +
+        "(token not in the waves list) — rewrite the layout")
+    val storedKeys = spark.read.parquet(s"$indexPath/digests")
+      .filter(assert_true(col("__graft_token").isin(waveTokens: _*),
+        lit(s"streamDigestGate: write-token mismatch between " +
+          s"$indexPath/meta and $indexPath/digests — rewrite the layout")).isNull)
+      .select(col("__h64"), col("__md5"))
+    val maybe =
+      if (params("bloom") == "yes")
+        Some(DedupOps.digestBlooms(spark, indexPath, waveTokens)
+          .map(b => bloomMightContain(col("__h64"), b))
+          .reduce(_ || _))
+      else None
+    val schema = spark.read.parquet(wavePath).schema
+    val waveCols = schema.fieldNames.toSeq
+    def t(c: org.apache.spark.sql.Column) =
+      if (params("normalized").toBoolean) normalizeText(c) else c
+    val arrivals = spark.readStream.schema(schema).parquet(wavePath)
+      .withColumn("__h64", xxhash64(t(col("text"))))
+      .withColumn("__md5", unhex(md5(t(col("text")))))
+    val admitted = maybe match {
+      case Some(m) =>
+        arrivals.filter(!m).unionByName(
+          arrivals.filter(m)
+            .join(storedKeys, Seq("__h64", "__md5"), "left_anti"))
+      case None =>
+        arrivals.join(storedKeys, Seq("__h64", "__md5"), "left_anti")
+    }
+    val sinkName = s"graft_dggate_${System.nanoTime()}"
+    val q = admitted.select(waveCols.map(col): _*)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Streaming ingest gate against the AT-REST CDC chunk index: newly
     * arriving documents chunk THEMSELVES (a stateless projection — the
     * chunking parameters come from the layout's meta, so a

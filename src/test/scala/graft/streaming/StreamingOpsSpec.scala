@@ -57,6 +57,30 @@ class StreamingOpsSpec extends SparkSpec {
       s"gate dropped nothing ($kept of $arrivalsAll) — corpus overlap fixture broke")
   }
 
+  test("streaming digest admit gate equals the batch admit on the same layout") {
+    import graft.operators.DedupOps._
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stdg_spec_idx").toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stdg_spec_wave").toString
+    val docs = Tables.documents(spark, sf())
+    docs.writeDigestIndex(idx, "doc_id", "text")
+    val wave = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" NOVEL")).as("text")))
+    wave.write.mode("overwrite").parquet(wavePath)
+    val got = StreamingOps.streamDigestGate(spark, wavePath, idx)
+    val want = spark.read.parquet(wavePath)
+      .admitAgainstDigestIndex(idx, "doc_id", "text")
+    assert(got.count() > 0, "gate admitted nothing — fixture broke")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // true duplicates are blocked: admitted is a strict subset
+    assert(got.count() < wave.count(),
+      "every arrival was admitted — planted-dup fixture broke")
+  }
+
   test("streaming CDC-index gate equals the batch layout gate per arrival") {
     import graft.operators.DedupOps._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
