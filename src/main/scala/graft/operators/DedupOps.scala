@@ -190,6 +190,79 @@ object DedupOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** Roll back a TORN append: drop every row whose wave token the meta
+    * never admitted (rows landed, the meta commit didn't) and republish
+    * the admitted rows unchanged — after which reads succeed, compact
+    * works, and the failed wave can simply re-run its append (its
+    * half-landed ids no longer trip the clash check). Without this the
+    * only exit from a torn layout is a full rebuild: reads refuse (by
+    * design), compact refuses un-admitted tokens, and a re-append
+    * clashes with its own orphaned rows. O(table) rewrite of only the
+    * affected tables; a layout with no orphans is left untouched. */
+  def repairCdcIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit =
+    repairWaveIndex(spark, path, "repairCdcIndex", Seq("chunks", "shingles"))
+
+  /** [[repairCdcIndex]] for the minhash layout. */
+  def repairMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit =
+    repairWaveIndex(spark, path, "repairMinhashIndex",
+      Seq("buckets", "shingles"))
+
+  /** [[repairCdcIndex]] for the digest layout (also drops orphaned
+    * per-wave Bloom rows). */
+  def repairDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val params = indexMeta(spark, path, "repairDigestIndex")
+    repairWaveIndex(spark, path, "repairDigestIndex", Seq("digests"))
+    if (params("bloom") == "yes") {
+      val admitted = params.getOrElse("__waves", params("__token"))
+        .split(";").toSet
+      val rows = spark.read.parquet(s"$path/bloom")
+        .select(col("__graft_token"), col("__bloom")).collect()
+      if (rows.exists(r => !admitted.contains(r.getString(0)))) {
+        val keep = rows.filter(r => admitted.contains(r.getString(0)))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__graft_token",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__bloom",
+            org.apache.spark.sql.types.BinaryType)))
+        spark.createDataFrame(
+          java.util.Arrays.asList(keep.toIndexedSeq: _*), schema)
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+      }
+    }
+  }
+
+  private def repairWaveIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String, caller: String,
+                              tables: Seq[String]): Unit = {
+    val params = indexMeta(spark, path, caller)
+    val admitted = params.getOrElse("__waves", params("__token"))
+      .split(";").toSet
+    require(admitted.contains(params("__token")),
+      s"$caller: write-token mismatch inside $path/meta (token not in " +
+        "the waves list) — the META itself is foreign; rewrite the layout")
+    for (table <- tables) {
+      val df = spark.read.parquet(s"$path/$table")
+      require(df.columns.contains("__graft_token"),
+        s"$caller: $path/$table has no __graft_token column — the " +
+          "layout is foreign; rewrite it")
+      val seen = df.select(col("__graft_token")).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (!seen.subsetOf(admitted)) {
+        val snap = s"$path/repair_snapshot_$table"
+        df.filter(col("__graft_token").isin(admitted.toSeq: _*))
+          .write.mode("overwrite").parquet(snap)
+        spark.read.parquet(snap)
+          .write.mode("overwrite").parquet(s"$path/$table")
+        val p = new org.apache.hadoop.fs.Path(snap)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
+  }
+
   private[operators] val CdcParamKeys =
     Seq("idCol", "window", "maskBits", "minSize", "maxSize", "shingle")
   private[operators] val MinhashParamKeys =

@@ -613,6 +613,15 @@ class DedupOpsSpec extends SparkSpec {
     val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
       .flatMap(t => Option(t.getMessage)).toSeq
     assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
+    // repair drops the orphaned digest rows AND the orphaned bloom row;
+    // reads recover to the compacted single-wave answers
+    DedupOps.repairDigestIndex(spark, path)
+    assert(pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text"))
+      === got, "repair changed admitted answers")
+    val wavesAfter = DedupOps.indexMeta(spark, path, "spec")("__waves")
+      .split(";")
+    assert(DedupOps.digestBlooms(spark, path, wavesAfter.toSeq).size
+      === wavesAfter.length)
   }
 
   test("digest index: normalized form matches case/punct variants") {
@@ -761,6 +770,19 @@ class DedupOpsSpec extends SparkSpec {
     val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
       .flatMap(t => Option(t.getMessage)).toSeq
     assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
+    // repair rolls the torn wave back: reads recover to the pre-append
+    // answers, and the SAME wave can re-run its append cleanly (its
+    // orphaned rows no longer trip the id-clash check)
+    DedupOps.repairCdcIndex(spark, path)
+    assert(rows(fresh.cdcPairsAgainstIndex(path, "doc_id", "text",
+      minShared = 1)) === gotAll, "repair changed admitted answers")
+    val retryWave = docs.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 500000L).as("doc_id"), col("text"))
+    retryWave.appendCdcIndex(path, "doc_id", "text")
+    val withRetry = rows(fresh.cdcPairsAgainstIndex(path, "doc_id", "text",
+      minShared = 1))
+    assert(withRetry.size > gotAll.size,
+      "re-appended wave invisible after repair")
   }
 
   test("cdc membership cap drops boilerplate chunks; audit lists them") {
