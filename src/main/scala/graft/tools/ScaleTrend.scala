@@ -411,7 +411,10 @@ object ScaleTrend {
       import graft.operators.DedupOps._
       val wave = documents(spark, d).filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
-      for (n <- Seq(1, 10)) {
+      // `textidx 100` measures the second decade (1x vs 100x corpus)
+      val scales =
+        if (args.lift(1).contains("100")) Seq(1, 100) else Seq(1, 10)
+      for (n <- scales) {
         val pd = s"${System.getProperty("java.io.tmpdir")}/graft_trend_dgidx_$n"
         var t0 = System.nanoTime()
         docsRep(spark, d, n).writeDigestIndex(pd, "doc_id", "text")
