@@ -295,6 +295,32 @@ object CorpusOps {
         .select(col(idCol), col("__dl").as("dl"), col("score"))
     }
 
+    /** Hybrid retrieval: BM25 keyword candidates re-ranked by exact
+      * embedding cosine — the two-stage retrieval shape every RAG /
+      * retrieval pipeline runs (cheap lexical recall, expensive
+      * semantic precision). Stage 1 is [[bm25TopK]] at `candidates`
+      * (its one corpus scan + tiny top-k); stage 2 joins ONLY the
+      * candidate ids to their vectors (broadcast-sized by
+      * construction — the corpus's embeddings are never scanned
+      * beyond the semi-join) and re-ranks by the codegen'd cosine.
+      * Returns (id, score, cos) at `k`, ordered by cosine with the id
+      * tie-break. Exactly SQL-replayable end to end: both stages'
+      * kernels already hold the hash-oracle IEEE contract. */
+    def hybridTopK(idCol: String, textCol: String, terms: Seq[String],
+                   vectors: Dataset[_], vecIdCol: String, vecCol: String,
+                   query: Array[Float], candidates: Int, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      require(candidates >= k && k >= 1,
+        s"hybridTopK: need candidates >= k >= 1: $candidates, $k")
+      bm25TopK(idCol, textCol, terms, candidates, k1, b)
+        .join(vectors.toDF.select(col(vecIdCol).as(idCol),
+          col(vecCol).as("__graft_hv")), Seq(idCol))
+        .withColumn("cos", cosineSimilarity(col("__graft_hv"), lit(query)))
+        .orderBy(col("cos").desc, col(idCol).asc)
+        .limit(k)
+        .select(col(idCol), col("score"), col("cos"))
+    }
+
     /** Per-document unigram "likelihood" quality score — the cheap,
       * fully-SQL-replayable stand-in for the KenLM-perplexity filter of
       * CCNet-style pipelines: documents whose tokens are corpus-typical

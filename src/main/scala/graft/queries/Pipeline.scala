@@ -1252,6 +1252,19 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Hybrid retrieval: BM25 top-50 lexical candidates re-ranked by
+    * exact cosine against the query embedding (vec_id 0), top-10 out —
+    * the two-stage RAG retrieval shape, fully DuckDB-replayed
+    * (CorpusOps.hybridTopK). Embeddings link 1:1 by vec_id = doc_id. */
+  def hybridRetrieveQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    val q = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    documents(s, d).hybridTopK("doc_id", "text", bm25Terms,
+      embeddings(s, d), "vec_id", "embedding", q, candidates = 50, k = 10)
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-level decontamination (corpus %7!=0 vs eval %7==0 — the
     * same split as pp_contamination), emitted as contract verdicts: the
     * candidate set rides engine-private hyperplane sketches, so the
@@ -2767,6 +2780,41 @@ object Pipeline {
          |  ORDER BY score DESC, doc_id ASC LIMIT 20) t
          |ORDER BY doc_id""".stripMargin
     },
+    "tx_hybrid_retrieve" -> {
+      val termSql = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"""((st.n - st.df$i + 0.5) / (st.df$i + 0.5))
+           |     * (len(list_filter(b.toks, t -> t = '$t')) * (CAST(1.2 AS DOUBLE) + 1.0))
+           |     / (len(list_filter(b.toks, t -> t = '$t'))
+           |        + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * b.dl / st.avgdl))""".stripMargin
+      }.mkString("\n   + ")
+      val dfSql = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"""CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"""
+      }.mkString(",\n    ")
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), q -> q != '') AS toks
+         |  FROM documents),
+         |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tk),
+         |st AS (SELECT
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         |    $dfSql
+         |  FROM tk),
+         |cand AS (
+         |  SELECT doc_id, score FROM (
+         |    SELECT doc_id, score FROM (
+         |      SELECT b.doc_id, b.dl,
+         |        $termSql AS score
+         |      FROM base b, st) s
+         |    WHERE score > 0
+         |    ORDER BY score DESC, doc_id ASC LIMIT 50) t),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT doc_id, score, cos FROM (
+         |  SELECT c.doc_id, c.score, ${cosSql("e.embedding", "q.qe")} AS cos
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
+         |  ORDER BY cos DESC, c.doc_id ASC LIMIT 10) t
+         |ORDER BY doc_id""".stripMargin
+    },
     "emb_kmeans" ->
       s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
          |${kmeansAssignSql(iters = 2)}
@@ -3050,6 +3098,7 @@ object Pipeline {
     "emb_kmeans" -> (kmeansQ _),
     "dd_semantic_pairs" -> (semanticPairsQ _),
     "tx_bm25" -> (bm25Q _),
+    "tx_hybrid_retrieve" -> (hybridRetrieveQ _),
     "pp_semantic_contamination" -> (semanticContaminationQ _),
     "ann_ivf_trained_topk" -> (annIvfTrainedQ _),
     "ann_pq_topk" -> (annPqTopKQ _),

@@ -342,6 +342,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(idf.distinct.length > 1)
   }
 
+  test("hybridTopK: cosine re-rank of exactly the bm25 candidate set") {
+    val terms = Seq("spark", "vector", "window", "hash", "merge", "customer")
+    val embs = Tables.embeddings(spark, sf())
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val got = docs.hybridTopK("doc_id", "text", terms, embs, "vec_id",
+      "embedding", q, candidates = 50, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // reference: the bm25 stage, joined and re-ranked by the same
+    // codegen'd cosine — stage composition must add NOTHING else
+    val cand = docs.bm25TopK("doc_id", "text", terms, 50)
+      .select(col("doc_id"), col("score"))
+    val want = cand.join(embs.select(col("vec_id").as("doc_id"),
+        col("embedding")), Seq("doc_id"))
+      .withColumn("cos",
+        graft.functions.cosineSimilarity(col("embedding"), lit(q)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(r.fieldIndex("cos"))))
+      .sortBy { case (id, _, c) => (-c, id) }.take(10)
+    assert(got.sortBy { case (id, _, c) => (-c, id) }.toSeq === want.toSeq)
+    // the re-rank genuinely reorders: cosine order != bm25 order here
+    val byScore = got.sortBy { case (id, s, _) => (-s, id) }.map(_._1).toSeq
+    val byCos = got.sortBy { case (id, _, c) => (-c, id) }.map(_._1).toSeq
+    assert(byScore !== byCos, "fixture degenerate: re-rank was a no-op")
+  }
+
   test("bm25TopK: a doc containing no query term never ranks") {
     import spark.implicits._
     val fixture = Seq(
