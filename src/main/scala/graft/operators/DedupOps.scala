@@ -1392,6 +1392,33 @@ object DedupOps {
   /** Label-propagation core of `nearDupComponents`, over an
     * already-checkpointed distinct-id seed table `ownIds` (column
     * `__id`). */
+  /** Extend an EXISTING component labeling with an ingest wave's pairs
+    * — the incremental form of [[DatasetDedupOps.nearDupComponents]]:
+    * the old graph's entire connectivity is captured by label equality,
+    * so it re-enters the kernel as depth-1 STAR edges (member → its
+    * component representative) beside the wave's new pairs, and the
+    * pointer-doubling rounds only pay for the NEW structure (stars are
+    * already converged). Representatives stay stable: the old label is
+    * the old component's min member, so the merged min is exactly what
+    * a full recompute over old ∪ new edges would pick — equality with
+    * the from-scratch labeling holds by construction and is pinned by
+    * the `dd_components_extend` verdict row. Output covers every
+    * previously-labeled id plus every id in `pairs`. */
+  def extendComponents(labels: DataFrame, pairs: DataFrame, idCol: String,
+                       id1: String = "id1", id2: String = "id2",
+                       maxIters: Int = 25): DataFrame = {
+    val stars = labels.select(col(idCol).as(id1), col("component").as(id2))
+    val allEdges = stars.unionByName(
+      pairs.select(col(id1).cast(stars.schema(id1).dataType).as(id1),
+        col(id2).cast(stars.schema(id2).dataType).as(id2)))
+    val ownIds = labels.select(col(idCol).as("__id"))
+      .unionByName(pairs.select(col(id1).as("__id")))
+      .unionByName(pairs.select(col(id2).as("__id")))
+      .distinct().localCheckpoint()
+    labelTableFrom(ownIds, allEdges, id1, id2, maxIters)
+      .select(col("__id").as(idCol), col("__lbl").as("component"))
+  }
+
   private def labelTableFrom(ownIds: DataFrame, pairs: DataFrame,
                              id1: String, id2: String,
                              maxIters: Int): DataFrame = {

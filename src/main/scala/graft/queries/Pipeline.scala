@@ -712,6 +712,44 @@ object Pipeline {
     docs.nearDupComponents("doc_id", pairs).orderBy(col("doc_id"))
   }
 
+  /** Incremental component extension: the corpus's labeling is FROZEN
+    * (ingest never re-pairs the corpus against itself), the wave's
+    * cross + internal pairs extend it via star edges
+    * ([[graft.operators.DedupOps.extendComponents]]), and the verdict
+    * row pins engine-side equality with the full from-scratch
+    * labeling over the unioned edge list. */
+  def componentsExtendQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val wave = docs.filter(col("doc_id") % 10 === 0)
+    val corpusPairs = corpus.minHashPairs("doc_id", "text", threshold = 0.8)
+      .select(col("id1"), col("id2"))
+    val labels = corpus.nearDupComponents("doc_id", corpusPairs)
+    val cross = wave.minHashPairsAgainst(corpus, "doc_id", "text",
+      threshold = 0.8)
+      .select(col("id_new").as("id1"), col("id_corpus").as("id2"))
+    val inner = wave.minHashPairs("doc_id", "text", threshold = 0.8)
+      .select(col("id1"), col("id2"))
+    val wavePairs = cross.unionByName(inner)
+    // new docs enter as their own singleton components, then the wave's
+    // pairs merge them in — the admit-wave shape
+    val seeded = labels.unionByName(
+      wave.select(col("doc_id"), col("doc_id").as("component")))
+    val extended = graft.operators.DedupOps
+      .extendComponents(seeded, wavePairs, "doc_id")
+    val full = docs.nearDupComponents("doc_id",
+      corpusPairs.unionByName(wavePairs))
+    extended.select(col("doc_id"), col("component").as("__ce"))
+      .join(full.select(col("doc_id"), col("component").as("__cf")),
+        Seq("doc_id"), "full_outer")
+      .agg(
+        (sum(when(col("__ce") === col("__cf"), 0).otherwise(1)) === 0)
+          .as("extend_equals_full"),
+        (count(lit(1)) > 0).as("nonempty"),
+        (sum(when(col("__ce") =!= col("doc_id"), 1).otherwise(0)) > 0)
+          .as("merges_present"))
+  }
+
   /** Leakage-free split (SampleOps.leakageFreeSplit): every doc takes
     * its near-dup COMPONENT's split, so duplicate clusters never
     * straddle train/test. Same deterministic pair list as
@@ -2311,6 +2349,9 @@ object Pipeline {
     "dd_cdc_append" ->
       ("SELECT TRUE AS append_equals_direct, TRUE AS compact_equals_direct, " +
         "TRUE AS nonempty"),
+    "dd_components_extend" ->
+      ("SELECT TRUE AS extend_equals_full, TRUE AS nonempty, " +
+        "TRUE AS merges_present"),
     // the appended digest layout answers the same raw-text semantics,
     // restricted to exactly the two admitted corpus waves
     "dd_digest_append" ->
@@ -3081,6 +3122,7 @@ object Pipeline {
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),
+    "dd_components_extend" -> (componentsExtendQ _),
     "pp_leakage_free_split" -> (leakageFreeSplitQ _),
     "pp_mine_negatives" -> (mineNegativesQ _),
     "dd_keep_best" -> (keepBestQ _),

@@ -313,6 +313,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(got === Map(2L -> 2L, 4L -> 2L, 6L -> 6L))
   }
 
+  test("extendComponents: star edges reproduce the full recompute") {
+    // old labeling: {1,2}->1, {3}->3; wave 10,11,20 with pairs bridging
+    // 2-10-11 — extended must merge {1,2,10,11}->1, keep {3}, {20}
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("doc_id", "component")
+      .unionByName(Seq((10L, 10L), (11L, 11L), (20L, 20L))
+        .toDF("doc_id", "component")) // wave enters as singletons
+    val wavePairs = Seq((2L, 10L), (10L, 11L)).toDF("id1", "id2")
+    val got = DedupOps.extendComponents(labels, wavePairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 3L), (10L, 1L),
+      (11L, 1L), (20L, 20L)))
+    // and against the kernel itself: full recompute over the star-
+    // expanded edge list must agree on a chain that needs doubling
+    val chain = (0 until 32).map(i => (100L + i, 101L + i))
+      .toDF("id1", "id2")
+    val chainIds = (100L to 132L)
+    val seed = chainIds.map(i => (i, i)).toDF("doc_id", "component")
+    val ext = DedupOps.extendComponents(seed, chain, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ext === chainIds.map(i => (i, 100L)).toSet)
+  }
+
   test("dedup rate: minhash collapses the planted near-dup clusters") {
     val pairs = docs.minHashPairs("doc_id", "text", threshold = 0.8)
     val survivors = docs.join(pairs.select(col("id2").as("doc_id")),
