@@ -1233,18 +1233,26 @@ object DedupOps {
       * per band; they join back for the exact verify. Band b's bucket
       * key = hash of its signature slice (statically unrolled: band
       * count is a plan-time constant). */
-    private def bandedBuckets(idCol: String, textCol: String, shingle: Int,
-                              numHashes: Int, bands: Int, seed: Long): DataFrame = {
+    /** `carry` rides extra computed columns through the banding
+      * projection (e.g. the row's own shingle set) — the streaming
+      * gate needs them on the SAME row because a stream cannot join
+      * back to itself for the verify. */
+    private[graft] def bandedBuckets(idCol: String, textCol: String, shingle: Int,
+                              numHashes: Int, bands: Int, seed: Long,
+                              carry: Seq[(String, Column)] = Nil): DataFrame = {
       val rows = numHashes / bands
-      val doc = ds.toDF.select(col(idCol), col(textCol))
+      val doc = carry.foldLeft(ds.toDF.select(col(idCol), col(textCol))) {
+          case (df, (n, c)) => df.withColumn(n, c)
+        }
         .withColumn("__sig", minhashSignature(col(textCol), shingle, numHashes, seed))
       val bandStructs = (0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("__sig"), b * rows + 1, rows)).as("bucket"))
       }
-      doc.select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
-        .select(col(idCol),
-          col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
+      val keep = col(idCol) +: carry.map(c => col(c._1))
+      doc.select(keep :+ explode(array(bandStructs: _*)).as("__b"): _*)
+        .select(keep :+ col("__b.band").as("__band")
+          :+ col("__b.bucket").as("__bucket"): _*)
     }
 
     /** SimHash near-dup pairs: 64-bit signature, banded into `blocks`

@@ -100,6 +100,30 @@ object Advanced {
   def streamPassageGateQ(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamPassageGate(s, d, width = 20).orderBy(col("doc_id"))
 
+  /** Streaming minhash near-dup gate: odd-doc arrivals sign themselves
+    * with the layout meta's banding and stream-static join the even-doc
+    * corpus's at-rest buckets; candidate pairs exact-verify with
+    * shingles read from the layout. Verdict row pins
+    * stream-equals-batch on the same layout, per pair. */
+  def streamMinhashGateQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupOps._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stmh_idx_" + Integer.toHexString(d.hashCode)).toString
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).writeMinhashIndex(path, "doc_id", "text")
+    val stream = StreamingOps.streamMinhashGate(s, d, path, threshold = 0.3)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+      .minHashPairsAgainstIndex(path, "doc_id", "text", threshold = 0.3)
+      .select(col("id_new").as("doc_id"), col("id_corpus"),
+        col("jaccard").as("__jb"))
+    stream.select(col("doc_id"), col("id_corpus"), col("jaccard").as("__js"))
+      .join(batch, Seq("doc_id", "id_corpus"), "full_outer")
+      .agg(
+        (sum(when(col("__js") === col("__jb"), 0).otherwise(1)) === 0)
+          .as("stream_equals_batch"),
+        (count(lit(1)) > 0).as("nonempty"))
+  }
+
   /** Streaming digest ADMIT gate with a REAL oracle: the corpus digest
     * layout writes once, the dd_digest_gate wave arrives as a live
     * stream, and the admitted rows must equal DuckDB's NOT EXISTS over
@@ -659,6 +683,8 @@ object Advanced {
     // the streaming admit gate answers the batch admit's REAL oracle:
     // raw-text NOT EXISTS over the same synthesized wave
     "st_digest_admit" -> graft.queries.Pipeline.oracles("dd_digest_admit"),
+    "st_minhash_gate" ->
+      "SELECT TRUE AS stream_equals_batch, TRUE AS nonempty",
     // the stream-stream co-location join answers the batch operator's
     // oracle: the event-time range is only the state bound (1 ms wider
     // than the contract), the exact integer-ms predicate decides
@@ -773,6 +799,7 @@ object Advanced {
     "st_passage_gate" -> (streamPassageGateQ _),
     "st_cdc_gate" -> (streamCdcGateQ _),
     "st_digest_admit" -> (streamDigestGateQ _),
+    "st_minhash_gate" -> (streamMinhashGateQ _),
     "st_geo_join" -> (streamGeoJoinQ _),
     "st_span_gate" -> (streamSpanGateQ _),
     "ts_asof_join" -> (asOfJoinQ _),

@@ -364,6 +364,92 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Streaming near-dup gate against the at-rest minhash index:
+    * arrivals sign THEMSELVES with the layout meta's banding (a pure
+    * projection — no state), stream-static join the stored (band,
+    * bucket) membership arrays, and exact-verify candidate pairs with
+    * shingle Jaccard where the CORPUS side's shingles come from the
+    * layout — corpus text is never touched by the stream. Emits
+    * (doc_id, id_corpus, jaccard) per surviving pair; clean arrivals
+    * stay silent.
+    *
+    * Stream-shape trade vs the batch gate: the arrival's own shingle
+    * set rides its band rows into the join (the batch form semi-joins
+    * texts back instead) — per-wave cost ×bands on one array column,
+    * in exchange for a gate with no stream-side self-join. */
+  def streamMinhashGate(spark: SparkSession, dir: String,
+                        indexPath: String,
+                        threshold: Double = 0.5): DataFrame = {
+    import graft.operators.DedupOps
+    import graft.operators.DedupOps._
+    import graft.functions.{shingleSet, sortedJaccard}
+    val params = DedupOps.indexMeta(spark, indexPath, "streamMinhashGate")
+    val waveTokens = params.getOrElse("__waves", params("__token"))
+      .split(";").toSeq
+    require(waveTokens.contains(params("__token")),
+      s"streamMinhashGate: write-token mismatch inside $indexPath/meta " +
+        "(token not in the waves list) — rewrite the layout")
+    val storedId = params("idCol")
+    def tokenChecked(df: DataFrame, what: String): DataFrame = {
+      require(df.columns.contains("__graft_token"),
+        s"streamMinhashGate: $indexPath/$what has no __graft_token " +
+          "column — the layout is torn or foreign; rewrite it")
+      df.filter(assert_true(col("__graft_token").isin(waveTokens: _*),
+        lit(s"streamMinhashGate: write-token mismatch between " +
+          s"$indexPath/meta and $indexPath/$what — rewrite the layout")).isNull)
+        .drop("__graft_token")
+    }
+    val storedB = tokenChecked(
+      spark.read.parquet(s"$indexPath/buckets"), "buckets")
+    val member =
+      if (waveTokens.length == 1) storedB
+      else storedB
+        .select(col("__band"), col("__bucket"),
+          explode(col("__cids")).as("__cid"))
+        .groupBy(col("__band"), col("__bucket"))
+        .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+    val corpusSh = tokenChecked(
+      spark.read.parquet(s"$indexPath/shingles"), "shingles")
+      .select(col(storedId).as("id_corpus"), col("__shingles").as("__sh2"))
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+    val staged = java.nio.file.Files.createTempDirectory("graft_mhgate_src")
+    staged.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    staged.resolve("documents.parquet").toFile.deleteOnExit()
+    val sinkName = s"graft_mhgate_${System.nanoTime()}"
+    val arrivals = spark.readStream
+      .schema(batch.schema)
+      .parquet(staged.toString)
+      .filter(col("doc_id") % 2 =!= 0)
+    // the arrival's own shingle set rides its band rows (`carry`) — a
+    // stream cannot join back to itself for the verify
+    val sigsWithSh = new DatasetDedupOps(arrivals)
+      .bandedBuckets("doc_id", "text", params("shingle").toInt,
+        params("numHashes").toInt, params("bands").toInt,
+        params("seed").toLong,
+        carry = Seq("__sh1" ->
+          shingleSet(col("text"), params("shingle").toInt)))
+    val q = sigsWithSh
+      .join(member, Seq("__band", "__bucket"))
+      .select(col("doc_id"), col("__sh1"),
+        explode(col("__cids")).as("id_corpus"))
+      .filter(col("doc_id") =!= col("id_corpus"))
+      .join(corpusSh, Seq("id_corpus"))
+      .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"), col("id_corpus"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Streaming exact-dedup ADMIT gate against the at-rest digest index:
     * arrivals staged at `wavePath` hash themselves (meta-driven
     * normalization) and pass if their text matches nothing in the

@@ -57,6 +57,24 @@ class StreamingOpsSpec extends SparkSpec {
       s"gate dropped nothing ($kept of $arrivalsAll) — corpus overlap fixture broke")
   }
 
+  test("streaming minhash gate equals the batch index gate per pair") {
+    import graft.operators.DedupOps._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stmh_spec").toString
+    val docs = Tables.documents(spark, sf())
+    docs.filter(col("doc_id") % 2 === 0).writeMinhashIndex(path, "doc_id", "text")
+    val got = StreamingOps.streamMinhashGate(spark, sf(), path,
+      threshold = 0.3)
+    val want = docs.filter(col("doc_id") % 2 =!= 0)
+      .minHashPairsAgainstIndex(path, "doc_id", "text", threshold = 0.3)
+      .select(col("id_new").as("doc_id"), col("id_corpus"), col("jaccard"))
+    assert(got.count() > 0, "gate flagged no pairs — fixture broke")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val arrivals = docs.filter(col("doc_id") % 2 =!= 0).count()
+    assert(got.select("doc_id").distinct().count() < arrivals,
+      "every arrival near-dup'd the corpus — planted-dup fixture broke")
+  }
+
   test("streaming digest admit gate equals the batch admit on the same layout") {
     import graft.operators.DedupOps._
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
