@@ -240,6 +240,16 @@ object Bench {
       documents(s, d).bm25TopK("doc_id", "text",
         Seq("spark", "vector", "window", "hash", "merge", "customer"), 20)
     }),
+    // two-stage hybrid retrieval (r11): BM25 recall + exact cosine
+    // re-rank over only the candidate ids
+    "b8hr_hybrid_retrieve" -> ((s: SparkSession, d: String) => {
+      import graft.operators.CorpusOps._
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      documents(s, d).hybridTopK("doc_id", "text",
+        Seq("spark", "vector", "window", "hash", "merge", "customer"),
+        embeddings(s, d), "vec_id", "embedding", q, candidates = 50, k = 10)
+    }),
     // embedding-level decontamination (r8): banded sketch equi-join,
     // broadcast eval side, exact-cosine verify
     "b8sc_semantic_contamination" -> ((s: SparkSession, d: String) => {

@@ -309,6 +309,55 @@ object VectorOps {
     * rows re-ranks the full layout by exact cosine per left, whatever
     * the codes say. Output: (left id, layout id, cos) — the join is
     * keyed; carry other left columns by joining back on the id. */
+  /** Semantic near-dup GATE against the at-rest IVF layout: for every
+    * row of `left` (a batch wave OR a live stream — the plan is
+    * identical), probe its `nprobe` nearest coarse cells (the same
+    * quantized-L2 fold as every IVF verb), join ONLY those cells'
+    * layout rows, and emit (left id, layout id, cos) for pairs at or
+    * above `threshold` by EXACT cosine. Fully stateless — each layout
+    * row lives in exactly one cell, so a pair meets at most once and
+    * the gate runs in append mode on an unbounded stream with zero
+    * state store. Recall is the standard IVF trade: only probed cells
+    * are examined (nprobe = nlist restores exhaustiveness); precision
+    * is exact (the verify is the raw-vector cosine, read only for
+    * probed-cell rows). */
+  def ivfSemanticGate(left: org.apache.spark.sql.DataFrame, lVecCol: String,
+                      lIdCol: String, path: String, vecCol: String,
+                      idCol: String, threshold: Double,
+                      nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1)
+    require(lIdCol != idCol && lIdCol != vecCol && lVecCol != idCol &&
+      lVecCol != vecCol,
+      "need disjoint column names between the left side and the layout")
+    val spark = left.sparkSession
+    val meta = readIvfPqMeta(spark, path)
+    val coarse = meta.coarse
+    val nlist = coarse.length
+    val np = math.min(nprobe, nlist)
+    val base = quantizedBase(left, lVecCol, lIdCol, meta.scale, keepVec = true)
+    val distArr = array(coarse.map(c => sqDistOn(col("__qv"), c)).toIndexedSeq: _*)
+    val probeStructs = array_sort(transform(sequence(lit(0), lit(nlist - 1)),
+      i => struct(element_at(distArr, i + 1).as("d"), i.as("i"))))
+    val exploded = base
+      .withColumn("__graft_sg_p", explode(slice(probeStructs, 1, np)))
+      .withColumn("__graft_sg_cell", col("__graft_sg_p.i") + 1)
+      .drop("__graft_sg_p", "__qv")
+    val data = spark.read.parquet(s"$path/data")
+    require(data.columns.contains("__graft_token"),
+      s"ivfSemanticGate: $path/data has no __graft_token column — the " +
+        "layout predates the tokened format or is torn; rewrite it")
+    val rows = data.filter(assert_true(col("__graft_token") === meta.token,
+        lit(s"ivfSemanticGate: write-token mismatch between $path/meta " +
+          s"and $path/data — rewrite the layout")).isNull)
+      .select(col(idCol), col(vecCol).as("__graft_sg_v"), col("__graft_cell"))
+    exploded
+      .join(rows, col("__graft_sg_cell") === col("__graft_cell"))
+      .withColumn("cos",
+        graft.functions.cosineSimilarity(col(lVecCol), col("__graft_sg_v")))
+      .filter(col("cos") >= threshold)
+      .select(col(lIdCol), col(idCol), col("cos"))
+  }
+
   def readIvfPqTopKJoin(left: org.apache.spark.sql.DataFrame, lVecCol: String,
                         lIdCol: String, path: String, vecCol: String,
                         idCol: String, k: Int,

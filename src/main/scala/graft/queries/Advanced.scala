@@ -100,6 +100,38 @@ object Advanced {
   def streamPassageGateQ(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamPassageGate(s, d, width = 20).orderBy(col("doc_id"))
 
+  /** Streaming SEMANTIC gate: embedding arrivals stream against the
+    * even-vector corpus's at-rest IVF-PQ layout — probe cells from the
+    * stateless centroid fold, exact cosine over probed rows only. The
+    * plan is ivfSemanticGate verbatim on a streaming source; the
+    * verdict row pins stream-equals-batch per pair. */
+  def streamSemanticGateQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorOps
+    import graft.operators.VectorOps._
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stsg_idx_" + Integer.toHexString(d.hashCode)).toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stsg_wave_" + Integer.toHexString(d.hashCode)).toString
+    val emb = s.read.parquet(s"$d/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 0).writeIvfPq(idx, "embedding",
+      "vec_id", nlist = 8, m = 4, ksub = 4, iters = 2)
+    emb.filter(col("vec_id") % 2 =!= 0)
+      .select((col("vec_id") + 1000000L).as("wid"),
+        col("embedding").as("wvec"))
+      .write.mode("overwrite").parquet(wavePath)
+    val stream = StreamingOps.streamSemanticGate(s, wavePath, idx,
+      "embedding", "vec_id", "wvec", "wid", threshold = 0.3, nprobe = 4)
+    val batch = VectorOps.ivfSemanticGate(s.read.parquet(wavePath),
+      "wvec", "wid", idx, "embedding", "vec_id", 0.3, nprobe = 4)
+    stream.select(col("wid"), col("vec_id"), col("cos").as("__cs"))
+      .join(batch.select(col("wid"), col("vec_id"), col("cos").as("__cb")),
+        Seq("wid", "vec_id"), "full_outer")
+      .agg(
+        (sum(when(col("__cs") === col("__cb"), 0).otherwise(1)) === 0)
+          .as("stream_equals_batch"),
+        (count(lit(1)) > 0).as("nonempty"))
+  }
+
   /** Streaming minhash near-dup gate: odd-doc arrivals sign themselves
     * with the layout meta's banding and stream-static join the even-doc
     * corpus's at-rest buckets; candidate pairs exact-verify with
@@ -685,6 +717,8 @@ object Advanced {
     "st_digest_admit" -> graft.queries.Pipeline.oracles("dd_digest_admit"),
     "st_minhash_gate" ->
       "SELECT TRUE AS stream_equals_batch, TRUE AS nonempty",
+    "st_semantic_gate" ->
+      "SELECT TRUE AS stream_equals_batch, TRUE AS nonempty",
     // the stream-stream co-location join answers the batch operator's
     // oracle: the event-time range is only the state bound (1 ms wider
     // than the contract), the exact integer-ms predicate decides
@@ -800,6 +834,7 @@ object Advanced {
     "st_cdc_gate" -> (streamCdcGateQ _),
     "st_digest_admit" -> (streamDigestGateQ _),
     "st_minhash_gate" -> (streamMinhashGateQ _),
+    "st_semantic_gate" -> (streamSemanticGateQ _),
     "st_geo_join" -> (streamGeoJoinQ _),
     "st_span_gate" -> (streamSpanGateQ _),
     "ts_asof_join" -> (asOfJoinQ _),

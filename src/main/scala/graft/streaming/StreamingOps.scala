@@ -364,6 +364,33 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Streaming SEMANTIC near-dup gate against the at-rest IVF layout:
+    * embedding arrivals staged at `wavePath` probe their nprobe nearest
+    * coarse cells (stateless literal-centroid fold), stream-static join
+    * only those cells' layout rows, and emit exact-cosine pairs at or
+    * above `threshold`. Append mode, zero state store — each layout row
+    * lives in one cell so a pair meets at most once; the plan is
+    * [[graft.operators.VectorOps.ivfSemanticGate]] VERBATIM on a
+    * streaming source, so stream-equals-batch holds by construction
+    * and the `st_semantic_gate` verdict row pins it. */
+  def streamSemanticGate(spark: SparkSession, wavePath: String,
+                         indexPath: String, vecCol: String, idCol: String,
+                         waveVecCol: String, waveIdCol: String,
+                         threshold: Double, nprobe: Int = 4): DataFrame = {
+    val schema = spark.read.parquet(wavePath).schema
+    val arrivals = spark.readStream.schema(schema).parquet(wavePath)
+    val sinkName = s"graft_sggate_${System.nanoTime()}"
+    val q = graft.operators.VectorOps.ivfSemanticGate(arrivals, waveVecCol,
+        waveIdCol, indexPath, vecCol, idCol, threshold, nprobe)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Streaming near-dup gate against the at-rest minhash index:
     * arrivals sign THEMSELVES with the layout meta's banding (a pure
     * projection — no state), stream-static join the stored (band,

@@ -57,6 +57,40 @@ class StreamingOpsSpec extends SparkSpec {
       s"gate dropped nothing ($kept of $arrivalsAll) — corpus overlap fixture broke")
   }
 
+  test("streaming semantic gate equals the batch IVF gate per pair") {
+    import graft.operators.VectorOps
+    import graft.operators.VectorOps._
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stsg_spec_idx").toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stsg_spec_wave").toString
+    val emb = Tables.embeddings(spark, sf())
+    emb.filter(col("vec_id") % 2 === 0).writeIvfPq(idx, "embedding",
+      "vec_id", nlist = 8, m = 4, ksub = 4, iters = 2)
+    emb.filter(col("vec_id") % 2 =!= 0)
+      .select((col("vec_id") + 1000000L).as("wid"),
+        col("embedding").as("wvec"))
+      .write.mode("overwrite").parquet(wavePath)
+    val got = StreamingOps.streamSemanticGate(spark, wavePath, idx,
+      "embedding", "vec_id", "wvec", "wid", threshold = 0.3, nprobe = 4)
+    val want = VectorOps.ivfSemanticGate(spark.read.parquet(wavePath),
+      "wvec", "wid", idx, "embedding", "vec_id", 0.3, nprobe = 4)
+    assert(got.count() > 0, "gate flagged no pairs — fixture broke")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // exhaustive escape: nprobe = nlist equals the brute threshold join
+    val all = VectorOps.ivfSemanticGate(spark.read.parquet(wavePath),
+      "wvec", "wid", idx, "embedding", "vec_id", 0.3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = spark.read.parquet(wavePath).crossJoin(
+        emb.filter(col("vec_id") % 2 === 0))
+      .withColumn("cos",
+        graft.functions.cosineSimilarity(col("wvec"), col("embedding")))
+      .filter(col("cos") >= 0.3)
+      .select(col("wid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === brute)
+  }
+
   test("streaming minhash gate equals the batch index gate per pair") {
     import graft.operators.DedupOps._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
