@@ -52,6 +52,112 @@ object CorpusOps {
         i => array_join(slice(toks, (i * width + 1L).cast("int"), lit(width)), " ")))
   }
 
+  /** BM25 top-k answered from a [[DatasetCorpusOps.writeBm25Index]]
+    * layout: reads ONLY the query terms' posting rows (pushed `term IN`
+    * over the term-clustered parquet) plus one bounded dictionary probe
+    * — the corpus itself is never touched. Bit-identical to
+    * [[DatasetCorpusOps.bm25TopK]]: per-term contributions pivot into
+    * FIXED columns summed in query-term order (the same left-to-right
+    * IEEE chain; an unordered SQL sum over posting rows would float-
+    * drift), zero-posting terms contribute the same literal 0.0, and
+    * the constants replay the driver arithmetic verbatim. */
+  def bm25TopKAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, terms: Seq[String], k: Int,
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k >= 1, "need terms and k >= 1")
+    val lines = spark.read.textFile(s"$path/meta").collect()
+    def line(tag: String): String = lines.find(_.startsWith(tag + "="))
+      .getOrElse(throw new IllegalArgumentException(
+        s"bm25TopKAgainstIndex: no '$tag' line in $path/meta"))
+      .substring(tag.length + 1)
+    val idCol = line("params").split(",").map { kv =>
+      val Array(a, v) = kv.split(":"); a -> v
+    }.toMap.apply("idCol")
+    val token = line("token")
+    val nD = line("n").toLong.toDouble
+    val avgdl = line("sumdl").toLong.toDouble / line("n").toLong.toDouble
+    def tokenChecked(df: DataFrame, what: String): DataFrame = {
+      require(df.columns.contains("__graft_token"),
+        s"bm25TopKAgainstIndex: $path/$what has no __graft_token column " +
+          "— the layout is torn or foreign; rewrite with writeBm25Index")
+      df.filter(assert_true(col("__graft_token") === token,
+        lit(s"bm25TopKAgainstIndex: write-token mismatch between " +
+          s"$path/meta and $path/$what — rewrite the layout")).isNull)
+        .drop("__graft_token")
+    }
+    // one bounded dictionary probe: df for exactly the query terms
+    val dfByTerm = tokenChecked(spark.read.parquet(s"$path/terms"), "terms")
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val dfT = dfByTerm.getOrElse(t, 0L).toDouble
+      (nD - dfT + 0.5) / (dfT + 0.5)
+    }
+    val posts = tokenChecked(spark.read.parquet(s"$path/postings"), "postings")
+      .filter(col("term").isin(terms: _*))
+    // pivot to fixed per-term tf columns so the score sums in QUERY-
+    // TERM order — the bm25TopK IEEE chain, not an unordered agg
+    val pivoted = posts
+      .groupBy(col(idCol), col("__dl"))
+      .agg(
+        max(when(col("term") === terms.head, col("__tf"))).as("__t0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("__tf"))).as(s"__t${i + 1}")
+        }: _*)
+    val dlD = col("__dl").cast("double")
+    val termScores = terms.indices.map { i =>
+      val tf = coalesce(col(s"__t$i"), lit(0L)).cast("double")
+      lit(idf(i)) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl)))
+    }
+    pivoted.withColumn("score", termScores.reduce(_ + _))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("__dl").as("dl"), col("score"))
+  }
+
+  /** FULLY at-rest hybrid retrieval: BM25 candidates from the
+    * [[bm25TopKAgainstIndex]] layout (query terms' postings only),
+    * exact-cosine re-rank with the candidates' vectors read from the
+    * IVF-PQ layout via a pushed `id IN` filter (≤ `candidates` rows of
+    * the vector columns — the layout is never scanned). The retrieval
+    * architecture at 100 TB: neither stage touches the corpus; both
+    * read slivers of write-once layouts. Bit-identical to
+    * [[DatasetCorpusOps.hybridTopK]] on the same data. */
+  def hybridTopKAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                             bm25Path: String, ivfPath: String,
+                             vecIdCol: String, vecCol: String,
+                             terms: Seq[String], query: Array[Float],
+                             candidates: Int, k: Int, k1: Double = 1.2,
+                             b: Double = 0.75): DataFrame = {
+    require(candidates >= k && k >= 1,
+      s"hybridTopKAgainstIndex: need candidates >= k >= 1: $candidates, $k")
+    val cands = bm25TopKAgainstIndex(spark, bm25Path, terms, candidates,
+      k1, b)
+    val idCol = cands.columns.head
+    // bounded driver hop: <= `candidates` ids become a pushed IN filter
+    // on the vector layout, so the refine reads vectors for exactly
+    // the candidate rows (the readIvfPqTopK refine-pass discipline)
+    val ids = cands.select(col(idCol)).collect().map(_.get(0))
+    val meta = graft.operators.VectorOps.readIvfPqMeta(spark, ivfPath)
+    val data = spark.read.parquet(s"$ivfPath/data")
+    require(data.columns.contains("__graft_token"),
+      s"hybridTopKAgainstIndex: $ivfPath/data has no __graft_token " +
+        "column — the layout is torn or foreign; rewrite it")
+    val vecs = data.filter(assert_true(col("__graft_token") === meta.token,
+        lit(s"hybridTopKAgainstIndex: write-token mismatch between " +
+          s"$ivfPath/meta and $ivfPath/data — rewrite the layout")).isNull)
+      .filter(col(vecIdCol).isin(ids.toIndexedSeq: _*))
+      .select(col(vecIdCol).as(idCol), col(vecCol).as("__graft_hv"))
+    cands.join(vecs, Seq(idCol))
+      .withColumn("cos",
+        graft.functions.cosineSimilarity(col("__graft_hv"), lit(query)))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"), col("cos"))
+  }
+
   implicit class DatasetCorpusOps[T](private val ds: Dataset[T]) extends AnyVal {
 
     /** Per-document boilerplate fraction against the whole corpus: a
@@ -293,6 +399,54 @@ object CorpusOps {
         .orderBy(col("score").desc, col(idCol).asc)
         .limit(k)
         .select(col(idCol), col("__dl").as("dl"), col("score"))
+    }
+
+    /** Persist this corpus's BM25 retrieval index AT REST: per-term
+      * posting rows (term, id, tf, dl — the doc length rides every
+      * posting so scoring never joins a doc table), a (term, df)
+      * dictionary, and the corpus constants (N, Σdl) in the meta.
+      * Term-clustered parquet: a query reads ONLY its terms' postings
+      * (pushed `term IN` + range-clustered row groups) — at 100 TB
+      * this is THE difference between retrieval and a corpus scan,
+      * and [[bm25TopK]]'s per-query full scan becomes a write-once
+      * cost. Token-paired meta as every graft layout. */
+    def writeBm25Index(path: String, idCol: String, textCol: String): Unit = {
+      require(!idCol.contains(",") && !idCol.contains(":"),
+        s"writeBm25Index: idCol '$idCol' would break the meta codec")
+      val spark = ds.sparkSession
+      val token = java.util.UUID.randomUUID().toString
+      val tf = ds.toDF
+        .select(col(idCol),
+          graft.functions.tokens(col(textCol)).as("__toks"))
+        .withColumn("__dl", size(col("__toks")).cast("long"))
+        .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
+        .groupBy(col("term"), col(idCol), col("__dl"))
+        .agg(count(lit(1)).as("__tf"))
+      tf.select(col("term"), col(idCol), col("__tf"), col("__dl"))
+        .withColumn("__graft_token", lit(token))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col(idCol))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+        .withColumn("__graft_token", lit(token))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(s"$path/terms")
+      // corpus constants from the SAME tokenization: every doc counts,
+      // including all-stopword docs with zero postings? No — tokens()
+      // never drops tokens, so a doc with any token has postings; a
+      // genuinely empty doc has dl 0 and contributes nothing to either
+      // constant the way bm25TopK's base table counts it — so N and
+      // Σdl come from the corpus directly, NOT from the postings
+      val base = ds.toDF
+        .select(size(graft.functions.tokens(col(textCol))).cast("long").as("__dl"))
+        .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")).head()
+      import spark.implicits._
+      Seq(s"params=idCol:$idCol",
+        s"n=${base.getLong(0)}",
+        s"sumdl=${base.getLong(1)}",
+        "token=" + token).toDS().coalesce(1)
+        .write.mode("overwrite").text(s"$path/meta")
     }
 
     /** Hybrid retrieval: BM25 keyword candidates re-ranked by exact

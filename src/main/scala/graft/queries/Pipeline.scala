@@ -1281,6 +1281,97 @@ object Pipeline {
     * oracle generator. */
   private val bm25Terms = Seq("spark", "vector", "window", "hash", "merge", "customer")
 
+  private lazy val bm25TermSql = bm25Terms.zipWithIndex.map { case (t, i) =>
+    s"""((st.n - st.df$i + 0.5) / (st.df$i + 0.5))
+       |     * (len(list_filter(b.toks, t -> t = '$t')) * (CAST(1.2 AS DOUBLE) + 1.0))
+       |     / (len(list_filter(b.toks, t -> t = '$t'))
+       |        + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * b.dl / st.avgdl))""".stripMargin
+  }.mkString("\n   + ")
+
+  private lazy val bm25DfSql = bm25Terms.zipWithIndex.map { case (t, i) =>
+    s"""CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"""
+  }.mkString(",\n    ")
+
+  private lazy val bm25CtesSql =
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), q -> q != '') AS toks
+       |  FROM documents),
+       |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tk),
+       |st AS (SELECT
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+       |    $bm25DfSql
+       |  FROM tk)""".stripMargin
+
+  /** The reference BM25 semantics (top-20) — answered identically by
+    * the from-scratch scorer and the at-rest index. */
+  private lazy val bm25OracleSql =
+    s"""WITH $bm25CtesSql
+       |SELECT doc_id, dl, score FROM (
+       |  SELECT doc_id, dl, score FROM (
+       |    SELECT b.doc_id, b.dl,
+       |      $bm25TermSql AS score
+       |    FROM base b, st) s
+       |  WHERE score > 0
+       |  ORDER BY score DESC, doc_id ASC LIMIT 20) t
+       |ORDER BY doc_id""".stripMargin
+
+  /** The reference hybrid semantics (BM25 top-50 → cosine top-10) —
+    * answered identically by the in-memory composition and the fully
+    * at-rest (BM25 layout + IVF layout) form. */
+  private lazy val hybridOracleSql =
+    s"""WITH $bm25CtesSql,
+       |cand AS (
+       |  SELECT doc_id, score FROM (
+       |    SELECT doc_id, score FROM (
+       |      SELECT b.doc_id, b.dl,
+       |        $bm25TermSql AS score
+       |      FROM base b, st) s
+       |    WHERE score > 0
+       |    ORDER BY score DESC, doc_id ASC LIMIT 50) t),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT doc_id, score, cos FROM (
+       |  SELECT c.doc_id, c.score, ${cosSql("e.embedding", "q.qe")} AS cos
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
+       |  ORDER BY cos DESC, c.doc_id ASC LIMIT 10) t
+       |ORDER BY doc_id""".stripMargin
+
+  /** The at-rest BM25 index answering the SAME top-20 as tx_bm25:
+    * postings + dictionary + constants persist once
+    * (CorpusOps.writeBm25Index); the query reads only its terms'
+    * posting rows. */
+  def bm25IndexQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_idx_" + Integer.toHexString(d.hashCode)).toString
+    documents(s, d).writeBm25Index(path, "doc_id", "text")
+    CorpusOps.bm25TopKAgainstIndex(s, path, bm25Terms, 20)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fully at-rest hybrid retrieval: BM25 stage off the postings
+    * layout, cosine re-rank off the IVF-PQ layout's raw vectors via a
+    * pushed id IN filter — neither stage touches the corpus. Same
+    * oracle as tx_hybrid_retrieve. */
+  def hybridIndexQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    val bmPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_idx_" + Integer.toHexString(d.hashCode)).toString
+    val ivfPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hyb_ivf_" + Integer.toHexString(d.hashCode)).toString
+    documents(s, d).writeBm25Index(bmPath, "doc_id", "text")
+    embeddings(s, d).writeIvfPq(ivfPath, "embedding", "vec_id",
+      nlist = 8, m = 4, ksub = 4, iters = 2)
+    val q = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    CorpusOps.hybridTopKAgainstIndex(s, bmPath, ivfPath, "vec_id",
+      "embedding", bm25Terms, q, candidates = 50, k = 10)
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 top-20 keyword retrieval over documents (rational odds-ratio
     * idf — the log-free, hash-replayable form; CorpusOps.bm25TopK). */
   def bm25Q(s: SparkSession, d: String): DataFrame = {
@@ -2792,70 +2883,13 @@ object Pipeline {
     // bare numeric literals as DECIMAL, and decimal-exact tf*2.2 is one
     // ulp off double tf*(1.2+1.0) (binary-exact 0.5/0.75/0.25 literals
     // elsewhere in this file are immune).
-    "tx_bm25" -> {
-      val termSql = bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"""((st.n - st.df$i + 0.5) / (st.df$i + 0.5))
-           |     * (len(list_filter(b.toks, t -> t = '$t')) * (CAST(1.2 AS DOUBLE) + 1.0))
-           |     / (len(list_filter(b.toks, t -> t = '$t'))
-           |        + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * b.dl / st.avgdl))""".stripMargin
-      }.mkString("\n   + ")
-      val dfSql = bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"""CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"""
-      }.mkString(",\n    ")
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), q -> q != '') AS toks
-         |  FROM documents),
-         |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tk),
-         |st AS (SELECT
-         |    CAST(count(*) AS DOUBLE) AS n,
-         |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-         |    $dfSql
-         |  FROM tk)
-         |SELECT doc_id, dl, score FROM (
-         |  SELECT doc_id, dl, score FROM (
-         |    SELECT b.doc_id, b.dl,
-         |      $termSql AS score
-         |    FROM base b, st) s
-         |  WHERE score > 0
-         |  ORDER BY score DESC, doc_id ASC LIMIT 20) t
-         |ORDER BY doc_id""".stripMargin
-    },
-    "tx_hybrid_retrieve" -> {
-      val termSql = bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"""((st.n - st.df$i + 0.5) / (st.df$i + 0.5))
-           |     * (len(list_filter(b.toks, t -> t = '$t')) * (CAST(1.2 AS DOUBLE) + 1.0))
-           |     / (len(list_filter(b.toks, t -> t = '$t'))
-           |        + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * b.dl / st.avgdl))""".stripMargin
-      }.mkString("\n   + ")
-      val dfSql = bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"""CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"""
-      }.mkString(",\n    ")
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), q -> q != '') AS toks
-         |  FROM documents),
-         |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tk),
-         |st AS (SELECT
-         |    CAST(count(*) AS DOUBLE) AS n,
-         |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-         |    $dfSql
-         |  FROM tk),
-         |cand AS (
-         |  SELECT doc_id, score FROM (
-         |    SELECT doc_id, score FROM (
-         |      SELECT b.doc_id, b.dl,
-         |        $termSql AS score
-         |      FROM base b, st) s
-         |    WHERE score > 0
-         |    ORDER BY score DESC, doc_id ASC LIMIT 50) t),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         |SELECT doc_id, score, cos FROM (
-         |  SELECT c.doc_id, c.score, ${cosSql("e.embedding", "q.qe")} AS cos
-         |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
-         |  ORDER BY cos DESC, c.doc_id ASC LIMIT 10) t
-         |ORDER BY doc_id""".stripMargin
-    },
+    "tx_bm25" -> bm25OracleSql,
+    // the at-rest BM25 index must reproduce the from-scratch scorer
+    // exactly — SAME oracle text
+    "tx_bm25_index" -> bm25OracleSql,
+    "tx_hybrid_retrieve" -> hybridOracleSql,
+    // both stages at rest, same reference semantics — SAME oracle text
+    "tx_hybrid_index" -> hybridOracleSql,
     "emb_kmeans" ->
       s"""WITH ${kmeansCteSql(k = 8, iters = 2, seed = 42L)},
          |${kmeansAssignSql(iters = 2)}
@@ -3140,7 +3174,9 @@ object Pipeline {
     "emb_kmeans" -> (kmeansQ _),
     "dd_semantic_pairs" -> (semanticPairsQ _),
     "tx_bm25" -> (bm25Q _),
+    "tx_bm25_index" -> (bm25IndexQ _),
     "tx_hybrid_retrieve" -> (hybridRetrieveQ _),
+    "tx_hybrid_index" -> (hybridIndexQ _),
     "pp_semantic_contamination" -> (semanticContaminationQ _),
     "ann_ivf_trained_topk" -> (annIvfTrainedQ _),
     "ann_pq_topk" -> (annPqTopKQ _),

@@ -368,6 +368,67 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byScore !== byCos, "fixture degenerate: re-rank was a no-op")
   }
 
+  test("bm25 index: layout answers bit-identically, postings read pruned") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val terms = Seq("spark", "vector", "window", "hash", "merge", "customer")
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_idx_spec").toString
+    docs.writeBm25Index(path, "doc_id", "text")
+    val got = CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 15)
+    val want = docs.bm25TopK("doc_id", "text", terms, 15)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => t._1).toSeq ===
+      want.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => t._1).toSeq)
+    // a term absent from the corpus contributes its literal 0.0 — the
+    // bm25TopK contract — and never breaks the layout read
+    val got2 = CorpusOps.bm25TopKAgainstIndex(spark, path,
+      terms :+ "zzz_not_a_token", 15)
+    val want2 = docs.bm25TopK("doc_id", "text", terms :+ "zzz_not_a_token", 15)
+    assert(got2.collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+      === want2.collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq)
+    // the postings scan carries the pushed term IN filter — the layout
+    // read is term-pruned, not a table scan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      "postings scan lost its pushed term filter")
+    // torn layout refuses
+    val tampered = spark.read.textFile(s"$path/meta").collect().toSeq
+      .map(l => if (l.startsWith("token=")) "token=some-other-write" else l)
+    spark.createDataset(tampered).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[Throwable] {
+      CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 5).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
+  }
+
+  test("hybrid index: fully at-rest form equals the in-memory composition") {
+    import graft.operators.CorpusOps
+    import graft.operators.VectorOps._
+    val terms = Seq("spark", "vector", "window", "hash", "merge", "customer")
+    val bmPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hyb_bm_spec").toString
+    val ivfPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hyb_ivf_spec").toString
+    val embs = Tables.embeddings(spark, sf())
+    docs.writeBm25Index(bmPath, "doc_id", "text")
+    embs.writeIvfPq(ivfPath, "embedding", "vec_id", nlist = 8, m = 4,
+      ksub = 4, iters = 2)
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val got = CorpusOps.hybridTopKAgainstIndex(spark, bmPath, ivfPath,
+      "vec_id", "embedding", terms, q, candidates = 50, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = docs.hybridTopK("doc_id", "text", terms, embs, "vec_id",
+      "embedding", q, candidates = 50, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
+  }
+
   test("bm25TopK: a doc containing no query term never ranks") {
     import spark.implicits._
     val fixture = Seq(
