@@ -584,6 +584,19 @@ object Bench {
       wave.cdcPairsAgainstIndex(cdcPath, "doc_id", "text",
         minShared = 1).count()
     }
+    // at-rest retrieval (r11): postings layout written once, queries
+    // read only their terms' posting rows
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    val bmTerms = Seq("spark", "vector", "window", "hash", "merge", "customer")
+    val bmPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bench_bm25_idx").toString
+    rec.timed("b10v_bm25_index_write") {
+      docsAll.writeBm25Index(bmPath, "doc_id", "text")
+    }
+    rec.timed("b8ri_bm25_index_topk") {
+      CorpusOps.bm25TopKAgainstIndex(spark, bmPath, bmTerms, 20).count()
+    }
   }
 
   /** One full sweep: ALU + memory brackets around the whole run, plus a

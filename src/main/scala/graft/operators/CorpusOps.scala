@@ -73,21 +73,28 @@ object CorpusOps {
     val idCol = line("params").split(",").map { kv =>
       val Array(a, v) = kv.split(":"); a -> v
     }.toMap.apply("idCol")
-    val token = line("token")
+    val waveTokens = lines.find(_.startsWith("waves="))
+      .map(_.substring("waves=".length)).getOrElse(line("token"))
+      .split(";").toSeq
+    require(waveTokens.contains(line("token")),
+      s"bm25TopKAgainstIndex: write-token mismatch inside $path/meta " +
+        "(token not in the waves list) — rewrite the layout")
     val nD = line("n").toLong.toDouble
     val avgdl = line("sumdl").toLong.toDouble / line("n").toLong.toDouble
     def tokenChecked(df: DataFrame, what: String): DataFrame = {
       require(df.columns.contains("__graft_token"),
         s"bm25TopKAgainstIndex: $path/$what has no __graft_token column " +
           "— the layout is torn or foreign; rewrite with writeBm25Index")
-      df.filter(assert_true(col("__graft_token") === token,
+      df.filter(assert_true(col("__graft_token").isin(waveTokens: _*),
         lit(s"bm25TopKAgainstIndex: write-token mismatch between " +
           s"$path/meta and $path/$what — rewrite the layout")).isNull)
         .drop("__graft_token")
     }
-    // one bounded dictionary probe: df for exactly the query terms
+    // one bounded dictionary probe: df for exactly the query terms —
+    // SUMMED across waves (each wave appended its own df rows)
     val dfByTerm = tokenChecked(spark.read.parquet(s"$path/terms"), "terms")
       .filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("__df")).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val idf = terms.map { t =>
       val dfT = dfByTerm.getOrElse(t, 0L).toDouble
@@ -445,7 +452,63 @@ object CorpusOps {
       Seq(s"params=idCol:$idCol",
         s"n=${base.getLong(0)}",
         s"sumdl=${base.getLong(1)}",
-        "token=" + token).toDS().coalesce(1)
+        "token=" + token,
+        "waves=" + token).toDS().coalesce(1)
+        .write.mode("overwrite").text(s"$path/meta")
+    }
+
+    /** Admit THIS dataset into a [[writeBm25Index]] layout as a new
+      * ingest wave at O(wave): the wave's postings and its own (term,
+      * df) rows append under a FRESH wave token, the corpus constants
+      * (N, Σdl) SUM into the meta, and the meta's token list commits
+      * LAST — a torn append refuses at read, the graft wave
+      * discipline. After the append the layout answers EXACTLY like a
+      * fresh full write over the union (constants and df are sums;
+      * posting rows are per-doc facts) — spec-pinned bit parity. */
+    def appendBm25Index(path: String, idCol: String, textCol: String): Unit = {
+      val spark = ds.sparkSession
+      val lines = spark.read.textFile(s"$path/meta").collect()
+      def line(tag: String): String = lines.find(_.startsWith(tag + "="))
+        .getOrElse(throw new IllegalArgumentException(
+          s"appendBm25Index: no '$tag' line in $path/meta"))
+        .substring(tag.length + 1)
+      val storedId = line("params").split(",").map { kv =>
+        val Array(a, v) = kv.split(":"); a -> v
+      }.toMap.apply("idCol")
+      val clash = ds.toDF.select(col(idCol))
+        .join(spark.read.parquet(s"$path/postings")
+          .select(col(storedId).as(idCol)), Seq(idCol), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendBm25Index: wave id ${clash.headOption.map(_.get(0))} " +
+          s"already exists in $path — ids must be unique across waves")
+      val waveToken = java.util.UUID.randomUUID().toString
+      val tf = ds.toDF
+        .select(col(idCol).as(storedId),
+          graft.functions.tokens(col(textCol)).as("__toks"))
+        .withColumn("__dl", size(col("__toks")).cast("long"))
+        .select(col(storedId), col("__dl"), explode(col("__toks")).as("term"))
+        .groupBy(col("term"), col(storedId), col("__dl"))
+        .agg(count(lit(1)).as("__tf"))
+      tf.select(col("term"), col(storedId), col("__tf"), col("__dl"))
+        .withColumn("__graft_token", lit(waveToken))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col(storedId))
+        .write.mode("append").parquet(s"$path/postings")
+      tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+        .withColumn("__graft_token", lit(waveToken))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("append").parquet(s"$path/terms")
+      val base = ds.toDF
+        .select(size(graft.functions.tokens(col(textCol))).cast("long").as("__dl"))
+        .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")).head()
+      import spark.implicits._
+      Seq("params=idCol:" + storedId,
+        s"n=${line("n").toLong + base.getLong(0)}",
+        s"sumdl=${line("sumdl").toLong + base.getLong(1)}",
+        "token=" + line("token"),
+        "waves=" + line("waves") + ";" + waveToken).toDS().coalesce(1)
         .write.mode("overwrite").text(s"$path/meta")
     }
 

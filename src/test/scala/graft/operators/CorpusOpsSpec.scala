@@ -406,6 +406,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
   }
 
+  test("bm25 index append: waves answer like a fresh full write") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val terms = Seq("spark", "vector", "window", "hash", "merge", "customer")
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_app_spec").toString
+    val fullPath = path + "_full"
+    val corpus0 = docs.filter(col("doc_id") % 2 === 0)
+    val wave = docs.filter(col("doc_id") % 2 =!= 0)
+    corpus0.writeBm25Index(path, "doc_id", "text")
+    wave.appendBm25Index(path, "doc_id", "text")
+    docs.writeBm25Index(fullPath, "doc_id", "text")
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val got = top(CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 15))
+    val want = top(CorpusOps.bm25TopKAgainstIndex(spark, fullPath, terms, 15))
+    assert(got === want, "appended layout != fresh full write")
+    assert(got === top(docs.bm25TopK("doc_id", "text", terms, 15)),
+      "appended layout != in-memory scorer on the union")
+    // cross-wave id clash refuses
+    val clash = intercept[IllegalArgumentException] {
+      corpus0.appendBm25Index(path, "doc_id", "text")
+    }
+    assert(clash.getMessage.contains("already exists"))
+    // torn append (rows landed, meta commit didn't) refuses loudly
+    val metaBefore = spark.read.textFile(s"$path/meta").collect().toSeq
+    docs.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 500000L).as("doc_id"), col("text"))
+      .appendBm25Index(path, "doc_id", "text")
+    spark.createDataset(metaBefore).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[Throwable] {
+      CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 5).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
+  }
+
   test("hybrid index: fully at-rest form equals the in-memory composition") {
     import graft.operators.CorpusOps
     import graft.operators.VectorOps._
