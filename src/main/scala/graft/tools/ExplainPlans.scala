@@ -390,6 +390,41 @@ object ExplainPlans {
       docsT.filter(col("doc_id") % 10 === 0)
         .cdcPairsAgainstIndex(path, "doc_id", "text", minShared = 1)
     }
+    show("bm25_index_topk (expect PushedFilters In(term,...) on the postings scan — the layout read is term-pruned, no corpus scan anywhere; fixed-column pivot then codegen'd score chain)") {
+      import graft.operators.CorpusOps
+      import graft.operators.CorpusOps._
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_bm25_idx").toString
+      documents(spark, d).writeBm25Index(path, "doc_id", "text")
+      CorpusOps.bm25TopKAgainstIndex(spark, path,
+        Seq("spark", "vector", "window", "hash", "merge", "customer"), 20)
+    }
+    show("hybrid_index_topk (expect the term-pruned bm25 stage + a vector-layout scan with the candidate id IN filter PUSHED — raw vectors read for <= candidates rows, never the layout)") {
+      import graft.operators.CorpusOps
+      import graft.operators.CorpusOps._
+      import graft.operators.VectorOps._
+      val bmPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_bm25_idx").toString
+      val ivfPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_hyb_ivf").toString
+      embeddings(spark, d).writeIvfPq(ivfPath, "embedding", "vec_id",
+        nlist = 8, m = 4, ksub = 4, iters = 2)
+      val q = embeddings(spark, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      CorpusOps.hybridTopKAgainstIndex(spark, bmPath, ivfPath, "vec_id",
+        "embedding", Seq("spark", "vector", "window", "hash", "merge",
+          "customer"), q, candidates = 50, k = 10)
+    }
+    show("ivf_semantic_gate (expect per-arrival probe-cell explode, cell equi-join against the layout — exact cosine only on probed rows, no cross, fully stateless)") {
+      import graft.operators.VectorOps
+      val ivfPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_hyb_ivf").toString
+      val wave = embeddings(spark, d).filter(col("vec_id") % 2 =!= 0)
+        .select((col("vec_id") + 1000000L).as("wid"),
+          col("embedding").as("wvec"))
+      VectorOps.ivfSemanticGate(wave, "wvec", "wid", ivfPath,
+        "embedding", "vec_id", 0.3, nprobe = 4)
+    }
     show("sql_tvf_distance_join (expect the DataFrame grid plan — cell equi-join, no cross — reached from spark.sql)") {
       graft.plans.GraftExtensions.registerFunctions(spark)
       customerPts(spark, d).createOrReplaceTempView("plans_cust_pts")
