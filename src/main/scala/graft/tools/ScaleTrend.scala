@@ -409,6 +409,7 @@ object ScaleTrend {
     // layout scan, never corpus text.
     if (args.headOption.contains("textidx")) {
       import graft.operators.DedupOps._
+      import graft.operators.CorpusOps._
       val wave = documents(spark, d).filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
       // `textidx 100` measures the second decade (1x vs 100x corpus)
@@ -440,6 +441,23 @@ object ScaleTrend {
         val (gca, rowsC) = gc(); val (gcb, _) = gc()
         println(f"b7cg_cdc_gate ${n}%3dx: write $twc%7.2f s, " +
           f"gate ${math.min(gca, gcb)}%6.2f s ($rowsC rows)")
+        // the retrieval layout: a top-k query reads only its terms'
+        // postings — those grow O(corpus), but stay 6 terms' slivers
+        val pb = s"${System.getProperty("java.io.tmpdir")}/graft_trend_bmidx_$n"
+        t0 = System.nanoTime()
+        docsRep(spark, d, n)
+          .writeBm25Index(pb, "doc_id", "text")
+        val twb = (System.nanoTime() - t0) / 1e9
+        def gb2(): (Double, Long) = {
+          val t1 = System.nanoTime()
+          val rows = graft.operators.CorpusOps.bm25TopKAgainstIndex(spark,
+            pb, Seq("spark", "vector", "window", "hash", "merge",
+              "customer"), 20).count()
+          ((System.nanoTime() - t1) / 1e9, rows)
+        }
+        val (gba, rowsB) = gb2(); val (gbb, _) = gb2()
+        println(f"b8ri_bm25_index_topk ${n}%3dx: write $twb%7.2f s, " +
+          f"query ${math.min(gba, gbb)}%6.2f s ($rowsB rows)")
       }
       spark.stop(); return
     }
