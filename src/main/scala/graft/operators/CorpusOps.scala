@@ -65,22 +65,15 @@ object CorpusOps {
                            path: String, terms: Seq[String], k: Int,
                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k >= 1, "need terms and k >= 1")
-    val lines = spark.read.textFile(s"$path/meta").collect()
-    def line(tag: String): String = lines.find(_.startsWith(tag + "="))
-      .getOrElse(throw new IllegalArgumentException(
-        s"bm25TopKAgainstIndex: no '$tag' line in $path/meta"))
-      .substring(tag.length + 1)
-    val idCol = line("params").split(",").map { kv =>
-      val Array(a, v) = kv.split(":"); a -> v
-    }.toMap.apply("idCol")
-    val waveTokens = lines.find(_.startsWith("waves="))
-      .map(_.substring("waves=".length)).getOrElse(line("token"))
+    val params = DedupOps.indexMeta(spark, path, "bm25TopKAgainstIndex")
+    val idCol = params("idCol")
+    val waveTokens = params.getOrElse("__waves", params("__token"))
       .split(";").toSeq
-    require(waveTokens.contains(line("token")),
+    require(waveTokens.contains(params("__token")),
       s"bm25TopKAgainstIndex: write-token mismatch inside $path/meta " +
         "(token not in the waves list) — rewrite the layout")
-    val nD = line("n").toLong.toDouble
-    val avgdl = line("sumdl").toLong.toDouble / line("n").toLong.toDouble
+    val nD = params("__n").toLong.toDouble
+    val avgdl = params("__sumdl").toLong.toDouble / params("__n").toLong.toDouble
     def tokenChecked(df: DataFrame, what: String): DataFrame = {
       require(df.columns.contains("__graft_token"),
         s"bm25TopKAgainstIndex: $path/$what has no __graft_token column " +
@@ -422,6 +415,9 @@ object CorpusOps {
         s"writeBm25Index: idCol '$idCol' would break the meta codec")
       val spark = ds.sparkSession
       val token = java.util.UUID.randomUUID().toString
+      // the (term, id, tf, dl) table checkpoints once and feeds BOTH
+      // the postings and the dictionary writes — without it the
+      // tokenize+explode+combine plan would run twice over the corpus
       val tf = ds.toDF
         .select(col(idCol),
           graft.functions.tokens(col(textCol)).as("__toks"))
@@ -429,6 +425,7 @@ object CorpusOps {
         .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
         .groupBy(col("term"), col(idCol), col("__dl"))
         .agg(count(lit(1)).as("__tf"))
+        .localCheckpoint()
       tf.select(col("term"), col(idCol), col("__tf"), col("__dl"))
         .withColumn("__graft_token", lit(token))
         .repartitionByRange(col("term"))
@@ -449,12 +446,11 @@ object CorpusOps {
         .select(size(graft.functions.tokens(col(textCol))).cast("long").as("__dl"))
         .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")).head()
       import spark.implicits._
-      Seq(s"params=idCol:$idCol",
+      DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol",
         s"n=${base.getLong(0)}",
         s"sumdl=${base.getLong(1)}",
         "token=" + token,
-        "waves=" + token).toDS().coalesce(1)
-        .write.mode("overwrite").text(s"$path/meta")
+        "waves=" + token))
     }
 
     /** Admit THIS dataset into a [[writeBm25Index]] layout as a new
@@ -467,14 +463,16 @@ object CorpusOps {
       * posting rows are per-doc facts) — spec-pinned bit parity. */
     def appendBm25Index(path: String, idCol: String, textCol: String): Unit = {
       val spark = ds.sparkSession
-      val lines = spark.read.textFile(s"$path/meta").collect()
-      def line(tag: String): String = lines.find(_.startsWith(tag + "="))
-        .getOrElse(throw new IllegalArgumentException(
-          s"appendBm25Index: no '$tag' line in $path/meta"))
-        .substring(tag.length + 1)
-      val storedId = line("params").split(",").map { kv =>
-        val Array(a, v) = kv.split(":"); a -> v
-      }.toMap.apply("idCol")
+      val params = DedupOps.indexMeta(spark, path, "appendBm25Index")
+      val storedId = params("idCol")
+      // refuse BEFORE any row lands: appending to a waves-less or
+      // internally inconsistent meta would tear the layout instead
+      require(params.contains("__waves"),
+        s"appendBm25Index: $path/meta has no 'waves' line — the layout " +
+          "predates wave support; rewrite with writeBm25Index")
+      require(params("__waves").split(";").contains(params("__token")),
+        s"appendBm25Index: write-token mismatch inside $path/meta " +
+          "(token not in the waves list) — rewrite the layout")
       val clash = ds.toDF.select(col(idCol))
         .join(spark.read.parquet(s"$path/postings")
           .select(col(storedId).as(idCol)), Seq(idCol), "left_semi")
@@ -483,6 +481,8 @@ object CorpusOps {
         s"appendBm25Index: wave id ${clash.headOption.map(_.get(0))} " +
           s"already exists in $path — ids must be unique across waves")
       val waveToken = java.util.UUID.randomUUID().toString
+      // one checkpointed tf feeds both the postings and dictionary
+      // appends (the writeBm25Index discipline)
       val tf = ds.toDF
         .select(col(idCol).as(storedId),
           graft.functions.tokens(col(textCol)).as("__toks"))
@@ -490,6 +490,7 @@ object CorpusOps {
         .select(col(storedId), col("__dl"), explode(col("__toks")).as("term"))
         .groupBy(col("term"), col(storedId), col("__dl"))
         .agg(count(lit(1)).as("__tf"))
+        .localCheckpoint()
       tf.select(col("term"), col(storedId), col("__tf"), col("__dl"))
         .withColumn("__graft_token", lit(waveToken))
         .repartitionByRange(col("term"))
@@ -503,13 +504,11 @@ object CorpusOps {
       val base = ds.toDF
         .select(size(graft.functions.tokens(col(textCol))).cast("long").as("__dl"))
         .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")).head()
-      import spark.implicits._
-      Seq("params=idCol:" + storedId,
-        s"n=${line("n").toLong + base.getLong(0)}",
-        s"sumdl=${line("sumdl").toLong + base.getLong(1)}",
-        "token=" + line("token"),
-        "waves=" + line("waves") + ";" + waveToken).toDS().coalesce(1)
-        .write.mode("overwrite").text(s"$path/meta")
+      DedupOps.publishMeta(spark, path, Seq("params=idCol:" + storedId,
+        s"n=${params("__n").toLong + base.getLong(0)}",
+        s"sumdl=${params("__sumdl").toLong + base.getLong(1)}",
+        "token=" + params("__token"),
+        "waves=" + params("__waves") + ";" + waveToken))
     }
 
     /** Hybrid retrieval: BM25 keyword candidates re-ranked by exact

@@ -65,6 +65,47 @@ object DedupOps {
     * shuffle. */
   private[operators] val CappedArrayBucketMax = 2048
 
+  /** Publish a layout's meta as close to atomically as a filesystem
+    * allows: the complete new lines land at `$path/meta_tmp` first
+    * (a Spark job), then ONE delete + rename replaces `$path/meta` —
+    * the vulnerable window shrinks from a whole job (during which a
+    * crash leaves NO meta and bricks every reader, repair included)
+    * to two filesystem metadata ops, and a crash inside even that
+    * window leaves the complete new meta at `meta_tmp`, recoverable
+    * by re-running the verb (every publish recomputes its lines). */
+  private[graft] def publishMeta(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, lines: Seq[String]): Unit = {
+    import spark.implicits._
+    lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta_tmp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta_tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(tmp, dst),
+      s"publishMeta: rename $tmp -> $dst failed; the complete new meta " +
+        "is still at meta_tmp — re-run the verb")
+  }
+
+  /** Serialize one Bloom filter as a token-paired row of
+    * `$path/bloom` — the digest layout's per-wave filter store. */
+  private def writeBloomRow(spark: org.apache.spark.sql.SparkSession,
+                            path: String, token: String,
+                            bf: org.apache.spark.util.sketch.BloomFilter,
+                            mode: String): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__graft_token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__bloom",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(token, bos.toByteArray)), schema)
+      .coalesce(1).write.mode(mode).parquet(s"$path/bloom")
+  }
+
   /** Parse an at-rest layout's `$path/meta` (the `params=`/`token=`
     * line codec shared by the minhash/CDC/digest indexes) into a map;
     * the write token rides under the reserved key `__token`. */
@@ -79,12 +120,14 @@ object DedupOps {
     val base = line("params").split(",").map { kv =>
       val Array(a, v) = kv.split(":"); a -> v
     }.toMap + ("__token" -> line("token"))
-    // layouts that grow by ingest waves publish the ordered token list
-    // under `waves=` — its ABSENCE means single-write (digest/minhash)
-    lines.find(_.startsWith("waves=")) match {
-      case Some(l) => base + ("__waves" -> l.substring("waves=".length))
-      case None    => base
-    }
+    // every other `key=value` meta line rides under `__key`: `__waves`
+    // (the ordered wave-token list — absent means single-write) and
+    // layout-specific constants like the bm25 layout's `__n`/`__sumdl`
+    base ++ lines.flatMap { l =>
+      val i = l.indexOf('=')
+      if (i <= 0) None
+      else Some("__" + l.substring(0, i) -> l.substring(i + 1))
+    }.toMap.removedAll(Seq("__params"))
   }
 
   /** The digest index's serialized Bloom filters — one driver-side row
@@ -139,7 +182,9 @@ object DedupOps {
     * wave filters degrade to k·fpp. Token discipline as everywhere:
     * snapshot, rewrite, meta commits last; a tear refuses. */
   def compactDigestIndex(spark: org.apache.spark.sql.SparkSession,
-                         path: String): Unit = {
+                         path: String,
+                         maxBloomBytes: Long = 128L << 20,
+                         dropForeign: Boolean = false): Unit = {
     val params = indexMeta(spark, path, "compactDigestIndex")
     val waveTokens = params.getOrElse("__waves", params("__token"))
       .split(";").toSet
@@ -150,42 +195,49 @@ object DedupOps {
     require(digests.columns.contains("__graft_token"),
       s"compactDigestIndex: $path/digests has no __graft_token column — " +
         "the layout is torn or foreign; rewrite with writeDigestIndex")
-    val seen = digests.select(col("__graft_token")).distinct()
-      .collect().map(_.getString(0)).toSet
-    require(seen.subsetOf(waveTokens),
-      s"compactDigestIndex: $path/digests holds rows under token(s) " +
-        s"${seen.diff(waveTokens)} the meta never admitted — " +
-        "refusing to compact a torn layout")
+    if (!dropForeign) {
+      val seen = digests.select(col("__graft_token")).distinct()
+        .collect().map(_.getString(0)).toSet
+      require(seen.subsetOf(waveTokens),
+        s"compactDigestIndex: $path/digests holds rows under token(s) " +
+          s"${seen.diff(waveTokens)} the meta never admitted — " +
+          "refusing to compact a torn layout")
+    }
+    // dropForeign = repair: a torn append's orphan rows are filtered
+    // out here and the republish under a fresh token (meta last) makes
+    // the repair itself crash-safe — a tear mid-repair leaves rows the
+    // OLD meta refuses, never a silently shorter table
+    val admitted =
+      if (dropForeign)
+        digests.filter(col("__graft_token").isin(waveTokens.toSeq: _*))
+      else digests
     val snap = s"$path/compact_snapshot_digests"
-    digests.drop("__graft_token").write.mode("overwrite").parquet(snap)
+    admitted.drop("__graft_token").write.mode("overwrite").parquet(snap)
     val token = java.util.UUID.randomUUID().toString
     spark.read.parquet(snap)
       .withColumn("__graft_token", lit(token))
       .repartitionByRange(col("__h64"))
       .sortWithinPartitions(col("__h64"))
       .write.mode("overwrite").parquet(s"$path/digests")
-    if (params("bloom") == "yes") {
-      val n = math.max(1L, spark.read.parquet(s"$path/digests").count())
+    // the rebuilt single filter must respect the SAME size bound the
+    // original write enforced — a layout grown by many appends may no
+    // longer fit one driver-side filter, and the honest answer is
+    // bloom:no (join-only, still correct), never a multi-GB broadcast
+    val n = math.max(1L, spark.read.parquet(s"$path/digests").count())
+    val fpp = params("fpp").toDouble
+    val bloomBits = math.ceil(
+      -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val withBloom = params("bloom") == "yes" && bloomBits / 8 <= maxBloomBytes
+    if (withBloom) {
       val bf = spark.read.parquet(s"$path/digests")
-        .stat.bloomFilter("__h64", n, params("fpp").toDouble)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__graft_token",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("__bloom",
-          org.apache.spark.sql.types.BinaryType)))
-      spark.createDataFrame(
-        java.util.Arrays.asList(
-          org.apache.spark.sql.Row(token, bos.toByteArray)), schema)
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+        .stat.bloomFilter("__h64", n, fpp)
+      DedupOps.writeBloomRow(spark, path, token, bf, "overwrite")
     }
-    import spark.implicits._
-    Seq("params=" + Seq("idCol", "normalized", "bloom", "fpp")
-          .map(k => s"$k:${params(k)}").mkString(","),
+    publishMeta(spark, path, Seq(
+      s"params=idCol:${params("idCol")},normalized:${params("normalized")}," +
+        s"bloom:${if (withBloom) "yes" else "no"},fpp:${params("fpp")}",
       "token=" + token,
-      "waves=" + token).toDS().coalesce(1)
-      .write.mode("overwrite").text(s"$path/meta")
+      "waves=" + token))
     val p = new org.apache.hadoop.fs.Path(snap)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
@@ -201,67 +253,25 @@ object DedupOps {
     * affected tables; a layout with no orphans is left untouched. */
   def repairCdcIndex(spark: org.apache.spark.sql.SparkSession,
                      path: String): Unit =
-    repairWaveIndex(spark, path, "repairCdcIndex", Seq("chunks", "shingles"))
+    compactMembershipIndex(spark, path, "repairCdcIndex", "chunks",
+      Seq("__h"), CdcParamKeys,
+      df => df.repartitionByRange(col("__h")).sortWithinPartitions(col("__h")),
+      dropForeign = true)
 
   /** [[repairCdcIndex]] for the minhash layout. */
   def repairMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): Unit =
-    repairWaveIndex(spark, path, "repairMinhashIndex",
-      Seq("buckets", "shingles"))
+    compactMembershipIndex(spark, path, "repairMinhashIndex", "buckets",
+      Seq("__band", "__bucket"), MinhashParamKeys,
+      df => df.repartition(col("__band"))
+        .sortWithinPartitions(col("__band"), col("__bucket")),
+      dropForeign = true)
 
-  /** [[repairCdcIndex]] for the digest layout (also drops orphaned
-    * per-wave Bloom rows). */
+  /** [[repairCdcIndex]] for the digest layout (orphaned per-wave Bloom
+    * rows vanish with the compaction's single rebuilt filter). */
   def repairDigestIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Unit = {
-    val params = indexMeta(spark, path, "repairDigestIndex")
-    repairWaveIndex(spark, path, "repairDigestIndex", Seq("digests"))
-    if (params("bloom") == "yes") {
-      val admitted = params.getOrElse("__waves", params("__token"))
-        .split(";").toSet
-      val rows = spark.read.parquet(s"$path/bloom")
-        .select(col("__graft_token"), col("__bloom")).collect()
-      if (rows.exists(r => !admitted.contains(r.getString(0)))) {
-        val keep = rows.filter(r => admitted.contains(r.getString(0)))
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__graft_token",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("__bloom",
-            org.apache.spark.sql.types.BinaryType)))
-        spark.createDataFrame(
-          java.util.Arrays.asList(keep.toIndexedSeq: _*), schema)
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
-      }
-    }
-  }
-
-  private def repairWaveIndex(spark: org.apache.spark.sql.SparkSession,
-                              path: String, caller: String,
-                              tables: Seq[String]): Unit = {
-    val params = indexMeta(spark, path, caller)
-    val admitted = params.getOrElse("__waves", params("__token"))
-      .split(";").toSet
-    require(admitted.contains(params("__token")),
-      s"$caller: write-token mismatch inside $path/meta (token not in " +
-        "the waves list) — the META itself is foreign; rewrite the layout")
-    for (table <- tables) {
-      val df = spark.read.parquet(s"$path/$table")
-      require(df.columns.contains("__graft_token"),
-        s"$caller: $path/$table has no __graft_token column — the " +
-          "layout is foreign; rewrite it")
-      val seen = df.select(col("__graft_token")).distinct()
-        .collect().map(_.getString(0)).toSet
-      if (!seen.subsetOf(admitted)) {
-        val snap = s"$path/repair_snapshot_$table"
-        df.filter(col("__graft_token").isin(admitted.toSeq: _*))
-          .write.mode("overwrite").parquet(snap)
-        spark.read.parquet(snap)
-          .write.mode("overwrite").parquet(s"$path/$table")
-        val p = new org.apache.hadoop.fs.Path(snap)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      }
-    }
-  }
+                        path: String): Unit =
+    compactDigestIndex(spark, path, dropForeign = true)
 
   private[operators] val CdcParamKeys =
     Seq("idCol", "window", "maskBits", "minSize", "maxSize", "shingle")
@@ -276,33 +286,46 @@ object DedupOps {
   private def compactMembershipIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       caller: String, table: String, groupCols: Seq[String],
-      paramKeys: Seq[String], layout: DataFrame => DataFrame): Unit = {
+      paramKeys: Seq[String], layout: DataFrame => DataFrame,
+      dropForeign: Boolean = false): Unit = {
     val params = indexMeta(spark, path, caller)
     val waveTokens = params.getOrElse("__waves", params("__token"))
       .split(";").toSet
     require(waveTokens.contains(params("__token")),
       s"$caller: write-token mismatch inside $path/meta (token not in " +
         "the waves list) — rewrite the layout")
+    // repair = compact that FILTERS to the admitted tokens instead of
+    // refusing foreign ones: the torn wave's orphans drop, everything
+    // republishes under one fresh token with the meta committing last
+    // — a crash mid-repair leaves mixed-token rows the OLD meta
+    // refuses, never a silently shorter table
+    def admittedRows(df: DataFrame): DataFrame =
+      if (dropForeign) df.filter(col("__graft_token").isin(waveTokens.toSeq: _*))
+      else df
     val members = spark.read.parquet(s"$path/$table")
     val shingles = spark.read.parquet(s"$path/shingles")
     for ((df, what) <- Seq((members, table), (shingles, "shingles"))) {
       require(df.columns.contains("__graft_token"),
         s"$caller: $path/$what has no __graft_token column — " +
           "the layout is torn or foreign; rewrite it")
-      val seen = df.select(col("__graft_token")).distinct()
-        .collect().map(_.getString(0)).toSet
-      require(seen.subsetOf(waveTokens),
-        s"$caller: $path/$what holds rows under token(s) " +
-          s"${seen.diff(waveTokens)} the meta never admitted — " +
-          "refusing to compact a torn layout")
+      if (!dropForeign) {
+        val seen = df.select(col("__graft_token")).distinct()
+          .collect().map(_.getString(0)).toSet
+        require(seen.subsetOf(waveTokens),
+          s"$caller: $path/$what holds rows under token(s) " +
+            s"${seen.diff(waveTokens)} the meta never admitted — " +
+            "refusing to compact a torn layout")
+      }
     }
     val snapM = s"$path/compact_snapshot_$table"
     val snapS = s"$path/compact_snapshot_shingles"
-    members.select(groupCols.map(col) :+ explode(col("__cids")).as("__cid"): _*)
+    admittedRows(members)
+      .select(groupCols.map(col) :+ explode(col("__cids")).as("__cid"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
       .write.mode("overwrite").parquet(snapM)
-    shingles.drop("__graft_token").write.mode("overwrite").parquet(snapS)
+    admittedRows(shingles).drop("__graft_token")
+      .write.mode("overwrite").parquet(snapS)
     val token = java.util.UUID.randomUUID().toString
     layout(spark.read.parquet(snapM).withColumn("__graft_token", lit(token)))
       .write.mode("overwrite").parquet(s"$path/$table")
@@ -310,10 +333,9 @@ object DedupOps {
       .withColumn("__graft_token", lit(token))
       .write.mode("overwrite").parquet(s"$path/shingles")
     import spark.implicits._
-    Seq("params=" + paramKeys.map(k => s"$k:${params(k)}").mkString(","),
+    DedupOps.publishMeta(spark, path, Seq("params=" + paramKeys.map(k => s"$k:${params(k)}").mkString(","),
       "token=" + token,
-      "waves=" + token).toDS().coalesce(1)
-      .write.mode("overwrite").text(s"$path/meta")
+      "waves=" + token))
     val conf = spark.sparkContext.hadoopConfiguration
     for (s <- Seq(snapM, snapS)) {
       val p = new org.apache.hadoop.fs.Path(s)
@@ -376,24 +398,13 @@ object DedupOps {
       if (withBloom) {
         val bf = spark.read.parquet(s"$path/digests")
           .stat.bloomFilter("__h64", n, fpp)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__graft_token",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("__bloom",
-            org.apache.spark.sql.types.BinaryType)))
-        spark.createDataFrame(
-          java.util.Arrays.asList(
-            org.apache.spark.sql.Row(token, bos.toByteArray)), schema)
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+        DedupOps.writeBloomRow(spark, path, token, bf, "overwrite")
       }
       import spark.implicits._
-      Seq(s"params=idCol:$idCol,normalized:$normalized," +
+      DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol,normalized:$normalized," +
           s"bloom:${if (withBloom) "yes" else "no"},fpp:$fpp",
         "token=" + token,
-        "waves=" + token).toDS().coalesce(1)
-        .write.mode("overwrite").text(s"$path/meta")
+        "waves=" + token))
     }
 
     /** Admit THIS dataset into a [[writeDigestIndex]] layout as a new
@@ -432,27 +443,21 @@ object DedupOps {
         .sortWithinPartitions(col("__h64"))
         .write.mode("append").parquet(s"$path/digests")
       if (params("bloom") == "yes") {
-        val n = math.max(1L, ds.toDF.count())
-        val bf = ds.toDF.select(xxhash64(t).as("__h64"))
-          .stat.bloomFilter("__h64", n, params("fpp").toDouble)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__graft_token",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("__bloom",
-            org.apache.spark.sql.types.BinaryType)))
-        spark.createDataFrame(
-          java.util.Arrays.asList(
-            org.apache.spark.sql.Row(waveToken, bos.toByteArray)), schema)
-          .coalesce(1).write.mode("append").parquet(s"$path/bloom")
+        // built from the rows actually WRITTEN (token-filtered read
+        // back), never a second source scan: a non-deterministic wave
+        // (sample, limit) would otherwise land digests its own filter
+        // never saw — and a bloom false MUST stay a definite no
+        val written = spark.read.parquet(s"$path/digests")
+          .filter(col("__graft_token") === waveToken)
+        val n = math.max(1L, written.count())
+        val bf = written.stat.bloomFilter("__h64", n, params("fpp").toDouble)
+        DedupOps.writeBloomRow(spark, path, waveToken, bf, "append")
       }
       import spark.implicits._
-      Seq("params=" + Seq("idCol", "normalized", "bloom", "fpp")
+      DedupOps.publishMeta(spark, path, Seq("params=" + Seq("idCol", "normalized", "bloom", "fpp")
             .map(k => s"$k:${params(k)}").mkString(","),
         "token=" + params("__token"),
-        "waves=" + params("__waves") + ";" + waveToken).toDS().coalesce(1)
-        .write.mode("overwrite").text(s"$path/meta")
+        "waves=" + params("__waves") + ";" + waveToken))
     }
 
     /** Exact-duplicate pairs of THIS wave against a [[writeDigestIndex]]
@@ -744,11 +749,10 @@ object DedupOps {
         .withColumn("__graft_token", lit(token))
         .write.mode("overwrite").parquet(s"$path/shingles")
       import spark.implicits._
-      Seq(s"params=idCol:$idCol,shingle:$shingle,numHashes:$numHashes," +
+      DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol,shingle:$shingle,numHashes:$numHashes," +
           s"bands:$bands,seed:$seed",
         "token=" + token,
-        "waves=" + token).toDS().coalesce(1)
-        .write.mode("overwrite").text(s"$path/meta")
+        "waves=" + token))
     }
 
     /** Admit THIS dataset into a [[writeMinhashIndex]] layout as a new
@@ -789,11 +793,10 @@ object DedupOps {
         .withColumn("__graft_token", lit(waveToken))
         .write.mode("append").parquet(s"$path/shingles")
       import spark.implicits._
-      Seq("params=" + DedupOps.MinhashParamKeys
+      DedupOps.publishMeta(spark, path, Seq("params=" + DedupOps.MinhashParamKeys
             .map(k => s"$k:${params(k)}").mkString(","),
         "token=" + params("__token"),
-        "waves=" + params("__waves") + ";" + waveToken).toDS().coalesce(1)
-        .write.mode("overwrite").text(s"$path/meta")
+        "waves=" + params("__waves") + ";" + waveToken))
     }
 
     /** Incremental near-dup gate against a [[writeMinhashIndex]] layout:
@@ -1054,11 +1057,10 @@ object DedupOps {
         .withColumn("__graft_token", lit(token))
         .write.mode("overwrite").parquet(s"$path/shingles")
       import spark.implicits._
-      Seq(s"params=idCol:$idCol,window:$window,maskBits:$maskBits," +
+      DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol,window:$window,maskBits:$maskBits," +
           s"minSize:$minSize,maxSize:$maxSize,shingle:$shingle",
         "token=" + token,
-        "waves=" + token).toDS().coalesce(1)
-        .write.mode("overwrite").text(s"$path/meta")
+        "waves=" + token))
     }
 
     /** Admit THIS dataset into an existing [[writeCdcIndex]] layout as
@@ -1103,11 +1105,10 @@ object DedupOps {
         .withColumn("__graft_token", lit(waveToken))
         .write.mode("append").parquet(s"$path/shingles")
       import spark.implicits._
-      Seq("params=" + DedupOps.CdcParamKeys
+      DedupOps.publishMeta(spark, path, Seq("params=" + DedupOps.CdcParamKeys
             .map(k => s"$k:${params(k)}").mkString(","),
         "token=" + params("__token"),
-        "waves=" + params("__waves") + ";" + waveToken).toDS().coalesce(1)
-        .write.mode("overwrite").text(s"$path/meta")
+        "waves=" + params("__waves") + ";" + waveToken))
     }
 
     /** Ingest-wave CDC dedup gate against a [[writeCdcIndex]] layout:

@@ -488,7 +488,8 @@ object StreamingOps {
     * ([[graft.operators.DedupOps.DatasetDedupOps.admitAgainstDigestIndex]]
     * on a live stream, same layout, same answers). */
   def streamDigestGate(spark: SparkSession, wavePath: String,
-                       indexPath: String): DataFrame = {
+                       indexPath: String,
+                       textCol: String = "text"): DataFrame = {
     import graft.operators.DedupOps
     import graft.functions.{bloomMightContain, normalizeText}
     val params = DedupOps.indexMeta(spark, indexPath, "streamDigestGate")
@@ -513,8 +514,8 @@ object StreamingOps {
     def t(c: org.apache.spark.sql.Column) =
       if (params("normalized").toBoolean) normalizeText(c) else c
     val arrivals = spark.readStream.schema(schema).parquet(wavePath)
-      .withColumn("__h64", xxhash64(t(col("text"))))
-      .withColumn("__md5", unhex(md5(t(col("text")))))
+      .withColumn("__h64", xxhash64(t(col(textCol))))
+      .withColumn("__md5", unhex(md5(t(col(textCol)))))
     val admitted = maybe match {
       case Some(m) =>
         arrivals.filter(!m).unionByName(
@@ -549,17 +550,37 @@ object StreamingOps {
     * scanned in place; the stream side carries (doc_id, 64-bit hash)
     * rows into the join — text never rides past the chunk projection. */
   def streamCdcIndexGate(spark: SparkSession, dir: String,
-                         indexPath: String): DataFrame = {
+                         indexPath: String,
+                         maxDocsPerChunk: Int = 64): DataFrame = {
     import graft.operators.DedupOps
     import graft.functions.cdcChunks
     val params = DedupOps.indexMeta(spark, indexPath, "streamCdcIndexGate")
     val waveTokens = params.getOrElse("__waves", params("__token"))
       .split(";").toSeq
-    val member = spark.read.parquet(s"$indexPath/chunks")
+    require(waveTokens.contains(params("__token")),
+      s"streamCdcIndexGate: write-token mismatch inside $indexPath/meta " +
+        "(token not in the waves list) — rewrite the layout")
+    val chunks = spark.read.parquet(s"$indexPath/chunks")
+    require(chunks.columns.contains("__graft_token"),
+      s"streamCdcIndexGate: $indexPath/chunks has no __graft_token " +
+        "column — the layout is torn or foreign; rewrite it")
+    val stored = chunks
       .filter(assert_true(col("__graft_token").isin(waveTokens: _*),
         lit(s"streamCdcIndexGate: write-token mismatch between " +
           s"$indexPath/meta and $indexPath/chunks — rewrite the layout")).isNull)
       .drop("__graft_token")
+    // the batch gate's contract exactly: merged membership when the
+    // layout holds several waves, boilerplate chunks capped on the
+    // MERGED population — without the cap one shared chunk would
+    // explode into every arrival (the pair detonation the batch cap
+    // exists to prevent)
+    val merged =
+      if (waveTokens.length == 1) stored
+      else stored
+        .select(col("__h"), explode(col("__cids")).as("__cid"))
+        .groupBy(col("__h"))
+        .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+    val member = merged.filter(size(col("__cids")) <= maxDocsPerChunk)
     val batch = spark.read.parquet(s"$dir/documents.parquet")
     val staged = java.nio.file.Files.createTempDirectory("graft_cdcgate_src")
     staged.toFile.deleteOnExit()
