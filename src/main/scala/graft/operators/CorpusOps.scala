@@ -52,6 +52,83 @@ object CorpusOps {
         i => array_join(slice(toks, (i * width + 1L).cast("int"), lit(width)), " ")))
   }
 
+  /** Collapse a multi-wave [[DatasetCorpusOps.writeBm25Index]] layout
+    * back to one wave: per-wave (term, df) dictionary rows merge by
+    * SUM, postings republish clustered by term (wave appends leave one
+    * term's rows scattered across wave files — the term-pruned read
+    * this layout exists for degrades with every append), everything
+    * under ONE fresh token with the meta committing last. Constants
+    * are already sums in the meta and don't change. `dropForeign`
+    * makes it the REPAIR verb: a torn append's orphan rows (tokens the
+    * meta never admitted) are filtered out instead of refused, and the
+    * fresh-token republish makes the repair itself crash-safe. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String, dropForeign: Boolean = false): Unit = {
+    val params = DedupOps.indexMeta(spark, path, "compactBm25Index")
+    val waveTokens = params.getOrElse("__waves", params("__token"))
+      .split(";").toSet
+    require(waveTokens.contains(params("__token")),
+      s"compactBm25Index: write-token mismatch inside $path/meta " +
+        "(token not in the waves list) — rewrite the layout")
+    val storedId = params("idCol")
+    val postings = spark.read.parquet(s"$path/postings")
+    val dict = spark.read.parquet(s"$path/terms")
+    for ((df, what) <- Seq((postings, "postings"), (dict, "terms"))) {
+      require(df.columns.contains("__graft_token"),
+        s"compactBm25Index: $path/$what has no __graft_token column — " +
+          "the layout is torn or foreign; rewrite it")
+      if (!dropForeign) {
+        val seen = df.select(col("__graft_token")).distinct()
+          .collect().map(_.getString(0)).toSet
+        require(seen.subsetOf(waveTokens),
+          s"compactBm25Index: $path/$what holds rows under token(s) " +
+            s"${seen.diff(waveTokens)} the meta never admitted — " +
+            "refusing to compact a torn layout")
+      }
+    }
+    def admitted(df: DataFrame): DataFrame =
+      if (dropForeign)
+        df.filter(col("__graft_token").isin(waveTokens.toSeq: _*))
+      else df
+    val snapP = s"$path/compact_snapshot_postings"
+    val snapT = s"$path/compact_snapshot_terms"
+    admitted(postings).drop("__graft_token")
+      .write.mode("overwrite").parquet(snapP)
+    admitted(dict).drop("__graft_token")
+      .groupBy(col("term")).agg(sum(col("__df")).as("__df"))
+      .write.mode("overwrite").parquet(snapT)
+    val token = java.util.UUID.randomUUID().toString
+    spark.read.parquet(snapP)
+      .withColumn("__graft_token", lit(token))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col(storedId))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    spark.read.parquet(snapT)
+      .withColumn("__graft_token", lit(token))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+    DedupOps.publishMeta(spark, path, Seq("params=idCol:" + storedId,
+      "n=" + params("__n"),
+      "sumdl=" + params("__sumdl"),
+      "token=" + token,
+      "waves=" + token))
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (s <- Seq(snapP, snapT)) {
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
+  /** [[DedupOps.repairCdcIndex]] for the bm25 layout: roll a torn
+    * append back by compacting over only the admitted tokens. The
+    * constants stay exact: an append's meta (rows AND summed N/Σdl)
+    * commits last, so a torn wave's constants never landed and
+    * dropping its rows restores full consistency. */
+  def repairBm25Index(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit =
+    compactBm25Index(spark, path, dropForeign = true)
+
   /** BM25 top-k answered from a [[DatasetCorpusOps.writeBm25Index]]
     * layout: reads ONLY the query terms' posting rows (pushed `term IN`
     * over the term-clustered parquet) plus one bounded dictionary probe

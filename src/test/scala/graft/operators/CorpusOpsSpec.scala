@@ -430,7 +430,14 @@ class CorpusOpsSpec extends SparkSpec {
       corpus0.appendBm25Index(path, "doc_id", "text")
     }
     assert(clash.getMessage.contains("already exists"))
-    // torn append (rows landed, meta commit didn't) refuses loudly
+    // compact collapses waves to one token; answers unchanged
+    CorpusOps.compactBm25Index(spark, path)
+    val meta = spark.read.textFile(s"$path/meta").collect()
+      .find(_.startsWith("waves=")).get
+    assert(!meta.contains(";"), s"compact left several waves: $meta")
+    assert(top(CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 15))
+      === want, "compact changed answers")
+    // torn append (rows landed, meta commit didn't) refuses loudly...
     val metaBefore = spark.read.textFile(s"$path/meta").collect().toSeq
     docs.filter(col("doc_id") % 10 === 0).select(
         (col("doc_id") + 500000L).as("doc_id"), col("text"))
@@ -443,6 +450,15 @@ class CorpusOpsSpec extends SparkSpec {
     val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
       .flatMap(t => Option(t.getMessage)).toSeq
     assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
+    // ...and repair rolls it back: answers recover, the wave re-runs
+    CorpusOps.repairBm25Index(spark, path)
+    assert(top(CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 15))
+      === want, "repair changed admitted answers")
+    docs.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 500000L).as("doc_id"), col("text"))
+      .appendBm25Index(path, "doc_id", "text")
+    assert(CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 15)
+      .count() > 0)
   }
 
   test("hybrid index: fully at-rest form equals the in-memory composition") {
