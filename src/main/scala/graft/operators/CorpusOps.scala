@@ -52,6 +52,39 @@ object CorpusOps {
         i => array_join(slice(toks, (i * width + 1L).cast("int"), lit(width)), " ")))
   }
 
+  /** Conjunctive (boolean AND) retrieval from the
+    * [[DatasetCorpusOps.writeBm25Index]] layout: ids whose documents
+    * contain EVERY query term, answered from the query terms' posting
+    * rows alone (pushed `term IN`, one groupBy over those slivers —
+    * the corpus is never touched). The candidate-generation primitive
+    * under field-filtered search and the strict form BM25's weak-AND
+    * relaxes; returns (id, dl) ordered by id. */
+  def matchAllTermsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val params = DedupOps.indexMeta(spark, path, "matchAllTermsAgainstIndex")
+    val idCol = params("idCol")
+    val waveTokens = params.getOrElse("__waves", params("__token"))
+      .split(";").toSeq
+    require(waveTokens.contains(params("__token")),
+      s"matchAllTermsAgainstIndex: write-token mismatch inside " +
+        s"$path/meta (token not in the waves list) — rewrite the layout")
+    val posts = spark.read.parquet(s"$path/postings")
+    require(posts.columns.contains("__graft_token"),
+      s"matchAllTermsAgainstIndex: $path/postings has no __graft_token " +
+        "column — the layout is torn or foreign; rewrite it")
+    posts.filter(assert_true(col("__graft_token").isin(waveTokens: _*),
+        lit(s"matchAllTermsAgainstIndex: write-token mismatch between " +
+          s"$path/meta and $path/postings — rewrite the layout")).isNull)
+      .filter(col("term").isin(terms.distinct: _*))
+      .groupBy(col(idCol), col("__dl"))
+      .agg(count(lit(1)).as("__nt"))
+      .filter(col("__nt") === terms.distinct.length.toLong)
+      .select(col(idCol), col("__dl").as("dl"))
+      .orderBy(col(idCol))
+  }
+
   /** Collapse a multi-wave [[DatasetCorpusOps.writeBm25Index]] layout
     * back to one wave: per-wave (term, df) dictionary rows merge by
     * SUM, postings republish clustered by term (wave appends leave one

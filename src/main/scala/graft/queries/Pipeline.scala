@@ -1351,6 +1351,20 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Conjunctive retrieval off the BM25 layout: docs containing ALL
+    * query terms, from the terms' posting slivers alone — the boolean
+    * candidate-generation primitive under filtered search. Real
+    * oracle: the list_contains conjunction over raw text. */
+  def matchAllQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_idx_" + Integer.toHexString(d.hashCode)).toString
+    documents(s, d).writeBm25Index(path, "doc_id", "text")
+    CorpusOps.matchAllTermsAgainstIndex(s, path,
+      Seq("spark", "hash", "customer"))
+  }
+
   /** Fully at-rest hybrid retrieval: BM25 stage off the postings
     * layout, cosine re-rank off the IVF-PQ layout's raw vectors via a
     * pushed id IN filter — neither stage touches the corpus. Same
@@ -2884,6 +2898,17 @@ object Pipeline {
     // ulp off double tf*(1.2+1.0) (binary-exact 0.5/0.75/0.25 literals
     // elsewhere in this file are immune).
     "tx_bm25" -> bm25OracleSql,
+    // the boolean AND answered from posting slivers must equal the
+    // raw-text conjunction
+    "tx_match_all" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks) AS dl FROM tk
+        |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'hash')
+        |  AND list_contains(toks, 'customer')
+        |ORDER BY doc_id""".stripMargin,
     // the at-rest BM25 index must reproduce the from-scratch scorer
     // exactly — SAME oracle text
     "tx_bm25_index" -> bm25OracleSql,
@@ -3175,6 +3200,7 @@ object Pipeline {
     "dd_semantic_pairs" -> (semanticPairsQ _),
     "tx_bm25" -> (bm25Q _),
     "tx_bm25_index" -> (bm25IndexQ _),
+    "tx_match_all" -> (matchAllQ _),
     "tx_hybrid_retrieve" -> (hybridRetrieveQ _),
     "tx_hybrid_index" -> (hybridIndexQ _),
     "pp_semantic_contamination" -> (semanticContaminationQ _),

@@ -461,6 +461,27 @@ class CorpusOpsSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("matchAllTermsAgainstIndex equals the raw-text conjunction") {
+    import graft.operators.CorpusOps
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_matchall_spec").toString
+    docs.writeBm25Index(path, "doc_id", "text")
+    val terms = Seq("spark", "hash", "customer")
+    val got = CorpusOps.matchAllTermsAgainstIndex(spark, path, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val toksOf = graft.functions.tokens(col("text"))
+    val want = docs.filter(terms.map(t => array_contains(toksOf, t))
+        .reduce(_ && _))
+      .select(col("doc_id"), size(toksOf).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "conjunction empty — fixture broke")
+    // duplicate terms in the query collapse (distinct semantics)
+    val dup = CorpusOps.matchAllTermsAgainstIndex(spark, path,
+      terms ++ terms).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dup === got)
+  }
+
   test("hybrid index: fully at-rest form equals the in-memory composition") {
     import graft.operators.CorpusOps
     import graft.operators.VectorOps._
