@@ -20,6 +20,23 @@ class PlanGateSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** All parquet scans of an EXECUTED plan, descending through AQE
+    * stages, exchange reuse, and (DPP) subqueries. */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    val here = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+    here ++ (kids ++ p.subqueries).flatMap(fileScans)
+  }
+
   private lazy val cust = customerPts(spark, sf())
   private lazy val supp = supplierPts(spark, sf())
 
@@ -99,6 +116,43 @@ class PlanGateSpec extends SparkSpec {
       spark, path, "embedding", "vec_id", q, 10, nprobe = 4))
     assert(p.contains("PartitionFilters") && p.contains("__graft_cell"),
       s"IVF scan lost directory pruning:\n$p")
+  }
+
+  test("ANN join: BOTH layout scans (ADC codes + re-rank vectors) prune to probed cells") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_plangate_ivfpq_join").toString
+    val emb = embeddings(spark, sf())
+    emb.writeIvfPq(path, "embedding", "vec_id", nlist = 16, m = 4, ksub = 4,
+      iters = 2)
+    val wave = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val df = graft.operators.VectorOps.readIvfPqTopKJoin(wave, "qvec", "qid",
+      path, "embedding", "vec_id", k = 3, nprobe = 2, refine = 10)
+    df.collect()
+    val cells = spark.read.parquet(s"$path/data")
+      .select(col("__graft_cell")).distinct().count()
+    // r11 verdict #1: the re-rank joined vectors on bare id, re-reading
+    // the ENTIRE vector column; r11's DPP on the ADC scan was itself
+    // runtime-inert (dynamicpruningexpression(true) once the planner
+    // builds on the layout side). The probed-cell set is now pushed as
+    // a LITERAL partition filter, so BOTH layout scans must list fewer
+    // partitions than the layout has cells — measured, not plan text.
+    val layoutScans = fileScans(df.queryExecution.executedPlan).filter(f =>
+      f.relation.location.rootPaths.exists(_.toString.contains(
+        "graft_plangate_ivfpq_join")))
+    val vecScans = layoutScans.filter(_.output.exists(_.name == "embedding"))
+    val adcScans = layoutScans.filter(_.output.exists(_.name.startsWith("__pqc")))
+    assert(vecScans.nonEmpty && adcScans.nonEmpty,
+      s"layout scans not found in executed plan: ${layoutScans.map(_.output)}")
+    layoutScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.toString.contains("__graft_cell")),
+        s"layout scan lost its probed-cell partition filter: ${f.partitionFilters}")
+      val read = f.metrics.get("numPartitions").map(_.value)
+        .getOrElse(fail(s"layout scan carries no numPartitions metric: $f"))
+      assert(read < cells,
+        s"layout scan read $read partitions of a $cells-cell layout — pruning inert")
+      assert(read <= 2, s"1-row wave at nprobe=2 must read <= 2 cells, read $read")
+    }
   }
 
   test("PQ ANN: shuffle-free ADC scoring over literal tables, TakeOrdered cut") {
