@@ -141,9 +141,16 @@ object Advanced {
     import graft.operators.DedupOps._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_stmh_idx_" + Integer.toHexString(d.hashCode)).toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stmh_wave_" + Integer.toHexString(d.hashCode)).toString
     val docs = s.read.parquet(s"$d/documents.parquet")
     docs.filter(col("doc_id") % 2 === 0).writeMinhashIndex(path, "doc_id", "text")
-    val stream = StreamingOps.streamMinhashGate(s, d, path, threshold = 0.3)
+    // the odd-doc wave split is the QUERY's fixture, not the operator's:
+    // the gate takes a staged wavePath (r11 verdict #3)
+    docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(wavePath)
+    val stream = StreamingOps.streamMinhashGate(s, wavePath, path,
+      threshold = 0.3)
     val batch = docs.filter(col("doc_id") % 2 =!= 0)
       .minHashPairsAgainstIndex(path, "doc_id", "text", threshold = 0.3)
       .select(col("id_new").as("doc_id"), col("id_corpus"),
@@ -192,9 +199,15 @@ object Advanced {
     import graft.operators.DedupOps._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_stcdc_idx_" + Integer.toHexString(d.hashCode)).toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stcdc_wave_" + Integer.toHexString(d.hashCode)).toString
     val docs = s.read.parquet(s"$d/documents.parquet")
     docs.filter(col("doc_id") % 2 === 0).writeCdcIndex(path, "doc_id", "text")
-    val stream = StreamingOps.streamCdcIndexGate(s, d, path)
+    // the odd-doc wave split is the QUERY's fixture, not the operator's:
+    // the gate takes a staged wavePath (r11 verdict #3)
+    docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(wavePath)
+    val stream = StreamingOps.streamCdcIndexGate(s, wavePath, path)
     val batch = docs.filter(col("doc_id") % 2 =!= 0)
       .cdcPairsAgainstIndex(path, "doc_id", "text", minShared = 1)
       .groupBy(col("id_new").as("doc_id"))

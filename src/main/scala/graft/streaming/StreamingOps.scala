@@ -392,21 +392,24 @@ object StreamingOps {
   }
 
   /** Streaming near-dup gate against the at-rest minhash index:
-    * arrivals sign THEMSELVES with the layout meta's banding (a pure
-    * projection — no state), stream-static join the stored (band,
-    * bucket) membership arrays, and exact-verify candidate pairs with
-    * shingle Jaccard where the CORPUS side's shingles come from the
-    * layout — corpus text is never touched by the stream. Emits
-    * (doc_id, id_corpus, jaccard) per surviving pair; clean arrivals
-    * stay silent.
+    * arrivals staged at `wavePath` (selection is the caller's — same
+    * contract as [[streamDigestGate]]) sign THEMSELVES with the layout
+    * meta's banding (a pure projection — no state), stream-static join
+    * the stored (band, bucket) membership arrays, and exact-verify
+    * candidate pairs with shingle Jaccard where the CORPUS side's
+    * shingles come from the layout — corpus text is never touched by
+    * the stream. Emits (idCol, id_corpus, jaccard) per surviving pair;
+    * clean arrivals stay silent.
     *
     * Stream-shape trade vs the batch gate: the arrival's own shingle
     * set rides its band rows into the join (the batch form semi-joins
     * texts back instead) — per-wave cost ×bands on one array column,
     * in exchange for a gate with no stream-side self-join. */
-  def streamMinhashGate(spark: SparkSession, dir: String,
+  def streamMinhashGate(spark: SparkSession, wavePath: String,
                         indexPath: String,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
     import graft.operators.DedupOps
     import graft.operators.DedupOps._
     import graft.functions.{shingleSet, sortedJaccard}
@@ -438,35 +441,30 @@ object StreamingOps {
     val corpusSh = tokenChecked(
       spark.read.parquet(s"$indexPath/shingles"), "shingles")
       .select(col(storedId).as("id_corpus"), col("__shingles").as("__sh2"))
-    val batch = spark.read.parquet(s"$dir/documents.parquet")
-    val staged = java.nio.file.Files.createTempDirectory("graft_mhgate_src")
-    staged.toFile.deleteOnExit()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      staged.resolve("documents.parquet"))
-    staged.resolve("documents.parquet").toFile.deleteOnExit()
+    // arrivals live at wavePath — wave selection/staging is the
+    // caller's (the streamDigestGate contract); the operator itself
+    // holds no filesystem staging and no test-fixture split
     val sinkName = s"graft_mhgate_${System.nanoTime()}"
     val arrivals = spark.readStream
-      .schema(batch.schema)
-      .parquet(staged.toString)
-      .filter(col("doc_id") % 2 =!= 0)
+      .schema(spark.read.parquet(wavePath).schema)
+      .parquet(wavePath)
     // the arrival's own shingle set rides its band rows (`carry`) — a
     // stream cannot join back to itself for the verify
     val sigsWithSh = new DatasetDedupOps(arrivals)
-      .bandedBuckets("doc_id", "text", params("shingle").toInt,
+      .bandedBuckets(idCol, textCol, params("shingle").toInt,
         params("numHashes").toInt, params("bands").toInt,
         params("seed").toLong,
         carry = Seq("__sh1" ->
-          shingleSet(col("text"), params("shingle").toInt)))
+          shingleSet(col(textCol), params("shingle").toInt)))
     val q = sigsWithSh
       .join(member, Seq("__band", "__bucket"))
-      .select(col("doc_id"), col("__sh1"),
+      .select(col(idCol), col("__sh1"),
         explode(col("__cids")).as("id_corpus"))
-      .filter(col("doc_id") =!= col("id_corpus"))
+      .filter(col(idCol) =!= col("id_corpus"))
       .join(corpusSh, Seq("id_corpus"))
       .withColumn("jaccard", sortedJaccard(col("__sh1"), col("__sh2")))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("doc_id"), col("id_corpus"))
+      .groupBy(col(idCol), col("id_corpus"))
       .agg(max(col("jaccard")).as("jaccard"))
       .writeStream
       .outputMode(OutputMode.Complete())
@@ -536,7 +534,9 @@ object StreamingOps {
   }
 
   /** Streaming ingest gate against the AT-REST CDC chunk index: newly
-    * arriving documents chunk THEMSELVES (a stateless projection — the
+    * arriving documents staged at `wavePath` (selection is the
+    * caller's — same contract as [[streamDigestGate]]) chunk
+    * THEMSELVES (a stateless projection — the
     * chunking parameters come from the layout's meta, so a
     * differently-chunked stream is impossible) and stream-static join
     * the stored membership arrays; per arrival it emits how many
@@ -549,9 +549,11 @@ object StreamingOps {
     * Scale shape: the static side is the narrow (hash, members) table
     * scanned in place; the stream side carries (doc_id, 64-bit hash)
     * rows into the join — text never rides past the chunk projection. */
-  def streamCdcIndexGate(spark: SparkSession, dir: String,
+  def streamCdcIndexGate(spark: SparkSession, wavePath: String,
                          indexPath: String,
-                         maxDocsPerChunk: Int = 64): DataFrame = {
+                         maxDocsPerChunk: Int = 64,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
     import graft.operators.DedupOps
     import graft.functions.cdcChunks
     val params = DedupOps.indexMeta(spark, indexPath, "streamCdcIndexGate")
@@ -581,27 +583,22 @@ object StreamingOps {
         .groupBy(col("__h"))
         .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
     val member = merged.filter(size(col("__cids")) <= maxDocsPerChunk)
-    val batch = spark.read.parquet(s"$dir/documents.parquet")
-    val staged = java.nio.file.Files.createTempDirectory("graft_cdcgate_src")
-    staged.toFile.deleteOnExit()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      staged.resolve("documents.parquet"))
-    staged.resolve("documents.parquet").toFile.deleteOnExit()
+    // arrivals live at wavePath — wave selection/staging is the
+    // caller's (the streamDigestGate contract); the operator itself
+    // holds no filesystem staging and no test-fixture split
     val sinkName = s"graft_cdcgate_${System.nanoTime()}"
     val q = spark.readStream
-      .schema(batch.schema)
-      .parquet(staged.toString)
-      .filter(col("doc_id") % 2 =!= 0)
-      .select(col("doc_id"),
-        explode(cdcChunks(col("text"), params("window").toInt,
+      .schema(spark.read.parquet(wavePath).schema)
+      .parquet(wavePath)
+      .select(col(idCol),
+        explode(cdcChunks(col(textCol), params("window").toInt,
           params("maskBits").toInt, params("minSize").toInt,
           params("maxSize").toInt)).as("__c"))
-      .select(col("doc_id"), xxhash64(col("__c")).as("__h"))
+      .select(col(idCol), xxhash64(col("__c")).as("__h"))
       .join(member, Seq("__h"))
-      .select(col("doc_id"), col("__h"), explode(col("__cids")).as("__cid"))
-      .filter(col("doc_id") =!= col("__cid"))
-      .groupBy(col("doc_id"))
+      .select(col(idCol), col("__h"), explode(col("__cids")).as("__cid"))
+      .filter(col(idCol) =!= col("__cid"))
+      .groupBy(col(idCol))
       .agg(
         size(array_distinct(collect_list(col("__cid"))))
           .as("matched_corpus_docs"),

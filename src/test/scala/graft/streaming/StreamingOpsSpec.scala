@@ -95,9 +95,13 @@ class StreamingOpsSpec extends SparkSpec {
     import graft.operators.DedupOps._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_stmh_spec").toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stmh_spec_wave").toString
     val docs = Tables.documents(spark, sf())
     docs.filter(col("doc_id") % 2 === 0).writeMinhashIndex(path, "doc_id", "text")
-    val got = StreamingOps.streamMinhashGate(spark, sf(), path,
+    docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(wavePath)
+    val got = StreamingOps.streamMinhashGate(spark, wavePath, path,
       threshold = 0.3)
     val want = docs.filter(col("doc_id") % 2 =!= 0)
       .minHashPairsAgainstIndex(path, "doc_id", "text", threshold = 0.3)
@@ -137,9 +141,13 @@ class StreamingOpsSpec extends SparkSpec {
     import graft.operators.DedupOps._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_stcdc_spec").toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stcdc_spec_wave").toString
     val docs = Tables.documents(spark, sf())
     docs.filter(col("doc_id") % 2 === 0).writeCdcIndex(path, "doc_id", "text")
-    val got = StreamingOps.streamCdcIndexGate(spark, sf(), path)
+    docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(wavePath)
+    val got = StreamingOps.streamCdcIndexGate(spark, wavePath, path)
       .select(col("doc_id"), col("matched_corpus_docs").cast("long"),
         col("shared_chunks").cast("long"))
     val want = docs.filter(col("doc_id") % 2 =!= 0)
