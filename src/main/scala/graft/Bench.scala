@@ -624,22 +624,34 @@ object Bench {
     * fell through (pivot 31.99 s cold beside 3.16 s steady, certified
     * clean because the probes' take-the-minimum re-probe absorbed the
     * burst). Tiny steady denominators (< 0.5 s — small-sf smoke runs)
-    * are skipped: there the ratio measures JIT, not contamination. */
+    * are skipped: there the ratio measures JIT, not contamination.
+    *
+    * `ratioCap` is 4x on a FIRST attempt; after any rejected attempt
+    * the caller tightens it to [[retryColdSteadyCap]] (3x): once a
+    * sweep has read dirty, the prior is contamination, and a final
+    * attempt sliding in just under the 4x bar right after two dirty
+    * ones is exactly how the committed r11 artifact shipped
+    * b5s_knn_join_skew_grid at 12.98 s cold beside its own 3.42 s
+    * steady (3.80x; judge's clean re-run read 4.73 s). */
+  private[graft] val firstColdSteadyCap = 4.0
+  private[graft] val retryColdSteadyCap = 3.0
   private[graft] def coldSteadyViolations(
       wall: collection.Map[String, Double],
-      steady: collection.Map[String, Double]): Seq[String] =
+      steady: collection.Map[String, Double],
+      ratioCap: Double = firstColdSteadyCap): Seq[String] =
     steady.toSeq.collect {
-      case (name, st) if st >= 0.5 && wall.getOrElse(name, 0.0) / st > 4.0 =>
+      case (name, st) if st >= 0.5 && wall.getOrElse(name, 0.0) / st > ratioCap =>
         f"cold/steady inconsistent: $name cold ${wall(name)}%.2f s vs " +
-          f"steady $st%.2f s (> 4x)"
+          f"steady $st%.2f s (> ${ratioCap}%.0fx)"
     }
 
   /** Why this sweep cannot be trusted, per BASELINE.md's interpretation
     * rule: any memory probe at/above the 0.7 s contamination threshold,
     * a pre/post bracket pair (ALU or memory) disagreeing >= 1.5x, or a
     * steady-tracked entry whose cold number is 4x+ its own steady
-    * re-execution. None -> clean. */
-  private def dirtyReason(s: Sweep): Option[String] = {
+    * re-execution (3x+ once any attempt has been rejected). None ->
+    * clean. */
+  private def dirtyReason(s: Sweep, coldSteadyCap: Double): Option[String] = {
     val memDirty = s.memProbes.collect {
       case (k, v) if v >= 0.7 => f"mem probe $k=$v%.3f >= 0.7"
     }
@@ -657,7 +669,7 @@ object Bench {
       if (pairOff(s.memPre, s.memPost) && math.max(s.memPre, s.memPost) >= 0.7)
         Seq(f"mem pre/post disagree: ${s.memPre}%.3f vs ${s.memPost}%.3f")
       else Nil
-    val coldSteady = coldSteadyViolations(s.rec.wall, s.steady)
+    val coldSteady = coldSteadyViolations(s.rec.wall, s.steady, coldSteadyCap)
     val all = memDirty.toSeq ++ aluDirty ++ memPairDirty ++ coldSteady
     if (all.isEmpty) None else Some(all.mkString("; "))
   }
@@ -832,7 +844,12 @@ object Bench {
       // re-observe the same polluted host (r6-r8 artifact history)
       dropOsCaches()
       val s = runSweep(spark, sfDir, cpus.toInt, listener)
-      dirtyReason(s) match {
+      // r11 verdict #2: after any rejected attempt the cold/steady bar
+      // tightens — a retry must be cleaner than the sweeps it replaces,
+      // not merely squeak under the first-attempt threshold
+      val cap = if (dirtySummaries.isEmpty) firstColdSteadyCap
+                else retryColdSteadyCap
+      dirtyReason(s, cap) match {
         case None =>
           chosen = s; chosenDirty = None
         case Some(reason) =>

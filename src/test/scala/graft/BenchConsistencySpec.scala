@@ -32,6 +32,24 @@ class BenchConsistencySpec extends AnyFunSuite {
       s"the 10x pivot entry must be named: $v")
   }
 
+  test("the committed r11 post-retry sweep is rejected at the tightened cap") {
+    // the checked-in BENCH_r11.json's third attempt (after two
+    // auto-rejected ones) shipped b5s_knn_join_skew_grid at 12.98 s
+    // cold beside its own 3.42 s steady — 3.80x, sliding just under
+    // the 4x first-attempt bar; the judge's clean re-run read 4.73 s.
+    // After ANY rejected attempt the cap drops to 3x, so this exact
+    // sweep must now read dirty.
+    val wall = Map("b5s_knn_join_skew_grid" -> 12.98)
+    val steady = Map("b5s_knn_join_skew_grid" -> 3.42)
+    assert(Bench.coldSteadyViolations(wall, steady,
+      Bench.firstColdSteadyCap).isEmpty,
+      "3.80x is under the first-attempt bar by design — the defect was " +
+        "applying that bar to a RETRY")
+    val v = Bench.coldSteadyViolations(wall, steady, Bench.retryColdSteadyCap)
+    assert(v.nonEmpty && v.exists(_.contains("b5s_knn_join_skew_grid")),
+      s"the r11 post-retry sweep must be rejected at the 3x retry cap: $v")
+  }
+
   test("a clean sweep at the historical cold/steady ratios passes") {
     // the judge's clean re-run band: ratios 0.93-1.64
     val wall = Map(
