@@ -353,5 +353,17 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
     defineCodeGen(ctx, ev, v => s"$ref.mightContainLong($v)")
   }
 
+  // Array[Byte] in a case class compares by REFERENCE, so two
+  // semantically identical probes would never canonicalize equal and
+  // Catalyst's subexpression reuse could not merge them (ADVICE r11) —
+  // compare the serialized filter by content instead
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContainLong =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

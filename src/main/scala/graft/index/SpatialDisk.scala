@@ -149,7 +149,10 @@ object SpatialDisk {
       s"params=cellBits:$cellBits,bits:$bits",
       "cells=" + cellStats,
       "token=" + token)
-    lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+    // tmp+rename publish (ADVICE r11): append/compact republish the
+    // meta of an EXISTING layout, where a raw overwrite text job would
+    // leave a whole-job no-meta crash window
+    graft.operators.DedupOps.publishMeta(spark, path, lines)
   }
 
   /** Append an ingest wave to an existing layout. New rows route with
@@ -251,7 +254,8 @@ object SpatialDisk {
                                 bits: Int, cells: Seq[CellStat], token: String)
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
-    val lines = spark.read.textFile(s"$path/meta").collect()
+    val lines = graft.operators.DedupOps.readMetaLines(spark, path,
+      "SpatialDisk")
     def line(tag: String): String = lines.find(_.startsWith(tag + "="))
       .getOrElse(throw new IllegalArgumentException(
         s"SpatialDisk: no '$tag' line in $path/meta"))

@@ -70,9 +70,12 @@ object DedupOps {
     * (a Spark job), then ONE delete + rename replaces `$path/meta` —
     * the vulnerable window shrinks from a whole job (during which a
     * crash leaves NO meta and bricks every reader, repair included)
-    * to two filesystem metadata ops, and a crash inside even that
-    * window leaves the complete new meta at `meta_tmp`, recoverable
-    * by re-running the verb (every publish recomputes its lines). */
+    * to two filesystem metadata ops. A crash inside even that window
+    * leaves the complete new meta at `meta_tmp`, and the readers heal
+    * it: [[readMetaLines]] promotes a complete `meta_tmp` (its job
+    * `_SUCCESS` marker present) into place when `meta` is absent —
+    * re-running a verb is NOT the recovery (every verb starts by
+    * reading the meta that would be gone). */
   private[graft] def publishMeta(spark: org.apache.spark.sql.SparkSession,
                                  path: String, lines: Seq[String]): Unit = {
     import spark.implicits._
@@ -106,13 +109,40 @@ object DedupOps {
       .coalesce(1).write.mode(mode).parquet(s"$path/bloom")
   }
 
+  /** Read an at-rest layout's meta lines, healing the one crash window
+    * [[publishMeta]] leaves open: between its delete of the old meta
+    * and the rename of `meta_tmp`, a crash leaves NO `$path/meta` —
+    * but the COMPLETE new meta sits at `meta_tmp` (the delete only
+    * runs after the meta_tmp job committed, `_SUCCESS` included). If
+    * `meta` is absent and a complete `meta_tmp` exists, finish the
+    * interrupted rename and read on; an absent meta WITHOUT a complete
+    * meta_tmp is a genuine tear and refuses loudly. */
+  private[graft] def readMetaLines(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      what: String): Array[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = dst.getFileSystem(conf)
+    if (!fs.exists(dst)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/meta_tmp")
+      require(fs.exists(tmp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta_tmp/_SUCCESS")),
+        s"$what: $path/meta is missing and $path/meta_tmp is absent or " +
+          "incomplete (no _SUCCESS) — the layout is torn; rewrite it")
+      require(fs.rename(tmp, dst),
+        s"$what: $path/meta is missing and promoting the complete " +
+          "meta_tmp failed — rename $path/meta_tmp to $path/meta manually")
+    }
+    spark.read.textFile(s"$path/meta").collect()
+  }
+
   /** Parse an at-rest layout's `$path/meta` (the `params=`/`token=`
     * line codec shared by the minhash/CDC/digest indexes) into a map;
     * the write token rides under the reserved key `__token`. */
   private[graft] def indexMeta(
       spark: org.apache.spark.sql.SparkSession, path: String,
       what: String): Map[String, String] = {
-    val lines = spark.read.textFile(s"$path/meta").collect()
+    val lines = readMetaLines(spark, path, what)
     def line(tag: String): String = lines.find(_.startsWith(tag + "="))
       .getOrElse(throw new IllegalArgumentException(
         s"$what: no '$tag' line in $path/meta"))
@@ -416,9 +446,19 @@ object DedupOps {
       * the wave count (k·fpp — visible, never silent: the meta lists
       * every wave). The meta's token list commits LAST; a torn append
       * refuses at read. O(wave) — stored digests are never re-read
-      * beyond the id-clash semi-join. */
+      * beyond the id-clash semi-join.
+      *
+      * `maxBloomBytes` bounds the wave's OWN filter exactly as
+      * [[writeDigestIndex]] bounds the initial one (ADVICE r11: an
+      * unbounded appended wave could add a filter every subsequent
+      * reader must collect and embed in its plan). A wave past the
+      * bound downgrades the LAYOUT to `bloom:no` in the meta — loud,
+      * never silent; the gate stays correct, join-only — because the
+      * readers' filters-cover-exactly-the-admitted-waves invariant
+      * cannot hold with one wave's filter missing. */
     def appendDigestIndex(path: String, idCol: String,
-                          textCol: String): Unit = {
+                          textCol: String,
+                          maxBloomBytes: Long = 128L << 20): Unit = {
       val spark = ds.sparkSession
       val params = DedupOps.indexMeta(spark, path, "appendDigestIndex")
       require(params.contains("__waves"),
@@ -442,7 +482,7 @@ object DedupOps {
         .repartitionByRange(col("__h64"))
         .sortWithinPartitions(col("__h64"))
         .write.mode("append").parquet(s"$path/digests")
-      if (params("bloom") == "yes") {
+      val bloomStatus = if (params("bloom") != "yes") params("bloom") else {
         // built from the rows actually WRITTEN (token-filtered read
         // back), never a second source scan: a non-deterministic wave
         // (sample, limit) would otherwise land digests its own filter
@@ -450,12 +490,17 @@ object DedupOps {
         val written = spark.read.parquet(s"$path/digests")
           .filter(col("__graft_token") === waveToken)
         val n = math.max(1L, written.count())
-        val bf = written.stat.bloomFilter("__h64", n, params("fpp").toDouble)
-        DedupOps.writeBloomRow(spark, path, waveToken, bf, "append")
+        val fpp = params("fpp").toDouble
+        val bloomBits = math.ceil(
+          -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+        if (bloomBits / 8 <= maxBloomBytes) {
+          val bf = written.stat.bloomFilter("__h64", n, fpp)
+          DedupOps.writeBloomRow(spark, path, waveToken, bf, "append")
+          "yes"
+        } else "no" // wave filter past the broadcast bound: downgrade, loudly
       }
-      import spark.implicits._
       DedupOps.publishMeta(spark, path, Seq("params=" + Seq("idCol", "normalized", "bloom", "fpp")
-            .map(k => s"$k:${params(k)}").mkString(","),
+            .map(k => s"$k:${(params + ("bloom" -> bloomStatus))(k)}").mkString(","),
         "token=" + params("__token"),
         "waves=" + params("__waves") + ";" + waveToken))
     }

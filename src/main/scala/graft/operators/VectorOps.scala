@@ -496,8 +496,9 @@ object VectorOps {
       "books=" + meta.books.map(_.map(_.mkString(",")).mkString(";")).mkString("|"),
       s"params=m:${meta.m},ksub:${meta.ksub},scale:${meta.scale},residual:${meta.residual}",
       "token=" + token)
-    import spark.implicits._
-    lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+    // tmp+rename publish (ADVICE r11): a raw overwrite text job leaves
+    // a whole-job no-meta crash window on an EXISTING layout
+    graft.operators.DedupOps.publishMeta(spark, path, lines)
     val sp = new org.apache.hadoop.fs.Path(snap)
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
   }
@@ -573,7 +574,8 @@ object VectorOps {
 
   private[operators] def readIvfPqMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): IvfPqMeta = {
-    val lines = spark.read.textFile(s"$path/meta").collect()
+    val lines = graft.operators.DedupOps.readMetaLines(spark, path,
+      "IVF-PQ layout")
     def line(tag: String): String = lines.find(_.startsWith(tag + "="))
       .getOrElse(throw new IllegalArgumentException(
         s"IVF-PQ layout: no '$tag' line in $path/meta"))
@@ -899,9 +901,10 @@ object VectorOps {
           "books=" + books.map(_.map(_.mkString(",")).mkString(";")).mkString("|"),
           s"params=m:$m,ksub:$ksub,scale:$scale,residual:$residual",
           "token=" + token)
-        val spark = df.sparkSession
-        import spark.implicits._
-        lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta")
+        // tmp+rename publish (ADVICE r11): retrainIvfPq routes through
+        // here on an EXISTING layout, where a raw overwrite text job
+        // would leave a whole-job no-meta crash window
+        graft.operators.DedupOps.publishMeta(df.sparkSession, path, lines)
       } finally base.unpersist()
     }
 

@@ -196,4 +196,23 @@ class ExpressionsSpec extends SparkSpec {
       .select(graft.functions.redactPii($"t")).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g === w) }
   }
+
+  test("bloom probe expressions compare by filter CONTENT, not array reference") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putLong(42L)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    // two semantically identical probes (cloned bytes) must canonicalize
+    // equal or Catalyst subexpression reuse can never merge them
+    val a = BloomMightContainLong(Literal(42L), bytes)
+    val b = BloomMightContainLong(Literal(42L), bytes.clone())
+    assert(a === b)
+    assert(a.hashCode === b.hashCode)
+    assert(a.semanticEquals(b))
+    val different = bytes.clone()
+    different(different.length - 1) = (different(different.length - 1) ^ 1).toByte
+    assert(a !== BloomMightContainLong(Literal(42L), different))
+  }
 }

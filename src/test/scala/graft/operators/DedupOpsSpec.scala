@@ -647,6 +647,49 @@ class DedupOpsSpec extends SparkSpec {
       === wavesAfter.length)
   }
 
+  test("meta crash window heals at read; oversized wave bloom downgrades loudly") {
+    import org.apache.hadoop.fs.Path
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_digest_crash_spec").toString
+    val corpus = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+    val wave2 = docs.filter(col("doc_id") % 10 >= 6)
+    val probe = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    corpus.writeDigestIndex(path, "doc_id", "text")
+    val want = pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text"))
+    // simulate publishMeta's delete->rename crash window: meta gone, the
+    // COMPLETE meta_tmp (with its job _SUCCESS) in its place — the next
+    // read must finish the interrupted rename and answer identically
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(s"$path/meta"), new Path(s"$path/meta_tmp")))
+    assert(pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text"))
+      === want, "read through the crash window changed answers")
+    assert(fs.exists(new Path(s"$path/meta")) &&
+      !fs.exists(new Path(s"$path/meta_tmp")),
+      "the read did not promote meta_tmp back into place")
+    // an appended wave whose own filter would exceed the bound
+    // downgrades the layout to bloom:no — loud in the meta, and the
+    // join-only gate still equals a fresh full write
+    wave2.appendDigestIndex(path, "doc_id", "text", maxBloomBytes = 0L)
+    assert(DedupOps.indexMeta(spark, path, "spec")("bloom") === "no")
+    val fullPath = path + "_full"
+    corpus.unionByName(wave2).writeDigestIndex(fullPath, "doc_id", "text")
+    assert(pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text"))
+      === pairsOf(probe.exactPairsAgainstIndex(fullPath, "doc_id", "text")),
+      "bloom-downgraded layout != fresh full write")
+    // absent meta WITHOUT a complete meta_tmp is a genuine tear: refuse
+    assert(fs.rename(new Path(s"$path/meta"), new Path(s"$path/meta_tmp")))
+    assert(fs.delete(new Path(s"$path/meta_tmp/_SUCCESS"), false))
+    val e = intercept[IllegalArgumentException] {
+      probe.exactPairsAgainstIndex(path, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("torn"), e.getMessage)
+  }
+
   test("digest index: normalized form matches case/punct variants") {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_digest_norm_spec").toString
