@@ -74,10 +74,16 @@ object CorpusOps {
     require(posts.columns.contains("__graft_token"),
       s"matchAllTermsAgainstIndex: $path/postings has no __graft_token " +
         "column — the layout is torn or foreign; rewrite it")
-    posts.filter(assert_true(col("__graft_token").isin(waveTokens: _*),
+    val live = posts.filter(assert_true(col("__graft_token").isin(waveTokens: _*),
         lit(s"matchAllTermsAgainstIndex: write-token mismatch between " +
           s"$path/meta and $path/postings — rewrite the layout")).isNull)
       .filter(col("term").isin(terms.distinct: _*))
+    val survivors = DedupOps.tombstoneIds(spark, path, params,
+        "matchAllTermsAgainstIndex") match {
+      case Some(t) => live.join(t, Seq(idCol), "left_anti")
+      case None    => live
+    }
+    survivors
       .groupBy(col(idCol), col("__dl"))
       .agg(count(lit(1)).as("__nt"))
       .filter(col("__nt") === terms.distinct.length.toLong)
@@ -104,31 +110,45 @@ object CorpusOps {
       s"compactBm25Index: write-token mismatch inside $path/meta " +
         "(token not in the waves list) — rewrite the layout")
     val storedId = params("idCol")
+    // the dictionary may hold delete waves' NEGATIVE df rows under
+    // delete tokens — its admitted set is waves ∪ tombs
+    val tombTokens = DedupOps.tombTokens(params).toSet
     val postings = spark.read.parquet(s"$path/postings")
     val dict = spark.read.parquet(s"$path/terms")
-    for ((df, what) <- Seq((postings, "postings"), (dict, "terms"))) {
+    for ((df, what, toks) <- Seq((postings, "postings", waveTokens),
+        (dict, "terms", waveTokens ++ tombTokens))) {
       require(df.columns.contains("__graft_token"),
         s"compactBm25Index: $path/$what has no __graft_token column — " +
           "the layout is torn or foreign; rewrite it")
       if (!dropForeign) {
         val seen = df.select(col("__graft_token")).distinct()
           .collect().map(_.getString(0)).toSet
-        require(seen.subsetOf(waveTokens),
+        require(seen.subsetOf(toks),
           s"compactBm25Index: $path/$what holds rows under token(s) " +
-            s"${seen.diff(waveTokens)} the meta never admitted — " +
+            s"${seen.diff(toks)} the meta never admitted — " +
             "refusing to compact a torn layout")
       }
     }
-    def admitted(df: DataFrame): DataFrame =
+    def admitted(df: DataFrame, toks: Set[String]): DataFrame =
       if (dropForeign)
-        df.filter(col("__graft_token").isin(waveTokens.toSeq: _*))
+        df.filter(col("__graft_token").isin(toks.toSeq: _*))
       else df
     val snapP = s"$path/compact_snapshot_postings"
     val snapT = s"$path/compact_snapshot_terms"
-    admitted(postings).drop("__graft_token")
+    // admitted delete waves FOLD here: tombstoned postings leave
+    // physically, negative dictionary rows sum away, constants are
+    // already net in the meta (the delete subtracted them)
+    val folded = DedupOps.tombstoneIds(spark, path, params,
+        "compactBm25Index") match {
+      case Some(t) => admitted(postings, waveTokens)
+        .join(t, Seq(storedId), "left_anti")
+      case None => admitted(postings, waveTokens)
+    }
+    folded.drop("__graft_token")
       .write.mode("overwrite").parquet(snapP)
-    admitted(dict).drop("__graft_token")
+    admitted(dict, waveTokens ++ tombTokens).drop("__graft_token")
       .groupBy(col("term")).agg(sum(col("__df")).as("__df"))
+      .filter(col("__df") > 0L)
       .write.mode("overwrite").parquet(snapT)
     val token = java.util.UUID.randomUUID().toString
     spark.read.parquet(snapP)
@@ -146,6 +166,8 @@ object CorpusOps {
       "sumdl=" + params("__sumdl"),
       "token=" + token,
       "waves=" + token))
+    // folded tombstones are inert once the meta stopped listing them
+    DedupOps.deleteDir(spark, s"$path/tombstones")
     val conf = spark.sparkContext.hadoopConfiguration
     for (s <- Seq(snapP, snapT)) {
       val p = new org.apache.hadoop.fs.Path(s)
@@ -157,10 +179,90 @@ object CorpusOps {
     * append back by compacting over only the admitted tokens. The
     * constants stay exact: an append's meta (rows AND summed N/Σdl)
     * commits last, so a torn wave's constants never landed and
-    * dropping its rows restores full consistency. */
+    * dropping its rows restores full consistency. The same argument
+    * covers a torn DELETE: its negative dictionary rows and tombstones
+    * never got admitted, so dropping them rolls the delete back whole
+    * (re-run it). */
   def repairBm25Index(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit =
     compactBm25Index(spark, path, dropForeign = true)
+
+  /** Tombstone-delete ids from a [[DatasetCorpusOps.writeBm25Index]]
+    * layout — the ids-only GDPR purge. The deleted docs' per-term df
+    * and the (N, Σdl) constants are derived FROM THE LAYOUT's own
+    * posting rows (never from caller-supplied text, which could drift
+    * from what was indexed): df deltas append to the dictionary as
+    * NEGATIVE rows under the delete token (the readers already sum df
+    * across waves, so negatives compose for free), the constants
+    * subtract in the meta, ids land at `$path/tombstones`, and the
+    * meta — constants AND the `tombs=` list — commits LAST. Readers
+    * anti-join tombstones on the posting sliver they were reading
+    * anyway; [[compactBm25Index]] folds everything physically. After
+    * the delete the layout answers BIT-EQUAL to a fresh write over the
+    * survivors (integer deltas; same IEEE score chain) — spec-pinned.
+    *
+    * One honest caveat: a doc with ZERO tokens leaves no postings, so
+    * its deletion cannot adjust N (it is indistinguishable from an id
+    * never indexed). Such a doc also never matches any query — the
+    * only drift is avgdl/idf by one empty doc, visible and bounded;
+    * rewrite from source if that matters.
+    *
+    * A tombstoned id stays DEAD for the append clash check (its
+    * posting rows are physically present) until a compact folds it —
+    * re-adding a deleted id is a compact-then-append. */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          ids: DataFrame): Unit = {
+    val params = DedupOps.indexMeta(spark, path, "deleteFromBm25Index")
+    require(params.contains("__waves"),
+      "deleteFromBm25Index: " + path + "/meta has no 'waves' line — the " +
+        "layout predates wave support; rewrite with writeBm25Index")
+    val storedId = params("idCol")
+    require(ids.columns.contains(storedId),
+      s"deleteFromBm25Index: the ids frame must carry the layout's id " +
+        s"column '$storedId' (has: ${ids.columns.mkString(", ")})")
+    val waveTokens = params("__waves").split(";").toSeq
+    require(waveTokens.contains(params("__token")),
+      s"deleteFromBm25Index: write-token mismatch inside $path/meta " +
+        "(token not in the waves list) — rewrite the layout")
+    // only NEWLY deleted ids count (idempotent deletes: an id already
+    // tombstoned must not subtract its constants twice)
+    val fresh = ids.select(col(storedId)).distinct()
+    val newIds = (DedupOps.tombstoneIds(spark, path, params,
+        "deleteFromBm25Index") match {
+      case Some(t) => fresh.join(t, Seq(storedId), "left_anti")
+      case None    => fresh
+    }).localCheckpoint()
+    val posts = spark.read.parquet(s"$path/postings")
+      .filter(assert_true(col("__graft_token").isin(waveTokens: _*),
+        lit(s"deleteFromBm25Index: write-token mismatch between " +
+          s"$path/meta and $path/postings — rewrite the layout")).isNull)
+    // the deleted docs' layout facts, ONE column-pruned semi-join:
+    // (term, id) rows are df units, per-doc dl rides every posting
+    val delPosts = posts.join(newIds, Seq(storedId), "left_semi")
+      .select(col("term"), col(storedId), col("__dl"))
+      .localCheckpoint()
+    val perDoc = delPosts.groupBy(col(storedId))
+      .agg(max(col("__dl")).as("__dl"))
+      .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")).head()
+    val nDelta = perDoc.getLong(0)
+    val sumdlDelta = if (perDoc.isNullAt(1)) 0L else perDoc.getLong(1)
+    val token = java.util.UUID.randomUUID().toString
+    newIds.withColumn("__graft_token", lit(token))
+      .write.mode("append").parquet(s"$path/tombstones")
+    delPosts.groupBy(col("term"))
+      .agg((-count(lit(1))).as("__df"))
+      .withColumn("__graft_token", lit(token))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("append").parquet(s"$path/terms")
+    DedupOps.publishMeta(spark, path, Seq("params=idCol:" + storedId,
+      s"n=${params("__n").toLong - nDelta}",
+      s"sumdl=${params("__sumdl").toLong - sumdlDelta}",
+      "token=" + params("__token"),
+      "waves=" + params("__waves"),
+      "tombs=" + (DedupOps.tombTokens(params) :+ token).mkString(";")))
+  }
 
   /** BM25 top-k answered from a [[DatasetCorpusOps.writeBm25Index]]
     * layout: reads ONLY the query terms' posting rows (pushed `term IN`
@@ -184,18 +286,25 @@ object CorpusOps {
         "(token not in the waves list) — rewrite the layout")
     val nD = params("__n").toLong.toDouble
     val avgdl = params("__sumdl").toLong.toDouble / params("__n").toLong.toDouble
-    def tokenChecked(df: DataFrame, what: String): DataFrame = {
+    // delete waves append NEGATIVE df rows to the dictionary and carry
+    // their own tokens — the dictionary's admitted set is waves ∪ tombs
+    // (postings never hold delete-token rows)
+    val tombTokens = DedupOps.tombTokens(params)
+    def tokenChecked(df: DataFrame, what: String,
+                     admittedTokens: Seq[String]): DataFrame = {
       require(df.columns.contains("__graft_token"),
         s"bm25TopKAgainstIndex: $path/$what has no __graft_token column " +
           "— the layout is torn or foreign; rewrite with writeBm25Index")
-      df.filter(assert_true(col("__graft_token").isin(waveTokens: _*),
+      df.filter(assert_true(col("__graft_token").isin(admittedTokens: _*),
         lit(s"bm25TopKAgainstIndex: write-token mismatch between " +
           s"$path/meta and $path/$what — rewrite the layout")).isNull)
         .drop("__graft_token")
     }
     // one bounded dictionary probe: df for exactly the query terms —
-    // SUMMED across waves (each wave appended its own df rows)
-    val dfByTerm = tokenChecked(spark.read.parquet(s"$path/terms"), "terms")
+    // SUMMED across waves (each wave appended its own df rows; delete
+    // waves appended negative ones)
+    val dfByTerm = tokenChecked(spark.read.parquet(s"$path/terms"), "terms",
+        waveTokens ++ tombTokens)
       .filter(col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("__df")).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -203,8 +312,14 @@ object CorpusOps {
       val dfT = dfByTerm.getOrElse(t, 0L).toDouble
       (nD - dfT + 0.5) / (dfT + 0.5)
     }
-    val posts = tokenChecked(spark.read.parquet(s"$path/postings"), "postings")
+    val posts0 = tokenChecked(spark.read.parquet(s"$path/postings"),
+        "postings", waveTokens)
       .filter(col("term").isin(terms: _*))
+    val posts = DedupOps.tombstoneIds(spark, path, params,
+        "bm25TopKAgainstIndex") match {
+      case Some(t) => posts0.join(t, Seq(idCol), "left_anti")
+      case None    => posts0
+    }
     // pivot to fixed per-term tf columns so the score sums in QUERY-
     // TERM order — the bm25TopK IEEE chain, not an unordered agg
     val pivoted = posts
@@ -555,6 +670,9 @@ object CorpusOps {
       val base = ds.toDF
         .select(size(graft.functions.tokens(col(textCol))).cast("long").as("__dl"))
         .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")).head()
+      // a fresh full write starts a new generation: stale tombstones
+      // from the previous one must not shadow it
+      DedupOps.deleteDir(spark, s"$path/tombstones")
       import spark.implicits._
       DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol",
         s"n=${base.getLong(0)}",
@@ -618,7 +736,8 @@ object CorpusOps {
         s"n=${params("__n").toLong + base.getLong(0)}",
         s"sumdl=${params("__sumdl").toLong + base.getLong(1)}",
         "token=" + params("__token"),
-        "waves=" + params("__waves") + ";" + waveToken))
+        "waves=" + params("__waves") + ";" + waveToken)
+        ++ DedupOps.tombsMetaLine(params))
     }
 
     /** Hybrid retrieval: BM25 keyword candidates re-ranked by exact

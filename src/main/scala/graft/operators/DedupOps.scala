@@ -179,6 +179,117 @@ object DedupOps {
     waveTokens.map(byToken)
   }
 
+  /** Tokens of admitted DELETE waves (the `tombs=` meta line); empty
+    * when the layout has none. */
+  private[graft] def tombTokens(params: Map[String, String]): Seq[String] =
+    params.get("__tombs").toSeq.flatMap(_.split(";")).filter(_.nonEmpty)
+
+  /** The `tombs=` meta line to CARRY FORWARD on an append's meta
+    * republish — dropping it would silently resurrect every deleted
+    * document. Empty when the layout has no delete waves. */
+  private[graft] def tombsMetaLine(params: Map[String, String]): Seq[String] =
+    tombTokens(params) match {
+      case Seq() => Seq.empty
+      case ts    => Seq("tombs=" + ts.mkString(";"))
+    }
+
+  /** The ADMITTED tombstoned ids of a layout (distinct, one column
+    * named the layout's id column), or None when the meta lists no
+    * delete waves. Rows of `$path/tombstones` under tokens the meta's
+    * `tombs=` line never admitted are FILTERED, not refused — the
+    * relaxation is deliberate and safe where the append discipline's
+    * loud refusal is not: an unadmitted tombstone row applied would
+    * over-delete, but ignored it just serves the last committed state
+    * (a torn delete is a no-op until its meta commit lands; the caller
+    * saw the failure and re-runs). Compact/repair clear the orphans. */
+  private[graft] def tombstoneIds(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      params: Map[String, String], what: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val toks = tombTokens(params)
+    if (toks.isEmpty) None
+    else Some(spark.read.parquet(s"$path/tombstones")
+      .filter(col("__graft_token").isin(toks: _*))
+      .select(col(params("idCol"))).distinct())
+  }
+
+  /** Delete a directory if present (stale tombstones on a fresh full
+    * write; folded tombstones after compact). */
+  private[graft] def deleteDir(spark: org.apache.spark.sql.SparkSession,
+                               p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+  }
+
+  /** Tombstone-delete shared by the digest/minhash/CDC layouts: the
+    * ids land at `$path/tombstones` under a FRESH delete token and the
+    * meta's `tombs=` list commits LAST (the wave discipline); readers
+    * subtract admitted tombstones, so the layout answers as if the
+    * documents were never written, and [[compactDigestIndex]] /
+    * [[compactMinhashIndex]] / [[compactCdcIndex]] fold them
+    * physically. Ids-only API — a GDPR purge needs no text. Already-
+    * tombstoned ids are skipped (a delete is idempotent); absent ids
+    * are harmless no-ops. A tombstoned id stays DEAD for the append
+    * clash check (its rows are still physically present) until a
+    * compact folds it out — re-adding a deleted id is a
+    * compact-then-append, never a silent resurrection. */
+  private def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              ids: org.apache.spark.sql.DataFrame,
+                              caller: String,
+                              paramKeys: Seq[String]): Unit = {
+    val params = indexMeta(spark, path, caller)
+    require(params.contains("__waves"),
+      s"$caller: $path/meta has no 'waves' line — the layout predates " +
+        "wave support; rewrite it")
+    val storedId = params("idCol")
+    require(ids.columns.contains(storedId),
+      s"$caller: the ids frame must carry the layout's id column " +
+        s"'$storedId' (has: ${ids.columns.mkString(", ")})")
+    val token = java.util.UUID.randomUUID().toString
+    val fresh = ids.select(col(storedId)).distinct()
+    val newIds = tombstoneIds(spark, path, params, caller) match {
+      case Some(t) => fresh.join(t, Seq(storedId), "left_anti")
+      case None    => fresh
+    }
+    newIds.withColumn("__graft_token", lit(token))
+      .write.mode("append").parquet(s"$path/tombstones")
+    publishMeta(spark, path, Seq(
+      "params=" + paramKeys.map(k => s"$k:${params(k)}").mkString(","),
+      "token=" + params("__token"),
+      "waves=" + params("__waves"),
+      "tombs=" + (tombTokens(params) :+ token).mkString(";")))
+  }
+
+  /** Tombstone-delete ids from a [[DatasetDedupOps.writeDigestIndex]]
+    * layout (see [[deleteFromIndex]] for the semantics). The per-wave
+    * Bloom filters stay as written: a filter cannot un-contain, but a
+    * tombstoned maybe just fails the confirm join — definite-no stays
+    * definite, and compact rebuilds the filter from survivors. */
+  def deleteFromDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            ids: org.apache.spark.sql.DataFrame): Unit =
+    deleteFromIndex(spark, path, ids, "deleteFromDigestIndex", DigestParamKeys)
+
+  /** Tombstone-delete ids from a [[DatasetDedupOps.writeMinhashIndex]]
+    * layout: readers subtract tombstoned ids from the bucket
+    * membership arrays BEFORE the bucket cap (so a capped read answers
+    * exactly like a fresh write over the survivors) and never emit
+    * them as candidates. */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             ids: org.apache.spark.sql.DataFrame): Unit =
+    deleteFromIndex(spark, path, ids, "deleteFromMinhashIndex", MinhashParamKeys)
+
+  /** Tombstone-delete ids from a [[DatasetDedupOps.writeCdcIndex]]
+    * layout: readers subtract tombstoned ids from the chunk membership
+    * arrays BEFORE the boilerplate cap. */
+  def deleteFromCdcIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         ids: org.apache.spark.sql.DataFrame): Unit =
+    deleteFromIndex(spark, path, ids, "deleteFromCdcIndex", CdcParamKeys)
+
   /** Merge a multi-wave [[DatasetDedupOps.writeCdcIndex]] layout back
     * to single-wave form: membership arrays split across appends are
     * re-grouped once and republished under ONE fresh token, restoring
@@ -241,8 +352,14 @@ object DedupOps {
       if (dropForeign)
         digests.filter(col("__graft_token").isin(waveTokens.toSeq: _*))
       else digests
+    // admitted delete waves FOLD here: tombstoned digests leave the
+    // table physically and the rebuilt Bloom filter never saw them
+    val folded = tombstoneIds(spark, path, params, "compactDigestIndex") match {
+      case Some(t) => admitted.join(t, Seq(params("idCol")), "left_anti")
+      case None    => admitted
+    }
     val snap = s"$path/compact_snapshot_digests"
-    admitted.drop("__graft_token").write.mode("overwrite").parquet(snap)
+    folded.drop("__graft_token").write.mode("overwrite").parquet(snap)
     val token = java.util.UUID.randomUUID().toString
     spark.read.parquet(snap)
       .withColumn("__graft_token", lit(token))
@@ -268,6 +385,8 @@ object DedupOps {
         s"bloom:${if (withBloom) "yes" else "no"},fpp:${params("fpp")}",
       "token=" + token,
       "waves=" + token))
+    // folded tombstones are inert once the meta stopped listing them
+    deleteDir(spark, s"$path/tombstones")
     val p = new org.apache.hadoop.fs.Path(snap)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
@@ -307,6 +426,8 @@ object DedupOps {
     Seq("idCol", "window", "maskBits", "minSize", "maxSize", "shingle")
   private[operators] val MinhashParamKeys =
     Seq("idCol", "shingle", "numHashes", "bands", "seed")
+  private[operators] val DigestParamKeys =
+    Seq("idCol", "normalized", "bloom", "fpp")
 
   /** Shared compaction kernel for the wave-appendable membership
     * layouts (CDC chunks, minhash buckets): re-group the split arrays
@@ -347,14 +468,28 @@ object DedupOps {
             "refusing to compact a torn layout")
       }
     }
+    // admitted delete waves FOLD here: tombstoned ids leave the
+    // membership arrays and the shingle table physically, after which
+    // the ids are re-usable (the append clash check sees survivors)
+    val tombs = tombstoneIds(spark, path, params, caller)
+    val storedId = params("idCol")
     val snapM = s"$path/compact_snapshot_$table"
     val snapS = s"$path/compact_snapshot_shingles"
-    admittedRows(members)
+    val exploded = admittedRows(members)
       .select(groupCols.map(col) :+ explode(col("__cids")).as("__cid"): _*)
-      .groupBy(groupCols.map(col): _*)
+    val liveM = tombs match {
+      case Some(t) => exploded.join(
+        t.select(col(storedId).as("__cid")), Seq("__cid"), "left_anti")
+      case None => exploded
+    }
+    liveM.groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
       .write.mode("overwrite").parquet(snapM)
-    admittedRows(shingles).drop("__graft_token")
+    val liveS = tombs match {
+      case Some(t) => admittedRows(shingles).join(t, Seq(storedId), "left_anti")
+      case None    => admittedRows(shingles)
+    }
+    liveS.drop("__graft_token")
       .write.mode("overwrite").parquet(snapS)
     val token = java.util.UUID.randomUUID().toString
     layout(spark.read.parquet(snapM).withColumn("__graft_token", lit(token)))
@@ -366,6 +501,10 @@ object DedupOps {
     DedupOps.publishMeta(spark, path, Seq("params=" + paramKeys.map(k => s"$k:${params(k)}").mkString(","),
       "token=" + token,
       "waves=" + token))
+    // after the meta stopped listing delete waves the dir is inert
+    // (readers ignore unadmitted tombstones) — dropping it last keeps
+    // every crash point recoverable
+    deleteDir(spark, s"$path/tombstones")
     val conf = spark.sparkContext.hadoopConfiguration
     for (s <- Seq(snapM, snapS)) {
       val p = new org.apache.hadoop.fs.Path(s)
@@ -430,6 +569,9 @@ object DedupOps {
           .stat.bloomFilter("__h64", n, fpp)
         DedupOps.writeBloomRow(spark, path, token, bf, "overwrite")
       }
+      // a fresh full write starts a new generation: stale tombstones
+      // from the previous one must not shadow it
+      DedupOps.deleteDir(spark, s"$path/tombstones")
       import spark.implicits._
       DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol,normalized:$normalized," +
           s"bloom:${if (withBloom) "yes" else "no"},fpp:$fpp",
@@ -502,7 +644,8 @@ object DedupOps {
       DedupOps.publishMeta(spark, path, Seq("params=" + Seq("idCol", "normalized", "bloom", "fpp")
             .map(k => s"$k:${(params + ("bloom" -> bloomStatus))(k)}").mkString(","),
         "token=" + params("__token"),
-        "waves=" + params("__waves") + ";" + waveToken))
+        "waves=" + params("__waves") + ";" + waveToken)
+        ++ DedupOps.tombsMetaLine(params))
     }
 
     /** Exact-duplicate pairs of THIS wave against a [[writeDigestIndex]]
@@ -565,11 +708,17 @@ object DedupOps {
       require(stored.columns.contains("__graft_token"),
         s"digest gate: $path/digests has no __graft_token column — the " +
           "layout is torn or foreign; rewrite with writeDigestIndex")
-      val storedOk = stored.filter(
+      val storedOk0 = stored.filter(
         assert_true(col("__graft_token").isin(waveTokens: _*),
           lit(s"digest gate: write-token mismatch between $path/meta and " +
             s"$path/digests — rewrite the layout")).isNull)
         .drop("__graft_token")
+      // admitted delete waves subtract: a tombstoned doc matches nothing
+      val storedOk = DedupOps.tombstoneIds(spark, path, params,
+          "digest gate") match {
+        case Some(t) => storedOk0.join(t, Seq(storedId), "left_anti")
+        case None    => storedOk0
+      }
       val t = if (params("normalized").toBoolean) normalizeText(col(textCol))
               else col(textCol)
       val wave = ds.toDF.select(col(idCol).as("id_new"),
@@ -793,6 +942,9 @@ object DedupOps {
         .select(col(idCol), shingleSet(col(textCol), shingle).as("__shingles"))
         .withColumn("__graft_token", lit(token))
         .write.mode("overwrite").parquet(s"$path/shingles")
+      // a fresh full write starts a new generation: stale tombstones
+      // from the previous one must not shadow it
+      DedupOps.deleteDir(spark, s"$path/tombstones")
       import spark.implicits._
       DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol,shingle:$shingle,numHashes:$numHashes," +
           s"bands:$bands,seed:$seed",
@@ -841,7 +993,8 @@ object DedupOps {
       DedupOps.publishMeta(spark, path, Seq("params=" + DedupOps.MinhashParamKeys
             .map(k => s"$k:${params(k)}").mkString(","),
         "token=" + params("__token"),
-        "waves=" + params("__waves") + ";" + waveToken))
+        "waves=" + params("__waves") + ";" + waveToken)
+        ++ DedupOps.tombsMetaLine(params))
     }
 
     /** Incremental near-dup gate against a [[writeMinhashIndex]] layout:
@@ -888,17 +1041,28 @@ object DedupOps {
       // table is scanned in place, oversized buckets drop on a size()
       val stored = tokenChecked(
         spark.read.parquet(s"$path/buckets"), "buckets")
-      // one wave: arrays are whole, scan in place; several: a bucket's
-      // members may be split across wave rows — re-group (narrow
-      // columns) so the cap sees MERGED populations;
+      // one wave: arrays are whole, scan in place; several waves or a
+      // delete wave: a bucket's members may be split across wave rows
+      // or hold tombstoned ids — re-group (narrow columns) with the
+      // tombstones anti-joined BEFORE the cap, so a capped read answers
+      // exactly like a fresh write over the survivors;
       // [[DedupOps.compactMinhashIndex]] restores the fast path
+      val tombs = DedupOps.tombstoneIds(spark, path, params,
+        "minHashPairsAgainstIndex")
       val member =
-        if (waveTokens.length == 1) stored
-        else stored
-          .select(col("__band"), col("__bucket"),
-            explode(col("__cids")).as("__cid"))
-          .groupBy(col("__band"), col("__bucket"))
-          .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+        if (waveTokens.length == 1 && tombs.isEmpty) stored
+        else {
+          val exploded = stored
+            .select(col("__band"), col("__bucket"),
+              explode(col("__cids")).as("__cid"))
+          val live = tombs match {
+            case Some(t) => exploded.join(
+              t.select(col(storedId).as("__cid")), Seq("__cid"), "left_anti")
+            case None => exploded
+          }
+          live.groupBy(col("__band"), col("__bucket"))
+            .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+        }
       val kept =
         if (maxBucket > 0) member.filter(size(col("__cids")) <= maxBucket)
         else member
@@ -1101,6 +1265,9 @@ object DedupOps {
         .select(col(idCol), shingleSet(col(textCol), shingle).as("__shingles"))
         .withColumn("__graft_token", lit(token))
         .write.mode("overwrite").parquet(s"$path/shingles")
+      // a fresh full write starts a new generation: stale tombstones
+      // from the previous one must not shadow it
+      DedupOps.deleteDir(spark, s"$path/tombstones")
       import spark.implicits._
       DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol,window:$window,maskBits:$maskBits," +
           s"minSize:$minSize,maxSize:$maxSize,shingle:$shingle",
@@ -1153,7 +1320,8 @@ object DedupOps {
       DedupOps.publishMeta(spark, path, Seq("params=" + DedupOps.CdcParamKeys
             .map(k => s"$k:${params(k)}").mkString(","),
         "token=" + params("__token"),
-        "waves=" + params("__waves") + ";" + waveToken))
+        "waves=" + params("__waves") + ";" + waveToken)
+        ++ DedupOps.tombsMetaLine(params))
     }
 
     /** Ingest-wave CDC dedup gate against a [[writeCdcIndex]] layout:
@@ -1197,15 +1365,27 @@ object DedupOps {
       val storedChunks = tokenChecked(
         spark.read.parquet(s"$path/chunks"), "chunks")
       // one wave: membership arrays are whole, scan them in place.
-      // several: a chunk's members may be SPLIT across wave rows, so
-      // re-group before the cap — narrow columns only, and
-      // [[DedupOps.compactCdcIndex]] restores the in-place fast path
+      // several waves or a delete wave: a chunk's members may be SPLIT
+      // across wave rows or hold tombstoned ids, so re-group with the
+      // tombstones anti-joined BEFORE the boilerplate cap (a capped
+      // read answers exactly like a fresh write over the survivors) —
+      // narrow columns only, and [[DedupOps.compactCdcIndex]] restores
+      // the in-place fast path
+      val tombs = DedupOps.tombstoneIds(spark, path, params,
+        "cdcPairsAgainstIndex")
       val merged =
-        if (waveTokens.length == 1) storedChunks
-        else storedChunks
-          .select(col("__h"), explode(col("__cids")).as("__cid"))
-          .groupBy(col("__h"))
-          .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+        if (waveTokens.length == 1 && tombs.isEmpty) storedChunks
+        else {
+          val exploded = storedChunks
+            .select(col("__h"), explode(col("__cids")).as("__cid"))
+          val live = tombs match {
+            case Some(t) => exploded.join(
+              t.select(col(storedId).as("__cid")), Seq("__cid"), "left_anti")
+            case None => exploded
+          }
+          live.groupBy(col("__h"))
+            .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+        }
       val member = merged.filter(size(col("__cids")) <= maxDocsPerChunk)
       val pairs = waveChunks
         .select(col(idCol).as("id_new"), col("__h"))

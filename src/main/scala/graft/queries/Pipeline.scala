@@ -210,6 +210,110 @@ object Pipeline {
       .orderBy(col("id_new"), col("id_corpus"))
   }
 
+  /** Tombstone DELETES on the digest layout with a REAL oracle: waves
+    * 1–5 write, waves 6–9 append, then every doc_id % 3 == 0 corpus
+    * doc is deleted ([[DedupOps.deleteFromDigestIndex]] — ids land
+    * under a delete token, readers anti-join them); the probe wave's
+    * pairs must equal DuckDB's raw-text join against exactly the
+    * SURVIVING corpus docs — write → append → delete answers like a
+    * layout the deleted docs never entered. */
+  def digestDeleteQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_digest_del_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+      .writeDigestIndex(path, "doc_id", "text")
+    docs.filter(col("doc_id") % 10 >= 6)
+      .appendDigestIndex(path, "doc_id", "text")
+    graft.operators.DedupOps.deleteFromDigestIndex(s, path,
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    digestWave(docs).exactPairsAgainstIndex(path, "doc_id", "text")
+      .orderBy(col("id_new"), col("id_corpus"))
+  }
+
+  /** Tombstone DELETES on the CDC chunk index, verdict form: write →
+    * append → delete, then the wave's index-backed pairs must equal
+    * the direct chunk pairs against the SURVIVING corpus bit-for-bit —
+    * before AND after [[DedupOps.compactCdcIndex]] folds the
+    * tombstones physically. */
+  def cdcDeleteQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_cdc_del_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    val corpus0 = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+    val wave2 = docs.filter(col("doc_id") % 10 >= 6)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val del = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+    corpus0.writeCdcIndex(path, "doc_id", "text")
+    wave2.appendCdcIndex(path, "doc_id", "text")
+    graft.operators.DedupOps.deleteFromCdcIndex(s, path, del)
+    val direct = fresh.cdcChunkPairsAgainst(
+      corpus0.unionByName(wave2).join(del, Seq("doc_id"), "left_anti"),
+      "doc_id", "text", minShared = 1)
+    def compare(got: DataFrame, name: String): DataFrame =
+      got.select(col("id_new"), col("id_corpus"),
+        col("shared_chunks").as("__sg"), col("jaccard").as("__jg"))
+        .join(direct.select(col("id_new"), col("id_corpus"),
+          col("shared_chunks").as("__sd"), col("jaccard").as("__jd")),
+          Seq("id_new", "id_corpus"), "full_outer")
+        .agg(
+          (sum(when(col("__sg") === col("__sd") &&
+            col("__jg") === col("__jd"), 0).otherwise(1)) === 0).as(name),
+          (count(lit(1)) > 0).as("nonempty"))
+    // materialize BEFORE the compact folds the tombstone files this
+    // lazy plan reads
+    val viaDeleted = compare(fresh.cdcPairsAgainstIndex(path, "doc_id",
+      "text", minShared = 1), "delete_equals_direct").localCheckpoint()
+    graft.operators.DedupOps.compactCdcIndex(s, path)
+    val viaCompacted = compare(fresh.cdcPairsAgainstIndex(path, "doc_id",
+      "text", minShared = 1), "compact_equals_direct")
+    viaDeleted.select(col("delete_equals_direct"), col("nonempty"))
+      .crossJoin(viaCompacted.select(col("compact_equals_direct")))
+      .select(col("delete_equals_direct"), col("compact_equals_direct"),
+        col("nonempty"))
+  }
+
+  /** Tombstone DELETES on the minhash layout, verdict form: the
+    * deleted ids leave the bucket membership (subtracted BEFORE any
+    * cap) and the index-backed pairs equal the direct banded join
+    * against the surviving corpus — before and after the compaction
+    * fold. */
+  def minHashDeleteQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_minhash_del_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val del = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+    corpus.writeMinhashIndex(path, "doc_id", "text", shingle = 3,
+      numHashes = 64, bands = 16)
+    graft.operators.DedupOps.deleteFromMinhashIndex(s, path, del)
+    val direct = fresh.minHashPairsAgainst(
+      corpus.join(del, Seq("doc_id"), "left_anti"), "doc_id", "text",
+      shingle = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    def compare(got: DataFrame, name: String): DataFrame =
+      got.select(col("id_new"), col("id_corpus"), col("jaccard").as("__jg"))
+        .join(direct.select(col("id_new"), col("id_corpus"),
+          col("jaccard").as("__jd")), Seq("id_new", "id_corpus"), "full_outer")
+        .agg(
+          (sum(when(col("__jg") === col("__jd"), 0).otherwise(1)) === 0)
+            .as(name),
+          (count(lit(1)) > 0).as("nonempty"))
+    // materialize BEFORE the compact folds the tombstone files this
+    // lazy plan reads
+    val viaDeleted = compare(fresh.minHashPairsAgainstIndex(path, "doc_id",
+      "text", threshold = 0.8), "delete_equals_direct").localCheckpoint()
+    graft.operators.DedupOps.compactMinhashIndex(s, path)
+    val viaCompacted = compare(fresh.minHashPairsAgainstIndex(path, "doc_id",
+      "text", threshold = 0.8), "compact_equals_direct")
+    viaDeleted.select(col("delete_equals_direct"), col("nonempty"))
+      .crossJoin(viaCompacted.select(col("compact_equals_direct")))
+      .select(col("delete_equals_direct"), col("compact_equals_direct"),
+        col("nonempty"))
+  }
+
   /** Wave admission into the at-rest CDC index: corpus0 writes the
     * layout, wave2 is APPENDED (O(wave) — corpus rows untouched), the
     * fresh wave gates against the two-wave layout, then
@@ -1292,17 +1396,34 @@ object Pipeline {
     s"""CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"""
   }.mkString(",\n    ")
 
-  private lazy val bm25CtesSql =
+  private def bm25CtesSqlFor(where: String) =
     s"""tk AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'), q -> q != '') AS toks
-       |  FROM documents),
+       |  FROM documents$where),
        |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tk),
        |st AS (SELECT
        |    CAST(count(*) AS DOUBLE) AS n,
        |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
        |    $bm25DfSql
        |  FROM tk)""".stripMargin
+
+  private lazy val bm25CtesSql = bm25CtesSqlFor("")
+
+  /** [[bm25OracleSql]] restricted to the docs surviving the
+    * tx_bm25_delete fixture's tombstone wave (doc_id % 7 == 0 deleted):
+    * the at-rest layout after write -> append -> delete must replay the
+    * EXACT from-scratch scoring over the survivors. */
+  private lazy val bm25DeleteOracleSql =
+    s"""WITH ${bm25CtesSqlFor(" WHERE doc_id % 7 <> 0")}
+       |SELECT doc_id, dl, score FROM (
+       |  SELECT doc_id, dl, score FROM (
+       |    SELECT b.doc_id, b.dl,
+       |      $bm25TermSql AS score
+       |    FROM base b, st) s
+       |  WHERE score > 0
+       |  ORDER BY score DESC, doc_id ASC LIMIT 20) t
+       |ORDER BY doc_id""".stripMargin
 
   /** The reference BM25 semantics (top-20) — answered identically by
     * the from-scratch scorer and the at-rest index. */
@@ -1347,6 +1468,26 @@ object Pipeline {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_bm25_idx_" + Integer.toHexString(d.hashCode)).toString
     documents(s, d).writeBm25Index(path, "doc_id", "text")
+    CorpusOps.bm25TopKAgainstIndex(s, path, bm25Terms, 20)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tombstone DELETES on the BM25 layout with a REAL oracle: even
+    * docs write, odd docs append, every doc_id % 7 == 0 doc is deleted
+    * ([[CorpusOps.deleteFromBm25Index]] — layout-derived negative df
+    * rows, net constants in the meta, tombstones anti-joined at read);
+    * the top-20 must equal DuckDB's from-scratch BM25 replay over the
+    * SURVIVORS, bit for bit. */
+  def bm25DeleteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_del_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0).writeBm25Index(path, "doc_id", "text")
+    docs.filter(col("doc_id") % 2 =!= 0).appendBm25Index(path, "doc_id", "text")
+    CorpusOps.deleteFromBm25Index(s, path,
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
     CorpusOps.bm25TopKAgainstIndex(s, path, bm25Terms, 20)
       .orderBy(col("doc_id"))
   }
@@ -2454,6 +2595,21 @@ object Pipeline {
     "dd_cdc_append" ->
       ("SELECT TRUE AS append_equals_direct, TRUE AS compact_equals_direct, " +
         "TRUE AS nonempty"),
+    // tombstone deletes: the digest layout's raw-text oracle restricted
+    // to the surviving corpus docs (write waves 1-9, doc_id % 3 deleted)
+    "dd_digest_delete" ->
+      s"""WITH wave AS ($digestWaveSql)
+         |SELECT w.id_new, c.doc_id AS id_corpus
+         |FROM wave w JOIN documents c ON w.text = c.text
+         |WHERE c.doc_id % 10 >= 1 AND c.doc_id % 3 <> 0
+         |ORDER BY id_new, id_corpus""".stripMargin,
+    "dd_cdc_delete" ->
+      ("SELECT TRUE AS delete_equals_direct, TRUE AS compact_equals_direct, " +
+        "TRUE AS nonempty"),
+    "dd_minhash_delete" ->
+      ("SELECT TRUE AS delete_equals_direct, TRUE AS compact_equals_direct, " +
+        "TRUE AS nonempty"),
+    "tx_bm25_delete" -> bm25DeleteOracleSql,
     "dd_components_extend" ->
       ("SELECT TRUE AS extend_equals_full, TRUE AS nonempty, " +
         "TRUE AS merges_present"),
@@ -3178,6 +3334,10 @@ object Pipeline {
     "dd_cdc_append" -> (cdcAppendQ _),
     "dd_minhash_append" -> (minhashAppendQ _),
     "dd_digest_append" -> (digestAppendQ _),
+    "dd_digest_delete" -> (digestDeleteQ _),
+    "dd_cdc_delete" -> (cdcDeleteQ _),
+    "dd_minhash_delete" -> (minHashDeleteQ _),
+    "tx_bm25_delete" -> (bm25DeleteQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),

@@ -431,13 +431,25 @@ object StreamingOps {
     }
     val storedB = tokenChecked(
       spark.read.parquet(s"$indexPath/buckets"), "buckets")
+    // multi-wave or tombstoned: re-group the split membership arrays
+    // with admitted delete waves anti-joined out (the batch gate's
+    // exact shape)
+    val tombs = DedupOps.tombstoneIds(spark, indexPath, params,
+      "streamMinhashGate")
     val member =
-      if (waveTokens.length == 1) storedB
-      else storedB
-        .select(col("__band"), col("__bucket"),
-          explode(col("__cids")).as("__cid"))
-        .groupBy(col("__band"), col("__bucket"))
-        .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+      if (waveTokens.length == 1 && tombs.isEmpty) storedB
+      else {
+        val exploded = storedB
+          .select(col("__band"), col("__bucket"),
+            explode(col("__cids")).as("__cid"))
+        val live = tombs match {
+          case Some(t) => exploded.join(
+            t.select(col(storedId).as("__cid")), Seq("__cid"), "left_anti")
+          case None => exploded
+        }
+        live.groupBy(col("__band"), col("__bucket"))
+          .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+      }
     val corpusSh = tokenChecked(
       spark.read.parquet(s"$indexPath/shingles"), "shingles")
       .select(col(storedId).as("id_corpus"), col("__shingles").as("__sh2"))
@@ -496,11 +508,16 @@ object StreamingOps {
     require(waveTokens.contains(params("__token")),
       s"streamDigestGate: write-token mismatch inside $indexPath/meta " +
         "(token not in the waves list) — rewrite the layout")
-    val storedKeys = spark.read.parquet(s"$indexPath/digests")
+    val storedRows = spark.read.parquet(s"$indexPath/digests")
       .filter(assert_true(col("__graft_token").isin(waveTokens: _*),
         lit(s"streamDigestGate: write-token mismatch between " +
           s"$indexPath/meta and $indexPath/digests — rewrite the layout")).isNull)
-      .select(col("__h64"), col("__md5"))
+    // admitted delete waves subtract: a tombstoned doc blocks nothing
+    val storedKeys = (DedupOps.tombstoneIds(spark, indexPath, params,
+        "streamDigestGate") match {
+      case Some(t) => storedRows.join(t, Seq(params("idCol")), "left_anti")
+      case None    => storedRows
+    }).select(col("__h64"), col("__md5"))
     val maybe =
       if (params("bloom") == "yes")
         Some(DedupOps.digestBlooms(spark, indexPath, waveTokens)
@@ -576,12 +593,24 @@ object StreamingOps {
     // MERGED population — without the cap one shared chunk would
     // explode into every arrival (the pair detonation the batch cap
     // exists to prevent)
+    // multi-wave or tombstoned: re-group with admitted delete waves
+    // anti-joined out BEFORE the boilerplate cap (the batch gate's
+    // exact shape)
+    val tombs = DedupOps.tombstoneIds(spark, indexPath, params,
+      "streamCdcIndexGate")
     val merged =
-      if (waveTokens.length == 1) stored
-      else stored
-        .select(col("__h"), explode(col("__cids")).as("__cid"))
-        .groupBy(col("__h"))
-        .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+      if (waveTokens.length == 1 && tombs.isEmpty) stored
+      else {
+        val exploded = stored
+          .select(col("__h"), explode(col("__cids")).as("__cid"))
+        val live = tombs match {
+          case Some(t) => exploded.join(
+            t.select(col(params("idCol")).as("__cid")), Seq("__cid"), "left_anti")
+          case None => exploded
+        }
+        live.groupBy(col("__h"))
+          .agg(sort_array(collect_list(col("__cid"))).as("__cids"))
+      }
     val member = merged.filter(size(col("__cids")) <= maxDocsPerChunk)
     // arrivals live at wavePath — wave selection/staging is the
     // caller's (the streamDigestGate contract); the operator itself

@@ -461,6 +461,83 @@ class CorpusOpsSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("bm25 index delete: bit-equal to a fresh write on survivors; compact folds") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val terms = Seq("spark", "vector", "window", "hash", "merge", "customer")
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_del_spec").toString
+    val survPath = path + "_surv"
+    val corpus0 = docs.filter(col("doc_id") % 2 === 0)
+    val wave = docs.filter(col("doc_id") % 2 =!= 0)
+    val delIds = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    corpus0.writeBm25Index(path, "doc_id", "text")
+    wave.appendBm25Index(path, "doc_id", "text")
+    CorpusOps.deleteFromBm25Index(spark, path, delIds)
+    docs.join(delIds, Seq("doc_id"), "left_anti")
+      .writeBm25Index(survPath, "doc_id", "text")
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    def metaConsts(p: String): (String, String) = {
+      val ls = spark.read.textFile(s"$p/meta").collect()
+      (ls.find(_.startsWith("n=")).get, ls.find(_.startsWith("sumdl=")).get)
+    }
+    val got = top(CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 15))
+    val want = top(CorpusOps.bm25TopKAgainstIndex(spark, survPath, terms, 15))
+    assert(got === want, "deleted layout != fresh write on survivors")
+    // the constants themselves are exact — the same N and Σdl a fresh
+    // survivor write computes from scratch
+    assert(metaConsts(path) === metaConsts(survPath),
+      "delete left drifted constants")
+    // match-all excludes tombstoned docs
+    val mTerms = Seq("spark", "hash")
+    val gotM = CorpusOps.matchAllTermsAgainstIndex(spark, path, mTerms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wantM = CorpusOps.matchAllTermsAgainstIndex(spark, survPath, mTerms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotM === wantM && gotM.nonEmpty)
+    // a second delete of the same ids is an idempotent no-op on the
+    // constants (no double subtraction)
+    CorpusOps.deleteFromBm25Index(spark, path, delIds)
+    assert(metaConsts(path) === metaConsts(survPath),
+      "re-delete subtracted the constants twice")
+    // a tombstoned id stays dead for the clash check until a compact
+    val deadRows = docs.join(delIds, Seq("doc_id"), "left_semi").limit(5)
+    val clash = intercept[IllegalArgumentException] {
+      deadRows.appendBm25Index(path, "doc_id", "text")
+    }
+    assert(clash.getMessage.contains("already exists"))
+    // compact folds: tombstones gone, no negative dictionary rows
+    // survive, answers and constants unchanged, dead ids revive
+    CorpusOps.compactBm25Index(spark, path)
+    assert(!new java.io.File(path, "tombstones").exists(),
+      "compact left the tombstones dir behind")
+    assert(spark.read.parquet(s"$path/terms")
+      .filter(col("__df") <= 0L).count() === 0L,
+      "compact left non-positive dictionary rows")
+    assert(top(CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 15))
+      === want, "compact changed the deleted layout's answers")
+    assert(metaConsts(path) === metaConsts(survPath))
+    deadRows.appendBm25Index(path, "doc_id", "text")
+    // torn delete (tombstones + negative df rows landed, meta didn't)
+    // refuses loudly, and repair rolls the delete back whole
+    val metaBefore = spark.read.textFile(s"$path/meta").collect().toSeq
+    val before = top(CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 15))
+    CorpusOps.deleteFromBm25Index(spark, path,
+      docs.filter(col("doc_id") % 5 === 1).select(col("doc_id")))
+    spark.createDataset(metaBefore).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val e = intercept[Throwable] {
+      CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 5).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("write-token mismatch")), s"$msgs")
+    CorpusOps.repairBm25Index(spark, path)
+    assert(top(CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 15))
+      === before, "repair must roll the torn delete back whole")
+  }
+
   test("matchAllTermsAgainstIndex equals the raw-text conjunction") {
     import graft.operators.CorpusOps
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -690,6 +690,113 @@ class DedupOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("torn"), e.getMessage)
   }
 
+  test("digest index delete: tombstoned docs unmatch; compact folds; ids revive after fold") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_digest_del_spec").toString
+    val corpus0 = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+    val wave2 = docs.filter(col("doc_id") % 10 >= 6)
+    val delIds = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+    val probe = docs
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    corpus0.writeDigestIndex(path, "doc_id", "text")
+    wave2.appendDigestIndex(path, "doc_id", "text")
+    val before = pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text"))
+    DedupOps.deleteFromDigestIndex(spark, path, delIds)
+    val got = pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text"))
+    // reference: fresh full write over the survivors
+    val fullPath = path + "_full"
+    corpus0.unionByName(wave2)
+      .join(delIds, Seq("doc_id"), "left_anti")
+      .writeDigestIndex(fullPath, "doc_id", "text")
+    val want = pairsOf(probe.exactPairsAgainstIndex(fullPath, "doc_id", "text"))
+    assert(got === want, "deleted layout != fresh write on survivors")
+    assert(got.size < before.size, "delete removed no reachable dups — fixture broke")
+    // admit is the exact complement on the survivor corpus
+    val admitted = probe.admitAgainstDigestIndex(path, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantAdmit = probe.admitAgainstDigestIndex(fullPath, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === wantAdmit)
+    // a second delete of the same ids is an idempotent no-op
+    DedupOps.deleteFromDigestIndex(spark, path, delIds)
+    assert(pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text")) === got)
+    // a tombstoned id stays dead for the clash check until a compact
+    val deadRows = docs.join(delIds, Seq("doc_id"), "left_semi").limit(5)
+    val clash = intercept[IllegalArgumentException] {
+      deadRows.appendDigestIndex(path, "doc_id", "text")
+    }
+    assert(clash.getMessage.contains("already exists"))
+    // compact folds: tombstones gone, answers unchanged, ids revive
+    DedupOps.compactDigestIndex(spark, path)
+    assert(!new java.io.File(path, "tombstones").exists(),
+      "compact left the tombstones dir behind")
+    assert(pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text")) === got,
+      "compact changed the deleted layout's answers")
+    assert(!DedupOps.indexMeta(spark, path, "spec").contains("__tombs"))
+    deadRows.appendDigestIndex(path, "doc_id", "text")
+    assert(pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text"))
+      .size > got.size, "re-added docs after the fold must match again")
+  }
+
+  test("minhash index delete: membership subtracts before the cap; compact folds") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_minhash_del_spec").toString
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val delIds = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+    def setOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    corpus.writeMinhashIndex(path, "doc_id", "text")
+    DedupOps.deleteFromMinhashIndex(spark, path, delIds)
+    val fullPath = path + "_full"
+    corpus.join(delIds, Seq("doc_id"), "left_anti")
+      .writeMinhashIndex(fullPath, "doc_id", "text")
+    for (cap <- Seq(0, 8)) {
+      val got = setOf(fresh.minHashPairsAgainstIndex(path, "doc_id", "text",
+        threshold = 0.3, maxBucket = cap))
+      val want = setOf(fresh.minHashPairsAgainstIndex(fullPath, "doc_id", "text",
+        threshold = 0.3, maxBucket = cap))
+      assert(got === want, s"deleted layout != fresh write on survivors (cap $cap)")
+      if (cap == 0) assert(got.nonEmpty, "no pairs at all — fixture broke")
+    }
+    val got0 = setOf(fresh.minHashPairsAgainstIndex(path, "doc_id", "text",
+      threshold = 0.3))
+    DedupOps.compactMinhashIndex(spark, path)
+    assert(!new java.io.File(path, "tombstones").exists())
+    assert(setOf(fresh.minHashPairsAgainstIndex(path, "doc_id", "text",
+      threshold = 0.3)) === got0, "compact changed answers")
+  }
+
+  test("cdc index delete: chunk membership subtracts; compact folds") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_cdc_del_spec").toString
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val delIds = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+    def setOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    corpus.writeCdcIndex(path, "doc_id", "text")
+    DedupOps.deleteFromCdcIndex(spark, path, delIds)
+    val fullPath = path + "_full"
+    corpus.join(delIds, Seq("doc_id"), "left_anti")
+      .writeCdcIndex(fullPath, "doc_id", "text")
+    val got = setOf(fresh.cdcPairsAgainstIndex(path, "doc_id", "text",
+      minShared = 1))
+    val want = setOf(fresh.cdcPairsAgainstIndex(fullPath, "doc_id", "text",
+      minShared = 1))
+    assert(got === want, "deleted layout != fresh write on survivors")
+    assert(got.nonEmpty, "no pairs at all — fixture broke")
+    DedupOps.compactCdcIndex(spark, path)
+    assert(!new java.io.File(path, "tombstones").exists())
+    assert(setOf(fresh.cdcPairsAgainstIndex(path, "doc_id", "text",
+      minShared = 1)) === got, "compact changed answers")
+  }
+
   test("digest index: normalized form matches case/punct variants") {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_digest_norm_spec").toString
