@@ -146,9 +146,13 @@ object CorpusOps {
     }
     folded.drop("__graft_token")
       .write.mode("overwrite").parquet(snapP)
-    admitted(dict, waveTokens ++ tombTokens).drop("__graft_token")
-      .groupBy(col("term")).agg(sum(col("__df")).as("__df"))
-      .filter(col("__df") > 0L)
+    // the dictionary is DERIVED from the folded postings: df = posting
+    // count per term (identical to summing the wave df rows, negatives
+    // included), and the max-score bounds recompute TIGHT — a delete's
+    // stale-but-valid bounds vanish with the rows that justified them
+    spark.read.parquet(snapP)
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"),
+        max(col("__tf")).as("__maxtf"), min(col("__dl")).as("__mindl"))
       .write.mode("overwrite").parquet(snapT)
     val token = java.util.UUID.randomUUID().toString
     spark.read.parquet(snapP)
@@ -250,8 +254,16 @@ object CorpusOps {
     val token = java.util.UUID.randomUUID().toString
     newIds.withColumn("__graft_token", lit(token))
       .write.mode("append").parquet(s"$path/tombstones")
-    delPosts.groupBy(col("term"))
-      .agg((-count(lit(1))).as("__df"))
+    // neutral max-score bounds: max(0)/min(MaxValue) leave the merged
+    // bound untightened — stale-but-valid (a deleted doc that held the
+    // max tf just loosens pruning until a compact recomputes); a
+    // pre-bounds layout keeps its schema
+    val delDict =
+      if (spark.read.parquet(s"$path/terms").columns.contains("__maxtf"))
+        delPosts.groupBy(col("term")).agg((-count(lit(1))).as("__df"),
+          lit(0L).as("__maxtf"), lit(Long.MaxValue).as("__mindl"))
+      else delPosts.groupBy(col("term")).agg((-count(lit(1))).as("__df"))
+    delDict
       .withColumn("__graft_token", lit(token))
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"))
@@ -275,7 +287,8 @@ object CorpusOps {
     * the constants replay the driver arithmetic verbatim. */
   def bm25TopKAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, terms: Seq[String], k: Int,
-                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                           k1: Double = 1.2, b: Double = 0.75,
+                           maxPruneCandidates: Int = 4096): DataFrame = {
     require(terms.nonEmpty && k >= 1, "need terms and k >= 1")
     val params = DedupOps.indexMeta(spark, path, "bm25TopKAgainstIndex")
     val idCol = params("idCol")
@@ -302,44 +315,148 @@ object CorpusOps {
     }
     // one bounded dictionary probe: df for exactly the query terms —
     // SUMMED across waves (each wave appended its own df rows; delete
-    // waves appended negative ones)
-    val dfByTerm = tokenChecked(spark.read.parquet(s"$path/terms"), "terms",
-        waveTokens ++ tombTokens)
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("term")).agg(sum(col("__df")).as("__df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // waves appended negative ones) — plus the max-score bounds when
+    // the layout carries them: max tf only ever grows across waves
+    // (delete waves write the neutral 0), min dl only ever shrinks
+    // (delete waves write Long.MaxValue), so a post-delete bound is
+    // stale-but-valid — looser pruning, never a wrong answer
+    val dictRaw = tokenChecked(spark.read.parquet(s"$path/terms"), "terms",
+      waveTokens ++ tombTokens)
+    val hasBounds = dictRaw.columns.contains("__maxtf") &&
+      dictRaw.columns.contains("__mindl")
+    val dictRows = (
+      if (hasBounds)
+        dictRaw.filter(col("term").isin(terms: _*))
+          .groupBy(col("term")).agg(sum(col("__df")).as("__df"),
+            max(col("__maxtf")).as("__maxtf"), min(col("__mindl")).as("__mindl"))
+      else
+        dictRaw.filter(col("term").isin(terms: _*))
+          .groupBy(col("term")).agg(sum(col("__df")).as("__df"),
+            lit(0L).as("__maxtf"), lit(Long.MaxValue).as("__mindl"))
+      ).collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
     val idf = terms.map { t =>
-      val dfT = dfByTerm.getOrElse(t, 0L).toDouble
+      val dfT = dictRows.get(t).map(_._1).getOrElse(0L).toDouble
       (nD - dfT + 0.5) / (dfT + 0.5)
     }
-    val posts0 = tokenChecked(spark.read.parquet(s"$path/postings"),
-        "postings", waveTokens)
-      .filter(col("term").isin(terms: _*))
-    val posts = DedupOps.tombstoneIds(spark, path, params,
-        "bm25TopKAgainstIndex") match {
-      case Some(t) => posts0.join(t, Seq(idCol), "left_anti")
-      case None    => posts0
+    val tombs = DedupOps.tombstoneIds(spark, path, params,
+      "bm25TopKAgainstIndex")
+    // the posting sliver for a term subset, optionally restricted to a
+    // literal candidate id set (pushed to the parquet scan), always
+    // with admitted tombstones subtracted
+    def postings(subset: Seq[String], ids: Option[Seq[Any]]): DataFrame = {
+      val p0 = tokenChecked(spark.read.parquet(s"$path/postings"),
+          "postings", waveTokens)
+        .filter(col("term").isin(subset: _*))
+      val p1 = ids match {
+        case Some(xs) => p0.filter(col(idCol).isin(xs: _*))
+        case None     => p0
+      }
+      tombs match {
+        case Some(t) => p1.join(t, Seq(idCol), "left_anti")
+        case None    => p1
+      }
     }
-    // pivot to fixed per-term tf columns so the score sums in QUERY-
-    // TERM order — the bm25TopK IEEE chain, not an unordered agg
-    val pivoted = posts
-      .groupBy(col(idCol), col("__dl"))
-      .agg(
-        max(when(col("term") === terms.head, col("__tf"))).as("__t0"),
-        terms.tail.zipWithIndex.map { case (t, i) =>
-          max(when(col("term") === t, col("__tf"))).as(s"__t${i + 1}")
-        }: _*)
     val dlD = col("__dl").cast("double")
-    val termScores = terms.indices.map { i =>
-      val tf = coalesce(col(s"__t$i"), lit(0L)).cast("double")
+    // one term's contribution — the EXACT column the final chain sums,
+    // reused standalone by the pruning phases
+    def contribution(i: Int, tf: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
       lit(idf(i)) * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl)))
+    // pivot to fixed per-term tf columns so the score sums in QUERY-
+    // TERM order — the bm25TopK IEEE chain, not an unordered agg
+    def scoreTopK(posts: DataFrame): DataFrame = {
+      val pivoted = posts
+        .groupBy(col(idCol), col("__dl"))
+        .agg(
+          max(when(col("term") === terms.head, col("__tf"))).as("__t0"),
+          terms.tail.zipWithIndex.map { case (t, i) =>
+            max(when(col("term") === t, col("__tf"))).as(s"__t${i + 1}")
+          }: _*)
+      val termScores = terms.indices.map { i =>
+        contribution(i, coalesce(col(s"__t$i"), lit(0L)).cast("double"))
+      }
+      pivoted.withColumn("score", termScores.reduce(_ + _))
+        .filter(col("score") > 0.0)
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(k)
+        .select(col(idCol), col("__dl").as("dl"), col("score"))
     }
-    pivoted.withColumn("score", termScores.reduce(_ + _))
-      .filter(col("score") > 0.0)
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
-      .select(col(idCol), col("__dl").as("dl"), col("score"))
+    // ---- max-score pruning (LOSSLESS — every skip is justified by an
+    // upper bound; any doubt falls back to the full plan) -------------
+    // Per-term upper bound on any posting's contribution: the score is
+    // increasing in tf and decreasing in dl, so f(maxtf, mindl) bounds
+    // every (tf, dl) the term stores — for ANY (k1, b, avgdl), which is
+    // why the DICTIONARY stores the parameter-free (maxtf, mindl) pair
+    // instead of a baked score. Driver arithmetic mirrors the column
+    // expression op-for-op (IEEE ops are monotone, so the bound holds
+    // in floats, not just reals).
+    def driverContribution(i: Int, tf: Double, dl: Double): Double =
+      idf(i) * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    val prunedResult: Option[DataFrame] =
+      if (!hasBounds || terms.distinct != terms) None
+      else {
+        val ub = terms.indices.map { i =>
+          dictRows.get(terms(i)) match {
+            case Some((df, maxtf, mindl)) if df > 0L && maxtf > 0L =>
+              driverContribution(i, maxtf.toDouble, mindl.toDouble)
+            case _ => 0.0 // no live postings -> contributes nothing
+          }
+        }
+        // bootstrap threshold: the k-th largest SINGLE-TERM contribution
+        // of the best-bounded term is a lower bound on the final k-th
+        // score (each of those k docs' true score >= that contribution)
+        val tStar = ub.indices.maxBy(ub)
+        val theta0 = if (ub(tStar) <= 0.0) Array.empty[Double] else
+          postings(Seq(terms(tStar)), None)
+            .select(contribution(tStar, col("__tf").cast("double")).as("__c"))
+            .orderBy(col("__c").desc).limit(k)
+            .collect().map(_.getDouble(0))
+        if (theta0.length < k) None // fewer than k docs hold t* — no bound
+        else {
+          val theta = theta0.last
+          // non-essential terms: the largest ascending-ub prefix whose
+          // SUM stays strictly under theta — a doc matching only those
+          // scores < theta <= kth score and can never rank
+          val byUb = terms.indices.sortBy(ub)
+          val ne = scala.collection.mutable.ArrayBuffer[Int]()
+          var cum = 0.0
+          for (i <- byUb) if (cum + ub(i) < theta) { cum += ub(i); ne += i }
+          val neSet = ne.toSet
+          val essential = terms.indices.filterNot(neSet).map(terms)
+          if (ne.isEmpty) None // every term essential — nothing to skip
+          else {
+            // phase 1: exact contributions over the ESSENTIAL terms'
+            // postings only (the skipped rows are the win), plus the
+            // non-essential sum as a constant optimistic remainder
+            val pivotE = postings(essential, None)
+              .groupBy(col(idCol), col("__dl"))
+              .agg(
+                max(when(col("term") === essential.head, col("__tf"))).as("__e0"),
+                essential.tail.zipWithIndex.map { case (t, i) =>
+                  max(when(col("term") === t, col("__tf"))).as(s"__e${i + 1}")
+                }: _*)
+            val eScores = essential.indices.map { j =>
+              val i = terms.indexOf(essential(j))
+              contribution(i, coalesce(col(s"__e$j"), lit(0L)).cast("double"))
+            }
+            val cands = pivotE
+              .withColumn("__ub", eScores.reduce(_ + _) + lit(cum))
+              .filter(col("__ub") >= theta)
+              .select(col(idCol))
+              .limit(maxPruneCandidates + 1)
+              .collect().map(_.get(0))
+            if (cands.length > maxPruneCandidates) None // cap blown — full plan
+            // phase 2: exact re-score of ONLY the candidates over all
+            // terms (pushed id IN — the readIvfPqTopK refine
+            // discipline); same pivot, same IEEE chain, bit-equal
+            else Some(scoreTopK(postings(terms, Some(cands.toSeq))))
+          }
+        }
+      }
+    prunedResult.getOrElse(scoreTopK(postings(terms, None)))
   }
 
   /** FULLY at-rest hybrid retrieval: BM25 candidates from the
@@ -656,7 +773,11 @@ object CorpusOps {
         .repartitionByRange(col("term"))
         .sortWithinPartitions(col("term"), col(idCol))
         .write.mode("overwrite").parquet(s"$path/postings")
-      tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      // (max tf, min dl) per term are the max-score bounds: parameter-
+      // free (valid for any query's k1/b and any future avgdl), they
+      // let the reader skip whole non-essential terms losslessly
+      tf.groupBy(col("term")).agg(count(lit(1)).as("__df"),
+          max(col("__tf")).as("__maxtf"), min(col("__dl")).as("__mindl"))
         .withColumn("__graft_token", lit(token))
         .repartitionByRange(col("term"))
         .sortWithinPartitions(col("term"))
@@ -724,7 +845,15 @@ object CorpusOps {
         .repartitionByRange(col("term"))
         .sortWithinPartitions(col("term"), col(storedId))
         .write.mode("append").parquet(s"$path/postings")
-      tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      // per-wave max-score bounds merge at read (max/min across waves);
+      // a pre-bounds layout keeps its schema — mixing bound and
+      // boundless dictionary files would corrupt the read
+      val dictAgg =
+        if (spark.read.parquet(s"$path/terms").columns.contains("__maxtf"))
+          tf.groupBy(col("term")).agg(count(lit(1)).as("__df"),
+            max(col("__tf")).as("__maxtf"), min(col("__dl")).as("__mindl"))
+        else tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      dictAgg
         .withColumn("__graft_token", lit(waveToken))
         .repartitionByRange(col("term"))
         .sortWithinPartitions(col("term"))

@@ -20,11 +20,10 @@ class PlanGateSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
-  /** All parquet scans of an EXECUTED plan, descending through AQE
-    * stages, exchange reuse, and (DPP) subqueries. */
-  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
+  /** All nodes of an EXECUTED plan, descending through AQE stages,
+    * exchange reuse, and (DPP) subqueries. */
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
@@ -33,9 +32,15 @@ class PlanGateSpec extends SparkSpec {
       case r: ReusedExchangeExec => Seq(r.child)
       case _ => p.children
     }
-    val here = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
-    here ++ (kids ++ p.subqueries).flatMap(fileScans)
+    p +: (kids ++ p.subqueries).flatMap(planNodes)
   }
+
+  /** All parquet scans of an EXECUTED plan. */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    planNodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
 
   private lazy val cust = customerPts(spark, sf())
   private lazy val supp = supplierPts(spark, sf())
@@ -153,6 +158,78 @@ class PlanGateSpec extends SparkSpec {
         s"layout scan read $read partitions of a $cells-cell layout — pruning inert")
       assert(read <= 2, s"1-row wave at nprobe=2 must read <= 2 cells, read $read")
     }
+  }
+
+  test("bm25 max-score: non-essential high-df terms' postings are skipped, losslessly") {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_plangate_wand").toString
+    // skewed corpus: every doc holds the high-df term 'common' (idf and
+    // max-score bound near zero), one in 97 also holds 'rare'
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("common"),
+        when(col("id") % 97 === 0, lit("rare rare")).otherwise(lit("filler")),
+        lit("pad pad pad")).as("text"))
+    docs.writeBm25Index(path, "doc_id", "text")
+    val terms = Seq("rare", "common")
+    val full = CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 5,
+      maxPruneCandidates = 0) // cap 0 forces the unpruned plan
+    val fullRows = full.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val pruned = CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 5)
+    val prunedRows = pruned.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(prunedRows === fullRows, "max-score pruning changed answers")
+    assert(fullRows.size === 5)
+    // "posting rows read": rows surviving the plan's pushed predicates
+    // (the FilterExec directly over each postings scan) — the quantity
+    // term-clustered row-group stats skip at real scale; this tiny
+    // fixture is a single row group, so the scan metric itself cannot
+    // show the skip. The pruned FINAL plan must carry a pushed doc_id
+    // IN over the candidates and surface only their postings; the full
+    // plan surfaces every query-term posting (~2021: 2000 'common' +
+    // ~21 'rare'). The operator's two internal bootstrap jobs add ~2x
+    // the rare df — still orders of magnitude under the full read.
+    // a filter is "directly over" a scan when no aggregate/join/
+    // exchange separates them — the score>0 filter above the pivot agg
+    // must not masquerade as the scan's predicate
+    def directScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => Nil
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => Nil
+      case _: org.apache.spark.sql.execution.exchange.Exchange => Nil
+      case other => other.children.flatMap(directScans)
+    }
+    def postingRowsSurfaced(df: org.apache.spark.sql.DataFrame): Long = {
+      val nodes = planNodes(df.queryExecution.executedPlan)
+      val scans = fileScans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(
+          _.toString.contains("graft_plangate_wand/postings")))
+      scans.map { s =>
+        val above = nodes.collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+              if directScans(f.child).exists(_ eq s) =>
+            f.metrics("numOutputRows").value
+        }
+        if (above.isEmpty) s.metrics("numOutputRows").value else above.min
+      }.sum
+    }
+    val rareDf = 2000 / 97 + 1
+    val prunedScans = fileScans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("graft_plangate_wand/postings")))
+    assert(prunedScans.nonEmpty && prunedScans.forall(s =>
+      s.metadata.get("PushedFilters").exists(_.contains("In(doc_id"))),
+      s"pruned plan lost its pushed candidate id IN: " +
+        prunedScans.map(_.metadata.get("PushedFilters")).mkString("; "))
+    assert(postingRowsSurfaced(full) > 2000,
+      s"full plan surfaced ${postingRowsSurfaced(full)} — fixture broke")
+    val prunedRead = postingRowsSurfaced(pruned) + 2L * rareDf
+    assert(prunedRead < postingRowsSurfaced(full) / 10,
+      s"pruned path surfaced $prunedRead vs full " +
+        s"${postingRowsSurfaced(full)} — pruning inert")
   }
 
   test("PQ ANN: shuffle-free ADC scoring over literal tables, TakeOrdered cut") {
