@@ -165,11 +165,14 @@ object CorpusOps {
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$path/terms")
+    val idOk = DedupOps.writeIdBloomRow(spark, path, "postings", storedId,
+      token, "overwrite")
     DedupOps.publishMeta(spark, path, Seq("params=idCol:" + storedId,
       "n=" + params("__n"),
       "sumdl=" + params("__sumdl"),
       "token=" + token,
-      "waves=" + token))
+      "waves=" + token)
+      ++ DedupOps.idBloomMetaLine(idOk))
     // folded tombstones are inert once the meta stopped listing them
     DedupOps.deleteDir(spark, s"$path/tombstones")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -273,7 +276,9 @@ object CorpusOps {
       s"sumdl=${params("__sumdl").toLong - sumdlDelta}",
       "token=" + params("__token"),
       "waves=" + params("__waves"),
-      "tombs=" + (DedupOps.tombTokens(params) :+ token).mkString(";")))
+      "tombs=" + (DedupOps.tombTokens(params) :+ token).mkString(";"))
+      // a delete adds no physical ids — clash-gate coverage unchanged
+      ++ DedupOps.idBloomMetaLine(params.get("__idbloom").contains("yes")))
   }
 
   /** BM25 top-k answered from a [[DatasetCorpusOps.writeBm25Index]]
@@ -794,12 +799,15 @@ object CorpusOps {
       // a fresh full write starts a new generation: stale tombstones
       // from the previous one must not shadow it
       DedupOps.deleteDir(spark, s"$path/tombstones")
+      val idOk = DedupOps.writeIdBloomRow(spark, path, "postings", idCol,
+        token, "overwrite")
       import spark.implicits._
       DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol",
         s"n=${base.getLong(0)}",
         s"sumdl=${base.getLong(1)}",
         "token=" + token,
-        "waves=" + token))
+        "waves=" + token)
+        ++ DedupOps.idBloomMetaLine(idOk))
     }
 
     /** Admit THIS dataset into a [[writeBm25Index]] layout as a new
@@ -822,13 +830,8 @@ object CorpusOps {
       require(params("__waves").split(";").contains(params("__token")),
         s"appendBm25Index: write-token mismatch inside $path/meta " +
           "(token not in the waves list) — rewrite the layout")
-      val clash = ds.toDF.select(col(idCol))
-        .join(spark.read.parquet(s"$path/postings")
-          .select(col(storedId).as(idCol)), Seq(idCol), "left_semi")
-        .limit(1).collect()
-      require(clash.isEmpty,
-        s"appendBm25Index: wave id ${clash.headOption.map(_.get(0))} " +
-          s"already exists in $path — ids must be unique across waves")
+      DedupOps.idClashCheck(spark, path, "postings", "appendBm25Index",
+        ds.toDF.select(col(idCol).as(storedId)), storedId, params)
       val waveToken = java.util.UUID.randomUUID().toString
       // one checkpointed tf feeds both the postings and dictionary
       // appends (the writeBm25Index discipline)
@@ -861,12 +864,16 @@ object CorpusOps {
       val base = ds.toDF
         .select(size(graft.functions.tokens(col(textCol))).cast("long").as("__dl"))
         .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")).head()
+      val idOk = params.get("__idbloom").contains("yes") &&
+        DedupOps.writeIdBloomRow(spark, path, "postings", storedId,
+          waveToken, "append")
       DedupOps.publishMeta(spark, path, Seq("params=idCol:" + storedId,
         s"n=${params("__n").toLong + base.getLong(0)}",
         s"sumdl=${params("__sumdl").toLong + base.getLong(1)}",
         "token=" + params("__token"),
         "waves=" + params("__waves") + ";" + waveToken)
-        ++ DedupOps.tombsMetaLine(params))
+        ++ DedupOps.tombsMetaLine(params)
+        ++ DedupOps.idBloomMetaLine(idOk))
     }
 
     /** Hybrid retrieval: BM25 keyword candidates re-ranked by exact

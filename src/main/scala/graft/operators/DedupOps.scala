@@ -91,11 +91,12 @@ object DedupOps {
   }
 
   /** Serialize one Bloom filter as a token-paired row of
-    * `$path/bloom` — the digest layout's per-wave filter store. */
+    * `$path/$dir` — the digest layout's per-wave filter store and the
+    * append clash gate's per-wave id filters. */
   private def writeBloomRow(spark: org.apache.spark.sql.SparkSession,
                             path: String, token: String,
                             bf: org.apache.spark.util.sketch.BloomFilter,
-                            mode: String): Unit = {
+                            mode: String, dir: String = "bloom"): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -106,7 +107,90 @@ object DedupOps {
     spark.createDataFrame(
       java.util.Arrays.asList(
         org.apache.spark.sql.Row(token, bos.toByteArray)), schema)
-      .coalesce(1).write.mode(mode).parquet(s"$path/bloom")
+      .coalesce(1).write.mode(mode).parquet(s"$path/$dir")
+  }
+
+  /** Per-wave id Bloom of the append clash gate: built from the rows
+    * actually WRITTEN to `$path/$table` under `token` (never a second
+    * source scan — a non-deterministic wave would land ids its own
+    * filter never saw, and an id the filter misses is a silently
+    * admitted duplicate later). Long-typed ids only (the probe is a
+    * codegen'd long expression) and size-capped like every graft
+    * filter; returns whether the filter landed — a `false` flips the
+    * layout's `idbloom` meta to `no` and the clash gate stays on the
+    * semi-join path. */
+  private[graft] def writeIdBloomRow(
+      spark: org.apache.spark.sql.SparkSession, path: String, table: String,
+      storedId: String, token: String, mode: String,
+      fpp: Double = 1e-6, maxBloomBytes: Long = 128L << 20): Boolean = {
+    // fpp sits far below the digest filters' 1%: the fast path only
+    // fires when the WHOLE wave probes clean, P(clean) = (1-fpp)^|wave|
+    // — at 1e-6 (~3.6 bytes/id, ~37M ids under the default cap) a
+    // 100k-id wave still clears with p~0.9, where 1% would force the
+    // confirm join on essentially every append
+    val written = spark.read.parquet(s"$path/$table")
+      .filter(col("__graft_token") === token)
+      .select(col(storedId))
+    if (written.schema.head.dataType !=
+        org.apache.spark.sql.types.LongType) return false
+    val n = math.max(1L, written.distinct().count())
+    val bloomBits = math.ceil(
+      -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    if (bloomBits / 8 > maxBloomBytes) false
+    else {
+      val bf = written.stat.bloomFilter(storedId, n, fpp)
+      writeBloomRow(spark, path, token, bf, mode, dir = "idbloom")
+      true
+    }
+  }
+
+  /** The `idbloom=` meta line for a publish: `yes` only while EVERY
+    * admitted wave's id filter landed (an uncovered wave would turn a
+    * bloom miss into a silently admitted duplicate id). */
+  private[graft] def idBloomMetaLine(ok: Boolean): Seq[String] =
+    Seq("idbloom=" + (if (ok) "yes" else "no"))
+
+  /** Append-time id-clash gate at O(wave): when the layout carries
+    * complete per-wave id Blooms (meta `idbloom=yes`), the wave's ids
+    * probe the OR of the stored filters LOCALLY — a wave with zero
+    * maybes skips the O(table) id semi-join entirely (the common
+    * no-clash case the r11 verdict flagged), and only the maybes ride
+    * the confirm join (bloom false positives are expected and
+    * harmless). A bloom-less or downgraded layout confirms the whole
+    * wave as before. The probe set is EVERY filter row present —
+    * admitted or torn — because over-covering only costs a confirm
+    * join, while under-covering would silently admit a duplicate.
+    * Returns true when the bloom fast path cleared the wave without
+    * touching the stored table (spec surface). */
+  private[graft] def idClashCheck(
+      spark: org.apache.spark.sql.SparkSession, path: String, table: String,
+      caller: String, waveIds: org.apache.spark.sql.DataFrame,
+      storedId: String, params: Map[String, String]): Boolean = {
+    import graft.functions.bloomMightContain
+    def confirm(suspects: org.apache.spark.sql.DataFrame): Unit = {
+      val clash = suspects
+        .join(spark.read.parquet(s"$path/$table")
+          .select(col(storedId)), Seq(storedId), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"$caller: wave id ${clash.headOption.map(_.get(0))} " +
+          s"already exists in $path — ids must be unique across waves")
+    }
+    val useBloom = params.get("__idbloom").contains("yes") &&
+      waveIds.schema.head.dataType == org.apache.spark.sql.types.LongType
+    if (useBloom) {
+      val blooms = spark.read.parquet(s"$path/idbloom")
+        .select(col("__bloom")).collect().map(_.getAs[Array[Byte]](0))
+      if (blooms.nonEmpty) {
+        val maybes = waveIds.filter(blooms.map(b =>
+          bloomMightContain(col(storedId), b)).reduce(_ || _))
+        if (maybes.limit(1).collect().isEmpty) return true // wave-local only
+        confirm(maybes)
+        return false
+      }
+    }
+    confirm(waveIds)
+    false
   }
 
   /** Read an at-rest layout's meta lines, healing the one crash window
@@ -259,7 +343,9 @@ object DedupOps {
       "params=" + paramKeys.map(k => s"$k:${params(k)}").mkString(","),
       "token=" + params("__token"),
       "waves=" + params("__waves"),
-      "tombs=" + (tombTokens(params) :+ token).mkString(";")))
+      "tombs=" + (tombTokens(params) :+ token).mkString(";"))
+      // a delete adds no physical ids — clash-gate coverage unchanged
+      ++ idBloomMetaLine(params.get("__idbloom").contains("yes")))
   }
 
   /** Tombstone-delete ids from a [[DatasetDedupOps.writeDigestIndex]]
@@ -380,11 +466,14 @@ object DedupOps {
         .stat.bloomFilter("__h64", n, fpp)
       DedupOps.writeBloomRow(spark, path, token, bf, "overwrite")
     }
+    val idOk = writeIdBloomRow(spark, path, "digests", params("idCol"),
+      token, "overwrite", maxBloomBytes = maxBloomBytes)
     publishMeta(spark, path, Seq(
       s"params=idCol:${params("idCol")},normalized:${params("normalized")}," +
         s"bloom:${if (withBloom) "yes" else "no"},fpp:${params("fpp")}",
       "token=" + token,
-      "waves=" + token))
+      "waves=" + token)
+      ++ idBloomMetaLine(idOk))
     // folded tombstones are inert once the meta stopped listing them
     deleteDir(spark, s"$path/tombstones")
     val p = new org.apache.hadoop.fs.Path(snap)
@@ -497,10 +586,13 @@ object DedupOps {
     spark.read.parquet(snapS)
       .withColumn("__graft_token", lit(token))
       .write.mode("overwrite").parquet(s"$path/shingles")
+    val idOk = writeIdBloomRow(spark, path, "shingles", storedId,
+      token, "overwrite")
     import spark.implicits._
     DedupOps.publishMeta(spark, path, Seq("params=" + paramKeys.map(k => s"$k:${params(k)}").mkString(","),
       "token=" + token,
-      "waves=" + token))
+      "waves=" + token)
+      ++ idBloomMetaLine(idOk))
     // after the meta stopped listing delete waves the dir is inert
     // (readers ignore unadmitted tombstones) — dropping it last keeps
     // every crash point recoverable
@@ -572,11 +664,14 @@ object DedupOps {
       // a fresh full write starts a new generation: stale tombstones
       // from the previous one must not shadow it
       DedupOps.deleteDir(spark, s"$path/tombstones")
+      val idOk = DedupOps.writeIdBloomRow(spark, path, "digests", idCol,
+        token, "overwrite", maxBloomBytes = maxBloomBytes)
       import spark.implicits._
       DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol,normalized:$normalized," +
           s"bloom:${if (withBloom) "yes" else "no"},fpp:$fpp",
         "token=" + token,
-        "waves=" + token))
+        "waves=" + token)
+        ++ DedupOps.idBloomMetaLine(idOk))
     }
 
     /** Admit THIS dataset into a [[writeDigestIndex]] layout as a new
@@ -607,13 +702,8 @@ object DedupOps {
         s"appendDigestIndex: $path/meta has no 'waves' line — the " +
           "layout predates wave support; rewrite with writeDigestIndex")
       val storedId = params("idCol")
-      val clash = ds.toDF.select(col(idCol))
-        .join(spark.read.parquet(s"$path/digests")
-          .select(col(storedId).as(idCol)), Seq(idCol), "left_semi")
-        .limit(1).collect()
-      require(clash.isEmpty,
-        s"appendDigestIndex: wave id ${clash.headOption.map(_.get(0))} " +
-          s"already exists in $path — ids must be unique across waves")
+      DedupOps.idClashCheck(spark, path, "digests", "appendDigestIndex",
+        ds.toDF.select(col(idCol).as(storedId)), storedId, params)
       val waveToken = java.util.UUID.randomUUID().toString
       val t = if (params("normalized").toBoolean) normalizeText(col(textCol))
               else col(textCol)
@@ -641,11 +731,17 @@ object DedupOps {
           "yes"
         } else "no" // wave filter past the broadcast bound: downgrade, loudly
       }
+      // the wave's id filter keeps the clash gate's coverage complete;
+      // a downgraded layout stays downgraded (no wasted filter job)
+      val idOk = params.get("__idbloom").contains("yes") &&
+        DedupOps.writeIdBloomRow(spark, path, "digests", storedId,
+          waveToken, "append")
       DedupOps.publishMeta(spark, path, Seq("params=" + Seq("idCol", "normalized", "bloom", "fpp")
             .map(k => s"$k:${(params + ("bloom" -> bloomStatus))(k)}").mkString(","),
         "token=" + params("__token"),
         "waves=" + params("__waves") + ";" + waveToken)
-        ++ DedupOps.tombsMetaLine(params))
+        ++ DedupOps.tombsMetaLine(params)
+        ++ DedupOps.idBloomMetaLine(idOk))
     }
 
     /** Exact-duplicate pairs of THIS wave against a [[writeDigestIndex]]
@@ -945,11 +1041,14 @@ object DedupOps {
       // a fresh full write starts a new generation: stale tombstones
       // from the previous one must not shadow it
       DedupOps.deleteDir(spark, s"$path/tombstones")
+      val idOk = DedupOps.writeIdBloomRow(spark, path, "shingles", idCol,
+        token, "overwrite")
       import spark.implicits._
       DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol,shingle:$shingle,numHashes:$numHashes," +
           s"bands:$bands,seed:$seed",
         "token=" + token,
-        "waves=" + token))
+        "waves=" + token)
+        ++ DedupOps.idBloomMetaLine(idOk))
     }
 
     /** Admit THIS dataset into a [[writeMinhashIndex]] layout as a new
@@ -967,13 +1066,8 @@ object DedupOps {
         s"appendMinhashIndex: $path/meta has no 'waves' line — the " +
           "layout predates wave support; rewrite with writeMinhashIndex")
       val storedId = params("idCol")
-      val clash = ds.toDF.select(col(idCol))
-        .join(spark.read.parquet(s"$path/shingles")
-          .select(col(storedId).as(idCol)), Seq(idCol), "left_semi")
-        .limit(1).collect()
-      require(clash.isEmpty,
-        s"appendMinhashIndex: wave id ${clash.headOption.map(_.get(0))} " +
-          s"already exists in $path — ids must be unique across waves")
+      DedupOps.idClashCheck(spark, path, "shingles", "appendMinhashIndex",
+        ds.toDF.select(col(idCol).as(storedId)), storedId, params)
       val waveToken = java.util.UUID.randomUUID().toString
       bandedBuckets(idCol, textCol, params("shingle").toInt,
         params("numHashes").toInt, params("bands").toInt,
@@ -990,11 +1084,15 @@ object DedupOps {
         .withColumn("__graft_token", lit(waveToken))
         .write.mode("append").parquet(s"$path/shingles")
       import spark.implicits._
+      val idOk = params.get("__idbloom").contains("yes") &&
+        DedupOps.writeIdBloomRow(spark, path, "shingles", storedId,
+          waveToken, "append")
       DedupOps.publishMeta(spark, path, Seq("params=" + DedupOps.MinhashParamKeys
             .map(k => s"$k:${params(k)}").mkString(","),
         "token=" + params("__token"),
         "waves=" + params("__waves") + ";" + waveToken)
-        ++ DedupOps.tombsMetaLine(params))
+        ++ DedupOps.tombsMetaLine(params)
+        ++ DedupOps.idBloomMetaLine(idOk))
     }
 
     /** Incremental near-dup gate against a [[writeMinhashIndex]] layout:
@@ -1268,11 +1366,14 @@ object DedupOps {
       // a fresh full write starts a new generation: stale tombstones
       // from the previous one must not shadow it
       DedupOps.deleteDir(spark, s"$path/tombstones")
+      val idOk = DedupOps.writeIdBloomRow(spark, path, "shingles", idCol,
+        token, "overwrite")
       import spark.implicits._
       DedupOps.publishMeta(spark, path, Seq(s"params=idCol:$idCol,window:$window,maskBits:$maskBits," +
           s"minSize:$minSize,maxSize:$maxSize,shingle:$shingle",
         "token=" + token,
-        "waves=" + token))
+        "waves=" + token)
+        ++ DedupOps.idBloomMetaLine(idOk))
     }
 
     /** Admit THIS dataset into an existing [[writeCdcIndex]] layout as
@@ -1294,13 +1395,8 @@ object DedupOps {
         s"appendCdcIndex: $path/meta has no 'waves' line — the layout " +
           "predates wave support; rewrite with writeCdcIndex")
       val storedId = params("idCol")
-      val clash = ds.toDF.select(col(idCol))
-        .join(spark.read.parquet(s"$path/shingles")
-          .select(col(storedId).as(idCol)), Seq(idCol), "left_semi")
-        .limit(1).collect()
-      require(clash.isEmpty,
-        s"appendCdcIndex: wave id ${clash.headOption.map(_.get(0))} " +
-          s"already exists in $path — ids must be unique across waves")
+      DedupOps.idClashCheck(spark, path, "shingles", "appendCdcIndex",
+        ds.toDF.select(col(idCol).as(storedId)), storedId, params)
       val waveToken = java.util.UUID.randomUUID().toString
       cdcChunkHashes(idCol, textCol, params("window").toInt,
         params("maskBits").toInt, params("minSize").toInt,
@@ -1317,11 +1413,15 @@ object DedupOps {
         .withColumn("__graft_token", lit(waveToken))
         .write.mode("append").parquet(s"$path/shingles")
       import spark.implicits._
+      val idOk = params.get("__idbloom").contains("yes") &&
+        DedupOps.writeIdBloomRow(spark, path, "shingles", storedId,
+          waveToken, "append")
       DedupOps.publishMeta(spark, path, Seq("params=" + DedupOps.CdcParamKeys
             .map(k => s"$k:${params(k)}").mkString(","),
         "token=" + params("__token"),
         "waves=" + params("__waves") + ";" + waveToken)
-        ++ DedupOps.tombsMetaLine(params))
+        ++ DedupOps.tombsMetaLine(params)
+        ++ DedupOps.idBloomMetaLine(idOk))
     }
 
     /** Ingest-wave CDC dedup gate against a [[writeCdcIndex]] layout:

@@ -428,6 +428,15 @@ object ScaleTrend {
         val (gda, rowsD) = gd(); val (gdb, _) = gd()
         println(f"b7dg_digest_gate ${n}%3dx: write $twd%7.2f s, " +
           f"gate ${math.min(gda, gdb)}%6.2f s ($rowsD rows)")
+        // append cost must track the WAVE, not the corpus decade: the
+        // id-clash gate is a LOCAL bloom probe in the common no-clash
+        // case, so the decade's only O(table)-ish touch is gone
+        val w2 = documents(spark, d).filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 950000000L).as("doc_id"), col("text"))
+        t0 = System.nanoTime()
+        w2.appendDigestIndex(pd, "doc_id", "text")
+        val tad = (System.nanoTime() - t0) / 1e9
+        println(f"b7dap_digest_append ${n}%3dx: append $tad%6.2f s")
         val pc = s"${System.getProperty("java.io.tmpdir")}/graft_trend_cdcidx_$n"
         t0 = System.nanoTime()
         docsRep(spark, d, n).writeCdcIndex(pc, "doc_id", "text")
