@@ -174,6 +174,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeAviFrames: REAL MJPEG-in-AVI frames — RIFF walk, stride, determinism") {
+    val avi = syntheticAvi(10L, side = 16) // 2 + 10%4 = 4 frames
+    assert(new String(avi, 0, 4, "US-ASCII") === "RIFF" &&
+      new String(avi, 8, 4, "US-ASCII") === "AVI ")
+    val all = decodeAviFrames(avi, stride = 1, dim = 16).get
+    assert(all.map(_._1) === Seq(0, 1, 2, 3))
+    val strided = decodeAviFrames(avi, stride = 2, dim = 16).get
+    assert(strided.map(_._1) === Seq(0, 2))
+    // strided frames ARE the corresponding full-decode frames
+    assert(strided.map(_._2.toSeq) ===
+      Seq(all(0)._2.toSeq, all(2)._2.toSeq))
+    // frames animate: consecutive frames differ
+    assert(all(0)._2.toSeq !== all(1)._2.toSeq)
+    // deterministic across decodes
+    assert(decodeAviFrames(avi, stride = 2, dim = 16).get.map(_._2.toSeq) ===
+      strided.map(_._2.toSeq))
+    // non-AVI bytes are refused, not crashed on; so is a torn container
+    assert(decodeAviFrames(pngBytes(16, 16, 0, 255), 1, 16).isEmpty)
+    assert(decodeAviFrames(avi.take(avi.length / 2), 1, 16).isEmpty ||
+      decodeAviFrames(avi.take(avi.length / 2), 1, 16).get.nonEmpty,
+      "torn container must refuse or return only whole frames")
+  }
+
+  test("sampleAviFrames runs the real MJPEG decode distributed") {
+    import spark.implicits._
+    val media = syntheticAviTable(spark, sf())
+    assert(media.count() > 0)
+    val frames = sampleAviFrames(media.as[MediaRow], stride = 2, dim = 16)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    val byId = rows.groupBy(_.getLong(0))
+    byId.foreach { case (id, rs) =>
+      val n = 2 + (id % 4).toInt
+      val wantIdx = (0 until n by 2).toSeq
+      assert(rs.map(_.getInt(1)).sorted.toSeq === wantIdx, s"media $id")
+    }
+    // features equal a driver-side decode of the same payload
+    val one = media.as[MediaRow]
+      .filter((m: MediaRow) => m.media_id == rows.head.getLong(0)).head()
+    val driverFeats = decodeAviFrames(one.bytes, 2, 16).get.toMap
+    rows.filter(_.getLong(0) == one.media_id).foreach { r =>
+      assert(r.getSeq[Float](2).toSeq === driverFeats(r.getInt(1)).toSeq)
+    }
+  }
+
   test("extractFeatures runs the real decode distributed over PNG rows") {
     import spark.implicits._
     val rows = Seq(
