@@ -451,6 +451,33 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Write-path calibration probe (r11 verdict #5): the ALU and memory
+    * probes are read/compute-oriented and cannot sense the host state
+    * the WRITE entries ride on — dirty-page writeback pressure and
+    * filesystem metadata (committer rename) cost, which the
+    * `b10d_spatial_disk_write` history shows swinging 2x across DAYS
+    * under identical code (4.4–6.4 s in the round-12 A/B incl. cache
+    * drops, vs 9.1–9.2 s in two prior artifacts) while same-day drops
+    * move it under 20%. This probe writes a fixed 16-file parquet
+    * table through the same committer machinery and deletes it —
+    * recorded as `calibration_fs` so a slow-write-host artifact is
+    * VISIBLE in-band instead of reading as a b10d regression.
+    * Record-only this round (no dirty gate until a clean band exists
+    * across hosts/days). */
+  private def fsCalibration(spark: SparkSession): Double = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_bench_fsprobe"
+    val t0 = System.nanoTime()
+    spark.range(0, 4000000, 1, 16)
+      .select(col("id"), xxhash64(col("id")).as("h"))
+      .write.mode("overwrite").parquet(p)
+    val secs = (System.nanoTime() - t0) / 1e9
+    try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    } catch { case _: Throwable => }
+    secs
+  }
+
   /** Accumulates executor CPU nanoseconds across completed stages.
     * Snapshot deltas around each timed query give `cpu_per_wall` =
     * stage CPU seconds / wall seconds — a per-query contention
@@ -607,7 +634,8 @@ object Bench {
   private final case class Sweep(
       rec: Recorder, calPre: Double, calPost: Double,
       memProbes: scala.collection.mutable.LinkedHashMap[String, Double],
-      steady: scala.collection.mutable.LinkedHashMap[String, Double]) {
+      steady: scala.collection.mutable.LinkedHashMap[String, Double],
+      fsProbe: Double = -1.0) {
     def memPre: Double = memProbes.getOrElse("pre", -1.0)
     def memPost: Double = memProbes.getOrElse("post_indexed",
       memProbes.lastOption.map(_._2).getOrElse(-1.0))
@@ -761,6 +789,12 @@ object Bench {
     val calPre = cal()
     val memProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
     memProbes("pre") = memCalRobust()
+    // write-path probe: senses the dirty-writeback/committer state the
+    // read-oriented probes miss (the b10d 2x day-swing); record-only
+    val fsProbe =
+      try fsCalibration(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] fs calibration failed: $e"); -1.0 }
     val rec = new Recorder(listener)
     phases.foreach { case (phaseName, entries) =>
       entries.foreach { case (name, fn) =>
@@ -799,7 +833,7 @@ object Bench {
     }
     releaseRetained(spark)
     memProbes("post_steady") = memCalRobust()
-    Sweep(rec, calPre, calPost, memProbes, steady)
+    Sweep(rec, calPre, calPost, memProbes, steady, fsProbe)
   }
 
   def main(args: Array[String]): Unit = {
@@ -824,6 +858,10 @@ object Bench {
     // warmup call keeps the measured brackets comparable
     try memCalibration(spark, cpus.toInt)
     catch { case e: Throwable => System.err.println(s"[bench] mem warmup failed: $e") }
+    // ...and one discarded fs-probe call: the first parquet write pays
+    // writer init + codegen that would otherwise ride the measured probe
+    try fsCalibration(spark)
+    catch { case e: Throwable => System.err.println(s"[bench] fs warmup failed: $e") }
 
     // Self-healing (VERDICT r7 #1): a sweep whose own probes read dirty
     // is re-run (bounded attempts) instead of being emitted as the
@@ -885,6 +923,7 @@ object Bench {
       s""""calibration_pre":${chosen.calPre},"calibration_post":${chosen.calPost},""" +
       s""""calibration_mem_pre":${chosen.memPre},"calibration_mem_post":${chosen.memPost},""" +
       s""""calibration_mem_phases":${jmap(chosen.memProbes)},""" +
+      s""""calibration_fs":${chosen.fsProbe},""" +
       s""""steady_state":${jmap(chosen.steady)},""" +
       dirtyField +
       s""""attempts":[${dirtySummaries.mkString(",")}],""" +
