@@ -74,6 +74,42 @@ object VectorKernels {
     math.sqrt(acc)
   }
 
+  /** 1-based indices of the `np` nearest centroids to an
+    * integer-quantized vector, ordered by (squared L2, index) — the
+    * IVF probe/assign kernel. The per-centroid accumulation is the
+    * EXACT IEEE chain of the former literal-column form (dim-order
+    * left-to-right sum of `(qv_d - c_d)^2` over double-cast longs) and
+    * ties break to the LOWEST index (a stable sort — the
+    * `array_position(min)` semantics), so cell choices are bit-stable
+    * across the two implementations. */
+  def nearestCellsQ(qv: ArrayData, cs: Array[Array[Double]],
+                    np: Int): ArrayData = {
+    val n = cs.length
+    val dim = qv.numElements()
+    val dists = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val c = cs(i)
+      require(c.length == dim,
+        s"nearestCellsQ: vector dim $dim vs centroid dim ${c.length}")
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = qv.getLong(d).toDouble - c(d)
+        acc += x * x
+        d += 1
+      }
+      dists(i) = acc
+      i += 1
+    }
+    val order = Array.range(0, n).sortBy(dists) // stable: ties -> lowest id
+    val k = math.min(np, n)
+    val out = new Array[Int](k)
+    var j = 0
+    while (j < k) { out(j) = order(j) + 1; j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sign-bit sketch: dot the vector against `nPlanes` deterministic
     * pseudo-random hyperplanes (seeded by plane index) and pack the signs
     * into a Long — random-hyperplane LSH for cosine similarity. */

@@ -329,6 +329,47 @@ case class PointInPolygon(left: Expression, right: Expression, verts: Array[Doub
     copy(left = l, right = r)
 }
 
+/** `nearest_cells(qv)` — 1-based ids of the `np` nearest coarse
+  * centroids to an integer-quantized vector, by (squared L2, index).
+  * The centroid matrix rides the plan as ONE reference object
+  * (deserialized once per executor plan, not per row), replacing the
+  * former `nlist x dim` LITERAL expression matrix whose optimization +
+  * codegen cost grew superlinearly with nlist — at nlist=800 the
+  * at-rest ANN join spent minutes in planning (the r12 100x annjoin
+  * trend's first reading), where 2^16-cell layouts live. Arithmetic
+  * and tie-break replicate the literal form bit-for-bit
+  * ([[VectorKernels.nearestCellsQ]]). */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]],
+                        np: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCellsQ(v.asInstanceOf[ArrayData], centroids, np)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCellsQ($v, $ref, $np);")
+  }
+
+  // Array[Array[Double]] compares by reference in a case class — content
+  // equality keeps canonicalization/subexpression reuse working (the
+  // BloomMightContainLong lesson)
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCells => child == o.child && np == o.np &&
+      java.util.Arrays.deepEquals(centroids.asInstanceOf[Array[AnyRef]],
+        o.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + np) +
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `bloom_might_contain(h: long)` against a literal serialized
   * `org.apache.spark.util.sketch.BloomFilter` — the wave-side
   * pre-filter of the at-rest digest index. The filter rides the plan

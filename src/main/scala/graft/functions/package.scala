@@ -144,6 +144,10 @@ package object functions {
   def bloomMightContain(h: Column, bloomBytes: Array[Byte]): Column =
     toCol(BloomMightContainLong(toExpr(h), bloomBytes))
 
+  def nearestCells(qv: Column, centroids: Array[Array[Double]],
+                   np: Int): Column =
+    toCol(NearestCells(toExpr(qv), centroids, np))
+
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
 

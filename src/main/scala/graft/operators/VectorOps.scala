@@ -23,7 +23,14 @@ object VectorOps {
     * whole IVF pipeline (centroids -> argmax cell -> probes -> top-k)
     * independently recomputable by the DuckDB oracle. */
   private[operators] def centroidOrder(idCol: String, seed: Long): org.apache.spark.sql.Column =
-    pmod((col(idCol).cast("long") + lit(seed)) * lit(2654435761L), lit(4294967296L))
+    // graft.functions.knuth32 on (id + seed): identical values to the
+    // naive ((id+seed) * 2654435761) % 2^32 everywhere that form is
+    // defined, but the split multiply never overflows — the naive form
+    // errors under ANSI Spark past id ~3.5e9 (found by the 100x
+    // ScaleTrend replicas; production id spaces sit exactly there).
+    // The kmeans/IVF oracle SQL keeps the naive text: fixture ids are
+    // small and the two forms agree bit-for-bit on them.
+    graft.functions.knuth32(col(idCol).cast("long") + lit(seed))
 
   // ---- shared Lloyd's machinery (kmeansAssign + cosineTopKIvfTrained) ----
   // Every arithmetic step here is part of the engine-replay contract
@@ -55,10 +62,14 @@ object VectorOps {
     * IVF __graft_cos shape). */
   private[operators] def withCell(base: org.apache.spark.sql.DataFrame,
                                   cs: Array[Array[Double]]): org.apache.spark.sql.DataFrame =
-    base.withColumn("__d", array(cs.map(sqDistToCenter): _*))
-      .withColumn("__c",
-        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
-      .drop("__d")
+    // nearest_cells at np=1 — same IEEE distances, same lowest-index
+    // tie-break as the former literal-array argmin, but the centroids
+    // ride as ONE reference object: k x dim literal columns made plan
+    // optimization superlinear in k (r12 annjoin trend: the 100x write
+    // spent most of 562 s planning around an 800 x 64 literal matrix)
+    base.withColumn("__c",
+      (element_at(graft.functions.nearestCells(col("__qv"), cs, 1), 1)
+        - lit(1)).cast("int"))
 
   /** `iters` Lloyd rounds from Knuth-hash seeds over a quantized base;
     * None on empty input. Per round: k*dim exact-long sums to the
@@ -335,13 +346,13 @@ object VectorOps {
     val nlist = coarse.length
     val np = math.min(nprobe, nlist)
     val base = quantizedBase(left, lVecCol, lIdCol, meta.scale, keepVec = true)
-    val distArr = array(coarse.map(c => sqDistOn(col("__qv"), c)).toIndexedSeq: _*)
-    val probeStructs = array_sort(transform(sequence(lit(0), lit(nlist - 1)),
-      i => struct(element_at(distArr, i + 1).as("d"), i.as("i"))))
+    // per-arrival probe cells via the reference-object kernel (same
+    // distances and tie-break as the former literal matrix, which made
+    // planning superlinear in nlist)
     val exploded = base
-      .withColumn("__graft_sg_p", explode(slice(probeStructs, 1, np)))
-      .withColumn("__graft_sg_cell", col("__graft_sg_p.i") + 1)
-      .drop("__graft_sg_p", "__qv")
+      .withColumn("__graft_sg_cell",
+        explode(graft.functions.nearestCells(col("__qv"), coarse, np)))
+      .drop("__qv")
     val data = spark.read.parquet(s"$path/data")
     require(data.columns.contains("__graft_token"),
       s"ivfSemanticGate: $path/data has no __graft_token column — the " +
@@ -375,16 +386,12 @@ object VectorOps {
     val nlist = coarse.length
     val np = math.min(nprobe, nlist)
     val base = quantizedBase(left, lVecCol, lIdCol, meta.scale, keepVec = true)
-    // per-left probe cells: distances to every coarse centroid (the
-    // readIvfPqTopK l2sq fold as a codegen'd column), top-np by
-    // (dist, index) through one sorted-struct slice
-    val distArr = array(coarse.map(c => sqDistOn(col("__qv"), c)).toIndexedSeq: _*)
-    val probeStructs = array_sort(transform(sequence(lit(0), lit(nlist - 1)),
-      i => struct(element_at(distArr, i + 1).as("d"), i.as("i"))))
+    // per-left probe cells: top-np by (dist, index) through the
+    // reference-object kernel (same distances and tie-break as the
+    // former literal matrix, which made planning superlinear in nlist)
     val exploded = base
-      .withColumn("__graft_vj_p", explode(slice(probeStructs, 1, np)))
-      .withColumn("__graft_vj_cell", col("__graft_vj_p.i") + 1)
-      .drop("__graft_vj_p")
+      .withColumn("__graft_vj_cell",
+        explode(graft.functions.nearestCells(col("__qv"), coarse, np)))
     // Bounded driver hop (the hybridTopKAgainstIndex discipline): the
     // UNION of cells the whole wave probes is at most nlist ints, so
     // collect it once and push a LITERAL partition filter into both

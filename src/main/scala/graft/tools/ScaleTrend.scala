@@ -471,6 +471,45 @@ object ScaleTrend {
       spark.stop(); return
     }
 
+    // at-rest ANN JOIN (`ScaleTrend annjoin [100]`): a FIXED query wave
+    // joins its top-k out of a GROWING IVF-PQ layout. nlist grows with
+    // the corpus (8n — constant expected cell population, the SemDeDup
+    // configuration) and nprobe stays fixed, so per-query probed rows
+    // are ~constant per decade. The r12 probed-cell literal pruning
+    // bites once nlist >> |wave| * nprobe — exactly the 100-TB regime
+    // (2^16 cells vs a few-hundred-query wave) — so the fixture's wave
+    // is SMALL (~21 queries x 4 probes = <=84 cells): the first decade
+    // (8 -> 80 cells) still scans most of the layout and may grow; the
+    // SECOND decade (80 -> 800 cells, <=84 probed) is where both layout
+    // reads must go near-flat. The write is the amortized one-time
+    // cost (reported, not the exponent).
+    if (args.headOption.contains("annjoin")) {
+      import graft.operators.VectorOps._
+      val wave = embeddings(spark, d).filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 900000000L).as("qid"),
+          col("embedding").as("qvec"))
+      val scales =
+        if (args.lift(1).contains("100")) Seq(1, 100) else Seq(1, 10)
+      for (n <- scales) {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_trend_annj_$n"
+        var t0 = System.nanoTime()
+        embRep(n).writeIvfPq(p, "embedding", "vec_id", nlist = 8 * n,
+          m = 4, ksub = 4, iters = 2)
+        val tw = (System.nanoTime() - t0) / 1e9
+        def q(): (Double, Long) = {
+          val t1 = System.nanoTime()
+          val rows = graft.operators.VectorOps.readIvfPqTopKJoin(wave,
+            "qvec", "qid", p, "embedding", "vec_id", k = 3, nprobe = 4,
+            refine = 50).count()
+          ((System.nanoTime() - t1) / 1e9, rows)
+        }
+        val (qa, rows) = q(); val (qb, _) = q()
+        println(f"b6vd_ann_join_disk ${n}%3dx: write $tw%7.2f s, " +
+          f"join ${math.min(qa, qb)}%6.2f s ($rows rows)")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("disk")) {
       for ((n, cb) <- Seq((1, 5), (10, 5), (100, 7))) {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_trend_disk_$n"

@@ -197,6 +197,31 @@ class ExpressionsSpec extends SparkSpec {
     got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g === w) }
   }
 
+  test("nearest_cells: codegen equals kernel; ties break to the lowest cell") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cs = Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0),
+      Array(10.0, 0.0)) // cell 4 duplicates cell 2: a forced tie
+    val rows = Seq((1L, Array(9L, 1L)), (2L, Array(0L, 9L)), (3L, Array(5L, 5L)))
+      .toDF("id", "qv")
+    val got = rows.select($"id",
+        graft.functions.nearestCells($"qv", cs, 2).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    // row 1 is nearest cell 2 (the 10,0 centroid), tie with cell 4
+    // breaks LOW; row 2 nearest cell 3
+    assert(got(1L) === Seq(2, 4))
+    assert(got(2L) === Seq(3, 1))
+    // codegen path equals the kernel called directly
+    val direct = graft.functions.VectorKernels.nearestCellsQ(
+      new GenericArrayData(Array(5L, 5L)), cs, 2)
+    assert(got(3L) === direct.toIntArray().toSeq)
+    // content equality (the BloomMightContainLong lesson): cloned
+    // centroid matrices canonicalize equal
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val a = NearestCells(Literal(1L), cs, 2)
+    val b = NearestCells(Literal(1L), cs.map(_.clone()), 2)
+    assert(a === b && a.hashCode === b.hashCode)
+  }
+
   test("bloom probe expressions compare by filter CONTENT, not array reference") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
