@@ -293,7 +293,8 @@ object CorpusOps {
   def bm25TopKAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, terms: Seq[String], k: Int,
                            k1: Double = 1.2, b: Double = 0.75,
-                           maxPruneCandidates: Int = 4096): DataFrame = {
+                           maxPruneCandidates: Int = 4096,
+                           minPruneRows: Long = 1L << 17): DataFrame = {
     require(terms.nonEmpty && k >= 1, "need terms and k >= 1")
     val params = DedupOps.indexMeta(spark, path, "bm25TopKAgainstIndex")
     val idCol = params("idCol")
@@ -400,8 +401,14 @@ object CorpusOps {
     def driverContribution(i: Int, tf: Double, dl: Double): Double =
       idf(i) * (tf * (k1 + 1.0)) /
         (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    // pruning pays two fixed wave-scale driver jobs (threshold
+    // bootstrap + candidate collect) to skip the non-essential terms'
+    // posting rows; below `minPruneRows` total query-term postings the
+    // full read is cheaper than the bootstrap (the 1x/10x textidx
+    // points), so small posting sets take the one-scan plan
+    val totalDf = dictRows.valuesIterator.map(_._1).filter(_ > 0L).sum
     val prunedResult: Option[DataFrame] =
-      if (!hasBounds || terms.distinct != terms) None
+      if (!hasBounds || terms.distinct != terms || totalDf < minPruneRows) None
       else {
         val ub = terms.indices.map { i =>
           dictRows.get(terms(i)) match {

@@ -341,7 +341,7 @@ object ExplainPlans {
             col("sx") + 500.0, col("sy") + 80.0).as("coords")).as("rbox"))
       lb.shapeIntersectsJoin(rb, "lbox", "rbox")
     }
-    show("ann_ivfpq_join (expect per-left probe explode, cell equi-join over CODE columns only — no vector reads before refine — WindowGroupLimit refine, id-keyed re-rank join)") {
+    show("ann_ivfpq_join (expect per-left nearest_cells explode, probed-cell LITERAL partition filter on BOTH layout scans — codes before refine, vectors joined on (cell,id) after — WindowGroupLimit refine)") {
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_plans_ivfpq_join").toString
       embeddings(spark, d).writeIvfPq(path, "embedding", "vec_id",

@@ -177,7 +177,10 @@ class PlanGateSpec extends SparkSpec {
       maxPruneCandidates = 0) // cap 0 forces the unpruned plan
     val fullRows = full.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
-    val pruned = CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 5)
+    // minPruneRows 0: the benefit gate would (correctly) take the
+    // one-scan plan on a 2k-doc fixture — force the pruning machinery
+    val pruned = CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 5,
+      minPruneRows = 0L)
     val prunedRows = pruned.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
     assert(prunedRows === fullRows, "max-score pruning changed answers")
