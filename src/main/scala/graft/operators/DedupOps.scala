@@ -133,7 +133,9 @@ object DedupOps {
       .select(col(storedId))
     if (written.schema.head.dataType !=
         org.apache.spark.sql.types.LongType) return false
-    val n = math.max(1L, written.distinct().count())
+    // sizing by ROW count, not distinct ids: an over-estimate only
+    // lowers the realized fpp, and it saves a whole shuffle per write
+    val n = math.max(1L, written.count())
     val bloomBits = math.ceil(
       -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     if (bloomBits / 8 > maxBloomBytes) false
