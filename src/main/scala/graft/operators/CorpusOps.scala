@@ -499,11 +499,17 @@ object CorpusOps {
     require(data.columns.contains("__graft_token"),
       s"hybridTopKAgainstIndex: $ivfPath/data has no __graft_token " +
         "column — the layout is torn or foreign; rewrite it")
-    val vecs = data.filter(assert_true(col("__graft_token") === meta.token,
+    val vecs0 = data.filter(assert_true(col("__graft_token") === meta.token,
         lit(s"hybridTopKAgainstIndex: write-token mismatch between " +
           s"$ivfPath/meta and $ivfPath/data — rewrite the layout")).isNull)
       .filter(col(vecIdCol).isin(ids.toIndexedSeq: _*))
-      .select(col(vecIdCol).as(idCol), col(vecCol).as("__graft_hv"))
+    // the vector layout's own delete waves subtract (a candidate whose
+    // vector was purged drops out instead of re-ranking on stale bytes)
+    val vecs = (graft.operators.VectorOps.ivfPqTombstones(spark, ivfPath,
+        meta, vecIdCol) match {
+      case Some(t) => vecs0.join(t, Seq(vecIdCol), "left_anti")
+      case None    => vecs0
+    }).select(col(vecIdCol).as(idCol), col(vecCol).as("__graft_hv"))
     cands.join(vecs, Seq(idCol))
       .withColumn("cos",
         graft.functions.cosineSimilarity(col("__graft_hv"), lit(query)))

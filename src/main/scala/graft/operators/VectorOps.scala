@@ -357,10 +357,15 @@ object VectorOps {
     require(data.columns.contains("__graft_token"),
       s"ivfSemanticGate: $path/data has no __graft_token column — the " +
         "layout predates the tokened format or is torn; rewrite it")
-    val rows = data.filter(assert_true(col("__graft_token") === meta.token,
+    val rows0 = data.filter(assert_true(col("__graft_token") === meta.token,
         lit(s"ivfSemanticGate: write-token mismatch between $path/meta " +
           s"and $path/data — rewrite the layout")).isNull)
       .select(col(idCol), col(vecCol).as("__graft_sg_v"), col("__graft_cell"))
+    // admitted delete waves subtract (a static read — stream-safe)
+    val rows = ivfPqTombstones(spark, path, meta, idCol) match {
+      case Some(t) => rows0.join(t, Seq(idCol), "left_anti")
+      case None    => rows0
+    }
     exploded
       .join(rows, col("__graft_sg_cell") === col("__graft_cell"))
       .withColumn("cos",
@@ -412,12 +417,18 @@ object VectorOps {
     val tokenOk = assert_true(col("__graft_token") === meta.token,
       lit(s"readIvfPqTopKJoin: write-token mismatch between $path/meta " +
         s"and $path/data — rewrite the layout with writeIvfPq"))
-    // ADC pass: codes + cell only, read from the probed cells only
-    val codes = data
+    // ADC pass: codes + cell only, read from the probed cells only,
+    // with admitted delete waves subtracted (a tombstoned vector never
+    // becomes a candidate, so the re-rank never sees it either)
+    val codes0 = data
       .filter(col("__graft_cell").isin(probedCells.map(Int.box).toIndexedSeq: _*))
       .filter(tokenOk.isNull)
       .select(col(idCol) +: (0 until m).map(s => col(s"__pqc$s"))
         :+ col("__graft_cell"): _*)
+    val codes = ivfPqTombstones(spark, path, meta, idCol) match {
+      case Some(t) => codes0.join(t, Seq(idCol), "left_anti")
+      case None    => codes0
+    }
     def booksLit(s: Int) = array(books(s).map(cw =>
       array(cw.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
     val shiftedQv =
@@ -490,22 +501,29 @@ object VectorOps {
     require(tokens.length == 1 && tokens(0) == meta.token,
       s"compactIvfPq: write-token mismatch between $path/meta and " +
         s"$path/data — refusing to compact a torn layout")
+    // admitted delete waves FOLD here: tombstoned rows leave the table
+    // physically, after which their ids are re-usable. The id column is
+    // the write's first column by layout contract (writeIvfPq selects
+    // id +: vec +: codes).
+    val folded = ivfPqTombstones(spark, path, meta, data.columns.head) match {
+      case Some(t) => data.join(t, Seq(data.columns.head), "left_anti")
+      case None    => data
+    }
     val snap = s"$path/compact_snapshot"
-    data.write.mode("overwrite").parquet(snap)
+    folded.write.mode("overwrite").parquet(snap)
     val token = java.util.UUID.randomUUID().toString
     spark.read.parquet(snap)
       .withColumn("__graft_token", lit(token))
       .repartition(col("__graft_cell"))
       .write.mode("overwrite").partitionBy("__graft_cell")
       .parquet(s"$path/data")
-    val lines = Seq(
-      "coarse=" + meta.coarse.map(_.mkString(",")).mkString(";"),
-      "books=" + meta.books.map(_.map(_.mkString(",")).mkString(";")).mkString("|"),
-      s"params=m:${meta.m},ksub:${meta.ksub},scale:${meta.scale},residual:${meta.residual}",
-      "token=" + token)
     // tmp+rename publish (ADVICE r11): a raw overwrite text job leaves
     // a whole-job no-meta crash window on an EXISTING layout
-    graft.operators.DedupOps.publishMeta(spark, path, lines)
+    graft.operators.DedupOps.publishMeta(spark, path,
+      ivfPqMetaLines(meta.coarse, meta.books, meta.m, meta.ksub, meta.scale,
+        meta.residual, token, Seq.empty))
+    // folded tombstones are inert once the meta stopped listing them
+    graft.operators.DedupOps.deleteDir(spark, s"$path/tombstones")
     val sp = new org.apache.hadoop.fs.Path(snap)
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
   }
@@ -550,7 +568,13 @@ object VectorOps {
         s"$path/data — refusing to retrain a torn layout")
     val lists = if (nlist > 0) nlist else meta.coarse.length
     val snap = s"$path/retrain_snapshot"
-    data.select(col(idCol), col(vecCol))
+    // a retrain is a new generation: admitted delete waves fold out of
+    // the snapshot (and writeIvfPq below drops the stale tombstones)
+    val live = ivfPqTombstones(spark, path, meta, idCol) match {
+      case Some(t) => data.join(t, Seq(idCol), "left_anti")
+      case None    => data
+    }
+    live.select(col(idCol), col(vecCol))
       .write.mode("overwrite").parquet(snap)
     val current = spark.read.parquet(snap)
     new DatasetVectorOps(current).writeIvfPq(path, vecCol, idCol,
@@ -574,10 +598,39 @@ object VectorOps {
     * probed cells with an `id IN (...)` filter pushed to the scan, so
     * raw vectors are read for at most `refine` rows. One bounded
     * driver collect (≤ `refine` ids) stitches the phases. */
-  /** Parsed [[DatasetVectorOps.writeIvfPq]] metadata. */
+  /** Parsed [[DatasetVectorOps.writeIvfPq]] metadata. `tombs` lists the
+    * admitted DELETE-wave tokens (empty when none). */
   private[operators] final case class IvfPqMeta(
       coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
-      m: Int, ksub: Int, scale: Double, residual: Boolean, token: String)
+      m: Int, ksub: Int, scale: Double, residual: Boolean, token: String,
+      tombs: Seq[String] = Seq.empty)
+
+  /** The admitted tombstoned ids of an IVF-PQ layout (distinct, one
+    * column aliased to `idCol`), or None when the meta lists no delete
+    * waves. Unadmitted tombstone rows are FILTERED, not refused — the
+    * text layouts' torn-delete-is-a-no-op argument
+    * ([[graft.operators.DedupOps.tombstoneIds]]). */
+  private[operators] def ivfPqTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      meta: IvfPqMeta, idCol: String)
+      : Option[org.apache.spark.sql.DataFrame] =
+    if (meta.tombs.isEmpty) None
+    else Some(spark.read.parquet(s"$path/tombstones")
+      .filter(col("__graft_token").isin(meta.tombs: _*))
+      .select(col("__graft_tomb_id").as(idCol)).distinct())
+
+  /** The meta lines of an IVF-PQ layout — shared by write / compact /
+    * delete so no publish site can drop a line another one added. */
+  private[operators] def ivfPqMetaLines(
+      coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      m: Int, ksub: Int, scale: Double, residual: Boolean, token: String,
+      tombs: Seq[String]): Seq[String] =
+    Seq(
+      "coarse=" + coarse.map(_.mkString(",")).mkString(";"),
+      "books=" + books.map(_.map(_.mkString(",")).mkString(";")).mkString("|"),
+      s"params=m:$m,ksub:$ksub,scale:$scale,residual:$residual",
+      "token=" + token) ++
+      (if (tombs.isEmpty) Seq.empty else Seq("tombs=" + tombs.mkString(";")))
 
   private[operators] def readIvfPqMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): IvfPqMeta = {
@@ -587,6 +640,9 @@ object VectorOps {
       .getOrElse(throw new IllegalArgumentException(
         s"IVF-PQ layout: no '$tag' line in $path/meta"))
       .substring(tag.length + 1)
+    val tombs = lines.find(_.startsWith("tombs="))
+      .map(_.substring(6).split(";").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
     val coarse: Array[Array[Double]] =
       line("coarse").split(";").map(_.split(",").map(_.toDouble))
     val books: Array[Array[Array[Double]]] =
@@ -596,9 +652,39 @@ object VectorOps {
     }.toMap
     val meta = IvfPqMeta(coarse, books, params("m").toInt,
       params("ksub").toInt, params("scale").toDouble,
-      params("residual").toBoolean, line("token"))
+      params("residual").toBoolean, line("token"), tombs)
     require(meta.m == books.length && books.forall(_.length <= meta.ksub))
     meta
+  }
+
+  /** Tombstone-delete ids from a [[DatasetVectorOps.writeIvfPq]]
+    * layout — the text layouts' GDPR discipline on the vector family:
+    * ids land at `$path/tombstones` under a fresh delete token, the
+    * meta's `tombs=` list commits LAST, readers subtract admitted
+    * tombstones from the ADC candidate set (a deleted vector can never
+    * rank, occupy a refine slot, or pass the semantic gate), and
+    * [[compactIvfPq]] / [[retrainIvfPq]] fold them physically. A
+    * tombstoned id stays DEAD for the append clash check until a fold
+    * — never a silent resurrection. Idempotent; absent ids are
+    * harmless no-ops. */
+  def deleteFromIvfPq(spark: org.apache.spark.sql.SparkSession,
+                      path: String, ids: org.apache.spark.sql.DataFrame,
+                      idCol: String): Unit = {
+    val meta = readIvfPqMeta(spark, path)
+    require(ids.columns.contains(idCol),
+      s"deleteFromIvfPq: the ids frame must carry '$idCol' " +
+        s"(has: ${ids.columns.mkString(", ")})")
+    val token = java.util.UUID.randomUUID().toString
+    val fresh = ids.select(col(idCol).as("__graft_tomb_id")).distinct()
+    val newIds = ivfPqTombstones(spark, path, meta, "__graft_tomb_id") match {
+      case Some(t) => fresh.join(t, Seq("__graft_tomb_id"), "left_anti")
+      case None    => fresh
+    }
+    newIds.withColumn("__graft_token", lit(token))
+      .write.mode("append").parquet(s"$path/tombstones")
+    graft.operators.DedupOps.publishMeta(spark, path,
+      ivfPqMetaLines(meta.coarse, meta.books, meta.m, meta.ksub, meta.scale,
+        meta.residual, meta.token, meta.tombs :+ token))
   }
 
   def readIvfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -656,8 +742,14 @@ object VectorOps {
       lit(s"readIvfPqTopK: write-token mismatch between $path/meta and " +
         s"$path/data — data and codebooks come from different writes; " +
         "rewrite the layout with writeIvfPq"))
-    val probed = data.filter(col("__graft_cell").isin(probesPart: _*))
+    val probed0 = data.filter(col("__graft_cell").isin(probesPart: _*))
       .filter(tokenOk.isNull)
+    // admitted delete waves subtract: a tombstoned vector never ranks
+    // and never occupies a refine slot
+    val probed = ivfPqTombstones(spark, path, meta, idCol) match {
+      case Some(t) => probed0.join(t, Seq(idCol), "left_anti")
+      case None    => probed0
+    }
     val scored = probed
       .select(col(idCol) +: (0 until m).map(s => col(s"__pqc$s"))
         :+ col("__graft_cell"): _*)
@@ -900,18 +992,19 @@ object VectorOps {
             (col("__c") + 1).as("__graft_cell"): _*)
           .write.mode("overwrite").partitionBy("__graft_cell")
           .parquet(s"$path/data")
+        // a fresh full write starts a new generation: stale tombstones
+        // from the previous one must not shadow it
+        graft.operators.DedupOps.deleteDir(df.sparkSession,
+          s"$path/tombstones")
         // metadata as tagged text lines (bracket-free codec — no nested
         // parsing); Double.toString round-trips exactly, so the reader
-        // reconstructs the IDENTICAL centroids and codebooks
-        val lines = Seq(
-          "coarse=" + coarse.map(_.mkString(",")).mkString(";"),
-          "books=" + books.map(_.map(_.mkString(",")).mkString(";")).mkString("|"),
-          s"params=m:$m,ksub:$ksub,scale:$scale,residual:$residual",
-          "token=" + token)
+        // reconstructs the IDENTICAL centroids and codebooks.
         // tmp+rename publish (ADVICE r11): retrainIvfPq routes through
         // here on an EXISTING layout, where a raw overwrite text job
         // would leave a whole-job no-meta crash window
-        graft.operators.DedupOps.publishMeta(df.sparkSession, path, lines)
+        graft.operators.DedupOps.publishMeta(df.sparkSession, path,
+          VectorOps.ivfPqMetaLines(coarse, books, m, ksub, scale, residual,
+            token, Seq.empty))
       } finally base.unpersist()
     }
 

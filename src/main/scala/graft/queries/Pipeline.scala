@@ -1646,6 +1646,27 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Tombstone DELETES on the IVF-PQ layout with a REAL oracle:
+    * write -> append -> delete every vec_id % 3 == 0, then the top-10
+    * at the exactness escape must equal DuckDB's brute cosine top-k
+    * over exactly the SURVIVING vectors — a purged embedding can never
+    * rank, and the layout answers as if it never entered. */
+  def annIvfPqDeleteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorOps
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_del_" + Integer.toHexString(d.hashCode)).toString
+    val emb = embeddings(s, d)
+    emb.filter(col("vec_id") % 2 === 0).writeIvfPq(path, "embedding",
+      "vec_id", nlist = 8, m = 4, ksub = 4, iters = 2)
+    emb.filter(col("vec_id") % 2 =!= 0).appendIvfPq(path, "embedding", "vec_id")
+    VectorOps.deleteFromIvfPq(s, path,
+      emb.filter(col("vec_id") % 3 === 0).select(col("vec_id")), "vec_id")
+    val total = emb.count().toInt
+    VectorOps.readIvfPqTopK(s, path, "embedding", "vec_id",
+      queryVec(s, d), 10, nprobe = 8, refine = total)
+      .orderBy(col("vec_id"))
+  }
+
   /** Chunk -> document embedding pooling (VectorOps.meanPoolEmbeddings):
     * per-position exact integer-quantized means over 10-chunk "documents"
     * (vec_id div 10), emitted as per-position rows so the oracle
@@ -3259,6 +3280,16 @@ object Pipeline {
       // append at full probes + full refine re-ranks EXACTLY, so the
       // incremental layout answers to the brute-force oracle
       .updated("ann_ivfpq_append_topk", oracles0("ann_brute_topk"))
+      // delete at the same escape answers the brute oracle over the
+      // SURVIVORS — the tombstoned vectors must be unreachable
+      .updated("ann_ivfpq_delete_topk",
+        s"""SELECT vec_id, cos FROM (
+           |  WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+           |  SELECT vec_id, ${cosSql("embedding", "qv")} AS cos
+           |  FROM embeddings, q
+           |  WHERE vec_id % 3 <> 0
+           |  ORDER BY cos DESC, vec_id ASC LIMIT 10) t
+           |ORDER BY vec_id""".stripMargin)
       // audit contract row (engine-side verification; per-query ADC
       // probe replays are out of a SQL oracle's reach)
       .updated("ann_ivfpq_audit",
@@ -3369,6 +3400,7 @@ object Pipeline {
     "ann_ivfpq_topk" -> (annIvfPqTopKQ _),
     "ann_ivfpq_disk_topk" -> (annIvfPqDiskQ _),
     "ann_ivfpq_append_topk" -> (annIvfPqAppendQ _),
+    "ann_ivfpq_delete_topk" -> (annIvfPqDeleteQ _),
     "ann_ivfpq_join_topk" -> (annIvfPqJoinQ _),
     "emb_mean_pool" -> (meanPoolQ _),
     "ann_ivfpq_audit" -> (annIvfPqAuditQ _),

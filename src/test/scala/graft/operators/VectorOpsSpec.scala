@@ -814,6 +814,72 @@ class VectorOpsSpec extends SparkSpec {
     assert(repartitioned === got.map(t => (t._1, t._3)))
   }
 
+  test("ivfpq delete: tombstoned vectors never rank; compact and retrain fold") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_del_spec").toString
+    val emb = Tables.embeddings(spark, sf())
+    emb.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+      iters = 2)
+    val delIds = emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+    VectorOps.deleteFromIvfPq(spark, path, delIds, "vec_id")
+    val total = emb.count().toInt
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // exactness escape on the tombstoned layout == brute top-k over the
+    // SURVIVORS, bit for bit
+    val got = VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
+        q, 10, nprobe = 8, refine = total)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = emb.join(delIds, Seq("vec_id"), "left_anti")
+      .cosineTopK("embedding", "vec_id", q, 10)
+      .select(col("vec_id"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want, "deleted layout != brute top-k on survivors")
+    assert(got.forall(_._1 % 5 != 0), "a tombstoned id ranked")
+    // the join verb and the semantic gate subtract the same tombstones
+    val wave = emb.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val joined = VectorOps.readIvfPqTopKJoin(wave, "qvec", "qid", path,
+        "embedding", "vec_id", k = 3, nprobe = 8, refine = total)
+      .collect()
+    assert(joined.nonEmpty && joined.forall(_.getLong(1) % 5 != 0))
+    val gated = VectorOps.ivfSemanticGate(
+        emb.select(col("vec_id").as("wid"), col("embedding").as("wvec")),
+        "wvec", "wid", path, "embedding", "vec_id", 0.99, nprobe = 8)
+      .collect()
+    assert(gated.nonEmpty && gated.forall(_.getLong(1) % 5 != 0))
+    // idempotent re-delete; dead id refuses append until a fold
+    VectorOps.deleteFromIvfPq(spark, path, delIds, "vec_id")
+    assert(VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id", q,
+      10, nprobe = 8, refine = total)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === got)
+    val clash = intercept[IllegalArgumentException] {
+      emb.filter(col("vec_id") % 5 === 0).limit(3)
+        .appendIvfPq(path, "embedding", "vec_id")
+    }
+    assert(clash.getMessage.contains("collide"))
+    // compact folds: tombstones gone, same answers, dead ids revive
+    VectorOps.compactIvfPq(spark, path)
+    assert(!new java.io.File(path, "tombstones").exists())
+    assert(VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id", q,
+      10, nprobe = 8, refine = total)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === got)
+    emb.filter(col("vec_id") % 5 === 0).limit(3)
+      .appendIvfPq(path, "embedding", "vec_id")
+    // retrain folds too: delete again, retrain, the tombstoned rows are
+    // physically gone from the new generation
+    val delAgain = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    VectorOps.deleteFromIvfPq(spark, path, delAgain, "vec_id")
+    val before = spark.read.parquet(s"$path/data").count()
+    VectorOps.retrainIvfPq(spark, path, "embedding", "vec_id")
+    assert(!new java.io.File(path, "tombstones").exists())
+    val after = spark.read.parquet(s"$path/data").count()
+    assert(after < before, "retrain did not fold the tombstones")
+    assert(spark.read.parquet(s"$path/data")
+      .filter(col("vec_id") % 7 === 0).count() === 0L)
+  }
+
   test("readIvfPqTopKJoin: per-left parity with the single-query verb; exact at escape") {
     import spark.implicits._
     for (res <- Seq(false, true)) {
