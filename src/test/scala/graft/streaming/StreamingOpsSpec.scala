@@ -111,6 +111,21 @@ class StreamingOpsSpec extends SparkSpec {
     val arrivals = docs.filter(col("doc_id") % 2 =!= 0).count()
     assert(got.select("doc_id").distinct().count() < arrivals,
       "every arrival near-dup'd the corpus — planted-dup fixture broke")
+    // tombstones reach the stream: after a corpus delete the stream
+    // equals the batch gate on the tombstoned layout, and no pair
+    // names a deleted corpus doc
+    graft.operators.DedupOps.deleteFromMinhashIndex(spark, path,
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 === 0)
+        .select(col("doc_id")))
+    val gotDel = StreamingOps.streamMinhashGate(spark, wavePath, path,
+      threshold = 0.3)
+    val wantDel = docs.filter(col("doc_id") % 2 =!= 0)
+      .minHashPairsAgainstIndex(path, "doc_id", "text", threshold = 0.3)
+      .select(col("id_new").as("doc_id"), col("id_corpus"), col("jaccard"))
+    assert(gotDel.exceptAll(wantDel).isEmpty && wantDel.exceptAll(gotDel).isEmpty,
+      "stream != batch on the tombstoned layout")
+    assert(gotDel.filter(col("id_corpus") % 3 === 0).count() === 0L,
+      "a tombstoned corpus doc surfaced as a pair")
   }
 
   test("streaming digest admit gate equals the batch admit on the same layout") {
@@ -132,6 +147,19 @@ class StreamingOpsSpec extends SparkSpec {
       .admitAgainstDigestIndex(idx, "doc_id", "text")
     assert(got.count() > 0, "gate admitted nothing — fixture broke")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // tombstones reach the stream: after deleting part of the corpus
+    // the SAME stream admits what the batch admit over the tombstoned
+    // layout admits — and strictly more than before (a deleted doc
+    // blocks nothing)
+    graft.operators.DedupOps.deleteFromDigestIndex(spark, idx,
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    val gotDel = StreamingOps.streamDigestGate(spark, wavePath, idx)
+    val wantDel = spark.read.parquet(wavePath)
+      .admitAgainstDigestIndex(idx, "doc_id", "text")
+    assert(gotDel.exceptAll(wantDel).isEmpty && wantDel.exceptAll(gotDel).isEmpty,
+      "stream != batch on the tombstoned layout")
+    assert(gotDel.count() > got.count(),
+      "deleting corpus docs must admit MORE of the wave")
     // true duplicates are blocked: admitted is a strict subset
     assert(got.count() < wave.count(),
       "every arrival was admitted — planted-dup fixture broke")
