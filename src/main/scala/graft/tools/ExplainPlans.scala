@@ -371,6 +371,31 @@ object ExplainPlans {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
         .exactPairsAgainstIndex(path, "doc_id", "text")
     }
+    show("digest_gate_deleted (expect the admitted tombstone ids LEFT-ANTI-joined off the stored digests BEFORE the (h64, md5) equi-join — a tombstoned doc matches nothing; the wave side is unchanged)") {
+      import graft.operators.DedupOps
+      import graft.operators.DedupOps._
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_dg_del").toString
+      val docsT = documents(spark, d)
+      docsT.writeDigestIndex(path, "doc_id", "text")
+      DedupOps.deleteFromDigestIndex(spark, path,
+        docsT.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+      docsT.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .exactPairsAgainstIndex(path, "doc_id", "text")
+    }
+    show("bm25_delete_topk (expect the tombstone anti-join on the query-term posting SLIVER — never the whole table — with the negative delete-wave df rows riding the bounded dictionary probe)") {
+      import graft.operators.CorpusOps
+      import graft.operators.CorpusOps._
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_bm_del").toString
+      val docsT = documents(spark, d)
+      docsT.writeBm25Index(path, "doc_id", "text")
+      CorpusOps.deleteFromBm25Index(spark, path,
+        docsT.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      CorpusOps.bm25TopKAgainstIndex(spark, path,
+        Seq("spark", "vector", "window", "hash", "merge", "customer"), 20)
+    }
     show("digest_admit (expect a UNION of the bloom-false branch — admitted with NO join — and the bloom-true branch's left-anti against the digests; novel rows never shuffle)") {
       import graft.operators.DedupOps._
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
