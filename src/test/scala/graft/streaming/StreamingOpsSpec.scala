@@ -77,6 +77,23 @@ class StreamingOpsSpec extends SparkSpec {
       "wvec", "wid", idx, "embedding", "vec_id", 0.3, nprobe = 4)
     assert(got.count() > 0, "gate flagged no pairs — fixture broke")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // tombstones reach the stream (the anti-join is a static read —
+    // stream-safe): after a layout delete the stream equals the batch
+    // gate and no pair names a purged vector
+    VectorOps.deleteFromIvfPq(spark, idx,
+      emb.filter(col("vec_id") % 2 === 0 && col("vec_id") % 3 === 0)
+        .select(col("vec_id")), "vec_id")
+    val gotDel = StreamingOps.streamSemanticGate(spark, wavePath, idx,
+      "embedding", "vec_id", "wvec", "wid", threshold = 0.3, nprobe = 4)
+    val wantDel = VectorOps.ivfSemanticGate(spark.read.parquet(wavePath),
+      "wvec", "wid", idx, "embedding", "vec_id", 0.3, nprobe = 4)
+    assert(gotDel.exceptAll(wantDel).isEmpty && wantDel.exceptAll(gotDel).isEmpty,
+      "stream != batch on the tombstoned layout")
+    assert(gotDel.filter(col("vec_id") % 3 === 0).count() === 0L,
+      "a tombstoned vector surfaced through the stream gate")
+    // restore the undeleted layout for the escape check below
+    emb.filter(col("vec_id") % 2 === 0).writeIvfPq(idx, "embedding",
+      "vec_id", nlist = 8, m = 4, ksub = 4, iters = 2)
     // exhaustive escape: nprobe = nlist equals the brute threshold join
     val all = VectorOps.ivfSemanticGate(spark.read.parquet(wavePath),
       "wvec", "wid", idx, "embedding", "vec_id", 0.3, nprobe = 8)
