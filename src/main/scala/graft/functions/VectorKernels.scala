@@ -110,6 +110,92 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Per-subspace PQ codes (0-based) of an integer-quantized vector:
+    * for subspace s, the argmin codeword by (squared L2 over the
+    * slice, code index) — the EXACT IEEE chain and lowest-index
+    * tie-break of the former literal-column form (per-codeword
+    * left-to-right sum of `(qv_j - cw_j)^2` over double-cast longs,
+    * `array_position(min)` ties). */
+  def pqCodes(qv: ArrayData, books: Array[Array[Array[Double]]],
+              subDim: Int): ArrayData = {
+    val m = books.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cws = books(s)
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < cws.length) {
+        val cw = cws(c)
+        var acc = 0.0
+        var j = 0
+        while (j < subDim) {
+          val x = qv.getLong(s * subDim + j).toDouble - cw(j)
+          acc += x * x
+          j += 1
+        }
+        if (acc < best) { best = acc; bestC = c } // strict <: first min wins
+        c += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** `qv - centers(cell)` elementwise over longs — the residual shift
+    * of the IVF-PQ encode path (`cell` is the 0-based coarse cell). */
+  def centroidShiftL(qv: ArrayData, cell: Int,
+                     centers: Array[Array[Long]]): ArrayData = {
+    val c = centers(cell)
+    val out = new Array[Long](c.length)
+    var i = 0
+    while (i < c.length) { out(i) = qv.getLong(i) - c(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** The query-side residual shift: long quantized vector minus double
+    * centroid, elementwise to doubles (`cell` 0-based) — the exact
+    * coercion the former zip_with(long, double) literal form did. */
+  def centroidShiftD(qv: ArrayData, cell: Int,
+                     centers: Array[Array[Double]]): ArrayData = {
+    val c = centers(cell)
+    val out = new Array[Double](c.length)
+    var i = 0
+    while (i < c.length) { out(i) = qv.getLong(i).toDouble - c(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC distance of a (possibly residual-shifted) query vector against
+    * a row's PQ codes: per subspace the left-to-right `(qv_j - cw_j)^2`
+    * sum over the CODED codeword, subspace sums added in subspace
+    * order — the exact chain of the former per-subspace
+    * aggregate/reduce column form. `longInput` mirrors the coercion:
+    * a non-residual query rides the long quantized vector, a shifted
+    * one rides doubles. */
+  def pqAdc(qv: ArrayData, longInput: Boolean, codes: ArrayData,
+            books: Array[Array[Array[Double]]], subDim: Int): Double = {
+    val m = books.length
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val cw = books(s)(codes.getInt(s))
+      var acc = 0.0
+      var j = 0
+      while (j < subDim) {
+        val q = if (longInput) qv.getLong(s * subDim + j).toDouble
+                else qv.getDouble(s * subDim + j)
+        val x = q - cw(j)
+        acc += x * x
+        j += 1
+      }
+      total += acc
+      s += 1
+    }
+    total
+  }
+
   /** Sign-bit sketch: dot the vector against `nPlanes` deterministic
     * pseudo-random hyperplanes (seeded by plane index) and pack the signs
     * into a Long — random-hyperplane LSH for cosine similarity. */

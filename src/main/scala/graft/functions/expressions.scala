@@ -370,6 +370,152 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `pq_encode(qv)` — per-subspace PQ codes (0-based, as one
+  * `array<int>`) against codebooks riding as ONE reference object:
+  * the literal form was `m x ksub` codeword-distance columns over
+  * `subDim` literals each = `dim x ksub` expression nodes, the same
+  * planning bomb [[NearestCells]] defused for the coarse step
+  * (196k nodes at a production dim=768/ksub=256). Arithmetic and
+  * tie-break replicate the literal form bit-for-bit
+  * ([[VectorKernels.pqCodes]]). */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]],
+                    subDim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.pqCodes(v.asInstanceOf[ArrayData], books, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBooks", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorKernels.pqCodes($v, $ref, $subDim);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: PqEncode => child == o.child && subDim == o.subDim &&
+      java.util.Arrays.deepEquals(books.asInstanceOf[Array[AnyRef]],
+        o.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + subDim) +
+      java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `centroid_shift_l(qv, cell0)` — the encode-side residual shift
+  * `qv - centers(cell)` over longs, centers as a reference object (the
+  * literal form was an `nlist x dim` matrix). */
+case class CentroidShiftL(left: Expression, right: Expression,
+                          centers: Array[Array[Long]])
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_shift_l"
+
+  override def nullSafeEval(qv: Any, cell: Any): Any =
+    VectorKernels.centroidShiftL(qv.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], centers)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCentersL", centers, "long[][]")
+    nullSafeCodeGen(ctx, ev, (qv, cell) =>
+      s"${ev.value} = graft.functions.VectorKernels.centroidShiftL($qv, $cell, $ref);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: CentroidShiftL => left == o.left && right == o.right &&
+      java.util.Arrays.deepEquals(centers.asInstanceOf[Array[AnyRef]],
+        o.centers.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode() + right.hashCode()) +
+      java.util.Arrays.deepHashCode(centers.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `centroid_shift_d(qv, cell0)` — the query-side residual shift to
+  * doubles (long quantized vector minus double centroid), centers as a
+  * reference object. */
+case class CentroidShiftD(left: Expression, right: Expression,
+                          centers: Array[Array[Double]])
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_shift_d"
+
+  override def nullSafeEval(qv: Any, cell: Any): Any =
+    VectorKernels.centroidShiftD(qv.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], centers)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCentersD", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, (qv, cell) =>
+      s"${ev.value} = graft.functions.VectorKernels.centroidShiftD($qv, $cell, $ref);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: CentroidShiftD => left == o.left && right == o.right &&
+      java.util.Arrays.deepEquals(centers.asInstanceOf[Array[AnyRef]],
+        o.centers.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode() + right.hashCode()) +
+      java.util.Arrays.deepHashCode(centers.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `pq_adc(qv, codes)` — ADC distance of a (possibly residual-shifted)
+  * query vector against a row's PQ codes, codebooks as a reference
+  * object; `longInput` is derived from the query child's element type
+  * and mirrors the literal form's long->double coercion. */
+case class PqAdc(left: Expression, right: Expression,
+                 books: Array[Array[Array[Double]]], subDim: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  private def longInput: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(qv: Any, codes: Any): Any =
+    VectorKernels.pqAdc(qv.asInstanceOf[ArrayData], longInput,
+      codes.asInstanceOf[ArrayData], books, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBooks", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (qv, codes) =>
+      s"${ev.value} = graft.functions.VectorKernels.pqAdc($qv, $longInput, " +
+        s"$codes, $ref, $subDim);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: PqAdc => left == o.left && right == o.right &&
+      subDim == o.subDim &&
+      java.util.Arrays.deepEquals(books.asInstanceOf[Array[AnyRef]],
+        o.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * (31 * left.hashCode() + right.hashCode()) + subDim) +
+      java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `bloom_might_contain(h: long)` against a literal serialized
   * `org.apache.spark.util.sketch.BloomFilter` — the wave-side
   * pre-filter of the at-rest digest index. The filter rides the plan

@@ -148,6 +148,22 @@ package object functions {
                    np: Int): Column =
     toCol(NearestCells(toExpr(qv), centroids, np))
 
+  def pqEncode(qv: Column, books: Array[Array[Array[Double]]],
+               subDim: Int): Column =
+    toCol(PqEncode(toExpr(qv), books, subDim))
+
+  def centroidShiftL(qv: Column, cell0: Column,
+                     centers: Array[Array[Long]]): Column =
+    toCol(CentroidShiftL(toExpr(qv), toExpr(cell0), centers))
+
+  def centroidShiftD(qv: Column, cell0: Column,
+                     centers: Array[Array[Double]]): Column =
+    toCol(CentroidShiftD(toExpr(qv), toExpr(cell0), centers))
+
+  def pqAdc(qv: Column, codes: Column, books: Array[Array[Array[Double]]],
+            subDim: Int): Column =
+    toCol(PqAdc(toExpr(qv), toExpr(codes), books, subDim))
+
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
 

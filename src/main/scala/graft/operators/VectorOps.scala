@@ -47,15 +47,6 @@ object VectorOps {
     else df.select(col(idCol), qv.as("__qv"))
   }
 
-  /** Squared L2 from `__qv` to a literal centroid, folded left-to-right
-    * from 0.0 (the list_sum parity shape). */
-  private[operators] def sqDistToCenter(c: Array[Double]): org.apache.spark.sql.Column =
-    aggregate(
-      zip_with(col("__qv"), array(c.map(lit).toIndexedSeq: _*), (a, b) => {
-        val d = a.cast("double") - b; d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Adds `__c` = argmin cell (ties to the lowest id — array_position
     * of the min takes the first occurrence). The distance array gets
     * its own projection so min and position read ONE evaluation (the
@@ -98,26 +89,11 @@ object VectorOps {
     Some(centers)
   }
 
-  /** Squared L2 from an arbitrary quantized-slice column to a literal
-    * centroid — [[sqDistToCenter]] generalized to product-quantization
-    * subspace slices. Same fold shape (0.0 seed, left-to-right), same
-    * engine-replay contract. */
-  private[operators] def sqDistOn(sl: org.apache.spark.sql.Column,
-                                  c: Array[Double]): org.apache.spark.sql.Column =
-    aggregate(
-      zip_with(sl, array(c.map(lit).toIndexedSeq: _*), (a, b) => {
-        val d = a.cast("double") - b; d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** Literal matrix of integer-quantized centroids (typedLit needs a
-    * TypeTag, which value classes forbid — the [[graft.operators.SpatialOps]]
-    * pivotsLit precedent). */
-  private[operators] def centersLitL(p: Array[Array[Long]]): org.apache.spark.sql.Column =
-    typedLit(p.map(_.toSeq).toSeq)
-
-  /** 3-level float codebook matrix as ONE data literal (same TypeTag /
-    * value-class restriction as above). */
+  /** 3-level float codebook matrix as ONE data literal (typedLit needs
+    * a TypeTag, which value classes forbid — the
+    * [[graft.operators.SpatialOps]] pivotsLit precedent). A DATA
+    * literal, not an expression matrix, so it is one plan node; used
+    * only by the bounded two-level trained-IVF verb. */
   private[operators] def codebooksLitF(p: Array[Array[Array[Float]]]): org.apache.spark.sql.Column =
     typedLit(p.map(_.map(_.toSeq).toSeq).toSeq)
 
@@ -128,17 +104,16 @@ object VectorOps {
   private[operators] def withPqCodes(base: org.apache.spark.sql.DataFrame,
                                      books: Array[Array[Array[Double]]],
                                      subDim: Int): org.apache.spark.sql.DataFrame = {
+    // pq_encode carries the codebooks as ONE reference object — the
+    // former per-codeword distance columns were dim x ksub literal
+    // nodes, the NearestCells planning bomb on the PQ axis (same IEEE
+    // chain, same lowest-code tie-break, bit-stable)
     val m = books.length
-    val withD = base.select(col("*") +: (0 until m).map { s =>
-      array(books(s).map(c =>
-        sqDistOn(slice(col("__qv"), s * subDim + 1, subDim), c)).toIndexedSeq: _*)
-        .as(s"__pqd$s")
-    }: _*)
-    val withC = withD.select(withD.columns.filterNot(_.startsWith("__pqd")).map(col) ++
+    val withA = base.withColumn("__graft_pqcs",
+      graft.functions.pqEncode(col("__qv"), books, subDim))
+    withA.select(withA.columns.filterNot(_ == "__graft_pqcs").map(col) ++
       (0 until m).map(s =>
-        (array_position(col(s"__pqd$s"), array_min(col(s"__pqd$s"))) - 1)
-          .cast("int").as(s"__pqc$s")): _*)
-    withC
+        element_at(col("__graft_pqcs"), s + 1).as(s"__pqc$s")): _*)
   }
 
   /** Product-quantization training: `iters` Lloyd rounds over ALL `m`
@@ -429,24 +404,17 @@ object VectorOps {
       case Some(t) => codes0.join(t, Seq(idCol), "left_anti")
       case None    => codes0
     }
-    def booksLit(s: Int) = array(books(s).map(cw =>
-      array(cw.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    // reference-object kernels end to end: the residual shift's
+    // nlist x dim and the ADC's dim x ksub literal matrices were the
+    // NearestCells planning bomb on this path (same IEEE chains,
+    // bit-stable)
     val shiftedQv =
       if (!meta.residual) col("__qv")
-      else {
-        val centerQ = coarse.map(_.map(v => math.floor(v)))
-        zip_with(col("__qv"),
-          element_at(array(centerQ.map(c =>
-            array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*),
-            col("__graft_cell").cast("int")),
-          (a, b) => a - b)
-      }
-    val adc = (0 until m).map { s =>
-      val sub = slice(shiftedQv, s * subDim + 1, subDim)
-      val cw = element_at(booksLit(s), col(s"__pqc$s") + 1)
-      aggregate(zip_with(sub, cw, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-    }.reduce(_ + _)
+      else graft.functions.centroidShiftD(col("__qv"),
+        (col("__graft_cell") - 1).cast("int"),
+        coarse.map(_.map(v => math.floor(v))))
+    val adc = graft.functions.pqAdc(shiftedQv,
+      array((0 until m).map(s => col(s"__pqc$s")): _*), books, subDim)
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(lIdCol))
       .orderBy(col("__graft_vj_adc").asc, col(idCol).asc)
@@ -967,10 +935,8 @@ object VectorOps {
           val celled = VectorOps.withCell(f, coarse)
           if (residual) {
             val centerQ = coarse.map(_.map(v => math.floor(v).toLong))
-            celled.withColumn("__qv",
-              zip_with(col("__qv"),
-                element_at(VectorOps.centersLitL(centerQ), col("__c") + 1),
-                (a, b) => a - b))
+            celled.withColumn("__qv", graft.functions.centroidShiftL(
+              col("__qv"), col("__c").cast("int"), centerQ))
           } else celled
         }
         val codesInput = celledShifted(base)
@@ -1067,10 +1033,8 @@ object VectorOps {
         val codesInput =
           if (meta.residual) {
             val centerQ = meta.coarse.map(_.map(v => math.floor(v).toLong))
-            celled.withColumn("__qv",
-              zip_with(col("__qv"),
-                element_at(VectorOps.centersLitL(centerQ), col("__c") + 1),
-                (a, b) => a - b))
+            celled.withColumn("__qv", graft.functions.centroidShiftL(
+              col("__qv"), col("__c").cast("int"), centerQ))
           } else celled
         val subDim = meta.books(0)(0).length
         VectorOps.withPqCodes(codesInput, meta.books, subDim)
@@ -1718,10 +1682,8 @@ object VectorOps {
             if (residual) coarse.map(_.map(v => math.floor(v).toLong)) else null
           val codesInput =
             if (residual)
-              celled.withColumn("__qv",
-                zip_with(col("__qv"),
-                  element_at(VectorOps.centersLitL(centerQ), col("__c") + 1),
-                  (a, b) => a - b))
+              celled.withColumn("__qv", graft.functions.centroidShiftL(
+                col("__qv"), col("__c").cast("int"), centerQ))
             else celled
           VectorOps.pqTrain(codesInput, idCol, m, ksub, iters, seed) match {
             case None => emptyOut

@@ -880,6 +880,32 @@ class VectorOpsSpec extends SparkSpec {
       .filter(col("vec_id") % 7 === 0).count() === 0L)
   }
 
+  test("residual DISK layout: single-query and join verbs exact at the escape") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_resid_spec").toString
+    val emb = Tables.embeddings(spark, sf())
+    emb.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+      iters = 2, residual = true)
+    val total = emb.count().toInt
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val want = emb.cosineTopK("embedding", "vec_id", q, 10)
+      .select(col("vec_id"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // single-query verb (driver-side residual ADC tables)
+    val got1 = VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
+        q, 10, nprobe = 8, refine = total)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got1 === want, "residual disk single-query != brute at escape")
+    // join verb (the codegen'd centroid_shift_d + pq_adc path)
+    val wave = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got2 = VectorOps.readIvfPqTopKJoin(wave, "qvec", "qid", path,
+        "embedding", "vec_id", k = 10, nprobe = 8, refine = total)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got2 === want, "residual disk join != brute at escape")
+  }
+
   test("readIvfPqTopKJoin: per-left parity with the single-query verb; exact at escape") {
     import spark.implicits._
     for (res <- Seq(false, true)) {
