@@ -328,11 +328,27 @@ object VectorOps {
       .withColumn("__graft_sg_cell",
         explode(graft.functions.nearestCells(col("__qv"), coarse, np)))
       .drop("__qv")
+    // BATCH waves push their probed-cell union as a LITERAL partition
+    // filter (the readIvfPqTopKJoin discipline — dynamic pruning reads
+    // well in plan text but is runtime-inert whenever the planner
+    // builds on the layout side); a STREAMING wave cannot collect, so
+    // it keeps the lazy stream-static plan and the cell equi-join
+    // bounds the matched rows either way
+    val cellFilter: DataFrame => DataFrame =
+      if (left.isStreaming) identity
+      else {
+        val probed = exploded
+          .select(col("__graft_sg_cell").cast("int").as("__graft_sg_cell"))
+          .distinct().collect().map(_.getInt(0))
+        df => df.filter(col("__graft_cell")
+          .isin(probed.map(Int.box).toIndexedSeq: _*))
+      }
     val data = spark.read.parquet(s"$path/data")
     require(data.columns.contains("__graft_token"),
       s"ivfSemanticGate: $path/data has no __graft_token column — the " +
         "layout predates the tokened format or is torn; rewrite it")
-    val rows0 = data.filter(assert_true(col("__graft_token") === meta.token,
+    val rows0 = cellFilter(data)
+      .filter(assert_true(col("__graft_token") === meta.token,
         lit(s"ivfSemanticGate: write-token mismatch between $path/meta " +
           s"and $path/data — rewrite the layout")).isNull)
       .select(col(idCol), col(vecCol).as("__graft_sg_v"), col("__graft_cell"))

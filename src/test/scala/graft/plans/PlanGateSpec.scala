@@ -235,6 +235,31 @@ class PlanGateSpec extends SparkSpec {
         s"${postingRowsSurfaced(full)} — pruning inert")
   }
 
+  test("semantic gate (batch): the layout scan prunes to the wave's probed cells") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_plangate_sg").toString
+    val emb = embeddings(spark, sf())
+    emb.writeIvfPq(path, "embedding", "vec_id", nlist = 16, m = 4, ksub = 4,
+      iters = 2)
+    val wave = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("wid"), col("embedding").as("wvec"))
+    val df = graft.operators.VectorOps.ivfSemanticGate(wave, "wvec", "wid",
+      path, "embedding", "vec_id", threshold = 0.3, nprobe = 2)
+    df.collect()
+    val cells = spark.read.parquet(s"$path/data")
+      .select(col("__graft_cell")).distinct().count()
+    val scans = fileScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(
+        _.toString.contains("graft_plangate_sg")))
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      val read = f.metrics.get("numPartitions").map(_.value)
+        .getOrElse(fail(s"gate scan carries no numPartitions metric: $f"))
+      assert(read < cells && read <= 2,
+        s"gate scan read $read of $cells cells — batch pruning inert")
+    }
+  }
+
   test("PQ ANN: shuffle-free ADC scoring over literal tables, TakeOrdered cut") {
     val q = embeddings(spark, sf()).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
