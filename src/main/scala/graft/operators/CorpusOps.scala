@@ -194,6 +194,13 @@ object CorpusOps {
                       path: String): Unit =
     compactBm25Index(spark, path, dropForeign = true)
 
+  /** [[DedupOps.fsckTextIndex]] on a bm25 layout (one of its detected
+    * families) — aliased here so the audit verb sits beside the other
+    * bm25 verbs. */
+  def fsckBm25Index(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    DedupOps.fsckTextIndex(spark, path)
+
   /** Tombstone-delete ids from a [[DatasetCorpusOps.writeBm25Index]]
     * layout — the ids-only GDPR purge. The deleted docs' per-term df
     * and the (N, Σdl) constants are derived FROM THE LAYOUT's own

@@ -378,6 +378,105 @@ object DedupOps {
                          ids: org.apache.spark.sql.DataFrame): Unit =
     deleteFromIndex(spark, path, ids, "deleteFromCdcIndex", CdcParamKeys)
 
+  /** Non-throwing audit of an at-rest TEXT layout (digest / minhash /
+    * CDC / BM25, auto-detected from the meta): one (check, ok, detail)
+    * row per invariant — meta parses, the write token is admitted,
+    * every table's tokens are a subset of the admitted set (torn waves
+    * NAMED instead of thrown at), the digest Bloom and the id-clash
+    * filters cover exactly the admitted waves when the meta claims
+    * them, dictionary df sums are non-negative, tombstones are
+    * inventoried (orphans are informational — readers ignore them).
+    * Every reader REFUSES a torn layout by design; this is the verb an
+    * operator runs to learn WHAT tore and which repair applies, and
+    * the all-green row set a healthy layout must answer. Column-pruned
+    * token scans only — never data-sized work. */
+  def fsckTextIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): org.apache.spark.sql.DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    def check(name: String)(body: => (Boolean, String)): Unit =
+      out += (try { val (ok, d) = body; (name, ok, d) }
+        catch { case e: Throwable =>
+          (name, false, Option(e.getMessage).getOrElse(e.toString).take(200)) })
+    val metaTry =
+      try Right(indexMeta(spark, path, "fsckTextIndex"))
+      catch { case e: Throwable => Left(e) }
+    metaTry match {
+      case Left(e) =>
+        out += (("meta", false,
+          Option(e.getMessage).getOrElse(e.toString).take(200)))
+      case Right(params) =>
+        val family =
+          if (params.contains("__n")) "bm25"
+          else if (params.contains("maskBits")) "cdc"
+          else if (params.contains("numHashes")) "minhash"
+          else "digest"
+        out += (("meta", true, family))
+        val waves = params.getOrElse("__waves", params("__token"))
+          .split(";").toSeq.filter(_.nonEmpty)
+        val tombs = tombTokens(params)
+        check("token_in_waves") {
+          (waves.contains(params("__token")), "")
+        }
+        val tables: Seq[(String, Set[String])] = family match {
+          case "digest"  => Seq("digests" -> waves.toSet)
+          case "minhash" => Seq("buckets" -> waves.toSet,
+            "shingles" -> waves.toSet)
+          case "cdc"     => Seq("chunks" -> waves.toSet,
+            "shingles" -> waves.toSet)
+          case _         => Seq("postings" -> waves.toSet,
+            "terms" -> (waves.toSet ++ tombs)) // delete waves' negative df rows
+        }
+        for ((table, admitted) <- tables) check(s"${table}_tokens") {
+          val seen = spark.read.parquet(s"$path/$table")
+            .select(col("__graft_token")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val foreign = seen.diff(admitted)
+          (foreign.isEmpty,
+            if (foreign.isEmpty) s"${seen.size} token(s)"
+            else s"torn: ${foreign.size} unadmitted token(s) — run the repair verb")
+        }
+        if (family == "digest" && params.get("bloom").contains("yes"))
+          check("bloom_covers_waves") {
+            val byToken = spark.read.parquet(s"$path/bloom")
+              .select(col("__graft_token")).collect().map(_.getString(0))
+            (byToken.toSet == waves.toSet && byToken.length == waves.length,
+              s"${byToken.length} filter(s) for ${waves.length} wave(s)")
+          }
+        if (params.get("__idbloom").contains("yes"))
+          check("idbloom_covers_waves") {
+            val toks = spark.read.parquet(s"$path/idbloom")
+              .select(col("__graft_token")).collect().map(_.getString(0)).toSet
+            // over-coverage (orphan filters) is safe; a MISSING wave is not
+            (waves.toSet.subsetOf(toks),
+              s"${toks.size} filter(s) for ${waves.length} wave(s)")
+          }
+        if (family == "bm25") check("terms_df_nonnegative") {
+          val bad = spark.read.parquet(s"$path/terms")
+            .filter(col("__graft_token").isin((waves ++ tombs): _*))
+            .groupBy(col("term")).agg(sum(col("__df")).as("__df"))
+            .filter(col("__df") < 0L).limit(1).collect()
+          (bad.isEmpty,
+            bad.headOption.map(r => s"term '${r.getString(0)}' sums negative")
+              .getOrElse(""))
+        }
+        if (tombs.nonEmpty) check("tombstones") {
+          val toks = spark.read.parquet(s"$path/tombstones")
+            .select(col("__graft_token")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val orphans = toks.diff(tombs.toSet)
+          val missing = tombs.toSet.diff(toks)
+          // orphans are ignored by readers (informational); a MISSING
+          // admitted delete wave means tombstones were lost — unsafe
+          (missing.isEmpty,
+            s"${tombs.length} admitted delete wave(s)" +
+              (if (orphans.nonEmpty) s", ${orphans.size} orphan token(s) (ignored)" else "") +
+              (if (missing.nonEmpty) s", ${missing.size} admitted wave(s) MISSING" else ""))
+        }
+    }
+    import spark.implicits._
+    spark.createDataset(out.toIndexedSeq).toDF("check", "ok", "detail")
+  }
+
   /** Merge a multi-wave [[DatasetDedupOps.writeCdcIndex]] layout back
     * to single-wave form: membership arrays split across appends are
     * re-grouped once and republished under ONE fresh token, restoring

@@ -641,6 +641,52 @@ object VectorOps {
     meta
   }
 
+  /** Non-throwing audit of an IVF-PQ layout — the
+    * [[graft.operators.DedupOps.fsckTextIndex]] verb for the vector
+    * family: meta parses and is shape-consistent, the data table holds
+    * exactly the meta's generation token (an append extends it, so ANY
+    * other token is a tear), tombstones are inventoried. Column-pruned
+    * token scans only. */
+  def fsckIvfPq(spark: org.apache.spark.sql.SparkSession,
+                path: String): org.apache.spark.sql.DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    def check(name: String)(body: => (Boolean, String)): Unit =
+      out += (try { val (ok, d) = body; (name, ok, d) }
+        catch { case e: Throwable =>
+          (name, false, Option(e.getMessage).getOrElse(e.toString).take(200)) })
+    val metaTry =
+      try Right(readIvfPqMeta(spark, path))
+      catch { case e: Throwable => Left(e) }
+    metaTry match {
+      case Left(e) =>
+        out += (("meta", false,
+          Option(e.getMessage).getOrElse(e.toString).take(200)))
+      case Right(meta) =>
+        out += (("meta", true,
+          s"ivfpq nlist=${meta.coarse.length} m=${meta.m} ksub=${meta.ksub}"))
+        check("data_tokens") {
+          val seen = spark.read.parquet(s"$path/data")
+            .select(col("__graft_token")).distinct()
+            .collect().map(_.getString(0)).toSet
+          (seen == Set(meta.token),
+            if (seen == Set(meta.token)) "one generation"
+            else s"torn: ${seen.diff(Set(meta.token)).size} foreign token(s) " +
+              "— retrainIvfPq rewrites the generation")
+        }
+        if (meta.tombs.nonEmpty) check("tombstones") {
+          val toks = spark.read.parquet(s"$path/tombstones")
+            .select(col("__graft_token")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val missing = meta.tombs.toSet.diff(toks)
+          (missing.isEmpty,
+            s"${meta.tombs.length} admitted delete wave(s)" +
+              (if (missing.nonEmpty) s", ${missing.size} MISSING" else ""))
+        }
+    }
+    import spark.implicits._
+    spark.createDataset(out.toIndexedSeq).toDF("check", "ok", "detail")
+  }
+
   /** Tombstone-delete ids from a [[DatasetVectorOps.writeIvfPq]]
     * layout — the text layouts' GDPR discipline on the vector family:
     * ids land at `$path/tombstones` under a fresh delete token, the

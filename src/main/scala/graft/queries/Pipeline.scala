@@ -231,6 +231,26 @@ object Pipeline {
       .orderBy(col("id_new"), col("id_corpus"))
   }
 
+  /** The layout AUDIT verb ([[DedupOps.fsckTextIndex]]): a digest
+    * layout after write → append → delete must answer the exact
+    * all-green check inventory — the ops surface completing the
+    * write/append/delete/compact/repair story. DuckDB predicts the
+    * (check, ok) table. */
+  def indexFsckQ(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_fsck_q_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+      .writeDigestIndex(path, "doc_id", "text")
+    docs.filter(col("doc_id") % 10 >= 6)
+      .appendDigestIndex(path, "doc_id", "text")
+    graft.operators.DedupOps.deleteFromDigestIndex(s, path,
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    graft.operators.DedupOps.fsckTextIndex(s, path)
+      .select(col("check"), col("ok"))
+      .orderBy(col("check"))
+  }
+
   /** Tombstone DELETES on the CDC chunk index, verdict form: write →
     * append → delete, then the wave's index-backed pairs must equal
     * the direct chunk pairs against the SURVIVING corpus bit-for-bit —
@@ -2627,6 +2647,15 @@ object Pipeline {
     "dd_cdc_delete" ->
       ("SELECT TRUE AS delete_equals_direct, TRUE AS compact_equals_direct, " +
         "TRUE AS nonempty"),
+    // the audit verb's all-green inventory on a healthy
+    // write+append+delete digest layout
+    "dd_index_fsck" ->
+      """SELECT * FROM (VALUES
+        |  ('bloom_covers_waves', TRUE), ('digests_tokens', TRUE),
+        |  ('idbloom_covers_waves', TRUE), ('meta', TRUE),
+        |  ('token_in_waves', TRUE), ('tombstones', TRUE))
+        |  AS t("check", ok)
+        |ORDER BY "check"""".stripMargin,
     "dd_minhash_delete" ->
       ("SELECT TRUE AS delete_equals_direct, TRUE AS compact_equals_direct, " +
         "TRUE AS nonempty"),
@@ -3366,6 +3395,7 @@ object Pipeline {
     "dd_minhash_append" -> (minhashAppendQ _),
     "dd_digest_append" -> (digestAppendQ _),
     "dd_digest_delete" -> (digestDeleteQ _),
+    "dd_index_fsck" -> (indexFsckQ _),
     "dd_cdc_delete" -> (cdcDeleteQ _),
     "dd_minhash_delete" -> (minHashDeleteQ _),
     "tx_bm25_delete" -> (bm25DeleteQ _),

@@ -847,6 +847,68 @@ class DedupOpsSpec extends SparkSpec {
     assert(e3.getMessage.contains("already exists"))
   }
 
+  test("fsck: healthy layouts answer all-green; a torn append is NAMED; repair clears it") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_fsck_spec").toString
+    val corpus = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+    val wave2 = docs.filter(col("doc_id") % 10 >= 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    corpus.writeDigestIndex(path, "doc_id", "text")
+    wave2.appendDigestIndex(path, "doc_id", "text")
+    DedupOps.deleteFromDigestIndex(spark, path,
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    val healthy = rows(DedupOps.fsckTextIndex(spark, path))
+    assert(healthy.map(_._1) === Seq("meta", "token_in_waves",
+      "digests_tokens", "bloom_covers_waves", "idbloom_covers_waves",
+      "tombstones"), s"check inventory drifted: $healthy")
+    assert(healthy.forall(_._2), s"healthy layout not all-green: $healthy")
+    // tear an append (rows land, meta commit doesn't): readers refuse,
+    // fsck NAMES the torn table instead
+    val metaBefore = spark.read.textFile(s"$path/meta").collect().toSeq
+    import spark.implicits._
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+      .appendDigestIndex(path, "doc_id", "text")
+    spark.createDataset(metaBefore).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val torn = rows(DedupOps.fsckTextIndex(spark, path)).toMap
+    assert(!torn("digests_tokens"), "fsck missed the torn append")
+    assert(torn("meta") && torn("token_in_waves"))
+    DedupOps.repairDigestIndex(spark, path)
+    assert(rows(DedupOps.fsckTextIndex(spark, path)).forall(_._2),
+      "repair did not restore an all-green fsck")
+    // a missing meta with no complete meta_tmp reports, never throws
+    val broken = path + "_nometa"
+    corpus.limit(5).writeDigestIndex(broken, "doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(broken)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$broken/meta"), true)
+    val noMeta = rows(DedupOps.fsckTextIndex(spark, broken))
+    assert(noMeta === Seq(("meta", false)) ||
+      (noMeta.length == 1 && !noMeta.head._2), s"$noMeta")
+    // bm25 family: constants + negative-df + tombstone checks all green
+    val bm = path + "_bm25"
+    import graft.operators.CorpusOps.DatasetCorpusOps
+    corpus.writeBm25Index(bm, "doc_id", "text")
+    graft.operators.CorpusOps.deleteFromBm25Index(spark, bm,
+      corpus.limit(7).select(col("doc_id")))
+    val bmRows = rows(graft.operators.CorpusOps.fsckBm25Index(spark, bm))
+    assert(bmRows.map(_._1).contains("terms_df_nonnegative") &&
+      bmRows.forall(_._2), s"$bmRows")
+    // ivfpq family
+    val iv = path + "_ivf"
+    val emb = graft.Tables.embeddings(spark, sf())
+    import graft.operators.VectorOps._
+    emb.writeIvfPq(iv, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+      iters = 2)
+    graft.operators.VectorOps.deleteFromIvfPq(spark, iv,
+      emb.limit(5).select(col("vec_id")), "vec_id")
+    val ivRows = rows(graft.operators.VectorOps.fsckIvfPq(spark, iv))
+    assert(ivRows.map(_._1) === Seq("meta", "data_tokens", "tombstones") &&
+      ivRows.forall(_._2), s"$ivRows")
+  }
+
   test("digest index: normalized form matches case/punct variants") {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_digest_norm_spec").toString
