@@ -624,6 +624,25 @@ object Bench {
     rec.timed("b8ri_bm25_index_topk") {
       CorpusOps.bm25TopKAgainstIndex(spark, bmPath, bmTerms, 20).count()
     }
+    // tombstone deletes (r12): the delete verb itself (digest = wave
+    // write + meta; bm25 additionally derives df/constant deltas from
+    // one column-pruned postings pass), then the tombstoned layouts'
+    // read paths — the anti-join cost a deleted-but-uncompacted layout
+    // pays per query
+    rec.timed("b10w_digest_delete") {
+      graft.operators.DedupOps.deleteFromDigestIndex(spark, digestPath,
+        docsAll.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    }
+    rec.timed("b7dt_digest_gate_deleted") {
+      wave.exactPairsAgainstIndex(digestPath, "doc_id", "text").count()
+    }
+    rec.timed("b10x_bm25_delete") {
+      CorpusOps.deleteFromBm25Index(spark, bmPath,
+        docsAll.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+    }
+    rec.timed("b8rd_bm25_topk_deleted") {
+      CorpusOps.bm25TopKAgainstIndex(spark, bmPath, bmTerms, 20).count()
+    }
   }
 
   /** One full sweep: ALU + memory brackets around the whole run, plus a
