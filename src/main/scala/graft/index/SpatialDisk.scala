@@ -277,6 +277,56 @@ object SpatialDisk {
       params("cellBits").toInt, params("bits").toInt, cells, line("token"))
   }
 
+  /** Non-throwing audit of a spatial layout — the
+    * [[graft.operators.DedupOps.fsckTextIndex]] verb for the spatial
+    * family: meta parses, the data holds exactly the meta's token, and
+    * — the check the kNN walk's GUARANTEED radii stand on — the meta's
+    * per-cell counts EQUAL the on-disk per-cell counts (one bounded
+    * aggregation, ≤ 2^16 rows to the driver; an overcount would
+    * silently shrink a guaranteed radius). This count discipline is
+    * also why the spatial layout has no tombstone deletes. */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    def check(name: String)(body: => (Boolean, String)): Unit =
+      out += (try { val (ok, d) = body; (name, ok, d) }
+        catch { case e: Throwable =>
+          (name, false, Option(e.getMessage).getOrElse(e.toString).take(200)) })
+    val metaTry =
+      try Right(readMeta(spark, path))
+      catch { case e: Throwable => Left(e) }
+    metaTry match {
+      case Left(e) =>
+        out += (("meta", false,
+          Option(e.getMessage).getOrElse(e.toString).take(200)))
+      case Right(m) =>
+        out += (("meta", true,
+          s"spatial keyCols=${m.keyCols.mkString(",")} cells=${m.cells.length}"))
+        check("data_tokens") {
+          val seen = spark.read.parquet(s"$path/data")
+            .select(col(TokenCol)).distinct()
+            .collect().map(_.getString(0)).toSet
+          (seen == Set(m.token),
+            if (seen == Set(m.token)) "one generation"
+            else s"torn: ${seen.diff(Set(m.token)).size} foreign token(s)")
+        }
+        check("cell_counts_exact") {
+          val onDisk = spark.read.parquet(s"$path/data")
+            .groupBy(col(CellCol)).agg(count(lit(1)).as("__n"))
+            .collect().map(r => r.getAs[Number](0).longValue() -> r.getLong(1))
+            .toMap
+          val metaCounts = m.cells.map(s => s.id -> s.count).toMap
+          val bad = (onDisk.keySet ++ metaCounts.keySet).filter(c =>
+            onDisk.getOrElse(c, 0L) != metaCounts.getOrElse(c, 0L))
+          (bad.isEmpty,
+            if (bad.isEmpty) s"${metaCounts.size} cell(s) exact"
+            else s"${bad.size} cell(s) drifted — kNN radii no longer " +
+              "guaranteed; rewrite or re-append from source")
+        }
+    }
+    import spark.implicits._
+    spark.createDataset(out.toIndexedSeq).toDF("check", "ok", "detail")
+  }
+
   /** The validated scan every query starts from: token-checked data
     * with the cell-directory filter for the bbox `[lo, hi]` applied.
     * Cell ids come from enumerating the box's quantized cell ranges

@@ -907,6 +907,29 @@ class DedupOpsSpec extends SparkSpec {
     val ivRows = rows(graft.operators.VectorOps.fsckIvfPq(spark, iv))
     assert(ivRows.map(_._1) === Seq("meta", "data_tokens", "tombstones") &&
       ivRows.forall(_._2), s"$ivRows")
+    // spatial family: the cell-count check the kNN radii stand on
+    val sp = path + "_sp"
+    graft.index.SpatialDisk.write(
+      graft.Tables.customerPts(spark, sf()), sp, Seq("cx", "cy"), cellBits = 3)
+    val spRows = rows(graft.index.SpatialDisk.fsck(spark, sp))
+    assert(spRows.map(_._1) === Seq("meta", "data_tokens", "cell_counts_exact")
+      && spRows.forall(_._2), s"$spRows")
+    // drift a cell count in the meta: fsck names the broken guarantee
+    val metaLines = spark.read.textFile(s"$sp/meta").collect().toSeq
+    val drifted = metaLines.map { l =>
+      if (!l.startsWith("cells=")) l
+      else {
+        val body = l.substring(6)
+        val first = body.split(";").head
+        val parts = first.split(":")
+        val bumped = s"${parts(0)}:${parts(1).toLong + 1}:${parts(2)}"
+        "cells=" + (bumped +: body.split(";").tail).mkString(";")
+      }
+    }
+    spark.createDataset(drifted).coalesce(1).write.mode("overwrite")
+      .text(s"$sp/meta")
+    val spBad = rows(graft.index.SpatialDisk.fsck(spark, sp)).toMap
+    assert(!spBad("cell_counts_exact"), "fsck missed the drifted cell count")
   }
 
   test("digest index: normalized form matches case/punct variants") {
