@@ -1854,6 +1854,43 @@ object DedupOps {
       .select(col("__id").as(idCol), col("__lbl").as("component"))
   }
 
+  /** DELETE maintenance for near-dup components — the inverse of
+    * [[extendComponents]], closing the tombstone story for the dedup
+    * surface: removing documents can SPLIT a component (the duplicate
+    * that bridged two clusters leaves), so labels cannot be patched in
+    * place. Only the components that LOST a member recompute — over
+    * only their surviving members' internal edges (a pair can never
+    * cross two distinct components of the labeling it produced, so
+    * semi-joining both endpoints to the affected survivors keeps
+    * exactly the needed edges) — while untouched components keep their
+    * labels verbatim (their min-id representative cannot change when
+    * no member left). Bit-equal to a full recompute over the surviving
+    * pairs, at affected-components cost. `pairs` is the SAME pair
+    * table the labels were built from (typically the minhash join). */
+  def shrinkComponents(labels: DataFrame, pairs: DataFrame, idCol: String,
+                       deleted: DataFrame,
+                       id1: String = "id1", id2: String = "id2",
+                       maxIters: Int = 25): DataFrame = {
+    require(deleted.columns.contains(idCol),
+      s"shrinkComponents: the deleted frame must carry '$idCol' " +
+        s"(has: ${deleted.columns.mkString(", ")})")
+    val delIds = deleted.select(col(idCol)).distinct().localCheckpoint()
+    val affected = labels.join(delIds, Seq(idCol), "left_semi")
+      .select(col("component")).distinct().localCheckpoint()
+    val untouched = labels.join(affected, Seq("component"), "left_anti")
+    val survivors = labels.join(affected, Seq("component"), "left_semi")
+      .join(delIds, Seq(idCol), "left_anti")
+      .select(col(idCol)).localCheckpoint()
+    val survPairs = pairs
+      .join(survivors.select(col(idCol).as(id1)), Seq(id1), "left_semi")
+      .join(survivors.select(col(idCol).as(id2)), Seq(id2), "left_semi")
+      .select(col(id1), col(id2))
+    labelTableFrom(survivors.select(col(idCol).as("__id")), survPairs,
+        id1, id2, maxIters)
+      .select(col("__id").as(idCol), col("__lbl").as("component"))
+      .unionByName(untouched.select(col(idCol), col("component")))
+  }
+
   private def labelTableFrom(ownIds: DataFrame, pairs: DataFrame,
                              id1: String, id2: String,
                              maxIters: Int): DataFrame = {

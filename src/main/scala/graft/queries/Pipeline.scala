@@ -874,6 +874,46 @@ object Pipeline {
           .as("merges_present"))
   }
 
+  /** DELETE maintenance for near-dup components
+    * ([[DedupOps.shrinkComponents]]): purge a third of the corpus and
+    * only the components that lost a member recompute — the verdict
+    * row pins bit-equality with the full recompute over the surviving
+    * pairs, plus that at least one component actually SPLIT (the
+    * fixture's planted chains guarantee a removed bridge). */
+  def componentsShrinkQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    // the corpus's planted dup clusters are CLIQUES (removing a member
+    // never disconnects one), so a split needs a planted BRIDGE: the
+    // chain 1-3-4 whose middle doc (3, a % 3 == 0 id) gets deleted
+    val pairs = docs.minHashPairs("doc_id", "text", threshold = 0.8)
+      .select(col("id1"), col("id2"))
+      .unionByName(Seq((1L, 3L), (3L, 4L)).toDF("id1", "id2"))
+      .localCheckpoint()
+    val labels = docs.nearDupComponents("doc_id", pairs).localCheckpoint()
+    val del = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val shrunk = graft.operators.DedupOps
+      .shrinkComponents(labels, pairs, "doc_id", del).localCheckpoint()
+    val survPairs = pairs
+      .join(del.select(col("doc_id").as("id1")), Seq("id1"), "left_anti")
+      .join(del.select(col("doc_id").as("id2")), Seq("id2"), "left_anti")
+    val full = docs.join(del, Seq("doc_id"), "left_anti")
+      .nearDupComponents("doc_id", survPairs)
+    // splits: each pre-delete component with survivors yields >= 1 new
+    // component; strictly more means a removed bridge split one
+    val nOldSurviving = labels.join(del, Seq("doc_id"), "left_anti")
+      .select(col("component")).distinct().count()
+    val nAfter = shrunk.select(col("component")).distinct().count()
+    shrunk.select(col("doc_id"), col("component").as("__cs"))
+      .join(full.select(col("doc_id"), col("component").as("__cf")),
+        Seq("doc_id"), "full_outer")
+      .agg(
+        (sum(when(col("__cs") === col("__cf"), 0).otherwise(1)) === 0)
+          .as("shrink_equals_full"),
+        (count(lit(1)) > 0).as("nonempty"),
+        lit(nAfter > nOldSurviving).as("splits_present"))
+  }
+
   /** Leakage-free split (SampleOps.leakageFreeSplit): every doc takes
     * its near-dup COMPONENT's split, so duplicate clusters never
     * straddle train/test. Same deterministic pair list as
@@ -2663,6 +2703,9 @@ object Pipeline {
     "dd_components_extend" ->
       ("SELECT TRUE AS extend_equals_full, TRUE AS nonempty, " +
         "TRUE AS merges_present"),
+    "dd_components_shrink" ->
+      ("SELECT TRUE AS shrink_equals_full, TRUE AS nonempty, " +
+        "TRUE AS splits_present"),
     // the appended digest layout answers the same raw-text semantics,
     // restricted to exactly the two admitted corpus waves
     "dd_digest_append" ->
@@ -3403,6 +3446,7 @@ object Pipeline {
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),
     "dd_components_extend" -> (componentsExtendQ _),
+    "dd_components_shrink" -> (componentsShrinkQ _),
     "pp_leakage_free_split" -> (leakageFreeSplitQ _),
     "pp_mine_negatives" -> (mineNegativesQ _),
     "dd_keep_best" -> (keepBestQ _),

@@ -336,6 +336,47 @@ class DedupOpsSpec extends SparkSpec {
     assert(ext === chainIds.map(i => (i, 100L)).toSet)
   }
 
+  test("shrinkComponents: deletes split components; equals the full recompute") {
+    // components over a chain 1-2-3-4 (one component, label 1) plus the
+    // pair {10,11}; deleting the bridge doc 2 must SPLIT {1} from {3,4}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val labels = nodes.nearDupComponents("doc_id", pairs).localCheckpoint()
+    val deleted = Seq(2L).toDF("doc_id")
+    val got = DedupOps.shrinkComponents(labels, pairs, "doc_id", deleted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (3L, 3L), (4L, 3L), (10L, 10L),
+      (11L, 10L), (20L, 20L)), s"$got")
+    // the contract: bit-equal to a full recompute over the survivors
+    val full = nodes.join(deleted, Seq("doc_id"), "left_anti")
+      .nearDupComponents("doc_id",
+        pairs.filter(col("id1") =!= 2L && col("id2") =!= 2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === full)
+    // untouched components keep their rows verbatim (never recomputed):
+    // deleting from {10,11} must not touch the {1,2,3,4} labels
+    val got2 = DedupOps.shrinkComponents(labels, pairs, "doc_id",
+        Seq(11L).toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (20L, 20L)))
+    // and on the real corpus: delete a third, shrink == full recompute
+    val docPairs = docs.minHashPairs("doc_id", "text", threshold = 0.8)
+      .localCheckpoint()
+    val docLabels = docs.nearDupComponents("doc_id", docPairs)
+      .localCheckpoint()
+    val del = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val shrunk = DedupOps.shrinkComponents(docLabels, docPairs, "doc_id", del)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullDocs = docs.join(del, Seq("doc_id"), "left_anti")
+      .nearDupComponents("doc_id", docPairs
+        .join(del.select(col("doc_id").as("id1")), Seq("id1"), "left_anti")
+        .join(del.select(col("doc_id").as("id2")), Seq("id2"), "left_anti"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shrunk === fullDocs, "shrink != full recompute on the corpus")
+  }
+
   test("dedup rate: minhash collapses the planted near-dup clusters") {
     val pairs = docs.minHashPairs("doc_id", "text", threshold = 0.8)
     val survivors = docs.join(pairs.select(col("id2").as("doc_id")),
