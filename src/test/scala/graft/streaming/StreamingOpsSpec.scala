@@ -202,6 +202,21 @@ class StreamingOpsSpec extends SparkSpec {
         sum(col("shared_chunks")).as("shared_chunks"))
     assert(got.count() > 0, "gate flagged no documents — fixture broke")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // tombstones reach the stream: post-delete the stream equals the
+    // batch gate on the tombstoned layout
+    graft.operators.DedupOps.deleteFromCdcIndex(spark, path,
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 === 0)
+        .select(col("doc_id")))
+    val gotDel = StreamingOps.streamCdcIndexGate(spark, wavePath, path)
+      .select(col("doc_id"), col("matched_corpus_docs").cast("long"),
+        col("shared_chunks").cast("long"))
+    val wantDel = docs.filter(col("doc_id") % 2 =!= 0)
+      .cdcPairsAgainstIndex(path, "doc_id", "text", minShared = 1)
+      .groupBy(col("id_new").as("doc_id"))
+      .agg(count(lit(1)).as("matched_corpus_docs"),
+        sum(col("shared_chunks")).as("shared_chunks"))
+    assert(gotDel.exceptAll(wantDel).isEmpty && wantDel.exceptAll(gotDel).isEmpty,
+      "stream != batch on the tombstoned layout")
     // clean arrivals stay silent: flagged must be a strict subset
     val arrivals = docs.filter(col("doc_id") % 2 =!= 0).count()
     assert(got.count() < arrivals,
