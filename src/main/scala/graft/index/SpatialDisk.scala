@@ -40,14 +40,15 @@ object SpatialDisk {
 
   /** Driver-side FileSystem metadata calls issued by [[prunedScan]]'s
     * pruning layer since JVM start — observability for the "one
-    * listing, never one probe per candidate cell" contract. */
-  private[graft] val pruneFsCalls = new java.util.concurrent.atomic.AtomicLong
+    * listing, never one probe per candidate cell" contract. Shared with
+    * the vector layouts via [[PrunedCellScan]]. */
+  private[graft] def pruneFsCalls = PrunedCellScan.fsCalls
 
   /** Explicit directory paths the last [[prunedScan]] handed the
     * reader (-1 when it fell back to the full listing) — observability
     * for specs now that consumers may materialize the scan at build
     * time, where plan introspection can no longer see it. */
-  private[graft] val pruneLastPathCount = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private[graft] def pruneLastPathCount = PrunedCellScan.lastPathCount
 
   /** Write the layout. `cellBits` sets directory granularity: d
     * dimensions make up to `2^(d*cellBits)` directories (default 5 ->
@@ -363,40 +364,10 @@ object SpatialDisk {
     * layout — the explicit path list handed to the reader stays
     * bounded. */
   private def prunedScan(spark: SparkSession, path: String, m: Meta,
-                         cells: Seq[Long]): DataFrame = {
-    val dataPath = s"$path/data"
-    def full() = {
-      pruneLastPathCount.set(-1L)
-      validated(spark, path, m).filter(col(CellCol).isin(cells: _*))
-    }
-    if (cells.isEmpty || cells.length > 1024) return full()
-    val base = new org.apache.hadoop.fs.Path(dataPath)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // ONE listing of the cell level, intersected with the candidate
-    // set, replaces per-candidate existence probes: an object store
-    // answers listStatus in one round trip where 1024 serial HEADs are
-    // 1024 of them (spec-checked via [[pruneFsCalls]])
-    pruneFsCalls.incrementAndGet()
-    val present = fs.listStatus(base).iterator.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(CellCol + "="))
-        try Iterator.single(n.substring(CellCol.length + 1).toLong)
-        catch { case _: NumberFormatException => Iterator.empty }
-      else Iterator.empty
-    }.toSet
-    val existing = cells.filter(present.contains)
-      .map(c => s"$dataPath/$CellCol=$c")
-    pruneLastPathCount.set(existing.length.toLong)
-    if (existing.isEmpty) return full().filter(lit(false))
-    // the isin is semantically redundant on the restricted read but is
-    // what surfaces as the plan's PartitionFilters IN-set; prunedScan
-    // OWNS the cell filter on both branches so callers never stack a
-    // second copy of an up-to-1024-literal predicate
+                         cells: Seq[Long]): DataFrame =
     tokenChecked(
-      spark.read.option("basePath", dataPath).parquet(existing: _*),
+      PrunedCellScan(spark, s"$path/data", CellCol, cells.map(Long.box)),
       path, m)
-      .filter(col(CellCol).isin(cells: _*))
-  }
 
   private def scanBox(spark: SparkSession, path: String, m: Meta,
                       lo: Array[Double], hi: Array[Double]): DataFrame = {

@@ -188,7 +188,12 @@ object VectorOps {
     val qCos = centroids.map(c => graft.functions.VectorKernels.cosineF(
       qA, new org.apache.spark.sql.catalyst.util.GenericArrayData(c)))
     val probes = qCos.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2 + 1)
-    val data = spark.read.parquet(s"$path/data")
+    // pre-listing directory pruning (the SpatialDisk discipline): the
+    // probed cells are known BEFORE the read, so hand the reader those
+    // explicit cell directories instead of paying an O(nlist) listing
+    // to read nprobe of them. The helper owns the cell IN filter.
+    val data = graft.index.PrunedCellScan(spark, s"$path/data",
+      "__graft_cell", probes.toIndexedSeq.map(Int.box))
     // pair validation (the writeIvfPq token discipline) — stale
     // centroids against fresh cell assignments would probe the wrong
     // cells and silently miss true neighbors. Only a layout where
@@ -213,7 +218,6 @@ object VectorOps {
         data
       }
     tokened
-      .filter(col("__graft_cell").isin(probes: _*))
       .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
@@ -328,26 +332,25 @@ object VectorOps {
       .withColumn("__graft_sg_cell",
         explode(graft.functions.nearestCells(col("__qv"), coarse, np)))
       .drop("__qv")
-    // BATCH waves push their probed-cell union as a LITERAL partition
-    // filter (the readIvfPqTopKJoin discipline — dynamic pruning reads
-    // well in plan text but is runtime-inert whenever the planner
-    // builds on the layout side); a STREAMING wave cannot collect, so
-    // it keeps the lazy stream-static plan and the cell equi-join
-    // bounds the matched rows either way
-    val cellFilter: DataFrame => DataFrame =
-      if (left.isStreaming) identity
+    // BATCH waves collect their probed-cell union and read those cell
+    // directories EXPLICITLY (the PrunedCellScan discipline — the
+    // literal IN surfaces as PartitionFilters AND the listing itself
+    // touches only probed directories); a STREAMING wave cannot
+    // collect, so it keeps the lazy full-listing stream-static plan and
+    // the cell equi-join bounds the matched rows either way
+    val data: DataFrame =
+      if (left.isStreaming) spark.read.parquet(s"$path/data")
       else {
         val probed = exploded
           .select(col("__graft_sg_cell").cast("int").as("__graft_sg_cell"))
           .distinct().collect().map(_.getInt(0))
-        df => df.filter(col("__graft_cell")
-          .isin(probed.map(Int.box).toIndexedSeq: _*))
+        graft.index.PrunedCellScan(spark, s"$path/data", "__graft_cell",
+          probed.toIndexedSeq.map(Int.box))
       }
-    val data = spark.read.parquet(s"$path/data")
     require(data.columns.contains("__graft_token"),
       s"ivfSemanticGate: $path/data has no __graft_token column — the " +
         "layout predates the tokened format or is torn; rewrite it")
-    val rows0 = cellFilter(data)
+    val rows0 = data
       .filter(assert_true(col("__graft_token") === meta.token,
         lit(s"ivfSemanticGate: write-token mismatch between $path/meta " +
           s"and $path/data — rewrite the layout")).isNull)
@@ -401,7 +404,11 @@ object VectorOps {
     val probedCells: Array[Int] = exploded
       .select(col("__graft_vj_cell").cast("int").as("__graft_vj_cell"))
       .distinct().collect().map(_.getInt(0))
-    val data = spark.read.parquet(s"$path/data")
+    // explicit probed-cell directories (PrunedCellScan owns the IN
+    // filter): the listing touches only probed cells, not all nlist —
+    // the 100x trend's residual term was this listing, not the scan
+    val data = graft.index.PrunedCellScan(spark, s"$path/data",
+      "__graft_cell", probedCells.toIndexedSeq.map(Int.box))
     require(data.columns.contains("__graft_token"),
       s"readIvfPqTopKJoin: $path/data has no __graft_token column — the " +
         "layout predates the tokened format or is torn; rewrite with writeIvfPq")
@@ -412,7 +419,6 @@ object VectorOps {
     // with admitted delete waves subtracted (a tombstoned vector never
     // becomes a candidate, so the re-rank never sees it either)
     val codes0 = data
-      .filter(col("__graft_cell").isin(probedCells.map(Int.box).toIndexedSeq: _*))
       .filter(tokenOk.isNull)
       .select(col(idCol) +: (0 until m).map(s => col(s"__pqc$s"))
         :+ col("__graft_cell"): _*)
@@ -448,7 +454,6 @@ object VectorOps {
     // partition filter instead of scanning the whole layout (r11
     // verdict #1: the bare-id join re-read the ENTIRE vector column).
     val vecs = data
-      .filter(col("__graft_cell").isin(probedCells.map(Int.box).toIndexedSeq: _*))
       .filter(tokenOk.isNull)
       .select(col(idCol).as("__graft_vj_vid"), col(vecCol), col("__graft_cell"))
     val wCos = org.apache.spark.sql.expressions.Window
@@ -757,7 +762,10 @@ object VectorOps {
             adcOf(adcTable(i => qq(i) - math.floor(coarse(c)(i)))))
         }: _*)
       }
-    val data = spark.read.parquet(s"$path/data")
+    // explicit probed-cell directories (PrunedCellScan owns the IN
+    // filter — the listing never touches unprobed cells)
+    val data = graft.index.PrunedCellScan(spark, s"$path/data",
+      "__graft_cell", probesPart.map(Int.box))
     // pair validation: the write stamps one token into both artifacts
     // (meta line + constant parquet column). Every row this query reads
     // must carry the meta's token — a torn or interleaved rewrite
@@ -772,7 +780,7 @@ object VectorOps {
       lit(s"readIvfPqTopK: write-token mismatch between $path/meta and " +
         s"$path/data — data and codebooks come from different writes; " +
         "rewrite the layout with writeIvfPq"))
-    val probed0 = data.filter(col("__graft_cell").isin(probesPart: _*))
+    val probed0 = data
       .filter(tokenOk.isNull)
     // admitted delete waves subtract: a tombstoned vector never ranks
     // and never occupies a refine slot

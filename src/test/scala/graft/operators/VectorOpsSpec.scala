@@ -641,6 +641,55 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("vector layout reads list only probed cell directories, not the layout") {
+    // pre-listing pruning (the SpatialDisk discipline ported to the
+    // vector family): at real cell counts the full directory LISTING
+    // dominates a selective query even when PartitionFilters prune the
+    // scan — so the probed cells must become explicit reader paths
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_prune")
+    val path = "file://" + dir.toString
+    emb.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+      iters = 2)
+    val totalCells = new java.io.File(dir.toString, "data").listFiles()
+      .count(_.getName.startsWith("__graft_cell="))
+    assert(totalCells > 4, s"fixture too small to observe pruning: $totalCells")
+    val q = all.find(_._1 == 1L).get._2
+    // single-query read: 2 probed cells -> at most 2 listed directories
+    graft.index.PrunedCellScan.lastPathCount.set(-1L)
+    val fsBefore = graft.index.PrunedCellScan.fsCalls.get()
+    val rows = VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
+      q, 5, nprobe = 2, refine = 20).collect()
+    assert(rows.nonEmpty)
+    val listed = graft.index.PrunedCellScan.lastPathCount.get()
+    assert(listed >= 1 && listed <= 2 && listed < totalCells,
+      s"single-query read listed $listed of $totalCells cell dirs")
+    // one listStatus per pruned read, never per-candidate probes
+    assert(graft.index.PrunedCellScan.fsCalls.get() - fsBefore <= 2,
+      "pruning must issue ONE cell-level listing per read")
+    // join read: the wave's probed-cell union, still < the layout
+    import spark.implicits._
+    val wave = all.take(3).map { case (id, v) => (id + 10000, v) }.toSeq
+      .toDF("wv_id", "wv")
+    graft.index.PrunedCellScan.lastPathCount.set(-1L)
+    val joined = VectorOps.readIvfPqTopKJoin(wave, "wv", "wv_id", path,
+      "embedding", "vec_id", k = 3, nprobe = 1, refine = 10).collect()
+    assert(joined.nonEmpty)
+    val jListed = graft.index.PrunedCellScan.lastPathCount.get()
+    assert(jListed >= 1 && jListed <= 3 && jListed < totalCells,
+      s"join read listed $jListed of $totalCells cell dirs")
+    // the IVF (non-PQ) read prunes the same way
+    val path2 = "file://" + java.nio.file.Files
+      .createTempDirectory("graft_ivf_prune").toString
+    emb.writeIvf(path2, "embedding", "vec_id", nlist = 8)
+    graft.index.PrunedCellScan.lastPathCount.set(-1L)
+    val ivfRows = VectorOps.readIvfTopK(spark, path2, "embedding", "vec_id",
+      q, 5, nprobe = 3).collect()
+    assert(ivfRows.nonEmpty)
+    val iListed = graft.index.PrunedCellScan.lastPathCount.get()
+    assert(iListed >= 1 && iListed <= 3,
+      s"ivf read listed $iListed cell dirs for nprobe=3")
+  }
+
   test("IVF-PQ disk layout: a torn meta/data pair is refused, not mis-ranked") {
     val q = all.find(_._1 == 1L).get._2
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
