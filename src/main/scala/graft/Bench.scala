@@ -682,6 +682,44 @@ object Bench {
     * steady (3.80x; judge's clean re-run read 4.73 s). */
   private[graft] val firstColdSteadyCap = 4.0
   private[graft] val retryColdSteadyCap = 3.0
+
+  /** Recorded steady-state bands (UPPER edge, seconds at sf0.1) for the
+    * steady-tracked entries — the r9-r12 judge-clean history. The hole
+    * this closes (r12 verdict #2): contamination that persists through
+    * BOTH an entry's cold number and its steady re-execution satisfies
+    * the cold/steady ratio rule BY CONSTRUCTION (the committed r12
+    * artifact shipped b5s_knn_join_skew_grid at 11.79 cold / 11.91
+    * steady — 3.5x its band — with `attempts: []` because the phase
+    * probes bracketing it read under the 0.7 bar). The steady reading
+    * has no fixed cold cost to excuse it, so an absolute band IS the
+    * right control: a steady-tracked entry reading over
+    * [[steadyBandCap]]x its recorded band marks the sweep dirty even
+    * when every probe passes. Bands move only via an explicit
+    * band-update note in BASELINE.md (the b8nd / b10d precedent) —
+    * never silently. */
+  private[graft] val steadyBandsSf01: Map[String, Double] = Map(
+    "b5_knn_join_grid" -> 2.4,        // r9-r12 steady 1.54-2.32
+    "b5_knn_join_zorder" -> 2.4,      // 1.50-2.38
+    "b5_knn_join_pivot" -> 3.5,       // 2.33-3.48
+    "b5s_knn_join_skew_grid" -> 4.2,  // 2.97-4.20 (judge r12)
+    "b5s_knn_join_skew_pivot" -> 6.1, // 4.10-6.10 (band widened r11)
+    "b6v_knn_join_vec_pivot" -> 4.4)  // 3.23-4.34
+  private[graft] val steadyBandCap = 2.5
+
+  /** Steady readings against their own recorded bands — the persistent-
+    * contamination control. Applies only at the banded scale factor
+    * (the bands are sf0.1 figures; a smoke run's steady values sit far
+    * BELOW band and a larger sf would legitimately exceed it). */
+  private[graft] def steadyBandViolations(
+      steady: collection.Map[String, Double],
+      sfDir: String): Seq[String] =
+    if (!sfDir.contains("sf0.1")) Nil
+    else steady.toSeq.collect {
+      case (name, st) if steadyBandsSf01.get(name).exists(b => st > steadyBandCap * b) =>
+        f"steady out of band: $name steady $st%.2f s vs recorded band " +
+          f"<= ${steadyBandsSf01(name)}%.2f s (> ${steadyBandCap}%.1fx — " +
+          "persistent contamination through cold AND steady)"
+    }
   private[graft] def coldSteadyViolations(
       wall: collection.Map[String, Double],
       steady: collection.Map[String, Double],
@@ -698,7 +736,8 @@ object Bench {
     * steady-tracked entry whose cold number is 4x+ its own steady
     * re-execution (3x+ once any attempt has been rejected). None ->
     * clean. */
-  private def dirtyReason(s: Sweep, coldSteadyCap: Double): Option[String] = {
+  private def dirtyReason(s: Sweep, coldSteadyCap: Double,
+                          sfDir: String): Option[String] = {
     val memDirty = s.memProbes.collect {
       case (k, v) if v >= 0.7 => f"mem probe $k=$v%.3f >= 0.7"
     }
@@ -717,7 +756,9 @@ object Bench {
         Seq(f"mem pre/post disagree: ${s.memPre}%.3f vs ${s.memPost}%.3f")
       else Nil
     val coldSteady = coldSteadyViolations(s.rec.wall, s.steady, coldSteadyCap)
-    val all = memDirty.toSeq ++ aluDirty ++ memPairDirty ++ coldSteady
+    val steadyBand = steadyBandViolations(s.steady, sfDir)
+    val all = memDirty.toSeq ++ aluDirty ++ memPairDirty ++ coldSteady ++
+      steadyBand
     if (all.isEmpty) None else Some(all.mkString("; "))
   }
 
@@ -906,7 +947,7 @@ object Bench {
       // not merely squeak under the first-attempt threshold
       val cap = if (dirtySummaries.isEmpty) firstColdSteadyCap
                 else retryColdSteadyCap
-      dirtyReason(s, cap) match {
+      dirtyReason(s, cap, sfDir) match {
         case None =>
           chosen = s; chosenDirty = None
         case Some(reason) =>
@@ -944,6 +985,7 @@ object Bench {
       s""""calibration_mem_phases":${jmap(chosen.memProbes)},""" +
       s""""calibration_fs":${chosen.fsProbe},""" +
       s""""steady_state":${jmap(chosen.steady)},""" +
+      s""""steady_bands":${jmap(steadyBandsSf01)},""" +
       dirtyField +
       s""""attempts":[${dirtySummaries.mkString(",")}],""" +
       s""""sf":"$sfDir"}"""

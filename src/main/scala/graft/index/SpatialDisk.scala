@@ -37,6 +37,7 @@ object SpatialDisk {
   private val CellCol = "__graft_cell"
   private val ZCol = "__graft_z"
   private val TokenCol = "__graft_token"
+  private val TombIdCol = "__graft_tomb_id"
 
   /** Driver-side FileSystem metadata calls issued by [[prunedScan]]'s
     * pruning layer since JVM start — observability for the "one
@@ -252,7 +253,9 @@ object SpatialDisk {
 
   private final case class Meta(keyCols: Seq[String], lows: Array[Double],
                                 highs: Array[Double], cellBits: Int,
-                                bits: Int, cells: Seq[CellStat], token: String)
+                                bits: Int, cells: Seq[CellStat], token: String,
+                                tombs: Seq[String] = Seq.empty,
+                                tombIdCol: Option[String] = None)
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val lines = graft.operators.DedupOps.readMetaLines(spark, path,
@@ -272,10 +275,16 @@ object SpatialDisk {
       CellStat(id.toLong, n.toLong,
         graft.spatial.MBR(graft.spatial.Point(los), graft.spatial.Point(his)))
     }
+    val tombs = lines.find(_.startsWith("tombs="))
+      .map(_.substring(6).split(";").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    val tombIdCol = lines.find(_.startsWith("tombIdCol="))
+      .map(_.substring(10)).filter(_.nonEmpty)
     Meta(line("keyCols").split(",").toSeq,
       line("lows").split(",").map(_.toDouble),
       line("highs").split(",").map(_.toDouble),
-      params("cellBits").toInt, params("bits").toInt, cells, line("token"))
+      params("cellBits").toInt, params("bits").toInt, cells, line("token"),
+      tombs, tombIdCol)
   }
 
   /** Non-throwing audit of a spatial layout — the
@@ -336,6 +345,19 @@ object SpatialDisk {
     * `isin` on the partition column is what parquet turns into
     * directory pruning. A fine-z covering-interval BETWEEN serves
     * row-group pruning inside surviving directories. */
+  /** The ADMITTED tombstoned ids (one column named the layout's delete
+    * id column), or None when the meta lists no delete waves. Rows of
+    * `$path/tombstones` under unadmitted tokens are FILTERED, not
+    * refused — a torn delete is a no-op until its meta commit lands
+    * (applying it would over-delete; ignoring it serves the last
+    * committed state). */
+  private def tombstoneFrame(spark: SparkSession, path: String,
+                             m: Meta): Option[DataFrame] =
+    if (m.tombs.isEmpty) None
+    else Some(spark.read.parquet(s"$path/tombstones")
+      .filter(col(TokenCol).isin(m.tombs: _*))
+      .select(col(TombIdCol).as(m.tombIdCol.get)).distinct())
+
   private def tokenChecked(df: DataFrame, path: String, m: Meta): DataFrame = {
     require(df.columns.contains(TokenCol),
       s"SpatialDisk: $path/data has no $TokenCol column — the layout is " +
@@ -344,7 +366,15 @@ object SpatialDisk {
       lit(s"SpatialDisk: write-token mismatch between $path/meta and " +
         s"$path/data — bounds and cells come from different writes; " +
         "rewrite the layout"))
-    df.filter(tokenOk.isNull)
+    val checked = df.filter(tokenOk.isNull)
+    // admitted delete waves subtract on EVERY read path (box / circle /
+    // kNN / joins / joinTable all flow through here): the layout
+    // answers as if the deleted rows were never written, and compact
+    // folds them physically
+    tombstoneFrame(df.sparkSession, path, m) match {
+      case Some(t) => checked.join(t, Seq(m.tombIdCol.get), "left_anti")
+      case None    => checked
+    }
   }
 
   /** Token-validated scan of the whole layout. */

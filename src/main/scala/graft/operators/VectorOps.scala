@@ -926,6 +926,13 @@ object VectorOps {
         .withColumn("__graft_cell",
           array_position(col("__graft_cos"), array_max(col("__graft_cos"))).cast("int"))
         .drop("__graft_cos")
+        // cluster by cell so each directory gets ONE file (the
+        // compactIvfPq discipline at write time): without it every
+        // input partition leaves a shard in every cell it touches, and
+        // a pruned read pays files-per-cell x probed-cells parquet
+        // footer opens (measured: 89 shards/cell at the 100x trend
+        // slice — the opens, not the listing, were the residual term)
+        .repartition(col("__graft_cell"))
         .write.mode("overwrite").partitionBy("__graft_cell").parquet(s"$path/data")
       val meta = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
       // metadata through the Spark writer too (any hadoop fs, not just
@@ -1026,6 +1033,11 @@ object VectorOps {
             (0 until m).map(s => col(s"__pqc$s")) :+
             lit(token).as("__graft_token") :+
             (col("__c") + 1).as("__graft_cell"): _*)
+          // one file per cell directory (the compactIvfPq clustering at
+          // write time) — unclustered, every input partition sheds a
+          // shard into every cell it touches and a pruned read pays
+          // files-per-cell x probed-cells footer opens
+          .repartition(col("__graft_cell"))
           .write.mode("overwrite").partitionBy("__graft_cell")
           .parquet(s"$path/data")
         // a fresh full write starts a new generation: stale tombstones
@@ -1112,6 +1124,10 @@ object VectorOps {
             (0 until meta.m).map(s => col(s"__pqc$s")) :+
             lit(meta.token).as("__graft_token") :+
             (col("__c") + 1).as("__graft_cell"): _*)
+          // one file per touched cell PER WAVE (not per input
+          // partition) — appended waves still accrete shards, which is
+          // what compactIvfPq folds, but 32x fewer of them
+          .repartition(col("__graft_cell"))
           .write.mode("append").partitionBy("__graft_cell")
           .parquet(s"$path/data")
       } finally base.unpersist()

@@ -81,4 +81,51 @@ class BenchConsistencySpec extends AnyFunSuite {
     assert(Bench.coldSteadyViolations(
       Map.empty[String, Double], Map("b5_knn_join_grid" -> 2.0)).isEmpty)
   }
+
+  test("the committed r12 persistently-contaminated sweep is rejected " +
+    "by the steady-band rule") {
+    // the checked-in BENCH_r12.json shipped b5s_knn_join_skew_grid at
+    // 11.79 s cold / 11.91 s steady with `attempts: []`: contamination
+    // uniform through one phase satisfies the cold/steady RATIO rule by
+    // construction (11.79/11.91 = 0.99x) and the phase probes read
+    // under the 0.7 bar. The steady reading against its own recorded
+    // band is the control with no such blind spot.
+    val steady = Map(
+      "b5_knn_join_grid" -> 2.311,
+      "b5_knn_join_zorder" -> 2.384,
+      "b5_knn_join_pivot" -> 3.450,
+      "b5s_knn_join_skew_grid" -> 11.910,
+      "b5s_knn_join_skew_pivot" -> 6.343,
+      "b6v_knn_join_vec_pivot" -> 4.336)
+    // the ratio rule alone passes this sweep — the r12 hole
+    val wall = Map(
+      "b5_knn_join_grid" -> 3.21, "b5_knn_join_zorder" -> 2.92,
+      "b5_knn_join_pivot" -> 5.12, "b5s_knn_join_skew_grid" -> 11.79,
+      "b5s_knn_join_skew_pivot" -> 19.14, "b6v_knn_join_vec_pivot" -> 3.78)
+    assert(Bench.coldSteadyViolations(wall, steady,
+      Bench.firstColdSteadyCap).isEmpty,
+      "the whole sweep passes the first-attempt ratio rule: skew_pivot " +
+        "19.14/6.34 = 3.02x slid under the 4x bar and skew_grid " +
+        "11.79/11.91 = 0.99x is invisible by construction — the r12 hole")
+    val v = Bench.steadyBandViolations(steady, "/root/testdata/sf0.1")
+    assert(v.nonEmpty && v.exists(_.contains("b5s_knn_join_skew_grid")),
+      s"the steady-band rule must name the persistently dirty entry: $v")
+  }
+
+  test("steady-band rule: judge-clean steady readings pass; " +
+    "only the banded scale factor is gated") {
+    // r12 judge-clean steady set — every entry inside its band
+    val clean = Map(
+      "b5_knn_join_grid" -> 2.32, "b5_knn_join_zorder" -> 2.04,
+      "b5_knn_join_pivot" -> 2.97, "b5s_knn_join_skew_grid" -> 4.20,
+      "b5s_knn_join_skew_pivot" -> 6.10, "b6v_knn_join_vec_pivot" -> 3.92)
+    assert(Bench.steadyBandViolations(clean, "/root/testdata/sf0.1").isEmpty)
+    // a smoke run at another sf never trips the sf0.1 bands
+    val big = Map("b5_knn_join_grid" -> 99.0)
+    assert(Bench.steadyBandViolations(big, "/root/testdata/sf0.01").isEmpty)
+    assert(Bench.steadyBandViolations(big, "/root/testdata/sf0.1").nonEmpty)
+    // an entry without a recorded band cannot trip the rule
+    assert(Bench.steadyBandViolations(
+      Map("b_new_entry" -> 99.0), "/root/testdata/sf0.1").isEmpty)
+  }
 }
