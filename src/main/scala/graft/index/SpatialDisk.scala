@@ -101,6 +101,10 @@ object SpatialDisk {
       .repartitionByRange(col(CellCol), col(ZCol))
       .sortWithinPartitions(col(CellCol), col(ZCol))
       .write.mode("overwrite").partitionBy(CellCol).parquet(s"$path/data")
+    // a fresh full write starts a new generation: stale tombstones from
+    // the previous one must not shadow it (readers would refuse anyway
+    // on the token, but the dir must not leak into the new meta)
+    graft.operators.DedupOps.deleteDir(df.sparkSession, s"$path/tombstones")
     writeStatsMeta(df.sparkSession, path, keyCols, lows, highs, cellBits,
       bits, token)
   }
@@ -137,7 +141,9 @@ object SpatialDisk {
   private def writeMetaLines(spark: SparkSession, path: String,
                              keyCols: Seq[String], lows: Array[Double],
                              highs: Array[Double], cellBits: Int, bits: Int,
-                             token: String, cells: Seq[CellStat]): Unit = {
+                             token: String, cells: Seq[CellStat],
+                             tombs: Seq[String] = Seq.empty,
+                             tombIdCol: Option[String] = None): Unit = {
     val cellStats = cells.map { s =>
       val bounds = keyCols.indices.flatMap(i =>
         Seq(s.mbr.low.coord(i), s.mbr.high.coord(i)))
@@ -150,7 +156,10 @@ object SpatialDisk {
       "highs=" + highs.mkString(","),
       s"params=cellBits:$cellBits,bits:$bits",
       "cells=" + cellStats,
-      "token=" + token)
+      "token=" + token) ++
+      (if (tombs.isEmpty) Seq.empty
+       else Seq("tombs=" + tombs.mkString(";"),
+         "tombIdCol=" + tombIdCol.get))
     // tmp+rename publish (ADVICE r11): append/compact republish the
     // meta of an EXISTING layout, where a raw overwrite text job would
     // leave a whole-job no-meta crash window
@@ -189,6 +198,23 @@ object SpatialDisk {
           s"${cnts.getLong(0) - cnts.getLong(1 + i)} nulls — rows with " +
           "null keys would be unreachable; filter or fill them first")
     }
+    // a tombstoned id stays DEAD until a compact folds it out: appended
+    // rows under a tombstoned id would be anti-joined at read (invisible)
+    // yet counted in the meta, silently breaking the kNN walk's count
+    // guarantee — refuse loudly (re-adding is compact-then-append,
+    // never a silent resurrection; the text layouts' clash discipline)
+    if (m.tombs.nonEmpty) {
+      val idc = m.tombIdCol.get
+      require(df.columns.contains(idc),
+        s"SpatialDisk.append: the layout has delete waves keyed by " +
+          s"'$idc' but the wave does not carry that column")
+      val clash = tombstoneFrame(spark, path, m).get
+        .join(df.select(col(idc)), Seq(idc), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"SpatialDisk.append: wave re-adds tombstoned '$idc' ids — " +
+          "compact the layout first, then append")
+    }
     val cell = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq, m.cellBits)
     val z = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq, m.bits)
     val celled = df.withColumn(CellCol, cell)
@@ -211,7 +237,67 @@ object SpatialDisk {
       }
     }
     writeMetaLines(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
-      m.bits, m.token, merged.values.toIndexedSeq)
+      m.bits, m.token, merged.values.toIndexedSeq, m.tombs, m.tombIdCol)
+  }
+
+  /** Tombstone-delete rows by id — the text/vector layouts' GDPR
+    * discipline on the spatial family: ids land at `$path/tombstones`
+    * under a FRESH delete token, the meta's `tombs=` list commits LAST
+    * (a torn delete is a no-op), every reader anti-joins admitted
+    * tombstones (box / circle / kNN / distance join / kNN join /
+    * joinTable answer as if the rows were never written), and
+    * [[compact]] folds them physically.
+    *
+    * The spatial twist: the kNN walk's GUARANTEED radii stand on the
+    * meta's per-cell counts as lower bounds of LIVE rows, so the delete
+    * decrements each touched cell's count by the rows it actually
+    * tombstoned — one column-pruned (id, cell) pass over the layout,
+    * grouped to at most 2^16 driver rows. MBRs stay as written (a
+    * superset still covers every survivor; compact re-tightens).
+    * Ids-only API; absent or already-tombstoned ids are harmless
+    * no-ops. The id column is fixed by the FIRST delete wave (readers
+    * anti-join on one key). */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+             idCol: String): Unit = {
+    val m = readMeta(spark, path)
+    require(ids.columns.contains(idCol),
+      s"SpatialDisk.delete: the ids frame must carry '$idCol' " +
+        s"(has: ${ids.columns.mkString(", ")})")
+    m.tombIdCol.foreach(c => require(c == idCol,
+      s"SpatialDisk.delete: the layout's delete waves are keyed by " +
+        s"'$c' — one id column per layout"))
+    val data = spark.read.parquet(s"$path/data")
+    require(data.columns.contains(idCol),
+      s"SpatialDisk.delete: the layout has no '$idCol' column")
+    require(!Seq(CellCol, ZCol, TokenCol).contains(idCol),
+      s"SpatialDisk.delete: '$idCol' is a layout-internal column")
+    val fresh = ids.select(col(idCol)).distinct()
+    val newIds = tombstoneFrame(spark, path, m) match {
+      case Some(t) => fresh.join(t, Seq(idCol), "left_anti")
+      case None    => fresh
+    }
+    // per-cell counts of the rows this wave actually kills (rows
+    // PRESENT and not already tombstoned) — the decrement that keeps
+    // the kNN walk's counts true over live rows. Clamped at 0: a
+    // crashed append can leave meta counts lower than disk (stale
+    // stats over a superset — documented as still-safe lower bounds),
+    // and the subtraction must preserve that invariant, never flip a
+    // count negative.
+    val hits = data.select(col(idCol), col(CellCol))
+      .join(newIds, Seq(idCol))
+      .groupBy(col(CellCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getAs[Number](0).longValue() -> r.getLong(1))
+      .toMap
+    val token = java.util.UUID.randomUUID().toString
+    newIds.select(col(idCol).as(TombIdCol))
+      .withColumn(TokenCol, lit(token))
+      .write.mode("append").parquet(s"$path/tombstones")
+    val decremented = m.cells.map(s => hits.get(s.id) match {
+      case Some(n) => s.copy(count = math.max(0L, s.count - n))
+      case None    => s
+    })
+    writeMetaLines(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
+      m.bits, m.token, decremented, m.tombs :+ token, Some(idCol))
   }
 
   /** Compact the layout: appended ingest waves leave many small files
@@ -239,7 +325,15 @@ object SpatialDisk {
       s"SpatialDisk.compact: write-token mismatch between $path/meta " +
         s"and $path/data — refusing to compact a torn layout")
     val snap = s"$path/compact_snapshot"
-    data.drop(CellCol, ZCol, TokenCol)
+    // admitted delete waves fold HERE: the snapshot holds survivors
+    // only, and the fresh write below clears the tombstones dir — the
+    // compacted generation answers bit-identically but no longer pays
+    // the read-side anti-join
+    val live = tombstoneFrame(spark, path, m) match {
+      case Some(t) => data.join(t, Seq(m.tombIdCol.get), "left_anti")
+      case None    => data
+    }
+    live.drop(CellCol, ZCol, TokenCol)
       .write.mode("overwrite").parquet(snap)
     write(spark.read.parquet(snap), path, m.keyCols,
       cellBits = m.cellBits, bits = m.bits)
@@ -289,12 +383,13 @@ object SpatialDisk {
 
   /** Non-throwing audit of a spatial layout — the
     * [[graft.operators.DedupOps.fsckTextIndex]] verb for the spatial
-    * family: meta parses, the data holds exactly the meta's token, and
-    * — the check the kNN walk's GUARANTEED radii stand on — the meta's
-    * per-cell counts EQUAL the on-disk per-cell counts (one bounded
-    * aggregation, ≤ 2^16 rows to the driver; an overcount would
-    * silently shrink a guaranteed radius). This count discipline is
-    * also why the spatial layout has no tombstone deletes. */
+    * family: meta parses, the data holds exactly the meta's token,
+    * tombstones are inventoried, and — the check the kNN walk's
+    * GUARANTEED radii stand on — the meta's per-cell counts EQUAL the
+    * on-disk per-cell counts MINUS the admitted tombstoned rows per
+    * cell (one bounded aggregation each, ≤ 2^16 rows to the driver;
+    * an overcount would silently shrink a guaranteed radius — which is
+    * exactly why [[delete]] decrements the counts it tombstones). */
   def fsck(spark: SparkSession, path: String): DataFrame = {
     val out = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
     def check(name: String)(body: => (Boolean, String)): Unit =
@@ -319,16 +414,41 @@ object SpatialDisk {
             if (seen == Set(m.token)) "one generation"
             else s"torn: ${seen.diff(Set(m.token)).size} foreign token(s)")
         }
+        if (m.tombs.nonEmpty) check("tombstones") {
+          val toks = spark.read.parquet(s"$path/tombstones")
+            .select(col(TokenCol)).distinct()
+            .collect().map(_.getString(0)).toSet
+          val missing = m.tombs.toSet.diff(toks)
+          (missing.isEmpty,
+            s"${m.tombs.length} admitted delete wave(s) keyed by " +
+              s"'${m.tombIdCol.get}'" +
+              (if (missing.nonEmpty) s", ${missing.size} MISSING — " +
+                "over-counted cells follow; compact from source" else ""))
+        }
         check("cell_counts_exact") {
           val onDisk = spark.read.parquet(s"$path/data")
             .groupBy(col(CellCol)).agg(count(lit(1)).as("__n"))
             .collect().map(r => r.getAs[Number](0).longValue() -> r.getLong(1))
             .toMap
+          // live rows = on-disk minus admitted tombstoned rows per cell
+          val tombed: Map[Long, Long] = tombstoneFrame(spark, path, m) match {
+            case None => Map.empty
+            case Some(t) =>
+              spark.read.parquet(s"$path/data")
+                .select(col(m.tombIdCol.get), col(CellCol))
+                .join(t, Seq(m.tombIdCol.get))
+                .groupBy(col(CellCol)).agg(count(lit(1)).as("__n"))
+                .collect()
+                .map(r => r.getAs[Number](0).longValue() -> r.getLong(1))
+                .toMap
+          }
           val metaCounts = m.cells.map(s => s.id -> s.count).toMap
           val bad = (onDisk.keySet ++ metaCounts.keySet).filter(c =>
-            onDisk.getOrElse(c, 0L) != metaCounts.getOrElse(c, 0L))
+            onDisk.getOrElse(c, 0L) - tombed.getOrElse(c, 0L) !=
+              metaCounts.getOrElse(c, 0L))
           (bad.isEmpty,
-            if (bad.isEmpty) s"${metaCounts.size} cell(s) exact"
+            if (bad.isEmpty) s"${metaCounts.size} cell(s) exact" +
+              (if (tombed.nonEmpty) " (tombstones accounted)" else "")
             else s"${bad.size} cell(s) drifted — kNN radii no longer " +
               "guaranteed; rewrite or re-append from source")
         }

@@ -203,6 +203,42 @@ object Spatial {
       .orderBy(col("c_custkey"))
   }
 
+  /** Delete-parity for the at-rest spatial layout: write half, append
+    * the rest, tombstone-delete every custkey ending in 3, then the
+    * box query — the layout must answer exactly as a from-scratch
+    * build on the survivors, so the oracle is the plain box SQL with
+    * the survivor predicate. */
+  def diskDeleteBox(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_del_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val pts = customerPts(s, d)
+    graft.index.SpatialDisk.write(
+      pts.filter(col("c_custkey") % 2 === 0), path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.append(
+      pts.filter(col("c_custkey") % 2 =!= 0), path)
+    graft.index.SpatialDisk.delete(s, path,
+      pts.filter(col("c_custkey") % 10 === 3).select("c_custkey"),
+      "c_custkey")
+    graft.index.SpatialDisk.boxRange(s, path, boxLow.toArray, boxHigh.toArray)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** kNN over the tombstoned layout: the stats-walk's guaranteed radius
+    * stands on the per-cell counts the delete DECREMENTED — the oracle
+    * (exact top-k over the survivors) is what pins that guarantee. */
+  def diskDeleteKnn(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_delk_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val pts = customerPts(s, d)
+    graft.index.SpatialDisk.write(pts, path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.delete(s, path,
+      pts.filter(col("c_custkey") % 10 === 3).select("c_custkey"),
+      "c_custkey")
+    graft.index.SpatialDisk.knn(s, path, center.toArray, knnK,
+        Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
   // Diamond |(x-5000)/2000.37| + |(y-500)/300.13| <= 1 — a convex polygon
   // whose containment is also expressible as one SQL inequality, giving
   // the general ray-casting kernel an exact relational oracle. Fractional
@@ -425,6 +461,21 @@ object Spatial {
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
          |ORDER BY c_custkey""".stripMargin,
+    // tombstone deletes: the layout answers as a from-scratch build on
+    // the survivors, so the oracle is the plain SQL + survivor filter
+    "sp_disk_delete" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
+         |  AND c_custkey % 10 <> 3
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_disk_delete_knn" ->
+      s"""SELECT * FROM (
+         |  SELECT * FROM ($custPtsSql) c
+         |  WHERE c_custkey % 10 <> 3
+         |  ORDER BY sqrt((cx - 5000.0)*(cx - 5000.0) + (cy - 500.0)*(cy - 500.0)) ASC,
+         |           c_custkey ASC
+         |  LIMIT 10) t
+         |ORDER BY c_custkey""".stripMargin,
     // the grid cells are internal — the oracle replays only the two
     // exact predicates (epoch_ms is the ms contract's SQL twin)
     "sp_st_join" ->
@@ -581,6 +632,8 @@ object Spatial {
     "sp_disk_knn_join" -> (diskKnnJoin _),
     "sp_disk_time_range" -> (diskTimeRange _),
     "sp_disk_append_box" -> (diskAppendBox _),
+    "sp_disk_delete" -> (diskDeleteBox _),
+    "sp_disk_delete_knn" -> (diskDeleteKnn _),
     "sp_disk_box_sql" -> (diskBoxSqlQ _),
     "sp_st_join" -> (spatioTemporalJoinQ _),
     "sp_polygon_join" -> (polygonDistanceJoinQ _),

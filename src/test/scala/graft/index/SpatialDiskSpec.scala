@@ -373,6 +373,101 @@ class SpatialDiskSpec extends SparkSpec {
     assert(gotJ === wantJ && gotJ.nonEmpty)
   }
 
+  test("delete: every read path answers as a from-scratch build on the " +
+    "survivors; kNN counts stay guaranteed") {
+    val path = freshLayout("del")
+    val dead = cust.filter(col("c_custkey") % 10 === 3)
+    val survivors = cust.filter(col("c_custkey") % 10 =!= 3)
+    SpatialDisk.delete(spark, path, dead.select("c_custkey"), "c_custkey")
+    val refPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_delref").toString
+    SpatialDisk.write(survivors, path = refPath, Seq("cx", "cy"))
+    val lo = Array(2000.0, 100.0); val hi = Array(4000.0, 300.0)
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys(SpatialDisk.boxRange(spark, path, lo, hi)) ===
+      keys(SpatialDisk.boxRange(spark, refPath, lo, hi)),
+      "box over the tombstoned layout != from-scratch build on survivors")
+    assert(keys(SpatialDisk.boxRange(spark, path, lo, hi)).nonEmpty)
+    // the stats-walk kNN stands on the DECREMENTED per-cell counts: the
+    // guaranteed radius must still cover k LIVE rows
+    val c = Array(5000.0, 500.0)
+    assert(keys(SpatialDisk.knn(spark, path, c, 10, Seq("c_custkey"))) ===
+      keys(survivors.knn(Seq("cx", "cy"), c.toSeq, 10,
+        tieBreak = Seq("c_custkey"))),
+      "stats-walk kNN over the tombstoned layout is no longer exact")
+    // joins: the anti-join rides the pruned candidate scan
+    val supp = Tables.supplierPts(spark, sf())
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("s_suppkey", "c_custkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs(SpatialDisk.knnJoin(supp, Seq("sx", "sy"), path, 3,
+        leftId = "s_suppkey", tieBreak = Seq("c_custkey"))) ===
+      pairs(supp.knnJoinNaive(survivors, Seq("sx", "sy"), Seq("cx", "cy"),
+        3, leftId = "s_suppkey", tieBreak = Seq("c_custkey"))),
+      "kNN join over the tombstoned layout != naive join on survivors")
+    assert(pairs(SpatialDisk.distanceJoin(supp, Seq("sx", "sy"), path, 100.0))
+      === pairs(SpatialDisk.distanceJoin(supp, Seq("sx", "sy"), refPath, 100.0)))
+    // fsck: tombstones inventoried, counts exact WITH the accounting
+    val fsck = SpatialDisk.fsck(spark, path).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(fsck.forall(_._2), s"fsck not green after delete: $fsck")
+    assert(fsck.exists(r => r._1 == "tombstones" && r._3.contains("c_custkey")))
+    assert(fsck.exists(r => r._1 == "cell_counts_exact" &&
+      r._3.contains("tombstones accounted")))
+    // delete is idempotent and the id column is pinned by the first wave
+    SpatialDisk.delete(spark, path, dead.select("c_custkey"), "c_custkey")
+    assert(keys(SpatialDisk.boxRange(spark, path, lo, hi)) ===
+      keys(SpatialDisk.boxRange(spark, refPath, lo, hi)))
+    val eCol = intercept[IllegalArgumentException] {
+      SpatialDisk.delete(spark, path,
+        dead.select(col("c_custkey").as("other")), "other")
+    }
+    assert(eCol.getMessage.contains("keyed by"), eCol.getMessage)
+    // a tombstoned id cannot be silently re-added
+    val eApp = intercept[IllegalArgumentException] {
+      SpatialDisk.append(dead.limit(5), path)
+    }
+    assert(eApp.getMessage.contains("tombstoned"), eApp.getMessage)
+    // compact folds: same answers, no tombstones dir, fsck green
+    SpatialDisk.compact(path, spark)
+    assert(keys(SpatialDisk.boxRange(spark, path, lo, hi)) ===
+      keys(SpatialDisk.boxRange(spark, refPath, lo, hi)))
+    assert(!new java.io.File(path, "tombstones").exists(),
+      "compact must fold tombstones physically")
+    assert(SpatialDisk.fsck(spark, path).collect().forall(_.getBoolean(1)))
+    // ...and the folded layout accepts the previously-dead ids again
+    SpatialDisk.append(dead.limit(5), path)
+    assert(SpatialDisk.boxRange(spark, path,
+      Array(-1e7, -1e7), Array(1e7, 1e7)).count() === survivors.count() + 5)
+  }
+
+  test("a torn delete (unadmitted tombstone token) is a no-op, not an " +
+    "over-delete") {
+    val path = freshLayout("deltorn")
+    val before = SpatialDisk.boxRange(spark, path,
+      Array(-1e7, -1e7), Array(1e7, 1e7)).count()
+    // one committed delete so the meta carries a tombs line (readers
+    // only consult tombstones at all once a delete wave is admitted)
+    SpatialDisk.delete(spark, path,
+      cust.filter(col("c_custkey") % 100 === 7).select("c_custkey"),
+      "c_custkey")
+    val admitted = SpatialDisk.boxRange(spark, path,
+      Array(-1e7, -1e7), Array(1e7, 1e7)).count()
+    // simulate the crash window: tombstone rows land under a token the
+    // meta never admits
+    import spark.implicits._
+    cust.filter(col("c_custkey") % 100 === 8)
+      .select(col("c_custkey").as("__graft_tomb_id"))
+      .withColumn("__graft_token", lit("never-admitted"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    val after = SpatialDisk.boxRange(spark, path,
+      Array(-1e7, -1e7), Array(1e7, 1e7)).count()
+    assert(after === admitted,
+      "unadmitted tombstone rows must not delete anything")
+    assert(admitted < before)
+  }
+
   test("queries clamp outside the written bounds instead of failing") {
     val path = freshLayout("clamp")
     // a box reaching far outside the data domain returns exactly the
