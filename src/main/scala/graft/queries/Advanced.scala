@@ -97,8 +97,22 @@ object Advanced {
     * stream-static anti join against the even-doc corpus's passage
     * digests and reassemble from surviving passages — the incremental
     * shard-vs-corpus twin of pp_passage_dedup. */
-  def streamPassageGateQ(s: SparkSession, d: String): DataFrame =
-    StreamingOps.streamPassageGate(s, d, width = 20).orderBy(col("doc_id"))
+  def streamPassageGateQ(s: SparkSession, d: String): DataFrame = {
+    // the even/odd corpus-vs-wave split is the QUERY's fixture, not the
+    // operator's: the gate takes staged wavePath + corpusPath (the
+    // streamMinhashGate/streamDigestGate contract)
+    val corpusPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stpg_corpus_" + Integer.toHexString(d.hashCode)).toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stpg_wave_" + Integer.toHexString(d.hashCode)).toString
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(corpusPath)
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(wavePath)
+    StreamingOps.streamPassageGate(s, wavePath, corpusPath, width = 20)
+      .orderBy(col("doc_id"))
+  }
 
   /** Streaming SEMANTIC gate: embedding arrivals stream against the
     * even-vector corpus's at-rest IVF-PQ layout — probe cells from the

@@ -323,33 +323,33 @@ object StreamingOps {
     * Scale shape: the digest table is passage-cardinality-sized and
     * carries 32-char md5 keys only; the stream side explodes to
     * (digest, id, pos) — passage text rides only the per-document
-    * reassembly aggregation. */
-  def streamPassageGate(spark: SparkSession, dir: String,
-                        width: Int = 20): DataFrame = {
+    * reassembly aggregation.
+    *
+    * Arrivals live at `wavePath`, the static corpus (a documents
+    * parquet) at `corpusPath` — wave selection/staging is the caller's
+    * (the streamDigestGate contract); the operator holds no filesystem
+    * staging and no test-fixture split. */
+  def streamPassageGate(spark: SparkSession, wavePath: String,
+                        corpusPath: String, width: Int = 20,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
     import graft.operators.CorpusOps
-    val batch = spark.read.parquet(s"$dir/documents.parquet")
-    val corpusKeys = batch.filter(col("doc_id") % 2 === 0)
-      .select(explode(CorpusOps.passagesOf(col("text"), width))
+    val corpusKeys = spark.read.parquet(corpusPath)
+      .select(explode(CorpusOps.passagesOf(col(textCol), width))
         .as("__graft_pass"))
       .select(md5(col("__graft_pass")).as("__graft_key"))
       .distinct()
-    val staged = java.nio.file.Files.createTempDirectory("graft_passage_src")
-    staged.toFile.deleteOnExit()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      staged.resolve("documents.parquet"))
-    staged.resolve("documents.parquet").toFile.deleteOnExit()
+    val schema = spark.read.parquet(wavePath).schema
     val sinkName = s"graft_passage_${System.nanoTime()}"
     val q = spark.readStream
-      .schema(batch.schema)
-      .parquet(staged.toString)
-      .filter(col("doc_id") % 2 =!= 0)
-      .select(col("doc_id"),
-        posexplode(CorpusOps.passagesOf(col("text"), width))
+      .schema(schema)
+      .parquet(wavePath)
+      .select(col(idCol),
+        posexplode(CorpusOps.passagesOf(col(textCol), width))
           .as(Seq("__graft_pos", "__graft_pass")))
       .withColumn("__graft_key", md5(col("__graft_pass")))
       .join(corpusKeys, Seq("__graft_key"), "left_anti")
-      .groupBy(col("doc_id"))
+      .groupBy(col(idCol))
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("__graft_pos"), col("__graft_pass")))),

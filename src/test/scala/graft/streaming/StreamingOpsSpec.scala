@@ -34,10 +34,21 @@ class StreamingOpsSpec extends SparkSpec {
 
   test("streaming passage gate equals the batch anti-join recompute") {
     import graft.operators.CorpusOps
-    val got = StreamingOps.streamPassageGate(spark, sf(), width = 20)
+    val docs = Tables.documents(spark, sf())
+    // the gate takes staged wavePath + corpusPath — the even/odd split
+    // is the harness's fixture, staged here
+    val corpusPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spec_stpg_corpus").toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spec_stpg_wave").toString
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(corpusPath)
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(wavePath)
+    val got = StreamingOps.streamPassageGate(spark, wavePath, corpusPath,
+      width = 20)
     // batch equivalent: arrivals' passages minus the corpus digest set,
     // reassembled in position order
-    val docs = Tables.documents(spark, sf())
     val chunked = docs.select(col("doc_id"),
       posexplode(CorpusOps.passagesOf(col("text"), 20)).as(Seq("pos", "pass")))
     val corpus = chunked.filter(col("doc_id") % 2 === 0)
