@@ -471,6 +471,77 @@ object ScaleTrend {
       spark.stop(); return
     }
 
+    // tombstone-growth trend (`ScaleTrend deletes`): FIXED layouts (10x
+    // corpus digest + BM25, 10x embeddings IVF-PQ), the TOMBSTONE set
+    // grows ~0.1% -> 1% -> 10% of ids (cumulative delete waves). The
+    // design claim under test: tombstoned reads anti-join against
+    // already-pruned sides (the wave's digests, the query terms'
+    // postings, the probed cells' codes) — never the table — so the
+    // per-query cost should stay flat as tombstones grow two decades,
+    // and compact is an optimization, not a correctness ritual. The
+    // closing compacted measure marks what a fold buys.
+    if (args.headOption.contains("deletes")) {
+      import graft.operators.DedupOps._
+      import graft.operators.CorpusOps._
+      import graft.operators.VectorOps._
+      import graft.operators.{CorpusOps, VectorOps}
+      val corpus = docsRep(spark, d, 10)
+      val wave = documents(spark, d).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      val terms = Seq("spark", "vector", "window", "hash", "merge",
+        "customer")
+      val pd = s"${System.getProperty("java.io.tmpdir")}/graft_trend_del_dg"
+      val pb = s"${System.getProperty("java.io.tmpdir")}/graft_trend_del_bm"
+      val pe = s"${System.getProperty("java.io.tmpdir")}/graft_trend_del_vec"
+      corpus.writeDigestIndex(pd, "doc_id", "text")
+      corpus.writeBm25Index(pb, "doc_id", "text")
+      val emb = embRep(10)
+      emb.writeIvfPq(pe, "embedding", "vec_id", nlist = 80, m = 4,
+        ksub = 4, iters = 2)
+      val q = embeddings(spark, d).filter(col("vec_id") === 1L)
+        .head().getSeq[Float](1).toArray
+      def mm(f: => Long): (Double, Long) = {
+        def once(): (Double, Long) = {
+          val t1 = System.nanoTime(); val r = f
+          ((System.nanoTime() - t1) / 1e9, r)
+        }
+        val (a, r) = once(); val (b, _) = once()
+        (math.min(a, b), r)
+      }
+      def measure(tag: String): Unit = {
+        val (tg, rg) = mm(
+          wave.exactPairsAgainstIndex(pd, "doc_id", "text").count())
+        val (tb, rb) = mm(
+          CorpusOps.bm25TopKAgainstIndex(spark, pb, terms, 20).count())
+        val (tv, rv) = mm(VectorOps.readIvfPqTopK(spark, pe, "embedding",
+          "vec_id", q, 10, nprobe = 4, refine = 50).count())
+        println(f"deletes $tag%-12s digest_gate $tg%5.2f s ($rg rows), " +
+          f"bm25_topk $tb%5.2f s ($rb), ann_topk $tv%5.2f s ($rv)")
+      }
+      measure("0%")
+      for ((mod, tag) <- Seq((1000L, "0.1%"), (100L, "1%"), (10L, "10%"))) {
+        var t0 = System.nanoTime()
+        deleteFromDigestIndex(spark, pd,
+          corpus.select(col("doc_id")).filter(col("doc_id") % mod === 1))
+        deleteFromBm25Index(spark, pb,
+          corpus.select(col("doc_id")).filter(col("doc_id") % mod === 1))
+        VectorOps.deleteFromIvfPq(spark, pe,
+          emb.select(col("vec_id")).filter(col("vec_id") % mod === 1),
+          "vec_id")
+        val td = (System.nanoTime() - t0) / 1e9
+        println(f"deletes $tag%-12s delete-verbs $td%5.2f s (cumulative)")
+        measure(tag)
+      }
+      var t0 = System.nanoTime()
+      compactDigestIndex(spark, pd)
+      CorpusOps.compactBm25Index(spark, pb)
+      VectorOps.compactIvfPq(spark, pe)
+      val tc = (System.nanoTime() - t0) / 1e9
+      println(f"deletes compact-all $tc%5.2f s")
+      measure("compacted")
+      spark.stop(); return
+    }
+
     // at-rest ANN JOIN (`ScaleTrend annjoin [100]`): a FIXED query wave
     // joins its top-k out of a GROWING IVF-PQ layout. nlist grows with
     // the corpus (8n — constant expected cell population, the SemDeDup
