@@ -313,17 +313,27 @@ object SpatialDisk {
     * leaves a token-mismatched pair every reader REFUSES; the snapshot
     * still holds every row for a re-run. A torn input layout is
     * refused up front. */
-  def compact(path: String, spark: SparkSession): Unit = {
+  def compact(path: String, spark: SparkSession,
+              dropForeign: Boolean = false): Unit = {
     val m = readMeta(spark, path)
-    val data = spark.read.parquet(s"$path/data")
-    require(data.columns.contains(TokenCol),
+    val data0 = spark.read.parquet(s"$path/data")
+    require(data0.columns.contains(TokenCol),
       s"SpatialDisk.compact: $path/data has no $TokenCol column — the " +
         "layout is torn or foreign; rewrite with SpatialDisk.write")
-    val tokens = data.select(col(TokenCol)).distinct()
+    val tokens = data0.select(col(TokenCol)).distinct()
       .collect().map(_.getString(0))
-    require(tokens.length == 1 && tokens(0) == m.token,
+    // dropForeign (the repair path): unadmitted rows are ROLLED BACK
+    // instead of refused — provided admitted rows exist to repair from
+    require(tokens.contains(m.token),
+      s"SpatialDisk.compact: $path/data holds no rows under the meta's " +
+        "token — nothing to compact from; rewrite with SpatialDisk.write")
+    require(dropForeign || tokens.length == 1,
       s"SpatialDisk.compact: write-token mismatch between $path/meta " +
-        s"and $path/data — refusing to compact a torn layout")
+        s"and $path/data — refusing to compact a torn layout (repair " +
+        "rolls the torn rows back)")
+    val data =
+      if (tokens.length == 1) data0
+      else data0.filter(col(TokenCol) === m.token)
     val snap = s"$path/compact_snapshot"
     // admitted delete waves fold HERE: the snapshot holds survivors
     // only, and the fresh write below clears the tombstones dir — the
@@ -339,6 +349,42 @@ object SpatialDisk {
       cellBits = m.cellBits, bits = m.bits)
     val sp = new org.apache.hadoop.fs.Path(snap)
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
+
+  /** Repair the layout in place — the exit from the two tear classes
+    * [[fsck]] names without a full rebuild:
+    *
+    *  - FOREIGN data tokens (a partial external copy / tampering):
+    *    rolled back via [[compact]] `dropForeign` — admitted rows
+    *    republish under a fresh generation, tombstones fold.
+    *  - DRIFTED per-cell stats (an append whose data landed but whose
+    *    meta rewrite didn't — counts stale-low is safe, but a lost
+    *    tombstone decrement or a hand-edited meta breaks the kNN
+    *    walk's guarantee): per-cell TRUE stats re-aggregate from the
+    *    LIVE rows (admitted minus tombstoned) and the meta republishes
+    *    under the SAME token — one bounded aggregation, no data
+    *    rewrite.
+    *
+    * A layout with no admitted rows at all is refused (nothing to
+    * repair from — re-run the interrupted write or rebuild). */
+  def repair(spark: SparkSession, path: String): Unit = {
+    val m = readMeta(spark, path)
+    val data = spark.read.parquet(s"$path/data")
+    require(data.columns.contains(TokenCol),
+      s"SpatialDisk.repair: $path/data has no $TokenCol column — the " +
+        "layout is torn or foreign; rewrite with SpatialDisk.write")
+    val tokens = data.select(col(TokenCol)).distinct()
+      .collect().map(_.getString(0))
+    if (tokens.length > 1 || tokens(0) != m.token) {
+      compact(path, spark, dropForeign = true)
+      return
+    }
+    // stats refresh: counts of LIVE rows (tombstones subtracted), true
+    // MBRs, same token — exactly what fsck's cell_counts_exact checks
+    val live = tokenChecked(data, path, m)
+    writeMetaLines(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
+      m.bits, m.token, collectCellStats(live, m.keyCols), m.tombs,
+      m.tombIdCol)
   }
 
   /** Per-cell on-disk stats: row count + the cell's TRUE MBR. */
@@ -412,7 +458,11 @@ object SpatialDisk {
             .collect().map(_.getString(0)).toSet
           (seen == Set(m.token),
             if (seen == Set(m.token)) "one generation"
-            else s"torn: ${seen.diff(Set(m.token)).size} foreign token(s)")
+            else if (seen.contains(m.token))
+              s"torn: ${seen.size - 1} foreign token(s) beside the " +
+                "admitted one — repair rolls them back"
+            else "torn: no admitted rows (crashed overwrite) — rewrite " +
+              "with SpatialDisk.write")
         }
         if (m.tombs.nonEmpty) check("tombstones") {
           val toks = spark.read.parquet(s"$path/tombstones")
@@ -450,7 +500,7 @@ object SpatialDisk {
             if (bad.isEmpty) s"${metaCounts.size} cell(s) exact" +
               (if (tombed.nonEmpty) " (tombstones accounted)" else "")
             else s"${bad.size} cell(s) drifted — kNN radii no longer " +
-              "guaranteed; rewrite or re-append from source")
+              "guaranteed; repair re-aggregates true stats")
         }
     }
     import spark.implicits._

@@ -517,6 +517,53 @@ object VectorOps {
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
   }
 
+  /** Roll back a TORN wave on an IVF-PQ layout: drop every data row
+    * whose write token the meta never admitted (rows landed, their
+    * commit didn't — external staging, tampering, a partial copy) and
+    * republish the admitted rows unchanged under a FRESH token — same
+    * codebooks, same admitted delete waves. The
+    * [[graft.operators.DedupOps.repairCdcIndex]] exit for the vector
+    * family: without it, reads refuse (by design) and compact/retrain
+    * refuse too, so the only way out of a torn layout was a full
+    * rebuild from source.
+    *
+    * A layout whose data holds NO admitted rows (a crashed overwrite —
+    * the old generation is physically gone) is refused: there is
+    * nothing to repair FROM; re-run the interrupted job or rewrite
+    * from source. A layout already uniform on the meta's token is left
+    * untouched. */
+  def repairIvfPq(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Unit = {
+    val meta = readIvfPqMeta(spark, path)
+    val data = spark.read.parquet(s"$path/data")
+    require(data.columns.contains("__graft_token"),
+      s"repairIvfPq: $path/data has no __graft_token column — the " +
+        "layout is torn or foreign; rewrite with writeIvfPq")
+    val tokens = data.select(col("__graft_token")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (tokens == Set(meta.token)) return // healthy — nothing to drop
+    require(tokens.contains(meta.token),
+      s"repairIvfPq: $path/data holds no rows under the meta's token — " +
+        "a crashed overwrite left nothing to repair from; re-run the " +
+        "interrupted job or rewrite with writeIvfPq")
+    val snap = s"$path/repair_snapshot"
+    data.filter(col("__graft_token") === meta.token)
+      .write.mode("overwrite").parquet(snap)
+    val token = java.util.UUID.randomUUID().toString
+    spark.read.parquet(snap)
+      .withColumn("__graft_token", lit(token))
+      .repartition(col("__graft_cell"))
+      .write.mode("overwrite").partitionBy("__graft_cell")
+      .parquet(s"$path/data")
+    // tombstones are id-keyed and survive the generation change — a
+    // tombstoned id stays dead through a repair
+    graft.operators.DedupOps.publishMeta(spark, path,
+      ivfPqMetaLines(meta.coarse, meta.books, meta.m, meta.ksub, meta.scale,
+        meta.residual, token, meta.tombs))
+    val sp = new org.apache.hadoop.fs.Path(snap)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
+
   /** ACT on the drift trigger: retrain the coarse centroids and PQ
     * codebooks of a [[DatasetVectorOps.writeIvfPq]] layout from the
     * CURRENT data (original + every appended wave) and rewrite the
@@ -675,8 +722,11 @@ object VectorOps {
             .collect().map(_.getString(0)).toSet
           (seen == Set(meta.token),
             if (seen == Set(meta.token)) "one generation"
-            else s"torn: ${seen.diff(Set(meta.token)).size} foreign token(s) " +
-              "— retrainIvfPq rewrites the generation")
+            else if (seen.contains(meta.token))
+              s"torn: ${seen.size - 1} foreign token(s) beside the " +
+                "admitted one — repairIvfPq drops them"
+            else "torn: no admitted rows (crashed overwrite) — re-run " +
+              "the interrupted job or rewrite with writeIvfPq")
         }
         if (meta.tombs.nonEmpty) check("tombstones") {
           val toks = spark.read.parquet(s"$path/tombstones")

@@ -442,6 +442,60 @@ class SpatialDiskSpec extends SparkSpec {
       Array(-1e7, -1e7), Array(1e7, 1e7)).count() === survivors.count() + 5)
   }
 
+  test("repair: both fsck-named tear classes heal in place") {
+    // tear class 1: drifted per-cell stats (hand-edited meta stands in
+    // for a lost tombstone decrement) — repair re-aggregates, same token
+    val path = freshLayout("repair")
+    SpatialDisk.delete(spark, path,
+      cust.filter(col("c_custkey") % 5 === 0).select("c_custkey"),
+      "c_custkey")
+    def fsckRows() = SpatialDisk.fsck(spark, path).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(fsckRows().forall(_._2))
+    val knnWant = SpatialDisk.knn(spark, path, Array(5000.0, 500.0), 10,
+      Seq("c_custkey")).select("c_custkey").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    import spark.implicits._
+    val metaLines = spark.read.textFile(s"$path/meta").collect().toSeq
+    val drifted = metaLines.map { l =>
+      if (!l.startsWith("cells=")) l
+      else {
+        val body = l.substring(6)
+        val parts = body.split(";").head.split(":")
+        "cells=" + ((s"${parts(0)}:${parts(1).toLong + 5}:${parts(2)}") +:
+          body.split(";").tail).mkString(";")
+      }
+    }
+    spark.createDataset(drifted).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val bad = fsckRows().map(r => (r._1, r._2)).toMap
+    assert(!bad("cell_counts_exact"), "fsck missed the drifted count")
+    SpatialDisk.repair(spark, path)
+    assert(fsckRows().forall(_._2), "repair did not clear the drift")
+    assert(SpatialDisk.knn(spark, path, Array(5000.0, 500.0), 10,
+      Seq("c_custkey")).select("c_custkey").collect()
+      .map(_.getLong(0)).sorted.toSeq === knnWant)
+    // tear class 2: foreign-token rows (a partial external copy) —
+    // repair rolls them back via the drop-foreign compact
+    val boxWant = SpatialDisk.boxRange(spark, path,
+      Array(-1e7, -1e7), Array(1e7, 1e7)).count()
+    spark.read.parquet(s"$path/data").limit(13)
+      .withColumn("__graft_token", lit("never-admitted"))
+      .withColumn("c_custkey", col("c_custkey") + 900000L)
+      .write.mode("append").partitionBy("__graft_cell")
+      .parquet(s"$path/data")
+    val torn = fsckRows().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!torn("data_tokens")._1 &&
+      torn("data_tokens")._2.contains("repair"),
+      s"fsck must name the torn rows and the repair verb: $torn")
+    SpatialDisk.repair(spark, path)
+    assert(fsckRows().forall(_._2), "repair did not roll the tear back")
+    assert(SpatialDisk.boxRange(spark, path,
+      Array(-1e7, -1e7), Array(1e7, 1e7)).count() === boxWant)
+    // the repair folded tombstones into the fresh generation
+    assert(!new java.io.File(path, "tombstones").exists())
+  }
+
   test("a torn delete (unadmitted tombstone token) is a no-op, not an " +
     "over-delete") {
     val path = freshLayout("deltorn")

@@ -973,6 +973,61 @@ class DedupOpsSpec extends SparkSpec {
     assert(!spBad("cell_counts_exact"), "fsck missed the drifted cell count")
   }
 
+  test("fsck -> repair round-trips: minhash and CDC torn appends heal " +
+    "in place and answer like the pre-tear layout") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val wave = docs.filter(col("doc_id") % 2 =!= 0)
+    import spark.implicits._
+    // ---- minhash
+    val mh = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_fsck_rt_mh").toString
+    corpus.writeMinhashIndex(mh, "doc_id", "text")
+    def mhPairs() = wave
+      .minHashPairsAgainstIndex(mh, "doc_id", "text", threshold = 0.3)
+      .select("id_new", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val mhWant = mhPairs()
+    val mhMeta = spark.read.textFile(s"$mh/meta").collect().toSeq
+    corpus.limit(20)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"))
+      .appendMinhashIndex(mh, "doc_id", "text")
+    spark.createDataset(mhMeta).coalesce(1).write.mode("overwrite")
+      .text(s"$mh/meta") // the append's meta commit "never happened"
+    val mhTorn = rows(DedupOps.fsckTextIndex(spark, mh)).toMap
+    assert(!mhTorn("buckets_tokens") && !mhTorn("shingles_tokens"),
+      s"fsck missed the torn minhash append: $mhTorn")
+    DedupOps.repairMinhashIndex(spark, mh)
+    assert(rows(DedupOps.fsckTextIndex(spark, mh)).forall(_._2),
+      "minhash repair did not restore an all-green fsck")
+    assert(mhPairs() === mhWant,
+      "repaired minhash layout answers differently from the pre-tear one")
+    // ---- cdc
+    val cd = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_fsck_rt_cdc").toString
+    corpus.writeCdcIndex(cd, "doc_id", "text")
+    def cdPairs() = wave
+      .cdcPairsAgainstIndex(cd, "doc_id", "text", minShared = 1)
+      .select("id_new", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val cdWant = cdPairs()
+    val cdMeta = spark.read.textFile(s"$cd/meta").collect().toSeq
+    corpus.limit(20)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"))
+      .appendCdcIndex(cd, "doc_id", "text")
+    spark.createDataset(cdMeta).coalesce(1).write.mode("overwrite")
+      .text(s"$cd/meta")
+    val cdTorn = rows(DedupOps.fsckTextIndex(spark, cd)).toMap
+    assert(!cdTorn("chunks_tokens") && !cdTorn("shingles_tokens"),
+      s"fsck missed the torn cdc append: $cdTorn")
+    DedupOps.repairCdcIndex(spark, cd)
+    assert(rows(DedupOps.fsckTextIndex(spark, cd)).forall(_._2),
+      "cdc repair did not restore an all-green fsck")
+    assert(cdPairs() === cdWant,
+      "repaired cdc layout answers differently from the pre-tear one")
+  }
+
   test("digest index: normalized form matches case/punct variants") {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_digest_norm_spec").toString

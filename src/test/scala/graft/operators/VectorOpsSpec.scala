@@ -713,6 +713,43 @@ class VectorOpsSpec extends SparkSpec {
       s"torn layout not refused: $msgs")
   }
 
+  test("repairIvfPq: a torn wave rolls back — fsck red -> repair -> " +
+    "green, reads answer like the pre-tear layout") {
+    val q = all.find(_._1 == 1L).get._2
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_spec_repair").toString
+    emb.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+      iters = 2)
+    // tombstones survive a repair: delete some ids first
+    VectorOps.deleteFromIvfPq(spark, path,
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), "vec_id")
+    def topk() = VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
+      q, 10, nprobe = 8, refine = 40).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = topk()
+    // inject a torn wave: rows land in the data dir under a token the
+    // meta never admitted
+    spark.read.parquet(s"$path/data").limit(17)
+      .withColumn("__graft_token", lit("never-admitted"))
+      .withColumn("vec_id", col("vec_id") + 500000L)
+      .write.mode("append").partitionBy("__graft_cell")
+      .parquet(s"$path/data")
+    val torn = VectorOps.fsckIvfPq(spark, path).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(!torn("data_tokens")._1 &&
+      torn("data_tokens")._2.contains("repairIvfPq"),
+      s"fsck must name the torn wave and the repair verb: $torn")
+    // reads refuse the torn layout (the token assert) — repair is the exit
+    VectorOps.repairIvfPq(spark, path)
+    assert(VectorOps.fsckIvfPq(spark, path).collect().forall(_.getBoolean(1)),
+      "repair did not restore an all-green fsck")
+    assert(topk() === want,
+      "repaired layout answers differently from the pre-tear one")
+    // repair on a healthy layout is a no-op (same answers)
+    VectorOps.repairIvfPq(spark, path)
+    assert(topk() === want)
+  }
+
   test("appendIvfPq: waves reach exact parity at full probes; id clashes refused") {
     for (res <- Seq(false, true)) {
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
