@@ -143,6 +143,16 @@ object Bench {
     "b5s_knn_join_skew_pivot" -> ((s: SparkSession, d: String) =>
       skewedPts(s, d, "l").knnJoinPivot(skewedPts(s, d, "r"), Seq("lx", "ly"),
         Seq("rx", "ry"), 3, "lid", Seq("rid"))),
+    // the cost-gated auto verb on the same skew fixture: its number =
+    // the bounded choice sample + the algorithm it routes to (grid, the
+    // measured-best here) — the gap to b5s_knn_join_skew_grid is the
+    // price of not having to know the answer
+    "b5a_knn_join_skew_auto" -> ((s: SparkSession, d: String) => {
+      s.conf.set(graft.GraftConf.KnnJoinAlgo, "auto")
+      try skewedPts(s, d, "l").knnJoinAuto(skewedPts(s, d, "r"),
+        Seq("lx", "ly"), Seq("rx", "ry"), 3, "lid", "rid", Seq("rid"))
+      finally s.conf.unset(graft.GraftConf.KnnJoinAlgo)
+    }),
     // B6: embedding similarity — exact pair join vs LSH-blocked; brute top-k
     "b6_sim_join_exact" -> ((s: SparkSession, d: String) => {
       val r = embeddings(s, d).select(col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))

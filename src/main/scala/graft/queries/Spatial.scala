@@ -307,6 +307,21 @@ object Spatial {
       .select(col("c_custkey"), col("s_suppkey"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
 
+  /** The cost-gated AUTO verb under the oracle: the bounded sample
+    * routes grid vs pivot (grid here — 2-D, measured-best on both
+    * bench fixtures), and whichever algorithm runs must answer the
+    * same window SQL. */
+  def knnJoinAutoQ(s: SparkSession, d: String): DataFrame = {
+    s.conf.set(graft.GraftConf.KnnJoinAlgo, "auto")
+    try customerPts(s, d)
+      .knnJoinAuto(supplierPts(s, d), Seq("cx", "cy"), Seq("sx", "sy"),
+        knnJoinK, leftId = "c_custkey", rightId = "s_suppkey",
+        tieBreak = Seq("s_suppkey"))
+      .select(col("c_custkey"), col("s_suppkey"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+    finally s.conf.unset(graft.GraftConf.KnnJoinAlgo)
+  }
+
   /** Per-segment bounding box of customer points via the typed
     * Aggregator UDAF (map-side-combining min/max buffer). */
   def boundsBySegment(s: SparkSession, d: String): DataFrame = {
@@ -602,6 +617,15 @@ object Spatial {
          |               s_suppkey ASC) AS rn
          |  FROM ($custPtsSql) c CROSS JOIN ($suppPtsSql) s) t
          |WHERE rn <= 3 ORDER BY c_custkey, s_suppkey""".stripMargin,
+    // whichever algorithm the cost gate routes to answers the same SQL
+    "sp_knn_join_auto" ->
+      s"""SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c_custkey, s_suppkey,
+         |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+         |      ORDER BY sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) ASC,
+         |               s_suppkey ASC) AS rn
+         |  FROM ($custPtsSql) c CROSS JOIN ($suppPtsSql) s) t
+         |WHERE rn <= 3 ORDER BY c_custkey, s_suppkey""".stripMargin,
     // tag 0 = point-in-box, 1 = box-overlap, 2 = circle: dist(center,
     // box) <= r with the same clamp-square-sum-sqrt shape as
     // Dist.pointToMBR, so doubles agree bit-for-bit
@@ -650,6 +674,7 @@ object Spatial {
     "sp_distance_join_sql" -> (distanceJoinSqlQ _),
     "sp_knn_join_sql" -> (knnJoinSqlQ _),
     "sp_knn_join" -> (knnJoin _),
+    "sp_knn_join_auto" -> (knnJoinAutoQ _),
     "sp_knn_join_pivot" -> (knnJoinPivotQ _),
     "sp_shape_column_range" -> (shapeColumnRange _)
   )

@@ -287,6 +287,42 @@ class SpatialOpsSpec extends SparkSpec {
     }
   }
 
+  test("the auto gate matches the measured-best algorithm on the bench " +
+    "SKEW fixture, plan-gated") {
+    // bench history (BASELINE.md r9-r12 judge-clean): skew-grid steady
+    // 2.97-4.20 s vs skew-pivot 4.10-6.10 s — grid is measured-best on
+    // the skew fixture (as on uniform); the gate must route there from
+    // its own bounded sample. The fixture replicates Bench.skewedPts:
+    // 80% of both sides squeeze into a dense cluster, 20% scatter
+    // 1000x wider.
+    def skewed(p: String) = {
+      val dense = col("c_custkey") % 5 < 4
+      Tables.customerPts(spark, sf()).select(
+        col("c_custkey").as(s"${p}id"),
+        when(dense, col("cx") * 0.01).otherwise(col("cx") * 10.0).as(s"${p}x"),
+        when(dense, col("cy") * 0.01).otherwise(col("cy") * 10.0).as(s"${p}y"))
+    }
+    try {
+      spark.conf.set(graft.GraftConf.KnnJoinAlgo, "auto")
+      spark.conf.set(graft.GraftConf.KnnMaterialize, "false")
+      val got = skewed("l").knnJoinAuto(skewed("r"), Seq("lx", "ly"),
+        Seq("rx", "ry"), 3, "lid", "rid", Seq("rid"))
+      val p = got.queryExecution.optimizedPlan.toString
+      assert(p.contains("__graft_cell_lc0") && !p.contains("__graft_rcell"),
+        s"the skew fixture must take the grid plan (measured-best):\n$p")
+      val gotSet = got.select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantSet = skewed("l").knnJoinNaive(skewed("r"), Seq("lx", "ly"),
+          Seq("rx", "ry"), 3, "lid", Seq("rid"))
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotSet === wantSet && gotSet.nonEmpty)
+    } finally {
+      spark.conf.unset(graft.GraftConf.KnnJoinAlgo)
+      spark.conf.unset(graft.GraftConf.KnnMaterialize)
+    }
+  }
+
   test("spark.graft.knn.retryThreshold reaches the zorder path") {
     import spark.implicits._
     // 2 rights < k=3: every left starves off the curve (candidates per
