@@ -128,4 +128,20 @@ class BenchConsistencySpec extends AnyFunSuite {
     assert(Bench.steadyBandViolations(
       Map("b_new_entry" -> 99.0), "/root/testdata/sf0.1").isEmpty)
   }
+
+  test("b10d is interpreted against the fs probe: over-band + in-band " +
+    "probe = regression, over-band + dirty probe = host state") {
+    // the recorded r12 pairs all read in-band (probe 0.25-0.55 beside
+    // b10d <= 9.3, including the 9.13-beside-0.48 sweep that triggered
+    // the mechanism hunt)
+    assert(Bench.b10dVerdict(9.13, 0.48) === "in-band")
+    assert(Bench.b10dVerdict(4.7, 0.33) === "in-band")
+    assert(Bench.b10dVerdict(6.30, 0.43) === "in-band")
+    // over band with a clean probe: the host was fine, the code wasn't
+    assert(Bench.b10dVerdict(12.0, 0.43) === "regression")
+    // over band with an out-of-band probe: host write-path state —
+    // re-measure, don't re-band (in either direction)
+    assert(Bench.b10dVerdict(12.0, 0.9) === "host-state")
+    assert(Bench.b10dVerdict(12.0, 0.1) === "host-state")
+  }
 }
