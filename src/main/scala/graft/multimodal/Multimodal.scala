@@ -138,30 +138,41 @@ object Multimodal {
     }
   }
 
-  /** REAL video-frame extraction for MJPEG-in-AVI — one honest video
-    * codec with zero out-of-JDK dependencies: the AVI container is a
-    * RIFF walk (pure byte arithmetic) and every `xxdc` movi chunk is a
-    * whole JPEG frame `ImageIO.read` decodes. Every `stride`-th frame
+  /** REAL video-frame extraction for MJPEG-in-AVI and DIB-in-AVI — the
+    * two honest video codecs with zero out-of-JDK dependencies: the AVI
+    * container is a RIFF walk (pure byte arithmetic), every `xxdc` movi
+    * chunk is a whole JPEG frame `ImageIO.read` decodes, and every
+    * `xxdb` chunk is an UNCOMPRESSED bottom-up BGR bitmap (BI_RGB, 24-
+    * or 32-bit — decoded by pure byte arithmetic against the `strf`
+    * BITMAPINFOHEADER's width/height/bitcount). Every `stride`-th frame
     * pools to a `dim` grid-mean feature vector ([[poolGray]] — the
     * image kernel). Returns (frame index, features) pairs; None when
-    * the bytes are not a RIFF/AVI, hold no decodable MJPEG frames, or
-    * are structurally torn — callers fall back instead of failing
-    * mid-pipeline. Out-of-JDK codecs (H.264 etc.) remain behind the
-    * [[sampleFrames]] chunk stub, the one stubbed boundary left. */
+    * the bytes are not a RIFF/AVI, hold no decodable frames, or are
+    * structurally torn — callers fall back instead of failing
+    * mid-pipeline. Genuinely compressed out-of-JDK codecs (H.264 etc.)
+    * remain behind the [[sampleFrames]] chunk stub, the one stubbed
+    * boundary left. */
   def decodeAviFrames(bytes: Array[Byte], stride: Int,
                       dim: Int): Option[Seq[(Int, Array[Float])]] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     def le32(off: Int): Int =
       (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
         ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    def le16(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
     def fourcc(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     try {
       if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
         return None
-      // collect every video-frame chunk ('..dc' = compressed frame)
-      // inside LIST movi, recursing through 'rec ' groups
-      val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      // collect every video-frame chunk ('..dc' = compressed, '..db' =
+      // uncompressed DIB) inside LIST movi, recursing through 'rec '
+      // groups — and the first 'vids' stream's BITMAPINFOHEADER from
+      // hdrl, which the DIB decode needs (dimensions + bit depth live
+      // in the header, not the frame)
+      val frames = scala.collection.mutable.ArrayBuffer[(Int, Int, Boolean)]()
+      var lastStrhVids = false
+      var vidsW = 0; var vidsH = 0; var vidsBpp = 0; var haveVids = false
       def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
         var off = start
         while (off + 8 <= end) {
@@ -172,20 +183,55 @@ object Multimodal {
             val listType = fourcc(off + 8)
             walk(off + 12, off + 8 + sz,
               inMovi || listType == "movi" || listType == "rec ")
+          } else if (id == "strh" && sz >= 4) {
+            lastStrhVids = fourcc(off + 8) == "vids"
+          } else if (id == "strf" && sz >= 16 && lastStrhVids && !haveVids) {
+            vidsW = le32(off + 8 + 4)
+            vidsH = le32(off + 8 + 8)
+            vidsBpp = le16(off + 8 + 14)
+            haveVids = true
           } else if (inMovi && sz > 0 && id.length == 4 &&
-              id.charAt(2) == 'd' && id.charAt(3) == 'c') {
-            frames += ((off + 8, sz))
+              id.charAt(2) == 'd' &&
+              (id.charAt(3) == 'c' || id.charAt(3) == 'b')) {
+            frames += ((off + 8, sz, id.charAt(3) == 'b'))
           }
           off += 8 + sz + (sz & 1) // chunks are word-aligned
         }
       }
       walk(12, math.min(bytes.length, 8 + le32(4)), inMovi = false)
       if (frames.isEmpty) return None
+      // uncompressed BGR rows, bottom-up unless biHeight < 0, each row
+      // padded to a 4-byte boundary — the Windows DIB contract
+      def decodeDib(off: Int, sz: Int): java.awt.image.BufferedImage = {
+        if (!haveVids || (vidsBpp != 24 && vidsBpp != 32) || vidsW <= 0)
+          return null
+        val h = math.abs(vidsH)
+        val bytesPerPx = vidsBpp / 8
+        val rowSize = ((vidsW * vidsBpp + 31) / 32) * 4
+        if (h <= 0 || sz < rowSize * h) return null
+        val img = new java.awt.image.BufferedImage(vidsW, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val srcRow = if (vidsH < 0) y else h - 1 - y
+          var x = 0
+          while (x < vidsW) {
+            val p = off + srcRow * rowSize + x * bytesPerPx
+            img.setRGB(x, y, ((bytes(p + 2) & 0xFF) << 16) |
+              ((bytes(p + 1) & 0xFF) << 8) | (bytes(p) & 0xFF))
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
       val out = (0 until frames.length by stride).map { i =>
-        val (off, sz) = frames(i)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes, off, sz))
-        if (img == null) return None // a non-JPEG frame: not our codec
+        val (off, sz, isDib) = frames(i)
+        val img =
+          if (isDib) decodeDib(off, sz)
+          else javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes, off, sz))
+        if (img == null) return None // not a codec we decode
         i -> poolGray(img, dim)
       }
       Some(out)
@@ -410,6 +456,82 @@ object Multimodal {
     cc("RIFF") ++ le32(body.length) ++ body
   }
 
+  /** A small REAL uncompressed-DIB AVI (`00db` chunks of raw bottom-up
+    * BGR rows, BI_RGB BITMAPINFOHEADER) — the codec-free video format
+    * pure byte arithmetic decodes exactly. Frames are the same moving
+    * gradient as [[syntheticAvi]], but LOSSLESSLY stored, so the decode
+    * oracle can pin CONTENT bit-for-bit against a direct pool of the
+    * source image (the JPEG twin can only pin shape/determinism). */
+  private[multimodal] def syntheticDibAvi(mediaId: Long,
+                                          side: Int): Array[Byte] = {
+    val nFrames = 2 + (mediaId % 4).toInt
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(listType) ++ body)
+    val rowSize = ((side * 24 + 31) / 32) * 4
+    val dibs = (0 until nFrames).map { f =>
+      val img = syntheticImage(mediaId, side, f)
+      val body = new Array[Byte](rowSize * side)
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val rgb = img.getRGB(x, side - 1 - y) // bottom-up row order
+          val p = y * rowSize + x * 3
+          body(p) = (rgb & 0xFF).toByte
+          body(p + 1) = ((rgb >> 8) & 0xFF).toByte
+          body(p + 2) = ((rgb >> 16) & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      body
+    }
+    val frameBytes = rowSize * side
+    val avih = chunk("avih", Array(100000, frameBytes * 10, 0, 0, nFrames,
+      0, 1, frameBytes, side, side, 0, 0, 0, 0).flatMap(le32))
+    val strh = chunk("strh", cc("vids") ++ cc("DIB ") ++
+      Array(0, 0, 0, 1, 10, 0, nFrames, frameBytes, -1, 0).flatMap(le32) ++
+      le32(0) ++ le32(side << 16 | side))
+    // BITMAPINFOHEADER with biCompression BI_RGB (0) — the header the
+    // decode reads dimensions and bit depth from
+    val strf = chunk("strf", le32(40) ++ le32(side) ++ le32(side) ++
+      Array((1 | (24 << 16))).flatMap(le32) ++ le32(0) ++
+      le32(frameBytes) ++ Array(0, 0, 0, 0).flatMap(le32))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", dibs.flatMap(d => chunk("00db", d)).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** The DIB-AVI twin of [[syntheticAviTable]] on its own doc slice
+    * (`% 3 == 0`; MJPEG holds `% 3 == 1`, GIF `% 3 == 2`). */
+  def syntheticDibAviTable(spark: SparkSession, dir: String,
+                           maxId: Long = 90L): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < maxId)
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { ids =>
+      ids.map(id => MediaRow(id, "video", syntheticDibAvi(id, 16), 16, 16))
+    }.toDF()
+  }
+
+  /** Direct grid-mean pool of the synthetic source frame — the content
+    * oracle for the LOSSLESS DIB decode path: [[decodeAviFrames]] over
+    * [[syntheticDibAvi]] must reproduce these floats bit-for-bit. */
+  private[multimodal] def directPooledFrame(mediaId: Long, side: Int,
+                                            frame: Int,
+                                            dim: Int): Array[Float] =
+    poolGray(syntheticImage(mediaId, side, frame), dim)
+
   /** The MJPEG-AVI twin of [[syntheticGifTable]] (its own doc slice, so
     * the two real-video fixtures never alias). */
   def syntheticAviTable(spark: SparkSession, dir: String,
@@ -420,6 +542,23 @@ object Multimodal {
     docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { ids =>
       ids.map(id => MediaRow(id, "video", syntheticAvi(id, 16), 16, 16))
     }.toDF()
+  }
+
+  /** Verdict table for the LOSSLESS DIB-AVI decode path: every sampled
+    * frame's pooled features must equal a direct pool of the synthetic
+    * source image BIT-FOR-BIT (`matches_direct`) — a content oracle the
+    * lossy MJPEG twin cannot offer. Runs the decode distributed. */
+  def dibFramesVerdict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleAviFrames(syntheticDibAviTable(spark, dir).as[MediaRow],
+        stride = 2, dim = 16)
+      .as[(Long, Int, Array[Float])].mapPartitions { rows =>
+        rows.map { case (id, idx, feats) =>
+          (id, idx,
+            java.util.Arrays.equals(feats, directPooledFrame(id, 16, idx, 16)),
+            feats.length == 16)
+        }
+      }.toDF("media_id", "frame_idx", "matches_direct", "dim_ok")
   }
 
   /** REAL frame sampling over MJPEG-AVI video rows — the

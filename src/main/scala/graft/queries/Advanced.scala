@@ -553,6 +553,14 @@ object Advanced {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** DIB-in-AVI decode with a CONTENT oracle: the lossless `00db` path
+    * must reproduce a direct pool of the source frame bit-for-bit. */
+  def mediaDibFramesQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.dibFramesVerdict(s, d)
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("matches_direct"), col("dim_ok"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   private val sessionsOracleSql =
       """SELECT user_id, start_ms, end_ms, n_events, total_value FROM (
         |  SELECT user_id, MIN(t) AS start_ms, MAX(t) AS end_ms,
@@ -853,6 +861,16 @@ object Advanced {
         |  UNNEST(generate_series(0, CAST(2 + doc_id % 4 AS INT) - 1, 2)) AS u(f)
         |WHERE doc_id % 3 = 1 AND doc_id < 90
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // DIB-in-AVI: same predicted frame table on the %3==0 slice; the
+    // matches_direct flag is the engine-side BIT-FOR-BIT content pin
+    // (lossless codec — a direct pool of the source must reproduce)
+    "mm_video_frames_dib" ->
+      """SELECT doc_id AS media_id, CAST(u.f AS INT) AS frame_idx,
+        |  TRUE AS matches_direct, TRUE AS dim_ok
+        |FROM documents,
+        |  UNNEST(generate_series(0, CAST(2 + doc_id % 4 AS INT) - 1, 2)) AS u(f)
+        |WHERE doc_id % 3 = 0 AND doc_id < 90
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "sp_zknn_join" ->
       """SELECT c_custkey, CAST(u.r AS INT) AS rank,
         |  TRUE AS rights_distinct, TRUE AS covers_exact_kth
@@ -910,6 +928,7 @@ object Advanced {
     "mm_frame_sample" -> (mediaFrameSample _),
     "mm_gif_frames" -> (mediaGifFramesQ _),
     "mm_video_frames" -> (mediaAviFramesQ _),
+    "mm_video_frames_dib" -> (mediaDibFramesQ _),
     "sp_point_udt_range" -> (pointUdtRangeQ _),
     "q27_quantile_stats" -> (quantileStatsQ _),
     "q28_outlier_filter" -> (outlierFilterQ _)

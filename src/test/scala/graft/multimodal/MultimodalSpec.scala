@@ -197,6 +197,34 @@ class MultimodalSpec extends SparkSpec {
       "torn container must refuse or return only whole frames")
   }
 
+  test("decodeAviFrames: uncompressed DIB-in-AVI — pure byte arithmetic, " +
+    "content bit-equal to a direct pool of the source") {
+    val avi = syntheticDibAvi(10L, side = 16) // 2 + 10%4 = 4 frames
+    assert(new String(avi, 0, 4, "US-ASCII") === "RIFF")
+    val all = decodeAviFrames(avi, stride = 1, dim = 16).get
+    assert(all.map(_._1) === Seq(0, 1, 2, 3))
+    // the codec is LOSSLESS: every decoded frame pools bit-for-bit to
+    // the direct pool of the synthetic source image — the content
+    // oracle the lossy MJPEG twin cannot offer
+    all.foreach { case (idx, feats) =>
+      assert(feats.toSeq === directPooledFrame(10L, 16, idx, 16).toSeq,
+        s"frame $idx drifted from the direct pool")
+    }
+    // ...and differs from the MJPEG decode only by JPEG loss: frames
+    // still animate and stride still subsamples
+    val strided = decodeAviFrames(avi, stride = 2, dim = 16).get
+    assert(strided.map(_._1) === Seq(0, 2))
+    assert(all(0)._2.toSeq !== all(1)._2.toSeq)
+    // a truncated container refuses or returns only whole frames
+    val cut = decodeAviFrames(avi.take(avi.length / 2), 1, 16)
+    assert(cut.isEmpty || cut.get.nonEmpty)
+    // the distributed path + the verdict table: every row matches
+    val verdict = dibFramesVerdict(spark, sf()).collect()
+    assert(verdict.nonEmpty)
+    assert(verdict.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "a distributed DIB decode drifted from the direct pool")
+  }
+
   test("sampleAviFrames runs the real MJPEG decode distributed") {
     import spark.implicits._
     val media = syntheticAviTable(spark, sf())
