@@ -28,18 +28,29 @@ import org.apache.spark.sql.functions._
   */
 object PrunedCellScan {
 
-  /** Driver-side FileSystem metadata calls issued by the pruning layer
-    * since JVM start — observability for the "one listing, never one
-    * probe per candidate cell" contract (an object store answers
-    * listStatus in one round trip where 1024 serial HEADs are 1024 of
-    * them). */
-  private[graft] val fsCalls = new java.util.concurrent.atomic.AtomicLong
+  /** Per-thread observability counter: the pruning layer runs
+    * synchronously on the calling thread, and specs across SUITES run
+    * concurrently in one JVM — a process-global counter would let one
+    * suite's vector read clobber another's spatial assertion. */
+  private[graft] final class ThreadCounter(init: Long) {
+    private val tl = ThreadLocal.withInitial[java.lang.Long](() => init)
+    def get(): Long = tl.get()
+    def set(v: Long): Unit = tl.set(v)
+    def incrementAndGet(): Long = { val v = tl.get() + 1L; tl.set(v); v }
+  }
 
-  /** Explicit directory paths the last pruned read handed the reader
-    * (-1 when it fell back to the full listing) — observability for
-    * specs, since consumers may materialize the scan where plan
-    * introspection can no longer see it. */
-  private[graft] val lastPathCount = new java.util.concurrent.atomic.AtomicLong(-1L)
+  /** Driver-side FileSystem metadata calls issued by the pruning layer
+    * on THIS thread since first use — observability for the "one
+    * listing, never one probe per candidate cell" contract (an object
+    * store answers listStatus in one round trip where 1024 serial HEADs
+    * are 1024 of them). */
+  private[graft] val fsCalls = new ThreadCounter(0L)
+
+  /** Explicit directory paths the calling thread's last pruned read
+    * handed the reader (-1 when it fell back to the full listing) —
+    * observability for specs, since consumers may materialize the scan
+    * where plan introspection can no longer see it. */
+  private[graft] val lastPathCount = new ThreadCounter(-1L)
 
   def apply(spark: SparkSession, dataPath: String, cellCol: String,
             cells: Seq[Any], maxExplicit: Int = 1024): DataFrame = {

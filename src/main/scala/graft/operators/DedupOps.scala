@@ -123,24 +123,38 @@ object DedupOps {
       spark: org.apache.spark.sql.SparkSession, path: String, table: String,
       storedId: String, token: String, mode: String,
       fpp: Double = 1e-6, maxBloomBytes: Long = 128L << 20): Boolean = {
+    val written = spark.read.parquet(s"$path/$table")
+      .filter(col("__graft_token") === token)
+      .select(col(storedId))
+    writeIdBloomRowFrom(spark, path, written, storedId, token, mode,
+      fpp, maxBloomBytes)
+  }
+
+  /** [[writeIdBloomRow]] over a caller-supplied id frame — for layouts
+    * whose appended waves share the generation token (IVF-PQ), where
+    * "filter written rows by wave token" cannot isolate the wave. The
+    * caller owns the written-rows-equal-these-ids argument (e.g. the
+    * frame is persisted and the data write ran from the same frame). */
+  private[graft] def writeIdBloomRowFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: org.apache.spark.sql.DataFrame, storedId: String, token: String,
+      mode: String, fpp: Double = 1e-6,
+      maxBloomBytes: Long = 128L << 20): Boolean = {
     // fpp sits far below the digest filters' 1%: the fast path only
     // fires when the WHOLE wave probes clean, P(clean) = (1-fpp)^|wave|
     // — at 1e-6 (~3.6 bytes/id, ~37M ids under the default cap) a
     // 100k-id wave still clears with p~0.9, where 1% would force the
     // confirm join on essentially every append
-    val written = spark.read.parquet(s"$path/$table")
-      .filter(col("__graft_token") === token)
-      .select(col(storedId))
-    if (written.schema.head.dataType !=
+    if (ids.schema.head.dataType !=
         org.apache.spark.sql.types.LongType) return false
     // sizing by ROW count, not distinct ids: an over-estimate only
     // lowers the realized fpp, and it saves a whole shuffle per write
-    val n = math.max(1L, written.count())
+    val n = math.max(1L, ids.count())
     val bloomBits = math.ceil(
       -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     if (bloomBits / 8 > maxBloomBytes) false
     else {
-      val bf = written.stat.bloomFilter(storedId, n, fpp)
+      val bf = ids.stat.bloomFilter(storedId, n, fpp)
       writeBloomRow(spark, path, token, bf, mode, dir = "idbloom")
       true
     }

@@ -506,11 +506,16 @@ object VectorOps {
       .repartition(col("__graft_cell"))
       .write.mode("overwrite").partitionBy("__graft_cell")
       .parquet(s"$path/data")
+    // ONE rebuilt id Bloom over the compacted generation replaces the
+    // accreted wave filters (folded tombstoned ids leave coverage, so
+    // their ids become re-usable)
+    val idBloomOk = graft.operators.DedupOps.writeIdBloomRow(spark, path,
+      "data", data.columns.head, token, "overwrite")
     // tmp+rename publish (ADVICE r11): a raw overwrite text job leaves
     // a whole-job no-meta crash window on an EXISTING layout
     graft.operators.DedupOps.publishMeta(spark, path,
       ivfPqMetaLines(meta.coarse, meta.books, meta.m, meta.ksub, meta.scale,
-        meta.residual, token, Seq.empty))
+        meta.residual, token, Seq.empty, idBloomOk))
     // folded tombstones are inert once the meta stopped listing them
     graft.operators.DedupOps.deleteDir(spark, s"$path/tombstones")
     val sp = new org.apache.hadoop.fs.Path(snap)
@@ -555,11 +560,15 @@ object VectorOps {
       .repartition(col("__graft_cell"))
       .write.mode("overwrite").partitionBy("__graft_cell")
       .parquet(s"$path/data")
+    // the rolled-back generation gets ONE rebuilt id Bloom (dropped
+    // foreign ids leave coverage)
+    val idBloomOk = graft.operators.DedupOps.writeIdBloomRow(spark, path,
+      "data", data.columns.head, token, "overwrite")
     // tombstones are id-keyed and survive the generation change — a
     // tombstoned id stays dead through a repair
     graft.operators.DedupOps.publishMeta(spark, path,
       ivfPqMetaLines(meta.coarse, meta.books, meta.m, meta.ksub, meta.scale,
-        meta.residual, token, meta.tombs))
+        meta.residual, token, meta.tombs, idBloomOk))
     val sp = new org.apache.hadoop.fs.Path(snap)
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
   }
@@ -639,7 +648,7 @@ object VectorOps {
   private[operators] final case class IvfPqMeta(
       coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
       m: Int, ksub: Int, scale: Double, residual: Boolean, token: String,
-      tombs: Seq[String] = Seq.empty)
+      tombs: Seq[String] = Seq.empty, idBloom: Boolean = false)
 
   /** The admitted tombstoned ids of an IVF-PQ layout (distinct, one
     * column aliased to `idCol`), or None when the meta lists no delete
@@ -660,13 +669,14 @@ object VectorOps {
   private[operators] def ivfPqMetaLines(
       coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
       m: Int, ksub: Int, scale: Double, residual: Boolean, token: String,
-      tombs: Seq[String]): Seq[String] =
+      tombs: Seq[String], idBloom: Boolean = false): Seq[String] =
     Seq(
       "coarse=" + coarse.map(_.mkString(",")).mkString(";"),
       "books=" + books.map(_.map(_.mkString(",")).mkString(";")).mkString("|"),
       s"params=m:$m,ksub:$ksub,scale:$scale,residual:$residual",
       "token=" + token) ++
-      (if (tombs.isEmpty) Seq.empty else Seq("tombs=" + tombs.mkString(";")))
+      (if (tombs.isEmpty) Seq.empty else Seq("tombs=" + tombs.mkString(";"))) ++
+      graft.operators.DedupOps.idBloomMetaLine(idBloom)
 
   private[operators] def readIvfPqMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): IvfPqMeta = {
@@ -686,9 +696,11 @@ object VectorOps {
     val params = line("params").split(",").map { kv =>
       val Array(a, b) = kv.split(":"); a -> b
     }.toMap
+    val idBloom = lines.find(_.startsWith("idbloom="))
+      .exists(_.substring(8) == "yes")
     val meta = IvfPqMeta(coarse, books, params("m").toInt,
       params("ksub").toInt, params("scale").toDouble,
-      params("residual").toBoolean, line("token"), tombs)
+      params("residual").toBoolean, line("token"), tombs, idBloom)
     require(meta.m == books.length && books.forall(_.length <= meta.ksub))
     meta
   }
@@ -737,6 +749,11 @@ object VectorOps {
             s"${meta.tombs.length} admitted delete wave(s)" +
               (if (missing.nonEmpty) s", ${missing.size} MISSING" else ""))
         }
+        if (meta.idBloom) check("idbloom_present") {
+          val n = spark.read.parquet(s"$path/idbloom").count()
+          (n >= 1L, s"$n filter row(s) — a claimed-but-absent filter " +
+            "set would turn bloom misses into admitted duplicate ids")
+        }
     }
     import spark.implicits._
     spark.createDataset(out.toIndexedSeq).toDF("check", "ok", "detail")
@@ -767,9 +784,10 @@ object VectorOps {
     }
     newIds.withColumn("__graft_token", lit(token))
       .write.mode("append").parquet(s"$path/tombstones")
+    // a delete adds no physical ids — id-Bloom coverage unchanged
     graft.operators.DedupOps.publishMeta(spark, path,
       ivfPqMetaLines(meta.coarse, meta.books, meta.m, meta.ksub, meta.scale,
-        meta.residual, meta.token, meta.tombs :+ token))
+        meta.residual, meta.token, meta.tombs :+ token, meta.idBloom))
   }
 
   def readIvfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -1094,6 +1112,16 @@ object VectorOps {
         // from the previous one must not shadow it
         graft.operators.DedupOps.deleteDir(df.sparkSession,
           s"$path/tombstones")
+        // id Bloom for the O(wave) append clash gate (the text layouts'
+        // discipline) — built from the WRITTEN rows (one token covers
+        // the whole fresh generation); a filter that cannot land
+        // (non-long id, size cap) flips idbloom=no and appends stay on
+        // the semi-join confirm path. The previous generation's filters
+        // are deleted either way, so a no-bloom generation never leaves
+        // stale coverage behind.
+        graft.operators.DedupOps.deleteDir(df.sparkSession, s"$path/idbloom")
+        val idBloomOk = graft.operators.DedupOps.writeIdBloomRow(
+          df.sparkSession, path, "data", idCol, token, "overwrite")
         // metadata as tagged text lines (bracket-free codec — no nested
         // parsing); Double.toString round-trips exactly, so the reader
         // reconstructs the IDENTICAL centroids and codebooks.
@@ -1102,7 +1130,7 @@ object VectorOps {
         // would leave a whole-job no-meta crash window
         graft.operators.DedupOps.publishMeta(df.sparkSession, path,
           VectorOps.ivfPqMetaLines(coarse, books, m, ksub, scale, residual,
-            token, Seq.empty))
+            token, Seq.empty, idBloomOk))
       } finally base.unpersist()
     }
 
@@ -1154,13 +1182,35 @@ object VectorOps {
         require(nRows == 0 || (g.getInt(4) == layoutDim && g.getInt(5) == layoutDim),
           s"appendIvfPq: wave vector dimensions ${g.getInt(4)}..${g.getInt(5)} " +
             s"!= layout dimension $layoutDim")
-        // cross-wave uniqueness: one column-pruned pass over the layout
-        val clash = spark.read.parquet(s"$path/data").select(col(idCol))
-          .join(base.select(col(idCol)), Seq(idCol), "left_semi")
-          .limit(1).count()
-        require(clash == 0L,
-          s"appendIvfPq: wave ids collide with ids already in $path " +
-            "(the disk index is keyed by id)")
+        // cross-wave uniqueness at O(wave): when the layout carries id
+        // Blooms the wave's ids probe them LOCALLY and only maybes ride
+        // the confirm semi-join (the text layouts' r12 discipline —
+        // without it every append to a 100-TB layout paid an O(table)
+        // id pass). A tombstoned id's rows are physically present, so
+        // it stays DEAD here until a compact folds it.
+        graft.operators.DedupOps.idClashCheck(spark, path, "data",
+          "appendIvfPq", base.select(col(idCol)), idCol,
+          Map("__idbloom" -> (if (meta.idBloom) "yes" else "no")))
+        // the wave's own Bloom row lands BEFORE its data: appended
+        // waves share the generation token (no per-wave token to filter
+        // written rows by), so the filter builds from the PERSISTED
+        // input — the same frame the data write below runs from — and a
+        // crash between the two only OVER-covers (a bloom containing
+        // ids that never landed costs a confirm join; the reverse order
+        // would leave landed ids uncovered, a silently admitted
+        // duplicate later). A filter that cannot land downgrades the
+        // layout's meta to idbloom=no (republished — the ONE meta touch
+        // an append can make) so the gate never trusts partial coverage.
+        if (meta.idBloom) {
+          val waveOk = graft.operators.DedupOps.writeIdBloomRowFrom(spark,
+            path, base.select(col(idCol)), idCol,
+            java.util.UUID.randomUUID().toString, "append")
+          if (!waveOk)
+            graft.operators.DedupOps.publishMeta(spark, path,
+              VectorOps.ivfPqMetaLines(meta.coarse, meta.books, meta.m,
+                meta.ksub, meta.scale, meta.residual, meta.token,
+                meta.tombs, idBloom = false))
+        }
         val celled = VectorOps.withCell(base, meta.coarse)
         val codesInput =
           if (meta.residual) {

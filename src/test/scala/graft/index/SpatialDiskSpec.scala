@@ -300,7 +300,11 @@ class SpatialDiskSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       SpatialDisk.compact(path, spark)
     }
-    assert(e.getMessage.contains("write-token mismatch"), e.getMessage)
+    // the meta's token matches NO data row — compact refuses with the
+    // nothing-to-compact-from message (repair refuses this tear too:
+    // there are no admitted rows to roll back to)
+    assert(e.getMessage.contains("no rows under the meta's token"),
+      e.getMessage)
   }
 
   test("a torn meta/data pair is refused, not silently mis-routed") {

@@ -946,8 +946,8 @@ class DedupOpsSpec extends SparkSpec {
     graft.operators.VectorOps.deleteFromIvfPq(spark, iv,
       emb.limit(5).select(col("vec_id")), "vec_id")
     val ivRows = rows(graft.operators.VectorOps.fsckIvfPq(spark, iv))
-    assert(ivRows.map(_._1) === Seq("meta", "data_tokens", "tombstones") &&
-      ivRows.forall(_._2), s"$ivRows")
+    assert(ivRows.map(_._1) === Seq("meta", "data_tokens", "tombstones",
+      "idbloom_present") && ivRows.forall(_._2), s"$ivRows")
     // spatial family: the cell-count check the kNN radii stand on
     val sp = path + "_sp"
     graft.index.SpatialDisk.write(

@@ -774,12 +774,49 @@ class VectorOpsSpec extends SparkSpec {
       // the default-probe read still answers (recall path intact)
       assert(VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
         q, 10, nprobe = 4, refine = 50).count() === 10L)
-      // a wave colliding with existing ids is refused loudly
+      // a wave colliding with existing ids is refused loudly (through
+      // the bloom maybes -> confirm join — the shared gate's message)
       val e = intercept[IllegalArgumentException] {
         a.limit(1).appendIvfPq(path, "embedding", "vec_id")
       }
-      assert(e.getMessage.contains("collide"), e.getMessage)
+      assert(e.getMessage.contains("already exists"), e.getMessage)
     }
+  }
+
+  test("appendIvfPq clash gate rides per-wave id Blooms at O(wave)") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_spec_idbloom").toString
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 =!= 0)
+    a.writeIvfPq(path, "embedding", "vec_id", nlist = 8, m = 4, ksub = 4,
+      iters = 2)
+    assert(spark.read.textFile(s"$path/meta").collect()
+      .contains("idbloom=yes"), "long-id write must land the id Bloom")
+    // the gate's FAST PATH clears a disjoint wave wave-locally (returns
+    // true only when the stored table was never touched)
+    assert(graft.operators.DedupOps.idClashCheck(spark, path, "data",
+      "spec", b.select(col("vec_id")), "vec_id",
+      Map("__idbloom" -> "yes")),
+      "a disjoint wave must clear on the bloom fast path")
+    b.appendIvfPq(path, "embedding", "vec_id")
+    // the appended wave extended coverage: re-adding ITS ids is refused
+    val e = intercept[IllegalArgumentException] {
+      b.limit(1).appendIvfPq(path, "embedding", "vec_id")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // compact folds the wave filters into ONE rebuilt Bloom and the
+    // gate still works both ways
+    VectorOps.compactIvfPq(spark, path)
+    assert(spark.read.parquet(s"$path/idbloom").count() === 1L,
+      "compact must rebuild a single id Bloom")
+    val e2 = intercept[IllegalArgumentException] {
+      a.limit(1).appendIvfPq(path, "embedding", "vec_id")
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // fsck reports the filter set present
+    val rows = VectorOps.fsckIvfPq(spark, path).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(rows("idbloom_present"))
   }
 
   test("auditIvfPqRecall: exact at full probes, deterministic, drift visible") {
@@ -944,7 +981,7 @@ class VectorOpsSpec extends SparkSpec {
       emb.filter(col("vec_id") % 5 === 0).limit(3)
         .appendIvfPq(path, "embedding", "vec_id")
     }
-    assert(clash.getMessage.contains("collide"))
+    assert(clash.getMessage.contains("already exists"), clash.getMessage)
     // compact folds: tombstones gone, same answers, dead ids revive
     VectorOps.compactIvfPq(spark, path)
     assert(!new java.io.File(path, "tombstones").exists())
