@@ -732,7 +732,10 @@ object Bench {
     * as `b10d_verdict` so the interpretation is recorded, not
     * re-derived. */
   private[graft] val b10dBandUpperSf01 = 9.3
-  private[graft] val fsProbeBand: (Double, Double) = (0.25, 0.55)
+  // clean band tightened r13 (addendum 5): a 0.52 probe accompanied a
+  // +50% board-wide shift and a 2x b10d that the very next sweep
+  // (probe 0.38) read at 4.84 — no recorded clean pair sits above 0.48
+  private[graft] val fsProbeBand: (Double, Double) = (0.25, 0.50)
   private[graft] def b10dVerdict(b10d: Double, fsProbe: Double): String =
     if (b10d <= b10dBandUpperSf01) "in-band"
     else if (fsProbe >= fsProbeBand._1 && fsProbe <= fsProbeBand._2)

@@ -459,6 +459,38 @@ object ExplainPlans {
           |FROM graft_distance_join('plans_cust_pts', 'plans_supp_pts',
           |                         'cx,cy', 'sx,sy', 100.0)""".stripMargin)
     }
+    show("spatial_disk_delete_box (expect the admitted tombstone ids LEFT-ANTI-joined off the PRUNED scan — PartitionFilters INSET still on __graft_cell, tombstones never widen the read)") {
+      val delPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_sp_del").toString
+      graft.index.SpatialDisk.write(customerPts(spark, d), delPath,
+        Seq("cx", "cy"))
+      graft.index.SpatialDisk.delete(spark, delPath,
+        customerPts(spark, d).filter(col("c_custkey") % 10 === 3)
+          .select("c_custkey"), "c_custkey")
+      graft.index.SpatialDisk.boxRange(spark, delPath,
+        Array(2000.0, 100.0), Array(4000.0, 300.0))
+    }
+    show("spatial_disk_delete_knn (expect the stats-walk circle scan over DECREMENTED counts with the same tombstone anti-join — the guaranteed radius covers k LIVE rows)") {
+      val delPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_sp_del").toString
+      graft.index.SpatialDisk.knn(spark, delPath,
+        Array(5000.0, 500.0), 10, Seq("c_custkey"))
+    }
+    show("ivfpq_tombstoned_topk (expect the admitted tombstone ids anti-joined on the PROBED-CELL code sliver — never the table; the explicit-path pruned read underneath)") {
+      import graft.operators.VectorOps
+      import graft.operators.VectorOps._
+      val delPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_ivfpq_del").toString
+      embeddings(spark, d).writeIvfPq(delPath, "embedding", "vec_id",
+        nlist = 8, m = 4, ksub = 4, iters = 2)
+      VectorOps.deleteFromIvfPq(spark, delPath,
+        embeddings(spark, d).filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id")), "vec_id")
+      val q = embeddings(spark, d).filter(col("vec_id") === 1L)
+        .head().getSeq[Float](1).toArray
+      VectorOps.readIvfPqTopK(spark, delPath, "embedding", "vec_id", q, 10,
+        nprobe = 4, refine = 40)
+    }
     spark.stop()
   }
 }

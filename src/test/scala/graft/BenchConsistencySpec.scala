@@ -143,5 +143,10 @@ class BenchConsistencySpec extends AnyFunSuite {
     // re-measure, don't re-band (in either direction)
     assert(Bench.b10dVerdict(12.0, 0.9) === "host-state")
     assert(Bench.b10dVerdict(12.0, 0.1) === "host-state")
+    // the rule's first live firing (r13 addendum 5): probe 0.52 beside
+    // b10d 9.80 was host state — the next sweep (probe 0.38) read 4.84
+    // — so 0.52 sits OUTSIDE the clean band and must read host-state
+    assert(Bench.b10dVerdict(9.80, 0.52) === "host-state")
+    assert(Bench.b10dVerdict(4.84, 0.38) === "in-band")
   }
 }
