@@ -854,6 +854,12 @@ object SpatialDisk {
       .withColumnRenamed(CellCol, cellCol)
   }
 
+  /** The layout's key (coordinate) column names, from its meta — what
+    * a stream-static join's exact distance predicate compares against
+    * [[joinTable]]'s columns. */
+  def keyColumns(spark: SparkSession, path: String): Seq[String] =
+    readMeta(spark, path).keyCols
+
   /** The STREAM side's router: explode each row to the coarse cells
     * its `radius`-dilated bbox intersects, emitted as `cellCol` — a
     * STATELESS projection (bounds come from the layout's meta at plan

@@ -242,9 +242,23 @@ object Advanced {
     * routing + stream-static cell equi-join + exact distance. Emitted
     * pairs equal the batch distance join's, so the oracle is the plain
     * pair SQL. */
-  def streamGeoJoinQ(s: SparkSession, d: String): DataFrame =
-    StreamingOps.streamSpatialJoin(s, d, radius = 100.0)
+  def streamGeoJoinQ(s: SparkSession, d: String): DataFrame = {
+    // staging is the QUERY's fixture (the streamDigestGate contract):
+    // the supplier layout writes once, the customer point wave stages
+    // as a parquet the operator streams from
+    val tag = Integer.toHexString(d.hashCode)
+    val layout = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_geo_layout_$tag").toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_geo_wave_$tag").toString
+    graft.index.SpatialDisk.write(supplierPts(s, d), layout,
+      Seq("sx", "sy"), cellBits = 4)
+    customerPts(s, d).write.mode("overwrite").parquet(wavePath)
+    StreamingOps.streamSpatialJoin(s, wavePath, layout, Seq("cx", "cy"),
+        radius = 100.0)
+      .select(col("c_custkey"), col("s_suppkey"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
 
   /** Streaming span-decontamination gate: non-eval arrivals are
     * span-redacted per micro-batch against the static eval set — the

@@ -239,6 +239,23 @@ object Spatial {
       .orderBy(col("c_custkey"))
   }
 
+  /** Distance join of a query set against the TOMBSTONED layout: the
+    * anti-join rides the pruned candidate scan, so the join answers
+    * exactly as against a from-scratch build on the survivors. */
+  def diskDeleteJoin(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_delj_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val pts = customerPts(s, d)
+    graft.index.SpatialDisk.write(pts, path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.delete(s, path,
+      pts.filter(col("c_custkey") % 10 === 3).select("c_custkey"),
+      "c_custkey")
+    graft.index.SpatialDisk.distanceJoin(supplierPts(s, d), Seq("sx", "sy"),
+        path, joinR)
+      .select(col("c_custkey"), col("s_suppkey"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
   // Diamond |(x-5000)/2000.37| + |(y-500)/300.13| <= 1 — a convex polygon
   // whose containment is also expressible as one SQL inequality, giving
   // the general ray-casting kernel an exact relational oracle. Fractional
@@ -491,6 +508,11 @@ object Spatial {
          |           c_custkey ASC
          |  LIMIT 10) t
          |ORDER BY c_custkey""".stripMargin,
+    "sp_disk_delete_join" ->
+      s"""SELECT c_custkey, s_suppkey FROM ($custPtsSql) c, ($suppPtsSql) s
+         |WHERE c_custkey % 10 <> 3
+         |  AND sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 100.0
+         |ORDER BY c_custkey, s_suppkey""".stripMargin,
     // the grid cells are internal — the oracle replays only the two
     // exact predicates (epoch_ms is the ms contract's SQL twin)
     "sp_st_join" ->
@@ -658,6 +680,7 @@ object Spatial {
     "sp_disk_append_box" -> (diskAppendBox _),
     "sp_disk_delete" -> (diskDeleteBox _),
     "sp_disk_delete_knn" -> (diskDeleteKnn _),
+    "sp_disk_delete_join" -> (diskDeleteJoin _),
     "sp_disk_box_sql" -> (diskBoxSqlQ _),
     "sp_st_join" -> (spatioTemporalJoinQ _),
     "sp_polygon_join" -> (polygonDistanceJoinQ _),

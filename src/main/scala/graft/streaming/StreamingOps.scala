@@ -194,44 +194,31 @@ object StreamingOps {
     * geofence/enrichment gate: the layout is written once beside the
     * corpus, and every micro-batch pays only its own arrivals.
     *
-    * Harness: customer points stream in micro-batches against the
-    * supplier-point layout; emitted pairs equal the batch distance
-    * join's (the oracle). */
-  def streamSpatialJoin(spark: SparkSession, dir: String,
+    * Arrivals live at `wavePath` (a point parquet whose `keys` columns
+    * are the query coordinates), the at-rest layout at `layoutPath` —
+    * wave selection/staging is the caller's (the streamDigestGate
+    * contract). Emits every (arrival, layout-row) pair within `radius`
+    * carrying both sides' columns. Admitted tombstone deletes on the
+    * layout subtract automatically: the static side rides the same
+    * token-checked chokepoint every batch read does, so stream equals
+    * batch on a tombstoned layout by construction (spec-pinned). */
+  def streamSpatialJoin(spark: SparkSession, wavePath: String,
+                        layoutPath: String, keys: Seq[String],
                         radius: Double = 100.0): DataFrame = {
-    import graft.Tables
-    // deterministic per-dataset paths: repeated harness runs OVERWRITE
-    // the same layout/staging instead of leaking a full layout per
-    // call (deleteOnExit cannot remove non-empty directories)
-    val tag = Integer.toHexString(dir.hashCode)
-    val layout = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_geo_layout_$tag").toString
-    graft.index.SpatialDisk.write(Tables.supplierPts(spark, dir),
-      layout, Seq("sx", "sy"), cellBits = 4)
     val statics = graft.index.SpatialDisk
-      .joinTable(spark, layout, "__graft_geo_cell")
-    val staged = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_geo_src_$tag")
-    java.nio.file.Files.createDirectories(staged)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/customer.parquet"),
-      staged.resolve("customer.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val batchSchema = spark.read.parquet(s"$dir/customer.parquet").schema
+      .joinTable(spark, layoutPath, "__graft_geo_cell")
+    val layoutKeys = graft.index.SpatialDisk.keyColumns(spark, layoutPath)
+    val schema = spark.read.parquet(wavePath).schema
     val sinkName = s"graft_geo_${System.nanoTime()}"
     val stream = spark.readStream
-      .schema(batchSchema)
-      .parquet(staged.toString)
-      .select(col("c_custkey"),
-        col("c_acctbal").as("cx"),
-        (col("c_custkey") % 1000).cast("double").as("cy"))
+      .schema(schema)
+      .parquet(wavePath)
     val q = graft.index.SpatialDisk
-      .withQueryCells(stream, Seq("cx", "cy"), layout.toString, radius,
-        "__graft_geo_cell")
+      .withQueryCells(stream, keys, layoutPath, radius, "__graft_geo_cell")
       .join(statics, Seq("__graft_geo_cell"))
       .filter(graft.functions.pointDistance(
-        Seq(col("cx"), col("cy")), Seq(col("sx"), col("sy"))) <= radius)
-      .select(col("c_custkey"), col("s_suppkey"))
+        keys.map(col), layoutKeys.map(col)) <= radius)
+      .drop("__graft_geo_cell")
       .writeStream
       .outputMode(OutputMode.Append())
       .format("memory")

@@ -542,6 +542,52 @@ object ScaleTrend {
       spark.stop(); return
     }
 
+    // spatial tombstone-growth trend (`ScaleTrend spdeletes`): a FIXED
+    // 10x spatial layout, tombstones growing 0.1% -> 1% -> 10% of ids
+    // (cumulative waves). Box/kNN/distance-join reads should stay flat
+    // (the anti-join rides the pruned sliver; the kNN walk rides the
+    // DECREMENTED meta counts, not a data pass); the closing compacted
+    // measure marks what a fold buys.
+    if (args.headOption.contains("spdeletes")) {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_trend_spdel"
+      val table = custRep(spark, d, 10, "c")
+      graft.index.SpatialDisk.write(table, p, Seq("cx", "cy"), cellBits = 7)
+      val wave = suppRep(spark, d, 1).limit(500)
+      def mm(f: => Long): (Double, Long) = {
+        def once(): (Double, Long) = {
+          val t1 = System.nanoTime(); val r = f
+          ((System.nanoTime() - t1) / 1e9, r)
+        }
+        val (a, r) = once(); val (b, _) = once()
+        (math.min(a, b), r)
+      }
+      def measure(tag: String): Unit = {
+        val (tb, rb) = mm(graft.index.SpatialDisk.boxRange(spark, p,
+          Array(2000.0, 100.0), Array(4000.0, 300.0)).count())
+        val (tk, rk) = mm(graft.index.SpatialDisk.knn(spark, p,
+          Array(5000.0, 500.0), 10, Seq("cid")).count())
+        val (tj, rj) = mm(graft.index.SpatialDisk.knnJoin(wave,
+          Seq("rx", "ry"), p, 3, leftId = "rid",
+          tieBreak = Seq("cid")).count())
+        println(f"spdeletes $tag%-12s box $tb%5.2f s ($rb rows), " +
+          f"knn $tk%5.2f s ($rk), knn_join $tj%5.2f s ($rj)")
+      }
+      measure("0%")
+      for ((mod, tag) <- Seq((1000L, "0.1%"), (100L, "1%"), (10L, "10%"))) {
+        val t0 = System.nanoTime()
+        graft.index.SpatialDisk.delete(spark, p,
+          table.select(col("cid")).filter(col("cid") % mod === 1), "cid")
+        val td = (System.nanoTime() - t0) / 1e9
+        println(f"spdeletes $tag%-12s delete-verb $td%5.2f s (cumulative)")
+        measure(tag)
+      }
+      val t0 = System.nanoTime()
+      graft.index.SpatialDisk.compact(p, spark)
+      println(f"spdeletes compact ${(System.nanoTime() - t0) / 1e9}%5.2f s")
+      measure("compacted")
+      spark.stop(); return
+    }
+
     // at-rest ANN JOIN (`ScaleTrend annjoin [100]`): a FIXED query wave
     // joins its top-k out of a GROWING IVF-PQ layout. nlist grows with
     // the corpus (8n — constant expected cell population, the SemDeDup

@@ -406,6 +406,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("streaming geo join == batch on a TOMBSTONED layout (delete parity)") {
+    // the r12 delete-parity discipline reaches the spatial family: a
+    // GDPR purge on the layout and the live stream must answer exactly
+    // like the batch join over the SURVIVORS — the static side rides
+    // the same token-checked tombstone anti-join every batch read does
+    val cust = graft.Tables.customerPts(spark, sf())
+    val supp = graft.Tables.supplierPts(spark, sf())
+    val layout = java.nio.file.Files
+      .createTempDirectory("graft_geo_del_spec").toString
+    graft.index.SpatialDisk.write(supp, layout, Seq("sx", "sy"), cellBits = 4)
+    graft.index.SpatialDisk.delete(spark, layout,
+      supp.filter(col("s_suppkey") % 3 === 0).select("s_suppkey"),
+      "s_suppkey")
+    val wavePath = java.nio.file.Files
+      .createTempDirectory("graft_geo_del_wave").toString
+    cust.write.mode("overwrite").parquet(wavePath)
+    val got = StreamingOps.streamSpatialJoin(spark, wavePath, layout,
+        Seq("cx", "cy"), radius = 100.0)
+      .select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    import graft.operators.SpatialOps._
+    val want = cust.distanceJoinNaive(
+        supp.filter(col("s_suppkey") % 3 =!= 0),
+        Seq("cx", "cy"), Seq("sx", "sy"), 100.0)
+      .select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === want && got.nonEmpty,
+      "stream over the tombstoned layout != batch join over survivors")
+  }
+
   test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
