@@ -587,6 +587,26 @@ object Bench {
         Seq("sx", "sy"), diskPath, 3,
         leftId = "s_suppkey", tieBreak = Seq("c_custkey")).count()
     }
+    // at-rest ANN layout (r13): write the IVF-PQ index once (timed —
+    // the clustered one-file-per-cell write), then join a query wave
+    // through the explicit-path pruned read — the plan the annjoin
+    // trend measured FLAT across two corpus decades, pinned per round
+    // at 1x
+    val ivfpqPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bench_ivfpq_disk").toString
+    rec.timed("b10y_ivfpq_index_write") {
+      import graft.operators.VectorOps._
+      embeddings(spark, sfDir).writeIvfPq(ivfpqPath, "embedding", "vec_id",
+        nlist = 8, m = 4, ksub = 4, iters = 2)
+    }
+    rec.timed("b6vd_ann_join_disk") {
+      val wave = embeddings(spark, sfDir).filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 900000000L).as("qid"),
+          col("embedding").as("qvec"))
+      graft.operators.VectorOps.readIvfPqTopKJoin(wave, "qvec", "qid",
+        ivfpqPath, "embedding", "vec_id", k = 3, nprobe = 4,
+        refine = 50).count()
+    }
     // at-rest TEXT layouts (r11): the corpus's digest set and CDC chunk
     // index each write once (timed build entries), then a synthetic
     // ingest wave gates off the layout — the write-once/gate-forever
