@@ -484,9 +484,12 @@ object SpatialDisk {
           val tombed: Map[Long, Long] = tombstoneFrame(spark, path, m) match {
             case None => Map.empty
             case Some(t) =>
+              // fsck audits UNHEALTHY layouts, where a duplicated
+              // tombstone row (hand-edits, partial copies) would
+              // double-count through this INNER join — distinct here
               spark.read.parquet(s"$path/data")
                 .select(col(m.tombIdCol.get), col(CellCol))
-                .join(t, Seq(m.tombIdCol.get))
+                .join(t.distinct(), Seq(m.tombIdCol.get))
                 .groupBy(col(CellCol)).agg(count(lit(1)).as("__n"))
                 .collect()
                 .map(r => r.getAs[Number](0).longValue() -> r.getLong(1))
@@ -524,9 +527,13 @@ object SpatialDisk {
   private def tombstoneFrame(spark: SparkSession, path: String,
                              m: Meta): Option[DataFrame] =
     if (m.tombs.isEmpty) None
+    // not distinct'd: read-path consumers anti-join and admitted waves
+    // are disjoint by [[delete]]'s construction; the two INNER-join
+    // consumers ([[delete]]'s per-cell count via its own distinct'd
+    // ids, [[fsck]]'s tombed count) distinct locally
     else Some(spark.read.parquet(s"$path/tombstones")
       .filter(col(TokenCol).isin(m.tombs: _*))
-      .select(col(TombIdCol).as(m.tombIdCol.get)).distinct())
+      .select(col(TombIdCol).as(m.tombIdCol.get)))
 
   private def tokenChecked(df: DataFrame, path: String, m: Meta): DataFrame = {
     require(df.columns.contains(TokenCol),

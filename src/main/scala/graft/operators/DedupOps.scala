@@ -308,9 +308,16 @@ object DedupOps {
       : Option[org.apache.spark.sql.DataFrame] = {
     val toks = tombTokens(params)
     if (toks.isEmpty) None
+    // NOT distinct'd: every consumer anti-joins (duplicates on the
+    // build side are harmless), and admitted delete waves are disjoint
+    // by construction (each delete verb anti-joins already-tombstoned
+    // ids before writing), so the distinct was a pure per-read
+    // shuffle+agg over the WHOLE tombstone set — the one delete-path
+    // term the r13 tombstone-growth trend saw tracking total
+    // tombstones rather than the query
     else Some(spark.read.parquet(s"$path/tombstones")
       .filter(col("__graft_token").isin(toks: _*))
-      .select(col(params("idCol"))).distinct())
+      .select(col(params("idCol"))))
   }
 
   /** Delete a directory if present (stale tombstones on a fresh full

@@ -660,9 +660,12 @@ object VectorOps {
       meta: IvfPqMeta, idCol: String)
       : Option[org.apache.spark.sql.DataFrame] =
     if (meta.tombs.isEmpty) None
+    // not distinct'd: consumers anti-join and admitted waves are
+    // disjoint by the delete verb's construction (see
+    // [[graft.operators.DedupOps.tombstoneIds]])
     else Some(spark.read.parquet(s"$path/tombstones")
       .filter(col("__graft_token").isin(meta.tombs: _*))
-      .select(col("__graft_tomb_id").as(idCol)).distinct())
+      .select(col("__graft_tomb_id").as(idCol)))
 
   /** The meta lines of an IVF-PQ layout — shared by write / compact /
     * delete so no publish site can drop a line another one added. */
