@@ -623,6 +623,16 @@ object ScaleTrend {
         val (qa, rows) = q(); val (qb, _) = q()
         println(f"b6vd_ann_join_disk ${n}%3dx: write $tw%7.2f s, " +
           f"join ${math.min(qa, qb)}%6.2f s ($rows rows)")
+        // append cost must track the WAVE, not the corpus decade: the
+        // id-clash gate is a LOCAL bloom probe in the common no-clash
+        // case (r13 — previously an O(table) id semi-join per wave)
+        val w2 = embeddings(spark, d).filter(col("vec_id") % 89 === 0)
+          .select((col("vec_id") + 950000000L).as("vec_id"),
+            col("embedding"))
+        t0 = System.nanoTime()
+        w2.appendIvfPq(p, "embedding", "vec_id")
+        val ta = (System.nanoTime() - t0) / 1e9
+        println(f"b10ya_ivfpq_append ${n}%3dx: append $ta%6.2f s")
       }
       spark.stop(); return
     }
