@@ -146,6 +146,46 @@ object Advanced {
         (count(lit(1)) > 0).as("nonempty"))
   }
 
+  /** Streaming ANN JOIN: a live embedding stream retrieves per-arrival
+    * top-k from the at-rest IVF-PQ layout (per-micro-batch
+    * readIvfPqTopKJoin, with a DELETE wave applied first so tombstoned
+    * vectors never surface). Verdict row pins stream-equals-batch per
+    * (arrival, neighbor, cos) on the same layout. */
+  def streamAnnJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorOps
+    import graft.operators.VectorOps._
+    val tag = Integer.toHexString(d.hashCode)
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_staj_idx_$tag").toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_staj_wave_$tag").toString
+    val outPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_staj_out_$tag").toString
+    graft.operators.DedupOps.deleteDir(s, outPath)
+    val emb = s.read.parquet(s"$d/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 0).writeIvfPq(idx, "embedding",
+      "vec_id", nlist = 8, m = 4, ksub = 4, iters = 2)
+    VectorOps.deleteFromIvfPq(s, idx,
+      emb.filter(col("vec_id") % 10 === 0).select(col("vec_id")), "vec_id")
+    emb.filter(col("vec_id") % 2 =!= 0)
+      .select((col("vec_id") + 1000000L).as("wid"),
+        col("embedding").as("wvec"))
+      .write.mode("overwrite").parquet(wavePath)
+    val stream = StreamingOps.streamAnnJoin(s, wavePath, idx, "wvec",
+      "wid", "embedding", "vec_id", k = 3, outPath, nprobe = 4,
+      refine = 20)
+    val batch = VectorOps.readIvfPqTopKJoin(s.read.parquet(wavePath),
+      "wvec", "wid", idx, "embedding", "vec_id", k = 3, nprobe = 4,
+      refine = 20)
+    stream.select(col("wid"), col("vec_id"), col("cos").as("__cs"))
+      .join(batch.select(col("wid"), col("vec_id"), col("cos").as("__cb")),
+        Seq("wid", "vec_id"), "full_outer")
+      .agg(
+        (sum(when(col("__cs") === col("__cb"), 0).otherwise(1)) === 0)
+          .as("stream_equals_batch"),
+        (count(lit(1)) > 0).as("nonempty"))
+  }
+
   /** Streaming minhash near-dup gate: odd-doc arrivals sign themselves
     * with the layout meta's banding and stream-static join the even-doc
     * corpus's at-rest buckets; candidate pairs exact-verify with
@@ -790,6 +830,8 @@ object Advanced {
       "SELECT TRUE AS stream_equals_batch, TRUE AS nonempty",
     "st_semantic_gate" ->
       "SELECT TRUE AS stream_equals_batch, TRUE AS nonempty",
+    "st_ann_join" ->
+      "SELECT TRUE AS stream_equals_batch, TRUE AS nonempty",
     // the stream-stream co-location join answers the batch operator's
     // oracle: the event-time range is only the state bound (1 ms wider
     // than the contract), the exact integer-ms predicate decides
@@ -925,6 +967,7 @@ object Advanced {
     "st_digest_admit" -> (streamDigestGateQ _),
     "st_minhash_gate" -> (streamMinhashGateQ _),
     "st_semantic_gate" -> (streamSemanticGateQ _),
+    "st_ann_join" -> (streamAnnJoinQ _),
     "st_geo_join" -> (streamGeoJoinQ _),
     "st_span_gate" -> (streamSpanGateQ _),
     "ts_asof_join" -> (asOfJoinQ _),

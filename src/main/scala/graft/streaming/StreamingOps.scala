@@ -378,6 +378,44 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Streaming ANN JOIN against the at-rest IVF-PQ layout: for every
+    * arriving embedding, its `k` most-cosine-similar stored vectors —
+    * the live-retrieval shape ("embed the stream, search the at-rest
+    * corpus"). Each micro-batch runs
+    * [[graft.operators.VectorOps.readIvfPqTopKJoin]] VERBATIM via
+    * `foreachBatch` — the batch verb's probed-cell union is a bounded
+    * driver collect no continuous plan can express, and per-batch
+    * handoff is Spark's sanctioned escape for exactly this. Per-left
+    * results are independent, so the union over micro-batches equals
+    * the batch join over the whole wave bit-for-bit (spec-pinned), and
+    * tombstoned vectors never surface. Emissions land at `outPath`
+    * (parquet, appended per batch — the production sink); the returned
+    * frame reads it back after the wave drains. */
+  def streamAnnJoin(spark: SparkSession, wavePath: String,
+                    indexPath: String, waveVecCol: String,
+                    waveIdCol: String, vecCol: String, idCol: String,
+                    k: Int, outPath: String, nprobe: Int = 4,
+                    refine: Int = 50): DataFrame = {
+    val schema = spark.read.parquet(wavePath).schema
+    // several source files -> several micro-batches under
+    // maxFilesPerTrigger: the per-batch handoff genuinely runs once
+    // per file, not once per wave
+    val arrivals = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(wavePath)
+    val q = arrivals.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.VectorOps.readIvfPqTopKJoin(batch, waveVecCol,
+            waveIdCol, indexPath, vecCol, idCol, k, nprobe, refine)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outPath)
+  }
+
   /** Streaming near-dup gate against the at-rest minhash index:
     * arrivals staged at `wavePath` (selection is the caller's — same
     * contract as [[streamDigestGate]]) sign THEMSELVES with the layout

@@ -119,6 +119,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(all === brute)
   }
 
+  test("streaming ANN join equals the batch wave join; tombstoned " +
+    "vectors never surface") {
+    import graft.operators.VectorOps
+    import graft.operators.VectorOps._
+    val emb = graft.Tables.embeddings(spark, sf())
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_staj_spec_idx").toString
+    emb.filter(col("vec_id") % 2 === 0).writeIvfPq(idx, "embedding",
+      "vec_id", nlist = 8, m = 4, ksub = 4, iters = 2)
+    VectorOps.deleteFromIvfPq(spark, idx,
+      emb.filter(col("vec_id") % 10 === 0).select(col("vec_id")), "vec_id")
+    val outPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_staj_spec_out").toString
+    graft.operators.DedupOps.deleteDir(spark, outPath)
+    // a GENUINE multi-batch stream: the wave lands as several parquet
+    // part files and the operator reads one file per trigger, so
+    // foreachBatch runs once per file
+    val wave = emb.filter(col("vec_id") % 2 =!= 0)
+      .select((col("vec_id") + 1000000L).as("wid"),
+        col("embedding").as("wvec"))
+    val flatWave = java.nio.file.Files
+      .createTempDirectory("graft_staj_spec_flat").toString
+    wave.repartition(3).write.mode("overwrite").parquet(flatWave)
+    val got = StreamingOps.streamAnnJoin(spark, flatWave, idx, "wvec",
+        "wid", "embedding", "vec_id", k = 3, outPath, nprobe = 4,
+        refine = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val want = VectorOps.readIvfPqTopKJoin(spark.read.parquet(flatWave),
+        "wvec", "wid", idx, "embedding", "vec_id", k = 3, nprobe = 4,
+        refine = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(got === want && got.nonEmpty,
+      "streamed per-arrival top-k != the batch wave join")
+    // no tombstoned neighbor ever surfaced
+    assert(!got.exists(_._2 % 10 == 0),
+      "a tombstoned vector surfaced in the streamed top-k")
+  }
+
   test("streaming minhash gate equals the batch index gate per pair") {
     import graft.operators.DedupOps._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
