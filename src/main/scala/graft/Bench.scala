@@ -732,7 +732,7 @@ object Bench {
     "b5_knn_join_zorder" -> 2.4,      // 1.50-2.38
     "b5_knn_join_pivot" -> 3.5,       // 2.33-3.48
     "b5s_knn_join_skew_grid" -> 4.2,  // 2.97-4.20 (judge r12)
-    "b5s_knn_join_skew_pivot" -> 6.1, // 4.10-6.10 (band widened r11)
+    "b5s_knn_join_skew_pivot" -> 6.5, // re-banded r13 addendum 10 (isolated 5.69-6.47, judge r12 6.10)
     "b6v_knn_join_vec_pivot" -> 4.4)  // 3.23-4.34
   private[graft] val steadyBandCap = 2.5
 
