@@ -413,7 +413,25 @@ object StreamingOps {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outPath)
+    // an empty wave never triggers foreachBatch, so the sink dir may
+    // not exist — answer the empty result with the contract schema
+    // instead of a missing-path error
+    val op = new org.apache.hadoop.fs.Path(outPath)
+    if (op.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(op))
+      spark.read.parquet(outPath)
+    else {
+      import org.apache.spark.sql.types._
+      val idType = schema.fields.find(_.name == waveIdCol)
+        .map(_.dataType).getOrElse(LongType)
+      // the layout id's true type comes from the layout itself (only
+      // read on this empty-wave path)
+      val layoutIdType = spark.read.parquet(s"$indexPath/data").schema
+        .fields.find(_.name == idCol).map(_.dataType).getOrElse(LongType)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(waveIdCol, idType),
+          StructField(idCol, layoutIdType), StructField("cos", DoubleType))))
+    }
   }
 
   /** Streaming near-dup gate against the at-rest minhash index:
