@@ -77,17 +77,18 @@ object DedupOps {
     * re-running a verb is NOT the recovery (every verb starts by
     * reading the meta that would be gone). */
   private[graft] def publishMeta(spark: org.apache.spark.sql.SparkSession,
-                                 path: String, lines: Seq[String]): Unit = {
+                                 path: String, lines: Seq[String],
+                                 dir: String = "meta"): Unit = {
     import spark.implicits._
-    lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/meta_tmp")
+    lines.toDS().coalesce(1).write.mode("overwrite").text(s"$path/${dir}_tmp")
     val conf = spark.sparkContext.hadoopConfiguration
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta_tmp")
-    val dst = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/${dir}_tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/$dir")
     val fs = dst.getFileSystem(conf)
     if (fs.exists(dst)) fs.delete(dst, true)
     require(fs.rename(tmp, dst),
-      s"publishMeta: rename $tmp -> $dst failed; the complete new meta " +
-        "is still at meta_tmp — re-run the verb")
+      s"publishMeta: rename $tmp -> $dst failed; the complete new $dir " +
+        s"is still at ${dir}_tmp — re-run the verb")
   }
 
   /** Serialize one Bloom filter as a token-paired row of

@@ -156,14 +156,17 @@ object VectorOps {
     Some(books)
   }
 
-  /** Query a disk IVF layout written by
-    * [[DatasetVectorOps.writeIvf]]: probe the nprobe cells whose
-    * centroids are nearest the query — `__graft_cell` is a partition
-    * directory, so non-probed cells are never read (PartitionFilters) —
-    * then exact cosine top-k inside the probed cells. */
-  def readIvfTopK(spark: org.apache.spark.sql.SparkSession, path: String,
-                  vecCol: String, idCol: String, query: Array[Float],
-                  k: Int, nprobe: Int = 4): DataFrame = {
+  /** Parsed plain-IVF layout metadata ([[DatasetVectorOps.writeIvf]]):
+    * centroids, the write token (None = legacy untokened layout),
+    * admitted delete-wave tokens + the id column they key, and where
+    * the metadata lives (current text directory or legacy json). */
+  private[operators] final case class IvfMeta(
+      centroids: Array[Array[Float]], token: Option[String],
+      tombs: Seq[String], tombIdCol: Option[String], metaPath: String)
+
+  private[operators] def readIvfMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      caller: String): IvfMeta = {
     // metadata rides Spark's text reader so the layout works on any
     // hadoop filesystem (hdfs://, s3a://), not just local paths — same
     // discipline as IndexManager.persistIndex/loadIndex. Indexes written
@@ -177,13 +180,60 @@ object VectorOps {
       if (fs.exists(current)) current
       else if (fs.exists(legacy)) legacy
       else throw new IllegalArgumentException(
-        s"readIvfTopK: no centroids at $current (nor legacy $legacy)")
+        s"$caller: no centroids at $current (nor legacy $legacy)")
     val metaLines = spark.read.textFile(metaPath.toString).collect()
     val raw = metaLines.find(l => l.startsWith("[[") && l.endsWith("]]"))
       .getOrElse(throw new IllegalArgumentException(
-        s"readIvfTopK: malformed centroids metadata at $metaPath"))
+        s"$caller: malformed centroids metadata at $metaPath"))
     val centroids = raw.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .map(_.split(",").map(_.trim.toFloat))
+    IvfMeta(centroids,
+      metaLines.find(_.startsWith("token=")).map(_.substring(6)),
+      metaLines.find(_.startsWith("tombs="))
+        .map(_.substring(6).split(";").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty),
+      metaLines.find(_.startsWith("tombIdCol=")).map(_.substring(10)),
+      metaPath.toString)
+  }
+
+  /** The centroids-file lines of a plain IVF layout — shared by write /
+    * delete / compact so no publish site can drop a line. */
+  private[operators] def ivfMetaLines(
+      centroids: Array[Array[Float]], token: String, tombs: Seq[String],
+      tombIdCol: Option[String]): Seq[String] =
+    Seq(centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"),
+      "token=" + token) ++
+      (if (tombs.isEmpty) Seq.empty
+       else Seq("tombs=" + tombs.mkString(";"),
+         "tombIdCol=" + tombIdCol.get))
+
+  /** The admitted tombstoned ids of a plain IVF layout (one column
+    * named `idCol`), or None. Not distinct'd — consumers anti-join and
+    * admitted waves are disjoint by [[deleteFromIvf]]'s construction. */
+  private[operators] def ivfTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      meta: IvfMeta, idCol: String)
+      : Option[org.apache.spark.sql.DataFrame] =
+    if (meta.tombs.isEmpty) None
+    else Some(spark.read.parquet(s"$path/tombstones")
+      .filter(col("__graft_token").isin(meta.tombs: _*))
+      .select(col("__graft_tomb_id").as(idCol)))
+
+  /** Query a disk IVF layout written by
+    * [[DatasetVectorOps.writeIvf]]: probe the nprobe cells whose
+    * centroids are nearest the query — `__graft_cell` is a partition
+    * directory, so non-probed cells are never read (PartitionFilters) —
+    * then exact cosine top-k inside the probed cells. Admitted
+    * tombstone deletes subtract. */
+  def readIvfTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                  vecCol: String, idCol: String, query: Array[Float],
+                  k: Int, nprobe: Int = 4): DataFrame = {
+    val meta = readIvfMeta(spark, path, "readIvfTopK")
+    val metaPath = meta.metaPath
+    val centroids = meta.centroids
+    meta.tombIdCol.foreach(c => require(c == idCol,
+      s"readIvfTopK: the layout's delete waves are keyed by '$c' but " +
+        s"the read names '$idCol' — the tombstone anti-join would miss"))
     val qA = new org.apache.spark.sql.catalyst.util.GenericArrayData(query)
     val qCos = centroids.map(c => graft.functions.VectorKernels.cosineF(
       qA, new org.apache.spark.sql.catalyst.util.GenericArrayData(c)))
@@ -200,7 +250,7 @@ object VectorOps {
     // NEITHER side is tokened is legacy; a token on exactly one side
     // IS the torn case the token exists for (e.g. a rewrite of a
     // legacy layout that crashed between the data and centroids jobs).
-    val tokened = metaLines.find(_.startsWith("token=")).map(_.substring(6))
+    val tokened = meta.token
       .map { tok =>
         require(data.columns.contains("__graft_token"),
           s"readIvfTopK: $metaPath carries a write token but $path/data " +
@@ -217,11 +267,147 @@ object VectorOps {
             "writes; rewrite the layout with writeIvf")
         data
       }
-    tokened
+    // admitted delete waves subtract: a tombstoned vector never ranks
+    val unTombed = ivfTombstones(spark, path, meta, idCol) match {
+      case Some(t) => tokened.join(t, Seq(idCol), "left_anti")
+      case None    => tokened
+    }
+    unTombed
       .withColumn("cos", cosineSimilarity(col(vecCol), lit(query)))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .drop("__graft_cell")
+  }
+
+  /** Tombstone-delete ids from a [[DatasetVectorOps.writeIvf]] layout —
+    * the full delete discipline on the plain-IVF family (the last
+    * at-rest layout without one): ids land at `$path/tombstones` under
+    * a fresh delete token, the centroids file's `tombs=` list commits
+    * LAST via the tmp+rename publish (a torn delete is a no-op),
+    * readers anti-join, [[compactIvf]] folds physically. Requires a
+    * TOKENED layout (legacy layouts predate the publish discipline —
+    * rewrite with writeIvf first). Idempotent; absent ids are no-ops;
+    * the id column is pinned by the first delete wave. */
+  def deleteFromIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                    ids: org.apache.spark.sql.DataFrame,
+                    idCol: String): Unit = {
+    val meta = readIvfMeta(spark, path, "deleteFromIvf")
+    require(meta.token.nonEmpty,
+      s"deleteFromIvf: $path is a legacy untokened layout — rewrite " +
+        "with writeIvf before deleting")
+    require(ids.columns.contains(idCol),
+      s"deleteFromIvf: the ids frame must carry '$idCol' " +
+        s"(has: ${ids.columns.mkString(", ")})")
+    meta.tombIdCol.foreach(c => require(c == idCol,
+      s"deleteFromIvf: the layout's delete waves are keyed by '$c' — " +
+        "one id column per layout"))
+    val token = java.util.UUID.randomUUID().toString
+    val fresh = ids.select(col(idCol).as("__graft_tomb_id")).distinct()
+    val newIds = ivfTombstones(spark, path, meta, "__graft_tomb_id") match {
+      case Some(t) => fresh.join(t, Seq("__graft_tomb_id"), "left_anti")
+      case None    => fresh
+    }
+    newIds.withColumn("__graft_token", lit(token))
+      .write.mode("append").parquet(s"$path/tombstones")
+    graft.operators.DedupOps.publishMeta(spark, path,
+      ivfMetaLines(meta.centroids, meta.token.get, meta.tombs :+ token,
+        Some(idCol)),
+      dir = "centroids")
+  }
+
+  /** Compact a [[DatasetVectorOps.writeIvf]] layout: fold admitted
+    * tombstones physically and republish the SAME centroids and cell
+    * assignments under a FRESH token (reads answer bit-identically to
+    * the tombstoned layout, minus the anti-join). Refuses torn
+    * layouts; crash between the data and centroids rewrites leaves a
+    * token-mismatched pair every reader refuses, with the snapshot
+    * intact for a re-run. */
+  def compactIvf(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Unit = {
+    val meta = readIvfMeta(spark, path, "compactIvf")
+    require(meta.token.nonEmpty,
+      s"compactIvf: $path is a legacy untokened layout — rewrite with writeIvf")
+    val data = spark.read.parquet(s"$path/data")
+    val tokens = data.select(col("__graft_token")).distinct()
+      .collect().map(_.getString(0))
+    require(tokens.length == 1 && tokens(0) == meta.token.get,
+      s"compactIvf: write-token mismatch between ${meta.metaPath} and " +
+        s"$path/data — refusing to compact a torn layout")
+    val live = ivfTombstones(spark, path, meta,
+        meta.tombIdCol.getOrElse(data.columns.head)) match {
+      case Some(t) =>
+        data.join(t, Seq(meta.tombIdCol.get), "left_anti")
+      case None => data
+    }
+    val snap = s"$path/compact_snapshot"
+    live.write.mode("overwrite").parquet(snap)
+    val token = java.util.UUID.randomUUID().toString
+    spark.read.parquet(snap)
+      .withColumn("__graft_token", lit(token))
+      .repartition(col("__graft_cell"))
+      .write.mode("overwrite").partitionBy("__graft_cell")
+      .parquet(s"$path/data")
+    graft.operators.DedupOps.publishMeta(spark, path,
+      ivfMetaLines(meta.centroids, token, Seq.empty, None),
+      dir = "centroids")
+    graft.operators.DedupOps.deleteDir(spark, s"$path/tombstones")
+    val sp = new org.apache.hadoop.fs.Path(snap)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
+
+  /** Non-throwing audit of a plain IVF layout — the fsck verb for the
+    * last layout without one: centroids parse, the data/centroids
+    * token pair holds, tombstones are inventoried. Column-pruned
+    * token scans only. */
+  def fsckIvf(spark: org.apache.spark.sql.SparkSession,
+              path: String): org.apache.spark.sql.DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    def check(name: String)(body: => (Boolean, String)): Unit =
+      out += (try { val (ok, d) = body; (name, ok, d) }
+        catch { case e: Throwable =>
+          (name, false, Option(e.getMessage).getOrElse(e.toString).take(200)) })
+    val metaTry =
+      try Right(readIvfMeta(spark, path, "fsckIvf"))
+      catch { case e: Throwable => Left(e) }
+    metaTry match {
+      case Left(e) =>
+        out += (("meta", false,
+          Option(e.getMessage).getOrElse(e.toString).take(200)))
+      case Right(meta) =>
+        out += (("meta", true,
+          s"ivf nlist=${meta.centroids.length}" +
+            (if (meta.token.isEmpty) " (legacy untokened)" else "")))
+        check("data_tokens") {
+          val d = spark.read.parquet(s"$path/data")
+          meta.token match {
+            case Some(tok) =>
+              val seen = d.select(col("__graft_token")).distinct()
+                .collect().map(_.getString(0)).toSet
+              (seen == Set(tok),
+                if (seen == Set(tok)) "one generation"
+                else "torn: data and centroids come from different " +
+                  "writes — rewrite with writeIvf")
+            case None =>
+              (!d.columns.contains("__graft_token"),
+                if (!d.columns.contains("__graft_token"))
+                  "legacy pair consistent"
+                else "torn: tokened data under untokened centroids — " +
+                  "rewrite with writeIvf")
+          }
+        }
+        if (meta.tombs.nonEmpty) check("tombstones") {
+          val toks = spark.read.parquet(s"$path/tombstones")
+            .select(col("__graft_token")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val missing = meta.tombs.toSet.diff(toks)
+          (missing.isEmpty,
+            s"${meta.tombs.length} admitted delete wave(s) keyed by " +
+              s"'${meta.tombIdCol.get}'" +
+              (if (missing.nonEmpty) s", ${missing.size} MISSING" else ""))
+        }
+    }
+    import spark.implicits._
+    spark.createDataset(out.toIndexedSeq).toDF("check", "ok", "detail")
   }
 
   /** Recall audit of a [[DatasetVectorOps.writeIvfPq]] layout — the
@@ -1005,13 +1191,16 @@ object VectorOps {
         // slice — the opens, not the listing, were the residual term)
         .repartition(col("__graft_cell"))
         .write.mode("overwrite").partitionBy("__graft_cell").parquet(s"$path/data")
-      val meta = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      // a fresh full write starts a new generation: stale tombstones
+      // must not shadow it
+      graft.operators.DedupOps.deleteDir(df.sparkSession, s"$path/tombstones")
       // metadata through the Spark writer too (any hadoop fs, not just
-      // local) — same discipline as IndexManager.persistIndex
-      val spark = df.sparkSession
-      import spark.implicits._
-      Seq(meta, "token=" + token).toDS().coalesce(1).write.mode("overwrite")
-        .text(s"$path/centroids")
+      // local), published tmp+rename — "rewrite with writeIvf" is the
+      // prescribed exit from a torn layout, where a raw overwrite text
+      // job would leave a whole-job no-centroids crash window
+      graft.operators.DedupOps.publishMeta(df.sparkSession, path,
+        VectorOps.ivfMetaLines(centroids, token, Seq.empty, None),
+        dir = "centroids")
     }
 
     /** Persist the composed IVF-PQ index ([[cosineTopKIvfPq]]'s exact

@@ -1440,6 +1440,27 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Delete-parity for the plain-IVF layout (the last at-rest layout
+    * to gain the delete verb set): write from the full table, tombstone
+    * every 7th id — including the query vector's own row, so the top-k
+    * must survive losing its self-match — and read; the oracle is the
+    * full IVF replay with the assignment restricted to survivors
+    * (centroids stay the FULL table's sample: they were baked at write
+    * time). */
+  def annIvfDeleteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VectorOps
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_del_q_" + Integer.toHexString(d.hashCode)).toString
+    val emb = embeddings(s, d)
+    emb.writeIvf(path, "embedding", "vec_id", nlist = 16)
+    VectorOps.deleteFromIvf(s, path,
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), "vec_id")
+    VectorOps.readIvfTopK(s, path, "embedding", "vec_id", queryVec(s, d),
+        10, nprobe = 4)
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The fixed BM25 query-term set (mid-to-low document frequency mix
     * from the synthetic vocabulary) — shared by the query and the
     * oracle generator. */
@@ -1976,7 +1997,8 @@ object Pipeline {
     * cells with the most query-similar centroids (stable sort on ties,
     * like sortBy); exact cosine top-k inside probed cells. All cosine
     * comparisons ride the bit-exact cosSql mirror. */
-  private def annIvfOracleSql(k: Int, nlist: Int, nprobe: Int, seed: Long): String =
+  private def annIvfOracleSql(k: Int, nlist: Int, nprobe: Int, seed: Long,
+                              survivorWhere: String = ""): String =
     s"""WITH cent AS (
        |  SELECT cell, cv FROM (
        |    SELECT embedding AS cv, row_number() OVER (
@@ -1990,7 +2012,7 @@ object Pipeline {
        |    SELECT e.vec_id, e.embedding AS emb, cent.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "cent.cv")} DESC, cent.cell ASC) AS rn
-       |    FROM embeddings e CROSS JOIN cent) a
+       |    FROM (SELECT * FROM embeddings $survivorWhere) e CROSS JOIN cent) a
        |  WHERE rn = 1
        |),
        |probes AS (
@@ -2627,6 +2649,8 @@ object Pipeline {
     // the disk layout preserves IVF semantics exactly (same centroids via
     // metadata round-trip, same probes, exact re-rank in probed cells)
     "ann_ivf_disk_topk" -> annIvfOracleSql(k = 10, nlist = 16, nprobe = 4, seed = 42L),
+    "ann_ivf_delete_topk" -> annIvfOracleSql(k = 10, nlist = 16, nprobe = 4,
+      seed = 42L, survivorWhere = "WHERE vec_id % 7 <> 0"),
     // contract oracles (sp_zknn_check pattern): the expected table is the
     // contract's prediction, generated from the base data — if the LSH
     // result violates rank completeness, the top-2k margin, or bit-exact
@@ -3459,6 +3483,7 @@ object Pipeline {
     "ann_lsh_topk" -> (annLshTopKQ _),
     "ann_ivf_topk" -> (annIvfTopKQ _),
     "ann_ivf_disk_topk" -> (annIvfDiskQ _),
+    "ann_ivf_delete_topk" -> (annIvfDeleteQ _),
     "emb_sim_join" -> (simJoinExactQ _),
     "emb_knn_join" -> (embKnnJoinQ _),
     "emb_kmeans" -> (kmeansQ _),

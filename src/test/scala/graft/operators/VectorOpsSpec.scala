@@ -296,6 +296,76 @@ class VectorOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("__graft_cell"), plan)
   }
 
+  test("plain-IVF delete: tombstoned vectors never rank; compact folds " +
+    "bit-identically; fsck round-trips; legacy layouts refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del")
+    val path = "file://" + dir.toString
+    emb.writeIvf(path, "embedding", "vec_id", nlist = 8)
+    val q = all.find(_._1 == 1L).get._2
+    def topk() = VectorOps.readIvfTopK(spark, path, "embedding", "vec_id",
+      q, 8, nprobe = 8).select("vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = topk()
+    VectorOps.deleteFromIvf(spark, path,
+      emb.filter(col("vec_id") % 4 === 1).select(col("vec_id")), "vec_id")
+    val after = topk()
+    assert(!after.exists(_._1 % 4 == 1), "a tombstoned vector ranked")
+    // full probes (nprobe = nlist) = the deleted read is exactly the
+    // brute-force cosine top-k over the survivors
+    assert(before.nonEmpty && before.exists(_._1 % 4 == 1),
+      "fixture too weak: no tombstoned id in the pre-delete top-k")
+    val want = emb.filter(col("vec_id") % 4 =!= 1)
+      .cosineTopK("embedding", "vec_id", q, 8)
+      .select("vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after === want, "deleted read != survivor top-k at full probes")
+    // the read refuses a mismatched id column once waves exist
+    val eCol = intercept[IllegalArgumentException] {
+      VectorOps.readIvfTopK(spark, path, "embedding", "other", q, 3)
+    }
+    assert(eCol.getMessage.contains("keyed by"), eCol.getMessage)
+    // fsck: tombstones inventoried, all green
+    val rows = VectorOps.fsckIvf(spark, path).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(rows.forall(_._2), s"fsck not green after delete: $rows")
+    assert(rows.exists(r => r._1 == "tombstones" && r._3.contains("vec_id")))
+    // compact folds: SAME centroids and assignments, so reads are
+    // bit-identical minus the anti-join; tombstones dir gone
+    VectorOps.compactIvf(spark, path)
+    assert(topk() === after, "compacted read != tombstoned read")
+    assert(!new java.io.File(dir.toString, "tombstones").exists())
+    assert(VectorOps.fsckIvf(spark, path).collect().forall(_.getBoolean(1)))
+    // a torn delete (unadmitted tombstone token) is a no-op
+    import spark.implicits._
+    emb.filter(col("vec_id") % 4 === 2)
+      .select(col("vec_id").as("__graft_tomb_id"))
+      .withColumn("__graft_token", lit("never-admitted"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    assert(topk() === after, "unadmitted tombstones deleted something")
+    // a legacy untokened layout refuses the delete verb loudly
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_del_leg")
+    val path2 = "file://" + dir2.toString
+    emb.writeIvf(path2, "embedding", "vec_id", nlist = 8)
+    val m2 = spark.read.textFile(s"$path2/centroids").collect()
+      .find(_.startsWith("[[")).get
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir2.toString, "centroids"))
+    java.nio.file.Files.write(
+      dir2.resolve("centroids.json"), m2.getBytes("UTF-8"))
+    val stripped = spark.read.parquet(s"$path2/data").drop("__graft_token")
+    stripped.write.mode("overwrite").parquet(s"$path2/data_tmp")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir2.toString, "data"))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(dir2.toString, "data_tmp"),
+      new java.io.File(dir2.toString, "data"))
+    val eLeg = intercept[IllegalArgumentException] {
+      VectorOps.deleteFromIvf(spark, path2,
+        emb.limit(3).select(col("vec_id")), "vec_id")
+    }
+    assert(eLeg.getMessage.contains("legacy"), eLeg.getMessage)
+  }
+
   test("IVF read falls back to the legacy centroids.json metadata file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_legacy")
     val path = "file://" + dir.toString
