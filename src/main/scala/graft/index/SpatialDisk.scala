@@ -38,6 +38,7 @@ object SpatialDisk {
   private val ZCol = "__graft_z"
   private val TokenCol = "__graft_token"
   private val TombIdCol = "__graft_tomb_id"
+  private val TombCellCol = "__graft_tomb_cell"
 
   /** Driver-side FileSystem metadata calls issued by [[prunedScan]]'s
     * pruning layer since JVM start — observability for the "one
@@ -272,18 +273,26 @@ object SpatialDisk {
     require(!Seq(CellCol, ZCol, TokenCol).contains(idCol),
       s"SpatialDisk.delete: '$idCol' is a layout-internal column")
     val fresh = ids.select(col(idCol)).distinct()
+    // already-dead ids are no-ops — but only IDS-ONLY waves make an id
+    // fully dead; an id located-deleted ([[deleteAt]]) in one cell may
+    // still have live rows elsewhere, so located waves never filter here
     val newIds = tombstoneFrame(spark, path, m) match {
-      case Some(t) => fresh.join(t, Seq(idCol), "left_anti")
-      case None    => fresh
+      case Some(t) =>
+        val byId = if (t.columns.contains(TombCellCol))
+          t.filter(col(TombCellCol).isNull).select(col(idCol)) else t
+        fresh.join(byId, Seq(idCol), "left_anti")
+      case None => fresh
     }
     // per-cell counts of the rows this wave actually kills (rows
-    // PRESENT and not already tombstoned) — the decrement that keeps
-    // the kNN walk's counts true over live rows. Clamped at 0: a
-    // crashed append can leave meta counts lower than disk (stale
-    // stats over a superset — documented as still-safe lower bounds),
-    // and the subtraction must preserve that invariant, never flip a
-    // count negative.
-    val hits = data.select(col(idCol), col(CellCol))
+    // PRESENT and not already tombstoned — counted over LIVE rows, so
+    // rows a located wave already killed never double-decrement) — the
+    // decrement that keeps the kNN walk's counts true over live rows.
+    // Clamped at 0: a crashed append can leave meta counts lower than
+    // disk (stale stats over a superset — documented as still-safe
+    // lower bounds), and the subtraction must preserve that invariant,
+    // never flip a count negative.
+    val hits = subtractTombstones(data.select(col(idCol), col(CellCol)),
+        spark, path, m)
       .join(newIds, Seq(idCol))
       .groupBy(col(CellCol)).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getAs[Number](0).longValue() -> r.getLong(1))
@@ -293,6 +302,97 @@ object SpatialDisk {
       .withColumn(TokenCol, lit(token))
       .write.mode("append").parquet(s"$path/tombstones")
     val decremented = m.cells.map(s => hits.get(s.id) match {
+      case Some(n) => s.copy(count = math.max(0L, s.count - n))
+      case None    => s
+    })
+    writeMetaLines(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
+      m.bits, m.token, decremented, m.tombs :+ token, Some(idCol))
+  }
+
+  /** LOCATED tombstone delete — the O(wave) sibling of [[delete]]. The
+    * wave carries the id AND the layout's key columns (the coordinates
+    * the rows were written with), so the claimed routing cells compute
+    * from the meta's quantization (clamping exactly as [[append]]
+    * routes), presence is verified against the LIVE rows of only those
+    * cell directories (the [[PrunedCellScan]] discipline), and
+    * tombstones land as (id, cell) pairs readers anti-join only in
+    * that cell. Per-cell count decrements are exact — counted over
+    * live matched rows — so the kNN walk's guaranteed radii stand.
+    *
+    * This is the purge-wave shape a 100-TB layout needs: [[delete]]
+    * pays a column-pruned (id, cell) pass over the WHOLE layout per
+    * wave (measured ~30 s REGARDLESS of wave size on a 16k-directory
+    * fixture — file-open bound), where this verb touches only the
+    * wave's claimed cells: a GDPR purge whose records are known rides
+    * the wave, never the table.
+    *
+    * Contract: deletes rows whose id matches AT the claimed
+    * coordinates' cell. A wave row claiming coordinates the row was
+    * not written with (or an absent / already-dead id) matches nothing
+    * and is a FULL no-op — nothing is tombstoned, the id stays
+    * appendable, and a wave that matches nothing admits no delete
+    * token at all. Use [[delete]] when only ids are known. Null keys
+    * quantize to a null cell and match nothing (no-ops). Idempotent;
+    * the id column is pinned by the layout's first delete wave. */
+  def deleteAt(spark: SparkSession, path: String, rows: DataFrame,
+               idCol: String): Unit = {
+    val m = readMeta(spark, path)
+    require(rows.columns.contains(idCol),
+      s"SpatialDisk.deleteAt: the wave must carry '$idCol' " +
+        s"(has: ${rows.columns.mkString(", ")})")
+    m.keyCols.foreach(c => require(rows.columns.contains(c),
+      s"SpatialDisk.deleteAt: the wave must carry key column '$c' — " +
+        "the located verb routes by the written coordinates; use " +
+        "delete(ids) when only ids are known"))
+    require(!Seq(CellCol, ZCol, TokenCol).contains(idCol),
+      s"SpatialDisk.deleteAt: '$idCol' is a layout-internal column")
+    m.tombIdCol.foreach(c => require(c == idCol,
+      s"SpatialDisk.deleteAt: the layout's delete waves are keyed by " +
+        s"'$c' — one id column per layout"))
+    val cellExpr = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq,
+      m.cellBits)
+    val claimed = rows
+      .select(col(idCol), cellExpr.cast("long").as(TombCellCol))
+      .filter(col(TombCellCol).isNotNull)
+      .distinct()
+    // pairs already dead are no-ops: ids killed everywhere by an
+    // ids-only wave, or (id, cell) pairs a prior located wave claimed
+    val fresh = tombstoneFrame(spark, path, m) match {
+      case None => claimed
+      case Some(t) =>
+        val byId = if (t.columns.contains(TombCellCol))
+          t.filter(col(TombCellCol).isNull).select(col(idCol)) else t
+        val f1 = claimed.join(byId, Seq(idCol), "left_anti")
+        if (t.columns.contains(TombCellCol))
+          f1.join(t.filter(col(TombCellCol).isNotNull)
+              .select(col(idCol), col(TombCellCol).cast("long").as(TombCellCol)),
+            Seq(idCol, TombCellCol), "left_anti")
+        else f1
+    }
+    // the claimed-cell set bounds at the layout's own directory count
+    // (<= 2^16 by write's d*cellBits cap) — a bounded driver list, the
+    // same shape every pruned query collects
+    val cells = fresh.select(col(TombCellCol)).distinct()
+      .collect().map(_.getLong(0))
+    if (cells.isEmpty) return
+    // live matched rows, read from ONLY the claimed cell directories:
+    // prunedScan token-checks and subtracts prior waves, so decrements
+    // count genuinely-live rows and re-deletes are exact no-ops
+    val scan = prunedScan(spark, path, m, cells.toIndexedSeq)
+    require(scan.columns.contains(idCol),
+      s"SpatialDisk.deleteAt: the layout has no '$idCol' column")
+    val hitRows = scan
+      .select(col(idCol), col(CellCol).cast("long").as(TombCellCol))
+      .join(fresh, Seq(idCol, TombCellCol))
+    val perCell = hitRows.groupBy(col(TombCellCol))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (perCell.isEmpty) return // nothing matched: a full no-op wave
+    val token = java.util.UUID.randomUUID().toString
+    hitRows.select(col(idCol).as(TombIdCol), col(TombCellCol)).distinct()
+      .withColumn(TokenCol, lit(token))
+      .write.mode("append").parquet(s"$path/tombstones")
+    val decremented = m.cells.map(s => perCell.get(s.id) match {
       case Some(n) => s.copy(count = math.max(0L, s.count - n))
       case None    => s
     })
@@ -339,10 +439,7 @@ object SpatialDisk {
     // only, and the fresh write below clears the tombstones dir — the
     // compacted generation answers bit-identically but no longer pays
     // the read-side anti-join
-    val live = tombstoneFrame(spark, path, m) match {
-      case Some(t) => data.join(t, Seq(m.tombIdCol.get), "left_anti")
-      case None    => data
-    }
+    val live = subtractTombstones(data, spark, path, m)
     live.drop(CellCol, ZCol, TokenCol)
       .write.mode("overwrite").parquet(snap)
     write(spark.read.parquet(snap), path, m.keyCols,
@@ -476,32 +573,26 @@ object SpatialDisk {
                 "over-counted cells follow; compact from source" else ""))
         }
         check("cell_counts_exact") {
-          val onDisk = spark.read.parquet(s"$path/data")
+          // live rows per cell = on-disk minus admitted tombstones, via
+          // the same anti-join subtraction every reader uses (LEFT-ANTI
+          // is insensitive to duplicated tombstone rows from hand-edits
+          // or partial copies, and accounts both ids-only and located
+          // waves without double-counting a row dead under each)
+          val raw = spark.read.parquet(s"$path/data")
+          val scanned =
+            if (m.tombs.isEmpty) raw
+            else subtractTombstones(
+              raw.select(col(m.tombIdCol.get), col(CellCol)), spark, path, m)
+          val live = scanned
             .groupBy(col(CellCol)).agg(count(lit(1)).as("__n"))
             .collect().map(r => r.getAs[Number](0).longValue() -> r.getLong(1))
             .toMap
-          // live rows = on-disk minus admitted tombstoned rows per cell
-          val tombed: Map[Long, Long] = tombstoneFrame(spark, path, m) match {
-            case None => Map.empty
-            case Some(t) =>
-              // fsck audits UNHEALTHY layouts, where a duplicated
-              // tombstone row (hand-edits, partial copies) would
-              // double-count through this INNER join — distinct here
-              spark.read.parquet(s"$path/data")
-                .select(col(m.tombIdCol.get), col(CellCol))
-                .join(t.distinct(), Seq(m.tombIdCol.get))
-                .groupBy(col(CellCol)).agg(count(lit(1)).as("__n"))
-                .collect()
-                .map(r => r.getAs[Number](0).longValue() -> r.getLong(1))
-                .toMap
-          }
           val metaCounts = m.cells.map(s => s.id -> s.count).toMap
-          val bad = (onDisk.keySet ++ metaCounts.keySet).filter(c =>
-            onDisk.getOrElse(c, 0L) - tombed.getOrElse(c, 0L) !=
-              metaCounts.getOrElse(c, 0L))
+          val bad = (live.keySet ++ metaCounts.keySet).filter(c =>
+            live.getOrElse(c, 0L) != metaCounts.getOrElse(c, 0L))
           (bad.isEmpty,
             if (bad.isEmpty) s"${metaCounts.size} cell(s) exact" +
-              (if (tombed.nonEmpty) " (tombstones accounted)" else "")
+              (if (m.tombs.nonEmpty) " (tombstones accounted)" else "")
             else s"${bad.size} cell(s) drifted — kNN radii no longer " +
               "guaranteed; repair re-aggregates true stats")
         }
@@ -518,22 +609,55 @@ object SpatialDisk {
     * `isin` on the partition column is what parquet turns into
     * directory pruning. A fine-z covering-interval BETWEEN serves
     * row-group pruning inside surviving directories. */
-  /** The ADMITTED tombstoned ids (one column named the layout's delete
-    * id column), or None when the meta lists no delete waves. Rows of
-    * `$path/tombstones` under unadmitted tokens are FILTERED, not
-    * refused — a torn delete is a no-op until its meta commit lands
-    * (applying it would over-delete; ignoring it serves the last
-    * committed state). */
+  /** The ADMITTED tombstone rows — the layout's delete id column, plus
+    * (when any located [[deleteAt]] wave exists) the claimed-cell column
+    * `__graft_tomb_cell` (null on ids-only [[delete]] waves) — or None
+    * when the meta lists no delete waves. Rows of `$path/tombstones`
+    * under unadmitted tokens are FILTERED, not refused — a torn delete
+    * is a no-op until its meta commit lands (applying it would
+    * over-delete; ignoring it serves the last committed state).
+    * mergeSchema unions the two wave schemas (ids-only waves predate
+    * the cell column). */
   private def tombstoneFrame(spark: SparkSession, path: String,
                              m: Meta): Option[DataFrame] =
     if (m.tombs.isEmpty) None
-    // not distinct'd: read-path consumers anti-join and admitted waves
-    // are disjoint by [[delete]]'s construction; the two INNER-join
-    // consumers ([[delete]]'s per-cell count via its own distinct'd
-    // ids, [[fsck]]'s tombed count) distinct locally
-    else Some(spark.read.parquet(s"$path/tombstones")
-      .filter(col(TokenCol).isin(m.tombs: _*))
-      .select(col(TombIdCol).as(m.tombIdCol.get)))
+    // not distinct'd: read-path consumers anti-join (duplicate-
+    // insensitive) and admitted waves are disjoint by the delete verbs'
+    // construction; [[delete]]'s per-cell count distincts locally
+    else {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(s"$path/tombstones")
+        .filter(col(TokenCol).isin(m.tombs: _*))
+      val cols = col(TombIdCol).as(m.tombIdCol.get) +:
+        (if (raw.columns.contains(TombCellCol)) Seq(col(TombCellCol))
+         else Seq.empty)
+      Some(raw.select(cols: _*))
+    }
+
+  /** Subtract the admitted tombstones from `df` (which must carry the
+    * layout's id column and, when located waves exist, the routing cell
+    * column): ids-only [[delete]] waves kill the id EVERYWHERE, located
+    * [[deleteAt]] waves kill it only in the claimed cell — both as
+    * LEFT-ANTI joins against wave-sized sides, riding whatever pruning
+    * `df` already carries. */
+  private def subtractTombstones(df: DataFrame, spark: SparkSession,
+                                 path: String, m: Meta): DataFrame =
+    tombstoneFrame(spark, path, m) match {
+      case None => df
+      case Some(t) =>
+        val idc = m.tombIdCol.get
+        if (!t.columns.contains(TombCellCol)) df.join(t, Seq(idc), "left_anti")
+        else {
+          val byLoc = t.filter(col(TombCellCol).isNotNull)
+            .select(col(idc).as("__t_id"),
+              col(TombCellCol).cast("long").as("__t_cell"))
+          val afterLoc = df.join(byLoc,
+            df(idc) === col("__t_id") &&
+              df(CellCol).cast("long") === col("__t_cell"), "left_anti")
+          afterLoc.join(t.filter(col(TombCellCol).isNull).select(col(idc)),
+            Seq(idc), "left_anti")
+        }
+    }
 
   private def tokenChecked(df: DataFrame, path: String, m: Meta): DataFrame = {
     require(df.columns.contains(TokenCol),
@@ -548,10 +672,7 @@ object SpatialDisk {
     // kNN / joins / joinTable all flow through here): the layout
     // answers as if the deleted rows were never written, and compact
     // folds them physically
-    tombstoneFrame(df.sparkSession, path, m) match {
-      case Some(t) => checked.join(t, Seq(m.tombIdCol.get), "left_anti")
-      case None    => checked
-    }
+    subtractTombstones(checked, df.sparkSession, path, m)
   }
 
   /** Token-validated scan of the whole layout. */

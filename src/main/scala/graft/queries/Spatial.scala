@@ -223,6 +223,64 @@ object Spatial {
       .orderBy(col("c_custkey"))
   }
 
+  /** LOCATED delete-parity: the purge wave carries the written
+    * coordinates, so [[graft.index.SpatialDisk.deleteAt]] verifies
+    * presence against ONLY the claimed cell directories (O(wave), never
+    * the ids-only verb's O(table) (id, cell) pass) — and the box query
+    * must still answer exactly as a from-scratch build on the
+    * survivors. */
+  def diskDeleteAtBox(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_delat_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val pts = customerPts(s, d)
+    graft.index.SpatialDisk.write(pts, path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.deleteAt(s, path,
+      pts.filter(col("c_custkey") % 10 === 7)
+        .select("c_custkey", "cx", "cy"),
+      "c_custkey")
+    graft.index.SpatialDisk.boxRange(s, path, boxLow.toArray, boxHigh.toArray)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** kNN over the located-tombstoned layout: the stats-walk's
+    * guaranteed radii stand on the EXACT decrements the verified
+    * presence pass counted — the oracle (exact top-k over the
+    * survivors) pins that. */
+  def diskDeleteAtKnn(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_delatk_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val pts = customerPts(s, d)
+    graft.index.SpatialDisk.write(pts, path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.deleteAt(s, path,
+      pts.filter(col("c_custkey") % 10 === 7)
+        .select("c_custkey", "cx", "cy"),
+      "c_custkey")
+    graft.index.SpatialDisk.knn(s, path, center.toArray, knnK,
+        Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Both delete verbs composed on one layout — an ids-only wave
+    * (custkeys ending in 3) and a located wave (ending in 7) — then a
+    * compact folds both kinds, and the box query must equal the plain
+    * SQL over the double-survivor set. */
+  def diskDeleteMixed(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_delmix_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val pts = customerPts(s, d)
+    graft.index.SpatialDisk.write(pts, path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.delete(s, path,
+      pts.filter(col("c_custkey") % 10 === 3).select("c_custkey"),
+      "c_custkey")
+    graft.index.SpatialDisk.deleteAt(s, path,
+      pts.filter(col("c_custkey") % 10 === 7)
+        .select("c_custkey", "cx", "cy"),
+      "c_custkey")
+    graft.index.SpatialDisk.compact(path, s)
+    graft.index.SpatialDisk.boxRange(s, path, boxLow.toArray, boxHigh.toArray)
+      .orderBy(col("c_custkey"))
+  }
+
   /** kNN over the tombstoned layout: the stats-walk's guaranteed radius
     * stands on the per-cell counts the delete DECREMENTED — the oracle
     * (exact top-k over the survivors) is what pins that guarantee. */
@@ -500,6 +558,27 @@ object Spatial {
          |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
          |  AND c_custkey % 10 <> 3
          |ORDER BY c_custkey""".stripMargin,
+    // the located verb's contract is the same answer through a cheaper
+    // path (O(wave) presence check instead of the O(table) pass), so
+    // its oracles are the ids-only verb's SQL on its own survivor set
+    "sp_disk_delete_at" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
+         |  AND c_custkey % 10 <> 7
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_disk_delete_at_knn" ->
+      s"""SELECT * FROM (
+         |  SELECT * FROM ($custPtsSql) c
+         |  WHERE c_custkey % 10 <> 7
+         |  ORDER BY sqrt((cx - 5000.0)*(cx - 5000.0) + (cy - 500.0)*(cy - 500.0)) ASC,
+         |           c_custkey ASC
+         |  LIMIT 10) t
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_disk_delete_mixed" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
+         |  AND c_custkey % 10 <> 3 AND c_custkey % 10 <> 7
+         |ORDER BY c_custkey""".stripMargin,
     "sp_disk_delete_knn" ->
       s"""SELECT * FROM (
          |  SELECT * FROM ($custPtsSql) c
@@ -681,6 +760,9 @@ object Spatial {
     "sp_disk_delete" -> (diskDeleteBox _),
     "sp_disk_delete_knn" -> (diskDeleteKnn _),
     "sp_disk_delete_join" -> (diskDeleteJoin _),
+    "sp_disk_delete_at" -> (diskDeleteAtBox _),
+    "sp_disk_delete_at_knn" -> (diskDeleteAtKnn _),
+    "sp_disk_delete_mixed" -> (diskDeleteMixed _),
     "sp_disk_box_sql" -> (diskBoxSqlQ _),
     "sp_st_join" -> (spatioTemporalJoinQ _),
     "sp_polygon_join" -> (polygonDistanceJoinQ _),

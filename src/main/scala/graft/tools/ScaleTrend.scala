@@ -588,6 +588,43 @@ object ScaleTrend {
       spark.stop(); return
     }
 
+    // located vs ids-only purge cost (`ScaleTrend spdeleteat`): the
+    // SAME fixed 10x layout as spdeletes (cellBits 7 -> 16,384 cell
+    // dirs); equal-size purge waves through each verb. The ids-only
+    // verb pays the documented O(table) (id, cell) pass (file-open
+    // bound at 16k small dirs — ~30 s regardless of wave size); the
+    // located verb's presence check reads ONLY the claimed cell
+    // directories, so its cost must track the WAVE. The closing parity
+    // count pins that the cheaper path deletes exactly the same rows.
+    if (args.headOption.contains("spdeleteat")) {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_trend_spdelat"
+      val table = custRep(spark, d, 10, "c")
+      graft.index.SpatialDisk.write(table, p, Seq("cx", "cy"), cellBits = 7)
+      var t0 = System.nanoTime()
+      graft.index.SpatialDisk.delete(spark, p,
+        table.select(col("cid")).filter(col("cid") % 1000 === 1), "cid")
+      println(f"spdeleteat ids-only  delete-verb " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      t0 = System.nanoTime()
+      graft.index.SpatialDisk.deleteAt(spark, p,
+        table.filter(col("cid") % 1000 === 2), "cid")
+      println(f"spdeleteat located   delete-verb " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      // a second located wave: steady reading once JIT/FS caches warm
+      t0 = System.nanoTime()
+      graft.index.SpatialDisk.deleteAt(spark, p,
+        table.filter(col("cid") % 1000 === 3), "cid")
+      println(f"spdeleteat located2  delete-verb " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      val live = graft.index.SpatialDisk.boxRange(spark, p,
+        Array(-1e9, -1e9), Array(1e9, 1e9)).count()
+      val want = table.filter(col("cid") % 1000 =!= 1 &&
+        col("cid") % 1000 =!= 2 && col("cid") % 1000 =!= 3).count()
+      println(s"spdeleteat parity: live=$live want=$want " +
+        (if (live == want) "OK" else "MISMATCH"))
+      spark.stop(); return
+    }
+
     // at-rest ANN JOIN (`ScaleTrend annjoin [100]`): a FIXED query wave
     // joins its top-k out of a GROWING IVF-PQ layout. nlist grows with
     // the corpus (8n — constant expected cell population, the SemDeDup

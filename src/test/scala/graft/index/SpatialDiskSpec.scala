@@ -446,6 +446,123 @@ class SpatialDiskSpec extends SparkSpec {
       Array(-1e7, -1e7), Array(1e7, 1e7)).count() === survivors.count() + 5)
   }
 
+  test("deleteAt: located purge rides the wave — reads equal a " +
+    "from-scratch build, only claimed cells are listed") {
+    val path = freshLayout("delat")
+    val dead = cust.filter(col("c_custkey") % 10 === 7)
+    val survivors = cust.filter(col("c_custkey") % 10 =!= 7)
+    // the wave carries id + the WRITTEN coordinates
+    SpatialDisk.deleteAt(spark, path,
+      dead.select("c_custkey", "cx", "cy"), "c_custkey")
+    // O(wave) evidence: the presence check listed only the claimed cell
+    // directories, never the layout (the ids-only verb's O(table) pass)
+    val listed = SpatialDisk.pruneLastPathCount.get()
+    assert(listed > 0, "deleteAt fell back to a full listing")
+    val totalCells = new java.io.File(path, "data").listFiles()
+      .count(_.getName.startsWith("__graft_cell="))
+    assert(listed < totalCells,
+      s"deleteAt listed $listed of $totalCells cells — not wave-pruned")
+    val refPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_delatref").toString
+    SpatialDisk.write(survivors, path = refPath, Seq("cx", "cy"))
+    val lo = Array(2000.0, 100.0); val hi = Array(4000.0, 300.0)
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys(SpatialDisk.boxRange(spark, path, lo, hi)) ===
+      keys(SpatialDisk.boxRange(spark, refPath, lo, hi)),
+      "box over the located-tombstoned layout != from-scratch build")
+    assert(keys(SpatialDisk.boxRange(spark, path, lo, hi)).nonEmpty)
+    // the stats-walk kNN stands on the EXACT decrements the verified
+    // presence pass counted
+    val c = Array(5000.0, 500.0)
+    assert(keys(SpatialDisk.knn(spark, path, c, 10, Seq("c_custkey"))) ===
+      keys(survivors.knn(Seq("cx", "cy"), c.toSeq, 10,
+        tieBreak = Seq("c_custkey"))),
+      "stats-walk kNN over the located-tombstoned layout is not exact")
+    val fsck1 = SpatialDisk.fsck(spark, path).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(fsck1.forall(_._2), s"fsck not green after deleteAt: $fsck1")
+    assert(fsck1.exists(r => r._1 == "cell_counts_exact" &&
+      r._3.contains("tombstones accounted")))
+    // idempotent: re-claiming dead pairs matches nothing and admits no
+    // new wave (fsck would flag an admitted-but-empty token as missing)
+    SpatialDisk.deleteAt(spark, path,
+      dead.select("c_custkey", "cx", "cy"), "c_custkey")
+    assert(SpatialDisk.fsck(spark, path).collect().forall(_.getBoolean(1)))
+    assert(keys(SpatialDisk.boxRange(spark, path, lo, hi)) ===
+      keys(SpatialDisk.boxRange(spark, refPath, lo, hi)))
+    // compact folds located waves exactly like ids-only ones
+    SpatialDisk.compact(path, spark)
+    assert(!new java.io.File(path, "tombstones").exists())
+    assert(keys(SpatialDisk.boxRange(spark, path, lo, hi)) ===
+      keys(SpatialDisk.boxRange(spark, refPath, lo, hi)))
+    assert(SpatialDisk.fsck(spark, path).collect().forall(_.getBoolean(1)))
+  }
+
+  test("deleteAt: a wrong-coordinates claim is a FULL no-op; mixed " +
+    "ids-only + located waves compose; duplicate ids die per location") {
+    val path = freshLayout("delatmix")
+    val total = SpatialDisk.boxRange(spark, path,
+      Array(-1e7, -1e7), Array(1e7, 1e7)).count()
+    // claim ids at coordinates they were never written with: nothing
+    // matches, nothing is admitted — not even a tombstones directory
+    SpatialDisk.deleteAt(spark, path,
+      cust.filter(col("c_custkey") % 10 === 7)
+        .select(col("c_custkey"), (col("cx") + 99999.0).as("cx"),
+          (col("cy") + 99999.0).as("cy")), "c_custkey")
+    assert(!new java.io.File(path, "tombstones").exists(),
+      "a no-match wave must not admit a delete token")
+    assert(SpatialDisk.boxRange(spark, path,
+      Array(-1e7, -1e7), Array(1e7, 1e7)).count() === total)
+    // mixed: ids-only wave for %10==3, located wave for %10==7
+    SpatialDisk.delete(spark, path,
+      cust.filter(col("c_custkey") % 10 === 3).select("c_custkey"),
+      "c_custkey")
+    SpatialDisk.deleteAt(spark, path,
+      cust.filter(col("c_custkey") % 10 === 7)
+        .select("c_custkey", "cx", "cy"), "c_custkey")
+    val survivors = cust.filter(col("c_custkey") % 10 =!= 3 &&
+      col("c_custkey") % 10 =!= 7)
+    val refPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_delatmixref").toString
+    SpatialDisk.write(survivors, path = refPath, Seq("cx", "cy"))
+    val lo = Array(2000.0, 100.0); val hi = Array(4000.0, 300.0)
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys(SpatialDisk.boxRange(spark, path, lo, hi)) ===
+      keys(SpatialDisk.boxRange(spark, refPath, lo, hi)),
+      "mixed delete waves do not compose")
+    assert(SpatialDisk.fsck(spark, path).collect().forall(_.getBoolean(1)))
+    SpatialDisk.compact(path, spark)
+    assert(keys(SpatialDisk.boxRange(spark, path, lo, hi)) ===
+      keys(SpatialDisk.boxRange(spark, refPath, lo, hi)))
+
+    // duplicate ids at two locations: the located verb kills exactly
+    // the row AT the claimed cell; the other survives, counted, and an
+    // ids-only wave later kills it with exact decrements throughout
+    import spark.implicits._
+    val dup = Seq((1L, 10.0, 10.0), (1L, 900.0, 900.0), (2L, 500.0, 500.0))
+      .toDF("id", "x", "y")
+    val dupPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_delatdup").toString
+    SpatialDisk.write(dup, dupPath, Seq("x", "y"), cellBits = 3)
+    SpatialDisk.deleteAt(spark, dupPath,
+      Seq((1L, 10.0, 10.0)).toDF("id", "x", "y"), "id")
+    val afterLoc = SpatialDisk.boxRange(spark, dupPath,
+      Array(-1e7, -1e7), Array(1e7, 1e7))
+      .select("id", "x").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sorted.toSeq
+    assert(afterLoc === Seq((1L, 900.0), (2L, 500.0)),
+      s"located delete must kill id 1 ONLY at (10,10): $afterLoc")
+    assert(SpatialDisk.fsck(spark, dupPath).collect().forall(_.getBoolean(1)))
+    SpatialDisk.delete(spark, dupPath, Seq(1L).toDF("id"), "id")
+    assert(SpatialDisk.boxRange(spark, dupPath,
+      Array(-1e7, -1e7), Array(1e7, 1e7))
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(2L),
+      "the ids-only wave must kill the id's remaining location")
+    assert(SpatialDisk.fsck(spark, dupPath).collect().forall(_.getBoolean(1)))
+  }
+
   test("repair: both fsck-named tear classes heal in place") {
     // tear class 1: drifted per-cell stats (hand-edited meta stands in
     // for a lost tombstone decrement) — repair re-aggregates, same token
