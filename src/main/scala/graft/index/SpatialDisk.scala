@@ -291,6 +291,9 @@ object SpatialDisk {
     // disk (stale stats over a superset — documented as still-safe
     // lower bounds), and the subtraction must preserve that invariant,
     // never flip a count negative.
+    // everything already dead: admit nothing (an admitted wave with no
+    // tombstone rows on disk would read as a MISSING wave to fsck)
+    if (newIds.isEmpty) return
     val hits = subtractTombstones(data.select(col(idCol), col(CellCol)),
         spark, path, m)
       .join(newIds, Seq(idCol))

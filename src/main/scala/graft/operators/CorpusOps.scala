@@ -247,6 +247,10 @@ object CorpusOps {
       case Some(t) => fresh.join(t, Seq(storedId), "left_anti")
       case None    => fresh
     }).localCheckpoint()
+    // everything already dead: admit nothing (an admitted wave with no
+    // tombstone rows on disk would read as a MISSING wave to fsck, and
+    // the constants would subtract zero anyway)
+    if (newIds.isEmpty) return
     val posts = spark.read.parquet(s"$path/postings")
       .filter(assert_true(col("__graft_token").isin(waveTokens: _*),
         lit(s"deleteFromBm25Index: write-token mismatch between " +

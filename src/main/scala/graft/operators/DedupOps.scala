@@ -361,6 +361,9 @@ object DedupOps {
       case Some(t) => fresh.join(t, Seq(storedId), "left_anti")
       case None    => fresh
     }
+    // everything already dead: admit nothing (an admitted wave with no
+    // tombstone rows on disk would read as a MISSING wave to fsck)
+    if (newIds.isEmpty) return
     newIds.withColumn("__graft_token", lit(token))
       .write.mode("append").parquet(s"$path/tombstones")
     publishMeta(spark, path, Seq(

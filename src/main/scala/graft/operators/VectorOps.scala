@@ -307,6 +307,9 @@ object VectorOps {
       case Some(t) => fresh.join(t, Seq("__graft_tomb_id"), "left_anti")
       case None    => fresh
     }
+    // everything already dead: admit nothing (an admitted wave with no
+    // tombstone rows on disk would read as a MISSING wave to fsck)
+    if (newIds.isEmpty) return
     newIds.withColumn("__graft_token", lit(token))
       .write.mode("append").parquet(s"$path/tombstones")
     graft.operators.DedupOps.publishMeta(spark, path,
@@ -971,6 +974,9 @@ object VectorOps {
       case Some(t) => fresh.join(t, Seq("__graft_tomb_id"), "left_anti")
       case None    => fresh
     }
+    // everything already dead: admit nothing (an admitted wave with no
+    // tombstone rows on disk would read as a MISSING wave to fsck)
+    if (newIds.isEmpty) return
     newIds.withColumn("__graft_token", lit(token))
       .write.mode("append").parquet(s"$path/tombstones")
     // a delete adds no physical ids — id-Bloom coverage unchanged

@@ -423,6 +423,10 @@ class SpatialDiskSpec extends SparkSpec {
     SpatialDisk.delete(spark, path, dead.select("c_custkey"), "c_custkey")
     assert(keys(SpatialDisk.boxRange(spark, path, lo, hi)) ===
       keys(SpatialDisk.boxRange(spark, refPath, lo, hi)))
+    // the all-dead re-delete admitted NOTHING: an admitted wave with no
+    // tombstone rows on disk would read as a MISSING wave here
+    assert(SpatialDisk.fsck(spark, path).collect().forall(_.getBoolean(1)),
+      "fsck not green after an all-dead re-delete")
     val eCol = intercept[IllegalArgumentException] {
       SpatialDisk.delete(spark, path,
         dead.select(col("c_custkey").as("other")), "other")

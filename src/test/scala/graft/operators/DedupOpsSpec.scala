@@ -761,9 +761,14 @@ class DedupOpsSpec extends SparkSpec {
     val wantAdmit = probe.admitAgainstDigestIndex(fullPath, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted === wantAdmit)
-    // a second delete of the same ids is an idempotent no-op
+    // a second delete of the same ids is an idempotent no-op that
+    // admits NOTHING — an admitted wave with no tombstone rows on disk
+    // would read as a MISSING wave to fsck
     DedupOps.deleteFromDigestIndex(spark, path, delIds)
     assert(pairsOf(probe.exactPairsAgainstIndex(path, "doc_id", "text")) === got)
+    val refsck = DedupOps.fsckTextIndex(spark, path).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(refsck.forall(_._2), s"fsck not green after all-dead re-delete: $refsck")
     // a tombstoned id stays dead for the clash check until a compact
     val deadRows = docs.join(delIds, Seq("doc_id"), "left_semi").limit(5)
     val clash = intercept[IllegalArgumentException] {
