@@ -292,6 +292,148 @@ object CorpusOps {
       ++ DedupOps.idBloomMetaLine(params.get("__idbloom").contains("yes")))
   }
 
+  /** LOCATED tombstone-delete for a [[DatasetCorpusOps.writeBm25Index]]
+    * layout — the O(wave + vocab) sibling of [[deleteFromBm25Index]].
+    * The wave carries the id AND the document text AS WRITTEN, so the
+    * wave's layout facts (per-term tf, dl) recompute from the writer's
+    * exact deterministic tokenizer instead of being read back through
+    * the ids-only verb's semi-join over the WHOLE postings table (the
+    * one per-purge-wave O(table) pass the text layouts had left — the
+    * postings are term-clustered, so an id-keyed read cannot prune).
+    *
+    * Presence is confirmed EXACTLY through a wave-sized posting
+    * sliver: one vocab-sized dictionary pass picks each doc's RAREST
+    * live term (min summed df — the cheapest term to confirm by), and
+    * a term-pruned postings read answers "is (rarest-term, id) on
+    * disk" per doc. A doc holding any term with NO live df cannot be
+    * live (every written doc's terms carry df >= 1 until its OWN
+    * tombstone subtracts them, and tombstoned ids were already
+    * filtered) — absence confirmed without touching postings at all.
+    * Chosen terms push down as literals when the distinct list is
+    * bounded (`maxPushdownTerms`, the PrunedCellScan discipline) and
+    * fall back to a semi-join past it.
+    *
+    * Absent and already-tombstoned ids are exact no-ops; docs whose
+    * text tokenizes EMPTY are refused loudly (they leave no posting to
+    * confirm presence with — use [[deleteFromBm25Index]], which shares
+    * the same blind spot on their N residue). A wave that matches
+    * nothing admits nothing. The caller owns the text-as-written
+    * contract: foreign text makes wrong df deltas, which fsck's
+    * constants check surfaces. */
+  def deleteFromBm25IndexWithText(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, docs: DataFrame,
+                                  textCol: String,
+                                  maxPushdownTerms: Int = 1024): Unit = {
+    val params = DedupOps.indexMeta(spark, path, "deleteFromBm25IndexWithText")
+    require(params.contains("__waves"),
+      "deleteFromBm25IndexWithText: " + path + "/meta has no 'waves' " +
+        "line — the layout predates wave support; rewrite with writeBm25Index")
+    val storedId = params("idCol")
+    require(docs.columns.contains(storedId),
+      s"deleteFromBm25IndexWithText: the wave must carry the layout's " +
+        s"id column '$storedId' (has: ${docs.columns.mkString(", ")})")
+    require(docs.columns.contains(textCol),
+      s"deleteFromBm25IndexWithText: the wave must carry '$textCol' — " +
+        "the located verb recomputes the doc's postings from its text; " +
+        "use deleteFromBm25Index(ids) when only ids are known")
+    val waveTokens = params("__waves").split(";").toSeq
+    require(waveTokens.contains(params("__token")),
+      s"deleteFromBm25IndexWithText: write-token mismatch inside " +
+        s"$path/meta (token not in the waves list) — rewrite the layout")
+    val fresh = (DedupOps.tombstoneIds(spark, path, params,
+        "deleteFromBm25IndexWithText") match {
+      case Some(t) => docs.select(col(storedId), col(textCol))
+        .dropDuplicates(Seq(storedId)).join(t, Seq(storedId), "left_anti")
+      case None => docs.select(col(storedId), col(textCol))
+        .dropDuplicates(Seq(storedId))
+    }).localCheckpoint()
+    if (fresh.isEmpty) return
+    // the wave's own (term, id, tf, dl) facts — the writer's exact plan
+    val tf = fresh
+      .select(col(storedId), graft.functions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+      .select(col(storedId), col("__dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(storedId), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val empties = fresh.join(tf.select(col(storedId)).distinct(),
+      Seq(storedId), "left_anti").limit(1).count()
+    require(empties == 0L,
+      "deleteFromBm25IndexWithText: the wave holds docs whose text " +
+        "tokenizes empty — no posting exists to confirm their presence; " +
+        "delete those ids with deleteFromBm25Index")
+    def tokenChecked(df: DataFrame, what: String,
+                     admitted: Seq[String]): DataFrame = {
+      require(df.columns.contains("__graft_token"),
+        s"deleteFromBm25IndexWithText: $path/$what has no __graft_token " +
+          "column — the layout is torn or foreign; rewrite with writeBm25Index")
+      df.filter(assert_true(col("__graft_token").isin(admitted: _*),
+        lit(s"deleteFromBm25IndexWithText: write-token mismatch between " +
+          s"$path/meta and $path/$what — rewrite the layout")).isNull)
+        .drop("__graft_token")
+    }
+    val tombTokens = DedupOps.tombTokens(params)
+    // ONE vocab-sized dictionary pass: per-doc rarest LIVE term (min
+    // summed df, term as tie-break); any no-live-df term = doc absent
+    val dictRaw = tokenChecked(spark.read.parquet(s"$path/terms"), "terms",
+      waveTokens ++ tombTokens)
+    val hasBounds = dictRaw.columns.contains("__maxtf") &&
+      dictRaw.columns.contains("__mindl")
+    val dictDf = dictRaw.groupBy(col("term")).agg(sum(col("__df")).as("__df"))
+    val chosen = tf.select(col("term"), col(storedId))
+      .join(dictDf, Seq("term"), "left_outer")
+      .groupBy(col(storedId))
+      .agg(
+        min(struct(coalesce(col("__df"), lit(Long.MaxValue)).as("__df"),
+          col("term").as("term"))).as("__best"),
+        min(when(col("__df").isNull || col("__df") <= 0L, lit(0))
+          .otherwise(lit(1))).as("__allLive"))
+      .filter(col("__allLive") === 1)
+      .select(col("__best").getField("term").as("term"), col(storedId))
+      .localCheckpoint()
+    // wave-sized posting sliver keyed by the chosen terms
+    val chosenTerms = chosen.select(col("term")).distinct()
+      .limit(maxPushdownTerms + 1).collect().map(_.getString(0)).toSeq
+    val posts0 = tokenChecked(spark.read.parquet(s"$path/postings"),
+      "postings", waveTokens).select(col("term"), col(storedId))
+    val sliver =
+      if (chosenTerms.length <= maxPushdownTerms)
+        posts0.filter(col("term").isin(chosenTerms: _*))
+      else posts0.join(chosen.select(col("term")).distinct(),
+        Seq("term"), "left_semi")
+    val present = chosen.join(sliver, Seq("term", storedId), "left_semi")
+      .select(col(storedId)).localCheckpoint()
+    // everything absent or already dead: admit nothing
+    if (present.isEmpty) return
+    val delTf = tf.join(present, Seq(storedId), "left_semi")
+    val perDoc = delTf.groupBy(col(storedId)).agg(max(col("__dl")).as("__dl"))
+      .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")).head()
+    val nDelta = perDoc.getLong(0)
+    val sumdlDelta = perDoc.getLong(1)
+    val token = java.util.UUID.randomUUID().toString
+    present.withColumn("__graft_token", lit(token))
+      .write.mode("append").parquet(s"$path/tombstones")
+    // the same neutral max-score bounds the ids-only verb writes
+    val delDict =
+      if (hasBounds)
+        delTf.groupBy(col("term")).agg((-count(lit(1))).as("__df"),
+          lit(0L).as("__maxtf"), lit(Long.MaxValue).as("__mindl"))
+      else delTf.groupBy(col("term")).agg((-count(lit(1))).as("__df"))
+    delDict
+      .withColumn("__graft_token", lit(token))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("append").parquet(s"$path/terms")
+    DedupOps.publishMeta(spark, path, Seq("params=idCol:" + storedId,
+      s"n=${params("__n").toLong - nDelta}",
+      s"sumdl=${params("__sumdl").toLong - sumdlDelta}",
+      "token=" + params("__token"),
+      "waves=" + params("__waves"),
+      "tombs=" + (DedupOps.tombTokens(params) :+ token).mkString(";"))
+      // a delete adds no physical ids — clash-gate coverage unchanged
+      ++ DedupOps.idBloomMetaLine(params.get("__idbloom").contains("yes")))
+  }
+
   /** BM25 top-k answered from a [[DatasetCorpusOps.writeBm25Index]]
     * layout: reads ONLY the query terms' posting rows (pushed `term IN`
     * over the term-clustered parquet) plus one bounded dictionary probe

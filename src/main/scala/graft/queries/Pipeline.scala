@@ -1573,6 +1573,28 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The LOCATED BM25 delete under the same oracle: identical fixture
+    * to tx_bm25_delete, but the purge wave carries the document TEXT
+    * ([[CorpusOps.deleteFromBm25IndexWithText]] — df/dl deltas
+    * recomputed from the wave's own tokenization, presence confirmed
+    * through a term-pruned posting sliver, never the ids-only verb's
+    * O(postings) semi-join). Same survivor SQL: the cheaper path must
+    * answer bit-for-bit the same. */
+  def bm25DeleteTextQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_delt_" + Integer.toHexString(d.hashCode)).toString
+    val docs = documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0).writeBm25Index(path, "doc_id", "text")
+    docs.filter(col("doc_id") % 2 =!= 0).appendBm25Index(path, "doc_id", "text")
+    CorpusOps.deleteFromBm25IndexWithText(s, path,
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text")),
+      "text")
+    CorpusOps.bm25TopKAgainstIndex(s, path, bm25Terms, 20)
+      .orderBy(col("doc_id"))
+  }
+
   /** Conjunctive retrieval off the BM25 layout: docs containing ALL
     * query terms, from the terms' posting slivers alone — the boolean
     * candidate-generation primitive under filtered search. Real
@@ -2724,6 +2746,7 @@ object Pipeline {
       ("SELECT TRUE AS delete_equals_direct, TRUE AS compact_equals_direct, " +
         "TRUE AS nonempty"),
     "tx_bm25_delete" -> bm25DeleteOracleSql,
+    "tx_bm25_delete_text" -> bm25DeleteOracleSql,
     "dd_components_extend" ->
       ("SELECT TRUE AS extend_equals_full, TRUE AS nonempty, " +
         "TRUE AS merges_present"),
@@ -3466,6 +3489,7 @@ object Pipeline {
     "dd_cdc_delete" -> (cdcDeleteQ _),
     "dd_minhash_delete" -> (minHashDeleteQ _),
     "tx_bm25_delete" -> (bm25DeleteQ _),
+    "tx_bm25_delete_text" -> (bm25DeleteTextQ _),
     "dd_simhash_pairs" -> (simHashPairsQ _),
     "dd_ngram_jaccard_pairs" -> (ngramJaccardPairsQ _),
     "dd_components" -> (componentsQ _),

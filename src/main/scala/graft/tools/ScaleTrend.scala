@@ -471,6 +471,48 @@ object ScaleTrend {
       spark.stop(); return
     }
 
+    // BM25 purge-verb cost (`ScaleTrend bm25delete`): one layout per
+    // corpus decade, two DISJOINT equal-size ~600-doc purge waves —
+    // the ids-only verb (its df deltas ride a semi-join over the WHOLE
+    // postings table, the one O(table) pass the text layouts had left)
+    // vs the located with-text verb (wave tokenization + one
+    // vocab-sized dictionary pass + a term-pruned confirm sliver).
+    // The located verb's cost must stay near-flat across decades;
+    // bit-parity of the two verbs is spec- and oracle-pinned
+    // (tx_bm25_delete_text), so the trend measures cost only.
+    if (args.headOption.contains("bm25delete")) {
+      import graft.operators.CorpusOps._
+      val scales =
+        if (args.lift(1).contains("100")) Seq(1, 100) else Seq(1, 10)
+      for (n <- scales) {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_trend_bmdel_$n"
+        var t0 = System.nanoTime()
+        docsRep(spark, d, n).writeBm25Index(p, "doc_id", "text")
+        println(f"bm25delete ${n}%3dx: write ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        // replica-0 text is the identity translation — the waves carry
+        // the text AS WRITTEN, the located verb's contract
+        val w1 = documents(spark, d).filter(col("doc_id") % 17 === 3)
+          .select(col("doc_id"), col("text"))
+        val w2 = documents(spark, d).filter(col("doc_id") % 17 === 5)
+          .select(col("doc_id"), col("text"))
+        t0 = System.nanoTime()
+        graft.operators.CorpusOps.deleteFromBm25Index(spark, p,
+          w1.select(col("doc_id")))
+        println(f"bm25delete ${n}%3dx: ids-only  delete-verb " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        t0 = System.nanoTime()
+        graft.operators.CorpusOps.deleteFromBm25IndexWithText(spark, p,
+          w2, "text")
+        println(f"bm25delete ${n}%3dx: located   delete-verb " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        val rows = graft.operators.CorpusOps.bm25TopKAgainstIndex(spark, p,
+          Seq("spark", "vector", "window", "hash", "merge", "customer"),
+          20).count()
+        println(s"bm25delete ${n}x: post-delete top-20 answers $rows rows")
+      }
+      spark.stop(); return
+    }
+
     // tombstone-growth trend (`ScaleTrend deletes`): FIXED layouts (10x
     // corpus digest + BM25, 10x embeddings IVF-PQ), the TOMBSTONE set
     // grows ~0.1% -> 1% -> 10% of ids (cumulative delete waves). The

@@ -538,6 +538,63 @@ class CorpusOpsSpec extends SparkSpec {
       === before, "repair must roll the torn delete back whole")
   }
 
+  test("bm25 located delete (with text): bit-equal to the ids-only " +
+    "verb; absent, dead, and empty-text waves are exact no-ops") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val terms = Seq("spark", "vector", "window", "hash", "merge", "customer")
+    val pathA = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_delat_a").toString
+    val pathB = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_delat_b").toString
+    val corpus0 = docs.filter(col("doc_id") % 2 === 0)
+    val wave = docs.filter(col("doc_id") % 2 =!= 0)
+    val delDocs = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    for (p <- Seq(pathA, pathB)) {
+      corpus0.writeBm25Index(p, "doc_id", "text")
+      wave.appendBm25Index(p, "doc_id", "text")
+    }
+    def top(p: String) = CorpusOps.bm25TopKAgainstIndex(spark, p, terms, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    def metaConsts(p: String): (String, String) = {
+      val ls = spark.read.textFile(s"$p/meta").collect()
+      (ls.find(_.startsWith("n=")).get, ls.find(_.startsWith("sumdl=")).get)
+    }
+    // the located verb (text rides the wave; postings never scanned)
+    // must leave a layout BIT-EQUAL to the ids-only verb's
+    CorpusOps.deleteFromBm25IndexWithText(spark, pathA, delDocs, "text")
+    CorpusOps.deleteFromBm25Index(spark, pathB, delDocs.select("doc_id"))
+    val want = top(pathB)
+    assert(top(pathA) === want, "located delete != ids-only delete")
+    assert(metaConsts(pathA) === metaConsts(pathB),
+      "located delete drifted the constants")
+    // absent ids (never written): exact no-ops — nothing admitted,
+    // nothing subtracted
+    CorpusOps.deleteFromBm25IndexWithText(spark, pathA,
+      docs.select((col("doc_id") + 900000L).as("doc_id"), col("text")),
+      "text")
+    assert(top(pathA) === want && metaConsts(pathA) === metaConsts(pathB),
+      "an all-absent wave must change nothing")
+    // re-delete of already-dead docs: idempotent no-op
+    CorpusOps.deleteFromBm25IndexWithText(spark, pathA, delDocs, "text")
+    assert(metaConsts(pathA) === metaConsts(pathB),
+      "re-delete subtracted the constants twice")
+    // empty-tokenizing text is refused loudly (nothing to confirm by)
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.deleteFromBm25IndexWithText(spark, pathA,
+        Seq((987654L, "")).toDF("doc_id", "text"), "text")
+    }
+    assert(e.getMessage.contains("tokenizes empty"), e.getMessage)
+    // fsck green over the located waves; compact folds them
+    assert(graft.operators.DedupOps.fsckTextIndex(spark, pathA).collect()
+      .forall(_.getBoolean(1)), "fsck not green after located deletes")
+    CorpusOps.compactBm25Index(spark, pathA)
+    assert(top(pathA) === want, "compact changed the located layout")
+    assert(!new java.io.File(pathA, "tombstones").exists())
+  }
+
   test("matchAllTermsAgainstIndex equals the raw-text conjunction") {
     import graft.operators.CorpusOps
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
