@@ -587,6 +587,19 @@ object Bench {
         Seq("sx", "sy"), diskPath, 3,
         leftId = "s_suppkey", tieBreak = Seq("c_custkey")).count()
     }
+    // located tombstone delete (r13): the O(wave) purge verb — the
+    // wave carries the written coordinates, presence verifies against
+    // only the claimed cells — then the tombstoned box read (the
+    // anti-join cost a deleted-but-uncompacted layout pays per query)
+    rec.timed("b10z_spatial_delete_at") {
+      graft.index.SpatialDisk.deleteAt(spark, diskPath,
+        customerPts(spark, sfDir).filter(col("c_custkey") % 10 === 3)
+          .select("c_custkey", "cx", "cy"), "c_custkey")
+    }
+    rec.timed("b1dt_box_range_disk_deleted") {
+      graft.index.SpatialDisk.boxRange(spark, diskPath,
+        Array(2000.0, 100.0), Array(4000.0, 300.0)).count()
+    }
     // at-rest ANN layout (r13): write the IVF-PQ index once (timed —
     // the clustered one-file-per-cell write), then join a query wave
     // through the explicit-path pruned read — the plan the annjoin
