@@ -459,6 +459,12 @@ class StreamingOpsSpec extends SparkSpec {
     graft.index.SpatialDisk.delete(spark, layout,
       supp.filter(col("s_suppkey") % 3 === 0).select("s_suppkey"),
       "s_suppkey")
+    // a LOCATED wave on top of the ids-only one: the stream must
+    // subtract both tombstone kinds through the same read chokepoint
+    graft.index.SpatialDisk.deleteAt(spark, layout,
+      supp.filter(col("s_suppkey") % 3 =!= 0 && col("s_suppkey") % 5 === 0)
+        .select("s_suppkey", "sx", "sy"),
+      "s_suppkey")
     val wavePath = java.nio.file.Files
       .createTempDirectory("graft_geo_del_wave").toString
     cust.write.mode("overwrite").parquet(wavePath)
@@ -468,7 +474,8 @@ class StreamingOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     import graft.operators.SpatialOps._
     val want = cust.distanceJoinNaive(
-        supp.filter(col("s_suppkey") % 3 =!= 0),
+        supp.filter(col("s_suppkey") % 3 =!= 0 &&
+          !(col("s_suppkey") % 5 === 0)),
         Seq("cx", "cy"), Seq("sx", "sy"), 100.0)
       .select("c_custkey", "s_suppkey").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
