@@ -144,7 +144,8 @@ object SpatialDisk {
                              highs: Array[Double], cellBits: Int, bits: Int,
                              token: String, cells: Seq[CellStat],
                              tombs: Seq[String] = Seq.empty,
-                             tombIdCol: Option[String] = None): Unit = {
+                             tombIdCol: Option[String] = None,
+                             tombCells: Boolean = false): Unit = {
     val cellStats = cells.map { s =>
       val bounds = keyCols.indices.flatMap(i =>
         Seq(s.mbr.low.coord(i), s.mbr.high.coord(i)))
@@ -160,7 +161,11 @@ object SpatialDisk {
       "token=" + token) ++
       (if (tombs.isEmpty) Seq.empty
        else Seq("tombs=" + tombs.mkString(";"),
-         "tombIdCol=" + tombIdCol.get))
+         "tombIdCol=" + tombIdCol.get) ++
+         // located waves carry a cell column beside the ids-only
+         // waves' bare ids — readers only pay the schema-merging
+         // tombstone read when one actually exists
+         (if (tombCells) Seq("tombCells=yes") else Seq.empty))
     // tmp+rename publish (ADVICE r11): append/compact republish the
     // meta of an EXISTING layout, where a raw overwrite text job would
     // leave a whole-job no-meta crash window
@@ -209,12 +214,32 @@ object SpatialDisk {
       require(df.columns.contains(idc),
         s"SpatialDisk.append: the layout has delete waves keyed by " +
           s"'$idc' but the wave does not carry that column")
-      val clash = tombstoneFrame(spark, path, m).get
-        .join(df.select(col(idc)), Seq(idc), "left_semi")
+      val t = tombstoneFrame(spark, path, m).get
+      val hasCell = t.columns.contains(TombCellCol)
+      val byId = if (hasCell) t.filter(col(TombCellCol).isNull)
+        .select(col(idc)) else t.select(col(idc))
+      val clash = byId.join(df.select(col(idc)), Seq(idc), "left_semi")
         .limit(1).count()
       require(clash == 0L,
         s"SpatialDisk.append: wave re-adds tombstoned '$idc' ids — " +
           "compact the layout first, then append")
+      if (hasCell) {
+        // a located ([[deleteAt]]) tombstone kills (id, cell): an
+        // appended row routing to that SAME cell would be invisible
+        // yet counted; any other cell of that id appends freely —
+        // the located verb's finer granularity
+        val cellOf = zorder(m.keyCols.map(col), m.lows.toSeq,
+          m.highs.toSeq, m.cellBits)
+        val clashLoc = t.filter(col(TombCellCol).isNotNull)
+          .select(col(idc), col(TombCellCol).cast("long").as(TombCellCol))
+          .join(df.select(col(idc), cellOf.cast("long").as(TombCellCol)),
+            Seq(idc, TombCellCol), "left_semi")
+          .limit(1).count()
+        require(clashLoc == 0L,
+          s"SpatialDisk.append: wave re-adds a located-tombstoned " +
+            s"('$idc', cell) pair — compact the layout first, then " +
+            "append (other cells of those ids append freely)")
+      }
     }
     val cell = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq, m.cellBits)
     val z = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq, m.bits)
@@ -238,7 +263,8 @@ object SpatialDisk {
       }
     }
     writeMetaLines(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
-      m.bits, m.token, merged.values.toIndexedSeq, m.tombs, m.tombIdCol)
+      m.bits, m.token, merged.values.toIndexedSeq, m.tombs, m.tombIdCol,
+      m.tombCells)
   }
 
   /** Tombstone-delete rows by id — the text/vector layouts' GDPR
@@ -275,14 +301,16 @@ object SpatialDisk {
     val fresh = ids.select(col(idCol)).distinct()
     // already-dead ids are no-ops — but only IDS-ONLY waves make an id
     // fully dead; an id located-deleted ([[deleteAt]]) in one cell may
-    // still have live rows elsewhere, so located waves never filter here
-    val newIds = tombstoneFrame(spark, path, m) match {
+    // still have live rows elsewhere, so located waves never filter
+    // here. Checkpointed: the guard, the hits join, and the tombstone
+    // write all read it
+    val newIds = (tombstoneFrame(spark, path, m) match {
       case Some(t) =>
         val byId = if (t.columns.contains(TombCellCol))
           t.filter(col(TombCellCol).isNull).select(col(idCol)) else t
         fresh.join(byId, Seq(idCol), "left_anti")
       case None => fresh
-    }
+    }).localCheckpoint()
     // per-cell counts of the rows this wave actually kills (rows
     // PRESENT and not already tombstoned — counted over LIVE rows, so
     // rows a located wave already killed never double-decrement) — the
@@ -309,7 +337,8 @@ object SpatialDisk {
       case None    => s
     })
     writeMetaLines(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
-      m.bits, m.token, decremented, m.tombs :+ token, Some(idCol))
+      m.bits, m.token, decremented, m.tombs :+ token, Some(idCol),
+      m.tombCells)
   }
 
   /** LOCATED tombstone delete — the O(wave) sibling of [[delete]]. The
@@ -359,8 +388,10 @@ object SpatialDisk {
       .filter(col(TombCellCol).isNotNull)
       .distinct()
     // pairs already dead are no-ops: ids killed everywhere by an
-    // ids-only wave, or (id, cell) pairs a prior located wave claimed
-    val fresh = tombstoneFrame(spark, path, m) match {
+    // ids-only wave, or (id, cell) pairs a prior located wave claimed.
+    // Checkpointed: the claimed-cell collect and the presence join
+    // both read it
+    val fresh = (tombstoneFrame(spark, path, m) match {
       case None => claimed
       case Some(t) =>
         val byId = if (t.columns.contains(TombCellCol))
@@ -371,7 +402,7 @@ object SpatialDisk {
               .select(col(idCol), col(TombCellCol).cast("long").as(TombCellCol)),
             Seq(idCol, TombCellCol), "left_anti")
         else f1
-    }
+    }).localCheckpoint()
     // the claimed-cell set bounds at the layout's own directory count
     // (<= 2^16 by write's d*cellBits cap) — a bounded driver list, the
     // same shape every pruned query collects
@@ -379,14 +410,23 @@ object SpatialDisk {
       .collect().map(_.getLong(0))
     if (cells.isEmpty) return
     // live matched rows, read from ONLY the claimed cell directories:
-    // prunedScan token-checks and subtracts prior waves, so decrements
-    // count genuinely-live rows and re-deletes are exact no-ops
-    val scan = prunedScan(spark, path, m, cells.toIndexedSeq)
+    // the scan token-checks and subtracts prior waves, so decrements
+    // count genuinely-live rows and re-deletes are exact no-ops. The
+    // explicit-path cap is the layout's own 2^16 directory ceiling —
+    // a purge verb is rare and wave-sized, so it never silently falls
+    // back to the full listing the way a hot query's default would
+    val scan = tokenChecked(
+      PrunedCellScan(spark, s"$path/data", CellCol,
+        cells.toIndexedSeq.map(Long.box), maxExplicit = 1 << 16),
+      path, m)
     require(scan.columns.contains(idCol),
       s"SpatialDisk.deleteAt: the layout has no '$idCol' column")
+    // checkpointed: both the decrement collect and the tombstone write
+    // read it — without this the claimed-cell scan runs twice
     val hitRows = scan
       .select(col(idCol), col(CellCol).cast("long").as(TombCellCol))
       .join(fresh, Seq(idCol, TombCellCol))
+      .localCheckpoint()
     val perCell = hitRows.groupBy(col(TombCellCol))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -400,7 +440,8 @@ object SpatialDisk {
       case None    => s
     })
     writeMetaLines(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
-      m.bits, m.token, decremented, m.tombs :+ token, Some(idCol))
+      m.bits, m.token, decremented, m.tombs :+ token, Some(idCol),
+      tombCells = true)
   }
 
   /** Compact the layout: appended ingest waves leave many small files
@@ -484,7 +525,7 @@ object SpatialDisk {
     val live = tokenChecked(data, path, m)
     writeMetaLines(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
       m.bits, m.token, collectCellStats(live, m.keyCols), m.tombs,
-      m.tombIdCol)
+      m.tombIdCol, m.tombCells)
   }
 
   /** Per-cell on-disk stats: row count + the cell's TRUE MBR. */
@@ -495,7 +536,8 @@ object SpatialDisk {
                                 highs: Array[Double], cellBits: Int,
                                 bits: Int, cells: Seq[CellStat], token: String,
                                 tombs: Seq[String] = Seq.empty,
-                                tombIdCol: Option[String] = None)
+                                tombIdCol: Option[String] = None,
+                                tombCells: Boolean = false)
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val lines = graft.operators.DedupOps.readMetaLines(spark, path,
@@ -524,7 +566,8 @@ object SpatialDisk {
       line("lows").split(",").map(_.toDouble),
       line("highs").split(",").map(_.toDouble),
       params("cellBits").toInt, params("bits").toInt, cells, line("token"),
-      tombs, tombIdCol)
+      tombs, tombIdCol,
+      lines.exists(_ == "tombCells=yes"))
   }
 
   /** Non-throwing audit of a spatial layout — the
@@ -626,9 +669,13 @@ object SpatialDisk {
     if (m.tombs.isEmpty) None
     // not distinct'd: read-path consumers anti-join (duplicate-
     // insensitive) and admitted waves are disjoint by the delete verbs'
-    // construction; [[delete]]'s per-cell count distincts locally
+    // construction; [[delete]]'s per-cell count distincts locally.
+    // Schema merging (ids-only waves lack the cell column) costs a
+    // footer read per tombstone file, so the meta records whether any
+    // located wave exists and pure ids-only layouts skip it
     else {
-      val raw = spark.read.option("mergeSchema", "true")
+      val raw = spark.read
+        .option("mergeSchema", m.tombCells.toString)
         .parquet(s"$path/tombstones")
         .filter(col(TokenCol).isin(m.tombs: _*))
       val cols = col(TombIdCol).as(m.tombIdCol.get) +:

@@ -59,6 +59,21 @@ object CorpusOps {
     * the corpus is never touched). The candidate-generation primitive
     * under field-filtered search and the strict form BM25's weak-AND
     * relaxes; returns (id, dl) ordered by id. */
+  /** Admitted-token guard shared by the BM25 read/delete verbs:
+    * refuses a missing token column, asserts every surviving row's
+    * token is admitted, drops the column. */
+  private def bm25TokenChecked(df: DataFrame, path: String, what: String,
+                               admitted: Seq[String],
+                               caller: String): DataFrame = {
+    require(df.columns.contains("__graft_token"),
+      s"$caller: $path/$what has no __graft_token column — the layout " +
+        "is torn or foreign; rewrite with writeBm25Index")
+    df.filter(assert_true(col("__graft_token").isin(admitted: _*),
+      lit(s"$caller: write-token mismatch between $path/meta and " +
+        s"$path/$what — rewrite the layout")).isNull)
+      .drop("__graft_token")
+  }
+
   def matchAllTermsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                 path: String,
                                 terms: Seq[String]): DataFrame = {
@@ -70,13 +85,8 @@ object CorpusOps {
     require(waveTokens.contains(params("__token")),
       s"matchAllTermsAgainstIndex: write-token mismatch inside " +
         s"$path/meta (token not in the waves list) — rewrite the layout")
-    val posts = spark.read.parquet(s"$path/postings")
-    require(posts.columns.contains("__graft_token"),
-      s"matchAllTermsAgainstIndex: $path/postings has no __graft_token " +
-        "column — the layout is torn or foreign; rewrite it")
-    val live = posts.filter(assert_true(col("__graft_token").isin(waveTokens: _*),
-        lit(s"matchAllTermsAgainstIndex: write-token mismatch between " +
-          s"$path/meta and $path/postings — rewrite the layout")).isNull)
+    val live = bm25TokenChecked(spark.read.parquet(s"$path/postings"),
+        path, "postings", waveTokens, "matchAllTermsAgainstIndex")
       .filter(col("term").isin(terms.distinct: _*))
     val survivors = DedupOps.tombstoneIds(spark, path, params,
         "matchAllTermsAgainstIndex") match {
@@ -251,10 +261,8 @@ object CorpusOps {
     // tombstone rows on disk would read as a MISSING wave to fsck, and
     // the constants would subtract zero anyway)
     if (newIds.isEmpty) return
-    val posts = spark.read.parquet(s"$path/postings")
-      .filter(assert_true(col("__graft_token").isin(waveTokens: _*),
-        lit(s"deleteFromBm25Index: write-token mismatch between " +
-          s"$path/meta and $path/postings — rewrite the layout")).isNull)
+    val posts = bm25TokenChecked(spark.read.parquet(s"$path/postings"),
+      path, "postings", waveTokens, "deleteFromBm25Index")
     // the deleted docs' layout facts, ONE column-pruned semi-join:
     // (term, id) rows are df units, per-doc dl rides every posting
     val delPosts = posts.join(newIds, Seq(storedId), "left_semi")
@@ -362,21 +370,11 @@ object CorpusOps {
       "deleteFromBm25IndexWithText: the wave holds docs whose text " +
         "tokenizes empty — no posting exists to confirm their presence; " +
         "delete those ids with deleteFromBm25Index")
-    def tokenChecked(df: DataFrame, what: String,
-                     admitted: Seq[String]): DataFrame = {
-      require(df.columns.contains("__graft_token"),
-        s"deleteFromBm25IndexWithText: $path/$what has no __graft_token " +
-          "column — the layout is torn or foreign; rewrite with writeBm25Index")
-      df.filter(assert_true(col("__graft_token").isin(admitted: _*),
-        lit(s"deleteFromBm25IndexWithText: write-token mismatch between " +
-          s"$path/meta and $path/$what — rewrite the layout")).isNull)
-        .drop("__graft_token")
-    }
     val tombTokens = DedupOps.tombTokens(params)
     // ONE vocab-sized dictionary pass: per-doc rarest LIVE term (min
     // summed df, term as tie-break); any no-live-df term = doc absent
-    val dictRaw = tokenChecked(spark.read.parquet(s"$path/terms"), "terms",
-      waveTokens ++ tombTokens)
+    val dictRaw = bm25TokenChecked(spark.read.parquet(s"$path/terms"),
+      path, "terms", waveTokens ++ tombTokens, "deleteFromBm25IndexWithText")
     val hasBounds = dictRaw.columns.contains("__maxtf") &&
       dictRaw.columns.contains("__mindl")
     val dictDf = dictRaw.groupBy(col("term")).agg(sum(col("__df")).as("__df"))
@@ -394,8 +392,9 @@ object CorpusOps {
     // wave-sized posting sliver keyed by the chosen terms
     val chosenTerms = chosen.select(col("term")).distinct()
       .limit(maxPushdownTerms + 1).collect().map(_.getString(0)).toSeq
-    val posts0 = tokenChecked(spark.read.parquet(s"$path/postings"),
-      "postings", waveTokens).select(col("term"), col(storedId))
+    val posts0 = bm25TokenChecked(spark.read.parquet(s"$path/postings"),
+        path, "postings", waveTokens, "deleteFromBm25IndexWithText")
+      .select(col("term"), col(storedId))
     val sliver =
       if (chosenTerms.length <= maxPushdownTerms)
         posts0.filter(col("term").isin(chosenTerms: _*))
@@ -463,15 +462,9 @@ object CorpusOps {
     // (postings never hold delete-token rows)
     val tombTokens = DedupOps.tombTokens(params)
     def tokenChecked(df: DataFrame, what: String,
-                     admittedTokens: Seq[String]): DataFrame = {
-      require(df.columns.contains("__graft_token"),
-        s"bm25TopKAgainstIndex: $path/$what has no __graft_token column " +
-          "— the layout is torn or foreign; rewrite with writeBm25Index")
-      df.filter(assert_true(col("__graft_token").isin(admittedTokens: _*),
-        lit(s"bm25TopKAgainstIndex: write-token mismatch between " +
-          s"$path/meta and $path/$what — rewrite the layout")).isNull)
-        .drop("__graft_token")
-    }
+                     admittedTokens: Seq[String]): DataFrame =
+      bm25TokenChecked(df, path, what, admittedTokens,
+        "bm25TopKAgainstIndex")
     // one bounded dictionary probe: df for exactly the query terms —
     // SUMMED across waves (each wave appended its own df rows; delete
     // waves appended negative ones) — plus the max-score bounds when

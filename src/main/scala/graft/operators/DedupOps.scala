@@ -357,10 +357,10 @@ object DedupOps {
         s"'$storedId' (has: ${ids.columns.mkString(", ")})")
     val token = java.util.UUID.randomUUID().toString
     val fresh = ids.select(col(storedId)).distinct()
-    val newIds = tombstoneIds(spark, path, params, caller) match {
+    val newIds = (tombstoneIds(spark, path, params, caller) match {
       case Some(t) => fresh.join(t, Seq(storedId), "left_anti")
       case None    => fresh
-    }
+    }).localCheckpoint() // the guard and the write both read it
     // everything already dead: admit nothing (an admitted wave with no
     // tombstone rows on disk would read as a MISSING wave to fsck)
     if (newIds.isEmpty) return

@@ -303,10 +303,10 @@ object VectorOps {
         "one id column per layout"))
     val token = java.util.UUID.randomUUID().toString
     val fresh = ids.select(col(idCol).as("__graft_tomb_id")).distinct()
-    val newIds = ivfTombstones(spark, path, meta, "__graft_tomb_id") match {
+    val newIds = (ivfTombstones(spark, path, meta, "__graft_tomb_id") match {
       case Some(t) => fresh.join(t, Seq("__graft_tomb_id"), "left_anti")
       case None    => fresh
-    }
+    }).localCheckpoint() // the guard and the write both read it
     // everything already dead: admit nothing (an admitted wave with no
     // tombstone rows on disk would read as a MISSING wave to fsck)
     if (newIds.isEmpty) return
@@ -970,10 +970,10 @@ object VectorOps {
         s"(has: ${ids.columns.mkString(", ")})")
     val token = java.util.UUID.randomUUID().toString
     val fresh = ids.select(col(idCol).as("__graft_tomb_id")).distinct()
-    val newIds = ivfPqTombstones(spark, path, meta, "__graft_tomb_id") match {
+    val newIds = (ivfPqTombstones(spark, path, meta, "__graft_tomb_id") match {
       case Some(t) => fresh.join(t, Seq("__graft_tomb_id"), "left_anti")
       case None    => fresh
-    }
+    }).localCheckpoint() // the guard and the write both read it
     // everything already dead: admit nothing (an admitted wave with no
     // tombstone rows on disk would read as a MISSING wave to fsck)
     if (newIds.isEmpty) return

@@ -476,6 +476,15 @@ object ExplainPlans {
       graft.index.SpatialDisk.knn(spark, delPath,
         Array(5000.0, 500.0), 10, Seq("c_custkey"))
     }
+    show("spatial_disk_delete_mixed_box (expect TWO wave-sized LEFT-ANTI joins off the pruned scan — the located (id, cell) wave first, then the ids-only wave — and no CartesianProduct; the read stays the pruned sliver)") {
+      val delPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_sp_del").toString
+      graft.index.SpatialDisk.deleteAt(spark, delPath,
+        customerPts(spark, d).filter(col("c_custkey") % 10 === 7)
+          .select("c_custkey", "cx", "cy"), "c_custkey")
+      graft.index.SpatialDisk.boxRange(spark, delPath,
+        Array(2000.0, 100.0), Array(4000.0, 300.0))
+    }
     show("ivfpq_tombstoned_topk (expect the admitted tombstone ids anti-joined on the PROBED-CELL code sliver — never the table; the explicit-path pruned read underneath)") {
       import graft.operators.VectorOps
       import graft.operators.VectorOps._

@@ -472,7 +472,7 @@ object ScaleTrend {
     }
 
     // BM25 purge-verb cost (`ScaleTrend bm25delete`): one layout per
-    // corpus decade, two DISJOINT equal-size ~600-doc purge waves —
+    // corpus decade, two DISJOINT equal-size 294-doc purge waves —
     // the ids-only verb (its df deltas ride a semi-join over the WHOLE
     // postings table, the one O(table) pass the text layouts had left)
     // vs the located with-text verb (wave tokenization + one

@@ -559,6 +559,14 @@ class SpatialDiskSpec extends SparkSpec {
     assert(afterLoc === Seq((1L, 900.0), (2L, 500.0)),
       s"located delete must kill id 1 ONLY at (10,10): $afterLoc")
     assert(SpatialDisk.fsck(spark, dupPath).collect().forall(_.getBoolean(1)))
+    // the located granularity reaches the append clash gate: id 1 at a
+    // DIFFERENT cell appends freely...
+    SpatialDisk.append(Seq((1L, 500.0, 500.0)).toDF("id", "x", "y"), dupPath)
+    // ...but at the tombstoned cell it would be invisible — refused
+    val eLoc = intercept[IllegalArgumentException] {
+      SpatialDisk.append(Seq((1L, 10.0, 10.0)).toDF("id", "x", "y"), dupPath)
+    }
+    assert(eLoc.getMessage.contains("located"), eLoc.getMessage)
     SpatialDisk.delete(spark, dupPath, Seq(1L).toDF("id"), "id")
     assert(SpatialDisk.boxRange(spark, dupPath,
       Array(-1e7, -1e7), Array(1e7, 1e7))
