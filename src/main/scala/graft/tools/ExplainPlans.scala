@@ -476,7 +476,7 @@ object ExplainPlans {
       graft.index.SpatialDisk.knn(spark, delPath,
         Array(5000.0, 500.0), 10, Seq("c_custkey"))
     }
-    show("spatial_disk_delete_mixed_box (expect TWO wave-sized LEFT-ANTI joins off the pruned scan — the located (id, cell) wave first, then the ids-only wave — and no CartesianProduct; the read stays the pruned sliver)") {
+    show("spatial_disk_delete_mixed_box (expect TWO wave-sized LEFT-ANTI joins off the pruned scan — the located (id, cell) wave first, then the ids-only wave — no cross anywhere; the read stays the pruned sliver)") {
       val delPath = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_plans_sp_del").toString
       graft.index.SpatialDisk.deleteAt(spark, delPath,
