@@ -427,6 +427,18 @@ object SpatialDisk {
       .select(col(idCol), col(CellCol).cast("long").as(TombCellCol))
       .join(fresh, Seq(idCol, TombCellCol))
       .localCheckpoint()
+    admitLocatedWave(spark, path, m, idCol, hitRows)
+  }
+
+  /** Admit a LOCATED delete wave: `hitRows` are LIVE (id, cell-as-long)
+    * rows already verified present — per-cell decrements count them
+    * exactly, the distinct (id, cell) pairs land as tombstones under a
+    * fresh token, the decremented meta publishes LAST with the
+    * located-wave flag. A wave with no rows admits nothing. `hitRows`
+    * must be materialized (checkpointed) by the caller: the decrement
+    * collect and the tombstone write both read it. */
+  private def admitLocatedWave(spark: SparkSession, path: String, m: Meta,
+                               idCol: String, hitRows: DataFrame): Unit = {
     val perCell = hitRows.groupBy(col(TombCellCol))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -442,6 +454,78 @@ object SpatialDisk {
     writeMetaLines(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
       m.bits, m.token, decremented, m.tombs :+ token, Some(idCol),
       tombCells = true)
+  }
+
+  /** REGION purge: tombstone-delete every live row inside the box
+    * `[lo, hi]` — the delete-by-jurisdiction GDPR shape ("purge all
+    * points in region X") riding the exact query path: the box's
+    * candidate cells enumerate and prune exactly as [[boxRange]]'s do,
+    * the exact predicate picks the in-box live rows, and their
+    * (id, cell) pairs admit as one located wave ([[deleteAt]]
+    * semantics: readers anti-join per cell, decrements exact, compact
+    * folds). O(region), never O(table).
+    *
+    * Granularity: tombstones are (id, cell)-keyed, so the purge kills
+    * EVERY live row of an (id, cell) pair that has at least one row
+    * inside the region — with unique ids (one row per id, the common
+    * point-record case) that is exactly the region's rows; an id with
+    * several rows in ONE cell loses all of them if any is in-region
+    * (spec-pinned), while its rows in other cells survive. An empty
+    * region admits nothing. Idempotent. */
+  def deleteBox(spark: SparkSession, path: String, lo: Array[Double],
+                hi: Array[Double], idCol: String): Unit = {
+    val m = readMeta(spark, path)
+    deleteRegion(spark, path, m, idCol,
+      scanBox(spark, path, m, lo, hi)
+        .filter(inBox(m.keyCols.map(col), lo.toSeq, hi.toSeq)))
+  }
+
+  /** [[deleteBox]]'s circle twin: purge every live row within `radius`
+    * of `center` — bbox-driven pruning, exact distance predicate, one
+    * located wave. */
+  def deleteCircle(spark: SparkSession, path: String,
+                   center: Array[Double], radius: Double,
+                   idCol: String): Unit = {
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    val m = readMeta(spark, path)
+    val lo = center.map(_ - radius)
+    val hi = center.map(_ + radius)
+    deleteRegion(spark, path, m, idCol,
+      scanBox(spark, path, m, lo, hi)
+        .filter(inCircle(m.keyCols.map(col), center.toSeq, radius)))
+  }
+
+  /** Shared region-purge tail: `inRegion` is a LIVE pruned scan already
+    * filtered to the region. Its distinct (id, cell) pairs widen to
+    * ALL live rows sharing the pair (a located tombstone kills the
+    * whole pair — decrementing only the in-region rows would leave the
+    * meta count claiming rows the tombstone hides, silently shrinking
+    * kNN's guaranteed radii), then admit as one located wave. */
+  private def deleteRegion(spark: SparkSession, path: String, m: Meta,
+                           idCol: String, inRegion: DataFrame): Unit = {
+    require(!Seq(CellCol, ZCol, TokenCol).contains(idCol),
+      s"SpatialDisk.deleteRegion: '$idCol' is a layout-internal column")
+    m.tombIdCol.foreach(c => require(c == idCol,
+      s"SpatialDisk.deleteRegion: the layout's delete waves are keyed " +
+        s"by '$c' — one id column per layout"))
+    require(inRegion.columns.contains(idCol),
+      s"SpatialDisk.deleteRegion: the layout has no '$idCol' column")
+    val pairs = inRegion
+      .select(col(idCol), col(CellCol).cast("long").as(TombCellCol))
+      .distinct()
+      .localCheckpoint()
+    val cells = pairs.select(col(TombCellCol)).distinct()
+      .collect().map(_.getLong(0))
+    if (cells.isEmpty) return
+    val scan = tokenChecked(
+      PrunedCellScan(spark, s"$path/data", CellCol,
+        cells.toIndexedSeq.map(Long.box), maxExplicit = 1 << 16),
+      path, m)
+    val hitRows = scan
+      .select(col(idCol), col(CellCol).cast("long").as(TombCellCol))
+      .join(pairs, Seq(idCol, TombCellCol))
+      .localCheckpoint()
+    admitLocatedWave(spark, path, m, idCol, hitRows)
   }
 
   /** Compact the layout: appended ingest waves leave many small files

@@ -281,6 +281,38 @@ object Spatial {
       .orderBy(col("c_custkey"))
   }
 
+  /** REGION purge under the oracle: every point inside the standard
+    * box is tombstone-deleted ([[graft.index.SpatialDisk.deleteBox]] —
+    * the delete-by-jurisdiction shape, O(region) through the pruned
+    * query path), then a WIDER box query must equal the plain SQL over
+    * the complement. */
+  def diskDeleteBoxRegion(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_delbx_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val pts = customerPts(s, d)
+    graft.index.SpatialDisk.write(pts, path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.deleteBox(s, path, boxLow.toArray,
+      boxHigh.toArray, "c_custkey")
+    graft.index.SpatialDisk.boxRange(s, path, Array(0.0, 0.0),
+        Array(6000.0, 600.0))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** [[diskDeleteBoxRegion]]'s circle twin: purge the disk around the
+    * center, query a box around it — the oracle is the box SQL with
+    * the EXACT same-IEEE-shape circle predicate negated. */
+  def diskDeleteCircleRegion(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_delcr_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val pts = customerPts(s, d)
+    graft.index.SpatialDisk.write(pts, path, Seq("cx", "cy"))
+    graft.index.SpatialDisk.deleteCircle(s, path, center.toArray, 500.0,
+      "c_custkey")
+    graft.index.SpatialDisk.boxRange(s, path, Array(4000.0, 0.0),
+        Array(6000.0, 1000.0))
+      .orderBy(col("c_custkey"))
+  }
+
   /** kNN over the tombstoned layout: the stats-walk's guaranteed radius
     * stands on the per-cell counts the delete DECREMENTED — the oracle
     * (exact top-k over the survivors) is what pins that guarantee. */
@@ -558,6 +590,21 @@ object Spatial {
          |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
          |  AND c_custkey % 10 <> 3
          |ORDER BY c_custkey""".stripMargin,
+    // region purge: the layout answers as a from-scratch build on the
+    // region's complement — the oracle negates the exact same-IEEE
+    // region predicate inside a wider window
+    "sp_disk_delete_box" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE cx >= 0.0 AND cx <= 6000.0 AND cy >= 0.0 AND cy <= 600.0
+         |  AND NOT (cx >= 2000.0 AND cx <= 4000.0
+         |           AND cy >= 100.0 AND cy <= 300.0)
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_disk_delete_circle" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE cx >= 4000.0 AND cx <= 6000.0 AND cy >= 0.0 AND cy <= 1000.0
+         |  AND NOT (sqrt((cx - 5000.0)*(cx - 5000.0)
+         |               + (cy - 500.0)*(cy - 500.0)) <= 500.0)
+         |ORDER BY c_custkey""".stripMargin,
     // the located verb's contract is the same answer through a cheaper
     // path (O(wave) presence check instead of the O(table) pass), so
     // its oracles are the ids-only verb's SQL on its own survivor set
@@ -763,6 +810,8 @@ object Spatial {
     "sp_disk_delete_at" -> (diskDeleteAtBox _),
     "sp_disk_delete_at_knn" -> (diskDeleteAtKnn _),
     "sp_disk_delete_mixed" -> (diskDeleteMixed _),
+    "sp_disk_delete_box" -> (diskDeleteBoxRegion _),
+    "sp_disk_delete_circle" -> (diskDeleteCircleRegion _),
     "sp_disk_box_sql" -> (diskBoxSqlQ _),
     "sp_st_join" -> (spatioTemporalJoinQ _),
     "sp_polygon_join" -> (polygonDistanceJoinQ _),

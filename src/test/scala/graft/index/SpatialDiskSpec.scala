@@ -575,6 +575,67 @@ class SpatialDiskSpec extends SparkSpec {
     assert(SpatialDisk.fsck(spark, dupPath).collect().forall(_.getBoolean(1)))
   }
 
+  test("deleteBox/deleteCircle: region purge equals a from-scratch " +
+    "build without the region; (id, cell) pair granularity pinned") {
+    val path = freshLayout("delbox")
+    val lo = Array(2000.0, 100.0); val hi = Array(4000.0, 300.0)
+    SpatialDisk.deleteBox(spark, path, lo, hi, "c_custkey")
+    // the purged region reads empty; everything else answers like a
+    // from-scratch build on the complement
+    assert(SpatialDisk.boxRange(spark, path, lo, hi).count() === 0L)
+    val survivors = cust.filter(!(col("cx").between(2000.0, 4000.0) &&
+      col("cy").between(100.0, 300.0)))
+    val refPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_delboxref").toString
+    SpatialDisk.write(survivors, refPath, Seq("cx", "cy"))
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val wideLo = Array(-1e7, -1e7); val wideHi = Array(1e7, 1e7)
+    assert(keys(SpatialDisk.boxRange(spark, path, wideLo, wideHi)) ===
+      keys(SpatialDisk.boxRange(spark, refPath, wideLo, wideHi)),
+      "region purge != from-scratch build on the complement")
+    // the stats-walk kNN stands on the region's exact decrements
+    val c = Array(5000.0, 500.0)
+    assert(keys(SpatialDisk.knn(spark, path, c, 10, Seq("c_custkey"))) ===
+      keys(survivors.knn(Seq("cx", "cy"), c.toSeq, 10,
+        tieBreak = Seq("c_custkey"))),
+      "stats-walk kNN over the region-purged layout is not exact")
+    assert(SpatialDisk.fsck(spark, path).collect().forall(_.getBoolean(1)))
+    // idempotent: re-purging the empty region admits nothing
+    SpatialDisk.deleteBox(spark, path, lo, hi, "c_custkey")
+    assert(SpatialDisk.fsck(spark, path).collect().forall(_.getBoolean(1)))
+    // circle twin: the purged disk reads empty, complement survives
+    val path2 = freshLayout("delcirc")
+    SpatialDisk.deleteCircle(spark, path2, c, 500.0, "c_custkey")
+    assert(SpatialDisk.circleRange(spark, path2, c, 500.0).count() === 0L)
+    val circSurv = cust.filter(
+      !(sqrt(pow(col("cx") - 5000.0, 2) + pow(col("cy") - 500.0, 2))
+        <= 500.0))
+    assert(SpatialDisk.boxRange(spark, path2, wideLo, wideHi).count() ===
+      circSurv.count())
+    assert(SpatialDisk.fsck(spark, path2).collect().forall(_.getBoolean(1)))
+
+    // pair granularity: an id with two rows in ONE cell loses both if
+    // either is in-region (the located tombstone kills the pair — the
+    // decrement counted both, so the kNN counts stay true); rows of
+    // the id in OTHER cells survive
+    import spark.implicits._
+    val dup = Seq((1L, 10.0, 10.0), (1L, 12.0, 12.0), (1L, 900.0, 900.0),
+      (2L, 880.0, 880.0)).toDF("id", "x", "y")
+    val dupPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_spec_delboxdup").toString
+    SpatialDisk.write(dup, dupPath, Seq("x", "y"), cellBits = 2)
+    SpatialDisk.deleteBox(spark, dupPath, Array(9.0, 9.0),
+      Array(11.0, 11.0), "id")
+    val left = SpatialDisk.boxRange(spark, dupPath, wideLo, wideHi)
+      .select("id", "x").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sorted.toSeq
+    assert(left === Seq((1L, 900.0), (2L, 880.0)),
+      s"pair granularity: (1,12.0) shares id 1's cell and must die; " +
+        s"(1,900.0) is another cell and must survive: $left")
+    assert(SpatialDisk.fsck(spark, dupPath).collect().forall(_.getBoolean(1)))
+  }
+
   test("repair: both fsck-named tear classes heal in place") {
     // tear class 1: drifted per-cell stats (hand-edited meta stands in
     // for a lost tombstone decrement) — repair re-aggregates, same token
