@@ -95,6 +95,29 @@ object Spatial {
       .orderBy(col("event_id"))
   }
 
+  /** RETENTION purge on the 1-D time layout: everything BEFORE the
+    * cutoff (first two days) tombstone-deletes through
+    * [[graft.index.SpatialDisk.deleteBox]] — the time-series shape
+    * ("drop data older than T") as an O(expired-region) located wave,
+    * never a layout rewrite — and the remaining-events query must
+    * equal the plain SQL over rows at-or-after the cutoff. */
+  def diskRetention(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.eventsPts
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spatial_disk_ret_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val ev = eventsPts(s, d).select(col("event_id"),
+      unix_millis(col("ts")).cast("double").as("tms"))
+    graft.index.SpatialDisk.write(ev, path, Seq("tms"), cellBits = 6)
+    val t0 = ev.agg(min(col("tms"))).head().getDouble(0)
+    // expire [t0, t0 + 2 days): the half-open edge rides the written
+    // values being integral millis — the cutoff lands between them
+    graft.index.SpatialDisk.deleteBox(s, path, Array(t0),
+      Array(t0 + 172799999.0), "event_id")
+    graft.index.SpatialDisk.boxRange(s, path,
+        Array(-1.0e18), Array(1.0e18))
+      .orderBy(col("event_id"))
+  }
+
   /** kNN join where the RIGHT side is the at-rest layout: per-left
     * guaranteed radii from the meta's true cell stats, dilated-cell
     * explode, pruned directory scan, windowed top-k + exact fallback.
@@ -605,6 +628,15 @@ object Spatial {
          |  AND NOT (sqrt((cx - 5000.0)*(cx - 5000.0)
          |               + (cy - 500.0)*(cy - 500.0)) <= 500.0)
          |ORDER BY c_custkey""".stripMargin,
+    // retention purge on the time layout: survivors are rows at or
+    // after the cutoff (written tms values are integral millis, so the
+    // closed [t0, t0+2d-1ms] region is exactly "before day 2")
+    "sp_disk_retention" ->
+      """WITH m AS (SELECT min(epoch_ms(ts)) AS t0 FROM events)
+        |SELECT event_id, CAST(epoch_ms(ts) AS DOUBLE) AS tms
+        |FROM events, m
+        |WHERE NOT (epoch_ms(ts) >= t0 AND epoch_ms(ts) <= t0 + 172799999)
+        |ORDER BY event_id""".stripMargin,
     // the located verb's contract is the same answer through a cheaper
     // path (O(wave) presence check instead of the O(table) pass), so
     // its oracles are the ids-only verb's SQL on its own survivor set
@@ -812,6 +844,7 @@ object Spatial {
     "sp_disk_delete_mixed" -> (diskDeleteMixed _),
     "sp_disk_delete_box" -> (diskDeleteBoxRegion _),
     "sp_disk_delete_circle" -> (diskDeleteCircleRegion _),
+    "sp_disk_retention" -> (diskRetention _),
     "sp_disk_box_sql" -> (diskBoxSqlQ _),
     "sp_st_join" -> (spatioTemporalJoinQ _),
     "sp_polygon_join" -> (polygonDistanceJoinQ _),
