@@ -658,10 +658,20 @@ object ScaleTrend {
         table.filter(col("cid") % 1000 === 3), "cid")
       println(f"spdeleteat located2  delete-verb " +
         f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      // region purge: one small box (~0.2% of the 10x x-span) — the
+      // verb's cost must track the REGION's cells, not the 16k-dir
+      // layout (the region scan prunes exactly as a boxRange does)
+      t0 = System.nanoTime()
+      graft.index.SpatialDisk.deleteBox(spark, p,
+        Array(5000.0, 100.0), Array(5250.0, 300.0), "cid")
+      println(f"spdeleteat region    delete-verb " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
       val live = graft.index.SpatialDisk.boxRange(spark, p,
         Array(-1e9, -1e9), Array(1e9, 1e9)).count()
       val want = table.filter(col("cid") % 1000 =!= 1 &&
-        col("cid") % 1000 =!= 2 && col("cid") % 1000 =!= 3).count()
+        col("cid") % 1000 =!= 2 && col("cid") % 1000 =!= 3 &&
+        !(col("cx").between(5000.0, 5250.0) &&
+          col("cy").between(100.0, 300.0))).count()
       println(s"spdeleteat parity: live=$live want=$want " +
         (if (live == want) "OK" else "MISMATCH"))
       spark.stop(); return
