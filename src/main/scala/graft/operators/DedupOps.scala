@@ -1974,7 +1974,25 @@ object DedupOps {
     def grams(df: DataFrame, id: String, out: String) = df
       .select(col(id).as(out), explode(wordGrams(col(textCol), n)).as("__graft_gram"))
       .distinct()
-    grams(corpus, corpusId, "__graft_cid")
+    // pass 1 (candidate gate): per-doc n-gram HASHES
+    // ([[graft.functions.shingleSet]] — no gram string is ever built,
+    // and only (id, 8-byte hash) rows reach the exchange) semi-joined
+    // against the eval side's hash set. A string-gram match implies a
+    // hash match (same tokenizer, deterministic mix), so the gate
+    // admits a SUPERSET of the truly contaminated docs; collisions and
+    // the short-doc whole-text shingle only ever ADD candidates.
+    val evalHashes = eval
+      .select(explode(shingleSet(col(textCol), n)).as("__graft_gh"))
+      .distinct()
+    val candidates = corpus
+      .select(col(corpusId), explode(shingleSet(col(textCol), n)).as("__graft_gh"))
+      .join(evalHashes, Seq("__graft_gh"), "left_semi")
+      .select(col(corpusId)).distinct()
+    // pass 2 (exact): the string-keyed gram join over ONLY the
+    // candidate docs — contamination is rare by design, so the
+    // engine-replayable exact count tokenizes a sliver, not the corpus
+    grams(corpus.join(candidates, Seq(corpusId), "left_semi"),
+        corpusId, "__graft_cid")
       .join(grams(eval, evalId, "__graft_eid"), Seq("__graft_gram"))
       .groupBy(col("__graft_cid"), col("__graft_eid"))
       .agg(count(lit(1)).as("shared_grams"))
