@@ -2027,8 +2027,22 @@ object DedupOps {
     val evalGrams = eval
       .select(explode(wordGrams(col(evalTextCol), n)).as("__graft_gram"))
       .distinct()
+    // candidate gate (the contaminationPairs discipline): per-doc gram
+    // HASHES against the eval hash set — no gram string rides the
+    // corpus-sized exchange; a string match implies a hash match, so
+    // the gate admits a superset and the exact positional pass below
+    // decides. Clean docs never posexplode; redactByStarts' left join
+    // passes them through untouched (n_removed = 0).
+    val evalHashes = eval
+      .select(explode(shingleSet(col(evalTextCol), n)).as("__graft_gh"))
+      .distinct()
+    val candidates = corpus
+      .select(col(corpusId), explode(shingleSet(col(textCol), n)).as("__graft_gh"))
+      .join(evalHashes, Seq("__graft_gh"), "left_semi")
+      .select(col(corpusId)).distinct()
     // 1-based gram start positions; a doc with < n tokens has no grams
     val starts = corpus
+      .join(candidates, Seq(corpusId), "left_semi")
       .select(col(corpusId).as("__graft_did"),
         posexplode(wordGrams(col(textCol), n))
           .as(Seq("__graft_p0", "__graft_gram")))
