@@ -552,6 +552,8 @@ object SpatialDisk {
       .collect().map(_.getString(0))
     // dropForeign (the repair path): unadmitted rows are ROLLED BACK
     // instead of refused — provided admitted rows exist to repair from
+    // (tombstone subtraction below forces the schema merge: a rewrite
+    // under a flag-damaged meta must never fold over-deletion in)
     require(tokens.contains(m.token),
       s"SpatialDisk.compact: $path/data holds no rows under the meta's " +
         "token — nothing to compact from; rewrite with SpatialDisk.write")
@@ -567,7 +569,7 @@ object SpatialDisk {
     // only, and the fresh write below clears the tombstones dir — the
     // compacted generation answers bit-identically but no longer pays
     // the read-side anti-join
-    val live = subtractTombstones(data, spark, path, m)
+    val live = subtractTombstones(data, spark, path, m, forceMerge = true)
     live.drop(CellCol, ZCol, TokenCol)
       .write.mode("overwrite").parquet(snap)
     write(spark.read.parquet(snap), path, m.keyCols,
@@ -604,12 +606,22 @@ object SpatialDisk {
       compact(path, spark, dropForeign = true)
       return
     }
-    // stats refresh: counts of LIVE rows (tombstones subtracted), true
-    // MBRs, same token — exactly what fsck's cell_counts_exact checks
-    val live = tokenChecked(data, path, m)
+    // stats refresh: counts of LIVE rows (tombstones subtracted — the
+    // subtraction FORCES the schema merge and the republished meta
+    // restores the tombCells flag, healing fsck's tomb_kinds tear:
+    // a lost flag makes hot reads treat located waves as id-kills),
+    // true MBRs, same token — exactly what fsck's cell_counts_exact
+    // checks
+    val locFlag = m.tombCells ||
+      (m.tombs.nonEmpty && hasLocatedWaves(spark, path, m))
+    val live = subtractTombstones(data.filter(
+        assert_true(col(TokenCol) === m.token,
+          lit(s"SpatialDisk.repair: write-token mismatch between " +
+            s"$path/meta and $path/data")).isNull),
+      spark, path, m, forceMerge = true)
     writeMetaLines(spark, path, m.keyCols, m.lows, m.highs, m.cellBits,
       m.bits, m.token, collectCellStats(live, m.keyCols), m.tombs,
-      m.tombIdCol, m.tombCells)
+      m.tombIdCol, locFlag)
   }
 
   /** Per-cell on-disk stats: row count + the cell's TRUE MBR. */
@@ -702,6 +714,20 @@ object SpatialDisk {
               (if (missing.nonEmpty) s", ${missing.size} MISSING — " +
                 "over-counted cells follow; compact from source" else ""))
         }
+        if (m.tombs.nonEmpty) check("tomb_kinds") {
+          // located waves carry the cell column; a meta whose
+          // tombCells flag was lost (hand-edit, partial copy) makes
+          // readers skip the schema merge and anti-join those waves by
+          // id alone — over-deleting the id in EVERY cell
+          val located = hasLocatedWaves(spark, path, m)
+          (!located || m.tombCells,
+            if (!located) "ids-only waves" +
+              (if (m.tombCells) " (tombCells flag redundant but safe)" else "")
+            else if (m.tombCells) "located waves flagged in the meta"
+            else "located waves on disk but the meta lacks " +
+              "tombCells=yes — readers over-delete those ids in every " +
+              "cell; repair republishes the flag")
+        }
         check("cell_counts_exact") {
           // live rows per cell = on-disk minus admitted tombstones, via
           // the same anti-join subtraction every reader uses (LEFT-ANTI
@@ -749,17 +775,22 @@ object SpatialDisk {
     * mergeSchema unions the two wave schemas (ids-only waves predate
     * the cell column). */
   private def tombstoneFrame(spark: SparkSession, path: String,
-                             m: Meta): Option[DataFrame] =
+                             m: Meta,
+                             forceMerge: Boolean = false): Option[DataFrame] =
     if (m.tombs.isEmpty) None
     // not distinct'd: read-path consumers anti-join (duplicate-
     // insensitive) and admitted waves are disjoint by the delete verbs'
     // construction; [[delete]]'s per-cell count distincts locally.
     // Schema merging (ids-only waves lack the cell column) costs a
     // footer read per tombstone file, so the meta records whether any
-    // located wave exists and pure ids-only layouts skip it
+    // located wave exists and pure ids-only layouts skip it. The
+    // REWRITE verbs (compact / repair) force the merge — under a
+    // hand-damaged meta whose tombCells flag was lost, a hot read
+    // over-deletes visibly (fsck's tomb_kinds names it) but a rewrite
+    // must never fold the damage in
     else {
       val raw = spark.read
-        .option("mergeSchema", m.tombCells.toString)
+        .option("mergeSchema", (m.tombCells || forceMerge).toString)
         .parquet(s"$path/tombstones")
         .filter(col(TokenCol).isin(m.tombs: _*))
       val cols = col(TombIdCol).as(m.tombIdCol.get) +:
@@ -768,6 +799,20 @@ object SpatialDisk {
       Some(raw.select(cols: _*))
     }
 
+  /** Whether any ADMITTED tombstone wave on disk carries the located
+    * cell column — the ground truth behind the meta's tombCells flag
+    * (a schema-merged probe over the tombstone dir's few wave files). */
+  private def hasLocatedWaves(spark: SparkSession, path: String,
+                              m: Meta): Boolean = {
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
+      return false
+    val t = spark.read.option("mergeSchema", "true").parquet(s"$path/tombstones")
+    t.columns.contains(TombCellCol) &&
+      t.filter(col(TokenCol).isin(m.tombs: _*) &&
+        col(TombCellCol).isNotNull).limit(1).count() > 0
+  }
+
   /** Subtract the admitted tombstones from `df` (which must carry the
     * layout's id column and, when located waves exist, the routing cell
     * column): ids-only [[delete]] waves kill the id EVERYWHERE, located
@@ -775,8 +820,9 @@ object SpatialDisk {
     * LEFT-ANTI joins against wave-sized sides, riding whatever pruning
     * `df` already carries. */
   private def subtractTombstones(df: DataFrame, spark: SparkSession,
-                                 path: String, m: Meta): DataFrame =
-    tombstoneFrame(spark, path, m) match {
+                                 path: String, m: Meta,
+                                 forceMerge: Boolean = false): DataFrame =
+    tombstoneFrame(spark, path, m, forceMerge) match {
       case None => df
       case Some(t) =>
         val idc = m.tombIdCol.get

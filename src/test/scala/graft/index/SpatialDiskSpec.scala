@@ -636,6 +636,36 @@ class SpatialDiskSpec extends SparkSpec {
     assert(SpatialDisk.fsck(spark, dupPath).collect().forall(_.getBoolean(1)))
   }
 
+  test("a lost tombCells flag is fsck-named and repair restores it") {
+    val path = freshLayout("delflag")
+    SpatialDisk.deleteAt(spark, path,
+      cust.filter(col("c_custkey") % 10 === 7)
+        .select("c_custkey", "cx", "cy"), "c_custkey")
+    // hand-damage: strip the located-wave flag (hand edit / partial
+    // copy) — hot reads would anti-join the located wave by id alone,
+    // over-deleting those ids in every cell
+    import spark.implicits._
+    val lines = spark.read.textFile(s"$path/meta").collect().toSeq
+      .filterNot(_ == "tombCells=yes")
+    spark.createDataset(lines).coalesce(1).write.mode("overwrite")
+      .text(s"$path/meta")
+    val bad = SpatialDisk.fsck(spark, path).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(bad.exists(r => r._1 == "tomb_kinds" && !r._2 &&
+      r._3.contains("repair")), s"fsck must name the lost flag: $bad")
+    SpatialDisk.repair(spark, path)
+    assert(SpatialDisk.fsck(spark, path).collect().forall(_.getBoolean(1)),
+      "repair did not restore the tombCells flag")
+    val lo = Array(2000.0, 100.0); val hi = Array(4000.0, 300.0)
+    val got = SpatialDisk.boxRange(spark, path, lo, hi)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val want = cust.filter(col("c_custkey") % 10 =!= 7)
+      .boxRange(Seq("cx", "cy"), lo.toSeq, hi.toSeq)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want && got.nonEmpty,
+      "repaired layout does not answer the survivors")
+  }
+
   test("repair: both fsck-named tear classes heal in place") {
     // tear class 1: drifted per-cell stats (hand-edited meta stands in
     // for a lost tombstone decrement) — repair re-aggregates, same token
