@@ -101,6 +101,53 @@ object CorpusOps {
       .orderBy(col(idCol))
   }
 
+  /** Exact PHRASE retrieval off the BM25 layout: documents whose token
+    * stream contains `phrase`'s tokens CONSECUTIVELY — the quoted-query
+    * primitive the bag-of-words postings cannot answer alone. Stage 1
+    * pulls the conjunctive candidates from the phrase terms' posting
+    * slivers ([[matchAllTermsAgainstIndex]] — pruned `term IN`,
+    * tombstones subtracted; containing every term is NECESSARY for
+    * containing the phrase, so the candidate set is a superset).
+    * Stage 2 confirms adjacency over ONLY the candidate docs' text,
+    * read via a pushed `id IN` when the candidate list is bounded
+    * (`maxPushdown`, the hybridTopKAgainstIndex discipline) and a
+    * semi-join past it — neither stage scans the corpus. The adjacency
+    * check is boundary-safe padded-join containment
+    * (`' w1 w2 '` inside `' ' || join(toks, ' ') || ' '` — tokens are
+    * whitespace-free by construction), replayable verbatim in any SQL
+    * engine. A tombstone-deleted doc never surfaces (it leaves the
+    * candidate stage). Returns `(idCol, n_tokens)` ordered by id. */
+  def phraseMatchAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String, corpus: DataFrame,
+                              textCol: String, phrase: Seq[String],
+                              maxPushdown: Int = 4096): DataFrame = {
+    require(phrase.nonEmpty &&
+      phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      "phraseMatchAgainstIndex: phrase must be non-empty " +
+        "whitespace-free tokens")
+    val params = DedupOps.indexMeta(spark, path, "phraseMatchAgainstIndex")
+    val idCol = params("idCol")
+    require(corpus.columns.contains(idCol),
+      s"phraseMatchAgainstIndex: the corpus must carry the layout's id " +
+        s"column '$idCol' (has: ${corpus.columns.mkString(", ")})")
+    require(corpus.columns.contains(textCol),
+      s"phraseMatchAgainstIndex: the corpus has no '$textCol' column")
+    val cand = matchAllTermsAgainstIndex(spark, path, phrase.distinct)
+    val candIds = cand.select(col(idCol))
+      .limit(maxPushdown + 1).collect().map(_.get(0))
+    val docs =
+      if (candIds.length <= maxPushdown)
+        corpus.filter(col(idCol).isin(candIds.toIndexedSeq: _*))
+      else corpus.join(cand.select(col(idCol)), Seq(idCol), "left_semi")
+    val toks = graft.functions.tokens(col(textCol))
+    val padded = concat(lit(" "), array_join(toks, " "), lit(" "))
+    docs
+      .filter(padded.contains(" " + phrase.mkString(" ") + " "))
+      .select(col(idCol),
+        graft.functions.tokenCount(col(textCol)).as("n_tokens"))
+      .orderBy(col(idCol))
+  }
+
   /** Collapse a multi-wave [[DatasetCorpusOps.writeBm25Index]] layout
     * back to one wave: per-wave (term, df) dictionary rows merge by
     * SUM, postings republish clustered by term (wave appends leave one

@@ -1609,6 +1609,21 @@ object Pipeline {
       Seq("spark", "hash", "customer"))
   }
 
+  /** Quoted-phrase retrieval off the BM25 layout: conjunctive
+    * candidates from the phrase terms' posting slivers, token-adjacency
+    * confirm over ONLY the candidate docs via a pushed id IN — the
+    * corpus is never scanned. Real oracle: boundary-safe padded-join
+    * LIKE over the raw token stream. */
+  def phraseIndexQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_idx_" + Integer.toHexString(d.hashCode)).toString
+    documents(s, d).writeBm25Index(path, "doc_id", "text")
+    CorpusOps.phraseMatchAgainstIndex(s, path, documents(s, d), "text",
+      Seq("the", "spark"))
+  }
+
   /** Fully at-rest hybrid retrieval: BM25 stage off the postings
     * layout, cosine re-rank off the IVF-PQ layout's raw vectors via a
     * pushed id IN filter — neither stage touches the corpus. Same
@@ -3205,6 +3220,17 @@ object Pipeline {
         |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'hash')
         |  AND list_contains(toks, 'customer')
         |ORDER BY doc_id""".stripMargin,
+    // quoted-phrase retrieval: posting-sliver candidates + adjacency
+    // confirm over only those docs must equal the boundary-safe
+    // padded-join containment over the raw corpus
+    "tx_phrase_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens FROM tk
+        |WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '% the spark %'
+        |ORDER BY doc_id""".stripMargin,
     // the at-rest BM25 index must reproduce the from-scratch scorer
     // exactly — SAME oracle text
     "tx_bm25_index" -> bm25OracleSql,
@@ -3515,6 +3541,7 @@ object Pipeline {
     "tx_bm25" -> (bm25Q _),
     "tx_bm25_index" -> (bm25IndexQ _),
     "tx_match_all" -> (matchAllQ _),
+    "tx_phrase_index" -> (phraseIndexQ _),
     "tx_hybrid_retrieve" -> (hybridRetrieveQ _),
     "tx_hybrid_index" -> (hybridIndexQ _),
     "pp_semantic_contamination" -> (semanticContaminationQ _),

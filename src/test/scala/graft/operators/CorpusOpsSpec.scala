@@ -595,6 +595,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!new java.io.File(pathA, "tombstones").exists())
   }
 
+  test("phraseMatchAgainstIndex: candidates from slivers, adjacency " +
+    "confirmed — equals the raw containment; deleted docs never match") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_phrase_spec").toString
+    docs.writeBm25Index(path, "doc_id", "text")
+    val phrase = Seq("the", "spark")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val got = CorpusOps.phraseMatchAgainstIndex(spark, path, docs, "text",
+      phrase)
+    // ground truth: boundary-safe containment over the raw token stream
+    val toks = graft.functions.tokens(col("text"))
+    val padded = concat(lit(" "), array_join(toks, " "), lit(" "))
+    val want = docs.filter(padded.contains(" the spark "))
+      .select(col("doc_id"),
+        graft.functions.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      want.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(got.count() > 0, "fixture phrase matches nothing — fixture broke")
+    // bag-of-words would overmatch: docs holding both terms
+    // non-adjacently must NOT surface
+    val bag = CorpusOps.matchAllTermsAgainstIndex(spark, path, phrase)
+    assert(bag.count() > got.count(),
+      "no non-adjacent both-term doc in the fixture — adjacency untested")
+    // a deleted doc leaves the candidate stage, never the confirm
+    val dead = ids(got).take(2)
+    CorpusOps.deleteFromBm25Index(spark, path, dead.toDF("doc_id"))
+    val after = ids(CorpusOps.phraseMatchAgainstIndex(spark, path, docs,
+      "text", phrase))
+    assert(after === ids(got).filterNot(dead.contains),
+      "tombstoned docs must not match a phrase")
+    // an absent term empties the result through the candidate stage
+    assert(CorpusOps.phraseMatchAgainstIndex(spark, path, docs, "text",
+      Seq("the", "zzzznotaword")).count() === 0L)
+    // whitespace in a phrase token is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.phraseMatchAgainstIndex(spark, path, docs, "text",
+        Seq("the spark"))
+    }
+    assert(e.getMessage.contains("whitespace"), e.getMessage)
+  }
+
   test("matchAllTermsAgainstIndex equals the raw-text conjunction") {
     import graft.operators.CorpusOps
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
