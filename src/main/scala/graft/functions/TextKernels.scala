@@ -108,6 +108,49 @@ object TextKernels {
   def shingleSet(s: String, n: Int): Array[Long] =
     distinctSorted(shingleHashes(s, n))
 
+  private val wordGramSplit = java.util.regex.Pattern.compile("[ \\t\\n\\r]+")
+
+  /** Distinct, sorted hashes of the EXACT word n-gram STRINGS the
+    * `wordGrams` Column form produces: space-only trim (Spark `trim`
+    * strips 0x20 only — \t/\n/\f/\x0B survive), `[ \t\n\r]+` split with
+    * limit -1 (leading/trailing separators yield empty tokens, exactly
+    * as Spark `split` does), windows of n tokens joined with " ". The
+    * hash is over the JOINED gram string, so equal gram strings hash
+    * equal no matter how their tokens divided — a candidate gate built
+    * on this set is a strict superset of the string-keyed gram
+    * equi-join (hash collisions only ever ADD candidates). This is NOT
+    * [[shingleSet]]: that kernel's Java-`\s`/full-trim tokenizer
+    * diverges from `wordGrams` on \f/\x0B and leading-\t texts, which
+    * is precisely why the contamination gates must not use it. Texts
+    * with fewer than n tokens yield the empty set (wordGrams emits no
+    * grams there). */
+  def wordGramHashSet(s: String, n: Int): Array[Long] = {
+    // space-only trim, matching Spark SQL trim()
+    var lo = 0; var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    val t = s.substring(lo, hi)
+    val toks = wordGramSplit.split(t, -1)
+    if (toks.length < n) return Array.empty
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      // hash the joined gram string "tok_i tok_{i+1} ... tok_{i+n-1}"
+      var h = 0x9E3779B97F4A7C15L
+      var j = i
+      while (j < i + n) {
+        if (j > i) h = mix64(h ^ ' '.toLong)
+        val tok = toks(j)
+        var c = 0
+        while (c < tok.length) { h = mix64(h ^ tok.charAt(c).toLong); c += 1 }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    distinctSorted(out)
+  }
+
   /** The per-pair half of [[shingleJaccard]]: Jaccard of two
     * distinct-sorted hash arrays by merge intersection — bit-identical
     * to `shingleJaccard(a, b, n)` when fed each side's [[shingleSet]]. */
@@ -267,6 +310,8 @@ object TextKernels {
     shingleJaccard(a.toString, b.toString, n)
   def shingleSetU(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(shingleSet(s.toString, n))
+  def wordGramHashSetU(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(wordGramHashSet(s.toString, n))
   /** Merge-intersection Jaccard directly over catalyst arrays — no
     * copy out of the unsafe format. */
   def sortedJaccardAD(a: org.apache.spark.sql.catalyst.util.ArrayData,

@@ -205,6 +205,12 @@ package object functions {
   def shingleSet(text: Column, n: Int = 3): Column =
     toCol(ShingleSet(toExpr(text), n))
 
+  /** Distinct sorted hashes of the exact [[wordGrams]] gram strings —
+    * the candidate-gate twin of a string-keyed gram equi-join (equal
+    * gram strings always hash equal; see TextKernels.wordGramHashSet). */
+  def wordGramHashSet(text: Column, n: Int): Column =
+    toCol(WordGramHashSet(toExpr(text), n))
+
   /** Merge-intersection Jaccard of two [[shingleSet]] arrays. */
   def sortedJaccard(a: Column, b: Column): Column =
     toCol(SortedJaccard(toExpr(a), toExpr(b)))

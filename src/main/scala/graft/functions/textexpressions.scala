@@ -99,6 +99,28 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `word_gram_hash_set(text) -> array<long>` — distinct sorted hashes
+  * of the exact joined n-gram strings `wordGrams` produces (space-only
+  * trim, `[ \t\n\r]+` split, " " join). The hash is over the joined
+  * gram STRING, so a gate on this set admits a strict superset of a
+  * string-keyed gram equi-join — unlike [[ShingleSet]], whose
+  * Java-`\s` tokenizer diverges from wordGrams on \f/\x0B/leading-\t
+  * texts (see [[TextKernels.wordGramHashSet]]). */
+case class WordGramHashSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_gram_hash_set"
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.wordGramHashSetU(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.wordGramHashSetU($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `sorted_jaccard(a, b) -> double` over two distinct-sorted long
   * arrays: merge intersection straight off the unsafe array format —
   * bit-identical to `shingle_jaccard` on the original texts when fed

@@ -381,6 +381,13 @@ object SpatialDisk {
     m.tombIdCol.foreach(c => require(c == idCol,
       s"SpatialDisk.deleteAt: the layout's delete waves are keyed by " +
         s"'$c' — one id column per layout"))
+    // the LAYOUT must carry the id column too — checked up front (the
+    // [[delete]] discipline) so a misspelled id column fails loudly
+    // even when every wave key quantizes to a null cell or every pair
+    // is already dead (the early no-op returns below would otherwise
+    // mask it as a silent no-op)
+    require(spark.read.parquet(s"$path/data").columns.contains(idCol),
+      s"SpatialDisk.deleteAt: the layout has no '$idCol' column")
     val cellExpr = zorder(m.keyCols.map(col), m.lows.toSeq, m.highs.toSeq,
       m.cellBits)
     val claimed = rows
@@ -774,6 +781,23 @@ object SpatialDisk {
     * over-delete; ignoring it serves the last committed state).
     * mergeSchema unions the two wave schemas (ids-only waves predate
     * the cell column). */
+  /** Parquet wave-file count of `$path/tombstones` (0 when the
+    * directory is absent or holds no readable wave files — the torn /
+    * hand-damaged states [[repair]] heals). One FS listing, no reads. */
+  private def tombstoneFileCount(spark: SparkSession, path: String): Int = {
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) 0
+    else fs.listStatus(tp).count(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Above this many tombstone files the mergeSchema probe stops being
+    * free and the meta's tombCells flag earns its keep; below it the
+    * merge is forced so a flag-damaged meta still reads
+    * deterministically (see [[tombstoneFrame]]). */
+  private val TombMergeProbeFiles = 64
+
   private def tombstoneFrame(spark: SparkSession, path: String,
                              m: Meta,
                              forceMerge: Boolean = false): Option[DataFrame] =
@@ -783,14 +807,21 @@ object SpatialDisk {
     // construction; [[delete]]'s per-cell count distincts locally.
     // Schema merging (ids-only waves lack the cell column) costs a
     // footer read per tombstone file, so the meta records whether any
-    // located wave exists and pure ids-only layouts skip it. The
-    // REWRITE verbs (compact / repair) force the merge — under a
-    // hand-damaged meta whose tombCells flag was lost, a hot read
-    // over-deletes visibly (fsck's tomb_kinds names it) but a rewrite
-    // must never fold the damage in
+    // located wave exists and pure ids-only layouts MAY skip it. The
+    // REWRITE verbs (compact / repair) force the merge, and so does any
+    // tombstone dir of few files (wave-sized — the common shape): under
+    // a hand-damaged meta whose tombCells flag was lost, a non-merged
+    // read's inferred schema depends on WHICH footer Spark samples —
+    // located waves id-killed on some reads and not others
+    // (nondeterministic over-deletion). Forcing the merge whenever the
+    // dir is small makes damaged-meta reads deterministic; only a
+    // many-wave layout (where the flag's footer-read saving is real)
+    // still trusts the flag, and there fsck's tomb_kinds names the
+    // damage
     else {
       val raw = spark.read
-        .option("mergeSchema", (m.tombCells || forceMerge).toString)
+        .option("mergeSchema", (m.tombCells || forceMerge ||
+          tombstoneFileCount(spark, path) <= TombMergeProbeFiles).toString)
         .parquet(s"$path/tombstones")
         .filter(col(TokenCol).isin(m.tombs: _*))
       val cols = col(TombIdCol).as(m.tombIdCol.get) +:
@@ -804,9 +835,11 @@ object SpatialDisk {
     * (a schema-merged probe over the tombstone dir's few wave files). */
   private def hasLocatedWaves(spark: SparkSession, path: String,
                               m: Meta): Boolean = {
-    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    if (!tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
-      return false
+    // a tombstones dir that EXISTS but holds no readable wave files is
+    // exactly a torn state repair heals — probing it with spark.read
+    // would throw ("unable to infer schema") and crash the healer, so
+    // list first and call that "no located waves"
+    if (tombstoneFileCount(spark, path) == 0) return false
     val t = spark.read.option("mergeSchema", "true").parquet(s"$path/tombstones")
     t.columns.contains(TombCellCol) &&
       t.filter(col(TokenCol).isin(m.tombs: _*) &&

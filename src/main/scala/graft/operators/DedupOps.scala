@@ -1975,17 +1975,19 @@ object DedupOps {
       .select(col(id).as(out), explode(wordGrams(col(textCol), n)).as("__graft_gram"))
       .distinct()
     // pass 1 (candidate gate): per-doc n-gram HASHES
-    // ([[graft.functions.shingleSet]] — no gram string is ever built,
-    // and only (id, 8-byte hash) rows reach the exchange) semi-joined
-    // against the eval side's hash set. A string-gram match implies a
-    // hash match (same tokenizer, deterministic mix), so the gate
-    // admits a SUPERSET of the truly contaminated docs; collisions and
-    // the short-doc whole-text shingle only ever ADD candidates.
+    // ([[graft.functions.wordGramHashSet]] — no gram string ever rides
+    // the exchange, only (id, 8-byte hash) rows) semi-joined against
+    // the eval side's hash set. The kernel hashes the JOINED gram
+    // string from wordGrams' own tokenizer, so a string-gram match
+    // IMPLIES a hash match and the gate admits a strict SUPERSET of
+    // the truly contaminated docs; collisions only ever ADD candidates.
+    // (shingleSet would NOT do: its Java-\s tokenizer diverges from
+    // wordGrams on \f/\x0B/leading-tab texts — false negatives.)
     val evalHashes = eval
-      .select(explode(shingleSet(col(textCol), n)).as("__graft_gh"))
+      .select(explode(wordGramHashSet(col(textCol), n)).as("__graft_gh"))
       .distinct()
     val candidates = corpus
-      .select(col(corpusId), explode(shingleSet(col(textCol), n)).as("__graft_gh"))
+      .select(col(corpusId), explode(wordGramHashSet(col(textCol), n)).as("__graft_gh"))
       .join(evalHashes, Seq("__graft_gh"), "left_semi")
       .select(col(corpusId)).distinct()
     // pass 2 (exact): the string-keyed gram join over ONLY the
@@ -2029,15 +2031,17 @@ object DedupOps {
       .distinct()
     // candidate gate (the contaminationPairs discipline): per-doc gram
     // HASHES against the eval hash set — no gram string rides the
-    // corpus-sized exchange; a string match implies a hash match, so
-    // the gate admits a superset and the exact positional pass below
-    // decides. Clean docs never posexplode; redactByStarts' left join
-    // passes them through untouched (n_removed = 0).
+    // corpus-sized exchange; wordGramHashSet hashes the joined gram
+    // string from wordGrams' OWN tokenizer, so a string match implies
+    // a hash match, the gate admits a superset, and the exact
+    // positional pass below decides. Clean docs never posexplode;
+    // redactByStarts' left join passes them through untouched
+    // (n_removed = 0).
     val evalHashes = eval
-      .select(explode(shingleSet(col(evalTextCol), n)).as("__graft_gh"))
+      .select(explode(wordGramHashSet(col(evalTextCol), n)).as("__graft_gh"))
       .distinct()
     val candidates = corpus
-      .select(col(corpusId), explode(shingleSet(col(textCol), n)).as("__graft_gh"))
+      .select(col(corpusId), explode(wordGramHashSet(col(textCol), n)).as("__graft_gh"))
       .join(evalHashes, Seq("__graft_gh"), "left_semi")
       .select(col(corpusId)).distinct()
     // 1-based gram start positions; a doc with < n tokens has no grams

@@ -248,19 +248,17 @@ object SpatialOps {
         filter(coords, (_, i) => i % 2 === parity)
       // bounded driver sample sizes the grid: median per-polygon bbox
       // span keeps each polygon's cell fan-out O(1) (a fixed side of r
-      // under huge polygons would explode them to span/r cells each)
-      // null shapes drop out of the join everywhere (null bbox -> no
-      // cells, null exact test -> filtered); the sampler must skip them
-      // the same way instead of NPE-ing on the driver
-      val spans = polys.select(coords).na.drop("any")
-        .limit(sampleCap).collect().map { row =>
-          val a = row.getSeq[Double](0)
-          val xs = a.indices.collect { case i if i % 2 == 0 => a(i) }
-          val ys = a.indices.collect { case i if i % 2 == 1 => a(i) }
-          math.max(xs.max - xs.min, ys.max - ys.min)
-        }.sorted
+      // under huge polygons would explode them to span/r cells each).
+      // [[SpatialOps.medianSampledSpan]]: seeded sample, not first
+      // rows — a zoom-ordered tile table's first rows are the smallest
+      // polygons and a first-rows median under-sizes the cell. Null
+      // shapes drop out of the join everywhere (null bbox -> no cells,
+      // null exact test -> filtered); the sampler skips them the same
+      // way instead of NPE-ing on the driver
       val side = math.max(1e-9, math.max(r,
-        if (spans.isEmpty) 0.0 else spans(spans.length / 2)))
+        SpatialOps.medianSampledSpan(polys, greatest(
+          array_max(axis(0)) - array_min(axis(0)),
+          array_max(axis(1)) - array_min(axis(1))), sampleCap)))
       val pl = polys
         .withColumn("__graft_pj_cx", explode(sequence(
           floor((array_min(axis(0)) - r) / side).cast("long"),
@@ -321,16 +319,14 @@ object SpatialOps {
       // bounded driver sample sizes the grid from the LARGER side's
       // median bbox span — big shapes dictate the cell so their fan-out
       // stays O(1); the smaller side lands in O(1) cells regardless
-      def medianSpan(df: DataFrame, c: String): Double = {
-        // null shapes drop out of the join (null cells, null exact
-        // test); the sampler skips them the same way
-        val spans = df.select(
-          (hi(col(c), 0) - lo(col(c), 0)).as("sx"),
-          (hi(col(c), 1) - lo(col(c), 1)).as("sy"))
-          .na.drop("any").limit(sampleCap).collect()
-          .map(r => math.max(r.getDouble(0), r.getDouble(1))).sorted
-        if (spans.isEmpty) 0.0 else spans(spans.length / 2)
-      }
+      // [[SpatialOps.medianSampledSpan]]: seeded sample, not first rows
+      // — size-sorted shape tables would otherwise bias the median and
+      // blow up per-row cell fan-out; null shapes drop out of the join
+      // (null cells, null exact test) and the sampler skips them too
+      def medianSpan(df: DataFrame, c: String): Double =
+        SpatialOps.medianSampledSpan(df,
+          greatest(hi(col(c), 0) - lo(col(c), 0),
+            hi(col(c), 1) - lo(col(c), 1)), sampleCap)
       val side = math.max(1e-9,
         math.max(medianSpan(l, lShapeCol), medianSpan(rt, rShapeCol)))
       def celled(df: DataFrame, c: String, p: String): DataFrame = df
@@ -1522,6 +1518,35 @@ object SpatialOps {
 
   private def toPts(rows: Array[org.apache.spark.sql.Row], dims: Int): Array[Array[Double]] =
     rows.map(row => Array.tabulate(dims)(row.getDouble))
+
+  /** Median of a bounded sample of one double-valued expression — the
+    * [[samplePoints]] limit-probe/seeded-sample discipline applied to
+    * the shape-join grid sizers. A bare `limit(cap)` takes the FIRST
+    * rows, and shape tables are routinely size-sorted on disk (tiles
+    * written in zoom order), so a first-rows median misestimates the
+    * span and the per-row cell fan-out silently blows up at scale; the
+    * seeded `sample()` reads rows from every partition instead. Small
+    * tables (<= cap, detected by one limit(cap+1) probe) are taken
+    * whole — exact median, no extra job. Null spans drop out the same
+    * way null shapes drop out of the joins. */
+  private[graft] def medianSampledSpan(df: DataFrame, span: Column,
+                                       cap: Int): Double = {
+    val projected = df.select(span.cast("double").as("__graft_span"))
+      .na.drop("any")
+    val head = projected.limit(cap + 1).collect()
+    val rows =
+      if (head.length <= cap) head
+      else {
+        val sampled = projected.sample(withReplacement = false, 0.1, 42)
+          .limit(cap).collect()
+        if (sampled.nonEmpty) sampled else head.take(cap)
+      }
+    if (rows.isEmpty) 0.0
+    else {
+      val spans = rows.map(_.getDouble(0)).sorted
+      spans(spans.length / 2)
+    }
+  }
 
   /** Deterministic bounded sample (no fraction bookkeeping — used for the
     * side whose sampling doesn't bias the density estimate). One

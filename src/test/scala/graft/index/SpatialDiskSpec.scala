@@ -746,6 +746,36 @@ class SpatialDiskSpec extends SparkSpec {
     assert(admitted < before)
   }
 
+  test("deleteAt: a misspelled id column fails loudly even when every " +
+    "wave key quantizes to a null cell") {
+    val path = freshLayout("delatbadid")
+    // null coordinates -> null cells -> the claimed-cell set is empty;
+    // before the up-front layout check this path silently no-opped
+    val wave = cust.limit(3)
+      .select(col("c_custkey").as("c_custkeyy"),
+        lit(null).cast("double").as("cx"), lit(null).cast("double").as("cy"))
+    val e = intercept[IllegalArgumentException] {
+      SpatialDisk.deleteAt(spark, path, wave, "c_custkeyy")
+    }
+    assert(e.getMessage.contains("c_custkeyy"),
+      s"error must name the missing column: ${e.getMessage}")
+    assert(!new java.io.File(path, "tombstones").exists())
+  }
+
+  test("fsck and repair survive an existing-but-empty tombstones dir") {
+    val path = freshLayout("emptytombs")
+    // the torn state: a tombstones directory exists but holds no
+    // readable wave files (e.g. a crash before the first part landed)
+    assert(new java.io.File(path, "tombstones").mkdirs())
+    val fsck = SpatialDisk.fsck(spark, path).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(fsck.nonEmpty)
+    SpatialDisk.repair(spark, path) // must not crash on schema inference
+    val total = SpatialDisk.boxRange(spark, path,
+      Array(-1e7, -1e7), Array(1e7, 1e7)).count()
+    assert(total === cust.count(), "repair must keep every live row")
+  }
+
   test("queries clamp outside the written bounds instead of failing") {
     val path = freshLayout("clamp")
     // a box reaching far outside the data domain returns exactly the

@@ -252,6 +252,49 @@ class DedupOpsSpec extends SparkSpec {
     assert(got === Set((1L, 100L, 1L), (2L, 100L, 1L)))
   }
 
+  test("contamination gate is a superset of the exact gram join on \\f/\\x0B/leading-tab text") {
+    // Texts crafted so wordGrams' tokenizer (space-only trim,
+    // [ \t\n\r]+ split) and shingleSet's (full trim, Java \s+ split)
+    // DISAGREE: under wordGrams the corpus and eval share a gram
+    // string, under shingleSet they share zero hashes. The old
+    // shingleSet-based gate silently dropped these docs before the
+    // exact join could flag them (round-13 advisor finding).
+    val cases = Seq(
+      // leading tab: Spark trim keeps \t, split yields a leading ""
+      // token; the eval side has 2 real tokens (< n=3 -> whole-text
+      // shingle under shingleSet, matching nothing in the corpus set)
+      ((1L, "\ta b x"), (101L, "\ta b")),
+      // leading newline: same empty-token divergence class
+      ((2L, "\na b y"), (102L, "\na b")),
+      // \f as its own space-delimited token: a separator (and trimmed)
+      // to shingleSet's Java-\s tokenizer, a real token to wordGrams
+      ((3L, "\f q r s"), (103L, "\f q r"))
+    )
+    for (((cid, ctext), (eid, etext)) <- cases) {
+      val corpus = Seq((cid, ctext)).toDF("doc_id", "text")
+      val eval_ = Seq((eid, etext)).toDF("eval_id", "text")
+      val got = graft.operators.DedupOps
+        .contaminationPairs(corpus, eval_, "doc_id", "eval_id", "text", n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((cid, eid)), s"case ($cid, $eid): gate dropped a true match")
+      // the span surgery sees the same match and actually removes tokens
+      val cleaned = graft.operators.DedupOps
+        .decontaminateSpans(corpus, eval_, "doc_id", "text", "text", n = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(cleaned(cid) > 0L, s"case ($cid, $eid): spans not cut")
+    }
+    // kernel-level superset property: the hash of a shared gram string
+    // is in both sides' sets whenever the gram strings are equal
+    val a = TextKernels.wordGramHashSet("\ta b x", 3).toSet
+    val b = TextKernels.wordGramHashSet("\ta b", 3).toSet
+    assert(a.intersect(b).nonEmpty)
+    // ...and the documented divergence that motivated the fix: the old
+    // shingleSet tokenizer shares NO hash on the same pair of texts
+    val oldA = TextKernels.shingleSet("\ta b x", 3).toSet
+    val oldB = TextKernels.shingleSet("\ta b", 3).toSet
+    assert(oldA.intersect(oldB).isEmpty)
+  }
+
   test("nearDupComponents: chains merge to min id, singletons stay themselves") {
     val nodes = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chain 1-2-3-4 (diameter 3), pair 6-8, singletons 5, 7, 9

@@ -731,6 +731,37 @@ class SpatialOpsSpec extends SparkSpec {
       s"intersects join grew a cross plan:\n$plan")
   }
 
+  test("grid sizers sample, not take-first: size-sorted shape tables " +
+    "pick the same cell side as shuffled ones") {
+    import spark.implicits._
+    // 4096 spans growing linearly 1..4096, written SORTED by size (the
+    // zoom-order tile layout): the old limit(cap) sizer saw only the
+    // first 512 (median ~256, ~8x under the true median ~2048) and
+    // under-sized the cell, exploding per-row fan-out. The seeded
+    // sampler must read the sorted table like the shuffled one.
+    val n = 4096
+    val sorted = (1 to n).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "span").repartitionByRange(8, col("id"))
+    val shuffled = sorted.orderBy(rand(7)).repartition(8)
+    val cap = 512
+    val mSorted = SpatialOps.medianSampledSpan(sorted, col("span"), cap)
+    val mShuffled = SpatialOps.medianSampledSpan(shuffled, col("span"), cap)
+    val trueMedian = n / 2.0
+    for ((m, tag) <- Seq((mSorted, "sorted"), (mShuffled, "shuffled"))) {
+      assert(m > trueMedian * 0.5 && m < trueMedian * 2.0,
+        s"$tag-table sampled median $m vs true $trueMedian — first-rows bias")
+    }
+    // small tables are taken whole: exact median, row order irrelevant
+    val tiny = (1 to 99).map(i => (i.toLong, i.toDouble)).toDF("id", "span")
+    assert(SpatialOps.medianSampledSpan(tiny, col("span"), cap) === 50.0)
+    // null spans are skipped like null shapes
+    val withNulls = tiny.unionByName(Seq((100L, Option.empty[Double]))
+      .toDF("id", "span"))
+    assert(SpatialOps.medianSampledSpan(withNulls, col("span"), cap) === 50.0)
+    assert(SpatialOps.medianSampledSpan(
+      tiny.filter(col("id") < 0), col("span"), cap) === 0.0)
+  }
+
   test("polygonDistanceJoin equals the naive shape-distance filter; no cartesian") {
     import graft.functions.{stDistance, stPoint}
     import graft.spatial.ShapeCodec
