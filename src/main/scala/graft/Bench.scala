@@ -153,6 +153,18 @@ object Bench {
         Seq("lx", "ly"), Seq("rx", "ry"), 3, "lid", "rid", Seq("rid"))
       finally s.conf.unset(graft.GraftConf.KnnJoinAlgo)
     }),
+    // B5HD: the auto verb at d=4 — past 3-D chooseKnnAlgo routes to
+    // pivot unconditionally (the grid's 81-cell replication per right
+    // row is a shuffle detonation the flop model under-prices), so this
+    // entry proves the 3^d fan-out never fires on a high-d join: its
+    // plan is the pivot plan, cross-free, with no 81-way explode
+    "b5hd_knn_join_4d_auto" -> ((s: SparkSession, d: String) => {
+      s.conf.set(graft.GraftConf.KnnJoinAlgo, "auto")
+      try pts4d(s, d, "l").knnJoinAuto(pts4d(s, d, "r"),
+        Seq("lx", "ly", "lz", "lw"), Seq("rx", "ry", "rz", "rw"),
+        3, "lid", "rid", Seq("rid"))
+      finally s.conf.unset(graft.GraftConf.KnnJoinAlgo)
+    }),
     // B6: embedding similarity — exact pair join vs LSH-blocked; brute top-k
     "b6_sim_join_exact" -> ((s: SparkSession, d: String) => {
       val r = embeddings(s, d).select(col("vec_id").as("vec_id2"), col("embedding").as("embedding2"))
@@ -391,6 +403,16 @@ object Bench {
   /** Deterministic heavy-skew point set derived from customer: 4 of 5
     * rows compress 100x into a dense cluster, the rest spread 10x wider
     * — the adversarial distribution for radius-bounded kNN joins. */
+  /** 4-D point fixture for the high-dimensional auto-route entry: the
+    * 2-D customer coordinates plus two decorrelated residue axes. */
+  private def pts4d(s: SparkSession, d: String, p: String): DataFrame =
+    customerPts(s, d).select(
+      col("c_custkey").as(s"${p}id"),
+      col("cx").as(s"${p}x"),
+      col("cy").as(s"${p}y"),
+      (col("c_custkey") % 773).cast("double").as(s"${p}z"),
+      (col("c_custkey") % 337).cast("double").as(s"${p}w"))
+
   private def skewedPts(s: SparkSession, d: String, p: String): DataFrame = {
     val dense = col("c_custkey") % 5 < 4
     customerPts(s, d).select(

@@ -53,6 +53,14 @@ object GraftConf {
   // exact predicate is always applied, so skipping is semantics-free.
   val IndexSelectivityEnable    = "spark.graft.index.selectivityEnable"
   val IndexSelectivityThreshold = "spark.graft.index.selectivityThreshold"
+  // Shared ceiling on every driver-collected id/term list that becomes
+  // a pushed IN filter (ANN refine sets, hybrid candidate sets, phrase
+  // pushdown lists). Each verb bounds its own hop by convention, but
+  // the bound is the CALLER's argument — `refine = 10_000_000` would
+  // dutifully build a 10M-literal IN filter and OOM the driver. This
+  // knob closes the class: any verb about to collect more than this
+  // fails loudly, naming itself and the knob, before any work runs.
+  val MaxDriverPushdown = "spark.graft.maxDriverPushdown"
 
   private def get(s: SparkSession, key: String, dflt: String): String =
     s.conf.getOption(key).getOrElse(dflt)
@@ -82,4 +90,18 @@ object GraftConf {
     get(s, IndexSelectivityEnable, "true").toBoolean
   def indexSelectivityThreshold(s: SparkSession): Double =
     get(s, IndexSelectivityThreshold, "0.8").toDouble
+  def maxDriverPushdown(s: SparkSession): Int =
+    get(s, MaxDriverPushdown, "100000").toInt
+
+  /** Guard a driver-held IN-list hop: `verb` is about to collect up to
+    * `n` values to the driver and push them back as literals. Called at
+    * every such site so the ceiling is one knob, not a per-verb
+    * convention. */
+  def checkDriverPushdown(s: SparkSession, verb: String, n: Long): Unit = {
+    val cap = maxDriverPushdown(s)
+    require(n <= cap,
+      s"$verb: a $n-value driver-held IN-list pushdown exceeds " +
+        s"$MaxDriverPushdown = $cap; lower the request (refine / " +
+        "candidates / maxPushdown) or raise the knob for this session")
+  }
 }

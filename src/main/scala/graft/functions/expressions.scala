@@ -226,6 +226,51 @@ case class ShapeAsWkt(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `shape_to_wkb(shape) -> binary` — OGC WKB bytes of a struct-encoded
+  * shape (little-endian, standard types for point/segment/polygon, the
+  * documented 0xF002 extension for circles; boxes emit their polygon
+  * ring — see [[graft.spatial.Wkb]]). The byte-level interop surface a
+  * PostGIS / GeoParquet exchange reads. */
+case class ShapeAsWkb(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shape_to_wkb"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ShapeExprChecks.checkOne(prettyName, child)
+
+  override def nullSafeEval(a: Any): Any =
+    graft.spatial.Wkb.formatRow(a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.spatial.Wkb.formatRow($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `wkb_to_shape(binary) -> shape` — parse WKB (either endianness) into
+  * the struct encoding. Strict: malformed bytes throw with a hex
+  * prefix (JTS-style), no silent nulls. */
+case class WkbToShape(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = graft.spatial.ShapeCodec.sqlType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "wkb_to_shape"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any): Any =
+    graft.spatial.Wkb.parseToRow(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.spatial.Wkb.parseToRow($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `wkt_to_shape(string) -> shape` — parse WKT into the struct encoding.
   * Strict: malformed text throws with the offending string (JTS-style),
   * no silent nulls. */

@@ -133,6 +133,15 @@ package object functions {
   /** Parse WKT text into a shape column (strict — malformed rows throw). */
   def stFromWkt(text: Column): Column = toCol(WktToShape(toExpr(text)))
 
+  /** OGC WKB bytes of a shape column (little-endian; see
+    * [[graft.spatial.Wkb]] for the mapping and the 0xF002 circle
+    * extension) — the PostGIS/GeoParquet exchange format. */
+  def stAsWkb(shape: Column): Column = toCol(ShapeAsWkb(toExpr(shape)))
+
+  /** Parse WKB bytes (either endianness) into a shape column (strict —
+    * malformed rows throw). */
+  def stFromWkb(bytes: Column): Column = toCol(WkbToShape(toExpr(bytes)))
+
   // ---- vector surface (native expressions, codegen'd) ----
 
   def cosineSimilarity(a: Column, b: Column): Column =

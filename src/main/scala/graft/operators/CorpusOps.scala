@@ -125,6 +125,8 @@ object CorpusOps {
       phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       "phraseMatchAgainstIndex: phrase must be non-empty " +
         "whitespace-free tokens")
+    graft.GraftConf.checkDriverPushdown(spark, "phraseMatchAgainstIndex",
+      maxPushdown)
     val params = DedupOps.indexMeta(spark, path, "phraseMatchAgainstIndex")
     val idCol = params("idCol")
     require(corpus.columns.contains(idCol),
@@ -145,6 +147,102 @@ object CorpusOps {
       .filter(padded.contains(" " + phrase.mkString(" ") + " "))
       .select(col(idCol),
         graft.functions.tokenCount(col(textCol)).as("n_tokens"))
+      .orderBy(col(idCol))
+  }
+
+  /** BOOLEAN phrase retrieval off the BM25 layout — the composition of
+    * [[phraseMatchAgainstIndex]] a keyword-search surface needs: `query`
+    * is an AND of clauses, each clause an OR of alternatives, each
+    * alternative a consecutive-token PHRASE (length 1 = a bare term).
+    * `"big data" AND (spark OR "query engine")` is
+    * `Seq(Seq(Seq("big","data")), Seq(Seq("spark"), Seq("query","engine")))`.
+    *
+    * One pruned posting read serves the WHOLE query: the sliver is
+    * `term IN (every term of every alternative)` (term-clustered
+    * layout -> only those terms' row ranges), tombstones subtracted
+    * once. Each alternative's conjunctive candidates derive from that
+    * one frame; only MULTI-token alternatives confirm adjacency, over
+    * the union of their candidates' text — a bounded pushed `id IN`
+    * (`maxPushdown`, under the shared [[graft.GraftConf.MaxDriverPushdown]]
+    * ceiling) or a semi-join past it. Bare-term alternatives are exact
+    * straight from the postings (containing the term IS the predicate),
+    * so a term-only query never touches the corpus at all. OR = union
+    * distinct of id sets, AND = left-semi chain — wave-sized frames,
+    * never the corpus. Returns `(idCol, n_tokens)` ordered by id, with
+    * `n_tokens` from the layout's stored per-doc length (written as
+    * `size(tokens(text))`, so it equals the text recount and the
+    * oracle's `len(toks)` bit-for-bit). */
+  def phraseBoolMatchAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, corpus: DataFrame,
+                                  textCol: String,
+                                  query: Seq[Seq[Seq[String]]],
+                                  maxPushdown: Int = 4096): DataFrame = {
+    require(query.nonEmpty && query.forall(cl => cl.nonEmpty && cl.forall(
+      alt => alt.nonEmpty && alt.forall(t =>
+        t.nonEmpty && !t.exists(_.isWhitespace)))),
+      "phraseBoolMatchAgainstIndex: query must be AND-of-clauses, " +
+        "OR-of-alternatives, each a non-empty whitespace-free phrase")
+    graft.GraftConf.checkDriverPushdown(spark,
+      "phraseBoolMatchAgainstIndex", maxPushdown)
+    val params = DedupOps.indexMeta(spark, path, "phraseBoolMatchAgainstIndex")
+    val idCol = params("idCol")
+    require(corpus.columns.contains(idCol),
+      s"phraseBoolMatchAgainstIndex: the corpus must carry the layout's " +
+        s"id column '$idCol' (has: ${corpus.columns.mkString(", ")})")
+    require(corpus.columns.contains(textCol),
+      s"phraseBoolMatchAgainstIndex: the corpus has no '$textCol' column")
+    val waveTokens = params.getOrElse("__waves", params("__token"))
+      .split(";").toSeq
+    val alts: Seq[Seq[String]] = query.flatten.distinct
+    val allTerms = alts.flatten.distinct
+    // the one posting sliver: every alternative's candidates come from
+    // here; distinct'd to (id, term, dl) so conjunction counts terms
+    val live = bm25TokenChecked(spark.read.parquet(s"$path/postings"),
+        path, "postings", waveTokens, "phraseBoolMatchAgainstIndex")
+      .filter(col("term").isin(allTerms: _*))
+    val survivors = (DedupOps.tombstoneIds(spark, path, params,
+        "phraseBoolMatchAgainstIndex") match {
+      case Some(t) => live.join(t, Seq(idCol), "left_anti")
+      case None    => live
+    }).select(col(idCol), col("term"), col("__dl")).distinct()
+      .localCheckpoint()
+    def candidates(alt: Seq[String]): DataFrame = {
+      val ts = alt.distinct
+      survivors.filter(col("term").isin(ts: _*))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("__nt"))
+        .filter(col("__nt") === ts.length.toLong)
+        .select(col(idCol))
+    }
+    // adjacency pass, once, over the union of the multi-token
+    // alternatives' candidates (a superset of every true phrase match)
+    val multi = alts.filter(_.length > 1)
+    val padded: Option[DataFrame] =
+      if (multi.isEmpty) None
+      else {
+        val union = multi.map(candidates).reduce(_.unionByName(_)).distinct()
+        val ids = union.limit(maxPushdown + 1).collect().map(_.get(0))
+        val docs =
+          if (ids.length <= maxPushdown)
+            corpus.filter(col(idCol).isin(ids.toIndexedSeq: _*))
+          else corpus.join(union, Seq(idCol), "left_semi")
+        Some(docs.select(col(idCol),
+          concat(lit(" "),
+            array_join(graft.functions.tokens(col(textCol)), " "),
+            lit(" ")).as("__graft_padded")).localCheckpoint())
+      }
+    def altMatch(alt: Seq[String]): DataFrame =
+      if (alt.length == 1) candidates(alt)
+      else candidates(alt).join(
+        padded.get.filter(col("__graft_padded")
+            .contains(" " + alt.mkString(" ") + " "))
+          .select(col(idCol)), Seq(idCol), "left_semi")
+    val matched = query
+      .map(cl => cl.map(altMatch).reduce(_.unionByName(_)).distinct())
+      .reduce((a, b) => a.join(b, Seq(idCol), "left_semi"))
+    matched
+      .join(survivors.groupBy(col(idCol))
+        .agg(max(col("__dl")).as("n_tokens")), Seq(idCol))
       .orderBy(col(idCol))
   }
 
@@ -379,6 +477,8 @@ object CorpusOps {
                                   path: String, docs: DataFrame,
                                   textCol: String,
                                   maxPushdownTerms: Int = 1024): Unit = {
+    graft.GraftConf.checkDriverPushdown(spark,
+      "deleteFromBm25IndexWithText", maxPushdownTerms)
     val params = DedupOps.indexMeta(spark, path, "deleteFromBm25IndexWithText")
     require(params.contains("__waves"),
       "deleteFromBm25IndexWithText: " + path + "/meta has no 'waves' " +
@@ -680,6 +780,8 @@ object CorpusOps {
                              b: Double = 0.75): DataFrame = {
     require(candidates >= k && k >= 1,
       s"hybridTopKAgainstIndex: need candidates >= k >= 1: $candidates, $k")
+    graft.GraftConf.checkDriverPushdown(spark, "hybridTopKAgainstIndex",
+      candidates)
     val cands = bm25TopKAgainstIndex(spark, bm25Path, terms, candidates,
       k1, b)
     val idCol = cands.columns.head

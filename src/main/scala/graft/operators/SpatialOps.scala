@@ -303,19 +303,10 @@ object SpatialOps {
       require(l.columns.intersect(rt.columns).isEmpty,
         s"shapeIntersectsJoin requires disjoint column names, shared: " +
           l.columns.intersect(rt.columns).mkString(","))
-      val circleTag = lit(graft.spatial.ShapeCodec.TagCircle)
-      def lo(shape: Column, parity: Int): Column = {
-        val coords = shape.getField("coords")
-        when(shape.getField("tag") === circleTag,
-          element_at(coords, parity + 1) - element_at(coords, 3))
-          .otherwise(array_min(filter(coords, (_, i) => i % 2 === parity)))
-      }
-      def hi(shape: Column, parity: Int): Column = {
-        val coords = shape.getField("coords")
-        when(shape.getField("tag") === circleTag,
-          element_at(coords, parity + 1) + element_at(coords, 3))
-          .otherwise(array_max(filter(coords, (_, i) => i % 2 === parity)))
-      }
+      def lo(shape: Column, parity: Int): Column =
+        SpatialOps.shapeBBoxLo(shape, parity)
+      def hi(shape: Column, parity: Int): Column =
+        SpatialOps.shapeBBoxHi(shape, parity)
       // bounded driver sample sizes the grid from the LARGER side's
       // median bbox span — big shapes dictate the cell so their fan-out
       // stays O(1); the smaller side lands in O(1) cells regardless
@@ -350,6 +341,77 @@ object SpatialOps {
           floor(greatest(col("__graft_ij_lly"), col("__graft_ij_rly")) / side)
             .cast("long") === col("__graft_ij_cy"))
         .filter(stIntersects(col(lShapeCol), col(rShapeCol)))
+        .select((l.columns ++ rt.columns).map(col): _*)
+    }
+
+    /** Distance join over MIXED-GEOMETRY ShapeCodec columns: every
+      * (left, right) pair whose shapes sit within `minDist <= r` — the
+      * reference's any-Shape join surface (its joins accept any Shape
+      * key via util/ShapeUtils.scala:54-71; the rebuild's point-keyed
+      * [[distanceJoin]] and polygon form covered only part of that).
+      * The [[shapeIntersectsJoin]] PBSM discipline with a dilation: the
+      * LEFT bbox grows by `r` per axis (a pair at shape distance <= r
+      * has per-axis bbox deficits <= r, so the dilated-left and raw
+      * right bboxes overlap), both sides explode to their bbox's grid
+      * cells, the cell equi-join proposes pairs, the reference-point
+      * rule (min corner of the dilated-bbox intersection) keeps each
+      * pair exactly once, and the exact codegen'd
+      * [[graft.functions.stDistance]] decides. Cell side = max(r, both
+      * sides' median sampled bbox span), so per-row fan-out stays O(1)
+      * whatever the shapes' size — same 100-TB shape as the intersects
+      * join: one locality-keyed shuffle, never a cross product. */
+    def shapeDistanceJoin(right: Dataset[_], lShapeCol: String,
+                          rShapeCol: String, r: Double,
+                          sampleCap: Int = 512): DataFrame = {
+      require(r >= 0, s"distance must be >= 0, got $r")
+      val l = ds.toDF
+      val rt = right.toDF
+      require(l.columns.intersect(rt.columns).isEmpty,
+        s"shapeDistanceJoin requires disjoint column names, shared: " +
+          l.columns.intersect(rt.columns).mkString(","))
+      def lo(shape: Column, parity: Int): Column =
+        SpatialOps.shapeBBoxLo(shape, parity)
+      def hi(shape: Column, parity: Int): Column =
+        SpatialOps.shapeBBoxHi(shape, parity)
+      def medianSpan(df: DataFrame, c: String): Double =
+        SpatialOps.medianSampledSpan(df,
+          greatest(hi(col(c), 0) - lo(col(c), 0),
+            hi(col(c), 1) - lo(col(c), 1)), sampleCap)
+      val side = math.max(1e-9, math.max(r,
+        math.max(medianSpan(l, lShapeCol), medianSpan(rt, rShapeCol))))
+      // left bbox dilated by r; right raw — cells over each bbox
+      val lt = l
+        .withColumn("__graft_sdj_llx", lo(col(lShapeCol), 0) - r)
+        .withColumn("__graft_sdj_lhx", hi(col(lShapeCol), 0) + r)
+        .withColumn("__graft_sdj_lly", lo(col(lShapeCol), 1) - r)
+        .withColumn("__graft_sdj_lhy", hi(col(lShapeCol), 1) + r)
+        .withColumn("__graft_sdj_cx", explode(sequence(
+          floor(col("__graft_sdj_llx") / side).cast("long"),
+          floor(col("__graft_sdj_lhx") / side).cast("long"))))
+        .withColumn("__graft_sdj_cy", explode(sequence(
+          floor(col("__graft_sdj_lly") / side).cast("long"),
+          floor(col("__graft_sdj_lhy") / side).cast("long"))))
+      val rr = rt
+        .withColumn("__graft_sdj_rlx", lo(col(rShapeCol), 0))
+        .withColumn("__graft_sdj_rhx", hi(col(rShapeCol), 0))
+        .withColumn("__graft_sdj_rly", lo(col(rShapeCol), 1))
+        .withColumn("__graft_sdj_rhy", hi(col(rShapeCol), 1))
+        .withColumn("__graft_sdj_cx", explode(sequence(
+          floor(col("__graft_sdj_rlx") / side).cast("long"),
+          floor(col("__graft_sdj_rhx") / side).cast("long"))))
+        .withColumn("__graft_sdj_cy", explode(sequence(
+          floor(col("__graft_sdj_rly") / side).cast("long"),
+          floor(col("__graft_sdj_rhy") / side).cast("long"))))
+      lt.join(rr, Seq("__graft_sdj_cx", "__graft_sdj_cy"))
+        // reference point: the dilated-bbox intersection's min corner
+        // lies in both exploded bboxes, so the pair provably meets in
+        // that one cell; every other shared cell drops it here
+        .filter(
+          floor(greatest(col("__graft_sdj_llx"), col("__graft_sdj_rlx")) / side)
+            .cast("long") === col("__graft_sdj_cx") &&
+          floor(greatest(col("__graft_sdj_lly"), col("__graft_sdj_rly")) / side)
+            .cast("long") === col("__graft_sdj_cy"))
+        .filter(stDistance(col(lShapeCol), col(rShapeCol)) <= r)
         .select((l.columns ++ rt.columns).map(col): _*)
     }
 
@@ -937,7 +999,15 @@ object SpatialOps {
   private[operators] def chooseKnnAlgo(
       lPts: Array[Array[Double]], rPts: Array[Array[Double]],
       theta: Double, dims: Int, numPivots: Int = 32): String = {
-    if (dims > 8) return "pivot"
+    // Past 3-D the grid's 3^d replication loses unconditionally: the
+    // flop-count comparison below prices a replicated row like one
+    // pivot-distance flop, but a replicated row pays a shuffle
+    // write+read (orders of magnitude more than d multiplies), so at
+    // d=4 the 81x ROW fan-out already dominates the d*pivots + admit
+    // FLOP cost even though 128 > 81 numerically. Route d > 3 straight
+    // to pivot — cells there come from metric pivots, whose count never
+    // grows with dimensionality.
+    if (dims > 3) return "pivot"
     if (lPts.isEmpty || rPts.isEmpty) return "grid"
     val pivots = farthestPointPivots[Array[Double]](
       rPts.toIndexedSeq, graft.spatial.Dist.pointToPoint, numPivots).toArray
@@ -1518,6 +1588,27 @@ object SpatialOps {
 
   private def toPts(rows: Array[org.apache.spark.sql.Row], dims: Int): Array[Array[Double]] =
     rows.map(row => Array.tabulate(dims)(row.getDouble))
+
+  /** Per-axis bbox edge of a 2-D [[graft.spatial.ShapeCodec]] struct
+    * column (parity 0 = x, 1 = y): circles decode as center ± radius;
+    * every other tag's 2-D coords layout puts the axis' values at the
+    * parity-strided positions (point/polygon/segment interleave (x, y);
+    * a 2-D box's [lx, ly, hx, hy] strides the same way), so the axis
+    * min/max over the strided slice IS the bbox edge. Shared by the
+    * shape joins. */
+  private[graft] def shapeBBoxLo(shape: Column, parity: Int): Column = {
+    val coords = shape.getField("coords")
+    when(shape.getField("tag") === lit(graft.spatial.ShapeCodec.TagCircle),
+      element_at(coords, parity + 1) - element_at(coords, 3))
+      .otherwise(array_min(filter(coords, (_, i) => i % 2 === parity)))
+  }
+
+  private[graft] def shapeBBoxHi(shape: Column, parity: Int): Column = {
+    val coords = shape.getField("coords")
+    when(shape.getField("tag") === lit(graft.spatial.ShapeCodec.TagCircle),
+      element_at(coords, parity + 1) + element_at(coords, 3))
+      .otherwise(array_max(filter(coords, (_, i) => i % 2 === parity)))
+  }
 
   /** Median of a bounded sample of one double-valued expression — the
     * [[samplePoints]] limit-probe/seeded-sample discipline applied to

@@ -989,6 +989,7 @@ object VectorOps {
                     vecCol: String, idCol: String, query: Array[Float],
                     k: Int, nprobe: Int = 4, refine: Int = 50): DataFrame = {
     require(refine >= k && nprobe >= 1)
+    graft.GraftConf.checkDriverPushdown(spark, "readIvfPqTopK", refine)
     val meta = readIvfPqMeta(spark, path)
     val coarse = meta.coarse
     val books = meta.books

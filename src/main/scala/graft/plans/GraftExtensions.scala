@@ -204,6 +204,10 @@ object GraftExtensions {
       graft.functions.ShapeAsWkt(es(0))),
     "graft_st_fromwkt" -> arity("graft_st_fromwkt", 1)(es =>
       graft.functions.WktToShape(es(0))),
+    "graft_st_aswkb" -> arity("graft_st_aswkb", 1)(es =>
+      graft.functions.ShapeAsWkb(es(0))),
+    "graft_st_fromwkb" -> arity("graft_st_fromwkb", 1)(es =>
+      graft.functions.WkbToShape(es(0))),
     // graft_sign_project(vec, outDim, seed) — JL ±1 projection; dims and
     // seed must be foldable literals (evaluated once at plan time)
     "graft_sign_project" -> arity("graft_sign_project", 3)(es => {

@@ -1624,6 +1624,21 @@ object Pipeline {
       Seq("the", "spark"))
   }
 
+  /** Boolean phrase retrieval off the same at-rest BM25 layout:
+    * ("the spark" OR "hash join") AND ("big table" OR customer) — OR
+    * of multi-token phrases, OR mixing phrase and bare term, AND
+    * composition, all candidates from one pruned posting sliver. */
+  def phraseBoolQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_idx_" + Integer.toHexString(d.hashCode)).toString
+    documents(s, d).writeBm25Index(path, "doc_id", "text")
+    CorpusOps.phraseBoolMatchAgainstIndex(s, path, documents(s, d), "text",
+      Seq(Seq(Seq("the", "spark"), Seq("hash", "join")),
+        Seq(Seq("big", "table"), Seq("customer"))))
+  }
+
   /** Fully at-rest hybrid retrieval: BM25 stage off the postings
     * layout, cosine re-rank off the IVF-PQ layout's raw vectors via a
     * pushed id IN filter — neither stage touches the corpus. Same
@@ -3231,6 +3246,17 @@ object Pipeline {
         |SELECT doc_id, len(toks) AS n_tokens FROM tk
         |WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '% the spark %'
         |ORDER BY doc_id""".stripMargin,
+    "tx_phrase_bool" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  ' ' || array_to_string(toks, ' ') || ' ' AS pad FROM tk)
+        |SELECT doc_id, n_tokens FROM p
+        |WHERE (pad LIKE '% the spark %' OR pad LIKE '% hash join %')
+        |  AND (pad LIKE '% big table %' OR pad LIKE '% customer %')
+        |ORDER BY doc_id""".stripMargin,
     // the at-rest BM25 index must reproduce the from-scratch scorer
     // exactly — SAME oracle text
     "tx_bm25_index" -> bm25OracleSql,
@@ -3542,6 +3568,7 @@ object Pipeline {
     "tx_bm25_index" -> (bm25IndexQ _),
     "tx_match_all" -> (matchAllQ _),
     "tx_phrase_index" -> (phraseIndexQ _),
+    "tx_phrase_bool" -> (phraseBoolQ _),
     "tx_hybrid_retrieve" -> (hybridRetrieveQ _),
     "tx_hybrid_index" -> (hybridIndexQ _),
     "pp_semantic_contamination" -> (semanticContaminationQ _),

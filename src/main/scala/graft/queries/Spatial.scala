@@ -542,6 +542,44 @@ object Spatial {
       .orderBy(col("c_custkey"))
   }
 
+  /** Any-Shape distance join: nation-derived RECTANGLES as genuine
+    * ShapeCodec MBR structs against customer POINT structs at
+    * r = 100.37 — the reference's shape-keyed join surface
+    * (util/ShapeUtils.scala:54-71). Rectangle keys keep the oracle
+    * honest: MBR×point minDist is the closed axis-deficit form DuckDB
+    * replays bit-for-bit (the sp_polygon_join discipline). */
+  def shapeDistanceJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.spatial.ShapeCodec
+    val cx = col("n_nationkey").cast("double") * 400.0
+    val cy = col("n_nationkey").cast("double") * 40.0
+    val boxes = nation(s, d).select(col("n_nationkey"),
+      struct(lit(ShapeCodec.TagMBR).as("tag"),
+        array(cx - 150.0, cy - 20.0, cx + 150.0, cy + 20.0).as("coords"))
+        .as("nbox"))
+    val pts = customerPts(s, d).select(col("c_custkey"),
+      struct(lit(ShapeCodec.TagPoint).as("tag"),
+        array(col("cx"), col("cy")).as("coords")).as("cpt"))
+    boxes.shapeDistanceJoin(pts, "nbox", "cpt", 100.37)
+      .select(col("n_nationkey"), col("c_custkey"))
+      .orderBy(col("n_nationkey"), col("c_custkey"))
+  }
+
+  /** WKB byte round-trip folded into a range query: points -> OGC WKB
+    * bytes -> parsed back -> box intersect. Any bit lost in the binary
+    * codec moves a point and changes the row set, so the plain box SQL
+    * is a true oracle for the byte layout; byte-level parity with the
+    * PostGIS layout is pinned by golden-hex specs (WkbSpec). */
+  def wkbRoundTripQ(s: SparkSession, d: String): DataFrame = {
+    import graft.functions._
+    customerPts(s, d)
+      .withColumn("wkb", stAsWkb(stPoint(col("cx"), col("cy"))))
+      .filter(stIntersects(stFromWkb(col("wkb")),
+        stShape(graft.spatial.MBR(
+          graft.spatial.Point(boxLow: _*), graft.spatial.Point(boxHigh: _*)))))
+      .select(col("c_custkey"), col("cx"), col("cy"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Exact kNN join, pivot (Voronoi) algorithm — same oracle as the grid
     * form, different physical shape. */
   def knnJoinPivotQ(s: SparkSession, d: String): DataFrame =
@@ -699,6 +737,15 @@ object Spatial {
          |ORDER BY n_nationkey, s_suppkey""".stripMargin,
     // rectangles as polygons: the closed-form axis distance IS the
     // polygon minDist for a point vs an axis-aligned rectangle
+    "sp_shape_distance_join" ->
+      s"""SELECT n_nationkey, c_custkey
+         |FROM nation n, ($custPtsSql) c
+         |WHERE sqrt(
+         |    pow(greatest(n.n_nationkey*400.0 - 150.0 - cx,
+         |                 cx - (n.n_nationkey*400.0 + 150.0), 0.0), 2)
+         |  + pow(greatest(n.n_nationkey*40.0 - 20.0 - cy,
+         |                 cy - (n.n_nationkey*40.0 + 20.0), 0.0), 2)) <= 100.37
+         |ORDER BY n_nationkey, c_custkey""".stripMargin,
     "sp_polygon_join" ->
       s"""SELECT n_nationkey, c_custkey
          |FROM nation n, ($custPtsSql) c
@@ -745,6 +792,10 @@ object Spatial {
          |  LIMIT 10) t
          |ORDER BY c_custkey""".stripMargin,
     "sp_wkt_roundtrip" ->
+      s"""SELECT c_custkey, cx, cy FROM ($custPtsSql) c
+         |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_wkb_roundtrip" ->
       s"""SELECT c_custkey, cx, cy FROM ($custPtsSql) c
          |WHERE cx >= 2000.0 AND cx <= 4000.0 AND cy >= 100.0 AND cy <= 300.0
          |ORDER BY c_custkey""".stripMargin,
@@ -856,6 +907,8 @@ object Spatial {
     "sp_knn" -> (knn _),
     "sp_knn_predicate" -> (knnPredicateQ _),
     "sp_wkt_roundtrip" -> (wktRoundTripQ _),
+    "sp_wkb_roundtrip" -> (wkbRoundTripQ _),
+    "sp_shape_distance_join" -> (shapeDistanceJoinQ _),
     "sp_distance_join" -> (distanceJoin _),
     "sp_distance_join_bc" -> (distanceJoinBc _),
     "sp_distance_join_sql" -> (distanceJoinSqlQ _),

@@ -640,6 +640,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("whitespace"), e.getMessage)
   }
 
+  test("phraseBoolMatchAgainstIndex: AND/OR of phrases and terms equals " +
+    "the raw containment; term-only queries never read the corpus") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_phrase_bool_spec").toString
+    docs.writeBm25Index(path, "doc_id", "text")
+    val toks = graft.functions.tokens(col("text"))
+    val padded = concat(lit(" "), array_join(toks, " "), lit(" "))
+    def want(pred: org.apache.spark.sql.Column) =
+      docs.filter(pred).select(col("doc_id"),
+          graft.functions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def run(q: Seq[Seq[Seq[String]]]) =
+      CorpusOps.phraseBoolMatchAgainstIndex(spark, path, docs, "text", q)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // (\"the spark\" OR \"hash join\") AND (\"big table\" OR customer)
+    val q1 = Seq(Seq(Seq("the", "spark"), Seq("hash", "join")),
+      Seq(Seq("big", "table"), Seq("customer")))
+    val w1 = want((padded.contains(" the spark ") ||
+        padded.contains(" hash join ")) &&
+      (padded.contains(" big table ") || padded.contains(" customer ")))
+    assert(run(q1) === w1 && w1.nonEmpty, "boolean composition mismatch")
+    // each clause alone is strictly larger than the conjunction
+    assert(run(Seq(q1.head)).size > w1.size &&
+      run(Seq(q1(1))).size > w1.size, "AND did not narrow — fixture broke")
+    // pure term query: exact from postings, corpus never read — feed a
+    // corpus frame whose text would crash any evaluation to prove it
+    val poisoned = docs.select(col("doc_id"),
+      (col("text").substr(lit(1), assert_true(lit(false)).cast("int")))
+        .as("text"))
+    val termOnly = CorpusOps.phraseBoolMatchAgainstIndex(spark, path,
+        poisoned, "text", Seq(Seq(Seq("customer")), Seq(Seq("spark"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(termOnly === want(array_contains(toks, "customer") &&
+      array_contains(toks, "spark")), "term-only boolean query mismatch")
+    // a deleted doc drops out of every clause
+    val dead = w1.take(1).map(_._1)
+    CorpusOps.deleteFromBm25Index(spark, path, dead.toDF("doc_id"))
+    assert(run(q1) === w1.filterNot(p => dead.contains(p._1)),
+      "tombstoned doc surfaced through the boolean query")
+    // malformed queries are refused loudly
+    intercept[IllegalArgumentException] {
+      CorpusOps.phraseBoolMatchAgainstIndex(spark, path, docs, "text",
+        Seq(Seq(Seq("the spark"))))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.phraseBoolMatchAgainstIndex(spark, path, docs, "text", Seq())
+    }
+  }
+
   test("matchAllTermsAgainstIndex equals the raw-text conjunction") {
     import graft.operators.CorpusOps
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),

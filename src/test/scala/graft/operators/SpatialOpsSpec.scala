@@ -241,8 +241,12 @@ class SpatialOpsSpec extends SparkSpec {
     val clus64 = Array.tabulate(200)(i =>
       centers64(i % 8).map(_ + rng.nextGaussian() * 0.1))
     assert(SpatialOps.chooseKnnAlgo(clus64, clus64, theta = 1.0, dims = 64) === "pivot")
-    // the model (not just the d>8 short-circuit) also lands pivot at
-    // moderate dims where 3^d outgrows the pivot side: clustered 6-D
+    // past 3-D the route is unconditional: the 3^d ROW replication is
+    // shuffle weight the flop model under-prices, so d=4 (81 copies per
+    // right row) and up go straight to pivot — even on uniform data the
+    // flop comparison would have scored for grid (128 > 81)
+    val uni4 = Array.fill(200)(Array.fill(4)(rng.nextDouble() * 100))
+    assert(SpatialOps.chooseKnnAlgo(uni4, uni4, theta = 5.0, dims = 4) === "pivot")
     val centers6 = Array.fill(8)(Array.fill(6)(rng.nextDouble() * 100))
     val clus6 = Array.tabulate(200)(i =>
       centers6(i % 8).map(_ + rng.nextGaussian() * 0.1))
@@ -281,6 +285,26 @@ class SpatialOpsSpec extends SparkSpec {
         .select("lid", "rid").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(gotSet === wantSet)
+
+      // d=4 end-to-end (the b5hd bench shape): UNIFORM 4-D data still
+      // takes the pivot plan — the 81-cell explode must never fire —
+      // and stays exact against the naive window
+      val rows4 = (0 until 80).map(i => (i.toLong,
+        rng.nextDouble() * 100, rng.nextDouble() * 100,
+        rng.nextDouble() * 100, rng.nextDouble() * 100))
+      val l4 = rows4.toDF("lid", "lx", "ly", "lz", "lw")
+      val r4 = rows4.toDF("rid", "rx", "ry", "rz", "rw")
+      val got4 = l4.knnJoinAuto(r4, Seq("lx", "ly", "lz", "lw"),
+        Seq("rx", "ry", "rz", "rw"), 2, "lid", "rid", Seq("rid"))
+      val p4 = got4.queryExecution.optimizedPlan.toString
+      assert(p4.contains("__graft_rcell") && !p4.contains("__graft_cell_lc0"),
+        s"uniform 4-D must take the pivot plan, never the 3^4 grid:\n$p4")
+      assert(got4.select("lid", "rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        l4.knnJoinNaive(r4, Seq("lx", "ly", "lz", "lw"),
+            Seq("rx", "ry", "rz", "rw"), 2, "lid", Seq("rid"))
+          .select("lid", "rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
     } finally {
       spark.conf.unset(graft.GraftConf.KnnJoinAlgo)
       spark.conf.unset(graft.GraftConf.KnnMaterialize)
@@ -729,6 +753,65 @@ class SpatialOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"intersects join grew a cross plan:\n$plan")
+  }
+
+  test("shapeDistanceJoin: mixed-geometry parity with naive, each pair " +
+    "exactly once, no cartesian") {
+    import graft.functions.stDistance
+    import spark.implicits._
+    def box(id: Long, lox: Double, loy: Double, hix: Double, hiy: Double) =
+      (id, graft.spatial.MBR(graft.spatial.Point(lox, loy),
+        graft.spatial.Point(hix, hiy)): graft.spatial.Shape)
+    def circle(id: Long, cx: Double, cy: Double, r: Double) =
+      (id, graft.spatial.Circle(graft.spatial.Point(cx, cy), r): graft.spatial.Shape)
+    def poly(id: Long, cx: Double, cy: Double, w: Double, h: Double) =
+      (id, graft.spatial.Polygon(Array(
+        graft.spatial.Point(cx - w, cy - h), graft.spatial.Point(cx + w, cy - h),
+        graft.spatial.Point(cx + w, cy + h), graft.spatial.Point(cx - w, cy + h)))
+        : graft.spatial.Shape)
+    def pt(id: Long, x: Double, y: Double) =
+      (id, graft.spatial.Point(x, y): graft.spatial.Shape)
+    def seg(id: Long, ax: Double, ay: Double, bx: Double, by: Double) =
+      (id, graft.spatial.LineSegment(graft.spatial.Point(ax, ay),
+        graft.spatial.Point(bx, by)): graft.spatial.Shape)
+    // overlapping big boxes + all five kinds on BOTH sides: near pairs,
+    // far pairs, touching pairs, identical centers
+    val lShapes = Seq(box(1, 0, 0, 100, 100), circle(2, 200, 200, 30),
+      poly(3, 300, 300, 80, 80), pt(4, 75, 75), seg(5, -50, 0, -50, 200))
+    val rShapes = Seq(box(10, 130, 130, 180, 180), box(11, -1000, -1000, 2000, 2000),
+      circle(12, 310, 310, 30), pt(13, 75.0, 120.0), seg(14, 0, 250, 400, 250),
+      box(15, 5000, 5000, 5001, 5001))
+    def df(s: Seq[(Long, graft.spatial.Shape)], idName: String, shapeName: String) =
+      s.map { case (id, sh) =>
+        val (tag, coords) = graft.spatial.ShapeCodec.encode(sh)
+        (id, tag, coords.toSeq)
+      }.toDF(idName, "__t", "__c")
+        .select(col(idName), struct(col("__t").as("tag"),
+          col("__c").cast("array<double>").as("coords")).as(shapeName))
+    val l = df(lShapes, "lid", "lshape")
+    val r = df(rShapes, "rid", "rshape")
+    def pairs(d: org.apache.spark.sql.DataFrame) = d.select("lid", "rid")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    for (radius <- Seq(0.0, 25.0, 80.0)) {
+      val q = l.shapeDistanceJoin(r, "lshape", "rshape", radius)
+      val got = pairs(q)
+      val want = pairs(l.crossJoin(r)
+        .filter(stDistance(col("lshape"), col("rshape")) <= radius))
+      assert(got === want && got.distinct === got,
+        s"r=$radius: got=$got want=$want")
+      if (radius == 80.0) assert(got.nonEmpty)
+    }
+    // a NULL shape drops out consistently (null bbox -> no cells)
+    val withNull = df(lShapes, "lid", "lshape").unionByName(
+      Seq(99L).toDF("lid").withColumn("lshape",
+        lit(null).cast(l.schema("lshape").dataType)))
+    assert(pairs(withNull.shapeDistanceJoin(r, "lshape", "rshape", 80.0)) ===
+      pairs(l.shapeDistanceJoin(r, "lshape", "rshape", 80.0)))
+    val plan = l.shapeDistanceJoin(r, "lshape", "rshape", 80.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"shape distance join grew a cross plan:\n$plan")
   }
 
   test("grid sizers sample, not take-first: size-sorted shape tables " +

@@ -1389,4 +1389,28 @@ class VectorOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
+
+  test("driver IN-list hops share one ceiling: an over-limit refine " +
+    "fails loudly, naming the knob") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pushdown_cap")
+    val path = "file://" + dir.toString
+    emb.limit(200).writeIvfPq(path, "embedding", "vec_id", nlist = 4,
+      m = 4, ksub = 4, iters = 1)
+    val q = all.find(_._1 == 1L).get._2
+    spark.conf.set(graft.GraftConf.MaxDriverPushdown, "64")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id", q,
+          k = 5, nprobe = 2, refine = 65)
+      }
+      assert(e.getMessage.contains(graft.GraftConf.MaxDriverPushdown) &&
+        e.getMessage.contains("readIvfPqTopK"),
+        s"error must name the knob and the verb: ${e.getMessage}")
+      // at or under the ceiling the verb runs as before
+      assert(VectorOps.readIvfPqTopK(spark, path, "embedding", "vec_id",
+        q, k = 5, nprobe = 2, refine = 64).collect().nonEmpty)
+    } finally spark.conf.unset(graft.GraftConf.MaxDriverPushdown)
+    // the default ceiling admits every shipped default (refine = 50 etc.)
+    assert(graft.GraftConf.maxDriverPushdown(spark) >= 4096)
+  }
 }

@@ -179,6 +179,103 @@ class ShapeColumnSpec extends SparkSpec {
     }
   }
 
+  test("WKB: golden PostGIS hex, both endiannesses, lossless round-trip") {
+    def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // golden little-endian vectors (PostGIS `SELECT ST_AsBinary(...)`)
+    assert(hex(Wkb.format(Point(1.0, 2.0))) ===
+      "0101000000000000000000f03f0000000000000040")
+    assert(hex(Wkb.format(LineSegment(Point(0.0, 0.0), Point(1.0, 1.0)))) ===
+      "0102000000020000000000000000000000000000000000000" +
+        "0000000000000f03f000000000000f03f")
+    // POLYGON((0 0,1 0,1 1,0 0)): 1 ring, closed on output (4 vertices)
+    assert(hex(Wkb.format(Polygon((0.0, 0.0), (1.0, 0.0), (1.0, 1.0)))) ===
+      "010300000001000000040000000000000000000000000000000000000" +
+        "0000000000000f03f0000000000000000000000000000f03f000000000000f03f" +
+        "00000000000000000000000000000000")
+    // round-trip is bit-lossless for every 2-D kind
+    val roundTrippable = Seq(
+      Point(1.5, -2.25),
+      LineSegment(Point(0.0, 0.0), Point(4.0, 3.0)),
+      Polygon((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)),
+      Circle(Point(5.0, 5.0), 2.5))
+    roundTrippable.foreach { s =>
+      assert(Wkb.parse(Wkb.format(s)) === s,
+        s"round trip of $s via ${hex(Wkb.format(s))}")
+    }
+    // a box emits its polygon ring and parses back geometrically equal
+    // (the Wkt precedent — standard bytes PostGIS can read)
+    val box = MBR(Point(1.0, 2.0), Point(3.0, 4.0))
+    Wkb.parse(Wkb.format(box)) match {
+      case p: Polygon =>
+        assert(p.intersects(box) &&
+          box.contains(Point(2.0, 3.0)) === p.contains(Point(2.0, 3.0)))
+        assert(p.vertices.length === 4)
+      case other => fail(s"box should parse as its polygon ring, got $other")
+    }
+    // big-endian input accepted (JTS-style): POINT(1 2) BE
+    assert(Wkb.parse(unhex(
+      "00000000013ff00000000000004000000000000000")) === Point(1.0, 2.0))
+    // the circle extension survives a round trip but is flagged NON-OGC
+    assert(Wkb.TypeCircleExt > 0x3000,
+      "extension type must sit outside the OGC/ISO Z/M/ZM bands")
+    // strict failures citing the bytes
+    Seq(
+      "01",                            // truncated header
+      "0107000000",                    // unsupported type (multipoint)
+      "020100000000",                  // bad byte-order marker
+      "010200000003000000"             // 3-vertex linestring (not a segment)
+    ).foreach { bad =>
+      val e = intercept[IllegalArgumentException](Wkb.parse(unhex(bad)))
+      assert(e.getMessage.contains("0x"),
+        s"message must cite the bytes: ${e.getMessage}")
+    }
+    // n-D shapes have no standard WKB form: loud error, like Wkt's n-D box
+    intercept[IllegalArgumentException](Wkb.format(Point(1.0, 2.0, 3.0)))
+  }
+
+  test("WKT <-> WKB <-> struct agree on every expressible shape") {
+    // the three codecs are views of one ADT: for every 2-D shape the
+    // WKT text, the WKB bytes, and the struct encoding all decode to
+    // the same geometry
+    val shapes = Seq(
+      Point(1.5, -2.25),
+      LineSegment(Point(0.0, 0.0), Point(4.0, 3.0)),
+      Polygon((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)),
+      Circle(Point(5.0, 5.0), 2.5))
+    shapes.foreach { s =>
+      val viaWkt = Wkt.parse(Wkt.format(s))
+      val viaWkb = Wkb.parse(Wkb.format(s))
+      val (tag, coords) = ShapeCodec.encode(s)
+      val viaStruct = ShapeCodec.decode(tag, coords)
+      assert(viaWkt === viaWkb && viaWkb === viaStruct && viaStruct === s,
+        s"codec disagreement on $s")
+      // and crossing codecs composes: struct -> wkb -> wkt -> shape
+      assert(Wkt.parse(Wkt.format(Wkb.parse(Wkb.format(viaStruct)))) === s)
+    }
+  }
+
+  test("stAsWkb / stFromWkb round-trip as columns, SQL-callable") {
+    import spark.implicits._
+    val df = Seq((1L, 2.5, 3.5), (2L, -1.0, 0.0)).toDF("id", "x", "y")
+    val back = df.select(col("id"),
+      stFromWkb(stAsWkb(stPoint(col("x"), col("y")))).as("s"))
+      .select(col("id"), col("s.coords").as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(back(1L) === Seq(2.5, 3.5) && back(2L) === Seq(-1.0, 0.0))
+
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    val row = spark.sql(
+      "SELECT hex(graft_st_aswkb(graft_st_fromwkt('POINT (1 2)'))) AS w").head()
+    assert(row.getString(0).toLowerCase ===
+      "0101000000000000000000f03f0000000000000040")
+    val back2 = spark.sql(
+      "SELECT graft_st_aswkt(graft_st_fromwkb(graft_st_aswkb(" +
+        "graft_st_fromwkt('POINT (1.5 2.5)')))) AS w").head()
+    assert(back2.getString(0) === "POINT (1.5 2.5)")
+  }
+
   test("stAsWkt / stFromWkt round-trip as columns, SQL-callable") {
     import spark.implicits._
     val df = Seq((1L, 2.5, 3.5), (2L, -1.0, 0.0)).toDF("id", "x", "y")
