@@ -500,6 +500,39 @@ object ExplainPlans {
       VectorOps.readIvfPqTopK(spark, delPath, "embedding", "vec_id", q, 10,
         nprobe = 4, refine = 40)
     }
+    show("shape_distance_join (expect both sides exploded to bbox cells — left r-dilated — equi-join on the cell, no cross; reference-point filter + codegen'd shape_min_dist refine)") {
+      import graft.spatial.ShapeCodec
+      val ncx = col("n_nationkey").cast("double") * 400.0
+      val ncy = col("n_nationkey").cast("double") * 40.0
+      val boxes = nation(spark, d).select(col("n_nationkey"),
+        struct(lit(ShapeCodec.TagMBR).as("tag"),
+          array(ncx - 150.0, ncy - 20.0, ncx + 150.0, ncy + 20.0).as("coords"))
+          .as("nbox"))
+      val pts = customerPts(spark, d).select(col("c_custkey"),
+        struct(lit(ShapeCodec.TagPoint).as("tag"),
+          array(col("cx"), col("cy")).as("coords")).as("cpt"))
+      boxes.shapeDistanceJoin(pts, "nbox", "cpt", 100.37)
+    }
+    show("phrase_bool (expect ONE term-pruned posting sliver — PushedFilters In(term, all query terms) — feeding per-alternative conjunctive aggs; adjacency text read only via the pushed id IN; OR = union distinct, AND = semi-join chain)") {
+      import graft.operators.CorpusOps
+      import graft.operators.CorpusOps._
+      val bmPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_bm25_bool").toString
+      documents(spark, d).writeBm25Index(bmPath, "doc_id", "text")
+      CorpusOps.phraseBoolMatchAgainstIndex(spark, bmPath,
+        documents(spark, d), "text",
+        Seq(Seq(Seq("the", "spark"), Seq("hash", "join")),
+          Seq(Seq("big", "table"), Seq("customer"))))
+    }
+    show("wkb_roundtrip_range (expect the codegen'd shape_to_wkb/wkb_to_shape pair inlined in one WholeStageCodegen filter over the scan — no UDF, no extra exchange)") {
+      import graft.functions._
+      customerPts(spark, d)
+        .withColumn("wkb", stAsWkb(stPoint(col("cx"), col("cy"))))
+        .filter(stIntersects(stFromWkb(col("wkb")),
+          stShape(graft.spatial.MBR(graft.spatial.Point(2000.0, 100.0),
+            graft.spatial.Point(4000.0, 300.0)))))
+        .select(col("c_custkey"))
+    }
     spark.stop()
   }
 }
