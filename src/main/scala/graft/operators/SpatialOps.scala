@@ -415,6 +415,73 @@ object SpatialOps {
         .select((l.columns ++ rt.columns).map(col): _*)
     }
 
+    /** kNN join over MIXED-GEOMETRY ShapeCodec columns: per left shape,
+      * the `k` right shapes minimizing exact `minDist` — closing the
+      * reference's any-Shape join surface on the kNN side (its join
+      * operators accept any Shape key via util/ShapeUtils.scala:54-71;
+      * the point-keyed [[knnJoin]] and single-query `shapeKnn` covered
+      * the rest). The grid join's bound-then-refine discipline over
+      * shapes:
+      *  1. bounded driver samples of BOTH shape columns decode through
+      *     the codec; each sampled left's k-th smallest exact shape
+      *     distance against the right sample gives the radius pool, and
+      *     theta = quantile * safety (an over-estimate only widens the
+      *     candidate grid — exactness never depends on the sample);
+      *  2. candidates = [[shapeDistanceJoin]] at r = theta — the
+      *     dilated-bbox PBSM grid, reference-point dedup, exact refine;
+      *  3. per-left windowed top-k over candidates (satisfied = lefts
+      *     with >= k candidates inside theta);
+      *  4. starved lefts take the exact cross-window fallback (the
+      *     CKJSpark shape) — bounded because the sampled theta leaves
+      *     only estimate-miss lefts starved (spec-pinned).
+      * Output: every left column + the matched right columns, k rows
+      * per left (fewer only if |right| < k). */
+    def shapeKnnJoin(right: Dataset[_], lShapeCol: String, rShapeCol: String,
+                     k: Int, leftId: String, tieBreak: Seq[String],
+                     sampleCap: Int = 500, quantile: Double = 0.95,
+                     safety: Double = 2.0): DataFrame = {
+      require(k >= 1, s"k must be >= 1, got $k")
+      val l = ds.toDF
+      val rt = right.toDF
+      require(l.columns.intersect(rt.columns).isEmpty,
+        s"shapeKnnJoin requires disjoint column names, shared: " +
+          l.columns.intersect(rt.columns).mkString(","))
+      val lShapes = SpatialOps.sampleShapes(l, lShapeCol, sampleCap)
+      val rShapes = SpatialOps.sampleShapes(rt, rShapeCol,
+        math.max(sampleCap, 4 * k))
+      // per-sampled-left k-th exact shape distance against the right
+      // sample; a SUBSET right sample only inflates the k-th distance,
+      // so theta errs wide (more candidates, never fewer)
+      val theta: Double =
+        if (lShapes.isEmpty || rShapes.length < k) 0.0
+        else {
+          val radii = lShapes.map { ls =>
+            val dists = rShapes.map(rs => ls.minDist(rs))
+            java.util.Arrays.sort(dists)
+            dists(k - 1)
+          }
+          java.util.Arrays.sort(radii)
+          val q = radii(math.min(radii.length - 1,
+            math.ceil(quantile * radii.length).toInt - 1).max(0))
+          math.max(q * safety, 1e-9)
+        }
+      val cand = shapeDistanceJoin(rt, lShapeCol, rShapeCol, theta)
+        .withColumn(DIST, stDistance(col(lShapeCol), col(rShapeCol)))
+      val (satisfied, satisfiedLeftIds) =
+        SpatialOps.topKWithCount(cand, leftId, k, tieBreak,
+          materialize = graft.GraftConf.knnMaterialize(ds.sparkSession))
+      val starved = l.join(satisfiedLeftIds, Seq(leftId), "left_anti")
+      val w = Window.partitionBy(col(leftId))
+        .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
+      val fallback = starved.crossJoin(rt)
+        .withColumn(DIST, stDistance(col(lShapeCol), col(rShapeCol)))
+        .filter(col(DIST).isNotNull)
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") <= k)
+        .drop("__graft_rn", DIST)
+      satisfied.unionByName(fallback)
+    }
+
     /** Distance join, grid algorithm: left rows hash to their own cell
       * (side length r), right rows replicate to the 3^d neighborhood, the
       * pair space shrinks to an equi-join on cell id plus a residual exact
@@ -1608,6 +1675,27 @@ object SpatialOps {
     when(shape.getField("tag") === lit(graft.spatial.ShapeCodec.TagCircle),
       element_at(coords, parity + 1) + element_at(coords, 3))
       .otherwise(array_max(filter(coords, (_, i) => i % 2 === parity)))
+  }
+
+  /** Bounded driver sample of a ShapeCodec struct column, decoded to
+    * ADT shapes — the [[samplePoints]] limit-probe/seeded-sample
+    * discipline (null shapes skipped like the joins skip them). */
+  private[graft] def sampleShapes(df: DataFrame, c: String,
+                                  cap: Int): Array[graft.spatial.Shape] = {
+    val projected = df
+      .select(col(s"$c.tag").as("__graft_tag"),
+        col(s"$c.coords").as("__graft_coords"))
+      .na.drop("any")
+    val head = projected.limit(cap + 1).collect()
+    val rows =
+      if (head.length <= cap) head
+      else {
+        val sampled = projected.sample(withReplacement = false, 0.1, 42)
+          .limit(cap).collect()
+        if (sampled.nonEmpty) sampled else head.take(cap)
+      }
+    rows.map(r => graft.spatial.ShapeCodec.decode(r.getInt(0),
+      r.getSeq[Double](1).toArray))
   }
 
   /** Median of a bounded sample of one double-valued expression — the

@@ -564,6 +564,27 @@ object Spatial {
       .orderBy(col("n_nationkey"), col("c_custkey"))
   }
 
+  /** Any-Shape kNN join: each nation rectangle's 3 nearest customer
+    * points by exact shape minDist — the kNN side of the reference's
+    * shape-keyed join surface. Rectangle keys replay in DuckDB as the
+    * closed axis-deficit distance inside a window. */
+  def shapeKnnJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.spatial.ShapeCodec
+    val cx = col("n_nationkey").cast("double") * 400.0
+    val cy = col("n_nationkey").cast("double") * 40.0
+    val boxes = nation(s, d).select(col("n_nationkey"),
+      struct(lit(ShapeCodec.TagMBR).as("tag"),
+        array(cx - 150.0, cy - 20.0, cx + 150.0, cy + 20.0).as("coords"))
+        .as("nbox"))
+    val pts = customerPts(s, d).select(col("c_custkey"),
+      struct(lit(ShapeCodec.TagPoint).as("tag"),
+        array(col("cx"), col("cy")).as("coords")).as("cpt"))
+    boxes.shapeKnnJoin(pts, "nbox", "cpt", 3, "n_nationkey",
+        tieBreak = Seq("c_custkey"))
+      .select(col("n_nationkey"), col("c_custkey"))
+      .orderBy(col("n_nationkey"), col("c_custkey"))
+  }
+
   /** WKB byte round-trip folded into a range query: points -> OGC WKB
     * bytes -> parsed back -> box intersect. Any bit lost in the binary
     * codec moves a point and changes the row set, so the plain box SQL
@@ -737,6 +758,18 @@ object Spatial {
          |ORDER BY n_nationkey, s_suppkey""".stripMargin,
     // rectangles as polygons: the closed-form axis distance IS the
     // polygon minDist for a point vs an axis-aligned rectangle
+    "sp_shape_knn_join" ->
+      s"""SELECT n_nationkey, c_custkey FROM (
+         |  SELECT n.n_nationkey, c.c_custkey,
+         |    row_number() OVER (PARTITION BY n.n_nationkey ORDER BY sqrt(
+         |        pow(greatest(n.n_nationkey*400.0 - 150.0 - cx,
+         |                     cx - (n.n_nationkey*400.0 + 150.0), 0.0), 2)
+         |      + pow(greatest(n.n_nationkey*40.0 - 20.0 - cy,
+         |                     cy - (n.n_nationkey*40.0 + 20.0), 0.0), 2)) ASC,
+         |      c.c_custkey ASC) AS rn
+         |  FROM nation n, ($custPtsSql) c) t
+         |WHERE rn <= 3
+         |ORDER BY n_nationkey, c_custkey""".stripMargin,
     "sp_shape_distance_join" ->
       s"""SELECT n_nationkey, c_custkey
          |FROM nation n, ($custPtsSql) c
@@ -909,6 +942,7 @@ object Spatial {
     "sp_wkt_roundtrip" -> (wktRoundTripQ _),
     "sp_wkb_roundtrip" -> (wkbRoundTripQ _),
     "sp_shape_distance_join" -> (shapeDistanceJoinQ _),
+    "sp_shape_knn_join" -> (shapeKnnJoinQ _),
     "sp_distance_join" -> (distanceJoin _),
     "sp_distance_join_bc" -> (distanceJoinBc _),
     "sp_distance_join_sql" -> (distanceJoinSqlQ _),

@@ -814,6 +814,65 @@ class SpatialOpsSpec extends SparkSpec {
       s"shape distance join grew a cross plan:\n$plan")
   }
 
+  test("shapeKnnJoin: mixed-geometry parity with the naive window; " +
+    "starved lefts exact; no unbounded cross") {
+    import graft.functions.stDistance
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    def enc(sh: graft.spatial.Shape): (Int, Seq[Double]) = {
+      val (t, c) = graft.spatial.ShapeCodec.encode(sh); (t, c.toSeq)
+    }
+    // left: all five kinds scattered over [0,1000]^2, incl. one OUTLIER
+    // far from everything (its sampled theta radius under-covers ->
+    // exercises the starved fallback)
+    val lShapes: Seq[(Long, graft.spatial.Shape)] =
+      (1L to 40L).map { i =>
+        val x = rng.nextDouble() * 1000; val y = rng.nextDouble() * 1000
+        val sh: graft.spatial.Shape = (i % 5) match {
+          case 0 => graft.spatial.Point(x, y)
+          case 1 => graft.spatial.MBR(graft.spatial.Point(x, y),
+            graft.spatial.Point(x + 20, y + 15))
+          case 2 => graft.spatial.Circle(graft.spatial.Point(x, y), 10)
+          case 3 => graft.spatial.Polygon(Array(graft.spatial.Point(x, y),
+            graft.spatial.Point(x + 25, y), graft.spatial.Point(x + 12, y + 18)))
+          case _ => graft.spatial.LineSegment(graft.spatial.Point(x, y),
+            graft.spatial.Point(x + 30, y + 5))
+        }
+        (i, sh)
+      } :+ (99L -> (graft.spatial.Point(90000.0, 90000.0): graft.spatial.Shape))
+    val rShapes: Seq[(Long, graft.spatial.Shape)] = (101L to 200L).map { i =>
+      val x = rng.nextDouble() * 1000; val y = rng.nextDouble() * 1000
+      val sh: graft.spatial.Shape =
+        if (i % 3 == 0) graft.spatial.MBR(graft.spatial.Point(x, y),
+          graft.spatial.Point(x + 8, y + 8))
+        else graft.spatial.Point(x, y)
+      (i, sh)
+    }
+    val l = lShapes.map { case (id, sh) => val (t, c) = enc(sh); (id, t, c) }
+      .toDF("lid", "__t", "__c")
+      .select(col("lid"), struct(col("__t").as("tag"),
+        col("__c").cast("array<double>").as("coords")).as("lshape"))
+    val r = rShapes.map { case (id, sh) => val (t, c) = enc(sh); (id, t, c) }
+      .toDF("rid", "__t", "__c")
+      .select(col("rid"), struct(col("__t").as("tag"),
+        col("__c").cast("array<double>").as("coords")).as("rshape"))
+    val got = l.shapeKnnJoin(r, "lshape", "rshape", 3, "lid", Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lid"))
+      .orderBy(col("__d").asc, col("rid").asc)
+    val want = l.crossJoin(r)
+      .withColumn("__d", stDistance(col("lshape"), col("rshape")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    assert(got === want && got.nonEmpty, "shape kNN join != naive window")
+    // every left (including the starved outlier) got exactly k rows
+    assert(got.groupBy(_._1).forall(_._2.size == 3))
+    assert(got.exists(_._1 == 99L), "outlier left lost")
+  }
+
   test("grid sizers sample, not take-first: size-sorted shape tables " +
     "pick the same cell side as shuffled ones") {
     import spark.implicits._
