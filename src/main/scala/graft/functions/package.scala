@@ -239,6 +239,56 @@ package object functions {
   /** Stopword list shared by the quality-score surface and its oracle. */
   val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** URL canonicalization for dedup-by-URL (the Common-Crawl curation
+    * primitive: near-identical fetches differ only in case, fragments,
+    * tracking params, param order, www, default ports). Deterministic
+    * rewrite chain, applied in this order:
+    *   1. strip the `#fragment`;
+    *   2. lowercase the scheme://host[:port] head (path/query stay
+    *      case-sensitive);
+    *   3. strip a leading `www.` from the host;
+    *   4. strip the scheme's default port (`:80` http, `:443` https);
+    *   5. remove tracking params (`utm_*`, `fbclid`, `gclid`) and
+    *      re-normalize `?`/`&` separators;
+    *   6. sort remaining query params byte-lexicographically;
+    *   7. strip a bare trailing `/` (host-only URLs).
+    * Every step is `regexp_extract`/`regexp_replace`/`split`/
+    * `array_sort` over the Java-regex ∩ RE2 class (no lookaround), so
+    * an oracle engine replays the whole chain bit-for-bit. Heuristic by
+    * design — canonicalization always is; the choices here are the
+    * common-crawl-pipeline defaults. Null-safe (null in, null out). */
+  def urlNormalize(url: Column): Column = {
+    // 1. fragment off first so later anchors never see '#'
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // 2. lowercase the scheme://authority head; absent scheme = no-op
+    val head = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(head),
+      noFrag.substr(length(head) + 1, lit(1 << 30)))
+    // 3. www. off the host
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    // 4. default ports
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
+    // 5. tracking params out, separators re-normalized
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(noPort,
+            "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", ""),
+          "&&+", "&"),
+        "\\?&", "?"),
+      "[?&]+$", "")
+    // 6. sort the surviving query params
+    val qs = regexp_extract(noTrack, "\\?(.*)$", 1)
+    val base = regexp_replace(noTrack, "\\?.*$", "")
+    val sorted = when(length(qs) > 0,
+      concat(base, lit("?"), array_join(array_sort(split(qs, "&")), "&")))
+      .otherwise(noTrack)
+    // 7. bare trailing slash
+    regexp_replace(sorted, "^(https?://[^/?#]*)/+$", "$1")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   // PII-ish patterns, deliberately restricted to syntax valid in BOTH

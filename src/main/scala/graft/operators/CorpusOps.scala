@@ -813,7 +813,69 @@ object CorpusOps {
       .select(col(idCol), col("score"), col("cos"))
   }
 
+  /** The PII pattern surface shared by [[DatasetCorpusOps.piiRedact]]
+    * and its oracle: `(class, pattern, replacement)` applied IN ORDER
+    * (order is part of the contract — a redacted span can't re-match a
+    * later class). Every pattern sits in the Java-regex ∩ RE2 class (no
+    * lookaround, no backreferences — `\b`, bounded repetition, and
+    * non-capturing alternation are in both), so DuckDB/Trino replay the
+    * redaction verbatim with `regexp_replace(..., 'g')`. Deliberately
+    * high-recall shapes (the curation posture: over-redact training
+    * text rather than leak); swap or extend the list per corpus. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\+?\\d{10,15}\\b", "<PHONE>"))
+
   implicit class DatasetCorpusOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** PII detection + redaction — the privacy pass of a training-data
+      * curation pipeline: per document, count each [[piiPatterns]]
+      * class on the ORIGINAL text (counts are independent per class —
+      * overlap between classes shows in both counters, which is what an
+      * audit wants), then redact by applying the replacements in the
+      * declared order. Pure codegen'd `regexp_count`/`regexp_replace`
+      * chains — no UDF, shuffle-free, scales as a projection over the
+      * corpus scan; the patterns' Java∩RE2 shape keeps every count and
+      * the cleaned text bit-replayable in the oracle engine. Returns
+      * `(idCol, text_clean, n_<class>..., n_pii)`. */
+    def piiRedact(idCol: String, textCol: String): DataFrame = {
+      val rawCounts = CorpusOps.piiPatterns.map { case (_, pat, _) =>
+        regexp_count(col(textCol), lit(pat)).cast("long")
+      }
+      val named = rawCounts.zip(CorpusOps.piiPatterns).map {
+        case (c, (name, _, _)) => c.as(s"n_$name")
+      }
+      val cleaned = CorpusOps.piiPatterns.foldLeft(col(textCol)) {
+        case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+      }
+      ds.toDF.select(
+        (col(idCol) +: cleaned.as("text_clean") +: named) :+
+          rawCounts.reduce(_ + _).as("n_pii"): _*)
+    }
+
+    /** Canonical-URL dedup — the Common-Crawl curation primitive: two
+      * fetches of the SAME page routinely differ only in case, tracking
+      * params, param order, fragments, `www.`, or default ports, and a
+      * URL-level dedup removes them for the cost of one projection +
+      * one shuffle (no text ever moves — this runs BEFORE the content
+      * dedups and shrinks their input). Normalizes through
+      * [[graft.functions.urlNormalize]], keeps the lowest `idCol` per
+      * canonical URL (one window, one hash exchange on the canonical
+      * key), and returns every surviving row plus its `url_norm`.
+      * Null / schemeless URLs normalize to themselves and dedup as
+      * their own keys. */
+    def urlCanonicalDedup(idCol: String, urlCol: String): DataFrame = {
+      val n = ds.toDF.withColumn("__graft_url_norm",
+        graft.functions.urlNormalize(col(urlCol)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__graft_url_norm")).orderBy(col(idCol).asc)
+      n.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1)
+        .drop("__graft_rn")
+        .withColumnRenamed("__graft_url_norm", "url_norm")
+    }
 
     /** Per-document boilerplate fraction against the whole corpus: a
       * word `n`-gram is boilerplate iff it occurs in at least `minDocs`

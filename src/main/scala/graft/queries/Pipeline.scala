@@ -586,6 +586,49 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** PII detection + redaction over deterministically PLANTED pii (an
+    * email, an IPv4, a phone run, and an SSN derived from doc_id ride
+    * every document — the word-salad corpus carries none of its own, and
+    * both engines build the identical augmented text), so the chained
+    * regexp_replace redaction and the per-class counts have real work
+    * at any SF and hash-oracle bit-for-bit. */
+  def piiRedactQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    val planted = documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        lit(" from 10.0."), (col("doc_id") % 256), lit("."),
+        (col("doc_id") % 100),
+        lit(" call +1415555"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn 123-45-6789")).as("text"))
+    planted.piiRedact("doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  /** Canonical-URL dedup over deterministically synthesized URLs (the
+    * corpus carries none): four variants per article id — raw with
+    * unsorted params, SHOUTED scheme/host with :443 and a fragment,
+    * www. with a utm param, and an http://...:80 item path — where the
+    * first three canonicalize to ONE key. Both engines build the same
+    * URLs and replay the same normalization chain, so the survivor set
+    * hash-oracles exactly. */
+  def urlDedupQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    val n = (col("doc_id") % 50).cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://example.com/article/"), n, lit("?b=2&a=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://EXAMPLE.COM:443/article/"), n, lit("?a=1&b=2#frag")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://www.example.com/article/"), n,
+          lit("?a=1&utm_source=x&b=2")))
+      .otherwise(concat(lit("http://example.com:80/item/"), n, lit("/")))
+    documents(s, d).select(col("doc_id"), url.as("url"))
+      .urlCanonicalDedup("doc_id", "url")
+      .select(col("doc_id"), col("url_norm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-scaled (alpha = 0.5) language rebalancing at a
     * 200-row budget: sqrt shares, decimal-exact denominator,
     * Knuth-hash selection — full hash oracle. */
@@ -2817,6 +2860,58 @@ object Pipeline {
     // boilerplate = 5-grams in >= 2 distinct docs; same tok/grams CTE
     // shape as pp_contamination (hash-proven tokenizer), integer counts
     // and one double division
+    "pp_url_dedup" ->
+      """WITH urls AS (
+        |  SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'https://example.com/article/' || CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1'
+        |    WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/article/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2#frag'
+        |    WHEN 2 THEN 'https://www.example.com/article/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&utm_source=x&b=2'
+        |    ELSE 'http://example.com:80/item/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+        |  END AS url FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM urls),
+        |s2 AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+        |  || substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1) AS u FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(u, '^(https?://)www\.', '\1', 'g') AS u FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |  '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),
+        |  '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2', 'g') AS u FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+        |  '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+        |  '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g') AS u FROM s4),
+        |s6 AS (SELECT doc_id, CASE WHEN length(regexp_extract(u, '\?(.*)$', 1)) > 0
+        |  THEN regexp_replace(u, '\?.*$', '', 'g') || '?' ||
+        |    array_to_string(list_sort(string_split(regexp_extract(u, '\?(.*)$', 1), '&')), '&')
+        |  ELSE u END AS u FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(u, '^(https?://[^/?#]*)/+$', '\1', 'g') AS url_norm FROM s6)
+        |SELECT doc_id, url_norm FROM (
+        |  SELECT doc_id, url_norm,
+        |    row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn FROM s7) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "pp_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text
+        |    || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |    || CAST(doc_id % 100 AS VARCHAR)
+        |    || ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' ssn 123-45-6789' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\+?\d{10,15}\b', '<PHONE>', 'g') AS text_clean,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(text, '\b\+?\d{10,15}\b')) AS n_phone,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))
+        |  + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+        |  + len(regexp_extract_all(text, '\b\+?\d{10,15}\b')) AS n_pii
+        |FROM planted ORDER BY doc_id""".stripMargin,
     "pp_boilerplate" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r]+') AS t
@@ -3511,6 +3606,8 @@ object Pipeline {
     "tx_vocab_sketch" -> (vocabSketchQ _),
     "pp_contamination" -> (contaminationQ _),
     "pp_boilerplate" -> (boilerplateQ _),
+    "pp_pii_redact" -> (piiRedactQ _),
+    "pp_url_dedup" -> (urlDedupQ _),
     "pp_sequence_pack" -> (sequencePackQ _),
     "pp_sequence_pack_global" -> (sequencePackGlobalQ _),
     "tx_winnow" -> (winnowQ _),

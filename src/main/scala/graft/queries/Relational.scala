@@ -266,7 +266,28 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("o_orderpriority"))
 
+  /** Semi-structured metadata extraction: the events table's `props`
+    * column is a JSON blob; pull `$.k` with the codegen'd JSON path
+    * expression and aggregate per event type. The everyday
+    * log-analytics shape — extraction rides the scan (no UDF), the
+    * aggregate is one partial-agg shuffle; DuckDB replays via
+    * json_extract_string. */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   val oracles: Map[String, String] = Map(
+    "q27_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q26_pivot" ->
       """SELECT o_orderpriority,
         | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
@@ -426,6 +447,7 @@ object Relational {
     "q23_percentiles" -> (percentiles _),
     "q24_shipping_priority" -> (shippingPriority _),
     "q25_local_supplier_volume" -> (localSupplierVolume _),
-    "q26_pivot" -> (pivotStatus _)
+    "q26_pivot" -> (pivotStatus _),
+    "q27_json_props" -> (jsonProps _)
   )
 }

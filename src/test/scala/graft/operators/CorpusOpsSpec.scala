@@ -692,6 +692,75 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("piiRedact: per-class counts on the original text, ordered " +
+    "redaction, clean rows untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "reach me at alice.smith+work@mail.example.org or bob@x.io thanks"),
+      (2L, "server 192.168.1.200 and 10.0.0.1 rebooted"),
+      (3L, "ssn 987-65-4321 phone 14155552671 mixed"),
+      (4L, "no pii here just words"),
+      (5L, "edge: v4-ish 999.999.999.999 still redacts; short digits 12345 do not")
+    ).toDF("doc_id", "text")
+    val got = rows.piiRedact("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(1L) === (("reach me at <EMAIL> or <EMAIL> thanks", 2L, 0L, 0L, 0L, 2L)))
+    assert(got(2L) === (("server <IP> and <IP> rebooted", 0L, 2L, 0L, 0L, 2L)))
+    assert(got(3L) === (("ssn <SSN> phone <PHONE> mixed", 0L, 0L, 1L, 1L, 2L)))
+    assert(got(4L) === (("no pii here just words", 0L, 0L, 0L, 0L, 0L)))
+    // the ipv4 pattern is deliberately high-recall (no octet range
+    // check — over-redact, never leak); bounded digit runs stay
+    assert(got(5L)._1.contains("<IP>") && got(5L)._1.contains("12345"))
+    // shuffle-free projection: the privacy pass rides the corpus scan
+    val plan = rows.piiRedact("doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"piiRedact must not shuffle:\n$plan")
+  }
+
+  test("urlNormalize: case/port/www/fragment/tracking/param-order " +
+    "variants collapse; distinct pages stay distinct") {
+    import spark.implicits._
+    val cases = Seq(
+      // all six of these are the SAME page
+      ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+      ("HTTPS://EXAMPLE.COM/a?a=1&b=2", "https://example.com/a?a=1&b=2"),
+      ("https://example.com:443/a?a=1&b=2", "https://example.com/a?a=1&b=2"),
+      ("https://www.example.com/a?a=1&b=2", "https://example.com/a?a=1&b=2"),
+      ("https://example.com/a?a=1&b=2#sec-3", "https://example.com/a?a=1&b=2"),
+      ("https://example.com/a?utm_source=tw&a=1&utm_medium=x&b=2&fbclid=99",
+        "https://example.com/a?a=1&b=2"),
+      // tracking-only query drops entirely
+      ("https://example.com/a?utm_campaign=x", "https://example.com/a"),
+      // host-only trailing slash strips; path trailing slash stays
+      ("https://example.com/", "https://example.com"),
+      ("http://example.com:80/", "http://example.com"),
+      ("https://example.com/a/", "https://example.com/a/"),
+      // path case is PRESERVED (only scheme+host lower)
+      ("https://Example.com/CaseSensitive/Path", "https://example.com/CaseSensitive/Path"),
+      // non-default port and mid-host www stay
+      ("https://example.com:8443/a", "https://example.com:8443/a"),
+      ("https://api.www-host.com/a", "https://api.www-host.com/a"),
+      // schemeless strings pass through the host steps untouched
+      ("just a string", "just a string"))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), graft.functions.urlNormalize(col("url")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) === want, s"urlNormalize('$in')")
+    }
+    // the dedup keeps the lowest id per canonical key
+    val docs = Seq(
+      (10L, "https://example.com/a?b=2&a=1"),
+      (3L, "HTTPS://WWW.EXAMPLE.COM:443/a?a=1&b=2#f"),
+      (7L, "https://example.com/other")
+    ).toDF("doc_id", "url")
+    val kept = docs.urlCanonicalDedup("doc_id", "url")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 7L))
+  }
+
   test("matchAllTermsAgainstIndex equals the raw-text conjunction") {
     import graft.operators.CorpusOps
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),

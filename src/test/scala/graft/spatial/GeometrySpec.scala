@@ -209,6 +209,46 @@ class GeometrySpec extends AnyFunSuite {
     assert(square.intersects(Polygon((5.0, 5.0), (15.0, 5.0), (15.0, 15.0))))
   }
 
+  test("property: WKT <-> WKB <-> struct round-trip on random shapes") {
+    val r = rng
+    def randShape(): Shape = r.nextInt(4) match {
+      case 0 => randPoint(r)
+      case 1 => LineSegment(randPoint(r), randPoint(r))
+      case 2 => Circle(randPoint(r), r.nextDouble() * 100 + 1e-6)
+      case _ =>
+        // random non-degenerate triangle-to-hexagon ring around a center
+        val c = randPoint(r)
+        val n = 3 + r.nextInt(4)
+        Polygon(Array.tabulate(n) { i =>
+          val ang = 2 * math.Pi * i / n + r.nextDouble() * 0.3
+          val rad = r.nextDouble() * 50 + 1.0
+          Point(c.coord(0) + rad * math.cos(ang), c.coord(1) + rad * math.sin(ang))
+        })
+    }
+    (1 to 2000).foreach { _ =>
+      val s = randShape()
+      // each codec is individually lossless...
+      assert(Wkt.parse(Wkt.format(s)) === s, s"WKT round trip of $s")
+      assert(Wkb.parse(Wkb.format(s)) === s, s"WKB round trip of $s")
+      val (tag, coords) = ShapeCodec.encode(s)
+      assert(ShapeCodec.decode(tag, coords) === s, s"struct round trip of $s")
+      // ...and they compose in any order
+      assert(Wkb.parse(Wkb.format(Wkt.parse(Wkt.format(s)))) === s)
+      assert(Wkt.parse(Wkt.format(Wkb.parse(Wkb.format(s)))) === s)
+    }
+    // random boxes: both text and bytes emit the polygon ring, and the
+    // two parses agree with each other exactly
+    (1 to 500).foreach { _ =>
+      val b = randMBR(r)
+      (Wkt.parse(Wkt.format(b)), Wkb.parse(Wkb.format(b))) match {
+        case (pt: Polygon, pb: Polygon) =>
+          assert(pt === pb, s"WKT and WKB disagree on box $b")
+          assert(pt.intersects(b))
+        case other => fail(s"box must parse as its ring from both codecs: $other")
+      }
+    }
+  }
+
   test("property: flat-array kernel agrees with the diamond half-plane form") {
     val r = rng
     val diamond = Polygon((-2.0, 0.0), (0.0, -1.0), (2.0, 0.0), (0.0, 1.0))
