@@ -89,6 +89,32 @@ object Bench {
             col("cx") + 50.0, col("cy") + 8.0).as("coords")).as("rbox"))
       lb.shapeIntersectsJoin(rb, "lbox", "rbox")
     }),
+    // B4SH: any-Shape distance join (r14) — supplier boxes within r of
+    // customer points through the dilated-bbox PBSM grid
+    "b4sh_shape_distance_join" -> ((s: SparkSession, d: String) => {
+      import graft.spatial.ShapeCodec
+      val lb = supplierPts(s, d).select(col("s_suppkey"),
+        struct(lit(ShapeCodec.TagMBR).as("tag"),
+          array(col("sx") - 100.0, col("sy") - 15.0,
+            col("sx") + 100.0, col("sy") + 15.0).as("coords")).as("lbox"))
+      val rp = customerPts(s, d).select(col("c_custkey"),
+        struct(lit(ShapeCodec.TagPoint).as("tag"),
+          array(col("cx"), col("cy")).as("coords")).as("rpt"))
+      lb.shapeDistanceJoin(rp, "lbox", "rpt", 50.0)
+    }),
+    // B5SH: any-Shape kNN join (r14) — each supplier box's 3 nearest
+    // customer points via the sampled-theta bound + PBSM candidates
+    "b5sh_shape_knn_join" -> ((s: SparkSession, d: String) => {
+      import graft.spatial.ShapeCodec
+      val lb = supplierPts(s, d).select(col("s_suppkey"),
+        struct(lit(ShapeCodec.TagMBR).as("tag"),
+          array(col("sx") - 100.0, col("sy") - 15.0,
+            col("sx") + 100.0, col("sy") + 15.0).as("coords")).as("lbox"))
+      val rp = customerPts(s, d).select(col("c_custkey"),
+        struct(lit(ShapeCodec.TagPoint).as("tag"),
+          array(col("cx"), col("cy")).as("coords")).as("rpt"))
+      lb.shapeKnnJoin(rp, "lbox", "rpt", 3, "s_suppkey", Seq("c_custkey"))
+    }),
     "b4st_spatiotemporal_join" -> ((s: SparkSession, d: String) => {
       val l = eventsPts(s, d)
       val rSide = eventsPts(s, d).select(col("event_id").as("event_id2"),

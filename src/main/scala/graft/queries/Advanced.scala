@@ -308,6 +308,16 @@ object Advanced {
   def streamSpanGateQ(s: SparkSession, d: String): DataFrame =
     StreamingOps.streamSpanGate(s, d, n = 8).orderBy(col("doc_id"))
 
+  /** Streaming boolean-phrase keyword alert: the stateless gate twin of
+    * tx_phrase_bool — same clause composition, same per-document
+    * adjacency check, answering the SAME oracle when fed the batch
+    * corpus (a stateless filter is micro-batch exact by construction). */
+  def streamPhraseGateQ(s: SparkSession, d: String): DataFrame =
+    StreamingOps.streamPhraseGate(s, d,
+        Seq(Seq(Seq("the", "spark"), Seq("hash", "join")),
+          Seq(Seq("big", "table"), Seq("customer"))))
+      .orderBy(col("doc_id"))
+
   /** Point-in-time as-of join: each click event attaches the same
     * user's most recent prior-or-simultaneous purchase (the classic
     * attribution / feature-backfill shape). Union + running window —
@@ -840,6 +850,7 @@ object Advanced {
     // per-document redaction against static eval grams is micro-batch
     // invariant by construction
     "st_span_gate" -> graft.queries.Pipeline.oracles("pp_span_decontamination"),
+    "st_phrase_gate" -> graft.queries.Pipeline.oracles("tx_phrase_bool"),
     // plain range join in DuckDB (the engine handles it natively);
     // epoch_us == Spark's unix_micros on the same micro timestamps
     "ts_interval_join" ->
@@ -970,6 +981,7 @@ object Advanced {
     "st_ann_join" -> (streamAnnJoinQ _),
     "st_geo_join" -> (streamGeoJoinQ _),
     "st_span_gate" -> (streamSpanGateQ _),
+    "st_phrase_gate" -> (streamPhraseGateQ _),
     "ts_asof_join" -> (asOfJoinQ _),
     "st_asof" -> (streamAsOfQ _),
     "st_st_join" -> (streamStJoinQ _),

@@ -694,6 +694,58 @@ object StreamingOps {
     * output bit-equals the batch sweep over the same rows (spec-pinned),
     * and the whole thing answers to the same DuckDB oracle as
     * `pp_span_decontamination`. */
+  /** Streaming keyword alert — the unbounded-stream twin of
+    * [[graft.operators.CorpusOps.phraseBoolMatchAgainstIndex]]'s
+    * predicate: arriving documents filter through the BOOLEAN phrase
+    * composition (AND of clauses, OR of phrase/term alternatives) as a
+    * pure STATELESS projection. Phrase adjacency is per-document local
+    * (the same boundary-safe padded-containment the batch surface
+    * uses), so the gate needs no state store, no watermark, and no
+    * index — each micro-batch pays exactly its own arrivals, the
+    * monitoring/alerting shape of a streaming corpus intake. Emits
+    * `(doc_id, n_tokens)` and answers the SAME oracle as
+    * `tx_phrase_bool` when fed the batch corpus. */
+  def streamPhraseGate(spark: SparkSession, dir: String,
+                       query: Seq[Seq[Seq[String]]]): DataFrame = {
+    require(query.nonEmpty && query.forall(cl => cl.nonEmpty && cl.forall(
+      alt => alt.nonEmpty && alt.forall(t =>
+        t.nonEmpty && !t.exists(_.isWhitespace)))),
+      "streamPhraseGate: query must be AND-of-clauses, " +
+        "OR-of-alternatives, each a non-empty whitespace-free phrase")
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+    val staged = java.nio.file.Files.createTempDirectory("graft_phrase_src")
+    staged.toFile.deleteOnExit()
+    batch.select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(staged.toString)
+    val out = java.nio.file.Files.createTempDirectory("graft_phrase_out")
+    out.toFile.deleteOnExit()
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val toks = graft.functions.tokens(col("text"))
+    val padded = concat(lit(" "), array_join(toks, " "), lit(" "))
+    val pred = query.map(cl => cl.map(alt =>
+        padded.contains(" " + alt.mkString(" ") + " ")).reduce(_ || _))
+      .reduce(_ && _)
+    val q = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .filter(pred)
+      .select(col("doc_id"),
+        graft.functions.tokenCount(col("text")).as("n_tokens"))
+      .writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(out.toString)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out.toString).select("doc_id", "n_tokens")
+  }
+
   def streamSpanGate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val batch = spark.read.parquet(s"$dir/documents.parquet")
     val evalDocs = batch.filter(col("doc_id") % 7 === 0)

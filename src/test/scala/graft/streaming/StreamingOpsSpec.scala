@@ -655,6 +655,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(removed > 0, "gate removed nothing — overlap fixture broke")
   }
 
+  test("streamPhraseGate equals the batch boolean containment; " +
+    "malformed queries refused") {
+    val q = Seq(Seq(Seq("the", "spark"), Seq("hash", "join")),
+      Seq(Seq("big", "table"), Seq("customer")))
+    val got = StreamingOps.streamPhraseGate(spark, sf(), q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val docs = Tables.documents(spark, sf())
+    val toks = graft.functions.tokens(col("text"))
+    val padded = concat(lit(" "), array_join(toks, " "), lit(" "))
+    val want = docs.filter(
+        (padded.contains(" the spark ") || padded.contains(" hash join ")) &&
+        (padded.contains(" big table ") || padded.contains(" customer ")))
+      .select(col("doc_id"),
+        graft.functions.tokenCount(col("text")).as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === want && got.nonEmpty,
+      "streamed phrase gate != batch containment")
+    intercept[IllegalArgumentException] {
+      StreamingOps.streamPhraseGate(spark, sf(), Seq(Seq(Seq("two words"))))
+    }
+  }
+
   test("streamed PCA projection equals the batch projection bit-for-bit") {
     import spark.implicits._
     import graft.operators.VectorOps._
