@@ -446,23 +446,42 @@ object SpatialOps {
       require(l.columns.intersect(rt.columns).isEmpty,
         s"shapeKnnJoin requires disjoint column names, shared: " +
           l.columns.intersect(rt.columns).mkString(","))
-      val lShapes = SpatialOps.sampleShapes(l, lShapeCol, sampleCap)
-      val rShapes = SpatialOps.sampleShapes(rt, rShapeCol,
-        math.max(sampleCap, 4 * k))
+      val (lShapes, _) = SpatialOps.sampleShapesWithFraction(l, lShapeCol,
+        sampleCap, seed = 7)
+      val (rShapes, rFrac) = SpatialOps.sampleShapesWithFraction(rt,
+        rShapeCol, math.max(sampleCap, 4 * k), seed = 42)
       // per-sampled-left k-th exact shape distance against the right
       // sample; a SUBSET right sample only inflates the k-th distance,
-      // so theta errs wide (more candidates, never fewer)
+      // so theta errs wide (more candidates, never fewer). EXTENSIVE
+      // shapes make the plain quantile degenerate: a box CONTAINING k
+      // points has k-th distance exactly 0, so when most sampled boxes
+      // are point-saturated the 0.95-quantile collapses to ~0, the grid
+      // pass (and its 2x retry — 2*0 = 0) rescues nothing, and every
+      // point-starved box detonates in the cross fallback (the 10x
+      // trend measured 80 GB of shuffle). The boxes that NEED reach are
+      // exactly the positive-radius samples, so theta also consults the
+      // quantile of the POSITIVE radii — zero-radius lefts only gain
+      // already-matching candidates from the wider grid.
       val theta: Double =
         if (lShapes.isEmpty || rShapes.length < k) 0.0
         else {
+          // the sampleKnnRadii subset correction: the k-th distance
+          // against a 1/f sample over-reads the true k-th by ~f^(1/d)
+          // in d dimensions (2-D shapes here)
+          val densityCorrection = math.sqrt(rFrac)
           val radii = lShapes.map { ls =>
             val dists = rShapes.map(rs => ls.minDist(rs))
             java.util.Arrays.sort(dists)
-            dists(k - 1)
+            dists(k - 1) * densityCorrection
           }
-          java.util.Arrays.sort(radii)
-          val q = radii(math.min(radii.length - 1,
-            math.ceil(quantile * radii.length).toInt - 1).max(0))
+          def quant(xs: Array[Double]): Double =
+            if (xs.isEmpty) 0.0
+            else {
+              java.util.Arrays.sort(xs)
+              xs(math.min(xs.length - 1,
+                math.ceil(quantile * xs.length).toInt - 1).max(0))
+            }
+          val q = math.max(quant(radii), quant(radii.filter(_ > 0)))
           math.max(q * safety, 1e-9)
         }
       val cand = shapeDistanceJoin(rt, lShapeCol, rShapeCol, theta)
@@ -471,15 +490,31 @@ object SpatialOps {
         SpatialOps.topKWithCount(cand, leftId, k, tieBreak,
           materialize = graft.GraftConf.knnMaterialize(ds.sparkSession))
       val starved = l.join(satisfiedLeftIds, Seq(leftId), "left_anti")
+        .localCheckpoint()
+      // Doubled-theta retry BEFORE the cross fallback (the point join's
+      // starvedFallback discipline): the 0.95-quantile theta leaves up
+      // to ~5% of lefts starved BY CONSTRUCTION, and at scale that
+      // fraction crossed with the full right is the detonation (the
+      // 10x trend measured 38 GB of shuffle without this pass). The 2x
+      // grid pass rescues every left whose radius estimate was off by
+      // less than 2x; only the genuinely adversarial remainder pays the
+      // exact cross-window.
+      val cand2 = new DatasetSpatialOps(starved)
+        .shapeDistanceJoin(rt, lShapeCol, rShapeCol, theta * 2)
+        .withColumn(DIST, stDistance(col(lShapeCol), col(rShapeCol)))
+      val (satisfied2, satisfiedIds2) =
+        SpatialOps.topKWithCount(cand2, leftId, k, tieBreak,
+          materialize = graft.GraftConf.knnMaterialize(ds.sparkSession))
+      val still = starved.join(satisfiedIds2, Seq(leftId), "left_anti")
       val w = Window.partitionBy(col(leftId))
         .orderBy((col(DIST) +: tieBreak.map(col)).map(_.asc): _*)
-      val fallback = starved.crossJoin(rt)
+      val fallback = still.crossJoin(rt)
         .withColumn(DIST, stDistance(col(lShapeCol), col(rShapeCol)))
         .filter(col(DIST).isNotNull)
         .withColumn("__graft_rn", row_number().over(w))
         .filter(col("__graft_rn") <= k)
         .drop("__graft_rn", DIST)
-      satisfied.unionByName(fallback)
+      satisfied.unionByName(satisfied2).unionByName(fallback)
     }
 
     /** Distance join, grid algorithm: left rows hash to their own cell
@@ -1678,24 +1713,32 @@ object SpatialOps {
   }
 
   /** Bounded driver sample of a ShapeCodec struct column, decoded to
-    * ADT shapes — the [[samplePoints]] limit-probe/seeded-sample
-    * discipline (null shapes skipped like the joins skip them). */
-  private[graft] def sampleShapes(df: DataFrame, c: String,
-                                  cap: Int): Array[graft.spatial.Shape] = {
+    * ADT shapes, plus the fraction of the table it represents. Small
+    * tables (one limit-probe) are taken whole; larger ones take a
+    * UNIFORM random cap via orderBy(rand).limit — TakeOrdered per
+    * partition, one scan, no shuffle. The uniformity matters more here
+    * than in [[samplePoints]]: a `sample(0.1).limit(cap)` reads the
+    * FIRST partitions only, and when the theta estimator's left and
+    * right samples land in DIFFERENT regions of a partition-clustered
+    * table, every sampled k-th distance inflates to the cluster
+    * offset, theta explodes past the data's span, the grid collapses
+    * to one cell, and the "pruned" join is a cross product (the 10x
+    * trend measured exactly this: 80 GB of shuffle from a replica-
+    * biased sample). */
+  private[graft] def sampleShapesWithFraction(df: DataFrame, c: String,
+      cap: Int, seed: Long): (Array[graft.spatial.Shape], Double) = {
     val projected = df
       .select(col(s"$c.tag").as("__graft_tag"),
         col(s"$c.coords").as("__graft_coords"))
       .na.drop("any")
+    def decode(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => graft.spatial.ShapeCodec.decode(r.getInt(0),
+        r.getSeq[Double](1).toArray))
     val head = projected.limit(cap + 1).collect()
-    val rows =
-      if (head.length <= cap) head
-      else {
-        val sampled = projected.sample(withReplacement = false, 0.1, 42)
-          .limit(cap).collect()
-        if (sampled.nonEmpty) sampled else head.take(cap)
-      }
-    rows.map(r => graft.spatial.ShapeCodec.decode(r.getInt(0),
-      r.getSeq[Double](1).toArray))
+    if (head.length <= cap) return (decode(head), 1.0)
+    val total = projected.count()
+    val rows = projected.orderBy(rand(seed)).limit(cap).collect()
+    (decode(rows), rows.length.toDouble / total)
   }
 
   /** Median of a bounded sample of one double-valued expression — the

@@ -862,8 +862,42 @@ object ScaleTrend {
       }
     }
 
+    // any-Shape joins over replicated boxes x points: replicas shift in
+    // x (same XOffset discipline), so every box's point neighborhood is
+    // preserved and total true pairs grow ~n — a healthy PBSM plan
+    // reads e ≈ 1 (the cross plans would read ~2)
+    def shapeBoxesRep(n: Int): DataFrame = {
+      import graft.spatial.ShapeCodec
+      (0 until n).map { r =>
+        supplierPts(spark, d).select(
+          (col("s_suppkey") + lit(r * IdOffset)).as("lid"),
+          struct(lit(ShapeCodec.TagMBR).as("tag"),
+            array(col("sx") + lit(r * XOffset) - 100.0, col("sy") - 15.0,
+              col("sx") + lit(r * XOffset) + 100.0, col("sy") + 15.0)
+              .as("coords")).as("lbox"))
+      }.reduce(_ unionByName _)
+    }
+    def shapePtsRep(n: Int): DataFrame = {
+      import graft.spatial.ShapeCodec
+      (0 until n).map { r =>
+        customerPts(spark, d).select(
+          (col("c_custkey") + lit(r * IdOffset)).as("rid"),
+          struct(lit(ShapeCodec.TagPoint).as("tag"),
+            array(col("cx") + lit(r * XOffset), col("cy")).as("coords"))
+            .as("rpt"))
+      }.reduce(_ unionByName _)
+    }
+    def b4sh(n: Int): Long =
+      shapeBoxesRep(n).shapeDistanceJoin(shapePtsRep(n), "lbox", "rpt",
+        50.0).count()
+    def b5sh(n: Int): Long =
+      shapeBoxesRep(n).shapeKnnJoin(shapePtsRep(n), "lbox", "rpt", 3,
+        "lid", Seq("rid")).count()
+
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
+          "b4sh_shape_distance_join" -> (b4sh _),
+          "b5sh_shape_knn_join" -> (b5sh _),
           "b4st_spatiotemporal_join" -> (b4st _),
           "b4x_intersects_join" -> (b4x _),
           "b5_knn_join_grid" -> (b5 _),
