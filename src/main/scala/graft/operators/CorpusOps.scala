@@ -150,6 +150,99 @@ object CorpusOps {
       .orderBy(col(idCol))
   }
 
+  /** QUERY-SET BM25 retrieval off the layout — the batch
+    * retrieval-serving / eval-harness shape ("score these 10k queries
+    * against the corpus"), where a per-query driver loop would pay a
+    * Spark job per query. `queries` is a (queryId, term) table — one
+    * row per query term — and the result is each query's top-k
+    * (doc, dl, score) by BM25 over the indexed corpus. ONE pruned
+    * posting read serves every query: the distinct query terms push as
+    * a `term IN` literal when bounded (under the shared
+    * [[graft.GraftConf.MaxDriverPushdown]] ceiling via
+    * `maxPushdownTerms`) and semi-join past it; df sums across waves
+    * from the dictionary (delete waves' negative rows included),
+    * constants come from the meta, tombstoned docs never rank.
+    *
+    * Scoring determinism: with the term set a TABLE, the single-query
+    * verbs' fixed-column left-to-right IEEE chain doesn't exist, so the
+    * per-(query, doc) score sums DECIMAL(18,6)-cast contributions —
+    * exact decimal addition is order-independent, and any SQL engine
+    * replays the same double->decimal rounding (the [[graft.Tables.dsum]]
+    * discipline). A query term with zero postings contributes nothing
+    * (the single-query verbs' literal 0.0); repeated terms within a
+    * query count once; `score > 0` filters non-hits as [[bm25TopK]].
+    * Scale shape: posting-sliver join keyed by term, one partial-agg
+    * shuffle on (queryId, doc), windowed top-k — query count and corpus
+    * size scale independently, never a per-query scan. */
+  def bm25TopKJoinAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String, queries: DataFrame,
+                               queryIdCol: String, termCol: String, k: Int,
+                               k1: Double = 1.2, b: Double = 0.75,
+                               maxPushdownTerms: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queries.columns.contains(queryIdCol) &&
+      queries.columns.contains(termCol),
+      s"bm25TopKJoinAgainstIndex: queries must carry '$queryIdCol' and " +
+        s"'$termCol' (has: ${queries.columns.mkString(", ")})")
+    graft.GraftConf.checkDriverPushdown(spark, "bm25TopKJoinAgainstIndex",
+      maxPushdownTerms)
+    val params = DedupOps.indexMeta(spark, path, "bm25TopKJoinAgainstIndex")
+    val idCol = params("idCol")
+    require(queryIdCol != idCol && queryIdCol != "term" && termCol != idCol,
+      s"bm25TopKJoinAgainstIndex: '$queryIdCol'/'$termCol' collide with " +
+        s"the layout's columns ('$idCol', 'term')")
+    val waveTokens = params.getOrElse("__waves", params("__token"))
+      .split(";").toSeq
+    require(waveTokens.contains(params("__token")),
+      s"bm25TopKJoinAgainstIndex: write-token mismatch inside $path/meta " +
+        "(token not in the waves list) — rewrite the layout")
+    val nD = params("__n").toLong.toDouble
+    val avgdl = params("__sumdl").toLong.toDouble / params("__n").toLong.toDouble
+    val tombTokens = DedupOps.tombTokens(params)
+    val qt = queries.select(col(queryIdCol), col(termCol).as("term"))
+      .distinct()
+    // bounded literal pushdown for the posting + dictionary slivers;
+    // past the cap both prune by semi-join instead
+    val termProbe = qt.select(col("term")).distinct()
+      .limit(maxPushdownTerms + 1).collect().map(_.getString(0)).toSeq
+    val push = termProbe.length <= maxPushdownTerms
+    def pruneTerms(df: DataFrame): DataFrame =
+      if (push) df.filter(col("term").isin(termProbe: _*))
+      else df.join(qt.select(col("term")).distinct(), Seq("term"), "left_semi")
+    val dict = pruneTerms(bm25TokenChecked(
+        spark.read.parquet(s"$path/terms"), path, "terms",
+        waveTokens ++ tombTokens, "bm25TopKJoinAgainstIndex"))
+      .groupBy(col("term")).agg(sum(col("__df")).as("__df"))
+    val posts0 = pruneTerms(bm25TokenChecked(
+      spark.read.parquet(s"$path/postings"), path, "postings",
+      waveTokens, "bm25TopKJoinAgainstIndex"))
+    val posts = DedupOps.tombstoneIds(spark, path, params,
+        "bm25TopKJoinAgainstIndex") match {
+      case Some(t) => posts0.join(t, Seq(idCol), "left_anti")
+      case None    => posts0
+    }
+    val dfD = col("__df").cast("double")
+    val tfD = col("__tf").cast("double")
+    val dlD = col("__dl").cast("double")
+    val contrib = ((lit(nD) - dfD + lit(0.5)) / (dfD + lit(0.5))) *
+      (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl)))
+    val scored = qt.join(posts, Seq("term"))
+      .join(dict, Seq("term"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(max(col("__dl")).as("dl"),
+        sum(contrib.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("score"))
+      .filter(col("score") > 0.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+      .orderBy(col(queryIdCol), col(idCol))
+  }
+
   /** BOOLEAN phrase retrieval off the BM25 layout — the composition of
     * [[phraseMatchAgainstIndex]] a keyword-search surface needs: `query`
     * is an AND of clauses, each clause an OR of alternatives, each

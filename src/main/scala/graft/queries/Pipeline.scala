@@ -1596,6 +1596,24 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Query-SET BM25 retrieval off the same layout: three queries (one
+    * with an absent term) score in ONE pruned posting read; per-(query,
+    * doc) scores sum decimal-cast contributions, so the unordered SQL
+    * sum replays them bit-for-bit. */
+  def bm25QueryJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    import s.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_idx_" + Integer.toHexString(d.hashCode)).toString
+    documents(s, d).writeBm25Index(path, "doc_id", "text")
+    val queries = Seq(
+      (1L, "spark"), (1L, "vector"), (1L, "window"),
+      (2L, "customer"), (2L, "hash"),
+      (3L, "merge"), (3L, "zzz_not_a_token")).toDF("qid", "term")
+    CorpusOps.bm25TopKJoinAgainstIndex(s, path, queries, "qid", "term", 5)
+  }
+
   /** Tombstone DELETES on the BM25 layout with a REAL oracle: even
     * docs write, odd docs append, every doc_id % 7 == 0 doc is deleted
     * ([[CorpusOps.deleteFromBm25Index]] — layout-derived negative df
@@ -3341,6 +3359,41 @@ object Pipeline {
         |SELECT doc_id, len(toks) AS n_tokens FROM tk
         |WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '% the spark %'
         |ORDER BY doc_id""".stripMargin,
+    "tx_bm25_query_join" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tk),
+        |st AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+        |queries(qid, term) AS (VALUES
+        |  (1, 'spark'), (1, 'vector'), (1, 'window'),
+        |  (2, 'customer'), (2, 'hash'),
+        |  (3, 'merge'), (3, 'zzz_not_a_token')),
+        |dfs AS (
+        |  SELECT t.term,
+        |    CAST(sum(CASE WHEN list_contains(b.toks, t.term) THEN 1 ELSE 0 END) AS DOUBLE) AS df
+        |  FROM (SELECT DISTINCT term FROM queries) t, base b GROUP BY t.term),
+        |contrib AS (
+        |  SELECT q.qid, b.doc_id, b.dl,
+        |    ((st.n - d.df + 0.5) / (d.df + 0.5))
+        |      * (CAST(len(list_filter(b.toks, x -> x = q.term)) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (CAST(len(list_filter(b.toks, x -> x = q.term)) AS DOUBLE)
+        |         + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * CAST(b.dl AS DOUBLE) / st.avgdl)) AS c
+        |  FROM queries q
+        |  JOIN dfs d ON d.term = q.term, base b, st
+        |  WHERE list_contains(b.toks, q.term)),
+        |scores AS (
+        |  SELECT qid, doc_id, max(dl) AS dl,
+        |    CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY qid, doc_id)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, dl, score FROM (
+        |  SELECT qid, doc_id, dl, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM scores WHERE score > 0) t
+        |WHERE rn <= 5
+        |ORDER BY qid, doc_id""".stripMargin,
     "tx_phrase_bool" ->
       """WITH tk AS (
         |  SELECT doc_id,
@@ -3666,6 +3719,7 @@ object Pipeline {
     "tx_match_all" -> (matchAllQ _),
     "tx_phrase_index" -> (phraseIndexQ _),
     "tx_phrase_bool" -> (phraseBoolQ _),
+    "tx_bm25_query_join" -> (bm25QueryJoinQ _),
     "tx_hybrid_retrieve" -> (hybridRetrieveQ _),
     "tx_hybrid_index" -> (hybridIndexQ _),
     "pp_semantic_contamination" -> (semanticContaminationQ _),

@@ -692,6 +692,51 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopKJoinAgainstIndex: query-set retrieval — batching, " +
+    "pushdown path, and deletes all preserve per-query results") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_qjoin_spec").toString
+    docs.writeBm25Index(path, "doc_id", "text")
+    def run(q: Seq[(Long, String)], k: Int = 5,
+            maxPush: Int = 1024): Seq[(Long, Long, Long, Double)] =
+      CorpusOps.bm25TopKJoinAgainstIndex(spark, path,
+          q.toDF("qid", "term"), "qid", "term", k,
+          maxPushdownTerms = maxPush)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val q1 = Seq((1L, "spark"), (1L, "vector"), (1L, "window"))
+    val q2 = Seq((2L, "customer"), (2L, "hash"))
+    // batching invariance: two queries together == each alone
+    val together = run(q1 ++ q2)
+    val alone = run(q1) ++ run(q2)
+    assert(together === alone && together.nonEmpty)
+    // k rows per query
+    assert(together.groupBy(_._1).forall(_._2.size == 5))
+    // the semi-join path (terms over the cap) returns the identical set
+    assert(run(q1 ++ q2, maxPush = 2) === together)
+    // repeated terms within a query count once
+    assert(run(q1 ++ Seq((1L, "spark"))) === run(q1))
+    // a query of only absent terms yields nothing, and absent terms
+    // inside a real query contribute nothing
+    assert(run(Seq((9L, "zzz_not_a_token"))).isEmpty)
+    assert(run(q1 :+ (1L -> "zzz_not_a_token")) === run(q1))
+    // over-ceiling maxPushdownTerms fails loudly naming the knob
+    spark.conf.set(graft.GraftConf.MaxDriverPushdown, "8")
+    try {
+      val e = intercept[IllegalArgumentException](run(q1, maxPush = 9))
+      assert(e.getMessage.contains(graft.GraftConf.MaxDriverPushdown))
+    } finally spark.conf.unset(graft.GraftConf.MaxDriverPushdown)
+    // tombstoned docs never rank
+    val dead = together.filter(_._1 == 1L).take(2).map(_._2)
+    CorpusOps.deleteFromBm25Index(spark, path, dead.toDF("doc_id"))
+    val after = run(q1)
+    assert(after.map(_._2).toSet.intersect(dead.toSet).isEmpty,
+      "tombstoned docs ranked")
+    assert(after.count(_._1 == 1L) == 5, "top-k did not refill after delete")
+  }
+
   test("piiRedact: per-class counts on the original text, ordered " +
     "redaction, clean rows untouched") {
     import spark.implicits._
