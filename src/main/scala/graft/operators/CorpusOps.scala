@@ -906,6 +906,73 @@ object CorpusOps {
       .select(col(idCol), col("score"), col("cos"))
   }
 
+  /** QUERY-SET hybrid retrieval, both stages at rest — the query-join
+    * completion of [[hybridTopKAgainstIndex]]: every query's BM25
+    * candidates come from ONE pruned posting read
+    * ([[bm25TopKJoinAgainstIndex]]), the candidates' raw vectors come
+    * from the IVF-PQ layout via a bounded pushed `id IN` (semi-join
+    * past 4096 distinct candidates), and each query re-ranks its own
+    * candidates by exact cosine against its own embedding (one
+    * qid-keyed join — embeddings never fan out). The batch
+    * serving/eval shape: N queries cost one posting sliver + one
+    * candidate-sized vector read, never N scans. Tombstones on either
+    * layout subtract (a purged doc neither ranks nor re-ranks).
+    * `queries` = (queryId, term) rows; `queryVecs` = (queryId, vector).
+    * Returns per query the top-k (doc, score, cos) by cosine, ordered. */
+  def hybridTopKJoinAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                 bm25Path: String, ivfPath: String,
+                                 queries: DataFrame, queryVecs: DataFrame,
+                                 queryIdCol: String, termCol: String,
+                                 queryVecCol: String, vecIdCol: String,
+                                 vecCol: String, candidates: Int, k: Int,
+                                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(candidates >= k && k >= 1,
+      s"hybridTopKJoinAgainstIndex: need candidates >= k >= 1: $candidates, $k")
+    require(queryVecs.columns.contains(queryIdCol) &&
+      queryVecs.columns.contains(queryVecCol),
+      s"hybridTopKJoinAgainstIndex: queryVecs must carry '$queryIdCol' " +
+        s"and '$queryVecCol' (has: ${queryVecs.columns.mkString(", ")})")
+    val idCol = DedupOps.indexMeta(spark, bm25Path,
+      "hybridTopKJoinAgainstIndex")("idCol")
+    val cands = bm25TopKJoinAgainstIndex(spark, bm25Path, queries,
+      queryIdCol, termCol, candidates, k1, b).localCheckpoint()
+    // bounded driver hop for the vector read (the single-query verb's
+    // discipline, capped): <= 4096 distinct candidate ids push as a
+    // literal IN; larger query sets prune by semi-join instead
+    val cap = math.min(4096, graft.GraftConf.maxDriverPushdown(spark))
+    val ids = cands.select(col(idCol)).distinct()
+      .limit(cap + 1).collect().map(_.get(0))
+    val meta = graft.operators.VectorOps.readIvfPqMeta(spark, ivfPath)
+    val data = spark.read.parquet(s"$ivfPath/data")
+    require(data.columns.contains("__graft_token"),
+      s"hybridTopKJoinAgainstIndex: $ivfPath/data has no __graft_token " +
+        "column — the layout is torn or foreign; rewrite it")
+    val vecs0 = data.filter(assert_true(col("__graft_token") === meta.token,
+        lit(s"hybridTopKJoinAgainstIndex: write-token mismatch between " +
+          s"$ivfPath/meta and $ivfPath/data — rewrite the layout")).isNull)
+    val vecs1 =
+      if (ids.length <= cap) vecs0.filter(col(vecIdCol).isin(ids.toIndexedSeq: _*))
+      else vecs0.join(cands.select(col(idCol).as(vecIdCol)).distinct(),
+        Seq(vecIdCol), "left_semi")
+    val vecs = (graft.operators.VectorOps.ivfPqTombstones(spark, ivfPath,
+        meta, vecIdCol) match {
+      case Some(t) => vecs1.join(t, Seq(vecIdCol), "left_anti")
+      case None    => vecs1
+    }).select(col(vecIdCol).as(idCol), col(vecCol).as("__graft_hv"))
+    val qv = queryVecs.select(col(queryIdCol), col(queryVecCol).as("__graft_qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    cands.join(vecs, Seq(idCol))
+      .join(qv, Seq(queryIdCol))
+      .withColumn("cos",
+        graft.functions.cosineSimilarity(col("__graft_hv"), col("__graft_qv")))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("cos"))
+      .orderBy(col(queryIdCol), col(idCol))
+  }
+
   /** The PII pattern surface shared by [[DatasetCorpusOps.piiRedact]]
     * and its oracle: `(class, pattern, replacement)` applied IN ORDER
     * (order is part of the contract — a redacted span can't re-match a

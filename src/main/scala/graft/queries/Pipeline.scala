@@ -1721,6 +1721,32 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Query-SET hybrid retrieval, both stages at rest: three queries'
+    * BM25 candidates from one posting read, re-ranked by cosine against
+    * each query's OWN embedding (vec_id 0/1/2) off the IVF-PQ layout's
+    * raw vectors. */
+  def hybridQueryJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    import s.implicits._
+    val bmPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_idx_" + Integer.toHexString(d.hashCode)).toString
+    val ivfPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hyb_ivf_" + Integer.toHexString(d.hashCode)).toString
+    documents(s, d).writeBm25Index(bmPath, "doc_id", "text")
+    embeddings(s, d).writeIvfPq(ivfPath, "embedding", "vec_id",
+      nlist = 8, m = 4, ksub = 4, iters = 2)
+    val queries = Seq(
+      (1L, "spark"), (1L, "vector"), (1L, "window"),
+      (2L, "customer"), (2L, "hash"),
+      (3L, "merge"), (3L, "scan")).toDF("qid", "term")
+    val queryVecs = embeddings(s, d).filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1L).as("qid"), col("embedding").as("qv"))
+    CorpusOps.hybridTopKJoinAgainstIndex(s, bmPath, ivfPath, queries,
+      queryVecs, "qid", "term", "qv", "vec_id", "embedding",
+      candidates = 20, k = 5)
+  }
+
   /** BM25 top-20 keyword retrieval over documents (rational odds-ratio
     * idf — the log-free, hash-replayable form; CorpusOps.bm25TopK). */
   def bm25Q(s: SparkSession, d: String): DataFrame = {
@@ -3359,6 +3385,57 @@ object Pipeline {
         |SELECT doc_id, len(toks) AS n_tokens FROM tk
         |WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '% the spark %'
         |ORDER BY doc_id""".stripMargin,
+    "tx_hybrid_query_join" ->
+      ("""WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), q -> q != '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tk),
+        |st AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+        |queries(qid, term) AS (VALUES
+        |  (1, 'spark'), (1, 'vector'), (1, 'window'),
+        |  (2, 'customer'), (2, 'hash'),
+        |  (3, 'merge'), (3, 'scan')),
+        |dfs AS (
+        |  SELECT t.term,
+        |    CAST(sum(CASE WHEN list_contains(b.toks, t.term) THEN 1 ELSE 0 END) AS DOUBLE) AS df
+        |  FROM (SELECT DISTINCT term FROM queries) t, base b GROUP BY t.term),
+        |contrib AS (
+        |  SELECT q.qid, b.doc_id, b.dl,
+        |    ((st.n - d.df + 0.5) / (d.df + 0.5))
+        |      * (CAST(len(list_filter(b.toks, x -> x = q.term)) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (CAST(len(list_filter(b.toks, x -> x = q.term)) AS DOUBLE)
+        |         + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * CAST(b.dl AS DOUBLE) / st.avgdl)) AS c
+        |  FROM queries q
+        |  JOIN dfs d ON d.term = q.term, base b, st
+        |  WHERE list_contains(b.toks, q.term)),
+        |bscores AS (
+        |  SELECT qid, doc_id,
+        |    CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY qid, doc_id),
+        |cand AS (
+        |  SELECT qid, doc_id, score FROM (
+        |    SELECT qid, doc_id, score,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rn
+        |    FROM bscores WHERE score > 0) t
+        |  WHERE rn <= 20),
+        |qv AS (SELECT CAST(vec_id + 1 AS INTEGER) AS qid, embedding AS qemb
+        |  FROM embeddings WHERE vec_id < 3),
+        |rer AS (
+        |  SELECT c.qid, c.doc_id, c.score,
+        |    list_sum(list_transform(list_zip(e.embedding, qv.qemb),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(qv.qemb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+        |  JOIN qv ON qv.qid = c.qid)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score, cos FROM (
+        |  SELECT qid, doc_id, score, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id ASC) AS rn
+        |  FROM rer) t
+        |WHERE rn <= 5
+        |ORDER BY qid, doc_id""").stripMargin,
     "tx_bm25_query_join" ->
       """WITH tk AS (
         |  SELECT doc_id,
@@ -3720,6 +3797,7 @@ object Pipeline {
     "tx_phrase_index" -> (phraseIndexQ _),
     "tx_phrase_bool" -> (phraseBoolQ _),
     "tx_bm25_query_join" -> (bm25QueryJoinQ _),
+    "tx_hybrid_query_join" -> (hybridQueryJoinQ _),
     "tx_hybrid_retrieve" -> (hybridRetrieveQ _),
     "tx_hybrid_index" -> (hybridIndexQ _),
     "pp_semantic_contamination" -> (semanticContaminationQ _),

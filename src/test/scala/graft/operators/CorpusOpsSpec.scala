@@ -737,6 +737,57 @@ class CorpusOpsSpec extends SparkSpec {
     assert(after.count(_._1 == 1L) == 5, "top-k did not refill after delete")
   }
 
+  test("hybridTopKJoinAgainstIndex: per-query re-rank off both layouts; " +
+    "batching invariant; vector deletes drop candidates") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    import graft.operators.VectorOps._
+    val bmPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hyb_qjoin_bm").toString
+    val ivfPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hyb_qjoin_ivf").toString
+    docs.writeBm25Index(bmPath, "doc_id", "text")
+    val emb = graft.Tables.embeddings(spark, sf())
+    emb.writeIvfPq(ivfPath, "embedding", "vec_id", nlist = 8, m = 4,
+      ksub = 4, iters = 2)
+    val qv = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 1L).as("qid"), col("embedding").as("qv"))
+    def run(q: Seq[(Long, String)]): Seq[(Long, Long, Double, Double)] =
+      CorpusOps.hybridTopKJoinAgainstIndex(spark, bmPath, ivfPath,
+          q.toDF("qid", "term"), qv, "qid", "term", "qv", "vec_id",
+          "embedding", candidates = 20, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq
+    val q1 = Seq((1L, "spark"), (1L, "vector"))
+    val q2 = Seq((2L, "customer"), (2L, "hash"))
+    val together = run(q1 ++ q2)
+    assert(together === run(q1) ++ run(q2) && together.nonEmpty)
+    assert(together.groupBy(_._1).forall(_._2.size == 5))
+    // exact cosine against each query's OWN embedding
+    val vecOf = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosScala(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    together.foreach { case (qid, doc, _, cos) =>
+      val want = cosScala(vecOf(doc), vecOf(qid - 1))
+      assert(cos === want, s"cos mismatch at ($qid, $doc)")
+    }
+    // purging a ranked doc's VECTOR drops it from the re-rank
+    val victim = together.head._2
+    VectorOps.deleteFromIvfPq(spark, ivfPath,
+      Seq(victim).toDF("vec_id"), "vec_id")
+    assert(!run(q1 ++ q2).exists(_._2 == victim),
+      "vector-tombstoned doc re-ranked on stale bytes")
+  }
+
   test("piiRedact: per-class counts on the original text, ordered " +
     "redaction, clean rows untouched") {
     import spark.implicits._
