@@ -524,6 +524,37 @@ object ExplainPlans {
         Seq(Seq(Seq("the", "spark"), Seq("hash", "join")),
           Seq(Seq("big", "table"), Seq("customer"))))
     }
+    show("bm25_query_join (expect ONE term-pruned posting scan — PushedFilters In(term, all queries' terms) — joined to the query table, decimal partial-agg per (qid, id), WindowGroupLimit top-k; no per-query scans)") {
+      import graft.operators.CorpusOps
+      import graft.operators.CorpusOps._
+      import spark.implicits._
+      val bmPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_bm25_qjoin").toString
+      documents(spark, d).writeBm25Index(bmPath, "doc_id", "text")
+      val queries = Seq((1L, "spark"), (1L, "vector"), (2L, "customer"),
+        (2L, "hash")).toDF("qid", "term")
+      CorpusOps.bm25TopKJoinAgainstIndex(spark, bmPath, queries,
+        "qid", "term", 5)
+    }
+    show("hybrid_query_join (expect the query-join bm25 stage + ONE vector-layout scan with the candidate id IN pushed — raw vectors read for <= candidates rows — then the qid-keyed cosine re-rank window)") {
+      import graft.operators.CorpusOps
+      import graft.operators.CorpusOps._
+      import graft.operators.VectorOps._
+      import spark.implicits._
+      val bmPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_bm25_qjoin").toString
+      val ivfPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_plans_hyb_qjoin_ivf").toString
+      documents(spark, d).writeBm25Index(bmPath, "doc_id", "text")
+      embeddings(spark, d).writeIvfPq(ivfPath, "embedding", "vec_id",
+        nlist = 8, m = 4, ksub = 4, iters = 2)
+      val queries = Seq((1L, "spark"), (1L, "vector"), (2L, "customer"),
+        (2L, "hash")).toDF("qid", "term")
+      val qv = embeddings(spark, d).filter(col("vec_id") < 2)
+        .select((col("vec_id") + 1L).as("qid"), col("embedding").as("qv"))
+      CorpusOps.hybridTopKJoinAgainstIndex(spark, bmPath, ivfPath,
+        queries, qv, "qid", "term", "qv", "vec_id", "embedding", 20, 5)
+    }
     show("wkb_roundtrip_range (expect the codegen'd shape_to_wkb/wkb_to_shape pair inlined in one WholeStageCodegen filter over the scan — no UDF, no extra exchange)") {
       import graft.functions._
       customerPts(spark, d)
