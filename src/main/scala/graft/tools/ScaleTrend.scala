@@ -944,6 +944,8 @@ object ScaleTrend {
     if (args.headOption.contains("100")) {
       val hundred: Seq[(String, Int => Long)] =
         Seq("b4l_distance_join_self_grid" -> (b4l _),
+            "b4sh_shape_distance_join" -> (b4sh _),
+            "b5sh_shape_knn_join" -> (b5sh _),
             "b4st_spatiotemporal_join" -> (b4st _),
             "b4x_intersects_join" -> (b4x _),
             "b5_knn_join_grid" -> (b5 _),
