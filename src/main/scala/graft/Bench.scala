@@ -799,6 +799,37 @@ object Bench {
     "b6v_knn_join_vec_pivot" -> 4.4)  // 3.23-4.34
   private[graft] val steadyBandCap = 2.5
 
+  /** Recorded COLD bands (upper edge, seconds at sf0.1) for entries not
+    * in the steady-tracked set — the r14 BASELINE.md addenda 3-4 bands
+    * moved into code (r14 verdict #2): as prose only, a 2x regression
+    * in the three newest joins tripped nothing. Cold walls carry fixed
+    * startup cost the steady loop amortizes, so these check against the
+    * same [[steadyBandCap]] multiple of the recorded ceiling rather
+    * than the ceiling itself; band values move only via a BASELINE.md
+    * band-update note, like [[steadyBandsSf01]]. */
+  private[graft] val coldBandsSf01: Map[String, Double] = Map(
+    "b4sh_shape_distance_join" -> 2.5, // r14 addendum 3: 1.0-2.5
+    "b5sh_shape_knn_join" -> 4.5,      // r14 addendum 3: 2.2-4.5
+    "b5hd_knn_join_4d_auto" -> 8.5)    // r14 addendum 4: 5.5-8.5
+  // the recorded cold bands are already range UPPER edges (startup cost
+  // included), so the noise allowance is tighter than the steady cap:
+  // 1.5x catches the 2x-regression class the r14 verdict named while
+  // clearing every recorded clean host state
+  private[graft] val coldBandCap = 1.5
+
+  /** Cold walls against their recorded bands — the tripwire for the
+    * entries whose only recorded figure is the cold number. Same
+    * banded-scale-factor guard as [[steadyBandViolations]]. */
+  private[graft] def coldBandViolations(
+      wall: collection.Map[String, Double],
+      sfDir: String): Seq[String] =
+    if (!sfDir.contains("sf0.1")) Nil
+    else wall.toSeq.collect {
+      case (name, w) if coldBandsSf01.get(name).exists(b => w > coldBandCap * b) =>
+        f"cold out of band: $name cold $w%.2f s vs recorded band " +
+          f"<= ${coldBandsSf01(name)}%.2f s (> ${coldBandCap}%.1fx)"
+    }
+
   /** Executable interpretation of `b10d_spatial_disk_write` against
     * the `calibration_fs` probe — the r12 mechanism finding made a
     * rule. b10d swings 2x across sweeps with NO code change because it
@@ -876,8 +907,9 @@ object Bench {
       else Nil
     val coldSteady = coldSteadyViolations(s.rec.wall, s.steady, coldSteadyCap)
     val steadyBand = steadyBandViolations(s.steady, sfDir)
+    val coldBand = coldBandViolations(s.rec.wall, sfDir)
     val all = memDirty.toSeq ++ aluDirty ++ memPairDirty ++ coldSteady ++
-      steadyBand
+      steadyBand ++ coldBand
     if (all.isEmpty) None else Some(all.mkString("; "))
   }
 

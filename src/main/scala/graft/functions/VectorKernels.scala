@@ -74,6 +74,82 @@ object VectorKernels {
     math.sqrt(acc)
   }
 
+  /** Nearest-pivot assignment for the Voronoi kNN joins: 1-based cell
+    * of the argmin-distance pivot (ties to the LOWEST index — the
+    * `array_position(array_min)` semantics of the HOF form this kernel
+    * replaced) and the TRUE Euclidean distance to it, as one struct row.
+    * `pivots` is the flattened row-major p×d matrix riding the plan as
+    * ONE reference object. Element arithmetic matches [[l2F]] exactly
+    * for float vectors (`getFloat(i).toDouble` diffs, dim-order
+    * accumulation, one final sqrt), and the double form matches the
+    * spatial joins' `sqrt(Σ(key−pivot)²)` column chain — the pivot
+    * bounds need the recorded distance to BE the join metric's value.
+    *
+    * Why a kernel: the prior `transform(pivotsLit, …)` argmin was
+    * interpreted per element (ArrayTransform is CodegenFallback), which
+    * made O(p·d) boxed evaluations per row the dominant cost of the
+    * d=64 vector join and the d=4 auto route. This is the same loop,
+    * compiled. */
+  def pivotArgmin(v: ArrayData, pivots: Array[Double], d: Int,
+                  isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    require(n == d, s"vector dimension mismatch: $n vs pivot dim $d")
+    val np = pivots.length / d
+    var best = 0
+    var bestSq = Double.PositiveInfinity
+    var c = 0
+    while (c < np) {
+      val off = c * d
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = x - pivots(off + i)
+        acc += diff * diff
+        i += 1
+      }
+      if (acc < bestSq) { bestSq = acc; best = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best + 1, math.sqrt(bestSq)))
+  }
+
+  /** The right-side twin of [[pivotArgmin]]: the 1-based cells whose
+    * admission band accepts this vector (`l2(v, pivot_i) <= bands(i)`),
+    * as one int array — replaces a posexplode-over-all-pivots +
+    * band filter with a compiled loop that also never materializes the
+    * p rejected rows per input. Cells with a -inf band (no lefts) are
+    * skipped inside the loop. */
+  def pivotAdmitted(v: ArrayData, pivots: Array[Double],
+                    bands: Array[Double], d: Int,
+                    isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    require(n == d, s"vector dimension mismatch: $n vs pivot dim $d")
+    val np = pivots.length / d
+    val out = new Array[Int](np)
+    var m = 0
+    var c = 0
+    while (c < np) {
+      val band = bands(c)
+      if (band > Double.NegativeInfinity) {
+        val off = c * d
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          val diff = x - pivots(off + i)
+          acc += diff * diff
+          i += 1
+        }
+        if (math.sqrt(acc) <= band) { out(m) = c + 1; m += 1 }
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, m))
+  }
+
   /** 1-based indices of the `np` nearest centroids to an
     * integer-quantized vector, ordered by (squared L2, index) — the
     * IVF probe/assign kernel. The per-centroid accumulation is the

@@ -85,6 +85,67 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `pivot_argmin(vec) -> struct<cell:int, dist:double>` — nearest-pivot
+  * cell (1-based, ties to lowest index) and true Euclidean distance,
+  * the Voronoi kNN joins' assignment step. The flattened p×d pivot
+  * matrix rides the plan as ONE reference object and the per-row loop
+  * is [[VectorKernels.pivotArgmin]] — compiled, in contrast to the
+  * interpreted `transform(pivotsLit, …)` HOF it replaced (ArrayTransform
+  * is CodegenFallback; at d=64 the boxed per-element evaluation was the
+  * join's dominant cost). `isFloat` is baked at plan time from the
+  * vector column's element type. */
+case class PivotArgmin(child: Expression, pivots: Array[Double], dim: Int,
+                       isFloat: Boolean) extends UnaryExpression {
+  require(pivots.nonEmpty && dim >= 1 && pivots.length % dim == 0,
+    s"flattened pivot matrix must be a multiple of dim=$dim, got ${pivots.length}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pivot_argmin"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.pivotArgmin(a.asInstanceOf[ArrayData], pivots, dim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pivotMatrix", pivots, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.pivotArgmin($a, $ref, $dim, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `pivot_admitted(vec) -> array<int>` — the 1-based pivot cells whose
+  * admission band accepts this vector; the Voronoi joins' right-side
+  * replication step ([[VectorKernels.pivotAdmitted]]). Exploding this
+  * array replaces a posexplode over ALL p pivots + band filter: the
+  * p−|admitted| rejected rows are never materialized. */
+case class PivotAdmitted(child: Expression, pivots: Array[Double],
+                         bands: Array[Double], dim: Int,
+                         isFloat: Boolean) extends UnaryExpression {
+  require(pivots.nonEmpty && dim >= 1 && pivots.length % dim == 0 &&
+    bands.length * dim == pivots.length,
+    s"need one band per pivot row (dim=$dim, ${pivots.length} doubles, ${bands.length} bands)")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pivot_admitted"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.pivotAdmitted(a.asInstanceOf[ArrayData], pivots, bands, dim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refP = ctx.addReferenceObj("pivotMatrix", pivots, "double[]")
+    val refB = ctx.addReferenceObj("pivotBands", bands, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.pivotAdmitted($a, $refP, $refB, $dim, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `hyperplane_sketch(array<float>) -> long` — 64-bit random-hyperplane
   * LSH signature for cosine-similarity bucketing. Deterministic in
   * (seed, planes). */
@@ -368,6 +429,37 @@ case class PointInPolygon(left: Expression, right: Expression, verts: Array[Doub
     val ref = ctx.addReferenceObj("polyVerts", verts, "double[]")
     nullSafeCodeGen(ctx, ev, (x, y) =>
       s"${ev.value} = graft.spatial.Dist.pointInPolygon($x, $y, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** [[PointInPolygon]]'s sibling for polygons WITH interior rings: the
+  * literal rides along in the multi-ring flat encoding
+  * `[nRings, n0, x,y..., n1, x,y...]` (see `Polygon.flatRings`) and the
+  * per-row kernel is [[graft.spatial.Dist.pointInPolygonRings]] —
+  * boundary-inclusive on every ring, strict-hole-interior excluded.
+  * Kept separate from the hole-free expression so the common no-holes
+  * path pays no ring-header decode per row. */
+case class PointInPolygonRings(left: Expression, right: Expression,
+                               rings: Array[Double])
+    extends BinaryExpression {
+  require(rings.length >= 2 && rings(0).toInt >= 1,
+    "need the multi-ring flat encoding [nRings, n0, coords...]")
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "point_in_polygon_rings"
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    graft.spatial.Dist.pointInPolygonRings(
+      x.asInstanceOf[Double], y.asInstanceOf[Double], rings)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polyRings", rings, "double[]")
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.spatial.Dist.pointInPolygonRings($x, $y, $ref);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -76,9 +76,11 @@ package object functions {
     * [[inCircle]]). */
   def inPolygon(x: Column, y: Column, poly: graft.spatial.Polygon): Column = {
     val b = poly.mbr
+    val exact =
+      if (poly.holes.isEmpty) PointInPolygon(toExpr(x), toExpr(y), poly.flat)
+      else PointInPolygonRings(toExpr(x), toExpr(y), poly.flatRings)
     inBox(Seq(x, y), Seq(b.low.coord(0), b.low.coord(1)),
-      Seq(b.high.coord(0), b.high.coord(1))) &&
-      toCol(PointInPolygon(toExpr(x), toExpr(y), poly.flat))
+      Seq(b.high.coord(0), b.high.coord(1))) && toCol(exact)
   }
 
   // ---- mixed-geometry Shape columns (struct<tag:int, coords:array<double>>) ----
@@ -181,6 +183,14 @@ package object functions {
   def l2Distance(a: Column, b: Column): Column =
     toCol(L2Distance(toExpr(a), toExpr(b)))
 
+  def pivotArgmin(vec: Column, pivots: Array[Double], dim: Int,
+                  isFloat: Boolean): Column =
+    toCol(PivotArgmin(toExpr(vec), pivots, dim, isFloat))
+
+  def pivotAdmitted(vec: Column, pivots: Array[Double], bands: Array[Double],
+                    dim: Int, isFloat: Boolean): Column =
+    toCol(PivotAdmitted(toExpr(vec), pivots, bands, dim, isFloat))
+
   def hyperplaneSketch(v: Column, planes: Int = 16, seed: Long = 42L): Column =
     toCol(HyperplaneSketch(toExpr(v), planes, seed))
 
@@ -270,12 +280,16 @@ package object functions {
     val noPort = regexp_replace(
       regexp_replace(noWww, "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"),
       "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
-    // 5. tracking params out, separators re-normalized
+    // 5. tracking params out, separators re-normalized. The param name
+    // is anchored to its `?`/`&` separator (kept via $1) so `refbclid=`
+    // or a `gclid=` inside another param's VALUE never matches — an
+    // unanchored pattern silently merged distinct URLs into one
+    // canonical key (data loss in urlCanonicalDedup).
     val noTrack = regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(noPort,
-            "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", ""),
+            "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "$1"),
           "&&+", "&"),
         "\\?&", "?"),
       "[?&]+$", "")

@@ -681,7 +681,15 @@ object CorpusOps {
     * FIXED columns summed in query-term order (the same left-to-right
     * IEEE chain; an unordered SQL sum over posting rows would float-
     * drift), zero-posting terms contribute the same literal 0.0, and
-    * the constants replay the driver arithmetic verbatim. */
+    * the constants replay the driver arithmetic verbatim.
+    *
+    * NOT interchangeable with [[bm25TopKJoinAgainstIndex]] near score
+    * ties: the query-set verb sums DECIMAL(18,6)-cast contributions
+    * (order-independent), while this verb sums doubles in query-term
+    * order — the two roundings can disagree in the last ulp, so the
+    * same logical query may rank tied documents differently across the
+    * two surfaces. Pinned in `CorpusOpsSpec` ("single-query and
+    * query-set surfaces agree up to rounding"). */
   def bm25TopKAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, terms: Seq[String], k: Int,
                            k1: Double = 1.2, b: Double = 0.75,
@@ -986,7 +994,11 @@ object CorpusOps {
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
-    ("phone", "\\b\\+?\\d{10,15}\\b", "<PHONE>"))
+    // `\+?` sits BEFORE the `\b`: a boundary can't occur between
+    // whitespace and `+` (both non-word), so `\b\+?` never consumed a
+    // leading `+` and international numbers redacted to `+<PHONE>`.
+    // `\+?\b` lets the match start at the `+` itself (still Java∩RE2).
+    ("phone", "\\+?\\b\\d{10,15}\\b", "<PHONE>"))
 
   implicit class DatasetCorpusOps[T](private val ds: Dataset[T]) extends AnyVal {
 

@@ -788,18 +788,16 @@ object SpatialOps {
       val cellThetas =
         SpatialOps.perCellQuantile(lPts.map(nearestPivot), radii, quantile, theta)
 
-      // Euclidean distance from the row's keys to a pivot ARRAY element
-      // (same metric as pointDistance/exactDist — the triangle-inequality
-      // bounds need metric consistency; nulls propagate to a null cell
-      // exactly like the kernel's null semantics)
-      def distToElem(keys: Seq[String])(e: Column): Column =
-        sqrt(keys.zipWithIndex.map { case (c2, i) =>
-          val d = col(c2) - element_at(e, i + 1)
-          d * d
-        }.reduce(_ + _))
-      pivotCellKnn(l, rt, SpatialOps.pivotsLitD(pivots),
-        lDistToPivot = distToElem(lKeys),
-        rDistToPivot = distToElem(rKeys),
+      // key columns packed as ONE array vector for the compiled argmin
+      // kernel (same Euclidean metric as pointDistance/exactDist — the
+      // triangle-inequality bounds need metric consistency); a null in
+      // ANY key nulls the whole vector so those rows route to the
+      // fallback's null semantics, as the old per-element form did
+      def keyVec(keys: Seq[String]): Column =
+        when(keys.map(col(_).isNotNull).reduce(_ && _),
+          array(keys.map(col(_).cast("double")): _*))
+      pivotCellKnn(l, rt, keyVec(lKeys), keyVec(rKeys),
+        pivotsFlat = pivots.flatten, dim = lKeys.length, vecIsFloat = false,
         numPivots = pivots.length, theta = theta,
         exactDist = pointDistance(lKeys.map(col), rKeys.map(col)),
         lId = leftId, k = k, tieBreak = tieBreak,
@@ -1208,13 +1206,6 @@ object SpatialOps {
     (out, names)
   }
 
-  // literal array-of-pivots columns (typedLit needs a TypeTag, whose
-  // anonymous class value classes forbid — hence object-level helpers)
-  private[operators] def pivotsLitD(p: Array[Array[Double]]): Column =
-    typedLit(p.map(_.toSeq).toSeq)
-  private[operators] def pivotsLitF(p: Array[Array[Float]]): Column =
-    typedLit(p.map(_.toSeq).toSeq)
-
   /** Cost-aware pivot refinement — the pivot joins' analogue of the grid
     * join's dense-cell refinement. Maximin pivots spread over the EXTENT,
     * so under density skew a geometrically small dense cluster collects
@@ -1579,21 +1570,22 @@ object SpatialOps {
     * dense cell would otherwise admit nearly the whole right side.
     * Unlisted cells fall back to the global theta.
     *
-    * Pivots ride in as ONE literal array and every per-pivot computation
-    * is a higher-order function over it (`transform` for distances,
-    * `posexplode` for right fan-out) with per-cell thetas/bounds as
-    * `element_at` lookups into literal arrays — generated code is O(1)
-    * in the pivot count. The unrolled alternative (a column per pivot,
-    * a when-chain per cell) made janino compile time the dominant cost
-    * of the whole join past ~32 pivots, dwarfing the execution it was
-    * tuning. The HOF lambdas evaluate interpreted (ArrayTransform is
-    * CodegenFallback) — a deliberate trade: O(numPivots) interpreted
-    * arithmetic per row against seconds of driver compile and a hard
-    * pivot-count ceiling; the hot path (exact distance over candidate
-    * pairs) stays codegen'd. */
+    * Pivots ride in as ONE flattened p×d reference object inside two
+    * codegen'd kernels ([[graft.functions.PivotArgmin]] for left
+    * assignment, [[graft.functions.PivotAdmitted]] for right fan-out) —
+    * generated code is O(1) in the pivot count and the per-row O(p·d)
+    * loop is COMPILED. Two rejected alternatives, both measured: a
+    * column per pivot / when-chain per cell made janino compile time
+    * the dominant cost past ~32 pivots; the `transform(pivotsLit, …)`
+    * HOF form kept the plan small but evaluated interpreted
+    * (ArrayTransform is CodegenFallback) — at d=64 its boxed
+    * per-element arithmetic dominated the whole join (the r14 b6v/b5hd
+    * steady overage). `lVec`/`rVec` must be NULL (not element-null)
+    * rows the caller wants routed to the fallback's null semantics. */
   private[operators] def pivotCellKnn(
-      l: DataFrame, rt: DataFrame, pivotsLit: Column,
-      lDistToPivot: Column => Column, rDistToPivot: Column => Column,
+      l: DataFrame, rt: DataFrame,
+      lVec: Column, rVec: Column,
+      pivotsFlat: Array[Double], dim: Int, vecIsFloat: Boolean,
       numPivots: Int, theta: Double, exactDist: Column,
       lId: String, k: Int, tieBreak: Seq[String],
       outCols: Seq[Column], fallback: DataFrame => DataFrame,
@@ -1605,13 +1597,13 @@ object SpatialOps {
     // here (a null cell would NPE the bound collection), landing in the
     // starved set where the fallback applies its own null semantics
     val lAug = l
-      .withColumn("__graft_pd", transform(pivotsLit, lDistToPivot))
-      .withColumn("__graft_cell",
-        array_position(col("__graft_pd"), array_min(col("__graft_pd"))).cast("int"))
+      .withColumn("__graft_asgn",
+        graft.functions.pivotArgmin(lVec, pivotsFlat, dim, vecIsFloat))
+      .withColumn("__graft_cell", col("__graft_asgn.cell"))
       .filter(col("__graft_cell").isNotNull)
-      .withColumn("__graft_dl", element_at(col("__graft_pd"), col("__graft_cell")))
+      .withColumn("__graft_dl", col("__graft_asgn.dist"))
       .withColumn("__graft_ctheta", element_at(thetaArr, col("__graft_cell")))
-      .drop("__graft_pd")
+      .drop("__graft_asgn")
 
     // per-cell radius bound (numPivots rows to the driver)
     val maxDl = lAug.groupBy(col("__graft_cell"))
@@ -1620,17 +1612,15 @@ object SpatialOps {
     // empty left -> no cells; the fallback IS the correct empty result
     if (maxDl.isEmpty) return fallback(l)
 
-    // right rows fan out only to admitting cells (1-based cell ids from
-    // array_position); each cell's admission band uses ITS radius, and a
-    // left-less cell's -inf band admits nothing
-    val bandArr = lit(Array.tabulate(numPivots)(i =>
-      maxDl.get(i + 1).map(_ + thetaOf(i + 1)).getOrElse(Double.NegativeInfinity)))
+    // right rows fan out only to admitting cells; each cell's admission
+    // band uses ITS radius, and a left-less cell's -inf band admits
+    // nothing (skipped inside the kernel, its rows never materialized)
+    val bands = Array.tabulate(numPivots)(i =>
+      maxDl.get(i + 1).map(_ + thetaOf(i + 1)).getOrElse(Double.NegativeInfinity))
     val admitted = rt
-      .select(col("*"), posexplode(transform(pivotsLit, rDistToPivot))
-        .as(Seq("__graft_pos", "__graft_dr")))
-      .withColumn("__graft_rcell", (col("__graft_pos") + 1).cast("int"))
-      .filter(col("__graft_dr") <= element_at(bandArr, col("__graft_rcell")))
-      .drop("__graft_pos")
+      .withColumn("__graft_rcell",
+        explode(graft.functions.pivotAdmitted(rVec, pivotsFlat, bands, dim,
+          vecIsFloat)))
 
     val cand = lAug.join(admitted, col("__graft_cell") === col("__graft_rcell"))
       .withColumn("__graft_d", exactDist)
@@ -1662,21 +1652,19 @@ object SpatialOps {
     // so the doubled band admits every such right — >= k candidates
     // here provably contain the true k nearest.
     val thetaArr2 = lit((1 to numPivots).map(thetaOf(_) * 2).toArray)
-    val bandArr2 = lit(Array.tabulate(numPivots)(i =>
-      maxDl.get(i + 1).map(_ + thetaOf(i + 1) * 2).getOrElse(Double.NegativeInfinity)))
+    val bands2 = Array.tabulate(numPivots)(i =>
+      maxDl.get(i + 1).map(_ + thetaOf(i + 1) * 2).getOrElse(Double.NegativeInfinity))
     val lAug2 = starved
-      .withColumn("__graft_pd", transform(pivotsLit, lDistToPivot))
-      .withColumn("__graft_cell",
-        array_position(col("__graft_pd"), array_min(col("__graft_pd"))).cast("int"))
+      .withColumn("__graft_asgn",
+        graft.functions.pivotArgmin(lVec, pivotsFlat, dim, vecIsFloat))
+      .withColumn("__graft_cell", col("__graft_asgn.cell"))
       .filter(col("__graft_cell").isNotNull)
       .withColumn("__graft_ctheta", element_at(thetaArr2, col("__graft_cell")))
-      .drop("__graft_pd")
+      .drop("__graft_asgn")
     val admitted2 = rt
-      .select(col("*"), posexplode(transform(pivotsLit, rDistToPivot))
-        .as(Seq("__graft_pos", "__graft_dr")))
-      .withColumn("__graft_rcell", (col("__graft_pos") + 1).cast("int"))
-      .filter(col("__graft_dr") <= element_at(bandArr2, col("__graft_rcell")))
-      .drop("__graft_pos")
+      .withColumn("__graft_rcell",
+        explode(graft.functions.pivotAdmitted(rVec, pivotsFlat, bands2, dim,
+          vecIsFloat)))
     val cand2 = lAug2.join(admitted2, col("__graft_cell") === col("__graft_rcell"))
       .withColumn("__graft_d", exactDist)
       .filter(col("__graft_d") <= col("__graft_ctheta"))

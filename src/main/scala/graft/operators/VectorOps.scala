@@ -1739,13 +1739,14 @@ object VectorOps {
         pivots.indices.minBy(i => l2(v, pivots(i))) + 1
       val cellThetas =
         SpatialOps.perCellQuantile(gateL.map(nearestPivot), radii, quantile, theta)
-      // same machinery as the spatial Voronoi join — only the distance
-      // expressions differ (keeps the two variants in lockstep); pivots
-      // ride in as one literal array (codegen O(1) in pivot count)
-      SpatialOps.pivotCellKnn(l, rt,
-        SpatialOps.pivotsLitF(pivots),
-        lDistToPivot = e => l2Distance(col(lVec), e),
-        rDistToPivot = e => l2Distance(col(rVec), e),
+      // same machinery as the spatial Voronoi join — only the vector
+      // columns differ (keeps the two variants in lockstep); pivots ride
+      // in flattened as one reference object inside the compiled argmin/
+      // admission kernels (float->double is exact, so the kernel's
+      // arithmetic equals l2F's bit-for-bit)
+      SpatialOps.pivotCellKnn(l, rt, col(lVec), col(rVec),
+        pivotsFlat = pivots.flatMap(_.map(_.toDouble)),
+        dim = pivots.head.length, vecIsFloat = true,
         numPivots = pivots.length, theta = theta,
         exactDist = l2Distance(col(lVec), col(rVec)),
         lId = lId, k = k, tieBreak = tieBreak,

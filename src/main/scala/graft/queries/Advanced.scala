@@ -186,6 +186,37 @@ object Advanced {
         (count(lit(1)) > 0).as("nonempty"))
   }
 
+  /** Streaming query-set BM25 retrieval: the SAME three queries as
+    * `tx_bm25_query_join`, arriving as TWO wave files (queries 1-2,
+    * then query 3) so the per-micro-batch handoff genuinely fires
+    * twice; each batch runs the batch verb against the at-rest layout,
+    * reading only its terms' posting slivers. Answers the batch verb's
+    * REAL DuckDB oracle — per-query results are micro-batch invariant
+    * by construction (queries staged atomically per file). */
+  def streamBm25QueryJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    import s.implicits._
+    val tag = Integer.toHexString(d.hashCode)
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_stqj_idx_$tag").toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_stqj_wave_$tag").toString
+    val outPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_stqj_out_$tag").toString
+    graft.operators.DedupOps.deleteDir(s, wavePath)
+    graft.operators.DedupOps.deleteDir(s, outPath)
+    documents(s, d).writeBm25Index(idx, "doc_id", "text")
+    // two waves, each query's term rows atomic within its file
+    Seq((1L, "spark"), (1L, "vector"), (1L, "window"),
+        (2L, "customer"), (2L, "hash")).toDF("qid", "term")
+      .repartition(1).write.mode("append").parquet(wavePath)
+    Seq((3L, "merge"), (3L, "zzz_not_a_token")).toDF("qid", "term")
+      .repartition(1).write.mode("append").parquet(wavePath)
+    StreamingOps.streamBm25QueryJoin(s, wavePath, idx, "qid", "term",
+        k = 5, outPath)
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
   /** Streaming minhash near-dup gate: odd-doc arrivals sign themselves
     * with the layout meta's banding and stream-static join the even-doc
     * corpus's at-rest buckets; candidate pairs exact-verify with
@@ -851,6 +882,10 @@ object Advanced {
     // invariant by construction
     "st_span_gate" -> graft.queries.Pipeline.oracles("pp_span_decontamination"),
     "st_phrase_gate" -> graft.queries.Pipeline.oracles("tx_phrase_bool"),
+    // the streaming query-set retrieval gate answers the batch
+    // query-join verb's REAL oracle: per-query top-k is micro-batch
+    // invariant (queries arrive atomically per wave file)
+    "st_bm25_query_join" -> graft.queries.Pipeline.oracles("tx_bm25_query_join"),
     // plain range join in DuckDB (the engine handles it natively);
     // epoch_us == Spark's unix_micros on the same micro timestamps
     "ts_interval_join" ->
@@ -982,6 +1017,7 @@ object Advanced {
     "st_geo_join" -> (streamGeoJoinQ _),
     "st_span_gate" -> (streamSpanGateQ _),
     "st_phrase_gate" -> (streamPhraseGateQ _),
+    "st_bm25_query_join" -> (streamBm25QueryJoinQ _),
     "ts_asof_join" -> (asOfJoinQ _),
     "st_asof" -> (streamAsOfQ _),
     "st_st_join" -> (streamStJoinQ _),

@@ -2921,7 +2921,7 @@ object Pipeline {
         |  '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),
         |  '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2', 'g') AS u FROM s3),
         |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
-        |  '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+        |  '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
         |  '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g') AS u FROM s4),
         |s6 AS (SELECT doc_id, CASE WHEN length(regexp_extract(u, '\?(.*)$', 1)) > 0
         |  THEN regexp_replace(u, '\?.*$', '', 'g') || '?' ||
@@ -2946,15 +2946,15 @@ object Pipeline {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-        |    '\b\+?\d{10,15}\b', '<PHONE>', 'g') AS text_clean,
+        |    '\+?\b\d{10,15}\b', '<PHONE>', 'g') AS text_clean,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
         |  len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
         |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
-        |  len(regexp_extract_all(text, '\b\+?\d{10,15}\b')) AS n_phone,
+        |  len(regexp_extract_all(text, '\+?\b\d{10,15}\b')) AS n_phone,
         |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |  + len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))
         |  + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
-        |  + len(regexp_extract_all(text, '\b\+?\d{10,15}\b')) AS n_pii
+        |  + len(regexp_extract_all(text, '\+?\b\d{10,15}\b')) AS n_pii
         |FROM planted ORDER BY doc_id""".stripMargin,
     "pp_boilerplate" ->
       """WITH tok AS (

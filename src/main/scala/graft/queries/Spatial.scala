@@ -382,6 +382,31 @@ object Spatial {
       .polygonRange(Seq("cx", "cy"), diamond)
       .orderBy(col("c_custkey"))
 
+  // The diamond with a smaller concentric diamond HOLE: containment is
+  // outer-inclusive AND NOT strictly-inside-hole, each side a closed-form
+  // SQL inequality (hole-boundary points stay IN, so the oracle negates
+  // the STRICT inner inequality). Fractional half-axes keep data points
+  // off both boundaries' float-error bands, as in [[diamond]].
+  private val holedDiamond = graft.spatial.Polygon(
+    Array(graft.spatial.Point(5000.0 - 2000.37, 500.0),
+      graft.spatial.Point(5000.0, 500.0 - 300.13),
+      graft.spatial.Point(5000.0 + 2000.37, 500.0),
+      graft.spatial.Point(5000.0, 500.0 + 300.13)),
+    Array(Array(graft.spatial.Point(5000.0 - 1000.19, 500.0),
+      graft.spatial.Point(5000.0, 500.0 - 150.07),
+      graft.spatial.Point(5000.0 + 1000.19, 500.0),
+      graft.spatial.Point(5000.0, 500.0 + 150.07))))
+
+  /** Range query against a polygon WITH an interior ring — the
+    * lakes-in-parcels shape every real GIS corpus carries (reference:
+    * spatial/Polygon.scala:32-38 via JTS, which is hole-aware). Same
+    * codegen'd single-scan plan as [[polygonRange]]; the ring kernel is
+    * [[graft.spatial.Dist.pointInPolygonRings]]. */
+  def polygonHolesRange(s: SparkSession, d: String): DataFrame =
+    customerPts(s, d)
+      .polygonRange(Seq("cx", "cy"), holedDiamond)
+      .orderBy(col("c_custkey"))
+
   def knn(s: SparkSession, d: String): DataFrame =
     customerPts(s, d)
       .knn(Seq("cx", "cy"), center, knnK, tieBreak = Seq("c_custkey"))
@@ -746,6 +771,13 @@ object Spatial {
       s"""SELECT * FROM ($custPtsSql) c
          |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
          |ORDER BY c_custkey""".stripMargin,
+    // ring algebra replayed relationally: IN the shell (inclusive) and
+    // NOT strictly inside the hole (hole boundary belongs to the polygon)
+    "sp_polygon_holes" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
+         |  AND NOT (abs((cx - 5000.0) / 1000.19) + abs((cy - 500.0) / 150.07) < 1.0)
+         |ORDER BY c_custkey""".stripMargin,
     // rectangle x rectangle intersection = interval overlap per axis —
     // pure comparisons, exactly replayable
     "sp_intersects_join" ->
@@ -934,6 +966,7 @@ object Spatial {
     "sp_polygon_join" -> (polygonDistanceJoinQ _),
     "sp_intersects_join" -> (shapeIntersectsJoinQ _),
     "sp_polygon_range" -> (polygonRange _),
+    "sp_polygon_holes" -> (polygonHolesRange _),
     "sp_segment_range" -> (segmentRangeQ _),
     "sp_bounds_agg" -> (boundsBySegment _),
     "sp_spatiotemporal" -> (spatioTemporal _),

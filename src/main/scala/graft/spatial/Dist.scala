@@ -142,4 +142,64 @@ object Dist {
     }
     inside
   }
+
+  /** Ring test at an offset into a shared flat array (no slicing, no
+    * allocation — callable per row from generated code): 0 = outside,
+    * 1 = strictly inside, 2 = on the ring boundary. `off` is the array
+    * index of the ring's first x; `n` its vertex count. Same even-odd +
+    * boundary arithmetic as [[pointInPolygon]]. */
+  def ringStatus(x: Double, y: Double, verts: Array[Double],
+                 off: Int, n: Int): Int = {
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = verts(off + 2 * i); val yi = verts(off + 2 * i + 1)
+      val xj = verts(off + 2 * j); val yj = verts(off + 2 * j + 1)
+      val cross = (xj - xi) * (y - yi) - (yj - yi) * (x - xi)
+      if (cross == 0.0 &&
+          math.min(xi, xj) <= x && x <= math.max(xi, xj) &&
+          math.min(yi, yj) <= y && y <= math.max(yi, yj)) return 2
+      j = i; i += 1
+    }
+    var inside = false
+    i = 0; j = n - 1
+    while (i < n) {
+      val xi = verts(off + 2 * i); val yi = verts(off + 2 * i + 1)
+      val xj = verts(off + 2 * j); val yj = verts(off + 2 * j + 1)
+      if ((yi > y) != (yj > y) && x < (xj - xi) * (y - yi) / (yj - yi) + xi)
+        inside = !inside
+      j = i; i += 1
+    }
+    if (inside) 1 else 0
+  }
+
+  /** Boundary-inclusive containment for a polygon with interior rings
+    * (holes), over the multi-ring flat encoding
+    * `[nRings, n0, x,y...(n0 pairs), n1, x,y..., ...]` (ring 0 = outer
+    * shell, rest = holes; see `Polygon.flatRings`). JTS/OGC semantics:
+    * every ring's boundary BELONGS to the polygon — a point strictly
+    * inside a hole is out, a point ON a hole's ring is in. Kernel
+    * behind the codegen'd [[graft.functions.PointInPolygon]]; offset
+    * walk, zero allocation. */
+  def pointInPolygonRings(x: Double, y: Double, rings: Array[Double]): Boolean = {
+    val nRings = rings(0).toInt
+    var off = 1
+    val n0 = rings(off).toInt
+    off += 1
+    val outer = ringStatus(x, y, rings, off, n0)
+    if (outer == 0) return false
+    if (outer == 2) return true // on the shell: in, regardless of holes
+    off += 2 * n0
+    var r = 1
+    while (r < nRings) {
+      val nh = rings(off).toInt
+      off += 1
+      val st = ringStatus(x, y, rings, off, nh)
+      if (st == 1) return false // strictly inside a hole
+      if (st == 2) return true  // on a hole boundary: still the polygon
+      off += 2 * nh
+      r += 1
+    }
+    true
+  }
 }

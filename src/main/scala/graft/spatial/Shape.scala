@@ -271,65 +271,113 @@ final case class LineSegment(start: Point, end: Point) extends Shape {
   }
 }
 
-/** A 2-D simple polygon given as its vertex ring (closing edge implied).
-  * The reference wraps JTS for this (reference: spatial/Polygon.scala:32-38,
-  * JTS 1.14 via build.sbt:31); JTS isn't available offline, so the 2-D
-  * kernels are implemented directly: boundary-inclusive even-odd ray
-  * casting for containment, edge sweeps for distance/intersection.
-  * Flat-array kernel variant in [[Dist.pointInPolygon]] backs the
-  * codegen'd Catalyst expression. */
-final case class Polygon(vertices: Array[Point]) extends Shape {
+/** A 2-D polygon given as its outer vertex ring (closing edge implied)
+  * plus optional interior rings — holes (lakes in parcels, courtyards
+  * in footprints). The reference wraps JTS for this (reference:
+  * spatial/Polygon.scala:32-38, JTS 1.14 via build.sbt:31), which
+  * carries interior rings through WKT/WKB (reference:
+  * spatial/Polygon.scala:106-124); JTS isn't available offline, so the
+  * 2-D kernels are implemented directly: boundary-inclusive even-odd
+  * ray casting per ring (every ring's boundary BELONGS to the polygon,
+  * the JTS/OGC convention), edge sweeps over ALL rings for
+  * distance/intersection. Flat-array kernel variants in
+  * [[Dist.pointInPolygon]] / [[Dist.pointInPolygonRings]] back the
+  * codegen'd Catalyst expression. Rings are trusted as given (outer
+  * contains holes, holes disjoint) — the OGC validity contract;
+  * validation is an ingest-time concern, not a per-row one. */
+final case class Polygon(vertices: Array[Point],
+                         holes: Array[Array[Point]] = Array.empty) extends Shape {
   require(vertices.length >= 3, "polygon needs >= 3 vertices")
   require(vertices.forall(_.dimensions == 2), "Polygon is 2-D only")
+  require(holes.forall(h => h.length >= 3 && h.forall(_.dimensions == 2)),
+    "each hole needs >= 3 2-D vertices")
 
   override def dimensions: Int = 2
-  override lazy val mbr: MBR = MBR.ofPoints(vertices)
+  override lazy val mbr: MBR = MBR.ofPoints(vertices) // holes are interior
 
-  /** Vertex ring flattened to [x0,y0,x1,y1,...] for the column kernel. */
+  /** Outer vertex ring flattened to [x0,y0,x1,y1,...] for the column
+    * kernel (hole-free polygons only — holed ones use [[flatRings]]). */
   def flat: Array[Double] = vertices.flatMap(_.coord)
 
-  lazy val edges: IndexedSeq[LineSegment] = vertices.indices.map { i =>
-    LineSegment(vertices(i), vertices((i + 1) % vertices.length))
+  /** All rings in the multi-ring flat encoding
+    * `[nRings, n0, x,y...(outer), n1, x,y...(hole), ...]` — the layout
+    * [[Dist.pointInPolygonRings]] walks and `ShapeCodec` tag 5 stores. */
+  lazy val flatRings: Array[Double] = {
+    val b = Array.newBuilder[Double]
+    b += (1 + holes.length).toDouble
+    (vertices +: holes.toSeq).foreach { ring =>
+      b += ring.length.toDouble
+      ring.foreach(v => { b += v.coord(0); b += v.coord(1) })
+    }
+    b.result()
   }
 
-  /** Boundary-inclusive containment. */
-  def contains(p: Point): Boolean = Dist.pointInPolygon(p.coord(0), p.coord(1), flat)
+  private def ringEdges(ring: Array[Point]): IndexedSeq[LineSegment] =
+    ring.indices.map(i => LineSegment(ring(i), ring((i + 1) % ring.length)))
+
+  lazy val edges: IndexedSeq[LineSegment] = ringEdges(vertices)
+
+  /** Outer + hole edges: the polygon's full boundary. */
+  lazy val allEdges: IndexedSeq[LineSegment] =
+    if (holes.isEmpty) edges else edges ++ holes.toIndexedSeq.flatMap(ringEdges)
+
+  /** Boundary-inclusive containment: inside the shell, not strictly
+    * inside any hole (a point ON a hole's ring is still the polygon). */
+  def contains(p: Point): Boolean =
+    if (holes.isEmpty) Dist.pointInPolygon(p.coord(0), p.coord(1), flat)
+    else Dist.pointInPolygonRings(p.coord(0), p.coord(1), flatRings)
 
   def minDist(p: Point): Double =
-    if (contains(p)) 0.0 else edges.map(e => Dist.pointToSegment(p, e)).min
+    if (contains(p)) 0.0 else allEdges.map(e => Dist.pointToSegment(p, e)).min
 
   override def minDist(other: Shape): Double = other match {
     case p: Point       => minDist(p)
-    case b: MBR         => if (intersects(b)) 0.0 else edges.map(e => Dist.segmentToMBR(e, b)).min
+    case b: MBR         =>
+      if (intersects(b)) 0.0 else allEdges.map(e => Dist.segmentToMBR(e, b)).min
     case c: Circle      => math.max(0.0, minDist(c.center) - c.radius)
     case s: LineSegment =>
-      if (intersects(s)) 0.0 else edges.map(e => Dist.segmentToSegment(e, s)).min
+      if (intersects(s)) 0.0 else allEdges.map(e => Dist.segmentToSegment(e, s)).min
     case g: Polygon     =>
       if (intersects(g)) 0.0
-      else edges.iterator.map(a =>
-        g.edges.iterator.map(b => Dist.segmentToSegment(a, b)).min).min
+      else allEdges.iterator.map(a =>
+        g.allEdges.iterator.map(b => Dist.segmentToSegment(a, b)).min).min
   }
 
+  // Interior-overlap logic below leans on one fact: if no ring of A
+  // crosses a ring of B, then each of A's rings lies entirely within a
+  // single face of B's arrangement — so testing ONE vertex settles
+  // containment, and a shape fully inside a hole tests false.
   override def intersects(other: Shape): Boolean = other match {
     case p: Point       => contains(p)
     case b: MBR         =>
       mbr.intersects(b) && (vertices.exists(b.contains) ||
-        contains(b.low) || edges.exists(_.intersects(b)))
+        contains(b.low) || allEdges.exists(_.intersects(b)))
     case c: Circle      => minDist(c.center) <= c.radius
-    case s: LineSegment => contains(s.start) || edges.exists(_.intersects(s))
+    case s: LineSegment => contains(s.start) || allEdges.exists(_.intersects(s))
     case g: Polygon     =>
       contains(g.vertices(0)) || g.contains(vertices(0)) ||
-        edges.exists(a => g.edges.exists(a.intersects))
+        allEdges.exists(a => g.allEdges.exists(a.intersects))
   }
 
   // Array fields break case-class equality (same fix as Point).
   override def equals(o: Any): Boolean = o match {
     case p: Polygon => vertices.length == p.vertices.length &&
-      vertices.indices.forall(i => vertices(i) == p.vertices(i))
+      vertices.indices.forall(i => vertices(i) == p.vertices(i)) &&
+      holes.length == p.holes.length &&
+      holes.indices.forall(i => holes(i).length == p.holes(i).length &&
+        holes(i).indices.forall(j => holes(i)(j) == p.holes(i)(j)))
     case _ => false
   }
-  override def hashCode(): Int =
-    vertices.foldLeft(17)((h, v) => h * 31 + v.hashCode())
+  override def hashCode(): Int = {
+    val outer = vertices.foldLeft(17)((h, v) => h * 31 + v.hashCode())
+    holes.foldLeft(outer)((h, ring) =>
+      ring.foldLeft(h * 31 + 7)((a, v) => a * 31 + v.hashCode()))
+  }
+  override def toString: String = {
+    val o = vertices.mkString("Polygon(", ",", "")
+    if (holes.isEmpty) o + ")"
+    else o + holes.map(_.mkString("[", ",", "]")).mkString(", holes=", ";", ")")
+  }
 }
 
 object Polygon {

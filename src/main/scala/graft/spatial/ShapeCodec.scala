@@ -16,11 +16,15 @@ import org.apache.spark.sql.types._
   * oracle can re-derive the geometry from the struct fields in SQL.
   *
   * Layouts (dimensionality is implied by the tag + length):
-  *  - Point:   [x1..xd]
-  *  - MBR:     [low1..lowd, high1..highd]
-  *  - Circle:  [c1..cd, radius]
-  *  - Polygon: [x0,y0, x1,y1, ...]   (2-D vertex ring)
-  *  - Segment: [ax,ay, bx,by]        (2-D)
+  *  - Point:        [x1..xd]
+  *  - MBR:          [low1..lowd, high1..highd]
+  *  - Circle:       [c1..cd, radius]
+  *  - Polygon:      [x0,y0, x1,y1, ...]   (2-D vertex ring, NO holes)
+  *  - Segment:      [ax,ay, bx,by]        (2-D)
+  *  - PolygonHoles: [nRings, n0, x,y...(n0 outer pairs), n1, x,y..., ...]
+  *    (tag 5, layout v2 — added for interior rings; hole-free polygons
+  *    KEEP tag 3 so every at-rest shape column written before v2 decodes
+  *    unchanged, and a tag-5 value is self-describing for new readers)
   */
 object ShapeCodec {
 
@@ -29,6 +33,7 @@ object ShapeCodec {
   val TagCircle = 2
   val TagPolygon = 3
   val TagSegment = 4
+  val TagPolygonHoles = 5
 
   /** The struct type of an encoded shape column. */
   val sqlType: StructType = StructType(Seq(
@@ -40,7 +45,9 @@ object ShapeCodec {
     case Point(c)          => (TagPoint, c)
     case MBR(lo, hi)       => (TagMBR, lo.coord ++ hi.coord)
     case Circle(c, r)      => (TagCircle, c.coord :+ r)
-    case p: Polygon        => (TagPolygon, p.flat)
+    case p: Polygon        =>
+      if (p.holes.isEmpty) (TagPolygon, p.flat)
+      else (TagPolygonHoles, p.flatRings)
     case LineSegment(a, b) => (TagSegment, a.coord ++ b.coord)
   }
 
@@ -55,6 +62,22 @@ object ShapeCodec {
         Point(coords(2 * i), coords(2 * i + 1))))
     case TagSegment =>
       LineSegment(Point(coords(0), coords(1)), Point(coords(2), coords(3)))
+    case TagPolygonHoles =>
+      val nRings = coords(0).toInt
+      require(nRings >= 1 && coords.length > 1,
+        s"malformed tag-5 polygon: $nRings rings, ${coords.length} doubles")
+      var off = 1
+      val rings = Array.tabulate(nRings) { _ =>
+        val n = coords(off).toInt
+        off += 1
+        val ring = Array.tabulate(n)(i =>
+          Point(coords(off + 2 * i), coords(off + 2 * i + 1)))
+        off += 2 * n
+        ring
+      }
+      require(off == coords.length,
+        s"malformed tag-5 polygon: ${coords.length - off} trailing doubles")
+      Polygon(rings.head, rings.tail)
     case other => throw new IllegalArgumentException(s"unknown shape tag: $other")
   }
 

@@ -24,9 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `LineSegment`     <-> type 2 (LineString) with exactly two
   *    vertices — standard bytes; parse rejects longer linestrings
   *    (the ADT carries segments, not polylines, as in [[Wkt]])
-  *  - `Polygon`         <-> type 3, single closed ring — standard
-  *    (closing vertex emitted on output, tolerated either way on input;
-  *    multi-ring input is rejected)
+  *  - `Polygon`         <-> type 3, closed shell ring then interior
+  *    rings (holes) — standard OGC multi-ring layout, the same bytes
+  *    JTS's WKBWriter emits (closing vertices emitted on output,
+  *    tolerated either way on input)
   *  - `MBR` (2-D)       --> its closed-ring type-3 Polygon (WKB has no
   *    box type; the formatted box PARSES BACK as the
   *    geometrically-equal Polygon — the [[Wkt]] precedent, chosen over
@@ -70,7 +71,15 @@ object Wkb {
         .putDouble(bPt.coord(0)).putDouble(bPt.coord(1))
       b.array()
     case p: Polygon =>
-      ringBytes(closedRing(p.flat))
+      // OGC layout: numRings, then each closed ring (shell first, then
+      // interior rings — the byte form JTS's WKBWriter emits; reference:
+      // spatial/Polygon.scala:106-124 round-trips holes through it)
+      val rings = (p.vertices +: p.holes.toSeq)
+        .map(r => closedRing(r.flatMap(_.coord)))
+      val b = le(1 + 4 + 4 + rings.map(r => 4 + 8 * r.length).sum)
+      b.put(1: Byte).putInt(TypePolygon).putInt(rings.length)
+      rings.foreach { r => b.putInt(r.length / 2); r.foreach(b.putDouble) }
+      b.array()
     case MBR(lo, hi) =>
       require(lo.coord.length == 2,
         s"only 2-D boxes have a WKB (polygon) form, got ${lo.coord.length}-D")
@@ -101,7 +110,7 @@ object Wkb {
     def need(n: Int, what: String): Unit =
       if (b.remaining() < n) fail(s"truncated $what")
     val tpe = b.getInt
-    tpe match {
+    val shape: Shape = tpe match {
       case TypePoint =>
         need(16, "point")
         Point(b.getDouble, b.getDouble)
@@ -114,23 +123,34 @@ object Wkb {
           Point(b.getDouble, b.getDouble))
       case TypePolygon =>
         need(4, "ring count")
-        val rings = b.getInt
-        if (rings != 1) fail(s"multi-ring polygons are not supported ($rings rings)")
-        need(4, "ring length")
-        val n = b.getInt
-        if (n < 3) fail(s"polygons need >= 3 vertices, got $n")
-        need(16 * n, "ring vertices")
-        val vs = Array.fill(n)(Point(b.getDouble, b.getDouble))
-        val ring =
-          if (n > 1 && vs.head.coord.sameElements(vs.last.coord)) vs.dropRight(1)
-          else vs
-        if (ring.length < 3) fail(s"polygons need >= 3 distinct vertices, got ${ring.length}")
-        Polygon(ring)
+        val nRings = b.getInt
+        if (nRings < 1) fail(s"polygon needs at least the shell ring, got $nRings")
+        def readRing(): Array[Point] = {
+          need(4, "ring length")
+          val n = b.getInt
+          if (n < 3) fail(s"rings need >= 3 vertices, got $n")
+          need(16 * n, "ring vertices")
+          val vs = Array.fill(n)(Point(b.getDouble, b.getDouble))
+          val ring =
+            if (n > 1 && vs.head.coord.sameElements(vs.last.coord)) vs.dropRight(1)
+            else vs
+          if (ring.length < 3)
+            fail(s"rings need >= 3 distinct vertices, got ${ring.length}")
+          ring
+        }
+        val shell = readRing()
+        val holes = Array.fill(nRings - 1)(readRing())
+        Polygon(shell, holes)
       case TypeCircleExt =>
         need(24, "circle")
         Circle(Point(b.getDouble, b.getDouble), b.getDouble)
       case other => fail(s"unsupported geometry type $other")
     }
+    // Strict consumption: trailing bytes mean concatenated geometries
+    // or a corrupt length field that left residue — both are malformed
+    // input under the documented no-silent-acceptance posture.
+    if (b.remaining() != 0) fail(s"${b.remaining()} trailing bytes")
+    shape
   }
 
   private def le(n: Int): ByteBuffer =

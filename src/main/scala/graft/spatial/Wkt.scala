@@ -14,9 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `Point` (any dim)    <-> `POINT (x y[ z ...])`
   *  - `LineSegment`        <-> `LINESTRING (ax ay, bx by)` (exactly two
   *    vertices — the ADT carries segments, not polylines)
-  *  - `Polygon`            <-> `POLYGON ((x0 y0, ..., x0 y0))` (single
-  *    ring; closing vertex emitted on output, tolerated either way on
-  *    input)
+  *  - `Polygon`            <-> `POLYGON ((shell...)[, (hole...), ...])`
+  *    (outer shell first, then interior rings — the OGC/JTS layout the
+  *    reference emits via WKTWriter; closing vertex emitted on output,
+  *    tolerated either way on input)
   *  - `MBR` (2-D)          --> its `POLYGON` ring (WKT has no box type,
   *    so a formatted box PARSES BACK as the geometrically-equal
   *    Polygon); n-D boxes have no WKT form -> error
@@ -38,9 +39,12 @@ object Wkt {
     case LineSegment(a, b) =>
       s"LINESTRING (${a.coord.mkString(" ")}, ${b.coord.mkString(" ")})"
     case p: Polygon =>
-      val ring = p.flat.grouped(2).map(_.mkString(" ")).toSeq
-      val closed = if (ring.head == ring.last) ring else ring :+ ring.head
-      s"POLYGON ((${closed.mkString(", ")}))"
+      def ringText(ring: Array[Point]): String = {
+        val vs = ring.map(v => s"${v.coord(0)} ${v.coord(1)}").toSeq
+        val closed = if (vs.head == vs.last) vs else vs :+ vs.head
+        s"(${closed.mkString(", ")})"
+      }
+      s"POLYGON (${(p.vertices +: p.holes.toSeq).map(ringText).mkString(", ")})"
     case MBR(lo, hi) =>
       require(lo.coord.length == 2,
         s"only 2-D boxes have a WKT (polygon) form, got ${lo.coord.length}-D")
@@ -78,13 +82,42 @@ object Wkt {
         if (vs.exists(_.length != 2)) fail("segments are 2-D")
         LineSegment(Point(vs(0)), Point(vs(1)))
       case "POLYGON" =>
-        val inner = unwrap(unwrap(body)) // single ring: ((...))
-        if (inner.contains("(")) fail("multi-ring polygons are not supported")
-        val vs = vertices(inner)
-        if (vs.exists(_.length != 2)) fail("polygons are 2-D")
-        val ring = if (vs.length > 1 && vs.head.sameElements(vs.last)) vs.dropRight(1) else vs
-        if (ring.length < 3) fail(s"polygons need >= 3 distinct vertices, got ${ring.length}")
-        Polygon(ring.map(v => Point(v)))
+        // (ring[, ring...]) where each ring is (x y, x y, ...) — rings
+        // carry no nested parens, so a linear scan splits them exactly
+        val inner = unwrap(body)
+        val ringTexts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var depth = 0
+        var start = -1
+        var k = 0
+        while (k < inner.length) {
+          inner.charAt(k) match {
+            case '(' =>
+              depth += 1
+              if (depth == 1) start = k + 1 else fail("nested ring parens")
+            case ')' =>
+              if (depth != 1) fail("unbalanced ring parens")
+              depth = 0
+              ringTexts += inner.substring(start, k)
+            case c if depth == 0 && c != ',' && !c.isWhitespace =>
+              fail(s"unexpected '$c' between rings")
+            case _ =>
+          }
+          k += 1
+        }
+        if (depth != 0) fail("unbalanced ring parens")
+        if (ringTexts.isEmpty) fail("polygon needs at least the shell ring")
+        def parseRing(s: String): Array[Point] = {
+          val vs = vertices(s)
+          if (vs.exists(_.length != 2)) fail("polygons are 2-D")
+          val ring =
+            if (vs.length > 1 && vs.head.sameElements(vs.last)) vs.dropRight(1)
+            else vs
+          if (ring.length < 3)
+            fail(s"rings need >= 3 distinct vertices, got ${ring.length}")
+          ring.map(v => Point(v))
+        }
+        val rings = ringTexts.map(parseRing)
+        Polygon(rings.head, rings.tail.toArray)
       case "CIRCLE" =>
         val c = nums(unwrap(body))
         if (c.length < 3) fail("circles are 'CIRCLE (cx cy r)'")

@@ -434,6 +434,63 @@ object StreamingOps {
     }
   }
 
+  /** Streaming QUERY-SET BM25 retrieval against the at-rest BM25
+    * layout — the serving twin of
+    * [[graft.operators.CorpusOps.bm25TopKJoinAgainstIndex]]: query
+    * batches arrive as (queryId, term) rows staged at `wavePath`, and
+    * each micro-batch runs the batch verb VERBATIM via `foreachBatch`
+    * (its bounded term-IN pushdown probe is a driver collect no
+    * continuous plan can express — the [[streamAnnJoin]] escape),
+    * reading ONLY the batch's terms' posting slivers. Zero state store:
+    * per-QUERY results are independent, so the union over micro-batches
+    * equals the batch join over all queries bit-for-bit (spec-pinned),
+    * PROVIDED each query's term rows are staged in ONE wave file (a
+    * query split across files would score each fragment separately —
+    * queries are atomic retrieval requests, so stage them atomically)
+    * and query ids are not reused across waves. Emissions land at
+    * `outPath` (parquet, appended per batch); the returned frame reads
+    * it back after the wave drains. */
+  def streamBm25QueryJoin(spark: SparkSession, wavePath: String,
+                          indexPath: String, queryIdCol: String,
+                          termCol: String, k: Int, outPath: String,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.operators.CorpusOps
+    val schema = spark.read.parquet(wavePath).schema
+    val arrivals = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(wavePath)
+    val q = arrivals.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CorpusOps.bm25TopKJoinAgainstIndex(spark, indexPath, batch,
+            queryIdCol, termCol, k, k1, b)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // an empty wave never triggers foreachBatch — answer the contract
+    // schema (queryId from the wave, id from the layout, dl, score)
+    val op = new org.apache.hadoop.fs.Path(outPath)
+    if (op.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(op))
+      spark.read.parquet(outPath)
+    else {
+      import org.apache.spark.sql.types._
+      val params = graft.operators.DedupOps.indexMeta(spark, indexPath,
+        "streamBm25QueryJoin")
+      val qidType = schema.fields.find(_.name == queryIdCol)
+        .map(_.dataType).getOrElse(LongType)
+      val layoutIdType = spark.read.parquet(s"$indexPath/postings").schema
+        .fields.find(_.name == params("idCol")).map(_.dataType)
+        .getOrElse(LongType)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(queryIdCol, qidType),
+          StructField(params("idCol"), layoutIdType),
+          StructField("dl", LongType), StructField("score", DoubleType))))
+    }
+  }
+
   /** Streaming near-dup gate against the at-rest minhash index:
     * arrivals staged at `wavePath` (selection is the caller's — same
     * contract as [[streamDigestGate]]) sign THEMSELVES with the layout

@@ -513,6 +513,20 @@ object ExplainPlans {
           array(col("cx"), col("cy")).as("coords")).as("cpt"))
       boxes.shapeDistanceJoin(pts, "nbox", "cpt", 100.37)
     }
+    show("shape_knn_join (expect BOTH candidate stages — theta pass and doubled-theta retry — as bbox-cell equi-joins with windowed top-k; the only cross form is the count-routed starved-left exact fallback branch)") {
+      import graft.spatial.ShapeCodec
+      val ncx = col("n_nationkey").cast("double") * 400.0
+      val ncy = col("n_nationkey").cast("double") * 40.0
+      val boxes = nation(spark, d).select(col("n_nationkey"),
+        struct(lit(ShapeCodec.TagMBR).as("tag"),
+          array(ncx - 150.0, ncy - 20.0, ncx + 150.0, ncy + 20.0).as("coords"))
+          .as("nbox"))
+      val pts = customerPts(spark, d).select(col("c_custkey"),
+        struct(lit(ShapeCodec.TagPoint).as("tag"),
+          array(col("cx"), col("cy")).as("coords")).as("cpt"))
+      boxes.shapeKnnJoin(pts, "nbox", "cpt", 3, "n_nationkey",
+        tieBreak = Seq("c_custkey"))
+    }
     show("phrase_bool (expect ONE term-pruned posting sliver — PushedFilters In(term, all query terms) — feeding per-alternative conjunctive aggs; adjacency text read only via the pushed id IN; OR = union distinct, AND = semi-join chain)") {
       import graft.operators.CorpusOps
       import graft.operators.CorpusOps._

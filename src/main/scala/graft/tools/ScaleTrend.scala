@@ -894,10 +894,33 @@ object ScaleTrend {
       shapeBoxesRep(n).shapeKnnJoin(shapePtsRep(n), "lbox", "rpt", 3,
         "lid", Seq("rid")).count()
 
+    // the d=4 auto-routed kNN join (bench b5hd's fixture: customer xy
+    // plus two residue axes) over x-shifted replicas — same XOffset
+    // discipline, so per-replica neighborhoods are preserved, true
+    // pairs grow ~n, and the pivot route's per-decade exponent is
+    // directly comparable to the 2-D joins'
+    def pts4dRep(n: Int, p: String): DataFrame =
+      (0 until n).map { r =>
+        customerPts(spark, d).select(
+          (col("c_custkey") + lit(r * IdOffset)).as(s"${p}id"),
+          (col("cx") + lit(r * XOffset)).as(s"${p}x"),
+          col("cy").as(s"${p}y"),
+          (col("c_custkey") % 773).cast("double").as(s"${p}z"),
+          (col("c_custkey") % 337).cast("double").as(s"${p}w"))
+      }.reduce(_ unionByName _)
+    def b5hd(n: Int): Long = {
+      spark.conf.set(graft.GraftConf.KnnJoinAlgo, "auto")
+      try pts4dRep(n, "l").knnJoinAuto(pts4dRep(n, "r"),
+        Seq("lx", "ly", "lz", "lw"), Seq("rx", "ry", "rz", "rw"),
+        3, "lid", "rid", Seq("rid")).count()
+      finally spark.conf.unset(graft.GraftConf.KnnJoinAlgo)
+    }
+
     val entries: Seq[(String, Int => Long)] =
       Seq("b4l_distance_join_self_grid" -> (b4l _),
           "b4sh_shape_distance_join" -> (b4sh _),
           "b5sh_shape_knn_join" -> (b5sh _),
+          "b5hd_knn_join_4d_auto" -> (b5hd _),
           "b4st_spatiotemporal_join" -> (b4st _),
           "b4x_intersects_join" -> (b4x _),
           "b5_knn_join_grid" -> (b5 _),
@@ -959,7 +982,8 @@ object ScaleTrend {
             "b8es_epoch_shuffle" -> (b8es _),
             "b8gt_group_top_frac" -> (b8gt _),
             "b8hh_heavy_ngrams" -> (b8hh _),
-            "b6va_knn_join_vec_approx" -> (b6va _))
+            "b6va_knn_join_vec_approx" -> (b6va _),
+            "b5hd_knn_join_4d_auto" -> (b5hd _))
       // optional trailing args select a subset (re-measure one entry
       // without re-paying the minutes-long others)
       val want = args.drop(1).toSet

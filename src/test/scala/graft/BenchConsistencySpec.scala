@@ -129,6 +129,29 @@ class BenchConsistencySpec extends AnyFunSuite {
       Map("b_new_entry" -> 99.0), "/root/testdata/sf0.1").isEmpty)
   }
 
+  test("cold-band rule: the r14 addenda bands gate the shape/high-d " +
+    "joins; in-band colds and other scale factors pass") {
+    // r14 driver colds all inside their recorded bands
+    val clean = Map(
+      "b4sh_shape_distance_join" -> 1.9, "b5sh_shape_knn_join" -> 4.24,
+      "b5hd_knn_join_4d_auto" -> 6.46)
+    assert(Bench.coldBandViolations(clean, "/root/testdata/sf0.1").isEmpty)
+    // a 2x regression in a newest join now trips (1.5x the band's
+    // upper edge) — the r14 verdict #2 hole (prose-only bands tripped
+    // nothing)
+    val dirty = clean.updated("b5sh_shape_knn_join", 8.5)
+    val v = Bench.coldBandViolations(dirty, "/root/testdata/sf0.1")
+    assert(v.nonEmpty && v.exists(_.contains("b5sh_shape_knn_join")),
+      s"must name the regressed entry: $v")
+    // only the banded scale factor is gated; unbanded entries never trip
+    assert(Bench.coldBandViolations(dirty, "/root/testdata/sf0.01").isEmpty)
+    assert(Bench.coldBandViolations(
+      Map("b_new_entry" -> 99.0), "/root/testdata/sf0.1").isEmpty)
+    // every banded entry exists in the bench registry (a renamed entry
+    // would silently orphan its band)
+    Bench.coldBandsSf01.keys.foreach(n => assert(Bench.entryFor(n) != null, n))
+  }
+
   test("b10d is interpreted against the fs probe: over-band + in-band " +
     "probe = regression, over-band + dirty probe = host state") {
     // the recorded r12 pairs all read in-band (probe 0.25-0.55 beside

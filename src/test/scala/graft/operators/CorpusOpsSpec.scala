@@ -737,6 +737,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(after.count(_._1 == 1L) == 5, "top-k did not refill after delete")
   }
 
+  test("bm25 single-query and query-set surfaces agree up to rounding " +
+    "(the documented DECIMAL-vs-IEEE-chain divergence stays sub-1e-6)") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bm25_surface_pin_spec").toString
+    docs.writeBm25Index(path, "doc_id", "text")
+    val terms = Seq("spark", "vector", "window")
+    // k = full corpus so near-tie RANK flips can't hide set differences
+    val single = CorpusOps.bm25TopKAgainstIndex(spark, path, terms, 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val joined = CorpusOps.bm25TopKJoinAgainstIndex(spark, path,
+        terms.map(t => (1L, t)).toDF("qid", "term"), "qid", "term", 1000)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(single.keySet === joined.keySet && single.nonEmpty,
+      "the two bm25 surfaces ranked different doc sets")
+    // scores differ only by the decimal(18,6) rounding of each term's
+    // contribution — bounded by (#terms) * 5e-7
+    single.foreach { case (doc, s) =>
+      assert(math.abs(s - joined(doc)) <= terms.size * 5e-7,
+        s"doc $doc: single=$s joined=${joined(doc)}")
+    }
+  }
+
   test("hybridTopKJoinAgainstIndex: per-query re-rank off both layouts; " +
     "batching invariant; vector deletes drop candidates") {
     import spark.implicits._
@@ -796,7 +820,8 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, "server 192.168.1.200 and 10.0.0.1 rebooted"),
       (3L, "ssn 987-65-4321 phone 14155552671 mixed"),
       (4L, "no pii here just words"),
-      (5L, "edge: v4-ish 999.999.999.999 still redacts; short digits 12345 do not")
+      (5L, "edge: v4-ish 999.999.999.999 still redacts; short digits 12345 do not"),
+      (6L, "intl call +14155552671 now")
     ).toDF("doc_id", "text")
     val got = rows.piiRedact("doc_id", "text").collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
@@ -808,6 +833,9 @@ class CorpusOpsSpec extends SparkSpec {
     // the ipv4 pattern is deliberately high-recall (no octet range
     // check — over-redact, never leak); bounded digit runs stay
     assert(got(5L)._1.contains("<IP>") && got(5L)._1.contains("12345"))
+    // the leading '+' is CONSUMED (`\+?\b\d…`; with the boundary first
+    // the '+' survived redaction as '+<PHONE>')
+    assert(got(6L) === (("intl call <PHONE> now", 0L, 0L, 0L, 1L, 1L)))
     // shuffle-free projection: the privacy pass rides the corpus scan
     val plan = rows.piiRedact("doc_id", "text")
       .queryExecution.executedPlan.toString
@@ -837,6 +865,12 @@ class CorpusOpsSpec extends SparkSpec {
       // non-default port and mid-host www stay
       ("https://example.com:8443/a", "https://example.com:8443/a"),
       ("https://api.www-host.com/a", "https://api.www-host.com/a"),
+      // tracking names are anchored to their ?/& separator: params that
+      // merely END in a tracking name, and tracking-lookalikes inside
+      // another param's value, are NOT stripped (unanchored matching
+      // merged distinct URLs into one canonical key)
+      ("https://example.com/a?refbclid=2", "https://example.com/a?refbclid=2"),
+      ("https://example.com/a?xgclid=1&a=2", "https://example.com/a?a=2&xgclid=1"),
       // schemeless strings pass through the host steps untouched
       ("just a string", "just a string"))
     val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }

@@ -310,8 +310,10 @@ class PlanGateSpec extends SparkSpec {
       size(docs.bpeEncode("text", graft.queries.Pipeline.bpeMerges)).as("n")))
     assert(!p.contains("Exchange"), s"bpe encode must not shuffle:\n$p")
     // the per-word lambda evaluates interpreted (ArrayTransform is
-    // CodegenFallback — the documented pivot-HOF trade); the gate pins
-    // the SHAPE: one projection straight over the scan, no join, no agg
+    // CodegenFallback — tolerable here: merges are few and the loop is
+    // word-local, unlike the pivot joins' per-row argmin, which moved
+    // to a compiled kernel for exactly this reason); the gate pins the
+    // SHAPE: one projection straight over the scan, no join, no agg
     assert(!p.contains("Join") && !p.contains("Aggregate"),
       s"bpe encode grew extra operators:\n$p")
   }

@@ -211,19 +211,26 @@ class GeometrySpec extends AnyFunSuite {
 
   test("property: WKT <-> WKB <-> struct round-trip on random shapes") {
     val r = rng
-    def randShape(): Shape = r.nextInt(4) match {
+    def randRing(c: Point, scale: Double): Array[Point] = {
+      val n = 3 + r.nextInt(4)
+      Array.tabulate(n) { i =>
+        val ang = 2 * math.Pi * i / n + r.nextDouble() * 0.3
+        val rad = (r.nextDouble() * 50 + 1.0) * scale
+        Point(c.coord(0) + rad * math.cos(ang), c.coord(1) + rad * math.sin(ang))
+      }
+    }
+    def randShape(): Shape = r.nextInt(5) match {
       case 0 => randPoint(r)
       case 1 => LineSegment(randPoint(r), randPoint(r))
       case 2 => Circle(randPoint(r), r.nextDouble() * 100 + 1e-6)
-      case _ =>
+      case 3 =>
         // random non-degenerate triangle-to-hexagon ring around a center
+        Polygon(randRing(randPoint(r), 1.0))
+      case _ =>
+        // polygon with 1-2 interior rings (codecs carry rings verbatim)
         val c = randPoint(r)
-        val n = 3 + r.nextInt(4)
-        Polygon(Array.tabulate(n) { i =>
-          val ang = 2 * math.Pi * i / n + r.nextDouble() * 0.3
-          val rad = r.nextDouble() * 50 + 1.0
-          Point(c.coord(0) + rad * math.cos(ang), c.coord(1) + rad * math.sin(ang))
-        })
+        Polygon(randRing(c, 1.0),
+          Array.fill(1 + r.nextInt(2))(randRing(c, 0.01)))
     }
     (1 to 2000).foreach { _ =>
       val s = randShape()
@@ -247,6 +254,125 @@ class GeometrySpec extends AnyFunSuite {
         case other => fail(s"box must parse as its ring from both codecs: $other")
       }
     }
+  }
+
+  test("polygon holes: containment is shell-inclusive minus strict hole " +
+    "interiors; hole boundaries belong to the polygon") {
+    // outer (0,0)-(10,10) square, hole (3,3)-(7,7) square — axis-aligned
+    // so the ring algebra has an exact closed form to compare against
+    val holed = Polygon(
+      Array(Point(0.0, 0.0), Point(10.0, 0.0), Point(10.0, 10.0), Point(0.0, 10.0)),
+      Array(Array(Point(3.0, 3.0), Point(7.0, 3.0), Point(7.0, 7.0), Point(3.0, 7.0))))
+    // solid region
+    assert(holed.contains(Point(1.0, 1.0)))
+    assert(holed.contains(Point(8.5, 5.0)))
+    // strictly inside the hole: OUT
+    assert(!holed.contains(Point(5.0, 5.0)))
+    assert(!holed.contains(Point(3.0001, 3.0001)))
+    // ON the hole ring: IN (JTS/OGC — every ring boundary belongs)
+    assert(holed.contains(Point(3.0, 3.0)))
+    assert(holed.contains(Point(7.0, 5.0)))
+    assert(holed.contains(Point(5.0, 3.0)))
+    // ON the shell: IN; outside the shell: OUT
+    assert(holed.contains(Point(0.0, 0.0)) && holed.contains(Point(10.0, 5.0)))
+    assert(!holed.contains(Point(10.5, 5.0)))
+
+    // distances: from the hole interior, the nearest boundary is the
+    // hole RING, not the shell
+    assert(holed.minDist(Point(5.0, 5.0)) === 2.0)
+    assert(holed.minDist(Point(12.0, 5.0)) === 2.0)
+    assert(holed.minDist(Point(4.0, 5.0)) === 1.0)
+    assert(holed.minDist(Point(1.0, 1.0)) === 0.0)
+
+    // shapes fully inside the hole do NOT intersect; minDist reaches
+    // the hole ring
+    assert(!holed.intersects(Circle(Point(5.0, 5.0), 1.0)))
+    assert(holed.minDist(Circle(Point(5.0, 5.0), 1.0)) === 1.0)
+    assert(!holed.intersects(MBR(Point(4.0, 4.0), Point(6.0, 6.0))))
+    assert(holed.minDist(MBR(Point(4.0, 4.0), Point(6.0, 6.0))) === 1.0)
+    assert(!holed.intersects(LineSegment(Point(4.0, 5.0), Point(6.0, 5.0))))
+    assert(!holed.intersects(
+      Polygon((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0))))
+    // straddling the hole ring DOES intersect
+    assert(holed.intersects(MBR(Point(2.0, 4.0), Point(4.0, 6.0))))
+    assert(holed.intersects(LineSegment(Point(5.0, 5.0), Point(9.0, 5.0))))
+    // a polygon COVERING the hole intersects (its corners are solid)
+    assert(holed.intersects(
+      Polygon((2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0))))
+    // a box exactly equal to the hole touches its ring: intersects
+    assert(holed.intersects(MBR(Point(3.0, 3.0), Point(7.0, 7.0))))
+    // circle centered in the hole but reaching past its ring intersects
+    assert(holed.intersects(Circle(Point(5.0, 5.0), 2.5)))
+
+    // hole-aware polygon-polygon symmetry both ways
+    val inner = Polygon((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0))
+    assert(!inner.intersects(holed) && !holed.intersects(inner))
+    assert(inner.minDist(holed) === holed.minDist(inner))
+
+    // equality/hashCode include the rings
+    val sameRings = Polygon(holed.vertices.clone(), holed.holes.map(_.clone()))
+    assert(holed === sameRings && holed.hashCode === sameRings.hashCode)
+    assert(holed !== Polygon(holed.vertices.clone()))
+
+    // property: random points agree with the closed-form ring algebra,
+    // through both the object API and the flat rings kernel
+    val r = rng
+    (1 to 5000).foreach { _ =>
+      val x = r.nextDouble() * 14 - 2
+      val y = r.nextDouble() * 14 - 2
+      val inShell = 0.0 <= x && x <= 10.0 && 0.0 <= y && y <= 10.0
+      val strictlyInHole = 3.0 < x && x < 7.0 && 3.0 < y && y < 7.0
+      val want = inShell && !strictlyInHole
+      assert(holed.contains(Point(x, y)) === want, s"contains($x,$y)")
+      assert(Dist.pointInPolygonRings(x, y, holed.flatRings) === want,
+        s"rings kernel ($x,$y)")
+    }
+  }
+
+  test("polygon holes: WKT and WKB carry interior rings; WKB rejects " +
+    "trailing bytes") {
+    val holed = Polygon(
+      Array(Point(0.0, 0.0), Point(4.0, 0.0), Point(4.0, 4.0), Point(0.0, 4.0)),
+      Array(Array(Point(1.0, 1.0), Point(2.0, 1.0), Point(2.0, 2.0), Point(1.0, 2.0))))
+    // WKT multi-ring text form (OGC: shell first, holes after)
+    val txt = Wkt.format(holed)
+    assert(txt ===
+      "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0), " +
+        "(1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))")
+    assert(Wkt.parse(txt) === holed)
+    // unclosed rings tolerated on input, like the single-ring form
+    assert(Wkt.parse("POLYGON ((0 0, 4 0, 4 4, 0 4), (1 1, 2 1, 2 2, 1 2))")
+      === holed)
+    // degenerate hole still fails loudly
+    intercept[IllegalArgumentException](
+      Wkt.parse("POLYGON ((0 0, 4 0, 4 4), (1 1, 2 1))"))
+
+    def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // golden PostGIS hex: ST_AsBinary('POLYGON((0 0,4 0,4 4,0 4,0 0),
+    // (1 1,2 1,2 2,1 2,1 1))') — IEEE doubles hand-derived
+    val d0 = "0000000000000000"; val d1 = "000000000000f03f"
+    val d2 = "0000000000000040"; val d4 = "0000000000001040"
+    val golden = "010300000002000000" +
+      "05000000" + (d0 + d0) + (d4 + d0) + (d4 + d4) + (d0 + d4) + (d0 + d0) +
+      "05000000" + (d1 + d1) + (d2 + d1) + (d2 + d2) + (d1 + d2) + (d1 + d1)
+    assert(hex(Wkb.format(holed)) === golden)
+    assert(Wkb.parse(unhex(golden)) === holed)
+    // struct codec: hole-free stays tag 3 (at-rest back-compat), holed
+    // is the self-describing tag 5
+    val (tagPlain, _) = ShapeCodec.encode(Polygon(holed.vertices))
+    assert(tagPlain === ShapeCodec.TagPolygon)
+    val (tagHoled, coords) = ShapeCodec.encode(holed)
+    assert(tagHoled === ShapeCodec.TagPolygonHoles)
+    assert(ShapeCodec.decode(tagHoled, coords) === holed)
+    // strict consumption: ANY trailing bytes after a full geometry fail
+    val pt = Wkb.format(Point(1.0, 2.0))
+    intercept[IllegalArgumentException](Wkb.parse(pt :+ 0.toByte))
+    intercept[IllegalArgumentException](Wkb.parse(pt ++ pt))
+    // truncated hole ring fails, never a silent 1-ring parse
+    intercept[IllegalArgumentException](
+      Wkb.parse(unhex(golden.dropRight(16))))
   }
 
   test("property: flat-array kernel agrees with the diamond half-plane form") {

@@ -677,6 +677,47 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamBm25QueryJoin equals the batch query-join bit-for-bit " +
+    "across micro-batches; empty wave answers the contract schema") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    val tmp = System.getProperty("java.io.tmpdir")
+    val idx = new java.io.File(tmp, "graft_stqj_spec_idx").toString
+    val wave = new java.io.File(tmp, "graft_stqj_spec_wave").toString
+    val out = new java.io.File(tmp, "graft_stqj_spec_out").toString
+    graft.operators.DedupOps.deleteDir(spark, wave)
+    graft.operators.DedupOps.deleteDir(spark, out)
+    Tables.documents(spark, sf()).writeBm25Index(idx, "doc_id", "text")
+    val q12 = Seq((1L, "spark"), (1L, "vector"), (2L, "customer"),
+      (2L, "hash"))
+    val q3 = Seq((3L, "merge"), (3L, "zzz_not_a_token"))
+    // two wave files -> two micro-batches (queries atomic per file)
+    q12.toDF("qid", "term").repartition(1)
+      .write.mode("append").parquet(wave)
+    q3.toDF("qid", "term").repartition(1)
+      .write.mode("append").parquet(wave)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val streamed = rows(StreamingOps.streamBm25QueryJoin(spark, wave, idx,
+      "qid", "term", k = 5, out))
+    val batch = rows(CorpusOps.bm25TopKJoinAgainstIndex(spark, idx,
+      (q12 ++ q3).toDF("qid", "term"), "qid", "term", 5))
+    assert(streamed === batch && streamed.nonEmpty,
+      "streamed query-set retrieval != batch query join")
+    // an empty wave yields the contract schema, not a missing-path error
+    val emptyWave = new java.io.File(tmp, "graft_stqj_spec_empty").toString
+    val emptyOut = new java.io.File(tmp, "graft_stqj_spec_eout").toString
+    graft.operators.DedupOps.deleteDir(spark, emptyOut)
+    Seq.empty[(Long, String)].toDF("qid", "term")
+      .write.mode("overwrite").parquet(emptyWave)
+    val empty = StreamingOps.streamBm25QueryJoin(spark, emptyWave, idx,
+      "qid", "term", k = 5, emptyOut)
+    assert(empty.isEmpty && empty.columns.toSeq ===
+      Seq("qid", "doc_id", "dl", "score"))
+  }
+
   test("streamed PCA projection equals the batch projection bit-for-bit") {
     import spark.implicits._
     import graft.operators.VectorOps._
