@@ -33,6 +33,13 @@ object GraftConf {
   // cross-window plan. Default OFF: the exactness contract holds unless
   // the session opts in; the approximate route's recall is governed by
   // nprobe (see VectorOpsSpec's recall gate).
+  // ceiling on the pivot kNN join's size-adaptive pivot budget: the
+  // join scales its Voronoi cell count with ~sqrt(right rows) so that
+  // per-cell candidate volume stops growing quadratically with data
+  // size (a FIXED pivot count measured superlinear — 1.09/decade on the
+  // d=4 10x trend slice); this caps the driver-side maximin selection
+  // and the per-row compiled argmin at a bounded pivot count
+  val KnnMaxPivots       = "spark.graft.knn.maxPivots"
   val KnnVecApprox       = "spark.graft.knn.vec.approx"
   val KnnVecApproxNlist  = "spark.graft.knn.vec.approx.nlist"
   val KnnVecApproxNprobe = "spark.graft.knn.vec.approx.nprobe"
@@ -75,6 +82,7 @@ object GraftConf {
   def knnMaxRefine(s: SparkSession): Int = get(s, KnnMaxRefine, "64").toInt
   def knnRetryThreshold(s: SparkSession): Long = get(s, KnnRetryThreshold, "1024").toLong
   def knnMaterialize(s: SparkSession): Boolean = get(s, KnnMaterialize, "true").toBoolean
+  def knnMaxPivots(s: SparkSession): Int = get(s, KnnMaxPivots, "4096").toInt
   def knnVecApprox(s: SparkSession): Boolean = get(s, KnnVecApprox, "false").toBoolean
   def knnVecApproxNlist(s: SparkSession): Int = get(s, KnnVecApproxNlist, "16").toInt
   def knnVecApproxNprobe(s: SparkSession): Int = get(s, KnnVecApproxNprobe, "4").toInt

@@ -710,7 +710,7 @@ object SpatialOps {
       val l = ds.toDF
       val rt = right.toDF
 
-      val (lPts, radii, theta) =
+      val (lPts, radii, theta, _) =
         SpatialOps.sampleKnnRadii(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
       val gridCell = (p: Array[Double]) => p.toSeq.map(x => math.floor(x / theta).toLong)
       val cellThetas: Map[Seq[Long], Double] =
@@ -764,21 +764,40 @@ object SpatialOps {
       val rt = right.toDF
       require(l.columns.intersect(rt.columns).isEmpty, "need disjoint column names")
 
-      val (lPts, radii, theta) =
+      val (lPts, radii, theta, nRight) =
         SpatialOps.sampleKnnRadii(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
+      // Size-adaptive pivot budget: with a FIXED pivot count the cell
+      // equi-join's candidate volume is Σ|cell_l|·|admitted_r| ~ n²/p,
+      // which is superlinear per decade (measured 1.09/decade on the
+      // d=4 10x trend slice at p=32..64). Growing p with ~sqrt(n_right)
+      // keeps per-cell population ~sqrt(n), so the candidate term grows
+      // one sqrt(n) factor per decade slower while the per-row compiled
+      // argmin stays O(p·d) cheap flops (p is capped by
+      // spark.graft.knn.maxPivots — 4096 default — which also bounds
+      // the driver-side maximin selection at O(pool·p) distance evals).
+      // `numPivots` remains the caller's FLOOR, so explicit small-p
+      // callers keep at least what they asked for. nRight is exact and
+      // free: the radius sampler already paid the sizing count.
+      val pTarget = math.min(
+        graft.GraftConf.knnMaxPivots(ds.sparkSession),
+        math.max(numPivots, math.ceil(math.sqrt(nRight.toDouble)).toInt))
       // pivots: farthest-point selection from a larger sample pool (so
-      // sparse regions get nearby pivots even under heavy density skew),
-      // then cost-aware refinement splits any cell whose estimated pair
-      // count dominates — a dense cluster collects pivots proportional
-      // to its join cost instead of degenerating to one cell's cross
-      // product (no-op on balanced data)
-      val rPool = samplePoints(rt, rKeys, sampleCap).toIndexedSeq
+      // sparse regions get nearby pivots even under heavy density skew
+      // and the pool can actually seed pTarget pivots), then cost-aware
+      // refinement splits any cell whose estimated pair count dominates
+      // — a dense cluster collects pivots proportional to its join cost
+      // instead of degenerating to one cell's cross product (no-op on
+      // balanced data). Refinement headroom stays +numPivots (not
+      // 2·pTarget): each refine iteration scans cells × rPool on the
+      // driver, so the budget must not scale with the data-sized pTarget.
+      val rPool = samplePoints(rt, rKeys,
+        math.max(sampleCap, 2 * pTarget)).toIndexedSeq
       val pivots0 = SpatialOps.farthestPointPivots[Array[Double]](
-        rPool, graft.spatial.Dist.pointToPoint, numPivots)
+        rPool, graft.spatial.Dist.pointToPoint, pTarget)
       require(pivots0.nonEmpty, "pivot kNN join: right side is empty")
       val pivots: Array[Array[Double]] = SpatialOps.refinePivots[Array[Double]](
         lPts.toIndexedSeq, radii, rPool, graft.spatial.Dist.pointToPoint,
-        pivots0, maxPivots = 2 * numPivots, quantile, theta).toArray
+        pivots0, maxPivots = pivots0.length + numPivots, quantile, theta).toArray
 
       // per-pivot-cell theta from the same sample (1-based cell ids,
       // argmin over the pivots) — without it a dense cell filters at the
@@ -826,7 +845,7 @@ object SpatialOps {
           // re-runs its own full-cap sampling). Empty right errors in
           // sampleKnnRadii exactly like the concrete verbs.
           val algo = try {
-            val (lPts, radii, theta) = SpatialOps.sampleKnnRadii(
+            val (lPts, radii, theta, _) = SpatialOps.sampleKnnRadii(
               ds.toDF, right.toDF, lKeys, rKeys, k, cap = 500,
               quantile = graft.GraftConf.knnQuantile(s),
               safety = graft.GraftConf.knnSafety(s))
@@ -1017,7 +1036,7 @@ object SpatialOps {
         new DatasetSpatialOps(starved).knnJoinNaive(r, lKeys, rKeys, k, leftId, tieBreak)
       else {
         val quantile = graft.GraftConf.knnQuantile(spark)
-        val (lPts, radii, theta) = sampleKnnRadii(l, r, lKeys, rKeys, k,
+        val (lPts, radii, theta, _) = sampleKnnRadii(l, r, lKeys, rKeys, k,
           cap = graft.GraftConf.sampleCap(spark), quantile = quantile,
           safety = graft.GraftConf.knnSafety(spark))
         gridRetryThenNaive(starved, r, lKeys, rKeys, k, leftId, tieBreak,
@@ -1051,22 +1070,48 @@ object SpatialOps {
     * 10% sample; the density correction multiplies it back down. The
     * estimates only affect performance — the exact fallback in every
     * kNN join guarantees correctness whatever comes out. Empty left →
-    * (empty, empty, 1e-9). */
+    * (empty, empty, 1e-9, right total). The 4th element is the RIGHT
+    * side's total row count (exact — either the under-cap probe length
+    * or the fraction-sizing count the sampler already pays), so callers
+    * sizing pivot budgets from data size add no job. */
   private[operators] def sampleKnnRadii(
       l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
       k: Int, cap: Int, quantile: Double, safety: Double
-  ): (Array[Array[Double]], Array[Double], Double) = {
+  ): (Array[Array[Double]], Array[Double], Double, Long) = {
     val lPts = samplePoints(l, lKeys, cap)
-    val (rPts, rFrac) = samplePointsWithFraction(r, rKeys, cap)
+    val (rPts, rFrac, rTotal) = samplePointsWithFraction(r, rKeys, cap)
     require(rPts.nonEmpty, "kNN join: right side is empty")
     // empty left: any radius yields the correct empty result downstream
-    if (lPts.isEmpty) return (Array.empty, Array.empty, 1e-9)
+    if (lPts.isEmpty) return (Array.empty, Array.empty, 1e-9, rTotal)
     val densityCorrection = math.pow(rFrac, 1.0 / lKeys.length)
     val radii: Array[Double] = lPts.map { p =>
-      val ds = rPts.map(q => graft.spatial.Dist.pointToPoint(p, q)).sorted
-      math.max(ds(math.min(k, ds.length) - 1) * densityCorrection * safety, 1e-9)
+      val kth = kthSmallestDist(p, rPts, k)
+      math.max(kth * densityCorrection * safety, 1e-9)
     }
-    (lPts, radii, quantileOf(radii.sorted, quantile))
+    (lPts, radii, quantileOf(radii.sorted, quantile), rTotal)
+  }
+
+  /** k-th smallest distance from `p` to `pts` via a bounded insertion
+    * pass — O(n·k) for the joins' single-digit k, replacing the full
+    * O(n log n) sort-then-index that made the radius sampler the
+    * dominant driver-side cost of every kNN join build (measured ~1 s
+    * of a 4.4 s pivot join at the default 2000-point caps). Same value
+    * as `distances.sorted.apply(min(k, n) - 1)` exactly. */
+  private def kthSmallestDist(p: Array[Double],
+                              pts: Array[Array[Double]], k: Int): Double = {
+    val m = math.min(k, pts.length)
+    val best = Array.fill(m)(Double.MaxValue)
+    var i = 0
+    while (i < pts.length) {
+      val x = graft.spatial.Dist.pointToPoint(p, pts(i))
+      if (x < best(m - 1)) {
+        var j = m - 1
+        while (j > 0 && best(j - 1) > x) { best(j) = best(j - 1); j -= 1 }
+        best(j) = x
+      }
+      i += 1
+    }
+    best(m - 1)
   }
 
   private def quantileOf(sorted: Array[Double], quantile: Double): Double =
@@ -1303,7 +1348,7 @@ object SpatialOps {
       l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
       k: Int, cap: Int, quantile: Double, safety: Double
   ): (Double, Map[Seq[Long], Double]) = {
-    val (lPts, radii, theta) = sampleKnnRadii(l, r, lKeys, rKeys, k, cap, quantile, safety)
+    val (lPts, radii, theta, _) = sampleKnnRadii(l, r, lKeys, rKeys, k, cap, quantile, safety)
     if (lPts.isEmpty) return (theta, Map.empty)
     val gridCell = (p: Array[Double]) => p.toSeq.map(x => math.floor(x / theta).toLong)
     (theta, perCellQuantile(lPts.map(gridCell), radii, quantile, theta))
@@ -1591,6 +1636,13 @@ object SpatialOps {
       outCols: Seq[Column], fallback: DataFrame => DataFrame,
       cellThetas: Map[Int, Double] = Map.empty,
       retryThreshold: Long = 1024L): DataFrame = {
+    // measurement aid, off by default: stage-volume stats to stderr
+    // (each stat is an extra count job — never enable in production)
+    val debug = l.sparkSession.conf
+      .getOption("spark.graft.debugStats").exists(_.toBoolean)
+    def dbg(msg: => String): Unit = if (debug) System.err.println(s"[graft-knn] $msg")
+    dbg(s"pivotCellKnn: numPivots=$numPivots dim=$dim theta=$theta " +
+      s"cellThetas=${cellThetas.size}")
     def thetaOf(cell1Based: Int): Double = cellThetas.getOrElse(cell1Based, theta)
     val thetaArr = lit((1 to numPivots).map(thetaOf).toArray)
     // null-keyed lefts get a null cell: dropped from the candidate pass
@@ -1625,6 +1677,10 @@ object SpatialOps {
     val cand = lAug.join(admitted, col("__graft_cell") === col("__graft_rcell"))
       .withColumn("__graft_d", exactDist)
       .filter(col("__graft_d") <= col("__graft_ctheta"))
+    dbg {
+      val repl = admitted.count(); val pairs = cand.count()
+      s"right replication=$repl candidate pairs (post theta filter)=$pairs"
+    }
     // satisfied/starved split on the top-k window's own shuffle — see
     // topKWithCount (the old agg+semi chain re-executed per branch)
     // keepDist: outCols may reference __graft_d (the vector join's `l2`)
@@ -1638,7 +1694,10 @@ object SpatialOps {
     // a pass); a LARGE one (adversarial estimate failure) takes the
     // bounded doubled-theta retry below first
     val starved = l.join(keptIds, Seq(lId), "left_anti").localCheckpoint()
-    if (starved.count() <= retryThreshold)
+    val nStarved = starved.count()
+    dbg(s"starved=$nStarved (retryThreshold=$retryThreshold -> " +
+      s"${if (nStarved <= retryThreshold) "direct fallback" else "doubled-theta retry"})")
+    if (nStarved <= retryThreshold)
       return satisfied.unionByName(fallback(starved))
 
     // Bounded retry before the cross-window fallback (VERDICT r6 #4):
@@ -1672,6 +1731,7 @@ object SpatialOps {
       topKWithCount(cand2, lId, k, tieBreak, distCol = "__graft_d", keepDist = true)
     val satisfied2 = kept2.select(outCols: _*)
     val still = starved.join(kept2Ids, Seq(lId), "left_anti")
+    dbg(s"post-retry still-starved=${if (debug) still.count() else -1}")
 
     satisfied.unionByName(satisfied2).unionByName(fallback(still))
   }
@@ -1762,30 +1822,47 @@ object SpatialOps {
     * side whose sampling doesn't bias the density estimate). One
     * `limit(cap+1)` probe takes small tables whole; larger tables get a
     * seeded sample capped at `cap`. */
+  /** Bounded driver sample of coordinate columns. Small tables (one
+    * limit-probe) are taken whole; larger ones take a UNIFORM random
+    * cap via orderBy(rand).limit — TakeOrdered per partition, one
+    * scan, no shuffle (the [[sampleShapesWithFraction]] discipline).
+    * Uniformity is load-bearing for the PIVOT join above all: a
+    * `sample(0.1).limit(cap)` reads the FIRST partitions only, so on
+    * partition-clustered data (any ingest-ordered table) every maximin
+    * pivot lands inside the first cluster, the rest of the space
+    * drains into ONE Voronoi cell, and the cell equi-join degenerates
+    * to that cell's near-cross-product (measured on the 10x x-shifted
+    * trend: one cell held 72% of the lefts and admitted every right —
+    * 16.1e9 of 17.1e9 enumerated pairs, exponent 1.09/decade). */
   private[graft] def samplePoints(df: DataFrame, keys: Seq[String], cap: Int): Array[Array[Double]] = {
     val projected = df.select(keys.map(c => col(c).cast("double")): _*).na.drop("any")
     val head = projected.limit(cap + 1).collect()
     if (head.length <= cap) toPts(head, keys.length)
-    else {
-      val sampled = projected.sample(withReplacement = false, 0.1, 42).limit(cap).collect()
-      toPts(if (sampled.nonEmpty) sampled else head.take(cap), keys.length)
-    }
+    else toPts(projected.orderBy(rand(42)).limit(cap).collect(), keys.length)
   }
 
   /** Deterministic bounded sample plus the fraction of the table it
-    * represents. Tables at or under the cap are taken whole — detected
-    * with a single `limit(cap+1)` probe, no count job — giving exact
-    * local densities (fraction 1); only genuinely larger tables pay one
-    * count() to size the sampling fraction. */
+    * represents and the table's total row count. Tables at or under the
+    * cap are taken whole — detected with a single `limit(cap+1)` probe,
+    * no count job — giving exact local densities (fraction 1) and an
+    * exact total for free; only genuinely larger tables pay one count()
+    * to size the sampling fraction (and that same count IS the total,
+    * so callers sizing pivot budgets from it add no job). */
   private def samplePointsWithFraction(df: DataFrame, keys: Seq[String],
-                                       cap: Int): (Array[Array[Double]], Double) = {
+                                       cap: Int): (Array[Array[Double]], Double, Long) = {
     val projected = df.select(keys.map(c => col(c).cast("double")): _*).na.drop("any")
     val head = projected.limit(cap + 1).collect()
-    if (head.length <= cap) return (toPts(head, keys.length), 1.0)
+    if (head.length <= cap) return (toPts(head, keys.length), 1.0, head.length.toLong)
     val total = projected.count()
     val frac = math.min(1.0, cap.toDouble * 1.2 / total)
-    val sampled = projected.sample(withReplacement = false, frac, 42).limit(cap).collect()
+    // Bernoulli thin FIRST (so the TakeOrdered merge sees ~1.2*cap rows
+    // however many partitions the table has), then a uniform random cap
+    // of the thinned stream — `sample(frac).limit(cap)` alone would
+    // read the FIRST partitions only (see samplePoints: that bias
+    // detonates the pivot join on partition-clustered data)
+    val sampled = projected.sample(withReplacement = false, frac, 42)
+      .orderBy(rand(42)).limit(cap).collect()
     val rows = if (sampled.nonEmpty) sampled else head.take(cap)
-    (toPts(rows, keys.length), rows.length.toDouble / total)
+    (toPts(rows, keys.length), rows.length.toDouble / total, total)
   }
 }

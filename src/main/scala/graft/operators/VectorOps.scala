@@ -1457,11 +1457,12 @@ object VectorOps {
         val head = df.select(col(c)).limit(cap + 1).collect()
         val rows =
           if (head.length <= cap) head
-          else {
-            val sampled = df.select(col(c))
-              .sample(withReplacement = false, 0.1, 42).limit(cap).collect()
-            if (sampled.nonEmpty) sampled else head.take(cap)
-          }
+          // uniform random cap (TakeOrdered per partition, one scan) —
+          // `sample(0.1).limit(cap)` reads the FIRST partitions only,
+          // and a partition-clustered corpus (written by topic/time)
+          // would hand theta, the admit gate, AND the pivot set to one
+          // cluster (the SpatialOps.samplePoints bias, same fix)
+          else df.select(col(c)).orderBy(rand(42)).limit(cap).collect()
         rows.map(_.getSeq[Float](0).toArray)
       }
 

@@ -414,7 +414,7 @@ class SpatialOpsSpec extends SparkSpec {
     // the implementation's own theta estimate confirms the shape: the
     // phase-1 radius misses every kth neighbor, the doubled one covers
     // all of them — so the retry provably empties the cross plan's left
-    val (_, _, theta) = SpatialOps.sampleKnnRadii(l, r, Seq("lx", "ly"), Seq("rx", "ry"),
+    val (_, _, theta, _) = SpatialOps.sampleKnnRadii(l, r, Seq("lx", "ly"), Seq("rx", "ry"),
       k = 1, cap = 1000, quantile = 0.95, safety = 0.7)
     assert(theta < 3.0, s"phase-1 theta must starve every left, got $theta")
     assert(2 * theta >= 3.0, s"retry theta must cover every kth neighbor, got ${2 * theta}")
