@@ -795,7 +795,7 @@ object Bench {
     "b5_knn_join_zorder" -> 2.4,      // 1.50-2.38
     "b5_knn_join_pivot" -> 3.5,       // 2.33-3.48
     "b5s_knn_join_skew_grid" -> 4.2,  // 2.97-4.20 (judge r12)
-    "b5s_knn_join_skew_pivot" -> 6.5, // re-banded r13 addendum 10 (isolated 5.69-6.47, judge r12 6.10)
+    "b5s_knn_join_skew_pivot" -> 5.0, // re-banded r15 addendum 2 (post pivot-budget/sampler fixes: 2.56-2.98)
     "b6v_knn_join_vec_pivot" -> 4.4)  // 3.23-4.34
   private[graft] val steadyBandCap = 2.5
 
@@ -810,7 +810,7 @@ object Bench {
   private[graft] val coldBandsSf01: Map[String, Double] = Map(
     "b4sh_shape_distance_join" -> 2.5, // r14 addendum 3: 1.0-2.5
     "b5sh_shape_knn_join" -> 4.5,      // r14 addendum 3: 2.2-4.5
-    "b5hd_knn_join_4d_auto" -> 8.5)    // r14 addendum 4: 5.5-8.5
+    "b5hd_knn_join_4d_auto" -> 5.5)    // re-banded r15 addendum 2 (post fixes: 3.67-4.79; was 5.5-8.5)
   // the recorded cold bands are already range UPPER edges (startup cost
   // included), so the noise allowance is tighter than the steady cap:
   // 1.5x catches the 2x-regression class the r14 verdict named while

@@ -106,7 +106,12 @@ object KdTreePartitioner {
 
   /** Bounded deterministic sample of the key columns (small tables are
     * taken whole; larger ones sampled at a seeded fraction — the same
-    * sketch discipline as the kNN-join radius estimation). */
+    * sketch discipline as the kNN-join radius estimation). The trim to
+    * `cap` rides a random order, not the stream head: a bare
+    * `.limit(cap)` after `sample` drops rows from the LAST partitions
+    * only, and KD cuts from a head-biased sample skew every partition
+    * boundary on ingest-ordered tables (the SpatialOps.samplePoints
+    * bias, same fix). */
   private def samplePts(df: DataFrame, keyCols: Seq[String], cap: Int): Array[Array[Double]] = {
     val keyed = df.select(keyCols.map(c => col(c).cast("double")): _*).na.drop()
     val probe = keyed.limit(cap + 1).collect()
@@ -115,7 +120,7 @@ object KdTreePartitioner {
       else {
         val n = keyed.count()
         keyed.sample(withReplacement = false, math.min(1.0, cap.toDouble / n), seed = 42L)
-          .limit(cap).collect()
+          .orderBy(rand(42)).limit(cap).collect()
       }
     rows.map(r => Array.tabulate(keyCols.length)(r.getDouble))
   }

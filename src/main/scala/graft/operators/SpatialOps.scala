@@ -719,6 +719,10 @@ object SpatialOps {
 
       val cand = gridCandidates(l, rt, lKeys, rKeys, theta, cellThetas, maxRefine)
         .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
+      if (ds.sparkSession.conf.getOption("spark.graft.debugStats").exists(_.toBoolean))
+        System.err.println(s"[graft-knn] gridKnn: theta=$theta cells=" +
+          s"${lPts.map(gridCell).distinct.length} cellThetas=${cellThetas.size} " +
+          s"candidates=${cand.count()}")
 
       // Starved lefts (< k candidates within theta) take the exact
       // fallback for ALL of their k rows, so their partial candidates
@@ -804,8 +808,9 @@ object SpatialOps {
       // sparse-region-sized global quantile and admits almost everything
       val nearestPivot = (p: Array[Double]) =>
         pivots.indices.minBy(i => graft.spatial.Dist.pointToPoint(p, pivots(i))) + 1
-      val cellThetas =
-        SpatialOps.perCellQuantile(lPts.map(nearestPivot), radii, quantile, theta)
+      // minSamples = 8: pivot cells are extent-sized — see perCellQuantile
+      val cellThetas = SpatialOps.perCellQuantile(
+        lPts.map(nearestPivot), radii, quantile, theta, minSamples = 8)
 
       // key columns packed as ONE array vector for the compiled argmin
       // kernel (same Euclidean metric as pointDistance/exactDist — the
@@ -1083,12 +1088,88 @@ object SpatialOps {
     require(rPts.nonEmpty, "kNN join: right side is empty")
     // empty left: any radius yields the correct empty result downstream
     if (lPts.isEmpty) return (Array.empty, Array.empty, 1e-9, rTotal)
-    val densityCorrection = math.pow(rFrac, 1.0 / lKeys.length)
-    val radii: Array[Double] = lPts.map { p =>
-      val kth = kthSmallestDist(p, rPts, k)
-      math.max(kth * densityCorrection * safety, 1e-9)
-    }
+    // Radii are EXACT when the probe saw the whole right side
+    // (rFrac = 1, the common small-table case — zero extra jobs).
+    // Otherwise one bounded distributed pass computes the sampled
+    // lefts' kth-NN distances against the FULL right side (broadcast
+    // <= cap lefts, per-partition k-smallest, treeReduce): one right
+    // scan at O(cap · dims) flops per row. The former density
+    // correction (kth_sampled * rFrac^(1/dims)) is gone because no
+    // constant-exponent correction is right: the scaling exponent is
+    // the data's EFFECTIVE dimension at the sampled density, which
+    // shifts across the extrapolated range whenever some axes are
+    // narrower than the point spacing. Measured on the 100x d=4 slice
+    // (rFrac = 0.0013, three axes narrower than theta): the
+    // column-count exponent inflated theta 627 vs true ~280 (26x the
+    // candidate ball volume, a 1.3e9-pair candidate set, >200 GB of
+    // checkpoint spill); a sample-measured exponent collapsed it to
+    // 4.5 (every left starved into the cross fallback). Exact radii
+    // cost one scan and remove the whole estimator-risk class; every
+    // downstream estimate (theta, per-cell thetas, admission bands)
+    // inherits the accuracy.
+    val radii: Array[Double] =
+      if (rFrac >= 1.0)
+        lPts.map(p => math.max(kthSmallestDist(p, rPts, k) * safety, 1e-9))
+      else
+        exactKthRadii(r, rKeys, lPts, k).map(d => math.max(d * safety, 1e-9))
     (lPts, radii, quantileOf(radii.sorted, quantile), rTotal)
+  }
+
+  /** Exact kth-NN distance of each probe point against the FULL `r`
+    * table: broadcast the (driver-capped) probes, fold each partition
+    * of `r` into a per-probe k-smallest array, treeReduce the merge.
+    * One scan of `r`; accumulator memory is |probes| × k doubles
+    * (bounded by the sample cap); per-row work O(|probes| · dims) in a
+    * tight primitive loop. The RDD fold is deliberate: per-partition
+    * bounded-state aggregation with a custom merge has no efficient
+    * DataFrame form (an explode-to-pairs plan would materialize
+    * |probes| × |r| rows to aggregate them straight back down). */
+  private[operators] def exactKthRadii(r: DataFrame, rKeys: Seq[String],
+                                       probes: Array[Array[Double]],
+                                       k: Int): Array[Double] = {
+    val projected = r.select(rKeys.map(c => col(c).cast("double")): _*).na.drop("any")
+    val dims = rKeys.length
+    val spark = r.sparkSession
+    val bc = spark.sparkContext.broadcast(probes)
+    def mergeInto(best: Array[Double], x: Double): Unit = {
+      val m = best.length
+      if (x < best(m - 1)) {
+        var j = m - 1
+        while (j > 0 && best(j - 1) > x) { best(j) = best(j - 1); j -= 1 }
+        best(j) = x
+      }
+    }
+    val zero = Array.fill(probes.length)(Array.fill(k)(Double.MaxValue))
+    val folded = projected.rdd.treeAggregate(zero)(
+      seqOp = (best, row) => {
+        val ps = bc.value
+        var pi = 0
+        while (pi < ps.length) {
+          val p = ps(pi)
+          var acc = 0.0
+          var d0 = 0
+          while (d0 < dims) {
+            val diff = row.getDouble(d0) - p(d0); acc += diff * diff; d0 += 1
+          }
+          mergeInto(best(pi), math.sqrt(acc))
+          pi += 1
+        }
+        best
+      },
+      combOp = (a, b) => {
+        var pi = 0
+        while (pi < a.length) {
+          val bb = b(pi)
+          var j = 0
+          while (j < bb.length && bb(j) < Double.MaxValue) {
+            mergeInto(a(pi), bb(j)); j += 1
+          }
+          pi += 1
+        }
+        a
+      })
+    bc.destroy()
+    folded.map(best => best(math.min(k, best.length) - 1))
   }
 
   /** k-th smallest distance from `p` to `pts` via a bounded insertion
@@ -1337,12 +1418,33 @@ object SpatialOps {
   /** Group per-point radii by an arbitrary cell assignment and take the
     * cell-local quantile, capped at `cap` (the global theta) so grid
     * coverage / triangle-inequality admission stays valid. */
+  /** Per-cell radius quantiles, capped at the global value. `minSamples`
+    * gates how many sampled radii a cell needs before its own theta is
+    * trusted over the global one, and the RIGHT value depends on the
+    * cell geometry — both directions are measured:
+    *
+    *  - GRID cells (theta-sized) pass 1: samples are uniform over the
+    *    lefts, so a cell's sample count is proportional to its left
+    *    count — a sparse-sampled cell has few lefts and its
+    *    underestimated theta can only starve those few into the exact
+    *    fallback, while the dense cluster's cells (many samples, tight
+    *    thetas) are exactly the skew discipline. A floor of 8 here
+    *    DOUBLED the skew-grid bench (330 cells / 2000 samples left 328
+    *    cells on the sparse-sized global theta).
+    *  - PIVOT cells (extent-sized, count scaling with ~sqrt(n)) pass 8:
+    *    a 1-2-sample cell can hold THOUSANDS of lefts (cells ~ sample
+    *    size at scale), so one low sampled radius mass-starves the
+    *    whole cell into the retry + fallback passes — the 100x d=4
+    *    slice read 402 s / exponent 1.03 without the floor vs 287 s /
+    *    0.88 with it. Sparse-sampled pivot cells fall back to the
+    *    global theta: wider bands, zero estimation-noise starvation. */
   private[graft] def perCellQuantile[C](
       cells: Array[C], radii: Array[Double], quantile: Double,
-      cap: Double): Map[C, Double] =
-    cells.zip(radii).groupBy(_._1).map { case (c, rs) =>
-      c -> math.min(quantileOf(rs.map(_._2).sorted, quantile), cap)
-    }
+      cap: Double, minSamples: Int = 1): Map[C, Double] =
+    cells.zip(radii).groupBy(_._1).collect {
+      case (c, rs) if rs.length >= minSamples =>
+        c -> math.min(quantileOf(rs.map(_._2).sorted, quantile), cap)
+    }.toMap
 
   private[operators] def estimateKnnRadii(
       l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
@@ -1790,12 +1892,14 @@ object SpatialOps {
   }
 
   /** Median of a bounded sample of one double-valued expression — the
-    * [[samplePoints]] limit-probe/seeded-sample discipline applied to
+    * [[samplePoints]] limit-probe/uniform-cap discipline applied to
     * the shape-join grid sizers. A bare `limit(cap)` takes the FIRST
     * rows, and shape tables are routinely size-sorted on disk (tiles
     * written in zoom order), so a first-rows median misestimates the
-    * span and the per-row cell fan-out silently blows up at scale; the
-    * seeded `sample()` reads rows from every partition instead. Small
+    * span and the per-row cell fan-out silently blows up at scale —
+    * and a `sample(0.1).limit(cap)` is no better (the limit still
+    * takes the sampled stream's HEAD, i.e. the first partitions), so
+    * this takes the uniform random cap via orderBy(rand).limit. Small
     * tables (<= cap, detected by one limit(cap+1) probe) are taken
     * whole — exact median, no extra job. Null spans drop out the same
     * way null shapes drop out of the joins. */
@@ -1806,11 +1910,7 @@ object SpatialOps {
     val head = projected.limit(cap + 1).collect()
     val rows =
       if (head.length <= cap) head
-      else {
-        val sampled = projected.sample(withReplacement = false, 0.1, 42)
-          .limit(cap).collect()
-        if (sampled.nonEmpty) sampled else head.take(cap)
-      }
+      else projected.orderBy(rand(42)).limit(cap).collect()
     if (rows.isEmpty) 0.0
     else {
       val spans = rows.map(_.getDouble(0)).sorted
@@ -1818,10 +1918,6 @@ object SpatialOps {
     }
   }
 
-  /** Deterministic bounded sample (no fraction bookkeeping — used for the
-    * side whose sampling doesn't bias the density estimate). One
-    * `limit(cap+1)` probe takes small tables whole; larger tables get a
-    * seeded sample capped at `cap`. */
   /** Bounded driver sample of coordinate columns. Small tables (one
     * limit-probe) are taken whole; larger ones take a UNIFORM random
     * cap via orderBy(rand).limit — TakeOrdered per partition, one

@@ -1738,8 +1738,9 @@ object VectorOps {
       // corpus) must filter at its own radius, not the global quantile's
       val nearestPivot = (v: Array[Float]) =>
         pivots.indices.minBy(i => l2(v, pivots(i))) + 1
-      val cellThetas =
-        SpatialOps.perCellQuantile(gateL.map(nearestPivot), radii, quantile, theta)
+      // minSamples = 8: pivot cells are extent-sized — see perCellQuantile
+      val cellThetas = SpatialOps.perCellQuantile(
+        gateL.map(nearestPivot), radii, quantile, theta, minSamples = 8)
       // same machinery as the spatial Voronoi join — only the vector
       // columns differ (keeps the two variants in lockstep); pivots ride
       // in flattened as one reference object inside the compiled argmin/
