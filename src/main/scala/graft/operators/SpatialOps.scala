@@ -465,15 +465,26 @@ object SpatialOps {
       val theta: Double =
         if (lShapes.isEmpty || rShapes.length < k) 0.0
         else {
-          // the sampleKnnRadii subset correction: the k-th distance
-          // against a 1/f sample over-reads the true k-th by ~f^(1/d)
-          // in d dimensions (2-D shapes here)
-          val densityCorrection = math.sqrt(rFrac)
-          val radii = lShapes.map { ls =>
-            val dists = rShapes.map(rs => ls.minDist(rs))
-            java.util.Arrays.sort(dists)
-            dists(k - 1) * densityCorrection
-          }
+          // Exact radii, the point joins' discipline (round-15
+          // addendum 1): when the probe saw the whole right side the
+          // driver loop IS exact; otherwise one bounded distributed
+          // pass computes each sampled left's true k-th shape distance
+          // against the FULL right column. The former sqrt(rFrac)
+          // subset correction extrapolated with a fixed 2-D exponent,
+          // and on effectively-lower-dimensional shape data (roads,
+          // coastlines — anything whose extent is dominated by one
+          // axis) a fixed exponent misestimates theta exactly the way
+          // the d=4 point slice measured (627 vs ~280 — a 1.3e9-pair
+          // candidate set); exact radii remove the estimator-risk
+          // class instead of re-tuning it.
+          val radii: Array[Double] =
+            if (rFrac >= 1.0)
+              lShapes.map { ls =>
+                val dists = rShapes.map(rs => ls.minDist(rs))
+                java.util.Arrays.sort(dists)
+                dists(k - 1)
+              }
+            else SpatialOps.exactKthShapeRadii(rt, rShapeCol, lShapes, k)
           def quant(xs: Array[Double]): Double =
             if (xs.isEmpty) 0.0
             else {
@@ -1152,6 +1163,59 @@ object SpatialOps {
             val diff = row.getDouble(d0) - p(d0); acc += diff * diff; d0 += 1
           }
           mergeInto(best(pi), math.sqrt(acc))
+          pi += 1
+        }
+        best
+      },
+      combOp = (a, b) => {
+        var pi = 0
+        while (pi < a.length) {
+          val bb = b(pi)
+          var j = 0
+          while (j < bb.length && bb(j) < Double.MaxValue) {
+            mergeInto(a(pi), bb(j)); j += 1
+          }
+          pi += 1
+        }
+        a
+      })
+    bc.destroy()
+    folded.map(best => best(math.min(k, best.length) - 1))
+  }
+
+  /** [[exactKthRadii]] for ShapeCodec struct columns: exact kth-NN
+    * SHAPE distance of each probe shape against the full `r` table —
+    * broadcast the decoded probes, fold each partition into per-probe
+    * k-smallest arrays (each right row decodes once, then one
+    * `minDist` per probe), treeReduce the merge. Same bounds: one scan
+    * of `r`, |probes| × k accumulator doubles, O(|probes|) shape
+    * kernels per row. */
+  private[operators] def exactKthShapeRadii(r: DataFrame, shapeCol: String,
+                                            probes: Array[graft.spatial.Shape],
+                                            k: Int): Array[Double] = {
+    val projected = r
+      .select(col(s"$shapeCol.tag").as("__graft_tag"),
+        col(s"$shapeCol.coords").as("__graft_coords"))
+      .na.drop("any")
+    val spark = r.sparkSession
+    val bc = spark.sparkContext.broadcast(probes)
+    def mergeInto(best: Array[Double], x: Double): Unit = {
+      val m = best.length
+      if (x < best(m - 1)) {
+        var j = m - 1
+        while (j > 0 && best(j - 1) > x) { best(j) = best(j - 1); j -= 1 }
+        best(j) = x
+      }
+    }
+    val zero = Array.fill(probes.length)(Array.fill(k)(Double.MaxValue))
+    val folded = projected.rdd.treeAggregate(zero)(
+      seqOp = (best, row) => {
+        val ps = bc.value
+        val rs = graft.spatial.ShapeCodec.decode(row.getInt(0),
+          row.getSeq[Double](1).toArray)
+        var pi = 0
+        while (pi < ps.length) {
+          mergeInto(best(pi), ps(pi).minDist(rs))
           pi += 1
         }
         best

@@ -972,6 +972,7 @@ object ScaleTrend {
             "b4st_spatiotemporal_join" -> (b4st _),
             "b4x_intersects_join" -> (b4x _),
             "b5_knn_join_grid" -> (b5 _),
+            "b5_knn_join_pivot" -> (b5p _),
             "b7_minhash_dedup" -> (b7 _),
             "b8d_contamination" -> (b8d _),
             "b8i_importance" -> (b8i _),

@@ -73,6 +73,29 @@ class SamplerSpec extends SparkSpec {
       s"8x denser right side must shrink theta: sparse $thetaSparse dense $thetaDense")
   }
 
+  test("exactKthShapeRadii equals the brute-force kth shape distance") {
+    import graft.spatial.{Shape, Point, MBR, ShapeCodec}
+    val rng = new scala.util.Random(11)
+    def pt() = Point(Array(rng.nextDouble() * 100, rng.nextDouble() * 100))
+    def box() = {
+      val x = rng.nextDouble() * 100; val y = rng.nextDouble() * 100
+      MBR(Point(Array(x, y)),
+        Point(Array(x + rng.nextDouble() * 5, y + rng.nextDouble() * 5)))
+    }
+    val rights: Array[Shape] = Array.fill(300)(if (rng.nextBoolean()) pt() else box())
+    val probes: Array[Shape] = Array.fill(25)(if (rng.nextBoolean()) pt() else box())
+    val rDf = rights.toSeq.map { s =>
+      val (tag, coords) = ShapeCodec.encode(s); (tag, coords.toSeq)
+    }.toDF("tag", "coords")
+      .select(struct(col("tag"), col("coords")).as("shp"))
+      .repartition(5)
+    val got = SpatialOps.exactKthShapeRadii(rDf, "shp", probes, k = 3)
+    val want = probes.map(p => rights.map(p.minDist).sorted.apply(2))
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) < 1e-9, s"probe $i: $g vs $w")
+    }
+  }
+
   test("perCellQuantile: minSamples gates sparse-sampled cells, default keeps all") {
     val cells = Array.fill(10)("dense") ++ Array("sparse", "sparse")
     val radii = Array.tabulate(10)(i => 1.0 + i * 0.1) ++ Array(0.2, 0.3)
