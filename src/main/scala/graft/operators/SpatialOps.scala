@@ -450,9 +450,10 @@ object SpatialOps {
         sampleCap, seed = 7)
       val (rShapes, rFrac) = SpatialOps.sampleShapesWithFraction(rt,
         rShapeCol, math.max(sampleCap, 4 * k), seed = 42)
-      // per-sampled-left k-th exact shape distance against the right
-      // sample; a SUBSET right sample only inflates the k-th distance,
-      // so theta errs wide (more candidates, never fewer). EXTENSIVE
+      // Radii are exact in both branches: a right sample at or under
+      // the cap IS the whole right side (the rFrac >= 1 driver loop),
+      // and sub-cap samples take the exact distributed k-th-distance
+      // pass against the FULL right column instead. EXTENSIVE
       // shapes make the plain quantile degenerate: a box CONTAINING k
       // points has k-th distance exactly 0, so when most sampled boxes
       // are point-saturated the 0.95-quantile collapses to ~0, the grid
@@ -856,18 +857,17 @@ object SpatialOps {
       val s = ds.sparkSession
       graft.GraftConf.knnJoinAlgo(s) match {
         case "auto" =>
-          // bounded pre-sample for the choice only (cap 500: the gate
-          // needs density structure, not precise radii; the chosen verb
-          // re-runs its own full-cap sampling). Empty right errors in
-          // sampleKnnRadii exactly like the concrete verbs.
-          val algo = try {
-            val (lPts, radii, theta, _) = SpatialOps.sampleKnnRadii(
-              ds.toDF, right.toDF, lKeys, rKeys, k, cap = 500,
-              quantile = graft.GraftConf.knnQuantile(s),
-              safety = graft.GraftConf.knnSafety(s))
-            val rPts = SpatialOps.samplePoints(right.toDF, rKeys, 500)
-            SpatialOps.chooseKnnAlgo(lPts, rPts, theta, lKeys.length)
-          } catch { case _: IllegalArgumentException => "grid" }
+          // Routing-only estimate, deliberately CHEAP: sample-vs-sample
+          // k-th distances at cap 500 — the gate needs density
+          // STRUCTURE, not precise radii, so it must not pay the exact
+          // path's full right-table scan (the chosen verb re-runs its
+          // own full-cap exact sampling anyway — ADVICE r15). An empty
+          // right routes to grid, whose own sampling then raises the
+          // same error as every concrete verb.
+          val algo = SpatialOps.chooseKnnAlgoSampled(
+            ds.toDF, right.toDF, lKeys, rKeys, k,
+            quantile = graft.GraftConf.knnQuantile(s),
+            safety = graft.GraftConf.knnSafety(s))
           if (algo == "pivot")
             knnJoinPivot(right, lKeys, rKeys, k, leftId, tieBreak,
               sampleCap = graft.GraftConf.sampleCap(s),
@@ -1286,6 +1286,26 @@ object SpatialOps {
     * computing admission stats would only confirm it. NEVER picks
     * zorder: it is approximate in recall, and a cost gate must choose
     * among plans with identical result semantics. */
+  /** [[chooseKnnAlgo]] fed from bounded driver samples of both sides —
+    * the `auto` route's probe. Radii here are sample-vs-sample k-th
+    * distances with NO subset correction: a sub-cap right sample only
+    * inflates them (errs wide), which for routing biases toward the
+    * plan that tolerates a larger theta — acceptable for a choice the
+    * chosen verb's own exact sampling then supersedes. Empty sides
+    * route to grid (d <= 3) whose own sampling raises the contract
+    * errors. */
+  private[operators] def chooseKnnAlgoSampled(
+      l: DataFrame, r: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
+      k: Int, quantile: Double, safety: Double): String = {
+    if (lKeys.length > 3) return "pivot"
+    val lPts = samplePoints(l, lKeys, 500)
+    val rPts = samplePoints(r, rKeys, 500)
+    if (lPts.isEmpty || rPts.isEmpty) return "grid"
+    val radii = lPts.map(p => math.max(kthSmallestDist(p, rPts, k) * safety, 1e-9))
+    val theta = quantileOf(radii.sorted, quantile)
+    chooseKnnAlgo(lPts, rPts, theta, lKeys.length)
+  }
+
   private[operators] def chooseKnnAlgo(
       lPts: Array[Array[Double]], rPts: Array[Array[Double]],
       theta: Double, dims: Int, numPivots: Int = 32): String = {
@@ -1479,9 +1499,6 @@ object SpatialOps {
     pivots.toIndexedSeq
   }
 
-  /** Group per-point radii by an arbitrary cell assignment and take the
-    * cell-local quantile, capped at `cap` (the global theta) so grid
-    * coverage / triangle-inequality admission stays valid. */
   /** Per-cell radius quantiles, capped at the global value. `minSamples`
     * gates how many sampled radii a cell needs before its own theta is
     * trusted over the global one, and the RIGHT value depends on the
@@ -1951,7 +1968,15 @@ object SpatialOps {
     val head = projected.limit(cap + 1).collect()
     if (head.length <= cap) return (decode(head), 1.0)
     val total = projected.count()
-    val rows = projected.orderBy(rand(seed)).limit(cap).collect()
+    // Bernoulli-thin before the uniform cap (see uniformCap): bounds
+    // the TakeOrdered driver merge at ~1.2*cap rows at any partition
+    // count; the count is already paid here for the fraction.
+    val frac = math.min(1.0, cap.toDouble * 1.2 / total)
+    val thinned = projected.sample(withReplacement = false, frac, seed)
+      .orderBy(rand(seed)).limit(cap).collect()
+    val rows =
+      if (thinned.length >= math.min(cap.toLong, total)) thinned
+      else projected.orderBy(rand(seed)).limit(cap).collect()
     (decode(rows), rows.length.toDouble / total)
   }
 
@@ -1974,7 +1999,7 @@ object SpatialOps {
     val head = projected.limit(cap + 1).collect()
     val rows =
       if (head.length <= cap) head
-      else projected.orderBy(rand(42)).limit(cap).collect()
+      else uniformCap(projected, cap)
     if (rows.isEmpty) 0.0
     else {
       val spans = rows.map(_.getDouble(0)).sorted
@@ -1998,7 +2023,27 @@ object SpatialOps {
     val projected = df.select(keys.map(c => col(c).cast("double")): _*).na.drop("any")
     val head = projected.limit(cap + 1).collect()
     if (head.length <= cap) toPts(head, keys.length)
-    else toPts(projected.orderBy(rand(42)).limit(cap).collect(), keys.length)
+    else toPts(uniformCap(projected, cap), keys.length)
+  }
+
+  /** Uniform random cap of an over-cap projection: Bernoulli-thin
+    * FIRST, then orderBy(rand).limit. The bare `orderBy(rand).limit`
+    * executes as per-partition TakeOrdered with a DRIVER merge of up
+    * to numPartitions*cap rows — linear in partition count at the
+    * 100-TB target — so one count() sizes a thinning fraction that
+    * bounds the merge at ~1.2*cap rows however many partitions the
+    * table has (the samplePointsWithFraction discipline, ADVICE r15).
+    * The thin keeps uniformity (Bernoulli is per-row, partition-blind);
+    * on the rare under-fill the un-thinned uniform cap is the fallback,
+    * never a first-partitions head. */
+  private def uniformCap(projected: DataFrame, cap: Int,
+                         seed: Long = 42): Array[org.apache.spark.sql.Row] = {
+    val total = projected.count()
+    val frac = math.min(1.0, cap.toDouble * 1.2 / total)
+    val thinned = projected.sample(withReplacement = false, frac, seed)
+      .orderBy(rand(seed)).limit(cap).collect()
+    if (thinned.length >= math.min(cap.toLong, total))  thinned
+    else projected.orderBy(rand(seed)).limit(cap).collect()
   }
 
   /** Deterministic bounded sample plus the fraction of the table it

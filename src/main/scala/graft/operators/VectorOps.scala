@@ -1454,15 +1454,25 @@ object VectorOps {
       // written clustered-by-topic would skew theta, pivots, and the
       // admit-fraction gate all at once
       def collectVecs(df: DataFrame, c: String, cap: Int): Array[Array[Float]] = {
-        val head = df.select(col(c)).limit(cap + 1).collect()
+        val projected = df.select(col(c))
+        val head = projected.limit(cap + 1).collect()
         val rows =
           if (head.length <= cap) head
-          // uniform random cap (TakeOrdered per partition, one scan) —
+          // uniform random cap: Bernoulli-thin first (bounds the
+          // TakeOrdered driver merge at ~1.2*cap rows at any partition
+          // count — ADVICE r15), then orderBy(rand).limit. A bare
           // `sample(0.1).limit(cap)` reads the FIRST partitions only,
           // and a partition-clustered corpus (written by topic/time)
           // would hand theta, the admit gate, AND the pivot set to one
-          // cluster (the SpatialOps.samplePoints bias, same fix)
-          else df.select(col(c)).orderBy(rand(42)).limit(cap).collect()
+          // cluster (the SpatialOps.samplePoints bias, same fix).
+          else {
+            val total = projected.count()
+            val frac = math.min(1.0, cap.toDouble * 1.2 / total)
+            val thinned = projected.sample(withReplacement = false, frac, 42)
+              .orderBy(rand(42)).limit(cap).collect()
+            if (thinned.length >= math.min(cap.toLong, total)) thinned
+            else projected.orderBy(rand(42)).limit(cap).collect()
+          }
         rows.map(_.getSeq[Float](0).toArray)
       }
 
