@@ -24,8 +24,12 @@ object GraftConf {
   val KnnRetryThreshold  = "spark.graft.knn.retryThreshold"
   // eagerly checkpoint the kNN-join candidate exchange so the
   // build-time starved-count job and the query share one candidate
-  // execution (the default); off trades that second execution for not
-  // holding the candidate blocks in block-manager storage
+  // execution (the default); in the pivot joins the default ALSO
+  // enables the narrow-pair top-k (checkpointed right replicas with
+  // pinned row ids, winners hydrated after the window). Off trades
+  // the second execution for not holding candidate blocks in storage
+  // AND exposes the entire candidate pipeline to plan dumps (no
+  // ExistingRDD scans) — the diagnostic role
   val KnnMaterialize     = "spark.graft.knn.materializeCandidates"
   // when the vector kNN join's admit-fraction gate trips (distance
   // concentration on isotropic high-d data defeats pivot pruning), take
@@ -34,12 +38,17 @@ object GraftConf {
   // the session opts in; the approximate route's recall is governed by
   // nprobe (see VectorOpsSpec's recall gate).
   // ceiling on the pivot kNN join's size-adaptive pivot budget: the
-  // join scales its Voronoi cell count with ~sqrt(right rows) so that
-  // per-cell candidate volume stops growing quadratically with data
-  // size (a FIXED pivot count measured superlinear — 1.09/decade on the
-  // d=4 10x trend slice); this caps the driver-side maximin selection
-  // and the per-row compiled argmin at a bounded pivot count
+  // join scales its Voronoi cell count to hold per-cell right
+  // population at ~pivotCellSize rows (p ∝ n — candidate volume then
+  // grows linearly per decade; both a fixed p and the former p ~ √n
+  // measured superlinear). The cap bounds the driver-held pivot
+  // matrix (p×d doubles) and the per-cell stats collects; above
+  // ~256 pivots the join routes through two-level coarse/fine kernels
+  // so per-row work stays O(√p·d)
   val KnnMaxPivots       = "spark.graft.knn.maxPivots"
+  // target right rows per Voronoi cell for the pivot kNN joins'
+  // size-adaptive budget (smaller = fewer candidate pairs, more pivots)
+  val KnnPivotCellSize   = "spark.graft.knn.pivotCellSize"
   val KnnVecApprox       = "spark.graft.knn.vec.approx"
   val KnnVecApproxNlist  = "spark.graft.knn.vec.approx.nlist"
   val KnnVecApproxNprobe = "spark.graft.knn.vec.approx.nprobe"
@@ -82,7 +91,8 @@ object GraftConf {
   def knnMaxRefine(s: SparkSession): Int = get(s, KnnMaxRefine, "64").toInt
   def knnRetryThreshold(s: SparkSession): Long = get(s, KnnRetryThreshold, "1024").toLong
   def knnMaterialize(s: SparkSession): Boolean = get(s, KnnMaterialize, "true").toBoolean
-  def knnMaxPivots(s: SparkSession): Int = get(s, KnnMaxPivots, "4096").toInt
+  def knnMaxPivots(s: SparkSession): Int = get(s, KnnMaxPivots, "65536").toInt
+  def knnPivotCellSize(s: SparkSession): Int = get(s, KnnPivotCellSize, "64").toInt
   def knnVecApprox(s: SparkSession): Boolean = get(s, KnnVecApprox, "false").toBoolean
   def knnVecApproxNlist(s: SparkSession): Int = get(s, KnnVecApproxNlist, "16").toInt
   def knnVecApproxNprobe(s: SparkSession): Int = get(s, KnnVecApproxNprobe, "4").toInt

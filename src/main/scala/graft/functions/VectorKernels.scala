@@ -150,6 +150,104 @@ object VectorKernels {
       java.util.Arrays.copyOf(out, m))
   }
 
+  @inline private def sqDistTo(v: ArrayData, flat: Array[Double], off: Int,
+                               d: Int, isFloat: Boolean): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val diff = x - flat(off + i)
+      acc += diff * diff
+      i += 1
+    }
+    acc
+  }
+
+  /** Two-level [[pivotArgmin]]: route through the nearest of G coarse
+    * centers, then argmin over ONLY that coarse group's fine pivots —
+    * O((G + |group|)·d) per row instead of O(p·d), which is what lets
+    * the pivot joins hold per-cell population CONSTANT at scale
+    * (p ∝ n) instead of p ∝ √n (VERDICT r15 #1). `pivots` is ordered
+    * group-by-group; `offsets` (length G+1) spans group g's fine
+    * indices [offsets(g), offsets(g+1)). The returned cell is the
+    * 1-based GLOBAL fine index and the distance is the true Euclidean
+    * distance to that fine pivot — the assignment is a hierarchical
+    * APPROXIMATION of the global argmin (the true nearest fine pivot
+    * can live in a neighboring coarse group), which is sound because
+    * no admission bound assumes argmin-ness: the per-cell radius bound
+    * maxDl is MEASURED from these assignments, so the triangle-
+    * inequality band `d(r, p_i) <= maxDl_i + theta_i` covers every
+    * assigned left's theta-ball exactly as in the flat form; the only
+    * cost of a boundary misroute is a slightly wider measured bound.
+    * Ties break to the lowest index at both levels (deterministic). */
+  def hierPivotArgmin(v: ArrayData, coarse: Array[Double],
+                      pivots: Array[Double], offsets: Array[Int], d: Int,
+                      isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    require(n == d, s"vector dimension mismatch: $n vs pivot dim $d")
+    val g = coarse.length / d
+    var bestG = 0
+    var bestGSq = Double.PositiveInfinity
+    var c = 0
+    while (c < g) {
+      val acc = sqDistTo(v, coarse, c * d, d, isFloat)
+      if (acc < bestGSq) { bestGSq = acc; bestG = c }
+      c += 1
+    }
+    var best = offsets(bestG)
+    var bestSq = Double.PositiveInfinity
+    var i = offsets(bestG)
+    val end = offsets(bestG + 1)
+    while (i < end) {
+      val acc = sqDistTo(v, pivots, i * d, d, isFloat)
+      if (acc < bestSq) { bestSq = acc; best = i }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best + 1, math.sqrt(bestSq)))
+  }
+
+  /** Two-level [[pivotAdmitted]]: a group whose coarse ball rejects the
+    * vector (`d(v, c_g) > groupBands(g)`) is skipped WHOLE — by the
+    * triangle inequality `d(v, p_i) >= d(v, c_g) - d(c_g, p_i)`, so
+    * with `groupBands(g) = max_i (d(c_g, p_i) + bands(i))` no fine
+    * band in the group can admit it. Expected per-row work is
+    * O((G + admitting-groups·|group|)·d); the emitted cells (1-based
+    * global fine indices) are EXACTLY the flat kernel's set. Groups
+    * with no admitting fine cells carry a -inf group band and are
+    * skipped like -inf fine bands. */
+  def hierPivotAdmitted(v: ArrayData, coarse: Array[Double],
+                        pivots: Array[Double], offsets: Array[Int],
+                        groupBands: Array[Double], bands: Array[Double],
+                        d: Int, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    require(n == d, s"vector dimension mismatch: $n vs pivot dim $d")
+    val g = coarse.length / d
+    var out = new Array[Int](16)
+    var m = 0
+    var c = 0
+    while (c < g) {
+      val gb = groupBands(c)
+      if (gb > Double.NegativeInfinity &&
+          math.sqrt(sqDistTo(v, coarse, c * d, d, isFloat)) <= gb) {
+        var i = offsets(c)
+        val end = offsets(c + 1)
+        while (i < end) {
+          val band = bands(i)
+          if (band > Double.NegativeInfinity &&
+              math.sqrt(sqDistTo(v, pivots, i * d, d, isFloat)) <= band) {
+            if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+            out(m) = i + 1; m += 1
+          }
+          i += 1
+        }
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, m))
+  }
+
   /** 1-based indices of the `np` nearest centroids to an
     * integer-quantized vector, ordered by (squared L2, index) — the
     * IVF probe/assign kernel. The per-centroid accumulation is the

@@ -146,6 +146,84 @@ case class PivotAdmitted(child: Expression, pivots: Array[Double],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `hier_pivot_argmin(vec) -> struct<cell:int, dist:double>` — the
+  * two-level form of [[PivotArgmin]]: route through the nearest of G
+  * coarse centers, then argmin over only that group's fine pivots
+  * ([[VectorKernels.hierPivotArgmin]] — O((G+|group|)·d) per row, the
+  * p ∝ n pivot-budget scale path). All three layout arrays ride the
+  * plan as reference objects; generated code stays O(1) in p. */
+case class HierPivotArgmin(child: Expression, coarse: Array[Double],
+                           pivots: Array[Double], offsets: Array[Int],
+                           dim: Int, isFloat: Boolean) extends UnaryExpression {
+  require(coarse.nonEmpty && pivots.nonEmpty && dim >= 1 &&
+    coarse.length % dim == 0 && pivots.length % dim == 0 &&
+    offsets.length == coarse.length / dim + 1 &&
+    offsets.head == 0 && offsets.last == pivots.length / dim,
+    s"hier pivot layout mismatch: |coarse|=${coarse.length} |pivots|=${pivots.length} " +
+      s"|offsets|=${offsets.length} dim=$dim")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hier_pivot_argmin"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.hierPivotArgmin(a.asInstanceOf[ArrayData], coarse, pivots,
+      offsets, dim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refC = ctx.addReferenceObj("coarseMatrix", coarse, "double[]")
+    val refP = ctx.addReferenceObj("pivotMatrix", pivots, "double[]")
+    val refO = ctx.addReferenceObj("groupOffsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.hierPivotArgmin($a, $refC, " +
+        s"$refP, $refO, $dim, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `hier_pivot_admitted(vec) -> array<int>` — the two-level form of
+  * [[PivotAdmitted]]: coarse groups whose group band rejects the vector
+  * are skipped whole; emitted cells equal the flat kernel's set exactly
+  * ([[VectorKernels.hierPivotAdmitted]]). */
+case class HierPivotAdmitted(child: Expression, coarse: Array[Double],
+                             pivots: Array[Double], offsets: Array[Int],
+                             groupBands: Array[Double], bands: Array[Double],
+                             dim: Int, isFloat: Boolean) extends UnaryExpression {
+  require(coarse.nonEmpty && pivots.nonEmpty && dim >= 1 &&
+    coarse.length % dim == 0 && pivots.length % dim == 0 &&
+    offsets.length == coarse.length / dim + 1 &&
+    offsets.head == 0 && offsets.last == pivots.length / dim &&
+    groupBands.length * dim == coarse.length &&
+    bands.length * dim == pivots.length,
+    s"hier admission layout mismatch: |coarse|=${coarse.length} " +
+      s"|pivots|=${pivots.length} |offsets|=${offsets.length} " +
+      s"|groupBands|=${groupBands.length} |bands|=${bands.length} dim=$dim")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hier_pivot_admitted"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.hierPivotAdmitted(a.asInstanceOf[ArrayData], coarse, pivots,
+      offsets, groupBands, bands, dim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refC = ctx.addReferenceObj("coarseMatrix", coarse, "double[]")
+    val refP = ctx.addReferenceObj("pivotMatrix", pivots, "double[]")
+    val refO = ctx.addReferenceObj("groupOffsets", offsets, "int[]")
+    val refG = ctx.addReferenceObj("groupBands", groupBands, "double[]")
+    val refB = ctx.addReferenceObj("pivotBands", bands, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.hierPivotAdmitted($a, $refC, " +
+        s"$refP, $refO, $refG, $refB, $dim, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `hyperplane_sketch(array<float>) -> long` — 64-bit random-hyperplane
   * LSH signature for cosine-similarity bucketing. Deterministic in
   * (seed, planes). */

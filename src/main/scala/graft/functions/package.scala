@@ -191,6 +191,16 @@ package object functions {
                     dim: Int, isFloat: Boolean): Column =
     toCol(PivotAdmitted(toExpr(vec), pivots, bands, dim, isFloat))
 
+  def hierPivotArgmin(vec: Column, coarse: Array[Double], pivots: Array[Double],
+                      offsets: Array[Int], dim: Int, isFloat: Boolean): Column =
+    toCol(HierPivotArgmin(toExpr(vec), coarse, pivots, offsets, dim, isFloat))
+
+  def hierPivotAdmitted(vec: Column, coarse: Array[Double], pivots: Array[Double],
+                        offsets: Array[Int], groupBands: Array[Double],
+                        bands: Array[Double], dim: Int, isFloat: Boolean): Column =
+    toCol(HierPivotAdmitted(toExpr(vec), coarse, pivots, offsets, groupBands,
+      bands, dim, isFloat))
+
   def hyperplaneSketch(v: Column, planes: Int = 16, seed: Long = 42L): Column =
     toCol(HyperplaneSketch(toExpr(v), planes, seed))
 

@@ -1174,7 +1174,11 @@ object SpatialDisk {
       .select(col(leftId))
     val good = ranked.join(okIds, Seq(leftId), "left_semi")
       .select(outCols: _*)
-    val starved = left.join(okIds, Seq(leftId), "left_anti").localCheckpoint()
+    // left-outer + null-filter, not LeftAnti: the anti form pushes
+    // through a union-shaped wave and re-executes okIds per leg
+    // (SpatialOps.minusByKey — the 2-D 100x pivot lesson)
+    val starved = graft.operators.SpatialOps.minusByKey(left, okIds, leftId)
+      .localCheckpoint()
     if (starved.isEmpty) return good
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(leftId))
       .orderBy(dist.asc +: tieBreak.map(col(_).asc): _*)

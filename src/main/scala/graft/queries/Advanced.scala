@@ -217,6 +217,47 @@ object Advanced {
       .orderBy(col("qid"), col("doc_id"))
   }
 
+  /** Streaming query-set HYBRID retrieval against both at-rest layouts
+    * (VERDICT r15 #3): the tx_hybrid_query_join fixture arrives as two
+    * waves — qids 1-2 then qid 3 — each wave file carrying its
+    * queries' (term, embedding) rows atomically; per micro-batch the
+    * batch verb runs verbatim, so the drained union answers the batch
+    * join's REAL oracle. */
+  def streamHybridQueryJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    import graft.operators.VectorOps._
+    import s.implicits._
+    val tag = Integer.toHexString(d.hashCode)
+    val bmPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sthyb_bm_$tag").toString
+    val ivfPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sthyb_ivf_$tag").toString
+    val wavePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sthyb_wave_$tag").toString
+    val outPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sthyb_out_$tag").toString
+    graft.operators.DedupOps.deleteDir(s, wavePath)
+    graft.operators.DedupOps.deleteDir(s, outPath)
+    documents(s, d).writeBm25Index(bmPath, "doc_id", "text")
+    embeddings(s, d).writeIvfPq(ivfPath, "embedding", "vec_id",
+      nlist = 8, m = 4, ksub = 4, iters = 2)
+    // the tx_hybrid_query_join query set, each query's rows atomic in
+    // ONE wave file with its embedding riding every term row
+    val vecs = embeddings(s, d).filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1L).as("qid"), col("embedding").as("qv"))
+    Seq((1L, "spark"), (1L, "vector"), (1L, "window"),
+        (2L, "customer"), (2L, "hash")).toDF("qid", "term")
+      .join(vecs, Seq("qid"))
+      .repartition(1).write.mode("append").parquet(wavePath)
+    Seq((3L, "merge"), (3L, "scan")).toDF("qid", "term")
+      .join(vecs, Seq("qid"))
+      .repartition(1).write.mode("append").parquet(wavePath)
+    StreamingOps.streamHybridQueryJoin(s, wavePath, bmPath, ivfPath,
+        "qid", "term", "qv", "vec_id", "embedding",
+        candidates = 20, k = 5, outPath)
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
   /** Streaming minhash near-dup gate: odd-doc arrivals sign themselves
     * with the layout meta's banding and stream-static join the even-doc
     * corpus's at-rest buckets; candidate pairs exact-verify with
@@ -886,6 +927,7 @@ object Advanced {
     // query-join verb's REAL oracle: per-query top-k is micro-batch
     // invariant (queries arrive atomically per wave file)
     "st_bm25_query_join" -> graft.queries.Pipeline.oracles("tx_bm25_query_join"),
+    "st_hybrid_query_join" -> graft.queries.Pipeline.oracles("tx_hybrid_query_join"),
     // plain range join in DuckDB (the engine handles it natively);
     // epoch_us == Spark's unix_micros on the same micro timestamps
     "ts_interval_join" ->
@@ -1018,6 +1060,7 @@ object Advanced {
     "st_span_gate" -> (streamSpanGateQ _),
     "st_phrase_gate" -> (streamPhraseGateQ _),
     "st_bm25_query_join" -> (streamBm25QueryJoinQ _),
+    "st_hybrid_query_join" -> (streamHybridQueryJoinQ _),
     "ts_asof_join" -> (asOfJoinQ _),
     "st_asof" -> (streamAsOfQ _),
     "st_st_join" -> (streamStJoinQ _),

@@ -407,6 +407,26 @@ object Spatial {
       .polygonRange(Seq("cx", "cy"), holedDiamond)
       .orderBy(col("c_custkey"))
 
+  /** Range query against a MULTIPOLYGON — two disjoint diamonds, the
+    * archipelago/admin-boundary shape (reference: via JTS readers,
+    * spatial/Polygon.scala:106-124, which parse Multi* types). The
+    * query shape deliberately arrives as WKT TEXT so the entry
+    * exercises parse -> ShapeCollection -> struct encode -> codegen'd
+    * intersects end-to-end; containment per part is the same diamond
+    * inequality as [[polygonRange]], OR'd in the oracle. */
+  def multiPolygonRange(s: SparkSession, d: String): DataFrame = {
+    import graft.functions._
+    import graft.operators.SpatialOps._
+    val mp = graft.spatial.Wkt.parse(
+      "MULTIPOLYGON (((2999.63 500, 5000 199.87, 7000.37 500, 5000 800.13)), " +
+        "((7499.71 300, 9000 99.89, 10500.29 300, 9000 500.11)))")
+    customerPts(s, d)
+      .withColumn("__pt", stPoint(col("cx"), col("cy")))
+      .shapeRange("__pt", mp)
+      .drop("__pt")
+      .orderBy(col("c_custkey"))
+  }
+
   def knn(s: SparkSession, d: String): DataFrame =
     customerPts(s, d)
       .knn(Seq("cx", "cy"), center, knnK, tieBreak = Seq("c_custkey"))
@@ -778,6 +798,13 @@ object Spatial {
          |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
          |  AND NOT (abs((cx - 5000.0) / 1000.19) + abs((cy - 500.0) / 150.07) < 1.0)
          |ORDER BY c_custkey""".stripMargin,
+    // union of two disjoint diamonds, each the closed-form diamond
+    // inequality of sp_polygon_range — point-set union = OR
+    "sp_multipolygon_range" ->
+      s"""SELECT * FROM ($custPtsSql) c
+         |WHERE abs((cx - 5000.0) / 2000.37) + abs((cy - 500.0) / 300.13) <= 1.0
+         |   OR abs((cx - 9000.0) / 1500.29) + abs((cy - 300.0) / 200.11) <= 1.0
+         |ORDER BY c_custkey""".stripMargin,
     // rectangle x rectangle intersection = interval overlap per axis —
     // pure comparisons, exactly replayable
     "sp_intersects_join" ->
@@ -967,6 +994,7 @@ object Spatial {
     "sp_intersects_join" -> (shapeIntersectsJoinQ _),
     "sp_polygon_range" -> (polygonRange _),
     "sp_polygon_holes" -> (polygonHolesRange _),
+    "sp_multipolygon_range" -> (multiPolygonRange _),
     "sp_segment_range" -> (segmentRangeQ _),
     "sp_bounds_agg" -> (boundsBySegment _),
     "sp_spatiotemporal" -> (spatioTemporal _),

@@ -36,6 +36,7 @@ final case class Point(coord: Array[Double]) extends Shape {
     case c: Circle       => Dist.pointToCircle(coord, c)
     case s: LineSegment  => Dist.pointToSegment(this, s)
     case g: Polygon      => g.minDist(this)
+    case m: ShapeCollection => m.minDist(this)
   }
 
   override def intersects(other: Shape): Boolean = other match {
@@ -44,6 +45,7 @@ final case class Point(coord: Array[Double]) extends Shape {
     case c: Circle      => Dist.pointToPoint(coord, c.center.coord) <= c.radius
     case s: LineSegment => Dist.pointToSegment(this, s) == 0.0
     case g: Polygon     => g.contains(this)
+    case m: ShapeCollection => m.contains(this)
   }
 
   def sameAs(p: Point): Boolean =
@@ -110,6 +112,7 @@ final case class MBR(low: Point, high: Point) extends Shape {
     case c: Circle      => Dist.pointToMBR(c.center.coord, this) <= c.radius
     case s: LineSegment => s.intersects(this)
     case g: Polygon     => g.intersects(this)
+    case m: ShapeCollection => m.intersects(this)
   }
 
   override def minDist(other: Shape): Double = other match {
@@ -118,6 +121,7 @@ final case class MBR(low: Point, high: Point) extends Shape {
     case c: Circle      => math.max(0.0, Dist.pointToMBR(c.center.coord, this) - c.radius)
     case s: LineSegment => Dist.segmentToMBR(s, this)
     case g: Polygon     => g.minDist(this)
+    case m: ShapeCollection => m.minDist(this)
   }
 
   /** Max distance from a point to any corner of this box
@@ -207,6 +211,7 @@ final case class Circle(center: Point, radius: Double) extends Shape {
       math.max(0.0, Dist.pointToPoint(center.coord, c.center.coord) - radius - c.radius)
     case s: LineSegment => math.max(0.0, Dist.pointToSegment(center, s) - radius)
     case g: Polygon     => math.max(0.0, g.minDist(center) - radius)
+    case m: ShapeCollection => m.minDist(this)
   }
 
   override def intersects(other: Shape): Boolean = minDist(other) <= 0.0
@@ -260,6 +265,7 @@ final case class LineSegment(start: Point, end: Point) extends Shape {
     case c: Circle      => Dist.pointToSegment(c.center, this) <= c.radius
     case s: LineSegment => intersects(s)
     case g: Polygon     => g.intersects(this)
+    case m: ShapeCollection => m.intersects(this)
   }
 
   override def minDist(other: Shape): Double = other match {
@@ -268,6 +274,7 @@ final case class LineSegment(start: Point, end: Point) extends Shape {
     case c: Circle      => math.max(0.0, Dist.pointToSegment(c.center, this) - c.radius)
     case s: LineSegment => Dist.segmentToSegment(this, s)
     case g: Polygon     => g.minDist(this)
+    case m: ShapeCollection => m.minDist(this)
   }
 }
 
@@ -341,6 +348,7 @@ final case class Polygon(vertices: Array[Point],
       if (intersects(g)) 0.0
       else allEdges.iterator.map(a =>
         g.allEdges.iterator.map(b => Dist.segmentToSegment(a, b)).min).min
+    case m: ShapeCollection => m.minDist(this)
   }
 
   // Interior-overlap logic below leans on one fact: if no ring of A
@@ -357,6 +365,7 @@ final case class Polygon(vertices: Array[Point],
     case g: Polygon     =>
       contains(g.vertices(0)) || g.contains(vertices(0)) ||
         allEdges.exists(a => g.allEdges.exists(a.intersects))
+    case m: ShapeCollection => m.intersects(this)
   }
 
   // Array fields break case-class equality (same fix as Point).
@@ -383,4 +392,51 @@ final case class Polygon(vertices: Array[Point],
 object Polygon {
   def apply(xy: (Double, Double)*): Polygon =
     Polygon(xy.map { case (x, y) => Point(x, y) }.toArray)
+}
+
+/** A finite union of member shapes — the ADT home of OGC's Multi*
+  * types (MultiPolygon archipelagos and admin boundaries, MultiPoint,
+  * MultiLineString-as-segments) and GeometryCollection, which the
+  * reference accepts through JTS's readers (reference:
+  * spatial/Polygon.scala:106-124 — WKB/WKT parse Multi* even though
+  * Simba's own `Polygon` wrapper holds a single JTS polygon). Union
+  * semantics throughout: a point is IN the collection iff it is in any
+  * part, `minDist` is the min over parts (0 inside any part),
+  * `intersects` is any-part — exactly the OGC point-set union. Parts
+  * may themselves be collections (GEOMETRYCOLLECTION nests); recursion
+  * bottoms out at the leaf kinds. Parts must agree on dimensionality
+  * (the per-pair kernels `require` it row-wise). */
+final case class ShapeCollection(parts: Array[Shape]) extends Shape {
+  require(parts.nonEmpty, "shape collection needs at least one part")
+  require(parts.forall(_.dimensions == parts.head.dimensions),
+    "collection parts must share dimensionality")
+
+  override def dimensions: Int = parts.head.dimensions
+  override lazy val mbr: MBR = parts.map(_.mbr).reduce(_ union _)
+
+  override def minDist(other: Shape): Double = {
+    var best = Double.MaxValue
+    var i = 0
+    while (i < parts.length && best > 0.0) {
+      val d = parts(i).minDist(other)
+      if (d < best) best = d
+      i += 1
+    }
+    best
+  }
+
+  override def intersects(other: Shape): Boolean = parts.exists(_.intersects(other))
+
+  def contains(p: Point): Boolean = parts.exists(_.intersects(p))
+
+  // Array fields break case-class equality (same fix as Point).
+  override def equals(o: Any): Boolean = o match {
+    case c: ShapeCollection => parts.length == c.parts.length &&
+      parts.indices.forall(i => parts(i) == c.parts(i))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    parts.foldLeft(23)((h, p) => h * 31 + p.hashCode())
+  override def toString: String =
+    parts.mkString("ShapeCollection(", "; ", ")")
 }

@@ -25,6 +25,11 @@ import org.apache.spark.sql.types._
   *    (tag 5, layout v2 — added for interior rings; hole-free polygons
   *    KEEP tag 3 so every at-rest shape column written before v2 decodes
   *    unchanged, and a tag-5 value is self-describing for new readers)
+  *  - Collection:   [nParts, tag0, len0, coords0..., tag1, len1, ...]
+  *    (tag 6, layout v3 — OGC Multi* and GeometryCollection; each part is
+  *    its own tagged block with `len` = its coords length, so parts
+  *    nest recursively and the value is self-describing. Single shapes
+  *    KEEP their leaf tags — same at-rest compatibility rule as tag 5)
   */
 object ShapeCodec {
 
@@ -34,6 +39,7 @@ object ShapeCodec {
   val TagPolygon = 3
   val TagSegment = 4
   val TagPolygonHoles = 5
+  val TagCollection = 6
 
   /** The struct type of an encoded shape column. */
   val sqlType: StructType = StructType(Seq(
@@ -49,6 +55,16 @@ object ShapeCodec {
       if (p.holes.isEmpty) (TagPolygon, p.flat)
       else (TagPolygonHoles, p.flatRings)
     case LineSegment(a, b) => (TagSegment, a.coord ++ b.coord)
+    case ShapeCollection(parts) =>
+      val b = Array.newBuilder[Double]
+      b += parts.length.toDouble
+      parts.foreach { part =>
+        val (t, c) = encode(part)
+        b += t.toDouble
+        b += c.length.toDouble
+        b ++= c
+      }
+      (TagCollection, b.result())
   }
 
   def decode(tag: Int, coords: Array[Double]): Shape = tag match {
@@ -78,6 +94,26 @@ object ShapeCodec {
       require(off == coords.length,
         s"malformed tag-5 polygon: ${coords.length - off} trailing doubles")
       Polygon(rings.head, rings.tail)
+    case TagCollection =>
+      require(coords.nonEmpty, "malformed tag-6 collection: empty coords")
+      val nParts = coords(0).toInt
+      require(nParts >= 1, s"malformed tag-6 collection: $nParts parts")
+      var off = 1
+      val parts = Array.tabulate(nParts) { _ =>
+        require(off + 2 <= coords.length,
+          s"malformed tag-6 collection: truncated part header at $off")
+        val t = coords(off).toInt
+        val len = coords(off + 1).toInt
+        off += 2
+        require(len >= 0 && off + len <= coords.length,
+          s"malformed tag-6 collection: part of length $len overruns ${coords.length}")
+        val part = decode(t, java.util.Arrays.copyOfRange(coords, off, off + len))
+        off += len
+        part
+      }
+      require(off == coords.length,
+        s"malformed tag-6 collection: ${coords.length - off} trailing doubles")
+      ShapeCollection(parts)
     case other => throw new IllegalArgumentException(s"unknown shape tag: $other")
   }
 

@@ -22,8 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Mappings:
   *  - `Point` (2-D)     <-> type 1, `(x, y)` — standard
   *  - `LineSegment`     <-> type 2 (LineString) with exactly two
-  *    vertices — standard bytes; parse rejects longer linestrings
-  *    (the ADT carries segments, not polylines, as in [[Wkt]])
+  *    vertices — standard bytes; longer linestrings (polylines: roads,
+  *    coastlines) parse into the [[ShapeCollection]] of their
+  *    consecutive segments — identical point-set union, so distance/
+  *    intersection semantics are exact (as in [[Wkt]])
+  *  - `ShapeCollection` <-> types 4/5/6 (MULTIPOINT / MULTILINESTRING /
+  *    MULTIPOLYGON — homogeneity enforced on parse) and type 7
+  *    (GEOMETRYCOLLECTION, arbitrary mix incl. nesting); each element
+  *    is a complete WKB geometry with its own byte-order marker, per
+  *    OGC. The reference reaches these through JTS's readers
+  *    (reference: spatial/Polygon.scala:106-124)
   *  - `Polygon`         <-> type 3, closed shell ring then interior
   *    rings (holes) — standard OGC multi-ring layout, the same bytes
   *    JTS's WKBWriter emits (closing vertices emitted on output,
@@ -54,8 +62,16 @@ object Wkb {
   private val TypePoint = 1
   private val TypeLineString = 2
   private val TypePolygon = 3
+  private val TypeMultiPoint = 4
+  private val TypeMultiLineString = 5
+  private val TypeMultiPolygon = 6
+  private val TypeGeomCollection = 7
   /** Extension type for circles — outside every OGC/ISO band. */
   val TypeCircleExt = 0xF002
+
+  /** Crafted bytes could nest collections arbitrarily deep and blow the
+    * parse stack; real GIS data nests 1-2 levels. Fail loud past this. */
+  private val MaxNesting = 32
 
   def format(s: Shape): Array[Byte] = s match {
     case Point(c) =>
@@ -92,6 +108,28 @@ object Wkb {
       b.put(1: Byte).putInt(TypeCircleExt)
         .putDouble(c.coord(0)).putDouble(c.coord(1)).putDouble(r)
       b.array()
+    case ShapeCollection(parts) =>
+      // OGC Multi*: each element is a COMPLETE WKB geometry (its own
+      // byte-order marker + type), so the element bytes are exactly
+      // `format(part)`. The homogeneous kinds take their specific
+      // Multi type (boxes ride as their polygon rings, the MBR rule
+      // above); anything mixed — or carrying the circle extension or a
+      // nested collection — emits GEOMETRYCOLLECTION.
+      val bodies = parts.map(format)
+      def kind(p: Shape): Int = p match {
+        case _: Point => TypeMultiPoint
+        case _: LineSegment => TypeMultiLineString
+        case _: Polygon | _: MBR => TypeMultiPolygon
+        case _ => TypeGeomCollection
+      }
+      val kinds = parts.map(kind).distinct
+      val tpe =
+        if (kinds.length == 1 && kinds.head != TypeGeomCollection) kinds.head
+        else TypeGeomCollection
+      val b = le(1 + 4 + 4 + bodies.map(_.length).sum)
+      b.put(1: Byte).putInt(tpe).putInt(parts.length)
+      bodies.foreach(b.put)
+      b.array()
   }
 
   def parse(bytes: Array[Byte]): Shape = {
@@ -100,52 +138,96 @@ object Wkb {
       throw new IllegalArgumentException(
         s"malformed WKB ($why): 0x$hex${if (bytes.length > 16) "..." else ""}")
     }
-    if (bytes.length < 5) fail("truncated header")
-    val order = bytes(0) match {
-      case 0 => ByteOrder.BIG_ENDIAN
-      case 1 => ByteOrder.LITTLE_ENDIAN
-      case other => fail(s"bad byte-order marker $other")
-    }
-    val b = ByteBuffer.wrap(bytes, 1, bytes.length - 1).order(order)
+    val b = ByteBuffer.wrap(bytes)
     def need(n: Int, what: String): Unit =
       if (b.remaining() < n) fail(s"truncated $what")
-    val tpe = b.getInt
-    val shape: Shape = tpe match {
-      case TypePoint =>
-        need(16, "point")
-        Point(b.getDouble, b.getDouble)
-      case TypeLineString =>
-        need(4, "linestring length")
-        val n = b.getInt
-        if (n != 2) fail(s"segments need exactly 2 vertices, got $n")
-        need(32, "segment vertices")
-        LineSegment(Point(b.getDouble, b.getDouble),
-          Point(b.getDouble, b.getDouble))
-      case TypePolygon =>
-        need(4, "ring count")
-        val nRings = b.getInt
-        if (nRings < 1) fail(s"polygon needs at least the shell ring, got $nRings")
-        def readRing(): Array[Point] = {
-          need(4, "ring length")
+    // One complete geometry from the buffer's position: each geometry
+    // (including every Multi* element) carries its own byte-order
+    // marker and type, per OGC — the recursion mirrors the bytes.
+    def readShape(depth: Int): Shape = {
+      if (depth > MaxNesting) fail(s"collection nesting deeper than $MaxNesting")
+      need(5, "header")
+      b.get() match {
+        case 0 => b.order(ByteOrder.BIG_ENDIAN)
+        case 1 => b.order(ByteOrder.LITTLE_ENDIAN)
+        case other => fail(s"bad byte-order marker $other")
+      }
+      val tpe = b.getInt
+      tpe match {
+        case TypePoint =>
+          need(16, "point")
+          Point(b.getDouble, b.getDouble)
+        case TypeLineString =>
+          need(4, "linestring length")
           val n = b.getInt
-          if (n < 3) fail(s"rings need >= 3 vertices, got $n")
-          need(16 * n, "ring vertices")
+          if (n < 2) fail(s"linestrings need >= 2 vertices, got $n")
+          need(16 * n, "linestring vertices")
           val vs = Array.fill(n)(Point(b.getDouble, b.getDouble))
-          val ring =
-            if (n > 1 && vs.head.coord.sameElements(vs.last.coord)) vs.dropRight(1)
-            else vs
-          if (ring.length < 3)
-            fail(s"rings need >= 3 distinct vertices, got ${ring.length}")
-          ring
-        }
-        val shell = readRing()
-        val holes = Array.fill(nRings - 1)(readRing())
-        Polygon(shell, holes)
-      case TypeCircleExt =>
-        need(24, "circle")
-        Circle(Point(b.getDouble, b.getDouble), b.getDouble)
-      case other => fail(s"unsupported geometry type $other")
+          if (n == 2) LineSegment(vs(0), vs(1))
+          // polylines (roads, coastlines) decompose into their
+          // consecutive segments — the point-set union is identical,
+          // so minDist/intersects semantics are exact; only the vertex
+          // grouping is normalized (format emits MULTILINESTRING of
+          // 2-vertex segments)
+          else ShapeCollection(Array.tabulate[Shape](n - 1)(i =>
+            LineSegment(vs(i), vs(i + 1))))
+        case TypePolygon =>
+          need(4, "ring count")
+          val nRings = b.getInt
+          if (nRings < 1) fail(s"polygon needs at least the shell ring, got $nRings")
+          def readRing(): Array[Point] = {
+            need(4, "ring length")
+            val n = b.getInt
+            if (n < 3) fail(s"rings need >= 3 vertices, got $n")
+            need(16 * n, "ring vertices")
+            val vs = Array.fill(n)(Point(b.getDouble, b.getDouble))
+            val ring =
+              if (n > 1 && vs.head.coord.sameElements(vs.last.coord)) vs.dropRight(1)
+              else vs
+            if (ring.length < 3)
+              fail(s"rings need >= 3 distinct vertices, got ${ring.length}")
+            ring
+          }
+          val shell = readRing()
+          val holes = Array.fill(nRings - 1)(readRing())
+          Polygon(shell, holes)
+        case TypeCircleExt =>
+          need(24, "circle")
+          Circle(Point(b.getDouble, b.getDouble), b.getDouble)
+        case TypeMultiPoint | TypeMultiLineString | TypeMultiPolygon |
+             TypeGeomCollection =>
+          need(4, "element count")
+          val n = b.getInt
+          if (n < 1) fail(s"collections need >= 1 element, got $n")
+          val parts = Array.fill[Shape](n)(readShape(depth + 1))
+          // Multi* homogeneity is part of the bytes' meaning — enforce
+          // it (GEOMETRYCOLLECTION accepts anything). A decomposed
+          // polyline (segment run) is a legal MULTILINESTRING element
+          // and flattens into the union.
+          def bad(p: Shape): Boolean = tpe match {
+            case TypeMultiPoint => !p.isInstanceOf[Point]
+            case TypeMultiLineString => p match {
+              case _: LineSegment => false
+              case ShapeCollection(ps) => !ps.forall(_.isInstanceOf[LineSegment])
+              case _ => true
+            }
+            case TypeMultiPolygon => !p.isInstanceOf[Polygon]
+            case _ => false
+          }
+          parts.find(bad).foreach(p =>
+            fail(s"element ${p.getClass.getSimpleName} illegal in WKB type $tpe"))
+          val flat =
+            if (tpe == TypeMultiLineString)
+              parts.flatMap {
+                case ShapeCollection(ps) => ps
+                case s => Array(s)
+              }
+            else parts
+          ShapeCollection(flat)
+        case other => fail(s"unsupported geometry type $other")
+      }
     }
+    val shape = readShape(0)
     // Strict consumption: trailing bytes mean concatenated geometries
     // or a corrupt length field that left residue — both are malformed
     // input under the documented no-silent-acceptance posture.

@@ -450,6 +450,39 @@ object StreamingOps {
     * and query ids are not reused across waves. Emissions land at
     * `outPath` (parquet, appended per batch); the returned frame reads
     * it back after the wave drains. */
+  /** The query-set streams' wave-atomicity contract, promoted from
+    * prose to a CHECK (VERDICT r15 #7): a query whose term rows are
+    * split across wave files would silently return one fragment score
+    * per file (fragment BM25 scores are NOT mergeable — each fragment
+    * top-ks over a partial term set), so each batch's arriving query
+    * ids are checked against every id already processed in this wave
+    * drain and an overlap fails the stream LOUDLY. Driver state is one
+    * id per query, ceiling-guarded by `spark.graft.maxDriverPushdown`
+    * (the shared driver-collect discipline) — a wave set too large for
+    * the guard errors with the knob's name rather than silently
+    * dropping the check. Returns the per-batch checker. */
+  private def waveAtomicityGuard(spark: SparkSession, queryIdCol: String,
+                                 verb: String): DataFrame => Unit = {
+    val seen = scala.collection.mutable.HashSet[Any]()
+    val cap = graft.GraftConf.maxDriverPushdown(spark)
+    batch => {
+      val ids = batch.select(col(queryIdCol)).distinct()
+        .limit(cap + 1).collect().map(_.get(0))
+      require(ids.length + seen.size <= cap,
+        s"$verb: wave-atomicity guard state would exceed " +
+          s"${graft.GraftConf.MaxDriverPushdown}=$cap distinct query ids; " +
+          "raise the ceiling or drain in smaller wave sets")
+      val dup = ids.filter(seen.contains)
+      require(dup.isEmpty,
+        s"$verb: query ids split across wave files: " +
+          s"${dup.take(5).mkString(", ")}${if (dup.length > 5) ", ..." else ""} — " +
+          "a query's rows must be staged in ONE wave file (fragment " +
+          "scores are not mergeable) and query ids must not be reused " +
+          "across waves")
+      seen ++= ids
+    }
+  }
+
   def streamBm25QueryJoin(spark: SparkSession, wavePath: String,
                           indexPath: String, queryIdCol: String,
                           termCol: String, k: Int, outPath: String,
@@ -459,9 +492,11 @@ object StreamingOps {
     val arrivals = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(wavePath)
+    val guard = waveAtomicityGuard(spark, queryIdCol, "streamBm25QueryJoin")
     val q = arrivals.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        guard(batch)
         CorpusOps.bm25TopKJoinAgainstIndex(spark, indexPath, batch,
             queryIdCol, termCol, k, k1, b)
           .write.mode("append").parquet(outPath)
@@ -488,6 +523,74 @@ object StreamingOps {
         StructType(Seq(StructField(queryIdCol, qidType),
           StructField(params("idCol"), layoutIdType),
           StructField("dl", LongType), StructField("score", DoubleType))))
+    }
+  }
+
+  /** Streaming QUERY-SET HYBRID retrieval against BOTH at-rest layouts
+    * — the serving twin of
+    * [[graft.operators.CorpusOps.hybridTopKJoinAgainstIndex]]
+    * (VERDICT r15 #3), completing the stream=batch bar for the
+    * query-set joins. Wave rows carry a query's terms AND its
+    * embedding together — `(queryId, term, queryVec)`, the vector
+    * repeated per term row — so one wave FILE stays one atomic
+    * retrieval request (the [[streamBm25QueryJoin]] contract; the
+    * duplication is wave-sized and keeps the two inputs impossible to
+    * tear). Each micro-batch splits the frame and runs the batch verb
+    * VERBATIM: BM25 candidates from one term-pruned posting read,
+    * candidate vectors by bounded id-IN against the IVF-PQ layout,
+    * exact-cosine re-rank per query. Zero state store — per-query
+    * results are independent, so the union over micro-batches equals
+    * the batch join bit-for-bit (spec-pinned), and the wave-atomicity
+    * guard fails LOUDLY if a query id spans wave files or recurs. */
+  def streamHybridQueryJoin(spark: SparkSession, wavePath: String,
+                            bm25Path: String, ivfPath: String,
+                            queryIdCol: String, termCol: String,
+                            queryVecCol: String, vecIdCol: String,
+                            vecCol: String, candidates: Int, k: Int,
+                            outPath: String,
+                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.operators.CorpusOps
+    val schema = spark.read.parquet(wavePath).schema
+    require(Seq(queryIdCol, termCol, queryVecCol).forall(c =>
+      schema.fieldNames.contains(c)),
+      s"streamHybridQueryJoin: wave rows must carry ($queryIdCol, $termCol, " +
+        s"$queryVecCol); staged schema has ${schema.fieldNames.mkString(", ")}")
+    val arrivals = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(wavePath)
+    val guard = waveAtomicityGuard(spark, queryIdCol, "streamHybridQueryJoin")
+    val q = arrivals.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        guard(batch)
+        val queries = batch.select(col(queryIdCol), col(termCol))
+        val queryVecs = batch.select(col(queryIdCol), col(queryVecCol)).distinct()
+        CorpusOps.hybridTopKJoinAgainstIndex(spark, bm25Path, ivfPath,
+            queries, queryVecs, queryIdCol, termCol, queryVecCol,
+            vecIdCol, vecCol, candidates, k, k1, b)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // empty wave -> contract schema (queryId, layout id, score, cos)
+    val op = new org.apache.hadoop.fs.Path(outPath)
+    if (op.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(op))
+      spark.read.parquet(outPath)
+    else {
+      import org.apache.spark.sql.types._
+      val params = graft.operators.DedupOps.indexMeta(spark, bm25Path,
+        "streamHybridQueryJoin")
+      val qidType = schema.fields.find(_.name == queryIdCol)
+        .map(_.dataType).getOrElse(LongType)
+      val layoutIdType = spark.read.parquet(s"$bm25Path/postings").schema
+        .fields.find(_.name == params("idCol")).map(_.dataType)
+        .getOrElse(LongType)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(queryIdCol, qidType),
+          StructField(params("idCol"), layoutIdType),
+          StructField("score", DoubleType), StructField("cos", DoubleType))))
     }
   }
 

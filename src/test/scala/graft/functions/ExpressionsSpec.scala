@@ -240,4 +240,61 @@ class ExpressionsSpec extends SparkSpec {
     different(different.length - 1) = (different(different.length - 1) ^ 1).toByte
     assert(a !== BloomMightContainLong(Literal(42L), different))
   }
+
+  test("hier pivot kernels: admitted set equals flat kernel; argmin routes via coarse") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    val d = 3
+    val p = 40
+    val pivots = Array.fill(p)(Array.fill(d)(rnd.nextDouble() * 100))
+    // arbitrary grouping (sorted by x into uneven spans): the kernels
+    // require only the offsets layout, not any particular clustering
+    val order = pivots.sortBy(_(0))
+    val sizes = Array(5, 9, 2, 11, 6, 7)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val g = sizes.length
+    val coarse = Array.tabulate(g) { gi =>
+      val span = order.slice(offsets(gi), offsets(gi + 1))
+      Array.tabulate(d)(i => span.map(_(i)).sum / span.length)
+    }
+    val flatP = order.flatten
+    val flatC = coarse.flatten
+    val bands = Array.fill(p)(rnd.nextDouble() * 40)
+    bands(3) = Double.NegativeInfinity // a left-less cell
+    def dist(a: Array[Double], off: Int, flat: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < d) { val x = a(i) - flat(off + i); acc += x * x; i += 1 }
+      math.sqrt(acc)
+    }
+    // the group-band formula of SpatialOps.hierGroupBands
+    val groupBands = Array.tabulate(g) { gi =>
+      (offsets(gi) until offsets(gi + 1)).foldLeft(Double.NegativeInfinity) {
+        (acc, i) =>
+          if (bands(i) == Double.NegativeInfinity) acc
+          else math.max(acc, dist(coarse(gi), i * d, flatP) + bands(i))
+      }
+    }
+    for (_ <- 1 to 300) {
+      val pt = Array.fill(d)(rnd.nextDouble() * 140 - 20)
+      val v = new GenericArrayData(pt)
+      val flat = VectorKernels.pivotAdmitted(v, flatP, bands, d, isFloat = false)
+      val hier = VectorKernels.hierPivotAdmitted(v, flatC, flatP, offsets,
+        groupBands, bands, d, isFloat = false)
+      assert(hier.toIntArray().toSeq === flat.toIntArray().toSeq,
+        s"admitted sets diverge at ${pt.toSeq}")
+      // argmin: the emitted cell must live in the nearest coarse group
+      // and its distance must be the true distance to that fine pivot
+      // (and the group-local minimum)
+      val asg = VectorKernels.hierPivotArgmin(v, flatC, flatP, offsets, d,
+        isFloat = false)
+      val cell = asg.getInt(0); val dd = asg.getDouble(1)
+      val bestG = (0 until g).minBy(gi => dist(pt, gi * d, flatC))
+      assert(cell >= offsets(bestG) + 1 && cell <= offsets(bestG + 1),
+        s"cell $cell outside nearest coarse group $bestG")
+      assert(math.abs(dd - dist(pt, (cell - 1) * d, flatP)) < 1e-12)
+      val groupMin = (offsets(bestG) until offsets(bestG + 1))
+        .map(i => dist(pt, i * d, flatP)).min
+      assert(math.abs(dd - groupMin) < 1e-12)
+    }
+  }
 }

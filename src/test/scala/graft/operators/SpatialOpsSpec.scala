@@ -208,6 +208,35 @@ class SpatialOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("integral id"))
   }
 
+  test("knnJoinPivot two-level route (p beyond the hier threshold) equals naive exactly") {
+    import spark.implicits._
+    // clustered + a sparse band, so coarse groups and per-group thetas
+    // are non-trivial and group pruning actually rejects groups
+    val rnd = new scala.util.Random(11)
+    val lRows = (1 to 1500).map { i =>
+      (i.toLong, (i % 5) * 500.0 + rnd.nextGaussian() * 25,
+        (i % 3) * 300.0 + rnd.nextGaussian() * 25)
+    }
+    val rRows = (1 to 2600).map { i =>
+      (i.toLong + 1000000L, (i % 5) * 500.0 + rnd.nextGaussian() * 25,
+        (i % 3) * 300.0 + rnd.nextGaussian() * 25)
+    }
+    val l = lRows.toDF("lid", "lx", "ly")
+    val r = rRows.toDF("rid", "rx", "ry")
+    def pairs(df: DataFrame) = df.select(col("lid"), col("rid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = pairs(l.knnJoinNaive(r, Seq("lx", "ly"), Seq("rx", "ry"),
+      k = 3, leftId = "lid", tieBreak = Seq("rid")))
+    // cellSize 4 -> pTarget = 650 > HierPivotThreshold: the two-level
+    // kernels + uniform-sampled pivots + per-coarse-group thetas route
+    spark.conf.set(graft.GraftConf.KnnPivotCellSize, "4")
+    try {
+      val got = pairs(l.knnJoinPivot(r, Seq("lx", "ly"), Seq("rx", "ry"),
+        k = 3, leftId = "lid", tieBreak = Seq("rid")))
+      assert(got === want)
+    } finally spark.conf.unset(graft.GraftConf.KnnPivotCellSize)
+  }
+
   test("knnJoinPivot (Voronoi) equals naive kNN join exactly") {
     val got = pairSet(cust.knnJoinPivot(supp, Seq("cx", "cy"), Seq("sx", "sy"),
       k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey"), numPivots = 8))

@@ -385,4 +385,123 @@ class GeometrySpec extends AnyFunSuite {
       assert(Dist.pointInPolygon(x, y, diamond.flat) === want, s"($x,$y)")
     }
   }
+
+  test("ShapeCollection: union semantics — minDist is min over parts, contains is any-part") {
+    val a = Polygon((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    val b = Polygon((10.0, 0.0), (14.0, 0.0), (14.0, 4.0), (0.0 + 10.0, 4.0))
+    val mp = ShapeCollection(Array[Shape](a, b))
+    assert(mp.dimensions === 2)
+    assert(mp.mbr === MBR(Point(0.0, 0.0), Point(14.0, 4.0)))
+    // inside either part -> contained, dist 0 (both dispatch directions)
+    assert(mp.contains(Point(2.0, 2.0)) && mp.contains(Point(12.0, 2.0)))
+    assert(Point(12.0, 2.0).intersects(mp) && mp.intersects(Point(12.0, 2.0)))
+    assert(mp.minDist(Point(12.0, 2.0)) === 0.0)
+    assert(Point(12.0, 2.0).minDist(mp) === 0.0)
+    // in the gap: min over parts (x=7 -> 3 from both sides... 7-4=3, 10-7=3)
+    assert(mp.minDist(Point(7.0, 2.0)) === 3.0)
+    assert(!mp.contains(Point(7.0, 2.0)))
+    // vs other shape kinds, symmetric
+    val box = MBR(Point(5.0, 1.0), Point(6.0, 3.0))
+    assert(mp.minDist(box) === 1.0 && box.minDist(mp) === 1.0)
+    assert(!mp.intersects(box) && !box.intersects(mp))
+    val touching = MBR(Point(3.0, 1.0), Point(6.0, 3.0))
+    assert(mp.intersects(touching) && touching.intersects(mp))
+    // a part with a hole keeps its ring algebra inside the collection
+    val holed = Polygon(
+      Array(Point(20.0, 0.0), Point(28.0, 0.0), Point(28.0, 8.0), Point(20.0, 8.0)),
+      Array(Array(Point(23.0, 3.0), Point(25.0, 3.0), Point(25.0, 5.0), Point(23.0, 5.0))))
+    val mixed = ShapeCollection(Array[Shape](a, holed))
+    assert(mixed.contains(Point(21.0, 1.0)))
+    assert(!mixed.contains(Point(24.0, 4.0)), "strict hole interior excluded")
+    assert(mixed.contains(Point(23.0, 4.0)), "hole boundary belongs to the polygon")
+  }
+
+  test("Multi* WKT: round-trips, polyline decomposition, geometry collections") {
+    val mp = ShapeCollection(Array[Shape](
+      Polygon((0.0, 0.0), (4.0, 0.0), (4.0, 4.0)),
+      Polygon(
+        Array(Point(10.0, 0.0), Point(18.0, 0.0), Point(18.0, 8.0), Point(10.0, 8.0)),
+        Array(Array(Point(13.0, 3.0), Point(15.0, 3.0), Point(15.0, 5.0), Point(13.0, 5.0))))))
+    val mpText = Wkt.format(mp)
+    assert(mpText.startsWith("MULTIPOLYGON ((("), mpText)
+    assert(Wkt.parse(mpText) === mp)
+    // multipoint, both OGC spellings
+    val pts = ShapeCollection(Array[Shape](Point(1.0, 2.0), Point(3.0, 4.0)))
+    assert(Wkt.format(pts) === "MULTIPOINT ((1.0 2.0), (3.0 4.0))")
+    assert(Wkt.parse("MULTIPOINT ((1 2), (3 4))") === pts)
+    assert(Wkt.parse("MULTIPOINT (1 2, 3 4)") === pts)
+    // multilinestring; a 3-vertex element decomposes into 2 segments
+    val mls = Wkt.parse("MULTILINESTRING ((0 0, 1 1, 2 0), (5 5, 6 6))")
+    assert(mls === ShapeCollection(Array[Shape](
+      LineSegment(Point(0.0, 0.0), Point(1.0, 1.0)),
+      LineSegment(Point(1.0, 1.0), Point(2.0, 0.0)),
+      LineSegment(Point(5.0, 5.0), Point(6.0, 6.0)))))
+    assert(Wkt.parse(Wkt.format(mls.asInstanceOf[ShapeCollection])) === mls)
+    // bare LINESTRING polylines decompose the same way
+    assert(Wkt.parse("LINESTRING (0 0, 1 1, 2 0)") ===
+      ShapeCollection(Array[Shape](
+        LineSegment(Point(0.0, 0.0), Point(1.0, 1.0)),
+        LineSegment(Point(1.0, 1.0), Point(2.0, 0.0)))))
+    // mixed kinds -> GEOMETRYCOLLECTION, recursively parsed (nesting ok)
+    val mix = ShapeCollection(Array[Shape](Point(1.0, 1.0), Circle(Point(0.0, 0.0), 2.0), pts))
+    val mixText = Wkt.format(mix)
+    assert(mixText.startsWith("GEOMETRYCOLLECTION (POINT"), mixText)
+    assert(Wkt.parse(mixText) === mix)
+    // strict failures still cite the text
+    Seq("MULTIPOLYGON (1 2)", "MULTILINESTRING (0 0, 1 1)",
+      "MULTIPOINT ()").foreach { bad =>
+      val e = intercept[IllegalArgumentException](Wkt.parse(bad))
+      assert(e.getMessage.contains(bad), e.getMessage)
+    }
+  }
+
+  test("Multi* WKB: golden MULTIPOLYGON bytes, homogeneity enforced, nesting bounded") {
+    def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val p1 = Polygon((0.0, 0.0), (1.0, 0.0), (1.0, 1.0))
+    val p2 = Polygon((2.0, 2.0), (3.0, 2.0), (3.0, 3.0))
+    // element bytes ARE each part's own full WKB (own marker + type),
+    // per OGC — golden: header 0106000000 + count + the two pinned
+    // polygon encodings (the first is the PostGIS-pinned golden from
+    // the single-polygon test)
+    val p1Hex = "010300000001000000040000000000000000000000000000000000000" +
+      "0000000000000f03f0000000000000000000000000000f03f000000000000f03f" +
+      "00000000000000000000000000000000"
+    val p2Hex = "0103000000010000000400000000000000000000400000000000000040" +
+      "000000000000084000000000000000400000000000000840000000000000084" +
+      "000000000000000400000000000000040"
+    val mp = ShapeCollection(Array[Shape](p1, p2))
+    assert(hex(Wkb.format(mp)) === "010600000002000000" + p1Hex + p2Hex)
+    assert(Wkb.parse(unhex("010600000002000000" + p1Hex + p2Hex)) === mp)
+    // all four collection types round-trip bit-lossless
+    val samples = Seq(
+      ShapeCollection(Array[Shape](Point(1.5, -2.25), Point(0.0, 7.0))),
+      ShapeCollection(Array[Shape](
+        LineSegment(Point(0.0, 0.0), Point(1.0, 1.0)),
+        LineSegment(Point(2.0, 0.0), Point(3.0, 1.0)))),
+      mp,
+      ShapeCollection(Array[Shape](Point(1.0, 2.0), Circle(Point(0.0, 0.0), 2.5))),
+      ShapeCollection(Array[Shape](Point(1.0, 2.0), mp))) // nested
+    samples.foreach(s => assert(Wkb.parse(Wkb.format(s)) === s, s.toString))
+    // a 3-vertex linestring inside MULTILINESTRING decomposes and flattens
+    val polyline = unhex("010500000001000000" + // MULTILINESTRING, 1 elem
+      "010200000003000000" + // linestring, 3 vertices
+      "0000000000000000" * 2 + "000000000000f03f" * 2 +
+      "0000000000000040" + "0000000000000000")
+    assert(Wkb.parse(polyline) === ShapeCollection(Array[Shape](
+      LineSegment(Point(0.0, 0.0), Point(1.0, 1.0)),
+      LineSegment(Point(1.0, 1.0), Point(2.0, 0.0)))))
+    // homogeneity: a point inside MULTIPOLYGON is malformed
+    val badMp = unhex("010600000001000000" +
+      "0101000000000000000000f03f0000000000000040")
+    val e = intercept[IllegalArgumentException](Wkb.parse(badMp))
+    assert(e.getMessage.contains("0x"), e.getMessage)
+    // struct codec tag 6 round-trips every sample, nesting included
+    samples.foreach { s =>
+      val (tag, coords) = ShapeCodec.encode(s)
+      assert(tag === ShapeCodec.TagCollection)
+      assert(ShapeCodec.decode(tag, coords) === s, s.toString)
+    }
+  }
 }

@@ -718,6 +718,69 @@ class StreamingOpsSpec extends SparkSpec {
       Seq("qid", "doc_id", "dl", "score"))
   }
 
+  test("query-set streams fail LOUDLY when a query's rows span wave files") {
+    import spark.implicits._
+    val tmp = System.getProperty("java.io.tmpdir")
+    val idx = new java.io.File(tmp, "graft_stqj_spec_idx").toString
+    val wave = new java.io.File(tmp, "graft_stqj_split_wave").toString
+    val out = new java.io.File(tmp, "graft_stqj_split_out").toString
+    graft.operators.DedupOps.deleteDir(spark, wave)
+    graft.operators.DedupOps.deleteDir(spark, out)
+    // qid 1 deliberately TORN across two wave files: fragment scores
+    // are not mergeable, so the wave-atomicity guard must kill the
+    // stream instead of silently emitting two fragment top-ks
+    Seq((1L, "spark"), (2L, "customer")).toDF("qid", "term")
+      .repartition(1).write.mode("append").parquet(wave)
+    Seq((1L, "vector")).toDF("qid", "term")
+      .repartition(1).write.mode("append").parquet(wave)
+    val e = intercept[Exception] {
+      StreamingOps.streamBm25QueryJoin(spark, wave, idx, "qid", "term",
+        k = 5, out)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("split across wave files")),
+      s"expected the wave-atomicity guard, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("streamHybridQueryJoin equals the batch hybrid query-join bit-for-bit " +
+    "across micro-batches") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps._
+    import graft.operators.VectorOps._
+    val tmp = System.getProperty("java.io.tmpdir")
+    val bm = new java.io.File(tmp, "graft_sthyb_spec_bm").toString
+    val ivf = new java.io.File(tmp, "graft_sthyb_spec_ivf").toString
+    val wave = new java.io.File(tmp, "graft_sthyb_spec_wave").toString
+    val out = new java.io.File(tmp, "graft_sthyb_spec_out").toString
+    graft.operators.DedupOps.deleteDir(spark, wave)
+    graft.operators.DedupOps.deleteDir(spark, out)
+    Tables.documents(spark, sf()).writeBm25Index(bm, "doc_id", "text")
+    Tables.embeddings(spark, sf()).writeIvfPq(ivf, "embedding", "vec_id",
+      nlist = 8, m = 4, ksub = 4, iters = 2)
+    val vecs = Tables.embeddings(spark, sf()).filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1L).as("qid"), col("embedding").as("qv"))
+    val q12 = Seq((1L, "spark"), (1L, "vector"), (2L, "customer"),
+      (2L, "hash"))
+    val q3 = Seq((3L, "merge"), (3L, "scan"))
+    q12.toDF("qid", "term").join(vecs, Seq("qid")).repartition(1)
+      .write.mode("append").parquet(wave)
+    q3.toDF("qid", "term").join(vecs, Seq("qid")).repartition(1)
+      .write.mode("append").parquet(wave)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq.sorted
+    val streamed = rows(StreamingOps.streamHybridQueryJoin(spark, wave,
+      bm, ivf, "qid", "term", "qv", "vec_id", "embedding",
+      candidates = 10, k = 3, out))
+    val batch = rows(CorpusOps.hybridTopKJoinAgainstIndex(spark, bm, ivf,
+      (q12 ++ q3).toDF("qid", "term"), vecs, "qid", "term", "qv",
+      "vec_id", "embedding", candidates = 10, k = 3))
+    assert(streamed === batch && streamed.nonEmpty,
+      "streamed hybrid query-set retrieval != batch hybrid query join")
+  }
+
   test("streamed PCA projection equals the batch projection bit-for-bit") {
     import spark.implicits._
     import graft.operators.VectorOps._
