@@ -53,19 +53,35 @@ object GraphOps {
                massScale: Long = 1000000000000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(massScale >= 1L, s"massScale must be >= 1, got $massScale")
+    // the edge frame is read every round (and often arrives as a
+    // distinct/join pipeline) — materialize it ONCE, pre-partitioned by
+    // src, so iterations scan blocks instead of re-running the caller's
+    // plan per action AND the per-round contribution join re-shuffles
+    // only the (node, rank) side, never the edges (guide §2.4: two
+    // operations keyed the same way share one exchange — the checkpoint
+    // preserves the hash partitioning across rounds)
     val e = edges.select(col(srcCol).cast("long").as("__graft_src"),
       col(dstCol).cast("long").as("__graft_dst"))
-    val nodes = e.select(col("__graft_src").as("node"))
-      .union(e.select(col("__graft_dst").as("node")))
-      .distinct().localCheckpoint()
-    val n = nodes.count()
-    if (n == 0L) return nodes.withColumn("rank", lit(0L))
+      .repartition(col("__graft_src")).localCheckpoint()
+    // node set and out-degrees in ONE union-aggregate pass (the previous
+    // shape paid a distinct shuffle, a separate outdeg aggregation, and
+    // a join to glue them): deg > 0 marks sources, null = dangling.
+    // Rank rows CARRY this degree, so the dangling mass is one
+    // null-filtered scan of the checkpointed ranks (no anti-join) and
+    // the contribution join needs no outdeg equi-join.
+    val nodesDeg = e.select(col("__graft_src").as("node"), lit(1L).as("__graft_c"))
+      .union(e.select(col("__graft_dst").as("node"), lit(0L).as("__graft_c")))
+      .groupBy(col("node"))
+      .agg(sum(col("__graft_c")).as("__graft_outc"))
+      .select(col("node"),
+        when(col("__graft_outc") > 0L, col("__graft_outc")).as("__graft_deg"))
+      .localCheckpoint()
+    val n = nodesDeg.count()
+    if (n == 0L) return nodesDeg.select(col("node")).withColumn("rank", lit(0L))
     val init = massScale / n
     val teleport = lit(dampInt(init, 3)) // floor(0.15 * init), exact
-    val outdeg = e.groupBy(col("__graft_src"))
-      .agg(count(lit(1)).as("__graft_deg")).localCheckpoint()
 
-    var ranks = nodes.withColumn("rank", lit(init))
+    var ranks = nodesDeg.withColumn("rank", lit(init))
     var i = 0
     while (i < iters) {
       // one-iteration lineage: the PREVIOUS round's frame materializes
@@ -73,33 +89,35 @@ object GraphOps {
       // iteration's plan visible (gated by PlanGateSpec) instead of
       // hiding it behind a trailing checkpoint
       if (i > 0) ranks = ranks.localCheckpoint()
-      ranks = prStep(nodes, e, outdeg, ranks, n, teleport)
+      ranks = prStep(nodesDeg, e, ranks, n, teleport)
       i += 1
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** One PageRank iteration — the exact arithmetic both the fixed-count
     * and the converging drivers share, so their round-i states are
-    * bit-identical by construction. */
-  private def prStep(nodes: DataFrame, e: DataFrame, outdeg: DataFrame,
+    * bit-identical by construction. `ranks` and `nodesDeg` carry
+    * `__graft_deg` (null = no out-edges); the returned frame carries it
+    * too, so the next round can reuse it. */
+  private def prStep(nodesDeg: DataFrame, e: DataFrame,
                      ranks: DataFrame, n: Long, teleport: Column): DataFrame = {
     // dangling mass: one exact long to the driver (sum as decimal —
-    // Spark's non-ANSI long sum would wrap silently on overflow)
-    val dang = ranks.join(outdeg, col("node") === col("__graft_src"), "left_anti")
+    // Spark's non-ANSI long sum would wrap silently on overflow). The
+    // deg-null filter reads the already-checkpointed ranks — no join.
+    val dang = ranks.filter(col("__graft_deg").isNull)
       .agg(coalesce(sum(col("rank").cast(DecimalType(38, 0))), lit(0))
         .cast("long")).head().getLong(0)
-    val contribs = ranks
+    val contribs = ranks.filter(col("__graft_deg").isNotNull)
       .join(e, col("node") === col("__graft_src"))
-      .join(outdeg, Seq("__graft_src"))
       .select(col("__graft_dst").as("node"),
         floor(col("rank") / col("__graft_deg")).cast("long").as("__graft_c"))
       .groupBy(col("node"))
       .agg(sum(col("__graft_c").cast(DecimalType(38, 0)))
         .cast("long").as("__graft_in"))
-    nodes
+    nodesDeg
       .join(contribs, Seq("node"), "left")
-      .select(col("node"),
+      .select(col("node"), col("__graft_deg"),
         (teleport + dampTerm(
           coalesce(col("__graft_in"), lit(0L)) + lit(dang / n), 17))
           .as("rank"))
@@ -129,21 +147,24 @@ object GraphOps {
     require(massScale >= 1L, s"massScale must be >= 1, got $massScale")
     val e = edges.select(col(srcCol).cast("long").as("__graft_src"),
       col(dstCol).cast("long").as("__graft_dst"))
-    val nodes = e.select(col("__graft_src").as("node"))
-      .union(e.select(col("__graft_dst").as("node")))
-      .distinct().localCheckpoint()
-    val n = nodes.count()
-    if (n == 0L) return (nodes.withColumn("rank", lit(0L)), 0)
+      .repartition(col("__graft_src")).localCheckpoint()
+    val nodesDeg = e.select(col("__graft_src").as("node"), lit(1L).as("__graft_c"))
+      .union(e.select(col("__graft_dst").as("node"), lit(0L).as("__graft_c")))
+      .groupBy(col("node"))
+      .agg(sum(col("__graft_c")).as("__graft_outc"))
+      .select(col("node"),
+        when(col("__graft_outc") > 0L, col("__graft_outc")).as("__graft_deg"))
+      .localCheckpoint()
+    val n = nodesDeg.count()
+    if (n == 0L) return (nodesDeg.select(col("node")).withColumn("rank", lit(0L)), 0)
     val init = massScale / n
     val teleport = lit(dampInt(init, 3))
-    val outdeg = e.groupBy(col("__graft_src"))
-      .agg(count(lit(1)).as("__graft_deg")).localCheckpoint()
 
-    var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint()
+    var ranks = nodesDeg.withColumn("rank", lit(init)).localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
-      val next = prStep(nodes, e, outdeg, ranks, n, teleport).localCheckpoint()
+      val next = prStep(nodesDeg, e, ranks, n, teleport).localCheckpoint()
       val delta = ranks.select(col("node"), col("rank").as("__graft_prev"))
         .join(next, Seq("node"))
         .agg(coalesce(sum(abs(col("rank") - col("__graft_prev"))
@@ -153,7 +174,7 @@ object GraphOps {
       i += 1
       if (delta <= tolL1) converged = true
     }
-    (ranks, i)
+    (ranks.select(col("node"), col("rank")), i)
   }
 
   /** Driver-side mirror of [[dampTerm]] for plan-time constants. */

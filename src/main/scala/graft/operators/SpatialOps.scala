@@ -668,7 +668,8 @@ object SpatialOps {
       val l = ds.toDF
       val rt = right.toDF
       require(l.columns.intersect(rt.columns).isEmpty, "need disjoint column names")
-      l.crossJoin(rt).filter(pointDistance(lKeys.map(col), rKeys.map(col)) <= r)
+      SpatialOps.spreadForCross(l).crossJoin(SpatialOps.spreadForCross(rt))
+        .filter(pointDistance(lKeys.map(col), rKeys.map(col)) <= r)
     }
 
     /** kNN join, windowed baseline: for every left row, its k nearest right
@@ -688,7 +689,8 @@ object SpatialOps {
       val l = ds.toDF
       val rt = right.toDF
       require(l.columns.intersect(rt.columns).isEmpty, "need disjoint column names")
-      val joined = l.crossJoin(rt)
+      val joined = SpatialOps.spreadForCross(l)
+        .crossJoin(SpatialOps.spreadForCross(rt))
         .withColumn(DIST, pointDistance(lKeys.map(col), rKeys.map(col)))
         .filter(col(DIST).isNotNull)
       val w = Window.partitionBy(col(leftId))
@@ -2176,6 +2178,21 @@ object SpatialOps {
     dbg(s"post-retry still-starved=${if (debug) still.count() else -1}")
 
     satisfied.unionByName(satisfied2).unionByName(fallback(still))
+  }
+
+  /** Ensure at least the cluster's default parallelism of partitions on
+    * a cross/BNL-join input (guide §2.6 idle capacity): the quadratic
+    * baselines stream whichever side is not broadcast at that side's
+    * SCAN partitioning, and a small-file table (one parquet split)
+    * serializes the entire pair kernel AND the window's map-side sort
+    * on one core — measured 1-task stages behind b5_knn_join_naive /
+    * b6v / b6_sim_join_exact at sf0.1. No-op when the input already has
+    * enough splits (the at-scale case), so nothing is re-shuffled on a
+    * big table; results are partitioning-independent either way. */
+  private[operators] def spreadForCross(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 
   private def toPts(rows: Array[org.apache.spark.sql.Row], dims: Int): Array[Array[Double]] =

@@ -1499,11 +1499,41 @@ object VectorOps {
         // every pair pays the d-dim kernel TWICE (once in the join
         // predicate, once in the projection — observed as the b6v
         // entry's 1.2-1.3x vs baseline)
-        left.filter(col(lVec).isNotNull)
-          .crossJoin(rt.filter(col(rVec).isNotNull))
+        val lf = SpatialOps.spreadForCross(left.filter(col(lVec).isNotNull))
+        // NARROW-PAIR window (guide §2.3 "project before the exchange",
+        // the pivot path's narrow top-k applied to the cross fallback):
+        // the |l|·|r| pairs previously crossed the window exchange at
+        // full width — BOTH d-dim embeddings riding every pair row
+        // (~530 B/pair at d=64 — a 2 GB exchange+sort for the 2000²
+        // b6v entry) — when the window only needs (lId, rowid, dist,
+        // tieBreak) ≈ 40 B to pick winners. Pairs now narrow INSIDE the
+        // cross stage and the k·|left| winners hydrate their payloads
+        // afterwards: left rows by the (unique) lId, right rows by a
+        // row id pinned on a LAZY local checkpoint (materialized only
+        // if this plan executes — as the pivot joins' starved fallback
+        // the plan is often built for an empty starved set, and an
+        // eager checkpoint would pay a full right materialization every
+        // build). Hydrate joins are pinned shuffle-hash exactly like
+        // the pivot path's (misestimated broadcasts of table-sized
+        // sides OOM'd the d=4 100x slice there).
+        val rf = SpatialOps.spreadForCross(rt.filter(col(rVec).isNotNull))
+          .withColumn("__graft_rrow", monotonically_increasing_id())
+          .localCheckpoint(eager = false)
+        val lNarrowCols = (Seq(lId, lVec) ++
+          tieBreak.filter(l.columns.contains)).distinct
+        val rNarrowCols = ("__graft_rrow" +: rVec +:
+          tieBreak.filter(rt.columns.contains)).distinct
+        val narrow = lf.select(lNarrowCols.map(col): _*)
+          .crossJoin(rf.select(rNarrowCols.map(col): _*))
           .withColumn("__graft_d", l2Distance(col(lVec), col(rVec)))
+          .select(col(lId) +: col("__graft_rrow") +: col("__graft_d") +:
+            tieBreak.map(col): _*)
           .withColumn("__graft_rn", row_number().over(w0))
           .filter(col("__graft_rn") <= k)
+          .select(col(lId), col("__graft_rrow"), col("__graft_d"))
+        narrow
+          .join(lf.hint("shuffle_hash"), Seq(lId))
+          .join(rf.hint("shuffle_hash"), Seq("__graft_rrow"))
           .select((l.columns ++ rt.columns).map(col) :+ col("__graft_d").as("l2"): _*)
       }
       // empty left: the naive plan IS the correct empty result
@@ -1781,9 +1811,10 @@ object VectorOps {
     def similarityJoinExact(right: Dataset[_], lVec: String, rVec: String,
                             lId: String, rId: String,
                             threshold: Double): DataFrame = {
-      val l = ds.toDF.select(col(lId), col(lVec))
+      val l = SpatialOps.spreadForCross(ds.toDF.select(col(lId), col(lVec)))
         .withColumn("__lnorm", vectorNorm(col(lVec)))
-      val r = right.toDF.select(col(rId).as("__rid"), col(rVec).as("__rvec"))
+      val r = SpatialOps.spreadForCross(
+          right.toDF.select(col(rId).as("__rid"), col(rVec).as("__rvec")))
         .withColumn("__rnorm", vectorNorm(col("__rvec")))
       val denom = col("__lnorm") * col("__rnorm")
       l.crossJoin(r)
