@@ -416,6 +416,103 @@ object VectorKernels {
     k
   }
 
+  /** Squared L2 between a float vector and a float centroid row —
+    * EXACTLY the `aggregate(zip_with(v, c, (a,b) => (a-b)²), 0.0, +)`
+    * HOF chain of the literal two-level IVF form it replaces
+    * (double-cast diffs, ascending-index accumulation from 0.0, no
+    * sqrt). */
+  @inline private def l2sqFC(v: ArrayData, c: Array[Float]): Double = {
+    val n = v.numElements()
+    require(n == c.length, s"vector dimension mismatch: $n vs ${c.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = v.getFloat(i).toDouble - c(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** sqrt-L2 between a float vector and a float centroid row — the
+    * `l2Distance(col, lit(center))` chain ([[l2F]]: double-cast diffs,
+    * ascending accumulation, one final sqrt). */
+  @inline private def l2FC(v: ArrayData, c: Array[Float]): Double =
+    math.sqrt(l2sqFC(v, c))
+
+  /** Two-level IVF cell ASSIGNMENT of a float vector (0-based global
+    * cell id `sc * childK + childIdx`): nearest supercell by
+    * (sqrt-L2, index) — the `array_position(array_min(__sd))` lowest-
+    * index tie-break of the literal form — then that supercell's
+    * nearest child by (squared L2, index). Super/child codebooks ride
+    * as reference objects; the literal form put an O(nlist·dim)
+    * data+expression matrix in the plan, which
+    * PushProjectionThroughUnion multiplied per union leg (the r12
+    * "planning bomb" rule: literal matrices stay O(100) elements). */
+  def twoLevelAssignF(v: ArrayData, sup: Array[Array[Float]],
+                      kids: Array[Array[Array[Float]]], childK: Int): Int = {
+    var sc = 0; var sbest = Double.PositiveInfinity
+    var i = 0
+    while (i < sup.length) {
+      val d = l2FC(v, sup(i))
+      if (d < sbest) { sbest = d; sc = i } // strict < : ties -> lowest
+      i += 1
+    }
+    val cws = kids(sc)
+    var cj = 0; var cbest = Double.PositiveInfinity
+    var j = 0
+    while (j < cws.length) {
+      val d = l2sqFC(v, cws(j))
+      if (d < cbest) { cbest = d; cj = j }
+      j += 1
+    }
+    sc * childK + cj
+  }
+
+  /** Two-level IVF PROBE set of a float vector: the two nearest
+    * supercells by (sqrt-L2, index), their children's (squared L2,
+    * global id) candidates merged, stably sorted by (dist, id), first
+    * `nprobe` global ids returned (0-based) — exactly the literal
+    * form's `slice(array_sort(concat(candOf(s1), candOf(s2))), 1,
+    * nprobe)`. Returns null when fewer than two supercells exist (the
+    * literal form's element_at(...,2) null cascade), so callers route
+    * those rows to the starved/naive path identically. */
+  def twoLevelProbesF(v: ArrayData, sup: Array[Array[Float]],
+                      kids: Array[Array[Array[Float]]], childK: Int,
+                      nprobe: Int): ArrayData = {
+    if (sup.length < 2) return null
+    var s1 = -1; var s2 = -1
+    var d1 = Double.PositiveInfinity; var d2 = Double.PositiveInfinity
+    var i = 0
+    while (i < sup.length) {
+      val d = l2FC(v, sup(i))
+      // (d, index) ordering with strict < : ties keep the lower index
+      if (d < d1) { d2 = d1; s2 = s1; d1 = d; s1 = i }
+      else if (d < d2) { d2 = d; s2 = i }
+      i += 1
+    }
+    val a = kids(s1); val b = kids(s2)
+    val m = a.length + b.length
+    val dist = new Array[Double](m)
+    val gid = new Array[Int](m)
+    var at = 0
+    var j = 0
+    while (j < a.length) {
+      dist(at) = l2sqFC(v, a(j)); gid(at) = s1 * childK + j; at += 1; j += 1
+    }
+    j = 0
+    while (j < b.length) {
+      dist(at) = l2sqFC(v, b(j)); gid(at) = s2 * childK + j; at += 1; j += 1
+    }
+    // stable sort by (dist, gid) — the struct array_sort semantics
+    val order = Array.range(0, m).sortBy(ix => (dist(ix), gid(ix)))
+    val k = math.min(nprobe, m)
+    val out = new Array[Int](k)
+    var o = 0
+    while (o < k) { out(o) = gid(order(o)); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Johnson–Lindenstrauss sign projection: `out(j) = Σ_i a(i) ·
     * s(i,j)` with `s(i,j) = +1` when [[fmix32]] of `i·outDim + j +
     * seed` lands in the lower half of the 32-bit range, else `−1` —

@@ -769,3 +769,86 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** `two_level_assign_f(qv)` — two-level IVF cell assignment of a float
+  * vector against super/child codebooks riding as reference objects
+  * (0-based global cell). Replaces the literal-matrix form of the
+  * approximate vector kNN join's right-side assign, whose
+  * O(nlist·dim) literals PushProjectionThroughUnion multiplied into
+  * every union leg (multi-GB explain strings / driver OOM at the 100x
+  * slice) — the r12 planning-bomb rule applied to this path.
+  * Arithmetic and tie-breaks replicate the literal form bit-for-bit
+  * ([[VectorKernels.twoLevelAssignF]]). */
+case class TwoLevelAssignF(child: Expression, sup: Array[Array[Float]],
+                           kids: Array[Array[Array[Float]]], childK: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "two_level_assign_f"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.twoLevelAssignF(v.asInstanceOf[ArrayData], sup, kids, childK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val supRef = ctx.addReferenceObj("graftSupF", sup, "float[][]")
+    val kidsRef = ctx.addReferenceObj("graftKidsF", kids, "float[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorKernels.twoLevelAssignF($v, $supRef, $kidsRef, $childK);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: TwoLevelAssignF => child == o.child && childK == o.childK &&
+      java.util.Arrays.deepEquals(sup.asInstanceOf[Array[AnyRef]],
+        o.sup.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.deepEquals(kids.asInstanceOf[Array[AnyRef]],
+        o.kids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + childK) +
+      java.util.Arrays.deepHashCode(sup.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `two_level_probes_f(qv)` — the probe set (first `nprobe` 0-based
+  * global cells by (dist, id) across the two nearest supercells'
+  * children) of a float vector, codebooks as reference objects; null
+  * when fewer than two supercells exist (the literal form's
+  * element_at null cascade). See [[VectorKernels.twoLevelProbesF]]. */
+case class TwoLevelProbesF(child: Expression, sup: Array[Array[Float]],
+                           kids: Array[Array[Array[Float]]], childK: Int,
+                           nprobe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "two_level_probes_f"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.twoLevelProbesF(v.asInstanceOf[ArrayData], sup, kids,
+      childK, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val supRef = ctx.addReferenceObj("graftSupF", sup, "float[][]")
+    val kidsRef = ctx.addReferenceObj("graftKidsF", kids, "float[][][]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.VectorKernels.twoLevelProbesF($v, $supRef, $kidsRef, $childK, $nprobe);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: TwoLevelProbesF => child == o.child && childK == o.childK &&
+      nprobe == o.nprobe &&
+      java.util.Arrays.deepEquals(sup.asInstanceOf[Array[AnyRef]],
+        o.sup.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.deepEquals(kids.asInstanceOf[Array[AnyRef]],
+        o.kids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * (31 * child.hashCode() + childK) + nprobe) +
+      java.util.Arrays.deepHashCode(sup.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

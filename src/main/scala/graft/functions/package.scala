@@ -167,6 +167,15 @@ package object functions {
                      centers: Array[Array[Long]]): Column =
     toCol(CentroidShiftL(toExpr(qv), toExpr(cell0), centers))
 
+  def twoLevelAssignF(qv: Column, sup: Array[Array[Float]],
+                      kids: Array[Array[Array[Float]]], childK: Int): Column =
+    toCol(TwoLevelAssignF(toExpr(qv), sup, kids, childK))
+
+  def twoLevelProbesF(qv: Column, sup: Array[Array[Float]],
+                      kids: Array[Array[Array[Float]]], childK: Int,
+                      nprobe: Int): Column =
+    toCol(TwoLevelProbesF(toExpr(qv), sup, kids, childK, nprobe))
+
   def centroidShiftD(qv: Column, cell0: Column,
                      centers: Array[Array[Double]]): Column =
     toCol(CentroidShiftD(toExpr(qv), toExpr(cell0), centers))

@@ -1061,10 +1061,15 @@ object CorpusOps {
     def boilerplateScore(idCol: String, textCol: String,
                          n: Int = 8, minDocs: Long = 2L): DataFrame = {
       require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+      // per-doc gram dedup INSIDE the row (array_distinct before the
+      // explode) — the previous `.distinct()` paid a full shuffle of the
+      // exploded gram table for a dedup that never crosses documents
+      // (guide §2.4: a distinct on data that is already unique). The
+      // gram-keyed exchange below is then shared by the df aggregation
+      // and the membership join (same child, same key — ReusedExchange).
       val grams = ds.toDF
         .select(col(idCol).as("__graft_bid"),
-          explode(wordGrams(col(textCol), n)).as("__graft_gram"))
-        .distinct()
+          explode(array_distinct(wordGrams(col(textCol), n))).as("__graft_gram"))
       // document frequency per gram; partial aggregation collapses each
       // mapper's grams before the shuffle
       val frequent = grams.groupBy(col("__graft_gram"))

@@ -1922,9 +1922,12 @@ object DedupOps {
       // materialize the edge list once: `pairs` is typically an
       // expensive near-dup join, and without this every round's jobs
       // would recompute it from scratch (measured 45s -> 3s at sf0.1)
+      // pre-partitioned by __src so every round's neighbor join
+      // re-shuffles only the (node, label) side, never the edges (the
+      // checkpoint preserves the hash partitioning across rounds)
       val edges = pairs.select(col(id1).as("__src"), col(id2).as("__dst"))
         .unionByName(pairs.select(col(id2).as("__src"), col(id1).as("__dst")))
-        .localCheckpoint()
+        .repartition(col("__src")).localCheckpoint()
       var labels = ownIds.withColumn("__lbl", col("__id"))
       var iter = 0
       var converged = false
@@ -1938,18 +1941,25 @@ object DedupOps {
         val viaPointer = labels.select(col("__id"), col("__lbl").as("__mid"))
           .join(labels.select(col("__id").as("__mid"), col("__lbl")), Seq("__mid"))
           .select(col("__id"), col("__lbl"))
-        val next = labels.unionByName(viaNeighbors).unionByName(viaPointer)
-          .groupBy(col("__id")).agg(min(col("__lbl")).as("__lbl"))
+        // the previous round's label rides the aggregate as `__old`
+        // (null on the propagation arms; labels has unique __id, so
+        // min(__old) is exactly the old label or null for a row that
+        // first appears this round — e.g. a foreign bridge id from
+        // `pairs`, which must count as changed or the bridge would
+        // never propagate). The old shape re-joined next against
+        // labels to find changes — one node-sized join per round gone
+        // (guide §2.4).
+        val next = labels.withColumn("__old", col("__lbl"))
+          .unionByName(viaNeighbors.withColumn("__old", lit(null).cast(
+            labels.schema("__lbl").dataType)))
+          .unionByName(viaPointer.withColumn("__old", lit(null).cast(
+            labels.schema("__lbl").dataType)))
+          .groupBy(col("__id"))
+          .agg(min(col("__lbl")).as("__lbl"), min(col("__old")).as("__old"))
           .localCheckpoint()
-        // left-outer, not inner: a foreign bridge id (present in `pairs`
-        // but not in this dataset) first appears in `next` as a NEW row —
-        // an inner join against the old labels would drop it, report
-        // "nothing changed", and converge before the bridge propagates
-        // (e.g. pairs (1,2),(1,4) over a dataset {2,4,6} must merge 2,4)
         val changed = next
-          .join(labels.withColumnRenamed("__lbl", "__old"), Seq("__id"), "left_outer")
           .filter(col("__old").isNull || col("__lbl") < col("__old")).count()
-        labels = next
+        labels = next.select(col("__id"), col("__lbl"))
         converged = changed == 0
         iter += 1
       }
@@ -1971,9 +1981,11 @@ object DedupOps {
   def contaminationPairs(corpus: DataFrame, eval: DataFrame,
                          corpusId: String, evalId: String, textCol: String,
                          n: Int = 8, minShared: Long = 1L): DataFrame = {
+    // per-doc dedup inside the row — (id, gram) pairs are distinct by
+    // construction after array_distinct, so no dedup shuffle is paid
     def grams(df: DataFrame, id: String, out: String) = df
-      .select(col(id).as(out), explode(wordGrams(col(textCol), n)).as("__graft_gram"))
-      .distinct()
+      .select(col(id).as(out),
+        explode(array_distinct(wordGrams(col(textCol), n))).as("__graft_gram"))
     // pass 1 (candidate gate): per-doc n-gram HASHES
     // ([[graft.functions.wordGramHashSet]] — no gram string ever rides
     // the exchange, only (id, 8-byte hash) rows) semi-joined against

@@ -1191,11 +1191,26 @@ object SpatialOps {
     // cost one scan and remove the whole estimator-risk class; every
     // downstream estimate (theta, per-cell thetas, admission bands)
     // inherits the accuracy.
+    // Volume-calibrated safety (guide §2.3 shuffle fewer bytes): the
+    // safety margin exists to cover unsampled lefts whose kth radius
+    // exceeds the sampled quantile, and what it costs downstream is
+    // CANDIDATE BALL VOLUME — radius * s admits ~s^d times the needed
+    // candidates. A flat s = 2 meant 4x overshoot in 2-D but 16x in
+    // 4-D (measured on the d=4 100x slice: 78.9M candidate pairs for
+    // 4.5M result rows, 92 s in the narrow top-k exchange — 17.5x).
+    // Calibrate to a DIMENSION-INVARIANT volume overshoot of s^2
+    // (i.e. the 2-D behavior, unchanged there): eff = s^(2/d). kth-NN
+    // radii concentrate as d grows, so the thinner radial margin still
+    // covers stragglers; exactness never depends on it — starved lefts
+    // take the doubled-theta retry + exact fallback either way.
+    val effSafety =
+      if (lKeys.length <= 2) safety
+      else math.pow(safety, 2.0 / lKeys.length)
     val radii: Array[Double] =
       if (rFrac >= 1.0)
-        lPts.map(p => math.max(kthSmallestDist(p, rPts, k) * safety, 1e-9))
+        lPts.map(p => math.max(kthSmallestDist(p, rPts, k) * effSafety, 1e-9))
       else
-        exactKthRadii(r, rKeys, lPts, k).map(d => math.max(d * safety, 1e-9))
+        exactKthRadii(r, rKeys, lPts, k).map(d => math.max(d * effSafety, 1e-9))
     (lPts, radii, quantileOf(radii.sorted, quantile), rTotal)
   }
 

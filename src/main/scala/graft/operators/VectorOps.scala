@@ -89,14 +89,6 @@ object VectorOps {
     Some(centers)
   }
 
-  /** 3-level float codebook matrix as ONE data literal (typedLit needs
-    * a TypeTag, which value classes forbid — the
-    * [[graft.operators.SpatialOps]] pivotsLit precedent). A DATA
-    * literal, not an expression matrix, so it is one plan node; used
-    * only by the bounded two-level trained-IVF verb. */
-  private[operators] def codebooksLitF(p: Array[Array[Array[Float]]]): org.apache.spark.sql.Column =
-    typedLit(p.map(_.map(_.toSeq).toSeq).toSeq)
-
   /** Per-subspace argmin code columns `__pqc0..__pqc{m-1}` against the
     * given codebooks (ties to the lowest code — first occurrence of the
     * min, the [[withCell]] shape). The distance arrays get their own
@@ -1693,54 +1685,29 @@ object VectorOps {
             if (members(i).isEmpty) Array(sup(i))
             else lloyd(members(i).toArray, childK)
           }.toArray
-          // the child codebooks ride in as ONE 3-level data literal —
-          // plan/code size stays O(√nlist) (supercell expressions only)
-          // however large nlist grows. A per-centroid expression tree
-          // here put O(nlist) nodes in the plan and stalled the 100x
-          // slice (nlist=1600 → 4800 kernel nodes) in codegen/GC; as
-          // DATA, the same centroids are one literal, and the per-row
-          // child scan is a higher-order fold over exactly the matched
-          // supercell's ≤childK rows.
-          val kidsLit = VectorOps.codebooksLitF(kids)
-          def l2sqHof(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-            aggregate(
-              zip_with(v, c, (a, b) => {
-                val d = a.cast("double") - b.cast("double"); d * d
-              }),
-              lit(0.0), (acc, x) => acc + x)
-          def supDistArr(v: String) =
-            array(sup.indices.map(i => l2Distance(col(v), lit(sup(i)))): _*)
-          // right: nearest supercell, then that supercell's child argmin
-          // (one element_at selects the child table; only it is scanned)
-          val rChildD = transform(element_at(kidsLit, col("__sc") + 1),
-            c => l2sqHof(col(rVec), c))
+          // super/child codebooks ride as REFERENCE OBJECTS inside two
+          // compiled kernels (assignment and probe-set). The previous
+          // shape carried them as an O(nlist·dim) data literal plus
+          // per-supercell expression columns — one copy was plannable,
+          // but PushProjectionThroughUnion replicates the projection
+          // into EVERY leg of a many-leg union input (the 100x trend's
+          // 100-replica table, or any real multi-source union), and the
+          // duplicated literals produced multi-GB explain strings that
+          // OOM'd the driver before a single task ran (r12 planning-
+          // bomb rule: literal matrices in plans stay O(100) elements).
+          // Kernels also COMPILE the child scan, which the HOF fold
+          // evaluated interpreted (ArrayTransform is CodegenFallback).
+          // Arithmetic and tie-breaks replicate the literal form
+          // bit-for-bit (see VectorKernels.twoLevel*F); fewer than two
+          // supercells yields a null probe set -> the starved/naive
+          // path, the literal form's element_at(...,2) null cascade.
           val rCelled = rt.filter(col(rVec).isNotNull)
-            .withColumn("__sd", supDistArr(rVec))
-            .withColumn("__sc",
-              (array_position(col("__sd"), array_min(col("__sd"))) - 1).cast("int"))
-            .withColumn("__cd", rChildD)
             .withColumn("__cell",
-              col("__sc") * childK +
-                (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int"))
-            .drop("__sd", "__sc", "__cd")
-          // left: two nearest supercells' children, nprobe best overall
-          val supStructs = array(sup.indices.map(i =>
-            struct(l2Distance(col(lVec), lit(sup(i))).as("d"),
-              lit(i).as("i"))): _*)
-          def candOf(sCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-            transform(element_at(kidsLit, sCol + 1), (c, j) =>
-              struct(l2sqHof(col(lVec), c).as("d"),
-                (sCol * childK + j).cast("int").as("i")))
+              graft.functions.twoLevelAssignF(col(rVec), sup, kids, childK))
           val lWithProbes = l.filter(col(lVec).isNotNull)
-            .withColumn("__stop", slice(array_sort(supStructs), 1, 2))
-            .withColumn("__s1", element_at(col("__stop"), 1).getField("i"))
-            .withColumn("__s2", element_at(col("__stop"), 2).getField("i"))
             .withColumn("__probes",
-              transform(
-                slice(array_sort(concat(candOf(col("__s1")), candOf(col("__s2")))),
-                  1, nprobe),
-                x => x.getField("i")))
-            .drop("__stop", "__s1", "__s2")
+              graft.functions.twoLevelProbesF(col(lVec), sup, kids, childK,
+                nprobe))
           joinCells(lWithProbes, rCelled)
         }
       }
