@@ -548,17 +548,35 @@ object SpatialOps {
       // All internal columns get side-distinct names so every reference
       // below is unqualified — immune to Spark's ambiguous-self-join trap
       // when the same Dataset object appears in several join trees.
+      //
+      // QUADRANT replication (the spatioTemporalJoin note, guide §2.3):
+      // cells of side 2r with per-axis DIRECTED neighbors — the reach
+      // interval [x-r, x+r] is exactly one cell long, so it spans the
+      // home cell plus the one neighbor on the side the point leans
+      // toward. Right rows replicate to 2^dims cells instead of the
+      // side-r grid's 3^dims (9 -> 4 in 2-D) at (4/3)^dims more
+      // candidate pairs for the exact filter; the filter is the only
+      // consumer downstream, so the trade moves replica-exchange bytes
+      // to compiled compares. Results identical (exact superset both
+      // ways).
+      val side = 2 * r
       val lCells = lKeys.zipWithIndex.map { case (k, i) =>
-        floor(col(k) / r).cast("long").as(s"${CELL}_l$i")
+        floor(col(k) / side).cast("long").as(s"${CELL}_l$i")
       }
       val lTagged = l.select(l.columns.map(col) ++ lCells: _*)
 
-      // right side: one row per neighboring cell offset (3^dims combos)
-      val offsets: Seq[Seq[Int]] = Seq.fill(dims)(Seq(-1, 0, 1))
-        .foldLeft(Seq(Seq.empty[Int]))((acc, cs) => for (a <- acc; c <- cs) yield a :+ c)
-      val offArr = array(offsets.map(o => array(o.map(lit): _*)): _*)
+      val nbCols: Seq[Column] = rKeys.map { k =>
+        val base = floor(col(k) / side)
+        when(col(k) - base * side < r, lit(-1L)).otherwise(lit(1L))
+      }
+      val combos: Seq[Seq[Boolean]] = Seq.fill(dims)(Seq(false, true))
+        .foldLeft(Seq(Seq.empty[Boolean]))(
+          (acc, cs) => for (a <- acc; c <- cs) yield a :+ c)
+      val offArr = array(combos.map(bits => array(bits.zipWithIndex.map {
+        case (b, i) => if (b) nbCols(i) else lit(0L)
+      }: _*)): _*)
       val rCells = rKeys.zipWithIndex.map { case (k, i) =>
-        (floor(col(k) / r).cast("long") +
+        (floor(col(k) / side).cast("long") +
           element_at(col("__graft_off"), i + 1)).as(s"${CELL}_r$i")
       }
       val rTagged = rt.withColumn("__graft_off", explode(offArr))
@@ -607,17 +625,47 @@ object SpatialOps {
         s"spatioTemporalJoin requires disjoint column names, shared: " +
           l.columns.intersect(rt.columns).mkString(","))
       val dims = lKeys.length
+      // QUADRANT replication (guide §2.3 shuffle fewer bytes): cells of
+      // side 2r (2·dt on the time axis) and per-axis DIRECTED neighbor
+      // choice. A point's reach interval [x-r, x+r] has exactly the
+      // cell's length, so it spans the home cell plus ONE neighbor —
+      // the lower one iff x sits in the lower half (frac < r), else
+      // the upper (frac == r only the home cell is needed; emitting
+      // the upper anyway is a harmless superset, removed by the exact
+      // filter). Right rows therefore replicate to 2^(dims+1) cells
+      // instead of the former side-r 3^(dims+1) — 27 -> 8 replica rows
+      // per right row here — at (4/3)^(dims+1) more candidate pairs
+      // for the cheap exact filter (coarser cells), a trade that moves
+      // work from the replica exchange to compiled compares. Left rows
+      // still map to exactly one cell, so any pair within (r, dt) per
+      // axis shares a (left cell == replicated right cell) key and the
+      // join stays a superset of the exact result.
+      val side = 2 * r
+      val tSide = 2 * dtMillis
       val lCells = lKeys.zipWithIndex.map { case (k, i) =>
-        floor(col(k) / r).cast("long").as(s"${CELL}_l$i")
-      } :+ expr(s"unix_millis(`$lTime`) div $dtMillis").as(s"${CELL}_l$dims")
+        floor(col(k) / side).cast("long").as(s"${CELL}_l$i")
+      } :+ expr(s"unix_millis(`$lTime`) div $tSide").as(s"${CELL}_l$dims")
       val lTagged = l.select(l.columns.map(col) ++ lCells: _*)
-      val offsets: Seq[Seq[Int]] = Seq.fill(dims + 1)(Seq(-1, 0, 1))
-        .foldLeft(Seq(Seq.empty[Int]))((acc, cs) => for (a <- acc; c <- cs) yield a :+ c)
-      val offArr = array(offsets.map(o => array(o.map(lit): _*)): _*)
+      // per-axis directed neighbor (-1 or +1) as columns, enumerated
+      // over the 2^(dims+1) subsets picking home (0) or the neighbor
+      val nbCols: Seq[Column] = rKeys.map { k =>
+        val base = floor(col(k) / side)
+        when(col(k) - base * side < r, lit(-1L)).otherwise(lit(1L))
+      } :+ {
+        val tm = expr(s"unix_millis(`$rTime`)")
+        val base = expr(s"unix_millis(`$rTime`) div $tSide")
+        when(tm - base * tSide < dtMillis, lit(-1L)).otherwise(lit(1L))
+      }
+      val combos: Seq[Seq[Boolean]] = Seq.fill(dims + 1)(Seq(false, true))
+        .foldLeft(Seq(Seq.empty[Boolean]))(
+          (acc, cs) => for (a <- acc; c <- cs) yield a :+ c)
+      val offArr = array(combos.map(bits => array(bits.zipWithIndex.map {
+        case (b, i) => if (b) nbCols(i) else lit(0L)
+      }: _*)): _*)
       val rCells = rKeys.zipWithIndex.map { case (k, i) =>
-        (floor(col(k) / r).cast("long") +
+        (floor(col(k) / side).cast("long") +
           element_at(col("__graft_off"), i + 1)).as(s"${CELL}_r$i")
-      } :+ (expr(s"unix_millis(`$rTime`) div $dtMillis") +
+      } :+ (expr(s"unix_millis(`$rTime`) div $tSide") +
         element_at(col("__graft_off"), dims + 1)).as(s"${CELL}_r$dims")
       val rTagged = rt.withColumn("__graft_off", explode(offArr))
         .select(rt.columns.map(col) ++ rCells: _*)

@@ -87,6 +87,29 @@ object OptProfile {
         skewedPts(spark, d, "l").knnJoinPivot(skewedPts(spark, d, "r")
             .select(col("rid").as("rid"), col("rx"), col("ry")),
           Seq("lx", "ly"), Seq("rx", "ry"), 3, "lid", Seq("rid"))
+      case "b4st" =>
+        val l = eventsPts(spark, d)
+        val rSide = eventsPts(spark, d).select(col("event_id").as("event_id2"),
+          col("ts").as("ts2"), col("ex").as("ex2"), col("ey").as("ey2"))
+        l.spatioTemporalJoin(rSide, Seq("ex", "ey"), Seq("ex2", "ey2"),
+            "ts", "ts2", r = 5.0, dtMillis = 300000L)
+          .filter(col("event_id") < col("event_id2"))
+      case "b4sts" =>
+        def skew(df: DataFrame, x: String, y: String): DataFrame =
+          df.withColumn(x, when(col("__id") % 10 < 3, pmod(col(x), lit(10.0)))
+              .otherwise(col(x)))
+            .withColumn(y, when(col("__id") % 10 < 3, pmod(col(y), lit(10.0)))
+              .otherwise(col(y)))
+            .drop("__id")
+        val ls = skew(eventsPts(spark, d).withColumn("__id", col("event_id")),
+          "ex", "ey")
+        val rs = skew(eventsPts(spark, d)
+          .select(col("event_id").as("event_id2"), col("ts").as("ts2"),
+            col("ex").as("ex2"), col("ey").as("ey2"))
+          .withColumn("__id", col("event_id2")), "ex2", "ey2")
+        ls.spatioTemporalJoin(rs, Seq("ex", "ey"), Seq("ex2", "ey2"),
+            "ts", "ts2", r = 5.0, dtMillis = 300000L)
+          .filter(col("event_id") < col("event_id2"))
       case "b8pr" =>
         val e = lineitem(spark, d)
           .select(col("l_suppkey").as("src"), (col("l_partkey") + 50000000L).as("dst"))
