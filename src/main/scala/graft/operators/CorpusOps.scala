@@ -1065,19 +1065,24 @@ object CorpusOps {
       // explode) — the previous `.distinct()` paid a full shuffle of the
       // exploded gram table for a dedup that never crosses documents
       // (guide §2.4: a distinct on data that is already unique). The
-      // gram-keyed exchange below is then shared by the df aggregation
-      // and the membership join (same child, same key — ReusedExchange).
+      // explicit gram-keyed repartition exists for SHARING: the gram
+      // stream feeds both the df aggregation and the membership join,
+      // and without a common exchange the scan+tokenize+explode subtree
+      // is planned twice (measured: the distinct-removal alone made the
+      // bench entry SLOWER, 4.5 -> 6.0 s, two full tokenize passes);
+      // with it, both consumers read ONE ReusedExchange, the df
+      // aggregation runs exchange-free on the pre-distributed stream,
+      // and the join is co-partitioned on both sides.
       val grams = ds.toDF
         .select(col(idCol).as("__graft_bid"),
           explode(array_distinct(wordGrams(col(textCol), n))).as("__graft_gram"))
-      // document frequency per gram; partial aggregation collapses each
-      // mapper's grams before the shuffle
+        .repartition(col("__graft_gram"))
       val frequent = grams.groupBy(col("__graft_gram"))
         .agg(count(lit(1)).as("__graft_df"))
         .filter(col("__graft_df") >= minDocs)
       // left join + count(non-null) flags boilerplate membership without
       // a second scan of the gram table
-      grams.join(frequent, Seq("__graft_gram"), "left")
+      grams.join(frequent.hint("shuffle_hash"), Seq("__graft_gram"), "left")
         .groupBy(col("__graft_bid"))
         .agg(count(lit(1)).as("total_grams"),
           count(col("__graft_df")).as("boilerplate_grams"))

@@ -115,6 +115,9 @@ object OptProfile {
           .select(col("l_suppkey").as("src"), (col("l_partkey") + 50000000L).as("dst"))
           .distinct()
         graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 3)
+      case "b8b" =>
+        import graft.operators.CorpusOps._
+        documents(spark, d).boilerplateScore("doc_id", "text", n = 5, minDocs = 2L)
       case "b8tc" =>
         val li = lineitem(spark, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         val pairs = li.as("x").join(li.as("y"), Seq("ok"))
