@@ -102,17 +102,12 @@ object GraphOps {
     * too, so the next round can reuse it. */
   private def prStep(nodesDeg: DataFrame, e: DataFrame,
                      ranks: DataFrame, n: Long, teleport: Column): DataFrame = {
-    // dangling mass rides the round's OWN action as a one-row broadcast
-    // cross (sum as decimal — Spark's non-ANSI long sum would wrap
-    // silently on overflow; the deg-null filter reads the checkpointed
-    // ranks, no join). The previous shape head()'d it to the driver,
-    // which cost a separate action — one extra scan of the rank table
-    // per round — just to inline a literal. `div` is exact integer
-    // division, equal to the former driver-side `dang / n` (both
-    // operands non-negative).
-    val dangDf = ranks.filter(col("__graft_deg").isNull)
+    // dangling mass: one exact long to the driver (sum as decimal —
+    // Spark's non-ANSI long sum would wrap silently on overflow). The
+    // deg-null filter reads the already-checkpointed ranks — no join.
+    val dang = ranks.filter(col("__graft_deg").isNull)
       .agg(coalesce(sum(col("rank").cast(DecimalType(38, 0))), lit(0))
-        .cast("long").as("__graft_dang"))
+        .cast("long")).head().getLong(0)
     val contribs = ranks.filter(col("__graft_deg").isNotNull)
       .join(e, col("node") === col("__graft_src"))
       .select(col("__graft_dst").as("node"),
@@ -122,11 +117,9 @@ object GraphOps {
         .cast("long").as("__graft_in"))
     nodesDeg
       .join(contribs, Seq("node"), "left")
-      .crossJoin(broadcast(dangDf))
       .select(col("node"), col("__graft_deg"),
         (teleport + dampTerm(
-          coalesce(col("__graft_in"), lit(0L)) +
-            expr(s"__graft_dang div ${n}L"), 17))
+          coalesce(col("__graft_in"), lit(0L)) + lit(dang / n), 17))
           .as("rank"))
   }
 
