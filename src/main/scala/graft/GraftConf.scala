@@ -49,6 +49,14 @@ object GraftConf {
   // target right rows per Voronoi cell for the pivot kNN joins'
   // size-adaptive budget (smaller = fewer candidate pairs, more pivots)
   val KnnPivotCellSize   = "spark.graft.knn.pivotCellSize"
+  // cross-pair budget for routing starved lefts STRAIGHT to the exact
+  // cross-window fallback: direct-naive only when starved · |right|
+  // stays under this (and starved <= retryThreshold); above it the
+  // bounded doubled-theta retry runs first, so a small starved count
+  // against a huge right side cannot detonate into a billions-of-pairs
+  // cross (measured: 1000 starved x 1.5M rights = 1.5e9 pairs was the
+  // dominant term of the d=4 100x slice)
+  val KnnNaivePairBudget = "spark.graft.knn.naivePairBudget"
   val KnnVecApprox       = "spark.graft.knn.vec.approx"
   val KnnVecApproxNlist  = "spark.graft.knn.vec.approx.nlist"
   val KnnVecApproxNprobe = "spark.graft.knn.vec.approx.nprobe"
@@ -93,6 +101,8 @@ object GraftConf {
   def knnMaterialize(s: SparkSession): Boolean = get(s, KnnMaterialize, "true").toBoolean
   def knnMaxPivots(s: SparkSession): Int = get(s, KnnMaxPivots, "65536").toInt
   def knnPivotCellSize(s: SparkSession): Int = get(s, KnnPivotCellSize, "64").toInt
+  def knnNaivePairBudget(s: SparkSession): Long =
+    get(s, KnnNaivePairBudget, "33554432").toLong
   def knnVecApprox(s: SparkSession): Boolean = get(s, KnnVecApprox, "false").toBoolean
   def knnVecApproxNlist(s: SparkSession): Int = get(s, KnnVecApproxNlist, "16").toInt
   def knnVecApproxNprobe(s: SparkSession): Int = get(s, KnnVecApproxNprobe, "4").toInt

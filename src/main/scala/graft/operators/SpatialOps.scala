@@ -772,7 +772,7 @@ object SpatialOps {
       val l = ds.toDF
       val rt = right.toDF
 
-      val (lPts, radii, theta, _) =
+      val (lPts, radii, theta, nRight) =
         SpatialOps.sampleKnnRadii(l, rt, lKeys, rKeys, k, sampleCap, quantile, safety)
       val gridCell = (p: Array[Double]) => p.toSeq.map(x => math.floor(x / theta).toLong)
       val cellThetas: Map[Seq[Long], Double] =
@@ -797,7 +797,8 @@ object SpatialOps {
 
       val fallback = SpatialOps.starvedFallback(starved, rt, lKeys, rKeys,
         k, leftId, tieBreak, theta,
-        SpatialOps.retryCellThetas(lPts, radii, quantile, theta), retryThreshold)
+        SpatialOps.retryCellThetas(lPts, radii, quantile, theta), retryThreshold,
+        rightCount = nRight)
       satisfied.unionByName(fallback)
     }
 
@@ -884,7 +885,7 @@ object SpatialOps {
           fallback = starved =>
             new DatasetSpatialOps(starved).knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak),
           cellThetas = cellThetas,
-          retryThreshold = retryThreshold, hier = hier)
+          retryThreshold = retryThreshold, hier = hier, rightCount = nRight)
 
       if (lKeys.length <= 3 && pTarget > SpatialOps.HierPivotThreshold) {
         // ---- two-level route (p ∝ n, d <= 3) ----
@@ -1906,9 +1907,17 @@ object SpatialOps {
   private[operators] def starvedFallback(
       starved0: DataFrame, rt: DataFrame, lKeys: Seq[String], rKeys: Seq[String],
       k: Int, leftId: String, tieBreak: Seq[String], theta: Double,
-      cellThetas2: Map[Seq[Long], Double], retryThreshold: Long): DataFrame = {
+      cellThetas2: Map[Seq[Long], Double], retryThreshold: Long,
+      rightCount: Long = -1L): DataFrame = {
     val starved = starved0.localCheckpoint()
-    if (starved.count() <= retryThreshold)
+    val nStarved = starved.count()
+    // pair-volume gate, same rationale as pivotCellKnn's: direct-naive
+    // costs starved · |right| window pairs, so the count-only threshold
+    // alone hides a quadratic bomb on huge right sides
+    val directNaive = nStarved <= retryThreshold && (rightCount < 0L ||
+      nStarved <= graft.GraftConf.knnNaivePairBudget(rt.sparkSession) /
+        math.max(rightCount, 1L))
+    if (directNaive)
       new DatasetSpatialOps(starved).knnJoinNaive(rt, lKeys, rKeys, k, leftId, tieBreak)
     else
       gridRetryThenNaive(starved, rt, lKeys, rKeys, k, leftId, tieBreak,
@@ -2062,7 +2071,8 @@ object SpatialOps {
       outCols: Seq[Column], fallback: DataFrame => DataFrame,
       cellThetas: Map[Int, Double] = Map.empty,
       retryThreshold: Long = 1024L,
-      hier: Option[PivotHierarchy] = None): DataFrame = {
+      hier: Option[PivotHierarchy] = None,
+      rightCount: Long = -1L): DataFrame = {
     // measurement aid, off by default: stage-volume stats to stderr
     // (each stat is an extra count job — never enable in production)
     val debug = l.sparkSession.conf
@@ -2197,9 +2207,20 @@ object SpatialOps {
       minusByKey(l, keptIds, lId).localCheckpoint()
     }
     val nStarved = timed("starved count")(starved.count())
-    dbg(s"starved=$nStarved (retryThreshold=$retryThreshold -> " +
-      s"${if (nStarved <= retryThreshold) "direct fallback" else "doubled-theta retry"})")
-    if (nStarved <= retryThreshold)
+    // Direct-naive is gated on PAIR VOLUME, not starved count alone:
+    // the exact fallback costs starved · |right| window pairs, so a
+    // "small" starved set against a huge right side is a hidden
+    // quadratic bomb — 1000 starved lefts (under the 1024 threshold)
+    // against the 1.5M-row d=4 100x slice put a 1.5e9-pair cross at
+    // ~170 s where the doubled-theta retry rescues them in one cheap
+    // candidate pass. Unknown rightCount (-1) keeps the count-only
+    // routing.
+    val directNaive = nStarved <= retryThreshold && (rightCount < 0L ||
+      nStarved <= graft.GraftConf.knnNaivePairBudget(l.sparkSession) /
+        math.max(rightCount, 1L))
+    dbg(s"starved=$nStarved (retryThreshold=$retryThreshold rightCount=$rightCount -> " +
+      s"${if (directNaive) "direct fallback" else "doubled-theta retry"})")
+    if (directNaive)
       return satisfied.unionByName(fallback(starved))
 
     // Bounded retry before the cross-window fallback (VERDICT r6 #4):
@@ -2213,14 +2234,27 @@ object SpatialOps {
     // so the doubled band admits every such right — >= k candidates
     // here provably contain the true k nearest.
     val thetaArr2 = lit((1 to numPivots).map(thetaOf(_) * 2).toArray)
-    val bands2 = Array.tabulate(numPivots)(i =>
-      maxDl.get(i + 1).map(_ + thetaOf(i + 1) * 2).getOrElse(Double.NegativeInfinity))
     val lAug2 = starved
       .withColumn("__graft_asgn", argminCol(lVec))
       .withColumn("__graft_cell", col("__graft_asgn.cell"))
       .filter(col("__graft_cell").isNotNull)
+      .withColumn("__graft_dl", col("__graft_asgn.dist"))
       .withColumn("__graft_ctheta", element_at(thetaArr2, col("__graft_cell")))
       .drop("__graft_asgn")
+    // retry bands from the STARVED lefts' own cells (one tiny agg over
+    // the checkpointed starved set): the full-left maxDl upper-bounds
+    // correctly but admits rights into every populated cell — at the
+    // 100x slice the doubled bands over all cells re-replicated most of
+    // the right side to serve a few hundred starved rows. A right
+    // serving starved left l in cell i satisfies
+    // d(r, p_i) <= d(l, p_i) + 2·theta_i <= maxDl2_i + 2·theta_i, so
+    // starved-only bands stay exact; starved-free cells go -inf (no
+    // replicas materialize).
+    val maxDl2 = lAug2.groupBy(col("__graft_cell"))
+      .agg(max(col("__graft_dl")).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val bands2 = Array.tabulate(numPivots)(i =>
+      maxDl2.get(i + 1).map(_ + thetaOf(i + 1) * 2).getOrElse(Double.NegativeInfinity))
     val admitted2 = rt
       .withColumn("__graft_rcell", explode(admittedCol(rVec, bands2)))
       .withColumn("__graft_rrow", monotonically_increasing_id())

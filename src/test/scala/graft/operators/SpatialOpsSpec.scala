@@ -245,6 +245,27 @@ class SpatialOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("starved routing: naive-pair budget forces the doubled-theta retry, results exact") {
+    // tiny safety starves most lefts; budget=1 makes ANY starved count
+    // exceed the pair budget, so the route MUST take the doubled-theta
+    // retry (the 100x defense: starved · |right| crosses are a hidden
+    // quadratic, r16) — and the result must still equal the oracle
+    // through retry + residual naive, for both the pivot and grid verbs
+    spark.conf.set(graft.GraftConf.KnnNaivePairBudget, "1")
+    try {
+      val want = pairSet(cust.knnJoinNaive(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+        k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey")))
+      val pivot = pairSet(cust.knnJoinPivot(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+        k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey"),
+        numPivots = 8, safety = 0.2))
+      assert(pivot === want)
+      val grid = pairSet(cust.knnJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"),
+        k = 3, leftId = "c_custkey", tieBreak = Seq("s_suppkey"),
+        safety = 0.2))
+      assert(grid === want)
+    } finally spark.conf.unset(graft.GraftConf.KnnNaivePairBudget)
+  }
+
   test("zknnJoin: exact distances, high recall vs exact kNN join") {
     val approx = pairSet(cust.zknnJoin(supp, Seq("cx", "cy"), Seq("sx", "sy"),
       k = 3, leftId = "c_custkey", rightId = "s_suppkey",
