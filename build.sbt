@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the bench's
+// one-line JSON from the captured output. sbt's default LoggedOutput
+// relays the forked JVM's stdout through the logger with an "[info] "
+// prefix, which has made the line unparseable in every round's BENCH
+// artifact (r16 verdict #2). StdoutOutput hands the forked process
+// sbt's own stdout/stderr directly: program stdout stays raw and
+// program stderr (Spark logs) stays on stderr instead of being folded
+// into stdout as "[error] " lines.
+run / outputStrategy := Some(StdoutOutput)
+// ...and suppress the "[success] Total time" trailer so the bench's
+// JSON line is the LAST stdout line of the sbt invocation.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by another task —
+// exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

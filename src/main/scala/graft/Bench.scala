@@ -1175,18 +1175,41 @@ object Bench {
         .getOrElse("") +
       dirtyField +
       s""""attempts":[${dirtySummaries.mkString(",")}],""" +
-      s""""sf":"$sfDir"}"""
-    println(line)
-    // also land the line in a file: log-relay tail limits truncated the
-    // round-6 artifact mid-JSON, losing 11 entries — a file can't be
-    // clipped by a stdout relay
-    try {
-      val p = java.nio.file.Paths.get("target", "bench.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] json also written to ${p.toAbsolutePath}")
-    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+      s""""cpus":$cpus,"sf":"$sfDir"}"""
+    // The FULL record (attempts, probes, bands, steady history — several
+    // KB) goes to files only: target/bench.json (the long-standing
+    // artifact path) plus a per-run target/bench_c<N>.json so a later
+    // scaling run at a different core count never clobbers this run's
+    // per-query record (r16 verdict #1: the 8-core run overwrote the
+    // only recoverable 32-core artifact).
+    for (fname <- Seq("bench.json", s"bench_c$cpus.json")) {
+      try {
+        val p = java.nio.file.Paths.get("target", fname)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] full json written to ${p.toAbsolutePath}")
+      } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    }
     spark.stop()
+    // The driver-contract line, printed LAST (after spark.stop() so no
+    // shutdown logging can follow it) and COMPACT (r16 verdict #2: the
+    // driver keeps a bounded tail of the output and its parse has
+    // failed every round on the multi-KB full line): per-query seconds
+    // (3 decimals — full precision lives in the files above), total,
+    // cpus, sf, plus the dirty flag when no sweep attempt came back
+    // clean. Same schema as always, fewer bytes; no entry renamed or
+    // dropped.
+    def r3(v: Double): String = {
+      val s = java.math.BigDecimal.valueOf(v)
+        .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
+    val compactQueries = rec.wall
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(chosen.total)},"unit":"sec",""" +
+      s""""queries":$compactQueries,""" + dirtyField +
+      s""""cpus":$cpus,"sf":"$sfDir"}""")
   }
 
   private def jmap(m: scala.collection.Map[String, Double]): String =

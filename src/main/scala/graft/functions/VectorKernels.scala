@@ -370,6 +370,31 @@ object VectorKernels {
     total
   }
 
+  /** Weighted-sum projection replicating the PCA scorer's former HOF
+    * chain `aggregate(zip_with(v, w, (x, w) => x.cast(double) * w),
+    * 0.0, (acc, x) => acc + x)` BIT-FOR-BIT: per-index product
+    * `v_i.toDouble * w_i`, sequential left-fold additions from a 0.0
+    * seed in index order. The HOF form is CodegenFallback (interpreted,
+    * boxed per element — a real k·d-per-row cost at corpus scale); this
+    * is one static call inside whole-stage codegen. Null semantics
+    * match zip_with's padding + aggregate's null cascade: a null
+    * element, or a vector whose length differs from the weight count,
+    * yields null (boxed return is the null channel). */
+  def projectFold(v: ArrayData, floatInput: Boolean,
+                  w: Array[Double]): java.lang.Double = {
+    val n = v.numElements()
+    if (n != w.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (floatInput) v.getFloat(i).toDouble else v.getDouble(i)
+      acc += x * w(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Sign-bit sketch: dot the vector against `nPlanes` deterministic
     * pseudo-random hyperplanes (seeded by plane index) and pack the signs
     * into a Long — random-hyperplane LSH for cosine similarity. */

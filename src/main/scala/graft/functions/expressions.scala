@@ -770,6 +770,51 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `project_fold(vec) -> double` — weighted sum of a float/double array
+  * against a literal direction, the PCA scorer's per-row fold compiled
+  * ([[VectorKernels.projectFold]] replicates the former
+  * aggregate(zip_with(...)) HOF chain bit-for-bit; the HOF form is
+  * CodegenFallback). The direction rides the plan as ONE reference
+  * object. Null element / length-mismatch inputs yield null, exactly
+  * the HOF chain's null cascade. */
+case class ProjectFold(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  require(weights.nonEmpty, "project_fold needs a non-empty direction")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "project_fold"
+
+  private def floatInput: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.projectFold(v.asInstanceOf[ArrayData], floatInput, weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftFoldDir", weights, "double[]")
+    val tmp = ctx.freshName("graftPf")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      java.lang.Double $tmp = graft.functions.VectorKernels.projectFold($v, $floatInput, $ref);
+      ${ev.isNull} = ($tmp == null);
+      if (!${ev.isNull}) { ${ev.value} = $tmp.doubleValue(); }
+    """)
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: ProjectFold => child == o.child &&
+      java.util.Arrays.equals(weights, o.weights)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(weights)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `two_level_assign_f(qv)` — two-level IVF cell assignment of a float
   * vector against super/child codebooks riding as reference objects
   * (0-based global cell). Replaces the literal-matrix form of the

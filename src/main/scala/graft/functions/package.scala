@@ -184,6 +184,9 @@ package object functions {
             subDim: Int): Column =
     toCol(PqAdc(toExpr(qv), toExpr(codes), books, subDim))
 
+  def projectFold(vec: Column, weights: Array[Double]): Column =
+    toCol(ProjectFold(toExpr(vec), weights))
+
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
 

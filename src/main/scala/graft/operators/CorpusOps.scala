@@ -1056,6 +1056,12 @@ object CorpusOps {
       * Documents shorter than `n` words have no grams and are absent
       * from the output (nothing to score).
       *
+      * Contract: `idCol` must identify exactly ONE row per document
+      * (the corpus-table invariant every dedup op here shares). The
+      * in-row `array_distinct` gram dedup relies on it — a doc id
+      * spread across several rows would count document frequency per
+      * ROW and inflate both gram counts (ADVICE r16).
+      *
       * Plain integer counts plus one double division, so any SQL engine
       * replays the scores bit-for-bit. */
     def boilerplateScore(idCol: String, textCol: String,

@@ -1977,7 +1977,12 @@ object DedupOps {
     * the gram STRING keeps the operator engine-replayable end to end;
     * at petabyte scale substitute `fingerprint64(gram)` for the join
     * key to shuffle 8-byte hashes instead (same pairs up to hash
-    * collisions). */
+    * collisions).
+    *
+    * Contract: `corpusId` / `evalId` must identify exactly ONE row per
+    * document — the in-row `array_distinct` gram dedup counts shared
+    * grams per (corpus row, eval row), so a duplicated id would
+    * inflate `n_shared` past the per-document count (ADVICE r16). */
   def contaminationPairs(corpus: DataFrame, eval: DataFrame,
                          corpusId: String, evalId: String, textCol: String,
                          n: Int = 8, minShared: Long = 1L): DataFrame = {

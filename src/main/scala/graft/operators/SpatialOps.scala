@@ -601,10 +601,12 @@ object SpatialOps {
       * more grid axis: a row's cell is (floor(x/r).., floor(ms/dt)),
       * the right side replicates over the 3^(d+1) neighbor offsets, a
       * qualifying pair shares the left row's own cell exactly once,
-      * and BOTH exact predicates refine. Time cells use integer
-      * `unix_millis div dt` (exact in every engine); the millisecond
-      * resolution is the operator's contract, which keeps the time
-      * predicate engine-replayable (epoch_ms on the SQL side).
+      * and BOTH exact predicates refine. Time cells use exact integer
+      * floor division of `unix_millis` (pmod-based floorDiv — plain
+      * `div` truncates toward zero and mis-cells pre-1970 timestamps);
+      * the millisecond resolution is the operator's contract, which
+      * keeps the time predicate engine-replayable (epoch_ms on the SQL
+      * side).
       *
       * The reference lists spatio-temporal analytics as "developing"
       * (reference README.md:22-24); this is that direction as a
@@ -642,9 +644,20 @@ object SpatialOps {
       // join stays a superset of the exact result.
       val side = 2 * r
       val tSide = 2 * dtMillis
+      // Time cells need TRUE floor division (ADVICE r16, high): Spark's
+      // `div` truncates toward zero, so for pre-1970 timestamps (negative
+      // unix_millis) the home cell was one too high AND the directed-
+      // neighbor fraction `tm - base*tSide` went negative (< dtMillis
+      // always -> the -1 neighbor unconditionally), silently dropping
+      // matching pairs. floorDiv via pmod stays exact integer arithmetic:
+      // pmod(tm, tSide) ∈ [0, tSide) for tSide > 0, (tm - pmod) is an
+      // exact multiple, so the truncating div of it IS the floor. For
+      // tm >= 0 this is bit-identical to the old expressions.
+      def tFloorCell(c: String): Column =
+        expr(s"(unix_millis(`$c`) - pmod(unix_millis(`$c`), $tSide)) div $tSide")
       val lCells = lKeys.zipWithIndex.map { case (k, i) =>
         floor(col(k) / side).cast("long").as(s"${CELL}_l$i")
-      } :+ expr(s"unix_millis(`$lTime`) div $tSide").as(s"${CELL}_l$dims")
+      } :+ tFloorCell(lTime).as(s"${CELL}_l$dims")
       val lTagged = l.select(l.columns.map(col) ++ lCells: _*)
       // per-axis directed neighbor (-1 or +1) as columns, enumerated
       // over the 2^(dims+1) subsets picking home (0) or the neighbor
@@ -652,9 +665,8 @@ object SpatialOps {
         val base = floor(col(k) / side)
         when(col(k) - base * side < r, lit(-1L)).otherwise(lit(1L))
       } :+ {
-        val tm = expr(s"unix_millis(`$rTime`)")
-        val base = expr(s"unix_millis(`$rTime`) div $tSide")
-        when(tm - base * tSide < dtMillis, lit(-1L)).otherwise(lit(1L))
+        val frac = expr(s"pmod(unix_millis(`$rTime`), $tSide)")
+        when(frac < dtMillis, lit(-1L)).otherwise(lit(1L))
       }
       val combos: Seq[Seq[Boolean]] = Seq.fill(dims + 1)(Seq(false, true))
         .foldLeft(Seq(Seq.empty[Boolean]))(
@@ -665,7 +677,7 @@ object SpatialOps {
       val rCells = rKeys.zipWithIndex.map { case (k, i) =>
         (floor(col(k) / side).cast("long") +
           element_at(col("__graft_off"), i + 1)).as(s"${CELL}_r$i")
-      } :+ (expr(s"unix_millis(`$rTime`) div $tSide") +
+      } :+ (tFloorCell(rTime) +
         element_at(col("__graft_off"), dims + 1)).as(s"${CELL}_r$dims")
       val rTagged = rt.withColumn("__graft_off", explode(offArr))
         .select(rt.columns.map(col) ++ rCells: _*)
@@ -958,11 +970,33 @@ object SpatialOps {
         // the sparse-region-sized global quantile and admits almost
         // everything. minSamples = 8: pivot cells are extent-sized —
         // see perCellQuantile.
-        val nearestPivot = (p: Array[Double]) =>
-          pivots.indices.minBy(i => graft.spatial.Dist.pointToPoint(p, pivots(i))) + 1
-        val cellThetas = SpatialOps.perCellQuantile(
-          lPts.map(nearestPivot), radii, quantile, theta, minSamples = 8)
-        run(pivots, cellThetas, None)
+        // Group-level fallback between the fine theta and the GLOBAL
+        // quantile (r16 verdict #4): at the d>3 budget p ~ √n the left
+        // sample goes cell-starved at scale (the d=4 100x slice: 1257
+        // cells vs 2000 samples — nearly every cell fell through to the
+        // global theta, candidate ratio ~6x). A ~√p maximin grouping of
+        // the SAME pivots (buildPivotHierarchy, used for THETAS only —
+        // the flat kernels keep running over the group-reordered pivot
+        // array, a permutation whose only effect is argmin tie order)
+        // gives each group ~sample/√p points, enough for a quantile;
+        // sample-starved fine cells inherit their group's radius, so a
+        // dense region filters at its own scale instead of the sparse-
+        // region-sized global one. Thetas only steer candidate
+        // admission — exactness stays with the starved retry + exact
+        // fallback, as before.
+        val (pivotsG, _, fineToGroup) = SpatialOps.buildPivotHierarchy(pivots)
+        val nearestPivot0 = (p: Array[Double]) =>
+          pivotsG.indices.minBy(i => graft.spatial.Dist.pointToPoint(p, pivotsG(i)))
+        val fineThetas = SpatialOps.perCellQuantile(
+          lPts.map(nearestPivot0(_) + 1), radii, quantile, theta, minSamples = 8)
+        val groupThetas = SpatialOps.perCellQuantile(
+          lPts.map(p => fineToGroup(nearestPivot0(p))), radii, quantile,
+          theta, minSamples = 8)
+        val cellThetas: Map[Int, Double] = (1 to pivotsG.length).flatMap { c =>
+          fineThetas.get(c).orElse(groupThetas.get(fineToGroup(c - 1)))
+            .map(c -> _)
+        }.toMap
+        run(pivotsG, cellThetas, None)
       }
     }
 
@@ -2287,8 +2321,29 @@ object SpatialOps {
     * enough splits (the at-scale case), so nothing is re-shuffled on a
     * big table; results are partitioning-independent either way. */
   private[operators] def spreadForCross(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    // Cheap under-split signal (ADVICE r16): the former
+    // `queryExecution.toRdd.getNumPartitions` probe forced full physical
+    // planning + RDD DAG construction at plan-BUILD time — paid on every
+    // naive/cross plan construction, including the pivot routes'
+    // starved-fallback plans that are usually built for EMPTY starved
+    // sets. The optimizer size estimate answers the same question
+    // without touching the physical layer: a frame at least
+    // `cores × maxPartitionBytes` big cannot scan in fewer than `cores`
+    // splits (and at that size the quadratic baseline is not latency-
+    // bound anyway), so it passes through untouched at scale exactly as
+    // before; anything smaller eats one bounded repartition — for
+    // checkpointed starved sets and small-file tables that is the same
+    // spread the probe produced, minus the build-time planning.
+    // (localCheckpoint keeps the origin plan's stats, so checkpointed
+    // fallback inputs still read small — pinned in SpatialOpsSpec.)
+    val maxSplit =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        sess.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+      catch { case _: Throwable => 128L * 1024 * 1024 }
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est >= BigInt(target) * maxSplit) df
     else df.repartition(target)
   }
 

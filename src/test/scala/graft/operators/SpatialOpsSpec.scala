@@ -987,4 +987,47 @@ class SpatialOpsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"polygon join grew a cross plan:\n$plan")
   }
+
+  test("spatioTemporalJoin: pre-1970 timestamps cell with true floor " +
+    "semantics (ADVICE r16)") {
+    import spark.implicits._
+    // timestamps straddling the epoch, including the exact adversarial
+    // offsets from the advice: dtMillis = 300000, left at -599999 ms
+    // (cell 0 under truncation, cell -1 under floor) vs right at
+    // -899998 ms — |dt| = 299999 <= dt must pair
+    val ms = Seq(-899998L, -599999L, -600000L, -1L, 0L, 1L, 299999L,
+      -1200000L, 600000L, -300000L, 300000L)
+    val l = ms.zipWithIndex.map { case (m, i) =>
+      (i.toLong, new java.sql.Timestamp(m), 1.0, 1.0)
+    }.toDF("event_id", "ts", "ex", "ey")
+    val rSide = ms.zipWithIndex.map { case (m, i) =>
+      ((i + 100).toLong, new java.sql.Timestamp(m), 1.0, 1.0)
+    }.toDF("event_id2", "ts2", "ex2", "ey2")
+    def pairs(df: DataFrame) = df.select("event_id", "event_id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(l.spatioTemporalJoin(rSide, Seq("ex", "ey"),
+      Seq("ex2", "ey2"), "ts", "ts2", r = 5.0, dtMillis = 300000L))
+    val want = pairs(l.join(rSide,
+      graft.functions.pointDistance(Seq(col("ex"), col("ey")),
+        Seq(col("ex2"), col("ey2"))) <= 5.0 &&
+        abs(unix_millis(col("ts")) - unix_millis(col("ts2"))) <= 300000L))
+    assert(got === want && got.nonEmpty,
+      s"missing=${(want -- got).toSeq.sorted} extra=${(got -- want).toSeq.sorted}")
+  }
+
+  test("spreadForCross: stats gate spreads under-split small inputs — " +
+    "including checkpointed fallback frames — without physical planning") {
+    import spark.implicits._
+    val target = spark.sparkContext.defaultParallelism
+    // a tiny one-partition frame spreads to the default parallelism
+    val tiny = (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("id", "x")
+      .coalesce(1)
+    assert(SpatialOps.spreadForCross(tiny).rdd.getNumPartitions === target)
+    // localCheckpoint keeps origin stats (the starved-fallback inputs)
+    // — the gate must still see SMALL and spread, not read the default
+    // Long.MaxValue estimate and skip
+    val cp = tiny.localCheckpoint()
+    assert(cp.rdd.getNumPartitions < target) // precondition: under-split
+    assert(SpatialOps.spreadForCross(cp).rdd.getNumPartitions === target)
+  }
 }

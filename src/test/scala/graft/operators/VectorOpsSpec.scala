@@ -1413,4 +1413,60 @@ class VectorOpsSpec extends SparkSpec {
     // the default ceiling admits every shipped default (refine = 50 etc.)
     assert(graft.GraftConf.maxDriverPushdown(spark) >= 4096)
   }
+
+  test("projectFold kernel: bit-identical to the aggregate(zip_with) HOF " +
+    "chain, compiled (no CodegenFallback scorer in the PCA plan)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Array(0.31, -1.7, 2.4e-3, 997.25)
+    // adversarial floats: denormals, huge/tiny magnitudes, sign mixes —
+    // the fold must reproduce the HOF chain's IEEE sequence exactly
+    val rows = (1 to 400).map { i =>
+      (i.toLong, Array(
+        (i * 0.37f - 70f) * 1e-4f, (i % 13 - 6).toFloat * 3.7e5f,
+        java.lang.Float.MIN_VALUE * i, (i % 7 - 3).toFloat / 3.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val hof = aggregate(
+      zip_with(col("embedding"), array(dir.map(lit).toIndexedSeq: _*),
+        (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
+    val both = df.select(col("vec_id"),
+      graft.functions.projectFold(col("embedding"), dir).as("k"),
+      hof.as("h")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"fold mismatch at vec_id=${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+    // null semantics match the HOF chain: null vec, null element,
+    // length mismatch -> null
+    val oddSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true))))
+    val odd = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, Seq[Any](1.0f, null, 2.0f, 3.0f)),
+        org.apache.spark.sql.Row(3L, Seq[Any](1.0f, 2.0f)), // shorter
+        org.apache.spark.sql.Row(4L, Seq[Any](1f, 2f, 3f, 4f, 5f, 6f))),
+      oddSchema)
+    val oddBoth = odd.select(col("vec_id"),
+      graft.functions.projectFold(col("embedding"), dir).as("k"), hof.as("h"))
+      .collect()
+    oddBoth.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2),
+        s"null semantics diverge at vec_id=${r.getLong(0)}")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) === r.getDouble(2))
+    }
+    // the scorer stays inside whole-stage codegen: project_fold in the
+    // plan, no interpreted aggregate/zip_with chain
+    val plan = emb.principalComponents("embedding", "vec_id", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("project_fold"), s"kernel missing from plan:\n$plan")
+    assert(!plan.contains("zip_with"), s"HOF scorer still in plan:\n$plan")
+  }
 }
