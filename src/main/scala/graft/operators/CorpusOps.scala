@@ -1067,31 +1067,30 @@ object CorpusOps {
     def boilerplateScore(idCol: String, textCol: String,
                          n: Int = 8, minDocs: Long = 2L): DataFrame = {
       require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
-      // per-doc gram dedup INSIDE the row (array_distinct before the
-      // explode) — the previous `.distinct()` paid a full shuffle of the
-      // exploded gram table for a dedup that never crosses documents
-      // (guide §2.4: a distinct on data that is already unique). The
-      // explicit gram-keyed repartition exists for SHARING: the gram
-      // stream feeds both the df aggregation and the membership join,
-      // and without a common exchange the scan+tokenize+explode subtree
-      // is planned twice (measured: the distinct-removal alone made the
-      // bench entry SLOWER, 4.5 -> 6.0 s, two full tokenize passes);
-      // with it, both consumers read ONE ReusedExchange, the df
-      // aggregation runs exchange-free on the pre-distributed stream,
-      // and the join is co-partitioned on both sides.
-      val grams = ds.toDF
+      // ONE tokenize pass, ONE gram-keyed exchange (r16 verdict #1):
+      // per-doc gram dedup stays INSIDE the row (array_distinct — a
+      // cross-document dedup never applies under the unique-id
+      // contract), and document frequency is a count().over(gram)
+      // window on the single exploded stream, so membership is a plain
+      // comparison. The r16 attempt to SHARE a gram repartition between
+      // a df aggregation and a membership join never did: column
+      // pruning and join-key filters specialize the two consumer
+      // subtrees (one carries the doc id, one doesn't), exchange reuse
+      // cannot fire, and the final plan tokenized the corpus TWICE with
+      // two gram exchanges (measured: r15 distinct 4.62 s, r16 shared-
+      // repartition 4.12 s, this window shape 3.83 s median at sf0.1 —
+      // AbBoilerplate, bit-exact parity across all three). At scale the
+      // win is structural: the heavy exploded-gram stream crosses the
+      // network once instead of twice, and the corpus scans once.
+      val w = Window.partitionBy(col("__graft_gram"))
+      ds.toDF
         .select(col(idCol).as("__graft_bid"),
           explode(array_distinct(wordGrams(col(textCol), n))).as("__graft_gram"))
-        .repartition(col("__graft_gram"))
-      val frequent = grams.groupBy(col("__graft_gram"))
-        .agg(count(lit(1)).as("__graft_df"))
-        .filter(col("__graft_df") >= minDocs)
-      // left join + count(non-null) flags boilerplate membership without
-      // a second scan of the gram table
-      grams.join(frequent.hint("shuffle_hash"), Seq("__graft_gram"), "left")
+        .withColumn("__graft_df", count(lit(1)).over(w))
         .groupBy(col("__graft_bid"))
         .agg(count(lit(1)).as("total_grams"),
-          count(col("__graft_df")).as("boilerplate_grams"))
+          count(when(col("__graft_df") >= minDocs, lit(1)))
+            .as("boilerplate_grams"))
         .select(col("__graft_bid").as(idCol),
           col("total_grams"), col("boilerplate_grams"),
           (col("boilerplate_grams").cast("double") /

@@ -255,10 +255,26 @@ object SpatialOps {
       // shapes drop out of the join everywhere (null bbox -> no cells,
       // null exact test -> filtered); the sampler skips them the same
       // way instead of NPE-ing on the driver
-      val side = math.max(1e-9, math.max(r,
-        SpatialOps.medianSampledSpan(polys, greatest(
-          array_max(axis(0)) - array_min(axis(0)),
-          array_max(axis(1)) - array_min(axis(1))), sampleCap)))
+      // cell side: cost-model-chosen when enabled (polygon boxes
+      // dilated by r, points are degenerate boxes), else the r16
+      // heuristic max(r, polygon median span)
+      val side =
+        if (!graft.GraftConf.shapeCellCostModel(ds.sparkSession))
+          math.max(1e-9, math.max(r,
+            SpatialOps.medianSampledSpan(polys, greatest(
+              array_max(axis(0)) - array_min(axis(0)),
+              array_max(axis(1)) - array_min(axis(1))), sampleCap)))
+        else {
+          val (lS, lFrac) = SpatialOps.sampleShapesWithFraction(
+            polys, shapeCol, sampleCap, seed = 7)
+          val lB = lS.map(SpatialOps.sampleBox)
+          val (rPts, rFrac, _) = SpatialOps.samplePointsWithFraction(
+            pts, pKeys, sampleCap)
+          val rB = rPts.map(p => Array(p(0), p(1), p(0), p(1)))
+          val s0 = math.max(1e-9, math.max(r, SpatialOps.medianBoxSpan(lB)))
+          SpatialOps.chooseShapeCellSide(lB, lB.length / math.max(lFrac, 1e-12),
+            rB, rB.length / math.max(rFrac, 1e-12), r, s0)
+        }
       val pl = polys
         .withColumn("__graft_pj_cx", explode(sequence(
           floor((array_min(axis(0)) - r) / side).cast("long"),
@@ -318,8 +334,24 @@ object SpatialOps {
         SpatialOps.medianSampledSpan(df,
           greatest(hi(col(c), 0) - lo(col(c), 0),
             hi(col(c), 1) - lo(col(c), 1)), sampleCap)
-      val side = math.max(1e-9,
-        math.max(medianSpan(l, lShapeCol), medianSpan(rt, rShapeCol)))
+      // cell side: cost-model-chosen from bbox samples when enabled
+      // (see GraftConf.ShapeCellCostModel), else the r16 heuristic
+      val side =
+        if (!graft.GraftConf.shapeCellCostModel(ds.sparkSession))
+          math.max(1e-9,
+            math.max(medianSpan(l, lShapeCol), medianSpan(rt, rShapeCol)))
+        else {
+          val (lS, lFrac) = SpatialOps.sampleShapesWithFraction(
+            l, lShapeCol, sampleCap, seed = 7)
+          val (rS, rFrac) = SpatialOps.sampleShapesWithFraction(
+            rt, rShapeCol, sampleCap, seed = 42)
+          val lB = lS.map(SpatialOps.sampleBox)
+          val rB = rS.map(SpatialOps.sampleBox)
+          val s0 = math.max(1e-9, math.max(
+            SpatialOps.medianBoxSpan(lB), SpatialOps.medianBoxSpan(rB)))
+          SpatialOps.chooseShapeCellSide(lB, lB.length / math.max(lFrac, 1e-12),
+            rB, rB.length / math.max(rFrac, 1e-12), 0.0, s0)
+        }
       def celled(df: DataFrame, c: String, p: String): DataFrame = df
         .withColumn(s"__graft_ij_${p}lx", lo(col(c), 0))
         .withColumn(s"__graft_ij_${p}hx", hi(col(c), 0))
@@ -377,8 +409,25 @@ object SpatialOps {
         SpatialOps.medianSampledSpan(df,
           greatest(hi(col(c), 0) - lo(col(c), 0),
             hi(col(c), 1) - lo(col(c), 1)), sampleCap)
-      val side = math.max(1e-9, math.max(r,
-        math.max(medianSpan(l, lShapeCol), medianSpan(rt, rShapeCol))))
+      // cell side: cost-model-chosen from bbox samples when enabled
+      // (left boxes dilated by r in the model, exactly as in the grid),
+      // else the r16 heuristic max(r, medians)
+      val side =
+        if (!graft.GraftConf.shapeCellCostModel(ds.sparkSession))
+          math.max(1e-9, math.max(r,
+            math.max(medianSpan(l, lShapeCol), medianSpan(rt, rShapeCol))))
+        else {
+          val (lS, lFrac) = SpatialOps.sampleShapesWithFraction(
+            l, lShapeCol, sampleCap, seed = 7)
+          val (rS, rFrac) = SpatialOps.sampleShapesWithFraction(
+            rt, rShapeCol, sampleCap, seed = 42)
+          val lB = lS.map(SpatialOps.sampleBox)
+          val rB = rS.map(SpatialOps.sampleBox)
+          val s0 = math.max(1e-9, math.max(r, math.max(
+            SpatialOps.medianBoxSpan(lB), SpatialOps.medianBoxSpan(rB))))
+          SpatialOps.chooseShapeCellSide(lB, lB.length / math.max(lFrac, 1e-12),
+            rB, rB.length / math.max(rFrac, 1e-12), r, s0)
+        }
       // left bbox dilated by r; right raw — cells over each bbox
       val lt = l
         .withColumn("__graft_sdj_llx", lo(col(lShapeCol), 0) - r)
@@ -970,33 +1019,11 @@ object SpatialOps {
         // the sparse-region-sized global quantile and admits almost
         // everything. minSamples = 8: pivot cells are extent-sized —
         // see perCellQuantile.
-        // Group-level fallback between the fine theta and the GLOBAL
-        // quantile (r16 verdict #4): at the d>3 budget p ~ √n the left
-        // sample goes cell-starved at scale (the d=4 100x slice: 1257
-        // cells vs 2000 samples — nearly every cell fell through to the
-        // global theta, candidate ratio ~6x). A ~√p maximin grouping of
-        // the SAME pivots (buildPivotHierarchy, used for THETAS only —
-        // the flat kernels keep running over the group-reordered pivot
-        // array, a permutation whose only effect is argmin tie order)
-        // gives each group ~sample/√p points, enough for a quantile;
-        // sample-starved fine cells inherit their group's radius, so a
-        // dense region filters at its own scale instead of the sparse-
-        // region-sized global one. Thetas only steer candidate
-        // admission — exactness stays with the starved retry + exact
-        // fallback, as before.
-        val (pivotsG, _, fineToGroup) = SpatialOps.buildPivotHierarchy(pivots)
-        val nearestPivot0 = (p: Array[Double]) =>
-          pivotsG.indices.minBy(i => graft.spatial.Dist.pointToPoint(p, pivotsG(i)))
-        val fineThetas = SpatialOps.perCellQuantile(
-          lPts.map(nearestPivot0(_) + 1), radii, quantile, theta, minSamples = 8)
-        val groupThetas = SpatialOps.perCellQuantile(
-          lPts.map(p => fineToGroup(nearestPivot0(p))), radii, quantile,
-          theta, minSamples = 8)
-        val cellThetas: Map[Int, Double] = (1 to pivotsG.length).flatMap { c =>
-          fineThetas.get(c).orElse(groupThetas.get(fineToGroup(c - 1)))
-            .map(c -> _)
-        }.toMap
-        run(pivotsG, cellThetas, None)
+        val nearestPivot = (p: Array[Double]) =>
+          pivots.indices.minBy(i => graft.spatial.Dist.pointToPoint(p, pivots(i))) + 1
+        val cellThetas = SpatialOps.perCellQuantile(
+          lPts.map(nearestPivot), radii, quantile, theta, minSamples = 8)
+        run(pivots, cellThetas, None)
       }
     }
 
@@ -2447,6 +2474,86 @@ object SpatialOps {
     * to that cell's near-cross-product (measured on the 10x x-shifted
     * trend: one cell held 72% of the lefts and admitted every right —
     * 16.1e9 of 17.1e9 enumerated pairs, exponent 1.09/decade). */
+  /** Sample-driven PBSM cell side for the shape joins (guide §1.2
+    * first-principles + §2.3 shuffle-vs-compute): evaluate the
+    * replica+pair cost of halvings of the heuristic side `s0` on the
+    * bounded driver samples and return the cheapest.
+    *
+    * Boxes are [lx, ly, hx, hy]; `lDilate` grows the left boxes per
+    * axis (the distance joins' r-dilation). `lN`/`rN` scale sampled
+    * replica and cell-occupancy counts to full cardinalities, so
+    * pairs(S) = Σ_cells nL_c·nR_c estimates the cell equi-join's
+    * output. A replica row costs ~an order of magnitude more than a
+    * pair (exchange serialize+network+hash insert vs one codegen'd
+    * reference-point compare that kills most pairs), hence ReplWeight.
+    * A candidate whose sampled per-box fan-out explodes (> 4096 cells)
+    * is rejected outright. Deterministic: seeded samples, ties to the
+    * largest side. Exactness never depends on the choice. */
+  private[operators] def chooseShapeCellSide(
+      lBoxes: Array[Array[Double]], lN: Double,
+      rBoxes: Array[Array[Double]], rN: Double,
+      lDilate: Double, s0: Double): Double = {
+    if (lBoxes.isEmpty || rBoxes.isEmpty || !(s0 > 0)) return math.max(s0, 1e-9)
+    val ReplWeight = 8.0
+    val PerBoxCellCap = 4096L
+    def sideCost(s: Double): Double = {
+      def occupancy(boxes: Array[Array[Double]], dil: Double, scale: Double):
+          Option[(scala.collection.mutable.HashMap[(Long, Long), Double], Double)] = {
+        val cells = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+        var repl = 0.0
+        var i = 0
+        while (i < boxes.length) {
+          val b = boxes(i)
+          val x0 = math.floor((b(0) - dil) / s).toLong
+          val x1 = math.floor((b(2) + dil) / s).toLong
+          val y0 = math.floor((b(1) - dil) / s).toLong
+          val y1 = math.floor((b(3) + dil) / s).toLong
+          val n = (x1 - x0 + 1) * (y1 - y0 + 1)
+          if (n > PerBoxCellCap) return None
+          repl += n
+          var x = x0
+          while (x <= x1) {
+            var y = y0
+            while (y <= y1) {
+              val k = (x, y)
+              cells(k) = cells.getOrElse(k, 0.0) + scale
+              y += 1
+            }
+            x += 1
+          }
+          i += 1
+        }
+        Some((cells, repl * scale))
+      }
+      (occupancy(lBoxes, lDilate, lN / lBoxes.length),
+        occupancy(rBoxes, 0.0, rN / rBoxes.length)) match {
+        case (Some((lC, lRepl)), Some((rC, rRepl))) =>
+          val (small, big) = if (lC.size <= rC.size) (lC, rC) else (rC, lC)
+          var pairs = 0.0
+          small.foreach { case (k, v) => big.get(k).foreach(pairs += v * _) }
+          ReplWeight * (lRepl + rRepl) + pairs
+        case _ => Double.MaxValue
+      }
+    }
+    Seq(1.0, 0.5, 0.25, 0.125, 0.0625).map(_ * s0).minBy(sideCost)
+  }
+
+  /** 2-D bbox [lx, ly, hx, hy] of a decoded sample shape. */
+  private[operators] def sampleBox(sh: graft.spatial.Shape): Array[Double] = {
+    val m = sh.mbr
+    Array(m.low.coord(0), m.low.coord(1), m.high.coord(0), m.high.coord(1))
+  }
+
+  /** Median of the sampled shapes' larger bbox-axis spans — the
+    * heuristic cell side, computed from the same sample the cost model
+    * consumes. */
+  private[operators] def medianBoxSpan(boxes: Array[Array[Double]]): Double =
+    if (boxes.isEmpty) 0.0
+    else {
+      val spans = boxes.map(b => math.max(b(2) - b(0), b(3) - b(1))).sorted
+      spans(spans.length / 2)
+    }
+
   private[graft] def samplePoints(df: DataFrame, keys: Seq[String], cap: Int): Array[Array[Double]] = {
     val projected = df.select(keys.map(c => col(c).cast("double")): _*).na.drop("any")
     val head = projected.limit(cap + 1).collect()
